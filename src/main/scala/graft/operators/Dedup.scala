@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for document corpora.
+  *
+  * Scale design: every method is a pure shuffle-join/aggregation plan —
+  * no driver-side state, no collect. Exact dedup is one hash aggregate
+  * on a digest (map-side partial combine applies). MinHash-LSH is the
+  * standard shingle→signature→band→bucket-join pipeline: the only
+  * all-to-all operation is a self-join on band keys, whose cardinality
+  * is controlled by band width, and which AQE's skew-join splitting
+  * handles when a band bucket is hot (a pathological near-identical
+  * cluster). Candidate verification (exact Jaccard) touches only
+  * candidate pairs, never the full cross product.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest.
+    * Returns one row per distinct content: (fp, n_docs, keep_id).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Near-dup groups under token reordering/duplication: fingerprint is
+    * the digest of the sorted distinct token set. */
+  def sortedTokenGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sortedTokenFingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** MinHash signatures: `numHashes` salted-md5 min-hashes over word
+    * `k`-shingles. Documents with fewer than k tokens produce no row
+    * (no shingles → no signature), mirroring the oracle.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 4, k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(shingles(normToks(col(textCol)), k)).as("s"))
+    val aggs = (0 until numHashes).map(i => minhashAgg(col("s"), i).as(s"m$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: signatures grouped into bands of `rowsPerBand`
+    * hashes; two documents are candidates iff they collide on at least
+    * one full band. Returns distinct (id_a, id_b) with id_a < id_b.
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 4, rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, k)
+    val nBands = numHashes / rowsPerBand
+    val bandPairs = (0 until nBands).map { b =>
+      val key = concat_ws(":",
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+      val banded = sigs.select(col(idCol).as("id"), key.as("band"))
+      val l = banded.select(col("id").as("id_a"), col("band"))
+      val r = banded.select(col("id").as("id_b"), col("band"))
+      l.join(r, "band").where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }
+    bandPairs.reduce(_ unionByName _).distinct()
+  }
+
+  /** Exact Jaccard similarity over distinct token sets for given
+    * candidate pairs (the verification stage after LSH). */
+  def jaccardOnPairs(pairs: DataFrame, df: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val docs = df.select(col(idCol).as("jid"),
+      array_distinct(normToks(col(textCol))).as("w"))
+    val a = docs.select(col("jid").as("id_a"), col("w").as("wa"))
+    val b = docs.select(col("jid").as("id_b"), col("w").as("wb"))
+    val j: (Column, Column) => Column = (wa, wb) =>
+      size(filter(wa, x => array_contains(wb, x))).cast("double") /
+        size(array_distinct(concat(wa, wb))).cast("double")
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), j(col("wa"), col("wb")).as("jaccard"))
+  }
+
+  /** SimHash (`bits`-bit, ≤32) per document over word unigrams. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
+    val words = df
+      .select(col(idCol), explode(normToks(col(textCol))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val votes = (0 until bits).map(j => simhashVote(col("h"), j).as(s"v$j"))
+    words.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        simhashFromVotes((0 until bits).map(j => col(s"v$j"))).as("simhash"))
+  }
+
+  /** Embedding near-duplicate pairs: exact quantized cosine ≥ threshold.
+    * `blockCol` optionally pre-partitions the self-join (e.g. an LSH
+    * bucket from [[Similarity.hyperplaneBucket]]) — without it this is a
+    * full cross product and only suitable for verification-sized data.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blockCol: Option[Column] = None): DataFrame = {
+    val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("blk", blockCol.getOrElse(lit(0)))
+    val l = base.select(col("id").as("id_a"), col("q").as("qa"), col("blk"))
+    val r = base.select(col("id").as("id_b"), col("q").as("qb"), col("blk"))
+    l.join(r, "blk").where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), qcosine(col("qa"), col("qb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

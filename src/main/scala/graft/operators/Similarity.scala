@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast cross join (queries
+  * are broadcast; the 100 TB corpus side streams through) followed by a
+  * per-query ranking window. Correct, embarrassingly parallel, O(|Q|·N).
+  *
+  * Scale path: random-hyperplane LSH — each vector gets a `planes`-bit
+  * signature; vectors sharing a signature *band* become candidates, so
+  * the join degenerates from cross product to an equi-join on band keys.
+  * Hyperplanes are generated from a fixed seed on the driver and shipped
+  * as literals (a few KB), so the plan stays fully declarative.
+  */
+object Similarity {
+
+  /** Deterministic Gaussian hyperplanes: `planes` × `dim`. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id from `planes` hyperplanes (an int in
+    * [0, 2^planes)). Same-bucket vectors are cosine-similar with high
+    * probability. */
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Brute-force top-k neighbors by exact double cosine.
+    * `queries`/`corpus`: (id, vec). Self-matches excluded. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("qid"), col("vec").as("qvec")))
+    val c = corpus.select(col("id").as("nid"), col("vec").as("nvec"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Brute-force top-k by *quantized* cosine ([[qcosine]]) — the
+    * oracle-checked variant: integer arithmetic makes scores (and thus
+    * ranks) bit-identical cross-engine. Same plan shape as
+    * [[bruteForceTopK]]. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("qid"),
+      quantize(col("vec")).as("qv")))
+    val c = corpus.select(col("id").as("nid"), quantize(col("vec")).as("cv"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), qcosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share at least one of
+    * `bands` signature bands (`planes` bits split evenly); exact cosine
+    * rank within candidates. Recall grows with bands; cost shrinks with
+    * band width. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 16, bands: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val ps = hyperplanes(planes, dim, seed)
+    val perBand = planes / bands
+    def withBands(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        hyperplaneBucket(col("vec"),
+          ps.slice(b * perBand, (b + 1) * perBand)).as(s"band$b")
+      }
+      df.select(Seq(col("id").as(idAs), col("vec").as(vecAs)) ++ bandCols: _*)
+    }
+    val q = broadcast(withBands(queries, "qid", "qvec"))
+    val c = withBands(corpus, "nid", "nvec")
+    val candidates = (0 until bands).map { b =>
+      q.select(col("qid"), col("qvec"), col(s"band$b").as("bk"))
+        .join(c.select(col("nid"), col("nvec"), col(s"band$b").as("bk")), "bk")
+        .where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("qvec"), col("nid"), col("nvec"))
+    }.reduce(_ unionByName _).distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    candidates
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators: token statistics, quality scoring, and a
+  * marker-word language classifier. All pure per-row projections +
+  * one hash aggregate — nothing here shuffles more than the grouping
+  * keys, so the plans scale linearly with corpus size.
+  */
+object TextAnalysis {
+
+  /** Per-document token/quality metrics:
+    * n_tokens, n_distinct, type-token ratio, mean token length, and a
+    * boolean quality gate. All counts are exact integers; the two
+    * ratios are single divisions of those integers (cross-engine
+    * deterministic).
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = normToks(col(textCol))
+    val nTok = size(w)
+    val nUniq = size(array_distinct(w))
+    val sumLen = aggregate(transform(w, t => length(t)), lit(0), _ + _)
+    df.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      nUniq.as("n_distinct"),
+      (nUniq.cast("double") / nTok.cast("double")).as("ttr"),
+      (sumLen.cast("double") / nTok.cast("double")).as("mean_tok_len"),
+      (nTok >= 5 && nTok <= 10000 &&
+        (nUniq.cast("double") / nTok.cast("double")) > 0.3).as("quality_ok"))
+  }
+
+  /** Marker-word language ID: deterministic argmax over per-family
+    * marker-occurrence counts (n-gram-frequency classification reduced
+    * to its SQL-expressible core; ties resolve in declaration order).
+    * Returns (id, <one count column per family>, predicted).
+    */
+  val markerFamilies: Seq[(String, Seq[String])] = Seq(
+    "common" -> Seq("the", "data", "value", "line"),
+    "db"     -> Seq("query", "join", "scan", "hash", "sort", "merge"),
+    "spark"  -> Seq("spark", "stream", "batch", "shuffle", "partition"))
+
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = normToks(col(textCol))
+    val counts: Seq[(String, Column)] = markerFamilies.map { case (fam, words) =>
+      fam -> words.map(occurrences(w, _)).reduce(_ + _)
+    }
+    val passThrough = df.columns.filter(_ != textCol).map(col).toSeq
+    val withCounts = df.select(
+      passThrough ++ counts.map { case (f, c) => c.as(s"c_$f") }: _*)
+    // argmax in declaration order: first family ≥ all later ones wins
+    val predicted = counts.indices.init.foldRight(
+      lit(counts.last._1): Column) { (i, elseCol) =>
+      val geAllLater = counts.drop(i + 1)
+        .map(later => col(s"c_${counts(i)._1}") >= col(s"c_${later._1}"))
+        .reduce(_ && _)
+      when(geAllLater, lit(counts(i)._1)).otherwise(elseCol)
+    }
+    withCounts.withColumn("predicted", predicted)
+  }
+
+  /** Corpus-level token statistics per group key. */
+  def tokenStats(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+        (sum(tokenCount(col(textCol)).cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_tokens"))
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions._
+
+/** Training-data-pipeline query surface: deduplication, text analysis,
+  * similarity search, multimodal metadata — over the `documents` and
+  * `embeddings` tables, each with a DuckDB oracle mirroring the exact
+  * same deterministic arithmetic (salted-md5 MinHash, integer votes,
+  * quantized-long vector math).
+  */
+object Pipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared SQL fragments (DuckDB side of the mirror) ----
+
+  /** tokens of lower(text), DuckDB side of TextFunctions.normToks */
+  private val W = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+  /** 3-shingle list over token array `w` (n-2 shingles; empty if n<3 —
+    * DuckDB range(a,b) is empty when b<=a, matching the Spark guard). */
+  private val ShingleList =
+    "list_transform(range(1, greatest(len(w) - 1, 1)), i -> array_to_string(w[i:i+2], ' '))"
+
+  /** quantized long vector, DuckDB side of VectorFunctions.quantize */
+  private def qv(col: String) =
+    s"list_transform($col, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  private val sigsCte =
+    s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest($ShingleList) AS s FROM w),
+       |sigs AS (SELECT doc_id,
+       |  min(md5('s0|' || s)) AS m0, min(md5('s1|' || s)) AS m1,
+       |  min(md5('s2|' || s)) AS m2, min(md5('s3|' || s)) AS m3
+       | FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, m0 || ':' || m1 AS b0, m2 || ':' || m3 AS b1 FROM sigs),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)""".stripMargin
+
+  // ---- queries ----
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  def dedupSortedFp(s: SparkSession, d: String): DataFrame =
+    Dedup.sortedTokenGroups(Tables.documents(s, d), "doc_id", "text")
+
+  val dedupSortedFpSql: String =
+    s"""SELECT md5(array_to_string(list_sort(list_distinct($W)), ' ')) AS fp,
+       | count(*) AS n_docs, min(doc_id) AS keep_id
+       |FROM documents GROUP BY 1""".stripMargin
+
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+
+  val minhashSignaturesSql: String =
+    s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest($ShingleList) AS s FROM w)
+       |SELECT doc_id,
+       |  min(md5('s0|' || s)) AS m0, min(md5('s1|' || s)) AS m1,
+       |  min(md5('s2|' || s)) AS m2, min(md5('s3|' || s)) AS m3
+       |FROM sh GROUP BY doc_id""".stripMargin
+
+  def minhashLshPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text")
+
+  val minhashLshPairsSql: String =
+    s"""$sigsCte
+       |SELECT id_a, id_b FROM pairs""".stripMargin
+
+  def lshJaccardVerify(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.jaccardOnPairs(
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text"),
+      docs, "doc_id", "text")
+  }
+
+  val lshJaccardVerifySql: String =
+    s"""$sigsCte,
+       |ws AS (SELECT doc_id, list_distinct($W) AS w FROM documents)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_filter(wa.w, x -> list_contains(wb.w, x))) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN ws wa ON pairs.id_a = wa.doc_id
+       |JOIN ws wb ON pairs.id_b = wb.doc_id""".stripMargin
+
+  def simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+
+  val simhashSql: String = {
+    val votes = (0 until 16).map(j =>
+      s"SUM(CASE WHEN (instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END) AS v$j"
+    ).mkString(",\n  ")
+    val bits = (0 until 16).map(j =>
+      s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH words AS (SELECT doc_id, unnest($W) AS word FROM documents),
+       |h AS (SELECT doc_id, md5(word) AS h FROM words),
+       |votes AS (SELECT doc_id,
+       |  $votes
+       | FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes""".stripMargin
+  }
+
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
+
+  val textQualitySql: String =
+    s"""SELECT doc_id,
+       |  len(w) AS n_tokens,
+       |  len(list_distinct(w)) AS n_distinct,
+       |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr,
+       |  CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_tok_len,
+       |  (len(w) >= 5 AND len(w) <= 10000 AND
+       |   CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) > 0.3) AS quality_ok
+       |FROM (SELECT doc_id, $W AS w FROM documents)""".stripMargin
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.languageId(
+      Tables.documents(s, d).select($"doc_id", $"lang", $"text"),
+      "doc_id", "text")
+      .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
+  }
+
+  val langIdSql: String = {
+    def cnt(words: Seq[String]) =
+      words.map(m => s"len(list_filter(w, x -> x = '$m'))").mkString(" + ")
+    val fams = TextAnalysis.markerFamilies
+    val cols = fams.map { case (f, ws) => s"${cnt(ws)} AS c_$f" }.mkString(",\n  ")
+    s"""WITH c AS (SELECT doc_id, lang,
+       |  $cols
+       | FROM (SELECT doc_id, lang, $W AS w FROM documents))
+       |SELECT lang,
+       |  CASE WHEN c_common >= c_db AND c_common >= c_spark THEN 'common'
+       |       WHEN c_db >= c_spark THEN 'db'
+       |       ELSE 'spark' END AS predicted,
+       |  count(*) AS n
+       |FROM c GROUP BY 1, 2""".stripMargin
+  }
+
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenStats(Tables.documents(s, d), "lang", "text")
+
+  val tokenStatsSql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(SUM(len($W)) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(len($W)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
+       |FROM documents GROUP BY lang""".stripMargin
+
+  def embeddingNorms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", quantize($"embedding").as("q"))
+    e.select($"vec_id",
+      qdot($"q", $"q").as("q2"),
+      (sqrt(qdot($"q", $"q").cast("double")) / 1000.0).as("norm"))
+  }
+
+  val embeddingNormsSql: String =
+    s"""SELECT vec_id,
+       |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q2,
+       |  sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) / 1000.0 AS norm
+       |FROM (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings)""".stripMargin
+
+  def annCosineTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    Similarity.quantizedTopK(e.where($"id" < 8), e, 5)
+  }
+
+  val annCosineTopKSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, ${qv("embedding")} AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS nid, ${qv("embedding")} AS cv FROM embeddings),
+       |sc AS (SELECT qid, nid,
+       |  CAST(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS DOUBLE) /
+       |  (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) *
+       |   sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE))) AS cos
+       | FROM q, c WHERE qid <> nid)
+       |SELECT qid, nid, cos, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INTEGER) AS rank
+       |  FROM sc)
+       |WHERE rank <= 5""".stripMargin
+
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.embeddingNearDup(
+      Tables.embeddings(s, d).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", 0.95)
+  }
+
+  val embeddingNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOUBLE) /
+       |  (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE)) *
+       |   sqrt(CAST(list_sum(list_transform(b.q, x -> x * x)) AS DOUBLE))) AS cos
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id""".stripMargin
+
+  private val embeddingNearDupSqlFiltered: String =
+    s"""SELECT * FROM ($embeddingNearDupSql) WHERE cos >= 0.95"""
+
+  /** Multimodal metadata stub: the Spark-side plumbing for opaque media
+    * columns — byte length, head-bytes sample, content digest. The
+    * decode stage proper is [[graft.sources.Multimodal]]. */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      $"doc_id",
+      expr("octet_length(text)").as("n_bytes"),
+      hex(substring($"text", 1, 8)).as("head_hex"),
+      md5($"text").as("content_md5"))
+  }
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      | strlen(text) AS n_bytes,
+      | hex(substr(text, 1, 8)) AS head_hex,
+      | md5(text) AS content_md5
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q10_dedup_exact"        -> (dedupExact _),
+    "q11_dedup_sorted_fp"    -> (dedupSortedFp _),
+    "q12_minhash_signatures" -> (minhashSignatures _),
+    "q13_minhash_lsh_pairs"  -> (minhashLshPairs _),
+    "q14_lsh_jaccard_verify" -> (lshJaccardVerify _),
+    "q15_simhash"            -> (simhash _),
+    "q16_text_quality"       -> (textQuality _),
+    "q17_lang_id"            -> (langId _),
+    "q18_token_stats"        -> (tokenStats _),
+    "q19_embedding_norms"    -> (embeddingNorms _),
+    "q20_ann_cosine_topk"    -> (annCosineTopK _),
+    "q21_embedding_neardup"  -> (embeddingNearDup _),
+    "q22_multimodal_meta"    -> (multimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q10_dedup_exact"        -> dedupExactSql,
+    "q11_dedup_sorted_fp"    -> dedupSortedFpSql,
+    "q12_minhash_signatures" -> minhashSignaturesSql,
+    "q13_minhash_lsh_pairs"  -> minhashLshPairsSql,
+    "q14_lsh_jaccard_verify" -> lshJaccardVerifySql,
+    "q15_simhash"            -> simhashSql,
+    "q16_text_quality"       -> textQualitySql,
+    "q17_lang_id"            -> langIdSql,
+    "q18_token_stats"        -> tokenStatsSql,
+    "q19_embedding_norms"    -> embeddingNormsSql,
+    "q20_ann_cosine_topk"    -> annCosineTopKSql,
+    "q21_embedding_neardup"  -> embeddingNearDupSqlFiltered,
+    "q22_multimodal_meta"    -> multimodalMetaSql)
+}
