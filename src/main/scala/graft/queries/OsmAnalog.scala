@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Expire, Middle, Update}
+import graft.functions.{GeomColumnFunctions, TagFunctions, TileFunctions}
+
+/** The reference's operator inventory (SURVEY.md §2) exercised on the
+  * synthetic star schema: the same operators the OSM pipeline uses —
+  * k-way merge, way-node resolution, reverse-dependency closure,
+  * member resolution, z_order tag transform, tile cover/expiry rollup,
+  * change-file latest-version-wins, exact ring area/bbox — each against
+  * a DuckDB oracle. (Lineitem plays "way nodes", part plays "nodes",
+  * orders play "ways", customers play "relations".)
+  */
+object OsmAnalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // deterministic synthetic coordinates (pure integer → double math)
+  private val LonExpr = "(((event_id * 2654435761) % 360000000) - 180000000) / 1000000.0"
+  private val LatExpr = "(((event_id * 2246822519) % 170000000) - 85000000) / 1000000.0"
+
+  /** §2.1 k-way multi-file merge (src/input.cpp:261-303): union of two
+    * overlapping sorted inputs, duplicate (type,id) dropped. */
+  def kwayMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val fileA = o.where($"o_orderkey" % 2 === 0)
+    val fileB = o.where($"o_orderkey" % 3 === 0)
+    fileA.unionByName(fileB).dropDuplicates("o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), countDistinct($"o_custkey").as("n_cust"))
+  }
+
+  val kwayMergeSql: String =
+    """SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_cust
+      |FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0
+      |      UNION
+      |      SELECT * FROM orders WHERE o_orderkey % 3 = 0)
+      |GROUP BY 1""".stripMargin
+
+  /** §2.2 nodes_get_list: resolve each way's ordered node refs against
+    * the node store and reassemble in order. */
+  def resolveWayNodes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ways = Middle.waysFromEdges(
+      Tables.lineitem(s, d), "l_orderkey", "l_linenumber", "l_partkey")
+    val resolved = Middle.resolveWayNodes(
+      ways, "l_orderkey", "refs",
+      Tables.part(s, d), "p_partkey", Seq("p_size"))
+    resolved.select(
+      $"l_orderkey".as("way_id"),
+      size($"resolved").as("n_nodes"),
+      array_join(transform($"resolved",
+        r => r.getField("p_size").cast("string")), ",").as("node_path"))
+  }
+
+  val resolveWayNodesSql: String =
+    """SELECT l_orderkey AS way_id,
+      |  CAST(count(*) AS INTEGER) AS n_nodes,
+      |  string_agg(CAST(p_size AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS node_path
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY l_orderkey""".stripMargin
+
+  /** §2.2 get_node_parents: reverse-reference semi-join — which "ways"
+    * (orders) contain a changed "node" (parts with p_size = 50). */
+  def nodeParents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ways = Middle.waysFromEdges(
+      Tables.lineitem(s, d), "l_orderkey", "l_linenumber", "l_partkey")
+    val changed = Tables.part(s, d).where($"p_size" === 50)
+      .select($"p_partkey".as("id"))
+    val parents = Middle.parentsOfNodes(ways, "l_orderkey", "refs", changed, "id")
+    parents.join(Tables.orders(s, d),
+        parents("l_orderkey") === col("o_orderkey"))
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n_parent_ways"))
+  }
+
+  val nodeParentsSql: String =
+    """SELECT o_orderstatus, count(*) AS n_parent_ways
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem JOIN part ON l_partkey = p_partkey
+      |              WHERE l_orderkey = o_orderkey AND p_size = 50)
+      |GROUP BY 1""".stripMargin
+
+  /** §2.2 rel_members_get: resolve relation members with found-vs-
+    * referenced counting (missing members OK — entities table here only
+    * holds orders over 150k). */
+  def relMembers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val rels = o.groupBy($"o_custkey".as("rel_id"))
+      .agg(transform(
+        array_sort(collect_list(struct($"o_orderkey", $"o_orderpriority"))),
+        m => struct(lit("o").as("type"), m.getField("o_orderkey").as("ref"),
+          m.getField("o_orderpriority").as("role"))).as("members"))
+    val entities = o.where($"o_totalprice" > 150000.0)
+      .select($"o_orderkey", $"o_totalprice")
+    Middle.resolveRelationMembers(rels, "rel_id", "members", "o",
+        entities, "o_orderkey", Nil)
+      .select($"rel_id", $"n_referenced", $"n_found")
+  }
+
+  val relMembersSql: String =
+    """SELECT o_custkey AS rel_id, count(*) AS n_referenced,
+      |  count(CASE WHEN o_totalprice > 150000.0 THEN 1 END) AS n_found
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  /** §2.3 z_order tag transform: build a tags map from event columns,
+    * run the real zOrder/when-chain over it. */
+  def zOrder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val highway = when($"event_type" === "purchase", "motorway")
+      .when($"event_type" === "click", "primary")
+      .when($"event_type" === "view", "residential")
+      .when($"event_type" === "signup", "footway")
+      .otherwise("proposed")
+    val tags = map_concat(
+      map(lit("highway"), highway,
+        lit("layer"), ($"event_id" % 5 - 2).cast("string")),
+      when($"value" > 150.0, map(lit("bridge"), lit("yes")))
+        .otherwise(typedlit(Map.empty[String, String])))
+    Tables.events(s, d).select($"event_id",
+      TagFunctions.zOrder(tags).cast("long").as("z_order"),
+      TagFunctions.isRoads(tags).as("in_roads"))
+  }
+
+  val zOrderSql: String =
+    """SELECT event_id,
+      | ((event_id % 5) - 2) * 100
+      |  + CASE WHEN event_type = 'purchase' THEN 360
+      |         WHEN event_type = 'click' THEN 345
+      |         WHEN event_type = 'view' THEN 30
+      |         WHEN event_type = 'signup' THEN 10
+      |         ELSE 1 END
+      |  + CASE WHEN value > 150.0 THEN 100 ELSE 0 END AS z_order,
+      | CASE WHEN event_type IN ('purchase', 'click') THEN true ELSE false END AS in_roads
+      |FROM events""".stripMargin
+
+  /** §2.5 tile math: lon/lat → tile x/y + quadkey (linear y for the
+    * oracle; Mercator y is the production path in TileFunctions). */
+  def tileCover(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"event_id", expr(LonExpr).as("lon"), expr(LatExpr).as("lat"))
+    e.select($"event_id",
+      TileFunctions.tileX($"lon", 14).as("x"),
+      TileFunctions.tileYLinear($"lat", 14).as("y"))
+      .withColumn("quadkey", TileFunctions.quadkey($"x", $"y", 14))
+  }
+
+  val tileCoverSql: String =
+    s"""SELECT event_id, x, y, ${TileFunctions.quadkeySql("x", "y", 14)} AS quadkey
+       |FROM (SELECT event_id,
+       |  CAST(floor(($LonExpr + 180.0) / 360.0 * 16384) AS BIGINT) AS x,
+       |  CAST(floor((85.0 - $LatExpr) / 170.0 * 16384) AS BIGINT) AS y
+       | FROM events)""".stripMargin
+
+  /** §2.6 expire: dirty-tile dedup + zoom roll-up 14→10. */
+  def expireRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tiles = Tables.events(s, d)
+      .select(expr(LonExpr).as("lon"), expr(LatExpr).as("lat"))
+      .select(TileFunctions.tileX($"lon", 14).as("x"),
+        TileFunctions.tileYLinear($"lat", 14).as("y"))
+      .distinct()
+    Expire.rollup(tiles, "x", "y", 14, 10)
+      .groupBy($"zoom").agg(count(lit(1)).as("n_tiles"))
+      .select($"zoom".cast("int").as("zoom"), $"n_tiles")
+  }
+
+  val expireRollupSql: String =
+    s"""WITH t AS (SELECT DISTINCT
+       |  CAST(floor(($LonExpr + 180.0) / 360.0 * 16384) AS BIGINT) AS x,
+       |  CAST(floor((85.0 - $LatExpr) / 170.0 * 16384) AS BIGINT) AS y
+       | FROM events),
+       |r AS (SELECT z.zoom, t.x >> (14 - z.zoom) AS x, t.y >> (14 - z.zoom) AS y
+       |      FROM t, (SELECT unnest(range(10, 15)) AS zoom) z)
+       |SELECT CAST(zoom AS INTEGER) AS zoom, count(DISTINCT (x, y)) AS n_tiles
+       |FROM r GROUP BY zoom""".stripMargin
+
+  /** §2.1/§2.8 change-file semantics: latest-version-wins collapse +
+    * add/modify/delete op classification. */
+  def changefileLatest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val changes = Tables.events(s, d).select(
+      ($"event_id" % 4096).as("oid"),
+      $"event_id".as("version"),
+      ($"event_type" =!= "error").as("visible"))
+    Update.withOp(Update.latestVersion(changes, "oid", "version"),
+      "visible", "version")
+  }
+
+  val changefileLatestSql: String =
+    """SELECT oid, version, visible,
+      |  CASE WHEN NOT visible THEN 'delete'
+      |       WHEN version = 1 THEN 'create'
+      |       ELSE 'modify' END AS op
+      |FROM (SELECT event_id % 4096 AS oid, event_id AS version,
+      |        event_type <> 'error' AS visible,
+      |        row_number() OVER (PARTITION BY event_id % 4096
+      |                           ORDER BY event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  /** §2.8 dependency closure: changed nodes → pending parent ways →
+    * pending relations (two chained semi-joins). */
+  def dependencyClosure(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ways = Middle.waysFromEdges(
+      Tables.lineitem(s, d), "l_orderkey", "l_linenumber", "l_partkey")
+    val rels = Tables.orders(s, d).groupBy($"o_custkey".as("rel_id"))
+      .agg(collect_list(struct(lit("w").as("type"),
+        $"o_orderkey".as("ref"))).as("members"))
+    val changed = Tables.part(s, d).where($"p_size" === 50)
+      .select($"p_partkey".as("id"))
+    val (_, pendingRels) = Update.dependencyClosure(
+      changed, ways, "l_orderkey", "refs", rels, "rel_id", "members")
+    pendingRels.join(Tables.customer(s, d),
+        pendingRels("rel_id") === col("c_custkey"))
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_rels"))
+  }
+
+  val dependencyClosureSql: String =
+    """SELECT c_mktsegment, count(*) AS n_rels
+      |FROM customer
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND EXISTS (
+      |    SELECT 1 FROM lineitem JOIN part ON l_partkey = p_partkey
+      |    WHERE l_orderkey = o_orderkey AND p_size = 50))
+      |GROUP BY 1""".stripMargin
+
+  /** §2.4/§2.5 polygon assembly + exact shoelace ring area over
+    * synthetic integer coordinates (way = ordered lineitem ring). */
+  def polygonArea(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.lineitem(s, d).select(
+      $"l_orderkey",
+      $"l_linenumber",
+      $"l_partkey".as("pk"),
+      (($"l_partkey" * 7919) % 2000).as("x"),
+      (($"l_partkey" * 104729) % 2000).as("y"))
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // tie-break by the partkey the coords derive from, so xs/ys stay
+    // aligned and the order is deterministic cross-engine.
+    val rings = pts.groupBy($"l_orderkey")
+      .agg(
+        transform(array_sort(collect_list(
+          struct($"l_linenumber", $"pk", $"x"))), p => p.getField("x")).as("xs"),
+        transform(array_sort(collect_list(
+          struct($"l_linenumber", $"pk", $"y"))), p => p.getField("y")).as("ys"))
+      .where(size($"xs") >= 3)
+    rings.select(
+      $"l_orderkey".as("way_id"),
+      size($"xs").as("n_pts"),
+      GeomColumnFunctions.shoelaceArea2x($"xs", $"ys").as("area2x"))
+  }
+
+  val polygonAreaSql: String = {
+    val area = GeomColumnFunctions.shoelaceArea2xSql("xs", "ys")
+    """WITH rings AS (
+      |  SELECT l_orderkey,
+      |    list((l_partkey * 7919) % 2000 ORDER BY l_linenumber, l_partkey) AS xs,
+      |    list((l_partkey * 104729) % 2000 ORDER BY l_linenumber, l_partkey) AS ys
+      |  FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 3)
+      |SELECT l_orderkey AS way_id, CAST(len(xs) AS INTEGER) AS n_pts,
+      |""".stripMargin +
+      s"  CAST($area AS BIGINT) AS area2x\nFROM rings"
+  }
+
+  /** §2.4 get_bbox: envelope of each way's resolved coordinates. */
+  def wayBbox(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).select(
+      $"l_orderkey",
+      (($"l_partkey" * 7919) % 2000).as("x"),
+      (($"l_partkey" * 104729) % 2000).as("y"))
+      .groupBy($"l_orderkey")
+      .agg(min($"x").as("xmin"), min($"y").as("ymin"),
+        max($"x").as("xmax"), max($"y").as("ymax"))
+      .select($"l_orderkey".as("way_id"), $"xmin", $"ymin", $"xmax", $"ymax")
+  }
+
+  val wayBboxSql: String =
+    """SELECT l_orderkey AS way_id,
+      |  min((l_partkey * 7919) % 2000) AS xmin,
+      |  min((l_partkey * 104729) % 2000) AS ymin,
+      |  max((l_partkey * 7919) % 2000) AS xmax,
+      |  max((l_partkey * 104729) % 2000) AS ymax
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
+  /** §2.3 style-file filter over a JSON "tags" column (events.props):
+    * keep objects whose k-tag is exported (k % 7 = 0), classify
+    * polygon-vs-line by k parity. */
+  def styleFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = get_json_object($"props", "$.k").cast("int")
+    Tables.events(s, d)
+      .select($"event_id", $"event_type", k.as("k"))
+      .where($"k" % 7 === 0)
+      .groupBy($"event_type", ($"k" % 2 === 0).as("is_polygon"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val styleFilterSql: String =
+    """SELECT event_type, (k % 2 = 0) AS is_polygon, count(*) AS n
+      |FROM (SELECT event_id, event_type,
+      |        CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |WHERE k % 7 = 0
+      |GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q30_osm_kway_merge"         -> (kwayMerge _),
+    "q31_osm_resolve_way_nodes"  -> (resolveWayNodes _),
+    "q32_osm_node_parents"       -> (nodeParents _),
+    "q33_osm_rel_members"        -> (relMembers _),
+    "q34_osm_zorder"             -> (zOrder _),
+    "q35_osm_tile_cover"         -> (tileCover _),
+    "q36_osm_expire_rollup"      -> (expireRollup _),
+    "q37_osm_changefile_latest"  -> (changefileLatest _),
+    "q38_osm_dependency_closure" -> (dependencyClosure _),
+    "q39_osm_polygon_area"       -> (polygonArea _),
+    "q40_osm_way_bbox"           -> (wayBbox _),
+    "q41_osm_style_filter"       -> (styleFilter _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_osm_kway_merge"         -> kwayMergeSql,
+    "q31_osm_resolve_way_nodes"  -> resolveWayNodesSql,
+    "q32_osm_node_parents"       -> nodeParentsSql,
+    "q33_osm_rel_members"        -> relMembersSql,
+    "q34_osm_zorder"             -> zOrderSql,
+    "q35_osm_tile_cover"         -> tileCoverSql,
+    "q36_osm_expire_rollup"      -> expireRollupSql,
+    "q37_osm_changefile_latest"  -> changefileLatestSql,
+    "q38_osm_dependency_closure" -> dependencyClosureSql,
+    "q39_osm_polygon_area"       -> polygonAreaSql,
+    "q40_osm_way_bbox"           -> wayBboxSql,
+    "q41_osm_style_filter"       -> styleFilterSql)
+}
