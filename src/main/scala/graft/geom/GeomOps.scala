@@ -1,0 +1,398 @@
+package graft.geom
+
+import scala.collection.mutable
+
+/** The geometry scalar-function library (reference:
+  * src/geom-functions.cpp, 895 LoC; surfaced to user configs at
+  * src/flex-lua-geom.cpp:345-370). Pure JVM functions over the ADT;
+  * the DataFrame surface wraps these as UDFs over EWKB
+  * ([[graft.functions.GeomUdfs]]).
+  *
+  * Deltas from the reference, documented:
+  *  - spherical_area/spherical_length use spherical (R=6371008.8 m)
+  *    formulas, not boost's geodesic vincenty
+  *    (src/geom-functions.cpp:370-436) — ≤0.5% difference;
+  *  - transform supports the reference's built-in pair 4326↔3857 only
+  *    (the reference requires PROJ for anything else,
+  *    src/reprojection.cpp:80-89).
+  */
+object GeomOps {
+
+  val EarthRadius = 6371008.8
+  val MercRadius = 6378137.0
+
+  // ---- basic scalar ops (src/geom-functions.cpp:25-66) ----
+
+  def distance(a: Pt, b: Pt): Double = a.distanceTo(b)
+
+  /** Point on segment a→b at fraction f (src/geom-functions.cpp:32-38). */
+  def interpolate(a: Pt, b: Pt, f: Double): Pt =
+    Pt(a.x + (b.x - a.x) * f, a.y + (b.y - a.y) * f)
+
+  /** 1-based member extraction (src/geom-functions.cpp:102-121);
+    * out-of-range → null geometry. */
+  def geometryN(g: Geometry, n: Int): Geometry = {
+    val parts: Vector[Geometry] = g match {
+      case MultiPoint(ps, _)         => ps
+      case MultiLineString(ls, _)    => ls
+      case MultiPolygon(ps, _)       => ps
+      case GeometryCollection(gs, _) => gs
+      case other                     => Vector(other)
+    }
+    if (n >= 1 && n <= parts.size) parts(n - 1) else NullGeom(g.srid)
+  }
+
+  // ---- projection (src/reprojection.cpp:17-79) ----
+
+  /** 4326 → 3857 closed-form spherical mercator; latitude clamped to
+    * ±89.99 like the reference (src/reprojection.cpp:21-26). */
+  def lonLatToMercator(p: Pt): Pt = {
+    val lat = math.max(-89.99, math.min(89.99, p.y))
+    Pt(MercRadius * math.toRadians(p.x),
+      MercRadius * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+  }
+
+  def mercatorToLonLat(p: Pt): Pt =
+    Pt(math.toDegrees(p.x / MercRadius),
+      math.toDegrees(2 * math.atan(math.exp(p.y / MercRadius)) - math.Pi / 2))
+
+  /** transform(g, srid): only from 4326 (src/flex-lua-geom.cpp:330-332
+    * errors otherwise); identity when srids match. */
+  def transform(g: Geometry, targetSrid: Int): Geometry = {
+    if (g.srid == targetSrid) return g
+    require(g.srid == Srid.WGS84,
+      s"transform only supported from 4326, got ${g.srid}")
+    require(targetSrid == Srid.WebMercator,
+      s"transform only supported to 3857, got $targetSrid")
+    mapPoints(g, lonLatToMercator).withSrid(targetSrid)
+  }
+
+  def mapPoints(g: Geometry, f: Pt => Pt): Geometry = g match {
+    case n: NullGeom        => n
+    case Point(p, s)        => Point(f(p), s)
+    case LineString(ps, s)  => LineString(ps.map(f), s)
+    case Polygon(o, is, s)  => Polygon(Ring(o.pts.map(f)), is.map(r => Ring(r.pts.map(f))), s)
+    case MultiPoint(ps, s)  => MultiPoint(ps.map(p => Point(f(p.pt), s)), s)
+    case MultiLineString(ls, s) =>
+      MultiLineString(ls.map(l => LineString(l.pts.map(f), s)), s)
+    case MultiPolygon(ps, s) =>
+      MultiPolygon(ps.map(p => Polygon(Ring(p.outer.pts.map(f)),
+        p.inners.map(r => Ring(r.pts.map(f))), s)), s)
+    case GeometryCollection(gs, s) =>
+      GeometryCollection(gs.map(mapPoints(_, f)), s)
+  }
+
+  // ---- area / length (src/geom-functions.cpp:351-455) ----
+
+  /** Planar area: polygons/multipolygons, else 0
+    * (src/geom-functions.cpp:351-366). */
+  def area(g: Geometry): Double = g match {
+    case Polygon(o, is, _) =>
+      (math.abs(o.signedArea2x) - is.map(r => math.abs(r.signedArea2x)).sum) / 2.0
+    case MultiPolygon(ps, _)       => ps.map(area).sum
+    case GeometryCollection(gs, _) => gs.map(area).sum
+    case _                         => 0.0
+  }
+
+  /** Area on the sphere in m², input must be 4326
+    * (src/geom-functions.cpp:373-414; spherical instead of vincenty).
+    * Chamberlain–Duquette ring area. */
+  def sphericalArea(g: Geometry): Double = {
+    def ringArea(r: Ring): Double = {
+      var sum = 0.0
+      var i = 0
+      val ps = r.pts
+      while (i < ps.size - 1) {
+        val p1 = ps(i); val p2 = ps(i + 1)
+        sum += math.toRadians(p2.x - p1.x) *
+          (2 + math.sin(math.toRadians(p1.y)) + math.sin(math.toRadians(p2.y)))
+        i += 1
+      }
+      math.abs(sum * EarthRadius * EarthRadius / 2.0)
+    }
+    require(g.srid == Srid.WGS84, "spherical_area requires srid 4326")
+    g match {
+      case Polygon(o, is, _)         => ringArea(o) - is.map(ringArea).sum
+      case MultiPolygon(ps, _)       => ps.map(sphericalArea).sum
+      case GeometryCollection(gs, _) => gs.map(sphericalArea).sum
+      case _                         => 0.0
+    }
+  }
+
+  /** Planar length: lines/multilines (+collections), else 0
+    * (src/geom-functions.cpp:439-455). */
+  def length(g: Geometry): Double = g match {
+    case LineString(ps, _) =>
+      ps.iterator.zip(ps.iterator.drop(1)).map { case (a, b) => a.distanceTo(b) }.sum
+    case MultiLineString(ls, _)    => ls.map(length).sum
+    case GeometryCollection(gs, _) => gs.map(length).sum
+    case _                         => 0.0
+  }
+
+  /** Great-circle (haversine) length in m, input 4326
+    * (src/geom-functions.cpp:383-437; spherical instead of vincenty). */
+  def sphericalLength(g: Geometry): Double = {
+    def hav(a: Pt, b: Pt): Double = {
+      val dLat = math.toRadians(b.y - a.y)
+      val dLon = math.toRadians(b.x - a.x)
+      val h = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(a.y)) * math.cos(math.toRadians(b.y)) *
+          math.pow(math.sin(dLon / 2), 2)
+      2 * EarthRadius * math.asin(math.min(1.0, math.sqrt(h)))
+    }
+    require(g.srid == Srid.WGS84, "spherical_length requires srid 4326")
+    g match {
+      case LineString(ps, _) =>
+        ps.iterator.zip(ps.iterator.drop(1)).map { case (a, b) => hav(a, b) }.sum
+      case MultiLineString(ls, _)    => ls.map(sphericalLength).sum
+      case GeometryCollection(gs, _) => gs.map(sphericalLength).sum
+      case _                         => 0.0
+    }
+  }
+
+  // ---- reshaping ops ----
+
+  /** Split segments longer than maxLen by inserting interpolated points;
+    * lines/multilines only, always returns a multilinestring
+    * (src/geom-functions.cpp:270-349). */
+  def segmentize(g: Geometry, maxLen: Double): Geometry = {
+    def seg(l: LineString): LineString = {
+      val out = mutable.ArrayBuffer.empty[Pt]
+      l.pts.iterator.zip(l.pts.iterator.drop(1)).foreach { case (a, b) =>
+        if (out.isEmpty) out += a
+        val d = a.distanceTo(b)
+        val n = math.ceil(d / maxLen).toInt
+        (1 to n).foreach(i => out += interpolate(a, b, i.toDouble / n))
+      }
+      LineString(out.toVector, l.srid)
+    }
+    g match {
+      case l: LineString          => MultiLineString(Vector(seg(l)), l.srid)
+      case MultiLineString(ls, s) => MultiLineString(ls.map(seg), s)
+      case _ => NullGeom(g.srid)
+    }
+  }
+
+  /** Multi → parts; single geometries pass through as one part
+    * (src/geom-functions.cpp:497-510). */
+  def splitMulti(g: Geometry): Vector[Geometry] = g match {
+    case _: NullGeom               => Vector.empty
+    case MultiPoint(ps, _)         => ps.toVector
+    case MultiLineString(ls, _)    => ls.toVector
+    case MultiPolygon(ps, _)       => ps.toVector
+    case GeometryCollection(gs, _) => gs
+    case single                    => Vector(single)
+  }
+
+  /** Reverse vertex order (src/geom-functions.cpp:514-568). */
+  def reverse(g: Geometry): Geometry = g match {
+    case LineString(ps, s)      => LineString(ps.reverse, s)
+    case MultiLineString(ls, s) =>
+      MultiLineString(ls.map(l => LineString(l.pts.reverse, s)), s)
+    case Polygon(o, is, s)      => Polygon(o.reverse, is.map(_.reverse), s)
+    case MultiPolygon(ps, s)    => MultiPolygon(ps.map(p =>
+      Polygon(p.outer.reverse, p.inners.map(_.reverse), s)), s)
+    case GeometryCollection(gs, s) => GeometryCollection(gs.map(reverse), s)
+    case other                  => other
+  }
+
+  /** Join multilinestring parts end-to-end by walking the shared-
+    * endpoint graph (src/geom-functions.cpp:594-775). Deterministic:
+    * seeds walks from segments in input order; continuation picks the
+    * first unused connecting segment. Returns a multilinestring (or the
+    * merged single line wrapped). */
+  def lineMerge(g: Geometry): Geometry = {
+    val lines: Vector[LineString] = g match {
+      case l: LineString          => Vector(l)
+      case MultiLineString(ls, _) => ls
+      case _                      => return NullGeom(g.srid)
+    }
+    if (lines.isEmpty) return NullGeom(g.srid)
+    val used = Array.fill(lines.size)(false)
+    val byEndpoint = mutable.Map.empty[Pt, mutable.ArrayBuffer[Int]]
+    lines.zipWithIndex.foreach { case (l, i) =>
+      byEndpoint.getOrElseUpdate(l.pts.head, mutable.ArrayBuffer.empty) += i
+      byEndpoint.getOrElseUpdate(l.pts.last, mutable.ArrayBuffer.empty) += i
+    }
+    def takeConnecting(p: Pt): Option[Int] =
+      byEndpoint.get(p).flatMap(_.find(!used(_)))
+    val merged = mutable.ArrayBuffer.empty[LineString]
+    lines.indices.foreach { i =>
+      if (!used(i)) {
+        used(i) = true
+        val acc = mutable.ArrayDeque.from(lines(i).pts)
+        // extend forward from the tail
+        var cont = takeConnecting(acc.last)
+        while (cont.isDefined) {
+          val j = cont.get; used(j) = true
+          val ps = lines(j).pts
+          if (ps.head == acc.last) acc ++= ps.tail
+          else acc ++= ps.reverse.tail
+          cont = takeConnecting(acc.last)
+        }
+        // extend backward from the head
+        cont = takeConnecting(acc.head)
+        while (cont.isDefined) {
+          val j = cont.get; used(j) = true
+          val ps = lines(j).pts
+          if (ps.last == acc.head) acc.prependAll(ps.init)
+          else acc.prependAll(ps.reverse.init)
+          cont = takeConnecting(acc.head)
+        }
+        merged += LineString(acc.toVector, g.srid)
+      }
+    }
+    MultiLineString(merged.toVector, g.srid)
+  }
+
+  /** Centroid, collections filtered by max dimension
+    * (src/geom-functions.cpp:792-837). */
+  def centroid(g: Geometry): Geometry = {
+    def pointsCentroid(ps: Seq[Pt]): Pt =
+      Pt(ps.map(_.x).sum / ps.size, ps.map(_.y).sum / ps.size)
+    def lineCentroid(l: LineString): (Pt, Double) = {
+      var wx = 0.0; var wy = 0.0; var w = 0.0
+      l.pts.iterator.zip(l.pts.iterator.drop(1)).foreach { case (a, b) =>
+        val len = a.distanceTo(b)
+        wx += (a.x + b.x) / 2 * len; wy += (a.y + b.y) / 2 * len; w += len
+      }
+      if (w == 0) (l.pts.head, 0.0) else (Pt(wx / w, wy / w), w)
+    }
+    def ringCentroid(r: Ring): (Pt, Double) = {
+      var cx = 0.0; var cy = 0.0; var a2 = 0.0
+      r.pts.iterator.zip(r.pts.iterator.drop(1)).foreach { case (p, q) =>
+        val cross = p.x * q.y - q.x * p.y
+        cx += (p.x + q.x) * cross; cy += (p.y + q.y) * cross; a2 += cross
+      }
+      if (a2 == 0) (r.pts.head, 0.0) else (Pt(cx / (3 * a2), cy / (3 * a2)), a2 / 2)
+    }
+    def polyCentroid(p: Polygon): (Pt, Double) = {
+      val (oc, oa) = ringCentroid(p.outer)
+      var wx = oc.x * oa; var wy = oc.y * oa; var w = oa
+      p.inners.foreach { r =>
+        val (ic, ia) = ringCentroid(r)
+        val aSigned = -math.abs(ia) * math.signum(oa)
+        wx += ic.x * aSigned; wy += ic.y * aSigned; w += aSigned
+      }
+      (Pt(wx / w, wy / w), w)
+    }
+    g match {
+      case n: NullGeom   => n
+      case p: Point      => p
+      case l: LineString => Point(lineCentroid(l)._1, g.srid)
+      case p: Polygon    => Point(polyCentroid(p)._1, g.srid)
+      case MultiPoint(ps, s) => Point(pointsCentroid(ps.map(_.pt)), s)
+      case MultiLineString(ls, s) =>
+        val cs = ls.map(lineCentroid)
+        val w = cs.map(_._2).sum
+        if (w == 0) Point(cs.head._1, s)
+        else Point(Pt(cs.map(c => c._1.x * c._2).sum / w,
+          cs.map(c => c._1.y * c._2).sum / w), s)
+      case MultiPolygon(ps, s) =>
+        val cs = ps.map(polyCentroid)
+        val w = cs.map(_._2).sum
+        Point(Pt(cs.map(c => c._1.x * c._2).sum / w,
+          cs.map(c => c._1.y * c._2).sum / w), s)
+      case gc @ GeometryCollection(gs, s) =>
+        val d = gc.dimension
+        val filtered = gs.filter(_.dimension == d)
+        val cs = filtered.map(centroid).collect { case p: Point => p.pt }
+        if (cs.isEmpty) NullGeom(s) else Point(pointsCentroid(cs), s)
+    }
+  }
+
+  /** Douglas-Peucker simplification; linestrings only, may produce
+    * invalid output (src/geom-functions.cpp:841-896). */
+  def simplify(g: Geometry, tolerance: Double): Geometry = g match {
+    case LineString(ps, s) if ps.size > 2 =>
+      LineString(douglasPeucker(ps, tolerance), s)
+    case l: LineString => l
+    case _             => NullGeom(g.srid)
+  }
+
+  private def douglasPeucker(ps: Vector[Pt], tol: Double): Vector[Pt] = {
+    if (ps.size <= 2) return ps
+    def perpDist(p: Pt, a: Pt, b: Pt): Double = {
+      val dx = b.x - a.x; val dy = b.y - a.y
+      val len = math.sqrt(dx * dx + dy * dy)
+      if (len == 0) p.distanceTo(a)
+      else math.abs(dy * p.x - dx * p.y + b.x * a.y - b.y * a.x) / len
+    }
+    val (maxD, maxI) = ps.indices.drop(1).dropRight(1)
+      .map(i => (perpDist(ps(i), ps.head, ps.last), i))
+      .maxByOption(_._1).getOrElse((0.0, 0))
+    if (maxD <= tol) Vector(ps.head, ps.last)
+    else douglasPeucker(ps.take(maxI + 1), tol) ++
+      douglasPeucker(ps.drop(maxI), tol).tail
+  }
+
+  /** Pole of inaccessibility — the mapbox polylabel quadtree algorithm
+    * (src/geom-pole-of-inaccessibility.cpp:28-262 ports the same public
+    * algorithm). Polygons only. */
+  def poleOfInaccessibility(g: Geometry, precision: Double): Geometry = {
+    val poly = g match {
+      case p: Polygon => p
+      case MultiPolygon(ps, s) if ps.nonEmpty =>
+        ps.maxBy(p => area(p))
+      case _ => return NullGeom(g.srid)
+    }
+    val box = Box.of(poly).get
+    val w = box.maxX - box.minX; val h = box.maxY - box.minY
+    if (w == 0 || h == 0) return Point(Pt(box.minX, box.minY), g.srid)
+    val cellSize = math.min(w, h) / 2
+    def pointToPolyDist(p: Pt): Double = {
+      var inside = false
+      var minDist = Double.MaxValue
+      (poly.outer +: poly.inners).foreach { ring =>
+        val ps = ring.pts
+        var i = 0
+        while (i < ps.size - 1) {
+          val a = ps(i); val b = ps(i + 1)
+          if ((a.y > p.y) != (b.y > p.y) &&
+            p.x < (b.x - a.x) * (p.y - a.y) / (b.y - a.y) + a.x) inside = !inside
+          minDist = math.min(minDist, segDist(p, a, b))
+          i += 1
+        }
+      }
+      if (inside) minDist else -minDist
+    }
+    def segDist(p: Pt, a: Pt, b: Pt): Double = {
+      val dx = b.x - a.x; val dy = b.y - a.y
+      val t0 =
+        if (dx == 0 && dy == 0) 0.0
+        else math.max(0.0, math.min(1.0,
+          ((p.x - a.x) * dx + (p.y - a.y) * dy) / (dx * dx + dy * dy)))
+      p.distanceTo(Pt(a.x + dx * t0, a.y + dy * t0))
+    }
+    final case class Cell(c: Pt, half: Double) {
+      val d: Double = pointToPolyDist(c)
+      val max: Double = d + half * math.sqrt(2)
+    }
+    val queue = mutable.PriorityQueue.empty[Cell](Ordering.by(_.max))
+    var x = box.minX
+    while (x < box.maxX) {
+      var y = box.minY
+      while (y < box.maxY) {
+        queue += Cell(Pt(x + cellSize, y + cellSize), cellSize)
+        y += cellSize * 2
+      }
+      x += cellSize * 2
+    }
+    val (oc, _) = {
+      val c = centroid(poly); (c.asInstanceOf[Point].pt, 0)
+    }
+    var best = Cell(oc, 0)
+    val bboxCell = Cell(Pt(box.minX + w / 2, box.minY + h / 2), 0)
+    if (bboxCell.d > best.d) best = bboxCell
+    while (queue.nonEmpty) {
+      val cell = queue.dequeue()
+      if (cell.d > best.d) best = cell
+      if (cell.max - best.d > precision) {
+        val h2 = cell.half / 2
+        for (sx <- Seq(-h2, h2); sy <- Seq(-h2, h2))
+          queue += Cell(Pt(cell.c.x + sx, cell.c.y + sy), h2)
+      }
+    }
+    Point(best.c, g.srid)
+  }
+}

@@ -1,0 +1,200 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure geometry tests mirroring the reference's NoDB Catch2 layer
+  * (tests/test-geom-*.cpp intentions, re-derived not copied). */
+class GeomSpec extends AnyFunSuite {
+
+  private def sq(x0: Double, y0: Double, s: Double): Vector[Pt] =
+    Vector(Pt(x0, y0), Pt(x0 + s, y0), Pt(x0 + s, y0 + s), Pt(x0, y0 + s),
+      Pt(x0, y0))
+
+  test("createLineString dedups consecutive points, null if <2 remain") {
+    val g = FromOsm.createLineString(Seq(Pt(0, 0), Pt(0, 0), Pt(1, 1)))
+    assert(g == LineString(Vector(Pt(0, 0), Pt(1, 1))))
+    assert(FromOsm.createLineString(Seq(Pt(2, 2), Pt(2, 2))).isNull)
+    assert(FromOsm.createLineString(Nil).isNull)
+  }
+
+  test("createPolygon: closed square ok, open / self-crossing null") {
+    val p = FromOsm.createPolygon(sq(0, 0, 2))
+    assert(p.typeName == "POLYGON")
+    assert(GeomOps.area(p) == 4.0)
+    assert(FromOsm.createPolygon(sq(0, 0, 2).dropRight(1)).isNull)
+    // bow-tie
+    val bow = Vector(Pt(0, 0), Pt(2, 2), Pt(2, 0), Pt(0, 2), Pt(0, 0))
+    assert(FromOsm.createPolygon(bow).isNull)
+  }
+
+  test("polygon area with hole") {
+    val outer = Ring(sq(0, 0, 10))
+    val hole = Ring(sq(2, 2, 2))
+    assert(GeomOps.area(Polygon(outer, Vector(hole))) == 96.0)
+  }
+
+  test("multipolygon assembly: two open ways close one ring") {
+    val w1 = Seq(Pt(0, 0), Pt(4, 0), Pt(4, 4))
+    val w2 = Seq(Pt(4, 4), Pt(0, 4), Pt(0, 0))
+    val g = FromOsm.createMultiPolygon(Seq(w1, w2))
+    assert(g.typeName == "POLYGON")
+    assert(GeomOps.area(g) == 16.0)
+  }
+
+  test("multipolygon assembly: outer with hole classifies inner ring") {
+    val g = FromOsm.createMultiPolygon(Seq(sq(0, 0, 10), sq(3, 3, 2)))
+    assert(g.typeName == "POLYGON")
+    val p = g.asInstanceOf[Polygon]
+    assert(p.inners.size == 1)
+    assert(GeomOps.area(p) == 96.0)
+  }
+
+  test("multipolygon assembly: two separate outers -> MULTIPOLYGON") {
+    val g = FromOsm.createMultiPolygon(Seq(sq(0, 0, 2), sq(5, 5, 3)))
+    assert(g.typeName == "MULTIPOLYGON")
+    assert(GeomOps.area(g) == 4.0 + 9.0)
+  }
+
+  test("multipolygon assembly: unclosed leftover -> null") {
+    assert(FromOsm.createMultiPolygon(
+      Seq(Seq(Pt(0, 0), Pt(1, 0)), sq(5, 5, 1))).isNull)
+  }
+
+  test("nested island: outer > hole > island") {
+    val g = FromOsm.createMultiPolygon(
+      Seq(sq(0, 0, 10), sq(2, 2, 6), sq(4, 4, 1)))
+    assert(g.typeName == "MULTIPOLYGON")
+    // outer 100 - hole 36 + island 1
+    assert(GeomOps.area(g) == 100.0 - 36.0 + 1.0)
+  }
+
+  test("transform 4326 -> 3857 closed form") {
+    val p = GeomOps.lonLatToMercator(Pt(180, 0))
+    assert(math.abs(p.x - 20037508.342789244) < 1e-6)
+    assert(math.abs(p.y) < 1e-6)
+    // roundtrip
+    val q = GeomOps.mercatorToLonLat(GeomOps.lonLatToMercator(Pt(13.4, 52.5)))
+    assert(math.abs(q.x - 13.4) < 1e-9 && math.abs(q.y - 52.5) < 1e-9)
+    // latitude clamp like the reference
+    assert(GeomOps.lonLatToMercator(Pt(0, 90)).y ==
+      GeomOps.lonLatToMercator(Pt(0, 89.99)).y)
+    // only from 4326
+    intercept[IllegalArgumentException] {
+      GeomOps.transform(Point(Pt(0, 0), Srid.WebMercator), Srid.WGS84)
+    }
+  }
+
+  test("length planar and spherical") {
+    val l = LineString(Vector(Pt(0, 0), Pt(3, 4)))
+    assert(GeomOps.length(l) == 5.0)
+    // 1 degree of longitude at the equator ≈ 111.19 km on the sphere
+    val eq = LineString(Vector(Pt(0, 0), Pt(1, 0)))
+    val sl = GeomOps.sphericalLength(eq)
+    assert(math.abs(sl - 111195.0) < 100)
+  }
+
+  test("spherical area of a ~1x1 degree equatorial square") {
+    val g = FromOsm.createPolygon(sq(0, 0, 1))
+    val a = GeomOps.sphericalArea(g)
+    assert(math.abs(a - 1.2364e10) / 1.2364e10 < 0.01) // ~12,364 km²
+  }
+
+  test("segmentize splits long segments") {
+    val g = GeomOps.segmentize(LineString(Vector(Pt(0, 0), Pt(10, 0))), 3.0)
+    val ml = g.asInstanceOf[MultiLineString]
+    assert(ml.lines.head.pts.size == 5) // 0, 2.5, 5, 7.5, 10
+    assert(GeomOps.length(ml) == 10.0)
+    assert(GeomOps.segmentize(Point(Pt(0, 0)), 1.0).isNull)
+  }
+
+  test("split_multi explodes members; singles pass through") {
+    val ml = MultiLineString(Vector(
+      LineString(Vector(Pt(0, 0), Pt(1, 1))),
+      LineString(Vector(Pt(2, 2), Pt(3, 3)))))
+    assert(GeomOps.splitMulti(ml).size == 2)
+    assert(GeomOps.splitMulti(Point(Pt(0, 0))) == Vector(Point(Pt(0, 0))))
+    assert(GeomOps.splitMulti(NullGeom()).isEmpty)
+  }
+
+  test("reverse is an involution") {
+    val l = LineString(Vector(Pt(0, 0), Pt(1, 2), Pt(3, 1)))
+    assert(GeomOps.reverse(GeomOps.reverse(l)) == l)
+    assert(GeomOps.reverse(l).asInstanceOf[LineString].pts.head == Pt(3, 1))
+  }
+
+  test("line_merge joins end-to-end and is deterministic") {
+    val g = MultiLineString(Vector(
+      LineString(Vector(Pt(0, 0), Pt(1, 0))),
+      LineString(Vector(Pt(2, 0), Pt(1, 0))), // reversed continuation
+      LineString(Vector(Pt(5, 5), Pt(6, 6))))) // disconnected
+    val m = GeomOps.lineMerge(g).asInstanceOf[MultiLineString]
+    assert(m.lines.size == 2)
+    assert(m.lines.head.pts == Vector(Pt(0, 0), Pt(1, 0), Pt(2, 0)))
+  }
+
+  test("simplify Douglas-Peucker drops near-collinear points") {
+    val l = LineString(Vector(Pt(0, 0), Pt(1, 0.01), Pt(2, 0), Pt(3, 5), Pt(4, 0)))
+    val s = GeomOps.simplify(l, 0.1).asInstanceOf[LineString]
+    assert(s.pts == Vector(Pt(0, 0), Pt(2, 0), Pt(3, 5), Pt(4, 0)) ||
+      s.pts == Vector(Pt(0, 0), Pt(3, 5), Pt(4, 0)))
+    assert(GeomOps.simplify(Point(Pt(0, 0)), 0.1).isNull)
+  }
+
+  test("centroid: square, line, multipoint, dimension-filtered collection") {
+    val p = FromOsm.createPolygon(sq(0, 0, 2))
+    assert(GeomOps.centroid(p) == Point(Pt(1, 1)))
+    val l = LineString(Vector(Pt(0, 0), Pt(2, 0)))
+    assert(GeomOps.centroid(l) == Point(Pt(1, 0)))
+    val mp = MultiPoint(Vector(Point(Pt(0, 0)), Point(Pt(2, 2))))
+    assert(GeomOps.centroid(mp) == Point(Pt(1, 1)))
+    // collection: the 2-dim member wins (max-dimension filter)
+    val gc = GeometryCollection(Vector(Point(Pt(100, 100)), p))
+    assert(GeomOps.centroid(gc) == Point(Pt(1, 1)))
+  }
+
+  test("geometry_n is 1-based, out of range -> null") {
+    val mp = MultiPoint(Vector(Point(Pt(0, 0)), Point(Pt(1, 1))))
+    assert(GeomOps.geometryN(mp, 2) == Point(Pt(1, 1)))
+    assert(GeomOps.geometryN(mp, 0).isNull && GeomOps.geometryN(mp, 3).isNull)
+  }
+
+  test("pole of inaccessibility: center of a square") {
+    val p = FromOsm.createPolygon(sq(0, 0, 10))
+    val poi = GeomOps.poleOfInaccessibility(p, 0.1).asInstanceOf[Point]
+    assert(math.abs(poi.x - 5) < 0.5 && math.abs(poi.y - 5) < 0.5)
+  }
+
+  test("EWKB roundtrip for every type, SRID preserved") {
+    val geoms: Seq[Geometry] = Seq(
+      Point(Pt(1.5, -2.25), 3857),
+      LineString(Vector(Pt(0, 0), Pt(1, 1)), 4326),
+      Polygon(Ring(sq(0, 0, 2)), Vector(Ring(sq(0.5, 0.5, 0.5))), 4326),
+      MultiPoint(Vector(Point(Pt(0, 0)), Point(Pt(1, 1))), 4326),
+      MultiLineString(Vector(LineString(Vector(Pt(0, 0), Pt(1, 1)))), 4326),
+      MultiPolygon(Vector(Polygon(Ring(sq(0, 0, 1)))), 4326),
+      GeometryCollection(Vector(Point(Pt(2, 3)),
+        LineString(Vector(Pt(0, 0), Pt(1, 0)))), 4326))
+    geoms.foreach { g =>
+      assert(Ewkb.decode(Ewkb.encode(g)) == g, s"roundtrip failed: $g")
+      assert(Ewkb.decodeHex(Ewkb.encodeHex(g)) == g)
+    }
+  }
+
+  test("EWKB hex of a point matches PostGIS EWKB layout") {
+    // little-endian, type 1 | 0x20000000, srid 4326
+    val hex = Ewkb.encodeHex(Point(Pt(0, 0), 4326))
+    assert(hex == "0101000020E6100000" + "0" * 32)
+  }
+
+  test("ensure_multi wraps singles (src/wkb.cpp:197-307)") {
+    val g = Ewkb.decode(Ewkb.encode(Point(Pt(1, 2)), ensureMulti = true))
+    assert(g.typeName == "MULTIPOINT")
+  }
+
+  test("bbox extend/contains (src/geom-box.cpp)") {
+    val b = Box.of(LineString(Vector(Pt(-1, 2), Pt(3, -4)))).get
+    assert(b == Box(-1, -4, 3, 2))
+    assert(b.contains(Pt(0, 0)) && !b.contains(Pt(5, 0)))
+    assert(b.intersects(Box(2, 1, 9, 9)) && !b.intersects(Box(4, 3, 9, 9)))
+  }
+}
