@@ -1,0 +1,169 @@
+package graft.flex
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The flex output's dynamic table-definition DSL + value coercion
+  * rules (reference: src/flex-lua-table.cpp:449-464 `define_table`,
+  * src/flex-write.cpp:261-469 `flex_write_column`), re-expressed as a
+  * Scala config API producing Spark schemas and coercion Columns.
+  *
+  * A user of the engine defines tables and per-entity process
+  * callbacks; execution is a flatMap over entities producing inserts —
+  * see [[FlexConfig]].
+  */
+object FlexType extends Enumeration {
+  val Text, Boolean, Int2, Int4, Int8, Real, DoublePrecision, Timestamp,
+  Hstore, Json, Direction, Geometry, Point, Linestring, Polygon,
+  Multipoint, Multilinestring, Multipolygon, Geometrycollection,
+  IdType, IdNum = Value
+
+  /** name→type lookup (src/flex-table-column.cpp:37-66). */
+  def parse(s: String): Value = s match {
+    case "text"               => Text
+    case "boolean" | "bool"   => Boolean
+    case "int2" | "smallint"  => Int2
+    case "int4" | "int" | "integer" => Int4
+    case "int8" | "bigint"    => Int8
+    case "real"               => Real
+    case "double" | "double precision" => DoublePrecision
+    case "timestamp" | "timestamptz" => Timestamp
+    case "hstore"             => Hstore
+    case "json" | "jsonb"     => Json
+    case "direction"          => Direction
+    case "geometry"           => Geometry
+    case "point"              => Point
+    case "linestring"         => Linestring
+    case "polygon"            => Polygon
+    case "multipoint"         => Multipoint
+    case "multilinestring"    => Multilinestring
+    case "multipolygon"       => Multipolygon
+    case "geometrycollection" => Geometrycollection
+    case "id_type"            => IdType
+    case "id_num"             => IdNum
+    case other => throw new IllegalArgumentException(s"unknown type $other")
+  }
+
+  /** Spark type mapping (SURVEY.md §1.5). */
+  def sparkType(t: Value): DataType = t match {
+    case Text               => StringType
+    case Boolean            => BooleanType
+    case Int2               => ShortType
+    case Int4               => IntegerType
+    case Int8               => LongType
+    case Real               => FloatType
+    case DoublePrecision    => DoubleType
+    case Timestamp          => TimestampType
+    case Hstore             => MapType(StringType, StringType)
+    case Json               => StringType
+    case Direction          => ShortType
+    case IdType             => StringType
+    case IdNum              => LongType
+    case _                  => BinaryType // geometry family: EWKB
+  }
+}
+
+final case class FlexColumn(
+    name: String,
+    ctype: FlexType.Value,
+    notNull: Boolean = false,
+    createOnly: Boolean = false,
+    /** per-geometry-column SRID (src/flex-table-column.hpp:107-145) */
+    projection: Int = 3857)
+
+/** Table id ("primary key") type (src/flex-table.hpp:40-49). */
+object FlexIds extends Enumeration {
+  val NoIndex, Node, Way, Relation, Area, AnyObject, Tile = Value
+}
+
+final case class FlexTableDef(
+    name: String,
+    ids: FlexIds.Value,
+    columns: Seq[FlexColumn]) {
+
+  def schema: StructType = StructType(
+    StructField("osm_id", LongType, nullable = false) +:
+      columns.map(c => StructField(c.name, FlexType.sparkType(c.ctype),
+        nullable = !c.notNull)))
+
+  /** `area` tables map ways to positive and relations to negative ids
+    * (flex_table_t::map_id, src/flex-table.hpp:166) — same convention
+    * as the classic output (src/output-pgsql.cpp:293,322). */
+  def mapId(objectType: Column, id: Column): Column = ids match {
+    case FlexIds.Area =>
+      when(objectType === "r", -id).otherwise(id)
+    case FlexIds.AnyObject =>
+      when(objectType === "r", -id)
+        .when(objectType === "w", id) // ways/nodes share positive space
+        .otherwise(id)
+    case _ => id
+  }
+}
+
+/** Value coercion rules Lua→column (src/flex-write.cpp:261-469) as
+  * Column transforms; invalid values become NULL (soft errors,
+  * src/output-flex.cpp:828-838) unless the column is NOT NULL, which
+  * the sink rejects at write. */
+object Coerce {
+
+  /** string→boolean accepts yes/true/1 | no/false/0
+    * (src/flex-write.cpp:53-69). */
+  def toBoolean(c: Column): Column =
+    when(c.isin("yes", "true", "1", true, 1), lit(true))
+      .when(c.isin("no", "false", "0", false, 0), lit(false))
+      .otherwise(lit(null).cast(BooleanType))
+
+  /** direction: yes/1→1, no/0→0, -1→-1, numbers by sign
+    * (src/flex-write.cpp:71-90,417-432). */
+  def toDirection(c: Column): Column =
+    when(c.isin("yes", "true", "1"), lit(1))
+      .when(c.isin("no", "false", "0"), lit(0))
+      .when(c === "-1", lit(-1))
+      .when(c.cast(DoubleType).isNotNull,
+        signum(c.cast(DoubleType)).cast(IntegerType))
+      .otherwise(lit(null).cast(IntegerType))
+      .cast(ShortType)
+
+  /** integers out of range → NULL (src/flex-write.cpp:92-117). */
+  def toIntRange(c: Column, t: FlexType.Value): Column = {
+    val asLong = c.cast(LongType)
+    val (lo, hi) = t match {
+      case FlexType.Int2 => (Short.MinValue.toLong, Short.MaxValue.toLong)
+      case FlexType.Int4 => (Int.MinValue.toLong, Int.MaxValue.toLong)
+      case _             => (Long.MinValue, Long.MaxValue)
+    }
+    when(asLong.between(lo, hi), asLong.cast(FlexType.sparkType(t)))
+      .otherwise(lit(null).cast(FlexType.sparkType(t)))
+  }
+
+  /** nested values → JSON text (src/flex-write.cpp:140-231: array vs
+    * object detection is the struct/array distinction here). */
+  def toJson(c: Column): Column = to_json(c)
+
+  /** hstore from a map (src/flex-write.cpp:382-410). */
+  def toHstore(c: Column): Column = c.cast(MapType(StringType, StringType))
+
+  def coerce(c: Column, col: FlexColumn): Column = col.ctype match {
+    case FlexType.Boolean   => toBoolean(c)
+    case FlexType.Direction => toDirection(c)
+    case FlexType.Int2 | FlexType.Int4 | FlexType.Int8 => toIntRange(c, col.ctype)
+    case FlexType.Json      => toJson(c)
+    case FlexType.Hstore    => toHstore(c)
+    case other              => c.cast(FlexType.sparkType(other))
+  }
+}
+
+/** The user-config contract: the Scala analog of the flex Lua program
+  * (process_node/process_way/process_relation callbacks,
+  * src/output-flex.cpp:893-942). Implementations express per-entity
+  * transforms as DataFrame→DataFrame functions (set-at-a-time, not
+  * row-at-a-time Lua) so they stay inside Catalyst.
+  */
+trait FlexConfig {
+  def tables: Seq[FlexTableDef]
+  /** nodes → per-table insert frames (keyed by table name). */
+  def processNodes(nodes: DataFrame): Map[String, DataFrame] = Map.empty
+  def processWays(ways: DataFrame): Map[String, DataFrame] = Map.empty
+  def processRelations(rels: DataFrame): Map[String, DataFrame] = Map.empty
+}

@@ -44,11 +44,13 @@ object Middle {
     */
   def resolveRelationMembers(rels: DataFrame, relIdCol: String,
       membersCol: String, memberType: String,
-      entities: DataFrame, entIdCol: String, payloadCols: Seq[String]): DataFrame = {
+      entities: DataFrame, entIdCol: String, payloadCols: Seq[String],
+      typeField: String = "type", refField: String = "ref"): DataFrame = {
     val exploded = rels
       .select(col(relIdCol), posexplode(col(membersCol)).as(Seq("pos", "m")))
-      .where(col("m.type") === memberType)
-    exploded.join(entities, exploded("m.ref") === entities(entIdCol), "left")
+      .where(col(s"m.$typeField") === memberType)
+    exploded.join(entities,
+        exploded(s"m.$refField") === entities(entIdCol), "left")
       .groupBy(col(relIdCol))
       .agg(
         count(lit(1)).as("n_referenced"),
@@ -74,11 +76,12 @@ object Middle {
     * reference any of the changed members of `memberType`. */
   def parentsOfMembers(rels: DataFrame, relIdCol: String, membersCol: String,
       memberType: String,
-      changedIds: DataFrame, changedIdCol: String): DataFrame = {
+      changedIds: DataFrame, changedIdCol: String,
+      typeField: String = "type", refField: String = "ref"): DataFrame = {
     val refs = rels
       .select(col(relIdCol), explode(col(membersCol)).as("m"))
-      .where(col("m.type") === memberType)
-      .select(col(relIdCol), col("m.ref").as("ref"))
+      .where(col(s"m.$typeField") === memberType)
+      .select(col(relIdCol), col(s"m.$refField").as("ref"))
     refs.join(changedIds, refs("ref") === changedIds(changedIdCol), "left_semi")
       .select(col(relIdCol)).distinct()
   }

@@ -44,15 +44,17 @@ object Update {
   def dependencyClosure(
       changedNodeIds: DataFrame, // (id)
       ways: DataFrame, wayIdCol: String, refsCol: String,
-      rels: DataFrame, relIdCol: String, membersCol: String)
+      rels: DataFrame, relIdCol: String, membersCol: String,
+      typeField: String = "type", refField: String = "ref")
       : (DataFrame, DataFrame) = {
     val pendingWays = Middle.parentsOfNodes(
       ways, wayIdCol, refsCol, changedNodeIds, changedNodeIds.columns.head)
     val relsFromNodes = Middle.parentsOfMembers(
       rels, relIdCol, membersCol, "n",
-      changedNodeIds, changedNodeIds.columns.head)
+      changedNodeIds, changedNodeIds.columns.head, typeField, refField)
     val relsFromWays = Middle.parentsOfMembers(
-      rels, relIdCol, membersCol, "w", pendingWays, wayIdCol)
+      rels, relIdCol, membersCol, "w", pendingWays, wayIdCol,
+      typeField, refField)
     (pendingWays, relsFromNodes.unionByName(relsFromWays).distinct())
   }
 

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.io.StringReader
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.model.{OsmMember, OsmNode, OsmRelation, OsmWay}
+
+/** OSM XML / OSC change-file source (reference: src/input.cpp via
+  * osmium::io::Reader; format detect src/input.cpp:307-336).
+  *
+  * Files are parsed distributed: one task per file via a parallelized
+  * path list + per-partition StAX streaming — each OSM extract file is
+  * one split, which matches how planet dumps are distributed (many
+  * regional files). A PBF DataSource V2 with intra-file blob splits is
+  * the next rung for single-planet-file loads; XML is the format the
+  * reference's own test corpus uses.
+  *
+  * `.osc` change files wrap entities in <create>/<modify>/<delete>
+  * sections (src/input.cpp:189-194); the action is surfaced as a column
+  * and <delete> sets visible=false.
+  */
+object OsmXml {
+
+  final case class Parsed(
+      nodes: Vector[(String, OsmNode)],
+      ways: Vector[(String, OsmWay)],
+      relations: Vector[(String, OsmRelation)])
+
+  /** Parse one OSM XML document (plain .osm or .osc). */
+  def parseString(xml: String): Parsed = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val r = f.createXMLStreamReader(new StringReader(xml))
+
+    var action = "create"
+    val nodes = Vector.newBuilder[(String, OsmNode)]
+    val ways = Vector.newBuilder[(String, OsmWay)]
+    val rels = Vector.newBuilder[(String, OsmRelation)]
+
+    var tags = Map.newBuilder[String, String]
+    var nds = Vector.newBuilder[Long]
+    var members = Vector.newBuilder[OsmMember]
+    var curNode: OsmNode = null
+    var curWay: OsmWay = null
+    var curRel: OsmRelation = null
+
+    def attr(name: String): Option[String] = {
+      var i = 0
+      var res: Option[String] = None
+      while (i < r.getAttributeCount && res.isEmpty) {
+        if (r.getAttributeLocalName(i) == name)
+          res = Some(r.getAttributeValue(i))
+        i += 1
+      }
+      res
+    }
+    def commonVisible: Boolean =
+      action != "delete" && attr("visible").forall(_ == "true")
+    def ts: Long = attr("timestamp").map(t =>
+      java.time.Instant.parse(t).getEpochSecond).getOrElse(0L)
+
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case a @ ("create" | "modify" | "delete") => action = a
+            case "node" =>
+              tags = Map.newBuilder
+              curNode = OsmNode(
+                id = attr("id").get.toLong,
+                version = attr("version").map(_.toInt).getOrElse(1),
+                timestamp = ts,
+                changeset = attr("changeset").map(_.toLong).getOrElse(0L),
+                uid = attr("uid").map(_.toLong).getOrElse(0L),
+                user = attr("user").getOrElse(""),
+                visible = commonVisible,
+                lon = attr("lon").map(_.toDouble).getOrElse(Double.NaN),
+                lat = attr("lat").map(_.toDouble).getOrElse(Double.NaN))
+            case "way" =>
+              tags = Map.newBuilder; nds = Vector.newBuilder
+              curWay = OsmWay(
+                id = attr("id").get.toLong,
+                version = attr("version").map(_.toInt).getOrElse(1),
+                timestamp = ts,
+                changeset = attr("changeset").map(_.toLong).getOrElse(0L),
+                uid = attr("uid").map(_.toLong).getOrElse(0L),
+                user = attr("user").getOrElse(""),
+                visible = commonVisible)
+            case "relation" =>
+              tags = Map.newBuilder; members = Vector.newBuilder
+              curRel = OsmRelation(
+                id = attr("id").get.toLong,
+                version = attr("version").map(_.toInt).getOrElse(1),
+                timestamp = ts,
+                changeset = attr("changeset").map(_.toLong).getOrElse(0L),
+                uid = attr("uid").map(_.toLong).getOrElse(0L),
+                user = attr("user").getOrElse(""),
+                visible = commonVisible)
+            case "tag" =>
+              for (k <- attr("k"); v <- attr("v")) tags += (k -> v)
+            case "nd" =>
+              attr("ref").foreach(ref => nds += ref.toLong)
+            case "member" =>
+              members += OsmMember(
+                mtype = attr("type").map(_.take(1)).getOrElse("n"),
+                ref = attr("ref").map(_.toLong).getOrElse(0L),
+                role = attr("role").getOrElse(""))
+            case _ => ()
+          }
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case a @ ("create" | "modify" | "delete") if a == action =>
+              action = "create"
+            case "node" =>
+              nodes += ((action, curNode.copy(tags = tags.result())))
+            case "way" =>
+              ways += ((action, curWay.copy(nodes = nds.result(),
+                tags = tags.result())))
+            case "relation" =>
+              rels += ((action, curRel.copy(members = members.result(),
+                tags = tags.result())))
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    r.close()
+    Parsed(nodes.result(), ways.result(), rels.result())
+  }
+
+  final case class OsmDataFrames(nodes: DataFrame, ways: DataFrame,
+      relations: DataFrame)
+
+  /** Read OSM XML files distributed (one split per file). */
+  def read(spark: SparkSession, paths: Seq[String]): OsmDataFrames = {
+    import spark.implicits._
+    val parsed: Dataset[(String, String)] = spark.sparkContext
+      .wholeTextFiles(paths.mkString(",")).toDS()
+    val cached = parsed.cache()
+    val nodes = cached.flatMap { case (_, xml) => parseString(xml).nodes }
+      .toDF("action", "n").select("action", "n.*")
+    val ways = cached.flatMap { case (_, xml) => parseString(xml).ways }
+      .toDF("action", "w").select("action", "w.*")
+    val rels = cached.flatMap { case (_, xml) => parseString(xml).relations }
+      .toDF("action", "r").select("action", "r.*")
+    OsmDataFrames(nodes, ways, rels)
+  }
+}
