@@ -109,25 +109,33 @@ object Coerce {
 
   /** string→boolean accepts yes/true/1 | no/false/0
     * (src/flex-write.cpp:53-69). */
-  def toBoolean(c: Column): Column =
-    when(c.isin("yes", "true", "1", true, 1), lit(true))
-      .when(c.isin("no", "false", "0", false, 0), lit(false))
+  def toBoolean(c: Column): Column = {
+    val s = c.cast(StringType)
+    when(s.isin("yes", "true", "1"), lit(true))
+      .when(s.isin("no", "false", "0"), lit(false))
       .otherwise(lit(null).cast(BooleanType))
+  }
 
   /** direction: yes/1→1, no/0→0, -1→-1, numbers by sign
     * (src/flex-write.cpp:71-90,417-432). */
-  def toDirection(c: Column): Column =
-    when(c.isin("yes", "true", "1"), lit(1))
-      .when(c.isin("no", "false", "0"), lit(0))
-      .when(c === "-1", lit(-1))
-      .when(c.cast(DoubleType).isNotNull,
-        signum(c.cast(DoubleType)).cast(IntegerType))
+  def toDirection(c: Column): Column = {
+    val s = c.cast(StringType)
+    // ANSI mode (Spark 4 default) makes bad casts throw — gate numeric
+    // casts behind a pattern check instead of try_cast so the rule also
+    // reads as the reference's "numbers via sign" clause
+    val numeric = s.rlike("^-?\\d+(\\.\\d+)?$")
+    when(s.isin("yes", "true", "1"), lit(1))
+      .when(s.isin("no", "false", "0"), lit(0))
+      .when(s === "-1", lit(-1))
+      .when(numeric, signum(s.cast(DoubleType)).cast(IntegerType))
       .otherwise(lit(null).cast(IntegerType))
       .cast(ShortType)
+  }
 
   /** integers out of range → NULL (src/flex-write.cpp:92-117). */
   def toIntRange(c: Column, t: FlexType.Value): Column = {
-    val asLong = c.cast(LongType)
+    val asLong = when(c.cast(StringType).rlike("^-?\\d+$"),
+      c.cast(LongType)).otherwise(lit(null).cast(LongType))
     val (lo, hi) = t match {
       case FlexType.Int2 => (Short.MinValue.toLong, Short.MaxValue.toLong)
       case FlexType.Int4 => (Int.MinValue.toLong, Int.MaxValue.toLong)

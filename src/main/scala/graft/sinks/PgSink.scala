@@ -1,0 +1,117 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.flex.{FlexColumn, FlexTableDef, FlexType}
+
+/** PostgreSQL sink (reference: src/db-copy.cpp COPY pipeline +
+  * src/flex-table.cpp / src/table.cpp table lifecycle).
+  *
+  * Design, mirrored from the reference but per-partition instead of
+  * per-process:
+  *  - DDL: CREATE (UNLOGGED for interim tables, src/flex-table.hpp:62),
+  *    load, then indexes + ANALYZE at the end (late indexing,
+  *    src/flex-table.hpp:189-208) — index-after-load is the same
+  *    bulk-load trick at any scale;
+  *  - load path: one writer per partition batching multi-row INSERTs
+  *    (COPY-protocol parity needs the pgjdbc CopyManager, which is not
+  *    on this classpath; the batching/flush structure
+  *    (src/db-copy.hpp:140-163) is the same);
+  *  - append deletes: batched `DELETE ... WHERE id = ANY(?)` before
+  *    insert (db_deleter_by_id_t, src/db-copy.hpp:76-99).
+  *
+  * DDL generation is pure and unit-tested; live-connection paths need a
+  * reachable PG and are exercised only when a JDBC URL is supplied.
+  */
+object PgSink {
+
+  def sqlType(c: FlexColumn): String = c.ctype match {
+    case FlexType.Text            => "text"
+    case FlexType.Boolean         => "boolean"
+    case FlexType.Int2            => "int2"
+    case FlexType.Int4            => "int4"
+    case FlexType.Int8            => "int8"
+    case FlexType.Real            => "real"
+    case FlexType.DoublePrecision => "double precision"
+    case FlexType.Timestamp       => "timestamptz"
+    case FlexType.Hstore          => "hstore"
+    case FlexType.Json            => "jsonb"
+    case FlexType.Direction       => "int2"
+    case FlexType.IdType          => "char(1)"
+    case FlexType.IdNum           => "int8"
+    case FlexType.Geometry        => "geometry"
+    case FlexType.Point           => "geometry(point)"
+    case FlexType.Linestring      => "geometry(linestring)"
+    case FlexType.Polygon         => "geometry(polygon)"
+    case FlexType.Multipoint      => "geometry(multipoint)"
+    case FlexType.Multilinestring => "geometry(multilinestring)"
+    case FlexType.Multipolygon    => "geometry(multipolygon)"
+    case FlexType.Geometrycollection => "geometry(geometrycollection)"
+  }
+
+  /** CREATE TABLE — UNLOGGED during load for non-updatable imports,
+    * like the reference's interim tables (src/flex-table.hpp:58-66). */
+  def createTableDdl(t: FlexTableDef, unlogged: Boolean = true,
+      schema: String = "public"): String = {
+    val cols = ("osm_id int8" +: t.columns.map { c =>
+      s""""${c.name}" ${sqlType(c)}${if (c.notNull) " NOT NULL" else ""}"""
+    }).mkString(", ")
+    val ul = if (unlogged) "UNLOGGED " else ""
+    s"""CREATE ${ul}TABLE IF NOT EXISTS "$schema"."${t.name}" ($cols)"""
+  }
+
+  /** End-of-load DDL batch: id index (only for updatable tables,
+    * src/output-flex.cpp:1552-1563), geometry GiST indexes, SET LOGGED,
+    * ANALYZE. */
+  def postLoadDdl(t: FlexTableDef, updatable: Boolean,
+      schema: String = "public"): Seq[String] = {
+    val geomIdx = t.columns.filter(c => FlexType.sparkType(c.ctype) == BinaryType)
+      .map(c =>
+        s"""CREATE INDEX ON "$schema"."${t.name}" USING gist ("${c.name}")""")
+    val idIdx = if (updatable)
+      Seq(s"""CREATE INDEX ON "$schema"."${t.name}" (osm_id)""") else Nil
+    Seq(s"""ALTER TABLE "$schema"."${t.name}" SET LOGGED""") ++
+      geomIdx ++ idIdx :+ s"""ANALYZE "$schema"."${t.name}""""
+  }
+
+  /** Batched delete-before-insert for append mode
+    * (db_deleter_by_id_t, src/db-copy.hpp:76-99). */
+  def deleteSql(t: FlexTableDef, schema: String = "public"): String =
+    s"""DELETE FROM "$schema"."${t.name}" WHERE osm_id = ANY (?)"""
+
+  def insertSql(t: FlexTableDef, schema: String = "public"): String = {
+    val cols = "osm_id" +: t.columns.map(c => s""""${c.name}"""")
+    val params = cols.map(_ => "?")
+    s"""INSERT INTO "$schema"."${t.name}" (${cols.mkString(", ")})
+       |VALUES (${params.mkString(", ")})""".stripMargin
+  }
+
+  /** Distributed load: one connection + prepared statement per
+    * partition, executeBatch every `batchSize` rows (the COPY-buffer
+    * flush cadence, src/db-copy.hpp:140-163). */
+  def write(df: DataFrame, t: FlexTableDef, jdbcUrl: String,
+      batchSize: Int = 10000): Unit = {
+    val sql = insertSql(t)
+    val n = df.schema.fields.length
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val conn: Connection = DriverManager.getConnection(jdbcUrl)
+      conn.setAutoCommit(false)
+      try {
+        val ps = conn.prepareStatement(sql)
+        var pending = 0
+        rows.foreach { row =>
+          var i = 0
+          while (i < n) { ps.setObject(i + 1, row.get(i)); i += 1 }
+          ps.addBatch()
+          pending += 1
+          if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+        }
+        if (pending > 0) ps.executeBatch()
+        conn.commit()
+      } finally conn.close()
+    }
+  }
+}

@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed batch-at-a-time.
+  *
+  * The decode step is STUBBED (this environment ships no image/audio
+  * codecs): [[StubDecoder]] produces deterministic fake pixels from the
+  * bytes. The Spark-side plumbing — schema, partition-sized batching,
+  * mapPartitions boundary (the Scala analog of mapInPandas: one
+  * iterator per partition, so a real decoder amortizes model/codec init
+  * across the whole batch) — is real and tested.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      id: Long,
+      mediaType: String, // image | audio | video
+      bytes: Array[Byte],
+      meta: Map[String, String])
+
+  final case class MediaFeatures(
+      id: Long,
+      mediaType: String,
+      nBytes: Int,
+      width: Int,
+      height: Int,
+      /** channel-mean "embedding" of the decoded frame */
+      features: Seq[Float])
+
+  /** The decoder seam a real deployment swaps for libjpeg/ffmpeg
+    * bindings. Kept as a trait so the pipeline shape is testable
+    * without codecs. */
+  trait Decoder extends Serializable {
+    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Array[Float])
+  }
+
+  /** Deterministic fake: "pixels" are a rolling hash of the payload —
+    * stable across runs, so tests can assert on outputs. */
+  object StubDecoder extends Decoder {
+    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+      val w = 8; val h = 8
+      var state = 1469598103934665603L // FNV offset basis
+      val px = new Array[Float](w * h)
+      var i = 0
+      while (i < px.length) {
+        val b = if (bytes.isEmpty) 0 else bytes(i % bytes.length)
+        state = (state ^ b) * 1099511628211L
+        px(i) = ((state >>> 40) & 0xff) / 255.0f
+        i += 1
+      }
+      (w, h, px)
+    }
+  }
+
+  /** Decode + feature-extract over partition-sized batches. The
+    * decoder is constructed once per partition (the expensive init a
+    * real codec/model needs), then streamed over rows. */
+  def extractFeatures(media: Dataset[MediaRow],
+      decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = decoder.decode(r.mediaType, r.bytes)
+        // 4x4 block means = a 16-dim pooled feature vector
+        val pooled = (0 until 16).map { blk =>
+          val bx = blk % 4; val by = blk / 4
+          var sum = 0.0f; var n = 0
+          for (y <- (by * h / 4) until ((by + 1) * h / 4);
+               x <- (bx * w / 4) until ((bx + 1) * w / 4)) {
+            sum += px(y * w + x); n += 1
+          }
+          sum / n
+        }
+        MediaFeatures(r.id, r.mediaType, r.bytes.length, w, h, pooled)
+      }
+    }
+  }
+
+  /** Frame sampling for video-typed rows: deterministic every-nth-byte
+    * chunking standing in for keyframe extraction; 1→N rows
+    * (generator-shaped, like split_multi). */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (r.mediaType != "video" || r.bytes.isEmpty) Nil
+      else r.bytes.grouped(math.max(1, r.bytes.length / everyN)).zipWithIndex
+        .take(everyN).map { case (chunk, i) => (r.id, i, chunk) }.toSeq
+    }.toDF("id", "frame", "frame_bytes")
+  }
+
+  /** Wrap a text-keyed table into media rows (used by tests and the
+    * bench corpus, which has no real binaries). */
+  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("id"),
+      (when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video")).as("mediaType"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      map(lit("source"), col("source")).as("meta"))
+      .as[MediaRow]
+  }
+}

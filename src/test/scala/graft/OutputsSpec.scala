@@ -1,0 +1,224 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.classic.{ClassicOutput, StyleFile}
+import graft.flex.{Coerce, FlexColumn, FlexIds, FlexTableDef, FlexType}
+import graft.geom.{Box, FromOsm, Pt}
+import graft.model.{OsmNode, OsmWay}
+import graft.operators.{Gen, Locator}
+import graft.sinks.{ClusteredParquet, PgSink, Properties}
+import graft.sources.Multimodal
+import graft.streaming.Streams
+
+class OutputsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("style file parse + classic routing: point/line/polygon/roads") {
+    val style = StyleFile.defaultStyle
+    assert(style.polygonKeys.contains("building"))
+    assert(style.deleteKeys.contains("created_by"))
+
+    val nodes = Seq(
+      OsmNode(1, tags = Map("amenity" -> "cafe", "created_by" -> "x")),
+      OsmNode(2, tags = Map("odd_key" -> "1"))).toDF()
+    val points = ClassicOutput.pointTable(nodes, style)
+    assert(points.count() == 1) // node 2 has no exported tag
+    assert(points.select("amenity").as[String].head() == "cafe")
+    // delete-flagged tag removed from the tags map
+    assert(!points.select(map_keys($"tags")).as[Seq[String]].head()
+      .contains("created_by"))
+
+    val ways = Seq(
+      OsmWay(10, nodes = Seq(1, 2, 3, 1),
+        tags = Map("building" -> "yes")), // closed + polygon tag
+      OsmWay(11, nodes = Seq(1, 2, 3),
+        tags = Map("highway" -> "motorway")), // open road
+      OsmWay(12, nodes = Seq(1, 2, 3, 1),
+        tags = Map("building" -> "yes", "area" -> "no"))).toDF() // override
+    val (polys, lines, roads) = ClassicOutput.wayTables(ways, style)
+    assert(polys.select("osm_id").as[Long].collect().toSet == Set(10L))
+    assert(lines.select("osm_id").as[Long].collect().toSet == Set(11L, 12L))
+    assert(roads.select("osm_id").as[Long].collect().toSet == Set(11L))
+    assert(lines.where($"osm_id" === 11).select("z_order")
+      .as[Int].head() == 360)
+  }
+
+  test("flex coercions: boolean, direction, int range, json") {
+    val df = Seq("yes", "no", "1", "0", "banana").toDF("v")
+    val b = df.select(Coerce.toBoolean($"v")).as[Option[Boolean]].collect()
+    assert(b.toSeq == Seq(Some(true), Some(false), Some(true), Some(false), None))
+    val d = Seq("yes", "-1", "banana", "5", "0").toDF("v")
+      .select(Coerce.toDirection($"v")).as[Option[Short]].collect()
+    assert(d.toSeq == Seq(Some(1.toShort), Some(-1.toShort), None,
+      Some(1.toShort), Some(0.toShort)))
+    val i = Seq(40000L, 10L).toDF("v")
+      .select(Coerce.toIntRange($"v", FlexType.Int2)).as[Option[Short]].collect()
+    assert(i.toSeq == Seq(None, Some(10.toShort))) // out of int2 range -> NULL
+  }
+
+  test("flex table def: schema + area id mapping") {
+    val t = FlexTableDef("polys", FlexIds.Area, Seq(
+      FlexColumn("name", FlexType.Text),
+      FlexColumn("geom", FlexType.Geometry, notNull = true)))
+    assert(t.schema.fieldNames.toSeq == Seq("osm_id", "name", "geom"))
+    assert(!t.schema("geom").nullable)
+    val df = Seq(("w", 7L), ("r", 7L)).toDF("otype", "id")
+    val mapped = df.select(t.mapId($"otype", $"id")).as[Long].collect()
+    assert(mapped.toSeq == Seq(7L, -7L)) // relations negative
+  }
+
+  test("pg sink DDL mirrors the reference lifecycle") {
+    val t = FlexTableDef("planet_osm_polygon", FlexIds.Area, Seq(
+      FlexColumn("name", FlexType.Text),
+      FlexColumn("way", FlexType.Geometry)))
+    val ddl = PgSink.createTableDdl(t)
+    assert(ddl.startsWith("CREATE UNLOGGED TABLE IF NOT EXISTS"))
+    assert(ddl.contains(""""way" geometry"""))
+    val post = PgSink.postLoadDdl(t, updatable = true)
+    assert(post.exists(_.contains("USING gist")))
+    assert(post.exists(_.contains("(osm_id)")))
+    assert(post.last.startsWith("ANALYZE"))
+    assert(PgSink.postLoadDdl(t, updatable = false)
+      .forall(!_.contains("(osm_id)"))) // no id index when not updatable
+    assert(PgSink.deleteSql(t).contains("= ANY (?)"))
+  }
+
+  test("locator classifies points via bbox + exact polygon test") {
+    val square = FromOsm.createPolygon(
+      Seq(Pt(0, 0), Pt(10, 0), Pt(10, 10), Pt(0, 10), Pt(0, 0)))
+    val loc = Locator.fromGeometries(Seq(
+      ("inner", FromOsm.createPolygon(
+        Seq(Pt(2, 2), Pt(4, 2), Pt(4, 4), Pt(2, 4), Pt(2, 2)))),
+      ("outer", square)))
+    assert(loc.containingPoint(3, 3) == Seq("inner", "outer"))
+    assert(loc.containingPoint(8, 8) == Seq("outer"))
+    assert(loc.containingPoint(99, 99).isEmpty)
+    loc.registerFirst(spark, "loc_first")
+    val r = Seq((3.0, 3.0), (99.0, 99.0)).toDF("x", "y")
+      .select(callUDF("loc_first", $"x", $"y")).as[Option[String]].collect()
+    assert(r.toSeq == Seq(Some("inner"), None))
+  }
+
+  test("multimodal: stub decode via mapPartitions is deterministic") {
+    val docs = Seq((1L, "hello world", "s"), (2L, "a video payload body", "s"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.fromDocuments(spark, docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 2)
+    assert(feats.forall(_.features.size == 16))
+    // determinism: same input -> same features
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.features).toSeq == again.map(_.features).toSeq)
+    // frame sampling is generator-shaped
+    val frames = Multimodal.sampleFrames(
+      media.filter(_.mediaType == "video"), 3)
+    assert(frames.count() == 3)
+  }
+
+  test("gen: collect agg builds multipolygon per group") {
+    import graft.geom._
+    val sq1 = Ewkb.encode(FromOsm.createPolygon(
+      Seq(Pt(0, 0), Pt(1, 0), Pt(1, 1), Pt(0, 1), Pt(0, 0))))
+    val sq2 = Ewkb.encode(FromOsm.createPolygon(
+      Seq(Pt(5, 5), Pt(6, 5), Pt(6, 6), Pt(5, 6), Pt(5, 5))))
+    val df = Seq((1, sq1), (1, sq2), (2, sq1)).toDF("grp", "geom")
+    val agg = df.groupBy($"grp").agg(Gen.stCollectAgg($"geom").as("merged"))
+    val m = agg.select($"grp", $"merged").as[(Int, Array[Byte])]
+      .collect().toMap
+    assert(Ewkb.decode(m(1)).typeName == "MULTIPOLYGON")
+    assert(Ewkb.decode(m(1)).numGeometries == 2)
+    assert(GeomOps.area(Ewkb.decode(m(1))) == 2.0)
+  }
+
+  test("gen: discrete isolation ranks by distance to higher importance") {
+    val pts = Seq(
+      (1L, 0.0, 0.0, 100.0), // most important: gets lower-bound isolation
+      (2L, 3.0, 0.0, 50.0),  // nearest higher: pt1 at d=3
+      (3L, 3.0, 4.0, 10.0)   // nearest higher: pt2 at d=4
+    ).toDF("id", "x", "y", "importance")
+    val iso = Gen.discreteIsolation(pts, "id", "x", "y", "importance", 10.0)
+      .select($"pid", $"isolation").as[(Long, Double)].collect().toMap
+    assert(iso(1L) == 10.0)
+    assert(iso(2L) == 3.0)
+    assert(iso(3L) == 4.0)
+  }
+
+  test("gen: tile-sql template substitution") {
+    Seq((1, 1), (2, 2)).toDF("a", "b").createOrReplaceTempView("tsql_t")
+    val out = Gen.runTileSql(spark, Seq((10, 1L, 2L), (10, 3L, 4L)),
+      "SELECT {zoom} AS zoom, {x} AS x, {y} AS y, count(*) AS n FROM tsql_t")
+    assert(out.count() == 2)
+    assert(out.where($"x" === 3).select($"y").as[Long].head() == 4L)
+  }
+
+  test("clustered parquet write sorts by space-filling curve") {
+    val dir = Files.createTempDirectory("sfc").resolve("out").toString
+    val pts = (1 to 100).map(i =>
+      (i.toLong, (i % 10) * 1.0, (i / 10) * 1.0)).toDF("id", "lon", "lat")
+    ClusteredParquet.write(pts, dir, "lon", "lat", numFiles = 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    assert(back.columns.toSet == Set("id", "lon", "lat")) // key dropped
+  }
+
+  test("properties store roundtrip + append validation") {
+    val dir = Files.createTempDirectory("props").resolve("p").toString
+    val props = Map("prefix" -> "planet_osm", "output" -> "flex",
+      "updatable" -> "true")
+    Properties.save(spark, dir, props)
+    assert(Properties.load(spark, dir) == props)
+    val bad = Properties.validateForAppend(props,
+      props + ("prefix" -> "other"))
+    assert(bad.map(_._1) == Seq("prefix"))
+    assert(Properties.validateForAppend(props, props).isEmpty)
+  }
+
+  test("streaming: stateful latest-version-wins over a rate of changes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Change]
+    val q = Streams.latestVersionStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest_out").start()
+    val t0 = new java.sql.Timestamp(0)
+    input.addData(
+      Streams.Change(1, 1, visible = true, t0),
+      Streams.Change(1, 2, visible = true, t0))
+    q.processAllAvailable()
+    input.addData(Streams.Change(1, 3, visible = false, t0),
+      Streams.Change(2, 1, visible = true, t0))
+    q.processAllAvailable()
+    val out = spark.table("latest_out")
+      .groupBy($"oid").agg(max(struct($"version", $"visible")).as("s"))
+      .select($"oid", $"s.version", $"s.visible")
+      .as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    q.stop()
+    assert(out(1L) == ((3L, false)))
+    assert(out(2L) == ((1L, true)))
+  }
+
+  test("streaming: windowed tile counts with watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val events = input.toDS().toDF("ts", "lon", "lat")
+    val agg = Streams.windowedTileCounts(events, "lon", "lat", 10,
+      "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("tiles_out").start()
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 0.0, 0.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 0.0, 0.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 120.0, 40.0))
+    q.processAllAvailable()
+    val rows = spark.table("tiles_out")
+      .select($"x", $"y", $"n_events").as[(Long, Long, Long)].collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows.find(_._3 == 2).isDefined)
+  }
+}
