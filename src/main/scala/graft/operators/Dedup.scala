@@ -100,12 +100,19 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: Option[Column] = None): DataFrame = {
+    // norms are computed ONCE per vector before the join — inside the
+    // pair loop they'd be recomputed O(N²) times
     val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("nrm", sqrt(qdot(col("q"), col("q")).cast("double")))
       .withColumn("blk", blockCol.getOrElse(lit(0)))
-    val l = base.select(col("id").as("id_a"), col("q").as("qa"), col("blk"))
-    val r = base.select(col("id").as("id_b"), col("q").as("qb"), col("blk"))
+    val l = base.select(col("id").as("id_a"), col("q").as("qa"),
+      col("nrm").as("na"), col("blk"))
+    val r = base.select(col("id").as("id_b"), col("q").as("qb"),
+      col("nrm").as("nb"), col("blk"))
     l.join(r, "blk").where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), qcosine(col("qa"), col("qb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        (qdot(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -51,11 +51,16 @@ object Similarity {
     * ranks) bit-identical cross-engine. Same plan shape as
     * [[bruteForceTopK]]. */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    // per-vector norms precomputed before the cross join (not O(|Q|·N))
     val q = broadcast(queries.select(col("id").as("qid"),
-      quantize(col("vec")).as("qv")))
+      quantize(col("vec")).as("qv"))
+      .withColumn("qn", sqrt(qdot(col("qv"), col("qv")).cast("double"))))
     val c = corpus.select(col("id").as("nid"), quantize(col("vec")).as("cv"))
+      .withColumn("cn", sqrt(qdot(col("cv"), col("cv")).cast("double")))
     val scored = q.join(c, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), qcosine(col("qv"), col("cv")).as("cos"))
+      .select(col("qid"), col("nid"),
+        (qdot(col("qv"), col("cv")).cast("double") /
+          (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
