@@ -1,0 +1,237 @@
+package graft.classic
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TagFunctions
+import graft.geom._
+import graft.operators.Middle
+import graft.sources.OsmXml.OsmDataFrames
+
+/** The complete classic pgsql-output pipeline (reference:
+  * src/output-pgsql.cpp + src/tagtransform-c.cpp), end to end on OSM
+  * entity DataFrames: style filter → middle joins → geometry
+  * construction/reprojection/segmentation → the four tables
+  * planet_osm_point / line / polygon / roads.
+  *
+  * Faithful semantics (verified against the reference's own regression
+  * golden counts on the Liechtenstein extract, tests/bdd/regression/
+  * import.feature):
+  *  - tag filter: exact-match export list per entity type, wildcard
+  *    delete list, unknown keys dropped (no-hstore mode), object kept
+  *    iff ≥1 exported tag (src/tagtransform-c.cpp:109-152);
+  *  - natural=coastline discarded but forces polygon + area=yes
+  *    (src/tagtransform-c.cpp:180-192);
+  *  - polygon decision: accumulated polygon flags of matched keys,
+  *    overridden by the raw area tag via value_to_bool
+  *    (src/tagtransform-c.cpp:203-214, src/osmtypes.hpp:162-174);
+  *  - ways: closed+polygon → create_polygon (invalid → no row, no
+  *    fallback); else linestring → transform → segmentize(100km in
+  *    3857 / 1° in 4326) → split_multi, one row per piece, roads rows
+  *    for road-flagged ways (src/output-pgsql.cpp:88-122);
+  *  - relations: type route/multipolygon/boundary only; boundary (or
+  *    multipolygon with a boundary tag) → BOTH merged-line pieces and
+  *    multipolygon rows; plain multipolygon → polygon only; route →
+  *    line only; negative ids (src/output-pgsql.cpp:239-341,
+  *    src/tagtransform-c.cpp:223-343).
+  */
+object ClassicPipeline {
+
+  final case class Tables4(point: DataFrame, line: DataFrame,
+      polygon: DataFrame, roads: DataFrame)
+
+  /** value_to_bool (src/osmtypes.hpp:162-174) as a Column. */
+  private def valueToBool(v: Column, defval: Column): Column =
+    when(defval, !v.isin("no", "false", "0"))
+      .otherwise(v.isin("yes", "true", "1"))
+
+  private def exportFilter(style: Style, osmType: String): Column = {
+    val exact = style.exportKeys(osmType).toSet.toSeq
+    val (wild, exactDel) = style.deleteKeys.partition(_.endsWith("*"))
+    map_filter(col("tags"), (k, v) => {
+      val inExport = k.isInCollection(exact)
+      val deleted = exactDel.foldLeft(lit(false))((acc, d) => acc || k === d) ||
+        wild.foldLeft(lit(false))((acc, p) =>
+          acc || k.startsWith(p.dropRight(1)))
+      val coastline = k === "natural" && v === "coastline"
+      inExport && !deleted && !coastline
+    })
+  }
+
+  /** Adds __outtags, __keep, __polygon columns (ways/relations use the
+    * way export list). */
+  private def withFilter(df: DataFrame, style: Style, osmType: String,
+      wantPolygon: Boolean): DataFrame = {
+    val listType = if (osmType == "relation") "way" else osmType
+    val out = exportFilter(style, listType)
+    val base = df
+      .where(size(col("tags")) > 0) // ignore_untagged_objects default
+      .withColumn("__coast", col("tags").getItem("natural") <=> "coastline")
+      .withColumn("__outtags",
+        when(col("__coast") && !map_contains_key(out, "area"),
+          map_concat(out, map(lit("area"), lit("yes")))).otherwise(out))
+      .withColumn("__keep", size(col("__outtags")) > 0 || col("__coast"))
+    if (!wantPolygon) base
+    else {
+      val polyKeys = style.polygonKeys.toSet.toSeq
+      val polyFlag = arrays_overlap(map_keys(col("__outtags")),
+        typedlit(polyKeys))
+      val areaVal = col("tags").getItem("area")
+      base.withColumn("__polygon",
+        when(col("__coast"), lit(true))
+          .when(areaVal.isNull, polyFlag)
+          .otherwise(valueToBool(areaVal, polyFlag)))
+    }
+  }
+
+  // geometry UDF helpers over resolved coordinate arrays
+  private val toPts = (lons: Seq[Double], lats: Seq[Double]) =>
+    lons.zip(lats).map { case (x, y) => Pt(x, y) }
+
+  def run(osm: OsmDataFrames, style: Style, srid: Int = Srid.WebMercator)
+      : Tables4 = {
+    val spark = osm.nodes.sparkSession
+    val splitAt = if (srid == Srid.WGS84) 1.0 else 100 * 1000.0
+
+    def project(g: Geometry): Geometry = GeomOps.transform(g, srid)
+
+    // way polygon: closed + valid → one EWKB or null (no fallback)
+    val wayPolygonUdf = udf((lons: Seq[Double], lats: Seq[Double]) =>
+      FromOsm.createPolygon(toPts(lons, lats)) match {
+        case _: NullGeom => null
+        case g           => Ewkb.encode(project(g))
+      })
+    // way line: linestring → transform → segmentize → split pieces
+    val wayLineUdf = udf((lons: Seq[Double], lats: Seq[Double]) =>
+      FromOsm.createLineString(toPts(lons, lats)) match {
+        case _: NullGeom => Seq.empty[Array[Byte]]
+        case g =>
+          GeomOps.splitMulti(GeomOps.segmentize(project(g), splitAt))
+            .map(Ewkb.encode(_))
+      })
+    // relation line: multilinestring → line_merge → transform →
+    // segmentize → split (src/output-pgsql.cpp:278-298)
+    val relLineUdf = udf((ways: Seq[Seq[Double]], wayLats: Seq[Seq[Double]]) => {
+      val pts = ways.zip(wayLats).map { case (lons, lats) => toPts(lons, lats) }
+      FromOsm.createMultiLineString(pts, forceMulti = true) match {
+        case _: NullGeom => Seq.empty[Array[Byte]]
+        case g =>
+          GeomOps.splitMulti(
+            GeomOps.segmentize(project(GeomOps.lineMerge(g)), splitAt))
+            .map(Ewkb.encode(_))
+      }
+    })
+    // relation polygon: multipolygon assembly → split → transform
+    val relPolyUdf = udf((ways: Seq[Seq[Double]], wayLats: Seq[Seq[Double]]) => {
+      val pts = ways.zip(wayLats).map { case (lons, lats) => toPts(lons, lats) }
+      FromOsm.createMultiPolygon(pts) match {
+        case _: NullGeom => Seq.empty[Array[Byte]]
+        case g => GeomOps.splitMulti(g).map(p => Ewkb.encode(project(p)))
+      }
+    })
+
+    // ---- nodes → point table ----
+    val points = withFilter(osm.nodes, style, "node", wantPolygon = false)
+      .where(col("__keep") && size(col("__outtags")) > 0)
+      .select(col("id").as("osm_id"), col("__outtags").as("tags"),
+        col("lon"), col("lat"))
+
+    // ---- ways ----
+    val keptWays = withFilter(osm.ways, style, "way", wantPolygon = true)
+      .where(col("__keep") && size(col("__outtags")) > 0)
+      .withColumn("__closed",
+        element_at(col("nodes"), 1) ===
+          element_at(col("nodes"), size(col("nodes"))))
+      .withColumn("__roads", TagFunctions.isRoads(col("__outtags")))
+      .withColumn("__z", TagFunctions.zOrder(col("__outtags")))
+    val locs = osm.nodes.select(col("id").as("nid"), col("lon"), col("lat"))
+    val resolved = Middle.resolveWayNodes(
+      keptWays.select("id", "nodes"), "id", "nodes", locs, "nid",
+      Seq("lon", "lat"))
+      .where(size(col("resolved")) >= 2) // nodes_get_list > 1
+      .select(col("id"),
+        transform(col("resolved"), r => r.getField("lon")).as("lons"),
+        transform(col("resolved"), r => r.getField("lat")).as("lats"))
+    val waysGeo = keptWays.join(resolved, "id")
+
+    val wayPolyRows = waysGeo
+      .where(col("__polygon") && col("__closed"))
+      .withColumn("geom", wayPolygonUdf(col("lons"), col("lats")))
+      .where(col("geom").isNotNull)
+      .select(col("id").as("osm_id"), col("__outtags").as("tags"),
+        col("__z").as("z_order"), col("geom"))
+
+    val wayLineRows = waysGeo
+      .where(!(col("__polygon") && col("__closed")))
+      .withColumn("geom", explode(wayLineUdf(col("lons"), col("lats"))))
+      .select(col("id").as("osm_id"), col("__outtags").as("tags"),
+        col("__z").as("z_order"), col("__roads").as("__roads"), col("geom"))
+
+    // ---- relations ----
+    val typed = osm.relations
+      .withColumn("__type", col("tags").getItem("type"))
+      .where(col("__type").isin("route", "multipolygon", "boundary"))
+    val keptRels = withFilter(typed, style, "relation", wantPolygon = false)
+      .where(col("__keep") && size(col("__outtags")) > 0)
+      .withColumn("__boundary",
+        col("__type") === "boundary" ||
+          (col("__type") === "multipolygon" &&
+            map_contains_key(col("__outtags"), "boundary")))
+      .withColumn("__mkpoly",
+        col("__type") === "multipolygon" &&
+          !map_contains_key(col("__outtags"), "boundary"))
+      .withColumn("__roads", TagFunctions.isRoads(col("__outtags")))
+      .withColumn("__z", TagFunctions.zOrder(col("__outtags")))
+
+    // member ways resolved: (rel id, ordered arrays of member lon/lat arrays)
+    val memberRefs = keptRels
+      .select(col("id").as("rid"),
+        posexplode(col("members")).as(Seq("mpos", "m")))
+      .where(col("m.mtype") === "w")
+      .select(col("rid"), col("mpos"), col("m.ref").as("wid"))
+    val memberWays = memberRefs
+      .join(resolvedAllWays(osm), col("wid") === col("rwid"))
+      .groupBy(col("rid"))
+      .agg(
+        count(lit(1)).as("__nways"),
+        transform(array_sort(collect_list(
+          struct(col("mpos"), col("wlons")))), s => s.getField("wlons"))
+          .as("mlons"),
+        transform(array_sort(collect_list(
+          struct(col("mpos"), col("wlats")))), s => s.getField("wlats"))
+          .as("mlats"))
+    val relsGeo = keptRels.join(memberWays, keptRels("id") === col("rid"))
+      .where(col("__nways") > 0)
+
+    val relLineRows = relsGeo
+      .where(!col("__mkpoly"))
+      .withColumn("geom", explode(relLineUdf(col("mlons"), col("mlats"))))
+      .select((-col("id")).as("osm_id"), col("__outtags").as("tags"),
+        col("__z").as("z_order"), col("__roads").as("__roads"), col("geom"))
+
+    val relPolyRows = relsGeo
+      .where(col("__boundary") || col("__mkpoly"))
+      .withColumn("geom", explode(relPolyUdf(col("mlons"), col("mlats"))))
+      .select((-col("id")).as("osm_id"), col("__outtags").as("tags"),
+        col("__z").as("z_order"), col("geom"))
+
+    val line = wayLineRows.unionByName(relLineRows)
+    Tables4(
+      point = points,
+      line = line.drop("__roads"),
+      polygon = wayPolyRows.unionByName(relPolyRows),
+      roads = line.where(col("__roads")).drop("__roads"))
+  }
+
+  /** All ways (tagged or not — the middle stores everything) with
+    * resolved ordered coordinates, for relation member fetch. */
+  private def resolvedAllWays(osm: OsmDataFrames): DataFrame = {
+    val locs = osm.nodes.select(col("id").as("nid"), col("lon"), col("lat"))
+    Middle.resolveWayNodes(osm.ways.select("id", "nodes"), "id", "nodes",
+      locs, "nid", Seq("lon", "lat"))
+      .where(size(col("resolved")) >= 2)
+      .select(col("id").as("rwid"),
+        transform(col("resolved"), r => r.getField("lon")).as("wlons"),
+        transform(col("resolved"), r => r.getField("lat")).as("wlats"))
+  }
+}

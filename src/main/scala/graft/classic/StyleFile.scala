@@ -41,40 +41,114 @@ object StyleFile {
         }
       }.toSeq)
 
-  /** The subset of the shipped default.style needed for the classic
-    * 4-table pipeline (re-typed from default.style, not copied
-    * verbatim). */
+  /** The shipped default.style's rule set (the full key inventory of
+    * default.style, required to reproduce the reference's regression
+    * counts on real extracts). z_order/way_area are computed columns,
+    * not tag matches, and are omitted here. */
   val defaultStyle: Style = parse("""
     |node,way  access       text  linear
-    |node,way  addr:housename text linear
+    |node,way  addr:housename      text  linear
+    |node,way  addr:housenumber    text  linear
+    |node,way  addr:interpolation  text  linear
+    |node,way  admin_level  text  linear
     |node,way  aerialway    text  linear
     |node,way  aeroway      text  polygon
     |node,way  amenity      text  polygon
-    |node,way  area         text  nocolumn
+    |node,way  area         text  polygon
     |node,way  barrier      text  linear
+    |node,way  bicycle      text  linear
+    |node,way  brand        text  linear
+    |node,way  bridge       text  linear
     |node,way  boundary     text  linear
     |node,way  building     text  polygon
-    |way       bridge       text  linear
+    |node      capital      text  linear
+    |node,way  construction text  linear
+    |node,way  covered      text  linear
+    |node,way  culvert      text  linear
+    |node,way  cutting      text  linear
+    |node,way  denomination text  linear
+    |node,way  disused      text  linear
+    |node      ele          text  linear
+    |node,way  embankment   text  linear
+    |node,way  foot         text  linear
+    |node,way  generator:source  text  linear
+    |node,way  harbour      text  polygon
     |node,way  highway      text  linear
     |node,way  historic     text  polygon
+    |node,way  horse        text  linear
+    |node,way  intermittent text  linear
+    |node,way  junction     text  linear
     |node,way  landuse      text  polygon
     |node,way  layer        text  linear
     |node,way  leisure      text  polygon
+    |node,way  lock         text  linear
     |node,way  man_made     text  polygon
     |node,way  military     text  polygon
+    |node,way  motorcar     text  linear
     |node,way  name         text  linear
     |node,way  natural      text  polygon
+    |node,way  office       text  polygon
+    |node,way  oneway       text  linear
+    |node,way  operator     text  linear
     |node,way  place        text  polygon
+    |node,way  population   text  linear
     |node,way  power        text  polygon
+    |node,way  power_source text  linear
+    |node,way  public_transport  text  polygon
     |node,way  railway      text  linear
     |node,way  ref          text  linear
+    |node,way  religion     text  linear
+    |node,way  route        text  linear
+    |node,way  service      text  linear
     |node,way  shop         text  polygon
     |node,way  sport        text  polygon
+    |node,way  surface      text  linear
+    |node,way  toll         text  linear
     |node,way  tourism      text  polygon
-    |way       tunnel       text  linear
+    |node,way  tower:type   text  linear
+    |way       tracktype    text  linear
+    |node,way  tunnel       text  linear
     |node,way  water        text  polygon
     |node,way  waterway     text  polygon
-    |node,way  created_by   text  delete
+    |node,way  wetland      text  polygon
+    |node,way  width        text  linear
+    |node,way  wood         text  linear
+    |way       abandoned:aeroway   text  polygon,nocolumn
+    |way       abandoned:amenity   text  polygon,nocolumn
+    |way       abandoned:building  text  polygon,nocolumn
+    |way       abandoned:landuse   text  polygon,nocolumn
+    |way       abandoned:power     text  polygon,nocolumn
+    |way       area:highway        text  polygon,nocolumn
+    |node,way  note         text  delete
+    |node,way  note:*       text  delete
     |node,way  source       text  delete
+    |node,way  source_ref   text  delete
+    |node,way  source:*     text  delete
+    |node,way  attribution  text  delete
+    |node,way  comment      text  delete
+    |node,way  fixme        text  delete
+    |node,way  created_by   text  delete
+    |node,way  odbl         text  delete
+    |node,way  odbl:note    text  delete
+    |node,way  SK53_bulk:load  text  delete
+    |node,way  tiger:*      text  delete
+    |node,way  NHD:*        text  delete
+    |node,way  nhd:*        text  delete
+    |node,way  gnis:*       text  delete
+    |node,way  geobase:*    text  delete
+    |node,way  accuracy:meters  text  delete
+    |node,way  sub_sea:type text  delete
+    |node,way  waterway:type  text  delete
+    |node,way  KSJ2:*       text  delete
+    |node,way  yh:*         text  delete
+    |node,way  osak:*       text  delete
+    |node,way  kms:*        text  delete
+    |node,way  ngbe:*       text  delete
+    |node,way  naptan:*     text  delete
+    |node,way  CLC:*        text  delete
+    |node,way  3dshapes:ggmodelk  text  delete
+    |node,way  AND_nosr_r   text  delete
+    |node,way  import       text  delete
+    |node,way  it:fvg:*     text  delete
     |""".stripMargin)
 }

@@ -10,42 +10,60 @@ import org.apache.spark.sql.functions._
   */
 object TagFunctions {
 
-  /** Highway-class render ordering table
-    * (src/tagtransform-c.cpp:28-44): class name → z offset. */
-  val roadClasses: Seq[(String, Int)] = Seq(
-    "proposed" -> 1, "construction" -> 2, "steps" -> 10, "cycleway" -> 10,
-    "bridleway" -> 10, "footway" -> 10, "path" -> 10, "track" -> 11,
-    "service" -> 15, "living_street" -> 20, "pedestrian" -> 20,
-    "residential" -> 30, "unclassified" -> 30, "road" -> 30,
-    "tertiary_link" -> 34, "tertiary" -> 35, "secondary_link" -> 339,
-    "secondary" -> 340, "primary_link" -> 344, "primary" -> 345,
-    "trunk_link" -> 349, "trunk" -> 350, "motorway_link" -> 359,
-    "motorway" -> 360)
+  /** Highway-class render ordering table (the LAYERS array,
+    * src/tagtransform-c.cpp:28-44): class name → (z offset, in roads
+    * table). */
+  val roadClasses: Seq[(String, Int, Boolean)] = Seq(
+    ("proposed", 1, false), ("construction", 2, false),
+    ("steps", 10, false), ("cycleway", 10, false),
+    ("bridleway", 10, false), ("footway", 10, false), ("path", 10, false),
+    ("track", 11, false), ("service", 15, false),
+    ("tertiary_link", 24, false), ("secondary_link", 25, true),
+    ("primary_link", 27, true), ("trunk_link", 28, true),
+    ("motorway_link", 29, true),
+    ("raceway", 30, false), ("pedestrian", 31, false),
+    ("living_street", 32, false), ("road", 33, false),
+    ("unclassified", 33, false), ("residential", 33, false),
+    ("tertiary", 34, false), ("secondary", 36, true),
+    ("primary", 37, true), ("trunk", 38, true), ("motorway", 39, true))
 
-  /** z_order = 100*layer + classOffset + 100*bridge - 100*tunnel
-    * + 35*railway (src/tagtransform-c.cpp:46-89), as a when/otherwise
-    * chain (small lookup — constant-folded by Catalyst, no join). */
+  /** Parse a layer value the way strtol does: leading integer, junk →
+    * 0. */
+  private def layerOf(tags: Column): Column = {
+    val m = regexp_extract(coalesce(tags.getItem("layer"), lit("")),
+      "^([+-]?\\d+)", 1)
+    when(m === "", 0).otherwise(m.cast("int"))
+  }
+
+  /** z_order = 100*layer + classOffset + 35 (railway) + 100*bridge
+    * - 100*tunnel (add_z_order, src/tagtransform-c.cpp:46-89) as a
+    * when/otherwise chain — constant-folded by Catalyst, no join. */
   def zOrder(tags: Column): Column = {
-    val layer = coalesce(tags.getItem("layer").cast("int"), lit(0))
     val highway = tags.getItem("highway")
-    val classOffset = roadClasses.foldLeft(lit(0)) { case (acc, (name, z)) =>
-      when(highway === name, z).otherwise(acc)
+    val classOffset = roadClasses.foldLeft(lit(0)) {
+      case (acc, (name, z, _)) => when(highway === name, z).otherwise(acc)
     }
     val boolTag = (k: String) =>
       tags.getItem(k).isin("yes", "true", "1")
     val bridge = when(boolTag("bridge"), 100).otherwise(0)
     val tunnel = when(boolTag("tunnel"), -100).otherwise(0)
-    val railway = when(tags.getItem("railway").isNotNull, 35).otherwise(0)
-    layer * 100 + classOffset + bridge + tunnel + railway
+    val railway = when(tags.getItem("railway").isNotNull &&
+      tags.getItem("railway") =!= "", 35).otherwise(0)
+    layerOf(tags) * 100 + classOffset + bridge + tunnel + railway
   }
 
-  /** "roads table" membership (src/tagtransform-c.cpp:58-87): true for
-    * major road classes and railways. */
+  /** "roads table" membership (add_z_order, src/tagtransform-c.cpp:
+    * 58-87): the class table's roads flag, overridden true by a
+    * non-empty railway tag or boundary=administrative. */
   def isRoads(tags: Column): Column = {
     val highway = tags.getItem("highway")
-    val major = roadClasses.filter(_._2 >= 300).map(_._1)
-    highway.isin(major: _*) || tags.getItem("railway").isNotNull ||
-      (tags.getItem("boundary") <=> "administrative")
+    val roadsTrue = roadClasses.filter(_._3).map(_._1)
+    val roadsFalse = roadClasses.filterNot(_._3).map(_._1)
+    val fromHighway = when(highway.isin(roadsTrue: _*), lit(true))
+      .when(highway.isin(roadsFalse: _*), lit(false))
+      .otherwise(lit(false))
+    (tags.getItem("railway").isNotNull && tags.getItem("railway") =!= "") ||
+      (tags.getItem("boundary") <=> "administrative") || fromHighway
   }
 
   /** Style-file export filter (filter_tags,

@@ -152,25 +152,54 @@ object GeomOps {
 
   // ---- reshaping ops ----
 
-  /** Split segments longer than maxLen by inserting interpolated points;
-    * lines/multilines only, always returns a multilinestring
-    * (src/geom-functions.cpp:270-349). */
+  /** Split a line into pieces of cumulative length ≤ maxLen (the
+    * reference's exact walk: interpolated split points, piece reset on
+    * exact landings, trailing 1-point pieces dropped —
+    * split_linestring, src/geom-functions.cpp:271-320). Lines/
+    * multilines only, always returns a multilinestring. */
   def segmentize(g: Geometry, maxLen: Double): Geometry = {
-    def seg(l: LineString): LineString = {
-      val out = mutable.ArrayBuffer.empty[Pt]
-      l.pts.iterator.zip(l.pts.iterator.drop(1)).foreach { case (a, b) =>
-        if (out.isEmpty) out += a
-        val d = a.distanceTo(b)
-        val n = math.ceil(d / maxLen).toInt
-        (1 to n).foreach(i => out += interpolate(a, b, i.toDouble / n))
+    def split(l: LineString, out: mutable.ArrayBuffer[Vector[Pt]]): Unit = {
+      var dist = 0.0
+      var prev = l.pts.head
+      var cur = mutable.ArrayBuffer[Pt](prev)
+      l.pts.tail.foreach { pt =>
+        val delta = prev.distanceTo(pt)
+        if (dist + delta > maxLen) {
+          val splits = math.floor((dist + delta) / maxLen).toInt
+          var ipoint = prev
+          var j = 0
+          while (j < splits) {
+            val frac = ((j + 1) * maxLen - dist) / delta
+            ipoint = interpolate(prev, pt, frac)
+            if (frac != 0.0) cur += ipoint
+            out += cur.toVector
+            cur = mutable.ArrayBuffer[Pt](ipoint)
+            j += 1
+          }
+          if (pt == ipoint) {
+            dist = 0.0
+            prev = pt
+          } else {
+            dist = pt.distanceTo(ipoint)
+            cur += pt
+            prev = pt
+          }
+        } else {
+          dist += delta
+          cur += pt
+          prev = pt
+        }
       }
-      LineString(out.toVector, l.srid)
+      if (cur.size > 1) out += cur.toVector
     }
-    g match {
-      case l: LineString          => MultiLineString(Vector(seg(l)), l.srid)
-      case MultiLineString(ls, s) => MultiLineString(ls.map(seg), s)
-      case _ => NullGeom(g.srid)
+    val lines: Vector[LineString] = g match {
+      case l: LineString          => Vector(l)
+      case MultiLineString(ls, _) => ls
+      case _                      => return NullGeom(g.srid)
     }
+    val out = mutable.ArrayBuffer.empty[Vector[Pt]]
+    lines.foreach(split(_, out))
+    MultiLineString(out.map(LineString(_, g.srid)).toVector, g.srid)
   }
 
   /** Multi → parts; single geometries pass through as one part
@@ -197,52 +226,90 @@ object GeomOps {
   }
 
   /** Join multilinestring parts end-to-end by walking the shared-
-    * endpoint graph (src/geom-functions.cpp:594-775). Deterministic:
-    * seeds walks from segments in input order; continuation picks the
-    * first unused connecting segment. Returns a multilinestring (or the
-    * merged single line wrapped). */
+    * endpoint graph — the reference's exact algorithm
+    * (src/geom-functions.cpp:594-775): endpoints sorted by
+    * (x, y, segment, is_front), *adjacent pairs* of equal coordinates
+    * become connections (so ≥3-way junctions pair deterministically by
+    * sort order), open-end walks first, then a second pass closes pure
+    * loops. A plain linestring passes through unchanged. */
   def lineMerge(g: Geometry): Geometry = {
-    val lines: Vector[LineString] = g match {
-      case l: LineString          => Vector(l)
-      case MultiLineString(ls, _) => ls
-      case _                      => return NullGeom(g.srid)
+    g match {
+      case l: LineString => return l
+      case _: MultiLineString => ()
+      case _ => return NullGeom(g.srid)
     }
+    val lines = g.asInstanceOf[MultiLineString].lines
     if (lines.isEmpty) return NullGeom(g.srid)
-    val used = Array.fill(lines.size)(false)
-    val byEndpoint = mutable.Map.empty[Pt, mutable.ArrayBuffer[Int]]
-    lines.zipWithIndex.foreach { case (l, i) =>
-      byEndpoint.getOrElseUpdate(l.pts.head, mutable.ArrayBuffer.empty) += i
-      byEndpoint.getOrElseUpdate(l.pts.last, mutable.ArrayBuffer.empty) += i
+
+    val NoConn = -1
+    // endpoints: (pt, segIndex, isFront), sorted like the reference
+    final case class Endpoint(c: Pt, n: Int, isFront: Boolean)
+    val endpoints = lines.zipWithIndex.flatMap { case (l, i) =>
+      Seq(Endpoint(l.pts.head, i, isFront = true),
+        Endpoint(l.pts.last, i, isFront = false))
+    }.sortBy(e => (e.c.x, e.c.y, e.n, e.isFront)) // false < true, like C++
+
+    val left = Array.fill(lines.size)(NoConn) // connection at front
+    val right = Array.fill(lines.size)(NoConn) // connection at back
+    var i = 0
+    while (i < endpoints.size - 1) {
+      if (endpoints(i).c == endpoints(i + 1).c) {
+        val a = endpoints(i); val b = endpoints(i + 1)
+        if (a.isFront) left(a.n) = b.n else right(a.n) = b.n
+        if (b.isFront) left(b.n) = a.n else right(b.n) = a.n
+        i += 2 // adjacent_find semantics: a pair consumes both
+      } else i += 1
     }
-    def takeConnecting(p: Pt): Option[Int] =
-      byEndpoint.get(p).flatMap(_.find(!used(_)))
+
+    val done = Array.fill(lines.size)(false)
     val merged = mutable.ArrayBuffer.empty[LineString]
-    lines.indices.foreach { i =>
-      if (!used(i)) {
-        used(i) = true
-        val acc = mutable.ArrayDeque.from(lines(i).pts)
-        // extend forward from the tail
-        var cont = takeConnecting(acc.last)
-        while (cont.isDefined) {
-          val j = cont.get; used(j) = true
-          val ps = lines(j).pts
-          if (ps.head == acc.last) acc ++= ps.tail
-          else acc ++= ps.reverse.tail
-          cont = takeConnecting(acc.last)
-        }
-        // extend backward from the head
-        cont = takeConnecting(acc.head)
-        while (cont.isDefined) {
-          val j = cont.get; used(j) = true
-          val ps = lines(j).pts
-          if (ps.last == acc.head) acc.prependAll(ps.init)
-          else acc.prependAll(ps.reverse.init)
-          cont = takeConnecting(acc.head)
+
+    def appendPts(acc: mutable.ArrayBuffer[Pt], ps: Iterator[Pt]): Unit =
+      ps.foreach(p => if (acc.isEmpty || acc.last != p) acc += p)
+
+    // pass 1: walks seeded at open ends
+    lines.indices.foreach { start =>
+      if (!done(start) && (left(start) == NoConn || right(start) == NoConn)) {
+        val acc = mutable.ArrayBuffer.empty[Pt]
+        var prev = NoConn
+        var cur = start
+        while (cur != NoConn) {
+          val forward = left(cur) == prev
+          val nl = lines(cur).pts
+          val next = if (forward) right(cur) else left(cur)
+          appendPts(acc, if (forward) nl.iterator else nl.reverseIterator)
+          done(cur) = true
+          prev = cur
+          cur = next
         }
         merged += LineString(acc.toVector, g.srid)
       }
     }
-    MultiLineString(merged.toVector, g.srid)
+
+    // pass 2: circular chains with no open end
+    lines.indices.foreach { start =>
+      if (!done(start)) {
+        val acc = mutable.ArrayBuffer.empty[Pt]
+        var prev = left(start)
+        var cur = start
+        var go = true
+        while (go) {
+          val nl = lines(cur).pts
+          val forward = left(cur) == prev &&
+            (done(left(cur)) || lines(left(cur)).pts.last == nl.head)
+          val next = if (forward) right(cur) else left(cur)
+          appendPts(acc, if (forward) nl.iterator else nl.reverseIterator)
+          done(cur) = true
+          prev = cur
+          cur = next
+          go = cur != start
+        }
+        merged += LineString(acc.toVector, g.srid)
+      }
+    }
+
+    if (merged.isEmpty) NullGeom(g.srid)
+    else MultiLineString(merged.toVector, g.srid)
   }
 
   /** Centroid, collections filtered by max dimension

@@ -131,9 +131,9 @@ object OsmAnalog {
   val zOrderSql: String =
     """SELECT event_id,
       | ((event_id % 5) - 2) * 100
-      |  + CASE WHEN event_type = 'purchase' THEN 360
-      |         WHEN event_type = 'click' THEN 345
-      |         WHEN event_type = 'view' THEN 30
+      |  + CASE WHEN event_type = 'purchase' THEN 39
+      |         WHEN event_type = 'click' THEN 37
+      |         WHEN event_type = 'view' THEN 33
       |         WHEN event_type = 'signup' THEN 10
       |         ELSE 1 END
       |  + CASE WHEN value > 150.0 THEN 100 ELSE 0 END AS z_order,

@@ -1,0 +1,306 @@
+package graft.sources
+
+import java.io.DataInputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.{OsmMember, OsmNode, OsmRelation, OsmWay}
+
+/** OSM PBF reader — a from-scratch decoder for the public PBF format
+  * (wiki.openstreetmap.org/wiki/PBF_Format: fileformat.proto /
+  * osmformat.proto), the format the reference reads via libosmium
+  * (src/input.cpp:15).
+  *
+  * Two layers:
+  *  - [[Pb]]: a minimal protobuf wire-format reader (varint, zigzag,
+  *    length-delimited, packed repeated) — no protobuf dependency;
+  *  - blob framing: [4-byte BE length][BlobHeader][Blob], each Blob an
+  *    independently-decompressible unit of ≤8k entities.
+  *
+  * Distribution model: the driver scans ONLY the blob framing (a few
+  * bytes per ~64KB blob) to build an (offset, length) split list, then
+  * executors fetch + decode their blob ranges in parallel — the same
+  * split-per-block structure a DataSource V2 would register, without
+  * needing one for correctness. Scales to planet files: the driver
+  * touches O(#blobs) bytes, decode is embarrassingly parallel.
+  */
+object OsmPbf {
+
+  // ---------- minimal protobuf wire reader ----------
+
+  final class Pb(val buf: Array[Byte], var pos: Int, val end: Int) {
+    def this(buf: Array[Byte]) = this(buf, 0, buf.length)
+
+    def hasMore: Boolean = pos < end
+
+    def varint(): Long = {
+      var shift = 0; var result = 0L
+      var b = 0
+      do {
+        b = buf(pos) & 0xff; pos += 1
+        result |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      result
+    }
+
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
+
+    /** returns (fieldNumber, wireType) */
+    def tag(): (Int, Int) = {
+      val t = varint().toInt
+      (t >>> 3, t & 7)
+    }
+
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => val len = varint().toInt; pos += len
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"wire type $w")
+    }
+
+    def bytes(): Array[Byte] = {
+      val len = varint().toInt
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+      pos += len
+      out
+    }
+
+    def string(): String = new String(bytes(), StandardCharsets.UTF_8)
+
+    /** sub-message view without copying */
+    def message(): Pb = {
+      val len = varint().toInt
+      val m = new Pb(buf, pos, pos + len)
+      pos += len
+      m
+    }
+
+    def packedVarints(): Array[Long] = {
+      val m = message()
+      val out = Array.newBuilder[Long]
+      while (m.hasMore) out += m.varint()
+      out.result()
+    }
+
+    def packedZigzags(): Array[Long] = {
+      val m = message()
+      val out = Array.newBuilder[Long]
+      while (m.hasMore) out += m.zigzag()
+      out.result()
+    }
+  }
+
+  private def inflate(data: Array[Byte], rawSize: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](rawSize)
+    var off = 0
+    while (off < rawSize && !inf.finished())
+      off += inf.inflate(out, off, rawSize - off)
+    inf.end()
+    out
+  }
+
+  // ---------- blob framing ----------
+
+  final case class BlobSpan(path: String, offset: Long, headerLen: Int,
+      dataLen: Int, blobType: String)
+
+  /** Driver-side split discovery: read only the framing. */
+  def scanBlobs(path: String): Seq[BlobSpan] = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path)))
+    val spans = Seq.newBuilder[BlobSpan]
+    var offset = 0L
+    try {
+      while (true) {
+        val headerLen = in.readInt() // throws EOFException at end
+        val headerBytes = new Array[Byte](headerLen)
+        in.readFully(headerBytes)
+        val h = new Pb(headerBytes)
+        var blobType = ""; var dataLen = 0
+        while (h.hasMore) h.tag() match {
+          case (1, 2) => blobType = h.string()
+          case (3, 0) => dataLen = h.varint().toInt
+          case (_, w) => h.skip(w)
+        }
+        spans += BlobSpan(path, offset + 4 + headerLen, headerLen, dataLen,
+          blobType)
+        in.skipBytes(dataLen)
+        offset += 4 + headerLen + dataLen
+      }
+    } catch { case _: java.io.EOFException => () }
+    in.close()
+    spans.result()
+  }
+
+  /** Executor-side: fetch + decompress one blob's PrimitiveBlock. */
+  def readBlob(span: BlobSpan): Array[Byte] = {
+    val raf = new java.io.RandomAccessFile(span.path, "r")
+    val data = new Array[Byte](span.dataLen)
+    raf.seek(span.offset)
+    raf.readFully(data)
+    raf.close()
+    val b = new Pb(data)
+    var raw: Array[Byte] = null
+    var zlib: Array[Byte] = null
+    var rawSize = -1
+    while (b.hasMore) b.tag() match {
+      case (1, 2) => raw = b.bytes()
+      case (2, 0) => rawSize = b.varint().toInt
+      case (3, 2) => zlib = b.bytes()
+      case (_, w) => b.skip(w)
+    }
+    if (raw != null) raw
+    else if (zlib != null) inflate(zlib, rawSize)
+    else throw new IllegalArgumentException(
+      "unsupported blob compression (only raw/zlib)")
+  }
+
+  // ---------- PrimitiveBlock decode ----------
+
+  final case class Entities(nodes: Vector[OsmNode], ways: Vector[OsmWay],
+      relations: Vector[OsmRelation])
+
+  def decodeBlock(block: Array[Byte]): Entities = {
+    val b = new Pb(block)
+    var strings = Vector.empty[String]
+    var granularity = 100L
+    var latOffset = 0L
+    var lonOffset = 0L
+    val groups = Vector.newBuilder[Pb]
+    while (b.hasMore) b.tag() match {
+      case (1, 2) => // string table
+        val st = b.message()
+        val sb = Vector.newBuilder[String]
+        while (st.hasMore) st.tag() match {
+          case (1, 2) => sb += st.string()
+          case (_, w) => st.skip(w)
+        }
+        strings = sb.result()
+      case (2, 2)  => groups += b.message()
+      case (17, 0) => granularity = b.varint()
+      case (19, 0) => latOffset = b.varint()
+      case (20, 0) => lonOffset = b.varint()
+      case (_, w)  => b.skip(w)
+    }
+    def coord(offset: Long, v: Long): Double =
+      1e-9 * (offset + granularity * v)
+
+    val nodes = Vector.newBuilder[OsmNode]
+    val ways = Vector.newBuilder[OsmWay]
+    val rels = Vector.newBuilder[OsmRelation]
+
+    groups.result().foreach { g =>
+      while (g.hasMore) g.tag() match {
+        case (1, 2) => // plain Node
+          val n = g.message()
+          var id = 0L; var lat = 0L; var lon = 0L
+          var keys = Array.empty[Long]; var vals = Array.empty[Long]
+          while (n.hasMore) n.tag() match {
+            case (1, 0) => id = n.zigzag()
+            case (2, 2) => keys = n.packedVarints()
+            case (3, 2) => vals = n.packedVarints()
+            case (8, 0) => lat = n.zigzag()
+            case (9, 0) => lon = n.zigzag()
+            case (_, w) => n.skip(w)
+          }
+          nodes += OsmNode(id, lon = coord(lonOffset, lon),
+            lat = coord(latOffset, lat),
+            tags = keys.zip(vals).map { case (k, v) =>
+              strings(k.toInt) -> strings(v.toInt)
+            }.toMap)
+        case (2, 2) => // DenseNodes
+          val d = g.message()
+          var ids = Array.empty[Long]
+          var lats = Array.empty[Long]; var lons = Array.empty[Long]
+          var kvs = Array.empty[Long]
+          while (d.hasMore) d.tag() match {
+            case (1, 2)  => ids = d.packedZigzags()
+            case (8, 2)  => lats = d.packedZigzags()
+            case (9, 2)  => lons = d.packedZigzags()
+            case (10, 2) => kvs = d.packedVarints()
+            case (_, w)  => d.skip(w)
+          }
+          var id = 0L; var lat = 0L; var lon = 0L; var kv = 0
+          var i = 0
+          while (i < ids.length) {
+            id += ids(i); lat += lats(i); lon += lons(i)
+            val tags = Map.newBuilder[String, String]
+            while (kv < kvs.length && kvs(kv) != 0) {
+              tags += (strings(kvs(kv).toInt) -> strings(kvs(kv + 1).toInt))
+              kv += 2
+            }
+            kv += 1 // the 0 separator
+            nodes += OsmNode(id, lon = coord(lonOffset, lon),
+              lat = coord(latOffset, lat), tags = tags.result())
+            i += 1
+          }
+        case (3, 2) => // Way
+          val wmsg = g.message()
+          var id = 0L
+          var keys = Array.empty[Long]; var vals = Array.empty[Long]
+          var refs = Array.empty[Long]
+          while (wmsg.hasMore) wmsg.tag() match {
+            case (1, 0) => id = wmsg.varint()
+            case (2, 2) => keys = wmsg.packedVarints()
+            case (3, 2) => vals = wmsg.packedVarints()
+            case (8, 2) => refs = wmsg.packedZigzags()
+            case (_, w) => wmsg.skip(w)
+          }
+          var acc = 0L
+          val nds = refs.map { d => acc += d; acc }
+          ways += OsmWay(id, nodes = nds.toSeq,
+            tags = keys.zip(vals).map { case (k, v) =>
+              strings(k.toInt) -> strings(v.toInt)
+            }.toMap)
+        case (4, 2) => // Relation
+          val r = g.message()
+          var id = 0L
+          var keys = Array.empty[Long]; var vals = Array.empty[Long]
+          var roles = Array.empty[Long]; var memids = Array.empty[Long]
+          var types = Array.empty[Long]
+          while (r.hasMore) r.tag() match {
+            case (1, 0)  => id = r.varint()
+            case (2, 2)  => keys = r.packedVarints()
+            case (3, 2)  => vals = r.packedVarints()
+            case (8, 2)  => roles = r.packedVarints()
+            case (9, 2)  => memids = r.packedZigzags()
+            case (10, 2) => types = r.packedVarints()
+            case (_, w)  => r.skip(w)
+          }
+          var acc = 0L
+          val members = memids.indices.map { i =>
+            acc += memids(i)
+            OsmMember(types(i) match {
+              case 0 => "n"; case 1 => "w"; case _ => "r"
+            }, acc, strings(roles(i).toInt))
+          }
+          rels += OsmRelation(id, members = members,
+            tags = keys.zip(vals).map { case (k, v) =>
+              strings(k.toInt) -> strings(v.toInt)
+            }.toMap)
+        case (_, w) => g.skip(w)
+      }
+    }
+    Entities(nodes.result(), ways.result(), rels.result())
+  }
+
+  /** Distributed read: blob spans parallelized across executors. */
+  def read(spark: SparkSession, path: String): OsmXml.OsmDataFrames = {
+    import spark.implicits._
+    val spans = scanBlobs(path).filter(_.blobType == "OSMData")
+    val n = math.max(1, math.min(spans.size, 256))
+    val rdd = spark.sparkContext.parallelize(spans, n)
+      .map(span => decodeBlock(readBlob(span)))
+    val cached = rdd.cache()
+    OsmXml.OsmDataFrames(
+      cached.flatMap(_.nodes).toDF(),
+      cached.flatMap(_.ways).toDF(),
+      cached.flatMap(_.relations).toDF())
+  }
+}

@@ -43,7 +43,7 @@ class OutputsSpec extends SparkSpecBase {
     assert(lines.select("osm_id").as[Long].collect().toSet == Set(11L, 12L))
     assert(roads.select("osm_id").as[Long].collect().toSet == Set(11L))
     assert(lines.where($"osm_id" === 11).select("z_order")
-      .as[Int].head() == 360)
+      .as[Int].head() == 39)
   }
 
   test("flex coercions: boolean, direction, int range, json") {

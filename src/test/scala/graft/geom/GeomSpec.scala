@@ -99,11 +99,16 @@ class GeomSpec extends AnyFunSuite {
     assert(math.abs(a - 1.2364e10) / 1.2364e10 < 0.01) // ~12,364 km²
   }
 
-  test("segmentize splits long segments") {
+  test("segmentize splits into pieces each at most maxlen long") {
     val g = GeomOps.segmentize(LineString(Vector(Pt(0, 0), Pt(10, 0))), 3.0)
     val ml = g.asInstanceOf[MultiLineString]
-    assert(ml.lines.head.pts.size == 5) // 0, 2.5, 5, 7.5, 10
+    // (0-3)(3-6)(6-9)(9-10) — the reference's piece walk
+    assert(ml.lines.size == 4)
+    assert(ml.lines.forall(l => GeomOps.length(l) <= 3.0 + 1e-12))
     assert(GeomOps.length(ml) == 10.0)
+    // exact landing: 10/5 -> 2 pieces, no empty trailing piece
+    val g2 = GeomOps.segmentize(LineString(Vector(Pt(0, 0), Pt(10, 0))), 5.0)
+    assert(g2.asInstanceOf[MultiLineString].lines.size == 2)
     assert(GeomOps.segmentize(Point(Pt(0, 0)), 1.0).isNull)
   }
 
