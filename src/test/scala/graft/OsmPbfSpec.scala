@@ -35,7 +35,7 @@ class OsmPbfSpec extends SparkSpecBase {
       min($"lon"), max($"lon"), min($"lat"), max($"lat"))
       .as[(Double, Double, Double, Double)].head()
     assert(coords._1 > 9.0 && coords._2 < 10.0, s"lon range $coords")
-    assert(coords._3 > 46.9 && coords._4 < 47.5, s"lat range $coords")
+    assert(coords._3 > 46.5 && coords._4 < 47.6, s"lat range $coords")
 
     // global ordering invariant: ids ascending within each stream
     assert(graft.sources.Validate.orderingViolations(
