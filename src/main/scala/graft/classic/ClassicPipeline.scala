@@ -88,8 +88,21 @@ object ClassicPipeline {
   private val toPts = (lons: Seq[Double], lats: Seq[Double]) =>
     lons.zip(lats).map { case (x, y) => Pt(x, y) }
 
-  def run(osm: OsmDataFrames, style: Style, srid: Int = Srid.WebMercator)
-      : Tables4 = {
+  /** Restriction sets for incremental runs: when given, only these ids
+    * are *derived* (resolution still sees every entity — member ways
+    * of an untouched relation must resolve even if not re-derived). */
+  final case class Subset(nodeIds: Option[DataFrame] = None,
+      wayIds: Option[DataFrame] = None, relIds: Option[DataFrame] = None)
+
+  private def restrict(df: DataFrame, ids: Option[DataFrame]): DataFrame =
+    ids.map { d =>
+      val key = d.columns.head
+      df.join(d.select(col(key).as("__rid")), col("id") === col("__rid"),
+        "left_semi")
+    }.getOrElse(df)
+
+  def run(osm: OsmDataFrames, style: Style, srid: Int = Srid.WebMercator,
+      subset: Subset = Subset()): Tables4 = {
     val spark = osm.nodes.sparkSession
     val splitAt = if (srid == Srid.WGS84) 1.0 else 100 * 1000.0
 
@@ -131,13 +144,15 @@ object ClassicPipeline {
     })
 
     // ---- nodes → point table ----
-    val points = withFilter(osm.nodes, style, "node", wantPolygon = false)
+    val points = withFilter(restrict(osm.nodes, subset.nodeIds), style,
+      "node", wantPolygon = false)
       .where(col("__keep") && size(col("__outtags")) > 0)
       .select(col("id").as("osm_id"), col("__outtags").as("tags"),
         col("lon"), col("lat"))
 
     // ---- ways ----
-    val keptWays = withFilter(osm.ways, style, "way", wantPolygon = true)
+    val keptWays = withFilter(restrict(osm.ways, subset.wayIds), style,
+      "way", wantPolygon = true)
       .where(col("__keep") && size(col("__outtags")) > 0)
       .withColumn("__closed",
         element_at(col("nodes"), 1) ===
@@ -168,7 +183,7 @@ object ClassicPipeline {
         col("__z").as("z_order"), col("__roads").as("__roads"), col("geom"))
 
     // ---- relations ----
-    val typed = osm.relations
+    val typed = restrict(osm.relations, subset.relIds)
       .withColumn("__type", col("tags").getItem("type"))
       .where(col("__type").isin("route", "multipolygon", "boundary"))
     val keptRels = withFilter(typed, style, "relation", wantPolygon = false)

@@ -1,0 +1,92 @@
+package graft.classic
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Middle
+import graft.sources.OsmXml.OsmDataFrames
+
+/** Append mode for the classic output (reference: src/osmdata.cpp +
+  * §2.8 of SURVEY.md): apply a change file, compute the dependency
+  * closure, re-derive exactly the affected rows, and merge with the
+  * previous table state (delete-then-insert).
+  *
+  * Everything is semi-joins over the updated entity sets — the
+  * set-at-a-time form of the reference's pending-id queues.
+  */
+object ClassicUpdate {
+
+  /** Latest-version-wins application of a change set to one entity
+    * stream; deletes drop the entity (visible=false rows removed after
+    * the merge, matching delete+reinsert middle semantics,
+    * src/middle-pgsql.cpp). */
+  def applyToStream(base: DataFrame, changes: DataFrame): DataFrame = {
+    val cols = base.columns.filter(c => c != "action")
+    val merged = graft.sources.Validate.mergeFiles(
+      Seq(
+        base.selectExpr(cols: _*).withColumn("__prio", lit(0)),
+        changes.selectExpr(cols: _*).withColumn("__prio", lit(1))),
+      "id", "version", "__prio").drop("__prio")
+    merged.where(col("visible"))
+  }
+
+  def applyChanges(base: OsmDataFrames, ch: OsmDataFrames): OsmDataFrames =
+    OsmDataFrames(
+      applyToStream(base.nodes, ch.nodes),
+      applyToStream(base.ways, ch.ways),
+      applyToStream(base.relations, ch.relations))
+
+  /** Incremental table update. Returns the updated 4 tables.
+    *
+    * Pipeline (src/osmdata.cpp:371-406):
+    *  1. changed ids per type from the change file (incl. deletes);
+    *  2. dependency closure on the UPDATED reference graph: parent
+    *     ways of changed nodes; parent relations of changed nodes and
+    *     of (changed ∪ pending) ways;
+    *  3. re-derive rows for changed nodes / pending ways / pending
+    *     relations only (resolution sees all entities);
+    *  4. delete-then-insert: drop previous rows keyed by those ids
+    *     (negative for relations), union the re-derived rows.
+    */
+  def incrementalUpdate(before: OsmDataFrames, changes: OsmDataFrames,
+      prev: ClassicPipeline.Tables4, style: Style,
+      srid: Int = graft.geom.Srid.WebMercator): ClassicPipeline.Tables4 = {
+    val after = applyChanges(before, changes)
+
+    val changedNodes = changes.nodes.select(col("id")).distinct()
+    val changedWays = changes.ways.select(col("id")).distinct()
+    val changedRels = changes.relations.select(col("id")).distinct()
+
+    val parentWays = Middle.parentsOfNodes(after.ways, "id", "nodes",
+      changedNodes, "id")
+    val pendingWays = changedWays
+      .unionByName(parentWays.toDF("id")).distinct()
+    val parentRelsN = Middle.parentsOfMembers(after.relations, "id",
+      "members", "n", changedNodes, "id", typeField = "mtype")
+    val parentRelsW = Middle.parentsOfMembers(after.relations, "id",
+      "members", "w", pendingWays, "id", typeField = "mtype")
+    val pendingRels = changedRels
+      .unionByName(parentRelsN.toDF("id"))
+      .unionByName(parentRelsW.toDF("id")).distinct()
+
+    val rederived = ClassicPipeline.run(after, style, srid,
+      ClassicPipeline.Subset(Some(changedNodes), Some(pendingWays),
+        Some(pendingRels)))
+
+    def minus(prevT: DataFrame, ids: DataFrame, negate: Boolean): DataFrame = {
+      val keyed = ids.select(
+        (if (negate) -col("id") else col("id")).as("__del"))
+      prevT.join(keyed, col("osm_id") === col("__del"), "left_anti")
+    }
+
+    ClassicPipeline.Tables4(
+      point = minus(prev.point, changedNodes, negate = false)
+        .unionByName(rederived.point),
+      line = minus(minus(prev.line, pendingWays, negate = false),
+        pendingRels, negate = true).unionByName(rederived.line),
+      polygon = minus(minus(prev.polygon, pendingWays, negate = false),
+        pendingRels, negate = true).unionByName(rederived.polygon),
+      roads = minus(minus(prev.roads, pendingWays, negate = false),
+        pendingRels, negate = true).unionByName(rederived.roads))
+  }
+}

@@ -133,6 +133,26 @@ object OsmXml {
   final case class OsmDataFrames(nodes: DataFrame, ways: DataFrame,
       relations: DataFrame)
 
+  /** Read a single (possibly gzipped) .osc change file — small files,
+    * parsed driver-side; the entity DataFrames carry the action
+    * column. */
+  def readChangeFile(spark: SparkSession, path: String): OsmDataFrames = {
+    import spark.implicits._
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bytes =
+      if (path.endsWith(".gz")) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw))
+        val out = in.readAllBytes(); in.close(); out
+      } else raw
+    val parsed = parseString(new String(bytes,
+      java.nio.charset.StandardCharsets.UTF_8))
+    OsmDataFrames(
+      parsed.nodes.toDF("action", "n").select($"action", $"n.*"),
+      parsed.ways.toDF("action", "w").select($"action", $"w.*"),
+      parsed.relations.toDF("action", "r").select($"action", $"r.*"))
+  }
+
   /** Read OSM XML files distributed (one split per file). */
   def read(spark: SparkSession, paths: Seq[String]): OsmDataFrames = {
     import spark.implicits._

@@ -1,0 +1,37 @@
+package graft
+
+import graft.classic.{ClassicPipeline, ClassicUpdate, StyleFile}
+import graft.sources.{OsmPbf, OsmXml}
+
+/** The reference's update regression (tests/bdd/regression/
+  * update.feature): import Liechtenstein, apply 000466354.osc.gz →
+  * point=1457, line=3274, roads=380, polygon=4277 — asserted EXACTLY,
+  * and the incremental path must agree with a full recompute.
+  */
+class ClassicUpdateSpec extends SparkSpecBase {
+
+  private val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+  private val osc = "/root/reference/tests/data/000466354.osc.gz"
+
+  test("liechtenstein + diff matches reference goldens, incremental == full") {
+    val style = StyleFile.defaultStyle
+    val before = OsmPbf.read(spark, pbf)
+    val prev = ClassicPipeline.run(before, style)
+    val changes = OsmXml.readChangeFile(spark, osc)
+
+    // full recompute on the updated entity state
+    val after = ClassicUpdate.applyChanges(before, changes)
+    val full = ClassicPipeline.run(after, style)
+    val fullCounts = (full.point.count(), full.line.count(),
+      full.roads.count(), full.polygon.count())
+    info(s"full recompute: $fullCounts")
+    assert(fullCounts == ((1457L, 3274L, 380L, 4277L)))
+
+    // incremental: closure + re-derive + delete-then-insert
+    val inc = ClassicUpdate.incrementalUpdate(before, changes, prev, style)
+    val incCounts = (inc.point.count(), inc.line.count(),
+      inc.roads.count(), inc.polygon.count())
+    info(s"incremental: $incCounts")
+    assert(incCounts == fullCounts)
+  }
+}
