@@ -36,13 +36,18 @@ object Dedup {
   /** MinHash signatures: `numHashes` salted-md5 min-hashes over word
     * `k`-shingles. Documents with fewer than k tokens produce no row
     * (no shingles → no signature), mirroring the oracle.
+    *
+    * Zero-shuffle form: each signature is `array_min` over a projected
+    * shingle array — a pure per-row projection inside WholeStageCodegen
+    * (the explode+groupBy formulation shuffles every shingle; at 100 TB
+    * that's the difference between a map-only stage and an all-to-all).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 4, k: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(shingles(normToks(col(textCol)), k)).as("s"))
-    val aggs = (0 until numHashes).map(i => minhashAgg(col("s"), i).as(s"m$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sh = shingles(normToks(col(textCol)), k)
+    val sigs = (0 until numHashes).map(i =>
+      array_min(transform(sh, s => md5(concat(lit(s"s$i|"), s)))).as(s"m$i"))
+    df.where(size(sh) > 0).select(col(idCol) +: sigs: _*)
   }
 
   /** LSH candidate pairs: signatures grouped into bands of `rowsPerBand`
@@ -51,18 +56,27 @@ object Dedup {
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 4, rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, k)
+    // Signatures here go through the explode+groupBy formulation on
+    // purpose: the aggregation ends in an Exchange, and ReusedExchange
+    // computes it ONCE for both sides of the self-join. The map-only
+    // projection form ([[minhashSignatures]]) is cheaper when consumed
+    // once, but as a join input it would be re-evaluated per branch —
+    // in production you'd persist the signature table before the join.
+    val shingled = df.select(col(idCol),
+      explode(shingles(normToks(col(textCol)), k)).as("s"))
+    val aggs = (0 until numHashes).map(i => minhashAgg(col("s"), i).as(s"m$i"))
+    val sigs = shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val nBands = numHashes / rowsPerBand
-    val bandPairs = (0 until nBands).map { b =>
-      val key = concat_ws(":",
+    val bandKeys = (0 until nBands).map { b =>
+      concat_ws(":", lit(b.toString) +:
         (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-      val banded = sigs.select(col(idCol).as("id"), key.as("band"))
-      val l = banded.select(col("id").as("id_a"), col("band"))
-      val r = banded.select(col("id").as("id_b"), col("band"))
-      l.join(r, "band").where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
     }
-    bandPairs.reduce(_ unionByName _).distinct()
+    val banded = sigs
+      .select(col(idCol).as("id"), explode(array(bandKeys: _*)).as("band"))
+    val l = banded.select(col("id").as("id_a"), col("band"))
+    val r = banded.select(col("id").as("id_b"), col("band"))
+    l.join(r, "band").where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   /** Exact Jaccard similarity over distinct token sets for given

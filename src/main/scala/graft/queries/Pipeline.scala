@@ -31,13 +31,20 @@ object Pipeline {
   private def qv(col: String) =
     s"list_transform($col, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
 
+  /** projection-only signature block mirroring the zero-shuffle Spark
+    * form: list_min over transformed shingle lists */
+  private val SigsSelect =
+    s"""SELECT doc_id,
+       |  list_min(list_transform(sh, s -> md5('s0|' || s))) AS m0,
+       |  list_min(list_transform(sh, s -> md5('s1|' || s))) AS m1,
+       |  list_min(list_transform(sh, s -> md5('s2|' || s))) AS m2,
+       |  list_min(list_transform(sh, s -> md5('s3|' || s))) AS m3
+       |FROM (SELECT doc_id, $ShingleList AS sh
+       |      FROM (SELECT doc_id, $W AS w FROM documents))
+       |WHERE len(sh) > 0""".stripMargin
+
   private val sigsCte =
-    s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
-       |sh AS (SELECT doc_id, unnest($ShingleList) AS s FROM w),
-       |sigs AS (SELECT doc_id,
-       |  min(md5('s0|' || s)) AS m0, min(md5('s1|' || s)) AS m1,
-       |  min(md5('s2|' || s)) AS m2, min(md5('s3|' || s)) AS m3
-       | FROM sh GROUP BY doc_id),
+    s"""WITH sigs AS ($SigsSelect),
        |bands AS (SELECT doc_id, m0 || ':' || m1 AS b0, m2 || ':' || m3 AS b1 FROM sigs),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -66,13 +73,7 @@ object Pipeline {
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
 
-  val minhashSignaturesSql: String =
-    s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
-       |sh AS (SELECT doc_id, unnest($ShingleList) AS s FROM w)
-       |SELECT doc_id,
-       |  min(md5('s0|' || s)) AS m0, min(md5('s1|' || s)) AS m1,
-       |  min(md5('s2|' || s)) AS m2, min(md5('s3|' || s)) AS m3
-       |FROM sh GROUP BY doc_id""".stripMargin
+  val minhashSignaturesSql: String = SigsSelect
 
   def minhashLshPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text")
