@@ -1,0 +1,173 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.geom._
+
+/** Geometry → dirty-tile cover (reference: src/expire-tiles.cpp
+  * 55-330): the exact per-geometry algorithms —
+  *  - points: buffered box around the containing tile;
+  *  - lines: 0.4-tile stepped walk along each segment, box-expiring
+  *    each step (with the date-line wrap rule);
+  *  - polygons: boundary walk plus, in full-area mode, the scanline
+  *    fill (row intersections sorted, fill between entry/exit pairs);
+  *  - hybrid mode: full-area unless the envelope exceeds
+  *    full_area_limit (expire-config.hpp:5-40).
+  *
+  * Geometry must be in 3857 (the reference only expires 3857 output,
+  * from_geometry_if_3857). Pure function per geometry → used as a
+  * flatMap/UDF; the cluster-wide dedup stays a DataFrame distinct.
+  */
+object TileCover {
+
+  sealed trait Mode
+  case object BoundaryOnly extends Mode
+  case object FullArea extends Mode
+  /** boundary if envelope wider/taller than fullAreaLimit (meters). */
+  final case class Hybrid(fullAreaLimit: Double = 10000.0) extends Mode
+
+  final case class Config(zoom: Int, mode: Mode = FullArea, buffer: Double = 0.1)
+
+  private val EC = graft.functions.TileFunctions.EarthCircumference
+
+  def cover(g: Geometry, cfg: Config): Set[(Long, Long)] = {
+    val mapWidth = 1L << cfg.zoom
+    val dirty = mutable.Set.empty[(Long, Long)]
+
+    def coordsToTile(p: Pt): (Double, Double) =
+      (mapWidth * (0.5 + p.x / EC), mapWidth * (0.5 - p.y / EC))
+
+    def normX(x: Long): Long = {
+      val m = x % mapWidth
+      if (m < 0) (mapWidth - m) + 1 else m
+    }
+
+    def expire(x: Long, y: Long): Unit =
+      if (y >= 0 && y < mapWidth) dirty += ((normX(x) % mapWidth, y))
+
+    def point(p: Pt): Unit = {
+      val (tx, ty) = coordsToTile(p)
+      val ymin = math.max(0L, (ty - cfg.buffer).toLong)
+      val ymax = math.min(mapWidth - 1, (ty + cfg.buffer).toLong)
+      var x = (tx - cfg.buffer).toLong
+      while (x <= (tx + cfg.buffer).toLong) {
+        var y = ymin
+        while (y <= ymax) { expire(x, y); y += 1 }
+        x += 1
+      }
+    }
+
+    def segment(a0: Pt, b0: Pt): Unit = {
+      var (ax, ay) = coordsToTile(a0)
+      var (bx, by) = coordsToTile(b0)
+      if (ax > bx) { val t = (ax, ay); ax = bx; ay = by; bx = t._1; by = t._2 }
+      var xLen = bx - ax
+      if (xLen > mapWidth / 2.0) { // date-line crossing
+        val nax = ax + mapWidth
+        val t = (nax, ay); ax = bx; ay = by; bx = t._1; by = t._2
+        xLen = bx - ax
+      }
+      val yLen = by - ay
+      val hyp = math.sqrt(xLen * xLen + yLen * yLen)
+      if (hyp == 0) { point(a0); return }
+      val xStep = xLen / hyp; val yStep = yLen / hyp
+      var i = 0
+      while (i <= (hyp / 0.4).toInt) {
+        val step = i * 0.4
+        val next = math.min(hyp, (i + 1) * 0.4)
+        val x1 = ax + step * xStep
+        var y1 = ay + step * yStep
+        val x2 = ax + next * xStep
+        var y2 = ay + next * yStep
+        if (y1 > y2) { val t = y1; y1 = y2; y2 = t }
+        var x = (x1 - cfg.buffer).toLong
+        while (x <= (x2 + cfg.buffer).toLong) {
+          var y = (y1 - cfg.buffer).toLong
+          while (y <= (y2 + cfg.buffer).toLong) { expire(x, y); y += 1 }
+          x += 1
+        }
+        i += 1
+      }
+    }
+
+    def pointList(ps: Seq[Pt]): Unit =
+      ps.iterator.zip(ps.iterator.drop(1)).foreach { case (a, b) =>
+        segment(a, b)
+      }
+
+    def polygonFill(poly: Polygon): Unit = {
+      val box = Box.of(poly).get
+      val maxTileY = (mapWidth * (0.5 - box.minY / EC)).toLong
+      val minTileY = (mapWidth * (0.5 - box.maxY / EC)).toLong
+      var tileY = minTileY
+      while (tileY < maxTileY) {
+        val xs = mutable.ArrayBuffer.empty[Long]
+        def ringCrossings(r: Ring): Unit = {
+          var i = 1
+          while (i < r.pts.size) {
+            val (x1, y1) = coordsToTile(r.pts(i))
+            val (x2, y2) = coordsToTile(r.pts(i - 1))
+            val ty = tileY.toDouble
+            if ((y1 < ty && y2 >= ty) || (y2 < ty && y1 >= ty)) {
+              val pos = (ty - y1) / (y2 - y1) * (x2 - x1)
+              xs += math.max(0.0,
+                math.min((mapWidth - 1).toDouble, x1 + pos)).toLong
+            }
+            i += 1
+          }
+        }
+        ringCrossings(poly.outer)
+        poly.inners.foreach(ringCrossings)
+        val sorted = xs.sorted
+        var i = 0
+        while (i + 1 < sorted.size) {
+          if (sorted(i) < mapWidth - 1 && sorted(i + 1) > 0) {
+            var x = sorted(i)
+            while (x <= sorted(i + 1)) { expire(x, tileY); x += 1 }
+          }
+          i += 2
+        }
+        tileY += 1
+      }
+    }
+
+    def decideFullArea(g: Geometry): Boolean = cfg.mode match {
+      case FullArea     => true
+      case BoundaryOnly => false
+      case Hybrid(limit) =>
+        Box.of(g).exists(b =>
+          (b.maxX - b.minX) <= limit && (b.maxY - b.minY) <= limit)
+    }
+
+    def walk(g: Geometry): Unit = g match {
+      case _: NullGeom       => ()
+      case Point(p, _)       => point(p)
+      case LineString(ps, _) => pointList(ps)
+      case MultiPoint(ps, _) => ps.foreach(p => point(p.pt))
+      case MultiLineString(ls, _) => ls.foreach(l => pointList(l.pts))
+      case p: Polygon =>
+        pointList(p.outer.pts); p.inners.foreach(r => pointList(r.pts))
+        if (decideFullArea(p)) polygonFill(p)
+      case MultiPolygon(ps, _)       => ps.foreach(walk)
+      case GeometryCollection(gs, _) => gs.foreach(walk)
+    }
+
+    walk(g)
+    dirty.toSet
+  }
+
+  /** DataFrame form: dirty tiles of an EWKB geometry column, deduped
+    * cluster-wide. */
+  def geometryCover(df: DataFrame, geomCol: Column, cfg: Config): DataFrame = {
+    val coverUdf = udf((b: Array[Byte]) =>
+      if (b == null) Seq.empty[(Long, Long)]
+      else cover(Ewkb.decode(b), cfg).toSeq)
+    df.select(explode(coverUdf(geomCol)).as("t"))
+      .select(col("t._1").as("x"), col("t._2").as("y"))
+      .distinct()
+      .withColumn("zoom", lit(cfg.zoom))
+  }
+}
