@@ -169,12 +169,19 @@ object ClassicPipeline {
         transform(col("resolved"), r => r.getField("lat")).as("lats"))
     val waysGeo = keptWays.join(resolved, "id")
 
+    // way_area: planar area of the written (projected) geometry,
+    // serialized with {:g} (6 significant digits, util::double_to_buffer_t
+    // src/util.hpp:28-45) then parsed by PG as real
+    // reproject_area=false default → area in output projection)
     val wayPolyRows = waysGeo
       .where(col("__polygon") && col("__closed"))
       .withColumn("geom", wayPolygonUdf(col("lons"), col("lats")))
       .where(col("geom").isNotNull)
       .select(col("id").as("osm_id"), col("__outtags").as("tags"),
-        col("__z").as("z_order"), col("geom"))
+        col("__z").as("z_order"), col("geom"),
+        format_string("%g",
+          graft.expressions.GeomExpressions.stAreaN(col("geom")))
+          .cast("float").as("way_area"))
 
     val wayLineRows = waysGeo
       .where(!(col("__polygon") && col("__closed")))
@@ -228,7 +235,10 @@ object ClassicPipeline {
       .where(col("__boundary") || col("__mkpoly"))
       .withColumn("geom", explode(relPolyUdf(col("mlons"), col("mlats"))))
       .select((-col("id")).as("osm_id"), col("__outtags").as("tags"),
-        col("__z").as("z_order"), col("geom"))
+        col("__z").as("z_order"), col("geom"),
+        format_string("%g",
+          graft.expressions.GeomExpressions.stAreaN(col("geom")))
+          .cast("float").as("way_area"))
 
     val line = wayLineRows.unionByName(relLineRows)
     Tables4(

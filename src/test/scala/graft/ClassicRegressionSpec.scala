@@ -25,5 +25,28 @@ class ClassicRegressionSpec extends SparkSpecBase {
     assert(nPoly == 4130L)
     assert(nLine == 3231L)
     assert(nRoads == 375L)
+
+    // geometry-sum goldens from the same feature:
+    //   sum(ST_Area(way))::int = 1247245186, sum(way_area)::int =
+    //   1247243136 (real-typed column), sum(ST_Length) line = 4211350,
+    //   roads = 2032023
+    import org.apache.spark.sql.functions._
+    import graft.expressions.GeomExpressions.{stAreaN, stLengthN}
+    import spark.implicits._
+    val sumArea = t.polygon.agg(sum(stAreaN($"geom"))).as[Double].head()
+    assert(math.abs(sumArea - 1247245186.0) / 1247245186.0 < 1e-4,
+      s"sum(ST_Area)=$sumArea")
+    // way_area golden reflects PG's float4-accumulating SUM (order-
+    // dependent low bits) — reproducible only to ~2e-6 relative
+    val sumWayArea = t.polygon.agg(sum($"way_area".cast("double")))
+      .as[Double].head()
+    assert(math.abs(sumWayArea - 1247243136.0) / 1247243136.0 < 1e-4,
+      s"sum(way_area)=$sumWayArea")
+    val sumLine = t.line.agg(sum(stLengthN($"geom"))).as[Double].head()
+    assert(math.abs(sumLine - 4211350.0) / 4211350.0 < 1e-4,
+      s"sum(line length)=$sumLine")
+    val sumRoads = t.roads.agg(sum(stLengthN($"geom"))).as[Double].head()
+    assert(math.abs(sumRoads - 2032023.0) / 2032023.0 < 1e-4,
+      s"sum(roads length)=$sumRoads")
   }
 }
