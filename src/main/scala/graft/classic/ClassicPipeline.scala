@@ -45,11 +45,15 @@ object ClassicPipeline {
     when(defval, !v.isin("no", "false", "0"))
       .otherwise(v.isin("yes", "true", "1"))
 
-  private def exportFilter(style: Style, osmType: String): Column = {
+  private def exportFilter(style: Style, osmType: String,
+      hstore: Boolean): Column = {
     val exact = style.exportKeys(osmType).toSet.toSeq
     val (wild, exactDel) = style.deleteKeys.partition(_.endsWith("*"))
     map_filter(col("tags"), (k, v) => {
-      val inExport = k.isInCollection(exact)
+      // hstore mode (-k/-j): unmatched keys also keep the object and
+      // are copied to the hstore (src/tagtransform-c.cpp:126-151);
+      // polygon flags still come only from exact style matches
+      val inExport = if (hstore) lit(true) else k.isInCollection(exact)
       val deleted = exactDel.foldLeft(lit(false))((acc, d) => acc || k === d) ||
         wild.foldLeft(lit(false))((acc, p) =>
           acc || k.startsWith(p.dropRight(1)))
@@ -61,9 +65,9 @@ object ClassicPipeline {
   /** Adds __outtags, __keep, __polygon columns (ways/relations use the
     * way export list). */
   private def withFilter(df: DataFrame, style: Style, osmType: String,
-      wantPolygon: Boolean): DataFrame = {
+      wantPolygon: Boolean, hstore: Boolean = false): DataFrame = {
     val listType = if (osmType == "relation") "way" else osmType
-    val out = exportFilter(style, listType)
+    val out = exportFilter(style, listType, hstore)
     val base = df
       .where(size(col("tags")) > 0) // ignore_untagged_objects default
       .withColumn("__coast", col("tags").getItem("natural") <=> "coastline")
@@ -102,7 +106,7 @@ object ClassicPipeline {
     }.getOrElse(df)
 
   def run(osm: OsmDataFrames, style: Style, srid: Int = Srid.WebMercator,
-      subset: Subset = Subset()): Tables4 = {
+      subset: Subset = Subset(), hstore: Boolean = false): Tables4 = {
     val spark = osm.nodes.sparkSession
     val splitAt = if (srid == Srid.WGS84) 1.0 else 100 * 1000.0
 
@@ -145,14 +149,14 @@ object ClassicPipeline {
 
     // ---- nodes → point table ----
     val points = withFilter(restrict(osm.nodes, subset.nodeIds), style,
-      "node", wantPolygon = false)
+      "node", wantPolygon = false, hstore = hstore)
       .where(col("__keep") && size(col("__outtags")) > 0)
       .select(col("id").as("osm_id"), col("__outtags").as("tags"),
         col("lon"), col("lat"))
 
     // ---- ways ----
     val keptWays = withFilter(restrict(osm.ways, subset.wayIds), style,
-      "way", wantPolygon = true)
+      "way", wantPolygon = true, hstore = hstore)
       .where(col("__keep") && size(col("__outtags")) > 0)
       .withColumn("__closed",
         element_at(col("nodes"), 1) ===
@@ -193,7 +197,14 @@ object ClassicPipeline {
     val typed = restrict(osm.relations, subset.relIds)
       .withColumn("__type", col("tags").getItem("type"))
       .where(col("__type").isin("route", "multipolygon", "boundary"))
-    val keptRels = withFilter(typed, style, "relation", wantPolygon = false)
+    // relations: out_tags exclude the special-cased "type" tag
+    // (filter_rel_member_tags copies everything BUT type,
+    // src/tagtransform-c.cpp:249-258) — matters in hstore mode where
+    // type would otherwise survive the export filter
+    val keptRels = withFilter(typed, style, "relation",
+      wantPolygon = false, hstore = hstore)
+      .withColumn("__outtags",
+        map_filter(col("__outtags"), (k, _) => k =!= "type"))
       .where(col("__keep") && size(col("__outtags")) > 0)
       .withColumn("__boundary",
         col("__type") === "boundary" ||

@@ -34,4 +34,17 @@ class ClassicUpdateSpec extends SparkSpecBase {
     info(s"incremental: $incCounts")
     assert(incCounts == fullCounts)
   }
+
+  test("hstore mode (-k/-j) matches its own update goldens") {
+    val style = StyleFile.defaultStyle
+    val before = OsmPbf.read(spark, pbf)
+    val changes = OsmXml.readChangeFile(spark, osc)
+    val after = ClassicUpdate.applyChanges(before, changes)
+    val t = ClassicPipeline.run(after, style, hstore = true)
+    val counts = (t.point.count(), t.line.count(), t.roads.count(),
+      t.polygon.count())
+    info(s"hstore: $counts")
+    // update.feature hstore scenario: 1475 / 3297 / 380 / 4278
+    assert(counts == ((1475L, 3297L, 380L, 4278L)))
+  }
 }
