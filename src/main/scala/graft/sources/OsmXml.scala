@@ -3,7 +3,7 @@ package graft.sources
 import java.io.StringReader
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.{OsmMember, OsmNode, OsmRelation, OsmWay}
 
@@ -153,17 +153,20 @@ object OsmXml {
       parsed.relations.toDF("action", "r").select($"action", $"r.*"))
   }
 
-  /** Read OSM XML files distributed (one split per file). */
+  /** Read OSM XML files distributed (one split per file). The PARSED
+    * entities are cached, not the raw text — each file is parsed once
+    * even though three entity frames are derived from it. */
   def read(spark: SparkSession, paths: Seq[String]): OsmDataFrames = {
     import spark.implicits._
-    val parsed: Dataset[(String, String)] = spark.sparkContext
-      .wholeTextFiles(paths.mkString(",")).toDS()
-    val cached = parsed.cache()
-    val nodes = cached.flatMap { case (_, xml) => parseString(xml).nodes }
+    val parsed = spark.sparkContext
+      .wholeTextFiles(paths.mkString(","))
+      .map { case (_, xml) => parseString(xml) }
+      .cache()
+    val nodes = parsed.flatMap(_.nodes)
       .toDF("action", "n").select("action", "n.*")
-    val ways = cached.flatMap { case (_, xml) => parseString(xml).ways }
+    val ways = parsed.flatMap(_.ways)
       .toDF("action", "w").select("action", "w.*")
-    val rels = cached.flatMap { case (_, xml) => parseString(xml).relations }
+    val rels = parsed.flatMap(_.relations)
       .toDF("action", "r").select("action", "r.*")
     OsmDataFrames(nodes, ways, rels)
   }
