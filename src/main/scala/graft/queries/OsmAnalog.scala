@@ -313,7 +313,37 @@ object OsmAnalog {
       |WHERE k % 7 = 0
       |GROUP BY 1, 2""".stripMargin
 
+  /** §2.8 two-stage flex processing: relations mark member ways
+    * (select_relation_members); marked ways are re-derived in stage 2
+    * with relation context. Customers (relations) with high balance
+    * mark their orders (ways). */
+  def twoStage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ways = Tables.orders(s, d).select($"o_orderkey".as("id"),
+      $"o_custkey", $"o_totalprice")
+    val rels = Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey")
+      .groupBy($"c_custkey".as("rid"), $"c_acctbal")
+      .agg(collect_list(struct(lit("w").as("type"),
+        $"o_orderkey".as("ref"))).as("members"))
+    val out = graft.flex.TwoStage.run(ways, rels,
+      selectRelationMembers = r => r.where($"c_acctbal" > 5000.0)
+        .select(explode(graft.flex.Helpers.memberIds($"members", "w"))),
+      processStage1 = w => w.select($"id", lit(1).as("stage")),
+      processStage2 = w => w.select($"id", lit(2).as("stage")))
+    out.groupBy($"stage").agg(count(lit(1)).as("n"))
+  }
+
+  val twoStageSql: String =
+    """SELECT CASE WHEN EXISTS (
+      |         SELECT 1 FROM customer
+      |         WHERE c_custkey = o_custkey AND c_acctbal > 5000.0)
+      |       THEN 2 ELSE 1 END AS stage,
+      |       count(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q42_osm_two_stage"          -> (twoStage _),
     "q30_osm_kway_merge"         -> (kwayMerge _),
     "q31_osm_resolve_way_nodes"  -> (resolveWayNodes _),
     "q32_osm_node_parents"       -> (nodeParents _),
@@ -328,6 +358,7 @@ object OsmAnalog {
     "q41_osm_style_filter"       -> (styleFilter _))
 
   val oracles: Map[String, String] = Map(
+    "q42_osm_two_stage"          -> twoStageSql,
     "q30_osm_kway_merge"         -> kwayMergeSql,
     "q31_osm_resolve_way_nodes"  -> resolveWayNodesSql,
     "q32_osm_node_parents"       -> nodeParentsSql,
