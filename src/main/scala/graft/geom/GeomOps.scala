@@ -358,7 +358,10 @@ object GeomOps {
       case MultiPolygon(ps, s) =>
         val cs = ps.map(polyCentroid)
         val w = cs.map(_._2).sum
-        Point(Pt(cs.map(c => c._1.x * c._2).sum / w,
+        // all-degenerate (every ring zero-area): fall back to the first
+        // part's representative point rather than dividing by zero
+        if (w == 0) Point(cs.head._1, s)
+        else Point(Pt(cs.map(c => c._1.x * c._2).sum / w,
           cs.map(c => c._1.y * c._2).sum / w), s)
       case gc @ GeometryCollection(gs, s) =>
         val d = gc.dimension

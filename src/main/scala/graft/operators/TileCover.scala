@@ -45,8 +45,10 @@ object TileCover {
       if (m < 0) (mapWidth - m) + 1 else m
     }
 
+    // Reference expire_tile takes normalise_tile_x_coord's result as-is
+    // (expire-tiles.cpp:55-62,94,314) — no further wrapping.
     def expire(x: Long, y: Long): Unit =
-      if (y >= 0 && y < mapWidth) dirty += ((normX(x) % mapWidth, y))
+      if (y >= 0 && y < mapWidth) dirty += ((normX(x), y))
 
     def point(p: Pt): Unit = {
       val (tx, ty) = coordsToTile(p)
@@ -64,11 +66,14 @@ object TileCover {
       var (ax, ay) = coordsToTile(a0)
       var (bx, by) = coordsToTile(b0)
       if (ax > bx) { val t = (ax, ay); ax = bx; ay = by; bx = t._1; by = t._2 }
-      var xLen = bx - ax
-      if (xLen > mapWidth / 2.0) { // date-line crossing
+      // x_len is fixed BEFORE the date-line adjustment and deliberately
+      // not recomputed after it, mirroring expire-tiles.cpp:280-292
+      // (const x_len feeds hyp/x_step even when the endpoints are
+      // wrapped+swapped; the walked x coords normalise later).
+      val xLen = bx - ax
+      if (xLen > mapWidth / 2) { // date-line crossing
         val nax = ax + mapWidth
         val t = (nax, ay); ax = bx; ay = by; bx = t._1; by = t._2
-        xLen = bx - ax
       }
       val yLen = by - ay
       val hyp = math.sqrt(xLen * xLen + yLen * yLen)

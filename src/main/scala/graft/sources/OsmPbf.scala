@@ -99,10 +99,21 @@ object OsmPbf {
     inf.setInput(data)
     val out = new Array[Byte](rawSize)
     var off = 0
-    while (off < rawSize && !inf.finished())
-      off += inf.inflate(out, off, rawSize - off)
-    inf.end()
-    out
+    try {
+      while (off < rawSize && !inf.finished()) {
+        val n = inf.inflate(out, off, rawSize - off)
+        // inflate()==0 with more output expected means the stream is
+        // truncated/corrupt (needsInput/needsDictionary) — fail instead
+        // of spinning.
+        if (n == 0)
+          throw new java.util.zip.ZipException(
+            s"truncated or corrupt zlib blob: $off of $rawSize bytes " +
+              s"inflated (needsInput=${inf.needsInput}, " +
+              s"needsDictionary=${inf.needsDictionary})")
+        off += n
+      }
+      out
+    } finally inf.end()
   }
 
   // ---------- blob framing ----------
@@ -201,10 +212,14 @@ object OsmPbf {
           val n = g.message()
           var id = 0L; var lat = 0L; var lon = 0L
           var keys = Array.empty[Long]; var vals = Array.empty[Long]
+          // Repeated scalars: accept both packed (wire 2) chunks and
+          // spec-legal unpacked (wire 0) single values, appending each.
           while (n.hasMore) n.tag() match {
             case (1, 0) => id = n.zigzag()
-            case (2, 2) => keys = n.packedVarints()
-            case (3, 2) => vals = n.packedVarints()
+            case (2, 2) => keys = keys ++ n.packedVarints()
+            case (2, 0) => keys = keys :+ n.varint()
+            case (3, 2) => vals = vals ++ n.packedVarints()
+            case (3, 0) => vals = vals :+ n.varint()
             case (8, 0) => lat = n.zigzag()
             case (9, 0) => lon = n.zigzag()
             case (_, w) => n.skip(w)
@@ -220,10 +235,14 @@ object OsmPbf {
           var lats = Array.empty[Long]; var lons = Array.empty[Long]
           var kvs = Array.empty[Long]
           while (d.hasMore) d.tag() match {
-            case (1, 2)  => ids = d.packedZigzags()
-            case (8, 2)  => lats = d.packedZigzags()
-            case (9, 2)  => lons = d.packedZigzags()
-            case (10, 2) => kvs = d.packedVarints()
+            case (1, 2)  => ids = ids ++ d.packedZigzags()
+            case (1, 0)  => ids = ids :+ d.zigzag()
+            case (8, 2)  => lats = lats ++ d.packedZigzags()
+            case (8, 0)  => lats = lats :+ d.zigzag()
+            case (9, 2)  => lons = lons ++ d.packedZigzags()
+            case (9, 0)  => lons = lons :+ d.zigzag()
+            case (10, 2) => kvs = kvs ++ d.packedVarints()
+            case (10, 0) => kvs = kvs :+ d.varint()
             case (_, w)  => d.skip(w)
           }
           var id = 0L; var lat = 0L; var lon = 0L; var kv = 0
@@ -247,9 +266,12 @@ object OsmPbf {
           var refs = Array.empty[Long]
           while (wmsg.hasMore) wmsg.tag() match {
             case (1, 0) => id = wmsg.varint()
-            case (2, 2) => keys = wmsg.packedVarints()
-            case (3, 2) => vals = wmsg.packedVarints()
-            case (8, 2) => refs = wmsg.packedZigzags()
+            case (2, 2) => keys = keys ++ wmsg.packedVarints()
+            case (2, 0) => keys = keys :+ wmsg.varint()
+            case (3, 2) => vals = vals ++ wmsg.packedVarints()
+            case (3, 0) => vals = vals :+ wmsg.varint()
+            case (8, 2) => refs = refs ++ wmsg.packedZigzags()
+            case (8, 0) => refs = refs :+ wmsg.zigzag()
             case (_, w) => wmsg.skip(w)
           }
           var acc = 0L
@@ -266,11 +288,16 @@ object OsmPbf {
           var types = Array.empty[Long]
           while (r.hasMore) r.tag() match {
             case (1, 0)  => id = r.varint()
-            case (2, 2)  => keys = r.packedVarints()
-            case (3, 2)  => vals = r.packedVarints()
-            case (8, 2)  => roles = r.packedVarints()
-            case (9, 2)  => memids = r.packedZigzags()
-            case (10, 2) => types = r.packedVarints()
+            case (2, 2)  => keys = keys ++ r.packedVarints()
+            case (2, 0)  => keys = keys :+ r.varint()
+            case (3, 2)  => vals = vals ++ r.packedVarints()
+            case (3, 0)  => vals = vals :+ r.varint()
+            case (8, 2)  => roles = roles ++ r.packedVarints()
+            case (8, 0)  => roles = roles :+ r.varint()
+            case (9, 2)  => memids = memids ++ r.packedZigzags()
+            case (9, 0)  => memids = memids :+ r.zigzag()
+            case (10, 2) => types = types ++ r.packedVarints()
+            case (10, 0) => types = types :+ r.varint()
             case (_, w)  => r.skip(w)
           }
           var acc = 0L
