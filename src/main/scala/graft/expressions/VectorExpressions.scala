@@ -1,0 +1,254 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst kernels for the vector/dedup hot path.
+  *
+  * Spark's higher-order functions (`transform`, `aggregate`,
+  * `zip_with`, `array_sort`) are CodegenFallback: every call is
+  * interpreted and materializes intermediate arrays. That is fine for
+  * a projection evaluated once per row, but the dedup/similarity
+  * operators evaluate these kernels once per *pair* (O(N²) in the
+  * verification stages), where interpretation overhead dominates the
+  * arithmetic by 10-100×. These expressions generate straight-line
+  * Java loops over `ArrayData` instead — no intermediate arrays, no
+  * closure dispatch — and stay inside whole-stage codegen.
+  *
+  * Semantics are bit-identical to the Column forms they replace (the
+  * DuckDB oracle hash-compare is the proof): quantization reproduces
+  * `round(cast(x as double) * scale)` exactly via the same
+  * BigDecimal HALF_UP path Spark's Round uses, and the MinHash kernel
+  * reproduces `array_min(transform(sh, s -> md5('sN|' || s)))` with
+  * unsigned byte-wise digest comparison (== hex-string order, since
+  * the hex alphabet is monotone in the nibble value).
+  */
+object VectorKernels {
+
+  /** exact integer dot product of two long arrays */
+  def qdot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** double dot product of two double arrays (sequential fold order —
+    * same as `aggregate(zip_with(a, b, *), 0d, +)`) */
+  def ddot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** float array → quantized long array at `scale`; element rule is
+    * exactly Spark's `round(cast(x as double)*scale)` (BigDecimal
+    * HALF_UP on the decimal string value) followed by a long cast. */
+  def quantize(a: ArrayData, scale: Int): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i).toDouble * scale
+      out(i) = java.math.BigDecimal
+        .valueOf(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+        .toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexChars(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** All `num` MinHash signatures in one pass over the `k`-shingles of
+    * a token array: for salt s, min over shingles of
+    * md5("s<s>|" ++ shingle), min taken byte-wise unsigned (== hex
+    * string order). Returns an empty array when there are no shingles
+    * (fewer than k tokens). */
+  def minhashSigs(tokens: ArrayData, k: Int, num: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(new Array[Any](0))
+    val md = MessageDigest.getInstance("MD5")
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    val prefixes = Array.tabulate(num)(s => s"s$s|".getBytes("UTF-8"))
+    val mins = new Array[Array[Byte]](num)
+    i = 0
+    while (i <= n - k) {
+      var len = k - 1
+      var j = 0
+      while (j < k) { len += toks(i + j).length; j += 1 }
+      val shingle = new Array[Byte](len)
+      var off = 0
+      j = 0
+      while (j < k) {
+        if (j > 0) { shingle(off) = ' '; off += 1 }
+        val t = toks(i + j)
+        System.arraycopy(t, 0, shingle, off, t.length)
+        off += t.length
+        j += 1
+      }
+      var s = 0
+      while (s < num) {
+        md.reset()
+        md.update(prefixes(s))
+        md.update(shingle)
+        val d = md.digest()
+        if (mins(s) == null ||
+          java.util.Arrays.compareUnsigned(d, mins(s)) < 0) mins(s) = d
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(d => hex(d): Any))
+  }
+
+  /** md5 hex of the space-joined sorted distinct token set —
+    * `md5(concat_ws(" ", array_sort(array_distinct(tokens))))` in one
+    * pass (UTF8String natural order == Spark's binary string order). */
+  def sortedTokenFp(tokens: ArrayData): UTF8String = {
+    val n = tokens.numElements()
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i < n) { set.add(tokens.getUTF8String(i)); i += 1 }
+    val md = MessageDigest.getInstance("MD5")
+    val it = set.iterator()
+    var first = true
+    while (it.hasNext) {
+      if (!first) md.update(' '.toByte)
+      md.update(it.next().getBytes)
+      first = false
+    }
+    hex(md.digest())
+  }
+}
+
+/** qdot(a, b): exact long dot product, codegen'd loop. */
+case class QDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.qdot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |long $s = 0L;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** ddot(a, b): double dot product, codegen'd loop. */
+case class DDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.ddot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |double $s = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** quantize(float array, scale) → long array. */
+case class QuantizeExpr(child: Expression, scale: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.quantize(v.asInstanceOf[ArrayData], scale)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorKernels.quantize($c, $scale)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** minhash_sigs(tokens, k, num) → array of `num` hex signature
+  * strings (empty when fewer than k tokens). */
+case class MinHashSigsExpr(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.minhashSigs(v.asInstanceOf[ArrayData], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorKernels.minhashSigs($c, $k, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** sorted_token_fp(tokens) → md5 hex of sorted distinct token set. */
+case class SortedTokenFpExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.sortedTokenFp(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorKernels.sortedTokenFp($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object VectorExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def qdotN(a: Column, b: Column): Column =
+    column(QDotExpr(expression(a), expression(b)))
+  def ddotN(a: Column, b: Column): Column =
+    column(DDotExpr(expression(a), expression(b)))
+  def quantizeN(a: Column, scale: Int): Column =
+    column(QuantizeExpr(expression(a), scale))
+  def minhashSigsN(tokens: Column, k: Int, num: Int): Column =
+    column(MinHashSigsExpr(expression(tokens), k, num))
+  def sortedTokenFpN(tokens: Column): Column =
+    column(SortedTokenFpExpr(expression(tokens)))
+}

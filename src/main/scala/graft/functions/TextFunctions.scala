@@ -52,9 +52,12 @@ object TextFunctions {
 
   /** Sorted-distinct-token document fingerprint (the classic "shingle
     * fingerprint" for near-dup detection under word reordering).
+    * One codegen'd pass — equivalent to
+    * `md5(concat_ws(" ", array_sort(array_distinct(normToks(c)))))`
+    * but without the interpreted array_sort/array_distinct pair.
     */
   def sortedTokenFingerprint(c: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(normToks(c)))))
+    graft.expressions.VectorExpressions.sortedTokenFpN(normToks(c))
 
   /** Nibble value (0-15) of hex digit `j` (0-based) of an md5 hex string.
     * Built on instr so the identical expression runs in DuckDB.

@@ -7,36 +7,41 @@ import org.apache.spark.sql.functions._
   *
   * Two families:
   *  - double-precision ops (`dot`, `norm`, `cosine`) — the production
-  *    path: sequential left-fold via `aggregate`, stays in codegen, no
-  *    UDF, no driver state;
+  *    path;
   *  - quantized integer ops (`quantize`, `qdot`) — exact long arithmetic
   *    used by the oracle-checked queries, because integer math is
   *    bit-identical across engines while float summation order is not.
+  *
+  * All are backed by the codegen'd kernels in
+  * [[graft.expressions.VectorExpressions]] (a straight Java loop over
+  * ArrayData) rather than `aggregate(zip_with(...))`, whose
+  * higher-order functions are CodegenFallback — interpreted and
+  * allocating an intermediate array per call, which dominates when a
+  * kernel runs once per candidate *pair* rather than once per row.
   *
   * At 100 TB scale these are all per-row projections (no shuffle); the
   * expensive part of similarity search is the candidate generation, see
   * [[graft.operators.Similarity]].
   */
 object VectorFunctions {
+  import graft.expressions.VectorExpressions._
 
-  /** Dot product in double: zip_with multiply + sequential fold. */
+  /** Dot product in double: codegen'd sequential loop (same fold order
+    * as the zip_with formulation). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
-      lit(0.0), _ + _)
+    ddotN(a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Quantize to long at `scale` (default 1e-3 resolution). Float→double
-    * widening is exact; round is half-away-from-zero on both engines. */
-  def quantize(a: Column, scale: Int = 1000): Column =
-    transform(a, x => round(x.cast("double") * scale).cast("long"))
+    * widening is exact; rounding is Spark `round`'s exact BigDecimal
+    * HALF_UP rule, which DuckDB's round matches. */
+  def quantize(a: Column, scale: Int = 1000): Column = quantizeN(a, scale)
 
   /** Exact dot product of two already-quantized long arrays. */
-  def qdot(qa: Column, qb: Column): Column =
-    aggregate(zip_with(qa, qb, _ * _), lit(0L), _ + _)
+  def qdot(qa: Column, qb: Column): Column = qdotN(qa, qb)
 
   /** Cosine over quantized vectors: exact integer dot/norms, one final
     * double division — deterministic cross-engine. */

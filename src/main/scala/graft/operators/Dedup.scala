@@ -37,35 +37,35 @@ object Dedup {
     * `k`-shingles. Documents with fewer than k tokens produce no row
     * (no shingles → no signature), mirroring the oracle.
     *
-    * Zero-shuffle form: each signature is `array_min` over a projected
-    * shingle array — a pure per-row projection inside WholeStageCodegen
-    * (the explode+groupBy formulation shuffles every shingle; at 100 TB
-    * that's the difference between a map-only stage and an all-to-all).
+    * Zero-shuffle form: all `numHashes` signatures come from ONE
+    * codegen'd pass over the token array
+    * ([[graft.expressions.MinHashSigsExpr]]) — a pure per-row
+    * projection inside WholeStageCodegen (the explode+groupBy
+    * formulation shuffles every shingle; at 100 TB that's the
+    * difference between a map-only stage and an all-to-all).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 4, k: Int = 3): DataFrame = {
-    val sh = shingles(normToks(col(textCol)), k)
-    val sigs = (0 until numHashes).map(i =>
-      array_min(transform(sh, s => md5(concat(lit(s"s$i|"), s)))).as(s"m$i"))
-    df.where(size(sh) > 0).select(col(idCol) +: sigs: _*)
+    val sigs = df.select(col(idCol),
+      graft.expressions.VectorExpressions
+        .minhashSigsN(normToks(col(textCol)), k, numHashes).as("sig"))
+      .where(size(col("sig")) > 0)
+    sigs.select(col(idCol) +:
+      (0 until numHashes).map(i => col("sig")(i).as(s"m$i")): _*)
   }
 
   /** LSH candidate pairs: signatures grouped into bands of `rowsPerBand`
     * hashes; two documents are candidates iff they collide on at least
     * one full band. Returns distinct (id_a, id_b) with id_a < id_b.
+    *
+    * Both join branches project from the same banded plan, so the
+    * band-key Exchange is computed once and reused (ReusedExchange) —
+    * signatures are NOT evaluated twice. The only all-to-all is the
+    * band-key shuffle of (id, band) pairs — 2 small rows per doc.
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 4, rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
-    // Signatures here go through the explode+groupBy formulation on
-    // purpose: the aggregation ends in an Exchange, and ReusedExchange
-    // computes it ONCE for both sides of the self-join. The map-only
-    // projection form ([[minhashSignatures]]) is cheaper when consumed
-    // once, but as a join input it would be re-evaluated per branch —
-    // in production you'd persist the signature table before the join.
-    val shingled = df.select(col(idCol),
-      explode(shingles(normToks(col(textCol)), k)).as("s"))
-    val aggs = (0 until numHashes).map(i => minhashAgg(col("s"), i).as(s"m$i"))
-    val sigs = shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, k)
     val nBands = numHashes / rowsPerBand
     val bandKeys = (0 until nBands).map { b =>
       concat_ws(":", lit(b.toString) +:
@@ -116,14 +116,28 @@ object Dedup {
       threshold: Double, blockCol: Option[Column] = None): DataFrame = {
     // norms are computed ONCE per vector before the join — inside the
     // pair loop they'd be recomputed O(N²) times
-    val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+    val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"),
+      blockCol.getOrElse(lit(0)).as("blk"))
       .withColumn("nrm", sqrt(qdot(col("q"), col("q")).cast("double")))
-      .withColumn("blk", blockCol.getOrElse(lit(0)))
     val l = base.select(col("id").as("id_a"), col("q").as("qa"),
       col("nrm").as("na"), col("blk"))
     val r = base.select(col("id").as("id_b"), col("q").as("qb"),
       col("nrm").as("nb"), col("blk"))
-    l.join(r, "blk").where(col("id_a") < col("id_b"))
+    val paired = blockCol match {
+      case Some(_) =>
+        // blocked path (the 100 TB shape): candidates only within an
+        // LSH bucket — an equi-join that shuffles on real keys
+        l.join(r, "blk")
+      case None =>
+        // exact full verification: O(N²) by construction. The pair
+        // generation must PARALLELIZE, not shuffle to the single
+        // constant-key partition an equi-join on blk=0 would use —
+        // repartition the probe side and broadcast the build side so
+        // every core scores its own slice of pairs.
+        l.drop("blk").repartition(col("id_a"))
+          .crossJoin(broadcast(r.drop("blk")))
+    }
+    paired.where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (qdot(col("qa"), col("qb")).cast("double") /
           (col("na") * col("nb"))).as("cos"))
