@@ -146,6 +146,47 @@ object VectorKernels {
   }
 }
 
+/** word_counts(tokens, words): occurrence count of each listed word in
+  * one pass over the token array (vs one interpreted `filter` scan per
+  * word). Lookup is a prebuilt word→slot map, O(tokens) per row. */
+case class WordCountsExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val slots: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    words.zipWithIndex.foreach { case (w, i) =>
+      m.put(UTF8String.fromString(w), i)
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](words.size)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val s = slots.get(tokens.getUTF8String(i))
+      if (s != null) counts(s) += 1
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  // eval does one hash probe per token; fresh codegen would buy nothing
+  // over the fallback's per-row call here (no inner interpreted lambda)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordCountsExpr", this,
+      classOf[WordCountsExpr].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** qdot(a, b): exact long dot product, codegen'd loop. */
 case class QDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -251,4 +292,6 @@ object VectorExpressions {
     column(MinHashSigsExpr(expression(tokens), k, num))
   def sortedTokenFpN(tokens: Column): Column =
     column(SortedTokenFpExpr(expression(tokens)))
+  def wordCountsN(tokens: Column, words: Seq[String]): Column =
+    column(WordCountsExpr(expression(tokens), words))
 }

@@ -45,11 +45,23 @@ object TextAnalysis {
 
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = normToks(col(textCol))
-    val counts: Seq[(String, Column)] = markerFamilies.map { case (fam, words) =>
-      fam -> words.map(occurrences(w, _)).reduce(_ + _)
-    }
+    // all marker words counted in ONE pass over the token array
+    // (graft.expressions.WordCountsExpr); the family count is a scalar
+    // sum of that array's slots
+    val allWords = markerFamilies.flatMap(_._2)
+    val famOffsets = markerFamilies.scanLeft(0)(_ + _._2.size)
     val passThrough = df.columns.filter(_ != textCol).map(col).toSeq
-    val withCounts = df.select(
+    // materialize the count array once; the per-family sums reference
+    // its slots (CollapseProject keeps the non-cheap kernel un-inlined)
+    val withCnt = df.select(passThrough :+
+      graft.expressions.VectorExpressions.wordCountsN(w, allWords).as("_mc"): _*)
+    val counts: Seq[(String, Column)] =
+      markerFamilies.zipWithIndex.map { case ((fam, words), f) =>
+        fam -> words.indices
+          .map(i => col("_mc")(famOffsets(f) + i))
+          .reduce(_ + _)
+      }
+    val withCounts = withCnt.select(
       passThrough ++ counts.map { case (f, c) => c.as(s"c_$f") }: _*)
     // argmax in declaration order: first family ≥ all later ones wins
     val predicted = counts.indices.init.foldRight(
