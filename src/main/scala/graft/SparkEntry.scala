@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Pipeline.queries ++
-      graft.queries.OsmAnalog.queries
+      graft.queries.OsmAnalog.queries ++
+      graft.queries.GenQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Pipeline.oracles ++
-      graft.queries.OsmAnalog.oracles
+      graft.queries.OsmAnalog.oracles ++
+      graft.queries.GenQueries.oracles
 }

@@ -71,9 +71,10 @@ object Gen {
     val pairs = base.join(neighbors, Seq("cx", "cy"))
       .where(col("nimp") > col("imp") ||
         (col("nimp") === col("imp") && col("nid") < col("pid")))
+      // explicit multiply, not pow(x,2): bit-identical cross-engine
       .select(col("pid"),
-        sqrt(pow(col("px") - col("nx"), 2) + pow(col("py") - col("ny"), 2))
-          .as("d"))
+        sqrt((col("px") - col("nx")) * (col("px") - col("nx")) +
+          (col("py") - col("ny")) * (col("py") - col("ny"))).as("d"))
     base.select(col("pid"), col("px"), col("py"), col("imp"))
       .join(pairs.groupBy(col("pid")).agg(min(col("d")).as("isolation")),
         Seq("pid"), "left")
@@ -88,6 +89,19 @@ object Gen {
     segments.groupBy(col(wayIdCol))
       .agg((sum(col(lenCol) * col(widthCol)) / sum(col(lenCol)))
         .as("avg_width"), sum(col(lenCol)).as("total_len"))
+
+  /** [[riverWidths]] with cross-engine-exact arithmetic (decimal sums
+    * via [[graft.queries.Exact]], one final double division) — the
+    * oracle-checked form. */
+  def riverWidthsExact(segments: DataFrame, wayIdCol: String,
+      lenCol: String, widthCol: String, scale: Int = 6): DataFrame = {
+    import graft.queries.Exact
+    segments.groupBy(col(wayIdCol))
+      .agg(
+        (Exact.dsumProd(col(lenCol), col(widthCol), scale) /
+          Exact.dsum(col(lenCol))).as("avg_width"),
+        Exact.dsum(col(lenCol)).as("total_len"))
+  }
 
   /** tile-sql strategy (src/gen/gen-tile-sql.cpp:1-47): run a SQL
     * template once per tile with {x}/{y}/{zoom} substituted, union the
