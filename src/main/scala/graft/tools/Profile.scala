@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev profiler: stage-by-stage timings for a hot query (run with
+  * SPARK_GRAFT_SF_DIR). Not part of the driver contract. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-profile")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s  (rows=$n)")
+    }
+
+    val docs = graft.Tables.documents(spark, sfDir)
+    time("read+count")(docs.count())
+    time("read+count again")(docs.count())
+    import graft.functions.TextFunctions._
+    time("normToks size sum") {
+      docs.select(size(normToks($"text")).as("n")).agg(sum($"n")).count()
+    }
+    time("sortedTokenFp project") {
+      docs.select(sortedTokenFingerprint($"text").as("fp")).count()
+    }
+    time("sortedTokenFp project+hash-agg") {
+      docs.groupBy(sortedTokenFingerprint($"text").as("fp"))
+        .agg(count(lit(1))).count()
+    }
+    time("q11 full") {
+      graft.operators.Dedup.sortedTokenGroups(docs, "doc_id", "text").count()
+    }
+    time("q11 full again") {
+      graft.operators.Dedup.sortedTokenGroups(docs, "doc_id", "text").count()
+    }
+    graft.operators.Dedup.sortedTokenGroups(docs, "doc_id", "text")
+      .explain("formatted")
+    spark.stop()
+  }
+}

@@ -55,4 +55,61 @@ class OsmPbfSpec extends SparkSpecBase {
       "left_semi").count()
     assert(resolved.toDouble / refs.count() > 0.99)
   }
+
+  // ---- protobuf wire-format edge cases (hand-crafted messages) ----
+
+  private def vint(n: Long): Array[Byte] = {
+    val out = Array.newBuilder[Byte]
+    var v = n
+    while ((v & ~0x7fL) != 0) { out += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+    out += v.toByte
+    out.result()
+  }
+  private def zz(n: Long): Long = (n << 1) ^ (n >> 63)
+  private def keyed(field: Int, wire: Int): Array[Byte] =
+    vint((field << 3) | wire)
+  private def msg(field: Int, body: Array[Byte]): Array[Byte] =
+    keyed(field, 2) ++ vint(body.length) ++ body
+
+  test("unpacked (wire 0) repeated scalars decode like packed") {
+    // way 42 with refs 100, 101 (delta 100, +1)
+    def wayBlock(refsBytes: Array[Byte]): Array[Byte] = {
+      val way = keyed(1, 0) ++ vint(42) ++ refsBytes
+      val st = msg(1, "".getBytes("UTF-8"))
+      msg(1, st) ++ msg(2, msg(3, way))
+    }
+    val packed = wayBlock(msg(8, vint(zz(100)) ++ vint(zz(1))))
+    val unpacked = wayBlock(
+      keyed(8, 0) ++ vint(zz(100)) ++ keyed(8, 0) ++ vint(zz(1)))
+    val wp = OsmPbf.decodeBlock(packed).ways
+    val wu = OsmPbf.decodeBlock(unpacked).ways
+    assert(wp.size == 1 && wu.size == 1)
+    assert(wp.head.nodes == Seq(100L, 101L))
+    assert(wu.head.nodes == wp.head.nodes)
+    assert(wu.head.id == 42L)
+  }
+
+  test("truncated zlib blob fails fast instead of spinning") {
+    val raw = Array.fill[Byte](4096)(7)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](8192)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val truncated = java.util.Arrays.copyOfRange(buf, 0, n / 2)
+    // Blob { raw_size(2)=4096, zlib_data(3)=truncated }
+    val blob = keyed(2, 0) ++ vint(4096) ++ msg(3, truncated)
+    val header = msg(1, "OSMData".getBytes("UTF-8")) ++
+      keyed(3, 0) ++ vint(blob.length)
+    val framed = java.nio.ByteBuffer.allocate(4).putInt(header.length)
+      .array() ++ header ++ blob
+    val f = java.io.File.createTempFile("graft-corrupt", ".osm.pbf")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, framed)
+    val spans = OsmPbf.scanBlobs(f.getPath)
+    assert(spans.size == 1 && spans.head.blobType == "OSMData")
+    intercept[java.util.zip.ZipException] {
+      OsmPbf.readBlob(spans.head)
+    }
+  }
 }
