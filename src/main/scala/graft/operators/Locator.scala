@@ -26,6 +26,8 @@ class Locator private (regions: Vector[Region]) extends Serializable {
   }
 
   private def geomContains(g: Geometry, p: Pt): Boolean = g match {
+    // bbox-only region (add_bbox): the box prefilter IS the exact test
+    case _: NullGeom => true
     case Polygon(outer, inners, _) =>
       FromOsm.pointInRing(p, outer) && !inners.exists(FromOsm.pointInRing(p, _))
     case MultiPolygon(ps, _) => ps.exists(geomContains(_, p))

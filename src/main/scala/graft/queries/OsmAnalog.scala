@@ -342,7 +342,52 @@ object OsmAnalog {
       |       count(*) AS n
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** §2.3 locator (src/locator.hpp:46-153): named bbox regions,
+    * first_intersecting + all_intersecting over deterministic event
+    * points — the broadcast spatial-classify join. */
+  private val LocatorRegions: Seq[(String, graft.geom.Box)] = Seq(
+    "west"     -> graft.geom.Box(-180, -85, -60, 85),
+    "tropics"  -> graft.geom.Box(-180, -23.5, 180, 23.5),
+    "east"     -> graft.geom.Box(60, -85, 180, 85),
+    "natl"     -> graft.geom.Box(-60, 20, 0, 70),
+    "null_isl" -> graft.geom.Box(-5, -5, 5, 5))
+
+  def locator(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val loc = graft.operators.Locator.fromBoxes(LocatorRegions)
+    val allUdf = udf((x: Double, y: Double) => loc.containingPoint(x, y))
+    val pts = Tables.events(s, d).select($"event_id").distinct()
+      .withColumn("lon", expr(LonExpr))
+      .withColumn("lat", expr(LatExpr))
+    pts.select($"event_id",
+      allUdf($"lon", $"lat").as("rs"))
+      .select($"event_id",
+        try_element_at($"rs", lit(1)).as("region"),
+        size($"rs").as("n_regions"))
+  }
+
+  val locatorSql: String = {
+    val conds = LocatorRegions.map { case (n, b) =>
+      (n, s"lon >= ${b.minX} AND lon <= ${b.maxX} AND " +
+        s"lat >= ${b.minY} AND lat <= ${b.maxY}")
+    }
+    val first = conds.map { case (n, c) => s"WHEN $c THEN '$n'" }
+      .mkString("\n       ")
+    val count = conds.map { case (_, c) => s"(CASE WHEN $c THEN 1 ELSE 0 END)" }
+      .mkString(" + ")
+    s"""WITH p AS (SELECT DISTINCT event_id,
+       |  $LonExpr AS lon,
+       |  $LatExpr AS lat
+       | FROM events)
+       |SELECT event_id,
+       |  CASE $first
+       |       ELSE NULL END AS region,
+       |  $count AS n_regions
+       |FROM p""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q46_osm_locator"            -> (locator _),
     "q42_osm_two_stage"          -> (twoStage _),
     "q30_osm_kway_merge"         -> (kwayMerge _),
     "q31_osm_resolve_way_nodes"  -> (resolveWayNodes _),
@@ -358,6 +403,7 @@ object OsmAnalog {
     "q41_osm_style_filter"       -> (styleFilter _))
 
   val oracles: Map[String, String] = Map(
+    "q46_osm_locator"            -> locatorSql,
     "q42_osm_two_stage"          -> twoStageSql,
     "q30_osm_kway_merge"         -> kwayMergeSql,
     "q31_osm_resolve_way_nodes"  -> resolveWayNodesSql,
