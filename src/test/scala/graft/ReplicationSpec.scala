@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import graft.operators.Replication
+import graft.operators.Replication.{DirSource, State}
+
+/** Replication driver port (scripts/osm2pgsql-replication): state
+  * codec, sequence paths, timestamp bisection, init/update lifecycle
+  * with crash-safe state advancement. */
+class ReplicationSpec extends SparkSpecBase {
+
+  private def osc(id: Int): String =
+    s"""<osmChange version="0.6">
+       |<modify><node id="$id" lat="1.0" lon="2.0" version="2"/></modify>
+       |</osmChange>""".stripMargin
+
+  /** standard replication mirror: sequences 2..5, head state at 5 */
+  private def mkMirror(): String = {
+    val dir = Files.createTempDirectory("graft-repl").toString
+    (2 to 5).foreach { s =>
+      val frag = Replication.sequencePath(s)
+      val p = Paths.get(dir, frag + ".osc")
+      Files.createDirectories(p.getParent)
+      Files.write(p, osc(s).getBytes("UTF-8"))
+      Files.write(Paths.get(dir, frag + ".state.txt"),
+        State.format(State(s,
+          Instant.parse(f"2024-01-0${s}T00:00:00Z"))).getBytes("UTF-8"))
+    }
+    Files.write(Paths.get(dir, "state.txt"),
+      State.format(State(5, Instant.parse("2024-01-05T00:00:00Z")))
+        .getBytes("UTF-8"))
+    dir
+  }
+
+  test("state.txt codec: osmosis escaping, comments, roundtrip") {
+    val txt = """#Thu Feb 18 12:01:22 UTC 2021
+                |sequenceNumber=4567123
+                |timestamp=2021-02-18T12\:00\:00Z
+                |""".stripMargin
+    val s = State.parse(txt).get
+    assert(s.sequence == 4567123L)
+    assert(s.timestamp == Instant.parse("2021-02-18T12:00:00Z"))
+    assert(State.parse(State.format(s)).contains(s))
+  }
+
+  test("sequence path layout") {
+    assert(Replication.sequencePath(0) == "000/000/000")
+    assert(Replication.sequencePath(4567123) == "004/567/123")
+    assert(Replication.sequencePath(999999999) == "999/999/999")
+  }
+
+  test("timestampToSequence bisects to the covering sequence") {
+    val src = DirSource(mkMirror())
+    // date between seq 3 and 4 states → start at 3 so nothing is missed
+    val seq = Replication.timestampToSequence(src,
+      Instant.parse("2024-01-03T12:00:00Z"))
+    assert(seq.contains(3L))
+    // date after head → head sequence
+    assert(Replication.timestampToSequence(src,
+      Instant.parse("2024-02-01T00:00:00Z")).contains(5L))
+  }
+
+  test("init resolves a start date, update applies diffs in order") {
+    val mirror = mkMirror()
+    val props = Files.createTempDirectory("graft-props").toString + "/props"
+    val st = Replication.init(spark, props, DirSource(mirror),
+      "file://" + mirror,
+      startAt = Some(Instant.parse("2024-01-03T12:00:00Z")))
+    assert(st.sequence == 3L)
+
+    val applied = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fin = Replication.update(spark, props, DirSource(mirror),
+      path => {
+        val osm = graft.sources.OsmXml.read(spark, Seq(path))
+        applied += path
+        assert(osm.nodes.count() == 1) // each diff carries one node
+      })
+    assert(fin.sequence == 5L)
+    assert(applied.size == 2) // sequences 4 and 5
+    assert(applied.forall(_.endsWith(".osc")))
+
+    // idempotent: already up to date
+    val again = Replication.update(spark, props, DirSource(mirror),
+      _ => fail("must not apply anything when up to date"))
+    assert(again.sequence == 5L)
+  }
+
+  test("failed apply leaves state untouched; once applies one chunk") {
+    val mirror = mkMirror()
+    val props = Files.createTempDirectory("graft-props").toString + "/props"
+    Replication.init(spark, props, DirSource(mirror), "x",
+      startAt = Some(Instant.parse("2024-01-02T12:00:00Z")))
+
+    intercept[RuntimeException] {
+      Replication.update(spark, props, DirSource(mirror),
+        _ => throw new RuntimeException("apply failed"))
+    }
+    // state not advanced: retry starts at the same place
+    val once = Replication.update(spark, props, DirSource(mirror),
+      _ => (), once = true)
+    assert(once.sequence == 3L)
+    val rest = Replication.update(spark, props, DirSource(mirror), _ => ())
+    assert(rest.sequence == 5L)
+  }
+
+  test("init without stored info and without start date fails loudly") {
+    val mirror = mkMirror()
+    val props = Files.createTempDirectory("graft-props").toString + "/p2"
+    intercept[IllegalStateException] {
+      Replication.init(spark, props, DirSource(mirror), "x")
+    }
+  }
+}
