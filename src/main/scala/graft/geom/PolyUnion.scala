@@ -1,0 +1,234 @@
+package graft.geom
+
+import scala.collection.mutable
+
+/** N-ary boolean polygon union — the vector half of the reference's
+  * generalization dissolve (`ST_Union` pushed down to PostGIS at
+  * src/gen/gen-tile-vector.cpp:41-60; here a native implementation so
+  * the operator runs inside Spark executors with no database).
+  *
+  * Algorithm (overlay by segment arrangement + coverage
+  * classification):
+  *  1. collect every ring segment of every input polygon;
+  *  2. split all segments at pairwise intersections and at endpoints
+  *     of other segments lying on them — each intersection point is
+  *     computed ONCE and shared by both segments, so split endpoints
+  *     match bitwise and ring stitching can use exact keys;
+  *  3. classify each sub-segment by the coverage count (number of
+  *     input polygons containing a probe point) immediately left and
+  *     right of its midpoint: boundary iff exactly one side has
+  *     coverage zero; orient interior-left;
+  *  4. stitch boundary segments into rings, taking the leftmost
+  *     (most counterclockwise) turn at junctions — this traces
+  *     tightest faces so touching rings don't fuse incorrectly;
+  *  5. CCW rings are outers, CW rings are holes; holes attach to the
+  *     smallest containing outer.
+  *
+  * Probe offsets are `1e-9 × bbox-diagonal` — features closer than
+  * that to each other may misclassify (documented tolerance; the
+  * dissolve use-case feeds buffered geometries where this is far
+  * below the buffer margin).
+  */
+object PolyUnion {
+
+  private final case class Seg(a: Pt, b: Pt) {
+    def reversed: Seg = Seg(b, a)
+  }
+
+  def union(polys: Seq[Polygon]): Geometry = {
+    val srid = polys.headOption.map(_.srid).getOrElse(Srid.WGS84)
+    val valid = polys.filter(p => p.outer.pts.size >= 4)
+    if (valid.isEmpty) return NullGeom(srid)
+    if (valid.size == 1) return valid.head
+
+    // 1. segments
+    val segs = mutable.ArrayBuffer.empty[Seg]
+    valid.foreach { p =>
+      (p.outer +: p.inners).foreach { r =>
+        val pts = if (r.pts.head == r.pts.last) r.pts else r.pts :+ r.pts.head
+        pts.iterator.zip(pts.iterator.drop(1)).foreach { case (a, b) =>
+          if (a != b) segs += Seg(a, b)
+        }
+      }
+    }
+
+    // bbox-relative probe offset
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
+    segs.foreach { s =>
+      minX = math.min(minX, math.min(s.a.x, s.b.x))
+      minY = math.min(minY, math.min(s.a.y, s.b.y))
+      maxX = math.max(maxX, math.max(s.a.x, s.b.x))
+      maxY = math.max(maxY, math.max(s.a.y, s.b.y))
+    }
+    val diag = math.hypot(maxX - minX, maxY - minY)
+    val eps = math.max(diag * 1e-9, java.lang.Double.MIN_NORMAL)
+
+    // 2. split points per segment (param-sorted); intersections shared
+    val splits = Array.fill(segs.size)(mutable.ArrayBuffer.empty[(Double, Pt)])
+
+    def onSegment(p: Pt, s: Seg): Option[Double] = {
+      val dx = s.b.x - s.a.x; val dy = s.b.y - s.a.y
+      val len2 = dx * dx + dy * dy
+      if (len2 == 0) return None
+      val cross = (p.x - s.a.x) * dy - (p.y - s.a.y) * dx
+      if (math.abs(cross) > eps * math.sqrt(len2)) return None
+      val t = ((p.x - s.a.x) * dx + (p.y - s.a.y) * dy) / len2
+      if (t > 1e-12 && t < 1 - 1e-12) Some(t) else None
+    }
+
+    var i = 0
+    while (i < segs.size) {
+      var j = i + 1
+      while (j < segs.size) {
+        val s1 = segs(i); val s2 = segs(j)
+        val d1x = s1.b.x - s1.a.x; val d1y = s1.b.y - s1.a.y
+        val d2x = s2.b.x - s2.a.x; val d2y = s2.b.y - s2.a.y
+        val denom = d1x * d2y - d1y * d2x
+        if (denom != 0) {
+          val t = ((s2.a.x - s1.a.x) * d2y - (s2.a.y - s1.a.y) * d2x) / denom
+          val u = ((s2.a.x - s1.a.x) * d1y - (s2.a.y - s1.a.y) * d1x) / denom
+          if (t > 1e-12 && t < 1 - 1e-12 && u > 1e-12 && u < 1 - 1e-12) {
+            // proper crossing: one shared point instance for both
+            val p = Pt(s1.a.x + t * d1x, s1.a.y + t * d1y)
+            splits(i) += ((t, p))
+            splits(j) += ((u, p))
+          }
+        }
+        // endpoint-on-segment (covers collinear partial overlap since
+        // each endpoint inside the other segment splits it)
+        onSegment(s2.a, s1).foreach(t => splits(i) += ((t, s2.a)))
+        onSegment(s2.b, s1).foreach(t => splits(i) += ((t, s2.b)))
+        onSegment(s1.a, s2).foreach(u => splits(j) += ((u, s1.a)))
+        onSegment(s1.b, s2).foreach(u => splits(j) += ((u, s1.b)))
+        j += 1
+      }
+      i += 1
+    }
+
+    val pieces = mutable.ArrayBuffer.empty[Seg]
+    i = 0
+    while (i < segs.size) {
+      val s = segs(i)
+      val pts = (Seq((0.0, s.a)) ++ splits(i).sortBy(_._1).map(x => (x._1, x._2))
+        :+ ((1.0, s.b))).map(_._2)
+      pts.iterator.zip(pts.iterator.drop(1)).foreach { case (a, b) =>
+        if (a != b) pieces += Seg(a, b)
+      }
+      i += 1
+    }
+
+    // 3. coverage classification
+    def covered(p: Pt): Int = valid.count { poly =>
+      FromOsm.pointInRing(p, poly.outer) &&
+        !poly.inners.exists(FromOsm.pointInRing(p, _))
+    }
+
+    val boundary = mutable.ArrayBuffer.empty[Seg]
+    val seen = mutable.HashSet.empty[(Pt, Pt)]
+    pieces.foreach { s =>
+      val mx = (s.a.x + s.b.x) / 2; val my = (s.a.y + s.b.y) / 2
+      val len = math.hypot(s.b.x - s.a.x, s.b.y - s.a.y)
+      if (len > 0) {
+        // unit left normal of a→b
+        val nx = -(s.b.y - s.a.y) / len; val ny = (s.b.x - s.a.x) / len
+        val covL = covered(Pt(mx + nx * eps, my + ny * eps))
+        val covR = covered(Pt(mx - nx * eps, my - ny * eps))
+        val oriented =
+          if (covL > 0 && covR == 0) Some(s)
+          else if (covR > 0 && covL == 0) Some(s.reversed)
+          else None // interior edge (both covered) or sliver (both 0)
+        // coincident copies (identical inputs, shared same-orientation
+        // edges) classify identically — keep one
+        oriented.foreach { o =>
+          if (seen.add((o.a, o.b))) boundary += o
+        }
+      }
+    }
+
+    // 4. stitch, leftmost turn first
+    val out = mutable.HashMap.empty[Pt, mutable.ArrayBuffer[Int]]
+    boundary.zipWithIndex.foreach { case (s, k) =>
+      out.getOrElseUpdate(s.a, mutable.ArrayBuffer.empty) += k
+    }
+    val used = new Array[Boolean](boundary.size)
+
+    def angle(s: Seg): Double = math.atan2(s.b.y - s.a.y, s.b.x - s.a.x)
+
+    val rings = mutable.ArrayBuffer.empty[Vector[Pt]]
+    var k = 0
+    while (k < boundary.size) {
+      if (!used(k)) {
+        val ring = Vector.newBuilder[Pt]
+        var cur = boundary(k)
+        val startPt = cur.a
+        used(k) = true
+        ring += cur.a
+        var guard = 0
+        while (cur.b != startPt && guard <= boundary.size) {
+          ring += cur.b
+          val inAngle = angle(cur)
+          val nexts = out.getOrElse(cur.b, mutable.ArrayBuffer.empty)
+            .filterNot(used)
+          if (nexts.isEmpty) { guard = boundary.size + 1 } // open chain
+          else {
+            // leftmost turn: maximize CCW angle from reversed incoming
+            val next = nexts.maxBy { n =>
+              val d = angle(boundary(n)) - (inAngle + math.Pi)
+              val norm = d - 2 * math.Pi * math.floor(d / (2 * math.Pi))
+              // exclude going straight back unless it's the only option
+              if (norm < 1e-12 && nexts.size > 1) -1.0 else norm
+            }
+            used(next) = true
+            cur = boundary(next)
+          }
+          guard += 1
+        }
+        if (cur.b == startPt) {
+          val r = ring.result() :+ startPt
+          if (r.size >= 4) rings += r
+        }
+      }
+      k += 1
+    }
+
+    // 5. orientation: CCW (positive shoelace) outer, CW hole
+    def shoelace(ps: Vector[Pt]): Double = {
+      var s = 0.0
+      var n = 1
+      while (n < ps.size) {
+        s += ps(n - 1).x * ps(n).y - ps(n).x * ps(n - 1).y
+        n += 1
+      }
+      s / 2
+    }
+    val outers = mutable.ArrayBuffer.empty[(Vector[Pt], Double)]
+    val holes = mutable.ArrayBuffer.empty[Vector[Pt]]
+    rings.foreach { r =>
+      val a = shoelace(r)
+      if (a > 0) outers += ((r, a)) else if (a < 0) holes += r
+    }
+    if (outers.isEmpty) return NullGeom(srid)
+
+    val withHoles = outers.map { case (o, a) =>
+      (o, a, mutable.ArrayBuffer.empty[Vector[Pt]])
+    }
+    holes.foreach { h =>
+      // probe just inside the hole: midpoint of first edge, offset left
+      // (hole is CW → interior of the hole pocket is left of its edges)
+      val a = h(0); val b = h(1)
+      val len = math.hypot(b.x - a.x, b.y - a.y)
+      val probe = Pt((a.x + b.x) / 2 - (b.y - a.y) / len * eps,
+        (a.y + b.y) / 2 + (b.x - a.x) / len * eps)
+      val cands = withHoles.filter { case (o, _, _) =>
+        FromOsm.pointInRing(probe, Ring(o))
+      }
+      if (cands.nonEmpty) cands.minBy(_._2)._3 += h
+    }
+
+    val result = withHoles.map { case (o, _, hs) =>
+      Polygon(Ring(o), hs.map(Ring(_)).toVector, srid)
+    }.toVector
+    if (result.size == 1) result.head else MultiPolygon(result, srid)
+  }
+}

@@ -43,6 +43,34 @@ object Gen {
   def stCollectAgg(geom: Column): Column =
     udaf(CollectGeomAgg).apply(geom)
 
+  /** True boolean dissolve: the collected polygons are merged with
+    * [[graft.geom.PolyUnion]] (segment arrangement + coverage
+    * classification) — the native form of the reference's pushed-down
+    * `ST_Union` (src/gen/gen-tile-vector.cpp:41-60). Non-polygonal
+    * members are ignored. */
+  object UnionGeomAgg extends Aggregator[Array[Byte], List[Array[Byte]], Array[Byte]] {
+    def zero: List[Array[Byte]] = Nil
+    def reduce(b: List[Array[Byte]], a: Array[Byte]): List[Array[Byte]] =
+      if (a == null) b else a :: b
+    def merge(a: List[Array[Byte]], b: List[Array[Byte]]): List[Array[Byte]] =
+      a ::: b
+    def finish(r: List[Array[Byte]]): Array[Byte] = {
+      val polys = r.map(Ewkb.decode).sortBy(g => Ewkb.encodeHex(g)).flatMap {
+        case p: Polygon          => Seq(p)
+        case MultiPolygon(ps, _) => ps
+        case _                   => Seq.empty
+      }
+      if (polys.isEmpty) null
+      else Ewkb.encode(PolyUnion.union(polys))
+    }
+    def bufferEncoder: Encoder[List[Array[Byte]]] =
+      Encoders.javaSerialization[List[Array[Byte]]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  def stUnionAgg(geom: Column): Column =
+    udaf(UnionGeomAgg).apply(geom)
+
   /** Discrete isolation (src/gen/gen-discrete-isolation.cpp:60-151):
     * for each point, distance to the nearest point with strictly higher
     * importance — the label-ranking metric. The reference scans all

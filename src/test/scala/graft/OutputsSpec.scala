@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.classic.{ClassicOutput, StyleFile}
 import graft.flex.{Coerce, FlexColumn, FlexIds, FlexTableDef, FlexType}
-import graft.geom.{Box, FromOsm, Pt}
+import graft.geom.{Box, Ewkb, FromOsm, GeomOps, Pt}
 import graft.model.{OsmNode, OsmWay}
 import graft.operators.{Gen, Locator}
 import graft.sinks.{ClusteredParquet, PgSink, Properties}
@@ -131,6 +131,24 @@ class OutputsSpec extends SparkSpecBase {
     assert(Ewkb.decode(m(1)).typeName == "MULTIPOLYGON")
     assert(Ewkb.decode(m(1)).numGeometries == 2)
     assert(GeomOps.area(Ewkb.decode(m(1))) == 2.0)
+  }
+
+  test("gen: stUnionAgg dissolves overlapping group members") {
+    val a = Ewkb.encode(FromOsm.createPolygon(
+      Seq(Pt(0, 0), Pt(4, 0), Pt(4, 4), Pt(0, 4), Pt(0, 0))))
+    val b = Ewkb.encode(FromOsm.createPolygon(
+      Seq(Pt(2, 2), Pt(6, 2), Pt(6, 6), Pt(2, 6), Pt(2, 2))))
+    val far = Ewkb.encode(FromOsm.createPolygon(
+      Seq(Pt(10, 10), Pt(11, 10), Pt(11, 11), Pt(10, 11), Pt(10, 10))))
+    val df = Seq((1, a), (1, b), (1, far), (2, a)).toDF("grp", "geom")
+    val m = df.groupBy($"grp").agg(Gen.stUnionAgg($"geom").as("u"))
+      .select($"grp", $"u").as[(Int, Array[Byte])].collect().toMap
+    val g1 = Ewkb.decode(m(1))
+    // dissolved: 16+16-4 overlap union plus the far square
+    assert(g1.typeName == "MULTIPOLYGON")
+    assert(g1.numGeometries == 2)
+    assert(math.abs(GeomOps.area(g1)) == 28.0 + 1.0)
+    assert(Ewkb.decode(m(2)).typeName == "POLYGON")
   }
 
   test("gen: discrete isolation ranks by distance to higher importance") {
