@@ -52,4 +52,51 @@ object Streams {
         tileYLinear(col(latCol), zoom).as("y"))
       .agg(count(lit(1)).as("n_events"))
   }
+
+  /** Continuous append mode: watch a directory for arriving `.osc`
+    * change files (the replication mirror) and run the incremental
+    * update pipeline once per micro-batch — `readStream` over the file
+    * source, `foreachBatch` applying the same batch transforms the
+    * reference's append mode hand-rolls (SURVEY.md §2.8's "batch
+    * incremental job, not DStreams", now driven by a stream).
+    *
+    * `applyBatch` receives the concatenated parsed entities of the
+    * batch's files, ordered by file path (replication sequence order —
+    * the NNN/NNN/NNN layout sorts correctly), plus the batch id.
+    * Exactly-once: the file source tracks processed files in the
+    * checkpoint, so a crashed batch is redelivered. Change files are
+    * parsed on the driver (diff chunks are MB-scale by construction —
+    * `--max-diff-size`); the expensive part, re-deriving output rows
+    * for changed ∪ dependent ids, is the distributed plan `applyBatch`
+    * builds from them.
+    */
+  def changeFileStream(spark: org.apache.spark.sql.SparkSession,
+      watchDir: String, checkpointDir: String,
+      applyBatch: (graft.sources.OsmXml.Parsed, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val files = spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.osc")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(watchDir)
+    files.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch
+          .select("path", "content").collect()
+          .sortBy(_.getString(0))
+          .map(r => new String(r.getAs[Array[Byte]]("content"), "UTF-8"))
+        if (docs.nonEmpty) {
+          val parsed = docs.map(graft.sources.OsmXml.parseString)
+          val merged = graft.sources.OsmXml.Parsed(
+            parsed.toVector.flatMap(_.nodes),
+            parsed.toVector.flatMap(_.ways),
+            parsed.toVector.flatMap(_.relations))
+          applyBatch(merged, batchId)
+        }
+        ()
+      }
+      .start()
+  }
 }

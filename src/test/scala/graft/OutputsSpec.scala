@@ -239,4 +239,31 @@ class OutputsSpec extends SparkSpecBase {
     assert(rows.length == 2)
     assert(rows.find(_._3 == 2).isDefined)
   }
+
+  test("streaming: change-file directory drives incremental batches") {
+    val watch = Files.createTempDirectory("graft-watch").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    def osc(seq: Int, op: String): String =
+      s"""<osmChange version="0.6">
+         |<$op><node id="$seq" lat="1.0" lon="2.0" version="1"/></$op>
+         |</osmChange>""".stripMargin
+    val applied = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val q = Streams.changeFileStream(spark, watch, ckpt, (parsed, _) =>
+      applied.add((parsed.nodes.headOption.map(_._2.id).getOrElse(-1L),
+        parsed.nodes.size)))
+    Files.write(java.nio.file.Paths.get(watch, "001.osc"),
+      osc(1, "create").getBytes("UTF-8"))
+    q.processAllAvailable()
+    Files.write(java.nio.file.Paths.get(watch, "002.osc"),
+      osc(2, "modify").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(watch, "003.osc"),
+      osc(3, "delete").getBytes("UTF-8"))
+    q.processAllAvailable()
+    q.stop()
+    val batches = applied.toArray(Array.empty[(Long, Int)])
+    // first batch: node 1; second: nodes 2+3 concatenated in seq order
+    assert(batches.length == 2)
+    assert(batches(0) == ((1L, 1)))
+    assert(batches(1) == ((2L, 2)))
+  }
 }
