@@ -35,15 +35,34 @@ object PolyUnion {
     def reversed: Seg = Seg(b, a)
   }
 
+  /** n-ary union of polygons. */
   def union(polys: Seq[Polygon]): Geometry = {
-    val srid = polys.headOption.map(_.srid).getOrElse(Srid.WGS84)
     val valid = polys.filter(p => p.outer.pts.size >= 4)
-    if (valid.isEmpty) return NullGeom(srid)
-    if (valid.size == 1) return valid.head
+    if (valid.size == 1) valid.head
+    else overlay(valid, Nil, (ca, _) => ca > 0)
+  }
 
-    // 1. segments
+  /** (∪ a) minus (∪ b). */
+  def difference(a: Seq[Polygon], b: Seq[Polygon]): Geometry =
+    overlay(a, b, (ca, cb) => ca > 0 && cb == 0)
+
+  /** (∪ a) intersect (∪ b). */
+  def intersection(a: Seq[Polygon], b: Seq[Polygon]): Geometry =
+    overlay(a, b, (ca, cb) => ca > 0 && cb > 0)
+
+  /** General overlay: boundary of the region where
+    * `inside(coverageA, coverageB)` holds, coverages counted over the
+    * two input sets independently. */
+  private def overlay(polysA: Seq[Polygon], polysB: Seq[Polygon],
+      inside: (Int, Int) => Boolean): Geometry = {
+    val srid = (polysA ++ polysB).headOption.map(_.srid).getOrElse(Srid.WGS84)
+    val validA = polysA.filter(p => p.outer.pts.size >= 4)
+    val validB = polysB.filter(p => p.outer.pts.size >= 4)
+    if (validA.isEmpty && validB.isEmpty) return NullGeom(srid)
+
+    // 1. segments (both sets feed the arrangement)
     val segs = mutable.ArrayBuffer.empty[Seg]
-    valid.foreach { p =>
+    (validA ++ validB).foreach { p =>
       (p.outer +: p.inners).foreach { r =>
         val pts = if (r.pts.head == r.pts.last) r.pts else r.pts :+ r.pts.head
         pts.iterator.zip(pts.iterator.drop(1)).foreach { case (a, b) =>
@@ -51,6 +70,7 @@ object PolyUnion {
         }
       }
     }
+    if (segs.isEmpty) return NullGeom(srid)
 
     // bbox-relative probe offset
     var minX = Double.MaxValue; var minY = Double.MaxValue
@@ -106,12 +126,22 @@ object PolyUnion {
       i += 1
     }
 
+    // snap endpoints to a grid ~3 orders below the probe offset: the
+    // same geometric point reached via different segment pairs (triple
+    // intersections at tangencies) differs in the last ulps — snapping
+    // collapses those to one exact stitching key. The grid is a POWER
+    // OF TWO (2^(e-40) ≈ diag·9e-13) so scaling is exact and values
+    // already on a coarser binary grid (typical input coordinates)
+    // pass through bit-identical.
+    val q = math.scalb(1.0, math.max(java.lang.Math.getExponent(diag), -960) - 40)
+    def snap(p: Pt): Pt = Pt(math.rint(p.x / q) * q, math.rint(p.y / q) * q)
+
     val pieces = mutable.ArrayBuffer.empty[Seg]
     i = 0
     while (i < segs.size) {
       val s = segs(i)
       val pts = (Seq((0.0, s.a)) ++ splits(i).sortBy(_._1).map(x => (x._1, x._2))
-        :+ ((1.0, s.b))).map(_._2)
+        :+ ((1.0, s.b))).map(x => snap(x._2))
       pts.iterator.zip(pts.iterator.drop(1)).foreach { case (a, b) =>
         if (a != b) pieces += Seg(a, b)
       }
@@ -119,10 +149,11 @@ object PolyUnion {
     }
 
     // 3. coverage classification
-    def covered(p: Pt): Int = valid.count { poly =>
+    def containsP(poly: Polygon, p: Pt): Boolean =
       FromOsm.pointInRing(p, poly.outer) &&
         !poly.inners.exists(FromOsm.pointInRing(p, _))
-    }
+    def insideAt(p: Pt): Boolean =
+      inside(validA.count(containsP(_, p)), validB.count(containsP(_, p)))
 
     val boundary = mutable.ArrayBuffer.empty[Seg]
     val seen = mutable.HashSet.empty[(Pt, Pt)]
@@ -132,12 +163,12 @@ object PolyUnion {
       if (len > 0) {
         // unit left normal of a→b
         val nx = -(s.b.y - s.a.y) / len; val ny = (s.b.x - s.a.x) / len
-        val covL = covered(Pt(mx + nx * eps, my + ny * eps))
-        val covR = covered(Pt(mx - nx * eps, my - ny * eps))
+        val inL = insideAt(Pt(mx + nx * eps, my + ny * eps))
+        val inR = insideAt(Pt(mx - nx * eps, my - ny * eps))
         val oriented =
-          if (covL > 0 && covR == 0) Some(s)
-          else if (covR > 0 && covL == 0) Some(s.reversed)
-          else None // interior edge (both covered) or sliver (both 0)
+          if (inL && !inR) Some(s)
+          else if (inR && !inL) Some(s.reversed)
+          else None // interior edge (both inside) or exterior (both out)
         // coincident copies (identical inputs, shared same-orientation
         // edges) classify identically — keep one
         oriented.foreach { o =>

@@ -71,6 +71,65 @@ object Gen {
   def stUnionAgg(geom: Column): Column =
     udaf(UnionGeomAgg).apply(geom)
 
+  case class GenRow(x: Long, y: Long, param: String, geom: Array[Byte],
+      area: Double)
+
+  /** The vector-union strategy end-to-end
+    * (src/gen/gen-tile-vector.cpp:38-75): per (tile, group),
+    * buffer(+b) each polygon → union → buffer(-2b) → buffer(+b) →
+    * dump parts. The buffer sandwich is a morphological close (gaps
+    * smaller than 2b merge; the final +b restores scale). Same Spark
+    * shape as [[RasterGen.rasterUnion]]: envelope-binned to tiles,
+    * one local group computation per (tile, param). */
+  def vectorUnion(df: DataFrame, geomCol: String, paramCol: Option[String],
+      zoom: Int, margin: Double = 0.0, bufferSize: Double = 10.0,
+      circleSegs: Int = 16): DataFrame = {
+    import RasterGen.{Binned, GenTile, tilesForBox}
+    implicit val binnedEnc: Encoder[Binned] = Encoders.product[Binned]
+    implicit val rowEnc: Encoder[GenRow] = Encoders.product[GenRow]
+    implicit val keyEnc: Encoder[(Long, Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)
+
+    def polysOf(g: Geometry): Seq[Polygon] = g match {
+      case p: Polygon          => Seq(p)
+      case MultiPolygon(ps, _) => ps
+      case _                   => Seq.empty
+    }
+
+    val tilesUdf = udf((ewkb: Array[Byte]) =>
+      if (ewkb == null) Seq.empty[(Long, Long)]
+      else Box.of(Ewkb.decode(ewkb)).toSeq
+        .flatMap(b => tilesForBox(b, zoom, margin)))
+    val withParam = paramCol match {
+      case Some(c) => df.select(col(geomCol).as("g"), col(c).cast("string").as("p"))
+      case None    => df.select(col(geomCol).as("g"), lit("").as("p"))
+    }
+    withParam
+      .select(explode(tilesUdf(col("g"))).as("t"), col("p"), col("g"))
+      .select(col("t._1").as("x"), col("t._2").as("y"),
+        col("p").as("param"), col("g").as("ewkb"))
+      .as[Binned]
+      .groupByKey(b => (b.x, b.y, b.param))
+      .flatMapGroups { (k: (Long, Long, String), rows: Iterator[Binned]) =>
+        val (tx, ty, param) = k
+        val polys = rows.flatMap(r => polysOf(Ewkb.decode(r.ewkb))).toSeq
+        if (polys.isEmpty) Iterator.empty
+        else {
+          val buffered = polys.flatMap(p =>
+            polysOf(Offset.buffer(p, bufferSize, circleSegs)))
+          val merged = PolyUnion.union(buffered)
+          val closed = Offset.buffer(
+            Offset.buffer(merged, -2 * bufferSize, circleSegs),
+            bufferSize, circleSegs)
+          polysOf(closed).iterator.map { poly =>
+            GenRow(tx, ty, param, Ewkb.encode(poly),
+              math.abs(GeomOps.area(poly)))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Discrete isolation (src/gen/gen-discrete-isolation.cpp:60-151):
     * for each point, distance to the nearest point with strictly higher
     * importance — the label-ranking metric. The reference scans all

@@ -155,6 +155,29 @@ class RasterGenSpec extends SparkSpecBase {
     assert(out.head.getAs[Long]("painted_px") == 36 + 36 - 9)
   }
 
+  test("vectorUnion strategy: buffer sandwich dissolves per tile") {
+    // zoom 0, one world tile; two squares 3 units apart with b=2:
+    // +2 buffers overlap -> union fuses -> -4/+2 restores scale
+    def sq(x0: Double, y0: Double, s: Double) = Ewkb.encode(
+      Polygon(Ring(Vector(Pt(x0, y0), Pt(x0 + s, y0), Pt(x0 + s, y0 + s),
+        Pt(x0, y0 + s), Pt(x0, y0))), Vector.empty, Srid.WebMercator))
+    val df = Seq(
+      ("a", sq(0, 0, 10)), ("a", sq(13, 0, 10)),   // gap 3 < 2b: merge
+      ("a", sq(1000, 1000, 10)),                   // far: stays separate
+      ("b", sq(0, 0, 10))                          // other group
+    ).toDF("param", "geom")
+    val out = graft.operators.Gen.vectorUnion(df, "geom", Some("param"),
+      zoom = 0, margin = 0.0, bufferSize = 2.0).collect()
+    val byParam = out.groupBy(_.getAs[String]("param"))
+    assert(byParam("a").length == 2) // merged pair + far square
+    assert(byParam("b").length == 1)
+    val areas = byParam("a").map(_.getAs[Double]("area")).sorted
+    // far square ≈ restored (chordal 16-gon arcs clip ~1 per corner
+    // through the ±buffer sandwich)
+    assert(math.abs(areas(0) - 100.0) < 5.0)
+    assert(areas(1) > 190.0)                  // fused pair + neck
+  }
+
   test("margin buffer paints cross-tile geometry into the canvas apron") {
     // margin 0.5 at extent 64 → buffer rounds up to 64 px
     val cfg = Config(zoom = 1, imageExtent = 64, margin = 0.5,
