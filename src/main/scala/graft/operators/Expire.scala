@@ -45,4 +45,29 @@ object Expire {
     * `zoom/x/y` (src/expire-output.cpp:60-90). */
   def formatTiles(tiles: DataFrame): DataFrame =
     tiles.select(concat_ws("/", col("zoom"), col("x"), col("y")).as("tile"))
+
+  /** Expire-table DDL (expire_output_t::create_output_table,
+    * src/expire-output.cpp:143-155): (zoom, x, y) primary key plus
+    * first/last touch timestamps. */
+  def tableDdl(table: String): String =
+    s"""CREATE TABLE IF NOT EXISTS $table (
+       | zoom int4 NOT NULL,
+       | x int4 NOT NULL,
+       | y int4 NOT NULL,
+       | first timestamp with time zone DEFAULT CURRENT_TIMESTAMP(0),
+       | last timestamp with time zone DEFAULT CURRENT_TIMESTAMP(0),
+       | PRIMARY KEY (zoom, x, y))""".stripMargin
+
+  /** Per-tile upsert (output_tiles_to_table,
+    * src/expire-output.cpp:107-141): the legacy 3-column table inserts
+    * once and ignores conflicts; the 5-column format bumps `last` on
+    * re-expiry. Use from a foreachPartition JDBC writer. */
+  def tableUpsertSql(table: String, legacyThreeColumn: Boolean): String =
+    if (legacyThreeColumn)
+      s"INSERT INTO $table (zoom, x, y)" +
+        " VALUES ($1::int4, $2::int4, $3::int4) ON CONFLICT DO NOTHING"
+    else
+      s"INSERT INTO $table (zoom, x, y)" +
+        " VALUES ($1::int4, $2::int4, $3::int4)" +
+        " ON CONFLICT (zoom, x, y) DO UPDATE SET last = CURRENT_TIMESTAMP(0)"
 }

@@ -49,6 +49,11 @@ object RasterGen {
     def ymin: Double = HalfEarth - (y + 1) * extent
     def xmax: Double = xmin + extent
     def ymax: Double = ymin + extent
+    /** margin-expanded, clamped to the world (src/tile.hpp:148-175) */
+    def xminM(margin: Double): Double =
+      math.max(-HalfEarth, math.min(HalfEarth, xmin - margin * extent))
+    def ymaxM(margin: Double): Double =
+      math.max(-HalfEarth, math.min(HalfEarth, ymax + margin * extent))
     def toTileCoords(p: Pt, pixelExtent: Int): Pt = {
       val f = pixelExtent / extent
       Pt((p.x - xmin) * f, (p.y - ymin) * f)
@@ -241,6 +246,36 @@ object RasterGen {
         y += 1
       }
       System.arraycopy(out, 0, data, 0, data.length)
+    }
+
+    /** PostGIS WKB raster (v0, RFC2) of this canvas — the reference's
+      * debugging img_table payload (canvas.cpp to_wkb + raster.cpp
+      * header layout, byte-for-byte): little-endian header, one 8BUI
+      * band (pixel-type code 4), set pixels as 255. */
+    def toWkbRaster(tile: GenTile, margin: Double): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(61 + 2 + size * size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val scaleX = tile.extent / extent
+      bb.put(1.toByte)             // endianness: little
+      bb.putShort(0)               // version
+      bb.putShort(1)               // nBands
+      bb.putDouble(scaleX)
+      bb.putDouble(-scaleX)
+      bb.putDouble(tile.xminM(margin)) // ipX
+      bb.putDouble(tile.ymaxM(margin)) // ipY
+      bb.putDouble(0.0)            // skewX
+      bb.putDouble(0.0)            // skewY
+      bb.putInt(Srid.WebMercator)
+      bb.putShort(size.toShort)    // width
+      bb.putShort(size.toShort)    // height
+      bb.put(4.toByte)             // band: bits code 4 = 8BUI
+      bb.put(0.toByte)             // band: nodata
+      var i = 0
+      while (i < data.length) {
+        bb.put(if (data(i) != 0) 0xff.toByte else 0.toByte)
+        i += 1
+      }
+      bb.array()
     }
 
     /** bitwise OR (canvas.cpp merge, used by builtup). */

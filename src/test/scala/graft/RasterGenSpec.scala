@@ -155,6 +155,40 @@ class RasterGenSpec extends SparkSpecBase {
     assert(out.head.getAs[Long]("painted_px") == 36 + 36 - 9)
   }
 
+  test("WKB raster export matches the PostGIS v0 layout byte-for-byte") {
+    val c = new Canvas(64, 0)
+    c.drawPolygon(rectPoly(0, 0, 1, 1), tile0)
+    val wkb = c.toWkbRaster(tile0, 0.0)
+    assert(wkb.length == 61 + 2 + 64 * 64)
+    val bb = java.nio.ByteBuffer.wrap(wkb)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.get() == 1)           // little-endian flag
+    assert(bb.getShort() == 0)      // version
+    assert(bb.getShort() == 1)      // nBands
+    assert(bb.getDouble() == tile0.extent / 64) // scaleX
+    assert(bb.getDouble() == -(tile0.extent / 64))
+    assert(bb.getDouble() == tile0.xmin)        // ipX (margin 0)
+    assert(bb.getDouble() == tile0.ymax)        // ipY
+    bb.getDouble(); bb.getDouble()  // skews
+    assert(bb.getInt() == 3857)
+    assert(bb.getShort() == 64 && bb.getShort() == 64)
+    assert(bb.get() == 4)           // 8BUI pixel type
+    assert(bb.get() == 0)           // nodata
+    val px = new Array[Byte](64 * 64)
+    bb.get(px)
+    assert(px(0) == 0xff.toByte)    // pixel (0,0) painted
+    assert(px.count(_ != 0) == 1)
+  }
+
+  test("expire table lifecycle SQL mirrors the reference") {
+    import graft.operators.Expire
+    assert(Expire.tableDdl("exp").contains("PRIMARY KEY (zoom, x, y)"))
+    assert(Expire.tableUpsertSql("exp", legacyThreeColumn = true)
+      .endsWith("ON CONFLICT DO NOTHING"))
+    assert(Expire.tableUpsertSql("exp", legacyThreeColumn = false)
+      .contains("DO UPDATE SET last = CURRENT_TIMESTAMP(0)"))
+  }
+
   test("vectorUnion strategy: buffer sandwich dissolves per tile") {
     // zoom 0, one world tile; two squares 3 units apart with b=2:
     // +2 buffers overlap -> union fuses -> -4/+2 restores scale
