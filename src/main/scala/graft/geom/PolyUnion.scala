@@ -97,33 +97,64 @@ object PolyUnion {
       if (t > 1e-12 && t < 1 - 1e-12) Some(t) else None
     }
 
-    var i = 0
-    while (i < segs.size) {
-      var j = i + 1
-      while (j < segs.size) {
-        val s1 = segs(i); val s2 = segs(j)
-        val d1x = s1.b.x - s1.a.x; val d1y = s1.b.y - s1.a.y
-        val d2x = s2.b.x - s2.a.x; val d2y = s2.b.y - s2.a.y
-        val denom = d1x * d2y - d1y * d2x
-        if (denom != 0) {
-          val t = ((s2.a.x - s1.a.x) * d2y - (s2.a.y - s1.a.y) * d2x) / denom
-          val u = ((s2.a.x - s1.a.x) * d1y - (s2.a.y - s1.a.y) * d1x) / denom
-          if (t > 1e-12 && t < 1 - 1e-12 && u > 1e-12 && u < 1 - 1e-12) {
-            // proper crossing: one shared point instance for both
-            val p = Pt(s1.a.x + t * d1x, s1.a.y + t * d1y)
-            splits(i) += ((t, p))
-            splits(j) += ((u, p))
-          }
+    // Candidate pruning: uniform grid over segment bboxes — only
+    // segments sharing a cell are intersection-tested, turning the
+    // naive O(n²) pair loop into ~O(n) for typical arrangements (the
+    // negative-buffer pass feeds tens of thousands of short segments).
+    val avgLen = segs.iterator
+      .map(s => math.hypot(s.b.x - s.a.x, s.b.y - s.a.y)).sum / segs.size
+    val cell = math.max(avgLen * 2, diag / 1024)
+    val grid = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Int]]
+    def cellsOf(s: Seg): Iterator[Long] = {
+      val x0 = (math.min(s.a.x, s.b.x) / cell).toLong
+      val x1 = (math.max(s.a.x, s.b.x) / cell).toLong
+      val y0 = (math.min(s.a.y, s.b.y) / cell).toLong
+      val y1 = (math.max(s.a.y, s.b.y) / cell).toLong
+      for (cx <- (x0 to x1).iterator; cy <- y0 to y1)
+        yield cx * 0x100000001L + cy
+    }
+    segs.indices.foreach { k =>
+      cellsOf(segs(k)).foreach(c =>
+        grid.getOrElseUpdate(c, mutable.ArrayBuffer.empty) += k)
+    }
+
+    def intersectPair(i: Int, j: Int): Unit = {
+      val s1 = segs(i); val s2 = segs(j)
+      val d1x = s1.b.x - s1.a.x; val d1y = s1.b.y - s1.a.y
+      val d2x = s2.b.x - s2.a.x; val d2y = s2.b.y - s2.a.y
+      val denom = d1x * d2y - d1y * d2x
+      if (denom != 0) {
+        val t = ((s2.a.x - s1.a.x) * d2y - (s2.a.y - s1.a.y) * d2x) / denom
+        val u = ((s2.a.x - s1.a.x) * d1y - (s2.a.y - s1.a.y) * d1x) / denom
+        if (t > 1e-12 && t < 1 - 1e-12 && u > 1e-12 && u < 1 - 1e-12) {
+          // proper crossing: one shared point instance for both
+          val p = Pt(s1.a.x + t * d1x, s1.a.y + t * d1y)
+          splits(i) += ((t, p))
+          splits(j) += ((u, p))
         }
-        // endpoint-on-segment (covers collinear partial overlap since
-        // each endpoint inside the other segment splits it)
-        onSegment(s2.a, s1).foreach(t => splits(i) += ((t, s2.a)))
-        onSegment(s2.b, s1).foreach(t => splits(i) += ((t, s2.b)))
-        onSegment(s1.a, s2).foreach(u => splits(j) += ((u, s1.a)))
-        onSegment(s1.b, s2).foreach(u => splits(j) += ((u, s1.b)))
-        j += 1
       }
-      i += 1
+      // endpoint-on-segment (covers collinear partial overlap since
+      // each endpoint inside the other segment splits it)
+      onSegment(s2.a, s1).foreach(t => splits(i) += ((t, s2.a)))
+      onSegment(s2.b, s1).foreach(t => splits(i) += ((t, s2.b)))
+      onSegment(s1.a, s2).foreach(u => splits(j) += ((u, s1.a)))
+      onSegment(s1.b, s2).foreach(u => splits(j) += ((u, s1.b)))
+    }
+
+    val done = mutable.HashSet.empty[Long]
+    grid.valuesIterator.foreach { bucket =>
+      var bi = 0
+      while (bi < bucket.size) {
+        var bj = bi + 1
+        while (bj < bucket.size) {
+          val i = math.min(bucket(bi), bucket(bj))
+          val j = math.max(bucket(bi), bucket(bj))
+          if (i != j && done.add(i.toLong * segs.size + j))
+            intersectPair(i, j)
+          bj += 1
+        }
+        bi += 1
+      }
     }
 
     // snap endpoints to a grid ~3 orders below the probe offset: the
@@ -137,7 +168,7 @@ object PolyUnion {
     def snap(p: Pt): Pt = Pt(math.rint(p.x / q) * q, math.rint(p.y / q) * q)
 
     val pieces = mutable.ArrayBuffer.empty[Seg]
-    i = 0
+    var i = 0
     while (i < segs.size) {
       val s = segs(i)
       val pts = (Seq((0.0, s.a)) ++ splits(i).sortBy(_._1).map(x => (x._1, x._2))
@@ -148,12 +179,62 @@ object PolyUnion {
       i += 1
     }
 
-    // 3. coverage classification
+    // 3. coverage classification (bbox prefilter per polygon: probes
+    // run once per sub-segment side, over possibly thousands of polys)
+    def withBoxes(ps: Seq[Polygon]): Array[(Polygon, Box)] =
+      ps.iterator.map(p => (p, p.outer.pts.foldLeft(Box.empty)(_.extend(_))))
+        .toArray
+    val boxedA = withBoxes(validA)
+    val boxedB = withBoxes(validB)
     def containsP(poly: Polygon, p: Pt): Boolean =
       FromOsm.pointInRing(p, poly.outer) &&
         !poly.inners.exists(FromOsm.pointInRing(p, _))
-    def insideAt(p: Pt): Boolean =
-      inside(validA.count(containsP(_, p)), validB.count(containsP(_, p)))
+    // grid-index the polygons as well (buffer passes probe thousands
+    // of small local shapes); wide polygons fall into a linear list
+    def probeCounter(boxed: Array[(Polygon, Box)]): Pt => Int = {
+      if (boxed.length <= 16) { p =>
+        var c = 0; var k = 0
+        while (k < boxed.length) {
+          if (boxed(k)._2.contains(p) && containsP(boxed(k)._1, p)) c += 1
+          k += 1
+        }
+        c
+      } else {
+        val byCell = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Int]]
+        val wide = mutable.ArrayBuffer.empty[Int]
+        boxed.indices.foreach { k =>
+          val b = boxed(k)._2
+          val x0 = (b.minX / cell).toLong; val x1 = (b.maxX / cell).toLong
+          val y0 = (b.minY / cell).toLong; val y1 = (b.maxY / cell).toLong
+          if ((x1 - x0 + 1) * (y1 - y0 + 1) > 4096) wide += k
+          else for (cx <- x0 to x1; cy <- y0 to y1)
+            byCell.getOrElseUpdate(cx * 0x100000001L + cy,
+              mutable.ArrayBuffer.empty) += k
+        }
+        p => {
+          var c = 0
+          var k = 0
+          while (k < wide.size) {
+            val e = boxed(wide(k))
+            if (e._2.contains(p) && containsP(e._1, p)) c += 1
+            k += 1
+          }
+          val key = (p.x / cell).toLong * 0x100000001L + (p.y / cell).toLong
+          byCell.get(key).foreach { cands =>
+            var ci = 0
+            while (ci < cands.size) {
+              val e = boxed(cands(ci))
+              if (e._2.contains(p) && containsP(e._1, p)) c += 1
+              ci += 1
+            }
+          }
+          c
+        }
+      }
+    }
+    val countA = probeCounter(boxedA)
+    val countB = probeCounter(boxedB)
+    def insideAt(p: Pt): Boolean = inside(countA(p), countB(p))
 
     val boundary = mutable.ArrayBuffer.empty[Seg]
     val seen = mutable.HashSet.empty[(Pt, Pt)]

@@ -129,10 +129,40 @@ object GenQueries {
       |  count(*) AS painted_px, count(*) AS area_px
       |FROM cov GROUP BY 1, 2""".stripMargin
 
+  // ---- q47: vector-union dissolve (gen-tile-vector.cpp:38-75) ----
+  // Buffer distances make areas chordal-arc approximate, so this is
+  // not exactly SQL-expressible: registered WITHOUT an oracle — the
+  // driver records the weaker rows-only check; exact semantics are
+  // pinned by PolyUnionSpec/OffsetSpec/RasterGenSpec.
+
+  def vectorUnion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.events(s, d).select($"event_id")
+      .where($"event_id" % 293 === 0).distinct()
+    val rects = ids.select(
+      (($"event_id" * 2654435761L) % 236).as("px0"),
+      (($"event_id" * 2246822519L) % 236).as("py0"),
+      (lit(2) + $"event_id" % 18).as("w"),
+      (lit(2) + expr("event_id DIV 7") % 18).as("h"))
+    val mk = udf((px0: Long, py0: Long, w: Long, h: Long) => {
+      val x0 = -Half + px0 * P; val x1 = -Half + (px0 + w) * P
+      val yT = Half - py0 * P; val yB = Half - (py0 + h) * P
+      Ewkb.encode(Polygon(Ring(Vector(Pt(x0, yB), Pt(x1, yB), Pt(x1, yT),
+        Pt(x0, yT), Pt(x0, yB))), Vector.empty, Srid.WebMercator))
+    })
+    val geoms = rects.select(mk($"px0", $"py0", $"w", $"h").as("geom"))
+    Gen.vectorUnion(geoms, "geom", None, zoom = 2, margin = 0.0,
+      bufferSize = P / 2)
+      .groupBy($"x", $"y")
+      .agg(count(lit(1)).as("n_polys"),
+        sum($"area").as("total_area"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q43_gen_river_widths"      -> (riverWidths _),
     "q44_gen_discrete_isolation" -> (discreteIsolation _),
-    "q45_gen_raster_union"      -> (rasterUnion _))
+    "q45_gen_raster_union"      -> (rasterUnion _),
+    "q47_gen_vector_union"      -> (vectorUnion _))
 
   val oracles: Map[String, String] = Map(
     "q43_gen_river_widths"      -> riverWidthsSql,
