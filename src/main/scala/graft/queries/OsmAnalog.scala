@@ -386,7 +386,42 @@ object OsmAnalog {
        |FROM p""".stripMargin
   }
 
+  // second deterministic point per event (independent multipliers)
+  private val Lon2Expr = "(((event_id * 1540483477) % 360000000) - 180000000) / 1000000.0"
+  private val Lat2Expr = "(((event_id * 2654435741) % 170000000) - 85000000) / 1000000.0"
+
+  /** §2.5 length + segmentize (src/geom-functions.cpp:270-349,439-455):
+    * per synthetic 2-point line, planar length through the native EWKB
+    * expression and the piece count of segmentize(maxlen=25°) — for a
+    * single segment the reference's walk yields ceil(len/maxlen)
+    * pieces, which the oracle computes arithmetically. */
+  def segmentizeLen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mkLine = udf((x1: Double, y1: Double, x2: Double, y2: Double) =>
+      graft.geom.Ewkb.encode(graft.geom.LineString(
+        Vector(graft.geom.Pt(x1, y1), graft.geom.Pt(x2, y2)))))
+    val nPieces = udf((b: Array[Byte]) =>
+      graft.geom.GeomOps.segmentize(graft.geom.Ewkb.decode(b), 25.0)
+        .numGeometries.toLong)
+    Tables.events(s, d).select($"event_id").distinct()
+      .withColumn("g", mkLine(expr(LonExpr), expr(LatExpr),
+        expr(Lon2Expr), expr(Lat2Expr)))
+      .select($"event_id",
+        graft.expressions.GeomExpressions.stLengthN($"g").as("len"),
+        nPieces($"g").as("n_pieces"))
+  }
+
+  val segmentizeLenSql: String =
+    s"""SELECT event_id,
+       |  sqrt(($Lon2Expr - $LonExpr) * ($Lon2Expr - $LonExpr) +
+       |       ($Lat2Expr - $LatExpr) * ($Lat2Expr - $LatExpr)) AS len,
+       |  CAST(greatest(ceil(sqrt(($Lon2Expr - $LonExpr) * ($Lon2Expr - $LonExpr) +
+       |       ($Lat2Expr - $LatExpr) * ($Lat2Expr - $LatExpr)) / 25.0), 1) AS BIGINT)
+       |    AS n_pieces
+       |FROM (SELECT DISTINCT event_id FROM events)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q48_osm_segmentize"         -> (segmentizeLen _),
     "q46_osm_locator"            -> (locator _),
     "q42_osm_two_stage"          -> (twoStage _),
     "q30_osm_kway_merge"         -> (kwayMerge _),
@@ -403,6 +438,7 @@ object OsmAnalog {
     "q41_osm_style_filter"       -> (styleFilter _))
 
   val oracles: Map[String, String] = Map(
+    "q48_osm_segmentize"         -> segmentizeLenSql,
     "q46_osm_locator"            -> locatorSql,
     "q42_osm_two_stage"          -> twoStageSql,
     "q30_osm_kway_merge"         -> kwayMergeSql,
