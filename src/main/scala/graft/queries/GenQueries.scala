@@ -152,7 +152,7 @@ object GenQueries {
     })
     val geoms = rects.select(mk($"px0", $"py0", $"w", $"h").as("geom"))
     Gen.vectorUnion(geoms, "geom", None, zoom = 2, margin = 0.0,
-      bufferSize = P / 2)
+      bufferSize = P / 2, circleSegs = 8)
       .groupBy($"x", $"y")
       .agg(count(lit(1)).as("n_polys"),
         sum($"area").as("total_area"))
