@@ -155,6 +155,31 @@ class RasterGenSpec extends SparkSpecBase {
     assert(out.head.getAs[Long]("painted_px") == 36 + 36 - 9)
   }
 
+  test("tracer area == painted pixels on random overlapping rects") {
+    // net traced area (outers minus holes) must equal the painted
+    // pixel count exactly, whatever components/holes the overlap forms
+    val rng = new scala.util.Random(11)
+    val t = GenTile(0, 0, 0)
+    val p256 = EC / 256.0
+    (0 until 25).foreach { trial =>
+      val c = new Canvas(256, 0)
+      (0 until 2 + rng.nextInt(10)).foreach { _ =>
+        val x0 = rng.nextInt(200); val y0 = rng.nextInt(200)
+        val w = 1 + rng.nextInt(40); val h = 1 + rng.nextInt(40)
+        val xw0 = -Half + x0 * p256; val xw1 = -Half + (x0 + w) * p256
+        val yT = Half - y0 * p256; val yB = Half - (y0 + h) * p256
+        c.drawPolygon(Polygon(Ring(Vector(Pt(xw0, yB), Pt(xw1, yB),
+          Pt(xw1, yT), Pt(xw0, yT), Pt(xw0, yB))), Vector.empty,
+          Srid.WebMercator), t)
+      }
+      val polys = Tracer.trace(c, t, turdsize = 0, minArea = 0.0)
+      val traced = polys.map(p => math.abs(GeomOps.area(p))).sum
+      assert(math.abs(traced / (p256 * p256) - c.paintedPixels) < 1e-6,
+        s"trial $trial: traced=${traced / (p256 * p256)} " +
+          s"painted=${c.paintedPixels}")
+    }
+  }
+
   test("WKB raster export matches the PostGIS v0 layout byte-for-byte") {
     val c = new Canvas(64, 0)
     c.drawPolygon(rectPoly(0, 0, 1, 1), tile0)

@@ -105,4 +105,39 @@ class PolyUnionSpec extends AnyFunSuite {
     }
     assert(area(u) == (9 * 1.5 + 2) * 2)
   }
+
+  test("cross-validation: vector union == raster painted pixels on random rects") {
+    // Two INDEPENDENT implementations of the same union: for
+    // integer-grid rectangles both are exact, so the areas must match
+    // to the pixel. 30 seeded-random configurations.
+    import graft.operators.RasterGen.{Canvas, GenTile}
+    val EC = graft.functions.TileFunctions.EarthCircumference
+    val tile0 = GenTile(0, 0, 0)
+    val pixel = EC / 256.0
+    val half = EC / 2.0
+    val rng = new scala.util.Random(7)
+    (0 until 30).foreach { trial =>
+      val rects = Seq.fill(2 + rng.nextInt(12)) {
+        val x0 = rng.nextInt(200); val y0 = rng.nextInt(200)
+        (x0, y0, x0 + 1 + rng.nextInt(40), y0 + 1 + rng.nextInt(40))
+      }
+      val worldRects = rects.map { case (x0, y0, x1, y1) =>
+        Polygon(Ring(Vector(
+          Pt(-half + x0 * pixel, half - y1 * pixel),
+          Pt(-half + x1 * pixel, half - y1 * pixel),
+          Pt(-half + x1 * pixel, half - y0 * pixel),
+          Pt(-half + x0 * pixel, half - y0 * pixel),
+          Pt(-half + x0 * pixel, half - y1 * pixel))),
+          Vector.empty, Srid.WebMercator)
+      }
+      val vector = math.abs(GeomOps.area(PolyUnion.union(worldRects)))
+      val canvas = new Canvas(256, 0)
+      worldRects.foreach(canvas.drawPolygon(_, tile0))
+      val raster = canvas.paintedPixels * pixel * pixel
+      assert(math.abs(vector / (pixel * pixel) - canvas.paintedPixels) < 1e-6,
+        s"trial $trial: vector=${vector / (pixel * pixel)} px " +
+          s"raster=${canvas.paintedPixels} px rects=$rects")
+      assert(raster > 0)
+    }
+  }
 }
