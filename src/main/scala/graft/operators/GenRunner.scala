@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `osm2pgsql.run_gen(strategy, params)` dispatcher
+  * (src/gen/osm2pgsql-gen.cpp:284-340, strategy registry
+  * src/gen/gen-create.cpp:22-52): one entry point naming a strategy
+  * plus a parameter map, resolving to the Spark plan of that
+  * generalizer. `run_sql` is [[runSql]].
+  *
+  * Parameters mirror the reference's: `src` (a registered temp view or
+  * parquet path resolved by the caller into `input`), `zoom`, `margin`,
+  * `buffer_size`, `image_extent`, `turdsize`, `group_by_column`,
+  * `cell_size`, `importance_column`, ...
+  */
+object GenRunner {
+
+  final case class Params(m: Map[String, String]) {
+    def str(k: String): Option[String] = m.get(k)
+    def str(k: String, dflt: String): String = m.getOrElse(k, dflt)
+    def int(k: String, dflt: Int): Int = m.get(k).map(_.toInt).getOrElse(dflt)
+    def dbl(k: String, dflt: Double): Double =
+      m.get(k).map(_.toDouble).getOrElse(dflt)
+  }
+
+  /** run_gen: dispatch a strategy over `input`. Unknown strategies
+    * throw, like create_generalizer (gen-create.cpp:48). */
+  def runGen(strategy: String, input: DataFrame, params: Map[String, String]): DataFrame = {
+    val p = Params(params)
+    strategy match {
+      case "raster-union" =>
+        RasterGen.rasterUnion(input, p.str("geom_column", "geom"),
+          p.str("group_by_column"),
+          RasterGen.Config(
+            zoom = p.int("zoom", 10),
+            imageExtent = p.int("image_extent", 2048),
+            margin = p.dbl("margin", 0.0),
+            bufferSize = p.int("buffer_size", 10),
+            turdsize = p.int("turdsize", 2),
+            minArea = p.dbl("min_area", 0.0)))
+      case "builtup" =>
+        val buffers = p.str("buffer_size", "10").split(",")
+        val tables = p.str("src_tables", "").split(",")
+        RasterGen.builtup(input, p.str("geom_column", "geom"),
+          p.str("src_column", "src"),
+          tables.zipAll(buffers, "", buffers.lastOption.getOrElse("10"))
+            .filter(_._1.nonEmpty)
+            .map { case (t, b) => t -> b.trim.toInt }.toMap,
+          RasterGen.Config(
+            zoom = p.int("zoom", 10),
+            imageExtent = p.int("image_extent", 2048),
+            margin = p.dbl("margin", 0.0),
+            turdsize = p.int("turdsize", 2),
+            minArea = p.dbl("min_area", 0.0)))
+      case "vector-union" =>
+        Gen.vectorUnion(input, p.str("geom_column", "geom"),
+          p.str("group_by_column"),
+          zoom = p.int("zoom", 10),
+          margin = p.dbl("margin", 0.0),
+          bufferSize = p.dbl("buffer_size", 10.0))
+      case "rivers" =>
+        Gen.riverWidthsExact(input, p.str("id_column", "way_id"),
+          p.str("length_column", "len"), p.str("width_column", "width"))
+      case "discrete-isolation" =>
+        Gen.discreteIsolation(input, p.str("id_column", "id"),
+          p.str("x_column", "x"), p.str("y_column", "y"),
+          p.str("importance_column", "importance"),
+          p.dbl("cell_size", 1000.0))
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unknown generalization strategy '$other'.")
+    }
+  }
+
+  /** run_sql analog (osm2pgsql-gen.cpp run_sql): execute statements
+    * against the session (tile-parameterized form is
+    * [[Gen.runTileSql]]). */
+  def runSql(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
+}
+
+/** Stand-alone expire calculator — the `osm2pgsql-expire` binary
+  * (src/osm2pgsql-expire.cpp:34-110): reads a parquet of 3857 EWKB
+  * geometries, computes the dirty-tile cover at `zoom` in the given
+  * mode, rolls up to `minzoom`, writes one `zoom/x/y` line per tile.
+  *
+  * Usage: runMain graft.operators.ExpireMain <in.parquet> <geomCol>
+  *        <zoom> <minzoom> <mode> <out.txt>
+  */
+object ExpireMain {
+  def main(args: Array[String]): Unit = {
+    val Array(in, geomCol, zoomS, minzoomS, mode, out) = args
+    val zoom = zoomS.toInt
+    // only stop a session this main created (getOrCreate may hand us a
+    // host session, e.g. under test)
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val cfg = TileCover.Config(zoom, mode match {
+      case "boundary-only" => TileCover.BoundaryOnly
+      case "full-area"     => TileCover.FullArea
+      case _               => TileCover.Hybrid()
+    })
+    val tiles = TileCover.geometryCover(
+      spark.read.parquet(in), col(geomCol), cfg)
+    val rolled = Expire.rollup(tiles, "x", "y", zoom, minzoomS.toInt)
+    val lines = Expire.formatTiles(rolled)
+      .orderBy("tile").collect().map(_.getString(0))
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      lines.mkString("\n").getBytes("UTF-8"))
+    println(s"wrote ${lines.length} tiles to $out")
+    if (!preExisting) spark.stop()
+  }
+}
