@@ -62,6 +62,12 @@ object OsmPbf {
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
 
+    /** known field, wrong wire type: corrupt/mis-framed input — fail
+      * instead of silently skipping (dropping e.g. a way's refs). */
+    def badWire(msg: String, field: Int, wireType: Int): Nothing =
+      throw new IllegalArgumentException(
+        s"$msg field $field has unexpected wire type $wireType")
+
     def bytes(): Array[Byte] = {
       val len = varint().toInt
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
@@ -243,6 +249,7 @@ object OsmPbf {
             case (9, 0)  => lons = lons :+ d.zigzag()
             case (10, 2) => kvs = kvs ++ d.packedVarints()
             case (10, 0) => kvs = kvs :+ d.varint()
+            case (f @ (1 | 8 | 9 | 10), w) => d.badWire("DenseNodes", f, w)
             case (_, w)  => d.skip(w)
           }
           var id = 0L; var lat = 0L; var lon = 0L; var kv = 0
@@ -272,6 +279,7 @@ object OsmPbf {
             case (3, 0) => vals = vals :+ wmsg.varint()
             case (8, 2) => refs = refs ++ wmsg.packedZigzags()
             case (8, 0) => refs = refs :+ wmsg.zigzag()
+            case (f @ (2 | 3 | 8), w) => wmsg.badWire("Way", f, w)
             case (_, w) => wmsg.skip(w)
           }
           var acc = 0L
@@ -298,6 +306,7 @@ object OsmPbf {
             case (9, 0)  => memids = memids :+ r.zigzag()
             case (10, 2) => types = types ++ r.packedVarints()
             case (10, 0) => types = types :+ r.varint()
+            case (f @ (2 | 3 | 8 | 9 | 10), w) => r.badWire("Relation", f, w)
             case (_, w)  => r.skip(w)
           }
           var acc = 0L

@@ -89,6 +89,17 @@ class OsmPbfSpec extends SparkSpecBase {
     assert(wu.head.id == 42L)
   }
 
+  test("known field with wrong wire type fails loudly") {
+    // way refs (field 8) framed as fixed64 (wire 1) — corrupt framing
+    val way = keyed(1, 0) ++ vint(42) ++ keyed(8, 1) ++
+      Array.fill[Byte](8)(0)
+    val block = msg(1, msg(1, "".getBytes("UTF-8"))) ++ msg(2, msg(3, way))
+    val e = intercept[IllegalArgumentException] {
+      OsmPbf.decodeBlock(block)
+    }
+    assert(e.getMessage.contains("unexpected wire type"))
+  }
+
   test("truncated zlib blob fails fast instead of spinning") {
     val raw = Array.fill[Byte](4096)(7)
     val deflater = new java.util.zip.Deflater()
