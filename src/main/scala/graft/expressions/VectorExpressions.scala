@@ -153,10 +153,15 @@ case class WordCountsExpr(child: Expression, words: Seq[String])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
-  @transient private lazy val slots: java.util.HashMap[UTF8String, Integer] = {
-    val m = new java.util.HashMap[UTF8String, Integer]()
+  // word → ALL slots listing it: a word listed twice (e.g. a marker word
+  // shared by two families) increments every slot, instead of silently
+  // keeping only the last one as a plain put() map would.
+  @transient private lazy val slots: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
     words.zipWithIndex.foreach { case (w, i) =>
-      m.put(UTF8String.fromString(w), i)
+      val k = UTF8String.fromString(w)
+      val prev = m.get(k)
+      m.put(k, if (prev == null) Array(i) else prev :+ i)
     }
     m
   }
@@ -167,8 +172,11 @@ case class WordCountsExpr(child: Expression, words: Seq[String])
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val s = slots.get(tokens.getUTF8String(i))
-      if (s != null) counts(s) += 1
+      val ss = slots.get(tokens.getUTF8String(i))
+      if (ss != null) {
+        var j = 0
+        while (j < ss.length) { counts(ss(j)) += 1; j += 1 }
+      }
       i += 1
     }
     new GenericArrayData(counts)

@@ -39,6 +39,8 @@ object PolyUnion {
   def union(polys: Seq[Polygon]): Geometry = {
     val valid = polys.filter(p => p.outer.pts.size >= 4)
     if (valid.size == 1) valid.head
+    else if (valid.isEmpty) // keep the inputs' SRID even when all degenerate
+      NullGeom(polys.headOption.map(_.srid).getOrElse(Srid.WGS84))
     else overlay(valid, Nil, (ca, _) => ca > 0)
   }
 
@@ -326,8 +328,12 @@ object PolyUnion {
       (o, a, mutable.ArrayBuffer.empty[Vector[Pt]])
     }
     holes.foreach { h =>
-      // probe just inside the hole: midpoint of first edge, offset left
-      // (hole is CW → interior of the hole pocket is left of its edges)
+      // probe near the hole's first edge: midpoint offset left. Boundary
+      // edges are oriented interior-left, so the probe lands in the UNION
+      // interior — which is inside any outer ring that contains the hole.
+      // (Either side would work here: both sides of a hole edge are inside
+      // the containing outer ring, and pointInRing below tests only the
+      // candidate OUTER ring, not hole membership.)
       val a = h(0); val b = h(1)
       val len = math.hypot(b.x - a.x, b.y - a.y)
       val probe = Pt((a.x + b.x) / 2 - (b.y - a.y) / len * eps,

@@ -189,8 +189,13 @@ object Replication {
           applyDiff(path) // throws on failure -> state NOT advanced
           seq = next
           ts = source.stateInfo(Some(next)).map(_.timestamp).getOrElse(ts)
-          Properties.save(spark, propsPath, stored ++ Map(
-            KeyBase -> baseUrl, KeySeq -> seq.toString, KeyTs -> ts.toString))
+          // merge into a FRESH load: applyDiff may have written other
+          // keys (import stats, current_timestamp) to the same store —
+          // the entry-time `stored` snapshot would silently revert them
+          Properties.save(spark, propsPath,
+            Properties.load(spark, propsPath) ++ Map(
+              KeyBase -> baseUrl, KeySeq -> seq.toString,
+              KeyTs -> ts.toString))
           if (once) continue = false
       }
     }

@@ -105,6 +105,24 @@ class ReplicationSpec extends SparkSpecBase {
     assert(rest.sequence == 5L)
   }
 
+  test("update preserves keys written to the store by applyDiff") {
+    val mirror = mkMirror()
+    val props = Files.createTempDirectory("graft-props").toString + "/p3"
+    Replication.init(spark, props, DirSource(mirror), "x",
+      startAt = Some(Instant.parse("2024-01-03T12:00:00Z")))
+
+    // applyDiff writes import stats into the SAME properties store —
+    // the per-chunk state save must not revert them to a stale snapshot
+    Replication.update(spark, props, DirSource(mirror), path => {
+      val cur = graft.sinks.Properties.load(spark, props)
+      graft.sinks.Properties.save(spark, props,
+        cur + ("import_stat" -> path))
+    })
+    val end = graft.sinks.Properties.load(spark, props)
+    assert(end.get("import_stat").exists(_.endsWith(".osc")))
+    assert(end("replication_sequence_number") == "5")
+  }
+
   test("init without stored info and without start date fails loudly") {
     val mirror = mkMirror()
     val props = Files.createTempDirectory("graft-props").toString + "/p2"

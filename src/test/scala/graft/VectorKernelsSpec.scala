@@ -106,4 +106,14 @@ class VectorKernelsSpec extends SparkSpecBase {
       .as[(Seq[Int], Seq[Int])].collect()
     r.foreach { case (n, h) => assert(n == h) }
   }
+
+  test("wordCountsN counts a duplicated word into every slot") {
+    // "the" listed twice (as if shared by two marker families): both
+    // slots must get its count, not just the last one registered
+    val words = Seq("the", "spark", "the")
+    val r = Seq("the the spark").toDF("text")
+      .select(wordCountsN(TextFunctions.normToks($"text"), words))
+      .as[Seq[Int]].collect()
+    assert(r.head == Seq(2, 1, 2))
+  }
 }

@@ -14,6 +14,16 @@ class PolyUnionSpec extends AnyFunSuite {
 
   private def area(g: Geometry): Double = math.abs(GeomOps.area(g))
 
+  test("all-degenerate inputs keep their SRID in the null result") {
+    val degenerate = Polygon(
+      Ring(Vector(Pt(0, 0), Pt(1, 1), Pt(0, 0))), // < 4 points
+      Vector.empty, Srid.WebMercator)
+    PolyUnion.union(Seq(degenerate)) match {
+      case NullGeom(srid) => assert(srid == Srid.WebMercator)
+      case other          => fail(s"expected NullGeom, got $other")
+    }
+  }
+
   test("disjoint rectangles stay separate") {
     val u = PolyUnion.union(Seq(rect(0, 0, 2, 2), rect(5, 5, 7, 7)))
     u match {
