@@ -126,6 +126,54 @@ object VectorKernels {
     new GenericArrayData(mins.map(d => hex(d): Any))
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash every
+    * word `k`-gram (md5 of the space-joined gram), slide a window of
+    * `w` consecutive hashes, select the minimum of each window, return
+    * the sorted distinct selection. Guarantees a match for any shared
+    * run of ≥ w+k-1 tokens while keeping ~2/(w+1) of the hashes — the
+    * rolling-hash document-fingerprint scheme. Fewer than k tokens →
+    * empty array; fewer hashes than the window → one whole-array window.
+    * Min is byte-wise unsigned digest order (== hex string order). */
+  def winnowFps(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(new Array[Any](0))
+    val md = MessageDigest.getInstance("MD5")
+    val nGrams = n - k + 1
+    val hashes = new Array[Array[Byte]](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(tokens.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      hashes(i) = md.digest()
+      i += 1
+    }
+    val selected = new java.util.TreeSet[UTF8String]()
+    val nWindows = math.max(nGrams - w + 1, 1)
+    var s = 0
+    while (s < nWindows) {
+      var min = hashes(s)
+      var j = s + 1
+      val end = math.min(s + w, nGrams)
+      while (j < end) {
+        if (java.util.Arrays.compareUnsigned(hashes(j), min) < 0)
+          min = hashes(j)
+        j += 1
+      }
+      selected.add(hex(min))
+      s += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** md5 hex of the space-joined sorted distinct token set —
     * `md5(concat_ws(" ", array_sort(array_distinct(tokens))))` in one
     * pass (UTF8String natural order == Spark's binary string order). */
@@ -274,6 +322,21 @@ case class MinHashSigsExpr(child: Expression, k: Int, numHashes: Int)
     copy(child = c)
 }
 
+/** winnow_fps(tokens, k, w) → sorted distinct window-min k-gram hashes
+  * (empty when fewer than k tokens). */
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.winnowFps(v.asInstanceOf[ArrayData], k, w)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorKernels.winnowFps($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** sorted_token_fp(tokens) → md5 hex of sorted distinct token set. */
 case class SortedTokenFpExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -302,4 +365,6 @@ object VectorExpressions {
     column(SortedTokenFpExpr(expression(tokens)))
   def wordCountsN(tokens: Column, words: Seq[String]): Column =
     column(WordCountsExpr(expression(tokens), words))
+  def winnowFpsN(tokens: Column, k: Int, w: Int): Column =
+    column(WinnowFpsExpr(expression(tokens), k, w))
 }

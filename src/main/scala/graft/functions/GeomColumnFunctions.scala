@@ -30,6 +30,59 @@ object GeomColumnFunctions {
     s"abs(list_sum(list_transform(range(1, len($xs) + 1), i -> " +
       s"$xs[i] * $ys[(i % len($xs)) + 1] - $xs[(i % len($xs)) + 1] * $ys[i])))"
 
+  /** Twice the SIGNED shoelace area (no abs — the centroid formula needs
+    * the sign). Elements are cast to long before multiplying so integer
+    * inputs can't overflow 32 bits. */
+  def shoelaceSigned2x(xs: Column, ys: Column): Column = {
+    val n = size(xs)
+    val xl = (i: Column) => element_at(xs, i).cast("long")
+    val yl = (i: Column) => element_at(ys, i).cast("long")
+    aggregate(
+      transform(sequence(lit(1), n), i =>
+        xl(i) * yl((i % n) + 1) - xl((i % n) + 1) * yl(i)),
+      lit(0L), _ + _)
+  }
+
+  /** SQL mirror of [[shoelaceSigned2x]]. */
+  def shoelaceSigned2xSql(xs: String, ys: String): String = {
+    def x(i: String) = s"CAST($xs[$i] AS BIGINT)"
+    def y(i: String) = s"CAST($ys[$i] AS BIGINT)"
+    s"list_sum(list_transform(range(1, len($xs) + 1), i -> " +
+      s"${x("i")} * ${y(s"(i % len($xs)) + 1")} - " +
+      s"${x(s"(i % len($xs)) + 1")} * ${y("i")}))"
+  }
+
+  /** 6× the signed-area-weighted centroid-x numerator:
+    * Σ (x_i + x_{i+1})(x_i·y_{i+1} − x_{i+1}·y_i). Centroid x =
+    * this / (3 · signed 2A) — exact integer numerator & denominator
+    * for integer rings, so the final division is the only float op
+    * (src/geom-functions.cpp:812-837 computes the same form in double).
+    * The y numerator is −centroidNum6x(ys, xs): swapping the axes
+    * negates the cross product, so negate the result back.
+    */
+  def centroidNum6x(xs: Column, ys: Column): Column = {
+    val n = size(xs)
+    val xl = (i: Column) => element_at(xs, i).cast("long")
+    val yl = (i: Column) => element_at(ys, i).cast("long")
+    aggregate(
+      transform(sequence(lit(1), n), i => {
+        val nxt = (i % n) + 1
+        (xl(i) + xl(nxt)) * (xl(i) * yl(nxt) - xl(nxt) * yl(i))
+      }),
+      lit(0L), _ + _)
+  }
+
+  /** SQL mirror of [[centroidNum6x]] (swap xs/ys and negate for the y
+    * numerator). */
+  def centroidNum6xSql(xs: String, ys: String): String = {
+    def x(i: String) = s"CAST($xs[$i] AS BIGINT)"
+    def y(i: String) = s"CAST($ys[$i] AS BIGINT)"
+    val nxt = s"(i % len($xs)) + 1"
+    s"list_sum(list_transform(range(1, len($xs) + 1), i -> " +
+      s"(${x("i")} + ${x(nxt)}) * " +
+      s"(${x("i")} * ${y(nxt)} - ${x(nxt)} * ${y("i")})))"
+  }
+
   /** Planar length of the polyline given by parallel coordinate arrays:
     * sum of segment euclidean distances (src/geom-functions.cpp:439-455).
     * sqrt/multiply/add on identical doubles are IEEE-exact, and the fold

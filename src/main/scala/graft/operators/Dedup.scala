@@ -94,6 +94,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), j(col("wa"), col("wb")).as("jaccard"))
   }
 
+  /** Winnowing document fingerprints (rolling-hash scheme, Schleimer
+    * et al. 2003): per doc, the sorted distinct window-min `k`-gram
+    * hashes plus a digest of the whole selection. Two docs sharing any
+    * token run of ≥ `w`+`k`-1 share at least one fingerprint, so the
+    * fingerprint column doubles as an LSH-style blocking key for
+    * plagiarism-shaped near-dup detection. Pure per-row projection
+    * (one codegen'd pass, [[graft.expressions.WinnowFpsExpr]]) — no
+    * shuffle. Docs with fewer than `k` tokens produce no row. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    df.select(col(idCol),
+      graft.expressions.VectorExpressions
+        .winnowFpsN(normToks(col(textCol)), k, w).as("fps"))
+      .where(size(col("fps")) > 0)
+      .select(col(idCol), size(col("fps")).as("n_fps"),
+        md5(concat_ws(" ", col("fps"))).as("fp_digest"))
+
+  /** Direct n-gram Jaccard near-dup: docs are their distinct word
+    * `n`-gram sets, candidate pairs come from an inverted-index
+    * equi-join on shared grams, similarity = |A∩B| / |A∪B| ≥
+    * `threshold`. Grams occurring in more than `maxDf` documents are
+    * dropped FIRST (stop-gram filter) — this both bounds the join
+    * fan-out at scale (the hot grams are exactly the useless ones) and
+    * defines the similarity space: sizes and intersections are over
+    * the filtered sets. Only the gram-key shuffle is all-to-all;
+    * count(*) per pair replaces any per-pair set arithmetic. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, threshold: Double = 0.5, maxDf: Long = 100): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(normToks(col(textCol)), n))).as("g"))
+    val kept = grams.withColumn("df_cnt",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g"))))
+      .where(col("df_cnt") <= maxDf).drop("df_cnt")
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val shared = kept.select(col("id").as("id_a"), col("g"))
+      .join(kept.select(col("id").as("id_b"), col("g")), "g")
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        (col("shared").cast("double") /
+          (col("sa") + col("sb") - col("shared")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** SimHash (`bits`-bit, ≤32) per document over word unigrams. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame = {

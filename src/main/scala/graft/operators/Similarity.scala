@@ -66,6 +66,65 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the second scale path next
+    * to LSH. The corpus is partitioned into Voronoi cells of a small
+    * centroid set; a query probes only its `nprobe` nearest cells, so
+    * the scored fraction is ~nprobe/|C| of the corpus.
+    *
+    * Centroids here are a deterministic corpus sample (`id %
+    * centroidEvery == 0`) rather than k-means means — the cell/probe
+    * plumbing (the part that matters for the plan shape and the
+    * oracle) is identical, and sampled centroids keep the operator
+    * fully declarative. Plan: centroids broadcast to both the
+    * assignment join and the probe join; assignment collapses map-side
+    * to one compact row per corpus vector, so the all-to-all traffic
+    * is |corpus| assignment rows + the candidate equi-join on cell
+    * id — never the cross-join expansion. All scores are quantized
+    * integer cosine ([[qdot]]) — bit-identical cross-engine, ranks
+    * deterministic with (score desc, id asc) tie-breaks. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int = 2, centroidEvery: Int = 25): DataFrame = {
+    val cent = broadcast(corpus
+      .where(col("id") % centroidEvery === 0)
+      .select(col("id").as("cid"), quantize(col("vec")).as("cv"))
+      .withColumn("cn", sqrt(qdot(col("cv"), col("cv")).cast("double"))))
+    val qcos = (v: Column, n1: Column, v2: Column, n2: Column) =>
+      qdot(v, v2).cast("double") / (n1 * n2)
+
+    val corp = corpus.select(col("id").as("nid"), quantize(col("vec")).as("nv"))
+      .withColumn("nn", sqrt(qdot(col("nv"), col("nv")).cast("double")))
+    // argmax-by-struct instead of a ranking window: max(struct(cos,
+    // -cid)) is map-side combinable, so the post-broadcast-join
+    // expansion collapses to one row per vector BEFORE any shuffle
+    // (a window would sort-shuffle the whole |corpus|×|C| expansion)
+    val assigned = corp.crossJoin(cent)
+      .select(col("nid"), col("nv"), col("nn"),
+        struct(qcos(col("nv"), col("nn"), col("cv"), col("cn")).as("c"),
+          (-col("cid")).as("nc")).as("sc"))
+      .groupBy(col("nid"))
+      .agg(first(col("nv")).as("nv"), first(col("nn")).as("nn"),
+        max(col("sc")).as("m"))
+      .select(col("nid"), col("nv"), col("nn"), (-col("m.nc")).as("cid"))
+
+    val q = broadcast(queries.select(col("id").as("qid"),
+      quantize(col("vec")).as("qv"))
+      .withColumn("qn", sqrt(qdot(col("qv"), col("qv")).cast("double"))))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val probes = q.crossJoin(cent)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"),
+        qcos(col("qv"), col("qn"), col("cv"), col("cn")).as("pcos"))
+      .withColumn("prank", row_number().over(pw)).where(col("prank") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    probes.join(assigned, "cid").where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        qcos(col("qv"), col("qn"), col("nv"), col("nn")).as("cos"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share at least one of
     * `bands` signature bands (`planes` bits split evenly); exact cosine
     * rank within candidates. Recall grows with bands; cost shrinks with

@@ -82,4 +82,30 @@ object TextAnalysis {
         sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
         (sum(tokenCount(col(textCol)).cast("long")).cast("double") /
           count(lit(1)).cast("double")).as("avg_tokens"))
+
+  /** BPE-ish token counting: the whitespace split of [[tokenStats]] is
+    * one estimator; this is the other — a GPT-2-shaped pre-tokenizer
+    * regex (letter runs | digit runs | single other non-space char),
+    * the standard first stage before BPE merges. Per group: total
+    * subword-ish tokens, the letter/digit/punct breakdown, and tokens
+    * per document. regexp_extract_all is codegen'd, the aggregate is
+    * map-side combinable — a pure scan + tiny hash agg at any scale. */
+  def bpeTokenStats(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val lowered = lower(col(textCol))
+    val nBpe = size(regexp_extract_all(lowered,
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+    val nAlpha = size(regexp_extract_all(lowered, lit("[a-z]+"), lit(0)))
+      .cast("long")
+    val nNum = size(regexp_extract_all(lowered, lit("[0-9]+"), lit(0)))
+      .cast("long")
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nBpe).as("total_bpe"),
+        sum(nAlpha).as("total_alpha"),
+        sum(nNum).as("total_num"),
+        (sum(nBpe) - sum(nAlpha) - sum(nNum)).as("total_punct"),
+        (sum(nBpe).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_bpe"))
+  }
 }

@@ -271,6 +271,58 @@ object OsmAnalog {
       s"  CAST($area AS BIGINT) AS area2x\nFROM rings"
   }
 
+  /** §2.5 centroid over the same synthetic rings as q39: exact integer
+    * numerators (6× area-weighted) and signed 2A; the only float ops
+    * are the two final divisions of exact integers (cross-engine
+    * deterministic). Degenerate zero-area rings are dropped, as the
+    * reference's centroid is undefined there. */
+  def polygonCentroid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.lineitem(s, d).select(
+      $"l_orderkey",
+      $"l_linenumber",
+      $"l_partkey".as("pk"),
+      (($"l_partkey" * 7919) % 2000).as("x"),
+      (($"l_partkey" * 104729) % 2000).as("y"))
+    val rings = pts.groupBy($"l_orderkey")
+      .agg(
+        transform(array_sort(collect_list(
+          struct($"l_linenumber", $"pk", $"x"))), p => p.getField("x")).as("xs"),
+        transform(array_sort(collect_list(
+          struct($"l_linenumber", $"pk", $"y"))), p => p.getField("y")).as("ys"))
+      .where(size($"xs") >= 3)
+    rings.select(
+      $"l_orderkey".as("way_id"),
+      GeomColumnFunctions.shoelaceSigned2x($"xs", $"ys").as("a2x"),
+      GeomColumnFunctions.centroidNum6x($"xs", $"ys").as("cx6"),
+      (-GeomColumnFunctions.centroidNum6x($"ys", $"xs")).as("cy6"))
+      .where($"a2x" =!= 0L)
+      .select($"way_id", $"a2x", $"cx6", $"cy6",
+        ($"cx6".cast("double") / ($"a2x" * 3).cast("double")).as("cx"),
+        ($"cy6".cast("double") / ($"a2x" * 3).cast("double")).as("cy"))
+  }
+
+  val polygonCentroidSql: String = {
+    val a2x = GeomColumnFunctions.shoelaceSigned2xSql("xs", "ys")
+    val cx6 = GeomColumnFunctions.centroidNum6xSql("xs", "ys")
+    val cy6 = GeomColumnFunctions.centroidNum6xSql("ys", "xs")
+    s"""WITH rings AS (
+       |  SELECT l_orderkey,
+       |    list((l_partkey * 7919) % 2000 ORDER BY l_linenumber, l_partkey) AS xs,
+       |    list((l_partkey * 104729) % 2000 ORDER BY l_linenumber, l_partkey) AS ys
+       |  FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 3),
+       |nums AS (
+       |  SELECT l_orderkey AS way_id,
+       |    CAST($a2x AS BIGINT) AS a2x,
+       |    CAST($cx6 AS BIGINT) AS cx6,
+       |    CAST(-($cy6) AS BIGINT) AS cy6
+       |  FROM rings)
+       |SELECT way_id, a2x, cx6, cy6,
+       |  CAST(cx6 AS DOUBLE) / CAST(a2x * 3 AS DOUBLE) AS cx,
+       |  CAST(cy6 AS DOUBLE) / CAST(a2x * 3 AS DOUBLE) AS cy
+       |FROM nums WHERE a2x <> 0""".stripMargin
+  }
+
   /** §2.4 get_bbox: envelope of each way's resolved coordinates. */
   def wayBbox(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -435,7 +487,8 @@ object OsmAnalog {
     "q38_osm_dependency_closure" -> (dependencyClosure _),
     "q39_osm_polygon_area"       -> (polygonArea _),
     "q40_osm_way_bbox"           -> (wayBbox _),
-    "q41_osm_style_filter"       -> (styleFilter _))
+    "q41_osm_style_filter"       -> (styleFilter _),
+    "q49_osm_centroid"           -> (polygonCentroid _))
 
   val oracles: Map[String, String] = Map(
     "q48_osm_segmentize"         -> segmentizeLenSql,
@@ -452,5 +505,6 @@ object OsmAnalog {
     "q38_osm_dependency_closure" -> dependencyClosureSql,
     "q39_osm_polygon_area"       -> polygonAreaSql,
     "q40_osm_way_bbox"           -> wayBboxSql,
-    "q41_osm_style_filter"       -> styleFilterSql)
+    "q41_osm_style_filter"       -> styleFilterSql,
+    "q49_osm_centroid"           -> polygonCentroidSql)
 }

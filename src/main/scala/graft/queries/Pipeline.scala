@@ -215,6 +215,116 @@ object Pipeline {
   private val embeddingNearDupSqlFiltered: String =
     s"""SELECT * FROM ($embeddingNearDupSql) WHERE cos >= 0.95"""
 
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowFingerprints(Tables.documents(s, d), "doc_id", "text")
+
+  /** k=3, w=4: hashes = md5 of 3-grams; windows of 4 hashes (one
+    * whole-array window when there are fewer hashes); fps = sorted
+    * distinct window minima. */
+  val winnowFingerprintsSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(w) - 1),
+       |      i -> md5(array_to_string(w[i:i+2], ' '))) AS hs
+       |  FROM (SELECT doc_id, $W AS w FROM documents)
+       |  WHERE len(w) >= 3),
+       |sel AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(
+       |      range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+       |      j -> list_min(hs[j:j+3])))) AS fps
+       |  FROM g)
+       |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+       |  md5(array_to_string(fps, ' ')) AS fp_digest
+       |FROM sel""".stripMargin
+
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text")
+
+  /** bigrams, stop-gram cap df ≤ 100, threshold 0.5 — sizes and
+    * intersections over the FILTERED gram sets, as in the Spark op. */
+  val ngramJaccardSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id AS id, unnest(list_distinct(
+       |    list_transform(range(1, len(w)),
+       |      i -> array_to_string(w[i:i+1], ' ')))) AS g
+       |  FROM (SELECT doc_id, $W AS w FROM documents)),
+       |kept AS (
+       |  SELECT id, g FROM (
+       |    SELECT id, g, count(*) OVER (PARTITION BY g) AS df_cnt
+       |    FROM grams)
+       |  WHERE df_cnt <= 100),
+       |sizes AS (SELECT id, count(*) AS sz FROM kept GROUP BY id),
+       |sh AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+       |  FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, shared,
+       |  CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) AS jaccard
+       |FROM sh
+       |JOIN sizes sa ON sa.id = id_a
+       |JOIN sizes sb ON sb.id = id_b
+       |WHERE CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= 0.5""".stripMargin
+
+  def ivfAnnTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    Similarity.ivfTopK(e.where($"id" < 8), e, 5)
+  }
+
+  /** centroids = vec_id % 25 == 0; nprobe = 2; quantized cosine. */
+  val ivfAnnTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |  sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+       | FROM e),
+       |cent AS (SELECT vec_id AS cid, q AS cv, nrm AS cn FROM n WHERE vec_id % 25 = 0),
+       |asg AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT n.vec_id AS nid, cent.cid,
+       |      CAST(row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(n.q, cent.cv), p -> p[1] * p[2])) AS DOUBLE) /
+       |          (n.nrm * cent.cn) DESC, cent.cid ASC) AS INTEGER) AS arank
+       |    FROM n, cent)
+       |  WHERE arank = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT n.vec_id AS qid, cent.cid,
+       |      CAST(row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(n.q, cent.cv), p -> p[1] * p[2])) AS DOUBLE) /
+       |          (n.nrm * cent.cn) DESC, cent.cid ASC) AS INTEGER) AS prank
+       |    FROM n, cent WHERE n.vec_id < 8)
+       |  WHERE prank <= 2),
+       |sc AS (
+       |  SELECT probes.qid, asg.nid,
+       |    CAST(list_sum(list_transform(list_zip(nq.q, nn.q), p -> p[1] * p[2])) AS DOUBLE) /
+       |      (nq.nrm * nn.nrm) AS cos
+       |  FROM probes
+       |  JOIN asg ON probes.cid = asg.cid AND probes.qid <> asg.nid
+       |  JOIN n nq ON nq.vec_id = probes.qid
+       |  JOIN n nn ON nn.vec_id = asg.nid)
+       |SELECT qid, nid, cos, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INTEGER) AS rank
+       |  FROM sc)
+       |WHERE rank <= 5""".stripMargin
+
+  def bpeTokenStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeTokenStats(Tables.documents(s, d), "lang", "text")
+
+  val bpeTokenStatsSql: String = {
+    val n = raw"len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"
+    val a = raw"len(regexp_extract_all(lower(text), '[a-z]+'))"
+    val d = raw"len(regexp_extract_all(lower(text), '[0-9]+'))"
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(SUM($n) AS BIGINT) AS total_bpe,
+       |  CAST(SUM($a) AS BIGINT) AS total_alpha,
+       |  CAST(SUM($d) AS BIGINT) AS total_num,
+       |  CAST(SUM($n) - SUM($a) - SUM($d) AS BIGINT) AS total_punct,
+       |  CAST(SUM($n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bpe
+       |FROM documents GROUP BY lang""".stripMargin
+  }
+
   /** Multimodal metadata stub: the Spark-side plumbing for opaque media
     * columns — byte length, head-bytes sample, content digest. The
     * decode stage proper is [[graft.sources.Multimodal]]. */
@@ -247,7 +357,11 @@ object Pipeline {
     "q19_embedding_norms"    -> (embeddingNorms _),
     "q20_ann_cosine_topk"    -> (annCosineTopK _),
     "q21_embedding_neardup"  -> (embeddingNearDup _),
-    "q22_multimodal_meta"    -> (multimodalMeta _))
+    "q22_multimodal_meta"    -> (multimodalMeta _),
+    "q23_winnow_fingerprint" -> (winnowFingerprints _),
+    "q24_ngram_jaccard"      -> (ngramJaccard _),
+    "q25_ivf_ann_topk"       -> (ivfAnnTopK _),
+    "q26_bpe_token_stats"    -> (bpeTokenStats _))
 
   val oracles: Map[String, String] = Map(
     "q10_dedup_exact"        -> dedupExactSql,
@@ -262,5 +376,9 @@ object Pipeline {
     "q19_embedding_norms"    -> embeddingNormsSql,
     "q20_ann_cosine_topk"    -> annCosineTopKSql,
     "q21_embedding_neardup"  -> embeddingNearDupSqlFiltered,
-    "q22_multimodal_meta"    -> multimodalMetaSql)
+    "q22_multimodal_meta"    -> multimodalMetaSql,
+    "q23_winnow_fingerprint" -> winnowFingerprintsSql,
+    "q24_ngram_jaccard"      -> ngramJaccardSql,
+    "q25_ivf_ann_topk"       -> ivfAnnTopKSql,
+    "q26_bpe_token_stats"    -> bpeTokenStatsSql)
 }
