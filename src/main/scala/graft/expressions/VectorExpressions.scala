@@ -126,6 +126,34 @@ object VectorKernels {
     new GenericArrayData(mins.map(d => hex(d): Any))
   }
 
+  /** Word `k`-shingles (space-joined overlapping k-grams), optionally
+    * first-occurrence-distinct — one pass, no per-element closure
+    * dispatch (the HOF form `transform(sequence(…), i ->
+    * concat_ws(slice(…)))` is interpreted and dominated q24's scan).
+    * Fewer than k tokens → empty array. */
+  def shingles(tokens: ArrayData, k: Int, distinct: Boolean): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(new Array[Any](0))
+    val sep = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](k)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val outArr = if (distinct) null else new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      val sh = UTF8String.concatWs(sep, parts: _*)
+      if (distinct) out.add(sh) else outArr(i) = sh
+      i += 1
+    }
+    if (!distinct) return new GenericArrayData(outArr)
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = it.next(); o += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash every
     * word `k`-gram (md5 of the space-joined gram), slide a window of
     * `w` consecutive hashes, select the minimum of each window, return
@@ -322,6 +350,20 @@ case class MinHashSigsExpr(child: Expression, k: Int, numHashes: Int)
     copy(child = c)
 }
 
+/** shingles(tokens, k) → space-joined k-grams, optionally distinct. */
+case class ShinglesExpr(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.shingles(v.asInstanceOf[ArrayData], k, distinct)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorKernels.shingles($c, $k, $distinct)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** winnow_fps(tokens, k, w) → sorted distinct window-min k-gram hashes
   * (empty when fewer than k tokens). */
 case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
@@ -367,4 +409,6 @@ object VectorExpressions {
     column(WordCountsExpr(expression(tokens), words))
   def winnowFpsN(tokens: Column, k: Int, w: Int): Column =
     column(WinnowFpsExpr(expression(tokens), k, w))
+  def shinglesN(tokens: Column, k: Int, distinct: Boolean = false): Column =
+    column(ShinglesExpr(expression(tokens), k, distinct))
 }

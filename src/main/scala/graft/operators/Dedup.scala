@@ -112,25 +112,34 @@ object Dedup {
         md5(concat_ws(" ", col("fps"))).as("fp_digest"))
 
   /** Direct n-gram Jaccard near-dup: docs are their distinct word
-    * `n`-gram sets, candidate pairs come from an inverted-index
-    * equi-join on shared grams, similarity = |A∩B| / |A∪B| ≥
-    * `threshold`. Grams occurring in more than `maxDf` documents are
-    * dropped FIRST (stop-gram filter) — this both bounds the join
-    * fan-out at scale (the hot grams are exactly the useless ones) and
-    * defines the similarity space: sizes and intersections are over
-    * the filtered sets. Only the gram-key shuffle is all-to-all;
-    * count(*) per pair replaces any per-pair set arithmetic. */
+    * `n`-gram sets, candidate pairs come from an inverted index on
+    * shared grams, similarity = |A∩B| / |A∪B| ≥ `threshold`. Grams
+    * occurring in more than `maxDf` documents are dropped FIRST
+    * (stop-gram filter) — this bounds the per-gram pair fan-out at
+    * ≤ maxDf²/2 regardless of corpus size, and defines the similarity
+    * space: sizes and intersections are over the filtered sets.
+    *
+    * Plan shape: ONE shuffle of the gram rows builds the inverted
+    * index (gram → posting list, capped at maxDf); candidate pairs
+    * are generated by exploding each posting list in place — no
+    * self-join, so the expensive shingle scan runs once and the
+    * postings never shuffle again. Per-pair work is a count, not set
+    * arithmetic. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, threshold: Double = 0.5, maxDf: Long = 100): DataFrame = {
+      n: Int = 2, threshold: Double = 0.5, maxDf: Long = 25): DataFrame = {
     val grams = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(normToks(col(textCol)), n))).as("g"))
-    val kept = grams.withColumn("df_cnt",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("g"))))
-      .where(col("df_cnt") <= maxDf).drop("df_cnt")
-    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val shared = kept.select(col("id").as("id_a"), col("g"))
-      .join(kept.select(col("id").as("id_b"), col("g")), "g")
+      explode(graft.expressions.VectorExpressions
+        .shinglesN(normToks(col(textCol)), n, distinct = true)).as("g"))
+    // inverted index: one hash-aggregate on g; df(g) == postings size
+    // because grams are per-doc distinct
+    val buckets = grams.groupBy(col("g"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) <= maxDf)
+    val sizes = buckets.select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val shared = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
     shared

@@ -241,8 +241,10 @@ object Pipeline {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text")
 
-  /** bigrams, stop-gram cap df ≤ 100, threshold 0.5 — sizes and
-    * intersections over the FILTERED gram sets, as in the Spark op. */
+  /** bigrams, stop-gram cap df ≤ 25, threshold 0.5 — sizes and
+    * intersections over the FILTERED gram sets, as in the Spark op.
+    * The cap is the join-fan-out bound: a gram kept by df ≤ d yields
+    * ≤ d(d−1)/2 candidate pairs regardless of corpus size. */
   val ngramJaccardSql: String =
     s"""WITH grams AS (
        |  SELECT doc_id AS id, unnest(list_distinct(
@@ -253,7 +255,7 @@ object Pipeline {
        |  SELECT id, g FROM (
        |    SELECT id, g, count(*) OVER (PARTITION BY g) AS df_cnt
        |    FROM grams)
-       |  WHERE df_cnt <= 100),
+       |  WHERE df_cnt <= 25),
        |sizes AS (SELECT id, count(*) AS sz FROM kept GROUP BY id),
        |sh AS (
        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared

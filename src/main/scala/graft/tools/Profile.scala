@@ -28,23 +28,24 @@ object Profile {
     time("read+count")(docs.count())
     time("read+count again")(docs.count())
     import graft.functions.TextFunctions._
-    time("normToks size sum") {
-      docs.select(size(normToks($"text")).as("n")).agg(sum($"n")).count()
+
+    val gramsHof = docs.select($"doc_id".as("id"),
+      explode(array_distinct(shingles(normToks($"text"), 2))).as("g"))
+    time("q24 grams explode (HOF)")(gramsHof.count())
+    val grams = docs.select($"doc_id".as("id"),
+      explode(graft.expressions.VectorExpressions
+        .shinglesN(normToks($"text"), 2, distinct = true)).as("g"))
+    time("q24 grams explode (native)")(grams.count())
+    val buckets = grams.groupBy($"g")
+      .agg(collect_list($"id").as("ids")).where(size($"ids") <= 25)
+    time("q24 buckets")(buckets.count())
+    time("q24 full") {
+      graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text").count()
     }
-    time("sortedTokenFp project") {
-      docs.select(sortedTokenFingerprint($"text").as("fp")).count()
+    time("q24 full again") {
+      graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text").count()
     }
-    time("sortedTokenFp project+hash-agg") {
-      docs.groupBy(sortedTokenFingerprint($"text").as("fp"))
-        .agg(count(lit(1))).count()
-    }
-    time("q11 full") {
-      graft.operators.Dedup.sortedTokenGroups(docs, "doc_id", "text").count()
-    }
-    time("q11 full again") {
-      graft.operators.Dedup.sortedTokenGroups(docs, "doc_id", "text").count()
-    }
-    graft.operators.Dedup.sortedTokenGroups(docs, "doc_id", "text")
+    graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text")
       .explain("formatted")
     spark.stop()
   }

@@ -107,6 +107,21 @@ class VectorKernelsSpec extends SparkSpecBase {
     r.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("shinglesN == HOF shingles, with and without distinct") {
+    val rng = new scala.util.Random(5)
+    val vocab = Seq("aa", "b", "ccc", "dd", "aa")
+    val texts = ((1 to 20).map(_ => Seq.fill(rng.nextInt(8) + 1)(
+      vocab(rng.nextInt(vocab.size))).mkString(" ")) :+ "solo").toDF("text")
+    val toks = TextFunctions.normToks($"text")
+    val r = texts.select(
+      shinglesN(toks, 3).as("n"),
+      TextFunctions.shingles(toks, 3).as("h"),
+      shinglesN(toks, 3, distinct = true).as("nd"),
+      array_distinct(TextFunctions.shingles(toks, 3)).as("hd"))
+      .as[(Seq[String], Seq[String], Seq[String], Seq[String])].collect()
+    r.foreach { case (n, h, nd, hd) => assert(n == h && nd == hd) }
+  }
+
   test("wordCountsN counts a duplicated word into every slot") {
     // "the" listed twice (as if shared by two marker families): both
     // slots must get its count, not just the last one registered
