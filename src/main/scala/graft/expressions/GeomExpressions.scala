@@ -1,6 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -95,6 +96,64 @@ case class StGeometryTypeExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** One-pass ring metrics over parallel int coordinate arrays. */
+object GeomKernels {
+  /** (signed 2A, 6·centroid-x numerator, 6·centroid-y numerator) of the
+    * ring given by parallel int arrays (closure implied). Exact long
+    * arithmetic — the one-pass native form of
+    * [[graft.functions.GeomColumnFunctions.shoelaceSigned2x]] +
+    * [[graft.functions.GeomColumnFunctions.centroidNum6x]] (three
+    * interpreted `aggregate` HOFs otherwise). */
+  def ringMetrics(xs: org.apache.spark.sql.catalyst.util.ArrayData,
+      ys: org.apache.spark.sql.catalyst.util.ArrayData,
+      longElems: Boolean): InternalRow = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    var a2 = 0L
+    var cx6 = 0L
+    var cy6 = 0L
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val xi = if (longElems) xs.getLong(i) else xs.getInt(i).toLong
+      val yi = if (longElems) ys.getLong(i) else ys.getInt(i).toLong
+      val xj = if (longElems) xs.getLong(j) else xs.getInt(j).toLong
+      val yj = if (longElems) ys.getLong(j) else ys.getInt(j).toLong
+      val cross = xi * yj - xj * yi
+      a2 += cross
+      cx6 += (xi + xj) * cross
+      cy6 += (yi + yj) * cross
+      i += 1
+    }
+    InternalRow(a2, cx6, cy6)
+  }
+}
+
+/** ring_metrics(xs, ys) → struct(a2x, cx6, cy6), exact longs. Accepts
+  * array<int> or array<long> coordinates (element accessor picked from
+  * the input type — getInt on a long array would silently misread). */
+case class RingMetricsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def longElems: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("a2x", LongType, nullable = false),
+    StructField("cx6", LongType, nullable = false),
+    StructField("cy6", LongType, nullable = false)))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernels.ringMetrics(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      longElems)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.GeomKernels.ringMetrics($a, $b, $longElems)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 object GeomExpressions {
 
   // Spark 4 moved Column to sql-api; the classic bridge converts
@@ -107,6 +166,8 @@ object GeomExpressions {
   def stLengthN(g: Column): Column = column(StLengthExpr(expression(g)))
   def stGeometryTypeN(g: Column): Column =
     column(StGeometryTypeExpr(expression(g)))
+  def ringMetricsN(xs: Column, ys: Column): Column =
+    column(RingMetricsExpr(expression(xs), expression(ys)))
 
   /** Register into an existing session's function registry (SQL-side
     * surface without restarting with extensions). */

@@ -256,7 +256,8 @@ object OsmAnalog {
     rings.select(
       $"l_orderkey".as("way_id"),
       size($"xs").as("n_pts"),
-      GeomColumnFunctions.shoelaceArea2x($"xs", $"ys").as("area2x"))
+      abs(graft.expressions.GeomExpressions.ringMetricsN($"xs", $"ys")
+        .getField("a2x")).as("area2x"))
   }
 
   val polygonAreaSql: String = {
@@ -293,9 +294,9 @@ object OsmAnalog {
       .where(size($"xs") >= 3)
     rings.select(
       $"l_orderkey".as("way_id"),
-      GeomColumnFunctions.shoelaceSigned2x($"xs", $"ys").as("a2x"),
-      GeomColumnFunctions.centroidNum6x($"xs", $"ys").as("cx6"),
-      (-GeomColumnFunctions.centroidNum6x($"ys", $"xs")).as("cy6"))
+      graft.expressions.GeomExpressions.ringMetricsN($"xs", $"ys").as("m"))
+      .select($"way_id", $"m.a2x".as("a2x"),
+        $"m.cx6".as("cx6"), $"m.cy6".as("cy6"))
       .where($"a2x" =!= 0L)
       .select($"way_id", $"a2x", $"cx6", $"cy6",
         ($"cx6".cast("double") / ($"a2x" * 3).cast("double")).as("cx"),

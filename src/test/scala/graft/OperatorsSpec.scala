@@ -237,6 +237,30 @@ class OperatorsSpec extends SparkSpecBase {
       .as[(Long, Long)].head()
     assert(r2 == ((-8L, -24L)))
     assert(r2._2.toDouble / (3 * r2._1) == 1.0)
+    // native one-pass kernel == the three HOF column forms
+    val rng = new scala.util.Random(13)
+    val rings = (1 to 40).map { _ =>
+      val n = rng.nextInt(8) + 3
+      (Seq.fill(n)(rng.nextInt(2000)), Seq.fill(n)(rng.nextInt(2000)))
+    }.toDF("xs", "ys")
+    val both = rings.select(
+      graft.expressions.GeomExpressions.ringMetricsN($"xs", $"ys").as("m"),
+      shoelaceSigned2x($"xs", $"ys").as("a2x"),
+      centroidNum6x($"xs", $"ys").as("cx6"),
+      (-centroidNum6x($"ys", $"xs")).as("cy6"))
+      .select($"m.a2x", $"m.cx6", $"m.cy6", $"a2x", $"cx6", $"cy6")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    both.foreach { case (na, nx, ny, ha, hx, hy) =>
+      assert(na == ha && nx == hx && ny == hy)
+    }
+    // array<long> input (the testdata shape) reads identically
+    val asLong = rings.select(
+      graft.expressions.GeomExpressions.ringMetricsN(
+        $"xs".cast("array<long>"), $"ys".cast("array<long>")).as("m"),
+      shoelaceSigned2x($"xs", $"ys").as("a2x"))
+      .select($"m.a2x".as("na"), $"a2x")
+      .as[(Long, Long)].collect()
+    asLong.foreach { case (na, ha) => assert(na == ha) }
   }
 
   test("bpe token stats split letter/digit/punct runs") {
