@@ -175,4 +175,23 @@ object TileCover {
       .distinct()
       .withColumn("zoom", lit(cfg.zoom))
   }
+
+  /** Diff expiry for modified rows (reference: geometry_cache_t old/new
+    * pairs, src/flex-table-column.hpp:186-213; diff mode in stage 1c,
+    * src/output-flex.hpp:218-223): a changed row dirties the tiles of
+    * BOTH its previous and its new geometry — deletes have only an old
+    * geometry, inserts only a new one (null-safe). One scan, one
+    * distinct; the per-row cover UDF caps fan-out exactly like the
+    * single-geometry form. */
+  def diffCover(df: DataFrame, oldGeom: Column, newGeom: Column,
+      cfg: Config): DataFrame = {
+    val coverUdf = udf((b: Array[Byte]) =>
+      if (b == null) Seq.empty[(Long, Long)]
+      else cover(Ewkb.decode(b), cfg).toSeq)
+    df.select(explode(
+      array_union(coverUdf(oldGeom), coverUdf(newGeom))).as("t"))
+      .select(col("t._1").as("x"), col("t._2").as("y"))
+      .distinct()
+      .withColumn("zoom", lit(cfg.zoom))
+  }
 }

@@ -245,27 +245,33 @@ object O5m {
     OsmXml.Parsed(nodes.result(), ways.result(), rels.result())
   }
 
+  /** Transparently decompress a gzip or bzip2 payload (bzip2 via
+    * Hadoop's pure-Java codec, already on the Spark classpath). */
+  def decompress(raw: Array[Byte]): Array[Byte] =
+    if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+      (raw(1) & 0xff) == 0x8b) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(raw))
+      try in.readAllBytes() finally in.close()
+    } else if (raw.length >= 3 && raw(0) == 'B' && raw(1) == 'Z' &&
+      raw(2) == 'h') {
+      val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+      codec.setConf(new org.apache.hadoop.conf.Configuration(false))
+      val in = codec.createInputStream(new java.io.ByteArrayInputStream(raw))
+      try in.readAllBytes() finally in.close()
+    } else raw
+
   /** Read .o5m/.o5c files distributed, one split per file. */
   def read(spark: SparkSession, paths: Seq[String]): OsmXml.OsmDataFrames =
     readMaybeGz(spark, paths)
 
-  /** Same, transparently gunzipping .o5m.gz payloads per task
+  /** Same, transparently decompressing .gz/.bz2 payloads per task
     * (binaryFiles does not run Hadoop codecs). */
   def readMaybeGz(spark: SparkSession, paths: Seq[String]): OsmXml.OsmDataFrames = {
     import spark.implicits._
     val parsed = spark.sparkContext
       .binaryFiles(paths.mkString(","))
-      .map { case (_, pds) =>
-        val raw = pds.toArray()
-        val buf =
-          if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
-            (raw(1) & 0xff) == 0x8b) {
-            val in = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(raw))
-            try in.readAllBytes() finally in.close()
-          } else raw
-        parseBytes(buf)
-      }
+      .map { case (_, pds) => parseBytes(decompress(pds.toArray())) }
       .cache()
     OsmXml.OsmDataFrames(
       parsed.flatMap(_.nodes).toDF("action", "n").select("action", "n.*"),

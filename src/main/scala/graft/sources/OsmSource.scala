@@ -15,14 +15,26 @@ import org.apache.spark.sql.SparkSession
 object OsmSource {
 
   def sniff(head: Array[Byte]): String = {
+    val isGz = head.length >= 2 && (head(0) & 0xff) == 0x1f &&
+      (head(1) & 0xff) == 0x8b
+    val isBz2 = head.length >= 3 && head(0) == 'B' && head(1) == 'Z' &&
+      head(2) == 'h'
+    // decompress only the first few bytes — `head` may be a truncated
+    // prefix of a larger file, so EOF mid-stream is expected
     val buf =
-      if (head.length >= 2 && (head(0) & 0xff) == 0x1f &&
-        (head(1) & 0xff) == 0x8b) {
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(head))
-        try in.readNBytes(16)
-        catch { case _: java.io.IOException => Array.empty[Byte] }
-      } else head
+      if (isGz || isBz2)
+        try {
+          val in =
+            if (isGz) new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(head))
+            else {
+              val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+              codec.setConf(new org.apache.hadoop.conf.Configuration(false))
+              codec.createInputStream(new java.io.ByteArrayInputStream(head))
+            }
+          try in.readNBytes(16) finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
+      else head
     if (buf.length >= 2 && (buf(0) & 0xff) == 0xff && (buf(1) & 0xff) == 0xe0)
       "o5m"
     else if (buf.length >= 5 && buf(0) == 0 && (buf(4) & 0xff) == 0x0a)

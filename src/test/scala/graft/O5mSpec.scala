@@ -147,6 +147,21 @@ class O5mSpec extends SparkSpecBase {
     assert(dfs.nodes.count() == 3)
   }
 
+  test("bzip2 o5m reads transparently (Hadoop pure-Java codec)") {
+    val dir = Files.createTempDirectory("graft-o5mbz")
+    val p = dir.resolve("d.o5m.bz2")
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(new org.apache.hadoop.conf.Configuration(false))
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = codec.createOutputStream(bos)
+    out.write(O5m.encode(nodes, ways, Nil)); out.close()
+    Files.write(p, bos.toByteArray)
+    assert(OsmSource.sniff(Files.readAllBytes(p)) == "o5m")
+    assert(OsmSource.sniff(Files.readAllBytes(p).take(1024)) == "o5m")
+    val dfs = O5m.read(spark, Seq(p.toString))
+    assert(dfs.nodes.count() == 3 && dfs.ways.count() == 2)
+  }
+
   test("pbf sniffing on the real regression fixture") {
     val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
     if (Files.exists(Paths.get(pbf))) {

@@ -65,4 +65,19 @@ class TileCoverSpec extends SparkSpecBase {
     val tiles = TileCover.geometryCover(df, col("geom"), Config(zoom = 8))
     assert(tiles.count() == 1)
   }
+
+  test("diffCover dirties old AND new tiles; null-safe for ins/del") {
+    import org.apache.spark.sql.functions.col
+    def pt(x: Long, y: Long) =
+      Ewkb.encode(Point(tileCenter(x, y, 8), Srid.WebMercator))
+    val rows = Seq(
+      (pt(5, 5), pt(9, 9)),                      // modify: moved
+      (pt(20, 20), null.asInstanceOf[Array[Byte]]), // delete: old only
+      (null.asInstanceOf[Array[Byte]], pt(30, 30))) // insert: new only
+      .toDF("old_geom", "new_geom")
+    val tiles = TileCover
+      .diffCover(rows, col("old_geom"), col("new_geom"), Config(zoom = 8))
+      .select($"x", $"y").as[(Long, Long)].collect().toSet
+    assert(tiles == Set((5L, 5L), (9L, 9L), (20L, 20L), (30L, 30L)))
+  }
 }
