@@ -53,6 +53,20 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Streaming exact deduplication for a document stream (the
+    * training-data-pipeline ingest shape): keep the first occurrence of
+    * each content digest, drop later duplicates. `dropDuplicates` on
+    * the digest keeps per-key state; the watermark bounds that state to
+    * the lateness horizon — at 100 TB/day ingest the state store holds
+    * one digest per UNIQUE document inside the horizon, not per event.
+    * Emits only first-seen documents (append mode semantics). */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Continuous append mode: watch a directory for arriving `.osc`
     * change files (the replication mirror) and run the incremental
     * update pipeline once per micro-batch — `readStream` over the file

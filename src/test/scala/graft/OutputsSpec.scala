@@ -240,6 +240,45 @@ class OutputsSpec extends SparkSpecBase {
     assert(rows.find(_._3 == 2).isDefined)
   }
 
+  test("streaming: dedup within watermark keeps first occurrence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = input.toDS().toDF("ts", "text")
+    val q = Streams.streamingDedup(docs, "ts", "text", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "doc A"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "doc A"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:30"), "doc B"))
+    q.processAllAvailable()
+    input.addData( // duplicate inside the watermark window: dropped
+      (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), "doc A"))
+    q.processAllAvailable()
+    val texts = spark.table("dedup_out")
+      .select($"text").as[String].collect().sorted
+    q.stop()
+    assert(texts.toSeq == Seq("doc A", "doc B"))
+  }
+
+  test("progress counters ride along as observable metrics") {
+    import graft.operators.Progress
+    val df = Seq(
+      ("create", 1L), ("create", 2L), ("modify", 1L), ("delete", 9L))
+      .toDF("action", "id")
+    val (instrumented, obs) = Progress.entityCounts(df)
+    assert(instrumented.count() == 4)
+    val m = obs.get
+    assert(m("n_rows") == 4L && m("n_create") == 2L &&
+      m("n_modify") == 1L && m("n_delete") == 1L)
+
+    val out = Seq((1L, "a"), (2L, null), (3L, "c")).toDF("id", "name")
+    val (instr2, obs2) = Progress.insertCounts(out, Seq("name"))
+    assert(instr2.count() == 3)
+    assert(obs2.get("n_null_violations") == 1L)
+  }
+
   test("streaming: change-file directory drives incremental batches") {
     val watch = Files.createTempDirectory("graft-watch").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
