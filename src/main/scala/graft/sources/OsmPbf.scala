@@ -183,7 +183,14 @@ object OsmPbf {
   final case class Entities(nodes: Vector[OsmNode], ways: Vector[OsmWay],
       relations: Vector[OsmRelation])
 
-  def decodeBlock(block: Array[Byte]): Entities = {
+  def decodeBlock(block: Array[Byte]): Entities =
+    decodeBlock(block, wantNodes = true, wantWays = true, wantRels = true)
+
+  /** Same, with entity-group skipping: a pushed-down `type` filter lets
+    * the reader not even parse the unwanted groups (a PrimitiveGroup
+    * holds a single entity kind, so skipping is a length jump). */
+  def decodeBlock(block: Array[Byte], wantNodes: Boolean,
+      wantWays: Boolean, wantRels: Boolean): Entities = {
     val b = new Pb(block)
     var strings = Vector.empty[String]
     var granularity = 100L
@@ -214,6 +221,10 @@ object OsmPbf {
 
     groups.result().foreach { g =>
       while (g.hasMore) g.tag() match {
+        case (1, 2) if !wantNodes => g.skip(2)
+        case (2, 2) if !wantNodes => g.skip(2)
+        case (3, 2) if !wantWays  => g.skip(2)
+        case (4, 2) if !wantRels  => g.skip(2)
         case (1, 2) => // plain Node
           val n = g.message()
           var id = 0L; var lat = 0L; var lon = 0L

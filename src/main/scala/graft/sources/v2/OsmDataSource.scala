@@ -1,0 +1,295 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.{OsmNode, OsmRelation, OsmWay}
+import graft.sources.{O5m, OsmPbf, OsmSource, OsmXml}
+
+/** `spark.read.format("osm")` — DataSource V2 over the three OSM file
+  * formats (SURVEY.md §2.1/§4: "custom DataSource V2 with split-level
+  * PBF block decoding").
+  *
+  * One unified entity frame (§1.5's single-DataFrame mapping): nodes,
+  * ways and relations as rows discriminated by a `type` column, way
+  * refs and relation members as nullable nested columns.
+  *
+  * Spark-native behaviors implemented, not simulated:
+  *  - split-level parallelism: every PBF blob (≤8k entities, framed
+  *    for exactly this) is its own InputPartition; XML/o5m files are
+  *    one partition each;
+  *  - column pruning (SupportsPushDownRequiredColumns): readers build
+  *    only the requested fields — unreferenced tags/members never
+  *    materialize as Catalyst values;
+  *  - filter pushdown (SupportsPushDownFilters): `type` equality/IN
+  *    skips whole PBF entity groups without parsing them; lon/lat
+  *    range filters (the --bbox analog, src/osmdata.cpp:48-50) drop
+  *    nodes at decode time. Both are also left as residuals, so Spark
+  *    re-checks them — pushdown is a pruning strategy, never a
+  *    correctness dependency.
+  */
+class OsmDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "osm"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OsmTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new OsmTable(OsmTable.pathsOf(properties))
+}
+
+object OsmTable {
+  val MemberType: StructType = StructType(Seq(
+    StructField("mtype", StringType, nullable = false),
+    StructField("ref", LongType, nullable = false),
+    StructField("role", StringType, nullable = true)))
+
+  val Schema: StructType = StructType(Seq(
+    StructField("type", StringType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("changeset", LongType, nullable = false),
+    StructField("uid", LongType, nullable = false),
+    StructField("user", StringType, nullable = true),
+    StructField("visible", BooleanType, nullable = false),
+    StructField("lon", DoubleType, nullable = true),
+    StructField("lat", DoubleType, nullable = true),
+    StructField("tags", MapType(StringType, StringType), nullable = true),
+    StructField("nodes", ArrayType(LongType, containsNull = false),
+      nullable = true),
+    StructField("members", ArrayType(MemberType, containsNull = false),
+      nullable = true)))
+
+  /** load("p") → "path"; load(p1, p2, …) → "paths" as a JSON array. */
+  def pathsOf(properties: JMap[String, String]): Seq[String] = {
+    val m = properties.asScala
+    m.get("paths") match {
+      case Some(json) =>
+        "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+          .toSeq
+      case None => m.get("path").toSeq
+    }
+  }
+}
+
+final class OsmTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"osm(${paths.mkString(",")})"
+  override def schema(): StructType = OsmTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OsmScanBuilder(paths)
+}
+
+/** Pushed-down pruning state: entity types to decode, node bbox. */
+final case class OsmPush(types: Option[Set[String]],
+    lonMin: Double = Double.NegativeInfinity,
+    lonMax: Double = Double.PositiveInfinity,
+    latMin: Double = Double.NegativeInfinity,
+    latMax: Double = Double.PositiveInfinity) {
+  def wantNodes: Boolean = types.forall(_.contains("n"))
+  def wantWays: Boolean = types.forall(_.contains("w"))
+  def wantRels: Boolean = types.forall(_.contains("r"))
+  def hasBbox: Boolean =
+    lonMin > Double.NegativeInfinity || lonMax < Double.PositiveInfinity ||
+      latMin > Double.NegativeInfinity || latMax < Double.PositiveInfinity
+  /** NaN coords fail every comparison, so a NaN-located node survives
+    * only when no bbox was pushed — same as the residual filter. */
+  def keepNode(lon: Double, lat: Double): Boolean =
+    !hasBbox ||
+      (lon >= lonMin && lon <= lonMax && lat >= latMin && lat <= latMax)
+}
+
+final class OsmScanBuilder(paths: Seq[String]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = OsmTable.Schema
+  private var push = OsmPush(None)
+  private var pushed = Array.empty[Filter]
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val handled = Array.newBuilder[Filter]
+    filters.foreach {
+      case f @ EqualTo("type", v: String) =>
+        push = push.copy(types = Some(
+          push.types.getOrElse(Set("n", "w", "r")) & Set(v)))
+        handled += f
+      case f @ In("type", vs) if vs.forall(_.isInstanceOf[String]) =>
+        push = push.copy(types = Some(push.types.getOrElse(Set("n", "w", "r"))
+          & vs.map(_.asInstanceOf[String]).toSet))
+        handled += f
+      case f @ GreaterThan("lon", v: Double) =>
+        push = push.copy(lonMin = math.max(push.lonMin, v)); handled += f
+      case f @ GreaterThanOrEqual("lon", v: Double) =>
+        push = push.copy(lonMin = math.max(push.lonMin, v)); handled += f
+      case f @ LessThan("lon", v: Double) =>
+        push = push.copy(lonMax = math.min(push.lonMax, v)); handled += f
+      case f @ LessThanOrEqual("lon", v: Double) =>
+        push = push.copy(lonMax = math.min(push.lonMax, v)); handled += f
+      case f @ GreaterThan("lat", v: Double) =>
+        push = push.copy(latMin = math.max(push.latMin, v)); handled += f
+      case f @ GreaterThanOrEqual("lat", v: Double) =>
+        push = push.copy(latMin = math.max(push.latMin, v)); handled += f
+      case f @ LessThan("lat", v: Double) =>
+        push = push.copy(latMax = math.min(push.latMax, v)); handled += f
+      case f @ LessThanOrEqual("lat", v: Double) =>
+        push = push.copy(latMax = math.min(push.latMax, v)); handled += f
+      case _ => ()
+    }
+    pushed = handled.result()
+    filters // everything stays residual: pushdown prunes, Spark verifies
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new OsmScan(paths, required, push)
+}
+
+sealed trait OsmPartition extends InputPartition
+final case class PbfBlobPartition(span: OsmPbf.BlobSpan) extends OsmPartition
+final case class WholeFilePartition(path: String, fmt: String)
+    extends OsmPartition
+
+final class OsmScan(paths: Seq[String], required: StructType, push: OsmPush)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val t = push.types.map(s => s" types=${s.toSeq.sorted.mkString("")}")
+      .getOrElse("")
+    s"osm ${paths.size} file(s)$t cols=${required.fieldNames.mkString(",")}"
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.flatMap { p =>
+      val head = {
+        val in = java.nio.file.Files
+          .newInputStream(java.nio.file.Paths.get(p))
+        try in.readNBytes(1024) finally in.close()
+      }
+      OsmSource.sniff(head) match {
+        case "pbf" =>
+          OsmPbf.scanBlobs(p).filter(_.blobType == "OSMData")
+            .map(PbfBlobPartition(_))
+        case fmt => Seq(WholeFilePartition(p, fmt))
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmReaderFactory(required, push)
+}
+
+final class OsmReaderFactory(required: StructType, push: OsmPush)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new OsmPartitionReader(partition.asInstanceOf[OsmPartition], required, push)
+}
+
+final class OsmPartitionReader(partition: OsmPartition,
+    required: StructType, push: OsmPush)
+    extends PartitionReader[InternalRow] {
+
+  private val fields = required.fieldNames
+
+  private def str(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def tagsData(tags: Map[String, String]): ArrayBasedMapData =
+    new ArrayBasedMapData(
+      new GenericArrayData(tags.keys.map(str(_): Any).toArray),
+      new GenericArrayData(tags.values.map(str(_): Any).toArray))
+
+  private def row(tpe: String, id: Long, version: Int, ts: Long, cs: Long,
+      uid: Long, user: String, visible: Boolean, lon: Any, lat: Any,
+      tags: => Map[String, String], nodes: => Seq[Long],
+      members: => Seq[graft.model.OsmMember]): InternalRow = {
+    val vals = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      vals(i) = fields(i) match {
+        case "type"      => str(tpe)
+        case "id"        => id
+        case "version"   => version
+        case "timestamp" => ts
+        case "changeset" => cs
+        case "uid"       => uid
+        case "user"      => str(user)
+        case "visible"   => visible
+        case "lon"       => lon
+        case "lat"       => lat
+        case "tags"      => tagsData(tags)
+        case "nodes" =>
+          if (tpe == "w") new GenericArrayData(nodes.toArray) else null
+        case "members" =>
+          if (tpe == "r")
+            new GenericArrayData(members.map(m =>
+              new GenericInternalRow(Array[Any](str(m.mtype), m.ref,
+                str(m.role))): Any).toArray)
+          else null
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  private def nodeRow(n: OsmNode): InternalRow =
+    row("n", n.id, n.version, n.timestamp, n.changeset, n.uid, n.user,
+      n.visible, if (n.lon.isNaN) null else n.lon,
+      if (n.lat.isNaN) null else n.lat, n.tags, Nil, Nil)
+  private def wayRow(w: OsmWay): InternalRow =
+    row("w", w.id, w.version, w.timestamp, w.changeset, w.uid, w.user,
+      w.visible, null, null, w.tags, w.nodes, Nil)
+  private def relRow(r: OsmRelation): InternalRow =
+    row("r", r.id, r.version, r.timestamp, r.changeset, r.uid, r.user,
+      r.visible, null, null, r.tags, Nil, r.members)
+
+  private val iter: Iterator[InternalRow] = {
+    val (nodes, ways, rels) = partition match {
+      case PbfBlobPartition(span) =>
+        val e = OsmPbf.decodeBlock(OsmPbf.readBlob(span),
+          push.wantNodes, push.wantWays, push.wantRels)
+        (e.nodes, e.ways, e.relations)
+      case WholeFilePartition(path, fmt) =>
+        val raw = java.nio.file.Files
+          .readAllBytes(java.nio.file.Paths.get(path))
+        val parsed = fmt match {
+          case "o5m" => O5m.parseBytes(O5m.decompress(raw))
+          case _ => OsmXml.parseString(new String(O5m.decompress(raw),
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
+        (parsed.nodes.map(_._2), parsed.ways.map(_._2),
+          parsed.relations.map(_._2))
+    }
+    val ns =
+      if (!push.wantNodes) Iterator.empty
+      else nodes.iterator.filter(n => push.keepNode(n.lon, n.lat))
+        .map(nodeRow)
+    val ws = if (push.wantWays) ways.iterator.map(wayRow) else Iterator.empty
+    val rs = if (push.wantRels) rels.iterator.map(relRow) else Iterator.empty
+    ns ++ ws ++ rs
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (iter.hasNext) { current = iter.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
