@@ -162,6 +162,45 @@ class O5mSpec extends SparkSpecBase {
     assert(dfs.nodes.count() == 3 && dfs.ways.count() == 2)
   }
 
+  test("randomized round trips: delta extremes, unicode, big tables") {
+    val rng = new scala.util.Random(17)
+    def rstr(n: Int): String = {
+      val pool = "abcXYZ äöü 漢字 :=&" + "é☃"
+      Seq.fill(rng.nextInt(n) + 1)(pool(rng.nextInt(pool.length))).mkString
+    }
+    (1 to 20).foreach { trial =>
+      var id = 0L
+      val nodes = Vector.fill(rng.nextInt(40)) {
+        id += rng.nextInt(1 << 20) + 1 // jumps exercise multi-byte deltas
+        // ts == 0 means "no further meta" in the format, so changeset/
+        // uid/user only survive a round trip alongside a timestamp
+        val ts =
+          if (rng.nextBoolean()) 1400000000L + rng.nextInt(1 << 28) else 0L
+        val (cs, uid, user) =
+          if (ts == 0) (0L, 0L, "")
+          else (rng.nextInt(1 << 16).toLong, rng.nextInt(1 << 10).toLong,
+            rstr(6))
+        OsmNode(id, version = rng.nextInt(5) + 1, timestamp = ts,
+          changeset = cs, uid = uid, user = user,
+          lon = (rng.nextLong(3600000001L) - 1800000000L) / 1e7,
+          lat = (rng.nextInt(1800000000) - 900000000) / 1e7,
+          tags = Vector.fill(rng.nextInt(4))(rstr(8) -> rstr(12)).toMap)
+      }
+      var wid = id
+      val ways = Vector.fill(rng.nextInt(10)) {
+        wid += rng.nextInt(100) + 1
+        OsmWay(wid, timestamp = 1400000000L, changeset = 1, uid = 2,
+          user = "u",
+          nodes = Vector.fill(rng.nextInt(20) + 2)(
+            rng.nextLong(1L << 40) + 1), // wide refs → multi-byte deltas
+          tags = Vector.fill(rng.nextInt(3))(rstr(6) -> rstr(6)).toMap)
+      }
+      val parsed = O5m.parseBytes(O5m.encode(nodes, ways, Nil))
+      assert(parsed.nodes.map(_._2) == nodes, s"trial $trial nodes")
+      assert(parsed.ways.map(_._2) == ways, s"trial $trial ways")
+    }
+  }
+
   test("pbf sniffing on the real regression fixture") {
     val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
     if (Files.exists(Paths.get(pbf))) {
