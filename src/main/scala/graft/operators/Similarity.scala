@@ -125,6 +125,68 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Lloyd-refined IVF centroids (k-means on cosine assignment): start
+    * from the deterministic sample and run `iters` assignment → mean
+    * rounds, entirely as DataFrame plans — assignment is the same
+    * broadcast argmax as [[ivfTopK]] (map-side combinable, one compact
+    * row per vector), the new means are a posexplode → per-(cell,dim)
+    * avg → re-assembly. Each iteration is two shuffles of |corpus|
+    * rows / |C|·dim cells; nothing driver-side. Empty cells simply
+    * drop (their sample was redundant), matching standard Lloyd. */
+  def kmeansCentroids(corpus: DataFrame, every: Int = 25,
+      iters: Int = 2): DataFrame = {
+    var cent = corpus.where(col("id") % every === 0)
+      .select(col("id").as("cid"), col("vec").cast("array<double>").as("cvec"))
+    (1 to iters).foreach { _ =>
+      val assigned = corpus.crossJoin(broadcast(cent))
+        .select(col("id"), col("vec"),
+          struct(cosine(col("vec"), col("cvec")).as("c"),
+            (-col("cid")).as("nc")).as("sc"))
+        .groupBy(col("id"))
+        .agg(first(col("vec")).as("vec"), max(col("sc")).as("m"))
+        .select((-col("m.nc")).as("cid"), col("vec"))
+      cent = assigned
+        .select(col("cid"), posexplode(col("vec").cast("array<double>")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("cvec"))
+    }
+    cent
+  }
+
+  /** IVF top-k against an explicit centroid set — the shape used with
+    * [[kmeansCentroids]] output (double cosine; the oracle-exact
+    * sampled-centroid path is [[ivfTopK]]). */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val cent = broadcast(centroids
+      .select(col("cid"), col("cvec").cast("array<double>").as("cv")))
+    val assigned = corpus.crossJoin(cent)
+      .select(col("id").as("nid"), col("vec").as("nvec"),
+        struct(cosine(col("vec"), col("cv")).as("c"),
+          (-col("cid")).as("nc")).as("sc"))
+      .groupBy(col("nid"))
+      .agg(first(col("nvec")).as("nvec"), max(col("sc")).as("m"))
+      .select(col("nid"), col("nvec"), (-col("m.nc")).as("cid"))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val probes = broadcast(queries
+      .select(col("id").as("qid"), col("vec").as("qvec")))
+      .crossJoin(cent)
+      .select(col("qid"), col("qvec"), col("cid"),
+        cosine(col("qvec"), col("cv")).as("pcos"))
+      .withColumn("prank", row_number().over(pw)).where(col("prank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    probes.join(assigned, "cid").where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(col("qvec"), col("nvec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share at least one of
     * `bands` signature bands (`planes` bits split evenly); exact cosine
     * rank within candidates. Recall grows with bands; cost shrinks with

@@ -154,6 +154,31 @@ class OperatorsSpec extends SparkSpecBase {
     assert(ivf.forall { case (q, n) => q != n && n >= 0 && n < 200 })
   }
 
+  test("k-means-refined IVF: centroids move, recall stays competitive") {
+    val dim = 16
+    val rng = new scala.util.Random(11)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat).toSeq)
+    }.toDF("id", "vec")
+    val queries = vecs.where($"id" < 5)
+    val refined = Similarity.kmeansCentroids(vecs, every = 10, iters = 2)
+    val cents = refined.select($"cid", $"cvec")
+      .as[(Long, Seq[Double])].collect()
+    assert(cents.nonEmpty && cents.length <= 20)
+    // a Lloyd mean is an average of members — not any input vector
+    val originals = vecs.where($"id" % 10 === 0)
+      .select($"vec").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble)).toSet
+    assert(cents.exists(c => !originals.contains(c._2)))
+
+    val brute = Similarity.bruteForceTopK(queries, vecs, 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopKWith(queries, vecs, refined, 5, nprobe = 4)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"refined-IVF recall too low: $recall")
+  }
+
   test("winnowing fingerprints block shared runs together") {
     // winnow guarantee: any shared token run of ≥ w+k-1 (= 6) tokens
     // yields at least one shared fingerprint
