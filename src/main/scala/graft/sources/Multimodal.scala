@@ -79,6 +79,56 @@ object Multimodal {
     }
   }
 
+  /** Bilinear resize of a row-major single-channel frame — the
+    * pixel-space op a real pipeline runs between decode and feature
+    * extraction. Pure math over the decoded floats, so it is exact and
+    * testable without codecs; corner-aligned sampling (the
+    * torchvision/PIL `align_corners=false` convention). */
+  def resizeBilinear(px: Array[Float], w: Int, h: Int,
+      nw: Int, nh: Int): Array[Float] = {
+    val out = new Array[Float](nw * nh)
+    val sx = w.toFloat / nw
+    val sy = h.toFloat / nh
+    var y = 0
+    while (y < nh) {
+      val fy = math.max(0f, math.min((y + 0.5f) * sy - 0.5f, h - 1f))
+      val y0 = fy.toInt
+      val y1 = math.min(y0 + 1, h - 1)
+      val wy = fy - y0
+      var x = 0
+      while (x < nw) {
+        val fx = math.max(0f, math.min((x + 0.5f) * sx - 0.5f, w - 1f))
+        val x0 = fx.toInt
+        val x1 = math.min(x0 + 1, w - 1)
+        val wx = fx - x0
+        out(y * nw + x) =
+          px(y0 * w + x0) * (1 - wx) * (1 - wy) +
+            px(y0 * w + x1) * wx * (1 - wy) +
+            px(y1 * w + x0) * (1 - wx) * wy +
+            px(y1 * w + x1) * wx * wy
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  final case class ResizedFrame(id: Long, mediaType: String,
+      width: Int, height: Int, pixels: Seq[Float])
+
+  /** Decode → resize, batched per partition like [[extractFeatures]]. */
+  def resized(media: Dataset[MediaRow], nw: Int, nh: Int,
+      decoder: Decoder = StubDecoder): Dataset[ResizedFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = decoder.decode(r.mediaType, r.bytes)
+        ResizedFrame(r.id, r.mediaType, nw, nh,
+          resizeBilinear(px, w, h, nw, nh).toSeq)
+      }
+    }
+  }
+
   /** Frame sampling for video-typed rows: deterministic every-nth-byte
     * chunking standing in for keyframe extraction; 1→N rows
     * (generator-shaped, like split_multi). */

@@ -118,6 +118,25 @@ class OutputsSpec extends SparkSpecBase {
     assert(frames.count() == 3)
   }
 
+  test("multimodal: bilinear resize — identity, interpolation, dataset op") {
+    // identity: same dims returns the same pixels
+    val px = Array.tabulate(64)(i => i / 63.0f)
+    assert(Multimodal.resizeBilinear(px, 8, 8, 8, 8).toSeq == px.toSeq)
+    // 2x2 → 4x4 upscale of a constant frame stays constant
+    val const = Array.fill(4)(0.5f)
+    assert(Multimodal.resizeBilinear(const, 2, 2, 4, 4)
+      .forall(v => math.abs(v - 0.5f) < 1e-6))
+    // 2x1 gradient upscaled to 4x1: ends clamp, middle interpolates
+    val grad = Array(0f, 1f)
+    val up = Multimodal.resizeBilinear(grad, 2, 1, 4, 1)
+    assert(up(0) == 0f && up(3) == 1f && up(1) < up(2))
+    // dataset path: decode → resize keeps determinism and shape
+    val docs = Seq((1L, "hello world", "s")).toDF("doc_id", "text", "source")
+    val rs = Multimodal.resized(
+      Multimodal.fromDocuments(spark, docs), 4, 4).collect()
+    assert(rs.head.pixels.size == 16 && rs.head.width == 4)
+  }
+
   test("gen: collect agg builds multipolygon per group") {
     import graft.geom._
     val sq1 = Ewkb.encode(FromOsm.createPolygon(
