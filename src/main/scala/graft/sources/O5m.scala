@@ -94,8 +94,10 @@ object O5m {
       wayRef = 0; memberRef(0) = 0; memberRef(1) = 0; memberRef(2) = 0
       table.clear()
     }
-    def remember(s: Array[Byte]): Unit =
-      if (s.length <= MaxTableEntry) {
+    /** `payloadLen` = length excluding pair separators: the spec's 250
+      * limit is on the sum of the string contents, not the raw entry. */
+    def remember(s: Array[Byte], payloadLen: Int): Unit =
+      if (payloadLen <= MaxTableEntry) {
         table.prepend(s)
         if (table.size > TableSize) table.removeLast()
       }
@@ -116,7 +118,7 @@ object O5m {
     } else {
       val a = r.bytesUntilZero()
       val b = r.bytesUntilZero()
-      st.remember(a ++ Array(0.toByte) ++ b)
+      st.remember(a ++ Array(0.toByte) ++ b, a.length + b.length)
       (a, b)
     }
   }
@@ -127,7 +129,7 @@ object O5m {
     if (ref != 0) st.lookup(ref)
     else {
       val a = r.bytesUntilZero()
-      st.remember(a)
+      st.remember(a, a.length)
       a
     }
   }
@@ -311,16 +313,29 @@ object O5m {
     var lon, lat, ts, cs = 0L
     var wayRef = 0L
     val memberRef = Array(0L, 0L, 0L)
-    val table = new mutable.ArrayDeque[collection.Seq[Byte]]()
-    def refOf(s: Array[Byte]): Option[Long] = {
-      val key = s.toSeq
-      val i = table.indexOf(key)
-      if (i >= 0) Some(i + 1L) else None
-    }
-    def remember(s: Array[Byte]): Unit =
-      if (s.length <= MaxTableEntry) {
-        table.prepend(s.toSeq)
-        if (table.size > TableSize) table.removeLast()
+    // O(1) reference lookup: key → insertion number; ref = distance
+    // from the most recent insertion + 1. Entries older than TableSize
+    // are unreferenceable and lazily evicted via the insertion queue —
+    // the indexOf-over-a-deque alternative is quadratic on big files.
+    private val index = mutable.HashMap.empty[collection.Seq[Byte], Long]
+    private val order = mutable.ArrayDeque.empty[collection.Seq[Byte]]
+    private var counter = 0L
+    def refOf(s: Array[Byte]): Option[Long] =
+      index.get(s.toSeq).collect {
+        case n if counter - n + 1 <= TableSize => counter - n + 1
+      }
+    def remember(s: Array[Byte], payloadLen: Int): Unit =
+      if (payloadLen <= MaxTableEntry) {
+        val key = s.toSeq
+        counter += 1
+        index.put(key, counter)
+        order.append(key)
+        if (order.size > TableSize) {
+          val old = order.removeHead()
+          // drop only if not re-inserted more recently
+          if (index.get(old).exists(n => counter - n + 1 > TableSize))
+            index.remove(old)
+        }
       }
   }
 
@@ -331,7 +346,7 @@ object O5m {
       case Some(ref) => w.varuint(ref)
       case None =>
         w.u8(0); w.out.write(a); w.u8(0); w.out.write(b); w.u8(0)
-        st.remember(joined)
+        st.remember(joined, a.length + b.length)
     }
   }
 
@@ -340,7 +355,7 @@ object O5m {
       case Some(ref) => w.varuint(ref)
       case None =>
         w.u8(0); w.out.write(s); w.u8(0)
-        st.remember(s)
+        st.remember(s, s.length)
     }
 
   private def u(s: String): Array[Byte] =
@@ -353,8 +368,12 @@ object O5m {
     w.svarint(ts - st.ts); st.ts = ts
     if (ts == 0) return
     w.svarint(cs - st.cs); st.cs = cs
-    val uw = new Writer; uw.varuint(uid)
-    writePair(w, st, uw.bytes(), u(user))
+    // uid 0 (anonymous) must be an EMPTY first string: varuint(0) would
+    // emit a lone 0x00, which the zero-terminated framing cannot hold
+    val uidBytes =
+      if (uid == 0) Array.empty[Byte]
+      else { val uw = new Writer; uw.varuint(uid); uw.bytes() }
+    writePair(w, st, uidBytes, u(user))
   }
 
   /** Encode entity streams to .o5m (or .o5c when `change`; visible=false

@@ -72,14 +72,15 @@ object OsmTable {
     StructField("members", ArrayType(MemberType, containsNull = false),
       nullable = true)))
 
-  /** load("p") → "path"; load(p1, p2, …) → "paths" as a JSON array. */
+  /** load("p") → "path"; load(p1, p2, …) → "paths" as a JSON array
+    * (decoded with the same Jackson that wrote it — hand-rolled regex
+    * parsing would miss \\uXXXX-style escapes). */
   def pathsOf(properties: JMap[String, String]): Seq[String] = {
     val m = properties.asScala
     m.get("paths") match {
       case Some(json) =>
-        "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
-          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-          .toSeq
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(json, classOf[Array[String]]).toSeq
       case None => m.get("path").toSeq
     }
   }
@@ -179,14 +180,12 @@ final class OsmScan(paths: Seq[String], required: StructType, push: OsmPush)
 
   override def toBatch: Batch = this
 
+  // Paths must be visible from every executor (local mode, or a shared
+  // mount / network FS): partition readers open them directly for
+  // random access — same contract as OsmPbf.readBlob in the RDD path.
   override def planInputPartitions(): Array[InputPartition] =
     paths.flatMap { p =>
-      val head = {
-        val in = java.nio.file.Files
-          .newInputStream(java.nio.file.Paths.get(p))
-        try in.readNBytes(1024) finally in.close()
-      }
-      OsmSource.sniff(head) match {
+      OsmSource.sniffPath(p) match {
         case "pbf" =>
           OsmPbf.scanBlobs(p).filter(_.blobType == "OSMData")
             .map(PbfBlobPartition(_))
@@ -208,8 +207,6 @@ final class OsmPartitionReader(partition: OsmPartition,
     required: StructType, push: OsmPush)
     extends PartitionReader[InternalRow] {
 
-  private val fields = required.fieldNames
-
   private def str(s: String): UTF8String = UTF8String.fromString(s)
 
   private def tagsData(tags: Map[String, String]): ArrayBasedMapData =
@@ -217,33 +214,60 @@ final class OsmPartitionReader(partition: OsmPartition,
       new GenericArrayData(tags.keys.map(str(_): Any).toArray),
       new GenericArrayData(tags.values.map(str(_): Any).toArray))
 
+  // member struct honoring NESTED schema pruning: Spark may hand a
+  // members element type of e.g. struct<ref:long> — ordinals must
+  // follow the REQUIRED schema, not the full one
+  private val memberFields: Array[String] =
+    required.find(_.name == "members").map(_.dataType) match {
+      case Some(ArrayType(s: StructType, _)) => s.fieldNames
+      case _                                 => Array.empty
+    }
+
+  private def memberData(members: Seq[graft.model.OsmMember]): GenericArrayData =
+    new GenericArrayData(members.map { m =>
+      val vals = new Array[Any](memberFields.length)
+      var i = 0
+      while (i < memberFields.length) {
+        vals(i) = memberFields(i) match {
+          case "mtype" => str(m.mtype)
+          case "ref"   => m.ref
+          case "role"  => str(m.role)
+        }
+        i += 1
+      }
+      new GenericInternalRow(vals): Any
+    }.toArray)
+
+  // field dispatch precomputed once per reader (an int tableswitch per
+  // cell instead of a string match in the per-row hot loop)
+  private val fieldCodes: Array[Int] = required.fieldNames.map {
+    case "type" => 0; case "id" => 1; case "version" => 2
+    case "timestamp" => 3; case "changeset" => 4; case "uid" => 5
+    case "user" => 6; case "visible" => 7; case "lon" => 8; case "lat" => 9
+    case "tags" => 10; case "nodes" => 11; case "members" => 12
+  }
+
   private def row(tpe: String, id: Long, version: Int, ts: Long, cs: Long,
       uid: Long, user: String, visible: Boolean, lon: Any, lat: Any,
       tags: => Map[String, String], nodes: => Seq[Long],
       members: => Seq[graft.model.OsmMember]): InternalRow = {
-    val vals = new Array[Any](fields.length)
+    val vals = new Array[Any](fieldCodes.length)
     var i = 0
-    while (i < fields.length) {
-      vals(i) = fields(i) match {
-        case "type"      => str(tpe)
-        case "id"        => id
-        case "version"   => version
-        case "timestamp" => ts
-        case "changeset" => cs
-        case "uid"       => uid
-        case "user"      => str(user)
-        case "visible"   => visible
-        case "lon"       => lon
-        case "lat"       => lat
-        case "tags"      => tagsData(tags)
-        case "nodes" =>
-          if (tpe == "w") new GenericArrayData(nodes.toArray) else null
-        case "members" =>
-          if (tpe == "r")
-            new GenericArrayData(members.map(m =>
-              new GenericInternalRow(Array[Any](str(m.mtype), m.ref,
-                str(m.role))): Any).toArray)
-          else null
+    while (i < fieldCodes.length) {
+      vals(i) = (fieldCodes(i): @scala.annotation.switch) match {
+        case 0  => str(tpe)
+        case 1  => id
+        case 2  => version
+        case 3  => ts
+        case 4  => cs
+        case 5  => uid
+        case 6  => str(user)
+        case 7  => visible
+        case 8  => lon
+        case 9  => lat
+        case 10 => tagsData(tags)
+        case 11 => if (tpe == "w") new GenericArrayData(nodes.toArray) else null
+        case 12 => if (tpe == "r") memberData(members) else null
       }
       i += 1
     }

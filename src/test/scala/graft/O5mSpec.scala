@@ -78,6 +78,34 @@ class O5mSpec extends SparkSpecBase {
     assert(parsed.nodes.map(_._2.user).distinct.sorted == Vector("alice", "bob"))
   }
 
+  test("anonymous uid=0 with meta round-trips (empty-string encoding)") {
+    // uid 0 must become an EMPTY uid string: a varuint(0) byte would be
+    // a bare 0x00 inside the zero-terminated pair and corrupt framing
+    val anon = OsmNode(1, version = 2, timestamp = 1420000000L,
+      changeset = 5, uid = 0, user = "", lon = 1.0, lat = 2.0,
+      tags = Map("k" -> "v"))
+    val withUser = OsmNode(2, version = 1, timestamp = 1420000001L,
+      changeset = 5, uid = 9, user = "x", lon = 1.0, lat = 2.0)
+    val parsed = O5m.parseBytes(O5m.encode(Seq(anon, withUser), Nil, Nil))
+    assert(parsed.nodes.map(_._2) == Vector(anon, withUser))
+  }
+
+  test("string-table limit is on content length, separator excluded") {
+    // key+value of exactly 250 bytes must be table-eligible (the spec's
+    // limit counts the strings, not the 0x00 separator): the repeat of
+    // such a pair must come out as a reference, not re-inlined
+    val k = "k" * 100
+    val v = "v" * 150
+    val ns = Seq(
+      OsmNode(1, lon = 0, lat = 0, tags = Map(k -> v)),
+      OsmNode(2, lon = 0, lat = 0, tags = Map(k -> v)))
+    val bytes = O5m.encode(ns, Nil, Nil)
+    val once = O5m.encode(ns.take(1), Nil, Nil)
+    // second occurrence adds a handful of bytes (ref), not another 251
+    assert(bytes.length < once.length + 20)
+    assert(O5m.parseBytes(bytes).nodes.map(_._2) == ns.toVector)
+  }
+
   test("o5c change file: delete markers and modify actions") {
     val del = OsmNode(2, version = 2, timestamp = 1420001000L,
       changeset = 950, uid = 42, user = "alice", visible = false)
@@ -157,9 +185,28 @@ class O5mSpec extends SparkSpecBase {
     out.write(O5m.encode(nodes, ways, Nil)); out.close()
     Files.write(p, bos.toByteArray)
     assert(OsmSource.sniff(Files.readAllBytes(p)) == "o5m")
-    assert(OsmSource.sniff(Files.readAllBytes(p).take(1024)) == "o5m")
+    // the path-based sniffer streams the decompressor over the file —
+    // the shape that also works when the first bzip2 block is ~900 KB
+    assert(OsmSource.sniffPath(p.toString) == "o5m")
     val dfs = O5m.read(spark, Seq(p.toString))
     assert(dfs.nodes.count() == 3 && dfs.ways.count() == 2)
+  }
+
+  test("compressed pbf is rejected loudly, not read as zero rows") {
+    assume(Files.exists(Paths.get(
+      "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf")))
+    val dir = Files.createTempDirectory("graft-pbfgz")
+    val p = dir.resolve("x.osm.pbf.gz")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(Files.readAllBytes(Paths.get(
+      "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf")))
+    gz.close()
+    Files.write(p, bos.toByteArray)
+    val e = intercept[IllegalArgumentException] {
+      OsmSource.sniffPath(p.toString)
+    }
+    assert(e.getMessage.contains("compressed .pbf"))
   }
 
   test("randomized round trips: delta extremes, unicode, big tables") {

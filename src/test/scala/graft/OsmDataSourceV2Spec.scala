@@ -56,6 +56,20 @@ class OsmDataSourceV2Spec extends SparkSpecBase {
     assert(df.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 10L, 20L))
   }
 
+  test("nested member access works under schema pruning") {
+    val df = spark.read.format("osm").load(mkO5m())
+    // if Spark prunes members to struct<ref:long>, the reader must
+    // emit ordinals per the REQUIRED schema, not the full one
+    val refs = df.where($"type" === "r")
+      .select(explode($"members").as("m")).select($"m.ref")
+      .as[Long].collect()
+    assert(refs.toSeq == Seq(10L))
+    val roles = df.where($"type" === "r")
+      .select(explode($"members").as("m")).select($"m.role", $"m.mtype")
+      .as[(String, String)].collect()
+    assert(roles.toSeq == Seq(("outer", "w")))
+  }
+
   test("pbf: one partition per blob, golden counts match the RDD reader") {
     assume(Files.exists(Paths.get(pbf)))
     val df = spark.read.format("osm").load(pbf)
