@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Multimodal
 import graft.functions.VectorFunctions._
 
 /** Training-data-pipeline query surface: deduplication, text analysis,
@@ -327,6 +328,42 @@ object Pipeline {
        |FROM documents GROUP BY lang""".stripMargin
   }
 
+  /** Multimodal decode → feature pipeline under the oracle: the
+    * [[graft.sources.Multimodal.Md5Decoder]] stub is SQL-expressible,
+    * so the mapPartitions decode seam, the pooled-feature pass and the
+    * per-frame statistics all hash-compare against DuckDB. Pixel values
+    * are exact small ints; the mean is one division of exact ints. */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
+    val feats = Multimodal.extractFeatures(media, Multimodal.Md5Decoder)
+    val p = transform($"features", f => f.cast("int"))
+    feats.select($"id".as("doc_id"), $"mediaType".as("media_type"),
+      p.as("p"))
+      .select($"doc_id", $"media_type",
+        aggregate($"p", lit(0L), _ + _).as("px_sum"),
+        array_max($"p").as("px_max"),
+        array_min($"p").as("px_min"),
+        (aggregate($"p", lit(0L), _ + _).cast("double") / 16.0)
+          .as("px_mean"))
+  }
+
+  val multimodalFeaturesSql: String =
+    """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |px AS (SELECT doc_id, list_transform(range(1, 17), i ->
+      |    (instr('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16 +
+      |    (instr('0123456789abcdef', substr(h, 2*i, 1)) - 1)) AS p
+      |  FROM b)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type,
+      |  CAST(list_sum(p) AS BIGINT) AS px_sum,
+      |  CAST(list_max(p) AS INTEGER) AS px_max,
+      |  CAST(list_min(p) AS INTEGER) AS px_min,
+      |  CAST(list_sum(p) AS DOUBLE) / 16.0 AS px_mean
+      |FROM px""".stripMargin
+
   /** Multimodal metadata stub: the Spark-side plumbing for opaque media
     * columns — byte length, head-bytes sample, content digest. The
     * decode stage proper is [[graft.sources.Multimodal]]. */
@@ -363,7 +400,8 @@ object Pipeline {
     "q23_winnow_fingerprint" -> (winnowFingerprints _),
     "q24_ngram_jaccard"      -> (ngramJaccard _),
     "q25_ivf_ann_topk"       -> (ivfAnnTopK _),
-    "q26_bpe_token_stats"    -> (bpeTokenStats _))
+    "q26_bpe_token_stats"    -> (bpeTokenStats _),
+    "q27_multimodal_features" -> (multimodalFeatures _))
 
   val oracles: Map[String, String] = Map(
     "q10_dedup_exact"        -> dedupExactSql,
@@ -382,5 +420,6 @@ object Pipeline {
     "q23_winnow_fingerprint" -> winnowFingerprintsSql,
     "q24_ngram_jaccard"      -> ngramJaccardSql,
     "q25_ivf_ann_topk"       -> ivfAnnTopKSql,
-    "q26_bpe_token_stats"    -> bpeTokenStatsSql)
+    "q26_bpe_token_stats"    -> bpeTokenStatsSql,
+    "q27_multimodal_features" -> multimodalFeaturesSql)
 }

@@ -55,6 +55,18 @@ object Multimodal {
     }
   }
 
+  /** Second stub: a 4×4 "frame" whose pixels are the md5 digest bytes
+    * of the payload. Unlike [[StubDecoder]] this is expressible in
+    * ANSI SQL (md5 + hex arithmetic), so the decode → mapPartitions →
+    * feature plumbing itself can be hash-verified against the DuckDB
+    * oracle (q27), not just unit-tested. */
+  object Md5Decoder extends Decoder {
+    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      (4, 4, d.map(b => (b & 0xff).toFloat))
+    }
+  }
+
   /** Decode + feature-extract over partition-sized batches. The
     * decoder is constructed once per partition (the expensive init a
     * real codec/model needs), then streamed over rows. */
