@@ -73,10 +73,16 @@ object Dedup {
     }
     val banded = sigs
       .select(col(idCol).as("id"), explode(array(bandKeys: _*)).as("band"))
-    val l = banded.select(col("id").as("id_a"), col("band"))
-    val r = banded.select(col("id").as("id_b"), col("band"))
-    l.join(r, "band").where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // self-join WITHOUT pre-join renames: both branches are the
+    // identical banded plan, so the band-key Exchange canonicalizes
+    // equal and is computed ONCE (ReusedExchange — asserted by
+    // PlanSpec). Renaming id->id_a/id_b before the join would make the
+    // exchanges differ and evaluate the signature scan twice.
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
   }
 
   /** Exact Jaccard similarity over distinct token sets for given

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan hygiene as CI: the properties that make these plans
+  * scale — scan-level pushdown, broadcast choices, no accidental
+  * cartesian products — asserted on the real query registry, so a
+  * refactor that silently turns a pruned scan into a full scan or a
+  * broadcast join into a cross product fails here, not on a cluster.
+  * (Assertions are deliberately coarse: operator presence, not exact
+  * plan text, so AQE/codegen changes don't break them.) */
+class PlanSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filters are pushed to the parquet scan") {
+    // q20's query-side predicate (vec_id < 8) must reach the scan
+    val p = plan("q20_ann_cosine_topk")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      "q20 should push vec_id < 8 into the parquet scan")
+  }
+
+  test("column pruning: narrow query reads a narrow schema") {
+    // q40 way bbox touches 3 lineitem columns; the scan must not read
+    // l_comment (the wide string column)
+    val p = plan("q40_osm_way_bbox")
+    assert(!p.contains("l_comment"), "bbox scan must prune l_comment")
+  }
+
+  test("small-dimension joins broadcast; no accidental cross joins") {
+    // q2 joins region (5 rows) and nation (25): broadcast expected
+    val p = plan("q2_region_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "q2 should broadcast its small dimensions")
+    // semi-join form for EXISTS
+    val p4 = plan("q4_semi_join")
+    assert(p4.contains("LeftSemi"), "q4 must stay a semi-join")
+    // the ONLY intended cartesian expansion is the broadcast NLJ of the
+    // ANN queries; relational queries must have none
+    Seq("q1_pricing_summary", "q2_region_revenue", "q31_osm_resolve_way_nodes",
+      "q38_osm_dependency_closure").foreach { q =>
+      val s = plan(q)
+      assert(!s.contains("CartesianProduct"), s"$q grew a CartesianProduct")
+    }
+  }
+
+  test("native kernels stay inside whole-stage codegen") {
+    // formatted explain stars codegen'd nodes ("* Project"): the
+    // kernel projections must be starred, not interpreted fallbacks
+    // (queries whose plan centers on collect_list run under
+    // ObjectHashAggregate, which excludes WSCG by design — only
+    // projection-shaped kernels are asserted here)
+    val codegen = "\\* (Project|Filter|HashAggregate)".r
+    assert(codegen.findFirstIn(plan("q12_minhash_signatures")).isDefined,
+      "q12 lost codegen")
+    assert(codegen.findFirstIn(plan("q23_winnow_fingerprint")).isDefined,
+      "q23 lost codegen")
+  }
+
+  test("exchange reuse: LSH band join computes signatures once at scale") {
+    // at real scale neither side broadcasts: under the SMJ shape both
+    // band-join branches must reuse ONE signature exchange. (At test
+    // size AQE broadcast-converts, so pin the no-broadcast path.)
+    // AQE performs reuse at runtime (stage-level), invisible in the
+    // static explain — pin the static planner to make it assertable
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val aqe = "spark.sql.adaptive.enabled"
+    val prevB = spark.conf.get(bcast)
+    val prevA = spark.conf.get(aqe)
+    try {
+      spark.conf.set(bcast, "-1")
+      spark.conf.set(aqe, "false")
+      val p = plan("q13_minhash_lsh_pairs")
+      assert(p.contains("ReusedExchange"),
+        "q13's band self-join should reuse the signature exchange")
+    } finally { spark.conf.set(bcast, prevB); spark.conf.set(aqe, prevA) }
+  }
+
+  test("ngram jaccard: single aggregate builds the inverted index") {
+    // the stop-gram filter must ride the bucket aggregate (size(ids)),
+    // never a windowed count over exploded gram rows
+    val p = plan("q24_ngram_jaccard")
+    assert(!p.contains("Window"), "q24 must not use a window for df caps")
+  }
+}
