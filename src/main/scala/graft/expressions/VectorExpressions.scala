@@ -136,7 +136,7 @@ object VectorKernels {
     if (n < k) return new GenericArrayData(new Array[Any](0))
     val sep = UTF8String.fromString(" ")
     val parts = new Array[UTF8String](k)
-    val out = new java.util.LinkedHashSet[UTF8String]()
+    val out = if (distinct) new java.util.LinkedHashSet[UTF8String]() else null
     val outArr = if (distinct) null else new Array[Any](n - k + 1)
     var i = 0
     while (i <= n - k) {
@@ -368,6 +368,9 @@ case class ShinglesExpr(child: Expression, k: Int, distinct: Boolean)
   * (empty when fewer than k tokens). */
 case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
+  // w <= 0 would make the window count exceed the hash count and read
+  // out of bounds inside codegen — reject at plan construction
+  require(k >= 1 && w >= 1, s"winnow needs k >= 1 and w >= 1, got k=$k w=$w")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     VectorKernels.winnowFps(v.asInstanceOf[ArrayData], k, w)

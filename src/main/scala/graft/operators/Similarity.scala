@@ -135,13 +135,20 @@ object Similarity {
     * drop (their sample was redundant), matching standard Lloyd. */
   def kmeansCentroids(corpus: DataFrame, every: Int = 25,
       iters: Int = 2): DataFrame = {
+    // norms precomputed per side BEFORE the cross join (3 dot products
+    // per pair otherwise — the same rule every other pair loop here
+    // follows)
+    val corpN = corpus
+      .select(col("id"), col("vec"), norm(col("vec")).as("vn"))
     var cent = corpus.where(col("id") % every === 0)
       .select(col("id").as("cid"), col("vec").cast("array<double>").as("cvec"))
     (1 to iters).foreach { _ =>
-      val assigned = corpus.crossJoin(broadcast(cent))
+      val centN = broadcast(cent
+        .select(col("cid"), col("cvec"), norm(col("cvec")).as("cn")))
+      val assigned = corpN.crossJoin(centN)
         .select(col("id"), col("vec"),
-          struct(cosine(col("vec"), col("cvec")).as("c"),
-            (-col("cid")).as("nc")).as("sc"))
+          struct((dot(col("vec"), col("cvec")) / (col("vn") * col("cn")))
+            .as("c"), (-col("cid")).as("nc")).as("sc"))
         .groupBy(col("id"))
         .agg(first(col("vec")).as("vec"), max(col("sc")).as("m"))
         .select((-col("m.nc")).as("cid"), col("vec"))
@@ -162,28 +169,34 @@ object Similarity {
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
     val cent = broadcast(centroids
-      .select(col("cid"), col("cvec").cast("array<double>").as("cv")))
-    val assigned = corpus.crossJoin(cent)
+      .select(col("cid"), col("cvec").cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv"))))
+    val assigned = corpus
       .select(col("id").as("nid"), col("vec").as("nvec"),
-        struct(cosine(col("vec"), col("cv")).as("c"),
-          (-col("cid")).as("nc")).as("sc"))
+        norm(col("vec")).as("nn"))
+      .crossJoin(cent)
+      .select(col("nid"), col("nvec"), col("nn"),
+        struct((dot(col("nvec"), col("cv")) / (col("nn") * col("cn")))
+          .as("c"), (-col("cid")).as("nc")).as("sc"))
       .groupBy(col("nid"))
-      .agg(first(col("nvec")).as("nvec"), max(col("sc")).as("m"))
-      .select(col("nid"), col("nvec"), (-col("m.nc")).as("cid"))
+      .agg(first(col("nvec")).as("nvec"), first(col("nn")).as("nn"),
+        max(col("sc")).as("m"))
+      .select(col("nid"), col("nvec"), col("nn"), (-col("m.nc")).as("cid"))
     val pw = Window.partitionBy(col("qid"))
       .orderBy(col("pcos").desc, col("cid").asc)
     val probes = broadcast(queries
-      .select(col("id").as("qid"), col("vec").as("qvec")))
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        norm(col("vec")).as("qn")))
       .crossJoin(cent)
-      .select(col("qid"), col("qvec"), col("cid"),
-        cosine(col("qvec"), col("cv")).as("pcos"))
+      .select(col("qid"), col("qvec"), col("qn"), col("cid"),
+        (dot(col("qvec"), col("cv")) / (col("qn") * col("cn"))).as("pcos"))
       .withColumn("prank", row_number().over(pw)).where(col("prank") <= nprobe)
-      .select(col("qid"), col("qvec"), col("cid"))
+      .select(col("qid"), col("qvec"), col("qn"), col("cid"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
     probes.join(assigned, "cid").where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        cosine(col("qvec"), col("nvec")).as("cos"))
+        (dot(col("qvec"), col("nvec")) / (col("qn") * col("nn"))).as("cos"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 

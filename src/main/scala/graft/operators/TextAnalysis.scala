@@ -92,8 +92,10 @@ object TextAnalysis {
     * map-side combinable — a pure scan + tiny hash agg at any scale. */
   def bpeTokenStats(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val lowered = lower(col(textCol))
+    // explicit whitespace class, NOT \s: Java's \s includes \x0B
+    // (vertical tab) while RE2's does not — the oracle must agree
     val nBpe = size(regexp_extract_all(lowered,
-      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+      lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"), lit(0))).cast("long")
     val nAlpha = size(regexp_extract_all(lowered, lit("[a-z]+"), lit(0)))
       .cast("long")
     val nNum = size(regexp_extract_all(lowered, lit("[0-9]+"), lit(0)))

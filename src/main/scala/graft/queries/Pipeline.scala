@@ -224,11 +224,10 @@ object Pipeline {
     * distinct window minima. */
   val winnowFingerprintsSql: String =
     s"""WITH g AS (
-       |  SELECT doc_id,
-       |    list_transform(range(1, len(w) - 1),
-       |      i -> md5(array_to_string(w[i:i+2], ' '))) AS hs
-       |  FROM (SELECT doc_id, $W AS w FROM documents)
-       |  WHERE len(w) >= 3),
+       |  SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs
+       |  FROM (SELECT doc_id, $ShingleList AS sh
+       |        FROM (SELECT doc_id, $W AS w FROM documents))
+       |  WHERE len(sh) > 0),
        |sel AS (
        |  SELECT doc_id,
        |    list_sort(list_distinct(list_transform(
@@ -316,7 +315,7 @@ object Pipeline {
     TextAnalysis.bpeTokenStats(Tables.documents(s, d), "lang", "text")
 
   val bpeTokenStatsSql: String = {
-    val n = raw"len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"
+    val n = raw"len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]'))"
     val a = raw"len(regexp_extract_all(lower(text), '[a-z]+'))"
     val d = raw"len(regexp_extract_all(lower(text), '[0-9]+'))"
     s"""SELECT lang, count(*) AS n_docs,
@@ -338,14 +337,15 @@ object Pipeline {
     val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
     val feats = Multimodal.extractFeatures(media, Multimodal.Md5Decoder)
     val p = transform($"features", f => f.cast("int"))
+    // the interpreted aggregate() fold runs ONCE; the mean derives
+    // from the materialized sum in an outer select
     feats.select($"id".as("doc_id"), $"mediaType".as("media_type"),
       p.as("p"))
       .select($"doc_id", $"media_type",
         aggregate($"p", lit(0L), _ + _).as("px_sum"),
         array_max($"p").as("px_max"),
-        array_min($"p").as("px_min"),
-        (aggregate($"p", lit(0L), _ + _).cast("double") / 16.0)
-          .as("px_mean"))
+        array_min($"p").as("px_min"))
+      .withColumn("px_mean", $"px_sum".cast("double") / 16.0)
   }
 
   val multimodalFeaturesSql: String =
