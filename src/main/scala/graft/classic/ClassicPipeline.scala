@@ -63,9 +63,14 @@ object ClassicPipeline {
   }
 
   /** Adds __outtags, __keep, __polygon columns (ways/relations use the
-    * way export list). */
+    * way export list). `hstoreMatchOnly` = the reference's
+    * --hstore-match-only: all tags still flow to the hstore output,
+    * but an object is only KEPT if at least one tag matches the style
+    * export list (options_t::hstore_match_only applied at
+    * src/tagtransform-c.cpp:143-151). */
   private def withFilter(df: DataFrame, style: Style, osmType: String,
-      wantPolygon: Boolean, hstore: Boolean = false): DataFrame = {
+      wantPolygon: Boolean, hstore: Boolean = false,
+      hstoreMatchOnly: Boolean = false): DataFrame = {
     val listType = if (osmType == "relation") "way" else osmType
     val out = exportFilter(style, listType, hstore)
     val base = df
@@ -74,7 +79,11 @@ object ClassicPipeline {
       .withColumn("__outtags",
         when(col("__coast") && !map_contains_key(out, "area"),
           map_concat(out, map(lit("area"), lit("yes")))).otherwise(out))
-      .withColumn("__keep", size(col("__outtags")) > 0 || col("__coast"))
+      .withColumn("__matched",
+        if (hstore && hstoreMatchOnly)
+          size(exportFilter(style, listType, hstore = false)) > 0
+        else size(col("__outtags")) > 0)
+      .withColumn("__keep", col("__matched") || col("__coast"))
     if (!wantPolygon) base
     else {
       val polyKeys = style.polygonKeys.toSet.toSeq
@@ -106,7 +115,8 @@ object ClassicPipeline {
     }.getOrElse(df)
 
   def run(osm: OsmDataFrames, style: Style, srid: Int = Srid.WebMercator,
-      subset: Subset = Subset(), hstore: Boolean = false): Tables4 = {
+      subset: Subset = Subset(), hstore: Boolean = false,
+      hstoreMatchOnly: Boolean = false): Tables4 = {
     val spark = osm.nodes.sparkSession
     val splitAt = if (srid == Srid.WGS84) 1.0 else 100 * 1000.0
 
@@ -149,14 +159,16 @@ object ClassicPipeline {
 
     // ---- nodes → point table ----
     val points = withFilter(restrict(osm.nodes, subset.nodeIds), style,
-      "node", wantPolygon = false, hstore = hstore)
+      "node", wantPolygon = false, hstore = hstore,
+      hstoreMatchOnly = hstoreMatchOnly)
       .where(col("__keep") && size(col("__outtags")) > 0)
       .select(col("id").as("osm_id"), col("__outtags").as("tags"),
         col("lon"), col("lat"))
 
     // ---- ways ----
     val keptWays = withFilter(restrict(osm.ways, subset.wayIds), style,
-      "way", wantPolygon = true, hstore = hstore)
+      "way", wantPolygon = true, hstore = hstore,
+      hstoreMatchOnly = hstoreMatchOnly)
       .where(col("__keep") && size(col("__outtags")) > 0)
       .withColumn("__closed",
         element_at(col("nodes"), 1) ===
@@ -202,7 +214,8 @@ object ClassicPipeline {
     // src/tagtransform-c.cpp:249-258) — matters in hstore mode where
     // type would otherwise survive the export filter
     val keptRels = withFilter(typed, style, "relation",
-      wantPolygon = false, hstore = hstore)
+      wantPolygon = false, hstore = hstore,
+      hstoreMatchOnly = hstoreMatchOnly)
       .withColumn("__outtags",
         map_filter(col("__outtags"), (k, _) => k =!= "type"))
       .where(col("__keep") && size(col("__outtags")) > 0)

@@ -49,4 +49,47 @@ class ClassicRegressionSpec extends SparkSpecBase {
     assert(math.abs(sumRoads - 2032023.0) / 2032023.0 < 1e-4,
       s"sum(roads length)=$sumRoads")
   }
+
+  test("hstore-match-only regression vs reference goldens") {
+    // tests/test-output-pgsql-hstore-match-only.cpp: with the all-
+    // nocolumn style + --hstore --hstore-match-only, the fixture file
+    // must yield point=6, polygon=7, line=12, roads=3
+    val osm = graft.sources.OsmXml.read(spark,
+      Seq("/root/reference/tests/data/hstore-match-only.osm"))
+    val style = StyleFile.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/reference/tests/data/hstore-match-only.style")), "UTF-8"))
+    val t = ClassicPipeline.run(osm, style, hstore = true,
+      hstoreMatchOnly = true)
+    assert(t.point.count() == 6L)
+    assert(t.polygon.count() == 7L)
+    assert(t.line.count() == 12L)
+    assert(t.roads.count() == 3L)
+    // without match-only, hstore mode keeps everything tagged:
+    // strictly more objects
+    val all = ClassicPipeline.run(osm, style, hstore = true)
+    assert(all.point.count() > 6L)
+  }
+
+  test("invalid-location fixture: the node contributes nothing") {
+    // tests/test-osm-file-parsing.cpp "invalid location": lat=200 →
+    // the node is skipped entirely (src/osmdata.cpp:42-47)
+    val osm = graft.sources.OsmXml.read(spark,
+      Seq("/root/reference/tests/data/test_invalid_location.osm"))
+    assert(osm.nodes.count() == 1L) // parsed ...
+    assert(graft.sources.Validate.dropInvalidLocations(osm.nodes)
+      .count() == 0L) // ... but dropped before any processing
+  }
+
+  test("bz2 XML extract matches the PBF reader (same Liechtenstein)") {
+    // liechtenstein .osm.bz2 is the SAME extract as the .pbf — the
+    // bz2+XML path must agree with the binary reader on entity counts
+    val bz2 = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.bz2"
+    assert(graft.sources.OsmSource.sniffPath(bz2) == "xml")
+    val xml = graft.sources.OsmXml.read(spark, Seq(bz2))
+    assert(xml.nodes.count() == 65733L)
+    val pbf = OsmPbf.read(spark, path)
+    assert(xml.ways.count() == pbf.ways.count())
+    assert(xml.relations.count() == pbf.relations.count())
+  }
 }
