@@ -46,6 +46,106 @@ object Expire {
   def formatTiles(tiles: DataFrame): DataFrame =
     tiles.select(concat_ws("/", col("zoom"), col("x"), col("y")).as("tile"))
 
+  /** The osm2pgsql-expire binary's per-entity geometry rules
+    * (src/osm2pgsql-expire.cpp:123-215), as a DataFrame pipeline over
+    * entity frames → dirty tiles at `cfg.zoom`:
+    *  - tagged nodes → point;
+    *  - tagged ways → polygon if closed (fallback to linestring when
+    *    assembly fails), else linestring; <2 resolved points → skipped;
+    *  - tagged relations → multipolygon for type=multipolygon/boundary,
+    *    multilinestring (not forced multi) for route/multilinestring,
+    *    else a collection of member node points + way lines;
+    * all transformed to 3857 before covering, dedup = distinct. */
+  def fromOsmEntities(osm: graft.sources.OsmXml.OsmDataFrames,
+      cfg: graft.operators.TileCover.Config): DataFrame = {
+    import graft.geom._
+    val merc = (g: Geometry) => g match {
+      case _: NullGeom => null
+      case g           => Ewkb.encode(GeomOps.transform(g, Srid.WebMercator))
+    }
+    val toPts = (lons: Seq[Double], lats: Seq[Double]) =>
+      lons.zip(lats).map { case (x, y) => Pt(x, y) }
+
+    val pointUdf = udf((lon: Double, lat: Double) =>
+      merc(FromOsm.createPoint(lon, lat)))
+    val wayUdf = udf((lons: Seq[Double], lats: Seq[Double], closed: Boolean) => {
+      val pts = toPts(lons, lats)
+      val poly =
+        if (closed) FromOsm.createPolygon(pts) else NullGeom(Srid.WGS84)
+      val g = poly match {
+        case _: NullGeom => FromOsm.createLineString(pts)
+        case p           => p
+      }
+      merc(g)
+    })
+    val relUdf = udf((relType: String, nodeLons: Seq[Double],
+        nodeLats: Seq[Double], wayLons: Seq[Seq[Double]],
+        wayLats: Seq[Seq[Double]]) => {
+      val ways = wayLons.zip(wayLats).map { case (lo, la) => toPts(lo, la) }
+      val g = relType match {
+        case "multipolygon" | "boundary" => FromOsm.createMultiPolygon(ways)
+        case "route" | "multilinestring" =>
+          FromOsm.createMultiLineString(ways, forceMulti = false)
+        case _ => FromOsm.createCollection(toPts(nodeLons, nodeLats), ways)
+      }
+      merc(g)
+    })
+
+    val locs = osm.nodes.select(col("id").as("nid"), col("lon"), col("lat"))
+    val nodeGeoms = osm.nodes.where(size(col("tags")) > 0)
+      .select(pointUdf(col("lon"), col("lat")).as("geom"))
+
+    val resolvedWays = Middle.resolveWayNodes(
+      osm.ways.select("id", "nodes"), "id", "nodes", locs, "nid",
+      Seq("lon", "lat"))
+      .where(size(col("resolved")) >= 2)
+      .select(col("id").as("rwid"),
+        transform(col("resolved"), r => r.getField("lon")).as("wlons"),
+        transform(col("resolved"), r => r.getField("lat")).as("wlats"))
+    val wayGeoms = osm.ways.where(size(col("tags")) > 0)
+      .withColumn("__closed",
+        element_at(col("nodes"), 1) ===
+          element_at(col("nodes"), size(col("nodes"))))
+      .join(resolvedWays, col("id") === col("rwid"))
+      .select(wayUdf(col("wlons"), col("wlats"), col("__closed")).as("geom"))
+
+    val taggedRels = osm.relations.where(size(col("tags")) > 0)
+      .select(col("id").as("rid"), col("tags").getItem("type").as("rtype"),
+        col("members"))
+    val m = taggedRels.select(col("rid"), col("rtype"),
+      posexplode(col("members")).as(Seq("mpos", "m")))
+    val memberNodes = m.where(col("m.mtype") === "n")
+      .join(locs, col("m.ref") === col("nid"))
+      .groupBy(col("rid"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("mpos"), col("lon")))),
+          s => s.getField("lon")).as("nlons"),
+        transform(array_sort(collect_list(struct(col("mpos"), col("lat")))),
+          s => s.getField("lat")).as("nlats"))
+    val memberWays = m.where(col("m.mtype") === "w")
+      .join(resolvedWays, col("m.ref") === col("rwid"))
+      .groupBy(col("rid"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("mpos"), col("wlons")))),
+          s => s.getField("wlons")).as("mlons"),
+        transform(array_sort(collect_list(struct(col("mpos"), col("wlats")))),
+          s => s.getField("wlats")).as("mlats"))
+    val empty = typedlit(Seq.empty[Double])
+    val emptyW = typedlit(Seq.empty[Seq[Double]])
+    val relGeoms = taggedRels
+      .join(memberNodes, Seq("rid"), "left")
+      .join(memberWays, Seq("rid"), "left")
+      .where(col("nlons").isNotNull || col("mlons").isNotNull)
+      .select(relUdf(col("rtype"),
+        coalesce(col("nlons"), empty), coalesce(col("nlats"), empty),
+        coalesce(col("mlons"), emptyW), coalesce(col("mlats"), emptyW))
+        .as("geom"))
+
+    val geoms = nodeGeoms.unionByName(wayGeoms).unionByName(relGeoms)
+      .where(col("geom").isNotNull)
+    TileCover.geometryCover(geoms, col("geom"), cfg)
+  }
+
   /** Expire-table DDL (expire_output_t::create_output_table,
     * src/expire-output.cpp:143-155): (zoom, x, y) primary key plus
     * first/last touch timestamps. */
