@@ -46,6 +46,32 @@ object Expire {
   def formatTiles(tiles: DataFrame): DataFrame =
     tiles.select(concat_ws("/", col("zoom"), col("x"), col("y")).as("tile"))
 
+  /** Web-mercator extent of a tile (tile_t::box, src/tile.hpp:55-75):
+    * (minx, miny, maxx, maxy). */
+  def tileBox3857(x: Long, y: Long, zoom: Int): (Double, Double, Double, Double) = {
+    val ec = graft.functions.TileFunctions.EarthCircumference
+    val ext = ec / (1L << zoom)
+    val minx = x * ext - ec / 2
+    val maxy = ec / 2 - y * ext
+    (minx, maxy - ext, minx + ext, maxy)
+  }
+
+  /** GeoJSON-feature form of the tile list (the expire binary's
+    * `-f geojson`, src/osm2pgsql-expire.cpp:216-240): one feature per
+    * tile, EPSG:3857 box polygon, properties z/x/y/label. Coordinate
+    * text uses Java shortest-double formatting (not byte-identical to
+    * the reference's nlohmann output; values are identical doubles). */
+  def geojsonFeatures(tiles: DataFrame): DataFrame = {
+    val feat = udf((zoom: Int, x: Long, y: Long) => {
+      val (minx, miny, maxx, maxy) = tileBox3857(x, y, zoom)
+      s"""{"geometry":{"coordinates":[[[$minx,$miny],[$minx,$maxy],""" +
+        s"""[$maxx,$maxy],[$maxx,$miny],[$minx,$miny]]],""" +
+        s""""type":"Polygon"},"properties":{"label":"$zoom/$x/$y",""" +
+        s""""x":$x,"y":$y,"z":$zoom},"type":"Feature"}"""
+    })
+    tiles.select(feat(col("zoom"), col("x"), col("y")).as("feature"))
+  }
+
   /** The osm2pgsql-expire binary's per-entity geometry rules
     * (src/osm2pgsql-expire.cpp:123-215), as a DataFrame pipeline over
     * entity frames → dirty tiles at `cfg.zoom`:

@@ -105,11 +105,22 @@ object ExpireMain {
       case "full-area"     => TileCover.FullArea
       case _               => TileCover.Hybrid()
     })
-    val tiles = TileCover.geometryCover(
-      spark.read.parquet(in), col(geomCol), cfg)
+    // file-type dispatch like the reference binary: an OSM file runs
+    // the per-entity geometry rules; anything else is parquet EWKB
+    val isOsm = Seq(".osm", ".osm.gz", ".osm.bz2", ".o5m", ".osm.pbf", ".pbf")
+      .exists(in.endsWith)
+    val tiles =
+      if (isOsm)
+        Expire.fromOsmEntities(
+          graft.sources.OsmSource.read(spark, Seq(in)), cfg)
+      else TileCover.geometryCover(spark.read.parquet(in), col(geomCol), cfg)
     val rolled = Expire.rollup(tiles, "x", "y", zoom, minzoomS.toInt)
-    val lines = Expire.formatTiles(rolled)
-      .orderBy("tile").collect().map(_.getString(0))
+    val lines =
+      if (out.endsWith(".geojson"))
+        Expire.geojsonFeatures(rolled)
+          .orderBy("feature").collect().map(_.getString(0))
+      else Expire.formatTiles(rolled)
+        .orderBy("tile").collect().map(_.getString(0))
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       lines.mkString("\n").getBytes("UTF-8"))
     println(s"wrote ${lines.length} tiles to $out")

@@ -51,4 +51,29 @@ class ExpireGoldenSpec extends SparkSpecBase {
       s"missing=${missing.take(5)} (${missing.size}) " +
         s"extra=${extra.take(5)} (${extra.size})")
   }
+
+  test("geojson output: labels match the golden features, boxes agree") {
+    val tiles = Expire.fromOsmEntities(osm,
+      TileCover.Config(18, TileCover.FullArea, 0.1))
+    val features = Expire.geojsonFeatures(tiles)
+      .as[String].collect()
+    val labelRe = """"label":"([^"]+)"""".r
+    val ourLabels = features
+      .flatMap(f => labelRe.findFirstMatchIn(f).map(_.group(1))).toSet
+    val goldenText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dataDir/test-z18-b0.geojson")), "UTF-8")
+    val goldenLabels = labelRe.findAllMatchIn(goldenText)
+      .map(_.group(1)).toSet
+    assert(ourLabels == goldenLabels)
+    // box math agrees with the reference's printed coordinates
+    val coordRe =
+      """\{"geometry":\{"coordinates":\[\[\[([-0-9.]+),([-0-9.]+)\],\[[-0-9.]+,([-0-9.]+)""".r
+    val m = coordRe.findFirstMatchIn(goldenText).get
+    val label = labelRe.findFirstMatchIn(goldenText).get.group(1)
+    val Array(z, x, y) = label.split("/").map(_.toLong)
+    val (minx, miny, _, maxy) = Expire.tileBox3857(x, y, z.toInt)
+    assert(math.abs(minx - m.group(1).toDouble) < 1e-6)
+    assert(math.abs(miny - m.group(2).toDouble) < 1e-6)
+    assert(math.abs(maxy - m.group(3).toDouble) < 1e-6)
+  }
 }
