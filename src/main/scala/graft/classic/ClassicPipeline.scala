@@ -114,9 +114,25 @@ object ClassicPipeline {
         "left_semi")
     }.getOrElse(df)
 
-  def run(osm: OsmDataFrames, style: Style, srid: Int = Srid.WebMercator,
+  def run(osm0: OsmDataFrames, style: Style, srid: Int = Srid.WebMercator,
       subset: Subset = Subset(), hstore: Boolean = false,
-      hstoreMatchOnly: Boolean = false): Tables4 = {
+      hstoreMatchOnly: Boolean = false,
+      extraAttributes: Boolean = false): Tables4 = {
+    // -x: object attributes become osm_* pseudo-tags before the tag
+    // transform (src/osmtypes.hpp:104-111); injected after the
+    // untagged-object filter, so attribute-only objects stay ignored
+    val osm =
+      if (!extraAttributes) osm0
+      else {
+        def inject(df: DataFrame): DataFrame =
+          df.withColumn("tags",
+            when(size(col("tags")) > 0,
+              TagFunctions.withAttributePseudoTags(col("tags"),
+                col("version"), col("timestamp"), col("changeset"),
+                col("uid"), col("user"))).otherwise(col("tags")))
+        OsmDataFrames(inject(osm0.nodes), inject(osm0.ways),
+          inject(osm0.relations))
+      }
     val spark = osm.nodes.sparkSession
     val splitAt = if (srid == Srid.WGS84) 1.0 else 100 * 1000.0
 

@@ -38,6 +38,10 @@ object OsmText {
       var visible = true
       var x = Double.NaN
       var y = Double.NaN
+      var changeset = 0L
+      var uid = 0L
+      var user = ""
+      var ts = 0L
       var nds = Vector.empty[Long]
       var members = Vector.empty[OsmMember]
       var tags = Map.empty[String, String]
@@ -46,6 +50,14 @@ object OsmText {
           version = t.tail.toInt
         case "dD" => visible = false
         case "dV" => visible = true
+        case t if t.startsWith("c") && t.tail.forall(_.isDigit) =>
+          changeset = t.tail.toLong
+        case t if t.startsWith("i") && t.tail.forall(_.isDigit) =>
+          uid = t.tail.toLong
+        case t if t.startsWith("u") && !t.contains("=") =>
+          user = t.tail
+        case t if t.startsWith("t") && t.contains("T") && t.contains(":") =>
+          ts = java.time.Instant.parse(t.tail).getEpochSecond
         case t if t.startsWith("x") => x = t.tail.toDouble
         case t if t.startsWith("y") => y = t.tail.toDouble
         case t if t.startsWith("N") =>
@@ -67,12 +79,12 @@ object OsmText {
         case _ => ()
       }
       tpe match {
-        case 'n' => nodes += OsmNode(id, version, visible = visible,
-          lon = x, lat = y, tags = tags)
-        case 'w' => ways += OsmWay(id, version, visible = visible,
-          nodes = nds, tags = tags)
-        case 'r' => rels += OsmRelation(id, version, visible = visible,
-          members = members, tags = tags)
+        case 'n' => nodes += OsmNode(id, version, ts, changeset, uid,
+          user, visible = visible, lon = x, lat = y, tags = tags)
+        case 'w' => ways += OsmWay(id, version, ts, changeset, uid,
+          user, visible = visible, nodes = nds, tags = tags)
+        case 'r' => rels += OsmRelation(id, version, ts, changeset, uid,
+          user, visible = visible, members = members, tags = tags)
         case other =>
           throw new IllegalArgumentException(s"bad entity type '$other'")
       }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.classic.{ClassicPipeline, StyleFile}
+import graft.sources.OsmText
+
+/** Port of tests/bdd/regression/extra-attributes.feature: without -x
+  * the osm_* attribute pseudo-tags are absent; with -x the way's
+  * version/changeset/timestamp/uid/user appear as tags (here in
+  * hstore mode, -j, where they flow to the output map). */
+class ExtraAttributesSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // the feature's grid places n10..n12 on a lattice; coordinates are
+  // irrelevant to the assertion, only the way must be road-flagged
+  private val data = """
+    n10 v1 x0.0 y0.0
+    n11 v1 x0.0 y0.1
+    n12 v1 x0.1 y0.1
+    w20 v1 dV c31 t2020-01-12T12:34:56Z i17 utest Thighway=primary Nn10,n11,n12
+  """
+
+  test("-x injects osm_* pseudo-tags; without it they are absent") {
+    val osm = OsmText.toFrames(spark, data)
+    val style = StyleFile.defaultStyle
+
+    val plain = ClassicPipeline.run(osm, style, hstore = true)
+    val plainTags = plain.roads.select($"osm_id", $"tags")
+      .as[(Long, Map[String, String])].collect()
+    assert(plainTags.map(_._1).toSet == Set(20L))
+    val pt = plainTags.head._2
+    assert(pt("highway") == "primary")
+    assert(!pt.contains("osm_version") && !pt.contains("osm_changeset"))
+
+    val withX = ClassicPipeline.run(osm, style, hstore = true,
+      extraAttributes = true)
+    val xt = withX.roads.select($"tags")
+      .as[Map[String, String]].head()
+    assert(xt("highway") == "primary")
+    assert(xt("osm_version") == "1")
+    assert(xt("osm_changeset") == "31")
+    assert(xt("osm_uid") == "17")
+    assert(xt("osm_user") == "test")
+    assert(xt("osm_timestamp") == "1578832496") // 2020-01-12T12:34:56Z
+  }
+}
