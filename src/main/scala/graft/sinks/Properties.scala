@@ -24,6 +24,39 @@ object Properties {
       .as[(String, String)].collect().toMap
   }
 
+  /** The import-time property set the reference persists
+    * (src/osm2pgsql.cpp:102-145 store_properties + store_data_properties):
+    * fixed settings plus, when the input carries timestamps, the max
+    * entity timestamp as import_timestamp AND current_timestamp —
+    * regression/timestamps.feature pins exactly this shape (10 rows
+    * with timestamps, 8 without). The timestamp scan is one max()
+    * aggregate over the unioned entity frames. */
+  def importProperties(osm: graft.sources.OsmXml.OsmDataFrames,
+      attributes: Boolean = false, prefix: String = "planet_osm",
+      updatable: Boolean = false, output: String = "pgsql",
+      style: String = "default.style", engineVersion: String = "graft",
+      flatNodeFile: String = ""): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    val ts = osm.nodes.select(col("timestamp"))
+      .unionAll(osm.ways.select(col("timestamp")))
+      .unionAll(osm.relations.select(col("timestamp")))
+      .agg(max(col("timestamp"))).head().getLong(0)
+    val base = Map(
+      "attributes" -> attributes.toString,
+      "db_format" -> "0",
+      "flat_node_file" -> flatNodeFile,
+      "prefix" -> prefix,
+      "updatable" -> updatable.toString,
+      "version" -> engineVersion,
+      "output" -> output,
+      "style" -> style)
+    if (ts <= 0) base
+    else {
+      val iso = java.time.Instant.ofEpochSecond(ts).toString
+      base + ("import_timestamp" -> iso) + ("current_timestamp" -> iso)
+    }
+  }
+
   /** Append-mode validation (src/osm2pgsql.cpp:300-309): settings that
     * must not change between the import and an append run. Returns the
     * mismatches. */

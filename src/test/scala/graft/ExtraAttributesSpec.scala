@@ -43,4 +43,29 @@ class ExtraAttributesSpec extends SparkSpecBase {
     assert(xt("osm_user") == "test")
     assert(xt("osm_timestamp") == "1578832496") // 2020-01-12T12:34:56Z
   }
+
+  test("import properties reflect input timestamps (timestamps.feature)") {
+    import graft.sinks.Properties
+    val withTs = OsmText.toFrames(spark, """
+      n10 t2020-01-02T03:04:05Z x10 y10
+      n11 t2020-01-02T03:04:05Z x10 y11
+      w20 t2020-01-02T03:04:06Z Thighway=primary Nn10,n11
+    """)
+    val p = Properties.importProperties(withTs)
+    assert(p.size == 10)
+    assert(p("import_timestamp") == "2020-01-02T03:04:06Z")
+    assert(p("current_timestamp") == "2020-01-02T03:04:06Z")
+    assert(p("attributes") == "false" && p("db_format") == "0" &&
+      p("prefix") == "planet_osm" && p("updatable") == "false" &&
+      p("output") == "pgsql" && p("flat_node_file") == "")
+
+    val noTs = OsmText.toFrames(spark, """
+      n10 x10 y10
+      n11 x10 y11
+      w20 Thighway=primary Nn10,n11
+    """)
+    val p2 = Properties.importProperties(noTs)
+    assert(p2.size == 8)
+    assert(!p2.contains("import_timestamp"))
+  }
 }
