@@ -70,10 +70,11 @@ object ClassicPipeline {
     * src/tagtransform-c.cpp:143-151). */
   private def withFilter(df: DataFrame, style: Style, osmType: String,
       wantPolygon: Boolean, hstore: Boolean = false,
-      hstoreMatchOnly: Boolean = false): DataFrame = {
+      hstoreMatchOnly: Boolean = false,
+      extraAttributes: Boolean = false): DataFrame = {
     val listType = if (osmType == "relation") "way" else osmType
     val out = exportFilter(style, listType, hstore)
-    val base = df
+    val base0 = df
       .where(size(col("tags")) > 0) // ignore_untagged_objects default
       .withColumn("__coast", col("tags").getItem("natural") <=> "coastline")
       .withColumn("__outtags",
@@ -84,6 +85,16 @@ object ClassicPipeline {
           size(exportFilter(style, listType, hstore = false)) > 0
         else size(col("__outtags")) > 0)
       .withColumn("__keep", col("__matched") || col("__coast"))
+    // -x: pseudo-tags join the OUTPUT tags only, AFTER the keep
+    // decision — add_attributes runs after the filter loop and never
+    // clears it (src/tagtransform-c.cpp:191-198), so an object whose
+    // only real tags are delete-listed still drops under -x
+    val base =
+      if (!extraAttributes) base0
+      else base0.withColumn("__outtags",
+        TagFunctions.withAttributePseudoTags(col("__outtags"),
+          col("version"), col("timestamp"), col("changeset"),
+          col("uid"), col("user")))
     if (!wantPolygon) base
     else {
       val polyKeys = style.polygonKeys.toSet.toSeq
@@ -114,25 +125,10 @@ object ClassicPipeline {
         "left_semi")
     }.getOrElse(df)
 
-  def run(osm0: OsmDataFrames, style: Style, srid: Int = Srid.WebMercator,
+  def run(osm: OsmDataFrames, style: Style, srid: Int = Srid.WebMercator,
       subset: Subset = Subset(), hstore: Boolean = false,
       hstoreMatchOnly: Boolean = false,
       extraAttributes: Boolean = false): Tables4 = {
-    // -x: object attributes become osm_* pseudo-tags before the tag
-    // transform (src/osmtypes.hpp:104-111); injected after the
-    // untagged-object filter, so attribute-only objects stay ignored
-    val osm =
-      if (!extraAttributes) osm0
-      else {
-        def inject(df: DataFrame): DataFrame =
-          df.withColumn("tags",
-            when(size(col("tags")) > 0,
-              TagFunctions.withAttributePseudoTags(col("tags"),
-                col("version"), col("timestamp"), col("changeset"),
-                col("uid"), col("user"))).otherwise(col("tags")))
-        OsmDataFrames(inject(osm0.nodes), inject(osm0.ways),
-          inject(osm0.relations))
-      }
     val spark = osm.nodes.sparkSession
     val splitAt = if (srid == Srid.WGS84) 1.0 else 100 * 1000.0
 
@@ -176,7 +172,7 @@ object ClassicPipeline {
     // ---- nodes → point table ----
     val points = withFilter(restrict(osm.nodes, subset.nodeIds), style,
       "node", wantPolygon = false, hstore = hstore,
-      hstoreMatchOnly = hstoreMatchOnly)
+      hstoreMatchOnly = hstoreMatchOnly, extraAttributes = extraAttributes)
       .where(col("__keep") && size(col("__outtags")) > 0)
       .select(col("id").as("osm_id"), col("__outtags").as("tags"),
         col("lon"), col("lat"))
@@ -184,21 +180,20 @@ object ClassicPipeline {
     // ---- ways ----
     val keptWays = withFilter(restrict(osm.ways, subset.wayIds), style,
       "way", wantPolygon = true, hstore = hstore,
-      hstoreMatchOnly = hstoreMatchOnly)
+      hstoreMatchOnly = hstoreMatchOnly, extraAttributes = extraAttributes)
       .where(col("__keep") && size(col("__outtags")) > 0)
+      .where(size(col("nodes")) > 0) // ANSI element_at guard; no-ref ways
       .withColumn("__closed",
         element_at(col("nodes"), 1) ===
           element_at(col("nodes"), size(col("nodes"))))
       .withColumn("__roads", TagFunctions.isRoads(col("__outtags")))
       .withColumn("__z", TagFunctions.zOrder(col("__outtags")))
-    val locs = osm.nodes.select(col("id").as("nid"), col("lon"), col("lat"))
-    val resolved = Middle.resolveWayNodes(
-      keptWays.select("id", "nodes"), "id", "nodes", locs, "nid",
-      Seq("lon", "lat"))
-      .where(size(col("resolved")) >= 2) // nodes_get_list > 1
-      .select(col("id"),
-        transform(col("resolved"), r => r.getField("lon")).as("lons"),
-        transform(col("resolved"), r => r.getField("lat")).as("lats"))
+    // resolve ALL ways ONCE; the kept-ways join below restricts it, and
+    // the relation-member fetch reuses the same exchange instead of
+    // paying the ref×node shuffle twice (the job's largest join)
+    val allResolved = resolvedAllWays(osm)
+    val resolved = allResolved.select(col("rwid").as("id"),
+      col("wlons").as("lons"), col("wlats").as("lats"))
     val waysGeo = keptWays.join(resolved, "id")
 
     // way_area: planar area of the written (projected) geometry,
@@ -231,7 +226,7 @@ object ClassicPipeline {
     // type would otherwise survive the export filter
     val keptRels = withFilter(typed, style, "relation",
       wantPolygon = false, hstore = hstore,
-      hstoreMatchOnly = hstoreMatchOnly)
+      hstoreMatchOnly = hstoreMatchOnly, extraAttributes = extraAttributes)
       .withColumn("__outtags",
         map_filter(col("__outtags"), (k, _) => k =!= "type"))
       .where(col("__keep") && size(col("__outtags")) > 0)
@@ -252,7 +247,7 @@ object ClassicPipeline {
       .where(col("m.mtype") === "w")
       .select(col("rid"), col("mpos"), col("m.ref").as("wid"))
     val memberWays = memberRefs
-      .join(resolvedAllWays(osm), col("wid") === col("rwid"))
+      .join(allResolved, col("wid") === col("rwid"))
       .groupBy(col("rid"))
       .agg(
         count(lit(1)).as("__nways"),

@@ -95,13 +95,24 @@ object TagFunctions {
   }
 
   /** Attribute pseudo-tags (src/osmtypes.hpp:104-111): inject
-    * osm_user/osm_uid/osm_version/osm_timestamp/osm_changeset. */
+    * osm_user/osm_uid/osm_version/osm_timestamp/osm_changeset.
+    * Timestamps render as ISO8601 (the reference's timestamp().to_iso())
+    * and the injection is gated on version > 0, exactly like
+    * add_attributes; pre-existing osm_* keys are dropped first so the
+    * map_concat cannot hit Spark's duplicate-key error (the reference's
+    * taglist_t appends duplicates, which a map cannot represent —
+    * pseudo-tag wins, documented delta). */
   def withAttributePseudoTags(tags: Column, version: Column, ts: Column,
-      changeset: Column, uid: Column, user: Column): Column =
-    map_concat(tags, map(
-      lit("osm_version"), version.cast("string"),
-      lit("osm_timestamp"), ts.cast("string"),
-      lit("osm_changeset"), changeset.cast("string"),
-      lit("osm_uid"), uid.cast("string"),
-      lit("osm_user"), user))
+      changeset: Column, uid: Column, user: Column): Column = {
+    val cleaned = map_filter(tags, (k, _) => !k.startsWith("osm_"))
+    val iso = date_format(timestamp_seconds(ts), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    when(version > 0,
+      map_concat(cleaned, map(
+        lit("osm_version"), version.cast("string"),
+        lit("osm_timestamp"), iso,
+        lit("osm_changeset"), changeset.cast("string"),
+        lit("osm_uid"), uid.cast("string"),
+        lit("osm_user"), user)))
+      .otherwise(tags)
+  }
 }

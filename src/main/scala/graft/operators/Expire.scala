@@ -21,10 +21,17 @@ object Expire {
     * Point cover is one tile; the buffer option of the reference
     * (expire-config.hpp) becomes a neighborhood explode if needed.
     * Dedup = `distinct` (map-side combine). */
-  def pointCover(df: DataFrame, lon: Column, lat: Column, zoom: Int): DataFrame =
+  def pointCover(df: DataFrame, lon: Column, lat: Column, zoom: Int): DataFrame = {
+    val n = 1L << zoom
     df.select(tileX(lon, zoom).as("x"), tileY(lat, zoom).as("y"))
+      // out-of-projection latitudes / lon=180 would yield impossible
+      // tiles (y<0, x=2^z); clamp x by wrap, drop y outside the map —
+      // the bound check TileCover.expire applies (src/expire-tiles.cpp)
+      .select(pmod(col("x"), lit(n)).as("x"), col("y"))
+      .where(col("y") >= 0 && col("y") < n)
       .distinct()
       .withColumn("zoom", lit(zoom))
+  }
 
   /** Zoom roll-up (expire_output_t::output_tiles_to_*,
     * src/expire-output.cpp:60-150): emit each dirty tile and its parents
@@ -129,6 +136,7 @@ object Expire {
         transform(col("resolved"), r => r.getField("lon")).as("wlons"),
         transform(col("resolved"), r => r.getField("lat")).as("wlats"))
     val wayGeoms = osm.ways.where(size(col("tags")) > 0)
+      .where(size(col("nodes")) > 0) // ANSI element_at guard
       .withColumn("__closed",
         element_at(col("nodes"), 1) ===
           element_at(col("nodes"), size(col("nodes"))))
@@ -185,6 +193,9 @@ object Expire {
        | PRIMARY KEY (zoom, x, y))""".stripMargin
 
   /** Per-tile upsert (output_tiles_to_table,
+    * NOTE: $n placeholders are PostgreSQL PREPARE/EXECUTE style, the
+    * form the reference sends; for a JDBC PreparedStatement replace
+    * them with '?' (JDBC does not bind $n).
     * src/expire-output.cpp:107-141): the legacy 3-column table inserts
     * once and ignores conflicts; the 5-column format bumps `last` on
     * re-expiry. Use from a foreachPartition JDBC writer. */

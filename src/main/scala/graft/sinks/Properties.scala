@@ -37,10 +37,11 @@ object Properties {
       style: String = "default.style", engineVersion: String = "graft",
       flatNodeFile: String = ""): Map[String, String] = {
     import org.apache.spark.sql.functions._
-    val ts = osm.nodes.select(col("timestamp"))
+    val tsRow = osm.nodes.select(col("timestamp"))
       .unionAll(osm.ways.select(col("timestamp")))
       .unionAll(osm.relations.select(col("timestamp")))
-      .agg(max(col("timestamp"))).head().getLong(0)
+      .agg(max(col("timestamp"))).head()
+    val ts = if (tsRow.isNullAt(0)) 0L else tsRow.getLong(0) // empty input
     val base = Map(
       "attributes" -> attributes.toString,
       "db_format" -> "0",
@@ -54,6 +55,29 @@ object Properties {
     else {
       val iso = java.time.Instant.ofEpochSecond(ts).toString
       base + ("import_timestamp" -> iso) + ("current_timestamp" -> iso)
+    }
+  }
+
+  /** Append-time property update (src/osm2pgsql.cpp:364-374 bumps the
+    * replication/current timestamp after a diff): current_timestamp
+    * advances to the change set's max timestamp (never backwards),
+    * import_timestamp stays — giving timestamps.feature's
+    * current-without-import shape when the import had no timestamps. */
+  def appendProperties(stored: Map[String, String],
+      changes: graft.sources.OsmXml.OsmDataFrames): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    val tsRow = changes.nodes.select(col("timestamp"))
+      .unionAll(changes.ways.select(col("timestamp")))
+      .unionAll(changes.relations.select(col("timestamp")))
+      .agg(max(col("timestamp"))).head()
+    val ts = if (tsRow.isNullAt(0)) 0L else tsRow.getLong(0)
+    if (ts <= 0) stored
+    else {
+      val prev = stored.get("current_timestamp")
+        .map(java.time.Instant.parse(_).getEpochSecond).getOrElse(0L)
+      val next = math.max(prev, ts)
+      stored + ("current_timestamp" ->
+        java.time.Instant.ofEpochSecond(next).toString)
     }
   }
 

@@ -34,7 +34,7 @@ object OsmText {
       val head = toks.head
       val tpe = head.head
       val id = head.tail.toLong
-      var version = 1
+      var version = 0 // osmium default when no v token
       var visible = true
       var x = Double.NaN
       var y = Double.NaN

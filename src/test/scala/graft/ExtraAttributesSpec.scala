@@ -41,7 +41,7 @@ class ExtraAttributesSpec extends SparkSpecBase {
     assert(xt("osm_changeset") == "31")
     assert(xt("osm_uid") == "17")
     assert(xt("osm_user") == "test")
-    assert(xt("osm_timestamp") == "1578832496") // 2020-01-12T12:34:56Z
+    assert(xt("osm_timestamp") == "2020-01-12T12:34:56Z") // to_iso form
   }
 
   test("import properties reflect input timestamps (timestamps.feature)") {
@@ -67,5 +67,20 @@ class ExtraAttributesSpec extends SparkSpecBase {
     val p2 = Properties.importProperties(noTs)
     assert(p2.size == 8)
     assert(!p2.contains("import_timestamp"))
+
+    // append: current_timestamp advances, import_timestamp stays
+    val diff = OsmText.toFrames(spark, """
+      n10 v2 t2020-02-01T00:00:00Z x10 y10.5
+    """, change = true)
+    val p3 = Properties.appendProperties(p, diff)
+    assert(p3("import_timestamp") == "2020-01-02T03:04:06Z")
+    assert(p3("current_timestamp") == "2020-02-01T00:00:00Z")
+    // appending to a no-timestamp import: the 9-row current-only shape
+    val p4 = Properties.appendProperties(p2, diff)
+    assert(p4.size == 9 && !p4.contains("import_timestamp"))
+    assert(p4("current_timestamp") == "2020-02-01T00:00:00Z")
+    // empty input never NPEs and keeps the map unchanged
+    val p5 = Properties.appendProperties(p2, OsmText.toFrames(spark, ""))
+    assert(p5 == p2)
   }
 }
