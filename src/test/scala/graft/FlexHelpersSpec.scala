@@ -37,6 +37,66 @@ class FlexHelpersSpec extends SparkSpecBase {
     assert(ids == ((Seq(7L, 9L), Seq(5L))))
   }
 
+  test("flex line-splitting feature: unsplit + segmentized tables") {
+    // port of tests/bdd/flex/line-splitting.feature — a FlexConfig
+    // writing one table with the raw linestring and one with its
+    // segmentize(1.0) pieces via the geometries() iterator (explode):
+    // the 0.5 grid places n10(20,20) n11(21,20) n12(22.5,20)
+    import graft.flex.{FlexColumn, FlexIds, FlexTableDef, FlexType}
+    import graft.geom.{Ewkb, FromOsm, GeomOps, NullGeom, Pt}
+    import graft.operators.Middle
+    import graft.sources.OsmText
+
+    val osm = OsmText.toFrames(spark, """
+      n10 x20.0 y20.0
+      n11 x21.0 y20.0
+      n12 x22.5 y20.0
+      w20 v1 dV Thighway=primary Nn10,n11
+      w21 v1 dV Thighway=primary Nn10,n12
+    """)
+
+    val lineTable = FlexTableDef("osm2pgsql_test_line", FlexIds.Way, Seq(
+      FlexColumn("tags", FlexType.Hstore),
+      FlexColumn("geom", FlexType.Linestring, notNull = true)))
+    val splitTable = FlexTableDef("osm2pgsql_test_split", FlexIds.Way, Seq(
+      FlexColumn("tags", FlexType.Hstore),
+      FlexColumn("geom", FlexType.Linestring, notNull = true)))
+    assert(lineTable.schema.fieldNames.head == "osm_id")
+
+    val locs = osm.nodes.select($"id".as("nid"), $"lon", $"lat")
+    val resolved = Middle.resolveWayNodes(
+      osm.ways.select("id", "nodes"), "id", "nodes", locs, "nid",
+      Seq("lon", "lat"))
+      .select($"id",
+        transform($"resolved", r => r.getField("lon")).as("lons"),
+        transform($"resolved", r => r.getField("lat")).as("lats"))
+    val asLine = udf((lons: Seq[Double], lats: Seq[Double]) =>
+      FromOsm.createLineString(lons.zip(lats).map { case (x, y) =>
+        Pt(x, y) }) match {
+        case _: NullGeom => null
+        case g           => Ewkb.encode(g)
+      })
+    val pieces = udf((b: Array[Byte]) =>
+      GeomOps.splitMulti(GeomOps.segmentize(Ewkb.decode(b), 1.0))
+        .map(Ewkb.encode(_)))
+    val base = osm.ways.join(resolved, "id")
+      .select($"id".as("osm_id"), $"tags",
+        asLine($"lons", $"lats").as("geom"))
+
+    val lenOf = udf((b: Array[Byte]) => GeomOps.length(Ewkb.decode(b)))
+    val lineRows = base.select($"osm_id", lenOf($"geom").as("len"))
+      .as[(Long, Double)].collect().toMap
+    assert(lineRows == Map(20L -> 1.0, 21L -> 2.5))
+
+    val splitRows = base
+      .select($"osm_id", explode(pieces($"geom")).as("geom"))
+      .select($"osm_id", lenOf($"geom").as("len"))
+      .as[(Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(splitRows(20L) == Seq(1.0))
+    assert(splitRows(21L) == Seq(0.5, 1.0, 1.0))
+  }
+
   test("two-stage: marked ways re-processed with relation context") {
     val ways = Seq(
       OsmWay(1, tags = Map("highway" -> "primary")),
