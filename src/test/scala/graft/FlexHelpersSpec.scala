@@ -97,6 +97,81 @@ class FlexHelpersSpec extends SparkSpecBase {
     assert(splitRows(21L) == Seq(0.5, 1.0, 1.0))
   }
 
+  test("flex bbox feature: object get_bbox incl. the 3857 golden point") {
+    // port of tests/bdd/flex/bbox.feature — node bbox degenerates to
+    // the coordinate; the 0.1-grid way spans x[20.0,20.1] y[10.1,10.2];
+    // the 3857 projection matches the feature's golden coordinates
+    import graft.geom.{Box, Ewkb, FromOsm, GeomOps, Srid}
+    import graft.sources.OsmText
+    import graft.operators.Middle
+
+    val osm = OsmText.toFrames(spark, """
+      n10 x20.0 y10.1
+      n11 x20.1 y10.1
+      n12 x20.1 y10.2
+      w20 v1 dV Thighway=primary Nn10,n11,n12
+    """)
+    val nodeBbox = osm.nodes.where($"id" === 10)
+      .select($"lon", $"lat").as[(Double, Double)].head()
+    val p = FromOsm.createPoint(nodeBbox._1, nodeBbox._2)
+    val b = FromOsm.getBbox(p).get
+    assert(b.minX == 20.0 && b.maxX == 20.0 &&
+      b.minY == 10.1 && b.maxY == 10.1)
+    // golden 3857 projection from the feature table: 2226389.8 1130195.4
+    val merc = GeomOps.transform(p, Srid.WebMercator)
+    val mb = FromOsm.getBbox(merc).get
+    assert(math.abs(mb.minX - 2226389.8) < 0.1)
+    assert(math.abs(mb.minY - 1130195.4) < 0.1)
+
+    val locs = osm.nodes.select($"id".as("nid"), $"lon", $"lat")
+    val resolved = Middle.resolveWayNodes(
+      osm.ways.select("id", "nodes"), "id", "nodes", locs, "nid",
+      Seq("lon", "lat"))
+      .select($"id",
+        transform($"resolved", r => r.getField("lon")).as("lons"),
+        transform($"resolved", r => r.getField("lat")).as("lats"))
+    val wb = udf((lons: Seq[Double], lats: Seq[Double]) => {
+      val g = FromOsm.createLineString(
+        lons.zip(lats).map { case (x, y) => graft.geom.Pt(x, y) })
+      FromOsm.getBbox(g).map(b => (b.minX, b.minY, b.maxX, b.maxY)).orNull
+    })
+    val wayB = resolved.where($"id" === 20)
+      .select(wb($"lons", $"lats").as("b"))
+      .select($"b._1", $"b._2", $"b._3", $"b._4")
+      .as[(Double, Double, Double, Double)].head()
+    assert(wayB == ((20.0, 10.1, 20.1, 10.2)))
+  }
+
+  test("flex geometry-null: invalid geom is NULL / dropped when not_null") {
+    // port of tests/bdd/flex/geometry-null.feature's core semantics:
+    // a one-node way has no linestring → nullable geometry column gets
+    // NULL, a not_null column drops the row (soft error, counted)
+    import graft.geom.{Ewkb, FromOsm, NullGeom, Pt}
+    import graft.operators.Progress
+
+    val asLine = udf((lons: Seq[Double], lats: Seq[Double]) =>
+      FromOsm.createLineString(lons.zip(lats).map { case (x, y) =>
+        Pt(x, y) }) match {
+        case _: NullGeom => null
+        case g           => Ewkb.encode(g)
+      })
+    val ways = Seq(
+      (20L, Seq(1.0, 2.0), Seq(1.0, 1.0)), // valid 2-point line
+      (21L, Seq(1.0), Seq(1.0)))           // 1 point → null geometry
+      .toDF("osm_id", "lons", "lats")
+      .select($"osm_id", asLine($"lons", $"lats").as("geom"))
+
+    val nullable = ways.select($"osm_id", $"geom").collect()
+    assert(nullable.length == 2)
+    assert(nullable.count(_.isNullAt(1)) == 1)
+
+    val (instr, obs) = Progress.insertCounts(ways, Seq("geom"))
+    val notNull = instr.where($"geom".isNotNull)
+    assert(notNull.count() == 1 &&
+      notNull.select($"osm_id").as[Long].head() == 20L)
+    assert(obs.get("n_null_violations") == 1L)
+  }
+
   test("two-stage: marked ways re-processed with relation context") {
     val ways = Seq(
       OsmWay(1, tags = Map("highway" -> "primary")),
