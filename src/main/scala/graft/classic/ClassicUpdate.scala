@@ -50,7 +50,9 @@ object ClassicUpdate {
     */
   def incrementalUpdate(before: OsmDataFrames, changes: OsmDataFrames,
       prev: ClassicPipeline.Tables4, style: Style,
-      srid: Int = graft.geom.Srid.WebMercator): ClassicPipeline.Tables4 = {
+      srid: Int = graft.geom.Srid.WebMercator,
+      hstore: Boolean = false, hstoreMatchOnly: Boolean = false,
+      extraAttributes: Boolean = false): ClassicPipeline.Tables4 = {
     val after = applyChanges(before, changes)
 
     val changedNodes = changes.nodes.select(col("id")).distinct()
@@ -70,7 +72,9 @@ object ClassicUpdate {
       .unionByName(parentRelsW.toDF("id")).distinct()
 
     val rederived = ClassicPipeline.run(after, style, srid,
-      ClassicPipeline.Subset(Some(changedNodes), Some(pendingWays),
+      hstore = hstore, hstoreMatchOnly = hstoreMatchOnly,
+      extraAttributes = extraAttributes,
+      subset = ClassicPipeline.Subset(Some(changedNodes), Some(pendingWays),
         Some(pendingRels)))
 
     def minus(prevT: DataFrame, ids: DataFrame, negate: Boolean): DataFrame = {

@@ -105,7 +105,10 @@ object TagFunctions {
   def withAttributePseudoTags(tags: Column, version: Column, ts: Column,
       changeset: Column, uid: Column, user: Column): Column = {
     val cleaned = map_filter(tags, (k, _) => !k.startsWith("osm_"))
-    val iso = date_format(timestamp_seconds(ts), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    // Instant.toString == the reference's to_iso, and is independent of
+    // the session time zone (date_format renders in session tz and
+    // would mislabel non-UTC sessions with a literal Z)
+    val iso = isoInstant(ts)
     when(version > 0,
       map_concat(cleaned, map(
         lit("osm_version"), version.cast("string"),
@@ -115,4 +118,7 @@ object TagFunctions {
         lit("osm_user"), user)))
       .otherwise(tags)
   }
+
+  private val isoInstant =
+    udf((ts: Long) => java.time.Instant.ofEpochSecond(ts).toString)
 }

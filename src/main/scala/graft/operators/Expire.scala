@@ -23,7 +23,8 @@ object Expire {
     * Dedup = `distinct` (map-side combine). */
   def pointCover(df: DataFrame, lon: Column, lat: Column, zoom: Int): DataFrame = {
     val n = 1L << zoom
-    df.select(tileX(lon, zoom).as("x"), tileY(lat, zoom).as("y"))
+    df.where(lon.isNotNull && lat.isNotNull && !isnan(lon) && !isnan(lat))
+      .select(tileX(lon, zoom).as("x"), tileY(lat, zoom).as("y"))
       // out-of-projection latitudes / lon=180 would yield impossible
       // tiles (y<0, x=2^z); clamp x by wrap, drop y outside the map —
       // the bound check TileCover.expire applies (src/expire-tiles.cpp)
@@ -39,7 +40,9 @@ object Expire {
     * quadkeys to dedup "only once"; a distinct over (zoom, x>>k, y>>k)
     * is the set-at-a-time equivalent. */
   def rollup(tiles: DataFrame, x: String, y: String, fromZoom: Int,
-      minZoom: Int): DataFrame =
+      minZoom: Int): DataFrame = {
+    require(minZoom <= fromZoom,
+      s"rollup needs minZoom <= fromZoom, got $minZoom > $fromZoom")
     tiles
       .select(explode(sequence(lit(minZoom), lit(fromZoom))).as("zoom"),
         col(x), col(y))
@@ -47,6 +50,7 @@ object Expire {
         zoomOut(col(x), fromZoom, col("zoom")).as("x"),
         zoomOut(col(y), fromZoom, col("zoom")).as("y"))
       .distinct()
+  }
 
   /** Tile-list output row format of osm2pgsql-expire: one line
     * `zoom/x/y` (src/expire-output.cpp:60-90). */
@@ -128,13 +132,7 @@ object Expire {
     val nodeGeoms = osm.nodes.where(size(col("tags")) > 0)
       .select(pointUdf(col("lon"), col("lat")).as("geom"))
 
-    val resolvedWays = Middle.resolveWayNodes(
-      osm.ways.select("id", "nodes"), "id", "nodes", locs, "nid",
-      Seq("lon", "lat"))
-      .where(size(col("resolved")) >= 2)
-      .select(col("id").as("rwid"),
-        transform(col("resolved"), r => r.getField("lon")).as("wlons"),
-        transform(col("resolved"), r => r.getField("lat")).as("wlats"))
+    val resolvedWays = Middle.resolveAllWayCoords(osm)
     val wayGeoms = osm.ways.where(size(col("tags")) > 0)
       .where(size(col("nodes")) > 0) // ANSI element_at guard
       .withColumn("__closed",
