@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNDECORATED: the round driver
+// parses graft.Bench's one-line JSON from sbt's stdout, and the
+// default LoggedOutput strategy prefixes every line with "[info] "
+// (r1/r2 bench parsed=null). Spark logs go to stderr, unaffected.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -285,13 +285,6 @@ object ClassicPipeline {
 
   /** All ways (tagged or not — the middle stores everything) with
     * resolved ordered coordinates, for relation member fetch. */
-  private def resolvedAllWays(osm: OsmDataFrames): DataFrame = {
-    val locs = osm.nodes.select(col("id").as("nid"), col("lon"), col("lat"))
-    Middle.resolveWayNodes(osm.ways.select("id", "nodes"), "id", "nodes",
-      locs, "nid", Seq("lon", "lat"))
-      .where(size(col("resolved")) >= 2)
-      .select(col("id").as("rwid"),
-        transform(col("resolved"), r => r.getField("lon")).as("wlons"),
-        transform(col("resolved"), r => r.getField("lat")).as("wlats"))
-  }
+  private def resolvedAllWays(osm: OsmDataFrames): DataFrame =
+    Middle.resolveAllWayCoords(osm)
 }

@@ -128,12 +128,20 @@ object Expire {
       merc(g)
     })
 
-    val locs = osm.nodes.select(col("id").as("nid"), col("lon"), col("lat"))
-    val nodeGeoms = osm.nodes.where(size(col("tags")) > 0)
+    // deleted entities in change frames carry no usable coordinates
+    // (NaN lon/lat) — skip them rather than emit NaN geometries
+    val visible = (df: DataFrame) =>
+      if (df.columns.contains("visible")) df.where(col("visible")) else df
+    val vNodes = visible(osm.nodes)
+    val vOsm = osm.copy(nodes = vNodes, ways = visible(osm.ways),
+      relations = visible(osm.relations))
+
+    val locs = vNodes.select(col("id").as("nid"), col("lon"), col("lat"))
+    val nodeGeoms = vNodes.where(size(col("tags")) > 0)
       .select(pointUdf(col("lon"), col("lat")).as("geom"))
 
-    val resolvedWays = Middle.resolveAllWayCoords(osm)
-    val wayGeoms = osm.ways.where(size(col("tags")) > 0)
+    val resolvedWays = Middle.resolveAllWayCoords(vOsm)
+    val wayGeoms = vOsm.ways.where(size(col("tags")) > 0)
       .where(size(col("nodes")) > 0) // ANSI element_at guard
       .withColumn("__closed",
         element_at(col("nodes"), 1) ===
@@ -141,7 +149,7 @@ object Expire {
       .join(resolvedWays, col("id") === col("rwid"))
       .select(wayUdf(col("wlons"), col("wlats"), col("__closed")).as("geom"))
 
-    val taggedRels = osm.relations.where(size(col("tags")) > 0)
+    val taggedRels = vOsm.relations.where(size(col("tags")) > 0)
       .select(col("id").as("rid"), col("tags").getItem("type").as("rtype"),
         col("members"))
     val m = taggedRels.select(col("rid"), col("rtype"),

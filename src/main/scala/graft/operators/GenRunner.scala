@@ -106,14 +106,23 @@ object ExpireMain {
       case _               => TileCover.Hybrid()
     })
     // file-type dispatch like the reference binary: an OSM file runs
-    // the per-entity geometry rules; anything else is parquet EWKB
-    val isOsm = Seq(".osm", ".osm.gz", ".osm.bz2", ".o5m", ".osm.pbf", ".pbf")
-      .exists(in.endsWith)
+    // the per-entity geometry rules; anything else is parquet EWKB.
+    // Known extensions first; for an extensionless plain file, sniff the
+    // content (parquet dirs and .parquet files fall through to the scan).
+    val osmExts = Seq(".osm", ".osc", ".o5m", ".o5c", ".pbf")
+      .flatMap(e => Seq(e, e + ".gz", e + ".bz2"))
+    val isOsm = osmExts.exists(in.endsWith) ||
+      (java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(in)) &&
+        !in.endsWith(".parquet") &&
+        scala.util.Try(graft.sources.OsmSource.sniffPath(in)).isSuccess)
+    var osmFrames: Option[graft.sources.OsmXml.OsmDataFrames] = None
     val tiles =
-      if (isOsm)
-        Expire.fromOsmEntities(
-          graft.sources.OsmSource.read(spark, Seq(in)), cfg)
-      else TileCover.geometryCover(spark.read.parquet(in), col(geomCol), cfg)
+      if (isOsm) {
+        val osm = graft.sources.OsmSource.read(spark, Seq(in))
+        osmFrames = Some(osm)
+        Expire.fromOsmEntities(osm, cfg)
+      } else
+        TileCover.geometryCover(spark.read.parquet(in), col(geomCol), cfg)
     val rolled = Expire.rollup(tiles, "x", "y", zoom, minzoomS.toInt)
     val lines =
       if (out.endsWith(".geojson"))
@@ -123,6 +132,7 @@ object ExpireMain {
         .orderBy("tile").collect().map(_.getString(0))
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       lines.mkString("\n").getBytes("UTF-8"))
+    osmFrames.foreach(_.unpersistBacking())
     println(s"wrote ${lines.length} tiles to $out")
     if (!preExisting) spark.stop()
   }

@@ -37,6 +37,22 @@ object Middle {
         struct(col("pos") +: payloadCols.map(col): _*))).as("resolved"))
   }
 
+  /** All ways (tagged or not — the middle stores everything) with
+    * resolved ordered coordinates (src/middle-pgsql.cpp:1112-1121's
+    * way-node fetch, set-at-a-time). Ways with <2 resolved points are
+    * dropped, matching the reference's invalid-way skip
+    * (src/geom-from-osm.cpp:88-101).
+    * Returns (rwid, wlons: array<double>, wlats: array<double>). */
+  def resolveAllWayCoords(osm: graft.sources.OsmXml.OsmDataFrames): DataFrame = {
+    val locs = osm.nodes.select(col("id").as("nid"), col("lon"), col("lat"))
+    resolveWayNodes(osm.ways.select("id", "nodes"), "id", "nodes",
+      locs, "nid", Seq("lon", "lat"))
+      .where(size(col("resolved")) >= 2)
+      .select(col("id").as("rwid"),
+        transform(col("resolved"), r => r.getField("lon")).as("wlons"),
+        transform(col("resolved"), r => r.getField("lat")).as("wlats"))
+  }
+
   /** rel_members_get (src/middle-pgsql.cpp:814-863): resolve a
     * relation's members against an entity table, keeping member order
     * and counting found vs referenced (missing members are OK).

@@ -274,11 +274,12 @@ object O5m {
     val parsed = spark.sparkContext
       .binaryFiles(paths.mkString(","))
       .map { case (_, pds) => parseBytes(decompress(pds.toArray())) }
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     OsmXml.OsmDataFrames(
       parsed.flatMap(_.nodes).toDF("action", "n").select("action", "n.*"),
       parsed.flatMap(_.ways).toDF("action", "w").select("action", "w.*"),
-      parsed.flatMap(_.relations).toDF("action", "r").select("action", "r.*"))
+      parsed.flatMap(_.relations).toDF("action", "r").select("action", "r.*"),
+      backing = Seq(parsed))
   }
 
   // ---------------- encoding ----------------

@@ -344,10 +344,12 @@ object OsmPbf {
     val n = math.max(1, math.min(spans.size, 256))
     val rdd = spark.sparkContext.parallelize(spans, n)
       .map(span => decodeBlock(readBlob(span)))
-    val cached = rdd.cache()
+    val cached = rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     OsmXml.OsmDataFrames(
       cached.flatMap(_.nodes).toDF(),
       cached.flatMap(_.ways).toDF(),
-      cached.flatMap(_.relations).toDF())
+      cached.flatMap(_.relations).toDF(),
+      backing = Seq(cached))
   }
 }

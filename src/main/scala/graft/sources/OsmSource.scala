@@ -115,7 +115,7 @@ object OsmSource {
             df.select(cols: _*)
           }
           OsmXml.OsmDataFrames(withAction(dfs.nodes), withAction(dfs.ways),
-            withAction(dfs.relations))
+            withAction(dfs.relations), backing = dfs.backing)
         }.reduce(union)
       case (other, _) =>
         throw new IllegalArgumentException(s"unsupported format $other")
@@ -128,5 +128,6 @@ object OsmSource {
     OsmXml.OsmDataFrames(
       a.nodes.unionByName(b.nodes),
       a.ways.unionByName(b.ways),
-      a.relations.unionByName(b.relations))
+      a.relations.unionByName(b.relations),
+      backing = a.backing ++ b.backing)
 }

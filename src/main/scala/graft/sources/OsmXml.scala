@@ -131,7 +131,15 @@ object OsmXml {
   }
 
   final case class OsmDataFrames(nodes: DataFrame, ways: DataFrame,
-      relations: DataFrame)
+      relations: DataFrame,
+      backing: Seq[org.apache.spark.rdd.RDD[_]] = Nil) {
+    /** Release the parsed-entity caches backing these frames, if the
+      * reader cached any. Call after downstream results are
+      * materialized; repeated reads otherwise accumulate parsed
+      * datasets in executor storage memory. */
+    def unpersistBacking(): Unit =
+      backing.foreach(_.unpersist(blocking = false))
+  }
 
   /** Read a single (possibly gzipped) .osc change file — small files,
     * parsed driver-side; the entity DataFrames carry the action
@@ -161,13 +169,13 @@ object OsmXml {
     val parsed = spark.sparkContext
       .wholeTextFiles(paths.mkString(","))
       .map { case (_, xml) => parseString(xml) }
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = parsed.flatMap(_.nodes)
       .toDF("action", "n").select("action", "n.*")
     val ways = parsed.flatMap(_.ways)
       .toDF("action", "w").select("action", "w.*")
     val rels = parsed.flatMap(_.relations)
       .toDF("action", "r").select("action", "r.*")
-    OsmDataFrames(nodes, ways, rels)
+    OsmDataFrames(nodes, ways, rels, backing = Seq(parsed))
   }
 }
