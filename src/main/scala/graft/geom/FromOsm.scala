@@ -95,8 +95,14 @@ object FromOsm {
             j += 1
           }
         }
-        if (acc.head == acc.last && acc.size >= 4) rings += Ring(acc.toVector)
-        else return NullGeom(srid) // unclosed leftover → invalid assembly
+        if (acc.head == acc.last && acc.size >= 4) {
+          val r = Ring(acc.toVector)
+          // degenerate (zero-area / collinear) rings invalidate the
+          // assembly like unclosed ones (relation-changes.feature:
+          // a node move collapsing the ring removes the row)
+          if (r.signedArea2x == 0.0) return NullGeom(srid)
+          rings += r
+        } else return NullGeom(srid) // unclosed leftover → invalid assembly
       }
     }
     if (rings.isEmpty) return NullGeom(srid)

@@ -75,6 +75,21 @@ object Middle {
           struct(col("pos") +: payloadCols.map(col): _*))).as("resolved"))
   }
 
+  /** The "Missing nodes in way N: a,b" debug report
+    * (src/middle.cpp's location-check while building way geometries):
+    * per way, the refs that did not resolve to a known node location,
+    * in ref order. Ways with no missing refs are omitted. */
+  def missingWayNodes(ways: DataFrame, wayIdCol: String, refsCol: String,
+      nodes: DataFrame, nodeIdCol: String): DataFrame = {
+    val exploded = ways.select(col(wayIdCol),
+      posexplode(col(refsCol)).as(Seq("pos", "ref")))
+    exploded.join(nodes.select(col(nodeIdCol).as("__nid")),
+        exploded("ref") === col("__nid"), "left_anti")
+      .groupBy(col(wayIdCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("ref")))),
+        s => s.getField("ref")).as("missing"))
+  }
+
   /** get_node_parents (src/middle-pgsql.cpp:590-630): which ways contain
     * any of the changed nodes. A semi-join over the exploded refs — the
     * reference's temp-table + `&&` overlap query, minus the hand-rolled
