@@ -152,12 +152,53 @@ object Coerce {
   /** hstore from a map (src/flex-write.cpp:382-410). */
   def toHstore(c: Column): Column = c.cast(MapType(StringType, StringType))
 
+  /** EWKB → a typed geometry column (src/flex-write.cpp:233-257
+    * `is_compatible` + 443-448 `wrap_multi`): single point/linestring/
+    * polygon values WRAP to their multi form when the column is
+    * multi-typed (multigeom.feature: a polygon inserted into a
+    * 'multipolygon' column reads back as ST_MultiPolygon); a
+    * 'geometry' column takes anything; an incompatible type raises the
+    * reference's "has the wrong type" error. */
+  def toGeometryColumn(c: Column, t: FlexType.Value): Column = {
+    import graft.geom._
+    val f = udf((b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val g = Ewkb.decode(b)
+        val out: Geometry = (t, g) match {
+          case (FlexType.Geometry, _)                       => g
+          case (FlexType.Point, p: Point)                   => p
+          case (FlexType.Linestring, l: LineString)         => l
+          case (FlexType.Polygon, p: Polygon)               => p
+          case (FlexType.Multipoint, p: Point)              =>
+            MultiPoint(Vector(p), p.srid)
+          case (FlexType.Multipoint, m: MultiPoint)         => m
+          case (FlexType.Multilinestring, l: LineString)    =>
+            MultiLineString(Vector(l), l.srid)
+          case (FlexType.Multilinestring, m: MultiLineString) => m
+          case (FlexType.Multipolygon, p: Polygon)          =>
+            MultiPolygon(Vector(p), p.srid)
+          case (FlexType.Multipolygon, m: MultiPolygon)     => m
+          case (FlexType.Geometrycollection, gc: GeometryCollection) => gc
+          case _ => throw new IllegalArgumentException(
+            s"Geometry data for geometry column has the wrong type " +
+              s"(${g.getClass.getSimpleName} into $t).")
+        }
+        Ewkb.encode(out)
+      })
+    f(c)
+  }
+
   def coerce(c: Column, col: FlexColumn): Column = col.ctype match {
     case FlexType.Boolean   => toBoolean(c)
     case FlexType.Direction => toDirection(c)
     case FlexType.Int2 | FlexType.Int4 | FlexType.Int8 => toIntRange(c, col.ctype)
     case FlexType.Json      => toJson(c)
     case FlexType.Hstore    => toHstore(c)
+    case FlexType.Geometry | FlexType.Point | FlexType.Linestring |
+        FlexType.Polygon | FlexType.Multipoint | FlexType.Multilinestring |
+        FlexType.Multipolygon | FlexType.Geometrycollection =>
+      toGeometryColumn(c, col.ctype)
     case other              => c.cast(FlexType.sparkType(other))
   }
 }
