@@ -89,6 +89,92 @@ object PgSink {
        |VALUES (${params.mkString(", ")})""".stripMargin
   }
 
+  // ---- COPY TEXT wire format (src/db-copy-mgr.hpp) ----
+  //
+  // The reference's actual write path is `COPY ... FROM STDIN` text
+  // format, built row-by-row in db_cmd_copy_t buffers. At cluster
+  // scale the same shape is: each partition formats its rows into COPY
+  // lines (pure CPU, distributed), and per-partition writers stream
+  // them into PG — so the encoding must be byte-exact here.
+
+  /** Escaping for a plain text column (add_value,
+    * src/db-copy-mgr.hpp:288-314): tab/newline/CR become \t \n \r,
+    * backslash and double-quote get a backslash, all other bytes —
+    * including control characters — pass through raw (tags.feature's
+    * special-character goldens rely on this). */
+  def copyEscape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c    => b.append(c)
+    }
+    b.toString
+  }
+
+  /** The doubly-escaped form used inside hstore literals
+    * (add_escaped_string, src/db-copy-mgr.hpp:315-339): the hstore
+    * parser unescapes once more, so quote and backslash take two
+    * levels while the whitespace escapes stay single. */
+  def copyEscapeHstore(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => b.append("\\\\\"")
+      case '\\' => b.append("\\\\\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c    => b.append(c)
+    }
+    b.toString
+  }
+
+  /** One hstore column value: `"k"=>"v",...` pairs
+    * (add_hash_elem + finish_hash, src/db-copy-mgr.hpp:162-231; the
+    * final separator comma is dropped rather than written). Pair order
+    * is the caller's — the reference writes tags in input order. */
+  def hstoreCopyValue(pairs: Seq[(String, String)]): String =
+    pairs.map { case (k, v) =>
+      "\"" + copyEscapeHstore(k) + "\"=>\"" + copyEscapeHstore(v) + "\""
+    }.mkString(",")
+
+  /** Geometry column: hex-encoded EWKB (add_hex_geom,
+    * src/db-copy-mgr.hpp:237-254). */
+  def hexGeomCopyValue(ewkb: Array[Byte]): String =
+    ewkb.map(b => f"$b%02X").mkString
+
+  /** A full COPY TEXT line: escaped values joined by tabs, None → \N
+    * (add_null_column, src/db-copy-mgr.hpp:107). The caller appends
+    * the newline when streaming. */
+  def copyRow(values: Seq[Option[String]]): String =
+    values.map {
+      case None    => "\\N"
+      case Some(s) => copyEscape(s)
+    }.mkString("\t")
+
+  /** Inverse of the wire escaping (PG's COPY text parser), for tests
+    * and for reading COPY dumps back. */
+  def copyUnescape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'   => b.append('\n')
+          case 'r'   => b.append('\r')
+          case 't'   => b.append('\t')
+          case other => b.append(other)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** Distributed load: one connection + prepared statement per
     * partition, executeBatch every `batchSize` rows (the COPY-buffer
     * flush cadence, src/db-copy.hpp:140-163). */
