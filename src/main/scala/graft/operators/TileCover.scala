@@ -176,6 +176,124 @@ object TileCover {
       .withColumn("zoom", lit(cfg.zoom))
   }
 
+  /** The expire output's two tile caps (src/expire-output.hpp:24-25
+    * defaults; enforcement src/expire-output.cpp:20-51). */
+  final case class Limits(maxTilesPerGeometry: Long = 10000000L,
+      maxTilesOverall: Long = 50000000L)
+
+  final case class LimitedCover(tiles: Set[(Long, Long)],
+      geometryLimitHits: Long, overallLimitReached: Boolean)
+
+  /** Capped accumulation (expire_output_t::add_dirty_tiles,
+    * src/expire-output.cpp:20-51): a geometry whose own cover exceeds
+    * maxTilesPerGeometry contributes nothing ("Tile limit reached for
+    * single geometry"); once a geometry's tiles would push the
+    * accumulated set past maxTilesOverall, that geometry AND all later
+    * ones are dropped ("Overall tile limit reached"), keeping what was
+    * already accumulated — the reference's exact early-out.
+    *
+    * The per-geometry covers are computed distributed; the ordered
+    * accumulation streams per-geometry tile sets to the driver via
+    * toLocalIterator and stops consuming at the overall cap, so driver
+    * memory is bounded by maxTilesOverall — the same bound the
+    * reference's in-memory tile set has.
+    */
+  def limitedCover(df: DataFrame, orderCol: Column, geomCol: Column,
+      cfg: Config, limits: Limits): LimitedCover = {
+    val coverUdf = udf((b: Array[Byte]) =>
+      if (b == null) Seq.empty[(Long, Long)]
+      else cover(Ewkb.decode(b), cfg).toSeq)
+    val perGeom = df
+      .select(orderCol.as("__ord"), coverUdf(geomCol).as("__tiles"))
+      .where(size(col("__tiles")) > 0)
+      .orderBy(col("__ord"))
+    val acc = mutable.Set.empty[(Long, Long)]
+    var geomHits = 0L
+    var overall = false
+    val it = perGeom.toLocalIterator()
+    while (!overall && it.hasNext) {
+      val row = it.next()
+      val tiles = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      if (tiles.size > limits.maxTilesPerGeometry) geomHits += 1
+      else if (tiles.size + acc.size > limits.maxTilesOverall) overall = true
+      else acc ++= tiles
+    }
+    LimitedCover(acc.toSet, geomHits, overall)
+  }
+
+  /** Geometric diff expire (find_difference + do_expire,
+    * src/flex-table-column.cpp:267-363): with diff_expire enabled, a
+    * modified row dirties only the SYMMETRIC DIFFERENCE of its old and
+    * new geometries — the unchanged shared parts stay clean. Points
+    * diff exactly; linestrings diff at segment granularity (segments
+    * shared by both sides drop out; partially-overlapping segments are
+    * kept whole, which over-expires — safe for invalidation); polygons
+    * use the real boolean overlay. Falls back to covering both sides
+    * when either is missing (insert/delete), like always_separate. */
+  def symDiffTiles(oldG: Geometry, newG: Geometry,
+      cfg: Config): Set[(Long, Long)] = {
+    def pts(g: Geometry): Vector[Pt] = g match {
+      case Point(p, _)        => Vector(p)
+      case MultiPoint(ps, _)  => ps.map(_.pt)
+      case GeometryCollection(gs, _) => gs.flatMap(pts)
+      case _                  => Vector.empty
+    }
+    def segs(g: Geometry): Vector[(Pt, Pt)] = g match {
+      case LineString(p, _) =>
+        p.sliding(2).collect { case Seq(a, b) =>
+          if (a.x < b.x || (a.x == b.x && a.y <= b.y)) (a, b) else (b, a)
+        }.toVector
+      case MultiLineString(ls, _) => ls.flatMap(segs)
+      case GeometryCollection(gs, _) => gs.flatMap(segs)
+      case _ => Vector.empty
+    }
+    def polys(g: Geometry): Vector[Polygon] = g match {
+      case p: Polygon          => Vector(p)
+      case MultiPolygon(ps, _) => ps
+      case GeometryCollection(gs, _) => gs.flatMap(polys)
+      case _                   => Vector.empty
+    }
+    val srid = oldG.srid
+    val pDiff = (pts(oldG).toSet diff pts(newG).toSet) ++
+      (pts(newG).toSet diff pts(oldG).toSet)
+    val oldSegs = segs(oldG).toSet
+    val newSegs = segs(newG).toSet
+    val sDiff = (oldSegs diff newSegs) ++ (newSegs diff oldSegs)
+    val po = polys(oldG)
+    val pn = polys(newG)
+    val polyDiff: Seq[Geometry] =
+      if (po.isEmpty && pn.isEmpty) Nil
+      else Seq(PolyUnion.difference(po, pn), PolyUnion.difference(pn, po))
+
+    pDiff.flatMap(p => cover(Point(p, srid), cfg)) ++
+      sDiff.flatMap { case (a, b) =>
+        cover(LineString(Vector(a, b), srid), cfg)
+      } ++
+      polyDiff.flatMap {
+        case _: NullGeom => Set.empty[(Long, Long)]
+        case g           => cover(g, cfg)
+      }
+  }
+
+  /** DataFrame form of diff expire: rows with both geometries dirty
+    * only their geometric difference; inserts/deletes (one side null)
+    * dirty the side they have. */
+  def symDiffCover(df: DataFrame, oldGeom: Column, newGeom: Column,
+      cfg: Config): DataFrame = {
+    val u = udf((o: Array[Byte], n: Array[Byte]) => (o, n) match {
+      case (null, null) => Seq.empty[(Long, Long)]
+      case (null, b)    => cover(Ewkb.decode(b), cfg).toSeq
+      case (b, null)    => cover(Ewkb.decode(b), cfg).toSeq
+      case (ob, nb)     =>
+        symDiffTiles(Ewkb.decode(ob), Ewkb.decode(nb), cfg).toSeq
+    })
+    df.select(explode(u(oldGeom, newGeom)).as("t"))
+      .select(col("t._1").as("x"), col("t._2").as("y"))
+      .distinct()
+      .withColumn("zoom", lit(cfg.zoom))
+  }
+
   /** Diff expiry for modified rows (reference: geometry_cache_t old/new
     * pairs, src/flex-table-column.hpp:186-213; diff mode in stage 1c,
     * src/output-flex.hpp:218-223): a changed row dirties the tiles of

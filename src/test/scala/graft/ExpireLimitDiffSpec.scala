@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.geom.{Ewkb, GeomOps, LineString, Pt, Srid}
+import graft.operators.TileCover
+
+/** Ports of tests/bdd/flex/expire-limit.feature (the expire output's
+  * max_tiles_geometry / max_tiles_overall caps) and
+  * tests/bdd/flex/expire-diff.feature (diff_expire covers only the
+  * geometric difference of old vs new; one-sided delete/insert events
+  * cover their full geometry). */
+class ExpireLimitDiffSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def line3857(lonLat: (Double, Double)*): Array[Byte] =
+    Ewkb.encode(GeomOps.transform(
+      LineString(lonLat.map { case (x, y) => Pt(x, y) }.toVector,
+        Srid.WGS84), Srid.WebMercator))
+
+  private val z2 = TileCover.Config(2)
+  private val limits = TileCover.Limits(
+    maxTilesPerGeometry = 2, maxTilesOverall = 6)
+
+  test("expire-limit: short ways are okay") {
+    val df = Seq(
+      (20L, line3857((10, 10), (100, 10))),
+      (21L, line3857((10, 10), (10, 70)))).toDF("id", "geom")
+    val r = TileCover.limitedCover(df, $"id", $"geom", z2, limits)
+    assert(r.tiles == Set((2L, 1L), (3L, 1L), (2L, 0L)))
+    assert(r.geometryLimitHits == 0 && !r.overallLimitReached)
+  }
+
+  test("expire-limit: long way is not okay") {
+    val df = Seq((20L, line3857((10, 10), (100, 10), (100, 70))))
+      .toDF("id", "geom")
+    val r = TileCover.limitedCover(df, $"id", $"geom", z2, limits)
+    assert(r.tiles.isEmpty)
+    assert(r.geometryLimitHits == 1) // "Tile limit 2 reached for single geometry!"
+    assert(!r.overallLimitReached)
+  }
+
+  test("expire-limit: too many tiles overall is not okay") {
+    val df = Seq(
+      (20L, line3857((100, 70), (100, 10))),
+      (21L, line3857((100, -10), (100, -70))),
+      (22L, line3857((100, -70), (10, -70))),
+      (23L, line3857((10, -70), (-10, -70))),
+      (24L, line3857((-10, -70), (-100, -70)))).toDF("id", "geom")
+    val r = TileCover.limitedCover(df, $"id", $"geom", z2, limits)
+    // accumulation stops when w23's tiles would pass 6; w24 is dropped
+    assert(r.tiles == Set((3L, 0L), (3L, 1L), (3L, 2L), (3L, 3L), (2L, 3L)))
+    assert(r.overallLimitReached) // "Overall tile limit 6 reached!"
+    assert(r.geometryLimitHits == 0)
+  }
+
+  // expire-diff: the features print the 3857 vertices directly
+  private val oldLine = Ewkb.encode(LineString(Vector(
+    Pt(0, 0), Pt(222638.98158654713, 0),
+    Pt(222638.98158654713, 111325.14285463623),
+    Pt(445277.96317309426, 111325.14285463623)), Srid.WebMercator))
+  private val newLine = Ewkb.encode(LineString(Vector(
+    Pt(0, 0), Pt(0, 111325.14285463623),
+    Pt(222638.98158654713, 111325.14285463623),
+    Pt(445277.96317309426, 111325.14285463623)), Srid.WebMercator))
+  private val z8 = TileCover.Config(8)
+
+  private val fullUnion = Set(
+    (127L, 127L), (128L, 127L), (129L, 127L), (130L, 127L),
+    (127L, 128L), (128L, 128L), (129L, 128L))
+
+  test("expire-diff: diff_expire disabled covers old and new fully") {
+    val df = Seq((oldLine, newLine)).toDF("old", "new")
+    val got = TileCover.diffCover(df, $"old", $"new", z8)
+      .select($"x", $"y").as[(Long, Long)].collect().toSet
+    assert(got == fullUnion)
+  }
+
+  test("expire-diff: diff_expire covers only the changed parts") {
+    val df = Seq((oldLine, newLine)).toDF("old", "new")
+    val got = TileCover.symDiffCover(df, $"old", $"new", z8)
+      .select($"x", $"y").as[(Long, Long)].collect().toSet
+    // the shared final segment's exclusive tile (130,127) stays clean
+    assert(got == fullUnion - ((130L, 127L)))
+  }
+
+  test("expire-diff: one-sided events cover fully even with diff_expire") {
+    // a way version change is a delete (old only) + insert (new only):
+    // each side covers fully — the always_separate fallback
+    val df = Seq((oldLine, null: Array[Byte]),
+      (null: Array[Byte], newLine)).toDF("old", "new")
+    val got = TileCover.symDiffCover(df, $"old", $"new", z8)
+      .select($"x", $"y").as[(Long, Long)].collect().toSet
+    assert(got == fullUnion)
+  }
+
+  test("expire-diff: identical geometries expire nothing under diff") {
+    val df = Seq((oldLine, oldLine)).toDF("old", "new")
+    assert(TileCover.symDiffCover(df, $"old", $"new", z8).count() == 0)
+  }
+}
