@@ -34,7 +34,10 @@ object ClassicUpdate {
     OsmDataFrames(
       applyToStream(base.nodes, ch.nodes),
       applyToStream(base.ways, ch.ways),
-      applyToStream(base.relations, ch.relations))
+      applyToStream(base.relations, ch.relations),
+      // keep both inputs' parsed-entity caches releasable through the
+      // merged frames' unpersistBacking()
+      backing = base.backing ++ ch.backing)
 
   /** Incremental table update. Returns the updated 4 tables.
     *

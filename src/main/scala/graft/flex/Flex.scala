@@ -153,40 +153,50 @@ object Coerce {
   def toHstore(c: Column): Column = c.cast(MapType(StringType, StringType))
 
   /** EWKB → a typed geometry column (src/flex-write.cpp:233-257
-    * `is_compatible` + 443-448 `wrap_multi`): single point/linestring/
-    * polygon values WRAP to their multi form when the column is
-    * multi-typed (multigeom.feature: a polygon inserted into a
-    * 'multipolygon' column reads back as ST_MultiPolygon); a
-    * 'geometry' column takes anything; an incompatible type raises the
-    * reference's "has the wrong type" error. */
-  def toGeometryColumn(c: Column, t: FlexType.Value): Column = {
+    * `is_compatible` + 443-457 `wrap_multi` and the SRID reprojection
+    * branch): single point/linestring/polygon values WRAP to their
+    * multi form when the column is multi-typed (multigeom.feature: a
+    * polygon inserted into a 'multipolygon' column reads back as
+    * ST_MultiPolygon); values whose SRID differs from the column's
+    * declared projection are transformed to it; an incompatible type
+    * raises the reference's "has the wrong type" error.
+    *
+    * A plain 'geometry' column with no reprojection requirement is a
+    * true passthrough — no UDF, the write stays codegen-friendly. */
+  def toGeometryColumn(c: Column, t: FlexType.Value,
+      projection: Int = graft.geom.Srid.WebMercator): Column = {
     import graft.geom._
-    val f = udf((b: Array[Byte]) =>
+    def fit(b: Array[Byte]): Array[Byte] =
       if (b == null) null
       else {
-        val g = Ewkb.decode(b)
-        val out: Geometry = (t, g) match {
-          case (FlexType.Geometry, _)                       => g
-          case (FlexType.Point, p: Point)                   => p
-          case (FlexType.Linestring, l: LineString)         => l
-          case (FlexType.Polygon, p: Polygon)               => p
-          case (FlexType.Multipoint, p: Point)              =>
-            MultiPoint(Vector(p), p.srid)
-          case (FlexType.Multipoint, m: MultiPoint)         => m
-          case (FlexType.Multilinestring, l: LineString)    =>
-            MultiLineString(Vector(l), l.srid)
-          case (FlexType.Multilinestring, m: MultiLineString) => m
-          case (FlexType.Multipolygon, p: Polygon)          =>
-            MultiPolygon(Vector(p), p.srid)
-          case (FlexType.Multipolygon, m: MultiPolygon)     => m
-          case (FlexType.Geometrycollection, gc: GeometryCollection) => gc
-          case _ => throw new IllegalArgumentException(
-            s"Geometry data for geometry column has the wrong type " +
-              s"(${g.getClass.getSimpleName} into $t).")
+        val g0 = Ewkb.decode(b)
+        val g = if (g0.srid == projection) g0
+          else GeomOps.transform(g0, projection)
+        val compatible = (t, g) match {
+          case (FlexType.Geometry, _)                                 => true
+          case (FlexType.Point, _: Point)                             => true
+          case (FlexType.Linestring, _: LineString)                   => true
+          case (FlexType.Polygon, _: Polygon)                         => true
+          case (FlexType.Multipoint, _: Point | _: MultiPoint)        => true
+          case (FlexType.Multilinestring,
+            _: LineString | _: MultiLineString)                       => true
+          case (FlexType.Multipolygon, _: Polygon | _: MultiPolygon)  => true
+          case (FlexType.Geometrycollection, _: GeometryCollection)   => true
+          case _                                                      => false
         }
-        Ewkb.encode(out)
-      })
-    f(c)
+        if (!compatible) throw new IllegalArgumentException(
+          s"Geometry data for geometry column has the wrong type " +
+            s"(${g.getClass.getSimpleName} into $t).")
+        val wrapMulti = t == FlexType.Multipoint ||
+          t == FlexType.Multilinestring || t == FlexType.Multipolygon
+        Ewkb.encode(g, ensureMulti = wrapMulti)
+      }
+    // 'geometry' accepts everything; only a SRID mismatch needs work.
+    // The writers produce column-SRID geometry in the common path, so
+    // skip the decode/encode UDF entirely for that case.
+    if (t == FlexType.Geometry && projection == graft.geom.Srid.WebMercator)
+      c.cast(org.apache.spark.sql.types.BinaryType)
+    else udf(fit _).apply(c)
   }
 
   def coerce(c: Column, col: FlexColumn): Column = col.ctype match {
@@ -198,7 +208,7 @@ object Coerce {
     case FlexType.Geometry | FlexType.Point | FlexType.Linestring |
         FlexType.Polygon | FlexType.Multipoint | FlexType.Multilinestring |
         FlexType.Multipolygon | FlexType.Geometrycollection =>
-      toGeometryColumn(c, col.ctype)
+      toGeometryColumn(c, col.ctype, col.projection)
     case other              => c.cast(FlexType.sparkType(other))
   }
 }

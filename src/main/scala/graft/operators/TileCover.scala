@@ -181,8 +181,16 @@ object TileCover {
   final case class Limits(maxTilesPerGeometry: Long = 10000000L,
       maxTilesOverall: Long = 50000000L)
 
-  final case class LimitedCover(tiles: Set[(Long, Long)],
-      geometryLimitHits: Long, overallLimitReached: Boolean)
+  /** `packed` holds (x << 32 | y) per tile — primitive longs, ~16
+    * bytes/tile in the accumulation set vs ~100 for boxed tuples, so
+    * the default 50M-tile overall cap fits a normal driver heap like
+    * the reference's int64 set does. Unpack via [[LimitedCover.tiles]]
+    * (small results / tests) or stream `packed` directly. */
+  final case class LimitedCover(packed: Array[Long],
+      geometryLimitHits: Long, overallLimitReached: Boolean) {
+    def tiles: Set[(Long, Long)] =
+      packed.iterator.map(p => (p >>> 32, p & 0xffffffffL)).toSet
+  }
 
   /** Capped accumulation (expire_output_t::add_dirty_tiles,
     * src/expire-output.cpp:20-51): a geometry whose own cover exceeds
@@ -200,26 +208,31 @@ object TileCover {
     */
   def limitedCover(df: DataFrame, orderCol: Column, geomCol: Column,
       cfg: Config, limits: Limits): LimitedCover = {
+    // tiles packed to (x << 32 | y) in the UDF: the driver fold stays
+    // on primitive longs end to end
     val coverUdf = udf((b: Array[Byte]) =>
-      if (b == null) Seq.empty[(Long, Long)]
-      else cover(Ewkb.decode(b), cfg).toSeq)
+      if (b == null) Array.empty[Long]
+      else cover(Ewkb.decode(b), cfg)
+        .iterator.map { case (x, y) => (x << 32) | y }.toArray)
     val perGeom = df
       .select(orderCol.as("__ord"), coverUdf(geomCol).as("__tiles"))
       .where(size(col("__tiles")) > 0)
       .orderBy(col("__ord"))
-    val acc = mutable.Set.empty[(Long, Long)]
-    var geomHits = 0L
+    // oversize geometries are counted distributed; only rows under the
+    // per-geometry cap ever travel to the driver
+    val geomHits = perGeom
+      .where(size(col("__tiles")) > limits.maxTilesPerGeometry).count()
+    val acc = mutable.LongMap.empty[Unit] // unboxed keys
     var overall = false
-    val it = perGeom.toLocalIterator()
+    val it = perGeom
+      .where(size(col("__tiles")) <= limits.maxTilesPerGeometry)
+      .toLocalIterator()
     while (!overall && it.hasNext) {
-      val row = it.next()
-      val tiles = row.getSeq[org.apache.spark.sql.Row](1)
-        .map(r => (r.getLong(0), r.getLong(1)))
-      if (tiles.size > limits.maxTilesPerGeometry) geomHits += 1
-      else if (tiles.size + acc.size > limits.maxTilesOverall) overall = true
-      else acc ++= tiles
+      val tiles = it.next().getSeq[Long](1)
+      if (tiles.size + acc.size > limits.maxTilesOverall) overall = true
+      else tiles.foreach(t => acc.update(t, ()))
     }
-    LimitedCover(acc.toSet, geomHits, overall)
+    LimitedCover(acc.keysIterator.toArray, geomHits, overall)
   }
 
   /** Geometric diff expire (find_difference + do_expire,

@@ -155,8 +155,20 @@ object PgSink {
       case Some(s) => copyEscape(s)
     }.mkString("\t")
 
-  /** Inverse of the wire escaping (PG's COPY text parser), for tests
-    * and for reading COPY dumps back. */
+  /** Parse one COPY TEXT line back into column values — the inverse
+    * of [[copyRow]]: split on tabs, `\N` → None, values unescaped.
+    * (Only the escapes [[copyEscape]] emits are understood; PG's
+    * octal/hex forms are not, so this reads OUR dumps, not arbitrary
+    * pg_dump output.) */
+  def copyRowParse(line: String): Seq[Option[String]] =
+    line.split("\t", -1).toSeq.map {
+      case "\\N" => None
+      case v     => Some(copyUnescape(v))
+    }
+
+  /** Inverse of [[copyEscape]] for a single value (not a whole line:
+    * it does not see column boundaries or the `\N` NULL marker — use
+    * [[copyRowParse]] for that). */
   def copyUnescape(s: String): String = {
     val b = new java.lang.StringBuilder(s.length)
     var i = 0

@@ -122,6 +122,26 @@ class FlexGeomColumnSpec extends SparkSpecBase {
       (-30L, "MULTIPOLYGON"), (20L, "MULTIPOLYGON")))
   }
 
+  test("geometry columns reproject to their declared projection") {
+    val rows = areaRows(OsmText.toFrames(spark, mgBase)) // 4326 input
+    def sridsOf(c: org.apache.spark.sql.Column): Set[Int] =
+      rows.select(c.as("g")).as[Array[Byte]].collect()
+        .map(b => graft.geom.Ewkb.decode(b).srid).toSet
+    // multipolygon column defaults to 3857 → transformed on write
+    assert(sridsOf(Coerce.toGeometryColumn($"geom",
+      FlexType.Multipolygon)) == Set(graft.geom.Srid.WebMercator))
+    // explicit projection = 4326 → left alone
+    assert(sridsOf(Coerce.toGeometryColumn($"geom",
+      FlexType.Multipolygon, graft.geom.Srid.WGS84)) ==
+      Set(graft.geom.Srid.WGS84))
+  }
+
+  test("copyRowParse is the inverse of copyRow") {
+    import graft.sinks.PgSink
+    val vals = Seq(Some("a\tb\nc"), None, Some(""), Some("x\\y"))
+    assert(PgSink.copyRowParse(PgSink.copyRow(vals)) == vals)
+  }
+
   test("untagged.feature: normal and untagged callbacks, import + update") {
     val base = """
       n11 v1 dV x1 y1
