@@ -473,7 +473,78 @@ object OsmAnalog {
        |    AS n_pieces
        |FROM (SELECT DISTINCT event_id FROM events)""".stripMargin
 
+  /** §2.2 missing-node report (missing-nodes.feature / the reference's
+    * "Missing nodes in way N: ..." debug line): per way, the refs that
+    * do not resolve against a RESTRICTED node store (parts with
+    * p_size < 50 exist; the rest are "missing"), in way order. */
+  def missingNodes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ways = Middle.waysFromEdges(
+      Tables.lineitem(s, d), "l_orderkey", "l_linenumber", "l_partkey")
+    val store = Tables.part(s, d).where($"p_size" < 50)
+    Middle.missingWayNodes(ways, "l_orderkey", "refs", store, "p_partkey")
+      .select($"l_orderkey".as("way_id"),
+        size($"missing").cast("int").as("n_missing"),
+        array_join(transform($"missing", r => r.cast("string")), ",")
+          .as("missing_path"))
+  }
+
+  val missingNodesSql: String =
+    """SELECT l_orderkey AS way_id,
+      |  CAST(count(*) AS INTEGER) AS n_missing,
+      |  string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey)
+      |    AS missing_path
+      |FROM lineitem
+      |WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size < 50)
+      |GROUP BY l_orderkey""".stripMargin
+
+  /** §2.1 COPY TEXT wire encoding (src/db-copy-mgr.hpp): the sink's
+    * escaping, exercised cross-engine on comments with injected
+    * quote/backslash/tab/newline characters — the escaped text and the
+    * doubly-escaped hstore pair form must match the oracle's
+    * replace-chain byte for byte. */
+  def copyEscape(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val esc = udf((v: String) => graft.sinks.PgSink.copyEscape(v))
+    val hesc = udf((v: String) =>
+      graft.sinks.PgSink.hstoreCopyValue(Seq("c" -> v)))
+    Tables.orders(s, d)
+      .withColumn("v", translate(
+        concat($"o_orderstatus", lit("-"), ($"o_orderkey" % 1000).cast("string")),
+        "OF1-", "\"\\\t\n"))
+      .select($"o_orderkey".as("id"), esc($"v").as("esc"),
+        hesc($"v").as("hesc"), length(esc($"v")).cast("int").as("esc_len"))
+  }
+
+  val copyEscapeSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS id,
+      |    replace(replace(replace(replace(
+      |      o_orderstatus || '-' || CAST(o_orderkey % 1000 AS VARCHAR),
+      |      'O', '"'), 'F', chr(92)), '1', chr(9)), '-', chr(10)) AS v
+      |  FROM orders)
+      |SELECT id,
+      |  replace(replace(replace(replace(v,
+      |    chr(92), chr(92) || chr(92)),
+      |    '"', chr(92) || '"'),
+      |    chr(9), chr(92) || 't'),
+      |    chr(10), chr(92) || 'n') AS esc,
+      |  '"c"=>"' ||
+      |  replace(replace(replace(replace(v,
+      |    chr(92), repeat(chr(92), 4)),
+      |    '"', chr(92) || chr(92) || '"'),
+      |    chr(9), chr(92) || 't'),
+      |    chr(10), chr(92) || 'n') || '"' AS hesc,
+      |  CAST(length(replace(replace(replace(replace(v,
+      |    chr(92), chr(92) || chr(92)),
+      |    '"', chr(92) || '"'),
+      |    chr(9), chr(92) || 't'),
+      |    chr(10), chr(92) || 'n')) AS INTEGER) AS esc_len
+      |FROM src""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q50_osm_missing_nodes"      -> (missingNodes _),
+    "q51_copy_escape"            -> (copyEscape _),
     "q48_osm_segmentize"         -> (segmentizeLen _),
     "q46_osm_locator"            -> (locator _),
     "q42_osm_two_stage"          -> (twoStage _),
@@ -492,6 +563,8 @@ object OsmAnalog {
     "q49_osm_centroid"           -> (polygonCentroid _))
 
   val oracles: Map[String, String] = Map(
+    "q50_osm_missing_nodes"      -> missingNodesSql,
+    "q51_copy_escape"            -> copyEscapeSql,
     "q48_osm_segmentize"         -> segmentizeLenSql,
     "q46_osm_locator"            -> locatorSql,
     "q42_osm_two_stage"          -> twoStageSql,
