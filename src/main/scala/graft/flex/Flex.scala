@@ -64,13 +64,47 @@ object FlexType extends Enumeration {
   }
 }
 
+/** define_expire_output (src/flex-lua-expire-output.cpp): an expire
+  * sink writing either a tile-list file or a table, with a zoom range
+  * and the two tile caps (src/expire-output.hpp). minzoom defaults to
+  * maxzoom (single-zoom output; rollup covers the range otherwise). */
+final case class FlexExpireOutput(
+    name: String,
+    filename: Option[String] = None,
+    table: Option[String] = None,
+    maxzoom: Int,
+    minzoomOpt: Option[Int] = None,
+    maxTilesPerGeometry: Long = 10000000L,
+    maxTilesOverall: Long = 50000000L) {
+  def minzoom: Int = minzoomOpt.getOrElse(maxzoom)
+}
+
+/** A column's expire entry (expire_config_t, src/expire-config.hpp):
+  * which output, cover mode, buffer, and whether only the geometric
+  * difference of old vs new expires on updates. */
+final case class FlexExpireRef(
+    output: FlexExpireOutput,
+    mode: graft.operators.TileCover.Mode =
+      graft.operators.TileCover.FullArea,
+    buffer: Double = 0.1,
+    diffExpire: Boolean = false)
+
 final case class FlexColumn(
     name: String,
     ctype: FlexType.Value,
     notNull: Boolean = false,
     createOnly: Boolean = false,
     /** per-geometry-column SRID (src/flex-table-column.hpp:107-145) */
-    projection: Int = 3857)
+    projection: Int = 3857,
+    /** expire entries (flex-lua-table.cpp:283-326) */
+    expire: Seq[FlexExpireRef] = Nil) {
+  private def isGeometry: Boolean =
+    FlexType.sparkType(ctype) == org.apache.spark.sql.types.BinaryType
+  // src/flex-lua-table.cpp:441-447: expire is only valid on 3857
+  // geometry columns — checked at define time like the reference
+  require(expire.isEmpty || (isGeometry && projection == 3857),
+    "Expire only allowed for geometry columns in Web Mercator projection.")
+}
 
 /** Table id ("primary key") type (src/flex-table.hpp:40-49). */
 object FlexIds extends Enumeration {

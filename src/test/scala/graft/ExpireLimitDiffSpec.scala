@@ -99,4 +99,42 @@ class ExpireLimitDiffSpec extends SparkSpecBase {
     val df = Seq((oldLine, oldLine)).toDF("old", "new")
     assert(TileCover.symDiffCover(df, $"old", $"new", z8).count() == 0)
   }
+
+  test("lua-expire.feature: expire config validation at define time") {
+    import graft.flex._
+    val eo = FlexExpireOutput("bar", filename = Some("bar"), maxzoom = 12)
+    val ref = Seq(FlexExpireRef(eo))
+    // non-geometry column → rejected
+    val e1 = intercept[IllegalArgumentException] {
+      FlexColumn("some", FlexType.Text, expire = ref)
+    }
+    assert(e1.getMessage.contains(
+      "Expire only allowed for geometry columns in Web Mercator projection."))
+    // geometry column in 4326 → rejected
+    val e2 = intercept[IllegalArgumentException] {
+      FlexColumn("some", FlexType.Geometry, projection = 4326, expire = ref)
+    }
+    assert(e2.getMessage.contains("Web Mercator"))
+    // 3857 geometry → okay; minzoom defaults to maxzoom
+    val ok = FlexColumn("some", FlexType.Geometry, expire = ref)
+    assert(ok.expire.head.output.minzoom == 12)
+  }
+
+  test("run-with-expire.feature: expire into table in append mode") {
+    val osm = graft.sources.OsmPbf.read(spark,
+      "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf")
+    // import: 1562 tagged nodes inserted, nothing expires on create
+    assert(osm.nodes.where(size($"tags") > 0).count() == 1562)
+
+    // append n27 x10 y10 → the new row's point cover lands in ONE z12 tile
+    val pt = udf((lon: Double, lat: Double) =>
+      Ewkb.encode(GeomOps.transform(
+        graft.geom.Point(Pt(lon, lat), Srid.WGS84), Srid.WebMercator)))
+    val appended = Seq((27L, 10.0, 10.0)).toDF("id", "lon", "lat")
+      .select(pt($"lon", $"lat").as("geom"))
+    val tiles = TileCover.geometryCover(appended, $"geom",
+      TileCover.Config(12))
+    assert(tiles.count() == 1)
+    osm.unpersistBacking()
+  }
 }
