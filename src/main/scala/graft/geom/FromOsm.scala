@@ -43,6 +43,17 @@ object FromOsm {
     Polygon(ccw(ring), Vector.empty, srid)
   }
 
+  /** way → POINT at 1-based index n (object:as_point(n),
+    * src/lua-utils + flex geom transform; geometry-point.feature):
+    * n = 0 → null, n > #nodes → null, negative n counts from the end
+    * (-1 = last), default/absent n = 1. */
+  def pointN(pts: Seq[Pt], n: Int = 1,
+      srid: Int = Srid.WGS84): Geometry = {
+    val idx = if (n < 0) pts.size + n else n - 1
+    if (n == 0 || idx < 0 || idx >= pts.size) NullGeom(srid)
+    else Point(pts(idx), srid)
+  }
+
   /** relation member nodes → MULTIPOINT, or POINT when only one
     * (src/geom-from-osm.cpp:136-172). */
   def createMultiPoint(pts: Seq[Pt], srid: Int = Srid.WGS84): Geometry =

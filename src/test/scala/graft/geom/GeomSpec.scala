@@ -202,4 +202,29 @@ class GeomSpec extends AnyFunSuite {
     assert(b.contains(Pt(0, 0)) && !b.contains(Pt(5, 0)))
     assert(b.intersects(Box(2, 1, 9, 9)) && !b.intersects(Box(4, 3, 9, 9)))
   }
+
+  test("as_point(n) index rules (geometry-point.feature goldens)") {
+    val p1 = Pt(0, 2); val p2 = Pt(1, 2); val p3 = Pt(2, 1)
+    val p4 = Pt(0, 1); val p5 = Pt(1, 0)
+    val w20 = Seq(p1, p2, p3)
+    val w21 = Seq(p4, p5)
+    def at(pts: Seq[Pt], n: Int): Option[Pt] =
+      FromOsm.pointN(pts, n) match {
+        case Point(p, _) => Some(p)
+        case _           => None
+      }
+    // w20 (3 nodes): default=1st, 0→NULL, 1..3, 4→NULL, -1..-3 from end
+    assert(at(w20, 1) == Some(p1) &&
+      FromOsm.pointN(w20).isInstanceOf[Point]) // no-arg default = 1
+    assert(at(w20, 0) == None)
+    assert(at(w20, 2) == Some(p2) && at(w20, 3) == Some(p3))
+    assert(at(w20, 4) == None)
+    assert(at(w20, -1) == Some(p3) && at(w20, -2) == Some(p2) &&
+      at(w20, -3) == Some(p1))
+    // w21 (2 nodes): 3/4 and -3 fall off both ends
+    assert(at(w21, 1) == Some(p4) && at(w21, 2) == Some(p5))
+    assert(at(w21, 3) == None && at(w21, 4) == None)
+    assert(at(w21, -1) == Some(p5) && at(w21, -2) == Some(p4))
+    assert(at(w21, -3) == None)
+  }
 }
