@@ -115,6 +115,10 @@ final case class FlexTableDef(
     name: String,
     ids: FlexIds.Value,
     columns: Seq[FlexColumn]) {
+  // define-time validation (lua-table-definitions.feature /
+  // src/flex-lua-table.cpp): a table needs a name and ≥1 column
+  require(name.nonEmpty, "The table must contain a 'name' string field.")
+  require(columns.nonEmpty, s"No columns defined for table '$name'.")
 
   def schema: StructType = StructType(
     StructField("osm_id", LongType, nullable = false) +:
@@ -253,6 +257,18 @@ object Coerce {
   * transforms as DataFrame→DataFrame functions (set-at-a-time, not
   * row-at-a-time Lua) so they stay inside Catalyst.
   */
+object FlexConfig {
+  /** Registry check at config load (src/flex-lua-table.cpp: duplicate
+    * define_table is an error, lua-table-definitions.feature). */
+  def validateTables(tables: Seq[FlexTableDef]): Unit = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    tables.foreach { t =>
+      require(seen.add(t.name),
+        s"Table with name '${t.name}' already exists.")
+    }
+  }
+}
+
 trait FlexConfig {
   def tables: Seq[FlexTableDef]
   /** nodes → per-table insert frames (keyed by table name). */

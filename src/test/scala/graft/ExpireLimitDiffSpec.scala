@@ -120,6 +120,23 @@ class ExpireLimitDiffSpec extends SparkSpecBase {
     assert(ok.expire.head.output.minzoom == 12)
   }
 
+  test("lua-table-definitions.feature: define-time validation") {
+    import graft.flex._
+    val col = FlexColumn("v", FlexType.Text)
+    assert(intercept[IllegalArgumentException] {
+      FlexTableDef("", FlexIds.Node, Seq(col))
+    }.getMessage.contains("must contain a 'name'"))
+    assert(intercept[IllegalArgumentException] {
+      FlexTableDef("foo", FlexIds.Node, Nil)
+    }.getMessage.contains("No columns defined for table 'foo'."))
+    val t = FlexTableDef("foo", FlexIds.Node, Seq(col))
+    assert(intercept[IllegalArgumentException] {
+      FlexConfig.validateTables(Seq(t, t))
+    }.getMessage.contains("Table with name 'foo' already exists."))
+    FlexConfig.validateTables(Seq(t,
+      FlexTableDef("bar", FlexIds.Way, Seq(col)))) // distinct names OK
+  }
+
   test("run-with-expire.feature: expire into table in append mode") {
     val osm = graft.sources.OsmPbf.read(spark,
       "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf")
