@@ -53,6 +53,45 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  final case class GeomUpdate(oid: Long, geom: Array[Byte])
+  final case class DirtyTile(oid: Long, x: Long, y: Long)
+
+  /** Streaming diff expire: a stream of (id, new-geometry) rows flows
+    * through per-id state holding the PREVIOUS geometry; each update
+    * emits only the tiles of the geometric difference old↔new
+    * (TileCover.symDiffTiles — the diff_expire semantics of
+    * src/flex-table-column.cpp:267-363 as flatMapGroupsWithState).
+    * First sight of an id (insert) and null geometry (delete) cover
+    * fully, like the batch one-sided path. State size = one geometry
+    * per live feature id, partitioned by key across executors. */
+  def diffExpireStream(updates: Dataset[GeomUpdate],
+      cfg: graft.operators.TileCover.Config): Dataset[DirtyTile] = {
+    import updates.sparkSession.implicits._
+    import graft.geom.Ewkb
+    import graft.operators.TileCover
+    updates.groupByKey(_.oid)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (oid: Long, batch: Iterator[GeomUpdate],
+            state: GroupState[Array[Byte]]) =>
+          var prev = state.getOption.orNull
+          val out = Vector.newBuilder[DirtyTile]
+          batch.foreach { u =>
+            val tiles = (prev, u.geom) match {
+              case (null, null) => Set.empty[(Long, Long)]
+              case (null, b)    => TileCover.cover(Ewkb.decode(b), cfg)
+              case (b, null)    => TileCover.cover(Ewkb.decode(b), cfg)
+              case (ob, nb)     =>
+                TileCover.symDiffTiles(Ewkb.decode(ob), Ewkb.decode(nb), cfg)
+            }
+            tiles.foreach { case (x, y) => out += DirtyTile(oid, x, y) }
+            prev = u.geom
+          }
+          if (prev == null) state.remove() else state.update(prev)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact deduplication for a document stream (the
     * training-data-pipeline ingest shape): keep the first occurrence of
     * each content digest, drop later duplicates. `dropDuplicates` on

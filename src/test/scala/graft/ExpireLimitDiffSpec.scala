@@ -137,6 +137,34 @@ class ExpireLimitDiffSpec extends SparkSpecBase {
       FlexTableDef("bar", FlexIds.Way, Seq(col)))) // distinct names OK
   }
 
+  test("streaming diff expire: only changed parts dirty per update") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.GeomUpdate]
+    val q = Streams.diffExpireStream(input.toDS(), z8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("diff_expire_out").start()
+
+    // insert: full cover of the old line
+    input.addData(Streams.GeomUpdate(1L, oldLine))
+    q.processAllAvailable()
+    val afterInsert = spark.table("diff_expire_out")
+      .select($"x", $"y").as[(Long, Long)].collect().toSet
+    assert(afterInsert == fullUnion)
+
+    // geometry change: only the symmetric difference dirties
+    input.addData(Streams.GeomUpdate(1L, newLine))
+    q.processAllAvailable()
+    val all = spark.table("diff_expire_out")
+      .groupBy($"x", $"y").count()
+      .as[(Long, Long, Long)].collect()
+    q.stop()
+    val secondBatch = all.collect { case (x, y, n) if n == 2 => (x, y) }.toSet
+    // every tile from the update is in the sym-diff set (no (130,127))
+    assert(secondBatch == fullUnion - ((130L, 127L)))
+  }
+
   test("run-with-expire.feature: expire into table in append mode") {
     val osm = graft.sources.OsmPbf.read(spark,
       "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf")
