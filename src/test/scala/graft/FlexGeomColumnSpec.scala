@@ -142,6 +142,31 @@ class FlexGeomColumnSpec extends SparkSpecBase {
     assert(PgSink.copyRowParse(PgSink.copyRow(vals)) == vals)
   }
 
+  test("geometry-iteration.feature: geometries()/geometry_n/num over routes") {
+    import graft.geom._
+    val l20 = Seq(Pt(0, 2), Pt(1, 2), Pt(2, 1))
+    val l21 = Seq(Pt(0, 1), Pt(1, 0), Pt(2, 0))
+    // r30 = two member lines, r31 = one, r33 = node member only
+    val r30 = FromOsm.createMultiLineString(Seq(l20, l21))
+    val r31 = FromOsm.createMultiLineString(Seq(l20))
+    val r33 = FromOsm.createMultiLineString(Seq.empty)
+
+    assert(r30.numGeometries == 2)
+    assert(r31.numGeometries == 1)
+    assert(r33.isInstanceOf[NullGeom]) // no rows for r33
+
+    // geometries(): each sub-line is a plain linestring (num = 1)
+    val parts30 = GeomOps.splitMulti(r30)
+    assert(parts30.map(_.numGeometries) == Vector(1, 1))
+    assert(parts30.head == LineString(l20.toVector, Srid.WGS84))
+    assert(GeomOps.splitMulti(r31).head ==
+      LineString(l20.toVector, Srid.WGS84))
+
+    // geometry_n(1): the first member line
+    assert(GeomOps.geometryN(r30, 1) == LineString(l20.toVector, Srid.WGS84))
+    assert(GeomOps.geometryN(r31, 1) == LineString(l20.toVector, Srid.WGS84))
+  }
+
   test("untagged.feature: normal and untagged callbacks, import + update") {
     val base = """
       n11 v1 dV x1 y1
