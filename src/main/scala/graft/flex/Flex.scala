@@ -74,9 +74,25 @@ final case class FlexExpireOutput(
     table: Option[String] = None,
     maxzoom: Int,
     minzoomOpt: Option[Int] = None,
-    maxTilesPerGeometry: Long = 10000000L,
-    maxTilesOverall: Long = 50000000L) {
+    maxTilesGeometryOpt: Option[Long] = None,
+    maxTilesOverallOpt: Option[Long] = None) {
   def minzoom: Int = minzoomOpt.getOrElse(maxzoom)
+  /** engine defaults when unset (src/expire-output.hpp:24-25) */
+  def maxTilesPerGeometry: Long = maxTilesGeometryOpt.getOrElse(10000000L)
+  def maxTilesOverall: Long = maxTilesOverallOpt.getOrElse(50000000L)
+  // define-time range checks (src/flex-lua-expire-output.cpp:43-83);
+  // the tile-cap range applies only to user-SET values — the engine
+  // defaults above intentionally exceed it
+  require(filename.nonEmpty || table.nonEmpty,
+    "Must set 'filename' and/or 'table' on expire output.")
+  require(maxzoom >= 1 && maxzoom <= 20,
+    "The 'maxzoom' field in a expire output must be between 1 and 20.")
+  require(minzoom >= 1 && minzoom <= maxzoom,
+    "The 'minzoom' field in a expire output must be between 1 and 'maxzoom'.")
+  require(maxTilesGeometryOpt.forall(v => v >= 1 && v <= (4L << 20)),
+    "The 'max_tiles_geometry' field in a expire output must be between 1 and 4 << 20.")
+  require(maxTilesOverallOpt.forall(v => v >= 1 && v <= (4L << 20)),
+    "The 'max_tiles_overall' field in a expire output must be between 1 and 4 << 20.")
 }
 
 /** A column's expire entry (expire_config_t, src/expire-config.hpp):
@@ -206,6 +222,9 @@ object Coerce {
     import graft.geom._
     def fit(b: Array[Byte]): Array[Byte] =
       if (b == null) null
+      // 'geometry' column, SRID already right (header peek, no
+      // decode): the common-path bytes pass through untouched
+      else if (t == FlexType.Geometry && Ewkb.peekSrid(b) == projection) b
       else {
         val g0 = Ewkb.decode(b)
         val g = if (g0.srid == projection) g0
@@ -229,12 +248,7 @@ object Coerce {
           t == FlexType.Multilinestring || t == FlexType.Multipolygon
         Ewkb.encode(g, ensureMulti = wrapMulti)
       }
-    // 'geometry' accepts everything; only a SRID mismatch needs work.
-    // The writers produce column-SRID geometry in the common path, so
-    // skip the decode/encode UDF entirely for that case.
-    if (t == FlexType.Geometry && projection == graft.geom.Srid.WebMercator)
-      c.cast(org.apache.spark.sql.types.BinaryType)
-    else udf(fit _).apply(c)
+    udf(fit _).apply(c)
   }
 
   def coerce(c: Column, col: FlexColumn): Column = col.ctype match {

@@ -102,6 +102,17 @@ object Ewkb {
     readGeom(buf, defaultSrid = Srid.WGS84)
   }
 
+  /** SRID from the EWKB header alone (byte order + typed flags +
+    * optional SRID word) — no geometry decode. Returns the default
+    * (4326) when the SRID flag is absent, like [[decode]]. */
+  def peekSrid(bytes: Array[Byte]): Int = {
+    val buf = ByteBuffer.wrap(bytes)
+    val bo = buf.get()
+    buf.order(if (bo == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val rawType = buf.getInt()
+    if ((rawType & SridFlag) != 0) buf.getInt() else Srid.WGS84
+  }
+
   def decodeHex(hex: String): Geometry = {
     val bytes = new Array[Byte](hex.length / 2)
     var i = 0

@@ -214,23 +214,28 @@ object TileCover {
       if (b == null) Array.empty[Long]
       else cover(Ewkb.decode(b), cfg)
         .iterator.map { case (x, y) => (x << 32) | y }.toArray)
+    // one distributed pass: covers are computed once; oversize rows
+    // ship only their size (empty tile array) to the driver
     val perGeom = df
-      .select(orderCol.as("__ord"), coverUdf(geomCol).as("__tiles"))
-      .where(size(col("__tiles")) > 0)
+      .select(orderCol.as("__ord"), coverUdf(geomCol).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col("__ord"), size(col("__t")).as("__n"),
+        when(size(col("__t")) <= limits.maxTilesPerGeometry, col("__t"))
+          .otherwise(array().cast("array<long>")).as("__tiles"))
       .orderBy(col("__ord"))
-    // oversize geometries are counted distributed; only rows under the
-    // per-geometry cap ever travel to the driver
-    val geomHits = perGeom
-      .where(size(col("__tiles")) > limits.maxTilesPerGeometry).count()
     val acc = mutable.LongMap.empty[Unit] // unboxed keys
+    var geomHits = 0L
     var overall = false
-    val it = perGeom
-      .where(size(col("__tiles")) <= limits.maxTilesPerGeometry)
-      .toLocalIterator()
+    val it = perGeom.toLocalIterator()
+    // the reference's exact early-out: once the overall limit trips,
+    // later geometries are not processed at all (no per-geometry
+    // warnings either, src/expire-output.cpp:25-27)
     while (!overall && it.hasNext) {
-      val tiles = it.next().getSeq[Long](1)
-      if (tiles.size + acc.size > limits.maxTilesOverall) overall = true
-      else tiles.foreach(t => acc.update(t, ()))
+      val row = it.next()
+      val n = row.getInt(1)
+      if (n > limits.maxTilesPerGeometry) geomHits += 1
+      else if (n + acc.size > limits.maxTilesOverall) overall = true
+      else row.getSeq[Long](2).foreach(t => acc.update(t, ()))
     }
     LimitedCover(acc.keysIterator.toArray, geomHits, overall)
   }

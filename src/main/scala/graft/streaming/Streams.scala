@@ -53,13 +53,18 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
   }
 
-  final case class GeomUpdate(oid: Long, geom: Array[Byte])
+  /** `version` orders updates within and across micro-batches (OSM
+    * object version / replication sequence): flatMapGroupsWithState
+    * gives no intra-group order, so the fold sorts by it and drops
+    * stale versions, like [[latestVersionStream]]. */
+  final case class GeomUpdate(oid: Long, version: Long, geom: Array[Byte])
+  final case class GeomState(version: Long, geom: Array[Byte])
   final case class DirtyTile(oid: Long, x: Long, y: Long)
 
-  /** Streaming diff expire: a stream of (id, new-geometry) rows flows
-    * through per-id state holding the PREVIOUS geometry; each update
-    * emits only the tiles of the geometric difference old↔new
-    * (TileCover.symDiffTiles — the diff_expire semantics of
+  /** Streaming diff expire: a stream of (id, version, new-geometry)
+    * rows flows through per-id state holding the PREVIOUS geometry;
+    * each update emits only the tiles of the geometric difference
+    * old↔new (TileCover.symDiffTiles — the diff_expire semantics of
     * src/flex-table-column.cpp:267-363 as flatMapGroupsWithState).
     * First sight of an id (insert) and null geometry (delete) cover
     * fully, like the batch one-sided path. State size = one geometry
@@ -73,19 +78,22 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
         (oid: Long, batch: Iterator[GeomUpdate],
-            state: GroupState[Array[Byte]]) =>
+            state: GroupState[GeomState]) =>
           var prev = state.getOption.orNull
           val out = Vector.newBuilder[DirtyTile]
-          batch.foreach { u =>
-            val tiles = (prev, u.geom) match {
-              case (null, null) => Set.empty[(Long, Long)]
-              case (null, b)    => TileCover.cover(Ewkb.decode(b), cfg)
-              case (b, null)    => TileCover.cover(Ewkb.decode(b), cfg)
-              case (ob, nb)     =>
-                TileCover.symDiffTiles(Ewkb.decode(ob), Ewkb.decode(nb), cfg)
+          batch.toSeq.sortBy(_.version).foreach { u =>
+            if (prev == null || u.version > prev.version) {
+              val tiles = (if (prev == null) null else prev.geom,
+                  u.geom) match {
+                case (null, null) => Set.empty[(Long, Long)]
+                case (null, b)    => TileCover.cover(Ewkb.decode(b), cfg)
+                case (b, null)    => TileCover.cover(Ewkb.decode(b), cfg)
+                case (ob, nb)     =>
+                  TileCover.symDiffTiles(Ewkb.decode(ob), Ewkb.decode(nb), cfg)
+              }
+              tiles.foreach { case (x, y) => out += DirtyTile(oid, x, y) }
+              prev = GeomState(u.version, u.geom)
             }
-            tiles.foreach { case (x, y) => out += DirtyTile(oid, x, y) }
-            prev = u.geom
           }
           if (prev == null) state.remove() else state.update(prev)
           out.result().iterator

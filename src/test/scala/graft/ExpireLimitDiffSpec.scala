@@ -147,14 +147,16 @@ class ExpireLimitDiffSpec extends SparkSpecBase {
       .format("memory").queryName("diff_expire_out").start()
 
     // insert: full cover of the old line
-    input.addData(Streams.GeomUpdate(1L, oldLine))
+    input.addData(Streams.GeomUpdate(1L, 1L, oldLine))
     q.processAllAvailable()
     val afterInsert = spark.table("diff_expire_out")
       .select($"x", $"y").as[(Long, Long)].collect().toSet
     assert(afterInsert == fullUnion)
 
-    // geometry change: only the symmetric difference dirties
-    input.addData(Streams.GeomUpdate(1L, newLine))
+    // geometry change: only the symmetric difference dirties; a stale
+    // replay of v1 in the same batch is dropped by the version gate
+    input.addData(Streams.GeomUpdate(1L, 2L, newLine),
+      Streams.GeomUpdate(1L, 1L, oldLine))
     q.processAllAvailable()
     val all = spark.table("diff_expire_out")
       .groupBy($"x", $"y").count()
