@@ -203,6 +203,32 @@ class GeomSpec extends AnyFunSuite {
     assert(b.intersects(Box(2, 1, 9, 9)) && !b.intersects(Box(4, 3, 9, 9)))
   }
 
+  test("as_geometrycollection rules (geometry-collection.feature)") {
+    val ring = Seq(Pt(0, 0), Pt(1, 0), Pt(1, 1), Pt(0, 1), Pt(0, 0))
+    val open = Seq(Pt(3, 0), Pt(4, 0), Pt(4, 1))
+    val n17 = Pt(2, 1)
+
+    def gc(pts: Seq[Pt], ways: Seq[Seq[Pt]]) =
+      FromOsm.createCollection(pts, ways)
+    // single way member stays a 1-element COLLECTION
+    val single = gc(Nil, Seq(ring))
+    assert(single.typeName == "GEOMETRYCOLLECTION" &&
+      single.numGeometries == 1 &&
+      GeomOps.geometryN(single, 1).isInstanceOf[LineString])
+    // two ways → 2; node+way → 2 with the point first; node only → 1
+    assert(gc(Nil, Seq(ring, open)).numGeometries == 2)
+    val mixed = gc(Seq(n17), Seq(open))
+    assert(mixed.numGeometries == 2 &&
+      GeomOps.geometryN(mixed, 1) == Point(n17, Srid.WGS84))
+    assert(gc(Seq(n17), Nil).numGeometries == 1)
+    // members that resolve to nothing are skipped; all-broken → NULL
+    assert(gc(Nil, Seq(Seq(Pt(0, 0)))).isNull) // 1-node way
+    assert(gc(Nil, Seq(Seq(Pt(0, 0), Pt(0, 0)))).isNull) // degenerate
+    assert(gc(Nil, Nil).isNull) // unresolvable member
+    val partial = gc(Nil, Seq(ring, Seq(Pt(0, 0)), open))
+    assert(partial.numGeometries == 2)
+  }
+
   test("as_point(n) index rules (geometry-point.feature goldens)") {
     val p1 = Pt(0, 2); val p2 = Pt(1, 2); val p3 = Pt(2, 1)
     val p4 = Pt(0, 1); val p5 = Pt(1, 0)
