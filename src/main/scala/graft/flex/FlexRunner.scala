@@ -75,8 +75,9 @@ object FlexRunner {
     val expire = expireRefs.groupBy(_._1.name).map { case (name, refs) =>
       val out = refs.head._1
       val tiles = refs.map { case (_, geoms, ref) =>
-        TileCover.geometryCover(geoms, col("geom"),
-          TileCover.Config(out.maxzoom, ref.mode, ref.buffer))
+        TileCover.geometryCoverCapped(geoms, col("geom"),
+          TileCover.Config(out.maxzoom, ref.mode, ref.buffer),
+          out.maxTilesPerGeometry)
       }.reduce(_ unionByName _).distinct()
       name -> Expire.rollup(tiles, "x", "y", out.maxzoom, out.minzoom)
     }

@@ -176,6 +176,25 @@ object TileCover {
       .withColumn("zoom", lit(cfg.zoom))
   }
 
+  /** geometryCover with the per-geometry tile cap applied
+    * distributed: a geometry whose cover exceeds the cap contributes
+    * nothing (the reference's "Tile limit reached for single
+    * geometry" skip) — the declarative guard against one pathological
+    * geometry exploding the tile set. The sequential overall cap
+    * needs [[limitedCover]]. */
+  def geometryCoverCapped(df: DataFrame, geomCol: Column, cfg: Config,
+      maxTilesPerGeometry: Long): DataFrame = {
+    val coverUdf = udf((b: Array[Byte]) =>
+      if (b == null) Seq.empty[(Long, Long)]
+      else cover(Ewkb.decode(b), cfg).toSeq)
+    df.select(coverUdf(geomCol).as("__t"))
+      .where(size(col("__t")) <= maxTilesPerGeometry)
+      .select(explode(col("__t")).as("t"))
+      .select(col("t._1").as("x"), col("t._2").as("y"))
+      .distinct()
+      .withColumn("zoom", lit(cfg.zoom))
+  }
+
   /** The expire output's two tile caps (src/expire-output.hpp:24-25
     * defaults; enforcement src/expire-output.cpp:20-51). */
   final case class Limits(maxTilesPerGeometry: Long = 10000000L,
