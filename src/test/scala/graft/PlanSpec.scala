@@ -90,4 +90,16 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("q24_ngram_jaccard")
     assert(!p.contains("Window"), "q24 must not use a window for df caps")
   }
+
+  test("missing-node report: broadcast anti-join, filtered store scan") {
+    // the restricted node store must broadcast to the exploded refs
+    // side with its filter pushed into the scan — never the reverse
+    // (refs side is the big one at planet scale)
+    val p = plan("q50_osm_missing_nodes")
+    assert(p.contains("LeftAnti"), "q50 must stay an anti-join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "q50 should broadcast the filtered node store")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      "q50's p_size filter must reach the parquet scan")
+  }
 }
