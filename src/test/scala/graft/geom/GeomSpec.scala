@@ -203,6 +203,26 @@ class GeomSpec extends AnyFunSuite {
     assert(b.intersects(Box(2, 1, 9, 9)) && !b.intersects(Box(4, 3, 9, 9)))
   }
 
+  test("as_linestring goldens (geometry-linestring.feature)") {
+    // the 0.1 grid L-shapes: w20 = n1,n2,n3 / w21 = n4,n5
+    val w20 = Seq(Pt(0, 0.2), Pt(0.1, 0.2), Pt(0.2, 0.1))
+    val w21 = Seq(Pt(0, 0.1), Pt(0.1, 0.0))
+    val l20 = FromOsm.createLineString(w20).asInstanceOf[LineString]
+    val l21 = FromOsm.createLineString(w21).asInstanceOf[LineString]
+    assert(l20.pts.size == 3 && l21.pts.size == 2) // npoints
+    assert(math.abs(GeomOps.length(l20) - 0.24142136) < 1e-7)
+    assert(math.abs(GeomOps.length(l21) - 0.14142136) < 1e-7)
+    // as_multilinestring of a single way = the wrapped line
+    assert(Ewkb.decode(Ewkb.encode(l20, ensureMulti = true)) ==
+      MultiLineString(Vector(l20), Srid.WGS84))
+    // duplicate consecutive node (n1,n1,n2): indexed as_point still
+    // sees the raw refs; the linestring dedups to 2 points
+    val dup = Seq(Pt(0, 0), Pt(0, 0), Pt(0.1, 0))
+    assert(FromOsm.pointN(dup, 1) == FromOsm.pointN(dup, 2)) // dupl=True
+    assert(FromOsm.createLineString(dup)
+      .asInstanceOf[LineString].pts.size == 2)
+  }
+
   test("as_geometrycollection rules (geometry-collection.feature)") {
     val ring = Seq(Pt(0, 0), Pt(1, 0), Pt(1, 1), Pt(0, 1), Pt(0, 0))
     val open = Seq(Pt(3, 0), Pt(4, 0), Pt(4, 1))
