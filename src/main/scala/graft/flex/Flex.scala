@@ -122,6 +122,54 @@ final case class FlexColumn(
     "Expire only allowed for geometry columns in Web Mercator projection.")
 }
 
+/** A user-defined index (src/flex-index.hpp + flex-index.cpp:23-72,
+  * the `indexes` field of define_table): column list OR expression,
+  * method, optional uniqueness/include/fillfactor/tablespace/where.
+  * DDL shape matches the reference's create_index joiner exactly. */
+final case class FlexIndex(
+    method: String,
+    columns: Seq[String] = Nil,
+    expression: String = "",
+    name: String = "",
+    unique: Boolean = false,
+    includeColumns: Seq[String] = Nil,
+    fillfactor: Int = 0,
+    tablespace: String = "",
+    where: String = "") {
+  require(columns.nonEmpty || expression.nonEmpty,
+    "The index must contain a 'column' or an 'expression' field.")
+  require(columns.isEmpty || expression.isEmpty,
+    "You can not have both 'column' and 'expression' in an index.")
+
+  private def quoted(cs: Seq[String]): String =
+    cs.map(c => "\"" + c + "\"").mkString("(", ",", ")")
+
+  def createIndexDdl(qualifiedTable: String): String = {
+    val parts = Seq.newBuilder[String]
+    parts += "CREATE"
+    if (unique) parts += "UNIQUE"
+    parts += "INDEX"
+    if (name.nonEmpty) parts += "\"" + name + "\""
+    parts += "ON"
+    parts += qualifiedTable
+    parts += "USING"
+    parts += method
+    parts += (if (expression.isEmpty) quoted(columns)
+      else "(" + expression + ")")
+    if (includeColumns.nonEmpty) {
+      parts += "INCLUDE"; parts += quoted(includeColumns)
+    }
+    if (fillfactor != 0) {
+      parts += "WITH"; parts += s"(fillfactor = $fillfactor)"
+    }
+    if (tablespace.nonEmpty) {
+      parts += "TABLESPACE"; parts += "\"" + tablespace + "\""
+    }
+    if (where.nonEmpty) { parts += "WHERE"; parts += where }
+    parts.result().mkString(" ")
+  }
+}
+
 /** Table id ("primary key") type (src/flex-table.hpp:40-49). */
 object FlexIds extends Enumeration {
   val NoIndex, Node, Way, Relation, Area, AnyObject, Tile = Value
@@ -130,7 +178,11 @@ object FlexIds extends Enumeration {
 final case class FlexTableDef(
     name: String,
     ids: FlexIds.Value,
-    columns: Seq[FlexColumn]) {
+    columns: Seq[FlexColumn],
+    /** None = default indexing (geometry GiST + id for updatable
+      * tables); Some(Nil) = explicitly NO indexes; Some(list) =
+      * exactly these (lua-index-definitions.feature). */
+    indexes: Option[Seq[FlexIndex]] = None) {
   // define-time validation (lua-table-definitions.feature /
   // src/flex-lua-table.cpp): a table needs a name and ≥1 column
   require(name.nonEmpty, "The table must contain a 'name' string field.")

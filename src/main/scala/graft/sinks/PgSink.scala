@@ -68,13 +68,20 @@ object PgSink {
     * ANALYZE. */
   def postLoadDdl(t: FlexTableDef, updatable: Boolean,
       schema: String = "public"): Seq[String] = {
-    val geomIdx = t.columns.filter(c => FlexType.sparkType(c.ctype) == BinaryType)
-      .map(c =>
-        s"""CREATE INDEX ON "$schema"."${t.name}" USING gist ("${c.name}")""")
-    val idIdx = if (updatable)
-      Seq(s"""CREATE INDEX ON "$schema"."${t.name}" (osm_id)""") else Nil
-    Seq(s"""ALTER TABLE "$schema"."${t.name}" SET LOGGED""") ++
-      geomIdx ++ idIdx :+ s"""ANALYZE "$schema"."${t.name}""""
+    val qualified = s""""$schema"."${t.name}""""
+    // user index list wins: None = defaults, Some(Nil) = none at all,
+    // Some(list) = exactly those (lua-index-definitions.feature)
+    val userIdx = t.indexes.map(_.map(_.createIndexDdl(qualified)))
+    val defaultIdx = {
+      val geomIdx = t.columns
+        .filter(c => FlexType.sparkType(c.ctype) == BinaryType)
+        .map(c => s"""CREATE INDEX ON $qualified USING gist ("${c.name}")""")
+      val idIdx = if (updatable)
+        Seq(s"""CREATE INDEX ON $qualified (osm_id)""") else Nil
+      geomIdx ++ idIdx
+    }
+    Seq(s"""ALTER TABLE $qualified SET LOGGED""") ++
+      userIdx.getOrElse(defaultIdx) :+ s"""ANALYZE $qualified"""
   }
 
   /** Batched delete-before-insert for append mode

@@ -137,6 +137,43 @@ class ExpireLimitDiffSpec extends SparkSpecBase {
       FlexTableDef("bar", FlexIds.Way, Seq(col)))) // distinct names OK
   }
 
+  test("lua-index-definitions.feature: index DDL forms") {
+    import graft.flex._
+    import graft.sinks.PgSink
+    val cols = Seq(FlexColumn("name", FlexType.Text),
+      FlexColumn("geom", FlexType.Geometry))
+
+    // no indexes field → default geometry gist
+    val tDefault = FlexTableDef("t1", FlexIds.Node, cols)
+    assert(PgSink.postLoadDdl(tDefault, updatable = false).exists(
+      _.contains("""USING gist ("geom")""")))
+    // empty indexes field → no index at all
+    val tNone = FlexTableDef("t1", FlexIds.Node, cols, indexes = Some(Nil))
+    assert(!PgSink.postLoadDdl(tNone, updatable = false)
+      .exists(_.contains("CREATE INDEX")))
+    // explicit column index
+    val idx = FlexIndex("btree", columns = Seq("name"))
+    assert(idx.createIndexDdl(""""public"."t1"""") ==
+      """CREATE INDEX ON "public"."t1" USING btree ("name")""")
+    // all the trimmings, reference joiner order
+    val full = FlexIndex("btree", columns = Seq("name"),
+      name = "idx", unique = true, includeColumns = Seq("tags"),
+      fillfactor = 80, tablespace = "ts", where = "name IS NOT NULL")
+    assert(full.createIndexDdl(""""public"."t1"""") ==
+      """CREATE UNIQUE INDEX "idx" ON "public"."t1" USING btree ("name") """ +
+      """INCLUDE ("tags") WITH (fillfactor = 80) TABLESPACE "ts" """ +
+      """WHERE name IS NOT NULL""")
+    // expression index; column+expression and neither are rejected
+    assert(FlexIndex("btree", expression = "lower(name)")
+      .createIndexDdl("t") == """CREATE INDEX ON t USING btree (lower(name))""")
+    assert(intercept[IllegalArgumentException] {
+      FlexIndex("btree")
+    }.getMessage.contains("'column' or an 'expression'"))
+    assert(intercept[IllegalArgumentException] {
+      FlexIndex("btree", columns = Seq("a"), expression = "b")
+    }.getMessage.contains("can not have both"))
+  }
+
   test("streaming diff expire: only changed parts dirty per update") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streams
