@@ -182,7 +182,12 @@ final case class FlexTableDef(
     /** None = default indexing (geometry GiST + id for updatable
       * tables); Some(Nil) = explicitly NO indexes; Some(list) =
       * exactly these (lua-index-definitions.feature). */
-    indexes: Option[Seq[FlexIndex]] = None) {
+    indexes: Option[Seq[FlexIndex]] = None,
+    /** cluster-by-geometry on write ({cluster='no'} disables,
+      * nocluster.feature; flex_table_t::cluster_by_geom,
+      * src/flex-table.hpp:77-99) — gates the SFC sort-on-write in the
+      * parquet sink, the CLUSTER analog */
+    cluster: Boolean = true) {
   // define-time validation (lua-table-definitions.feature /
   // src/flex-lua-table.cpp): a table needs a name and ≥1 column
   require(name.nonEmpty, "The table must contain a 'name' string field.")

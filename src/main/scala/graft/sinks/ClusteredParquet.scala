@@ -29,12 +29,18 @@ object ClusteredParquet {
 
   /** Spatially clustered write: repartitionByRange on the SFC key (so
     * files = contiguous curve ranges), sortWithinPartitions (so row
-    * groups are tight), drop the key. */
+    * groups are tight), drop the key. `cluster = false` ({cluster='no'},
+    * nocluster.feature) writes unordered — same rows, no sort cost,
+    * no row-group locality. */
   def write(df: DataFrame, path: String, lonCol: String, latCol: String,
-      numFiles: Int, zoom: Int = DefaultZoom): Unit =
-    withSfcKey(df, lonCol, latCol, zoom)
-      .repartitionByRange(numFiles, col("__sfc"))
-      .sortWithinPartitions(col("__sfc"))
-      .drop("__sfc")
-      .write.mode("overwrite").parquet(path)
+      numFiles: Int, zoom: Int = DefaultZoom,
+      cluster: Boolean = true): Unit =
+    if (cluster)
+      withSfcKey(df, lonCol, latCol, zoom)
+        .repartitionByRange(numFiles, col("__sfc"))
+        .sortWithinPartitions(col("__sfc"))
+        .drop("__sfc")
+        .write.mode("overwrite").parquet(path)
+    else
+      df.repartition(numFiles).write.mode("overwrite").parquet(path)
 }
