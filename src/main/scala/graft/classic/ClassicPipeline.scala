@@ -112,6 +112,19 @@ object ClassicPipeline {
   private val toPts = (lons: Seq[Double], lats: Seq[Double]) =>
     lons.zip(lats).map { case (x, y) => Pt(x, y) }
 
+  /** The legacy Lua tagtransform hook (src/tagtransform-lua.cpp:84-213:
+    * filter_tags_node/way/relation, filter_rel_member_tags): per-entity
+    * user closures REPLACING the style-file filter. Each closure gets
+    * the raw entity frame and must add `__keep` (boolean) and
+    * `__outtags` (map<string,string>); the way closure must also add
+    * `__polygon` and may add `__roads` (defaults to the z_order roads
+    * rule otherwise). The relation closure owns its full tag logic —
+    * the default type-tag strip is not applied over it. */
+  final case class TagTransform(
+      node: Option[DataFrame => DataFrame] = None,
+      way: Option[DataFrame => DataFrame] = None,
+      relation: Option[DataFrame => DataFrame] = None)
+
   /** Restriction sets for incremental runs: when given, only these ids
     * are *derived* (resolution still sees every entity — member ways
     * of an untouched relation must resolve even if not re-derived). */
@@ -128,7 +141,8 @@ object ClassicPipeline {
   def run(osm: OsmDataFrames, style: Style, srid: Int = Srid.WebMercator,
       subset: Subset = Subset(), hstore: Boolean = false,
       hstoreMatchOnly: Boolean = false,
-      extraAttributes: Boolean = false): Tables4 = {
+      extraAttributes: Boolean = false,
+      tagTransform: TagTransform = TagTransform()): Tables4 = {
     val spark = osm.nodes.sparkSession
     val splitAt = if (srid == Srid.WGS84) 1.0 else 100 * 1000.0
 
@@ -170,23 +184,33 @@ object ClassicPipeline {
     })
 
     // ---- nodes → point table ----
-    val points = withFilter(restrict(osm.nodes, subset.nodeIds), style,
-      "node", wantPolygon = false, hstore = hstore,
-      hstoreMatchOnly = hstoreMatchOnly, extraAttributes = extraAttributes)
+    val filteredNodes = tagTransform.node
+      .map(f => f(restrict(osm.nodes, subset.nodeIds)))
+      .getOrElse(withFilter(restrict(osm.nodes, subset.nodeIds), style,
+        "node", wantPolygon = false, hstore = hstore,
+        hstoreMatchOnly = hstoreMatchOnly,
+        extraAttributes = extraAttributes))
+    val points = filteredNodes
       .where(col("__keep") && size(col("__outtags")) > 0)
       .select(col("id").as("osm_id"), col("__outtags").as("tags"),
         col("lon"), col("lat"))
 
     // ---- ways ----
-    val keptWays = withFilter(restrict(osm.ways, subset.wayIds), style,
-      "way", wantPolygon = true, hstore = hstore,
-      hstoreMatchOnly = hstoreMatchOnly, extraAttributes = extraAttributes)
+    val filteredWays = tagTransform.way
+      .map(f => f(restrict(osm.ways, subset.wayIds)))
+      .getOrElse(withFilter(restrict(osm.ways, subset.wayIds), style,
+        "way", wantPolygon = true, hstore = hstore,
+        hstoreMatchOnly = hstoreMatchOnly,
+        extraAttributes = extraAttributes))
+    val keptWays0 = filteredWays
       .where(col("__keep") && size(col("__outtags")) > 0)
       .where(size(col("nodes")) > 0) // ANSI element_at guard; no-ref ways
       .withColumn("__closed",
         element_at(col("nodes"), 1) ===
           element_at(col("nodes"), size(col("nodes"))))
-      .withColumn("__roads", TagFunctions.isRoads(col("__outtags")))
+    val keptWays = (if (filteredWays.columns.contains("__roads")) keptWays0
+      else keptWays0
+        .withColumn("__roads", TagFunctions.isRoads(col("__outtags"))))
       .withColumn("__z", TagFunctions.zOrder(col("__outtags")))
     // resolve ALL ways ONCE; the kept-ways join below restricts it, and
     // the relation-member fetch reuses the same exchange instead of
@@ -224,11 +248,15 @@ object ClassicPipeline {
     // (filter_rel_member_tags copies everything BUT type,
     // src/tagtransform-c.cpp:249-258) — matters in hstore mode where
     // type would otherwise survive the export filter
-    val keptRels = withFilter(typed, style, "relation",
-      wantPolygon = false, hstore = hstore,
-      hstoreMatchOnly = hstoreMatchOnly, extraAttributes = extraAttributes)
-      .withColumn("__outtags",
-        map_filter(col("__outtags"), (k, _) => k =!= "type"))
+    val filteredRels = tagTransform.relation
+      .map(f => f(typed))
+      .getOrElse(withFilter(typed, style, "relation",
+        wantPolygon = false, hstore = hstore,
+        hstoreMatchOnly = hstoreMatchOnly,
+        extraAttributes = extraAttributes)
+        .withColumn("__outtags",
+          map_filter(col("__outtags"), (k, _) => k =!= "type")))
+    val keptRels = filteredRels
       .where(col("__keep") && size(col("__outtags")) > 0)
       .withColumn("__boundary",
         col("__type") === "boundary" ||
