@@ -175,6 +175,16 @@ object FlexIds extends Enumeration {
   val NoIndex, Node, Way, Relation, Area, AnyObject, Tile = Value
 }
 
+object Flex {
+  /** check_identifier (src/pgsql.cpp:259-270): the exact character
+    * set the reference rejects in table/column/schema names. */
+  private val SpecialChars = "\"',.;$%&/()<>{}=?^*#".toSet
+
+  def checkIdentifier(name: String, in: String): Unit =
+    require(!name.exists(SpecialChars),
+      s"Special characters are not allowed in $in: '$name'.")
+}
+
 final case class FlexTableDef(
     name: String,
     ids: FlexIds.Value,
@@ -187,14 +197,34 @@ final case class FlexTableDef(
       * nocluster.feature; flex_table_t::cluster_by_geom,
       * src/flex-table.hpp:77-99) — gates the SFC sort-on-write in the
       * parquet sink, the CLUSTER analog */
-    cluster: Boolean = true) {
+    cluster: Boolean = true,
+    /** ids.id_column (src/flex-lua-table.cpp:449-464); ignored for
+      * NoIndex tables, which carry no id at all
+      * (table-ids.feature). */
+    idColumn: String = "osm_id",
+    /** ids.cache (lua-table-ids.feature): node-id membership cache.
+      * The set-at-a-time analog keeps the contract — declaring it on
+      * anything but node ids is a define-time error. */
+    idCache: Boolean = false) {
   // define-time validation (lua-table-definitions.feature /
   // src/flex-lua-table.cpp): a table needs a name and ≥1 column
   require(name.nonEmpty, "The table must contain a 'name' string field.")
   require(columns.nonEmpty, s"No columns defined for table '$name'.")
+  Flex.checkIdentifier(name, "table names")
+  Flex.checkIdentifier(idColumn, "column names")
+  columns.foreach(c => Flex.checkIdentifier(c.name, "column names"))
+  require(!idCache || ids == FlexIds.Node,
+    "ID cache only available for node ids.")
+
+  /** true when the table has an id column to delete-by / join-on;
+    * NoIndex tables are insert-only (table-ids.feature: appended runs
+    * never remove their rows). */
+  def hasIds: Boolean = ids != FlexIds.NoIndex
 
   def schema: StructType = StructType(
-    StructField("osm_id", LongType, nullable = false) +:
+    (if (hasIds)
+      Seq(StructField(idColumn, LongType, nullable = false))
+    else Nil) ++
       columns.map(c => StructField(c.name, FlexType.sparkType(c.ctype),
         nullable = !c.notNull)))
 

@@ -49,8 +49,11 @@ object FlexRunner {
       val t = defs(name)
       val unioned = parts.map(_._2).reduce(_ unionByName _)
       // declared columns only, coerced; absent columns become NULL
-      // (a Lua insert without the field, flex-write.cpp:274-279)
-      val cols: Seq[Column] = col("osm_id") +: t.columns.map { c =>
+      // (a Lua insert without the field, flex-write.cpp:274-279);
+      // NoIndex tables carry no id column at all (table-ids.feature)
+      val idCols: Seq[Column] =
+        if (t.hasIds) Seq(col(t.idColumn)) else Nil
+      val cols: Seq[Column] = idCols ++ t.columns.map { c =>
         val in = if (unioned.columns.contains(c.name)) col(c.name)
           else lit(null)
         Coerce.coerce(in, c).as(c.name)
