@@ -362,6 +362,9 @@ object FlexConfig {
   /** Registry check at config load (src/flex-lua-table.cpp: duplicate
     * define_table is an error, lua-table-definitions.feature). */
   def validateTables(tables: Seq[FlexTableDef]): Unit = {
+    // a flex run without a single output table is a config error
+    // (lua-basics.feature; src/output-flex.cpp's startup check)
+    require(tables.nonEmpty, "No output tables defined")
     val seen = scala.collection.mutable.Set.empty[String]
     tables.foreach { t =>
       require(seen.add(t.name),

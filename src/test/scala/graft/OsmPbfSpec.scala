@@ -19,6 +19,17 @@ class OsmPbfSpec extends SparkSpecBase {
     assert(spans.count(_.blobType == "OSMData") >= 1)
   }
 
+  test("per-callback entity counts (lua-callbacks.feature goldens)") {
+    // the reference invokes process_* for tagged objects only
+    // (untagged ones go to process_untagged_*); its own golden for
+    // this extract is 1562 / 7105 / 113 — the file holds 16 untagged
+    // ways on top of that
+    val osm = OsmPbf.read(spark, path)
+    assert(osm.nodes.where(size($"tags") > 0).count() == 1562L)
+    assert(osm.ways.where(size($"tags") > 0).count() == 7105L)
+    assert(osm.relations.where(size($"tags") > 0).count() == 113L)
+  }
+
   test("decode: counts, bbox, ordering, ref integrity") {
     val osm = OsmPbf.read(spark, path)
     val nNodes = osm.nodes.count()

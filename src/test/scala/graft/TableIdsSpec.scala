@@ -95,6 +95,13 @@ class TableIdsSpec extends SparkSpecBase {
       Seq(FlexColumn("bar_baz9", FlexType.Text)))
   }
 
+  test("a config with no tables is rejected (lua-basics.feature)") {
+    val e = intercept[IllegalArgumentException] {
+      FlexConfig.validateTables(Nil)
+    }
+    assert(e.getMessage.contains("No output tables defined"))
+  }
+
   test("id cache is only available for node ids (lua-table-ids.feature)") {
     FlexTableDef("foo", FlexIds.Node,
       Seq(FlexColumn("bar", FlexType.Text)), idCache = true)
