@@ -176,6 +176,89 @@ object Dedup {
     * bucket from [[Similarity.hyperplaneBucket]]) — without it this is a
     * full cross product and only suitable for verification-sized data.
     */
+  /** Connected components over an undirected edge list — the step
+    * that turns near-dup *pairs* into dedup *clusters* (keep one doc
+    * per component). Alternating large-star / small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014):
+    * converges in O(log n) rounds regardless of component diameter,
+    * which is what makes it the 100 TB answer — naive label
+    * propagation needs O(diameter) rounds and a viral duplicate
+    * cluster chained through mirrors can be arbitrarily deep. Each
+    * round is two groupBy-min joins; `localCheckpoint` cuts the
+    * growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    *
+    * Returns (id, component) for every node in `edges`, component =
+    * the smallest id reachable.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRounds: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // canonical undirected edge set, self-loops dropped
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .where($"u" =!= $"v")
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: every neighbor larger than u links to the minimum
+    // of u's closed neighborhood; small-star: the ≤u neighbors and u
+    // itself re-link to that minimum.
+    def sym(d: DataFrame) =
+      d.select($"u", $"v").union(d.select($"v".as("u"), $"u".as("v")))
+    def star(d: DataFrame, large: Boolean): DataFrame = {
+      val nbr = if (large) sym(d) else sym(d).where($"v" < $"u")
+      val m = nbr.groupBy($"u")
+        .agg(least(min($"v"), first($"u")).as("m"))
+      val relinked = nbr.join(m, "u")
+        .where(if (large) $"v" > $"u" else $"v" =!= $"m")
+        .select($"v".as("a"), $"m".as("b"))
+      val self = m.where($"u" =!= $"m").select($"u".as("a"), $"m".as("b"))
+      (if (large) relinked else relinked.union(self))
+        .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+        .where($"u" =!= $"v").distinct()
+    }
+
+    // fixpoint test on a cheap content digest (count + hash xor) —
+    // one aggregate per round, no full sort/collect of the edge set
+    def digest(d: DataFrame) = d
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).first()
+
+    var round = 0
+    var converged = false
+    var prevDigest = digest(e)
+    while (!converged && round < maxRounds) {
+      val next = star(star(e, large = true), large = false)
+        .localCheckpoint()
+      val nextDigest = digest(next)
+      converged = nextDigest == prevDigest
+      prevDigest = nextDigest
+      e = next
+      round += 1
+    }
+
+    // converged edge set is a star forest onto component minima
+    sym(e).groupBy($"u".as("id"))
+      .agg(least(min($"v"), first($"u")).as("component"))
+  }
+
+  /** MinHash-LSH near-dup *clusters*: candidate pairs, verified by
+    * exact Jaccard ≥ `minJaccard`, collapsed into connected
+    * components. Returns (doc_id, cluster_id) for every clustered
+    * document, cluster_id = smallest doc_id in the cluster (the
+    * canonical keeper). */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val pairs = jaccardOnPairs(
+      minhashCandidatePairs(df, idCol, textCol), df, idCol, textCol)
+      .where(col("jaccard") >= minJaccard)
+    connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: Option[Column] = None): DataFrame = {
     // norms are computed ONCE per vector before the join — inside the

@@ -383,6 +383,31 @@ object Pipeline {
       | md5(text) AS content_md5
       |FROM documents""".stripMargin
 
+  /** Near-dup clusters: LSH pairs verified at Jaccard ≥ 0.5, closed
+    * into connected components (large-star/small-star). The DuckDB
+    * oracle closes the same verified edge set with a recursive CTE —
+    * fine at oracle scale, while the Spark side runs the O(log n)
+    * round algorithm that survives planet-scale duplicate graphs. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupClusters(Tables.documents(s, d), "doc_id", "text")
+
+  val dedupClustersSql: String =
+    s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |ws AS (SELECT doc_id, list_distinct($W) AS w FROM documents),
+       |verified AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  JOIN ws wa ON pairs.id_a = wa.doc_id
+       |  JOIN ws wb ON pairs.id_b = wb.doc_id
+       |  WHERE CAST(len(list_filter(wa.w, x -> list_contains(wb.w, x))) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) >= 0.5),
+       |sym AS (SELECT id_a AS u, id_b AS v FROM verified
+       |        UNION SELECT id_b, id_a FROM verified),
+       |reach(u, v) AS (SELECT u, v FROM sym
+       |        UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       |                WHERE s.v <> r.u)
+       |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |FROM reach GROUP BY u""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q10_dedup_exact"        -> (dedupExact _),
     "q11_dedup_sorted_fp"    -> (dedupSortedFp _),
@@ -401,7 +426,8 @@ object Pipeline {
     "q24_ngram_jaccard"      -> (ngramJaccard _),
     "q25_ivf_ann_topk"       -> (ivfAnnTopK _),
     "q26_bpe_token_stats"    -> (bpeTokenStats _),
-    "q27_multimodal_features" -> (multimodalFeatures _))
+    "q27_multimodal_features" -> (multimodalFeatures _),
+    "q52_dedup_clusters"     -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q10_dedup_exact"        -> dedupExactSql,
@@ -421,5 +447,6 @@ object Pipeline {
     "q24_ngram_jaccard"      -> ngramJaccardSql,
     "q25_ivf_ann_topk"       -> ivfAnnTopKSql,
     "q26_bpe_token_stats"    -> bpeTokenStatsSql,
-    "q27_multimodal_features" -> multimodalFeaturesSql)
+    "q27_multimodal_features" -> multimodalFeaturesSql,
+    "q52_dedup_clusters"     -> dedupClustersSql)
 }

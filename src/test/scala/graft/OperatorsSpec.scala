@@ -322,4 +322,43 @@ class OperatorsSpec extends SparkSpecBase {
       .select($"jaccard").as[Double].head()
     assert(j12 == 1.0)
   }
+
+  test("connected components: chains, stars, multiple components") {
+    def cc(edges: (Long, Long)*): Map[Long, Long] =
+      Dedup.connectedComponents(edges.toSeq.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+
+    // a 6-deep chain — the case O(diameter) label propagation crawls
+    // through and large-star/small-star collapses in O(log n)
+    assert(cc(2L -> 1L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L, 6L -> 7L)
+      == (1L to 7L).map(_ -> 1L).toMap)
+    // two components + reversed/duplicated/self edges
+    assert(cc(10L -> 20L, 20L -> 10L, 20L -> 30L, 30L -> 30L,
+      100L -> 200L)
+      == Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+        100L -> 100L, 200L -> 100L))
+    // a star centered on the largest id
+    assert(cc(9L -> 1L, 9L -> 2L, 9L -> 3L)
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L))
+  }
+
+  test("near-dup clusters merge transitive LSH pairs") {
+    // LSH bands collide for 1~2 and 2~3 but NOT 1~3 (checked against
+    // the salted-md5 scheme offline) — the cluster only closes over
+    // {1,2,3} through the transitive edge; d4 is unrelated
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lam mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("beta", "changed2")),
+      (3L, base.replace("beta", "changed2").replace("theta", "changed3")),
+      (4L, "entirely unrelated content about distributed query planning"))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+      minJaccard = 0.5).as[(Long, Long)].collect().toMap
+    assert(clusters.getOrElse(1L, -1L) == 1L)
+    assert(clusters.getOrElse(2L, -1L) == 1L)
+    assert(clusters.getOrElse(3L, -1L) == 1L)
+    assert(!clusters.contains(4L))
+  }
 }
