@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and sequence packing for training-data
+  * pipelines.
+  *
+  * Every operator here is reproducible by construction: selection is
+  * keyed on a content/id digest, never on `rand()`. That is what makes
+  * a 100 TB sampling job restartable (a re-run of a failed partition
+  * picks the same rows), auditable (the oracle can recompute the exact
+  * sample), and stable across cluster sizes (no per-partition RNG
+  * seeds). The digests are plain md5 strings compared
+  * lexicographically, which evaluates identically in Spark and DuckDB.
+  *
+  * Scale notes: the Bernoulli filter is a map-only predicate pushed at
+  * the scan; stratified top-n shuffles once on the stratum key; packing
+  * windows are partitioned by shard, so a planet-sized corpus packs
+  * one shard per task with no global ordering anywhere.
+  */
+object Sampling {
+
+  /** Digest used for all deterministic ordering/thresholding. */
+  private def digest(idCol: String) =
+    md5(col(idCol).cast("string"))
+
+  /** Deterministic Bernoulli sample: keeps a row iff the first two hex
+    * digits of md5(id) fall below `hexThreshold` (e.g. "1a" keeps
+    * 26/256 ≈ 10.2%). A pure per-row predicate — no shuffle, no RNG
+    * state, pushdown-friendly. */
+  def hashSample(df: DataFrame, idCol: String,
+      hexThreshold: String): DataFrame =
+    df.where(substring(digest(idCol), 1, 2) < lit(hexThreshold))
+
+  /** Deterministic stratified sample: the `n` rows of each stratum
+    * with the smallest (md5(id), id) — a per-stratum uniform draw
+    * that is exactly reproducible. One shuffle on the stratum key. */
+  def stratified(df: DataFrame, stratumCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(digest(idCol), col(idCol))
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
+  }
+
+  /** Sequence packing: concatenate each shard's documents (in id
+    * order) into one token stream and chop it into fixed-size context
+    * windows, the standard LLM pre-training layout where documents may
+    * straddle window boundaries. Returns per document its start
+    * offset in the shard stream and the first/last window it lands
+    * in. Windows are per-shard, so parallelism = number of shards and
+    * no global sort exists. */
+  def packSequences(df: DataFrame, shardCol: String, idCol: String,
+      tokCountCol: String, windowTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    val cum = sum(col(tokCountCol)).over(w)
+    val start = (cum - col(tokCountCol)).as("start_offset")
+    df.select(col(shardCol), col(idCol), col(tokCountCol),
+        start, cum.as("end_offset"))
+      .where(col(tokCountCol) > 0)
+      .withColumn("first_window",
+        floor(col("start_offset") / windowTokens))
+      .withColumn("last_window",
+        floor((col("end_offset") - 1) / windowTokens))
+  }
+}

@@ -408,6 +408,53 @@ object Pipeline {
        |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
        |FROM reach GROUP BY u""".stripMargin
 
+  /** Deterministic sampling: a ~10% Bernoulli hash filter composed
+    * with a per-language stratified top-5 — both keyed on md5(doc_id)
+    * so the oracle reproduces the exact sample. */
+  def hashSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Sampling.stratified(
+      graft.operators.Sampling.hashSample(
+        Tables.documents(s, d), "doc_id", "40"),
+      "lang", "doc_id", 5)
+      .select($"lang", $"doc_id", $"rk")
+  }
+
+  val hashSampleSql: String =
+    """WITH kept AS (
+      |  SELECT lang, doc_id FROM documents
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'),
+      |ranked AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM kept)
+      |SELECT lang, doc_id, rk FROM ranked WHERE rk <= 5""".stripMargin
+
+  /** Sequence packing into 2048-token context windows, sharded by
+    * language (per-shard streams, no global sort). */
+  def sequencePack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"lang", $"doc_id",
+        size(graft.functions.TextFunctions.normToks($"text")).as("n_tok"))
+    graft.operators.Sampling.packSequences(
+      docs, "lang", "doc_id", "n_tok", 2048)
+  }
+
+  val sequencePackSql: String =
+    s"""WITH t AS (SELECT lang, doc_id, len($W) AS n_tok FROM documents)
+       |SELECT lang, doc_id, n_tok,
+       |  sum(n_tok) OVER w - n_tok AS start_offset,
+       |  sum(n_tok) OVER w AS end_offset,
+       |  CAST(floor((sum(n_tok) OVER w - n_tok) / 2048) AS BIGINT)
+       |    AS first_window,
+       |  CAST(floor((sum(n_tok) OVER w - 1) / 2048) AS BIGINT)
+       |    AS last_window
+       |FROM t WHERE n_tok > 0
+       |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q10_dedup_exact"        -> (dedupExact _),
     "q11_dedup_sorted_fp"    -> (dedupSortedFp _),
@@ -427,7 +474,9 @@ object Pipeline {
     "q25_ivf_ann_topk"       -> (ivfAnnTopK _),
     "q26_bpe_token_stats"    -> (bpeTokenStats _),
     "q27_multimodal_features" -> (multimodalFeatures _),
-    "q52_dedup_clusters"     -> (dedupClusters _))
+    "q52_dedup_clusters"     -> (dedupClusters _),
+    "q53_hash_sample"        -> (hashSample _),
+    "q54_sequence_pack"      -> (sequencePack _))
 
   val oracles: Map[String, String] = Map(
     "q10_dedup_exact"        -> dedupExactSql,
@@ -448,5 +497,7 @@ object Pipeline {
     "q25_ivf_ann_topk"       -> ivfAnnTopKSql,
     "q26_bpe_token_stats"    -> bpeTokenStatsSql,
     "q27_multimodal_features" -> multimodalFeaturesSql,
-    "q52_dedup_clusters"     -> dedupClustersSql)
+    "q52_dedup_clusters"     -> dedupClustersSql,
+    "q53_hash_sample"        -> hashSampleSql,
+    "q54_sequence_pack"      -> sequencePackSql)
 }
