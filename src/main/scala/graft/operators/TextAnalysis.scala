@@ -110,4 +110,29 @@ object TextAnalysis {
         (sum(nBpe).cast("double") / count(lit(1)).cast("double"))
           .as("avg_bpe"))
   }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word `n`-gram with a held-out benchmark corpus (the standard
+    * test-set-leakage filter run before LLM pre-training). Returns
+    * (id, n_hits) for contaminated documents — anti-join the result
+    * against the corpus to drop them.
+    *
+    * Scale shape: the benchmark is orders of magnitude smaller than
+    * the corpus, so its distinct gram set is BROADCAST — the corpus
+    * side stays a map-only scan + broadcast-hash-join + partial
+    * count, no all-to-all shuffle of 100 TB of grams. Gram extraction
+    * is the codegen'd shingle kernel, per-doc distinct. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val probeGrams = docs.select(col(idCol),
+      explode(graft.expressions.VectorExpressions
+        .shinglesN(normToks(col(textCol)), n, distinct = true)).as("g"))
+    val benchGrams = benchmark.select(
+      explode(graft.expressions.VectorExpressions
+        .shinglesN(normToks(col(benchTextCol)), n, distinct = true))
+        .as("g")).distinct()
+    probeGrams.join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

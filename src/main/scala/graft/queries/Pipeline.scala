@@ -455,6 +455,31 @@ object Pipeline {
        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Decontamination: the hash-sampled quarter of the corpus plays
+    * the held-out benchmark; the rest is probed for any shared word
+    * 8-gram (broadcast benchmark grams — the at-scale shape). */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBench =
+      substring(md5(col("doc_id").cast("string")), 1, 2) < lit("40")
+    TextAnalysis.decontaminate(
+      docs.where(!isBench), "doc_id", "text",
+      docs.where(isBench), "text", n = 8)
+  }
+
+  val decontaminateSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 6, 1)),
+       |    i -> array_to_string(w[i:i+7], ' '))) AS gr
+       |  FROM (SELECT doc_id, $W AS w FROM documents)),
+       |bench AS (SELECT DISTINCT unnest(gr) AS gram FROM g
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'),
+       |probe AS (SELECT doc_id, unnest(gr) AS gram FROM g
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '40')
+       |SELECT probe.doc_id, count(*) AS n_hits
+       |FROM probe JOIN bench USING (gram) GROUP BY probe.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q10_dedup_exact"        -> (dedupExact _),
     "q11_dedup_sorted_fp"    -> (dedupSortedFp _),
@@ -476,7 +501,8 @@ object Pipeline {
     "q27_multimodal_features" -> (multimodalFeatures _),
     "q52_dedup_clusters"     -> (dedupClusters _),
     "q53_hash_sample"        -> (hashSample _),
-    "q54_sequence_pack"      -> (sequencePack _))
+    "q54_sequence_pack"      -> (sequencePack _),
+    "q55_decontaminate"      -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(
     "q10_dedup_exact"        -> dedupExactSql,
@@ -499,5 +525,6 @@ object Pipeline {
     "q27_multimodal_features" -> multimodalFeaturesSql,
     "q52_dedup_clusters"     -> dedupClustersSql,
     "q53_hash_sample"        -> hashSampleSql,
-    "q54_sequence_pack"      -> sequencePackSql)
+    "q54_sequence_pack"      -> sequencePackSql,
+    "q55_decontaminate"      -> decontaminateSql)
 }

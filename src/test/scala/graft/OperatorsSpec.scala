@@ -323,6 +323,23 @@ class OperatorsSpec extends SparkSpecBase {
     assert(j12 == 1.0)
   }
 
+  test("decontamination flags only docs sharing an n-gram run") {
+    val bench = Seq((100L, "the capital of france is paris and it is large"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // shares the full 8-gram run (verbatim leak)
+      (1L, "quiz answer: the capital of france is paris and it is large ok"),
+      // shares 7 tokens only — below the 8-gram bar
+      (2L, "the capital of france is paris and nothing else here at all"),
+      (3L, "completely unrelated text with plenty of tokens to spare here"))
+      .toDF("doc_id", "text")
+    val hits = graft.operators.TextAnalysis
+      .decontaminate(docs, "doc_id", "text", bench, "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.contains(1L) && hits(1L) >= 1L)
+    assert(!hits.contains(2L) && !hits.contains(3L))
+  }
+
   test("connected components: chains, stars, multiple components") {
     def cc(edges: (Long, Long)*): Map[Long, Long] =
       Dedup.connectedComponents(edges.toSeq.toDF("a", "b"), "a", "b")
