@@ -111,6 +111,27 @@ object TextAnalysis {
           .as("avg_bpe"))
   }
 
+  /** Repetition ratios (the Gopher-style quality rules): per document,
+    * the fraction of duplicate 2-grams and 3-grams — high values mean
+    * boilerplate/looping text. Pure per-row projection via the
+    * codegen'd shingle kernel; `rep_ok` applies the paper-shaped
+    * thresholds (dup-2gram < 0.2, dup-3gram < 0.18). Documents too
+    * short for a gram level report 0 for it. */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = normToks(col(textCol))
+    def dupFrac(k: Int) = {
+      val sh = graft.expressions.VectorExpressions.shinglesN(w, k)
+      when(size(sh) <= 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(sh)).cast("double") /
+          size(sh).cast("double"))
+    }
+    df.select(col(idCol),
+      dupFrac(2).as("dup2_frac"),
+      dupFrac(3).as("dup3_frac"))
+      .withColumn("rep_ok",
+        col("dup2_frac") < 0.2 && col("dup3_frac") < 0.18)
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word `n`-gram with a held-out benchmark corpus (the standard
     * test-set-leakage filter run before LLM pre-training). Returns

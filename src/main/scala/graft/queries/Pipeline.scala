@@ -480,6 +480,48 @@ object Pipeline {
        |SELECT probe.doc_id, count(*) AS n_hits
        |FROM probe JOIN bench USING (gram) GROUP BY probe.doc_id""".stripMargin
 
+  /** Per-label embedding centroids in exact integer arithmetic:
+    * quantized components summed per (label, dimension) — the class
+    * analysis / kmeans-update shape, shuffle-order independent. */
+  def labelCentroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"label",
+        posexplode(quantize($"embedding")).as(Seq("dim0", "q")))
+      .groupBy($"label", ($"dim0" + 1).as("dim"))
+      .agg(sum($"q").as("qsum"), count(lit(1)).as("n"))
+      .select($"label", $"dim", $"qsum", $"n",
+        ($"qsum".cast("double") / ($"n" * 1000).cast("double"))
+          .as("centroid"))
+  }
+
+  val labelCentroidsSql: String =
+    s"""WITH x AS (SELECT label, unnest(q) AS qi,
+       |    generate_subscripts(q, 1) AS dim
+       |  FROM (SELECT label, ${qv("embedding")} AS q FROM embeddings))
+       |SELECT label, CAST(dim AS BIGINT) AS dim,
+       |  CAST(sum(qi) AS BIGINT) AS qsum, count(*) AS n,
+       |  CAST(sum(qi) AS DOUBLE) / (count(*) * 1000.0) AS centroid
+       |FROM x GROUP BY label, dim""".stripMargin
+
+  def repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")
+
+  val repetitionSql: String = {
+    def dup(k: Int) = {
+      val sh = s"list_transform(range(1, greatest(len(w) - ${k - 2}, 1)), " +
+        s"i -> array_to_string(w[i:i+${k - 1}], ' '))"
+      s"""CASE WHEN len($sh) <= 0 THEN 0.0
+         | ELSE 1.0 - CAST(len(list_distinct($sh)) AS DOUBLE) /
+         |   CAST(len($sh) AS DOUBLE) END""".stripMargin
+    }
+    s"""SELECT doc_id,
+       |  ${dup(2)} AS dup2_frac,
+       |  ${dup(3)} AS dup3_frac,
+       |  (${dup(2)}) < 0.2 AND (${dup(3)}) < 0.18 AS rep_ok
+       |FROM (SELECT doc_id, $W AS w FROM documents)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q10_dedup_exact"        -> (dedupExact _),
     "q11_dedup_sorted_fp"    -> (dedupSortedFp _),
@@ -502,7 +544,9 @@ object Pipeline {
     "q52_dedup_clusters"     -> (dedupClusters _),
     "q53_hash_sample"        -> (hashSample _),
     "q54_sequence_pack"      -> (sequencePack _),
-    "q55_decontaminate"      -> (decontaminate _))
+    "q55_decontaminate"      -> (decontaminate _),
+    "q56_label_centroids"    -> (labelCentroids _),
+    "q57_repetition"         -> (repetition _))
 
   val oracles: Map[String, String] = Map(
     "q10_dedup_exact"        -> dedupExactSql,
@@ -526,5 +570,7 @@ object Pipeline {
     "q52_dedup_clusters"     -> dedupClustersSql,
     "q53_hash_sample"        -> hashSampleSql,
     "q54_sequence_pack"      -> sequencePackSql,
-    "q55_decontaminate"      -> decontaminateSql)
+    "q55_decontaminate"      -> decontaminateSql,
+    "q56_label_centroids"    -> labelCentroidsSql,
+    "q57_repetition"         -> repetitionSql)
 }
