@@ -102,4 +102,45 @@ class PlanSpec extends SparkSpecBase {
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
       "q50's p_size filter must reach the parquet scan")
   }
+
+  test("decontamination broadcasts the benchmark gram set") {
+    // the corpus side must stay a scan + broadcast join: shuffling
+    // 100 TB of corpus grams to meet a benchmark of MBs is the
+    // failure mode this pins against
+    val p = plan("q55_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "benchmark grams should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no all-to-all join may appear in decontamination")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hash sampling shuffles only for the stratum window") {
+    val p = plan("q53_hash_sample")
+    // the Bernoulli stage adds no exchange of its own: the only
+    // shuffle is the stratified window's hash partition on lang
+    assert(p.contains("Window"), "stratified draw is a window rank")
+    assert(p.contains("Exchange") && p.contains("hashpartitioning(lang"),
+      "the window must distribute by the stratum key")
+    assert(!p.contains("SinglePartition"),
+      "sampling must never serialize onto one partition")
+  }
+
+  test("sequence packing windows are shard-partitioned") {
+    val p = plan("q54_sequence_pack")
+    // a global (unpartitioned) running sum would show a SinglePartition
+    // exchange — the shard column must drive the distribution instead
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"),
+      "packing must never serialize onto one partition")
+  }
+
+  test("connected components: star rounds stay equi-joins") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val p = planOf(graft.operators.Dedup
+      .connectedComponents(edges, "a", "b"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "CC must be built from equi-joins/aggregates only")
+  }
 }
