@@ -359,6 +359,16 @@ class OperatorsSpec extends SparkSpecBase {
       == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L))
   }
 
+  test("connected components collapse a 512-node chain (log-round bound)") {
+    // worst case for label propagation (diameter 511); the star
+    // alternation must finish far under the 50-round cap — this is
+    // the property that holds at planet scale
+    val edges = (1L until 512L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges, "a", "b", maxRounds = 12)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 512 && labels.forall(_._2 == 1L))
+  }
+
   test("near-dup clusters merge transitive LSH pairs") {
     // LSH bands collide for 1~2 and 2~3 but NOT 1~3 (checked against
     // the salted-md5 scheme offline) — the cluster only closes over
