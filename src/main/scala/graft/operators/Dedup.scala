@@ -195,14 +195,22 @@ object Dedup {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // round snapshots: lineage cut via a local-checkpointed RDD we
+    // hold a handle to, so each superseded round's blocks are freed
+    // eagerly instead of waiting for the context cleaner's GC sweep
+    def snapshot(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd
+      r.localCheckpoint()
+      (spark.createDataFrame(r, df.schema), r)
+    }
+
     // canonical undirected edge set, self-loops dropped
-    var e = edges
+    var (e, eRdd) = snapshot(edges
       .select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .where($"u" =!= $"v")
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     // large-star: every neighbor larger than u links to the minimum
     // of u's closed neighborhood; small-star: the ≤u neighbors and u
@@ -231,14 +239,22 @@ object Dedup {
     var converged = false
     var prevDigest = digest(e)
     while (!converged && round < maxRounds) {
-      val next = star(star(e, large = true), large = false)
-        .localCheckpoint()
-      val nextDigest = digest(next)
+      val (next, nextRdd) = snapshot(star(star(e, large = true),
+        large = false))
+      val nextDigest = digest(next) // materializes next's checkpoint
       converged = nextDigest == prevDigest
       prevDigest = nextDigest
+      eRdd.unpersist(blocking = false) // superseded round, free it
       e = next
+      eRdd = nextRdd
       round += 1
     }
+    // the final aggregation below assumes a star forest — on a
+    // non-converged graph it would return plausible-looking but WRONG
+    // labels, so refuse instead (O(log n) rounds suffice for any
+    // graph; hitting the cap means the cap is set far too low)
+    require(converged,
+      s"connectedComponents did not converge in $maxRounds rounds")
 
     // converged edge set is a star forest onto component minima
     sym(e).groupBy($"u".as("id"))

@@ -53,7 +53,11 @@ object Sampling {
     * no global sort exists. */
   def packSequences(df: DataFrame, shardCol: String, idCol: String,
       tokCountCol: String, windowTokens: Int): DataFrame = {
+    // explicit ROWS frame: the default RANGE frame would merge
+    // duplicate (shard, id) rows into one cumulative step, overlapping
+    // their token ranges (and diverging from the ROWS-framed oracle)
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = sum(col(tokCountCol)).over(w)
     val start = (cum - col(tokCountCol)).as("start_offset")
     df.select(col(shardCol), col(idCol), col(tokCountCol),

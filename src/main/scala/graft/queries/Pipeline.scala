@@ -408,9 +408,9 @@ object Pipeline {
        |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
        |FROM reach GROUP BY u""".stripMargin
 
-  /** Deterministic sampling: a ~10% Bernoulli hash filter composed
-    * with a per-language stratified top-5 — both keyed on md5(doc_id)
-    * so the oracle reproduces the exact sample. */
+  /** Deterministic sampling: a 25% Bernoulli hash filter ("40"/256)
+    * composed with a per-language stratified top-5 — both keyed on
+    * md5(doc_id) so the oracle reproduces the exact sample. */
   def hashSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.operators.Sampling.stratified(

@@ -56,7 +56,11 @@ object PgSink {
     * like the reference's interim tables (src/flex-table.hpp:58-66). */
   def createTableDdl(t: FlexTableDef, unlogged: Boolean = true,
       schema: String = "public"): String = {
-    val cols = ("osm_id int8" +: t.columns.map { c =>
+    // NoIndex tables carry no id column at all (table-ids.feature);
+    // otherwise the user's ids.id_column name is used verbatim
+    val idCols =
+      if (t.hasIds) Seq(s""""${t.idColumn}" int8""") else Nil
+    val cols = (idCols ++ t.columns.map { c =>
       s""""${c.name}" ${sqlType(c)}${if (c.notNull) " NOT NULL" else ""}"""
     }).mkString(", ")
     val ul = if (unlogged) "UNLOGGED " else ""
@@ -76,8 +80,8 @@ object PgSink {
       val geomIdx = t.columns
         .filter(c => FlexType.sparkType(c.ctype) == BinaryType)
         .map(c => s"""CREATE INDEX ON $qualified USING gist ("${c.name}")""")
-      val idIdx = if (updatable)
-        Seq(s"""CREATE INDEX ON $qualified (osm_id)""") else Nil
+      val idIdx = if (updatable && t.hasIds)
+        Seq(s"""CREATE INDEX ON $qualified ("${t.idColumn}")""") else Nil
       geomIdx ++ idIdx
     }
     Seq(s"""ALTER TABLE $qualified SET LOGGED""") ++
@@ -86,11 +90,16 @@ object PgSink {
 
   /** Batched delete-before-insert for append mode
     * (db_deleter_by_id_t, src/db-copy.hpp:76-99). */
-  def deleteSql(t: FlexTableDef, schema: String = "public"): String =
-    s"""DELETE FROM "$schema"."${t.name}" WHERE osm_id = ANY (?)"""
+  def deleteSql(t: FlexTableDef, schema: String = "public"): String = {
+    // a table without ids has nothing to delete by: append never
+    // removes its rows (table-ids.feature)
+    require(t.hasIds, s"Table '${t.name}' has no ids; it is insert-only.")
+    s"""DELETE FROM "$schema"."${t.name}" WHERE "${t.idColumn}" = ANY (?)"""
+  }
 
   def insertSql(t: FlexTableDef, schema: String = "public"): String = {
-    val cols = "osm_id" +: t.columns.map(c => s""""${c.name}"""")
+    val cols = (if (t.hasIds) Seq(s""""${t.idColumn}"""") else Nil) ++
+      t.columns.map(c => s""""${c.name}"""")
     val params = cols.map(_ => "?")
     s"""INSERT INTO "$schema"."${t.name}" (${cols.mkString(", ")})
        |VALUES (${params.mkString(", ")})""".stripMargin

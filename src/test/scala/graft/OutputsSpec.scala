@@ -79,11 +79,28 @@ class OutputsSpec extends SparkSpecBase {
     assert(ddl.contains(""""way" geometry"""))
     val post = PgSink.postLoadDdl(t, updatable = true)
     assert(post.exists(_.contains("USING gist")))
-    assert(post.exists(_.contains("(osm_id)")))
+    assert(post.exists(_.contains("(\"osm_id\")")))
     assert(post.last.startsWith("ANALYZE"))
     assert(PgSink.postLoadDdl(t, updatable = false)
-      .forall(!_.contains("(osm_id)"))) // no id index when not updatable
-    assert(PgSink.deleteSql(t).contains("= ANY (?)"))
+      .forall(!_.contains("(\"osm_id\")"))) // no id index when not updatable
+    assert(PgSink.deleteSql(t).contains(""""osm_id" = ANY (?)"""))
+
+    // custom id_column flows into DDL, insert, delete and index
+    val custom = t.copy(idColumn = "abc")
+    assert(PgSink.createTableDdl(custom).contains(""""abc" int8"""))
+    assert(PgSink.insertSql(custom).contains(""""abc""""))
+    assert(PgSink.deleteSql(custom).contains(""""abc" = ANY (?)"""))
+    assert(PgSink.postLoadDdl(custom, updatable = true)
+      .exists(_.contains("""("abc")""")))
+
+    // NoIndex tables: no id column anywhere, deletes refused
+    val noIds = FlexTableDef("simple", FlexIds.NoIndex,
+      Seq(FlexColumn("v", FlexType.Text)))
+    assert(!PgSink.createTableDdl(noIds).contains("int8"))
+    assert(!PgSink.insertSql(noIds).contains("osm_id"))
+    intercept[IllegalArgumentException] { PgSink.deleteSql(noIds) }
+    assert(PgSink.postLoadDdl(noIds, updatable = true)
+      .forall(!_.contains("osm_id")))
   }
 
   test("locator classifies points via bbox + exact polygon test") {
