@@ -132,6 +132,31 @@ object TextAnalysis {
         col("dup2_frac") < 0.2 && col("dup3_frac") < 0.18)
   }
 
+  /** Per-document keyword extraction: the top `k` tokens ranked by
+    * term frequency with a rarest-first tiebreak (document frequency
+    * ascending, then token) — the integer-deterministic cousin of
+    * tf-idf, chosen so the ranking is exactly reproducible across
+    * engines (no transcendental idf in the sort key).
+    *
+    * Scale shape: two hash aggregates (per-(doc,token) tf, per-token
+    * df over the already-distinct pairs), one shuffle join on token,
+    * and a per-document window — nothing global. */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(normToks(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfc, "token")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("rk"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word `n`-gram with a held-out benchmark corpus (the standard
     * test-set-leakage filter run before LLM pre-training). Returns

@@ -522,6 +522,22 @@ object Pipeline {
        |FROM (SELECT doc_id, $W AS w FROM documents)""".stripMargin
   }
 
+  def docKeywords(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.keywords(Tables.documents(s, d), "doc_id", "text")
+
+  val docKeywordsSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($W) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |       FROM toks GROUP BY doc_id, token),
+       |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |ranked AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf DESC, dfc.df ASC, tf.token ASC) AS rk
+       |  FROM tf JOIN dfc USING (token))
+       |SELECT doc_id, token, tf, df, rk
+       |FROM ranked WHERE rk <= 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q10_dedup_exact"        -> (dedupExact _),
     "q11_dedup_sorted_fp"    -> (dedupSortedFp _),
@@ -546,7 +562,8 @@ object Pipeline {
     "q54_sequence_pack"      -> (sequencePack _),
     "q55_decontaminate"      -> (decontaminate _),
     "q56_label_centroids"    -> (labelCentroids _),
-    "q57_repetition"         -> (repetition _))
+    "q57_repetition"         -> (repetition _),
+    "q58_doc_keywords"       -> (docKeywords _))
 
   val oracles: Map[String, String] = Map(
     "q10_dedup_exact"        -> dedupExactSql,
@@ -572,5 +589,6 @@ object Pipeline {
     "q54_sequence_pack"      -> sequencePackSql,
     "q55_decontaminate"      -> decontaminateSql,
     "q56_label_centroids"    -> labelCentroidsSql,
-    "q57_repetition"         -> repetitionSql)
+    "q57_repetition"         -> repetitionSql,
+    "q58_doc_keywords"       -> docKeywordsSql)
 }

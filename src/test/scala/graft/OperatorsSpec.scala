@@ -323,6 +323,23 @@ class OperatorsSpec extends SparkSpecBase {
     assert(j12 == 1.0)
   }
 
+  test("keyword extraction ranks by tf, then rarity, then token") {
+    val docs = Seq(
+      (1L, "spark spark spark shuffle shuffle common"),
+      (2L, "common common unique"),
+      (3L, "common"))
+      .toDF("doc_id", "text")
+    val kw = graft.operators.TextAnalysis.keywords(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5).map(_._2).toSeq).toMap
+    // doc 1: spark(tf=3), shuffle(tf=2), common(tf=1)
+    assert(kw(1L) == Seq("spark", "shuffle", "common"))
+    // doc 2: common(tf=2), unique(tf=1, df=1)
+    assert(kw(2L) == Seq("common", "unique"))
+    // doc 3: only one token
+    assert(kw(3L) == Seq("common"))
+  }
+
   test("decontamination flags only docs sharing an n-gram run") {
     val bench = Seq((100L, "the capital of france is paris and it is large"))
       .toDF("doc_id", "text")
