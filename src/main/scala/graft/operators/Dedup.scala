@@ -54,6 +54,24 @@ object Dedup {
       (0 until numHashes).map(i => col("sig")(i).as(s"m$i")): _*)
   }
 
+  /** The LSH band keys of one document as a single array Column —
+    * the per-row form of the banding scheme shared by the batch
+    * candidate join and the streaming band index. Docs too short to
+    * shingle get an empty array (no bands, never candidates). */
+  def bandKeysExpr(text: Column, numHashes: Int = 4,
+      rowsPerBand: Int = 2, k: Int = 3): Column = {
+    val sig = graft.expressions.VectorExpressions
+      .minhashSigsN(normToks(text), k, numHashes)
+    val nBands = numHashes / rowsPerBand
+    val bands = array((0 until nBands).map { b =>
+      concat_ws(":", lit(b.toString) +:
+        (0 until rowsPerBand).map(r =>
+          try_element_at(sig, lit(b * rowsPerBand + r + 1))): _*)
+    }: _*)
+    when(size(sig) > 0, bands)
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** LSH candidate pairs: signatures grouped into bands of `rowsPerBand`
     * hashes; two documents are candidates iff they collide on at least
     * one full band. Returns distinct (id_a, id_b) with id_a < id_b.

@@ -114,6 +114,68 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  final case class NearDupCandidate(idA: Long, idB: Long, band: String)
+  final case class BandEntry(id: Long, tsMillis: Long)
+  final case class BandState(entries: List[BandEntry])
+
+  /** Streaming near-dup candidate detection at ingest: each document's
+    * LSH band keys (the same salted-md5 scheme as the batch
+    * `Dedup.minhashCandidatePairs`) flow into per-band state holding
+    * the ids already seen in that band; a new arrival emits a
+    * candidate pair against each of them. The streaming form of the
+    * band self-join — exact-Jaccard verification stays a per-batch
+    * join downstream.
+    *
+    * State is bounded twice: an event-time timeout drops bands idle
+    * past `stateTtlMs` (requires the `tsCol` watermark), and
+    * `maxPerBand` caps a band's entry list (a viral duplicate cluster
+    * keeps only the most recent entries — matching the batch path's
+    * fan-out cap philosophy). State shards by band key across
+    * executors, so ingest scales with the cluster like any keyed
+    * stream. */
+  def streamingNearDupCandidates(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String, watermark: String,
+      stateTtlMs: Long = 3600000L, maxPerBand: Int = 32)
+      : Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        explode(graft.operators.Dedup.bandKeysExpr(col(textCol)))
+          .as("band"))
+      .withWatermark("ts", watermark) // after the projection, so the
+      // watermark tag survives onto the column the timeout reads
+      .as[(Long, java.sql.Timestamp, String)]
+    banded.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (band: String, rows: Iterator[(Long, java.sql.Timestamp, String)],
+            state: GroupState[BandState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var entries =
+              state.getOption.map(_.entries).getOrElse(Nil)
+            val out = Vector.newBuilder[NearDupCandidate]
+            var maxTs = 0L
+            // deterministic within-batch order: by time, then id
+            rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach { r =>
+              val (id, ts, _) = r
+              maxTs = math.max(maxTs, ts.getTime)
+              entries.iterator.filter(_.id != id).foreach { e =>
+                out += NearDupCandidate(math.min(e.id, id),
+                  math.max(e.id, id), band)
+              }
+              if (!entries.exists(_.id == id))
+                entries = (BandEntry(id, ts.getTime) :: entries)
+                  .take(maxPerBand)
+            }
+            state.update(BandState(entries))
+            state.setTimeoutTimestamp(maxTs + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Continuous append mode: watch a directory for arriving `.osc`
     * change files (the replication mirror) and run the incremental
     * update pipeline once per micro-batch — `readStream` over the file

@@ -298,6 +298,39 @@ class OutputsSpec extends SparkSpecBase {
     assert(texts.toSeq == Seq("doc A", "doc B"))
   }
 
+  test("streaming: near-dup candidates via stateful band index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lam mu nu xi omicron pi rho sigma tau upsilon"
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDS().toDF("doc_id", "ts", "text")
+    val q = Streams.streamingNearDupCandidates(
+        docs, "doc_id", "text", "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+
+    // batch 1: the original plus an unrelated doc — no candidates yet
+    input.addData(
+      (1L, ts("2024-01-01 00:01:00"), base),
+      (9L, ts("2024-01-01 00:01:30"),
+        "entirely unrelated content about distributed query planning"))
+    q.processAllAvailable()
+    assert(spark.table("neardup_out").count() == 0)
+
+    // batch 2: a near-dup of doc 1 arrives later -> candidate (1, 2);
+    // the same LSH collision structure as the batch operator
+    input.addData((2L, ts("2024-01-01 00:05:00"),
+      base.replace("beta", "changed2")))
+    q.processAllAvailable()
+    val pairs = spark.table("neardup_out")
+      .select($"idA", $"idB").distinct()
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("progress counters ride along as observable metrics") {
     import graft.operators.Progress
     val df = Seq(
