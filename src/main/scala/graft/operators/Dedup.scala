@@ -63,13 +63,18 @@ object Dedup {
     val sig = graft.expressions.VectorExpressions
       .minhashSigsN(normToks(text), k, numHashes)
     val nBands = numHashes / rowsPerBand
-    val bands = array((0 until nBands).map { b =>
-      concat_ws(":", lit(b.toString) +:
-        (0 until rowsPerBand).map(r =>
-          try_element_at(sig, lit(b * rowsPerBand + r + 1))): _*)
-    }: _*)
-    when(size(sig) > 0, bands)
-      .otherwise(array().cast("array<string>"))
+    // bind the signature ONCE through a single-element transform
+    // lambda: referencing `sig` directly in every band key would
+    // inline the minhash kernel 2×rowsPerBand times, and codegen does
+    // not CSE across a Generate — measured 60% slower at sf0.1
+    element_at(transform(array(sig), s => {
+      val bands = array((0 until nBands).map { b =>
+        concat_ws(":", lit(b.toString) +:
+          (0 until rowsPerBand).map(r =>
+            try_element_at(s, lit(b * rowsPerBand + r + 1))): _*)
+      }: _*)
+      when(size(s) > 0, bands).otherwise(array().cast("array<string>"))
+    }), 1)
   }
 
   /** LSH candidate pairs: signatures grouped into bands of `rowsPerBand`
@@ -83,14 +88,13 @@ object Dedup {
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 4, rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, k)
-    val nBands = numHashes / rowsPerBand
-    val bandKeys = (0 until nBands).map { b =>
-      concat_ws(":", lit(b.toString) +:
-        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-    }
-    val banded = sigs
-      .select(col(idCol).as("id"), explode(array(bandKeys: _*)).as("band"))
+    // ONE banding scheme: the same bandKeysExpr drives this batch
+    // join and the streaming band index — a salt/separator/band
+    // change cannot silently diverge the two candidate sets
+    val banded = df
+      .select(col(idCol).as("id"),
+        explode(bandKeysExpr(col(textCol), numHashes, rowsPerBand, k))
+          .as("band"))
     // self-join WITHOUT pre-join renames: both branches are the
     // identical banded plan, so the band-key Exchange canonicalizes
     // equal and is computed ONCE (ReusedExchange — asserted by
@@ -213,17 +217,28 @@ object Dedup {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // round snapshots: lineage cut via a local-checkpointed RDD we
-    // hold a handle to, so each superseded round's blocks are freed
-    // eagerly instead of waiting for the context cleaner's GC sweep
-    def snapshot(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val r = df.rdd
-      r.localCheckpoint()
-      (spark.createDataFrame(r, df.schema), r)
+    // round snapshots: Dataset.localCheckpoint cuts lineage while
+    // keeping the UnsafeRow representation (no Row boxing). The
+    // checkpoint RDD isn't exposed, so we find it by diffing the
+    // persistent-RDD registry around the (eager) call — that handle
+    // lets each superseded round free its blocks immediately instead
+    // of waiting for the context cleaner's GC sweep. (The diff could
+    // catch an unrelated persist from a concurrently-submitting
+    // thread — early unpersist of a plain cache only costs
+    // recomputation; sessions driving CC and other jobs from multiple
+    // threads at once should expect that cache churn.)
+    def snapshot(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val cp = df.localCheckpoint() // eager: materializes here
+      (cp, spark.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit = {
+      val live = spark.sparkContext.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
     }
 
     // canonical undirected edge set, self-loops dropped
-    var (e, eRdd) = snapshot(edges
+    var (e, eIds) = snapshot(edges
       .select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .where($"u" =!= $"v")
@@ -257,14 +272,14 @@ object Dedup {
     var converged = false
     var prevDigest = digest(e)
     while (!converged && round < maxRounds) {
-      val (next, nextRdd) = snapshot(star(star(e, large = true),
+      val (next, nextIds) = snapshot(star(star(e, large = true),
         large = false))
-      val nextDigest = digest(next) // materializes next's checkpoint
+      val nextDigest = digest(next)
       converged = nextDigest == prevDigest
       prevDigest = nextDigest
-      eRdd.unpersist(blocking = false) // superseded round, free it
+      free(eIds) // superseded round's checkpoint blocks
       e = next
-      eRdd = nextRdd
+      eIds = nextIds
       round += 1
     }
     // the final aggregation below assumes a star forest — on a

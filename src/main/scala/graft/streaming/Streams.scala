@@ -115,8 +115,7 @@ object Streams {
       .dropDuplicatesWithinWatermark("fp")
 
   final case class NearDupCandidate(idA: Long, idB: Long, band: String)
-  final case class BandEntry(id: Long, tsMillis: Long)
-  final case class BandState(entries: List[BandEntry])
+  final case class BandState(entries: List[Long])
 
   /** Streaming near-dup candidate detection at ingest: each document's
     * LSH band keys (the same salted-md5 scheme as the batch
@@ -161,13 +160,16 @@ object Streams {
             rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach { r =>
               val (id, ts, _) = r
               maxTs = math.max(maxTs, ts.getTime)
-              entries.iterator.filter(_.id != id).foreach { e =>
-                out += NearDupCandidate(math.min(e.id, id),
-                  math.max(e.id, id), band)
+              // first sight of an id only: a replayed/duplicate record
+              // of an already-indexed doc must not re-emit its pairs
+              // (at-least-once upstreams make re-arrival routine)
+              if (!entries.contains(id)) {
+                entries.foreach { e =>
+                  out += NearDupCandidate(math.min(e, id),
+                    math.max(e, id), band)
+                }
+                entries = (id :: entries).take(maxPerBand)
               }
-              if (!entries.exists(_.id == id))
-                entries = (BandEntry(id, ts.getTime) :: entries)
-                  .take(maxPerBand)
             }
             state.update(BandState(entries))
             state.setTimeoutTimestamp(maxTs + stateTtlMs)
