@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Pipeline.queries ++
+      graft.queries.Pipeline2.queries ++
       graft.queries.OsmAnalog.queries ++
       graft.queries.GenQueries.queries
 
@@ -27,6 +28,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Pipeline.oracles ++
+      graft.queries.Pipeline2.oracles ++
       graft.queries.OsmAnalog.oracles ++
       graft.queries.GenQueries.oracles
 }

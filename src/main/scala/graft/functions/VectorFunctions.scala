@@ -48,4 +48,18 @@ object VectorFunctions {
   def qcosine(qa: Column, qb: Column): Column =
     qdot(qa, qb).cast("double") /
       (sqrt(qdot(qa, qa).cast("double")) * sqrt(qdot(qb, qb).cast("double")))
+
+  /** Symmetric per-vector int8 quantization (the embedding-store
+    * compression everyone ships at scale: 4× smaller than float32,
+    * SIMD-friendly dot products): scale = max|x| / 127, q_i =
+    * round(x_i / scale). All-zero vectors quantize to zeros. The
+    * arithmetic is float→double widening (exact) + one multiply/divide
+    * + round — bit-deterministic cross-engine. Returns array<long>
+    * with values in [-127, 127]. */
+  def int8Quantize(a: Column): Column = {
+    val d = a.cast("array<double>")
+    val mx = array_max(transform(d, x => abs(x)))
+    when(mx === 0d, transform(d, _ => lit(0L)))
+      .otherwise(transform(d, x => round(x * lit(127d) / mx).cast("long")))
+  }
 }

@@ -339,4 +339,32 @@ object Dedup {
           (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Chunk-level exact dedup (the CCNet/RefinedWeb paragraph-dedup
+    * shape, over fixed token windows since the corpus has no paragraph
+    * breaks): each document is cut into disjoint `chunkTokens`-token
+    * chunks; a chunk occurring in more than one place corpus-wide is a
+    * duplicate. Returns per-document (id, n_chunks, n_dup_chunks).
+    *
+    * Scale shape: one explode + one hash aggregate on the chunk text +
+    * one equi-join back — the aggregate gets map-side partial combine,
+    * and the join-key cardinality is bounded by corpus token count /
+    * chunkTokens. No pairwise comparisons anywhere.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 16): DataFrame = {
+    val w = normToks(col(textCol))
+    // ceil(n/chunk) chunks; slice() clamps the last partial chunk
+    val chunkArr = transform(
+      sequence(lit(0), floor((size(w) - lit(1)) / lit(chunkTokens)).cast("int")),
+      i => concat_ws(" ", slice(w, i * chunkTokens + 1, lit(chunkTokens))))
+    val chunks = df.select(col(idCol),
+      posexplode(chunkArr).as(Seq("ci", "chunk")))
+    val counts = chunks.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_occ"))
+    chunks.join(counts, "chunk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
 }

@@ -181,4 +181,56 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Quality-filter funnel: the staged corpus-cleaning report every
+    * training pipeline starts with. Four nested stages — length,
+    * token count, type-token ratio, max-token-frequency — each
+    * implying the previous; returns survivor counts per `groupCol`.
+    *
+    * All predicates are integer comparisons (ratio thresholds are
+    * cross-multiplied) so the counts are exact on any engine. One
+    * map-only projection + one hash aggregate on the group key.
+    */
+  def filterFunnel(df: DataFrame, groupCol: String, textCol: String,
+      charsCol: String): DataFrame = {
+    val w = normToks(col(textCol))
+    val nTok = size(w)
+    val nUniq = size(array_distinct(w))
+    // highest per-token occurrence count within the doc (O(distinct ·
+    // tokens) per row, bounded by doc length; no shuffle)
+    val maxFreq = array_max(transform(array_distinct(w),
+      t => size(filter(w, x => x === t))))
+    val s1 = col(charsCol) >= 200
+    val s2 = s1 && nTok >= 40
+    val s3 = s2 && nUniq * 2 >= nTok            // TTR >= 0.5
+    val s4 = s3 && maxFreq * 10 <= nTok         // top token <= 10%
+    def c(p: Column) = sum(when(p, 1L).otherwise(0L))
+    df.select(col(groupCol), s1.as("s1"), s2.as("s2"), s3.as("s3"),
+        s4.as("s4"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_total"), c(col("s1")).as("n_len"),
+        c(col("s2")).as("n_tokens"), c(col("s3")).as("n_ttr"),
+        c(col("s4")).as("n_rep"))
+  }
+
+  /** Per-document corpus-frequency mass — the SQL-expressible core of
+    * unigram language-model scoring: for each document, the sum over
+    * its token occurrences of that token's corpus-wide count, plus the
+    * rarest token's count. High mass/token = boilerplate-like, low =
+    * novel; `rarest` flags OOV-ish outliers. Integer sums only.
+    *
+    * Scale shape: explode → count per token (map-side combinable) →
+    * join back → per-doc sum. The token-count table is Zipf-small
+    * relative to the corpus and broadcastable at real scale; the big
+    * side is touched exactly twice, map-only.
+    */
+  def unigramMass(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(normToks(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    toks.join(counts, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum(col("c")).as("freq_mass"),
+        min(col("c")).as("rarest"))
+  }
 }
