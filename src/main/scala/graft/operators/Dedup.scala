@@ -351,6 +351,54 @@ object Dedup {
     * and the join-key cardinality is bounded by corpus token count /
     * chunkTokens. No pairwise comparisons anywhere.
     */
+  /** Incremental (cross-snapshot) exact dedup: the production shape
+    * where a new crawl batch is deduplicated against an existing
+    * corpus without reprocessing the corpus. Survivors are new docs
+    * that (a) are the min-id representative of their in-batch
+    * duplicate group and (b) whose fingerprint does not already exist
+    * in the corpus. Returns (id, fp).
+    *
+    * Scale shape: the corpus contributes only its distinct digest set
+    * (one column — in practice a fraction of corpus bytes, and the
+    * natural thing to keep as a materialized "seen" table between
+    * snapshots); the batch side is one hash aggregate + one anti-join.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val bfp = batch.select(col(idCol), md5(col(textCol)).as("fp"))
+    val keep = bfp.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    keep.join(corpus.select(md5(col(textCol)).as("fp")),
+        Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+  }
+
+  /** Duplicated-span coverage — the exact-substring dedup measure of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), set-at-a-time: a token position is covered when
+    * any corpus-duplicated word `k`-gram spans it; reports per-doc
+    * (id, n_tokens, n_covered). Their suffix-array pass becomes an
+    * inverted-index equi-join: explode positioned k-grams → keep grams
+    * with corpus count > 1 → explode each surviving gram's k positions
+    * → distinct. Every step is a shuffle join/aggregate with bounded
+    * fan-out (k per gram); nothing driver-side.
+    */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val base = df.select(col(idCol), normToks(col(textCol)).as("w"))
+    val grams = base.select(col(idCol),
+      posexplode(shingles(col("w"), k)).as(Seq("i0", "g")))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("g"))
+    val covered = grams.join(dup, Seq("g"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("i0"), col("i0") + (k - 1))).as("pos"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_covered"))
+    base.select(col(idCol), size(col("w")).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_covered"))
+  }
+
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 16): DataFrame = {
     val w = normToks(col(textCol))

@@ -144,17 +144,63 @@ object Pipeline2 {
        |  CAST(min(c.c) AS BIGINT) AS rarest
        |FROM w JOIN c USING (tok) GROUP BY doc_id""".stripMargin
 
+  // ---- q64: incremental (cross-snapshot) dedup ----
+
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalDedup(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"), "doc_id", "text")
+  }
+
+  val incrementalDedupSql: String =
+    """WITH corpus AS (
+      |  SELECT DISTINCT md5(text) AS fp FROM documents
+      |  WHERE source = 'src0'),
+      |batch AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents
+      |  WHERE source <> 'src0'),
+      |keep AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp)
+      |SELECT doc_id, fp FROM keep
+      |WHERE fp NOT IN (SELECT fp FROM corpus)""".stripMargin
+
+  // ---- q65: duplicated-span coverage (exact-substring measure) ----
+
+  def dupSpanCoverage(s: SparkSession, d: String): DataFrame =
+    Dedup.dupSpanCoverage(Tables.documents(s, d), "doc_id", "text")
+
+  val dupSpanCoverageSql: String =
+    s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, greatest(len(w)-3, 1))) AS i,
+       |    unnest(list_transform(range(1, greatest(len(w)-3, 1)),
+       |      i -> array_to_string(w[i:i+4], ' '))) AS g
+       |  FROM toks),
+       |dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+       |cov AS (SELECT DISTINCT doc_id, pos FROM (
+       |  SELECT doc_id, unnest(range(i, i+5)) AS pos
+       |  FROM grams JOIN dupg USING (g))),
+       |covc AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY 1)
+       |SELECT t.doc_id, len(w) AS n_tokens,
+       |  COALESCE(covc.n_covered, 0) AS n_covered
+       |FROM toks t LEFT JOIN covc USING (doc_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q59_vec_quantize"  -> (vecQuantize _),
-    "q60_chunk_dedup"   -> (chunkDedup _),
-    "q61_sessionize"    -> (sessionStats _),
-    "q62_filter_funnel" -> (filterFunnel _),
-    "q63_unigram_mass"  -> (unigramMass _))
+    "q59_vec_quantize"      -> (vecQuantize _),
+    "q60_chunk_dedup"       -> (chunkDedup _),
+    "q61_sessionize"        -> (sessionStats _),
+    "q62_filter_funnel"     -> (filterFunnel _),
+    "q63_unigram_mass"      -> (unigramMass _),
+    "q64_incremental_dedup" -> (incrementalDedup _),
+    "q65_dup_span_coverage" -> (dupSpanCoverage _))
 
   val oracles: Map[String, String] = Map(
-    "q59_vec_quantize"  -> vecQuantizeSql,
-    "q60_chunk_dedup"   -> chunkDedupSql,
-    "q61_sessionize"    -> sessionStatsSql,
-    "q62_filter_funnel" -> filterFunnelSql,
-    "q63_unigram_mass"  -> unigramMassSql)
+    "q59_vec_quantize"      -> vecQuantizeSql,
+    "q60_chunk_dedup"       -> chunkDedupSql,
+    "q61_sessionize"        -> sessionStatsSql,
+    "q62_filter_funnel"     -> filterFunnelSql,
+    "q63_unigram_mass"      -> unigramMassSql,
+    "q64_incremental_dedup" -> incrementalDedupSql,
+    "q65_dup_span_coverage" -> dupSpanCoverageSql)
 }

@@ -94,4 +94,87 @@ object Properties {
         case (a, b)           => Some((k, a, b))
       }
     }
+
+  /** Append options the user may pass on the command line; None means
+    * "not specified — inherit the stored import setting". */
+  final case class AppendOptions(
+      attributes: Option[Boolean] = None,
+      prefix: Option[String] = None,
+      flatNodeFile: Option[String] = None,
+      output: Option[String] = None)
+
+  /** The resolved append configuration plus the informational messages
+    * the reference logs while resolving it. */
+  final case class ResolvedAppend(settings: Map[String, String],
+      messages: Seq[String])
+
+  /** Resolve append-run options against the stored import properties —
+    * the reference's check_and_update_properties pass
+    * (src/osm2pgsql.cpp:300-309; scenarios: regression/
+    * properties.feature): unspecified options inherit the stored
+    * values (with an informational message); specified options must
+    * agree with the store; a non-updatable import refuses appends.
+    * Returns Left(error) with the reference's message on conflict. */
+  def resolveAppend(stored: Map[String, String],
+      opts: AppendOptions): Either[String, ResolvedAppend] = {
+    if (!stored.get("updatable").contains("true"))
+      return Left("This database is not updatable. To create an " +
+        "updatable database use --slim (without --drop).")
+    val msgs = Seq.newBuilder[String]
+
+    val storedAttrs = stored.get("attributes").contains("true")
+    val attrs = opts.attributes match {
+      case Some(true) if !storedAttrs =>
+        return Left("Can not update with attributes (-x/--extra-attributes) " +
+          "because original import was without attributes.")
+      case Some(a) => a
+      case None =>
+        if (storedAttrs)
+          msgs += "Updating with attributes (same as on import)."
+        storedAttrs
+    }
+
+    val storedPrefix = stored.getOrElse("prefix", "planet_osm")
+    val prefix = opts.prefix match {
+      case Some(p) if p != storedPrefix =>
+        return Left(s"Different prefix specified: '$p' (import used " +
+          s"'$storedPrefix').")
+      case Some(p) => p
+      case None =>
+        msgs += s"Using prefix '$storedPrefix' (same as on import)."
+        storedPrefix
+    }
+
+    val storedFlat = stored.getOrElse("flat_node_file", "")
+    val flat = opts.flatNodeFile match {
+      case Some(f) if storedFlat.isEmpty =>
+        return Left("Database was imported without flat node file. Can " +
+          "not append with flat node file now.")
+      case Some(f) =>
+        msgs += s"Using flat node file '$f'."
+        f
+      case None =>
+        if (storedFlat.isEmpty)
+          msgs += "Not using flat node file (same as on import)."
+        else
+          msgs += s"Using flat node file '$storedFlat'."
+        storedFlat
+    }
+
+    val storedOutput = stored.getOrElse("output", "pgsql")
+    val output = opts.output match {
+      case Some(o) if o != storedOutput =>
+        return Left(s"Different output specified: '$o' (import used " +
+          s"'$storedOutput').")
+      case Some(o) => o
+      case None =>
+        msgs += s"Using output '$storedOutput' (same as on import)."
+        storedOutput
+    }
+
+    Right(ResolvedAppend(
+      stored ++ Map("attributes" -> attrs.toString, "prefix" -> prefix,
+        "flat_node_file" -> flat, "output" -> output),
+      msgs.result()))
+  }
 }

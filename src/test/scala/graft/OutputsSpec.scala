@@ -230,6 +230,46 @@ class OutputsSpec extends SparkSpecBase {
     assert(Properties.validateForAppend(props, props).isEmpty)
   }
 
+  test("append resolution follows properties.feature semantics") {
+    import Properties.{AppendOptions, resolveAppend}
+    def imported(extra: (String, String)*): Map[String, String] =
+      Map("updatable" -> "true", "attributes" -> "false",
+        "prefix" -> "planet_osm", "flat_node_file" -> "",
+        "output" -> "pgsql") ++ extra
+    // non-slim import → not updatable
+    assert(resolveAppend(imported("updatable" -> "false"), AppendOptions())
+      .left.exists(_.contains("This database is not updatable")))
+    // -x on append when import was without attributes
+    assert(resolveAppend(imported(), AppendOptions(attributes = Some(true)))
+      .left.exists(_.contains("because original import was without attributes")))
+    // different prefix
+    assert(resolveAppend(imported(), AppendOptions(prefix = Some("foo")))
+      .left.exists(_.contains("Different prefix specified")))
+    // flat nodes on append when import had none
+    assert(resolveAppend(imported(), AppendOptions(flatNodeFile = Some("x")))
+      .left.exists(_.contains("Database was imported without flat node file")))
+    // inherited settings produce the reference's info messages
+    val ok = resolveAppend(imported("attributes" -> "true"), AppendOptions())
+      .toOption.get
+    assert(ok.messages.exists(_.contains(
+      "Updating with attributes (same as on import).")))
+    assert(ok.messages.exists(_.contains(
+      "Not using flat node file (same as on import).")))
+    assert(ok.messages.exists(_.contains(
+      "Using prefix 'planet_osm' (same as on import).")))
+    assert(ok.settings("attributes") == "true")
+    // stored flat-nodes file is inherited and re-specifiable
+    val flat = resolveAppend(imported("flat_node_file" -> "x"),
+      AppendOptions()).toOption.get
+    assert(flat.messages.exists(_.contains("Using flat node file")))
+    assert(flat.settings("flat_node_file") == "x")
+    // null output inherits with the same-as-import message
+    val nul = resolveAppend(imported("output" -> "null"), AppendOptions())
+      .toOption.get
+    assert(nul.messages.exists(_.contains(
+      "Using output 'null' (same as on import).")))
+  }
+
   test("streaming: stateful latest-version-wins over a rate of changes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

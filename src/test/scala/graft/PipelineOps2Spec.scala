@@ -71,6 +71,32 @@ class PipelineOps2Spec extends SparkSpecBase {
     assert(r("b") == (("b", 1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("incrementalDedup drops corpus hits and in-batch duplicates") {
+    val corpus = Seq((100L, "seen before")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "seen before"),     // in corpus → dropped
+      (2L, "fresh content"),   // survives
+      (3L, "fresh content"),   // in-batch dup of 2 → dropped
+      (4L, "also new")).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(r.toSeq == Seq(2L, 4L))
+  }
+
+  test("dupSpanCoverage covers the union of duplicated k-gram spans") {
+    // docs 1 and 2 share tokens 1..6 ("a b c d e f"): the two 5-grams
+    // starting there are duplicated, covering 6 positions in each
+    val df = Seq(
+      (1L, "a b c d e f x1 y1 z1"),
+      (2L, "a b c d e f x2 y2 z2"),
+      (3L, "totally unrelated short")).toDF("doc_id", "text")
+    val r = Dedup.dupSpanCoverage(df, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 9L, 6L)))
+    assert(r(2L) == ((2L, 9L, 6L)))
+    assert(r(3L) == ((3L, 3L, 0L)))  // < k tokens → no grams, 0 covered
+  }
+
   test("unigramMass sums corpus counts per token occurrence") {
     val df = Seq(
       (1L, "a a b"),

@@ -135,6 +135,38 @@ class PlanSpec extends SparkSpecBase {
       "packing must never serialize onto one partition")
   }
 
+  test("sessionization shuffles once on the user key") {
+    // the window and BOTH downstream aggregates must reuse the single
+    // hashpartitioning(user_id) distribution — a second exchange means
+    // the (user, session) grouping stopped riding the window shuffle
+    val p = plan("q61_sessionize")
+    val shuffles = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).length
+    assert(shuffles == 1, s"sessionize should shuffle exactly once:\n$p")
+    assert(!p.contains("SinglePartition"),
+      "sessionization must never serialize onto one partition")
+  }
+
+  test("map-only projections stay exchange-free") {
+    // int8 quantization is a pure per-row projection: any Exchange is
+    // an accident
+    val p = plan("q59_vec_quantize")
+    assert(!p.contains("Exchange"), "q59 must be map-only")
+  }
+
+  test("incremental dedup keeps the anti-join shape") {
+    val p = plan("q64_incremental_dedup")
+    assert(p.contains("LeftAnti"), "corpus membership must be an anti-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("span coverage and chunk dedup stay equi-join pipelines") {
+    Seq("q65_dup_span_coverage", "q60_chunk_dedup").foreach { q =>
+      val s = plan(q)
+      assert(!s.contains("CartesianProduct"), s"$q grew a CartesianProduct")
+      assert(!s.contains("Window"), s"$q must not need a window")
+    }
+  }
+
   test("connected components: star rounds stay equi-joins") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
