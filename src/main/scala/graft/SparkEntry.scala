@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.Pipeline2.queries ++
+      graft.queries.Pipeline3.queries ++
       graft.queries.OsmAnalog.queries ++
       graft.queries.GenQueries.queries
 
@@ -29,6 +30,7 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.Pipeline.oracles ++
       graft.queries.Pipeline2.oracles ++
+      graft.queries.Pipeline3.oracles ++
       graft.queries.OsmAnalog.oracles ++
       graft.queries.GenQueries.oracles
 }

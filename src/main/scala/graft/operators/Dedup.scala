@@ -340,6 +340,53 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster
+    * the embedding space, then search for near-duplicates only WITHIN
+    * each cluster — the clustering turns the O(N²) pair scan into an
+    * equi-join on the cell id whose per-key width is the cell size.
+    *
+    * Cells here are Voronoi regions of the deterministic sampled
+    * centroid set (`id % centroidEvery == 0`), assigned with the same
+    * map-side-combinable broadcast argmax as [[Similarity.ivfTopK]].
+    * Within a cell, a vector is dropped iff some SMALLER id in the
+    * same cell has quantized cosine ≥ threshold to it (one-pass
+    * keep-the-lowest-id semantics — deterministic, no iteration).
+    *
+    * Returns one row per input vector: (id, cell, kept). All
+    * arithmetic is integer dot products + IEEE sqrt/divide —
+    * bit-identical cross-engine.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroidEvery: Int = 25): DataFrame = {
+    val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("nrm", sqrt(qdot(col("q"), col("q")).cast("double")))
+    val cent = broadcast(base.where(col("id") % centroidEvery === 0)
+      .select(col("id").as("cid"), col("q").as("cv"), col("nrm").as("cn")))
+    // nearest centroid via max(struct(cos, -cid)): map-side combinable,
+    // collapses the |N|×|C| expansion before any shuffle
+    val assigned = base.crossJoin(cent)
+      .select(col("id"), col("q"), col("nrm"),
+        struct((qdot(col("q"), col("cv")).cast("double") /
+          (col("nrm") * col("cn"))).as("c"), (-col("cid")).as("nc")).as("sc"))
+      .groupBy(col("id"))
+      .agg(first(col("q")).as("q"), first(col("nrm")).as("nrm"),
+        max(col("sc")).as("m"))
+      .select(col("id"), col("q"), col("nrm"), (-col("m.nc")).as("cell"))
+    val l = assigned.select(col("id").as("id_a"), col("q").as("qa"),
+      col("nrm").as("na"), col("cell"))
+    val r = assigned.select(col("id").as("id_b"), col("q").as("qb"),
+      col("nrm").as("nb"), col("cell"))
+    val dropped = l.join(r, "cell")
+      .where(col("id_a") < col("id_b"))
+      .where((qdot(col("qa"), col("qb")).cast("double") /
+        (col("na") * col("nb"))) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("cell"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(!col("__drop"), lit(true)).as("kept"))
+  }
+
   /** Chunk-level exact dedup (the CCNet/RefinedWeb paragraph-dedup
     * shape, over fixed token windows since the corpus has no paragraph
     * breaks): each document is cut into disjoint `chunkTokens`-token

@@ -44,6 +44,36 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
   }
 
+  /** Deterministic per-group top-n: the `n` rows of each group with
+    * the largest (orderCol, then smallest id) — "best N documents per
+    * domain/language" selection. One shuffle on the group key; the
+    * window never sees more than a group per task, and at 100 TB the
+    * group count (domains, languages) dwarfs the cluster size so
+    * parallelism is not window-bound. */
+  def topNPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(idCol))
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
+  }
+
+  /** Deterministic source mixing: draw a fixed quota of rows per
+    * source (the data-mixture step of a pre-training pipeline, with
+    * weights expressed as absolute per-source quotas). Within a
+    * source, rows are ranked by (md5(id), id) — the same reproducible
+    * uniform draw as [[stratified]] — and the first `quota(source)`
+    * (default `defaultQuota`) survive. */
+  def sourceMix(df: DataFrame, srcCol: String, idCol: String,
+      quota: Map[String, Int], defaultQuota: Int): DataFrame = {
+    val quotaCol = quota.foldLeft(lit(defaultQuota)) {
+      case (acc, (s, n)) => when(col(srcCol) === s, lit(n)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(digest(idCol), col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= quotaCol)
+  }
+
   /** Sequence packing: concatenate each shard's documents (in id
     * order) into one token stream and chop it into fixed-size context
     * windows, the standard LLM pre-training layout where documents may

@@ -233,4 +233,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"), sum(col("c")).as("freq_mass"),
         min(col("c")).as("rarest"))
   }
+
+  /** Integer tf-idf term relevance: score each document against a
+    * fixed term set with Σ_t tf(t,d) · idf_int(t), where idf_int =
+    * (N·1,000,000) div (df(t)+1) — all-integer arithmetic, so scores
+    * and ranks are bit-identical cross-engine (the determinism rule
+    * every scoring operator here follows). Returns the global top-n
+    * by (score desc, id asc).
+    *
+    * Scale shape: tf is a map-only pass (one `filter`+`size` per term
+    * over the token array); df and N are two tiny aggregates
+    * cross-joined back as one broadcast row; the final top-n is
+    * TakeOrderedAndProject, not a full sort.
+    */
+  def termRelevance(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topN: Int): DataFrame = {
+    val toks = df.select(col(idCol), normToks(col(textCol)).as("w"))
+    def tf(t: String) = size(filter(col("w"), x => x === lit(t)))
+    val tfs = toks.select(col(idCol) +:
+      terms.zipWithIndex.map { case (t, i) =>
+        tf(t).cast("long").as(s"tf$i")
+      }: _*)
+    val stats = tfs.agg(count(lit(1)).as("n"),
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val scored = tfs.crossJoin(broadcast(stats))
+      .withColumn("score",
+        terms.indices.map { i =>
+          col(s"tf$i") * expr(s"(n * 1000000L) div (df$i + 1L)")
+        }.reduce(_ + _))
+      .select(col(idCol), col("score"))
+    scored.orderBy(col("score").desc, col(idCol)).limit(topN)
+  }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, Skew, TextAnalysis}
+
+/** Round-4 additions: semantic dedup, salted join/aggregate, per-group
+  * top-n, source mixing, term relevance. */
+class PipelineOps3Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("semanticDedup keeps the lowest id of a near-dup pair per cell") {
+    // ids 0 and 25 are centroids (id % 25 == 0); 0/1/2 identical
+    // direction → same cell, near-dups; 25/30 orthogonal to them
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.01f)),
+      (25L, Seq(0.0f, 1.0f)),
+      (30L, Seq(0.01f, 0.999f))).toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(e, "vec_id", "embedding", 0.95)
+      .as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(0L) == ((0L, true)))   // lowest id of its group survives
+    assert(r(1L) == ((0L, false)))  // dup of 0
+    assert(r(2L) == ((0L, false)))  // dup of 0 (and 1)
+    assert(r(25L) == ((25L, true)))
+    assert(r(30L)._1 == 25L)        // assigned to the other cell
+    assert(!r(30L)._2)              // near-dup of 25 within that cell
+  }
+
+  test("semanticDedup near-dup check never crosses cells") {
+    // 1 and 26 are 0.6° apart (cos ≈ 0.99995) but straddle the Voronoi
+    // boundary between centroids 0 (at 0°) and 25 (at 45.6°), so they
+    // land in different cells and neither is dropped: the trade-off
+    // SemDeDup makes by design. Each is ~22.5° from its own centroid
+    // (cos ≈ 0.924 < 0.99), so the centroids don't absorb them either.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (25L, Seq(0.7f, 0.714f)),
+      (1L, Seq(1.0f, 0.4142f)),   // 22.50° → cell 0
+      (26L, Seq(1.0f, 0.4265f))). // 23.10° → cell 25
+      toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(e, "vec_id", "embedding", 0.99)
+      .select($"id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(r(1L) && r(26L))
+  }
+
+  test("saltedJoin equals the plain join") {
+    val fact = (1 to 400).map(i => (i % 7L, i.toLong)).toDF("pk", "v")
+    val dim = (0L to 6L).map(k => (k, s"brand$k")).toDF("pk", "name")
+    val salted = Skew.saltedJoin(fact, dim, Seq("pk"), salts = 8)
+      .groupBy($"name").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    val plain = fact.join(dim, "pk")
+      .groupBy($"name").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    assert(salted.orderBy($"name").collect().toSeq ==
+      plain.orderBy($"name").collect().toSeq)
+  }
+
+  test("saltedAggregate equals the plain aggregate") {
+    val df = (1 to 500).map(i => (i % 3L, i.toLong, i * 2L))
+      .toDF("k", "a", "b")
+    val salted = Skew.saltedAggregate(df, Seq("k"),
+      Seq(col("a") -> "sa", col("b") -> "sb"), "n", salts = 4)
+    val plain = df.groupBy($"k")
+      .agg(sum($"a").as("sa"), sum($"b").as("sb"), count(lit(1)).as("n"))
+    assert(salted.orderBy($"k").collect().toSeq ==
+      plain.orderBy($"k").collect().toSeq)
+  }
+
+  test("topNPerGroup takes n by value desc with id tie-break") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 5L),
+      (4L, "a", 20L), (5L, "b", 1L)).toDF("id", "g", "v")
+    val r = Sampling.topNPerGroup(df, "g", "v", "id", 2)
+      .select($"id", $"rk").as[(Long, Int)].collect().toMap
+    assert(r == Map(4L -> 1, 1L -> 2, 5L -> 1)) // id 1 beats 2 on tie
+  }
+
+  test("sourceMix honors per-source quotas and the default") {
+    val df = (1L to 100L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val r = Sampling.sourceMix(df, "src", "id",
+      Map("src0" -> 7, "src1" -> 3), defaultQuota = 2)
+    val bySrc = r.groupBy($"src").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc == Map("src0" -> 7L, "src1" -> 3L,
+      "src2" -> 2L, "src3" -> 2L))
+    // determinism: same input → same ids
+    val again = Sampling.sourceMix(df, "src", "id",
+      Map("src0" -> 7, "src1" -> 3), defaultQuota = 2)
+    assert(r.select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select($"id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("termRelevance scores tf times integer idf, rarest term worth most") {
+    val df = Seq(
+      (1L, "the the the cat"),   // tf(the)=3
+      (2L, "data data pipeline"), // tf(data)=2
+      (3L, "the data of all"),
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    val r = TextAnalysis.termRelevance(df, "doc_id", "text",
+      Seq("the", "data", "of"), topN = 4)
+      .as[(Long, Long)].collect().toMap
+    // N=4; df(the)=2, df(data)=2, df(of)=1
+    val idfThe = 4L * 1000000L / 3L
+    val idfData = 4L * 1000000L / 3L
+    val idfOf = 4L * 1000000L / 2L
+    assert(r(1L) == 3 * idfThe)
+    assert(r(2L) == 2 * idfData)
+    assert(r(3L) == idfThe + idfData + idfOf)
+    assert(r(4L) == 0L)
+  }
+}
