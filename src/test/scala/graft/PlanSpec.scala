@@ -175,4 +175,39 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "CC must be built from equi-joins/aggregates only")
   }
+
+  test("semantic dedup: broadcast centroids, equi-join pair scan") {
+    val p = plan("q66_semantic_dedup")
+    // the |N|×|C| assignment expansion is the broadcast NLJ; the pair
+    // scan must be an equi-join on the cell id, never a cross product
+    assert(p.contains("BroadcastExchange"),
+      "centroid set must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pair scan must stay an equi-join on cell")
+  }
+
+  test("salted join spreads keys without changing the join class") {
+    val p = plan("q67_salted_skew_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      "salted join must remain an equi-join on (key, salt)")
+    assert(p.contains("Generate") || p.contains("explode"),
+      "dim side must replicate via explode")
+  }
+
+  test("term relevance tops out as TakeOrderedAndProject") {
+    val p = plan("q70_term_relevance")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-n must not be a full sort")
+  }
+
+  test("per-group selections shuffle once on the group key") {
+    Seq("q68_topn_per_group", "q69_source_mix").foreach { q =>
+      val s = plan(q)
+      assert(s.contains("Window"), s"$q ranks with one window")
+      // one Exchange for the window partition; no join-induced extras
+      val exchanges = "Exchange".r.findAllIn(s).length
+      assert(exchanges <= 2, s"$q shuffles too much: $exchanges exchanges")
+    }
+  }
 }
