@@ -230,4 +230,61 @@ object Similarity {
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("cos"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Product-quantization approximate top-k (Jégou et al. 2011) — the
+    * embedding-STORE scale path next to IVF/LSH's search scale paths:
+    * each vector is encoded as `m` one-byte-ish codes (one per
+    * subspace), a 32×-ish compression, and queries score the whole
+    * corpus through per-subspace lookup tables (ADC) without touching
+    * the original floats.
+    *
+    * Codebooks are deterministic: per subspace, the sampled rows
+    * (`id % centroidEvery == 0`) donate their subvectors as centroids.
+    * Encoding = integer squared-L2 argmin (min struct — map-side
+    * combinable, same shape as IVF assignment); scoring = Σ_s
+    * LUT[s, code_s] of integer dot products, so scores are pure
+    * BIGINTs and ranks are bit-identical cross-engine.
+    *
+    * Plan shape at 100 TB: the codebook (m × |C| subvectors) and the
+    * query LUT (|Q| × m × |C| longs) broadcast; the corpus is touched
+    * twice map-only (encode, score-join) with both aggregates
+    * partially combined before their shuffles. The encoded table is
+    * what you'd persist: N × m bytes instead of N × dim floats. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, centroidEvery: Int = 25): DataFrame = {
+    val base = corpus.select(col("id"), quantize(col("vec")).as("q"))
+    val subDim = size(col("q")) / m // constant per dataset; computed per row
+    // (id, s, sub): each vector exploded into its m subvectors
+    def subspaces(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("id").as(idAs),
+        posexplode(org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(m - 1)),
+          s => slice(col("q"), s * subDim + 1, subDim))))
+        .withColumnRenamed("pos", "s").withColumnRenamed("col", "sub")
+    // codebook: sampled subvectors, keyed (s, cid)
+    val cents = broadcast(subspaces(
+      base.where(col("id") % centroidEvery === 0), "cid")
+      .select(col("s"), col("cid"), col("sub").as("cv")))
+    val sqdist = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    // encode: integer-L2 argmin over the codebook, min(struct) combine
+    val codes = subspaces(base, "nid").join(cents, "s")
+      .select(col("nid"), col("s"),
+        struct(sqdist(col("sub"), col("cv")).as("d"), col("cid")).as("sc"))
+      .groupBy(col("nid"), col("s"))
+      .agg(min(col("sc")).as("m"))
+      .select(col("nid"), col("s"), col("m.cid").as("code"))
+    // ADC lookup table: per (query, subspace, centroid) integer dot
+    val q = queries.select(col("id"), quantize(col("vec")).as("q"))
+    val lut = broadcast(subspaces(q, "qid").join(cents, "s")
+      .select(col("qid"), col("s"), col("cid").as("code"),
+        qdot(col("sub"), col("cv")).as("pdot")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    codes.join(lut, Seq("s", "code"))
+      .where(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("pdot")).as("score"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Sampling, Skew, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, Skew, TextAnalysis}
 import graft.queries.Exact._
 
 /** Round-4 additions: semantic dedup (SemDeDup shape), skew-salted
@@ -141,7 +141,46 @@ object Pipeline3 {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ---- q71: product-quantization ANN (ADC scoring) ----
+
+  def pqAnnTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.pqTopK(e.where(col("id") < 8), e, k = 5)
+  }
+
+  /** codebooks = subvectors of vec_id % 25 == 0; m = 8 subspaces of 8
+    * dims; integer L2 encode, integer-dot ADC scores. */
+  val pqAnnTopKSql: String = {
+    val sqd = "list_sum(list_transform(list_zip(sub.sub, cents.cv), " +
+      "p -> (p[1]-p[2])*(p[1]-p[2])))"
+    s"""WITH e AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |sub AS (SELECT vec_id, CAST(t.s AS INTEGER) AS s,
+       |    q[(CAST(t.s AS INTEGER)*8+1):(CAST(t.s AS INTEGER)*8+8)] AS sub
+       |  FROM e, range(8) t(s)),
+       |cents AS (SELECT s, vec_id AS cid, sub AS cv FROM sub
+       |  WHERE vec_id % 25 = 0),
+       |codes AS (SELECT nid, s, cid AS code FROM (
+       |    SELECT sub.vec_id AS nid, sub.s, cents.cid,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY $sqd ASC, cents.cid ASC) AS rk
+       |    FROM sub JOIN cents ON sub.s = cents.s)
+       |  WHERE rk = 1),
+       |lut AS (SELECT sub.vec_id AS qid, cents.s, cents.cid AS code,
+       |    CAST(list_sum(list_transform(list_zip(sub.sub, cents.cv),
+       |      p -> p[1]*p[2])) AS BIGINT) AS pdot
+       |  FROM sub JOIN cents ON sub.s = cents.s WHERE sub.vec_id < 8),
+       |sc AS (SELECT lut.qid, codes.nid, CAST(SUM(pdot) AS BIGINT) AS score
+       |  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+       |  WHERE lut.qid <> codes.nid GROUP BY 1, 2)
+       |SELECT qid, nid, score, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, nid ASC) AS INTEGER) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q71_pq_ann_topk"      -> (pqAnnTopK _),
     "q66_semantic_dedup"   -> (semanticDedup _),
     "q67_salted_skew_join" -> (saltedSkewJoin _),
     "q68_topn_per_group"   -> (topNPerGroup _),
@@ -149,6 +188,7 @@ object Pipeline3 {
     "q70_term_relevance"   -> (termRelevance _))
 
   val oracles: Map[String, String] = Map(
+    "q71_pq_ann_topk"      -> pqAnnTopKSql,
     "q66_semantic_dedup"   -> semanticDedupSql,
     "q67_salted_skew_join" -> saltedSkewJoinSql,
     "q68_topn_per_group"   -> topNPerGroupSql,

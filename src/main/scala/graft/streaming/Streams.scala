@@ -114,6 +114,22 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming gap sessionization: Spark's native `session_window`
+    * (dynamic gap-merged windows) + watermark — the streaming form of
+    * the batch `operators/Sessions`. A session closes `gap` after its
+    * last event once the watermark passes; the state store holds only
+    * open sessions, keyed by (user, window), sharded across executors.
+    * Emits one row per closed session (append mode): user, session
+    * start/end, event count. */
+  def streamingSessions(events: DataFrame, userCol: String, tsCol: String,
+      gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   final case class NearDupCandidate(idA: Long, idB: Long, band: String)
   final case class BandState(entries: List[Long])
 

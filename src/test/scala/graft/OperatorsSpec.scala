@@ -179,6 +179,33 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"refined-IVF recall too low: $recall")
   }
 
+  test("PQ top-k: exact on centroid-coincident vectors, sane recall") {
+    val dim = 16
+    val rng = new scala.util.Random(13)
+    // 200 vectors; every 10th donates its subvectors to the codebooks,
+    // so any vector EQUAL to a sampled one encodes losslessly
+    val raw = (0 until 200).map { i =>
+      if (i == 77) null // replaced below with a copy of vector 10
+      else (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat).toSeq)
+    }
+    val v10 = raw(10)._2
+    val vecs = raw.updated(77, (77L, v10)).toDF("id", "vec")
+    val queries = vecs.where($"id" < 5 || $"id" === 77)
+    val pq = Similarity.pqTopK(queries, vecs, 5, m = 4, centroidEvery = 10)
+      .select($"qid", $"nid", $"rank").as[(Long, Long, Int)].collect()
+    // 77 encodes exactly like 10 (codes point at 10's own codebook
+    // entries, so its ADC score is the full |v10|²); top hit for this
+    // fixed seed
+    assert(pq.filter(_._1 == 77L).minBy(_._3)._2 == 10L)
+    val brute = Similarity.quantizedTopK(queries.where($"id" < 5), vecs, 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val pqSet = pq.filter(_._1 < 5).map(t => (t._1, t._2)).toSet
+    val recall = (brute & pqSet).size.toDouble / brute.size
+    // ADC with 20-entry codebooks over Gaussian noise is coarse; the
+    // structural guarantee (lossless on codebook members) is above
+    assert(recall >= 0.2, s"PQ recall too low: $recall")
+  }
+
   test("winnowing fingerprints block shared runs together") {
     // winnow guarantee: any shared token run of ≥ w+k-1 (= 6) tokens
     // yields at least one shared fingerprint

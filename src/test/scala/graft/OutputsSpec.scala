@@ -338,6 +338,40 @@ class OutputsSpec extends SparkSpecBase {
     assert(texts.toSeq == Seq("doc A", "doc B"))
   }
 
+  test("streaming: session windows close at the gap, merge within it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDS().toDF("user_id", "ts")
+    val q = Streams.streamingSessions(events, "user_id", "ts",
+        gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    // user 1: two events 10min apart (one session), then one 2h later
+    // (second session); user 2: one event
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:10:00")),
+      (2L, ts("2024-01-01 00:05:00")),
+      (1L, ts("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    // advance the watermark past every open session's close
+    input.addData((99L, ts("2024-01-01 06:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_out")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    q.stop()
+    val u1 = rows.filter(_._1 == 1L).toSeq.sortBy(_._2.getTime)
+    assert(u1.map(_._4) == Seq(2L, 1L)) // merged pair, then singleton
+    // a session's window ends gap after its LAST event
+    assert(u1.head._2 == ts("2024-01-01 00:00:00") &&
+      u1.head._3 == ts("2024-01-01 00:40:00"))
+    assert(rows.count(_._1 == 2L) == 1)
+  }
+
   test("streaming: near-dup candidates via stateful band index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
