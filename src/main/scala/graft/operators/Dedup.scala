@@ -419,6 +419,35 @@ object Dedup {
       .select(col(idCol), col("fp"))
   }
 
+  /** Incremental NEAR-dup candidates: a new crawl batch probes the
+    * existing corpus's LSH band index without any batch↔batch or
+    * corpus↔corpus comparison — the cross-snapshot form of
+    * [[minhashCandidatePairs]], sharing the same [[bandKeysExpr]]
+    * banding (so batch, corpus, and the streaming ingest index can
+    * never diverge on what counts as a candidate).
+    *
+    * `corpusBands` is the persisted (id, band) table — the thing a
+    * production pipeline keeps materialized between snapshots (build
+    * it with [[bandIndex]]). Returns distinct (batch_id, corpus_id)
+    * candidates; exact-Jaccard verification composes downstream via
+    * [[jaccardOnPairs]].
+    */
+  def incrementalNearDupCandidates(batch: DataFrame, idCol: String,
+      textCol: String, corpusBands: DataFrame): DataFrame = {
+    val probe = batch.select(col(idCol).as("batch_id"),
+      explode(bandKeysExpr(col(textCol))).as("band"))
+    probe.join(corpusBands.select(col("id").as("corpus_id"), col("band")),
+        "band")
+      .select(col("batch_id"), col("corpus_id")).distinct()
+  }
+
+  /** The persisted LSH band index of a corpus: (id, band) rows under
+    * the shared [[bandKeysExpr]] scheme. At scale this is the table
+    * you bucket/sort by band and keep between snapshots. */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(bandKeysExpr(col(textCol))).as("band"))
+
   /** Duplicated-span coverage — the exact-substring dedup measure of
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language
     * Models Better"), set-at-a-time: a token position is covered when

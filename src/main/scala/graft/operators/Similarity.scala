@@ -287,4 +287,35 @@ object Similarity {
       .agg(sum(col("pdot")).as("score"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** PQ reconstruction error — the quality gauge of the [[pqTopK]]
+    * embedding store: per vector, the total integer squared-L2
+    * distance between its quantized subvectors and the codebook
+    * entries its codes point at (0 for codebook donors). Same encode
+    * plan as [[pqTopK]]; one extra map-side-combined sum. Returns
+    * (id, err), both exact integers. */
+  def pqReconstruction(corpus: DataFrame, m: Int = 8,
+      centroidEvery: Int = 25): DataFrame = {
+    val base = corpus.select(col("id"), quantize(col("vec")).as("q"))
+    val subDim = size(col("q")) / m
+    def subspaces(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("id").as(idAs),
+        posexplode(org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(m - 1)),
+          s => slice(col("q"), s * subDim + 1, subDim))))
+        .withColumnRenamed("pos", "s").withColumnRenamed("col", "sub")
+    val cents = broadcast(subspaces(
+      base.where(col("id") % centroidEvery === 0), "cid")
+      .select(col("s"), col("cid"), col("sub").as("cv")))
+    val sqdist = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    subspaces(base, "nid").join(cents, "s")
+      .select(col("nid"), col("s"),
+        struct(sqdist(col("sub"), col("cv")).as("d"), col("cid")).as("sc"))
+      .groupBy(col("nid"), col("s"))
+      .agg(min(col("sc")).as("m"))
+      .groupBy(col("nid"))
+      .agg(sum(col("m.d")).as("err"))
+      .select(col("nid").as("id"), col("err"))
+  }
 }

@@ -179,8 +179,100 @@ object Pipeline3 {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ---- q72: incremental near-dup candidates (batch → corpus index) ----
+
+  def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalNearDupCandidates(
+      docs.where(col("source") =!= "src0"), "doc_id", "text",
+      Dedup.bandIndex(docs.where(col("source") === "src0"),
+        "doc_id", "text"))
+  }
+
+  /** 3-shingle list over token array `w` — mirrors Pipeline.ShingleList */
+  private val ShingleList =
+    "list_transform(range(1, greatest(len(w) - 1, 1)), " +
+      "i -> array_to_string(w[i:i+2], ' '))"
+
+  val incrementalNearDupSql: String =
+    s"""WITH sigs AS (SELECT doc_id, source,
+       |  list_min(list_transform(sh, s -> md5('s0|' || s))) AS m0,
+       |  list_min(list_transform(sh, s -> md5('s1|' || s))) AS m1,
+       |  list_min(list_transform(sh, s -> md5('s2|' || s))) AS m2,
+       |  list_min(list_transform(sh, s -> md5('s3|' || s))) AS m3
+       |FROM (SELECT doc_id, source, $ShingleList AS sh
+       |      FROM (SELECT doc_id, source, $W AS w FROM documents))
+       |WHERE len(sh) > 0),
+       |bands AS (SELECT doc_id, source,
+       |  m0 || ':' || m1 AS b0, m2 || ':' || m3 AS b1 FROM sigs)
+       |SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id
+       |FROM bands a JOIN bands b ON a.b0 = b.b0
+       |WHERE a.source <> 'src0' AND b.source = 'src0'
+       |UNION
+       |SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id
+       |FROM bands a JOIN bands b ON a.b1 = b.b1
+       |WHERE a.source <> 'src0' AND b.source = 'src0'""".stripMargin
+
+  // ---- q73: PQ reconstruction error per label ----
+
+  def pqReconstruction(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val err = Similarity.pqReconstruction(
+      e.select(col("vec_id").as("id"), col("embedding").as("vec")))
+    err.join(e.select(col("vec_id").as("id"), col("label")), "id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("err")).as("total_err"),
+        max(col("err")).as("max_err"))
+  }
+
+  val pqReconstructionSql: String = {
+    val sqd = "list_sum(list_transform(list_zip(sub.sub, cents.cv), " +
+      "p -> (p[1]-p[2])*(p[1]-p[2])))"
+    s"""WITH e AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |sub AS (SELECT vec_id, CAST(t.s AS INTEGER) AS s,
+       |    q[(CAST(t.s AS INTEGER)*8+1):(CAST(t.s AS INTEGER)*8+8)] AS sub
+       |  FROM e, range(8) t(s)),
+       |cents AS (SELECT s, vec_id AS cid, sub AS cv FROM sub
+       |  WHERE vec_id % 25 = 0),
+       |codes AS (SELECT nid, s, d FROM (
+       |    SELECT sub.vec_id AS nid, sub.s, $sqd AS d,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY $sqd ASC, cents.cid ASC) AS rk
+       |    FROM sub JOIN cents ON sub.s = cents.s)
+       |  WHERE rk = 1),
+       |err AS (SELECT nid, CAST(SUM(d) AS BIGINT) AS err
+       |  FROM codes GROUP BY 1)
+       |SELECT label, count(*) AS n,
+       |  CAST(SUM(err) AS BIGINT) AS total_err,
+       |  CAST(MAX(err) AS BIGINT) AS max_err
+       |FROM err JOIN embeddings ON nid = vec_id
+       |GROUP BY label""".stripMargin
+  }
+
+  // ---- q74: bigram vocabulary induction ----
+
+  def bigramVocab(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(s, d)
+      .select(explode(shingles(normToks(col("text")), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(20)
+  }
+
+  val bigramVocabSql: String =
+    s"""WITH toks AS (SELECT $W AS w FROM documents),
+       |grams AS (SELECT unnest(list_transform(
+       |    range(1, greatest(len(w), 1)),
+       |    i -> array_to_string(w[i:i+1], ' '))) AS bigram
+       |  FROM toks)
+       |SELECT bigram, count(*) AS n FROM grams
+       |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q71_pq_ann_topk"      -> (pqAnnTopK _),
+    "q71_pq_ann_topk"        -> (pqAnnTopK _),
+    "q72_incremental_neardup" -> (incrementalNearDup _),
+    "q73_pq_reconstruction"  -> (pqReconstruction _),
+    "q74_bigram_vocab"       -> (bigramVocab _),
     "q66_semantic_dedup"   -> (semanticDedup _),
     "q67_salted_skew_join" -> (saltedSkewJoin _),
     "q68_topn_per_group"   -> (topNPerGroup _),
@@ -188,7 +280,10 @@ object Pipeline3 {
     "q70_term_relevance"   -> (termRelevance _))
 
   val oracles: Map[String, String] = Map(
-    "q71_pq_ann_topk"      -> pqAnnTopKSql,
+    "q71_pq_ann_topk"        -> pqAnnTopKSql,
+    "q72_incremental_neardup" -> incrementalNearDupSql,
+    "q73_pq_reconstruction"  -> pqReconstructionSql,
+    "q74_bigram_vocab"       -> bigramVocabSql,
     "q66_semantic_dedup"   -> semanticDedupSql,
     "q67_salted_skew_join" -> saltedSkewJoinSql,
     "q68_topn_per_group"   -> topNPerGroupSql,

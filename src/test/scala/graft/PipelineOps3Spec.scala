@@ -91,6 +91,42 @@ class PipelineOps3Spec extends SparkSpecBase {
       again.select($"id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("incremental near-dup probes the corpus band index only") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (100L, shared),
+      (101L, "utterly unrelated corpus document nothing shared at all ok"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, shared + " lambda"),          // near-dup of corpus 100
+      (2L, "fresh novel words entirely absent from any other row yes"),
+      (3L, shared + " mu"))              // also near-dup of 100
+      .toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.bandIndex(corpus, "doc_id", "text")
+    val cand = graft.operators.Dedup
+      .incrementalNearDupCandidates(batch, "doc_id", "text", idx)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 100L)) && cand.contains((3L, 100L)))
+    // batch↔batch pairs (1,3) must NOT appear — only corpus probes
+    assert(cand.forall { case (_, c) => c >= 100L })
+    assert(!cand.exists(_._1 == 2L))
+  }
+
+  test("pqReconstruction is zero for codebook donors, positive otherwise") {
+    val dim = 8
+    val rng = new scala.util.Random(5)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat).toSeq)
+    }.toDF("id", "vec")
+    val err = graft.operators.Similarity
+      .pqReconstruction(vecs, m = 2, centroidEvery = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(err.size == 50)
+    // donors (id % 10 == 0) encode to their own subvectors: err 0
+    (0L until 50L by 10L).foreach(i => assert(err(i) == 0L, s"donor $i"))
+    assert(err.values.exists(_ > 0L))
+  }
+
   test("termRelevance scores tf times integer idf, rarest term worth most") {
     val df = Seq(
       (1L, "the the the cat"),   // tf(the)=3
