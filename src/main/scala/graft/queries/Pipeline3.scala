@@ -249,6 +249,32 @@ object Pipeline3 {
        |GROUP BY label""".stripMargin
   }
 
+  // ---- q75: ANN recall evaluation (IVF vs exact brute force) ----
+
+  /** The eval-harness shape: per query, how many of the exact top-k
+    * the approximate index recovered — composed ENTIRELY from the
+    * q20/q25 query functions (and the oracle from their oracle SQL),
+    * so the metric can never drift from the operators it measures. */
+  def annRecallEval(s: SparkSession, d: String): DataFrame = {
+    val brute = Pipeline.annCosineTopK(s, d).select(col("qid"), col("nid"))
+    val ivf = Pipeline.ivfAnnTopK(s, d).select(col("qid"), col("nid"))
+    val hits = brute.join(ivf, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    brute.groupBy(col("qid")).agg(count(lit(1)).as("n_brute"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_brute"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
+  val annRecallEvalSql: String =
+    s"""WITH brute AS (${Pipeline.annCosineTopKSql}),
+       |ivf AS (${Pipeline.ivfAnnTopKSql})
+       |SELECT b.qid, count(*) AS n_brute,
+       |  CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit
+       |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.nid = i.nid
+       |GROUP BY b.qid""".stripMargin
+
   // ---- q74: bigram vocabulary induction ----
 
   def bigramVocab(s: SparkSession, d: String): DataFrame = {
@@ -273,6 +299,7 @@ object Pipeline3 {
     "q72_incremental_neardup" -> (incrementalNearDup _),
     "q73_pq_reconstruction"  -> (pqReconstruction _),
     "q74_bigram_vocab"       -> (bigramVocab _),
+    "q75_ann_recall_eval"    -> (annRecallEval _),
     "q66_semantic_dedup"   -> (semanticDedup _),
     "q67_salted_skew_join" -> (saltedSkewJoin _),
     "q68_topn_per_group"   -> (topNPerGroup _),
@@ -284,6 +311,7 @@ object Pipeline3 {
     "q72_incremental_neardup" -> incrementalNearDupSql,
     "q73_pq_reconstruction"  -> pqReconstructionSql,
     "q74_bigram_vocab"       -> bigramVocabSql,
+    "q75_ann_recall_eval"    -> annRecallEvalSql,
     "q66_semantic_dedup"   -> semanticDedupSql,
     "q67_salted_skew_join" -> saltedSkewJoinSql,
     "q68_topn_per_group"   -> topNPerGroupSql,
