@@ -253,7 +253,10 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, centroidEvery: Int = 25): DataFrame = {
     val base = corpus.select(col("id"), quantize(col("vec")).as("q"))
-    val subDim = size(col("q")) / m // constant per dataset; computed per row
+    // constant per dataset; computed per row. If dim % m != 0 the last
+    // subspace is shorter on BOTH the vector and codebook side (same
+    // slicing), so distances stay consistent — just unevenly weighted.
+    val subDim = size(col("q")) / m
     // (id, s, sub): each vector exploded into its m subvectors
     def subspaces(df: DataFrame, idAs: String): DataFrame =
       df.select(col("id").as(idAs),

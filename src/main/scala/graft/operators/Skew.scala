@@ -31,7 +31,8 @@ object Skew {
     * keeps the salt stable across retries and cluster sizes. Output =
     * exactly the rows of `fact ⋈ dim` (salt column dropped).
     *
-    * @param fact     large, possibly skewed side
+    * @param fact     large, possibly skewed side (columns must be
+    *                 xxhash64-hashable — no MapType)
     * @param dim      smaller side (too big or too dynamic to
     *                 broadcast, else you'd just broadcast it)
     * @param keys     equi-join key column names (present both sides)
@@ -65,6 +66,7 @@ object Skew {
       sumCols: Seq[(Column, String)], countAs: String,
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(sumCols.nonEmpty, "at least one sum column required")
     val salted = df.withColumn("__salt",
       pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts))
         .cast("int"))

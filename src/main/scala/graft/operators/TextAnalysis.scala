@@ -254,13 +254,15 @@ object TextAnalysis {
       terms.zipWithIndex.map { case (t, i) =>
         tf(t).cast("long").as(s"tf$i")
       }: _*)
-    val stats = tfs.agg(count(lit(1)).as("n"),
+    // underscore-prefixed stat names: the single broadcast row joins
+    // onto every doc row, so its columns must not shadow the id column
+    val stats = tfs.agg(count(lit(1)).as("__n"),
       terms.indices.map(i =>
-        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
     val scored = tfs.crossJoin(broadcast(stats))
       .withColumn("score",
         terms.indices.map { i =>
-          col(s"tf$i") * expr(s"(n * 1000000L) div (df$i + 1L)")
+          col(s"tf$i") * expr(s"(__n * 1000000L) div (__df$i + 1L)")
         }.reduce(_ + _))
       .select(col(idCol), col("score"))
     scored.orderBy(col("score").desc, col(idCol)).limit(topN)
