@@ -1,0 +1,52 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off scale probe (not part of the driver contract): self-union
+  * the sf0.1 tables N× with shifted ids and time the fan-out-bounded
+  * operators, to check the equi-join bounds empirically rather than
+  * by argument. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val mult = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs0 = Tables.documents(spark, sfDir)
+    val n0 = docs0.count()
+    val docs = (0 until mult).map { i =>
+      docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+        .withColumn("text", when(lit(i) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(s" v$i"))))
+    }.reduce(_ unionByName _).cache()
+    val emb0 = Tables.embeddings(spark, sfDir)
+    val emb = (0 until mult).map { i =>
+      emb0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
+    }.reduce(_ unionByName _).cache()
+    println(s"[scale] docs=${docs.count()} (${n0}x$mult) vecs=${emb.count()}")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name ${(System.nanoTime()-t0)/1e9}%.1fs rows=$r")
+    }
+    time("minhash_lsh_pairs")(
+      graft.operators.Dedup.minhashCandidatePairs(docs, "doc_id", "text").count())
+    time("ngram_jaccard")(
+      graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text").count())
+    time("semantic_dedup")(
+      graft.operators.Dedup.semanticDedup(
+        emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", 0.95).count())
+    time("pq_topk")(
+      graft.operators.Similarity.pqTopK(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .where(col("id") < 8),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")), 5).count())
+    time("dup_span_coverage")(
+      graft.operators.Dedup.dupSpanCoverage(docs, "doc_id", "text").count())
+    spark.stop()
+  }
+}

@@ -383,6 +383,76 @@ case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
 }
 
 /** sorted_token_fp(tokens) → md5 hex of sorted distinct token set. */
+/** pq_encode(q) → array of m chosen centroid ids (err=false) or a
+  * single total squared-L2 reconstruction error (err=true), against a
+  * codebook embedded in the expression — the map-only "apply" half of
+  * the PQ train/apply split. The argmin runs over the relative form
+  * |c|² − 2a·c (|a|² is constant per subspace) with ties to the
+  * lowest centroid id; all-integer, so bit-identical to the
+  * relational oracle.
+  *
+  * @param cids   centroid ids, ascending (shared by all subspaces)
+  * @param cb     codebook flattened as (s · |C| + c) · subDim + d
+  * @param cb2    per-(s,c) squared norms, flattened s · |C| + c
+  */
+case class PqEncodeExpr(child: Expression, m: Int, cids: IndexedSeq[Long],
+    cb: IndexedSeq[Long], cb2: IndexedSeq[Long], err: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    if (err) LongType else ArrayType(LongType, containsNull = false)
+  @transient private lazy val cidsArr = cids.toArray
+  @transient private lazy val cbArr = cb.toArray
+  @transient private lazy val cb2Arr = cb2.toArray
+  override def nullSafeEval(v: Any): Any = {
+    val q = v.asInstanceOf[ArrayData]
+    val nC = cidsArr.length
+    val subDim = q.numElements() / m
+    val codes = if (err) null else new Array[Long](m)
+    var totalErr = 0L
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      var best = 0
+      var bestRel = Long.MaxValue
+      var c = 0
+      while (c < nC) {
+        val cbOff = (s * nC + c) * subDim
+        var dot = 0L
+        var d = 0
+        while (d < subDim) {
+          dot += q.getLong(off + d) * cbArr(cbOff + d); d += 1
+        }
+        val rel = cb2Arr(s * nC + c) - 2L * dot
+        if (rel < bestRel) { bestRel = rel; best = c }
+        c += 1
+      }
+      if (err) {
+        var a2 = 0L
+        var d = 0
+        while (d < subDim) {
+          val x = q.getLong(off + d); a2 += x * x; d += 1
+        }
+        totalErr += a2 + bestRel
+      } else codes(s) = cidsArr(best)
+      s += 1
+    }
+    if (err) totalErr
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+  // one per-row call into the compiled kernel (all loops live in the
+  // kernel, no interpreted lambda) — same strategy as WordCountsExpr
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeExpr", this,
+      classOf[PqEncodeExpr].getName)
+    val cast = if (err) "(Long)"
+      else "(org.apache.spark.sql.catalyst.util.ArrayData)"
+    defineCodeGen(ctx, ev, c => s"$cast $ref.nullSafeEval($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class SortedTokenFpExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
@@ -414,4 +484,8 @@ object VectorExpressions {
     column(WinnowFpsExpr(expression(tokens), k, w))
   def shinglesN(tokens: Column, k: Int, distinct: Boolean = false): Column =
     column(ShinglesExpr(expression(tokens), k, distinct))
+  def pqEncodeN(q: Column, m: Int, cids: IndexedSeq[Long],
+      cb: IndexedSeq[Long], cb2: IndexedSeq[Long],
+      err: Boolean = false): Column =
+    column(PqEncodeExpr(expression(q), m, cids, cb, cb2, err))
 }

@@ -238,47 +238,45 @@ object Similarity {
     * corpus through per-subspace lookup tables (ADC) without touching
     * the original floats.
     *
-    * Codebooks are deterministic: per subspace, the sampled rows
-    * (`id % centroidEvery == 0`) donate their subvectors as centroids.
-    * Encoding = integer squared-L2 argmin (min struct — map-side
-    * combinable, same shape as IVF assignment); scoring = Σ_s
+    * Codebooks are deterministic: the sampled rows (`id %
+    * centroidEvery == 0`, lowest `codebookSize` ids) donate their
+    * subvectors as centroids. This is the TRAIN/APPLY split every
+    * production PQ uses: training collects the (tiny — |C|·dim longs)
+    * codebook to the driver once; encoding is then a MAP-ONLY pass
+    * through a native codegen'd kernel ([[graft.expressions
+    * .PqEncodeExpr]]), one row in → m codes out, no join, no shuffle.
+    * (The first cut encoded via an N·m·|C|-row join + min(struct) —
+    * a struct-ordered aggregate Spark can only run as SortAggregate;
+    * 244s for 40k vectors vs ~3s for the kernel.) Scoring = Σ_s
     * LUT[s, code_s] of integer dot products, so scores are pure
     * BIGINTs and ranks are bit-identical cross-engine.
     *
-    * Plan shape at 100 TB: the codebook (m × |C| subvectors) and the
-    * query LUT (|Q| × m × |C| longs) broadcast; the corpus is touched
-    * twice map-only (encode, score-join) with both aggregates
-    * partially combined before their shuffles. The encoded table is
-    * what you'd persist: N × m bytes instead of N × dim floats. */
+    * Plan shape at 100 TB: codebook train reads the sample only;
+    * encode is map-only (this is the pass you'd persist as the N × m
+    * byte store); the query LUT (|Q| × m × |C| longs) broadcasts into
+    * one equi-join + partially-combined sum. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      m: Int = 8, centroidEvery: Int = 25): DataFrame = {
+      m: Int = 8, centroidEvery: Int = 25,
+      codebookSize: Int = 256): DataFrame = {
     val base = corpus.select(col("id"), quantize(col("vec")).as("q"))
-    // constant per dataset; computed per row. If dim % m != 0 the last
-    // subspace is shorter on BOTH the vector and codebook side (same
-    // slicing), so distances stay consistent — just unevenly weighted.
+    val ck = pqTrain(base, m, centroidEvery, codebookSize)
+    // encode: one kernel call per row → (nid, s, code) map-only
+    val codes = base.select(col("id").as("nid"),
+      posexplode(graft.expressions.VectorExpressions
+        .pqEncodeN(col("q"), m, ck.cids, ck.cb, ck.cb2)))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "code")
+    // ADC lookup table: per (query, subspace, centroid) integer dot —
+    // built relationally from the same capped sampled codebook
+    val q = queries.select(col("id"), quantize(col("vec")).as("q"))
     val subDim = size(col("q")) / m
-    // (id, s, sub): each vector exploded into its m subvectors
     def subspaces(df: DataFrame, idAs: String): DataFrame =
       df.select(col("id").as(idAs),
         posexplode(org.apache.spark.sql.functions.transform(
           sequence(lit(0), lit(m - 1)),
           s => slice(col("q"), s * subDim + 1, subDim))))
         .withColumnRenamed("pos", "s").withColumnRenamed("col", "sub")
-    // codebook: sampled subvectors, keyed (s, cid)
-    val cents = broadcast(subspaces(
-      base.where(col("id") % centroidEvery === 0), "cid")
-      .select(col("s"), col("cid"), col("sub").as("cv")))
-    val sqdist = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-    // encode: integer-L2 argmin over the codebook, min(struct) combine
-    val codes = subspaces(base, "nid").join(cents, "s")
-      .select(col("nid"), col("s"),
-        struct(sqdist(col("sub"), col("cv")).as("d"), col("cid")).as("sc"))
-      .groupBy(col("nid"), col("s"))
-      .agg(min(col("sc")).as("m"))
-      .select(col("nid"), col("s"), col("m.cid").as("code"))
-    // ADC lookup table: per (query, subspace, centroid) integer dot
-    val q = queries.select(col("id"), quantize(col("vec")).as("q"))
+    val cents = broadcast(pqCodebook(base, subspaces(_, _),
+      centroidEvery, codebookSize))
     val lut = broadcast(subspaces(q, "qid").join(cents, "s")
       .select(col("qid"), col("s"), col("cid").as("code"),
         qdot(col("sub"), col("cv")).as("pdot")))
@@ -291,34 +289,71 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Driver-collected PQ codebook (the "train" half): flattened
+    * per-subspace centroid subvectors + squared norms, ready to embed
+    * in [[graft.expressions.PqEncodeExpr]]. Tiny by construction
+    * (≤ codebookSize · dim longs) and deterministic (lowest sampled
+    * ids, ascending). */
+  private final case class TrainedPq(cids: IndexedSeq[Long],
+      cb: IndexedSeq[Long], cb2: IndexedSeq[Long])
+
+  private def pqTrain(base: DataFrame, m: Int, centroidEvery: Int,
+      codebookSize: Int): TrainedPq = {
+    val rows = base.where(col("id") % centroidEvery === 0)
+      .select(col("id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1).take(codebookSize)
+    require(rows.nonEmpty,
+      s"PQ training sample is empty (no id % $centroidEvery == 0 rows)")
+    val cids = rows.map(_._1).toIndexedSeq
+    val nC = cids.length
+    val subDim = rows.head._2.length / m
+    val cb = new Array[Long](m * nC * subDim)
+    val cb2 = new Array[Long](m * nC)
+    for (s <- 0 until m; c <- 0 until nC) {
+      var n2 = 0L
+      var d = 0
+      while (d < subDim) {
+        val v = rows(c)._2(s * subDim + d)
+        cb((s * nC + c) * subDim + d) = v
+        n2 += v * v
+        d += 1
+      }
+      cb2(s * nC + c) = n2
+    }
+    TrainedPq(cids, cb.toIndexedSeq, cb2.toIndexedSeq)
+  }
+
+  /** The capped deterministic codebook as a broadcast FRAME (used for
+    * the query-side ADC lookup table, where the relational form is the
+    * convenient one): subvectors of the `codebookSize` LOWEST sampled
+    * ids per subspace — the same selection [[pqTrain]] collects. The
+    * rank window runs on the sampled set only before the broadcast. */
+  private def pqCodebook(base: DataFrame,
+      subspaces: (DataFrame, String) => DataFrame,
+      centroidEvery: Int, codebookSize: Int): DataFrame = {
+    val w = Window.partitionBy(col("s")).orderBy(col("cid"))
+    subspaces(base.where(col("id") % centroidEvery === 0), "cid")
+      .select(col("s"), col("cid"), col("sub").as("cv"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= codebookSize).drop("__rk")
+  }
+
   /** PQ reconstruction error — the quality gauge of the [[pqTopK]]
     * embedding store: per vector, the total integer squared-L2
     * distance between its quantized subvectors and the codebook
-    * entries its codes point at (0 for codebook donors). Same encode
-    * plan as [[pqTopK]]; one extra map-side-combined sum. Returns
-    * (id, err), both exact integers. */
+    * entries its codes point at (0 for codebook donors). Train once,
+    * then ONE map-only kernel pass ([[graft.expressions.PqEncodeExpr]]
+    * in err mode). Returns (id, err), both exact integers; when
+    * dim % m != 0 the trailing unencoded dims are excluded on both
+    * the vector and codebook side. */
   def pqReconstruction(corpus: DataFrame, m: Int = 8,
-      centroidEvery: Int = 25): DataFrame = {
+      centroidEvery: Int = 25, codebookSize: Int = 256): DataFrame = {
     val base = corpus.select(col("id"), quantize(col("vec")).as("q"))
-    val subDim = size(col("q")) / m
-    def subspaces(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("id").as(idAs),
-        posexplode(org.apache.spark.sql.functions.transform(
-          sequence(lit(0), lit(m - 1)),
-          s => slice(col("q"), s * subDim + 1, subDim))))
-        .withColumnRenamed("pos", "s").withColumnRenamed("col", "sub")
-    val cents = broadcast(subspaces(
-      base.where(col("id") % centroidEvery === 0), "cid")
-      .select(col("s"), col("cid"), col("sub").as("cv")))
-    val sqdist = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-    subspaces(base, "nid").join(cents, "s")
-      .select(col("nid"), col("s"),
-        struct(sqdist(col("sub"), col("cv")).as("d"), col("cid")).as("sc"))
-      .groupBy(col("nid"), col("s"))
-      .agg(min(col("sc")).as("m"))
-      .groupBy(col("nid"))
-      .agg(sum(col("m.d")).as("err"))
-      .select(col("nid").as("id"), col("err"))
+    val ck = pqTrain(base, m, centroidEvery, codebookSize)
+    base.select(col("id"),
+      graft.expressions.VectorExpressions
+        .pqEncodeN(col("q"), m, ck.cids, ck.cb, ck.cb2, err = true)
+        .as("err"))
   }
 }

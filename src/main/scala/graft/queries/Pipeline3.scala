@@ -158,8 +158,11 @@ object Pipeline3 {
        |sub AS (SELECT vec_id, CAST(t.s AS INTEGER) AS s,
        |    q[(CAST(t.s AS INTEGER)*8+1):(CAST(t.s AS INTEGER)*8+8)] AS sub
        |  FROM e, range(8) t(s)),
-       |cents AS (SELECT s, vec_id AS cid, sub AS cv FROM sub
-       |  WHERE vec_id % 25 = 0),
+       |cents AS (SELECT s, cid, cv FROM (
+       |    SELECT s, vec_id AS cid, sub AS cv,
+       |      row_number() OVER (PARTITION BY s ORDER BY vec_id) AS crk
+       |    FROM sub WHERE vec_id % 25 = 0)
+       |  WHERE crk <= 256),
        |codes AS (SELECT nid, s, cid AS code FROM (
        |    SELECT sub.vec_id AS nid, sub.s, cents.cid,
        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
@@ -232,8 +235,11 @@ object Pipeline3 {
        |sub AS (SELECT vec_id, CAST(t.s AS INTEGER) AS s,
        |    q[(CAST(t.s AS INTEGER)*8+1):(CAST(t.s AS INTEGER)*8+8)] AS sub
        |  FROM e, range(8) t(s)),
-       |cents AS (SELECT s, vec_id AS cid, sub AS cv FROM sub
-       |  WHERE vec_id % 25 = 0),
+       |cents AS (SELECT s, cid, cv FROM (
+       |    SELECT s, vec_id AS cid, sub AS cv,
+       |      row_number() OVER (PARTITION BY s ORDER BY vec_id) AS crk
+       |    FROM sub WHERE vec_id % 25 = 0)
+       |  WHERE crk <= 256),
        |codes AS (SELECT nid, s, d FROM (
        |    SELECT sub.vec_id AS nid, sub.s, $sqd AS d,
        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
