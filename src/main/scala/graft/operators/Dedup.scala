@@ -357,11 +357,15 @@ object Dedup {
     * bit-identical cross-engine.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, centroidEvery: Int = 25): DataFrame = {
+      threshold: Double, centroidEvery: Int = 25,
+      centroidCap: Int = 256): DataFrame = {
     val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
       .withColumn("nrm", sqrt(qdot(col("q"), col("q")).cast("double")))
+    // capped centroid set (lowest sampled ids, TakeOrderedAndProject)
+    // keeps the N×|C| assignment linear in N — see Similarity.ivfTopK
     val cent = broadcast(base.where(col("id") % centroidEvery === 0)
-      .select(col("id").as("cid"), col("q").as("cv"), col("nrm").as("cn")))
+      .select(col("id").as("cid"), col("q").as("cv"), col("nrm").as("cn"))
+      .orderBy(col("cid")).limit(centroidCap))
     // nearest centroid via max(struct(cos, -cid)): map-side combinable,
     // collapses the |N|×|C| expansion before any shuffle
     val assigned = base.crossJoin(cent)

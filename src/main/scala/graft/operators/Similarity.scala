@@ -83,10 +83,16 @@ object Similarity {
     * integer cosine ([[qdot]]) — bit-identical cross-engine, ranks
     * deterministic with (score desc, id asc) tie-breaks. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nprobe: Int = 2, centroidEvery: Int = 25): DataFrame = {
+      nprobe: Int = 2, centroidEvery: Int = 25,
+      centroidCap: Int = 256): DataFrame = {
+    // centroid set capped at the `centroidCap` lowest sampled ids
+    // (TakeOrderedAndProject): an uncapped %-sample grows |C| with the
+    // corpus and turns the N×|C| assignment quadratic — the same trap
+    // the PQ encode measured at 40k vectors
     val cent = broadcast(corpus
       .where(col("id") % centroidEvery === 0)
       .select(col("id").as("cid"), quantize(col("vec")).as("cv"))
+      .orderBy(col("cid")).limit(centroidCap)
       .withColumn("cn", sqrt(qdot(col("cv"), col("cv")).cast("double"))))
     val qcos = (v: Column, n1: Column, v2: Column, n2: Column) =>
       qdot(v, v2).cast("double") / (n1 * n2)
@@ -134,7 +140,7 @@ object Similarity {
     * rows / |C|·dim cells; nothing driver-side. Empty cells simply
     * drop (their sample was redundant), matching standard Lloyd. */
   def kmeansCentroids(corpus: DataFrame, every: Int = 25,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, centroidCap: Int = 256): DataFrame = {
     // norms precomputed per side BEFORE the cross join (3 dot products
     // per pair otherwise — the same rule every other pair loop here
     // follows)
@@ -142,6 +148,7 @@ object Similarity {
       .select(col("id"), col("vec"), norm(col("vec")).as("vn"))
     var cent = corpus.where(col("id") % every === 0)
       .select(col("id").as("cid"), col("vec").cast("array<double>").as("cvec"))
+      .orderBy(col("cid")).limit(centroidCap)
     (1 to iters).foreach { _ =>
       val centN = broadcast(cent
         .select(col("cid"), col("cvec"), norm(col("cvec")).as("cn")))
@@ -299,10 +306,14 @@ object Similarity {
 
   private def pqTrain(base: DataFrame, m: Int, centroidEvery: Int,
       codebookSize: Int): TrainedPq = {
+    // orderBy+limit = TakeOrderedAndProject: the driver receives only
+    // the codebook rows, never the full sample (which at planet scale
+    // is corpus/centroidEvery rows — far too big to collect)
     val rows = base.where(col("id") % centroidEvery === 0)
-      .select(col("id"), col("q")).collect()
+      .select(col("id"), col("q"))
+      .orderBy(col("id")).limit(codebookSize).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
-      .sortBy(_._1).take(codebookSize)
+      .sortBy(_._1)
     require(rows.nonEmpty,
       s"PQ training sample is empty (no id % $centroidEvery == 0 rows)")
     val cids = rows.map(_._1).toIndexedSeq
@@ -331,13 +342,13 @@ object Similarity {
     * rank window runs on the sampled set only before the broadcast. */
   private def pqCodebook(base: DataFrame,
       subspaces: (DataFrame, String) => DataFrame,
-      centroidEvery: Int, codebookSize: Int): DataFrame = {
-    val w = Window.partitionBy(col("s")).orderBy(col("cid"))
-    subspaces(base.where(col("id") % centroidEvery === 0), "cid")
+      centroidEvery: Int, codebookSize: Int): DataFrame =
+    // cap BEFORE the subspace explode, as TakeOrderedAndProject (all
+    // subspaces share the same ids, so a per-id cap = a per-(s,id)
+    // cap — no per-subspace window needed)
+    subspaces(base.where(col("id") % centroidEvery === 0)
+      .orderBy(col("id")).limit(codebookSize), "cid")
       .select(col("s"), col("cid"), col("sub").as("cv"))
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= codebookSize).drop("__rk")
-  }
 
   /** PQ reconstruction error — the quality gauge of the [[pqTopK]]
     * embedding store: per vector, the total integer squared-L2

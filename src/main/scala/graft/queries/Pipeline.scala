@@ -281,7 +281,8 @@ object Pipeline {
        |n AS (SELECT vec_id, q,
        |  sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
        | FROM e),
-       |cent AS (SELECT vec_id AS cid, q AS cv, nrm AS cn FROM n WHERE vec_id % 25 = 0),
+       |cent AS (SELECT vec_id AS cid, q AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 256),
        |asg AS (
        |  SELECT nid, cid FROM (
        |    SELECT n.vec_id AS nid, cent.cid,

@@ -43,7 +43,7 @@ object Pipeline3 {
        |  sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
        | FROM e),
        |cent AS (SELECT vec_id AS cid, q AS cv, nrm AS cn FROM n
-       |  WHERE vec_id % 25 = 0),
+       |  WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 256),
        |asg AS (
        |  SELECT nid, q, nrm, cid AS cell FROM (
        |    SELECT n.vec_id AS nid, n.q, n.nrm, cent.cid,
