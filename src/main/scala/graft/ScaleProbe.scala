@@ -47,6 +47,18 @@ object ScaleProbe {
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")), 5).count())
     time("dup_span_coverage")(
       graft.operators.Dedup.dupSpanCoverage(docs, "doc_id", "text").count())
+    // OSM reader throughput: the same PBF 8× through the blob-parallel
+    // decoder + the way-coordinate resolve join (ids collide across
+    // copies — fine, this probes parse + join volume, not semantics)
+    val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    if (new java.io.File(pbf).exists()) {
+      time("osm_pbf_x8_resolve") {
+        val osm = graft.sources.OsmSource.read(spark, Seq.fill(8)(pbf))
+        val n = graft.operators.Middle.resolveAllWayCoords(osm).count()
+        osm.unpersistBacking()
+        n
+      }
+    }
     spark.stop()
   }
 }
