@@ -272,19 +272,28 @@ object Similarity {
       posexplode(graft.expressions.VectorExpressions
         .pqEncodeN(col("q"), m, ck.cids, ck.cb, ck.cb2)))
       .withColumnRenamed("pos", "s").withColumnRenamed("col", "code")
-    // ADC lookup table: per (query, subspace, centroid) integer dot —
-    // built relationally from the same capped sampled codebook
-    val q = queries.select(col("id"), quantize(col("vec")).as("q"))
+    val cents = broadcast(pqCodebook(base, m, centroidEvery, codebookSize))
+    adcScore(codes, cents, queries, m, k)
+  }
+
+  /** (id, s, sub): each quantized vector exploded into its m
+    * subvectors. Input must carry (id, q). */
+  private def pqSubspaces(df: DataFrame, m: Int, idAs: String): DataFrame = {
     val subDim = size(col("q")) / m
-    def subspaces(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("id").as(idAs),
-        posexplode(org.apache.spark.sql.functions.transform(
-          sequence(lit(0), lit(m - 1)),
-          s => slice(col("q"), s * subDim + 1, subDim))))
-        .withColumnRenamed("pos", "s").withColumnRenamed("col", "sub")
-    val cents = broadcast(pqCodebook(base, subspaces(_, _),
-      centroidEvery, codebookSize))
-    val lut = broadcast(subspaces(q, "qid").join(cents, "s")
+    df.select(col("id").as(idAs),
+      posexplode(org.apache.spark.sql.functions.transform(
+        sequence(lit(0), lit(m - 1)),
+        s => slice(col("q"), s * subDim + 1, subDim))))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "sub")
+  }
+
+  /** ADC scoring tail shared by [[pqTopK]] and [[pqSearchStore]]:
+    * broadcast the per-query lookup table (|Q| × m × |C| integer
+    * dots), equi-join the code rows, sum per (query, neighbor), rank. */
+  private def adcScore(codes: DataFrame, cents: DataFrame,
+      queries: DataFrame, m: Int, k: Int): DataFrame = {
+    val q = queries.select(col("id"), quantize(col("vec")).as("q"))
+    val lut = broadcast(pqSubspaces(q, m, "qid").join(cents, "s")
       .select(col("qid"), col("s"), col("cid").as("code"),
         qdot(col("sub"), col("cv")).as("pdot")))
     val w = Window.partitionBy(col("qid"))
@@ -294,6 +303,39 @@ object Similarity {
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("pdot")).as("score"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Persist the PQ embedding store: `path/codes` = (id, codes
+    * array<long>) — the N × m artifact, 32×-ish smaller than the
+    * float vectors — and `path/codebook` = the trained sample's
+    * quantized rows (id, q), from which search rebuilds the lookup
+    * tables. The store is self-contained: [[pqSearchStore]] needs only
+    * the path + the same m. */
+  def pqWriteStore(corpus: DataFrame, path: String, m: Int = 8,
+      centroidEvery: Int = 25, codebookSize: Int = 256): Unit = {
+    val base = corpus.select(col("id"), quantize(col("vec")).as("q"))
+    val ck = pqTrain(base, m, centroidEvery, codebookSize)
+    base.where(col("id") % centroidEvery === 0)
+      .orderBy(col("id")).limit(codebookSize)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    base.select(col("id"),
+        graft.expressions.VectorExpressions
+          .pqEncodeN(col("q"), m, ck.cids, ck.cb, ck.cb2).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Approximate top-k directly against a persisted [[pqWriteStore]]
+    * — the original float vectors are never read. Bit-identical to
+    * [[pqTopK]] over the same corpus and parameters. */
+  def pqSearchStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, m: Int = 8): DataFrame = {
+    val cents = broadcast(
+      pqSubspaces(spark.read.parquet(s"$path/codebook"), m, "cid")
+        .select(col("s"), col("cid"), col("sub").as("cv")))
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("id").as("nid"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "code")
+    adcScore(codes, cents, queries, m, k)
   }
 
   /** Driver-collected PQ codebook (the "train" half): flattened
@@ -339,15 +381,13 @@ object Similarity {
     * the query-side ADC lookup table, where the relational form is the
     * convenient one): subvectors of the `codebookSize` LOWEST sampled
     * ids per subspace — the same selection [[pqTrain]] collects. The
-    * rank window runs on the sampled set only before the broadcast. */
-  private def pqCodebook(base: DataFrame,
-      subspaces: (DataFrame, String) => DataFrame,
+    * cap runs BEFORE the subspace explode, as TakeOrderedAndProject
+    * (all subspaces share the same ids, so a per-id cap = a per-(s,id)
+    * cap — no per-subspace window needed). */
+  private def pqCodebook(base: DataFrame, m: Int,
       centroidEvery: Int, codebookSize: Int): DataFrame =
-    // cap BEFORE the subspace explode, as TakeOrderedAndProject (all
-    // subspaces share the same ids, so a per-id cap = a per-(s,id)
-    // cap — no per-subspace window needed)
-    subspaces(base.where(col("id") % centroidEvery === 0)
-      .orderBy(col("id")).limit(codebookSize), "cid")
+    pqSubspaces(base.where(col("id") % centroidEvery === 0)
+      .orderBy(col("id")).limit(codebookSize), m, "cid")
       .select(col("s"), col("cid"), col("sub").as("cv"))
 
   /** PQ reconstruction error — the quality gauge of the [[pqTopK]]

@@ -127,6 +127,36 @@ class PipelineOps3Spec extends SparkSpecBase {
     assert(err.values.exists(_ > 0L))
   }
 
+  test("PQ store round-trip: persisted search equals in-memory search") {
+    val dim = 16
+    val rng = new scala.util.Random(21)
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat).toSeq)
+    }.toDF("id", "vec")
+    val queries = vecs.where($"id" < 4)
+    val dir = java.nio.file.Files.createTempDirectory("pqstore").toString
+    try {
+      graft.operators.Similarity.pqWriteStore(vecs, dir, m = 4,
+        centroidEvery = 10)
+      // the store's codes table is the compressed artifact: m longs/id
+      val codes = spark.read.parquet(s"$dir/codes")
+      assert(codes.count() == 120)
+      assert(codes.select($"codes").as[Seq[Long]].head.length == 4)
+      val fromStore = graft.operators.Similarity
+        .pqSearchStore(spark, dir, queries, k = 5, m = 4)
+        .select($"qid", $"nid", $"score", $"rank")
+        .collect().map(_.toSeq).toSet
+      val inMemory = graft.operators.Similarity
+        .pqTopK(queries, vecs, k = 5, m = 4, centroidEvery = 10)
+        .select($"qid", $"nid", $"score", $"rank")
+        .collect().map(_.toSeq).toSet
+      assert(fromStore == inMemory && fromStore.size == 20)
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("termRelevance scores tf times integer idf, rarest term worth most") {
     val df = Seq(
       (1L, "the the the cat"),   // tf(the)=3
