@@ -21,7 +21,7 @@ object ClassicUpdate {
     * the merge, matching delete+reinsert middle semantics,
     * src/middle-pgsql.cpp). */
   def applyToStream(base: DataFrame, changes: DataFrame): DataFrame = {
-    val cols = base.columns.filter(c => c != "action")
+    val cols = base.columns.filter(c => c != "action").toIndexedSeq
     val merged = graft.sources.Validate.mergeFiles(
       Seq(
         base.selectExpr(cols: _*).withColumn("__prio", lit(0)),

@@ -343,8 +343,33 @@ object Similarity {
     * in [[graft.expressions.PqEncodeExpr]]. Tiny by construction
     * (≤ codebookSize · dim longs) and deterministic (lowest sampled
     * ids, ascending). */
-  private final case class TrainedPq(cids: IndexedSeq[Long],
+  private[graft] final case class TrainedPq(cids: IndexedSeq[Long],
       cb: IndexedSeq[Long], cb2: IndexedSeq[Long])
+
+  /** Flatten collected (id, quantized vector) codebook rows into the
+    * kernel's layout: cb[(s·|C| + c)·subDim + d] + per-(s,c) norms. */
+  private[graft] def flattenCodebook(rows: Array[(Long, Seq[Long])],
+      m: Int): TrainedPq = {
+    require(rows.nonEmpty, "PQ codebook is empty")
+    val sorted = rows.sortBy(_._1)
+    val cids = sorted.map(_._1).toIndexedSeq
+    val nC = cids.length
+    val subDim = sorted.head._2.length / m
+    val cb = new Array[Long](m * nC * subDim)
+    val cb2 = new Array[Long](m * nC)
+    for (s <- 0 until m; c <- 0 until nC) {
+      var n2 = 0L
+      var d = 0
+      while (d < subDim) {
+        val v = sorted(c)._2(s * subDim + d)
+        cb((s * nC + c) * subDim + d) = v
+        n2 += v * v
+        d += 1
+      }
+      cb2(s * nC + c) = n2
+    }
+    TrainedPq(cids, cb.toIndexedSeq, cb2.toIndexedSeq)
+  }
 
   private def pqTrain(base: DataFrame, m: Int, centroidEvery: Int,
       codebookSize: Int): TrainedPq = {
@@ -355,26 +380,9 @@ object Similarity {
       .select(col("id"), col("q"))
       .orderBy(col("id")).limit(codebookSize).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
-      .sortBy(_._1)
     require(rows.nonEmpty,
       s"PQ training sample is empty (no id % $centroidEvery == 0 rows)")
-    val cids = rows.map(_._1).toIndexedSeq
-    val nC = cids.length
-    val subDim = rows.head._2.length / m
-    val cb = new Array[Long](m * nC * subDim)
-    val cb2 = new Array[Long](m * nC)
-    for (s <- 0 until m; c <- 0 until nC) {
-      var n2 = 0L
-      var d = 0
-      while (d < subDim) {
-        val v = rows(c)._2(s * subDim + d)
-        cb((s * nC + c) * subDim + d) = v
-        n2 += v * v
-        d += 1
-      }
-      cb2(s * nC + c) = n2
-    }
-    TrainedPq(cids, cb.toIndexedSeq, cb2.toIndexedSeq)
+    flattenCodebook(rows, m)
   }
 
   /** The capped deterministic codebook as a broadcast FRAME (used for

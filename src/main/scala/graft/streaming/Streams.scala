@@ -130,6 +130,29 @@ object Streams {
       .select(col(userCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Streaming PQ ingest: encode arriving embeddings against a FROZEN
+    * persisted codebook (`storePath/codebook`, written by
+    * [[graft.operators.Similarity.pqWriteStore]]) — the incremental
+    * form of the embedding store, where new vectors append N × m code
+    * rows and the codebook never changes mid-stream. Pure per-row
+    * projection through the native PqEncodeExpr kernel: stateless,
+    * watermark-free, append-mode; sink it with `writeStream.format(
+    * "parquet")` onto `storePath/codes` and [[graft.operators
+    * .Similarity.pqSearchStore]] sees the new vectors on its next
+    * run. */
+  def pqEncodeStream(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, storePath: String, m: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.quantize
+    val rows = spark.read.parquet(s"$storePath/codebook")
+      .select(col("id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    require(rows.nonEmpty, s"no codebook at $storePath/codebook")
+    val ck = graft.operators.Similarity.flattenCodebook(rows, m)
+    vectors.select(col("id"),
+      graft.expressions.VectorExpressions.pqEncodeN(
+        quantize(col("vec")), m, ck.cids, ck.cb, ck.cb2).as("codes"))
+  }
+
   final case class NearDupCandidate(idA: Long, idB: Long, band: String)
   final case class BandState(entries: List[Long])
 

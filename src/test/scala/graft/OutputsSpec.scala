@@ -372,6 +372,41 @@ class OutputsSpec extends SparkSpecBase {
     assert(rows.count(_._1 == 2L) == 1)
   }
 
+  test("streaming: PQ ingest appends codes the store search can see") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    val rng = new scala.util.Random(31)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat).toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pqstream").toString
+    try {
+      graft.operators.Similarity.pqWriteStore(
+        vecs.toDF("id", "vec"), dir, m = 4, centroidEvery = 10)
+      // stream two NEW vectors in: one equals vector 10 (a codebook
+      // donor), so after ingest it must surface as 10's ADC twin
+      val input = MemoryStream[(Long, Seq[Float])]
+      val encoded = Streams.pqEncodeStream(spark,
+        input.toDS().toDF("id", "vec"), dir, m = 4)
+      val q = encoded.writeStream.outputMode("append")
+        .format("parquet").option("path", s"$dir/codes")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      input.addData((1000L, vecs(10)._2), (1001L, vecs(25)._2))
+      q.processAllAvailable()
+      q.stop()
+      val hits = graft.operators.Similarity.pqSearchStore(spark, dir,
+          vecs.toDF("id", "vec").where($"id" === 10L), k = 3, m = 4)
+        .select($"nid", $"rank").as[(Long, Int)].collect().toMap
+      // 1000 shares 10's exact codes → its ADC score ties 10's
+      // self-excluded max; it must appear among the top hits
+      assert(hits.contains(1000L))
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("streaming: near-dup candidates via stateful band index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
