@@ -191,7 +191,11 @@ object TextAnalysis {
     * cross-multiplied) so the counts are exact on any engine. One
     * map-only projection + one hash aggregate on the group key.
     */
-  def filterFunnel(df: DataFrame, groupCol: String, textCol: String,
+  /** The funnel's four per-row stage predicates as `__s1..__s4`
+    * columns appended to `df` — the reusable form: [[filterFunnel]]
+    * aggregates them per group, `TrainingData.curate` filters on
+    * `__s4`. Map-only. */
+  def funnelStages(df: DataFrame, textCol: String,
       charsCol: String): DataFrame = {
     val w = normToks(col(textCol))
     val nTok = size(w)
@@ -204,9 +208,16 @@ object TextAnalysis {
     val s2 = s1 && nTok >= 40
     val s3 = s2 && nUniq * 2 >= nTok            // TTR >= 0.5
     val s4 = s3 && maxFreq * 10 <= nTok         // top token <= 10%
+    df.withColumn("__s1", s1).withColumn("__s2", s2)
+      .withColumn("__s3", s3).withColumn("__s4", s4)
+  }
+
+  def filterFunnel(df: DataFrame, groupCol: String, textCol: String,
+      charsCol: String): DataFrame = {
     def c(p: Column) = sum(when(p, 1L).otherwise(0L))
-    df.select(col(groupCol), s1.as("s1"), s2.as("s2"), s3.as("s3"),
-        s4.as("s4"))
+    funnelStages(df, textCol, charsCol)
+      .select(col(groupCol), col("__s1").as("s1"), col("__s2").as("s2"),
+        col("__s3").as("s3"), col("__s4").as("s4"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_total"), c(col("s1")).as("n_len"),
         c(col("s2")).as("n_tokens"), c(col("s3")).as("n_ttr"),

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation job: every stage is one of the
+  * individually oracle-checked operators, composed into a single
+  * declarative plan — the proof that the operator library chains into
+  * the pipeline a pre-training data team actually runs.
+  *
+  *   quality funnel → exact dedup → near-dup prune (LSH → Jaccard →
+  *   connected components, keep lowest id) → benchmark
+  *   decontamination → per-source quota mix → sequence packing
+  *
+  * Everything is joins/aggregates over the input; no stage collects
+  * to the driver, every near-dup step is fan-out-bounded (bands,
+  * capped postings), and the whole chain inherits each operator's
+  * scale shape. Stage survivor counts come from one `curateCounts`
+  * pass (separate actions — cheap next to the pipeline itself).
+  */
+object TrainingData {
+
+  /** Returns the curated corpus: (id, source, text, token count,
+    * shard-local packing offsets). Deterministic end to end. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, charsCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      quota: Map[String, Int], defaultQuota: Int,
+      windowTokens: Int = 2048, minJaccard: Double = 0.8): DataFrame = {
+    // 1. quality funnel: keep rows passing all four integer stages
+    val funnel = TextAnalysis.funnelStages(docs, textCol, charsCol)
+    val quality = funnel.where(col("__s4"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    // 2. exact dedup: keep the lowest id per content digest
+    val keepExact = Dedup.exact(quality, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val exactKept = quality.join(keepExact, idCol)
+    // 3. near-dup prune: cluster LSH-verified pairs, keep each
+    //    cluster's lowest id (docs in no cluster survive untouched)
+    val clusters = Dedup.nearDupClusters(exactKept, idCol, textCol,
+      minJaccard)
+    val dropNear = clusters
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("keep"))
+      .join(clusters, "cluster_id")
+      .where(col("doc_id") =!= col("keep"))
+      .select(col("doc_id").as(idCol))
+    val nearKept = exactKept.join(dropNear, Seq(idCol), "left_anti")
+    // 4. decontamination: drop docs sharing any 8-gram with the
+    //    benchmark
+    val contaminated = TextAnalysis.decontaminate(nearKept, idCol,
+      textCol, benchmark, benchTextCol).select(col(idCol))
+    val clean = nearKept.join(contaminated, Seq(idCol), "left_anti")
+    // 5. deterministic source mixing
+    val mixed = Sampling.sourceMix(clean, srcCol, idCol, quota,
+      defaultQuota).drop("rk")
+    // 6. sequence packing per source shard
+    val withTokens = mixed.withColumn("n_tokens",
+      size(graft.functions.TextFunctions.normToks(col(textCol))))
+    Sampling.packSequences(withTokens, srcCol, idCol, "n_tokens",
+      windowTokens)
+  }
+
+  /** Survivor count per stage — the funnel report a curation run
+    * ships with. Runs the same plans with count actions. */
+  def curateCounts(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, charsCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      quota: Map[String, Int], defaultQuota: Int,
+      minJaccard: Double = 0.8): Seq[(String, Long)] = {
+    val funnel = TextAnalysis.funnelStages(docs, textCol, charsCol)
+    val quality = funnel.where(col("__s4"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    val keepExact = Dedup.exact(quality, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val exactKept = quality.join(keepExact, idCol)
+    val clusters = Dedup.nearDupClusters(exactKept, idCol, textCol,
+      minJaccard)
+    val dropNear = clusters
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("keep"))
+      .join(clusters, "cluster_id")
+      .where(col("doc_id") =!= col("keep"))
+      .select(col("doc_id").as(idCol))
+    val nearKept = exactKept.join(dropNear, Seq(idCol), "left_anti")
+    val contaminated = TextAnalysis.decontaminate(nearKept, idCol,
+      textCol, benchmark, benchTextCol).select(col(idCol))
+    val clean = nearKept.join(contaminated, Seq(idCol), "left_anti")
+    val mixed = Sampling.sourceMix(clean, srcCol, idCol, quota,
+      defaultQuota)
+    Seq(
+      "input" -> docs.count(),
+      "quality" -> quality.count(),
+      "exact_dedup" -> exactKept.count(),
+      "near_dedup" -> nearKept.count(),
+      "decontaminated" -> clean.count(),
+      "mixed" -> mixed.count())
+  }
+}
