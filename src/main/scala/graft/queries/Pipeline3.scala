@@ -303,7 +303,108 @@ object Pipeline3 {
        |SELECT bigram, count(*) AS n FROM grams
        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // ---- q76: the END-TO-END curation pipeline under the hash gate ----
+
+  /** The whole `TrainingData.curate` chain as one oracle-checked
+    * query: funnel → exact dedup → LSH near-dup prune → benchmark
+    * decontamination (hash-split benchmark, as q55) → quota mix →
+    * packing. Every stage's SQL fragment is the one its standalone
+    * query already proved. */
+  def curation(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBench =
+      substring(md5(col("doc_id").cast("string")), 1, 2) < lit("40")
+    graft.operators.TrainingData.curate(
+      docs.where(!isBench), "doc_id", "text", "source", "n_chars",
+      docs.where(isBench), "text",
+      quota = Map("src0" -> 15, "src1" -> 10, "src2" -> 8),
+      defaultQuota = 5, windowTokens = 512, minJaccard = 0.8)
+  }
+
+  val curationSql: String = {
+    val grams8 = (src: String) =>
+      s"""SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(w) - 6, 1)),
+         |    i -> array_to_string(w[i:i+7], ' ')))) AS gram
+         |  FROM (SELECT doc_id, $W AS w FROM $src)""".stripMargin
+    s"""WITH RECURSIVE
+       |base AS (SELECT doc_id, source, text, n_chars FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '40'),
+       |bdocs AS (SELECT doc_id, text FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'),
+       |q0 AS (SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text, n_chars, len(w) AS ntok,
+       |      len(list_distinct(w)) AS nuniq,
+       |      list_max(list_transform(list_distinct(w),
+       |        u -> len(list_filter(w, x -> x = u)))) AS maxfreq
+       |    FROM (SELECT doc_id, source, text, n_chars, $W AS w FROM base))
+       |  WHERE n_chars >= 200 AND ntok >= 40 AND nuniq * 2 >= ntok
+       |    AND maxfreq * 10 <= ntok),
+       |keepx AS (SELECT min(doc_id) AS doc_id FROM q0 GROUP BY md5(text)),
+       |q1 AS (SELECT q0.* FROM q0 JOIN keepx USING (doc_id)),
+       |sh AS (SELECT doc_id, $ShingleList AS sh
+       |  FROM (SELECT doc_id, $W AS w FROM q1)),
+       |sigs AS (SELECT doc_id,
+       |    list_min(list_transform(sh, s -> md5('s0|' || s))) AS m0,
+       |    list_min(list_transform(sh, s -> md5('s1|' || s))) AS m1,
+       |    list_min(list_transform(sh, s -> md5('s2|' || s))) AS m2,
+       |    list_min(list_transform(sh, s -> md5('s3|' || s))) AS m3
+       |  FROM sh WHERE len(sh) > 0),
+       |bands AS (SELECT doc_id, m0 || ':' || m1 AS b0,
+       |    m2 || ':' || m3 AS b1 FROM sigs),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
+       |    JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id FROM bands a
+       |    JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id),
+       |ws AS (SELECT doc_id, list_distinct($W) AS w FROM q1),
+       |verified AS (SELECT id_a, id_b FROM pairs
+       |  JOIN ws wa ON pairs.id_a = wa.doc_id
+       |  JOIN ws wb ON pairs.id_b = wb.doc_id
+       |  WHERE CAST(len(list_filter(wa.w, x -> list_contains(wb.w, x))) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) >= 0.8),
+       |sym AS (SELECT id_a AS u, id_b AS v FROM verified
+       |  UNION SELECT id_b, id_a FROM verified),
+       |reach(u, v) AS (SELECT u, v FROM sym
+       |  UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       |    WHERE s.v <> r.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |  FROM reach GROUP BY u),
+       |dropn AS (SELECT c.doc_id FROM comp c
+       |  JOIN (SELECT cluster_id, min(doc_id) AS keep FROM comp
+       |        GROUP BY 1) k ON c.cluster_id = k.cluster_id
+       |  WHERE c.doc_id <> k.keep),
+       |q2 AS (SELECT * FROM q1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dropn)),
+       |bgr AS (SELECT DISTINCT gram FROM (${grams8("bdocs")})),
+       |pgr AS (${grams8("q2")}),
+       |contaminated AS (SELECT DISTINCT pgr.doc_id
+       |  FROM pgr JOIN bgr USING (gram)),
+       |q3 AS (SELECT * FROM q2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |q4 AS (SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |    FROM q3)
+       |  WHERE rk <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10
+       |    WHEN 'src2' THEN 8 ELSE 5 END),
+       |t AS (SELECT source, doc_id, len($W) AS n_tokens FROM q4)
+       |SELECT source, doc_id, n_tokens,
+       |  sum(n_tokens) OVER w - n_tokens AS start_offset,
+       |  sum(n_tokens) OVER w AS end_offset,
+       |  CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512) AS BIGINT)
+       |    AS first_window,
+       |  CAST(floor((sum(n_tokens) OVER w - 1) / 512) AS BIGINT)
+       |    AS last_window
+       |FROM t WHERE n_tokens > 0
+       |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q76_curation"           -> (curation _),
     "q71_pq_ann_topk"        -> (pqAnnTopK _),
     "q72_incremental_neardup" -> (incrementalNearDup _),
     "q73_pq_reconstruction"  -> (pqReconstruction _),
@@ -316,6 +417,7 @@ object Pipeline3 {
     "q70_term_relevance"   -> (termRelevance _))
 
   val oracles: Map[String, String] = Map(
+    "q76_curation"           -> curationSql,
     "q71_pq_ann_topk"        -> pqAnnTopKSql,
     "q72_incremental_neardup" -> incrementalNearDupSql,
     "q73_pq_reconstruction"  -> pqReconstructionSql,
