@@ -201,6 +201,15 @@ class PlanSpec extends SparkSpecBase {
       "global top-n must not be a full sort")
   }
 
+  test("the composed curation pipeline stays equi-join shaped") {
+    val p = plan("q76_curation")
+    assert(!p.contains("CartesianProduct"),
+      "no stage of the curation chain may cross-product")
+    // decontamination's benchmark gram set must broadcast
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "benchmark gram join should broadcast")
+  }
+
   test("per-group selections shuffle once on the group key") {
     Seq("q68_topn_per_group", "q69_source_mix").foreach { q =>
       val s = plan(q)
