@@ -47,6 +47,26 @@ object ScaleProbe {
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")), 5).count())
     time("dup_span_coverage")(
       graft.operators.Dedup.dupSpanCoverage(docs, "doc_id", "text").count())
+    // full curation chain at 20×, with stage persistence (the shared
+    // stage frames are referenced twice each; unpersisted they'd be
+    // recomputed per reference)
+    time("curate_pipeline") {
+      val isBench = substring(md5(col("doc_id").cast("string")), 1, 2) <
+        lit("40")
+      graft.operators.TrainingData.curate(
+        docs.where(!isBench), "doc_id", "text", "source", "n_chars",
+        docs.where(isBench), "text",
+        quota = Map.empty, defaultQuota = 1000, windowTokens = 2048,
+        persistStages = true).count()
+    }
+    // windowed sessionization over the 20× event stream
+    val ev0 = Tables.events(spark, sfDir)
+    val ev = (0 until mult).map { i =>
+      ev0.withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000L))
+    }.reduce(_ unionByName _)
+    time("sessionize")(graft.operators.Sessions
+      .sessionStats(ev, "user_id", "ts", "event_id", 1800).count())
     // OSM reader throughput: the same PBF 8× through the blob-parallel
     // decoder + the way-coordinate resolve join (ids collide across
     // copies — fine, this probes parse + join volume, not semantics)

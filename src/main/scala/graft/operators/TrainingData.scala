@@ -21,20 +21,32 @@ import org.apache.spark.sql.functions._
 object TrainingData {
 
   /** Returns the curated corpus: (id, source, text, token count,
-    * shard-local packing offsets). Deterministic end to end. */
+    * shard-local packing offsets). Deterministic end to end.
+    *
+    * `persistStages` materializes each stage's survivor set
+    * (MEMORY_AND_DISK): the chain references q1/q2-style frames more
+    * than once (keep-join + anti-join), and without persistence
+    * Catalyst recomputes the shared subplan per reference — noise at
+    * test scale, a full extra corpus pass each at 100 TB. Results are
+    * identical either way (the gate runs with it off). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String, charsCol: String,
       benchmark: DataFrame, benchTextCol: String,
       quota: Map[String, Int], defaultQuota: Int,
-      windowTokens: Int = 2048, minJaccard: Double = 0.8): DataFrame = {
+      windowTokens: Int = 2048, minJaccard: Double = 0.8,
+      persistStages: Boolean = false): DataFrame = {
+    val stage = (df: DataFrame) =>
+      if (persistStages)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     // 1. quality funnel: keep rows passing all four integer stages
     val funnel = TextAnalysis.funnelStages(docs, textCol, charsCol)
-    val quality = funnel.where(col("__s4"))
-      .select(docs.columns.map(col).toIndexedSeq: _*)
+    val quality = stage(funnel.where(col("__s4"))
+      .select(docs.columns.map(col).toIndexedSeq: _*))
     // 2. exact dedup: keep the lowest id per content digest
     val keepExact = Dedup.exact(quality, idCol, textCol)
       .select(col("keep_id").as(idCol))
-    val exactKept = quality.join(keepExact, idCol)
+    val exactKept = stage(quality.join(keepExact, idCol))
     // 3. near-dup prune: cluster LSH-verified pairs, keep each
     //    cluster's lowest id (docs in no cluster survive untouched)
     val clusters = Dedup.nearDupClusters(exactKept, idCol, textCol,
@@ -44,7 +56,7 @@ object TrainingData {
       .join(clusters, "cluster_id")
       .where(col("doc_id") =!= col("keep"))
       .select(col("doc_id").as(idCol))
-    val nearKept = exactKept.join(dropNear, Seq(idCol), "left_anti")
+    val nearKept = stage(exactKept.join(dropNear, Seq(idCol), "left_anti"))
     // 4. decontamination: drop docs sharing any 8-gram with the
     //    benchmark
     val contaminated = TextAnalysis.decontaminate(nearKept, idCol,
