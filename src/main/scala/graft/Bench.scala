@@ -36,7 +36,6 @@ object Bench {
     // whichever query they landed on — so queries whose run exceeds a
     // noise threshold are rerun AFTER the whole pass (far from the
     // stall window, unlike an immediate retry) and report the min.
-    val rerunThresholdSecs = 2.0
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
@@ -54,14 +53,32 @@ object Bench {
           }
         (name, secs, ok)
     }
-    val results = firstPass.map {
+    // rerun threshold is RELATIVE to this pass's median (floored at
+    // 2s): a stall that inflates one query leaves the median intact,
+    // so the victim is always above 3×median and gets rerun; a pass
+    // that is uniformly slower (bigger sf) raises the median and
+    // doesn't trigger mass reruns
+    val okTimes = firstPass.collect { case (_, s, true) => s }.sorted
+    val median =
+      if (okTimes.isEmpty) 0.0 else okTimes(okTimes.length / 2)
+    val rerunThresholdSecs = math.max(2.0, 3.0 * median)
+    def rerunMin(name: String, first: Double, attempts: Int): Double =
+      (0 until attempts).foldLeft(first) { (acc, _) =>
+        if (acc <= rerunThresholdSecs) acc
+        else math.min(acc, try once(SparkEntry.queries(name))
+          catch { case _: Throwable => acc })
+      }
+    val secondPass = firstPass.map {
       case (name, secs, true) if secs > rerunThresholdSecs =>
-        val best = (0 until 2).foldLeft(secs) { (acc, _) =>
-          if (acc <= rerunThresholdSecs) acc
-          else math.min(acc, try once(SparkEntry.queries(name))
-            catch { case _: Throwable => acc })
-        }
-        (name, best, true)
+        (name, rerunMin(name, secs, 2), true)
+      case r => r
+    }
+    // last-ditch pass for anything STILL >3× threshold: by now we are
+    // minutes past the first measurement, so even a multi-minute host
+    // stall spanning the first rerun window has usually cleared
+    val results = secondPass.map {
+      case (name, secs, true) if secs > 3.0 * rerunThresholdSecs =>
+        (name, rerunMin(name, secs, 2), true)
       case r => r
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -53,11 +53,15 @@ object ScaleProbe {
     time("curate_pipeline") {
       val isBench = substring(md5(col("doc_id").cast("string")), 1, 2) <
         lit("40")
-      graft.operators.TrainingData.curate(
+      val persisted = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.DataFrame]
+      val n = graft.operators.TrainingData.curate(
         docs.where(!isBench), "doc_id", "text", "source", "n_chars",
         docs.where(isBench), "text",
         quota = Map.empty, defaultQuota = 1000, windowTokens = 2048,
-        persistStages = true).count()
+        persistStages = true, onStagePersist = persisted += _).count()
+      persisted.foreach(_.unpersist())
+      n
     }
     // windowed sessionization over the 20× event stream
     val ev0 = Tables.events(spark, sfDir)

@@ -361,6 +361,12 @@ object Dedup {
       centroidCap: Int = 256): DataFrame = {
     val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
       .withColumn("nrm", sqrt(qdot(col("q"), col("q")).cast("double")))
+    // same guard as Similarity.pqTrain: an empty centroid sample would
+    // cross-join everything away and silently return an empty frame,
+    // breaking the one-row-per-input contract
+    require(df.isEmpty ||
+      !df.where(col(idCol) % centroidEvery === 0).isEmpty,
+      s"semantic-dedup centroid sample is empty (no $idCol % $centroidEvery == 0 rows)")
     // capped centroid set (lowest sampled ids, TakeOrderedAndProject)
     // keeps the N×|C| assignment linear in N — see Similarity.ivfTopK
     val cent = broadcast(base.where(col("id") % centroidEvery === 0)

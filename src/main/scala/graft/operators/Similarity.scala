@@ -85,6 +85,11 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nprobe: Int = 2, centroidEvery: Int = 25,
       centroidCap: Int = 256): DataFrame = {
+    // same guard as pqTrain: an empty sample would erase the corpus
+    // through the assignment cross-join instead of failing loudly
+    require(corpus.isEmpty ||
+      !corpus.where(col("id") % centroidEvery === 0).isEmpty,
+      s"IVF centroid sample is empty (no id % $centroidEvery == 0 rows)")
     // centroid set capped at the `centroidCap` lowest sampled ids
     // (TakeOrderedAndProject): an uncapped %-sample grows |C| with the
     // corpus and turns the N×|C| assignment quadratic — the same trap
@@ -279,7 +284,11 @@ object Similarity {
   /** (id, s, sub): each quantized vector exploded into its m
     * subvectors. Input must carry (id, q). */
   private def pqSubspaces(df: DataFrame, m: Int, idAs: String): DataFrame = {
-    val subDim = size(col("q")) / m
+    // integral division, matching PqEncodeExpr's `numElements / m`: the
+    // Column `/` is Divide (DOUBLE), and for dim % m != 0 the truncated
+    // `s * subDim + 1` starts drift from the kernel's integer slices,
+    // silently corrupting ADC scores
+    val subDim = floor(size(col("q")) / m).cast("int")
     df.select(col("id").as(idAs),
       posexplode(org.apache.spark.sql.functions.transform(
         sequence(lit(0), lit(m - 1)),

@@ -28,17 +28,26 @@ object TrainingData {
     * than once (keep-join + anti-join), and without persistence
     * Catalyst recomputes the shared subplan per reference — noise at
     * test scale, a full extra corpus pass each at 100 TB. Results are
-    * identical either way (the gate runs with it off). */
+    * identical either way (the gate runs with it off).
+    *
+    * `onStagePersist` receives each frame the moment it is persisted;
+    * long-lived sessions MUST collect these and unpersist them after
+    * the terminal action, or repeated curate() calls leak cached
+    * blocks until the context dies. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String, charsCol: String,
       benchmark: DataFrame, benchTextCol: String,
       quota: Map[String, Int], defaultQuota: Int,
       windowTokens: Int = 2048, minJaccard: Double = 0.8,
-      persistStages: Boolean = false): DataFrame = {
+      persistStages: Boolean = false,
+      onStagePersist: DataFrame => Unit = _ => ()): DataFrame = {
     val stage = (df: DataFrame) =>
-      if (persistStages)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (persistStages) {
+        val p =
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        onStagePersist(p)
+        p
+      } else df
     // 1. quality funnel: keep rows passing all four integer stages
     val funnel = TextAnalysis.funnelStages(docs, textCol, charsCol)
     val quality = stage(funnel.where(col("__s4"))

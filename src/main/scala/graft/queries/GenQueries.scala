@@ -130,10 +130,15 @@ object GenQueries {
       |FROM cov GROUP BY 1, 2""".stripMargin
 
   // ---- q47: vector-union dissolve (gen-tile-vector.cpp:38-75) ----
-  // Buffer distances make areas chordal-arc approximate, so this is
-  // not exactly SQL-expressible: registered WITHOUT an oracle — the
-  // driver records the weaker rows-only check; exact semantics are
-  // pinned by PolyUnionSpec/OffsetSpec/RasterGenSpec.
+  // Oracle via the q45 trick: integer-grid rectangles, bufferSize=0
+  // (Offset.buffer(_, 0) is the identity, so the buffer sandwich
+  // degenerates to bin → union → dump — the distributed part of the
+  // strategy). On that input the union region's area is an exact count
+  // of covered unit cells and its perimeter an exact count of
+  // boundary unit edges, both of which DuckDB recomputes by cell
+  // enumeration: area = |cells|, perim = 4·|cells| − 2·|adjacent
+  // covered pairs|. Nonzero-buffer closing (chordal-arc areas, not
+  // SQL-expressible) stays pinned by OffsetSpec/PolyUnionSpec.
 
   def vectorUnion(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -151,12 +156,52 @@ object GenQueries {
         Pt(x0, yT), Pt(x0, yB))), Vector.empty, Srid.WebMercator))
     })
     val geoms = rects.select(mk($"px0", $"py0", $"w", $"h").as("geom"))
+    val perimeter = udf((ewkb: Array[Byte]) =>
+      Ewkb.decode(ewkb) match {
+        case Polygon(o, is, _) => (o +: is).map(r =>
+          r.pts.iterator.zip(r.pts.iterator.drop(1))
+            .map { case (a, b) => a.distanceTo(b) }.sum).sum
+        case _ => 0.0
+      })
     Gen.vectorUnion(geoms, "geom", None, zoom = 2, margin = 0.0,
-      bufferSize = P / 2, circleSegs = 8)
+      bufferSize = 0.0)
       .groupBy($"x", $"y")
-      .agg(count(lit(1)).as("n_polys"),
-        sum($"area").as("total_area"))
+      .agg(
+        sum(round($"area" / (P * P)).cast("long")).as("area_px"),
+        sum(round(perimeter($"geom") / P).cast("long")).as("perim_px"))
   }
+
+  val vectorUnionSql: String =
+    """WITH r AS (SELECT
+      |    (event_id * 2654435761) % 236 AS px0,
+      |    (event_id * 2246822519) % 236 AS py0,
+      |    2 + event_id % 18 AS w,
+      |    2 + (event_id // 7) % 18 AS h
+      |  FROM (SELECT DISTINCT event_id FROM events WHERE event_id % 293 = 0)),
+      |assigned AS (SELECT t.range AS tx, u.range AS ty,
+      |    r.px0, r.py0, r.w, r.h
+      |  FROM r, range(4) t, range(4) u
+      |  WHERE t.range BETWEEN px0 // 64 AND LEAST(3, (px0 + w) // 64)
+      |    AND u.range BETWEEN py0 // 64 AND LEAST(3, (py0 + h) // 64)),
+      |cov AS (SELECT DISTINCT g.tx, g.ty, a.range AS cx, b.range AS cy
+      |  FROM (SELECT DISTINCT tx, ty FROM assigned) g,
+      |       range(256) a, range(256) b
+      |  WHERE EXISTS (SELECT 1 FROM assigned s
+      |    WHERE s.tx = g.tx AND s.ty = g.ty
+      |      AND a.range >= s.px0 AND a.range < s.px0 + s.w
+      |      AND b.range >= s.py0 AND b.range < s.py0 + s.h)),
+      |n AS (SELECT tx, ty, count(*) AS ncell FROM cov GROUP BY 1, 2),
+      |ah AS (SELECT c1.tx, c1.ty, count(*) AS a FROM cov c1 JOIN cov c2
+      |  ON c1.tx = c2.tx AND c1.ty = c2.ty
+      |    AND c2.cx = c1.cx + 1 AND c2.cy = c1.cy GROUP BY 1, 2),
+      |av AS (SELECT c1.tx, c1.ty, count(*) AS a FROM cov c1 JOIN cov c2
+      |  ON c1.tx = c2.tx AND c1.ty = c2.ty
+      |    AND c2.cx = c1.cx AND c2.cy = c1.cy + 1 GROUP BY 1, 2)
+      |SELECT n.tx AS x, n.ty AS y,
+      |  CAST(ncell AS BIGINT) AS area_px,
+      |  CAST(4 * ncell - 2 * (COALESCE(ah.a, 0) + COALESCE(av.a, 0))
+      |    AS BIGINT) AS perim_px
+      |FROM n LEFT JOIN ah USING (tx, ty) LEFT JOIN av USING (tx, ty)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q43_gen_river_widths"      -> (riverWidths _),
@@ -167,5 +212,6 @@ object GenQueries {
   val oracles: Map[String, String] = Map(
     "q43_gen_river_widths"      -> riverWidthsSql,
     "q44_gen_discrete_isolation" -> discreteIsolationSql,
-    "q45_gen_raster_union"      -> rasterUnionSql)
+    "q45_gen_raster_union"      -> rasterUnionSql,
+    "q47_gen_vector_union"      -> vectorUnionSql)
 }

@@ -446,8 +446,8 @@ object Pipeline {
   val sequencePackSql: String =
     s"""WITH t AS (SELECT lang, doc_id, len($W) AS n_tok FROM documents)
        |SELECT lang, doc_id, n_tok,
-       |  sum(n_tok) OVER w - n_tok AS start_offset,
-       |  sum(n_tok) OVER w AS end_offset,
+       |  CAST(sum(n_tok) OVER w - n_tok AS BIGINT) AS start_offset,
+       |  CAST(sum(n_tok) OVER w AS BIGINT) AS end_offset,
        |  CAST(floor((sum(n_tok) OVER w - n_tok) / 2048) AS BIGINT)
        |    AS first_window,
        |  CAST(floor((sum(n_tok) OVER w - 1) / 2048) AS BIGINT)

@@ -392,8 +392,8 @@ object Pipeline3 {
        |    WHEN 'src2' THEN 8 ELSE 5 END),
        |t AS (SELECT source, doc_id, len($W) AS n_tokens FROM q4)
        |SELECT source, doc_id, n_tokens,
-       |  sum(n_tokens) OVER w - n_tokens AS start_offset,
-       |  sum(n_tokens) OVER w AS end_offset,
+       |  CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+       |  CAST(sum(n_tokens) OVER w AS BIGINT) AS end_offset,
        |  CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512) AS BIGINT)
        |    AS first_window,
        |  CAST(floor((sum(n_tokens) OVER w - 1) / 512) AS BIGINT)

@@ -157,6 +157,43 @@ class PipelineOps3Spec extends SparkSpecBase {
     }
   }
 
+  test("PQ with dim % m != 0 equals the run on kernel-truncated dims") {
+    // dim=10, m=4 → subDim=2, dims 8..9 excluded by BOTH the encode
+    // kernel (numElements/m) and the relational pqSubspaces slices; a
+    // float subDim in the relational side would misalign subspace
+    // starts (2.5·s) and silently corrupt ADC scores
+    val dim = 10
+    val rng = new scala.util.Random(33)
+    val full = (0 until 80).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat).toSeq)
+    }.toDF("id", "vec")
+    val trunc = full.select($"id", slice($"vec", 1, 8).as("vec"))
+    val a = graft.operators.Similarity
+      .pqTopK(full.where($"id" < 4), full, k = 5, m = 4, centroidEvery = 10)
+      .select($"qid", $"nid", $"score", $"rank")
+      .collect().map(_.toSeq).toSet
+    val b = graft.operators.Similarity
+      .pqTopK(trunc.where($"id" < 4), trunc, k = 5, m = 4, centroidEvery = 10)
+      .select($"qid", $"nid", $"score", $"rank")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 20)
+  }
+
+  test("semanticDedup and ivfTopK fail loudly on an empty centroid sample") {
+    val e = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(e, "vec_id", "embedding", 0.9,
+        centroidEvery = 25)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.ivfTopK(
+        e.select($"vec_id".as("id"), $"embedding".as("vec")),
+        e.select($"vec_id".as("id"), $"embedding".as("vec")),
+        k = 1, centroidEvery = 25)
+    }
+  }
+
   test("termRelevance scores tf times integer idf, rarest term worth most") {
     val df = Seq(
       (1L, "the the the cat"),   // tf(the)=3
