@@ -47,6 +47,13 @@ object ScaleProbe {
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")), 5).count())
     time("dup_span_coverage")(
       graft.operators.Dedup.dupSpanCoverage(docs, "doc_id", "text").count())
+    // q52's shape: LSH pairs → large-star/small-star CC. The 20×/50×
+    // self-union makes every original doc a duplicate clique, so the
+    // cluster count must stay ~n0 while edges grow ~mult² per clique —
+    // the probe checks rounds stay logarithmic, not edge-linear.
+    time("neardup_clusters_cc")(
+      graft.operators.Dedup.nearDupClusters(docs, "doc_id", "text", 0.8)
+        .count())
     // full curation chain at 20×, with stage persistence (the shared
     // stage frames are referenced twice each; unpersisted they'd be
     // recomputed per reference)

@@ -542,7 +542,75 @@ object OsmAnalog {
       |    chr(10), chr(92) || 'n')) AS INTEGER) AS esc_len
       |FROM src""".stripMargin
 
+  /** §2.5 scalar geometry functions — distance, interpolate, reverse,
+    * geometry_n, num_geometries (src/geom-functions.cpp:25-121) — over
+    * the same synthetic integer ways as q39, as a real GeomOps pass.
+    * All emitted values are exact cross-engine: integer subtraction,
+    * ×0.25 (power of two), and IEEE sqrt of an integer-valued double.
+    * distance/interpolate run on the (first,last) segment; reverse is
+    * pinned by interpolating the REVERSED line's (first,last) segment
+    * (= interpolation from the far end); geometry_n(2) extracts the
+    * second member of the way's MultiPoint form. */
+  def geomScalars(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.geom.{GeomOps, LineString, MultiPoint, Point, Pt}
+    val pts = Tables.lineitem(s, d).select(
+      $"l_orderkey",
+      $"l_linenumber",
+      $"l_partkey".as("pk"),
+      (($"l_partkey" * 7919) % 2000).as("x"),
+      (($"l_partkey" * 104729) % 2000).as("y"))
+    val ways = pts.groupBy($"l_orderkey")
+      .agg(
+        transform(array_sort(collect_list(
+          struct($"l_linenumber", $"pk", $"x"))), p => p.getField("x")).as("xs"),
+        transform(array_sort(collect_list(
+          struct($"l_linenumber", $"pk", $"y"))), p => p.getField("y")).as("ys"))
+      .where(size($"xs") >= 2)
+    val calc = udf((xs: Seq[Long], ys: Seq[Long]) => {
+      val ps = xs.zip(ys)
+        .map { case (x, y) => Pt(x.toDouble, y.toDouble) }.toVector
+      val line = LineString(ps)
+      val mp = MultiPoint(ps.map(Point(_)))
+      val ip = GeomOps.interpolate(ps.head, ps.last, 0.25)
+      val rev = GeomOps.reverse(line).asInstanceOf[LineString].pts
+      val rp = GeomOps.interpolate(rev.head, rev.last, 0.25)
+      val g2 = GeomOps.geometryN(mp, 2) match {
+        case Point(p, _) => p
+        case _           => Pt(-1.0, -1.0)
+      }
+      (mp.numGeometries.toLong, GeomOps.distance(ps.head, ps.last),
+        ip.x, ip.y, rp.x, rp.y, g2.x, g2.y)
+    })
+    ways.select($"l_orderkey".as("way_id"),
+        calc($"xs", $"ys").as("c"))
+      .select($"way_id",
+        $"c._1".as("n_geoms"), $"c._2".as("dist"),
+        $"c._3".as("ix"), $"c._4".as("iy"),
+        $"c._5".as("rix"), $"c._6".as("riy"),
+        $"c._7".as("g2x"), $"c._8".as("g2y"))
+  }
+
+  val geomScalarsSql: String =
+    """WITH w AS (
+      |  SELECT l_orderkey,
+      |    list((l_partkey * 7919) % 2000 ORDER BY l_linenumber, l_partkey) AS xs,
+      |    list((l_partkey * 104729) % 2000 ORDER BY l_linenumber, l_partkey) AS ys
+      |  FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 2)
+      |SELECT l_orderkey AS way_id,
+      |  CAST(len(xs) AS BIGINT) AS n_geoms,
+      |  sqrt(CAST((xs[-1]-xs[1])*(xs[-1]-xs[1])
+      |     + (ys[-1]-ys[1])*(ys[-1]-ys[1]) AS DOUBLE)) AS dist,
+      |  CAST(xs[1] AS DOUBLE) + (xs[-1]-xs[1]) * 0.25 AS ix,
+      |  CAST(ys[1] AS DOUBLE) + (ys[-1]-ys[1]) * 0.25 AS iy,
+      |  CAST(xs[-1] AS DOUBLE) + (xs[1]-xs[-1]) * 0.25 AS rix,
+      |  CAST(ys[-1] AS DOUBLE) + (ys[1]-ys[-1]) * 0.25 AS riy,
+      |  CAST(xs[2] AS DOUBLE) AS g2x,
+      |  CAST(ys[2] AS DOUBLE) AS g2y
+      |FROM w""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q77_geom_scalars"           -> (geomScalars _),
     "q50_osm_missing_nodes"      -> (missingNodes _),
     "q51_copy_escape"            -> (copyEscape _),
     "q48_osm_segmentize"         -> (segmentizeLen _),
@@ -563,6 +631,7 @@ object OsmAnalog {
     "q49_osm_centroid"           -> (polygonCentroid _))
 
   val oracles: Map[String, String] = Map(
+    "q77_geom_scalars"           -> geomScalarsSql,
     "q50_osm_missing_nodes"      -> missingNodesSql,
     "q51_copy_escape"            -> copyEscapeSql,
     "q48_osm_segmentize"         -> segmentizeLenSql,

@@ -162,9 +162,32 @@ object PgSink {
   def hexGeomCopyValue(ewkb: Array[Byte]): String =
     ewkb.map(b => f"$b%02X").mkString
 
+  /** One cell of a COPY TEXT line. [[CopyValue]] is escaped by
+    * [[copyLine]]; [[CopyPreEscaped]] carries a value already in wire
+    * form — [[hstoreCopyValue]] and [[hexGeomCopyValue]] produce the
+    * COMBINED (column + COPY layer) escaping, exactly like the
+    * reference's add_hash_elem/add_hex_geom append directly into the
+    * COPY buffer (src/db-copy-mgr.hpp:162-254), so escaping them again
+    * would corrupt the line (live-PG proven in PgLiveSpec). */
+  sealed trait CopyCell
+  case object CopyNull extends CopyCell
+  final case class CopyValue(s: String) extends CopyCell
+  final case class CopyPreEscaped(s: String) extends CopyCell
+
+  /** A full COPY TEXT line from typed cells — the row-assembly form
+    * that composes plain, hstore, and geometry columns correctly. The
+    * caller appends the newline when streaming. */
+  def copyLine(cells: Seq[CopyCell]): String = cells.map {
+    case CopyNull          => "\\N"
+    case CopyValue(s)      => copyEscape(s)
+    case CopyPreEscaped(s) => s
+  }.mkString("\t")
+
   /** A full COPY TEXT line: escaped values joined by tabs, None → \N
     * (add_null_column, src/db-copy-mgr.hpp:107). The caller appends
-    * the newline when streaming. */
+    * the newline when streaming. For rows containing hstore or
+    * hex-geometry columns use [[copyLine]] — those wire forms are
+    * already escaped and must not pass through [[copyEscape]] again. */
   def copyRow(values: Seq[Option[String]]): String =
     values.map {
       case None    => "\\N"

@@ -161,6 +161,42 @@ object OsmXml {
       parsed.relations.toDF("action", "r").select($"action", $"r.*"))
   }
 
+  /** Distributed multi-file read that additionally stamps every entity
+    * row with a `seq` BIGINT column — `(fileIndex << 32) | intraFilePos`
+    * where fileIndex follows the SORTED path order (the replication
+    * NNN/NNN/NNN layout sorts into sequence order). Consumers that
+    * need "later file wins" semantics (delete-then-insert, last-write
+    * per id) resolve it relationally via max(seq) instead of relying
+    * on driver-side concatenation order. Used by the change-file
+    * stream; the parse itself runs in executors, one split per file. */
+  def readSequenced(spark: SparkSession, paths: Seq[String]): OsmDataFrames = {
+    import spark.implicits._
+    def norm(s: String): String =
+      try {
+        val u = new java.net.URI(s)
+        if (u.getPath != null && u.getPath.nonEmpty) u.getPath else s
+      } catch { case _: Exception => s }
+    val fileIdx = paths.map(norm).sorted.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(fileIdx)
+    val parsed = spark.sparkContext
+      .wholeTextFiles(paths.mkString(","))
+      .map { case (uri, xml) =>
+        (bc.value(norm(uri)), parseString(xml))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def seq(f: Int, i: Int): Long = (f.toLong << 32) | i.toLong
+    val nodes = parsed.flatMap { case (f, p) =>
+      p.nodes.zipWithIndex.map { case ((a, n), i) => (seq(f, i), a, n) }
+    }.toDF("seq", "action", "n").select($"seq", $"action", $"n.*")
+    val ways = parsed.flatMap { case (f, p) =>
+      p.ways.zipWithIndex.map { case ((a, w), i) => (seq(f, i), a, w) }
+    }.toDF("seq", "action", "w").select($"seq", $"action", $"w.*")
+    val rels = parsed.flatMap { case (f, p) =>
+      p.relations.zipWithIndex.map { case ((a, r), i) => (seq(f, i), a, r) }
+    }.toDF("seq", "action", "r").select($"seq", $"action", $"r.*")
+    OsmDataFrames(nodes, ways, rels, backing = Seq(parsed))
+  }
+
   /** Read OSM XML files distributed (one split per file). The PARSED
     * entities are cached, not the raw text — each file is parsed once
     * even though three entity frames are derived from it. */

@@ -224,19 +224,20 @@ object Streams {
     * reference's append mode hand-rolls (SURVEY.md §2.8's "batch
     * incremental job, not DStreams", now driven by a stream).
     *
-    * `applyBatch` receives the concatenated parsed entities of the
-    * batch's files, ordered by file path (replication sequence order —
-    * the NNN/NNN/NNN layout sorts correctly), plus the batch id.
-    * Exactly-once: the file source tracks processed files in the
-    * checkpoint, so a crashed batch is redelivered. Change files are
-    * parsed on the driver (diff chunks are MB-scale by construction —
-    * `--max-diff-size`); the expensive part, re-deriving output rows
-    * for changed ∪ dependent ids, is the distributed plan `applyBatch`
-    * builds from them.
+    * `applyBatch` receives the batch's entities as DISTRIBUTED frames
+    * ([[graft.sources.OsmXml.readSequenced]]): each row carries a
+    * `seq` column — `(sorted-file-index << 32) | intra-file-pos` — so
+    * replication sequence order (the NNN/NNN/NNN layout sorts
+    * correctly) is resolved relationally (order by / max(seq)), never
+    * by driver-side concatenation. Only the batch's file PATHS touch
+    * the driver; the XML parse runs in executors, one split per file —
+    * planet-scale hourly diffs (100+ MB, many files) never bottleneck
+    * on a driver parse. Exactly-once: the file source tracks processed
+    * files in the checkpoint, so a crashed batch is redelivered.
     */
   def changeFileStream(spark: org.apache.spark.sql.SparkSession,
       watchDir: String, checkpointDir: String,
-      applyBatch: (graft.sources.OsmXml.Parsed, Long) => Unit)
+      applyBatch: (graft.sources.OsmXml.OsmDataFrames, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val files = spark.readStream
       .format("binaryFile")
@@ -247,17 +248,14 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val docs = batch
-          .select("path", "content").collect()
-          .sortBy(_.getString(0))
-          .map(r => new String(r.getAs[Array[Byte]]("content"), "UTF-8"))
-        if (docs.nonEmpty) {
-          val parsed = docs.map(graft.sources.OsmXml.parseString)
-          val merged = graft.sources.OsmXml.Parsed(
-            parsed.toVector.flatMap(_.nodes),
-            parsed.toVector.flatMap(_.ways),
-            parsed.toVector.flatMap(_.relations))
-          applyBatch(merged, batchId)
+        // paths only — bytes stay in executors
+        val paths = batch.select("path").collect()
+          .map(_.getString(0)).sorted
+        if (paths.nonEmpty) {
+          val dfs = graft.sources.OsmXml
+            .readSequenced(spark, paths.toIndexedSeq)
+          try applyBatch(dfs, batchId)
+          finally dfs.unpersistBacking()
         }
         ()
       }

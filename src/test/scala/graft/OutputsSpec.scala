@@ -464,10 +464,12 @@ class OutputsSpec extends SparkSpecBase {
       s"""<osmChange version="0.6">
          |<$op><node id="$seq" lat="1.0" lon="2.0" version="1"/></$op>
          |</osmChange>""".stripMargin
-    val applied = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
-    val q = Streams.changeFileStream(spark, watch, ckpt, (parsed, _) =>
-      applied.add((parsed.nodes.headOption.map(_._2.id).getOrElse(-1L),
-        parsed.nodes.size)))
+    val applied = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = Streams.changeFileStream(spark, watch, ckpt, (dfs, _) =>
+      // ids in seq order — the replication-order guarantee the frames
+      // expose relationally (was: driver-side concatenation order)
+      applied.add(dfs.nodes.orderBy("seq").select("id")
+        .collect().map(_.getLong(0)).toSeq))
     Files.write(java.nio.file.Paths.get(watch, "001.osc"),
       osc(1, "create").getBytes("UTF-8"))
     q.processAllAvailable()
@@ -477,10 +479,10 @@ class OutputsSpec extends SparkSpecBase {
       osc(3, "delete").getBytes("UTF-8"))
     q.processAllAvailable()
     q.stop()
-    val batches = applied.toArray(Array.empty[(Long, Int)])
-    // first batch: node 1; second: nodes 2+3 concatenated in seq order
+    val batches = applied.toArray(Array.empty[Seq[Long]])
+    // first batch: node 1; second: nodes 2+3 in file-sequence order
     assert(batches.length == 2)
-    assert(batches(0) == ((1L, 1)))
-    assert(batches(1) == ((2L, 2)))
+    assert(batches(0) == Seq(1L))
+    assert(batches(1) == Seq(2L, 3L))
   }
 }
