@@ -52,10 +52,16 @@ object TrainingData {
     val funnel = TextAnalysis.funnelStages(docs, textCol, charsCol)
     val quality = stage(funnel.where(col("__s4"))
       .select(docs.columns.map(col).toIndexedSeq: _*))
-    // 2. exact dedup: keep the lowest id per content digest
-    val keepExact = Dedup.exact(quality, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    val exactKept = stage(quality.join(keepExact, idCol))
+    // 2. exact dedup: keep the lowest id per content digest — one
+    //    window pass (single shuffle on the digest) instead of
+    //    Dedup.exact + join-back, which scans the quality lineage
+    //    twice when stages aren't persisted; survivors are identical
+    //    (lowest id per md5(text))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol)))
+    val exactKept = stage(quality
+      .withColumn("__keep", min(col(idCol)).over(wd))
+      .where(col(idCol) === col("__keep")).drop("__keep"))
     // 3. near-dup prune: cluster LSH-verified pairs, keep each
     //    cluster's lowest id (docs in no cluster survive untouched)
     val clusters = Dedup.nearDupClusters(exactKept, idCol, textCol,
@@ -91,9 +97,11 @@ object TrainingData {
     val funnel = TextAnalysis.funnelStages(docs, textCol, charsCol)
     val quality = funnel.where(col("__s4"))
       .select(docs.columns.map(col).toIndexedSeq: _*)
-    val keepExact = Dedup.exact(quality, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    val exactKept = quality.join(keepExact, idCol)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol)))
+    val exactKept = quality
+      .withColumn("__keep", min(col(idCol)).over(wd))
+      .where(col(idCol) === col("__keep")).drop("__keep")
     val clusters = Dedup.nearDupClusters(exactKept, idCol, textCol,
       minJaccard)
     val dropNear = clusters

@@ -310,15 +310,26 @@ object Pipeline3 {
     * decontamination (hash-split benchmark, as q55) → quota mix →
     * packing. Every stage's SQL fragment is the one its standalone
     * query already proved. */
+  // stage frames of the LAST curation() call — persisted for the
+  // keep-join + anti-join double references, released on the next
+  // call so repeated gate/bench invocations hold at most one set
+  private val curationStages =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
   def curation(s: SparkSession, d: String): DataFrame = {
+    curationStages.getAndSet(Nil).foreach(_.unpersist())
     val docs = Tables.documents(s, d)
     val isBench =
       substring(md5(col("doc_id").cast("string")), 1, 2) < lit("40")
-    graft.operators.TrainingData.curate(
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val out = graft.operators.TrainingData.curate(
       docs.where(!isBench), "doc_id", "text", "source", "n_chars",
       docs.where(isBench), "text",
       quota = Map("src0" -> 15, "src1" -> 10, "src2" -> 8),
-      defaultQuota = 5, windowTokens = 512, minJaccard = 0.8)
+      defaultQuota = 5, windowTokens = 512, minJaccard = 0.8,
+      persistStages = true, onStagePersist = staged += _)
+    curationStages.set(staged.toSeq)
+    out
   }
 
   val curationSql: String = {

@@ -52,6 +52,25 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q3 fact-fact join keeps its shape: SMJ + partial agg, no BNLJ") {
+    // r4's bench recorded q3 at 2.2x its r2 time with unchanged code;
+    // a clean rerun measured 0.82s (host-stall noise). Pin the plan so
+    // a REAL regression (lost partial agg, join degradation) fails
+    // here instead of being argued from noisy wall-clock again.
+    val p = plan("q3_priority_revenue")
+    // equi-join of any hash flavor (broadcast at tiny sf, SMJ/SHJ once
+    // stats outgrow the threshold) — what must never appear is a
+    // nested-loop shape
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "orders-lineitem must stay an equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "no cartesian expansion in q3")
+    assert("HashAggregate.*partial".r.findFirstIn(p.toLowerCase)
+      .isDefined || p.contains("partial_"),
+      "aggregation must have a map-side partial phase")
+  }
+
   test("native kernels stay inside whole-stage codegen") {
     // formatted explain stars codegen'd nodes ("* Project"): the
     // kernel projections must be starred, not interpreted fallbacks
