@@ -346,6 +346,63 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** Signed-random-projection LSH blocking for embedding near-dup
+    * (Charikar 2002, SimHash over vectors) — the bucketed scale path
+    * for cosine near-dup when no clustering pass is wanted: `nTables`
+    * independent `bits`-bit keys per vector, each bit the sign of an
+    * integer dot with a deterministic ±1 hyperplane; candidates are
+    * bucket collisions (equi-join on (table, key), never all-pairs),
+    * then verified with the exact quantized cosine and thresholded.
+    *
+    * Hyperplane signs come from pure integer arithmetic (multiply /
+    * mod parity — no engine hash function), so an external engine
+    * reproduces the blocking bit for bit; with the verify stage both
+    * engines emit the identical pair set. Recall per pair at angle θ:
+    * 1-(1-(1-θ/π)^bits)^nTables — tune (nTables, bits) per corpus.
+    * Per-key bucket width bounds the join fan-out exactly like the
+    * minhash band join; AQE handles residual skew. */
+  def srpBlockedNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nTables: Int = 4, bits: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+    val sigma = (t: Column, b: Column, i: Column) =>
+      when((lit(2654435761L) * (t * 16 + b + 1) * (i + lit(7919L)))
+        % 1000003L % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    val keyT = (t: Column) =>
+      aggregate(
+        transform(sequence(lit(0), lit(bits - 1)), b =>
+          when(aggregate(
+            zip_with(col("q"), sequence(lit(0), size(col("q")) - 1),
+              (x, i) => x * sigma(t, b, i)),
+            lit(0L), (a, x) => a + x) > 0,
+            pow(lit(2.0), b).cast("long")).otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x)
+    // one banded plan on both sides of the self-join, as in
+    // minhashCandidatePairs: the (t,k) Exchange canonicalizes equal
+    // and is computed once (ReusedExchange)
+    val keyed = base.select(col("id"),
+      explode(transform(sequence(lit(0), lit(nTables - 1)),
+        t => struct(t.as("t"), keyT(t).as("k")))).as("tk"))
+      .select(col("id"), col("tk.t").as("t"), col("tk.k").as("k"))
+    val ka = keyed.alias("a")
+    val kb = keyed.alias("b")
+    val pairs = ka
+      .join(kb, col("a.t") === col("b.t") && col("a.k") === col("b.k"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // exact verify: same quantized-integer cosine as embeddingNearDup
+    val v = base
+      .withColumn("nrm", sqrt(qdot(col("q"), col("q")).cast("double")))
+    val l = v.select(col("id").as("id_a"), col("q").as("qa"),
+      col("nrm").as("na"))
+    val r = v.select(col("id").as("id_b"), col("q").as("qb"),
+      col("nrm").as("nb"))
+    pairs.join(l, "id_a").join(r, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (qdot(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster
     * the embedding space, then search for near-duplicates only WITHIN
     * each cluster — the clustering turns the O(N²) pair scan into an

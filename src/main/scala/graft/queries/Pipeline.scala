@@ -216,6 +216,41 @@ object Pipeline {
   private val embeddingNearDupSqlFiltered: String =
     s"""SELECT * FROM ($embeddingNearDupSql) WHERE cos >= 0.95"""
 
+  /** SRP-LSH blocked embedding near-dup (the bucketed scale path over
+    * raw cosine — q21 is the all-pairs oracle form, q66 the clustered
+    * form). Blocking hyperplanes are pure integer arithmetic, so the
+    * oracle reproduces bucket keys bit for bit; verification cosine is
+    * the exact q21 formula. */
+  def srpEmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.srpBlockedNearDup(
+      Tables.embeddings(s, d).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", 0.25, nTables = 4, bits = 8)
+  }
+
+  val srpEmbeddingNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |k AS (SELECT vec_id, t.range AS t,
+       |  list_sum(list_transform(range(0, 8), b ->
+       |    CASE WHEN list_sum(list_transform(range(0, len(q)), i ->
+       |        q[i+1] * (CASE WHEN ((2654435761 * (16*t.range + b + 1)
+       |                              * (i + 7919)) % 1000003) % 2 = 0
+       |                  THEN 1 ELSE -1 END))) > 0
+       |      THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS key
+       |  FROM e, range(0, 4) t),
+       |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |      FROM k a JOIN k b
+       |      ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id)
+       |SELECT * FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(list_sum(list_transform(list_zip(ea.q, eb.q),
+       |      pr -> pr[1] * pr[2])) AS DOUBLE) /
+       |    (sqrt(CAST(list_sum(list_transform(ea.q, x -> x*x)) AS DOUBLE)) *
+       |     sqrt(CAST(list_sum(list_transform(eb.q, x -> x*x)) AS DOUBLE)))
+       |    AS cos
+       |  FROM p JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+       |WHERE cos >= 0.25""".stripMargin
+
   def winnowFingerprints(s: SparkSession, d: String): DataFrame =
     Dedup.winnowFingerprints(Tables.documents(s, d), "doc_id", "text")
 
@@ -552,6 +587,7 @@ object Pipeline {
     "q19_embedding_norms"    -> (embeddingNorms _),
     "q20_ann_cosine_topk"    -> (annCosineTopK _),
     "q21_embedding_neardup"  -> (embeddingNearDup _),
+    "q78_srp_neardup"        -> (srpEmbeddingNearDup _),
     "q22_multimodal_meta"    -> (multimodalMeta _),
     "q23_winnow_fingerprint" -> (winnowFingerprints _),
     "q24_ngram_jaccard"      -> (ngramJaccard _),
@@ -579,6 +615,7 @@ object Pipeline {
     "q19_embedding_norms"    -> embeddingNormsSql,
     "q20_ann_cosine_topk"    -> annCosineTopKSql,
     "q21_embedding_neardup"  -> embeddingNearDupSqlFiltered,
+    "q78_srp_neardup"        -> srpEmbeddingNearDupSql,
     "q22_multimodal_meta"    -> multimodalMetaSql,
     "q23_winnow_fingerprint" -> winnowFingerprintsSql,
     "q24_ngram_jaccard"      -> ngramJaccardSql,

@@ -157,6 +157,27 @@ class PipelineOps3Spec extends SparkSpecBase {
     }
   }
 
+  test("SRP near-dup: identical vectors always surface; output is a " +
+      "subset of the all-pairs result") {
+    val rng = new scala.util.Random(11)
+    val base = Array.fill(16)(rng.nextGaussian().toFloat)
+    val vecs = ((0 until 30).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat).toSeq)
+    } ++ Seq((100L, base.toSeq), (101L, base.toSeq))) // planted twins
+      .toDF("vec_id", "embedding")
+    val srp = Dedup.srpBlockedNearDup(vecs, "vec_id", "embedding", 0.25)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)]
+      .collect().toSet
+    // identical vectors share every key in every table — recall 1.0
+    assert(srp.exists { case (a, b, c) => a == 100L && b == 101L && c > 0.999 })
+    // bucketed candidates verified with the same cosine → subset of
+    // the exhaustive operator's result at the same threshold
+    val all = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", 0.25)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(srp.subsetOf(all))
+  }
+
   test("PQ with dim % m != 0 equals the run on kernel-truncated dims") {
     // dim=10, m=4 → subDim=2, dims 8..9 excluded by BOTH the encode
     // kernel (numElements/m) and the relational pqSubspaces slices; a
