@@ -50,6 +50,32 @@ object VectorKernels {
     s
   }
 
+  /** SRP bucket keys — see [[graft.expressions.SrpKeysExpr]]. */
+  def srpKeys(q: ArrayData, nTables: Int, bits: Int): ArrayData = {
+    val dim = q.numElements()
+    val keys = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val h = 2654435761L * (t * 16 + b + 1)
+        var dot = 0L
+        var i = 0
+        while (i < dim) {
+          val sgn = if ((h * (i + 7919L)) % 1000003L % 2L == 0L) 1L else -1L
+          dot += q.getLong(i) * sgn
+          i += 1
+        }
+        if (dot > 0L) key += (1L << b)
+        b += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
   /** float array → quantized long array at `scale`; element rule is
     * exactly Spark's `round(cast(x as double)*scale)` (BigDecimal
     * HALF_UP on the decimal string value) followed by a long cast. */
@@ -453,6 +479,28 @@ case class PqEncodeExpr(child: Expression, m: Int, cids: IndexedSeq[Long],
     copy(child = c)
 }
 
+/** srp_keys(q) → one `bits`-bit bucket key per table: bit b of table
+  * t is the sign of the integer dot between q and the deterministic
+  * ±1 hyperplane `(2654435761·(16t+b+1)·(i+7919)) mod 1000003 mod 2`.
+  * Bit-identical to the nested-HOF Column form it replaces (and to
+  * the q78 oracle) — the kernel exists because the HOF form dispatches
+  * an interpreted lambda per (table, bit, dim) element, which at
+  * nTables·bits·dim ≈ 2k evals/row dominated the arithmetic. */
+case class SrpKeysExpr(child: Expression, nTables: Int, bits: Int)
+    extends UnaryExpression {
+  require(nTables >= 1 && bits >= 1 && bits <= 62,
+    s"srp needs nTables >= 1 and 1 <= bits <= 62, got $nTables/$bits")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.srpKeys(v.asInstanceOf[ArrayData], nTables, bits)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorKernels.srpKeys($c, $nTables, $bits)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class SortedTokenFpExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
@@ -488,4 +536,6 @@ object VectorExpressions {
       cb: IndexedSeq[Long], cb2: IndexedSeq[Long],
       err: Boolean = false): Column =
     column(PqEncodeExpr(expression(q), m, cids, cb, cb2, err))
+  def srpKeysN(q: Column, nTables: Int, bits: Int): Column =
+    column(SrpKeysExpr(expression(q), nTables, bits))
 }

@@ -364,25 +364,16 @@ object Dedup {
   def srpBlockedNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nTables: Int = 4, bits: Int = 8): DataFrame = {
     val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
-    val sigma = (t: Column, b: Column, i: Column) =>
-      when((lit(2654435761L) * (t * 16 + b + 1) * (i + lit(7919L)))
-        % 1000003L % 2 === 0, lit(1L)).otherwise(lit(-1L))
-    val keyT = (t: Column) =>
-      aggregate(
-        transform(sequence(lit(0), lit(bits - 1)), b =>
-          when(aggregate(
-            zip_with(col("q"), sequence(lit(0), size(col("q")) - 1),
-              (x, i) => x * sigma(t, b, i)),
-            lit(0L), (a, x) => a + x) > 0,
-            pow(lit(2.0), b).cast("long")).otherwise(lit(0L))),
-        lit(0L), (a, x) => a + x)
-    // one banded plan on both sides of the self-join, as in
+    // keys from the codegen'd kernel (one compiled call per row; the
+    // equivalent nested-HOF form dispatches an interpreted lambda per
+    // (table, bit, dim) element — measured 2.4s vs 0.6s at sf0.1).
+    // One banded plan on both sides of the self-join, as in
     // minhashCandidatePairs: the (t,k) Exchange canonicalizes equal
     // and is computed once (ReusedExchange)
     val keyed = base.select(col("id"),
-      explode(transform(sequence(lit(0), lit(nTables - 1)),
-        t => struct(t.as("t"), keyT(t).as("k")))).as("tk"))
-      .select(col("id"), col("tk.t").as("t"), col("tk.k").as("k"))
+      posexplode(graft.expressions.VectorExpressions
+        .srpKeysN(col("q"), nTables, bits)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "k")
     val ka = keyed.alias("a")
     val kb = keyed.alias("b")
     val pairs = ka

@@ -103,6 +103,21 @@ class PlanSpec extends SparkSpecBase {
     } finally { spark.conf.set(bcast, prevB); spark.conf.set(aqe, prevA) }
   }
 
+  test("SRP near-dup: reused banded exchange, kernel in codegen, no cartesian") {
+    val p = plan("q78_srp_neardup")
+    // at tiny sf the planner broadcasts one side of the self-join (no
+    // shuffle to reuse); past the broadcast threshold the two banded
+    // Exchanges canonicalize equal and reuse — either is the sound plan
+    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
+      "self-join must broadcast or reuse the banded exchange")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "bucket collisions must stay an equi-join")
+    assert(p.contains("srpkeysexpr") || p.contains("SrpKeys") ||
+      !p.contains("lambdafunction"),
+      "keys must come from the native kernel, not interpreted HOFs")
+  }
+
   test("ngram jaccard: single aggregate builds the inverted index") {
     // the stop-gram filter must ride the bucket aggregate (size(ids)),
     // never a windowed count over exploded gram rows
