@@ -130,6 +130,86 @@ object Streams {
       .select(col(userCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Streaming sequence packing: the continuous-ingest form of
+    * [[graft.operators.Sampling.packSequences]] — each arriving
+    * document is appended to its shard's token stream and assigned its
+    * global (start_offset, end_offset, first/last context window)
+    * against a per-shard RUNNING total kept in
+    * flatMapGroupsWithState. State is one long per shard (the
+    * cumulative token count), so a 100 TB/day ingest holds |shards|
+    * longs — nothing grows with document count.
+    *
+    * Offsets are assigned in (batch arrival, id) order: within a
+    * micro-batch the shard's rows are ordered by id, batches append in
+    * processing order. When documents arrive in id order the output is
+    * row-identical to the batch operator over the union of batches
+    * (StreamsPackSpec proves it); out-of-order arrival still yields a
+    * valid dense packing, just a different permutation — the same
+    * contract as the reference's append mode, where later diffs pack
+    * after earlier ones regardless of id. */
+  def streamingPackSequences(docs: DataFrame, shardCol: String,
+      idCol: String, tokCol: String, windowTokens: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs.select(col(shardCol).cast("string").as("_shard"),
+        col(idCol).cast("long").as("_id"), col(tokCol).cast("long").as("_n"))
+      .as[(String, Long, Long)]
+    val out = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (shard, rows, state: GroupState[Long]) =>
+          var total = state.getOption.getOrElse(0L)
+          val packed = rows.toSeq.sortBy(_._2).iterator
+            .filter(_._3 > 0).map { case (_, id, n) =>
+              val start = total
+              total += n
+              (shard, id, n, start, total,
+                start / windowTokens, (total - 1) / windowTokens)
+            }.toVector
+          state.update(total)
+          packed.iterator
+      }
+    out.toDF(shardCol, idCol, tokCol, "start_offset", "end_offset",
+      "first_window", "last_window")
+  }
+
+  /** The continuous-ingest curation chain — the streaming counterpart
+    * of [[graft.operators.TrainingData.curate]]'s stream-safe stages:
+    * quality funnel (stateless projection) → streaming exact dedup
+    * (digest state within the watermark) → benchmark decontamination
+    * (stateless `arrays_overlap` against the static benchmark's
+    * distinct grams, collected once — the q55 broadcast shape; for a
+    * benchmark too large to hold as a literal, substitute a
+    * bloom-filter broadcast at the same spot) → stateful sequence
+    * packing (one running long per shard). Near-dup pruning and quota
+    * mixing are deliberately absent: candidates stream via
+    * [[streamingNearDupCandidates]] against a persisted band index,
+    * and a quota is a global top-n — both are batch decisions over the
+    * accumulated corpus, exactly as the reference's append mode defers
+    * whole-table work to the end of the run. */
+  def curationIngestStream(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, charsCol: String, shardCol: String,
+      benchmark: DataFrame, benchTextCol: String, watermark: String,
+      windowTokens: Int, n: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.normToks
+    import graft.expressions.VectorExpressions.shinglesN
+    val quality = graft.operators.TextAnalysis
+      .funnelStages(docs, textCol, charsCol)
+      .where(col("__s4"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    val deduped = streamingDedup(quality, tsCol, textCol, watermark)
+    val benchGrams = benchmark.select(
+      explode(shinglesN(normToks(col(benchTextCol)), n, distinct = true))
+        .as("g")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val clean = deduped.where(!arrays_overlap(
+      shinglesN(normToks(col(textCol)), n, distinct = true),
+      lit(benchGrams)))
+    streamingPackSequences(
+      clean.withColumn("__n_tok", size(normToks(col(textCol)))),
+      shardCol, idCol, "__n_tok", windowTokens)
+  }
+
   /** Streaming PQ ingest: encode arriving embeddings against a FROZEN
     * persisted codebook (`storePath/codebook`, written by
     * [[graft.operators.Similarity.pqWriteStore]]) — the incremental

@@ -457,6 +457,70 @@ class OutputsSpec extends SparkSpecBase {
     assert(obs2.get("n_null_violations") == 1L)
   }
 
+  test("streaming: sequence packing equals the batch operator when " +
+      "arrival follows id order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val docs = input.toDS().toDF("lang", "doc_id", "n_tok")
+    val q = Streams.streamingPackSequences(docs, "lang", "doc_id",
+        "n_tok", windowTokens = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack_out").start()
+    // two micro-batches, id order within each shard; one zero-token
+    // doc that must be skipped without advancing the offset
+    input.addData(("en", 1L, 7L), ("en", 2L, 6L), ("de", 1L, 4L))
+    q.processAllAvailable()
+    input.addData(("en", 3L, 0L), ("en", 4L, 9L), ("de", 7L, 12L))
+    q.processAllAvailable()
+    val streamed = spark.table("pack_out")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    val batch = graft.operators.Sampling.packSequences(
+      Seq(("en", 1L, 7L), ("en", 2L, 6L), ("de", 1L, 4L),
+        ("en", 3L, 0L), ("en", 4L, 9L), ("de", 7L, 12L))
+        .toDF("lang", "doc_id", "n_tok"),
+      "lang", "doc_id", "n_tok", 10)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // per-shard state is ONE long: doc 4 starts where batch 1 left en
+    assert(streamed.contains(("en", 4L, 9L, 13L, 22L, 1L, 2L)))
+  }
+
+  test("streaming: curation ingest chain drops low-quality, duplicate " +
+      "and contaminated docs, packs the rest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // funnel gates: >= 200 chars, >= 40 tokens, TTR >= 0.5, top <= 10%
+    val good = (1 to 48).map(i => s"word$i").mkString(" ")
+    val leak = (1 to 48).map(i => s"leak$i").mkString(" ")
+    val bench = Seq(Tuple1(leak)).toDF("text")
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, String)]
+    val docs = input.toDS().toDF("ts", "doc_id", "text", "src")
+      .withColumn("n_chars", length($"text"))
+    val out = Streams.curationIngestStream(docs, "ts", "doc_id", "text",
+      "n_chars", "src", bench, "text", "10 minutes", windowTokens = 16)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cur_out").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    input.addData(
+      (t, 1L, good, "a"),              // survives
+      (t, 2L, "too short", "a"),       // funnel kills
+      (t, 3L, good, "a"),              // exact dup of 1 within watermark
+      (t, 4L, leak + " extra1 extra2 extra3 extra4", "a")) // contaminated
+    q.processAllAvailable()
+    input.addData((t, 5L,
+      good + " " + (49 to 56).map(i => s"word$i").mkString(" "), "a"))
+    q.processAllAvailable()
+    val rows = spark.table("cur_out")
+      .select($"doc_id", $"start_offset").as[(Long, Long)]
+      .collect().toMap
+    q.stop()
+    assert(rows.keySet == Set(1L, 5L))
+    // doc 5 packs AFTER doc 1's tokens: per-shard state carried over
+    assert(rows(1L) == 0L && rows(5L) > 0L)
+  }
+
   test("streaming: change-file directory drives incremental batches") {
     val watch = Files.createTempDirectory("graft-watch").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
