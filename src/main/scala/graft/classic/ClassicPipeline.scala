@@ -241,7 +241,9 @@ object ClassicPipeline {
         col("__z").as("z_order"), col("__roads").as("__roads"), col("geom"))
 
     // ---- relations ----
-    val typed = restrict(osm.relations, subset.relIds)
+    // >32767-member relations are ignored at ingest (src/osmdata.cpp:151)
+    val typed = restrict(graft.sources.Validate
+        .dropOversizeRelations(osm.relations), subset.relIds)
       .withColumn("__type", col("tags").getItem("type"))
       .where(col("__type").isin("route", "multipolygon", "boundary"))
     // relations: out_tags exclude the special-cased "type" tag

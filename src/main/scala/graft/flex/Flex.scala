@@ -338,7 +338,20 @@ object Coerce {
     udf(fit _).apply(c)
   }
 
+  /** timestamp: ISO-8601 via the plain cast, plus the compact OSM
+    * form `yyyyMMdd'T'HHmmssZ` the reference's PG layer also accepts
+    * (timestamp.feature writes both `2026-02-03T01:23:45Z` and
+    * `20260102T123456Z` into timestamp columns). Unparseable → NULL
+    * (soft error). */
+  def toTimestamp(c: Column): Column = {
+    val s = c.cast(StringType)
+    coalesce(
+      s.try_cast(TimestampType),
+      try_to_timestamp(s, lit("yyyyMMdd'T'HHmmssX")))
+  }
+
   def coerce(c: Column, col: FlexColumn): Column = col.ctype match {
+    case FlexType.Timestamp => toTimestamp(c)
     case FlexType.Boolean   => toBoolean(c)
     case FlexType.Direction => toDirection(c)
     case FlexType.Int2 | FlexType.Int4 | FlexType.Int8 => toIntRange(c, col.ctype)

@@ -36,10 +36,16 @@ object FlexRunner {
     FlexConfig.validateTables(config.tables)
     val defs = config.tables.map(t => t.name -> t).toMap
 
+    // >32767-member relations are ignored before any callback runs
+    // (src/osmdata.cpp:151, input.feature)
+    val rels =
+      if (osm.relations.columns.contains("members"))
+        graft.sources.Validate.dropOversizeRelations(osm.relations)
+      else osm.relations
     val inserts: Seq[(String, DataFrame)] =
       (config.processNodes(osm.nodes).toSeq ++
         config.processWays(osm.ways).toSeq ++
-        config.processRelations(osm.relations).toSeq)
+        config.processRelations(rels).toSeq)
     inserts.collectFirst {
       case (name, _) if !defs.contains(name) => name
     }.foreach(name => throw new IllegalArgumentException(

@@ -226,6 +226,45 @@ object PgSink {
     b.toString
   }
 
+  /** libpq-style DSN → JDBC URL, the connection forms the reference
+    * accepts on -d (dsn.feature: plain dbname, keyword/value pairs,
+    * postgresql:// and postgres:// URIs). Defaults host=localhost,
+    * port=5432 like libpq. Unrecognized keywords are passed through as
+    * JDBC query params. */
+  def jdbcUrlFromDsn(dsn: String): String = {
+    def url(host: String, port: String, db: String,
+        params: Seq[(String, String)]): String = {
+      val q = params.filter(_._2.nonEmpty)
+        .map { case (k, v) => s"$k=$v" }.mkString("&")
+      s"jdbc:postgresql://$host:$port/$db" + (if (q.isEmpty) "" else s"?$q")
+    }
+    val trimmed = dsn.trim
+    if (trimmed.startsWith("postgresql://") ||
+        trimmed.startsWith("postgres://")) {
+      val u = new java.net.URI(trimmed)
+      val host = Option(u.getHost).filter(_.nonEmpty).getOrElse("localhost")
+      val port = if (u.getPort > 0) u.getPort.toString else "5432"
+      val db = Option(u.getPath).map(_.stripPrefix("/")).getOrElse("")
+      val creds = Option(u.getUserInfo).map(_.split(":", 2)).map(a =>
+        Seq("user" -> a(0)) ++
+          (if (a.length > 1) Seq("password" -> a(1)) else Nil))
+        .getOrElse(Nil)
+      val extra = Option(u.getQuery).toSeq.flatMap(_.split("&"))
+        .map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v
+          case Array(k)    => k -> ""
+        }
+      url(host, port, db, creds ++ extra)
+    } else if (trimmed.contains('=')) {
+      val kv = trimmed.split("\\s+").toSeq.map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+      url(kv.getOrElse("host", "localhost"), kv.getOrElse("port", "5432"),
+        kv.getOrElse("dbname", ""),
+        (kv - "host" - "port" - "dbname").toSeq.sortBy(_._1))
+    } else url("localhost", "5432", trimmed, Nil)
+  }
+
   /** Distributed load: one connection + prepared statement per
     * partition, executeBatch every `batchSize` rows (the COPY-buffer
     * flush cadence, src/db-copy.hpp:140-163). */

@@ -43,6 +43,15 @@ object Validate {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Oversize-relation guard (src/osmdata.cpp:151-156,
+    * input.feature "Overly large relations are ignored"): relations
+    * with more than 32767 members are dropped at ingest — the
+    * reference's int16 member-index limit. Pure filter; pushes to the
+    * scan where the members column is shredded. */
+  def dropOversizeRelations(rels: DataFrame,
+      membersCol: String = "members", max: Int = 32767): DataFrame =
+    rels.where(size(col(membersCol)) <= max)
+
   /** Node bbox source filter (src/osmdata.cpp:48-50): pushed to the
     * scan by Catalyst. */
   def bboxFilter(nodes: DataFrame, minLon: Double, minLat: Double,

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.flex.{Coerce, FlexColumn, FlexType}
+import graft.sinks.PgSink
+import graft.sources.Validate
+
+/** Round-5 BDD ports: input.feature (oversize relations),
+  * timestamp.feature (compact OSM timestamp form), dsn.feature
+  * (libpq connection-string forms). */
+class InputGuardsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("input.feature: relations with more than 32767 members are ignored") {
+    val small = (1 to 3).map(i => ("n", i.toLong))
+    val big = (1 to 33000).map(i => ("n", i.toLong))
+    val rels = Seq((1L, small), (2L, big)).toDF("rel_id", "members")
+    val kept = Validate.dropOversizeRelations(rels)
+      .select($"rel_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+
+  test("timestamp.feature: ISO and compact OSM forms coerce, junk nulls") {
+    val df = Seq("2026-02-03T01:23:45Z", "20260102T123456Z",
+      "2020-12-12 11:22:33", "not a time")
+      .toDF("v")
+      .select(Coerce.coerce($"v",
+        FlexColumn("ts", FlexType.Timestamp)).as("ts"))
+    val got = df.select(date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss"))
+      .as[String].collect().toSeq
+    assert(got == Seq("2026-02-03T01:23:45", "2026-01-02T12:34:56",
+      "2020-12-12T11:22:33", null))
+  }
+
+  test("dsn.feature: every accepted connection form maps to a JDBC URL") {
+    assert(PgSink.jdbcUrlFromDsn("mydb") ==
+      "jdbc:postgresql://localhost:5432/mydb")
+    assert(PgSink.jdbcUrlFromDsn("dbname=mydb") ==
+      "jdbc:postgresql://localhost:5432/mydb")
+    assert(PgSink.jdbcUrlFromDsn("dbname=mydb host=db.example port=5433 user=u password=p") ==
+      "jdbc:postgresql://db.example:5433/mydb?password=p&user=u")
+    assert(PgSink.jdbcUrlFromDsn("postgresql:///mydb") ==
+      "jdbc:postgresql://localhost:5432/mydb")
+    assert(PgSink.jdbcUrlFromDsn("postgres:///mydb") ==
+      "jdbc:postgresql://localhost:5432/mydb")
+    assert(PgSink.jdbcUrlFromDsn("postgresql://u:p@h:5433/mydb?sslmode=require") ==
+      "jdbc:postgresql://h:5433/mydb?user=u&password=p&sslmode=require")
+  }
+}
