@@ -159,6 +159,33 @@ object Replication {
     State(seq, effDate)
   }
 
+  /** `init --osm-file` (replication_legacy.feature): seed the update
+    * loop from the file's OSMHeader osmosis_replication_* fields — the
+    * timestamp is required; the sequence comes from the header when
+    * present, otherwise it is resolved against the service by
+    * timestamp (the reference's flow for files that carry only a
+    * timestamp). */
+  def initFromOsmFile(spark: SparkSession, propsPath: String,
+      osmFile: String, source: Option[Source] = None,
+      baseUrlOverride: Option[String] = None): State = {
+    val h = graft.sources.OsmPbf.readHeader(osmFile)
+    val url = baseUrlOverride.orElse(h.replicationBaseUrl).getOrElse(
+      throw new IllegalStateException(
+        s"'$osmFile' carries no replication base URL — pass --server"))
+    val ts = h.replicationTimestamp.getOrElse(
+      throw new IllegalStateException(
+        s"'$osmFile' has no replication timestamp in its header"))
+    val seq = h.replicationSequence
+      .orElse(source.flatMap(timestampToSequence(_, ts)))
+      .getOrElse(throw new IllegalStateException(
+        s"cannot determine start sequence for '$osmFile'"))
+    val stored = scala.util.Try(Properties.load(spark, propsPath))
+      .getOrElse(Map.empty[String, String])
+    Properties.save(spark, propsPath, stored ++ Map(
+      KeyBase -> url, KeySeq -> seq.toString, KeyTs -> ts.toString))
+    State(seq, ts)
+  }
+
   /** `update`: apply every outstanding diff through `applyDiff` (the
     * append pipeline — e.g. ClassicUpdate over an OsmXml-read .osc),
     * persisting state after each successful chunk. Returns the final

@@ -155,6 +155,42 @@ object OsmPbf {
     spans.result()
   }
 
+  /** OSMHeader metadata (osmformat.proto HeaderBlock): the
+    * osmosis_replication_* fields (32/33/34) the reference's
+    * `osm2pgsql-replication init --osm-file` reads to seed the update
+    * loop, plus required features for capability checks. */
+  final case class PbfHeader(
+      requiredFeatures: Seq[String],
+      optionalFeatures: Seq[String],
+      writingProgram: Option[String],
+      replicationTimestamp: Option[java.time.Instant],
+      replicationSequence: Option[Long],
+      replicationBaseUrl: Option[String])
+
+  /** Parse the file's OSMHeader blob (driver-side: one small blob). */
+  def readHeader(path: String): PbfHeader = {
+    val span = scanBlobs(path).find(_.blobType == "OSMHeader")
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path has no OSMHeader blob"))
+    val h = new Pb(readBlob(span))
+    val req = Seq.newBuilder[String]
+    val opt = Seq.newBuilder[String]
+    var prog: Option[String] = None
+    var ts: Option[java.time.Instant] = None
+    var seq: Option[Long] = None
+    var url: Option[String] = None
+    while (h.hasMore) h.tag() match {
+      case (4, 2)  => req += h.string()
+      case (5, 2)  => opt += h.string()
+      case (16, 2) => prog = Some(h.string())
+      case (32, 0) => ts = Some(java.time.Instant.ofEpochSecond(h.varint()))
+      case (33, 0) => seq = Some(h.varint())
+      case (34, 2) => url = Some(h.string())
+      case (_, w)  => h.skip(w)
+    }
+    PbfHeader(req.result(), opt.result(), prog, ts, seq, url)
+  }
+
   /** Executor-side: fetch + decompress one blob's PrimitiveBlock. */
   def readBlob(span: BlobSpan): Array[Byte] = {
     val raf = new java.io.RandomAccessFile(span.path, "r")

@@ -87,6 +87,38 @@ class ReplicationSpec extends SparkSpecBase {
     assert(again.sequence == 5L)
   }
 
+  test("replication_legacy.feature: init --osm-file seeds state from " +
+      "the PBF header") {
+    val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    assume(new java.io.File(pbf).exists())
+    val h = graft.sources.OsmPbf.readHeader(pbf)
+    // the BDD scenario's expected importdate is exactly this header
+    // timestamp (2013-08-03 19:00:02 UTC)
+    assert(h.replicationTimestamp
+      .contains(Instant.parse("2013-08-03T19:00:02Z")))
+    assert(h.requiredFeatures.contains("OsmSchema-V0.6"))
+
+    val props = Files.createTempDirectory("graft-props").toString + "/props"
+    h.replicationSequence match {
+      case Some(seq) =>
+        val st = Replication.initFromOsmFile(spark, props, pbf,
+          baseUrlOverride = h.replicationBaseUrl
+            .orElse(Some("http://example.com/updates")))
+        assert(st.sequence == seq)
+      case None =>
+        // file carries only the timestamp: the sequence resolves
+        // against the service by bisection, like the reference
+        val st = Replication.initFromOsmFile(spark, props, pbf,
+          source = Some(DirSource(mkMirror())),
+          baseUrlOverride = Some("http://example.com/updates"))
+        assert(st.sequence >= 0L)
+        assert(st.timestamp == Instant.parse("2013-08-03T19:00:02Z"))
+    }
+    val stored = graft.sinks.Properties.load(spark, props)
+    assert(stored.contains("replication_sequence_number"))
+    assert(stored("replication_timestamp") == "2013-08-03T19:00:02Z")
+  }
+
   test("failed apply leaves state untouched; once applies one chunk") {
     val mirror = mkMirror()
     val props = Files.createTempDirectory("graft-props").toString + "/props"
