@@ -26,18 +26,40 @@ final case class Style(entries: Seq[StyleEntry]) {
 
 object StyleFile {
 
+  private val KnownTypes = Set("node", "way")
+  private val KnownFlags =
+    Set("polygon", "linear", "nocache", "nocolumn", "delete", "phstore")
+
+  /** Strict parser matching src/taginfo.cpp: comments/blank lines
+    * skipped, everything else must be `OsmType Tag DataType [Flags]`
+    * with known osm types and flags — malformed input is an ERROR,
+    * not silently dropped (tests/style/invalid-*.style are rejection
+    * fixtures upstream). */
   def parse(text: String): Style = Style(
     text.linesIterator
       .map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .flatMap { line =>
+      .map { line =>
+        def mk(types: String, tag: String, dataType: String,
+            flags: String): StyleEntry = {
+          val ts = types.split(",").toSet
+          val fs = if (flags.isEmpty) Set.empty[String]
+            else flags.split(",").toSet
+          ts.find(!KnownTypes.contains(_)).foreach(t =>
+            throw new IllegalArgumentException(
+              s"Unknown type in style file: '$t'."))
+          fs.find(!KnownFlags.contains(_)).foreach(f =>
+            throw new IllegalArgumentException(
+              s"Unknown flag in style file line: '$f'."))
+          StyleEntry(ts, tag, dataType, fs)
+        }
         line.split("\\s+") match {
           case Array(types, tag, dataType, flags) =>
-            Some(StyleEntry(types.split(",").toSet, tag, dataType,
-              flags.split(",").toSet))
+            mk(types, tag, dataType, flags)
           case Array(types, tag, dataType) =>
-            Some(StyleEntry(types.split(",").toSet, tag, dataType, Set.empty))
-          case _ => None
+            mk(types, tag, dataType, "")
+          case _ => throw new IllegalArgumentException(
+            s"Error in style file line: '$line'.")
         }
       }.toSeq)
 

@@ -33,6 +33,33 @@ class InputGuardsSpec extends SparkSpecBase {
       "2020-12-12T11:22:33", null))
   }
 
+  test("style corpus: the reference's own style files parse/reject as upstream") {
+    import graft.classic.StyleFile
+    def load(name: String): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/root/reference/tests/style/$name")),
+        "UTF-8")
+    assume(new java.io.File("/root/reference/tests/style").isDirectory)
+    val valid = StyleFile.parse(load("valid.style"))
+    assert(valid.entries.size == 8)
+    assert(valid.polygonKeys.toSet ==
+      Set("node_text_polygon", "way_text_polygon", "both_text_polygon"))
+    assert(valid.deleteKeys.toSet == Set("both_delete"))
+    assert(StyleFile.parse(load("comments.style")).entries.isEmpty)
+    assert(StyleFile.parse(load("empty.style")).entries.isEmpty)
+    assert(StyleFile.parse(load("node.style")).entries ==
+      Seq(graft.classic.StyleEntry(Set("node"), "access", "text",
+        Set("linear"))))
+    // way_area with no flags (computed column) parses
+    assert(StyleFile.parse(load("way-area.style")).entries.size == 2)
+    // unknown osm type is an error, not a silent drop
+    intercept[IllegalArgumentException] {
+      StyleFile.parse(load("invalid-osm-type.style"))
+    }
+    // the shipped default style still parses under the strict rules
+    assert(graft.classic.StyleFile.defaultStyle.entries.nonEmpty)
+  }
+
   test("dsn.feature: every accepted connection form maps to a JDBC URL") {
     assert(PgSink.jdbcUrlFromDsn("mydb") ==
       "jdbc:postgresql://localhost:5432/mydb")
