@@ -37,8 +37,11 @@ object StyleFile {
     * fixtures upstream). */
   def parse(text: String): Style = Style(
     text.linesIterator
-      .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(l => l.indexOf('#') match { // trailing comments allowed
+        case -1 => l.trim
+        case i  => l.substring(0, i).trim
+      })
+      .filter(_.nonEmpty)
       .map { line =>
         def mk(types: String, tag: String, dataType: String,
             flags: String): StyleEntry = {
