@@ -54,6 +54,13 @@ object StyleFile {
           fs.find(!KnownFlags.contains(_)).foreach(f =>
             throw new IllegalArgumentException(
               s"Unknown flag in style file line: '$f'."))
+          // wildcards only make sense on delete rules
+          // (src/taginfo.cpp:149-156); unknown DATA types are lenient
+          // (get_tag_type → text), matching the reference
+          if (!fs.contains("delete") &&
+              (tag.contains('?') || tag.contains('*')))
+            throw new IllegalArgumentException(
+              s"Wildcard '$tag' in non-delete style entry.")
           StyleEntry(ts, tag, dataType, fs)
         }
         line.split("\\s+") match {

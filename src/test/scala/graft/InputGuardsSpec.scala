@@ -56,6 +56,15 @@ class InputGuardsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       StyleFile.parse(load("invalid-osm-type.style"))
     }
+    // unknown DATA types are lenient (reference treats them as text)
+    assert(StyleFile.parse(load("invalid-data-type.style")).entries.size == 1)
+    assert(StyleFile.parse(load("data-types.style")).entries.size == 3)
+    // wildcards: delete-only (src/taginfo.cpp:149-156)
+    assert(StyleFile.parse("node,way  name:*  text  delete")
+      .deleteKeys == Seq("name:*"))
+    intercept[IllegalArgumentException] {
+      StyleFile.parse("node,way  name:*  text  linear")
+    }
     // the shipped default style still parses under the strict rules
     assert(graft.classic.StyleFile.defaultStyle.entries.nonEmpty)
   }
