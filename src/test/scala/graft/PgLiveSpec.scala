@@ -172,6 +172,27 @@ class PgLiveSpec extends SparkSpecBase {
       "WHERE tablename = 'graft_live'") == Seq("1"))
   }
 
+  test("schema.feature: tables and indexes land in a named schema") {
+    psql("CREATE SCHEMA IF NOT EXISTS osm;")
+    psql("""DROP TABLE IF EXISTS "osm"."graft_live";""")
+    val (rc, out) =
+      psql(PgSink.createTableDdl(tableDef, unlogged = true,
+        schema = "osm") + ";")
+    assert(rc == 0, s"create in schema failed: $out")
+    assert(copyIn("\"osm\".\"graft_live\"", wireLines.take(1)) == 0)
+    PgSink.postLoadDdl(tableDef, updatable = true, schema = "osm")
+      .foreach { ddl =>
+        val (c, o) = psql(ddl + ";")
+        assert(c == 0, s"'$ddl' failed: $o")
+      }
+    assert(copyOut("SELECT schemaname FROM pg_tables " +
+      "WHERE tablename = 'graft_live' AND schemaname = 'osm'") ==
+      Seq("osm"))
+    assert(copyOut("SELECT count(*) FROM pg_indexes " +
+      "WHERE tablename = 'graft_live' AND schemaname = 'osm'") ==
+      Seq("1"))
+  }
+
   test("append mode: delete-before-insert replaces changed ids only") {
     // the JDBC deleteSql text with its ANY(?) placeholder bound to a
     // pg array literal — semantics identical to the prepared path
