@@ -226,6 +226,48 @@ object PgSink {
     b.toString
   }
 
+  /** Rows → COPY TEXT wire lines, formatted in EXECUTORS — the
+    * distributed half of the reference's db-copy pipeline
+    * (src/db-copy.cpp buffers, here one `Dataset[String]` of
+    * ready-to-stream lines). Column typing follows the DataFrame
+    * schema: binary → hex EWKB, map<string,string> → hstore wire form,
+    * boolean → t/f, null → \N, everything else the escaped string
+    * value. `df` columns must already be in the table's column order
+    * (id column first for tables with ids). */
+  def copyLines(df: DataFrame, t: FlexTableDef): org.apache.spark.sql.Dataset[String] = {
+    val expect = t.schema.fieldNames.toSeq
+    require(df.columns.toSeq == expect,
+      s"column order must match table '${t.name}': expected $expect, " +
+        s"got ${df.columns.toSeq}")
+    val schema = df.schema
+    import df.sparkSession.implicits._
+    df.map { row =>
+      val cells = schema.fields.toIndexedSeq.zipWithIndex.map {
+        case (f, i) =>
+          if (row.isNullAt(i)) CopyNull
+          else f.dataType match {
+            case BinaryType =>
+              CopyPreEscaped(hexGeomCopyValue(row.getAs[Array[Byte]](i)))
+            case MapType(StringType, StringType, _) =>
+              CopyPreEscaped(hstoreCopyValue(
+                row.getMap[String, String](i).toSeq))
+            case BooleanType =>
+              CopyValue(if (row.getBoolean(i)) "t" else "f")
+            case _ => CopyValue(String.valueOf(row.get(i)))
+          }
+      }
+      copyLine(cells)
+    }
+  }
+
+  /** Write the COPY bulk-load artifact: one text file per partition
+    * under `dir`, each line a COPY TEXT row — the at-scale load shape
+    * (executors format, any loader streams the files into
+    * `COPY ... FROM STDIN`). PgLiveSpec round-trips the files through
+    * a live server. */
+  def writeCopyFiles(df: DataFrame, t: FlexTableDef, dir: String): Unit =
+    copyLines(df, t).write.mode("overwrite").text(dir)
+
   /** libpq-style DSN → JDBC URL, the connection forms the reference
     * accepts on -d (dsn.feature: plain dbname, keyword/value pairs,
     * postgresql:// and postgres:// URIs). Defaults host=localhost,

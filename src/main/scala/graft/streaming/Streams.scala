@@ -321,7 +321,9 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val files = spark.readStream
       .format("binaryFile")
-      .option("pathGlobFilter", "*.osc")
+      // replication mirrors serve gzipped chunks; wholeTextFiles in
+      // the batch read decompresses .gz via the Hadoop codec
+      .option("pathGlobFilter", "*.osc*")
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
       .load(watchDir)
     files.writeStream

@@ -539,8 +539,12 @@ class OutputsSpec extends SparkSpecBase {
     q.processAllAvailable()
     Files.write(java.nio.file.Paths.get(watch, "002.osc"),
       osc(2, "modify").getBytes("UTF-8"))
-    Files.write(java.nio.file.Paths.get(watch, "003.osc"),
-      osc(3, "delete").getBytes("UTF-8"))
+    // replication mirrors serve gzip chunks — batch 2 mixes formats
+    val gz = new java.io.ByteArrayOutputStream()
+    val gzOut = new java.util.zip.GZIPOutputStream(gz)
+    gzOut.write(osc(3, "delete").getBytes("UTF-8")); gzOut.close()
+    Files.write(java.nio.file.Paths.get(watch, "003.osc.gz"),
+      gz.toByteArray)
     q.processAllAvailable()
     q.stop()
     val batches = applied.toArray(Array.empty[Seq[Long]])

@@ -193,6 +193,40 @@ class PgLiveSpec extends SparkSpecBase {
       Seq("1"))
   }
 
+  test("writeCopyFiles: executor-formatted COPY files bulk-load cleanly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, map_from_entries}
+    val df = rows.toDF("osm_id", "name", "tags", "population", "ok")
+      .withColumn("tags", map_from_entries(col("tags")))
+      .repartition(2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-copyfiles").toString
+    try {
+      PgSink.writeCopyFiles(df, tableDef, dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-"))
+      assert(files.length == 2)
+      psql("""DROP TABLE IF EXISTS "public"."graft_copyload";""")
+      psql(PgSink.createTableDdl(tableDef.copy(name = "graft_copyload"),
+        unlogged = true) + ";")
+      files.foreach { f =>
+        val lines = java.nio.file.Files.readAllLines(f.toPath)
+        import scala.jdk.CollectionConverters._
+        assert(copyIn("\"public\".\"graft_copyload\"",
+          lines.asScala.toSeq) == 0)
+      }
+      assert(copyOut("SELECT count(*) FROM \"public\".\"graft_copyload\"") ==
+        Seq(rows.size.toString))
+      // the nastiest row survived the executor-side formatting
+      assert(copyOut("SELECT \"tags\" -> 'k2' FROM " +
+        "\"public\".\"graft_copyload\" WHERE \"osm_id\" = 3")
+        .map(PgSink.copyRowParse(_).head) == Seq(Some("a\tb")))
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("append mode: delete-before-insert replaces changed ids only") {
     // the JDBC deleteSql text with its ANY(?) placeholder bound to a
     // pg array literal — semantics identical to the prepared path
