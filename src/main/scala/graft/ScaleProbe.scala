@@ -40,6 +40,10 @@ object ScaleProbe {
       graft.operators.Dedup.semanticDedup(
         emb.select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", 0.95).count())
+    time("srp_neardup")(
+      graft.operators.Dedup.srpBlockedNearDup(
+        emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", 0.25).count())
     time("pq_topk")(
       graft.operators.Similarity.pqTopK(
         emb.select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -69,6 +69,39 @@ class InputGuardsSpec extends SparkSpecBase {
     assert(graft.classic.StyleFile.defaultStyle.entries.nonEmpty)
   }
 
+  test("compressed inputs: .osm.gz and .osm.bz2 read through the " +
+      "distributed XML path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xmlz")
+    def doc(n1: Int, n2: Int, w: Int) =
+      s"""<?xml version='1.0' encoding='UTF-8'?>
+         |<osm version="0.6">
+         |<node id="$n1" lat="1.5" lon="2.5" version="1"/>
+         |<node id="$n2" lat="1.6" lon="2.6" version="1"/>
+         |<way id="$w" version="1"><nd ref="$n1"/><nd ref="$n2"/>
+         |<tag k="highway" v="residential"/></way>
+         |</osm>""".stripMargin
+    java.nio.file.Files.write(dir.resolve("a.osm"),
+      doc(1, 2, 10).getBytes("UTF-8"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("b.osm.gz")))
+    gz.write(doc(3, 4, 11).getBytes("UTF-8")); gz.close()
+    // bz2 via the Hadoop codec (what the cluster read path uses too)
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(spark.sparkContext.hadoopConfiguration)
+    val bz = codec.createOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("c.osm.bz2")))
+    bz.write(doc(5, 6, 12).getBytes("UTF-8")); bz.close()
+
+    val osm = graft.sources.OsmXml.read(spark,
+      Seq(s"$dir/a.osm", s"$dir/b.osm.gz", s"$dir/c.osm.bz2"))
+    try {
+      assert(osm.nodes.count() == 6)
+      import spark.implicits._
+      assert(osm.ways.select($"id").as[Long].collect().toSet ==
+        Set(10L, 11L, 12L))
+    } finally osm.unpersistBacking()
+  }
+
   test("dsn.feature: every accepted connection form maps to a JDBC URL") {
     assert(PgSink.jdbcUrlFromDsn("mydb") ==
       "jdbc:postgresql://localhost:5432/mydb")
