@@ -74,6 +74,40 @@ object Sampling {
       .where(col("rk") <= quotaCol)
   }
 
+  /** Temperature-scaled source mixing — the pretraining
+    * mixture-reweighting shape (sample counts ∝ size^(1/T), here the
+    * T=2 form): per-source targets are `budget · w_s / Σw` with
+    * integer weights `w_s = ⌊√count_s⌋`, floored at one row so no
+    * source vanishes, then the deterministic per-source top-target by
+    * the md5 order used everywhere else. Up-weights the tail exactly
+    * like temperature sampling at T=2 while staying pure integer /
+    * IEEE arithmetic (weights and Σw are BIGINTs; the one division is
+    * a single binary64 op) — exact on any engine, no RNG.
+    *
+    * Scale shape: the counts aggregate is map-side combinable and the
+    * weights frame is |sources| rows (the all-rows window over it is
+    * trivially small); the corpus side sees one broadcast join + the
+    * same per-source selection window as [[sourceMix]]. */
+  def temperatureMix(df: DataFrame, srcCol: String, idCol: String,
+      budget: Int): DataFrame = {
+    val counts = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__w", floor(sqrt(col("__c"))).cast("long"))
+    val targets = counts
+      .withColumn("__tw", sum(col("__w")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("__target",
+        greatest(lit(1L),
+          floor(lit(budget) * col("__w") / col("__tw")).cast("long")))
+      .select(col(srcCol), col("__target"))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(digest(idCol), col(idCol))
+    df.join(broadcast(targets), srcCol)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("__target"))
+      .drop("__target")
+  }
+
   /** Sequence packing: concatenate each shard's documents (in id
     * order) into one token stream and chop it into fixed-size context
     * windows, the standard LLM pre-training layout where documents may

@@ -117,6 +117,29 @@ object Pipeline3 {
       |WHERE rk <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10
       |  WHEN 'src2' THEN 8 ELSE 5 END""".stripMargin
 
+  // ---- q79: temperature-scaled source mix ----
+
+  def temperatureMix(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureMix(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "source", "doc_id", budget = 60)
+
+  val temperatureMixSql: String =
+    """WITH c AS (
+      |  SELECT source, CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT source,
+      |    GREATEST(1, CAST(floor(60 * w / (SELECT sum(w) FROM c))
+      |      AS BIGINT)) AS target
+      |  FROM c)
+      |SELECT doc_id, source, rk FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER)
+      |      AS rk
+      |  FROM documents) JOIN t USING (source)
+      |WHERE rk <= target""".stripMargin
+
   // ---- q70: integer tf-idf term relevance ----
 
   private val Terms = Seq("the", "data", "of")
@@ -425,6 +448,7 @@ object Pipeline3 {
     "q67_salted_skew_join" -> (saltedSkewJoin _),
     "q68_topn_per_group"   -> (topNPerGroup _),
     "q69_source_mix"       -> (sourceMix _),
+    "q79_temperature_mix"  -> (temperatureMix _),
     "q70_term_relevance"   -> (termRelevance _))
 
   val oracles: Map[String, String] = Map(
@@ -438,5 +462,6 @@ object Pipeline3 {
     "q67_salted_skew_join" -> saltedSkewJoinSql,
     "q68_topn_per_group"   -> topNPerGroupSql,
     "q69_source_mix"       -> sourceMixSql,
+    "q79_temperature_mix"  -> temperatureMixSql,
     "q70_term_relevance"   -> termRelevanceSql)
 }

@@ -215,6 +215,18 @@ class PipelineOps3Spec extends SparkSpecBase {
     }
   }
 
+  test("temperatureMix flattens the source distribution, floors at one") {
+    // sizes 100 / 25 / 1 → isqrt weights 10 / 5 / 1, Σ=16; budget 32
+    // → targets 20 / 10 / 2 — the tail gets MORE than proportional
+    // share (1/126 of docs → 1/16 of the mix), the T=2 flattening
+    val docs = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 125).map(i => (i.toLong, "mid")) ++
+      Seq((126L, "tiny"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(docs, "source", "doc_id", 32)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(out == Map("big" -> 20L, "mid" -> 10L, "tiny" -> 1L))
+  }
+
   test("termRelevance scores tf times integer idf, rarest term worth most") {
     val df = Seq(
       (1L, "the the the cat"),   // tf(the)=3
