@@ -609,7 +609,85 @@ object OsmAnalog {
       |  CAST(ys[2] AS DOUBLE) AS g2y
       |FROM w""".stripMargin
 
+  /** §2.5 line_merge under the oracle: per way, a chain of unit-x
+    * segments with deterministic gaps ((r + way) % 5 == 0 drops the
+    * segment), merged by the reference's endpoint-walk algorithm. The
+    * synthetic x = position-rank makes every point distinct (no ≥3-way
+    * junctions, no loops), so DuckDB recomputes the merge result
+    * arithmetically: n_lines = run starts, n_pts = segments + runs,
+    * and Σ(squared segment length) is an exact integer that pins point
+    * order and dedup inside the merged geometry. */
+  def lineMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.geom.{GeomOps, LineString, MultiLineString, Pt}
+    val pts = Tables.lineitem(s, d).select(
+      $"l_orderkey", $"l_linenumber", $"l_partkey".as("pk"),
+      (($"l_partkey" * 104729) % 2000).as("y"))
+    val ways = pts.groupBy($"l_orderkey")
+      .agg(transform(array_sort(collect_list(
+        struct($"l_linenumber", $"pk", $"y"))), p => p.getField("y"))
+        .as("ys"))
+      .where(size($"ys") >= 2)
+    val calc = udf((way: Long, ys: Seq[Long]) => {
+      val segs = (0 until ys.length - 1).filter(r =>
+        (r + 1 + way) % 5 != 0).map { r =>
+        LineString(Vector(Pt(r + 1.0, ys(r).toDouble),
+          Pt(r + 2.0, ys(r + 1).toDouble)))
+      }
+      if (segs.isEmpty) null
+      else {
+        val merged = GeomOps.lineMerge(MultiLineString(segs.toVector))
+        val lines = merged match {
+          case l: LineString          => Vector(l)
+          case MultiLineString(ls, _) => ls
+          case _                      => Vector.empty
+        }
+        val len2 = lines.map(l =>
+          l.pts.iterator.zip(l.pts.iterator.drop(1)).map { case (a, b) =>
+            val dx = (b.x - a.x).toLong; val dy = (b.y - a.y).toLong
+            dx * dx + dy * dy
+          }.sum).sum
+        (lines.size.toLong, lines.map(_.pts.size.toLong).sum, len2)
+      }
+    })
+    ways.select($"l_orderkey".as("way_id"),
+        calc($"l_orderkey", $"ys").as("c"))
+      .where($"c".isNotNull)
+      .select($"way_id", $"c._1".as("n_lines"), $"c._2".as("n_pts"),
+        $"c._3".as("sum_len2"))
+  }
+
+  val lineMergeSql: String =
+    """WITH p AS (
+      |  SELECT l_orderkey,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, l_partkey) AS r,
+      |    (l_partkey * 104729) % 2000 AS y,
+      |    count(*) OVER (PARTITION BY l_orderkey) AS n
+      |  FROM lineitem),
+      |seg AS (
+      |  SELECT a.l_orderkey, a.r,
+      |    1 + (b.y - a.y) * (b.y - a.y) AS len2,
+      |    CASE WHEN (a.r + a.l_orderkey) % 5 <> 0 THEN 1 ELSE 0 END
+      |      AS present
+      |  FROM p a JOIN p b
+      |    ON a.l_orderkey = b.l_orderkey AND b.r = a.r + 1
+      |  WHERE a.n >= 2),
+      |runs AS (
+      |  SELECT l_orderkey, r, len2, present,
+      |    CASE WHEN present = 1 AND COALESCE(lag(present) OVER (
+      |        PARTITION BY l_orderkey ORDER BY r), 0) = 0
+      |      THEN 1 ELSE 0 END AS run_start
+      |  FROM seg)
+      |SELECT l_orderkey AS way_id,
+      |  CAST(sum(run_start) AS BIGINT) AS n_lines,
+      |  CAST(sum(present) + sum(run_start) AS BIGINT) AS n_pts,
+      |  CAST(sum(len2 * present) AS BIGINT) AS sum_len2
+      |FROM runs GROUP BY l_orderkey
+      |HAVING sum(present) > 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q80_osm_line_merge"         -> (lineMerge _),
     "q77_geom_scalars"           -> (geomScalars _),
     "q50_osm_missing_nodes"      -> (missingNodes _),
     "q51_copy_escape"            -> (copyEscape _),
@@ -631,6 +709,7 @@ object OsmAnalog {
     "q49_osm_centroid"           -> (polygonCentroid _))
 
   val oracles: Map[String, String] = Map(
+    "q80_osm_line_merge"         -> lineMergeSql,
     "q77_geom_scalars"           -> geomScalarsSql,
     "q50_osm_missing_nodes"      -> missingNodesSql,
     "q51_copy_escape"            -> copyEscapeSql,
