@@ -686,7 +686,51 @@ object OsmAnalog {
       |FROM runs GROUP BY l_orderkey
       |HAVING sum(present) > 0""".stripMargin
 
+  /** §2.5 simplify (Douglas-Peucker) under the oracle: each way is a
+    * horizontal unit-x baseline with ONE interior spike of
+    * way-dependent height at a way-dependent position. DP's recursion
+    * has a closed form on this input — the spike survives iff its
+    * height (= its exact perpendicular distance) exceeds the
+    * tolerance, everything else collapses to the endpoints — so DuckDB
+    * predicts the simplified point count (3 or 2) and the surviving
+    * spike mass per way arithmetically. */
+  def simplifyQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.geom.{GeomOps, LineString, Pt}
+    val pts = Tables.lineitem(s, d).select(
+      $"l_orderkey", $"l_linenumber", $"l_partkey".as("pk"))
+    val ways = pts.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n"), min($"pk").as("minpk"))
+      .where($"n" >= 3)
+    val calc = udf((way: Long, n: Long, minpk: Long) => {
+      val m = 2 + (way % (n - 2)) // interior 1-based position
+      val h = (minpk * 104729) % 2000
+      val ps = (1L to n).map(r =>
+        Pt(r.toDouble, if (r == m) h.toDouble else 0.0)).toVector
+      GeomOps.simplify(LineString(ps), 1000.0) match {
+        case LineString(out, _) =>
+          (out.size.toLong, out.map(p => math.abs(p.y).toLong).sum)
+        case _ => (-1L, -1L)
+      }
+    })
+    ways.select($"l_orderkey".as("way_id"),
+        calc($"l_orderkey", $"n", $"minpk").as("c"))
+      .select($"way_id", $"c._1".as("n_out"), $"c._2".as("spike_mass"))
+  }
+
+  val simplifySql: String =
+    """WITH w AS (
+      |  SELECT l_orderkey, count(*) AS n,
+      |    (min(l_partkey) * 104729) % 2000 AS h
+      |  FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 3)
+      |SELECT l_orderkey AS way_id,
+      |  CAST(CASE WHEN h > 1000 THEN 3 ELSE 2 END AS BIGINT) AS n_out,
+      |  CAST(CASE WHEN h > 1000 THEN h ELSE 0 END AS BIGINT)
+      |    AS spike_mass
+      |FROM w""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q81_osm_simplify"           -> (simplifyQ _),
     "q80_osm_line_merge"         -> (lineMerge _),
     "q77_geom_scalars"           -> (geomScalars _),
     "q50_osm_missing_nodes"      -> (missingNodes _),
@@ -709,6 +753,7 @@ object OsmAnalog {
     "q49_osm_centroid"           -> (polygonCentroid _))
 
   val oracles: Map[String, String] = Map(
+    "q81_osm_simplify"           -> simplifySql,
     "q80_osm_line_merge"         -> lineMergeSql,
     "q77_geom_scalars"           -> geomScalarsSql,
     "q50_osm_missing_nodes"      -> missingNodesSql,
