@@ -48,15 +48,13 @@ object ClassicPipeline {
   private def exportFilter(style: Style, osmType: String,
       hstore: Boolean): Column = {
     val exact = style.exportKeys(osmType).toSet.toSeq
-    val (wild, exactDel) = style.deleteKeys.partition(_.endsWith("*"))
     map_filter(col("tags"), (k, v) => {
       // hstore mode (-k/-j): unmatched keys also keep the object and
       // are copied to the hstore (src/tagtransform-c.cpp:126-151);
       // polygon flags still come only from exact style matches
       val inExport = if (hstore) lit(true) else k.isInCollection(exact)
-      val deleted = exactDel.foldLeft(lit(false))((acc, d) => acc || k === d) ||
-        wild.foldLeft(lit(false))((acc, p) =>
-          acc || k.startsWith(p.dropRight(1)))
+      // full wild_match delete semantics (src/wildcmp.cpp)
+      val deleted = TagFunctions.deleteHit(k, style.deleteKeys)
       val coastline = k === "natural" && v === "coastline"
       inExport && !deleted && !coastline
     })

@@ -82,17 +82,33 @@ object TagFunctions {
       .otherwise(anyPoly)
   }
 
-  /** Drop tags whose key is in the delete list, incl. trailing-wildcard
-    * patterns ("name:*") — src/taginfo.cpp + src/wildcmp.cpp. */
-  def cleanTags(tags: Column, deleteKeys: Seq[String]): Column = {
-    val (wild, exact) = deleteKeys.partition(_.endsWith("*"))
-    map_filter(tags, (k, _) => {
-      val notExact = exact.map(k =!= _).foldLeft(lit(true))(_ && _)
-      val notWild = wild.map(p => !k.startsWith(p.dropRight(1)))
-        .foldLeft(lit(true))(_ && _)
-      notExact && notWild
-    })
+  /** The reference's wild_match (src/wildcmp.cpp, pinned by
+    * test-wildcard-match.cpp): `*` matches any run (including empty),
+    * `?` exactly one character, everything else literal — translated
+    * to an anchored regex evaluated by the codegen'd `rlike`. */
+  def wildcardRegex(p: String): String =
+    "^" + p.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+^$|".contains(c) => "\\" + c
+      case c   => c.toString
+    } + "$"
+
+  /** Key-deletion predicate shared by [[cleanTags]] and the classic
+    * export filter: keys with `*`/`?` are wild_match patterns (NOT
+    * just trailing-star prefixes), the rest exact. */
+  def deleteHit(k: Column, deleteKeys: Seq[String]): Column = {
+    val (wild, exact) =
+      deleteKeys.partition(s => s.exists(c => c == '*' || c == '?'))
+    val exactHit =
+      if (exact.isEmpty) lit(false) else k.isInCollection(exact)
+    wild.foldLeft(exactHit)((acc, p) => acc || k.rlike(wildcardRegex(p)))
   }
+
+  /** Drop tags whose key is in the delete list, incl. full wildcard
+    * patterns ("name:*", "?5?") — src/taginfo.cpp + src/wildcmp.cpp. */
+  def cleanTags(tags: Column, deleteKeys: Seq[String]): Column =
+    map_filter(tags, (k, _) => !deleteHit(k, deleteKeys))
 
   /** Attribute pseudo-tags (src/osmtypes.hpp:104-111): inject
     * osm_user/osm_uid/osm_version/osm_timestamp/osm_changeset.

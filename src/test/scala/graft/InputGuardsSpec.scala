@@ -102,6 +102,34 @@ class InputGuardsSpec extends SparkSpecBase {
     } finally osm.unpersistBacking()
   }
 
+  test("wildcmp: the reference's wild_match vectors hold through cleanTags") {
+    import graft.functions.TagFunctions
+    // (pattern, text, expected) — test-wildcard-match.cpp verbatim
+    val vectors = Seq(
+      ("fhwieurwe", "fhwieurwe", true), ("fhwieurwe", "fhwieurw", false),
+      ("fhwieurw", "fhwieurwe", false), ("*", "foo", true),
+      ("**", "foo", true), ("r*", "foo", false), ("r*", "roo", true),
+      ("*bar", "Hausbar", true), ("*bar", "Haustar", false),
+      ("*", "", true), ("**", "", true), ("kin*la", "kinla", true),
+      ("kin*la", "kinLLla", true), ("kin*la", "kinlalalala", true),
+      ("kin**la", "kinlalalala", true), ("kin*la", "kinlaa", false),
+      ("kin*la", "ki??laa", false), ("1*2*3", "123", true),
+      ("1*2*3", "1xX23", true), ("1*2*3", "12y23", true),
+      ("1*2*3", "12", false), ("bo??f", "boxxf", true),
+      ("bo??f", "boxf", false), ("?5?", "?5?", true),
+      ("?5?", "x5x", true))
+    vectors.foreach { case (p, t, expected) =>
+      assert(t.matches(TagFunctions.wildcardRegex(p)) == expected,
+        s"wild_match('$p', '$t') should be $expected")
+    }
+    // end-to-end through the tag cleaner: a middle-star pattern (which
+    // the old trailing-star-only logic could not express)
+    val df = Seq(Map("kinLLla" -> "x", "kinlaa" -> "y", "other" -> "z"))
+      .toDF("tags")
+      .select(TagFunctions.cleanTags($"tags", Seq("kin*la")).as("t"))
+    assert(df.as[Map[String, String]].head.keySet == Set("kinlaa", "other"))
+  }
+
   test("dsn.feature: every accepted connection form maps to a JDBC URL") {
     assert(PgSink.jdbcUrlFromDsn("mydb") ==
       "jdbc:postgresql://localhost:5432/mydb")
