@@ -287,8 +287,23 @@ object Coerce {
   }
 
   /** nested values → JSON text (src/flex-write.cpp:140-231: array vs
-    * object detection is the struct/array distinction here). */
+    * object detection is the struct/array distinction here).
+    *
+    * Documented delta: the reference's json writer emits `null` for
+    * NaN/±Infinity numbers (test-json-writer.cpp); Spark's `to_json`
+    * renders them as the strings "NaN"/"Infinity". A post-hoc string
+    * rewrite cannot distinguish them from a legitimate string value,
+    * so callers wanting reference parity pre-null non-finite doubles
+    * with [[nullifyNonFinite]] on the affected fields. */
   def toJson(c: Column): Column = to_json(c)
+
+  /** NaN/±Infinity → NULL for a double column — the reference's json
+    * number rule (json_writer_t::number), applied BEFORE building the
+    * struct handed to [[toJson]]. */
+  def nullifyNonFinite(c: Column): Column =
+    when(isnan(c) || c === Double.PositiveInfinity ||
+      c === Double.NegativeInfinity, lit(null).cast(DoubleType))
+      .otherwise(c)
 
   /** hstore from a map (src/flex-write.cpp:382-410). */
   def toHstore(c: Column): Column = c.cast(MapType(StringType, StringType))

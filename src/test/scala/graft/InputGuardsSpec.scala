@@ -130,6 +130,21 @@ class InputGuardsSpec extends SparkSpecBase {
     assert(df.as[Map[String, String]].head.keySet == Set("kinlaa", "other"))
   }
 
+  test("json coercion: non-finite doubles null out like the reference's writer") {
+    import graft.flex.Coerce
+    val df = Seq((Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.5))
+      .toDF("a", "b", "c", "d")
+      .select(Coerce.toJson(struct(
+        Coerce.nullifyNonFinite($"a").as("a"),
+        Coerce.nullifyNonFinite($"b").as("b"),
+        Coerce.nullifyNonFinite($"c").as("c"),
+        Coerce.nullifyNonFinite($"d").as("d"))).as("j"))
+    // to_json drops null fields by default — absence == null here;
+    // the finite value must survive untouched
+    assert(df.as[String].head == """{"d":1.5}""")
+  }
+
   test("dsn.feature: every accepted connection form maps to a JDBC URL") {
     assert(PgSink.jdbcUrlFromDsn("mydb") ==
       "jdbc:postgresql://localhost:5432/mydb")
