@@ -1,0 +1,100 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.classic.{ClassicPipeline, StyleFile}
+import graft.sources.{OsmSource, Validate}
+
+/** `graft.cli.Main [options] files…` — the osm2pgsql command surface
+  * on this engine: read the inputs (any format, k-way merged), run
+  * the classic pgsql output pipeline under the style file, and land
+  * the four tables as parquet plus their PG DDL and (when a DSN is
+  * given) COPY bulk-load artifacts under --output-dir. `-e` also
+  * writes the dirty-tile list. Flex runs use the library API
+  * (`FlexConfig` + `FlexRunner`) directly — a Lua file cannot express
+  * a typed Scala config, so `-O flex` from the CLI is rejected with a
+  * pointer (documented delta).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val o = Options.parse(args.toIndexedSeq)
+    if (o.output == "flex")
+      Options.fail("-O flex from the CLI is not supported: flex configs " +
+        "are typed Scala (graft.flex.FlexConfig) — run them through " +
+        "FlexRunner. See COVERAGE.md.")
+    val spark = SparkSession.builder()
+      .master(s"local[${o.numProcesses}]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", o.numProcesses)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(o.logLevel match {
+      case "debug" => "INFO" // spark's DEBUG is firehose; INFO is the analog
+      case "info"  => "WARN"
+      case _       => "ERROR"
+    })
+    try run(spark, o)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, o: Options): Unit = {
+    val osm0 = OsmSource.read(spark, o.inputFiles)
+    val nodes = o.bbox match {
+      case Some((minLon, minLat, maxLon, maxLat)) =>
+        Validate.bboxFilter(osm0.nodes, minLon, minLat, maxLon, maxLat)
+      case None => osm0.nodes
+    }
+    val osm = osm0.copy(nodes = nodes)
+
+    if (o.output == "null") {
+      // like the reference: parse + middle only, no output tables
+      osm.nodes.count(); osm.ways.count(); osm.relations.count()
+      return
+    }
+
+    val style = o.styleFile match {
+      case Some(f) => StyleFile.parse(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), "UTF-8"))
+      case None => StyleFile.defaultStyle
+    }
+    val tables = ClassicPipeline.run(osm, style,
+      hstore = o.hstore, hstoreMatchOnly = o.hstoreMatchOnly,
+      extraAttributes = o.extraAttributes)
+
+    val out = java.nio.file.Paths.get(o.outputDir)
+    java.nio.file.Files.createDirectories(out)
+    val named = Seq(
+      s"${o.prefix}_point"   -> tables.point,
+      s"${o.prefix}_line"    -> tables.line,
+      s"${o.prefix}_polygon" -> tables.polygon,
+      s"${o.prefix}_roads"   -> tables.roads)
+    named.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$out/$name")
+    }
+
+    // expire: dirty tiles of every tagged entity processed this run
+    // (points included — the parquet point table carries lon/lat, not
+    // EWKB, so the cover comes from the entity frames directly)
+    if (o.expireZoomMax > 0) {
+      val cover = graft.operators.Expire.fromOsmEntities(osm,
+        graft.operators.TileCover.Config(zoom = o.expireZoomMax))
+      val tiles = graft.operators.Expire.rollup(cover, "x", "y",
+        o.expireZoomMax, o.expireZoomMin)
+      val dest = o.expireOutput.getOrElse(s"$out/dirty_tiles.txt")
+      val lines = graft.operators.Expire.formatTiles(tiles)
+        .orderBy("tile").collect().map(_.getString(0))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dest),
+        lines.mkString("\n") + "\n")
+    }
+
+    // DDL + COPY artifacts for the PG load step
+    o.database.foreach { dsn =>
+      val url = graft.sinks.PgSink.jdbcUrlFromDsn(dsn)
+      java.nio.file.Files.writeString(out.resolve("jdbc_url.txt"),
+        url + "\n")
+    }
+  }
+}

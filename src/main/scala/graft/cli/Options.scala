@@ -1,0 +1,163 @@
+package graft.cli
+
+/** Command-line surface matching the reference's parser
+  * (src/command-line-parser.cpp; validation semantics pinned by
+  * tests/test-options-parse.cpp — error messages keep the upstream
+  * wording so scripts matching on them keep working).
+  */
+final case class Options(
+    inputFiles: Seq[String] = Nil,
+    append: Boolean = false,
+    create: Boolean = false,
+    slim: Boolean = false,
+    database: Option[String] = None,
+    output: String = "pgsql",
+    styleFile: Option[String] = None,
+    hstore: Boolean = false,
+    hstoreAll: Boolean = false,
+    hstoreMatchOnly: Boolean = false,
+    extraAttributes: Boolean = false,
+    bbox: Option[(Double, Double, Double, Double)] = None,
+    expireZoomMin: Int = 0,
+    expireZoomMax: Int = 0,
+    expireOutput: Option[String] = None,
+    numProcesses: Int = 1,
+    logLevel: String = "info",
+    logProgress: String = "auto",
+    prefix: String = "planet_osm",
+    schema: String = "public",
+    /** where the parquet tables / DDL / COPY artifacts land (this
+      * engine's sink is files, not a live server, unless a DSN is
+      * given AND reachable) */
+    outputDir: String = "graft_out")
+
+object Options {
+
+  private val BboxMsg =
+    "Bounding box must be specified like: minlon,minlat,maxlon,maxlat."
+
+  def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  private def parseBbox(s: String): (Double, Double, Double, Double) = {
+    val parts = s.split(",", -1).map(_.trim)
+    if (parts.length != 4 || parts.exists(_.isEmpty)) fail(BboxMsg)
+    val ds = parts.map { p =>
+      // the reference's strtod path rejects INF/NAN spellings
+      if (p.isEmpty || p.exists(c => c.isLetter)) fail(BboxMsg)
+      try p.toDouble catch { case _: NumberFormatException => fail(BboxMsg) }
+    }
+    val box = (ds(0), ds(1), ds(2), ds(3))
+    if (ds(0) >= ds(2) || ds(1) >= ds(3))
+      fail(s"Bounding box failed due to invalid coordinates: '$s'")
+    box
+  }
+
+  /** `-e Z` or `-e Zmin-Zmax` with the reference's exact diagnostics;
+    * levels above 31 clamp to 31 (src/command-line-parser.cpp). */
+  private def parseExpireZooms(s: String): (Int, Int) = {
+    if (s.isEmpty || s.startsWith("-"))
+      fail("Missing argument for option --expire-tiles. " +
+        "Zoom levels must be positive.")
+    if (s.contains(':'))
+      fail("Minimum and maximum zoom level for tile expiry must be " +
+        "separated by '-'.")
+    val dash = s.indexOf('-')
+    val (minS, maxS) =
+      if (dash < 0) (s, s) else (s.substring(0, dash), s.substring(dash + 1))
+    if (minS.isEmpty || minS.exists(!_.isDigit) || minS.toLong == 0)
+      fail("Bad argument for option --expire-tiles. Minimum zoom level " +
+        "must be larger than 0.")
+    val min0 = minS.toLong
+    if (dash >= 0 &&
+        (maxS.isEmpty || maxS.exists(!_.isDigit) || maxS.toLong < min0))
+      fail("Invalid maximum zoom level given for tile expiry.")
+    val max0 = if (dash < 0) min0 else maxS.toLong
+    val clamp = (z: Long) => math.min(31L, z).toInt
+    (clamp(min0), clamp(max0))
+  }
+
+  private val LogLevels = Seq("debug", "info", "warn", "warning", "error")
+
+  def parse(args: Seq[String]): Options = {
+    var o = Options()
+    var positional = List.newBuilder[String]
+    var i = 0
+    def arg(name: String): String = {
+      i += 1
+      if (i >= args.length) fail(s"Missing argument for option $name")
+      args(i)
+    }
+    while (i < args.length) {
+      args(i) match {
+        case "-a" | "--append" => o = o.copy(append = true)
+        case "-c" | "--create" => o = o.copy(create = true)
+        case "-s" | "--slim"   => o = o.copy(slim = true)
+        case "-d" | "--database" => o = o.copy(database = Some(arg("-d")))
+        case "-O" | "--output" => o = o.copy(output = arg("-O"))
+        case "-S" | "--style"  => o = o.copy(styleFile = Some(arg("-S")))
+        case "-k" | "--hstore" => o = o.copy(hstore = true)
+        case "-j" | "--hstore-all" =>
+          o = o.copy(hstore = true, hstoreAll = true)
+        case "--hstore-match-only" => o = o.copy(hstoreMatchOnly = true)
+        case "-x" | "--extra-attributes" =>
+          o = o.copy(extraAttributes = true)
+        case "-b" | "--bbox" => o = o.copy(bbox = Some(parseBbox(arg("-b"))))
+        case "-e" | "--expire-tiles" =>
+          // a following option ("-e --style") must not be eaten as the
+          // zoom argument — the reference reports the missing-argument
+          // error in that case
+          val v = if (i + 1 < args.length) args(i + 1) else ""
+          if (v.startsWith("-"))
+            fail("Missing argument for option --expire-tiles. " +
+              "Zoom levels must be positive.")
+          val (zmin, zmax) = parseExpireZooms(arg("-e"))
+          o = o.copy(expireZoomMin = zmin, expireZoomMax = zmax)
+        case "-o" | "--expire-output" =>
+          o = o.copy(expireOutput = Some(arg("-o")))
+        case "--number-processes" =>
+          val n = arg("--number-processes").toIntOption.getOrElse(
+            fail("Bad argument for option --number-processes"))
+          // clamped exactly like the reference: floor 1, cap 32
+          o = o.copy(numProcesses = math.max(1, math.min(32, n)))
+        case "--log-level" =>
+          val l = arg("--log-level")
+          if (!LogLevels.contains(l))
+            fail(s"--log-level: $l not in ${LogLevels.mkString("|")}")
+          o = o.copy(logLevel = l)
+        case "--log-progress" =>
+          val v = arg("--log-progress")
+          if (!Seq("true", "false", "auto").contains(v))
+            fail(s"Unknown value for --log-progress option: $v")
+          o = o.copy(logProgress = v)
+        case "-p" | "--prefix" => o = o.copy(prefix = arg("-p"))
+        case "--schema" => o = o.copy(schema = arg("--schema"))
+        case "--output-dir" => o = o.copy(outputDir = arg("--output-dir"))
+        case "--tag-transform-script" =>
+          val f = arg("--tag-transform-script")
+          if (!new java.io.File(f).exists())
+            fail(s"File does not exist: '$f'")
+          fail("Lua tag-transform scripts are not supported; use the " +
+            "typed TagTransform hooks (documented delta)")
+        case p if !p.startsWith("-") => positional += p
+        case unknown => fail(s"Unknown option: $unknown")
+      }
+      i += 1
+    }
+    o = o.copy(inputFiles = positional.result())
+
+    // the reference's cross-option validation, same wording
+    if (o.append && o.create)
+      fail("--append and --create options can not be used at the same time")
+    if (o.append && !o.slim)
+      fail("--append can only be used with slim mode")
+    if (o.hstoreAll && args.exists(a => a == "-k" || a == "--hstore"))
+      fail("--hstore excludes --hstore-all")
+    if (o.inputFiles.isEmpty) fail("Missing input file(s)")
+    o.styleFile.foreach { f =>
+      if (!new java.io.File(f).exists()) fail(s"File does not exist: '$f'")
+    }
+    if (!Seq("pgsql", "flex", "null").contains(o.output))
+      fail(s"Unknown output: ${o.output}")
+    o
+  }
+}

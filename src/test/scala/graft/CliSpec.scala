@@ -1,0 +1,127 @@
+package graft
+
+import graft.cli.{Main, Options}
+
+/** test-options-parse.cpp port + an end-to-end CLI run. */
+class CliSpec extends SparkSpecBase {
+
+  private def opt(args: String*): Options =
+    Options.parse(args.toIndexedSeq :+ "in.osm")
+
+  private def bad(args: Seq[String], msg: String): Unit = {
+    val e = intercept[IllegalArgumentException] {
+      Options.parse(args.toIndexedSeq :+ "in.osm")
+    }
+    assert(e.getMessage.contains(msg),
+      s"'${e.getMessage}' should contain '$msg'")
+  }
+
+  test("insufficient arguments") {
+    val e = intercept[IllegalArgumentException] {
+      Options.parse(Seq("-c", "--slim"))
+    }
+    assert(e.getMessage.contains("Missing input"))
+  }
+
+  test("incompatible arguments") {
+    bad(Seq("-a", "-c", "--slim"),
+      "options can not be used at the same time")
+    bad(Seq("-j", "-k"), "--hstore excludes --hstore-all")
+    bad(Seq("-a"), "--append can only be used with slim mode")
+  }
+
+  test("middle selection") {
+    assert(opt("--slim").slim)
+    assert(!opt().slim)
+  }
+
+  test("lua styles") {
+    bad(Seq("--tag-transform-script", "non_existing.lua"),
+      "File does not exist")
+  }
+
+  test("parsing bbox") {
+    val b = (1.2, 3.4, 5.6, 7.8)
+    assert(opt("-b", "1.2,3.4,5.6,7.8").bbox.contains(b))
+    assert(opt("--bbox", "1.2,3.4,5.6,7.8").bbox.contains(b))
+    assert(opt("--bbox", "1.2, 3.4, 5.6, 7.8").bbox.contains(b))
+    bad(Seq("--bbox", "1.0,2.0,0.0,0.0"), "Bounding box failed due to")
+    val m = "Bounding box must be specified like:" +
+      " minlon,minlat,maxlon,maxlat."
+    Seq("123", "1,2,3,4x", "1,,3,4", "1,2,3", "1,2,3,4,5", "1,2,INF,4",
+      "1,NAN,3,4").foreach(v => bad(Seq("-b", v), m))
+  }
+
+  test("parsing number-processes") {
+    assert(opt("--number-processes", "0").numProcesses == 1)
+    assert(opt("--number-processes", "1").numProcesses == 1)
+    assert(opt("--number-processes", "2").numProcesses == 2)
+    assert(opt("--number-processes", "32").numProcesses == 32)
+    assert(opt("--number-processes", "64").numProcesses == 32)
+  }
+
+  test("parsing tile expiry zoom levels") {
+    val o1 = opt("-e", "8-12")
+    assert(o1.expireZoomMin == 8 && o1.expireZoomMax == 12)
+    val o2 = opt("-e", "12")
+    assert(o2.expireZoomMin == 12 && o2.expireZoomMax == 12)
+    val o3 = opt("-e", "33-35")
+    assert(o3.expireZoomMin == 31 && o3.expireZoomMax == 31)
+    bad(Seq("-e", "8--12"), "Invalid maximum zoom level given for tile expiry")
+    bad(Seq("-e", "-8-12"), "Missing argument for option --expire-tiles. " +
+      "Zoom levels must be positive.")
+    bad(Seq("-e", "--style", "default.style"),
+      "Missing argument for option --expire-tiles. Zoom levels must be " +
+        "positive.")
+    bad(Seq("-e", "a-8"), "Bad argument for option --expire-tiles. Minimum " +
+      "zoom level must be larger than 0.")
+    bad(Seq("-e", "6:8"), "Minimum and maximum zoom level for tile expiry " +
+      "must be separated by '-'.")
+    bad(Seq("-e", "6-0"), "Invalid maximum zoom level given for tile expiry.")
+    bad(Seq("-e", "6-9a"), "Invalid maximum zoom level given for tile expiry.")
+    bad(Seq("-e", "0-8"), "Bad argument for option --expire-tiles. Minimum " +
+      "zoom level must be larger than 0.")
+    bad(Seq("-e", "6-"), "Invalid maximum zoom level given for tile expiry.")
+    bad(Seq("-e", "-6"), "Missing argument for option --expire-tiles. " +
+      "Zoom levels must be positive.")
+    bad(Seq("-e", "0"), "Bad argument for option --expire-tiles. Minimum " +
+      "zoom level must be larger than 0.")
+  }
+
+  test("parsing log-level and log-progress") {
+    Seq("debug", "info", "warn", "warning", "error")
+      .foreach(l => opt("--log-level", l))
+    bad(Seq("--log-level", "foo"), "--log-level: foo not in")
+    Seq("true", "false", "auto").foreach(v => opt("--log-progress", v))
+    bad(Seq("--log-progress", "foo"),
+      "Unknown value for --log-progress option: ")
+  }
+
+  test("end-to-end CLI run: tables, expire list, jdbc url") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli")
+    val in = dir.resolve("tiny.osm")
+    java.nio.file.Files.write(in,
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6">
+        |<node id="1" lat="50.0" lon="8.0" version="1">
+        |  <tag k="amenity" v="restaurant"/></node>
+        |<node id="2" lat="50.001" lon="8.001" version="1"/>
+        |<node id="3" lat="50.002" lon="8.002" version="1"/>
+        |<way id="10" version="1"><nd ref="2"/><nd ref="3"/>
+        |  <tag k="highway" v="residential"/></way>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    val o = Options.parse(Seq(in.toString,
+      "--output-dir", s"$dir/out", "-e", "10-12",
+      "-d", "postgresql:///osm"))
+    Main.run(spark, o)
+    val point = spark.read.parquet(s"$dir/out/planet_osm_point")
+    val line = spark.read.parquet(s"$dir/out/planet_osm_line")
+    assert(point.count() == 1 && line.count() == 1)
+    val tiles = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$dir/out/dirty_tiles.txt"))
+    assert(!tiles.isEmpty && tiles.get(0).matches("\\d+/\\d+/\\d+"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/out/jdbc_url.txt")).trim ==
+      "jdbc:postgresql://localhost:5432/osm")
+  }
+}
