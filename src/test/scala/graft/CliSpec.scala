@@ -97,6 +97,17 @@ class CliSpec extends SparkSpecBase {
       "Unknown value for --log-progress option: ")
   }
 
+  test("CLI run over the Liechtenstein extract reproduces the goldens") {
+    val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    assume(new java.io.File(pbf).exists())
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-li")
+    Main.run(spark, Options.parse(Seq(pbf, "--output-dir", s"$dir/out")))
+    assert(spark.read.parquet(s"$dir/out/planet_osm_point").count() == 1342L)
+    assert(spark.read.parquet(s"$dir/out/planet_osm_polygon").count() == 4130L)
+    assert(spark.read.parquet(s"$dir/out/planet_osm_line").count() == 3231L)
+    assert(spark.read.parquet(s"$dir/out/planet_osm_roads").count() == 375L)
+  }
+
   test("end-to-end CLI run: tables, expire list, jdbc url") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cli")
     val in = dir.resolve("tiny.osm")
