@@ -219,7 +219,8 @@ object Dedup {
     * the smallest id reachable.
     */
   def connectedComponents(edges: DataFrame, srcCol: String,
-      dstCol: String, maxRounds: Int = 50): DataFrame = {
+      dstCol: String, maxRounds: Int = 50,
+      smallGraphEdges: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -250,6 +251,38 @@ object Dedup {
       .where($"u" =!= $"v")
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
       .distinct())
+
+    // small-graph fast path, size-gated like a broadcast-join
+    // decision: below the threshold the star rounds' per-iteration
+    // shuffles + checkpoints cost more than just solving the graph on
+    // the driver (the edge count is already materialized by the
+    // snapshot, so the count() is a cached-read). Identical output
+    // contract: component = the minimum id in the component.
+    if (e.count() <= smallGraphEdges) {
+      val pairs = e.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      pairs.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) {
+          // union by MIN so the root is always the component minimum
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      val out = pairs.flatMap { case (u, v) => Seq(u, v) }.distinct
+        .map(id => (id, find(id)))
+      free(eIds)
+      return spark.createDataFrame(out.toIndexedSeq)
+        .toDF("id", "component")
+    }
 
     // large-star: every neighbor larger than u links to the minimum
     // of u's closed neighborhood; small-star: the ≤u neighbors and u

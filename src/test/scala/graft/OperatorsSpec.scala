@@ -385,9 +385,17 @@ class OperatorsSpec extends SparkSpecBase {
   }
 
   test("connected components: chains, stars, multiple components") {
-    def cc(edges: (Long, Long)*): Map[Long, Long] =
-      Dedup.connectedComponents(edges.toSeq.toDF("a", "b"), "a", "b")
+    // smallGraphEdges = 0 forces the distributed star rounds; the
+    // size-gated union-find fast path must agree on every case
+    def cc(edges: (Long, Long)*): Map[Long, Long] = {
+      val df = edges.toSeq.toDF("a", "b")
+      val stars = Dedup.connectedComponents(df, "a", "b",
+        smallGraphEdges = 0L).as[(Long, Long)].collect().toMap
+      val fast = Dedup.connectedComponents(df, "a", "b")
         .as[(Long, Long)].collect().toMap
+      assert(stars == fast, "fast path must equal star rounds")
+      stars
+    }
 
     // a 6-deep chain — the case O(diameter) label propagation crawls
     // through and large-star/small-star collapses in O(log n)
@@ -408,8 +416,8 @@ class OperatorsSpec extends SparkSpecBase {
     // alternation must finish far under the 50-round cap — this is
     // the property that holds at planet scale
     val edges = (1L until 512L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Dedup.connectedComponents(edges, "a", "b", maxRounds = 12)
-      .as[(Long, Long)].collect()
+    val labels = Dedup.connectedComponents(edges, "a", "b", maxRounds = 12,
+      smallGraphEdges = 0L).as[(Long, Long)].collect()
     assert(labels.length == 512 && labels.forall(_._2 == 1L))
   }
 

@@ -205,7 +205,7 @@ class PlanSpec extends SparkSpecBase {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val p = planOf(graft.operators.Dedup
-      .connectedComponents(edges, "a", "b"))
+      .connectedComponents(edges, "a", "b", smallGraphEdges = 0L))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "CC must be built from equi-joins/aggregates only")
   }
