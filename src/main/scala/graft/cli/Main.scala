@@ -60,19 +60,79 @@ object Main {
           java.nio.file.Paths.get(f)), "UTF-8"))
       case None => StyleFile.defaultStyle
     }
-    val tables = ClassicPipeline.run(osm, style,
-      hstore = o.hstore, hstoreMatchOnly = o.hstoreMatchOnly,
-      extraAttributes = o.extraAttributes)
-
     val out = java.nio.file.Paths.get(o.outputDir)
     java.nio.file.Files.createDirectories(out)
+    def tableNames = Seq(s"${o.prefix}_point", s"${o.prefix}_line",
+      s"${o.prefix}_polygon", s"${o.prefix}_roads")
+
+    val tables =
+      if (!o.append) {
+        val t = ClassicPipeline.run(osm, style,
+          hstore = o.hstore, hstoreMatchOnly = o.hstoreMatchOnly,
+          extraAttributes = o.extraAttributes)
+        // --slim: persist the middle so --append can pick up from here
+        // (the flat-nodes/slim-tables analog: the raw entity frames)
+        if (o.slim) {
+          osm.nodes.write.mode("overwrite").parquet(s"$out/middle/nodes")
+          osm.ways.write.mode("overwrite").parquet(s"$out/middle/ways")
+          osm.relations.write.mode("overwrite")
+            .parquet(s"$out/middle/relations")
+        }
+        t
+      } else {
+        // the reference's append flow (src/osmdata.cpp:371-406):
+        // change ids → dependency closure → re-derive subset →
+        // delete-then-insert against the previous tables
+        val spark2 = spark
+        def loadMiddle = graft.sources.OsmXml.OsmDataFrames(
+          spark2.read.parquet(s"$out/middle/nodes"),
+          spark2.read.parquet(s"$out/middle/ways"),
+          spark2.read.parquet(s"$out/middle/relations"))
+        val before = loadMiddle
+        val prev = ClassicPipeline.Tables4(
+          spark2.read.parquet(s"$out/${o.prefix}_point"),
+          spark2.read.parquet(s"$out/${o.prefix}_line"),
+          spark2.read.parquet(s"$out/${o.prefix}_polygon"),
+          spark2.read.parquet(s"$out/${o.prefix}_roads"))
+        val t = graft.classic.ClassicUpdate.incrementalUpdate(
+          before, osm, prev, style,
+          hstore = o.hstore, hstoreMatchOnly = o.hstoreMatchOnly,
+          extraAttributes = o.extraAttributes)
+        // updated middle: latest-version-wins merge of base + changes
+        val merged = graft.classic.ClassicUpdate.applyChanges(before, osm)
+        // plans read the CURRENT files, so stage everything first and
+        // swap after all actions complete
+        merged.nodes.write.mode("overwrite")
+          .parquet(s"$out/middle_new/nodes")
+        merged.ways.write.mode("overwrite").parquet(s"$out/middle_new/ways")
+        merged.relations.write.mode("overwrite")
+          .parquet(s"$out/middle_new/relations")
+        t
+      }
+
     val named = Seq(
       s"${o.prefix}_point"   -> tables.point,
       s"${o.prefix}_line"    -> tables.line,
       s"${o.prefix}_polygon" -> tables.polygon,
       s"${o.prefix}_roads"   -> tables.roads)
-    named.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$out/$name")
+    if (!o.append) {
+      named.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$out/$name")
+      }
+    } else {
+      // append plans read the previous tables: stage, then swap both
+      // the tables and the middle
+      named.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$out/${name}_new")
+      }
+      def swap(from: String, to: String): Unit = {
+        val dst = new java.io.File(s"$out/$to")
+        org.apache.commons.io.FileUtils.deleteDirectory(dst)
+        org.apache.commons.io.FileUtils
+          .moveDirectory(new java.io.File(s"$out/$from"), dst)
+      }
+      named.foreach { case (name, _) => swap(s"${name}_new", name) }
+      swap("middle_new", "middle")
     }
 
     // expire: dirty tiles of every tagged entity processed this run

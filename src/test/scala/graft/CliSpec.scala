@@ -108,6 +108,45 @@ class CliSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$dir/out/planet_osm_roads").count() == 375L)
   }
 
+  test("CLI create --slim then --append applies a change file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-append")
+    val in = dir.resolve("base.osm")
+    java.nio.file.Files.write(in,
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6">
+        |<node id="1" lat="50.0" lon="8.0" version="1">
+        |  <tag k="amenity" v="restaurant"/></node>
+        |<node id="2" lat="50.5" lon="8.5" version="1">
+        |  <tag k="amenity" v="post_box"/></node>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    Main.run(spark, Options.parse(Seq(in.toString, "--create", "--slim",
+      "--output-dir", s"$dir/out")))
+    val before = spark.read.parquet(s"$dir/out/planet_osm_point")
+    assert(before.count() == 2)
+
+    // modify node 1's tag, delete node 2
+    val osc = dir.resolve("change.osc")
+    java.nio.file.Files.write(osc,
+      """<osmChange version="0.6">
+        |<modify><node id="1" lat="50.0" lon="8.0" version="2">
+        |  <tag k="amenity" v="cafe"/><tag k="name" v="Neu"/></node></modify>
+        |<delete><node id="2" lat="50.5" lon="8.5" version="2"/></delete>
+        |</osmChange>""".stripMargin.getBytes("UTF-8"))
+    Main.run(spark, Options.parse(Seq(osc.toString, "--append", "--slim",
+      "--output-dir", s"$dir/out")))
+    import org.apache.spark.sql.functions.col
+    val after = spark.read.parquet(s"$dir/out/planet_osm_point")
+    val rows = after.select(col("osm_id"), col("tags"))
+      .collect().map(r => r.getLong(0) ->
+        r.getMap[String, String](1)("amenity")).toMap
+    assert(rows == Map(1L -> "cafe"))
+    // the middle advanced too: node 2 is gone, node 1 is v2
+    val mid = spark.read.parquet(s"$dir/out/middle/nodes")
+    assert(mid.count() == 1)
+    assert(mid.select(col("version")).collect().head
+      .getAs[Number](0).longValue == 2L)
+  }
+
   test("end-to-end CLI run: tables, expire list, jdbc url") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cli")
     val in = dir.resolve("tiny.osm")
