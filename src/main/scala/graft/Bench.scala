@@ -8,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   *
   * A warmup pass (flagship query) is executed first so JIT/codegen/
   * parquet-footer caching isn't billed to the first measured query.
+  *
+  * Stall-immune protocol: the host shows intermittent multi-MINUTE
+  * CPU stalls (zero GC, zero steal; identical binaries measured
+  * 52s/160s/402s totals) that would otherwise be billed to whichever
+  * query they landed on. Every query is therefore measured in TWO
+  * full interleaved passes (A-B-A order: the two measurements of a
+  * query are separated by an entire pass, i.e. minutes — far wider
+  * than an immediate retry), and the per-query MIN is reported. A
+  * query whose min is still an outlier vs the pass median gets a
+  * final end-of-run rerun, covering stalls that spanned one whole
+  * pass boundary.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,63 +39,51 @@ object Bench {
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
 
-    // (name, seconds, ok) — a failed query is reported with NEGATIVE
-    // timing so it can't masquerade as a fast success, and is excluded
-    // from the total. The host shows intermittent multi-MINUTE stalls
-    // (zero GC, zero steal, CPU otherwise idle; identical binaries
-    // measured 52s/160s/402s totals) that would otherwise be billed to
-    // whichever query they landed on — so queries whose run exceeds a
-    // noise threshold are rerun AFTER the whole pass (far from the
-    // stall window, unlike an immediate retry) and report the min.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val (secs, ok) =
-          try (once(fn), true)
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              (-1.0, false)
-          }
-        (name, secs, ok)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // one full pass over every query; None = failed (reported
+    // separately, never masquerades as a fast success)
+    def fullPass(): Map[String, Option[Double]] = names.map { name =>
+      name -> (try Some(once(SparkEntry.queries(name)))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
+      })
+    }.toMap
+    val passA = fullPass()
+    val passB = fullPass()
+    val mins: Map[String, Option[Double]] = names.map { n =>
+      n -> ((passA(n), passB(n)) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, b)             => a.orElse(b)
+      })
+    }.toMap
+    // final guard: a min still >3× the pass median (floored at 2s)
+    // means a stall spanned a whole pass — rerun it now, minutes
+    // later again, and keep the best of three
+    val okTimes = names.flatMap(mins(_)).sorted
+    val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.length / 2)
+    val threshold = math.max(2.0, 3.0 * median)
+    val results: Seq[(String, Option[Double])] = names.map { n =>
+      n -> (mins(n) match {
+        case Some(s) if s > threshold =>
+          Some(math.min(s, try once(SparkEntry.queries(n))
+          catch { case _: Throwable => s }))
+        case other => other
+      })
     }
-    // rerun threshold is RELATIVE to this pass's median (floored at
-    // 2s): a stall that inflates one query leaves the median intact,
-    // so the victim is always above 3×median and gets rerun; a pass
-    // that is uniformly slower (bigger sf) raises the median and
-    // doesn't trigger mass reruns
-    val okTimes = firstPass.collect { case (_, s, true) => s }.sorted
-    val median =
-      if (okTimes.isEmpty) 0.0 else okTimes(okTimes.length / 2)
-    val rerunThresholdSecs = math.max(2.0, 3.0 * median)
-    def rerunMin(name: String, first: Double, attempts: Int): Double =
-      (0 until attempts).foldLeft(first) { (acc, _) =>
-        if (acc <= rerunThresholdSecs) acc
-        else math.min(acc, try once(SparkEntry.queries(name))
-          catch { case _: Throwable => acc })
-      }
-    val secondPass = firstPass.map {
-      case (name, secs, true) if secs > rerunThresholdSecs =>
-        (name, rerunMin(name, secs, 2), true)
-      case r => r
-    }
-    // last-ditch pass for anything STILL >3× threshold: by now we are
-    // minutes past the first measurement, so even a multi-minute host
-    // stall spanning the first rerun window has usually cleared
-    val results = secondPass.map {
-      case (name, secs, true) if secs > 3.0 * rerunThresholdSecs =>
-        (name, rerunMin(name, secs, 2), true)
-      case r => r
-    }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-    val total = results.collect { case (_, v, true) => v }.sum
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + "\":" + v
+      case (k, None)    => "\"" + k + "\":-1.0"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val total = results.flatMap(_._2).sum
     val failedJson =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")

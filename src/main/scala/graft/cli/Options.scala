@@ -42,8 +42,13 @@ object Options {
     val parts = s.split(",", -1).map(_.trim)
     if (parts.length != 4 || parts.exists(_.isEmpty)) fail(BboxMsg)
     val ds = parts.map { p =>
-      // the reference's strtod path rejects INF/NAN spellings
-      if (p.isEmpty || p.exists(c => c.isLetter)) fail(BboxMsg)
+      // the reference's strtod path accepts exponent notation (1e2,
+      // 1E-3) but its callers reject INF/NAN spellings — match that,
+      // and also reject Java-only forms strtod would stop at ('d'/'f'
+      // suffixes, hex floats)
+      val up = p.toUpperCase
+      if (p.isEmpty || up.contains("INF") || up.contains("NAN") ||
+          p.exists(c => c.isLetter && c != 'e' && c != 'E')) fail(BboxMsg)
       try p.toDouble catch { case _: NumberFormatException => fail(BboxMsg) }
     }
     val box = (ds(0), ds(1), ds(2), ds(3))

@@ -59,7 +59,10 @@ object VectorKernels {
       var key = 0L
       var b = 0
       while (b < bits) {
-        val h = 2654435761L * (t * 16 + b + 1)
+        // stride 64 > max bits, so no (table, bit) pair ever reuses a
+        // hyperplane seed (a 16-stride collided for bits > 16 and
+        // broke the independent-tables recall formula)
+        val h = 2654435761L * (t * 64 + b + 1)
         var dot = 0L
         var i = 0
         while (i < dim) {
@@ -481,7 +484,7 @@ case class PqEncodeExpr(child: Expression, m: Int, cids: IndexedSeq[Long],
 
 /** srp_keys(q) → one `bits`-bit bucket key per table: bit b of table
   * t is the sign of the integer dot between q and the deterministic
-  * ±1 hyperplane `(2654435761·(16t+b+1)·(i+7919)) mod 1000003 mod 2`.
+  * ±1 hyperplane `(2654435761·(64t+b+1)·(i+7919)) mod 1000003 mod 2`.
   * Bit-identical to the nested-HOF Column form it replaces (and to
   * the q78 oracle) — the kernel exists because the HOF form dispatches
   * an interpreted lambda per (table, bit, dim) element, which at

@@ -233,7 +233,7 @@ object Pipeline {
        |k AS (SELECT vec_id, t.range AS t,
        |  list_sum(list_transform(range(0, 8), b ->
        |    CASE WHEN list_sum(list_transform(range(0, len(q)), i ->
-       |        q[i+1] * (CASE WHEN ((2654435761 * (16*t.range + b + 1)
+       |        q[i+1] * (CASE WHEN ((2654435761 * (64*t.range + b + 1)
        |                              * (i + 7919)) % 1000003) % 2 = 0
        |                  THEN 1 ELSE -1 END))) > 0
        |      THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS key

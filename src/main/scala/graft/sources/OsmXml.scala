@@ -176,12 +176,25 @@ object OsmXml {
         val u = new java.net.URI(s)
         if (u.getPath != null && u.getPath.nonEmpty) u.getPath else s
       } catch { case _: Exception => s }
-    val fileIdx = paths.map(norm).sorted.zipWithIndex.toMap
+    // qualify caller paths the same way wholeTextFiles qualifies its
+    // split URIs (relative → absolute against the FS working dir), so
+    // a relative input still matches the executor-side lookup
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qualify(s: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s)
+      val fs = p.getFileSystem(hconf)
+      norm(p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString)
+    }
+    val fileIdx = paths.map(qualify).sorted.zipWithIndex.toMap
     val bc = spark.sparkContext.broadcast(fileIdx)
     val parsed = spark.sparkContext
       .wholeTextFiles(paths.mkString(","))
       .map { case (uri, xml) =>
-        (bc.value(norm(uri)), parseString(xml))
+        val key = norm(uri)
+        val idx = bc.value.getOrElse(key, throw new IllegalStateException(
+          s"input split '$uri' not among the qualified input paths " +
+            bc.value.keys.mkString("[", ", ", "]")))
+        (idx, parseString(xml))
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def seq(f: Int, i: Int): Long = (f.toLong << 32) | i.toLong

@@ -45,6 +45,9 @@ class CliSpec extends SparkSpecBase {
     assert(opt("-b", "1.2,3.4,5.6,7.8").bbox.contains(b))
     assert(opt("--bbox", "1.2,3.4,5.6,7.8").bbox.contains(b))
     assert(opt("--bbox", "1.2, 3.4, 5.6, 7.8").bbox.contains(b))
+    // strtod exponent forms are valid (ADVICE r5); INF/NAN are not
+    assert(opt("-b", "1e1,2,1E2,3").bbox.contains((10.0, 2.0, 100.0, 3.0)))
+    assert(opt("-b", "-1E-3,2,5e-1,3").bbox.contains((-0.001, 2.0, 0.5, 3.0)))
     bad(Seq("--bbox", "1.0,2.0,0.0,0.0"), "Bounding box failed due to")
     val m = "Bounding box must be specified like:" +
       " minlon,minlat,maxlon,maxlat."

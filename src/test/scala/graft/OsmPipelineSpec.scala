@@ -115,6 +115,32 @@ class OsmPipelineSpec extends SparkSpecBase {
     assert(byId(7L) == (("create", true)))
   }
 
+  test("readSequenced accepts relative input paths (ADVICE r5)") {
+    // the broadcast file index must be keyed by the QUALIFIED path,
+    // matching the absolute URIs wholeTextFiles hands to executors
+    val dir = new java.io.File("target/tmp-relseq")
+    dir.mkdirs()
+    val f1 = new java.io.File(dir, "a.osm")
+    val f2 = new java.io.File(dir, "b.osm")
+    Files.write(f1.toPath,
+      """<osm version="0.6"><node id="1" lon="1" lat="1"/></osm>"""
+        .getBytes("UTF-8"))
+    Files.write(f2.toPath,
+      """<osm version="0.6"><node id="2" lon="2" lat="2"/></osm>"""
+        .getBytes("UTF-8"))
+    try {
+      val osm = OsmXml.readSequenced(spark,
+        Seq("target/tmp-relseq/a.osm", "target/tmp-relseq/b.osm"))
+      val rows = osm.nodes.select(col("seq"), col("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // sorted path order: a.osm → file 0, b.osm → file 1
+      assert(rows == Map(0L -> 1L, (1L << 32) -> 2L))
+      osm.unpersistBacking()
+    } finally {
+      f1.delete(); f2.delete(); dir.delete()
+    }
+  }
+
   test("ordering validator flags descending and negative ids") {
     import spark.implicits._
     val bad = Seq(1L, 3L, 2L, -5L).toDF("id")

@@ -122,6 +122,18 @@ class VectorKernelsSpec extends SparkSpecBase {
     r.foreach { case (n, h, nd, hd) => assert(n == h && nd == hd) }
   }
 
+  test("srpKeysN: tables use independent hyperplanes beyond 16 bits") {
+    // with the old 16-stride seed, table t+1's bit 0 reused table t's
+    // bit 16 hyperplane, so for bits > 16 the keys satisfied
+    // bit16(k0) == bit0(k1) on EVERY row; the 64-stride must break that
+    val vecs = Seq.fill(64)(Seq.fill(24)(rng.nextLong() % 1000L))
+    val keys = vecs.toDF("q")
+      .select(srpKeysN($"q", 2, 20)).as[Seq[Long]].collect()
+    assert(keys.forall(_.length == 2))
+    val coupled = keys.count(k => ((k(0) >> 16) & 1L) == (k(1) & 1L))
+    assert(coupled < keys.length, "tables still share hyperplanes")
+  }
+
   test("wordCountsN counts a duplicated word into every slot") {
     // "the" listed twice (as if shared by two marker families): both
     // slots must get its count, not just the last one registered
