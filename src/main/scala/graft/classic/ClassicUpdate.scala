@@ -39,6 +39,13 @@ object ClassicUpdate {
       // merged frames' unpersistBacking()
       backing = base.backing ++ ch.backing)
 
+  /** The append computation's pieces, exposed for sinks that apply
+    * delete-then-insert natively (the live PostgreSQL load keys
+    * deletes on the id sets and inserts only `rederived`, matching
+    * db_deleter_by_id_t + the re-derive queue). */
+  final case class Delta(changedNodes: DataFrame, pendingWays: DataFrame,
+      pendingRels: DataFrame, rederived: ClassicPipeline.Tables4)
+
   /** Incremental table update. Returns the updated 4 tables.
     *
     * Pipeline (src/osmdata.cpp:371-406):
@@ -55,7 +62,16 @@ object ClassicUpdate {
       prev: ClassicPipeline.Tables4, style: Style,
       srid: Int = graft.geom.Srid.WebMercator,
       hstore: Boolean = false, hstoreMatchOnly: Boolean = false,
-      extraAttributes: Boolean = false): ClassicPipeline.Tables4 = {
+      extraAttributes: Boolean = false): ClassicPipeline.Tables4 =
+    applyDelta(prev, computeDelta(before, changes, style, srid,
+      hstore, hstoreMatchOnly, extraAttributes))
+
+  /** Steps 1-3 of [[incrementalUpdate]]: the id closures plus the
+    * re-derived rows, without merging into previous tables. */
+  def computeDelta(before: OsmDataFrames, changes: OsmDataFrames,
+      style: Style, srid: Int = graft.geom.Srid.WebMercator,
+      hstore: Boolean = false, hstoreMatchOnly: Boolean = false,
+      extraAttributes: Boolean = false): Delta = {
     val after = applyChanges(before, changes)
 
     val changedNodes = changes.nodes.select(col("id")).distinct()
@@ -79,7 +95,13 @@ object ClassicUpdate {
       extraAttributes = extraAttributes,
       subset = ClassicPipeline.Subset(Some(changedNodes), Some(pendingWays),
         Some(pendingRels)))
+    Delta(changedNodes, pendingWays, pendingRels, rederived)
+  }
 
+  /** Step 4 of [[incrementalUpdate]]: delete-then-insert against the
+    * previous table state (relations key with negative ids). */
+  def applyDelta(prev: ClassicPipeline.Tables4,
+      d: Delta): ClassicPipeline.Tables4 = {
     def minus(prevT: DataFrame, ids: DataFrame, negate: Boolean): DataFrame = {
       val keyed = ids.select(
         (if (negate) -col("id") else col("id")).as("__del"))
@@ -87,13 +109,13 @@ object ClassicUpdate {
     }
 
     ClassicPipeline.Tables4(
-      point = minus(prev.point, changedNodes, negate = false)
-        .unionByName(rederived.point),
-      line = minus(minus(prev.line, pendingWays, negate = false),
-        pendingRels, negate = true).unionByName(rederived.line),
-      polygon = minus(minus(prev.polygon, pendingWays, negate = false),
-        pendingRels, negate = true).unionByName(rederived.polygon),
-      roads = minus(minus(prev.roads, pendingWays, negate = false),
-        pendingRels, negate = true).unionByName(rederived.roads))
+      point = minus(prev.point, d.changedNodes, negate = false)
+        .unionByName(d.rederived.point),
+      line = minus(minus(prev.line, d.pendingWays, negate = false),
+        d.pendingRels, negate = true).unionByName(d.rederived.line),
+      polygon = minus(minus(prev.polygon, d.pendingWays, negate = false),
+        d.pendingRels, negate = true).unionByName(d.rederived.polygon),
+      roads = minus(minus(prev.roads, d.pendingWays, negate = false),
+        d.pendingRels, negate = true).unionByName(d.rederived.roads))
   }
 }

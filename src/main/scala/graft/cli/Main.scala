@@ -8,12 +8,22 @@ import graft.sources.{OsmSource, Validate}
 /** `graft.cli.Main [options] files…` — the osm2pgsql command surface
   * on this engine: read the inputs (any format, k-way merged), run
   * the classic pgsql output pipeline under the style file, and land
-  * the four tables as parquet plus their PG DDL and (when a DSN is
-  * given) COPY bulk-load artifacts under --output-dir. `-e` also
-  * writes the dirty-tile list. Flex runs use the library API
-  * (`FlexConfig` + `FlexRunner`) directly — a Lua file cannot express
-  * a typed Scala config, so `-O flex` from the CLI is rejected with a
-  * pointer (documented delta).
+  * the four tables as parquet under --output-dir. `-e` also writes
+  * the dirty-tile list (capped and streamed, never collected whole).
+  *
+  * With `-d <dsn>`: when the server is reachable the tables are
+  * loaded LIVE end to end, exactly like the reference's one-command
+  * run (src/osm2pgsql.cpp:47-83): create = DROP → CREATE UNLOGGED →
+  * COPY → indexes/ANALYZE; append = transactional delete-before-
+  * insert keyed on the pending id closure. When unreachable, create
+  * mode lands the load artifacts instead — `ddl.sql` plus executor-
+  * formatted COPY files per table under `copy/` — and `jdbc_url.txt`
+  * always records the JDBC form of the DSN.
+  *
+  * Flex runs use the library API (`FlexConfig` + `FlexRunner`)
+  * directly — a Lua file cannot express a typed Scala config, so
+  * `-O flex` from the CLI is rejected with a pointer (documented
+  * delta).
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -65,6 +75,12 @@ object Main {
     def tableNames = Seq(s"${o.prefix}_point", s"${o.prefix}_line",
       s"${o.prefix}_polygon", s"${o.prefix}_roads")
 
+    // a reachable -d server gets the live load; an unreachable one
+    // degrades to artifacts (create mode) with a note
+    val liveDsn: Option[String] =
+      o.database.filter(graft.sinks.PgLive.reachable)
+    val pgTables = graft.sinks.PgClassic.tables(o.prefix, style, o.hstore)
+
     val tables =
       if (!o.append) {
         val t = ClassicPipeline.run(osm, style,
@@ -94,10 +110,19 @@ object Main {
           spark2.read.parquet(s"$out/${o.prefix}_line"),
           spark2.read.parquet(s"$out/${o.prefix}_polygon"),
           spark2.read.parquet(s"$out/${o.prefix}_roads"))
-        val t = graft.classic.ClassicUpdate.incrementalUpdate(
-          before, osm, prev, style,
+        val delta = graft.classic.ClassicUpdate.computeDelta(
+          before, osm, style,
           hstore = o.hstore, hstoreMatchOnly = o.hstoreMatchOnly,
           extraAttributes = o.extraAttributes)
+        // the live delete-before-insert must run BEFORE the staged
+        // parquet swap below — its plans read the current files
+        liveDsn.foreach { dsn =>
+          val postgis =
+            graft.sinks.ClassicPgLoad.prepareServer(dsn, o.hstore)
+          graft.sinks.ClassicPgLoad.append(pgTables, delta, dsn,
+            o.schema, o.hstoreAll, postgis)
+        }
+        val t = graft.classic.ClassicUpdate.applyDelta(prev, delta)
         // updated middle: latest-version-wins merge of base + changes
         val merged = graft.classic.ClassicUpdate.applyChanges(before, osm)
         // plans read the CURRENT files, so stage everything first and
@@ -135,22 +160,67 @@ object Main {
       swap("middle_new", "middle")
     }
 
+    // create-mode database step: live load from the landed parquet
+    // (zero recompute — exactly the written rows), or the load
+    // artifacts when the server is unreachable
+    if (!o.append) o.database.foreach { dsn =>
+      liveDsn match {
+        case Some(live) =>
+          val postgis =
+            graft.sinks.ClassicPgLoad.prepareServer(live, o.hstore)
+          pgTables.foreach { t =>
+            graft.sinks.ClassicPgLoad.createLoad(t,
+              spark.read.parquet(s"$out/${t.name}"), live, o.schema,
+              o.hstoreAll, o.slim, postgis)
+          }
+        case None =>
+          System.err.println(s"[graft] '$dsn' unreachable — writing " +
+            "DDL + COPY artifacts instead of loading live")
+          val ddl = pgTables.flatMap(t =>
+            Seq(graft.sinks.PgClassic.dropDdl(t, o.schema),
+              graft.sinks.PgClassic.createDdl(t, o.schema)) ++
+              graft.sinks.PgClassic.postLoadDdl(t, o.slim, o.schema))
+          java.nio.file.Files.writeString(out.resolve("ddl.sql"),
+            ddl.mkString("", ";\n", ";\n"))
+          pgTables.foreach { t =>
+            graft.sinks.PgClassic.copyLines(
+              graft.sinks.PgClassic.copyFrame(
+                spark.read.parquet(s"$out/${t.name}"), t, o.hstoreAll),
+              t).write.mode("overwrite").text(s"$out/copy/${t.name}")
+          }
+      }
+    }
+
     // expire: dirty tiles of every tagged entity processed this run
     // (points included — the parquet point table carries lon/lat, not
-    // EWKB, so the cover comes from the entity frames directly)
+    // EWKB, so the cover comes from the entity frames directly).
+    // Both reference caps apply (src/expire-output.hpp:24-25): the
+    // per-geometry cap inside the cover, the overall cap on the
+    // streamed write — the tile list is never collected whole.
     if (o.expireZoomMax > 0) {
+      val limits = graft.operators.TileCover.Limits()
       val cover = graft.operators.Expire.fromOsmEntities(osm,
-        graft.operators.TileCover.Config(zoom = o.expireZoomMax))
+        graft.operators.TileCover.Config(zoom = o.expireZoomMax),
+        maxTilesPerGeometry = limits.maxTilesPerGeometry)
       val tiles = graft.operators.Expire.rollup(cover, "x", "y",
         o.expireZoomMax, o.expireZoomMin)
       val dest = o.expireOutput.getOrElse(s"$out/dirty_tiles.txt")
-      val lines = graft.operators.Expire.formatTiles(tiles)
-        .orderBy("tile").collect().map(_.getString(0))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(dest),
-        lines.mkString("\n") + "\n")
+      val w = java.nio.file.Files.newBufferedWriter(
+        java.nio.file.Paths.get(dest))
+      try {
+        val it = graft.operators.Expire.formatTiles(tiles)
+          .orderBy("tile").toLocalIterator()
+        var n = 0L
+        while (it.hasNext && n < limits.maxTilesOverall) {
+          w.write(it.next().getString(0)); w.write("\n"); n += 1
+        }
+        if (it.hasNext)
+          System.err.println("[graft] Overall tile limit reached — " +
+            "dirty-tile list truncated at " + limits.maxTilesOverall)
+      } finally w.close()
     }
 
-    // DDL + COPY artifacts for the PG load step
+    // the JDBC form of the DSN for downstream loaders
     o.database.foreach { dsn =>
       val url = graft.sinks.PgSink.jdbcUrlFromDsn(dsn)
       java.nio.file.Files.writeString(out.resolve("jdbc_url.txt"),

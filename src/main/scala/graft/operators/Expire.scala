@@ -92,9 +92,13 @@ object Expire {
     *  - tagged relations → multipolygon for type=multipolygon/boundary,
     *    multilinestring (not forced multi) for route/multilinestring,
     *    else a collection of member node points + way lines;
-    * all transformed to 3857 before covering, dedup = distinct. */
+    * all transformed to 3857 before covering, dedup = distinct.
+    * `maxTilesPerGeometry` > 0 applies the reference's per-geometry
+    * cap (src/expire-output.hpp:24: a geometry whose cover exceeds it
+    * contributes nothing). */
   def fromOsmEntities(osm: graft.sources.OsmXml.OsmDataFrames,
-      cfg: graft.operators.TileCover.Config): DataFrame = {
+      cfg: graft.operators.TileCover.Config,
+      maxTilesPerGeometry: Long = 0L): DataFrame = {
     import graft.geom._
     val merc = (g: Geometry) => g match {
       case _: NullGeom => null
@@ -183,7 +187,10 @@ object Expire {
 
     val geoms = nodeGeoms.unionByName(wayGeoms).unionByName(relGeoms)
       .where(col("geom").isNotNull)
-    TileCover.geometryCover(geoms, col("geom"), cfg)
+    if (maxTilesPerGeometry > 0)
+      TileCover.geometryCoverCapped(geoms, col("geom"), cfg,
+        maxTilesPerGeometry)
+    else TileCover.geometryCover(geoms, col("geom"), cfg)
   }
 
   /** Expire-table DDL (expire_output_t::create_output_table,

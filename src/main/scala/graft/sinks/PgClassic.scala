@@ -1,0 +1,183 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.classic.Style
+
+/** The classic pgsql output's PostgreSQL table materialization
+  * (reference: src/table.cpp): expand our engine's per-table parquet
+  * model — `(osm_id, tags map, [z_order], [way_area], geom | lon/lat)`
+  * — into the reference's column layout
+  *
+  * `osm_id int8, <one column per style entry> …, [tags hstore,] way
+  * geometry(TYPE, 3857)` (table_t::start, src/table.cpp:96-131;
+  * copy-column list src/table.cpp:149-168),
+  *
+  * with the hstore split of table.cpp:265-296: in `norm` mode (-k)
+  * keys written to real columns are EXCLUDED from the tags hstore; in
+  * `all` mode (-j) every tag is ALSO in the hstore. z_order/way_area
+  * are the style's computed columns (default.style:151-152) fed from
+  * the engine's dedicated columns, not tag matches.
+  *
+  * Everything here is a declarative column transform — the COPY wire
+  * formatting runs in executors via [[PgSink.copyLines]]' cell rules.
+  */
+object PgClassic {
+
+  /** One landed classic table: `kind` ∈ point|line|polygon|roads. */
+  final case class ClassicTable(
+      name: String,
+      kind: String,
+      /** (column name, PG type) in style order — z_order/way_area
+        * included where the reference has them */
+      columns: Seq[(String, String)],
+      hstore: Boolean,
+      /** geometry(TYPE,3857): point / linestring / geometry
+        * (polygon table holds multipolygons too) */
+      geomType: String) {
+    def copyColumnNames: Seq[String] =
+      Seq("osm_id") ++ columns.map(_._1) ++
+        (if (hstore) Seq("tags") else Nil) ++ Seq("way")
+  }
+
+  /** The style's column layout for one osm type, with the computed
+    * columns exactly where default.style:151-152 puts them: z_order
+    * int4 on node+way tables, way_area real on way tables. A user
+    * style that already declares them wins (no duplicates). */
+  private def styleColumns(style: Style, osmType: String,
+      wayArea: Boolean): Seq[(String, String)] = {
+    val declared = style.entries
+      .filter(e => e.makesColumn && e.osmTypes.contains(osmType))
+      .map(e => e.tag -> e.dataType).distinct
+    val names = declared.map(_._1).toSet
+    declared ++
+      (if (names.contains("z_order")) Nil else Seq("z_order" -> "int4")) ++
+      (if (wayArea && !names.contains("way_area")) Seq("way_area" -> "real")
+      else Nil)
+  }
+
+  /** The four classic tables for a prefix + style (table layout of
+    * output_pgsql_t's m_tables, src/output-pgsql.cpp:557-580: point is
+    * node-typed POINT, line/roads way-typed LINESTRING, polygon
+    * way-typed GEOMETRY). */
+  def tables(prefix: String, style: Style, hstore: Boolean)
+      : Seq[ClassicTable] = Seq(
+    ClassicTable(s"${prefix}_point", "point",
+      styleColumns(style, "node", wayArea = false), hstore, "point"),
+    ClassicTable(s"${prefix}_line", "line",
+      styleColumns(style, "way", wayArea = true), hstore, "linestring"),
+    ClassicTable(s"${prefix}_polygon", "polygon",
+      styleColumns(style, "way", wayArea = true), hstore, "geometry"),
+    ClassicTable(s"${prefix}_roads", "roads",
+      styleColumns(style, "way", wayArea = true), hstore, "linestring"))
+
+  /** CREATE UNLOGGED TABLE (table_t::start, src/table.cpp:96-131).
+    * `postgis=false` lands geometry as bytea (hex-EWKB payload) for
+    * servers without PostGIS — the sandbox's live-test path; DDL is
+    * otherwise identical. */
+  def createDdl(t: ClassicTable, schema: String = "public",
+      postgis: Boolean = true): String = {
+    val cols = Seq(""""osm_id" int8""") ++
+      t.columns.map { case (n, ty) => s""""$n" $ty""" } ++
+      (if (t.hstore) Seq(""""tags" hstore""") else Nil) :+
+      (if (postgis) s""""way" geometry(${t.geomType},3857)"""
+      else """"way" bytea""")
+    s"""CREATE UNLOGGED TABLE "$schema"."${t.name}" """ +
+      s"""(${cols.mkString(", ")}) WITH (autovacuum_enabled = off)"""
+  }
+
+  def dropDdl(t: ClassicTable, schema: String = "public"): String =
+    s"""DROP TABLE IF EXISTS "$schema"."${t.name}""""
+
+  /** End-of-load batch (table_t::stop, src/table.cpp:170-232 minus the
+    * CLUSTER rewrite — our CLUSTER analog is the SFC sort-on-write,
+    * ClusteredParquet): SET LOGGED, way GiST (PostGIS only), osm_id
+    * index for slim/updatable runs, ANALYZE. */
+  def postLoadDdl(t: ClassicTable, slim: Boolean,
+      schema: String = "public", postgis: Boolean = true): Seq[String] = {
+    val q = s""""$schema"."${t.name}""""
+    Seq(s"ALTER TABLE $q SET LOGGED") ++
+      (if (postgis) Seq(s"""CREATE INDEX ON $q USING gist ("way")""")
+      else Nil) ++
+      (if (slim) Seq(s"""CREATE INDEX ON $q ("osm_id")""") else Nil) :+
+      s"ANALYZE $q"
+  }
+
+  // the point table's `way` column from the engine's lon/lat model
+  // (the parquet point table carries coordinates, not EWKB)
+  private val pointEwkb = udf((lon: Double, lat: Double) =>
+    graft.geom.FromOsm.createPoint(lon, lat) match {
+      case _: graft.geom.NullGeom => null
+      case g => graft.geom.Ewkb.encode(
+        graft.geom.GeomOps.transform(g, graft.geom.Srid.WebMercator))
+    })
+
+  /** Engine parquet table → COPY-ready frame in the table's column
+    * order. Style columns read `tags[name]` (escape_type null-on-
+    * unparsable for int4/real, src/table.cpp:298-330 → try_cast);
+    * computed columns read the engine's dedicated parquet columns;
+    * the hstore column applies the norm/all split (table.cpp:265-296);
+    * `way` comes from the EWKB geom column, or is built from lon/lat
+    * for the point table. `postgis=false` renders geometry as a
+    * `\x`-prefixed hex string so PG's bytea input parses it. */
+  def copyFrame(df: DataFrame, t: ClassicTable, hstoreAll: Boolean,
+      postgis: Boolean = true): DataFrame = {
+    val have = df.columns.toSet
+    def styleCol(name: String, ty: String): Column = {
+      val v: Column =
+        if (have.contains(name) && name != "tags") col(name)
+        else col("tags").getItem(name)
+      (ty match {
+        case "int4" | "int8" | "int2" => v.cast("string").try_cast("long")
+        case "real"                   => v.cast("string").try_cast("double")
+        case _                        => v.cast("string")
+      }).as(name)
+    }
+    val columnKeys = t.columns.map(_._1)
+    val hstoreCol: Seq[Column] =
+      if (!t.hstore) Nil
+      else if (hstoreAll) Seq(col("tags")) // -j: every tag (all mode)
+      else Seq(map_filter(col("tags"), // -k: minus column-written keys
+        (k, _) => !k.isInCollection(columnKeys)).as("tags"))
+    val rawGeom: Column =
+      if (have.contains("geom")) col("geom")
+      else pointEwkb(col("lon"), col("lat"))
+    val wayCol: Column =
+      if (postgis) rawGeom.as("way")
+      else concat(lit("\\x"), upper(hex(rawGeom))).as("way")
+    df.select(
+      (col("osm_id") +:
+        t.columns.map { case (n, ty) => styleCol(n, ty) }) ++
+        hstoreCol :+ wayCol: _*)
+  }
+
+  /** COPY TEXT wire lines for a classic table, formatted in executors
+    * (cell rules of [[PgSink.copyLines]]; binary → hex-EWKB is the
+    * PostGIS form, the bytea path arrives as an escaped `\x` string). */
+  def copyLines(frame: DataFrame, t: ClassicTable,
+      postgis: Boolean = true): Dataset[String] = {
+    import org.apache.spark.sql.types._
+    val schema = frame.schema
+    require(frame.columns.toSeq ==
+      (if (t.hstore) t.copyColumnNames
+      else t.copyColumnNames.filterNot(_ == "tags")),
+      s"column order must match table '${t.name}'")
+    import frame.sparkSession.implicits._
+    frame.map { row =>
+      val cells = schema.fields.toIndexedSeq.zipWithIndex.map {
+        case (f, i) =>
+          if (row.isNullAt(i)) PgSink.CopyNull
+          else f.dataType match {
+            case BinaryType => PgSink.CopyPreEscaped(
+              PgSink.hexGeomCopyValue(row.getAs[Array[Byte]](i)))
+            case MapType(StringType, StringType, _) =>
+              PgSink.CopyPreEscaped(PgSink.hstoreCopyValue(
+                row.getMap[String, String](i).toSeq))
+            case _ => PgSink.CopyValue(String.valueOf(row.get(i)))
+          }
+      }
+      PgSink.copyLine(cells)
+    }
+  }
+}

@@ -150,6 +150,76 @@ class CliSpec extends SparkSpecBase {
       .getAs[Number](0).longValue == 2L)
   }
 
+  test("-d live: create + append load a real PostgreSQL (Liechtenstein)") {
+    assume(PgTestCluster.up, "no runnable PostgreSQL in this environment")
+    val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    val osc = "/root/reference/tests/data/000466354.osc.gz"
+    assume(new java.io.File(pbf).exists() && new java.io.File(osc).exists())
+    val dsn = PgTestCluster.dsn
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-pg")
+    Main.run(spark, Options.parse(Seq(pbf, "--create", "--slim",
+      "--output-dir", s"$dir/out", "-d", dsn)))
+    def count(t: String): Long = graft.sinks.PgLive.queryOne(dsn,
+      s"""SELECT count(*) FROM "public"."planet_osm_$t";""").toLong
+    // the reference's own regression goldens (import.feature)
+    assert(count("point") == 1342L)
+    assert(count("line") == 3231L)
+    assert(count("polygon") == 4130L)
+    assert(count("roads") == 375L)
+    // classic column layout landed: style columns + computed columns
+    assert(graft.sinks.PgLive.queryOne(dsn,
+      """SELECT count(*) FROM "public"."planet_osm_line"
+        | WHERE "highway" IS NOT NULL;""".stripMargin).toLong > 1000L)
+    assert(graft.sinks.PgLive.queryOne(dsn,
+      """SELECT count(*) FROM "public"."planet_osm_line"
+        | WHERE "z_order" IS NULL;""".stripMargin).toLong == 0L)
+    assert(graft.sinks.PgLive.queryOne(dsn,
+      """SELECT count(*) FROM "public"."planet_osm_polygon"
+        | WHERE "way" IS NULL OR "way_area" IS NULL;""".stripMargin)
+      .toLong == 0L)
+
+    // append: the update.feature goldens, mutated LIVE via
+    // delete-before-insert (not a reload)
+    Main.run(spark, Options.parse(Seq(osc, "--append", "--slim",
+      "--output-dir", s"$dir/out", "-d", dsn)))
+    assert(count("point") == 1457L)
+    assert(count("line") == 3274L)
+    assert(count("polygon") == 4277L)
+    assert(count("roads") == 380L)
+  }
+
+  test("-d live: -k excludes column keys from hstore, -j keeps them") {
+    assume(PgTestCluster.up, "no runnable PostgreSQL in this environment")
+    val dsn = PgTestCluster.dsn
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-hs")
+    val in = dir.resolve("tiny.osm")
+    java.nio.file.Files.write(in,
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6">
+        |<node id="1" lat="50.0" lon="8.0" version="1">
+        |  <tag k="amenity" v="cafe"/><tag k="weird:key" v="kept"/></node>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    def hstoreOf(prefix: String, flag: String): (String, String) = {
+      Main.run(spark, Options.parse(Seq(in.toString, flag,
+        "-p", prefix, "--output-dir", s"$dir/$prefix", "-d", dsn)))
+      val a = graft.sinks.PgLive.queryOne(dsn,
+        s"""SELECT "tags" -> 'amenity' FROM "public"."${prefix}_point";""")
+      val w = graft.sinks.PgLive.queryOne(dsn,
+        s"""SELECT "tags" -> 'weird:key' FROM "public"."${prefix}_point";""")
+      (a, w)
+    }
+    // -k (norm): amenity went to its column, NOT the hstore
+    // (table.cpp:265-275 `used` exclusion); unmatched keys stay
+    val (aNorm, wNorm) = hstoreOf("hs_norm", "-k")
+    assert(aNorm.isEmpty && wNorm == "kept")
+    // -j (all): every tag is in the hstore, including column-matched
+    val (aAll, wAll) = hstoreOf("hs_all", "-j")
+    assert(aAll == "cafe" && wAll == "kept")
+    // and the column is populated either way
+    assert(graft.sinks.PgLive.queryOne(dsn,
+      """SELECT "amenity" FROM "public"."hs_all_point";""") == "cafe")
+  }
+
   test("end-to-end CLI run: tables, expire list, jdbc url") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cli")
     val in = dir.resolve("tiny.osm")
@@ -176,5 +246,18 @@ class CliSpec extends SparkSpecBase {
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$dir/out/jdbc_url.txt")).trim ==
       "jdbc:postgresql://localhost:5432/osm")
+    // the DSN is unreachable → load artifacts landed instead: DDL for
+    // all four tables plus executor-formatted COPY files
+    val ddl = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/out/ddl.sql"))
+    Seq("point", "line", "polygon", "roads").foreach { k =>
+      assert(ddl.contains(s"""CREATE UNLOGGED TABLE "public"."planet_osm_$k""""))
+      assert(new java.io.File(s"$dir/out/copy/planet_osm_$k").exists())
+    }
+    val copied = spark.read.text(s"$dir/out/copy/planet_osm_point")
+    assert(copied.count() == 1)
+    // wire line: osm_id, style columns (amenity among them), way hex
+    val line0 = copied.collect().head.getString(0)
+    assert(line0.startsWith("1\t") && line0.contains("restaurant"))
   }
 }

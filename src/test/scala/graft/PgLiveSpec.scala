@@ -2,8 +2,6 @@ package graft
 
 import java.nio.file.Files
 
-import scala.sys.process._
-
 import graft.flex.{FlexColumn, FlexIds, FlexTableDef, FlexType}
 import graft.sinks.PgSink
 
@@ -27,28 +25,7 @@ import graft.sinks.PgSink
   */
 class PgLiveSpec extends SparkSpecBase {
 
-  private val sockDir = "/tmp/graft-pg-live"
-  private val dataDir = s"$sockDir/data"
-
-  // UTF-8 end to end: the wire format is byte-oriented, so the psql
-  // round trip must not re-decode with the su login's C locale
-  private val Env = "LANG=C.UTF-8 PGCLIENTENCODING=UTF8"
-
-  /** run a command as postgres, capturing stdout+stderr as UTF-8 */
-  private def pg(cmd: String, stdin: Array[Byte] = Array.empty)
-      : (Int, String) = {
-    val out = new java.io.ByteArrayOutputStream
-    val io = new ProcessIO(
-      in => { in.write(stdin); in.close() },
-      o => { o.transferTo(out); o.close() },
-      e => { e.transferTo(out); e.close() })
-    val p = Process(Seq("su", "-s", "/bin/bash", "postgres", "-c",
-      s"$Env $cmd"), new java.io.File("/tmp")).run(io)
-    (p.exitValue(), new String(out.toByteArray, "UTF-8"))
-  }
-
-  private def psql(sql: String): (Int, String) =
-    pg(s"psql -qAt -h $sockDir -d postgres", sql.getBytes("UTF-8"))
+  import PgTestCluster.{pg, psql, sockDir}
 
   /** COPY FROM STDIN with the given wire lines; returns psql rc. */
   private def copyIn(table: String, lines: Seq[String]): Int = {
@@ -64,26 +41,8 @@ class PgLiveSpec extends SparkSpecBase {
     out.split("\n", -1).toSeq.dropRight(1)
   }
 
-  private lazy val serverUp: Boolean = {
-    val haveBins = Seq("initdb", "pg_ctl", "psql").forall(b =>
-      Process(Seq("bash", "-c", s"command -v $b")).! == 0)
-    val isRoot =
-      Process(Seq("id", "-u")).!!.trim == "0"
-    PgLiveSpecCleanup.register()
-    haveBins && isRoot && {
-      Process(Seq("bash", "-c",
-        s"rm -rf $sockDir && mkdir -p $sockDir && chown postgres:postgres $sockDir")).!
-      val (rcInit, _) = pg(s"initdb -D $dataDir -A trust -E UTF8 --no-locale")
-      rcInit == 0 && {
-        val (rcStart, _) = pg(s"pg_ctl -D $dataDir " +
-          s"-o '-k $sockDir -c listen_addresses=' -l $sockDir/pg.log start")
-        rcStart == 0 && psql("SELECT 1;")._1 == 0
-      }
-    }
-  }
-
   override def withFixture(test: NoArgTest) = {
-    if (!serverUp) cancel("no runnable PostgreSQL in this environment")
+    if (!PgTestCluster.up) cancel("no runnable PostgreSQL in this environment")
     else super.withFixture(test)
   }
 
@@ -244,16 +203,4 @@ class PgLiveSpec extends SparkSpecBase {
       "WHERE \"osm_id\" = 2").map(PgSink.copyRowParse(_).head) ==
       Seq(Some("renamed")))
   }
-}
-
-/** Stop the live cluster once per JVM, after all suites. */
-object PgLiveSpecCleanup {
-  private lazy val hook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      Process(Seq("su", "-s", "/bin/bash", "postgres", "-c",
-        "pg_ctl -D /tmp/graft-pg-live/data stop -m immediate"),
-        new java.io.File("/tmp")).!(ProcessLogger(_ => ()))
-      ()
-    }))
-  def register(): Unit = hook
 }
