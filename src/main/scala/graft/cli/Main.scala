@@ -20,18 +20,17 @@ import graft.sources.{OsmSource, Validate}
   * formatted COPY files per table under `copy/` — and `jdbc_url.txt`
   * always records the JDBC form of the DSN.
   *
-  * Flex runs use the library API (`FlexConfig` + `FlexRunner`)
-  * directly — a Lua file cannot express a typed Scala config, so
-  * `-O flex` from the CLI is rejected with a pointer (documented
-  * delta).
+  * `-O flex -S <object>` runs a compiled [[graft.flex.FlexConfig]]
+  * named by its fully-qualified Scala object name — the typed analog
+  * of `-O flex -S config.lua` (a Lua file cannot express a typed
+  * Scala config; documented delta). Way rows reach the config's
+  * callbacks enriched with `__geom`, the resolved 3857 linestring —
+  * the analog of the Lua callback's `object:as_linestring()` against
+  * the middle. Each output table lands as parquet under --output-dir.
   */
 object Main {
   def main(args: Array[String]): Unit = {
     val o = Options.parse(args.toIndexedSeq)
-    if (o.output == "flex")
-      Options.fail("-O flex from the CLI is not supported: flex configs " +
-        "are typed Scala (graft.flex.FlexConfig) — run them through " +
-        "FlexRunner. See COVERAGE.md.")
     val spark = SparkSession.builder()
       .master(s"local[${o.numProcesses}]")
       .appName("graft")
@@ -63,6 +62,8 @@ object Main {
       osm.nodes.count(); osm.ways.count(); osm.relations.count()
       return
     }
+
+    if (o.output == "flex") { runFlex(spark, o, osm); return }
 
     val style = o.styleFile match {
       case Some(f) => StyleFile.parse(
@@ -227,4 +228,82 @@ object Main {
         url + "\n")
     }
   }
+
+  /** -O flex: load the named compiled config, enrich ways with the
+    * resolved `__geom` linestring, run [[graft.flex.FlexRunner]], and
+    * land each output table as parquet (an action on the runner's
+    * frames also realizes its observable insert counters). */
+  private def runFlex(spark: SparkSession, o: Options,
+      osm: graft.sources.OsmXml.OsmDataFrames): Unit = {
+    import org.apache.spark.sql.functions._
+    val name = o.styleFile.getOrElse(Options.fail(
+      "The flex output requires a style: the fully-qualified name of " +
+        "a compiled graft.flex.FlexConfig object (-S)."))
+    val cfg = loadFlexConfig(name)
+    val lineGeom = udf((lons: Seq[Double], lats: Seq[Double]) =>
+      graft.geom.FromOsm.createLineString(
+        lons.zip(lats).map { case (x, y) => graft.geom.Pt(x, y) }) match {
+        case _: graft.geom.NullGeom => null
+        case g => graft.geom.Ewkb.encode(
+          graft.geom.GeomOps.transform(g, graft.geom.Srid.WebMercator))
+      })
+    val resolved = graft.operators.Middle.resolveAllWayCoords(osm)
+    val ways = osm.ways
+      .join(resolved, col("id") === col("rwid"), "left")
+      .withColumn("__geom", lineGeom(col("wlons"), col("wlats")))
+      .drop("rwid", "wlons", "wlats")
+    val res = graft.flex.FlexRunner.run(cfg, osm.copy(ways = ways))
+    val out = java.nio.file.Paths.get(o.outputDir)
+    java.nio.file.Files.createDirectories(out)
+    res.tables.foreach { case (tname, tr) =>
+      tr.rows.write.mode("overwrite").parquet(s"$out/$tname")
+    }
+    // live flex load: the flex-output lifecycle per table
+    // (src/output-flex.cpp start/stop), from the landed parquet
+    o.database.foreach { dsn =>
+      java.nio.file.Files.writeString(out.resolve("jdbc_url.txt"),
+        graft.sinks.PgSink.jdbcUrlFromDsn(dsn) + "\n")
+      if (graft.sinks.PgLive.reachable(dsn)) {
+        import scala.jdk.CollectionConverters._
+        val needHstore = cfg.tables.exists(
+          _.columns.exists(_.ctype == graft.flex.FlexType.Hstore))
+        val postgis =
+          graft.sinks.ClassicPgLoad.prepareServer(dsn, needHstore)
+        cfg.tables.foreach { t =>
+          val q = s""""${o.schema}"."${t.name}""""
+          graft.sinks.PgLive.execOrThrow(dsn,
+            s"DROP TABLE IF EXISTS $q;")
+          graft.sinks.PgLive.execOrThrow(dsn,
+            graft.sinks.PgSink.createTableDdl(t, unlogged = true,
+              o.schema, postgis) + ";")
+          graft.sinks.PgLive.copyInto(dsn, q,
+            graft.sinks.PgSink.copyLines(
+              spark.read.parquet(s"$out/${t.name}"), t, postgis)
+              .toLocalIterator().asScala)
+          graft.sinks.PgSink.postLoadDdl(t, updatable = o.slim,
+            o.schema, postgis)
+            .foreach(d => graft.sinks.PgLive.execOrThrow(dsn, d + ";"))
+        }
+      }
+    }
+  }
+
+  /** Resolve a FlexConfig by fully-qualified name: a Scala `object`
+    * (companion MODULE$) or a zero-arg class. */
+  private def loadFlexConfig(name: String): graft.flex.FlexConfig =
+    try {
+      val cls =
+        try Class.forName(name + "$")
+        catch { case _: ClassNotFoundException => Class.forName(name) }
+      if (cls.getName.endsWith("$"))
+        cls.getField("MODULE$").get(null).asInstanceOf[graft.flex.FlexConfig]
+      else cls.getDeclaredConstructor().newInstance()
+        .asInstanceOf[graft.flex.FlexConfig]
+    } catch {
+      case _: ClassNotFoundException => Options.fail(
+        s"Flex config '$name' not found: -S must name a compiled " +
+          "graft.flex.FlexConfig object (e.g. " +
+          "graft.flex.examples.PoisAndHighways). Lua files are not " +
+          "supported (typed-DSL delta, see COVERAGE.md).")
+    }
 }

@@ -158,7 +158,9 @@ object Options {
     if (o.hstoreAll && args.exists(a => a == "-k" || a == "--hstore"))
       fail("--hstore excludes --hstore-all")
     if (o.inputFiles.isEmpty) fail("Missing input file(s)")
-    o.styleFile.foreach { f =>
+    // for -O flex, -S names a compiled FlexConfig object, not a file
+    // (resolved by the runner; typed-DSL delta)
+    if (o.output != "flex") o.styleFile.foreach { f =>
       if (!new java.io.File(f).exists()) fail(s"File does not exist: '$f'")
     }
     if (!Seq("pgsql", "flex", "null").contains(o.output))

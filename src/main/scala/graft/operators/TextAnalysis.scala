@@ -182,6 +182,65 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** A Bloom filter that ships as its serialized bits and rebuilds
+    * lazily once per executor JVM (the sketch object itself need not
+    * be Serializable). */
+  private class SerializableBloom(bytes: Array[Byte]) extends Serializable {
+    @transient lazy val bf: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** [[decontaminate]] for a benchmark whose distinct gram set is too
+    * large to broadcast as values: the grams fold into a BLOOM FILTER
+    * (one distributed treeAggregate; the broadcast payload is the
+    * filter's fixed bit array, `-n·ln(fpp)/ln²2` bits regardless of
+    * gram bytes), and the corpus side stays a map-only membership
+    * probe. False positives only OVER-flag — a clean document may be
+    * dropped, a leaked one is never kept — there are no false
+    * negatives. The realized rate is `fpp` down to the sketch
+    * implementation's floor: its 32-bit double-hashing index scheme
+    * bottoms out around ~1e-4 (measured here), so requesting fpp
+    * below that buys bits but not accuracy. Same output contract as
+    * [[decontaminate]]: (id, n_hits) over grams passing the filter. */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8,
+      fpp: Double = 1e-4): DataFrame = {
+    val bloom = benchmarkBloom(benchmark, benchTextCol, n, fpp)
+    val hit = bloomHitUdf(docs.sparkSession, bloom)
+    docs.select(col(idCol),
+      explode(graft.expressions.VectorExpressions
+        .shinglesN(normToks(col(textCol)), n, distinct = true)).as("g"))
+      .where(hit(array(col("g"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Build the benchmark-gram Bloom filter (distributed fold via the
+    * stat API; only the bit array lands on the driver). */
+  def benchmarkBloom(benchmark: DataFrame, benchTextCol: String,
+      n: Int, fpp: Double): Array[Byte] = {
+    val benchGrams = benchmark.select(
+      explode(graft.expressions.VectorExpressions
+        .shinglesN(normToks(col(benchTextCol)), n, distinct = true))
+        .as("g")).distinct()
+    val bf = benchGrams.stat.bloomFilter("g",
+      math.max(1L, benchGrams.count()), fpp)
+    val bos = new java.io.ByteArrayOutputStream
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** any-gram-might-be-benchmark predicate over a gram array column,
+    * against a broadcast serialized Bloom filter. */
+  def bloomHitUdf(spark: org.apache.spark.sql.SparkSession,
+      bloomBytes: Array[Byte])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(new SerializableBloom(bloomBytes))
+    udf((gs: Seq[String]) => gs != null &&
+      gs.exists(bc.value.bf.mightContainString))
+  }
+
   /** Quality-filter funnel: the staged corpus-cleaning report every
     * training pipeline starts with. Four nested stages — length,
     * token count, type-token ratio, max-token-frequency — each

@@ -53,15 +53,22 @@ object PgSink {
   }
 
   /** CREATE TABLE — UNLOGGED during load for non-updatable imports,
-    * like the reference's interim tables (src/flex-table.hpp:58-66). */
+    * like the reference's interim tables (src/flex-table.hpp:58-66).
+    * `postgis=false` degrades geometry columns to bytea for servers
+    * without PostGIS (the stored value is then the raw EWKB bytes —
+    * same payload, no geometry operators). */
   def createTableDdl(t: FlexTableDef, unlogged: Boolean = true,
-      schema: String = "public"): String = {
+      schema: String = "public", postgis: Boolean = true): String = {
     // NoIndex tables carry no id column at all (table-ids.feature);
     // otherwise the user's ids.id_column name is used verbatim
     val idCols =
       if (t.hasIds) Seq(s""""${t.idColumn}" int8""") else Nil
+    def colType(c: FlexColumn): String = {
+      val ty = sqlType(c)
+      if (!postgis && ty.startsWith("geometry")) "bytea" else ty
+    }
     val cols = (idCols ++ t.columns.map { c =>
-      s""""${c.name}" ${sqlType(c)}${if (c.notNull) " NOT NULL" else ""}"""
+      s""""${c.name}" ${colType(c)}${if (c.notNull) " NOT NULL" else ""}"""
     }).mkString(", ")
     val ul = if (unlogged) "UNLOGGED " else ""
     s"""CREATE ${ul}TABLE IF NOT EXISTS "$schema"."${t.name}" ($cols)"""
@@ -71,13 +78,14 @@ object PgSink {
     * src/output-flex.cpp:1552-1563), geometry GiST indexes, SET LOGGED,
     * ANALYZE. */
   def postLoadDdl(t: FlexTableDef, updatable: Boolean,
-      schema: String = "public"): Seq[String] = {
+      schema: String = "public", postgis: Boolean = true): Seq[String] = {
     val qualified = s""""$schema"."${t.name}""""
     // user index list wins: None = defaults, Some(Nil) = none at all,
     // Some(list) = exactly those (lua-index-definitions.feature)
     val userIdx = t.indexes.map(_.map(_.createIndexDdl(qualified)))
     val defaultIdx = {
-      val geomIdx = t.columns
+      // no GiST on the bytea degradation (no PostGIS → no gist opclass)
+      val geomIdx = if (!postgis) Nil else t.columns
         .filter(c => FlexType.sparkType(c.ctype) == BinaryType)
         .map(c => s"""CREATE INDEX ON $qualified USING gist ("${c.name}")""")
       val idIdx = if (updatable && t.hasIds)
@@ -233,8 +241,11 @@ object PgSink {
     * schema: binary → hex EWKB, map<string,string> → hstore wire form,
     * boolean → t/f, null → \N, everything else the escaped string
     * value. `df` columns must already be in the table's column order
-    * (id column first for tables with ids). */
-  def copyLines(df: DataFrame, t: FlexTableDef): org.apache.spark.sql.Dataset[String] = {
+    * (id column first for tables with ids). `postgis=false` renders
+    * binary as the bytea `\x` hex wire form instead of PostGIS's
+    * bare hex EWKB. */
+  def copyLines(df: DataFrame, t: FlexTableDef,
+      postgis: Boolean = true): org.apache.spark.sql.Dataset[String] = {
     val expect = t.schema.fieldNames.toSeq
     require(df.columns.toSeq == expect,
       s"column order must match table '${t.name}': expected $expect, " +
@@ -246,8 +257,11 @@ object PgSink {
         case (f, i) =>
           if (row.isNullAt(i)) CopyNull
           else f.dataType match {
-            case BinaryType =>
+            case BinaryType if postgis =>
               CopyPreEscaped(hexGeomCopyValue(row.getAs[Array[Byte]](i)))
+            case BinaryType => // bytea: \x hex, backslash COPY-escaped
+              CopyPreEscaped(
+                "\\\\x" + hexGeomCopyValue(row.getAs[Array[Byte]](i)))
             case MapType(StringType, StringType, _) =>
               CopyPreEscaped(hstoreCopyValue(
                 row.getMap[String, String](i).toSeq))

@@ -177,11 +177,12 @@ object Streams {
     * of [[graft.operators.TrainingData.curate]]'s stream-safe stages:
     * quality funnel (stateless projection) → streaming exact dedup
     * (digest state within the watermark) → benchmark decontamination
-    * (stateless `arrays_overlap` against the static benchmark's
-    * distinct grams, collected once — the q55 broadcast shape; for a
-    * benchmark too large to hold as a literal, substitute a
-    * bloom-filter broadcast at the same spot) → stateful sequence
-    * packing (one running long per shard). Near-dup pruning and quota
+    * (stateless membership probe against a broadcast Bloom filter of
+    * the benchmark's distinct grams — driver memory is the filter's
+    * fixed bit array, never the gram values, so the held-out suite
+    * can grow without a driver-memory cliff; false positives only
+    * OVER-drop at the ~1e-4 sketch floor, never under-drop) →
+    * stateful sequence packing (one running long per shard). Near-dup pruning and quota
     * mixing are deliberately absent: candidates stream via
     * [[streamingNearDupCandidates]] against a persisted band index,
     * and a quota is a global top-n — both are batch decisions over the
@@ -198,13 +199,16 @@ object Streams {
       .where(col("__s4"))
       .select(docs.columns.map(col).toIndexedSeq: _*)
     val deduped = streamingDedup(quality, tsCol, textCol, watermark)
-    val benchGrams = benchmark.select(
-      explode(shinglesN(normToks(col(benchTextCol)), n, distinct = true))
-        .as("g")).distinct()
-      .collect().map(_.getString(0)).sorted
-    val clean = deduped.where(!arrays_overlap(
-      shinglesN(normToks(col(textCol)), n, distinct = true),
-      lit(benchGrams)))
+    // benchmark grams as a broadcast BLOOM FILTER (fixed bit array on
+    // the driver, built with one distributed fold — never the gram
+    // values themselves, so a large held-out suite can't blow driver
+    // memory; false positives only over-drop, bounded by fpp)
+    val bloom = graft.operators.TextAnalysis
+      .benchmarkBloom(benchmark, benchTextCol, n, fpp = 1e-4)
+    val contaminated = graft.operators.TextAnalysis
+      .bloomHitUdf(docs.sparkSession, bloom)
+    val clean = deduped.where(!contaminated(
+      shinglesN(normToks(col(textCol)), n, distinct = true)))
     streamingPackSequences(
       clean.withColumn("__n_tok", size(normToks(col(textCol)))),
       shardCol, idCol, "__n_tok", windowTokens)

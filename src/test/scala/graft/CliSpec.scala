@@ -150,6 +150,54 @@ class CliSpec extends SparkSpecBase {
       .getAs[Number](0).longValue == 2L)
   }
 
+  test("-O flex runs a compiled FlexConfig end-to-end (Liechtenstein)") {
+    val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    assume(new java.io.File(pbf).exists())
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-flex")
+    Main.run(spark, Options.parse(Seq(pbf, "-O", "flex",
+      "-S", "graft.flex.examples.PoisAndHighways",
+      "--output-dir", s"$dir/out")))
+    // tag-inventory goldens of the extract via the golden-count-proven
+    // PBF reader (OsmPbfSpec pins the entity totals EXACTLY): 244
+    // amenity-tagged nodes, 2753 highway-tagged ways with >= 2
+    // resolved locations; NOT NULL geometry enforced by the runner
+    import org.apache.spark.sql.functions.col
+    val pois = spark.read.parquet(s"$dir/out/flex_pois")
+    assert(pois.count() == 244L)
+    assert(pois.where(col("geom").isNull).count() == 0L)
+    val hw = spark.read.parquet(s"$dir/out/flex_highways")
+    assert(hw.count() == 2753L)
+    assert(hw.where(col("geom").isNull || col("highway").isNull)
+      .count() == 0L)
+    // an unknown config name fails with the typed-DSL pointer
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Options.parse(Seq(pbf, "-O", "flex",
+        "-S", "no.such.Config", "--output-dir", s"$dir/out2")))
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
+  test("-O flex -d live-loads the flex tables (bytea geometry)") {
+    assume(PgTestCluster.up, "no runnable PostgreSQL in this environment")
+    val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    assume(new java.io.File(pbf).exists())
+    val dsn = PgTestCluster.dsn
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-flexpg")
+    Main.run(spark, Options.parse(Seq(pbf, "-O", "flex",
+      "-S", "graft.flex.examples.PoisAndHighways",
+      "--output-dir", s"$dir/out", "-d", dsn)))
+    def one(sql: String): String = graft.sinks.PgLive.queryOne(dsn, sql)
+    assert(one("""SELECT count(*) FROM "public"."flex_pois";""")
+      .toLong == 244L)
+    assert(one("""SELECT count(*) FROM "public"."flex_highways";""")
+      .toLong == 2753L)
+    // bytea degradation carried the EWKB payload: every row has a
+    // non-empty geometry whose first byte is 01 (little-endian EWKB)
+    assert(one("""SELECT count(*) FROM "public"."flex_highways"
+      | WHERE "geom" IS NULL OR get_byte("geom", 0) <> 1;"""
+      .stripMargin).toLong == 0L)
+  }
+
   test("-d live: create + append load a real PostgreSQL (Liechtenstein)") {
     assume(PgTestCluster.up, "no runnable PostgreSQL in this environment")
     val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"

@@ -384,6 +384,48 @@ class OperatorsSpec extends SparkSpecBase {
     assert(!hits.contains(2L) && !hits.contains(3L))
   }
 
+  test("bloom decontamination: superset of exact, bounded over-flag") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val nDocs = docs.count()
+    val bench = docs.where($"doc_id" % 37 === 0)
+      .select($"text".as("btext"))
+    val exact = graft.operators.TextAnalysis
+      .decontaminate(docs, "doc_id", "text", bench, "btext", n = 8)
+      .as[(Long, Long)].collect().toMap
+    val bloom = graft.operators.TextAnalysis
+      .decontaminateBloom(docs, "doc_id", "text", bench, "btext", n = 8)
+      .as[(Long, Long)].collect().toMap
+    // the safety contract: NO false negatives — every truly
+    // contaminated doc is flagged with at least its exact hit count
+    assert(exact.nonEmpty)
+    exact.foreach { case (id, hits) =>
+      assert(bloom.getOrElse(id, 0L) >= hits, s"doc $id under-flagged")
+    }
+    // over-flagging stays near the sketch's fp floor (~1e-4/gram):
+    // allow a few percent of docs, not a wholesale drop
+    val extra = bloom.keySet -- exact.keySet
+    assert(extra.size <= math.max(2L, nDocs / 20),
+      s"${extra.size} over-flagged docs of $nDocs")
+  }
+
+  test("bloom decontamination false-positive rate is bounded") {
+    val bench = Seq((100L, "the capital of france is paris and it is large"))
+      .toDF("doc_id", "text")
+    val bloomBytes = graft.operators.TextAnalysis
+      .benchmarkBloom(bench, "text", n = 8, fpp = 0.01)
+    val hit = graft.operators.TextAnalysis.bloomHitUdf(spark, bloomBytes)
+    // 10k grams disjoint from the benchmark's: observed fp rate must
+    // stay near fpp (generous 5x bound keeps the test deterministic
+    // against an unlucky hash seed)
+    val probes = (1 to 10000)
+      .map(i => Tuple1(Seq(s"novel gram number $i never in benchmark")))
+      .toDF("gs")
+    val fps = probes.where(hit($"gs")).count()
+    assert(fps <= 500L, s"false-positive count $fps over 10000 probes")
+  }
+
   test("connected components: chains, stars, multiple components") {
     // smallGraphEdges = 0 forces the distributed star rounds; the
     // size-gated union-find fast path must agree on every case
