@@ -95,11 +95,46 @@ object Main {
           osm.relations.write.mode("overwrite")
             .parquet(s"$out/middle/relations")
         }
+        // the osm2pgsql_properties analog (src/osm2pgsql.cpp:102-145):
+        // import settings + the single input's PBF-header replication
+        // info when present, so `replication init` can start from the
+        // import alone (store_data_properties)
+        val replProps = (o.inputFiles match {
+          case Seq(single) if single.endsWith(".pbf") =>
+            scala.util.Try(graft.sources.OsmPbf.readHeader(single)).toOption
+          case _ => None
+        }).map { h =>
+          h.replicationBaseUrl.map("replication_base_url" -> _).toMap ++
+            h.replicationSequence
+              .map(s => "replication_sequence_number" -> s.toString) ++
+            h.replicationTimestamp
+              .map(t => "replication_timestamp" -> t.toString)
+        }.getOrElse(Map.empty)
+        graft.sinks.Properties.save(spark, s"$out/properties",
+          graft.sinks.Properties.importProperties(osm,
+            attributes = o.extraAttributes, prefix = o.prefix,
+            updatable = o.slim, output = o.output,
+            style = o.styleFile.getOrElse("default.style")) ++ replProps)
         t
       } else {
         // the reference's append flow (src/osmdata.cpp:371-406):
         // change ids → dependency closure → re-derive subset →
-        // delete-then-insert against the previous tables
+        // delete-then-insert against the previous tables.
+        // Properties validation first (src/osm2pgsql.cpp:300-309):
+        // an import that wasn't --slim is not updatable, and the
+        // prefix must match the one the import recorded.
+        val storedProps = scala.util
+          .Try(graft.sinks.Properties.load(spark, s"$out/properties"))
+          .toOption
+        storedProps.foreach { p =>
+          if (p.get("updatable").contains("false"))
+            Options.fail("This database is not updatable. To create an " +
+              "updatable database use --slim (without --drop).")
+          p.get("prefix").filter(_ != o.prefix).foreach { pre =>
+            Options.fail(s"Different table prefix specified: '${o.prefix}' " +
+              s"(database was imported with prefix '$pre').")
+          }
+        }
         val spark2 = spark
         def loadMiddle = graft.sources.OsmXml.OsmDataFrames(
           spark2.read.parquet(s"$out/middle/nodes"),
@@ -159,6 +194,20 @@ object Main {
       }
       named.foreach { case (name, _) => swap(s"${name}_new", name) }
       swap("middle_new", "middle")
+      // advance the recorded data timestamps to the newest applied
+      // change (the reference re-runs store_data_properties on append);
+      // ISO-8601 Z strings compare correctly as strings
+      scala.util
+        .Try(graft.sinks.Properties.load(spark, s"$out/properties"))
+        .foreach { prev =>
+          val fresh = graft.sinks.Properties.importProperties(osm)
+          val tsKeys = Seq("import_timestamp", "current_timestamp")
+          val merged = prev ++ tsKeys.flatMap { k =>
+            fresh.get(k).map(v => k ->
+              prev.get(k).filter(_ >= v).getOrElse(v))
+          }
+          graft.sinks.Properties.save(spark, s"$out/properties", merged)
+        }
     }
 
     // create-mode database step: live load from the landed parquet

@@ -79,6 +79,40 @@ object GenRunner {
   def runSql(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
 }
 
+/** Stand-alone generalizer — the `osm2pgsql-gen` binary
+  * (src/gen/osm2pgsql-gen.cpp): reads a parquet table, dispatches one
+  * strategy from [[GenRunner.runGen]]'s registry with `k=v` params,
+  * writes the generalized result as parquet.
+  *
+  * Usage: runMain graft.operators.GenMain <strategy> <in.parquet>
+  *        <out.parquet> [k=v ...]
+  */
+object GenMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: GenMain <strategy> <in.parquet> <out.parquet> [k=v ...]")
+    val Array(strategy, in, out) = args.take(3)
+    val params = args.drop(3).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case _ => throw new IllegalArgumentException(
+          s"Bad parameter '$kv': expected k=v")
+      }
+    }.toMap
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .appName("graft-gen")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try GenRunner.runGen(strategy, spark.read.parquet(in), params)
+      .write.mode("overwrite").parquet(out)
+    finally spark.stop()
+  }
+}
+
 /** Stand-alone expire calculator — the `osm2pgsql-expire` binary
   * (src/osm2pgsql-expire.cpp:34-110): reads a parquet of 3857 EWKB
   * geometries, computes the dirty-tile cover at `zoom` in the given

@@ -192,7 +192,22 @@ object Replication {
     * state. `once` applies a single chunk (the reference's `--once`).
     */
   def update(spark: SparkSession, propsPath: String, source: Source,
-      applyDiff: String => Unit, once: Boolean = false): State = {
+      applyDiff: String => Unit, once: Boolean = false): State =
+    updateBatched(spark, propsPath, source,
+      paths => paths.foreach(applyDiff), maxBatchBytes = 0, once = once)
+
+  /** [[update]] with the reference's `--max-diff-size` batching
+    * (scripts/osm2pgsql-replication:477-600): consecutive diffs are
+    * gathered until their cumulative byte size would exceed
+    * `maxBatchBytes`, each batch goes through `applyBatch` as ONE
+    * apply (the k-way-merged append run — latest version per id
+    * wins, exactly the reference's concatenated-tempfile semantics),
+    * and the persisted state advances to the batch's last sequence
+    * only after the apply succeeds. `maxBatchBytes <= 0` forces
+    * single-diff batches. `once` stops after the first batch. */
+  def updateBatched(spark: SparkSession, propsPath: String, source: Source,
+      applyBatch: Seq[String] => Unit, maxBatchBytes: Long,
+      once: Boolean = false): State = {
     val stored = Properties.load(spark, propsPath)
     val baseUrl = stored.getOrElse(KeyBase, throw new IllegalStateException(
       "updates not set up correctly — run init first"))
@@ -209,21 +224,38 @@ object Replication {
     var continue = seq < current.sequence
 
     while (continue && seq < current.sequence) {
-      val next = seq + 1
-      source.diffPath(next) match {
-        case None => continue = false // gap/no new diffs: stop here
-        case Some(path) =>
-          applyDiff(path) // throws on failure -> state NOT advanced
-          seq = next
-          ts = source.stateInfo(Some(next)).map(_.timestamp).getOrElse(ts)
-          // merge into a FRESH load: applyDiff may have written other
-          // keys (import stats, current_timestamp) to the same store —
-          // the entry-time `stored` snapshot would silently revert them
-          Properties.save(spark, propsPath,
-            Properties.load(spark, propsPath) ++ Map(
-              KeyBase -> baseUrl, KeySeq -> seq.toString,
-              KeyTs -> ts.toString))
-          if (once) continue = false
+      // gather the next batch: at least one diff, then keep adding
+      // while the cumulative size stays within the cap
+      val batch = Seq.newBuilder[(Long, String)]
+      var n = seq
+      var bytes = 0L
+      var taken = 0
+      var gathering = true
+      while (gathering && n < current.sequence) {
+        source.diffPath(n + 1) match {
+          case Some(path) =>
+            val sz = math.max(0L, new java.io.File(path).length())
+            if (taken > 0 && bytes + sz > maxBatchBytes) gathering = false
+            else {
+              batch += ((n + 1) -> path); bytes += sz; taken += 1; n += 1
+            }
+          case None => gathering = false // gap/no new diffs: stop here
+        }
+      }
+      val b = batch.result()
+      if (b.isEmpty) continue = false
+      else {
+        applyBatch(b.map(_._2)) // throws on failure -> state NOT advanced
+        seq = b.last._1
+        ts = source.stateInfo(Some(seq)).map(_.timestamp).getOrElse(ts)
+        // merge into a FRESH load: applyBatch may have written other
+        // keys (import stats, current_timestamp) to the same store —
+        // the entry-time `stored` snapshot would silently revert them
+        Properties.save(spark, propsPath,
+          Properties.load(spark, propsPath) ++ Map(
+            KeyBase -> baseUrl, KeySeq -> seq.toString,
+            KeyTs -> ts.toString))
+        if (once) continue = false
       }
     }
     State(seq, ts)

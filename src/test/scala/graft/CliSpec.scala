@@ -1,6 +1,6 @@
 package graft
 
-import graft.cli.{Main, Options}
+import graft.cli.{Main, Options, ReplicationMain}
 
 /** test-options-parse.cpp port + an end-to-end CLI run. */
 class CliSpec extends SparkSpecBase {
@@ -109,6 +109,19 @@ class CliSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$dir/out/planet_osm_polygon").count() == 4130L)
     assert(spark.read.parquet(s"$dir/out/planet_osm_line").count() == 3231L)
     assert(spark.read.parquet(s"$dir/out/planet_osm_roads").count() == 375L)
+    // the osm2pgsql_properties analog landed with the import settings
+    // and the PBF header's replication timestamp (store_data_properties)
+    val props = graft.sinks.Properties.load(spark, s"$dir/out/properties")
+    assert(props("prefix") == "planet_osm")
+    assert(props("updatable") == "false") // no --slim
+    assert(props.get("replication_timestamp")
+      .contains("2013-08-03T19:00:02Z"))
+    // when entity timestamps are decoded the newest one is recorded and
+    // is no later than the header's replication timestamp (inputs
+    // without metadata legitimately omit it — properties.feature's
+    // 8-row shape)
+    props.get("current_timestamp")
+      .foreach(ts => assert(ts <= "2013-08-03T19:00:02Z"))
   }
 
   test("CLI create --slim then --append applies a change file") {
@@ -148,6 +161,128 @@ class CliSpec extends SparkSpecBase {
     assert(mid.count() == 1)
     assert(mid.select(col("version")).collect().head
       .getAs[Number](0).longValue == 2L)
+  }
+
+  test("append validates the recorded properties: non-slim import " +
+      "is not updatable; prefix must match") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-props")
+    val in = dir.resolve("base.osm")
+    java.nio.file.Files.write(in,
+      """<osm version="0.6">
+        |<node id="1" lat="50.0" lon="8.0" version="1">
+        |  <tag k="amenity" v="restaurant"/></node>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    val osc = dir.resolve("c.osc")
+    java.nio.file.Files.write(osc,
+      """<osmChange version="0.6">
+        |<modify><node id="1" lat="50.0" lon="8.0" version="2">
+        |  <tag k="amenity" v="cafe"/></node></modify>
+        |</osmChange>""".stripMargin.getBytes("UTF-8"))
+    // a create WITHOUT --slim records updatable=false → append refuses
+    // with the reference's wording (src/osm2pgsql.cpp:300-309)
+    Main.run(spark, Options.parse(Seq(in.toString, "--create",
+      "--output-dir", s"$dir/out")))
+    val e1 = intercept[IllegalArgumentException] {
+      Main.run(spark, Options.parse(Seq(osc.toString, "--append", "--slim",
+        "--output-dir", s"$dir/out")))
+    }
+    assert(e1.getMessage.contains("not updatable"))
+    // a --slim create with the default prefix rejects an append that
+    // names a different one
+    Main.run(spark, Options.parse(Seq(in.toString, "--create", "--slim",
+      "--output-dir", s"$dir/out2")))
+    val e2 = intercept[IllegalArgumentException] {
+      Main.run(spark, Options.parse(Seq(osc.toString, "--append", "--slim",
+        "-p", "other", "--output-dir", s"$dir/out2")))
+    }
+    assert(e2.getMessage.contains("Different table prefix"))
+  }
+
+  test("replication CLI: init from a mirror, update applies the " +
+      "outstanding diffs through the append pipeline, status reports") {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Replication
+    import graft.operators.Replication.State
+    val dir = Files.createTempDirectory("graft-cli-repl")
+    val in = dir.resolve("base.osm")
+    Files.write(in,
+      """<osm version="0.6">
+        |<node id="1" lat="50.0" lon="8.0" version="1">
+        |  <tag k="amenity" v="restaurant"/></node>
+        |<node id="2" lat="50.5" lon="8.5" version="1">
+        |  <tag k="amenity" v="post_box"/></node>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    Main.run(spark, Options.parse(Seq(in.toString, "--create", "--slim",
+      "--output-dir", s"$dir/out")))
+
+    // replication mirror: seq 1 modifies node 1, seq 2 adds node 3
+    val mirror = s"$dir/mirror"
+    def state(seq: Long, ts: String): Unit = {
+      val p = Paths.get(mirror,
+        Replication.sequencePath(seq) + ".state.txt")
+      Files.createDirectories(p.getParent)
+      Files.write(p, State.format(
+        State(seq, java.time.Instant.parse(ts))).getBytes("UTF-8"))
+    }
+    state(0, "2024-01-01T00:00:00Z")
+    state(1, "2024-01-02T00:00:00Z")
+    state(2, "2024-01-03T00:00:00Z")
+    Files.write(Paths.get(mirror, "state.txt"), State.format(
+      State(2, java.time.Instant.parse("2024-01-03T00:00:00Z")))
+      .getBytes("UTF-8"))
+    Files.write(Paths.get(mirror, Replication.sequencePath(1) + ".osc"),
+      """<osmChange version="0.6">
+        |<modify><node id="1" lat="50.0" lon="8.0" version="2">
+        |  <tag k="amenity" v="cafe"/></node></modify>
+        |</osmChange>""".stripMargin.getBytes("UTF-8"))
+    Files.write(Paths.get(mirror, Replication.sequencePath(2) + ".osc"),
+      """<osmChange version="0.6">
+        |<create><node id="3" lat="51.0" lon="9.0" version="1">
+        |  <tag k="amenity" v="bar"/></node></create>
+        |</osmChange>""".stripMargin.getBytes("UTF-8"))
+
+    // init resolves the start sequence from the date by bisection
+    assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq("init",
+      "--output-dir", s"$dir/out", "--server", mirror,
+      "--start-at", "2024-01-01T12:00:00Z"))) == 0)
+
+    // status before update: 2 sequences behind, exit 0
+    assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq("status",
+      "--output-dir", s"$dir/out"))) == 0)
+
+    // update batches both diffs through one k-way-merged append run
+    assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq("update",
+      "--output-dir", s"$dir/out"))) == 0)
+    import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet(s"$dir/out/planet_osm_point")
+      .select(col("osm_id"), col("tags")).collect()
+      .map(r => r.getLong(0) -> r.getMap[String, String](1)("amenity"))
+      .toMap
+    assert(rows == Map(1L -> "cafe", 2L -> "post_box", 3L -> "bar"))
+
+    // status --json after update: up to date, reference's object shape
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq(
+        "status", "--json", "--output-dir", s"$dir/out"))) == 0)
+    }
+    val js = out.toString("UTF-8")
+    assert(js.contains(""""status": 0"""), js)
+    assert(js.contains(""""sequence": 2"""), js)
+    assert(js.contains("2024-01-03T00:00:00Z"), js)
+
+    // a second update is a no-op at the same sequence
+    assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq("update",
+      "--output-dir", s"$dir/out"))) == 0)
+    val props = graft.sinks.Properties.load(spark, s"$dir/out/properties")
+    assert(props("replication_sequence_number") == "2")
+    assert(props("replication_base_url") == mirror)
+
+    // status against a vanished service → exit 3 (reference's code)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(mirror))
+    assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq("status",
+      "--output-dir", s"$dir/out"))) == 3)
   }
 
   test("-O flex runs a compiled FlexConfig end-to-end (Liechtenstein)") {

@@ -155,6 +155,43 @@ class ReplicationSpec extends SparkSpecBase {
     assert(end("replication_sequence_number") == "5")
   }
 
+  test("updateBatched gathers diffs up to the byte cap per apply") {
+    val mirror = mkMirror()
+    val props = Files.createTempDirectory("graft-props").toString + "/p4"
+    Replication.init(spark, props, DirSource(mirror), "x",
+      startAt = Some(Instant.parse("2024-01-02T12:00:00Z")))
+    // start sequence 2 → outstanding: 3, 4, 5 (each diff ~90 bytes)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val fin = Replication.updateBatched(spark, props, DirSource(mirror),
+      batches += _, maxBatchBytes = 1L << 20)
+    assert(fin.sequence == 5L)
+    assert(batches.map(_.size).toSeq == Seq(3)) // one batch holds all
+    assert(batches.head.map(_.takeRight(7)) ==
+      Seq("003.osc", "004.osc", "005.osc"))
+
+    // a cap below two diffs forces single-diff batches; state advances
+    // per batch, so a failure mid-way resumes at the failed batch
+    val props2 = Files.createTempDirectory("graft-props").toString + "/p5"
+    Replication.init(spark, props2, DirSource(mirror), "x",
+      startAt = Some(Instant.parse("2024-01-02T12:00:00Z")))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var failed = false
+    intercept[RuntimeException] {
+      Replication.updateBatched(spark, props2, DirSource(mirror), b => {
+        if (b.head.endsWith("004.osc") && !failed) {
+          failed = true; throw new RuntimeException("apply failed")
+        }
+        sizes += b.size
+      }, maxBatchBytes = 100L)
+    }
+    val mid = graft.sinks.Properties.load(spark, props2)
+    assert(mid("replication_sequence_number") == "3") // 3 applied, 4 not
+    val fin2 = Replication.updateBatched(spark, props2, DirSource(mirror),
+      b => sizes += b.size, maxBatchBytes = 100L)
+    assert(fin2.sequence == 5L)
+    assert(sizes.toSeq == Seq(1, 1, 1))
+  }
+
   test("init without stored info and without start date fails loudly") {
     val mirror = mkMirror()
     val props = Files.createTempDirectory("graft-props").toString + "/p2"
