@@ -107,10 +107,14 @@ object GenMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try GenRunner.runGen(strategy, spark.read.parquet(in), params)
-      .write.mode("overwrite").parquet(out)
+    try run(spark, strategy, in, out, params)
     finally spark.stop()
   }
+
+  def run(spark: SparkSession, strategy: String, in: String, out: String,
+      params: Map[String, String]): Unit =
+    GenRunner.runGen(strategy, spark.read.parquet(in), params)
+      .write.mode("overwrite").parquet(out)
 }
 
 /** Stand-alone expire calculator — the `osm2pgsql-expire` binary

@@ -278,11 +278,40 @@ class CliSpec extends SparkSpecBase {
     assert(props("replication_sequence_number") == "2")
     assert(props("replication_base_url") == mirror)
 
+    // replication.feature: `init` with NO arguments re-initialises
+    // from the stored replication info
+    assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq("init",
+      "--output-dir", s"$dir/out"))) == 0)
+    assert(graft.sinks.Properties.load(spark, s"$dir/out/properties")
+      .apply("replication_sequence_number") == "2")
+
     // status against a vanished service → exit 3 (reference's code)
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(mirror))
     assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq("status",
       "--output-dir", s"$dir/out"))) == 3)
+  }
+
+  test("replication init without any source fails loudly; status " +
+      "before init exits 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-repl2")
+    val in = dir.resolve("base.osm")
+    java.nio.file.Files.write(in,
+      """<osm version="0.6">
+        |<node id="1" lat="50.0" lon="8.0" version="1">
+        |  <tag k="amenity" v="restaurant"/></node>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    // status with no replication state recorded → exit 1
+    Main.run(spark, Options.parse(Seq(in.toString, "--create", "--slim",
+      "--output-dir", s"$dir/out")))
+    assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq("status",
+      "--output-dir", s"$dir/out"))) == 1)
+    // an XML import has no header replication info → init must name one
+    val e = intercept[IllegalArgumentException] {
+      ReplicationMain.run(spark, ReplicationMain.parse(Seq("init",
+        "--output-dir", s"$dir/out")))
+    }
+    assert(e.getMessage.contains("No replication source"))
   }
 
   test("-O flex runs a compiled FlexConfig end-to-end (Liechtenstein)") {
@@ -310,6 +339,23 @@ class CliSpec extends SparkSpecBase {
         "-S", "no.such.Config", "--output-dir", s"$dir/out2")))
     }
     assert(e.getMessage.contains("not found"))
+  }
+
+  test("-O flex relation processing: geometry-less route table " +
+      "(route-relations.lua shape)") {
+    val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    assume(new java.io.File(pbf).exists())
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-routes")
+    Main.run(spark, Options.parse(Seq(pbf, "-O", "flex",
+      "-S", "graft.flex.examples.RouteRelations",
+      "--output-dir", s"$dir/out")))
+    import org.apache.spark.sql.functions.col
+    val routes = spark.read.parquet(s"$dir/out/flex_routes")
+    // tag-inventory goldens of the extract: 38 type=route relations
+    // with a route tag, 17 of them buses; every member list non-empty
+    assert(routes.count() == 38L)
+    assert(routes.where(col("route") === "bus").count() == 17L)
+    assert(routes.where(col("n_members") <= 0).count() == 0L)
   }
 
   test("-O flex -d live-loads the flex tables (bytea geometry)") {

@@ -54,6 +54,19 @@ class GenRunnerSpec extends SparkSpecBase {
     assert(iso(1L) == 10.0) // lower bound (cell size)
   }
 
+  test("GenMain: parquet in → strategy → parquet out (gen binary analog)") {
+    val dir = Files.createTempDirectory("graft-genmain")
+    Seq((1L, 10.0, 4.0), (1L, 30.0, 8.0), (2L, 5.0, 2.0))
+      .toDF("way_id", "len", "width")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    graft.operators.GenMain.run(spark, "rivers", s"$dir/in", s"$dir/out",
+      Map.empty)
+    val got = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getAs[Long]("way_id") ->
+        r.getAs[Double]("avg_width")).toMap
+    assert(got == Map(1L -> 7.0, 2L -> 2.0))
+  }
+
   test("unknown strategy throws like the reference registry") {
     val df = Seq((1, Array.empty[Byte])).toDF("a", "geom")
     intercept[IllegalArgumentException] {
