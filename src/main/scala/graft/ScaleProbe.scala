@@ -167,6 +167,15 @@ object OsmScaleProbe {
       graft.classic.StyleFile.defaultStyle)
     time("classic_polygon_assembly")(t4.polygon.count())
     time("classic_lines")(t4.line.count())
+    // §2.1 expire: dirty-tile cover of every entity at z12 + roll-up
+    // (the CLI -e path, distributed end to end)
+    time("expire_cover_z12") {
+      val cover = graft.operators.Expire.fromOsmEntities(big,
+        graft.operators.TileCover.Config(zoom = 12),
+        maxTilesPerGeometry =
+          graft.operators.TileCover.Limits().maxTilesPerGeometry)
+      graft.operators.Expire.rollup(cover, "x", "y", 12, 10).count()
+    }
     base.unpersistBacking()
     spark.stop()
   }

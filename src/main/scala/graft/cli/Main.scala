@@ -89,11 +89,11 @@ object Main {
           extraAttributes = o.extraAttributes)
         // --slim: persist the middle so --append can pick up from here
         // (the flat-nodes/slim-tables analog: the raw entity frames)
-        if (o.slim) {
-          osm.nodes.write.mode("overwrite").parquet(s"$out/middle/nodes")
-          osm.ways.write.mode("overwrite").parquet(s"$out/middle/ways")
+        if (o.slim && !o.drop) {
+          osm.nodes.write.mode("overwrite").parquet(s"$out/${o.middleDir}/nodes")
+          osm.ways.write.mode("overwrite").parquet(s"$out/${o.middleDir}/ways")
           osm.relations.write.mode("overwrite")
-            .parquet(s"$out/middle/relations")
+            .parquet(s"$out/${o.middleDir}/relations")
         }
         // the osm2pgsql_properties analog (src/osm2pgsql.cpp:102-145):
         // import settings + the single input's PBF-header replication
@@ -113,7 +113,7 @@ object Main {
         graft.sinks.Properties.save(spark, s"$out/properties",
           graft.sinks.Properties.importProperties(osm,
             attributes = o.extraAttributes, prefix = o.prefix,
-            updatable = o.slim, output = o.output,
+            updatable = o.slim && !o.drop, output = o.output,
             style = o.styleFile.getOrElse("default.style")) ++ replProps)
         t
       } else {
@@ -137,9 +137,9 @@ object Main {
         }
         val spark2 = spark
         def loadMiddle = graft.sources.OsmXml.OsmDataFrames(
-          spark2.read.parquet(s"$out/middle/nodes"),
-          spark2.read.parquet(s"$out/middle/ways"),
-          spark2.read.parquet(s"$out/middle/relations"))
+          spark2.read.parquet(s"$out/${o.middleDir}/nodes"),
+          spark2.read.parquet(s"$out/${o.middleDir}/ways"),
+          spark2.read.parquet(s"$out/${o.middleDir}/relations"))
         val before = loadMiddle
         val prev = ClassicPipeline.Tables4(
           spark2.read.parquet(s"$out/${o.prefix}_point"),
@@ -156,7 +156,7 @@ object Main {
           val postgis =
             graft.sinks.ClassicPgLoad.prepareServer(dsn, o.hstore)
           graft.sinks.ClassicPgLoad.append(pgTables, delta, dsn,
-            o.schema, o.hstoreAll, postgis)
+            o.tableSchema, o.hstoreAll, postgis)
         }
         val t = graft.classic.ClassicUpdate.applyDelta(prev, delta)
         // updated middle: latest-version-wins merge of base + changes
@@ -164,10 +164,10 @@ object Main {
         // plans read the CURRENT files, so stage everything first and
         // swap after all actions complete
         merged.nodes.write.mode("overwrite")
-          .parquet(s"$out/middle_new/nodes")
-        merged.ways.write.mode("overwrite").parquet(s"$out/middle_new/ways")
+          .parquet(s"$out/${o.middleDir}_new/nodes")
+        merged.ways.write.mode("overwrite").parquet(s"$out/${o.middleDir}_new/ways")
         merged.relations.write.mode("overwrite")
-          .parquet(s"$out/middle_new/relations")
+          .parquet(s"$out/${o.middleDir}_new/relations")
         t
       }
 
@@ -193,7 +193,7 @@ object Main {
           .moveDirectory(new java.io.File(s"$out/$from"), dst)
       }
       named.foreach { case (name, _) => swap(s"${name}_new", name) }
-      swap("middle_new", "middle")
+      swap(s"${o.middleDir}_new", o.middleDir)
       // advance the recorded data timestamps to the newest applied
       // change (the reference re-runs store_data_properties on append);
       // ISO-8601 Z strings compare correctly as strings
@@ -220,16 +220,16 @@ object Main {
             graft.sinks.ClassicPgLoad.prepareServer(live, o.hstore)
           pgTables.foreach { t =>
             graft.sinks.ClassicPgLoad.createLoad(t,
-              spark.read.parquet(s"$out/${t.name}"), live, o.schema,
-              o.hstoreAll, o.slim, postgis)
+              spark.read.parquet(s"$out/${t.name}"), live, o.tableSchema,
+              o.hstoreAll, o.slim && !o.drop, postgis)
           }
         case None =>
           System.err.println(s"[graft] '$dsn' unreachable — writing " +
             "DDL + COPY artifacts instead of loading live")
           val ddl = pgTables.flatMap(t =>
-            Seq(graft.sinks.PgClassic.dropDdl(t, o.schema),
-              graft.sinks.PgClassic.createDdl(t, o.schema)) ++
-              graft.sinks.PgClassic.postLoadDdl(t, o.slim, o.schema))
+            Seq(graft.sinks.PgClassic.dropDdl(t, o.tableSchema),
+              graft.sinks.PgClassic.createDdl(t, o.tableSchema)) ++
+              graft.sinks.PgClassic.postLoadDdl(t, o.slim, o.tableSchema))
           java.nio.file.Files.writeString(out.resolve("ddl.sql"),
             ddl.mkString("", ";\n", ";\n"))
           pgTables.foreach { t =>
@@ -319,18 +319,18 @@ object Main {
         val postgis =
           graft.sinks.ClassicPgLoad.prepareServer(dsn, needHstore)
         cfg.tables.foreach { t =>
-          val q = s""""${o.schema}"."${t.name}""""
+          val q = s""""${o.tableSchema}"."${t.name}""""
           graft.sinks.PgLive.execOrThrow(dsn,
             s"DROP TABLE IF EXISTS $q;")
           graft.sinks.PgLive.execOrThrow(dsn,
             graft.sinks.PgSink.createTableDdl(t, unlogged = true,
-              o.schema, postgis) + ";")
+              o.tableSchema, postgis) + ";")
           graft.sinks.PgLive.copyInto(dsn, q,
             graft.sinks.PgSink.copyLines(
               spark.read.parquet(s"$out/${t.name}"), t, postgis)
               .toLocalIterator().asScala)
-          graft.sinks.PgSink.postLoadDdl(t, updatable = o.slim,
-            o.schema, postgis)
+          graft.sinks.PgSink.postLoadDdl(t, updatable = o.slim && !o.drop,
+            o.tableSchema, postgis)
             .foreach(d => graft.sinks.PgLive.execOrThrow(dsn, d + ";"))
         }
       }

@@ -10,6 +10,10 @@ final case class Options(
     append: Boolean = false,
     create: Boolean = false,
     slim: Boolean = false,
+    /** --drop: discard the middle after import — fast non-updatable
+      * import (reference: src/osmdata.cpp:420, properties updatable =
+      * slim && !droptemp at src/osm2pgsql.cpp:116) */
+    drop: Boolean = false,
     database: Option[String] = None,
     output: String = "pgsql",
     styleFile: Option[String] = None,
@@ -26,10 +30,25 @@ final case class Options(
     logProgress: String = "auto",
     prefix: String = "planet_osm",
     schema: String = "public",
+    /** --output-pgsql-schema: overrides --schema for the OUTPUT
+      * tables only (reference: src/command-line-parser.cpp:420-424) */
+    outputSchema: Option[String] = None,
+    /** --middle-schema analog: names the directory under --output-dir
+      * holding the persisted middle (default `middle` — our middle is
+      * file-based, so a "schema" is a directory; documented delta) */
+    middleSchema: Option[String] = None,
     /** where the parquet tables / DDL / COPY artifacts land (this
       * engine's sink is files, not a live server, unless a DSN is
       * given AND reachable) */
-    outputDir: String = "graft_out")
+    outputDir: String = "graft_out") {
+
+  /** effective schema for the output tables: --output-pgsql-schema
+    * wins over --schema (src/command-line-parser.cpp:420-424) */
+  def tableSchema: String = outputSchema.getOrElse(schema)
+
+  /** directory name of the persisted middle under [[outputDir]] */
+  def middleDir: String = middleSchema.getOrElse("middle")
+}
 
 object Options {
 
@@ -97,6 +116,7 @@ object Options {
         case "-a" | "--append" => o = o.copy(append = true)
         case "-c" | "--create" => o = o.copy(create = true)
         case "-s" | "--slim"   => o = o.copy(slim = true)
+        case "--drop"          => o = o.copy(drop = true)
         case "-d" | "--database" => o = o.copy(database = Some(arg("-d")))
         case "-O" | "--output" => o = o.copy(output = arg("-O"))
         case "-S" | "--style"  => o = o.copy(styleFile = Some(arg("-S")))
@@ -136,6 +156,10 @@ object Options {
           o = o.copy(logProgress = v)
         case "-p" | "--prefix" => o = o.copy(prefix = arg("-p"))
         case "--schema" => o = o.copy(schema = arg("--schema"))
+        case "--output-pgsql-schema" =>
+          o = o.copy(outputSchema = Some(arg("--output-pgsql-schema")))
+        case "--middle-schema" =>
+          o = o.copy(middleSchema = Some(arg("--middle-schema")))
         case "--output-dir" => o = o.copy(outputDir = arg("--output-dir"))
         case "--tag-transform-script" =>
           val f = arg("--tag-transform-script")
@@ -165,6 +189,17 @@ object Options {
     }
     if (!Seq("pgsql", "flex", "null").contains(o.output))
       fail(s"Unknown output: ${o.output}")
+    // check_identifier (src/command-line-parser.cpp:306,651-663):
+    // schema/prefix names must not carry SQL special characters
+    def checkIdentifier(name: String, in: String): Unit =
+      if (name.exists("\"',.;$%&/()<>{}=?^*#".contains(_)))
+        fail(s"Special characters are not allowed in $in: '$name'.")
+    checkIdentifier(o.prefix, "--prefix parameter")
+    checkIdentifier(o.schema, "--schema parameter")
+    o.outputSchema.foreach(
+      checkIdentifier(_, "--output-pgsql-schema parameter"))
+    o.middleSchema.foreach(
+      checkIdentifier(_, "--middle-schema parameter"))
     o
   }
 }

@@ -46,6 +46,7 @@ object ReplicationMain {
       startAt: Option[Instant] = None,
       once: Boolean = false,
       maxDiffMb: Long = 500,
+      postProcessing: Option[String] = None,
       json: Boolean = false,
       numProcesses: Int = 1,
       extras: Seq[String] = Nil)
@@ -87,6 +88,8 @@ object ReplicationMain {
           val v = value(f)
           o = o.copy(maxDiffMb = v.toLongOption.getOrElse(
             Options.fail(s"Invalid --max-diff-size '$v'")))
+        case f @ "--post-processing" =>
+          o = o.copy(postProcessing = Some(value(f)))
         case "--json" => o = o.copy(json = true); rest = rest.tail
         case f @ ("--number-processes" | "-j") =>
           val v = value(f)
@@ -164,9 +167,21 @@ object ReplicationMain {
         Seq("--append", "--slim", "--output-dir", o.outputDir) ++
           o.extras ++ paths))
     }
+    // --post-processing: the script runs after each successful batch
+    // with (sequence, timestamp); a non-zero exit fails the batch and
+    // leaves the replication state untouched (reference :493-501)
+    val postBatch: (Long, Instant) => Unit = o.postProcessing match {
+      case None => (_, _) => ()
+      case Some(script) => (seq, ts) =>
+        val code = new ProcessBuilder(script, seq.toString, ts.toString)
+          .inheritIO().start().waitFor()
+        if (code != 0) throw new IllegalStateException(
+          s"Post-processing '$script' failed with exit code $code")
+    }
     val fin = Replication.updateBatched(spark, propsPath(o),
       sourceFor(baseUrl), applyBatch,
-      maxBatchBytes = o.maxDiffMb * 1024L * 1024L, once = o.once)
+      maxBatchBytes = o.maxDiffMb * 1024L * 1024L, once = o.once,
+      postBatch = postBatch)
     println(s"Database is up to date with sequence ${fin.sequence} " +
       s"( ${fin.timestamp} )")
     0

@@ -204,10 +204,15 @@ object Replication {
     * wins, exactly the reference's concatenated-tempfile semantics),
     * and the persisted state advances to the batch's last sequence
     * only after the apply succeeds. `maxBatchBytes <= 0` forces
-    * single-diff batches. `once` stops after the first batch. */
+    * single-diff batches. `once` stops after the first batch.
+    * `postBatch` is the `--post-processing` hook: invoked with the
+    * batch's (sequence, timestamp) after a successful apply and
+    * BEFORE the state save — a throw leaves the replication state
+    * untouched, so the next run redownloads and reapplies. */
   def updateBatched(spark: SparkSession, propsPath: String, source: Source,
       applyBatch: Seq[String] => Unit, maxBatchBytes: Long,
-      once: Boolean = false): State = {
+      once: Boolean = false,
+      postBatch: (Long, Instant) => Unit = (_, _) => ()): State = {
     val stored = Properties.load(spark, propsPath)
     val baseUrl = stored.getOrElse(KeyBase, throw new IllegalStateException(
       "updates not set up correctly — run init first"))
@@ -248,6 +253,7 @@ object Replication {
         applyBatch(b.map(_._2)) // throws on failure -> state NOT advanced
         seq = b.last._1
         ts = source.stateInfo(Some(seq)).map(_.timestamp).getOrElse(ts)
+        postBatch(seq, ts) // --post-processing: throws -> state untouched
         // merge into a FRESH load: applyBatch may have written other
         // keys (import stats, current_timestamp) to the same store —
         // the entry-time `stored` snapshot would silently revert them

@@ -91,6 +91,25 @@ class CliSpec extends SparkSpecBase {
       "zoom level must be larger than 0.")
   }
 
+  test("schema options: precedence and identifier validation") {
+    // --output-pgsql-schema wins over --schema for the output tables
+    assert(opt("--schema", "osm").tableSchema == "osm")
+    assert(opt("--schema", "osm", "--output-pgsql-schema", "out")
+      .tableSchema == "out")
+    assert(opt("--output-pgsql-schema", "out").schema == "public")
+    // --middle-schema names the middle directory (file-based analog)
+    assert(opt().middleDir == "middle")
+    assert(opt("--middle-schema", "mid").middleDir == "mid")
+    // check_identifier wording for special characters
+    bad(Seq("--schema", "a;b", "in.osm"),
+      "Special characters are not allowed in --schema parameter: 'a;b'.")
+    bad(Seq("--prefix", "p$x", "in.osm"),
+      "Special characters are not allowed in --prefix parameter: 'p$x'.")
+    bad(Seq("--output-pgsql-schema", "a\"b", "in.osm"),
+      "Special characters are not allowed in --output-pgsql-schema " +
+        "parameter: 'a\"b'.")
+  }
+
   test("parsing log-level and log-progress") {
     Seq("debug", "info", "warn", "warning", "error")
       .foreach(l => opt("--log-level", l))
@@ -198,6 +217,34 @@ class CliSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("Different table prefix"))
   }
 
+  test("--drop: slim import discards the middle and is not updatable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-drop")
+    val in = dir.resolve("base.osm")
+    java.nio.file.Files.write(in,
+      """<osm version="0.6">
+        |<node id="1" lat="50.0" lon="8.0" version="1">
+        |  <tag k="amenity" v="restaurant"/></node>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    Main.run(spark, Options.parse(Seq(in.toString, "--create", "--slim",
+      "--drop", "--output-dir", s"$dir/out")))
+    // tables landed, middle did not (src/osmdata.cpp:420)
+    assert(spark.read.parquet(s"$dir/out/planet_osm_point").count() == 1L)
+    assert(!new java.io.File(s"$dir/out/middle").exists())
+    // properties record updatable = slim && !drop (src/osm2pgsql.cpp:116)
+    assert(graft.sinks.Properties.load(spark, s"$dir/out/properties")
+      .apply("updatable") == "false")
+    val osc = dir.resolve("c.osc")
+    java.nio.file.Files.write(osc,
+      """<osmChange version="0.6">
+        |<delete><node id="1" lat="50.0" lon="8.0" version="2"/></delete>
+        |</osmChange>""".stripMargin.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Options.parse(Seq(osc.toString, "--append", "--slim",
+        "--output-dir", s"$dir/out")))
+    }
+    assert(e.getMessage.contains("not updatable"))
+  }
+
   test("replication CLI: init from a mirror, update applies the " +
       "outstanding diffs through the append pipeline, status reports") {
     import java.nio.file.{Files, Paths}
@@ -250,9 +297,19 @@ class CliSpec extends SparkSpecBase {
     assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq("status",
       "--output-dir", s"$dir/out"))) == 0)
 
-    // update batches both diffs through one k-way-merged append run
+    // update batches both diffs through one k-way-merged append run;
+    // --post-processing receives the batch's (sequence, timestamp)
+    val post = dir.resolve("post.sh")
+    Files.write(post,
+      s"#!/bin/sh\necho \"$$1 $$2\" >> $dir/post.log\n"
+        .getBytes("UTF-8"))
+    post.toFile.setExecutable(true)
     assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq("update",
-      "--output-dir", s"$dir/out"))) == 0)
+      "--output-dir", s"$dir/out",
+      "--post-processing", post.toString))) == 0)
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$dir/post.log")), "UTF-8").trim
+      == "2 2024-01-03T00:00:00Z")
     import org.apache.spark.sql.functions.col
     val rows = spark.read.parquet(s"$dir/out/planet_osm_point")
       .select(col("osm_id"), col("tags")).collect()
@@ -447,6 +504,26 @@ class CliSpec extends SparkSpecBase {
     // and the column is populated either way
     assert(graft.sinks.PgLive.queryOne(dsn,
       """SELECT "amenity" FROM "public"."hs_all_point";""") == "cafe")
+  }
+
+  test("-d live: --output-pgsql-schema loads into that schema " +
+      "(schema.feature)") {
+    assume(PgTestCluster.up, "no runnable PostgreSQL in this environment")
+    val dsn = PgTestCluster.dsn
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-schema")
+    val in = dir.resolve("base.osm")
+    java.nio.file.Files.write(in,
+      """<osm version="0.6">
+        |<node id="3948" lat="-20.1444" lon="22.45" version="1">
+        |  <tag k="highway" v="bus_stop"/><tag k="name" v="Bus"/></node>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    graft.sinks.PgLive.execOrThrow(dsn,
+      "CREATE SCHEMA IF NOT EXISTS osm;")
+    Main.run(spark, Options.parse(Seq(in.toString, "--create",
+      "--output-dir", s"$dir/out", "-d", dsn,
+      "--output-pgsql-schema", "osm")))
+    assert(graft.sinks.PgLive.queryOne(dsn,
+      """SELECT count(*) FROM "osm"."planet_osm_point";""").toLong == 1L)
   }
 
   test("end-to-end CLI run: tables, expire list, jdbc url") {

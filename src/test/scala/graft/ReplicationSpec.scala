@@ -192,6 +192,33 @@ class ReplicationSpec extends SparkSpecBase {
     assert(sizes.toSeq == Seq(1, 1, 1))
   }
 
+  test("post-batch hook: runs per batch with (seq, ts); a throw " +
+      "leaves the state untouched (--post-processing semantics)") {
+    val mirror = mkMirror()
+    val props = Files.createTempDirectory("graft-props").toString + "/p6"
+    Replication.init(spark, props, DirSource(mirror), "x",
+      startAt = Some(Instant.parse("2024-01-02T12:00:00Z")))
+    var calls = 0
+    intercept[RuntimeException] {
+      Replication.updateBatched(spark, props, DirSource(mirror),
+        _ => (), maxBatchBytes = 100L, postBatch = (_, _) => {
+          calls += 1; throw new RuntimeException("post failed")
+        })
+    }
+    assert(calls == 1)
+    // batch 3 applied but post failed -> state still at the init seq 2,
+    // so the next run redownloads and reapplies 3
+    assert(graft.sinks.Properties.load(spark, props)
+      .apply("replication_sequence_number") == "2")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Instant)]
+    Replication.updateBatched(spark, props, DirSource(mirror),
+      _ => (), maxBatchBytes = 100L, postBatch = (s, t) => seen += s -> t)
+    assert(seen.toSeq == Seq(
+      3L -> Instant.parse("2024-01-03T00:00:00Z"),
+      4L -> Instant.parse("2024-01-04T00:00:00Z"),
+      5L -> Instant.parse("2024-01-05T00:00:00Z")))
+  }
+
   test("init without stored info and without start date fails loudly") {
     val mirror = mkMirror()
     val props = Files.createTempDirectory("graft-props").toString + "/p2"
