@@ -46,16 +46,26 @@ object ClassicPipeline {
       .otherwise(v.isin("yes", "true", "1"))
 
   private def exportFilter(style: Style, osmType: String,
-      hstore: Boolean): Column = {
+      hstore: Boolean, keepCoastlines: Boolean = false,
+      hstoreColumns: Seq[String] = Nil): Column = {
     val exact = style.exportKeys(osmType).toSet.toSeq
     map_filter(col("tags"), (k, v) => {
       // hstore mode (-k/-j): unmatched keys also keep the object and
-      // are copied to the hstore (src/tagtransform-c.cpp:126-151);
-      // polygon flags still come only from exact style matches
-      val inExport = if (hstore) lit(true) else k.isInCollection(exact)
+      // are copied to the hstore; a -z/--hstore-column prefix match
+      // keeps a tag even without -k (check_key,
+      // src/tagtransform-c.cpp:126-149); polygon flags still come
+      // only from exact style matches
+      val inExport =
+        if (hstore) lit(true)
+        else hstoreColumns.foldLeft(k.isInCollection(exact))(
+          (c, h) => c || k.startsWith(h))
       // full wild_match delete semantics (src/wildcmp.cpp)
       val deleted = TagFunctions.deleteHit(k, style.deleteKeys)
-      val coastline = k === "natural" && v === "coastline"
+      // natural=coastline is discarded unless -K/--keep-coastlines
+      // (src/tagtransform-c.cpp:182-190; add_area_tag fires either way)
+      val coastline =
+        if (keepCoastlines) lit(false)
+        else k === "natural" && v === "coastline"
       inExport && !deleted && !coastline
     })
   }
@@ -69,20 +79,41 @@ object ClassicPipeline {
   private def withFilter(df: DataFrame, style: Style, osmType: String,
       wantPolygon: Boolean, hstore: Boolean = false,
       hstoreMatchOnly: Boolean = false,
-      extraAttributes: Boolean = false): DataFrame = {
+      extraAttributes: Boolean = false,
+      keepCoastlines: Boolean = false,
+      hstoreColumns: Seq[String] = Nil): DataFrame = {
     val listType = if (osmType == "relation") "way" else osmType
-    val out = exportFilter(style, listType, hstore)
+    val out = exportFilter(style, listType, hstore, keepCoastlines,
+      hstoreColumns)
+    // the keep decision counts only export-list hits — the area=yes
+    // append below happens AFTER `filter` is settled, so an object
+    // whose only tag is natural=coastline is dropped without -K
+    // (filter_tags: the coastline `continue` skips check_key,
+    // src/tagtransform-c.cpp:181-190)
     val base0 = df
       .where(size(col("tags")) > 0) // ignore_untagged_objects default
       .withColumn("__coast", col("tags").getItem("natural") <=> "coastline")
-      .withColumn("__outtags",
-        when(col("__coast") && !map_contains_key(out, "area"),
-          map_concat(out, map(lit("area"), lit("yes")))).otherwise(out))
+      .withColumn("__exptags", out)
       .withColumn("__matched",
-        if (hstore && hstoreMatchOnly)
-          size(exportFilter(style, listType, hstore = false)) > 0
-        else size(col("__outtags")) > 0)
-      .withColumn("__keep", col("__matched") || col("__coast"))
+        // --hstore-match-only: neither the hstore copy-all nor a -z
+        // prefix hit counts toward keeping the object — only exact
+        // export-list matches do (check_key's match_only guards)
+        if (hstoreMatchOnly && (hstore || hstoreColumns.nonEmpty))
+          size(exportFilter(style, listType, hstore = false,
+            keepCoastlines)) > 0
+        else size(col("__exptags")) > 0)
+      .withColumn("__keep", col("__matched"))
+      // ways only (the polygon out-param is null for nodes and the
+      // relation prefilter, src/output-pgsql.cpp:206,243): coastline
+      // forces the polygon flag and appends area=yes to the output
+      // tags (add_area_tag, src/tagtransform-c.cpp:200-204)
+      .withColumn("__outtags",
+        if (!wantPolygon) col("__exptags")
+        else when(
+          col("__coast") && !map_contains_key(col("__exptags"), "area"),
+          map_concat(col("__exptags"), map(lit("area"), lit("yes"))))
+          .otherwise(col("__exptags")))
+      .drop("__exptags")
     // -x: pseudo-tags join the OUTPUT tags only, AFTER the keep
     // decision — add_attributes runs after the filter loop and never
     // clears it (src/tagtransform-c.cpp:191-198), so an object whose
@@ -140,17 +171,36 @@ object ClassicPipeline {
       subset: Subset = Subset(), hstore: Boolean = false,
       hstoreMatchOnly: Boolean = false,
       extraAttributes: Boolean = false,
-      tagTransform: TagTransform = TagTransform()): Tables4 = {
+      tagTransform: TagTransform = TagTransform(),
+      keepCoastlines: Boolean = false,
+      multiGeometry: Boolean = false,
+      reprojectArea: Boolean = false,
+      hstoreColumns: Seq[String] = Nil): Tables4 = {
     val spark = osm.nodes.sparkSession
     val splitAt = if (srid == Srid.WGS84) 1.0 else 100 * 1000.0
 
     def project(g: Geometry): Geometry = GeomOps.transform(g, srid)
+    // calculate_area (src/output-pgsql.cpp:45-56): default = planar
+    // area of the geometry in the OUTPUT projection; --reproject-area
+    // = area of the 4326 geometry transformed to 3857, regardless of
+    // the output projection
+    def areaOf(g4326: Geometry, projected: Geometry): Double =
+      if (reprojectArea)
+        GeomOps.area(GeomOps.transform(g4326, Srid.WebMercator))
+      else GeomOps.area(projected)
 
     // way polygon: closed + valid → one EWKB or null (no fallback)
     val wayPolygonUdf = udf((lons: Seq[Double], lats: Seq[Double]) =>
       FromOsm.createPolygon(toPts(lons, lats)) match {
         case _: NullGeom => null
         case g           => Ewkb.encode(project(g))
+      })
+    // --reproject-area way path: 3857 area from the raw 4326 ring
+    val wayReprojAreaUdf = udf((lons: Seq[Double], lats: Seq[Double]) =>
+      FromOsm.createPolygon(toPts(lons, lats)) match {
+        case _: NullGeom => null.asInstanceOf[java.lang.Double]
+        case g => java.lang.Double.valueOf(
+          GeomOps.area(GeomOps.transform(g, Srid.WebMercator)))
       })
     // way line: linestring → transform → segmentize → split pieces
     val wayLineUdf = udf((lons: Seq[Double], lats: Seq[Double]) =>
@@ -172,12 +222,21 @@ object ClassicPipeline {
             .map(Ewkb.encode(_))
       }
     })
-    // relation polygon: multipolygon assembly → split → transform
+    // relation polygon: multipolygon assembly → split → transform;
+    // -G/--multi-geometry skips the split (split_multi(geom, false),
+    // src/output-pgsql.cpp:302-304) and each emitted piece carries its
+    // way_area per calculate_area so --reproject-area stays aligned
+    // with the 4326 piece it was computed from
     val relPolyUdf = udf((ways: Seq[Seq[Double]], wayLats: Seq[Seq[Double]]) => {
       val pts = ways.zip(wayLats).map { case (lons, lats) => toPts(lons, lats) }
       FromOsm.createMultiPolygon(pts) match {
-        case _: NullGeom => Seq.empty[Array[Byte]]
-        case g => GeomOps.splitMulti(g).map(p => Ewkb.encode(project(p)))
+        case _: NullGeom => Seq.empty[(Array[Byte], Double)]
+        case g =>
+          val pieces = if (multiGeometry) Seq(g) else GeomOps.splitMulti(g)
+          pieces.map { p =>
+            val proj = project(p)
+            (Ewkb.encode(proj), areaOf(p, proj))
+          }
       }
     })
 
@@ -187,7 +246,9 @@ object ClassicPipeline {
       .getOrElse(withFilter(restrict(osm.nodes, subset.nodeIds), style,
         "node", wantPolygon = false, hstore = hstore,
         hstoreMatchOnly = hstoreMatchOnly,
-        extraAttributes = extraAttributes))
+        extraAttributes = extraAttributes,
+        keepCoastlines = keepCoastlines,
+        hstoreColumns = hstoreColumns))
     val points = filteredNodes
       .where(col("__keep") && size(col("__outtags")) > 0)
       .select(col("id").as("osm_id"), col("__outtags").as("tags"),
@@ -199,7 +260,9 @@ object ClassicPipeline {
       .getOrElse(withFilter(restrict(osm.ways, subset.wayIds), style,
         "way", wantPolygon = true, hstore = hstore,
         hstoreMatchOnly = hstoreMatchOnly,
-        extraAttributes = extraAttributes))
+        extraAttributes = extraAttributes,
+        keepCoastlines = keepCoastlines,
+        hstoreColumns = hstoreColumns))
     val keptWays0 = filteredWays
       .where(col("__keep") && size(col("__outtags")) > 0)
       .where(size(col("nodes")) > 0) // ANSI element_at guard; no-ref ways
@@ -222,15 +285,16 @@ object ClassicPipeline {
     // serialized with {:g} (6 significant digits, util::double_to_buffer_t
     // src/util.hpp:28-45) then parsed by PG as real
     // reproject_area=false default → area in output projection)
+    val wayAreaCol =
+      if (reprojectArea) wayReprojAreaUdf(col("lons"), col("lats"))
+      else graft.expressions.GeomExpressions.stAreaN(col("geom"))
     val wayPolyRows = waysGeo
       .where(col("__polygon") && col("__closed"))
       .withColumn("geom", wayPolygonUdf(col("lons"), col("lats")))
       .where(col("geom").isNotNull)
       .select(col("id").as("osm_id"), col("__outtags").as("tags"),
         col("__z").as("z_order"), col("geom"),
-        format_string("%g",
-          graft.expressions.GeomExpressions.stAreaN(col("geom")))
-          .cast("float").as("way_area"))
+        format_string("%g", wayAreaCol).cast("float").as("way_area"))
 
     val wayLineRows = waysGeo
       .where(!(col("__polygon") && col("__closed")))
@@ -253,7 +317,9 @@ object ClassicPipeline {
       .getOrElse(withFilter(typed, style, "relation",
         wantPolygon = false, hstore = hstore,
         hstoreMatchOnly = hstoreMatchOnly,
-        extraAttributes = extraAttributes)
+        extraAttributes = extraAttributes,
+        keepCoastlines = keepCoastlines,
+        hstoreColumns = hstoreColumns)
         .withColumn("__outtags",
           map_filter(col("__outtags"), (k, _) => k =!= "type")))
     val keptRels = filteredRels
@@ -296,12 +362,10 @@ object ClassicPipeline {
 
     val relPolyRows = relsGeo
       .where(col("__boundary") || col("__mkpoly"))
-      .withColumn("geom", explode(relPolyUdf(col("mlons"), col("mlats"))))
+      .withColumn("__pg", explode(relPolyUdf(col("mlons"), col("mlats"))))
       .select((-col("id")).as("osm_id"), col("__outtags").as("tags"),
-        col("__z").as("z_order"), col("geom"),
-        format_string("%g",
-          graft.expressions.GeomExpressions.stAreaN(col("geom")))
-          .cast("float").as("way_area"))
+        col("__z").as("z_order"), col("__pg._1").as("geom"),
+        format_string("%g", col("__pg._2")).cast("float").as("way_area"))
 
     val line = wayLineRows.unionByName(relLineRows)
     Tables4(

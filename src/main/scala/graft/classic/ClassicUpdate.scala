@@ -62,16 +62,23 @@ object ClassicUpdate {
       prev: ClassicPipeline.Tables4, style: Style,
       srid: Int = graft.geom.Srid.WebMercator,
       hstore: Boolean = false, hstoreMatchOnly: Boolean = false,
-      extraAttributes: Boolean = false): ClassicPipeline.Tables4 =
+      extraAttributes: Boolean = false,
+      keepCoastlines: Boolean = false, multiGeometry: Boolean = false,
+      reprojectArea: Boolean = false,
+      hstoreColumns: Seq[String] = Nil): ClassicPipeline.Tables4 =
     applyDelta(prev, computeDelta(before, changes, style, srid,
-      hstore, hstoreMatchOnly, extraAttributes))
+      hstore, hstoreMatchOnly, extraAttributes,
+      keepCoastlines, multiGeometry, reprojectArea, hstoreColumns))
 
   /** Steps 1-3 of [[incrementalUpdate]]: the id closures plus the
     * re-derived rows, without merging into previous tables. */
   def computeDelta(before: OsmDataFrames, changes: OsmDataFrames,
       style: Style, srid: Int = graft.geom.Srid.WebMercator,
       hstore: Boolean = false, hstoreMatchOnly: Boolean = false,
-      extraAttributes: Boolean = false): Delta = {
+      extraAttributes: Boolean = false,
+      keepCoastlines: Boolean = false, multiGeometry: Boolean = false,
+      reprojectArea: Boolean = false,
+      hstoreColumns: Seq[String] = Nil): Delta = {
     val after = applyChanges(before, changes)
 
     val changedNodes = changes.nodes.select(col("id")).distinct()
@@ -93,6 +100,8 @@ object ClassicUpdate {
     val rederived = ClassicPipeline.run(after, style, srid,
       hstore = hstore, hstoreMatchOnly = hstoreMatchOnly,
       extraAttributes = extraAttributes,
+      keepCoastlines = keepCoastlines, multiGeometry = multiGeometry,
+      reprojectArea = reprojectArea, hstoreColumns = hstoreColumns,
       subset = ClassicPipeline.Subset(Some(changedNodes), Some(pendingWays),
         Some(pendingRels)))
     Delta(changedNodes, pendingWays, pendingRels, rederived)

@@ -49,7 +49,7 @@ object Main {
   }
 
   def run(spark: SparkSession, o: Options): Unit = {
-    val osm0 = OsmSource.read(spark, o.inputFiles)
+    val osm0 = OsmSource.read(spark, o.inputFiles, o.inputReader)
     val nodes = o.bbox match {
       case Some((minLon, minLat, maxLon, maxLat)) =>
         Validate.bboxFilter(osm0.nodes, minLon, minLat, maxLon, maxLat)
@@ -80,13 +80,20 @@ object Main {
     // degrades to artifacts (create mode) with a note
     val liveDsn: Option[String] =
       o.database.filter(graft.sinks.PgLive.reachable)
-    val pgTables = graft.sinks.PgClassic.tables(o.prefix, style, o.hstore)
+    val pgTables = graft.sinks.PgClassic.tables(o.prefix, style, o.hstore,
+      o.hstoreColumns, o.srid)
+    // the hstore extension is needed for -k/-j AND for any -z column
+    val needHstore = o.hstore || o.hstoreColumns.nonEmpty
 
     val tables =
       if (!o.append) {
-        val t = ClassicPipeline.run(osm, style,
+        val t = ClassicPipeline.run(osm, style, srid = o.srid,
           hstore = o.hstore, hstoreMatchOnly = o.hstoreMatchOnly,
-          extraAttributes = o.extraAttributes)
+          extraAttributes = o.extraAttributes,
+          keepCoastlines = o.keepCoastlines,
+          multiGeometry = o.multiGeometry,
+          reprojectArea = o.reprojectArea,
+          hstoreColumns = o.hstoreColumns)
         // --slim: persist the middle so --append can pick up from here
         // (the flat-nodes/slim-tables analog: the raw entity frames)
         if (o.slim && !o.drop) {
@@ -114,7 +121,11 @@ object Main {
           graft.sinks.Properties.importProperties(osm,
             attributes = o.extraAttributes, prefix = o.prefix,
             updatable = o.slim && !o.drop, output = o.output,
-            style = o.styleFile.getOrElse("default.style")) ++ replProps)
+            style = o.styleFile.getOrElse("default.style"),
+            // the reference stores the ABSOLUTE flat-nodes path
+            // (src/osm2pgsql.cpp:210)
+            flatNodeFile = o.flatNodes.map(f => java.nio.file.Paths
+              .get(f).toAbsolutePath.toString).getOrElse("")) ++ replProps)
         t
       } else {
         // the reference's append flow (src/osmdata.cpp:371-406):
@@ -147,14 +158,18 @@ object Main {
           spark2.read.parquet(s"$out/${o.prefix}_polygon"),
           spark2.read.parquet(s"$out/${o.prefix}_roads"))
         val delta = graft.classic.ClassicUpdate.computeDelta(
-          before, osm, style,
+          before, osm, style, srid = o.srid,
           hstore = o.hstore, hstoreMatchOnly = o.hstoreMatchOnly,
-          extraAttributes = o.extraAttributes)
+          extraAttributes = o.extraAttributes,
+          keepCoastlines = o.keepCoastlines,
+          multiGeometry = o.multiGeometry,
+          reprojectArea = o.reprojectArea,
+          hstoreColumns = o.hstoreColumns)
         // the live delete-before-insert must run BEFORE the staged
         // parquet swap below — its plans read the current files
         liveDsn.foreach { dsn =>
           val postgis =
-            graft.sinks.ClassicPgLoad.prepareServer(dsn, o.hstore)
+            graft.sinks.ClassicPgLoad.prepareServer(dsn, needHstore)
           graft.sinks.ClassicPgLoad.append(pgTables, delta, dsn,
             o.tableSchema, o.hstoreAll, postgis)
         }
@@ -217,19 +232,25 @@ object Main {
       liveDsn match {
         case Some(live) =>
           val postgis =
-            graft.sinks.ClassicPgLoad.prepareServer(live, o.hstore)
+            graft.sinks.ClassicPgLoad.prepareServer(live, needHstore)
           pgTables.foreach { t =>
             graft.sinks.ClassicPgLoad.createLoad(t,
               spark.read.parquet(s"$out/${t.name}"), live, o.tableSchema,
-              o.hstoreAll, o.slim && !o.drop, postgis)
+              o.hstoreAll, o.slim && !o.drop, postgis,
+              hstoreIndex = o.hstoreAddIndex,
+              tablespace = o.tablespaceMainData,
+              tablespaceIndex = o.tablespaceMainIndex)
           }
         case None =>
           System.err.println(s"[graft] '$dsn' unreachable — writing " +
             "DDL + COPY artifacts instead of loading live")
           val ddl = pgTables.flatMap(t =>
             Seq(graft.sinks.PgClassic.dropDdl(t, o.tableSchema),
-              graft.sinks.PgClassic.createDdl(t, o.tableSchema)) ++
-              graft.sinks.PgClassic.postLoadDdl(t, o.slim, o.tableSchema))
+              graft.sinks.PgClassic.createDdl(t, o.tableSchema,
+                tablespace = o.tablespaceMainData)) ++
+              graft.sinks.PgClassic.postLoadDdl(t, o.slim, o.tableSchema,
+                hstoreIndex = o.hstoreAddIndex,
+                tablespaceIndex = o.tablespaceMainIndex))
           java.nio.file.Files.writeString(out.resolve("ddl.sql"),
             ddl.mkString("", ";\n", ";\n"))
           pgTables.foreach { t =>
@@ -248,16 +269,19 @@ object Main {
     // per-geometry cap inside the cover, the overall cap on the
     // streamed write — the tile list is never collected whole.
     if (o.expireZoomMax > 0) {
-      val limits = graft.operators.TileCover.Limits()
-      val cover = graft.operators.Expire.fromOsmEntities(osm,
-        graft.operators.TileCover.Config(zoom = o.expireZoomMax),
-        maxTilesPerGeometry = limits.maxTilesPerGeometry)
-      val tiles = graft.operators.Expire.rollup(cover, "x", "y",
-        o.expireZoomMax, o.expireZoomMin)
       val dest = o.expireOutput.getOrElse(s"$out/dirty_tiles.txt")
       val w = java.nio.file.Files.newBufferedWriter(
         java.nio.file.Paths.get(dest))
-      try {
+      // tile expiry only applies in web-mercator output — the
+      // reference's expire_tiles::from_geometry_if_3857 is a no-op for
+      // any other projection, leaving the expire file empty
+      try if (o.srid == graft.geom.Srid.WebMercator) {
+        val limits = graft.operators.TileCover.Limits()
+        val cover = graft.operators.Expire.fromOsmEntities(osm,
+          graft.operators.TileCover.Config(zoom = o.expireZoomMax),
+          maxTilesPerGeometry = limits.maxTilesPerGeometry)
+        val tiles = graft.operators.Expire.rollup(cover, "x", "y",
+          o.expireZoomMax, o.expireZoomMin)
         val it = graft.operators.Expire.formatTiles(tiles)
           .orderBy("tile").toLocalIterator()
         var n = 0L

@@ -20,7 +20,55 @@ final case class Options(
     hstore: Boolean = false,
     hstoreAll: Boolean = false,
     hstoreMatchOnly: Boolean = false,
+    /** -z/--hstore-column PREFIX (repeatable): one extra hstore column
+      * per prefix, holding `shortkey=>value` for every tag whose key
+      * starts with the prefix (src/table.cpp:322-345) */
+    hstoreColumns: Seq[String] = Nil,
+    /** --hstore-add-index: GIN indexes on the hstore column(s) after
+      * load (src/table.cpp:228-239); downgraded with the reference's
+      * warning when no hstore is enabled (command-line-parser.cpp:195) */
+    hstoreAddIndex: Boolean = false,
     extraAttributes: Boolean = false,
+    /** output SRID: 3857 (-m, default) or 4326 (-l); the reference's
+      * generic --proj/-E PROJ path is a documented delta (it is
+      * optional upstream too, src/reprojection-generic-none.cpp) */
+    srid: Int = graft.geom.Srid.WebMercator,
+    /** -K/--keep-coastlines: keep natural=coastline tags instead of
+      * discarding them (src/tagtransform-c.cpp:182-190) */
+    keepCoastlines: Boolean = false,
+    /** -G/--multi-geometry: write relation multipolygons as ONE row
+      * instead of splitting into parts (src/output-pgsql.cpp:302-304) */
+    multiGeometry: Boolean = false,
+    /** --reproject-area: way_area computed in 3857 regardless of the
+      * output projection (src/output-pgsql.cpp:45-56) */
+    reprojectArea: Boolean = false,
+    /** -r/--input-reader: 'auto' (detect, default) or an explicit
+      * format; validated against the supported set */
+    inputReader: String = "auto",
+    /** -C/--cache MB: RAM cache for the node store. Spark's middle is
+      * partitioned parquet + executor memory, so the value only feeds
+      * validation ("RAM cache cannot be negative.") and properties */
+    cacheMb: Long = 800,
+    /** -F/--flat-nodes: location-store path analog — recorded in the
+      * properties store and validated on append like the reference
+      * (src/properties.cpp flat_node_file); the actual node store is
+      * the partitioned middle */
+    flatNodes: Option[String] = None,
+    /** --middle-with-nodes: with a flat-nodes store, ALSO keep tagged
+      * nodes in the middle (recorded; our middle always keeps nodes) */
+    middleWithNodes: Boolean = false,
+    /** -I/--disable-parallel-indexing: post-load indexes are built
+      * sequentially (our index DDL already runs per-table in one
+      * session; parsed for compatibility) */
+    disableParallelIndexing: Boolean = false,
+    /** --tablespace-main-data / --tablespace-main-index: TABLESPACE
+      * clauses on output tables / their indexes (src/table.cpp:80,128;
+      * tablespace_clause). slim variants apply to the middle, which is
+      * parquet here — parsed, recorded, no DDL (documented delta) */
+    tablespaceMainData: Option[String] = None,
+    tablespaceMainIndex: Option[String] = None,
+    tablespaceSlimData: Option[String] = None,
+    tablespaceSlimIndex: Option[String] = None,
     bbox: Option[(Double, Double, Double, Double)] = None,
     expireZoomMin: Int = 0,
     expireZoomMax: Int = 0,
@@ -124,8 +172,36 @@ object Options {
         case "-j" | "--hstore-all" =>
           o = o.copy(hstore = true, hstoreAll = true)
         case "--hstore-match-only" => o = o.copy(hstoreMatchOnly = true)
+        case "-z" | "--hstore-column" =>
+          o = o.copy(hstoreColumns = o.hstoreColumns :+ arg("-z"))
+        case "--hstore-add-index" => o = o.copy(hstoreAddIndex = true)
         case "-x" | "--extra-attributes" =>
           o = o.copy(extraAttributes = true)
+        case "-l" | "--latlong" => o = o.copy(srid = graft.geom.Srid.WGS84)
+        case "-m" | "--merc" => o = o.copy(srid = graft.geom.Srid.WebMercator)
+        case "-K" | "--keep-coastlines" => o = o.copy(keepCoastlines = true)
+        case "-G" | "--multi-geometry" => o = o.copy(multiGeometry = true)
+        case "--reproject-area" => o = o.copy(reprojectArea = true)
+        case "-r" | "--input-reader" => o = o.copy(inputReader = arg("-r"))
+        case "-C" | "--cache" =>
+          val v = arg("-C")
+          o = o.copy(cacheMb = v.toLongOption.getOrElse(
+            fail(s"Bad argument for option --cache: $v")))
+        case "-F" | "--flat-nodes" => o = o.copy(flatNodes = Some(arg("-F")))
+        case "--middle-with-nodes" => o = o.copy(middleWithNodes = true)
+        case "-I" | "--disable-parallel-indexing" =>
+          o = o.copy(disableParallelIndexing = true)
+        case "-v" | "--verbose" => o = o.copy(logLevel = "debug")
+        case "--tablespace-main-data" =>
+          o = o.copy(tablespaceMainData = Some(arg("--tablespace-main-data")))
+        case "--tablespace-main-index" =>
+          o = o.copy(tablespaceMainIndex =
+            Some(arg("--tablespace-main-index")))
+        case "--tablespace-slim-data" =>
+          o = o.copy(tablespaceSlimData = Some(arg("--tablespace-slim-data")))
+        case "--tablespace-slim-index" =>
+          o = o.copy(tablespaceSlimIndex =
+            Some(arg("--tablespace-slim-index")))
         case "-b" | "--bbox" => o = o.copy(bbox = Some(parseBbox(arg("-b"))))
         case "-e" | "--expire-tiles" =>
           // a following option ("-e --style") must not be eaten as the
@@ -181,6 +257,28 @@ object Options {
       fail("--append can only be used with slim mode")
     if (o.hstoreAll && args.exists(a => a == "-k" || a == "--hstore"))
       fail("--hstore excludes --hstore-all")
+    // check_options_output_pgsql (src/command-line-parser.cpp:182-186):
+    // only one projection selector may be given
+    if (args.count(a => Seq("-l", "--latlong", "-m", "--merc")
+        .contains(a)) > 1)
+      fail("You can only use one of --latlong, -l, --merc, -m, --proj, " +
+        "and -E")
+    if (o.cacheMb < 0) fail("RAM cache cannot be negative.")
+    val formats = Seq("auto", "xml", "pbf", "o5m", "opl")
+    if (!formats.contains(o.inputReader))
+      fail(s"Unknown file format '${o.inputReader}'.")
+    // hstore-dependent flags downgrade with the reference's warnings
+    val anyHstore = o.hstore || o.hstoreAll || o.hstoreColumns.nonEmpty
+    if (o.hstoreMatchOnly && !anyHstore) {
+      System.err.println("--hstore-match-only only makes sense with " +
+        "--hstore, --hstore-all, or --hstore-column; ignored.")
+      o = o.copy(hstoreMatchOnly = false)
+    }
+    if (o.hstoreAddIndex && !anyHstore) {
+      System.err.println("--hstore-add-index only makes sense with " +
+        "hstore enabled; ignored.")
+      o = o.copy(hstoreAddIndex = false)
+    }
     if (o.inputFiles.isEmpty) fail("Missing input file(s)")
     // for -O flex, -S names a compiled FlexConfig object, not a file
     // (resolved by the runner; typed-DSL delta)

@@ -44,14 +44,18 @@ object ClassicPgLoad {
   /** Create-mode load of one table from its engine frame. */
   def createLoad(t: PgClassic.ClassicTable, df: DataFrame, dsn: String,
       schema: String, hstoreAll: Boolean, slim: Boolean,
-      postgis: Boolean): Unit = {
+      postgis: Boolean, hstoreIndex: Boolean = false,
+      tablespace: Option[String] = None,
+      tablespaceIndex: Option[String] = None): Unit = {
     PgLive.execOrThrow(dsn, PgClassic.dropDdl(t, schema) + ";")
-    PgLive.execOrThrow(dsn, PgClassic.createDdl(t, schema, postgis) + ";")
+    PgLive.execOrThrow(dsn,
+      PgClassic.createDdl(t, schema, postgis, tablespace) + ";")
     val lines = PgClassic.copyLines(
       PgClassic.copyFrame(df, t, hstoreAll, postgis), t, postgis)
     PgLive.copyInto(dsn, qualified(t, schema),
       lines.toLocalIterator().asScala)
-    PgClassic.postLoadDdl(t, slim, schema, postgis)
+    PgClassic.postLoadDdl(t, slim, schema, postgis, hstoreIndex,
+      tablespaceIndex)
       .foreach(d => PgLive.execOrThrow(dsn, d + ";"))
   }
 

@@ -33,13 +33,26 @@ object PgClassic {
         * included where the reference has them */
       columns: Seq[(String, String)],
       hstore: Boolean,
-      /** geometry(TYPE,3857): point / linestring / geometry
+      /** geometry(TYPE,srid): point / linestring / geometry
         * (polygon table holds multipolygons too) */
-      geomType: String) {
+      geomType: String,
+      /** -z/--hstore-column prefixes: one extra hstore column per
+        * prefix, named after it, holding `shortkey=>value` for every
+        * tag whose key starts with the prefix
+        * (table_t::write_hstore_columns, src/table.cpp:320-349) */
+      hstoreColumns: Seq[String] = Nil,
+      /** output SRID (-m 3857 default / -l 4326) — lands in the
+        * geometry() typmod like the reference's m_srid */
+      srid: Int = 3857) {
     def copyColumnNames: Seq[String] =
-      Seq("osm_id") ++ columns.map(_._1) ++
+      Seq("osm_id") ++ columns.map(_._1) ++ hstoreColumns ++
         (if (hstore) Seq("tags") else Nil) ++ Seq("way")
   }
+
+  /** ` TABLESPACE "name"` or empty (tablespace_clause,
+    * src/pgsql.cpp:240-250). */
+  def tablespaceClause(name: Option[String]): String =
+    name.fold("")(n => s""" TABLESPACE "$n"""")
 
   /** The style's column layout for one osm type, with the computed
     * columns exactly where default.style:151-152 puts them: z_order
@@ -61,56 +74,77 @@ object PgClassic {
     * output_pgsql_t's m_tables, src/output-pgsql.cpp:557-580: point is
     * node-typed POINT, line/roads way-typed LINESTRING, polygon
     * way-typed GEOMETRY). */
-  def tables(prefix: String, style: Style, hstore: Boolean)
+  def tables(prefix: String, style: Style, hstore: Boolean,
+      hstoreColumns: Seq[String] = Nil, srid: Int = 3857)
       : Seq[ClassicTable] = Seq(
     ClassicTable(s"${prefix}_point", "point",
-      styleColumns(style, "node", wayArea = false), hstore, "point"),
+      styleColumns(style, "node", wayArea = false), hstore, "point",
+      hstoreColumns, srid),
     ClassicTable(s"${prefix}_line", "line",
-      styleColumns(style, "way", wayArea = true), hstore, "linestring"),
+      styleColumns(style, "way", wayArea = true), hstore, "linestring",
+      hstoreColumns, srid),
     ClassicTable(s"${prefix}_polygon", "polygon",
-      styleColumns(style, "way", wayArea = true), hstore, "geometry"),
+      styleColumns(style, "way", wayArea = true), hstore, "geometry",
+      hstoreColumns, srid),
     ClassicTable(s"${prefix}_roads", "roads",
-      styleColumns(style, "way", wayArea = true), hstore, "linestring"))
+      styleColumns(style, "way", wayArea = true), hstore, "linestring",
+      hstoreColumns, srid))
 
   /** CREATE UNLOGGED TABLE (table_t::start, src/table.cpp:96-131).
     * `postgis=false` lands geometry as bytea (hex-EWKB payload) for
     * servers without PostGIS — the sandbox's live-test path; DDL is
     * otherwise identical. */
   def createDdl(t: ClassicTable, schema: String = "public",
-      postgis: Boolean = true): String = {
+      postgis: Boolean = true,
+      tablespace: Option[String] = None): String = {
     val cols = Seq(""""osm_id" int8""") ++
       t.columns.map { case (n, ty) => s""""$n" $ty""" } ++
+      t.hstoreColumns.map(h => s""""$h" hstore""") ++
       (if (t.hstore) Seq(""""tags" hstore""") else Nil) :+
-      (if (postgis) s""""way" geometry(${t.geomType},3857)"""
+      (if (postgis) s""""way" geometry(${t.geomType},${t.srid})"""
       else """"way" bytea""")
     s"""CREATE UNLOGGED TABLE "$schema"."${t.name}" """ +
-      s"""(${cols.mkString(", ")}) WITH (autovacuum_enabled = off)"""
+      s"""(${cols.mkString(", ")}) WITH (autovacuum_enabled = off)""" +
+      tablespaceClause(tablespace)
   }
 
   def dropDdl(t: ClassicTable, schema: String = "public"): String =
     s"""DROP TABLE IF EXISTS "$schema"."${t.name}""""
 
-  /** End-of-load batch (table_t::stop, src/table.cpp:170-232 minus the
+  /** End-of-load batch (table_t::stop, src/table.cpp:177-245 minus the
     * CLUSTER rewrite — our CLUSTER analog is the SFC sort-on-write,
-    * ClusteredParquet): SET LOGGED, way GiST (PostGIS only), osm_id
-    * index for slim/updatable runs, ANALYZE. */
+    * ClusteredParquet): SET LOGGED, way GiST (PostGIS only, fillfactor
+    * 100 for un-updatable imports like the reference), osm_id index for
+    * slim/updatable runs, --hstore-add-index GIN indexes on the tags
+    * column and every -z column (table.cpp:228-242), ANALYZE. The
+    * index tablespace applies to every index here
+    * (tablespace_clause(table_space_index)). */
   def postLoadDdl(t: ClassicTable, slim: Boolean,
-      schema: String = "public", postgis: Boolean = true): Seq[String] = {
+      schema: String = "public", postgis: Boolean = true,
+      hstoreIndex: Boolean = false,
+      tablespaceIndex: Option[String] = None): Seq[String] = {
     val q = s""""$schema"."${t.name}""""
+    val ts = tablespaceClause(tablespaceIndex)
+    val ff = if (slim) "" else " WITH (fillfactor = 100)"
     Seq(s"ALTER TABLE $q SET LOGGED") ++
-      (if (postgis) Seq(s"""CREATE INDEX ON $q USING gist ("way")""")
+      (if (postgis) Seq(s"""CREATE INDEX ON $q USING gist ("way")$ff$ts""")
       else Nil) ++
-      (if (slim) Seq(s"""CREATE INDEX ON $q ("osm_id")""") else Nil) :+
+      (if (slim) Seq(s"""CREATE INDEX ON $q ("osm_id")$ts""") else Nil) ++
+      (if (hstoreIndex && t.hstore)
+        Seq(s"""CREATE INDEX ON $q USING gin ("tags")$ts""") else Nil) ++
+      (if (hstoreIndex)
+        t.hstoreColumns.map(h => s"""CREATE INDEX ON $q USING gin ("$h")$ts""")
+      else Nil) :+
       s"ANALYZE $q"
   }
 
   // the point table's `way` column from the engine's lon/lat model
   // (the parquet point table carries coordinates, not EWKB)
-  private val pointEwkb = udf((lon: Double, lat: Double) =>
+  private def pointEwkb(srid: Int) = udf((lon: Double, lat: Double) =>
     graft.geom.FromOsm.createPoint(lon, lat) match {
       case _: graft.geom.NullGeom => null
       case g => graft.geom.Ewkb.encode(
-        graft.geom.GeomOps.transform(g, graft.geom.Srid.WebMercator))
+        graft.geom.GeomOps.transform(g, srid))
     })
 
   /** Engine parquet table → COPY-ready frame in the table's column
@@ -121,8 +155,8 @@ object PgClassic {
     * `way` comes from the EWKB geom column, or is built from lon/lat
     * for the point table. `postgis=false` renders geometry as a
     * `\x`-prefixed hex string so PG's bytea input parses it. */
-  def copyFrame(df: DataFrame, t: ClassicTable, hstoreAll: Boolean,
-      postgis: Boolean = true): DataFrame = {
+  def copyFrame(df: DataFrame, t: ClassicTable,
+      hstoreAll: Boolean = false, postgis: Boolean = true): DataFrame = {
     val have = df.columns.toSet
     def styleCol(name: String, ty: String): Column = {
       val v: Column =
@@ -135,21 +169,35 @@ object PgClassic {
       }).as(name)
     }
     val columnKeys = t.columns.map(_._1)
+    // -z columns: shortkey=>value for keys starting with the prefix;
+    // NULL (not an empty hstore) when nothing matches
+    // (write_hstore_columns, src/table.cpp:320-349)
+    val zCols: Seq[Column] = t.hstoreColumns.map { h =>
+      val m = transform_keys(
+        map_filter(col("tags"), (k, _) => k.startsWith(h)),
+        (k, _) => k.substr(lit(h.length + 1), length(k)))
+      when(size(m) > 0, m).as(h)
+    }
+    // tags column: both modes drop a literal z_order tag
+    // (write_tags_column, src/table.cpp:305-318); norm (-k)
+    // additionally drops column-written keys, all (-j) keeps them
     val hstoreCol: Seq[Column] =
       if (!t.hstore) Nil
-      else if (hstoreAll) Seq(col("tags")) // -j: every tag (all mode)
-      else Seq(map_filter(col("tags"), // -k: minus column-written keys
-        (k, _) => !k.isInCollection(columnKeys)).as("tags"))
+      else if (hstoreAll) Seq(map_filter(col("tags"),
+        (k, _) => k =!= "z_order").as("tags"))
+      else Seq(map_filter(col("tags"),
+        (k, _) => !k.isInCollection(columnKeys) && k =!= "z_order")
+        .as("tags"))
     val rawGeom: Column =
       if (have.contains("geom")) col("geom")
-      else pointEwkb(col("lon"), col("lat"))
+      else pointEwkb(t.srid)(col("lon"), col("lat"))
     val wayCol: Column =
       if (postgis) rawGeom.as("way")
       else concat(lit("\\x"), upper(hex(rawGeom))).as("way")
     df.select(
-      (col("osm_id") +:
+      ((col("osm_id") +:
         t.columns.map { case (n, ty) => styleCol(n, ty) }) ++
-        hstoreCol :+ wayCol: _*)
+        zCols ++ hstoreCol :+ wayCol): _*)
   }
 
   /** COPY TEXT wire lines for a classic table, formatted in executors

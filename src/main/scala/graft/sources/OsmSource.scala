@@ -91,19 +91,30 @@ object OsmSource {
         else buf
       val i = noBom.indexWhere(b => !Character.isWhitespace(b.toChar))
       if (i >= 0 && noBom(i) == '<') "xml"
+      // OPL: 'n'/'w'/'r' object-type prefix then the (possibly
+      // negative) id — osmium detects by .opl suffix; content here
+      else if (i >= 0 && "nwr".contains(noBom(i).toChar) &&
+          i + 1 < noBom.length &&
+          (Character.isDigit(noBom(i + 1).toChar) || noBom(i + 1) == '-'))
+        "opl"
       else throw new IllegalArgumentException(
         "cannot detect OSM file format from content")
     }
   }
 
-  /** Read any mix of .osm/.osc[.gz|.bz2], .o5m/.o5c[.gz|.bz2], .pbf
-    * files into one set of entity frames (formats grouped, results
-    * unioned). */
-  def read(spark: SparkSession, paths: Seq[String]): OsmXml.OsmDataFrames = {
-    val byFormat = paths.groupBy(sniffPath)
+  /** Read any mix of .osm/.osc[.gz|.bz2], .o5m/.o5c[.gz|.bz2], .pbf,
+    * .opl files into one set of entity frames (formats grouped,
+    * results unioned). `format` != "auto" forces every input through
+    * that reader (the CLI's -r/--input-reader). */
+  def read(spark: SparkSession, paths: Seq[String],
+      format: String = "auto"): OsmXml.OsmDataFrames = {
+    val byFormat =
+      if (format == "auto") paths.groupBy(sniffPath)
+      else Map(format -> paths)
     val parts = byFormat.toSeq.sortBy(_._1).map {
       case ("xml", ps) => OsmXml.read(spark, ps)
       case ("o5m", ps) => O5m.readMaybeGz(spark, ps)
+      case ("opl", ps) => Opl.read(spark, ps)
       case ("pbf", ps) =>
         // pbf carries no change sections; normalize to action=create so
         // the frames union with the xml/o5m readers' shape

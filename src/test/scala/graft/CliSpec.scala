@@ -110,6 +110,41 @@ class CliSpec extends SparkSpecBase {
         "parameter: 'a\"b'.")
   }
 
+  test("parsing projection, schema, and reader options") {
+    assert(opt().srid == graft.geom.Srid.WebMercator)
+    assert(opt("-l").srid == graft.geom.Srid.WGS84)
+    assert(opt("--latlong").srid == graft.geom.Srid.WGS84)
+    assert(opt("-m").srid == graft.geom.Srid.WebMercator)
+    bad(Seq("-l", "-m"), "You can only use one of")
+    assert(opt("-K").keepCoastlines && opt("--keep-coastlines").keepCoastlines)
+    assert(opt("-G").multiGeometry && opt("--multi-geometry").multiGeometry)
+    assert(opt("--reproject-area").reprojectArea)
+    assert(opt("-z", "name:", "-z", "addr:").hstoreColumns ==
+      Seq("name:", "addr:"))
+    assert(opt("-r", "opl").inputReader == "opl")
+    bad(Seq("-r", "nosuchformat"), "Unknown file format 'nosuchformat'.")
+    assert(opt("-C", "4000").cacheMb == 4000)
+    bad(Seq("-C", "-1"), "RAM cache cannot be negative.")
+    bad(Seq("-C", "x"), "Bad argument for option --cache")
+    assert(opt("-F", "/tmp/nodes.bin").flatNodes.contains("/tmp/nodes.bin"))
+    assert(opt("--tablespace-main-data", "big").tablespaceMainData
+      .contains("big"))
+    assert(opt("--tablespace-main-index", "idx").tablespaceMainIndex
+      .contains("idx"))
+  }
+
+  test("hstore-dependent flags downgrade with the reference's warnings") {
+    // --hstore-match-only without any hstore form is ignored
+    // (command-line-parser.cpp:188-193)
+    assert(!opt("--hstore-match-only").hstoreMatchOnly)
+    assert(opt("-k", "--hstore-match-only").hstoreMatchOnly)
+    assert(opt("-z", "name:", "--hstore-match-only").hstoreMatchOnly)
+    // --hstore-add-index without hstore is ignored (cli-parser:195-200)
+    assert(!opt("--hstore-add-index").hstoreAddIndex)
+    assert(opt("-j", "--hstore-add-index").hstoreAddIndex)
+    assert(opt("-z", "name:", "--hstore-add-index").hstoreAddIndex)
+  }
+
   test("parsing log-level and log-progress") {
     Seq("debug", "info", "warn", "warning", "error")
       .foreach(l => opt("--log-level", l))
@@ -504,6 +539,37 @@ class CliSpec extends SparkSpecBase {
     // and the column is populated either way
     assert(graft.sinks.PgLive.queryOne(dsn,
       """SELECT "amenity" FROM "public"."hs_all_point";""") == "cafe")
+  }
+
+  test("-d live: -z hstore columns land shortkeys + GIN indexes") {
+    assume(PgTestCluster.up, "no runnable PostgreSQL in this environment")
+    val dsn = PgTestCluster.dsn
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-z")
+    val in = dir.resolve("tiny.osm")
+    java.nio.file.Files.write(in,
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6">
+        |<node id="1" lat="50.0" lon="8.0" version="1">
+        |  <tag k="amenity" v="cafe"/><tag k="name:en" v="En"/>
+        |  <tag k="name:de" v="De"/></node>
+        |<node id="2" lat="51.0" lon="9.0" version="1">
+        |  <tag k="amenity" v="bar"/></node>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    Main.run(spark, Options.parse(Seq(in.toString, "-p", "hz",
+      "-z", "name:", "--hstore-add-index",
+      "--output-dir", s"$dir/out", "-d", dsn)))
+    // the -z column holds prefix-stripped shortkeys…
+    assert(graft.sinks.PgLive.queryOne(dsn,
+      """SELECT "name:" -> 'de' FROM "public"."hz_point" """ +
+        "WHERE osm_id = 1;") == "De")
+    // …and is NULL (not an empty hstore) when nothing matched
+    assert(graft.sinks.PgLive.queryOne(dsn,
+      """SELECT ("name:" IS NULL)::text FROM "public"."hz_point" """ +
+        "WHERE osm_id = 2;") == "true")
+    // --hstore-add-index created a GIN index on the -z column
+    assert(graft.sinks.PgLive.queryOne(dsn,
+      "SELECT count(*) FROM pg_indexes WHERE tablename = 'hz_point' " +
+        "AND indexdef LIKE '%gin%';").toLong >= 1L)
   }
 
   test("-d live: --output-pgsql-schema loads into that schema " +
