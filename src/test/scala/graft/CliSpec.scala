@@ -384,6 +384,64 @@ class CliSpec extends SparkSpecBase {
       "--output-dir", s"$dir/out"))) == 3)
   }
 
+  test("replication_schema.feature: init/update work over an import " +
+      "with --middle-schema") {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Replication
+    import graft.operators.Replication.State
+    val dir = Files.createTempDirectory("graft-cli-repl-schema")
+    val in = dir.resolve("base.osm")
+    Files.write(in,
+      """<osm version="0.6">
+        |<node id="1" lat="50.0" lon="8.0" version="1">
+        |  <tag k="amenity" v="restaurant"/></node>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    // the middle lands under the foobar dir — the middle-schema analog
+    Main.run(spark, Options.parse(Seq(in.toString, "--create", "--slim",
+      "--middle-schema", "foobar", "--output-dir", s"$dir/out")))
+    assert(Files.exists(Paths.get(s"$dir/out/foobar/nodes")))
+    assert(!Files.exists(Paths.get(s"$dir/out/middle")))
+
+    val mirror = s"$dir/mirror"
+    def state(seq: Long, ts: String): Unit = {
+      val p = Paths.get(mirror,
+        Replication.sequencePath(seq) + ".state.txt")
+      Files.createDirectories(p.getParent)
+      Files.write(p, State.format(
+        State(seq, java.time.Instant.parse(ts))).getBytes("UTF-8"))
+    }
+    state(0, "2024-01-01T00:00:00Z")
+    state(1, "2024-01-02T00:00:00Z")
+    Files.write(Paths.get(mirror, "state.txt"), State.format(
+      State(1, java.time.Instant.parse("2024-01-02T00:00:00Z")))
+      .getBytes("UTF-8"))
+    Files.write(Paths.get(mirror, Replication.sequencePath(1) + ".osc"),
+      """<osmChange version="0.6">
+        |<modify><node id="1" lat="50.0" lon="8.0" version="2">
+        |  <tag k="amenity" v="cafe"/></node></modify>
+        |</osmChange>""".stripMargin.getBytes("UTF-8"))
+
+    assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq("init",
+      "--output-dir", s"$dir/out", "--server", mirror,
+      "--start-at", "2024-01-01T12:00:00Z"))) == 0)
+    // the schema flags pass through to the append run, like the
+    // reference script's --schema/--middle-schema forwarding
+    assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq("update",
+      "--output-dir", s"$dir/out", "--middle-schema", "foobar"))) == 0)
+    val props = graft.sinks.Properties.load(spark, s"$dir/out/properties")
+    assert(props("replication_sequence_number") == "1")
+    assert(props("replication_timestamp") == "2024-01-02T00:00:00Z")
+    val rows = spark.read.parquet(s"$dir/out/planet_osm_point")
+      .selectExpr("osm_id", "tags['amenity']").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "cafe"))
+    // the updated middle stayed under the schema dir
+    assert(Files.exists(Paths.get(s"$dir/out/foobar/nodes")))
+    assert(!Files.exists(Paths.get(s"$dir/out/middle")))
+    assert(ReplicationMain.run(spark, ReplicationMain.parse(Seq("status",
+      "--output-dir", s"$dir/out"))) == 0)
+  }
+
   test("replication init without any source fails loudly; status " +
       "before init exits 1") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cli-repl2")

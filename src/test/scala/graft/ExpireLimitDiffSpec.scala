@@ -100,6 +100,45 @@ class ExpireLimitDiffSpec extends SparkSpecBase {
     assert(TileCover.symDiffCover(df, $"old", $"new", z8).count() == 0)
   }
 
+  test("lua-expire-output-definitions.feature: define-time range checks") {
+    import graft.flex._
+    def bad(msg: String)(mk: => FlexExpireOutput): Unit = {
+      val e = intercept[IllegalArgumentException](mk)
+      assert(e.getMessage.contains(msg), e.getMessage)
+    }
+    bad("Must set 'filename' and/or 'table' on expire output.") {
+      FlexExpireOutput("x", maxzoom = 12)
+    }
+    bad("The 'maxzoom' field in a expire output must be between 1 and 20.") {
+      FlexExpireOutput("x", filename = Some("f"), maxzoom = 25)
+    }
+    bad("The 'minzoom' field in a expire output must be between 1 and " +
+      "'maxzoom'.") {
+      FlexExpireOutput("x", filename = Some("f"), maxzoom = 12,
+        minzoomOpt = Some(0))
+    }
+    // minzoom larger than maxzoom hits the same wording
+    bad("The 'minzoom' field in a expire output must be between 1 and " +
+      "'maxzoom'.") {
+      FlexExpireOutput("x", filename = Some("f"), maxzoom = 12,
+        minzoomOpt = Some(13))
+    }
+    bad("The 'max_tiles_geometry' field in a expire output must be " +
+      "between 1 and 4 << 20.") {
+      FlexExpireOutput("x", filename = Some("f"), maxzoom = 12,
+        maxTilesGeometryOpt = Some(0L))
+    }
+    bad("The 'max_tiles_overall' field in a expire output must be " +
+      "between 1 and 4 << 20.") {
+      FlexExpireOutput("x", filename = Some("f"), maxzoom = 12,
+        maxTilesOverallOpt = Some((4L << 20) + 1))
+    }
+    // the in-range forms all construct, minzoom defaulting to maxzoom
+    val ok = FlexExpireOutput("x", filename = Some("f"), maxzoom = 12,
+      maxTilesGeometryOpt = Some(4L << 20), maxTilesOverallOpt = Some(1L))
+    assert(ok.minzoom == 12)
+  }
+
   test("lua-expire.feature: expire config validation at define time") {
     import graft.flex._
     val eo = FlexExpireOutput("bar", filename = Some("bar"), maxzoom = 12)

@@ -119,6 +119,28 @@ class OutputsSpec extends SparkSpecBase {
     assert(r.toSeq == Seq(Some("inner"), None))
   }
 
+  test("locator.feature goldens: bbox regions, inclusive edges, " +
+      "insertion-order first") {
+    // the feature's two bbox scenarios: B1=[0,1]² B2=[1,2]²; the
+    // corner point (1,1) is IN BOTH (inclusive bounds both ends)
+    val loc = Locator.fromBoxes(Seq(
+      ("B1", graft.geom.Box(0.0, 0.0, 1.0, 1.0)),
+      ("B2", graft.geom.Box(1.0, 1.0, 2.0, 2.0))))
+    // first_intersecting: n10 → B1, n11 → none, n12 → B2
+    assert(loc.containingPoint(0.5, 0.5).headOption.contains("B1"))
+    assert(loc.containingPoint(2.5, 2.5).isEmpty)
+    assert(loc.containingPoint(1.5, 1.5).headOption.contains("B2"))
+    // all_intersecting: n13 at the shared corner hits 2 regions
+    assert(loc.containingPoint(1.0, 1.0) == Seq("B1", "B2"))
+    // polygon-from-db scenario: a triangle region loaded from a frame
+    val tri = FromOsm.createPolygon(
+      Seq(Pt(10, 10), Pt(20, 10), Pt(10, 20), Pt(10, 10)))
+    val fromDb = Locator.fromDataFrame(
+      Seq(("P1", graft.geom.Ewkb.encode(tri))).toDF("name", "geom"))
+    assert(fromDb.containingPoint(12, 12) == Seq("P1"))
+    assert(fromDb.containingPoint(19, 19).isEmpty) // inside bbox, outside tri
+  }
+
   test("multimodal: stub decode via mapPartitions is deterministic") {
     val docs = Seq((1L, "hello world", "s"), (2L, "a video payload body", "s"))
       .toDF("doc_id", "text", "source")
