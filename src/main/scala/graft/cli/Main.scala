@@ -331,6 +331,71 @@ object Main {
     res.tables.foreach { case (tname, tr) =>
       tr.rows.write.mode("overwrite").parquet(s"$out/$tname")
     }
+
+    // expire outputs (expire_output_t::output, src/expire-output.cpp:
+    // 71-141): filename → sorted z/x/y lines APPENDED like the
+    // reference's fopen("a"); table → CREATE IF NOT EXISTS + set-based
+    // upsert (the reference's per-tile prepared INSERT .. ON CONFLICT
+    // collapses to one INSERT..SELECT over a COPY'd temp table). Both
+    // stream through toLocalIterator under the overall cap — the tile
+    // list is never collected whole.
+    if (res.expire.nonEmpty) {
+      val outputs = cfg.tables
+        .flatMap(_.columns.flatMap(_.expire.map(_.output)))
+        .map(e => e.name -> e).toMap
+      val liveDsn = o.database.filter(graft.sinks.PgLive.reachable)
+      res.expire.foreach { case (ename, tiles) =>
+        val eo = outputs(ename)
+        eo.filename.foreach { f =>
+          val dest = out.resolve(f) // relative names land in --output-dir
+          val w = java.nio.file.Files.newBufferedWriter(dest,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+          try {
+            val it = graft.operators.Expire.formatTiles(tiles)
+              .orderBy("tile").toLocalIterator()
+            var n = 0L
+            while (it.hasNext && n < eo.maxTilesOverall) {
+              w.write(it.next().getString(0)); w.write("\n"); n += 1
+            }
+            if (it.hasNext) System.err.println(
+              s"[graft] Overall tile limit ${eo.maxTilesOverall} " +
+                s"reached for expire output '$ename'!")
+          } finally w.close()
+        }
+        eo.table.foreach { tbl =>
+          liveDsn match {
+            case Some(dsn) =>
+              val qn = s""""${eo.schema}"."$tbl""""
+              graft.sinks.PgLive.execOrThrow(dsn,
+                s"CREATE TABLE IF NOT EXISTS $qn (" +
+                  " zoom int4 NOT NULL, x int4 NOT NULL, y int4 NOT NULL," +
+                  " first timestamp with time zone DEFAULT CURRENT_TIMESTAMP(0)," +
+                  " last timestamp with time zone DEFAULT CURRENT_TIMESTAMP(0)," +
+                  " PRIMARY KEY (zoom, x, y));")
+              import scala.jdk.CollectionConverters._
+              val lines = tiles
+                .selectExpr("concat_ws('\t', zoom, x, y) AS l")
+                .orderBy("l").limit(math.min(eo.maxTilesOverall,
+                  Int.MaxValue.toLong).toInt)
+                .toLocalIterator().asScala.map(_.getString(0) + "\n")
+              graft.sinks.PgLive.session(dsn,
+                Iterator("BEGIN;\n",
+                  "CREATE TEMP TABLE __graft_exp (zoom int4, x int4," +
+                    " y int4) ON COMMIT DROP;\n",
+                  "COPY __graft_exp FROM STDIN;\n") ++
+                  lines ++
+                  Iterator("\\.\n",
+                    s"INSERT INTO $qn (zoom, x, y) SELECT zoom, x, y" +
+                      " FROM __graft_exp ON CONFLICT (zoom, x, y)" +
+                      " DO UPDATE SET last = CURRENT_TIMESTAMP(0);\n",
+                    "COMMIT;\n"))
+            case None =>
+              tiles.write.mode("overwrite").parquet(s"$out/expire_$ename")
+          }
+        }
+      }
+    }
     // live flex load: the flex-output lifecycle per table
     // (src/output-flex.cpp start/stop), from the landed parquet
     o.database.foreach { dsn =>

@@ -72,6 +72,8 @@ final case class FlexExpireOutput(
     name: String,
     filename: Option[String] = None,
     table: Option[String] = None,
+    /** schema for the table form (src/flex-lua-expire-output.cpp) */
+    schema: String = "public",
     maxzoom: Int,
     minzoomOpt: Option[Int] = None,
     maxTilesGeometryOpt: Option[Long] = None,

@@ -22,10 +22,18 @@ object PoisAndHighways extends FlexConfig {
     FlexColumn("amenity", FlexType.Text, notNull = true),
     FlexColumn("geom", FlexType.Point, notNull = true)))
 
+  /** z12 expire output feeding both sink forms (define_expire_output
+    * with filename AND table, src/flex-lua-expire-output.cpp) —
+    * exercised end-to-end by the CLI specs. */
+  private val hwExpire = FlexExpireOutput("hw_dirty",
+    filename = Some("flex_dirty_tiles.txt"),
+    table = Some("flex_expire"), maxzoom = 12)
+
   private val highways = FlexTableDef("flex_highways", FlexIds.Way, Seq(
     FlexColumn("highway", FlexType.Text, notNull = true),
     FlexColumn("name", FlexType.Text),
-    FlexColumn("geom", FlexType.Linestring, notNull = true)))
+    FlexColumn("geom", FlexType.Linestring, notNull = true,
+      expire = Seq(FlexExpireRef(hwExpire)))))
 
   override def tables: Seq[FlexTableDef] = Seq(pois, highways)
 

@@ -483,6 +483,14 @@ class CliSpec extends SparkSpecBase {
     assert(hw.count() == 2753L)
     assert(hw.where(col("geom").isNull || col("highway").isNull)
       .count() == 0L)
+    // the config's expire output wrote sorted z/x/y lines at z12 and
+    // (no live server here) the table form landed as parquet
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/out/flex_dirty_tiles.txt"))
+    assert(lines.size() > 0)
+    lines.forEach(l => assert(l.matches("1[0-2]/\\d+/\\d+"), l))
+    val expTiles = spark.read.parquet(s"$dir/out/expire_hw_dirty")
+    assert(expTiles.count() == lines.size().toLong)
     // an unknown config name fails with the typed-DSL pointer
     val e = intercept[IllegalArgumentException] {
       Main.run(spark, Options.parse(Seq(pbf, "-O", "flex",
@@ -527,6 +535,21 @@ class CliSpec extends SparkSpecBase {
     assert(one("""SELECT count(*) FROM "public"."flex_highways"
       | WHERE "geom" IS NULL OR get_byte("geom", 0) <> 1;"""
       .stripMargin).toLong == 0L)
+    // the expire output's table form landed live with the reference's
+    // layout (zoom,x,y,first,last + PK) and matches the file form
+    val fileLines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/out/flex_dirty_tiles.txt")).size().toLong
+    assert(one("""SELECT count(*) FROM "public"."flex_expire";""")
+      .toLong == fileLines)
+    assert(one("""SELECT count(*) FROM "public"."flex_expire"
+      | WHERE first IS NULL OR last IS NULL;""".stripMargin).toLong == 0L)
+    // re-running upserts: same tile count, `last` advances via the
+    // ON CONFLICT branch (no duplicate-key failure)
+    Main.run(spark, Options.parse(Seq(pbf, "-O", "flex",
+      "-S", "graft.flex.examples.PoisAndHighways",
+      "--output-dir", s"$dir/out2", "-d", dsn)))
+    assert(one("""SELECT count(*) FROM "public"."flex_expire";""")
+      .toLong == fileLines)
   }
 
   test("-d live: create + append load a real PostgreSQL (Liechtenstein)") {
