@@ -48,7 +48,36 @@ object Main {
     finally spark.stop()
   }
 
-  def run(spark: SparkSession, o: Options): Unit = {
+  def run(spark: SparkSession, o0: Options): Unit = {
+    // append runs resolve their effective options against the stored
+    // import properties FIRST (check_and_update_properties,
+    // src/osm2pgsql.cpp:300-309): unspecified options inherit the
+    // stored values, specified ones must agree, with the reference's
+    // messages either way
+    val o: Options =
+      if (!o0.append) o0
+      else scala.util.Try(graft.sinks.Properties.load(spark,
+        s"${o0.outputDir}/properties")).toOption match {
+        case None => o0
+        case Some(p) =>
+          graft.sinks.Properties.resolveAppend(p,
+            graft.sinks.Properties.AppendOptions(
+              attributes = if (o0.extraAttributes) Some(true) else None,
+              prefix = if (o0.prefixSet) Some(o0.prefix) else None,
+              flatNodeFile = o0.flatNodes.map(f => java.nio.file.Paths
+                .get(f).toAbsolutePath.toString),
+              output = if (o0.outputSet) Some(o0.output) else None)) match {
+            case Left(err) => Options.fail(err)
+            case Right(r) =>
+              r.messages.foreach(m => System.err.println(s"[graft] $m"))
+              o0.copy(
+                prefix = r.settings("prefix"),
+                extraAttributes = r.settings("attributes") == "true",
+                output = r.settings("output"),
+                flatNodes =
+                  Option(r.settings("flat_node_file")).filter(_.nonEmpty))
+          }
+      }
     val osm0 = OsmSource.read(spark, o.inputFiles, o.inputReader)
     val nodes = o.bbox match {
       case Some((minLon, minLat, maxLon, maxLat)) =>
@@ -130,22 +159,9 @@ object Main {
       } else {
         // the reference's append flow (src/osmdata.cpp:371-406):
         // change ids → dependency closure → re-derive subset →
-        // delete-then-insert against the previous tables.
-        // Properties validation first (src/osm2pgsql.cpp:300-309):
-        // an import that wasn't --slim is not updatable, and the
-        // prefix must match the one the import recorded.
-        val storedProps = scala.util
-          .Try(graft.sinks.Properties.load(spark, s"$out/properties"))
-          .toOption
-        storedProps.foreach { p =>
-          if (p.get("updatable").contains("false"))
-            Options.fail("This database is not updatable. To create an " +
-              "updatable database use --slim (without --drop).")
-          p.get("prefix").filter(_ != o.prefix).foreach { pre =>
-            Options.fail(s"Different table prefix specified: '${o.prefix}' " +
-              s"(database was imported with prefix '$pre').")
-          }
-        }
+        // delete-then-insert against the previous tables (the
+        // properties resolution at the top of run() already vetted
+        // updatable/prefix/attributes/flat-nodes/output).
         val spark2 = spark
         def loadMiddle = graft.sources.OsmXml.OsmDataFrames(
           spark2.read.parquet(s"$out/${o.middleDir}/nodes"),

@@ -16,6 +16,11 @@ final case class Options(
     drop: Boolean = false,
     database: Option[String] = None,
     output: String = "pgsql",
+    /** whether -O/-p were given explicitly — append-time inheritance
+      * mirrors the reference's prefix_is_set / empty-backend checks
+      * (src/osm2pgsql.cpp:215-266) */
+    outputSet: Boolean = false,
+    prefixSet: Boolean = false,
     styleFile: Option[String] = None,
     hstore: Boolean = false,
     hstoreAll: Boolean = false,
@@ -166,7 +171,8 @@ object Options {
         case "-s" | "--slim"   => o = o.copy(slim = true)
         case "--drop"          => o = o.copy(drop = true)
         case "-d" | "--database" => o = o.copy(database = Some(arg("-d")))
-        case "-O" | "--output" => o = o.copy(output = arg("-O"))
+        case "-O" | "--output" =>
+          o = o.copy(output = arg("-O"), outputSet = true)
         case "-S" | "--style"  => o = o.copy(styleFile = Some(arg("-S")))
         case "-k" | "--hstore" => o = o.copy(hstore = true)
         case "-j" | "--hstore-all" =>
@@ -230,7 +236,8 @@ object Options {
           if (!Seq("true", "false", "auto").contains(v))
             fail(s"Unknown value for --log-progress option: $v")
           o = o.copy(logProgress = v)
-        case "-p" | "--prefix" => o = o.copy(prefix = arg("-p"))
+        case "-p" | "--prefix" =>
+          o = o.copy(prefix = arg("-p"), prefixSet = true)
         case "--schema" => o = o.copy(schema = arg("--schema"))
         case "--output-pgsql-schema" =>
           o = o.copy(outputSchema = Some(arg("--output-pgsql-schema")))

@@ -137,8 +137,8 @@ object Properties {
     val storedPrefix = stored.getOrElse("prefix", "planet_osm")
     val prefix = opts.prefix match {
       case Some(p) if p != storedPrefix =>
-        return Left(s"Different prefix specified: '$p' (import used " +
-          s"'$storedPrefix').")
+        return Left("Different prefix specified on command line " +
+          s"('$p') then used on import ('$storedPrefix').")
       case Some(p) => p
       case None =>
         msgs += s"Using prefix '$storedPrefix' (same as on import)."
@@ -148,25 +148,29 @@ object Properties {
     val storedFlat = stored.getOrElse("flat_node_file", "")
     val flat = opts.flatNodeFile match {
       case Some(f) if storedFlat.isEmpty =>
-        return Left("Database was imported without flat node file. Can " +
-          "not append with flat node file now.")
+        return Left("Database was imported without flat node file. Can" +
+          s" not use flat node file '$f' now.")
+      case Some(f) if f == storedFlat =>
+        msgs += s"Using flat node file '$f' (same as on import)."
+        f
       case Some(f) =>
-        msgs += s"Using flat node file '$f'."
+        msgs += "Using the flat node file you specified on the command" +
+          s" line ('$f') instead of the one used on import ('$storedFlat')."
         f
       case None =>
         if (storedFlat.isEmpty)
           msgs += "Not using flat node file (same as on import)."
         else
-          msgs += s"Using flat node file '$storedFlat'."
+          msgs += s"Using flat node file '$storedFlat' (same as on import)."
         storedFlat
     }
 
     val storedOutput = stored.getOrElse("output", "pgsql")
     val output = opts.output match {
-      case Some(o) if o != storedOutput =>
-        return Left(s"Different output specified: '$o' (import used " +
-          s"'$storedOutput').")
-      case Some(o) => o
+      case Some(ob) if ob != storedOutput =>
+        return Left("Different output specified on command line " +
+          s"('$ob') then used on import ('$storedOutput').")
+      case Some(ob) => ob
       case None =>
         msgs += s"Using output '$storedOutput' (same as on import)."
         storedOutput

@@ -249,7 +249,49 @@ class CliSpec extends SparkSpecBase {
       Main.run(spark, Options.parse(Seq(osc.toString, "--append", "--slim",
         "-p", "other", "--output-dir", s"$dir/out2")))
     }
-    assert(e2.getMessage.contains("Different table prefix"))
+    assert(e2.getMessage.contains(
+      "Different prefix specified on command line ('other') then used " +
+        "on import ('planet_osm')."))
+    // -x on an import made without attributes refuses with the
+    // reference's wording (check_attributes, src/osm2pgsql.cpp:245-259)
+    val e3 = intercept[IllegalArgumentException] {
+      Main.run(spark, Options.parse(Seq(osc.toString, "--append", "--slim",
+        "-x", "--output-dir", s"$dir/out2")))
+    }
+    assert(e3.getMessage.contains("Can not update with attributes " +
+      "(-x/--extra-attributes) because original import was without " +
+      "attributes."))
+  }
+
+  test("append inherits the stored prefix and attributes when " +
+      "unspecified (check_prefix/check_attributes)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-inherit")
+    val in = dir.resolve("base.osm")
+    java.nio.file.Files.write(in,
+      """<osm version="0.6">
+        |<node id="1" lat="50.0" lon="8.0" version="1">
+        |  <tag k="amenity" v="restaurant"/></node>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    // import with a CUSTOM prefix and -x attributes
+    Main.run(spark, Options.parse(Seq(in.toString, "--create", "--slim",
+      "-p", "custom", "-x", "--output-dir", s"$dir/out")))
+    val osc = dir.resolve("c.osc")
+    java.nio.file.Files.write(osc,
+      """<osmChange version="0.6">
+        |<modify><node id="1" lat="50.0" lon="8.0" version="2"
+        |  timestamp="2024-05-01T00:00:00Z" user="u" uid="7">
+        |  <tag k="amenity" v="cafe"/></node></modify>
+        |</osmChange>""".stripMargin.getBytes("UTF-8"))
+    // append names NEITHER the prefix nor -x — both inherit
+    Main.run(spark, Options.parse(Seq(osc.toString, "--append", "--slim",
+      "--output-dir", s"$dir/out")))
+    val after = spark.read.parquet(s"$dir/out/custom_point")
+    val tags = after.select("tags").collect().head.getMap[String, String](0)
+    assert(tags("amenity") == "cafe")
+    // inherited -x: the re-derived row carries the attribute
+    // pseudo-tags of the v2 change
+    assert(tags("osm_version") == "2")
+    assert(tags("osm_user") == "u")
   }
 
   test("--drop: slim import discards the middle and is not updatable") {
