@@ -66,7 +66,9 @@ object Main {
               prefix = if (o0.prefixSet) Some(o0.prefix) else None,
               flatNodeFile = o0.flatNodes.map(f => java.nio.file.Paths
                 .get(f).toAbsolutePath.toString),
-              output = if (o0.outputSet) Some(o0.output) else None)) match {
+              output = if (o0.outputSet) Some(o0.output) else None,
+              style = o0.styleFile.map(f => java.nio.file.Paths
+                .get(f).toAbsolutePath.toString))) match {
             case Left(err) => Options.fail(err)
             case Right(r) =>
               r.messages.foreach(m => System.err.println(s"[graft] $m"))
@@ -75,7 +77,11 @@ object Main {
                 extraAttributes = r.settings("attributes") == "true",
                 output = r.settings("output"),
                 flatNodes =
-                  Option(r.settings("flat_node_file")).filter(_.nonEmpty))
+                  Option(r.settings("flat_node_file")).filter(_.nonEmpty),
+                // "default.style" is the built-in-style marker, not a
+                // file on disk
+                styleFile = Option(r.settings("style"))
+                  .filter(s => s.nonEmpty && s != "default.style"))
           }
       }
     val osm0 = OsmSource.read(spark, o.inputFiles, o.inputReader)
@@ -150,7 +156,11 @@ object Main {
           graft.sinks.Properties.importProperties(osm,
             attributes = o.extraAttributes, prefix = o.prefix,
             updatable = o.slim && !o.drop, output = o.output,
-            style = o.styleFile.getOrElse("default.style"),
+            // the reference stores the ABSOLUTE style path
+            // (src/osm2pgsql.cpp:121-128); "default.style" marks the
+            // built-in style
+            style = o.styleFile.map(f => java.nio.file.Paths.get(f)
+              .toAbsolutePath.toString).getOrElse("default.style"),
             // the reference stores the ABSOLUTE flat-nodes path
             // (src/osm2pgsql.cpp:210)
             flatNodeFile = o.flatNodes.map(f => java.nio.file.Paths

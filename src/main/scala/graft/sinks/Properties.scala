@@ -101,7 +101,8 @@ object Properties {
       attributes: Option[Boolean] = None,
       prefix: Option[String] = None,
       flatNodeFile: Option[String] = None,
-      output: Option[String] = None)
+      output: Option[String] = None,
+      style: Option[String] = None)
 
   /** The resolved append configuration plus the informational messages
     * the reference logs while resolving it. */
@@ -176,9 +177,25 @@ object Properties {
         storedOutput
     }
 
+    // check_and_update_style_file (src/osm2pgsql.cpp:266-296): an
+    // unspecified style inherits; a different one wins and is stored
+    val storedStyle = stored.getOrElse("style", "")
+    val style = opts.style match {
+      case None =>
+        msgs += s"Using style file '$storedStyle' (same as on import)."
+        storedStyle
+      case Some(f) if f == storedStyle =>
+        msgs += s"Using style file '$storedStyle' (same as on import)."
+        f
+      case Some(f) =>
+        msgs += "Using the style file you specified on the command line" +
+          s" ('$f') instead of the one used on import ('$storedStyle')."
+        f
+    }
+
     Right(ResolvedAppend(
       stored ++ Map("attributes" -> attrs.toString, "prefix" -> prefix,
-        "flat_node_file" -> flat, "output" -> output),
+        "flat_node_file" -> flat, "output" -> output, "style" -> style),
       msgs.result()))
   }
 }

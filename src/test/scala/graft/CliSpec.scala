@@ -294,6 +294,45 @@ class CliSpec extends SparkSpecBase {
     assert(tags("osm_user") == "u")
   }
 
+  test("append inherits the stored style file " +
+      "(check_and_update_style_file)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-style")
+    // a custom style exporting ONLY shop (amenity unknown → dropped)
+    val styleF = dir.resolve("shop.style")
+    java.nio.file.Files.write(styleF,
+      "node,way shop text linear\n".getBytes("UTF-8"))
+    val in = dir.resolve("base.osm")
+    java.nio.file.Files.write(in,
+      """<osm version="0.6">
+        |<node id="1" lat="50.0" lon="8.0" version="1">
+        |  <tag k="shop" v="bakery"/></node>
+        |<node id="2" lat="50.5" lon="8.5" version="1">
+        |  <tag k="amenity" v="cafe"/></node>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    Main.run(spark, Options.parse(Seq(in.toString, "--create", "--slim",
+      "-S", styleF.toString, "--output-dir", s"$dir/out")))
+    assert(spark.read.parquet(s"$dir/out/planet_osm_point").count() == 1)
+    // the stored style is the absolute path
+    val props = graft.sinks.Properties.load(spark, s"$dir/out/properties")
+    assert(props("style") == styleF.toAbsolutePath.toString)
+    // append WITHOUT -S: node 3 has shop + amenity; under the
+    // inherited custom style only shop survives in the output tags
+    val osc = dir.resolve("c.osc")
+    java.nio.file.Files.write(osc,
+      """<osmChange version="0.6">
+        |<create><node id="3" lat="51.0" lon="9.0" version="1">
+        |  <tag k="shop" v="books"/><tag k="amenity" v="shelter"/>
+        |</node></create>
+        |</osmChange>""".stripMargin.getBytes("UTF-8"))
+    Main.run(spark, Options.parse(Seq(osc.toString, "--append", "--slim",
+      "--output-dir", s"$dir/out")))
+    val rows = spark.read.parquet(s"$dir/out/planet_osm_point")
+      .selectExpr("osm_id", "tags").collect()
+      .map(r => r.getLong(0) -> r.getMap[String, String](1)).toMap
+    assert(rows.keySet == Set(1L, 3L))
+    assert(rows(3L) == Map("shop" -> "books")) // default style would keep amenity
+  }
+
   test("--drop: slim import discards the middle and is not updatable") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cli-drop")
     val in = dir.resolve("base.osm")
