@@ -84,6 +84,8 @@ object Main {
                   .filter(s => s.nonEmpty && s != "default.style"))
           }
       }
+    graft.sinks.PgLive.logSql = o.logSql || o.logSqlData
+    graft.sinks.PgLive.logSqlData = o.logSqlData
     val osm0 = OsmSource.read(spark, o.inputFiles, o.inputReader)
     val nodes = o.bbox match {
       case Some((minLon, minLat, maxLon, maxLat)) =>

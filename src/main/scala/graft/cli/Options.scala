@@ -15,6 +15,17 @@ final case class Options(
       * slim && !droptemp at src/osm2pgsql.cpp:116) */
     drop: Boolean = false,
     database: Option[String] = None,
+    /** -U/-H/-P/-W connection parameters, merged over the -d form
+      * like the reference's connection_params_t
+      * (src/command-line-app.cpp:30-73) */
+    dbUser: Option[String] = None,
+    dbHost: Option[String] = None,
+    dbPort: Option[String] = None,
+    dbPassword: Option[String] = None,
+    /** --log-sql / --log-sql-data: echo statements / COPY payloads
+      * sent to the live server (src/command-line-app.cpp:117-127) */
+    logSql: Boolean = false,
+    logSqlData: Boolean = false,
     output: String = "pgsql",
     /** whether -O/-p were given explicitly — append-time inheritance
       * mirrors the reference's prefix_is_set / empty-backend checks
@@ -171,6 +182,22 @@ object Options {
         case "-s" | "--slim"   => o = o.copy(slim = true)
         case "--drop"          => o = o.copy(drop = true)
         case "-d" | "--database" => o = o.copy(database = Some(arg("-d")))
+        case "-U" | "--username" | "--user" =>
+          o = o.copy(dbUser = Some(arg("-U")))
+        case "-H" | "--host" => o = o.copy(dbHost = Some(arg("-H")))
+        case "-P" | "--port" => o = o.copy(dbPort = Some(arg("-P")))
+        case "-W" | "--password" =>
+          // force password prompt (util::get_password); falls back to
+          // stdin when no controlling terminal exists
+          val pw = Option(System.console()) match {
+            case Some(c) => new String(c.readPassword("Password: "))
+            case None =>
+              System.err.print("Password: ")
+              Option(scala.io.StdIn.readLine()).getOrElse("")
+          }
+          o = o.copy(dbPassword = Some(pw))
+        case "--log-sql" => o = o.copy(logSql = true)
+        case "--log-sql-data" => o = o.copy(logSqlData = true)
         case "-O" | "--output" =>
           o = o.copy(output = arg("-O"), outputSet = true)
         case "-S" | "--style"  => o = o.copy(styleFile = Some(arg("-S")))
@@ -256,6 +283,18 @@ object Options {
       i += 1
     }
     o = o.copy(inputFiles = positional.result())
+
+    // merge -U/-H/-P/-W over the -d form, like the reference's
+    // connection_params_t map (src/command-line-app.cpp:30-73)
+    val connOverrides = Seq(
+      "user" -> o.dbUser, "host" -> o.dbHost, "port" -> o.dbPort,
+      "password" -> o.dbPassword).collect { case (k, Some(v)) => k -> v }
+    if (connOverrides.nonEmpty) {
+      val base = o.database
+        .map(graft.sinks.PgSink.dsnParams).getOrElse(Map.empty)
+      o = o.copy(database = Some(
+        graft.sinks.PgSink.conninfo(base ++ connOverrides)))
+    }
 
     // the reference's cross-option validation, same wording
     if (o.append && o.create)

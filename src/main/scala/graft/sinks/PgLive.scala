@@ -19,6 +19,15 @@ import java.nio.charset.StandardCharsets
   */
 object PgLive {
 
+  /** --log-sql / --log-sql-data (src/command-line-app.cpp:117-127):
+    * echo statements / COPY payload lines to stderr as they are sent.
+    * Set by the CLI; default off. */
+  @volatile var logSql: Boolean = false
+  @volatile var logSqlData: Boolean = false
+
+  private def logStatement(sql: String): Unit =
+    if (logSql) System.err.println(s"[graft SQL] ${sql.trim}")
+
   /** psql exists on PATH (the client, not a server). */
   lazy val available: Boolean =
     try new ProcessBuilder("psql", "--version").start().waitFor() == 0
@@ -45,8 +54,10 @@ object PgLive {
   }
 
   /** Execute SQL (one or more statements); returns (exit, output). */
-  def exec(dsn: String, sql: String): (Int, String) =
+  def exec(dsn: String, sql: String): (Int, String) = {
+    logStatement(sql)
     run(dsn, Nil, sql.getBytes(StandardCharsets.UTF_8))
+  }
 
   def execOrThrow(dsn: String, sql: String): String = {
     val (rc, out) = exec(dsn, sql)
@@ -86,7 +97,16 @@ object PgLive {
     val sink = new java.io.ByteArrayOutputStream
     val drain = new Thread(() => p.getInputStream.transferTo(sink))
     drain.start()
-    try parts.foreach(toPsql.write)
+    // in a mixed stream, statements end in ";\n" — payload lines only
+    // log under --log-sql-data (the reference's split of log_sql vs
+    // log_sql_data)
+    val logged: Iterator[String] =
+      if (logSqlData) parts.map { s => System.err.print(s"[graft SQL] $s"); s }
+      else if (logSql) parts.map { s =>
+        if (s.endsWith(";\n")) logStatement(s); s
+      }
+      else parts
+    try logged.foreach(toPsql.write)
     finally {
       try toPsql.close()
       catch { case _: java.io.IOException => () } // psql died early

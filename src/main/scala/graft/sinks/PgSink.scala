@@ -287,6 +287,49 @@ object PgSink {
     * postgresql:// and postgres:// URIs). Defaults host=localhost,
     * port=5432 like libpq. Unrecognized keywords are passed through as
     * JDBC query params. */
+  /** Any libpq -d form (plain dbname, keyword/value conninfo,
+    * postgresql:// URI) → its connection-parameter map, mirroring the
+    * reference's connection_params_t so -U/-H/-P/-W merge over it
+    * (src/command-line-app.cpp:30-73). */
+  def dsnParams(dsn: String): Map[String, String] = {
+    val trimmed = dsn.trim
+    if (trimmed.startsWith("postgresql://") ||
+        trimmed.startsWith("postgres://")) {
+      val u = new java.net.URI(trimmed)
+      val creds = Option(u.getUserInfo).map(_.split(":", 2)).map(a =>
+        Map("user" -> a(0)) ++
+          (if (a.length > 1) Map("password" -> a(1)) else Map.empty))
+        .getOrElse(Map.empty)
+      val extra = Option(u.getQuery).toSeq.flatMap(_.split("&"))
+        .map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v
+        }.toMap
+      Option(u.getHost).filter(_.nonEmpty).map(h => Map("host" -> h))
+        .getOrElse(Map.empty) ++
+        (if (u.getPort > 0) Map("port" -> u.getPort.toString)
+        else Map.empty) ++
+        Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
+          .map(d => Map("dbname" -> d)).getOrElse(Map.empty) ++
+        creds ++ extra
+    } else if (trimmed.contains('=')) {
+      trimmed.split("\\s+").toSeq.map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+    } else if (trimmed.isEmpty) Map.empty
+    else Map("dbname" -> trimmed)
+  }
+
+  /** Parameter map → keyword/value conninfo, with libpq quoting for
+    * values carrying spaces/quotes. */
+  def conninfo(params: Map[String, String]): String =
+    params.toSeq.sortBy(_._1).map { case (k, v) =>
+      val quoted =
+        if (v.isEmpty || v.exists(c => c == ' ' || c == '\'' || c == '\\'))
+          "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        else v
+      s"$k=$quoted"
+    }.mkString(" ")
+
   def jdbcUrlFromDsn(dsn: String): String = {
     def url(host: String, port: String, db: String,
         params: Seq[(String, String)]): String = {

@@ -133,6 +133,26 @@ class CliSpec extends SparkSpecBase {
       .contains("idx"))
   }
 
+  test("-U/-H/-P merge over the -d form like connection_params_t") {
+    // plain dbname + overrides → keyword/value conninfo
+    assert(opt("-d", "gis", "-U", "osm", "-H", "db.example", "-P", "5433")
+      .database.contains("dbname=gis host=db.example port=5433 user=osm"))
+    // conninfo input: overrides replace matching keys
+    assert(opt("-d", "dbname=gis user=old", "-U", "new")
+      .database.contains("dbname=gis user=new"))
+    // URI input: parsed into params, then merged
+    assert(opt("-d", "postgresql://u@h:5444/mydb", "-P", "5433")
+      .database.contains("dbname=mydb host=h port=5433 user=u"))
+    // no overrides → the -d string passes through verbatim
+    assert(opt("-d", "postgresql://u@h/mydb").database
+      .contains("postgresql://u@h/mydb"))
+    // values with spaces get libpq quoting
+    assert(opt("-d", "gis", "-U", "a user").database
+      .contains("dbname=gis user='a user'"))
+    assert(opt("--log-sql").logSql && !opt("--log-sql").logSqlData)
+    assert(opt("--log-sql-data").logSqlData)
+  }
+
   test("hstore-dependent flags downgrade with the reference's warnings") {
     // --hstore-match-only without any hstore form is ignored
     // (command-line-parser.cpp:188-193)
