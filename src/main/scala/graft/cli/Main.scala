@@ -305,8 +305,16 @@ object Main {
       // any other projection, leaving the expire file empty
       try if (o.srid == graft.geom.Srid.WebMercator) {
         val limits = graft.operators.TileCover.Limits()
+        // hybrid mode is the classic default: polygons larger than
+        // --expire-bbox-size expire boundary-only
+        // (output-pgsql.cpp:462-466, options.hpp:99)
+        val mode =
+          if (o.expireBboxSize > 0)
+            graft.operators.TileCover.Hybrid(o.expireBboxSize)
+          else graft.operators.TileCover.FullArea
         val cover = graft.operators.Expire.fromOsmEntities(osm,
-          graft.operators.TileCover.Config(zoom = o.expireZoomMax),
+          graft.operators.TileCover.Config(zoom = o.expireZoomMax,
+            mode = mode),
           maxTilesPerGeometry = limits.maxTilesPerGeometry)
         val tiles = graft.operators.Expire.rollup(cover, "x", "y",
           o.expireZoomMax, o.expireZoomMin)

@@ -88,6 +88,11 @@ final case class Options(
     bbox: Option[(Double, Double, Double, Double)] = None,
     expireZoomMin: Int = 0,
     expireZoomMax: Int = 0,
+    /** --expire-bbox-size: polygons with an envelope wider/taller than
+      * this (meters) expire only their boundary — the reference's
+      * hybrid mode with full_area_limit (options.hpp:99, default
+      * 20000; output-pgsql.cpp:462-466) */
+    expireBboxSize: Double = 20000.0,
     expireOutput: Option[String] = None,
     numProcesses: Int = 1,
     logLevel: String = "info",
@@ -248,6 +253,10 @@ object Options {
           o = o.copy(expireZoomMin = zmin, expireZoomMax = zmax)
         case "-o" | "--expire-output" =>
           o = o.copy(expireOutput = Some(arg("-o")))
+        case "--expire-bbox-size" =>
+          val v = arg("--expire-bbox-size")
+          o = o.copy(expireBboxSize = v.toDoubleOption.getOrElse(
+            fail(s"Bad argument for option --expire-bbox-size: $v")))
         case "--number-processes" =>
           val n = arg("--number-processes").toIntOption.getOrElse(
             fail("Bad argument for option --number-processes"))

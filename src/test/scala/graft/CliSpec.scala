@@ -153,6 +153,14 @@ class CliSpec extends SparkSpecBase {
     assert(opt("--log-sql-data").logSqlData)
   }
 
+  test("--expire-bbox-size parses; default is the reference's 20000") {
+    assert(opt().expireBboxSize == 20000.0)
+    assert(opt("--expire-bbox-size", "5000").expireBboxSize == 5000.0)
+    assert(opt("--expire-bbox-size", "0").expireBboxSize == 0.0)
+    bad(Seq("--expire-bbox-size", "x"),
+      "Bad argument for option --expire-bbox-size")
+  }
+
   test("hstore-dependent flags downgrade with the reference's warnings") {
     // --hstore-match-only without any hstore form is ignored
     // (command-line-parser.cpp:188-193)
