@@ -30,7 +30,9 @@ import graft.sources.{OsmSource, Validate}
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val o = Options.parse(args.toIndexedSeq)
+    val o =
+      try Options.parse(args.toIndexedSeq)
+      catch { case Options.ExitEarly(code) => sys.exit(code) }
     val spark = SparkSession.builder()
       .master(s"local[${o.numProcesses}]")
       .appName("graft")

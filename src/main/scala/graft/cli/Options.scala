@@ -126,6 +126,32 @@ object Options {
 
   def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
+  /** -h/--help or -V/--version was handled — the caller exits with
+    * this code instead of running (the reference's CLI11 behavior). */
+  final case class ExitEarly(code: Int)
+      extends RuntimeException(s"exit")
+
+  val version: String = "osm2pgsql-spark 0.6.0 (graft engine)"
+
+  private val usage: String =
+    """Usage: osm2pgsql [options] OSM-FILE...
+      |
+      |Import OSM data into a PostgreSQL-compatible sink.
+      |
+      |Common options (full parity list in cli/Options.scala):
+      |  -a|--append / -c|--create   update vs import mode
+      |  -d|--database DB            db name or libpq conninfo/URI
+      |  -U/-H/-P/-W                 connection parameters
+      |  -O|--output pgsql|flex|null -S|--style FILE|OBJECT
+      |  -s|--slim [--drop]          updatable middle
+      |  -k/-j/-z/--hstore-*         hstore columns
+      |  -l|--latlong / -m|--merc / -E SRID   output projection
+      |  -b|--bbox  -e|--expire-tiles  -o|--expire-output
+      |  -r|--input-reader FORMAT    xml|pbf|o5m|opl|auto
+      |  --schema/--prefix/--tablespace-*  table naming
+      |  --log-level/--log-sql       diagnostics
+      |""".stripMargin
+
   private def parseBbox(s: String): (Double, Double, Double, Double) = {
     val parts = s.split(",", -1).map(_.trim)
     if (parts.length != 4 || parts.exists(_.isEmpty)) fail(BboxMsg)
@@ -217,6 +243,24 @@ object Options {
           o = o.copy(extraAttributes = true)
         case "-l" | "--latlong" => o = o.copy(srid = graft.geom.Srid.WGS84)
         case "-m" | "--merc" => o = o.copy(srid = graft.geom.Srid.WebMercator)
+        case "-E" | "--proj" =>
+          // without a generic projection library only the two built-in
+          // SRS work (reprojection.cpp:72-81; the error wording is
+          // reprojection-generic-none.cpp)
+          val v = arg("-E")
+          v.toIntOption match {
+            case Some(4326) => o = o.copy(srid = graft.geom.Srid.WGS84)
+            case Some(3857) => o = o.copy(srid = graft.geom.Srid.WebMercator)
+            case Some(_) =>
+              fail("Generic projections not available in this build.")
+            case None => fail(s"Bad argument for option --proj: $v")
+          }
+        case "-h" | "--help" =>
+          println(usage)
+          throw ExitEarly(0)
+        case "-V" | "--version" =>
+          System.err.println(version)
+          throw ExitEarly(0)
         case "-K" | "--keep-coastlines" => o = o.copy(keepCoastlines = true)
         case "-G" | "--multi-geometry" => o = o.copy(multiGeometry = true)
         case "--reproject-area" => o = o.copy(reprojectArea = true)
@@ -314,8 +358,8 @@ object Options {
       fail("--hstore excludes --hstore-all")
     // check_options_output_pgsql (src/command-line-parser.cpp:182-186):
     // only one projection selector may be given
-    if (args.count(a => Seq("-l", "--latlong", "-m", "--merc")
-        .contains(a)) > 1)
+    if (args.count(a => Seq("-l", "--latlong", "-m", "--merc", "-E",
+        "--proj").contains(a)) > 1)
       fail("You can only use one of --latlong, -l, --merc, -m, --proj, " +
         "and -E")
     if (o.cacheMb < 0) fail("RAM cache cannot be negative.")

@@ -153,6 +153,16 @@ class CliSpec extends SparkSpecBase {
     assert(opt("--log-sql-data").logSqlData)
   }
 
+  test("-E maps 4326/3857; other SRIDs need the projection library") {
+    assert(opt("-E", "4326").srid == graft.geom.Srid.WGS84)
+    assert(opt("--proj", "3857").srid == graft.geom.Srid.WebMercator)
+    bad(Seq("-E", "2154"),
+      "Generic projections not available in this build.")
+    bad(Seq("-E", "4326", "-m"), "You can only use one of")
+    intercept[Options.ExitEarly](Options.parse(Seq("--help")))
+    intercept[Options.ExitEarly](Options.parse(Seq("-V")))
+  }
+
   test("--expire-bbox-size parses; default is the reference's 20000") {
     assert(opt().expireBboxSize == 20000.0)
     assert(opt("--expire-bbox-size", "5000").expireBboxSize == 5000.0)
