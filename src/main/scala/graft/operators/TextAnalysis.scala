@@ -337,4 +337,32 @@ object TextAnalysis {
       .select(col(idCol), col("score"))
     scored.orderBy(col("score").desc, col(idCol)).limit(topN)
   }
+
+  /** PII patterns shared by the Spark operator and the DuckDB oracle —
+    * restricted to syntax with identical semantics in Java regex and
+    * RE2 (char classes, bounded repeats, \b, leftmost greedy match):
+    * emails, IPv4 literals, and phone-shaped digit runs. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** PII scrub — the standard curation step before training: count
+    * each class, then redact with typed placeholders. Order matters
+    * and is fixed (email → ipv4 → phone) so a phone scan never eats
+    * the digits of an address already replaced. Pure per-row
+    * `regexp_count`/`regexp_replace` projections — codegen'd,
+    * shuffle-free, linear at any corpus size. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, lit(EmailRe), lit("<EMAIL>"))
+    val t2 = regexp_replace(t1, lit(Ipv4Re), lit("<IP>"))
+    val t3 = regexp_replace(t2, lit(PhoneRe), lit("<PHONE>"))
+    df.select(
+      col(idCol),
+      regexp_count(t0, lit(EmailRe)).as("n_email"),
+      regexp_count(t1, lit(Ipv4Re)).as("n_ip"),
+      regexp_count(t2, lit(PhoneRe)).as("n_phone"),
+      t3.as("redacted"))
+  }
 }

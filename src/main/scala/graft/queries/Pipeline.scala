@@ -574,6 +574,55 @@ object Pipeline {
        |SELECT doc_id, token, tf, df, rk
        |FROM ranked WHERE rk <= 3""".stripMargin
 
+
+  // ---- q82: PII scrub (count + typed redaction) ----
+  // the synthetic corpus carries no PII, so both engines derive the
+  // SAME deterministic contact strings from doc_id (an email, a
+  // phone run, an IPv4, or nothing by doc_id % 4), then the operator
+  // counts and redacts them — proving the cross-engine regex
+  // semantics, not just a no-op pass
+
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val synth = concat(substring(col("text"), 1, 40),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" mail u"), idS, lit("@ex-mail.org now")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit(" call +1 555 01"), idS, lit(" now")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" host 10.0."), (col("doc_id") % 200).cast("string"),
+            lit(".7 up")))
+        .otherwise(lit(" clean")))
+    TextAnalysis.redactPii(
+      Tables.documents(s, d).select(col("doc_id"), synth.as("text")),
+      "doc_id", "text")
+  }
+
+  val piiRedactSql: String = {
+    val e = graft.operators.TextAnalysis.EmailRe
+    val ip = graft.operators.TextAnalysis.Ipv4Re
+    val ph = graft.operators.TextAnalysis.PhoneRe
+    s"""WITH synth AS (
+       |  SELECT doc_id,
+       |    substring(text, 1, 40) ||
+       |    CASE CAST(doc_id % 4 AS INTEGER)
+       |      WHEN 0 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex-mail.org now'
+       |      WHEN 1 THEN ' call +1 555 01' || CAST(doc_id AS VARCHAR) || ' now'
+       |      WHEN 2 THEN ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7 up'
+       |      ELSE ' clean' END AS text
+       |  FROM documents),
+       |r1 AS (SELECT doc_id, text,
+       |  regexp_replace(text, '$e', '<EMAIL>', 'g') AS t1 FROM synth),
+       |r2 AS (SELECT doc_id, text, t1,
+       |  regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM r1)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$e')) AS n_email,
+       |  len(regexp_extract_all(t1, '$ip')) AS n_ip,
+       |  len(regexp_extract_all(t2, '$ph')) AS n_phone,
+       |  regexp_replace(t2, '$ph', '<PHONE>', 'g') AS redacted
+       |FROM r2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q10_dedup_exact"        -> (dedupExact _),
     "q11_dedup_sorted_fp"    -> (dedupSortedFp _),
@@ -600,7 +649,8 @@ object Pipeline {
     "q55_decontaminate"      -> (decontaminate _),
     "q56_label_centroids"    -> (labelCentroids _),
     "q57_repetition"         -> (repetition _),
-    "q58_doc_keywords"       -> (docKeywords _))
+    "q58_doc_keywords"       -> (docKeywords _),
+    "q82_pii_redact"         -> (piiRedact _))
 
   val oracles: Map[String, String] = Map(
     "q10_dedup_exact"        -> dedupExactSql,
@@ -628,5 +678,6 @@ object Pipeline {
     "q55_decontaminate"      -> decontaminateSql,
     "q56_label_centroids"    -> labelCentroidsSql,
     "q57_repetition"         -> repetitionSql,
-    "q58_doc_keywords"       -> docKeywordsSql)
+    "q58_doc_keywords"       -> docKeywordsSql,
+    "q82_pii_redact"         -> piiRedactSql)
 }

@@ -12,6 +12,31 @@ import graft.operators.{Dedup, Sessions, TextAnalysis}
 class PipelineOps2Spec extends SparkSpecBase {
   import spark.implicits._
 
+  test("redactPii counts and redacts each class; order email→ip→phone") {
+    val df = Seq(
+      (1L, "write a@b.org or c.d+x@e-f.co.uk please"),
+      (2L, "server 192.168.0.1 and 10.0.0.7 up"),
+      (3L, "call +1 (555) 010-1234 or 555 010 9999 now"),
+      (4L, "mixed a@b.org at 10.0.0.7 call 555 010 9999"),
+      (5L, "nothing here"),
+      (6L, "not an ip 1.2.3 and short 12 34")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (r(i).getInt(1), r(i).getInt(2), r(i).getInt(3),
+      r(i).getString(4))
+    assert(row(0) == (2, 0, 0, "write <EMAIL> or <EMAIL> please"))
+    assert(row(1) == (0, 2, 0, "server <IP> and <IP> up"))
+    assert(row(2) == (0, 0, 2, "call <PHONE> or <PHONE> now"))
+    // mixed: the ip is consumed by the ip pass BEFORE the phone scan
+    assert(row(3) == (1, 1, 1, "mixed <EMAIL> at <IP> call <PHONE>"))
+    assert(row(4) == (0, 0, 0, "nothing here"))
+    assert(row(5) == (0, 0, 0, "not an ip 1.2.3 and short 12 34"))
+    // map-only projection: no exchange in the plan
+    val plan = TextAnalysis.redactPii(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("int8Quantize saturates at ±127 and zeroes all-zero vectors") {
     val df = Seq(
       (1L, Seq(1.0f, -2.0f, 0.5f)),
