@@ -111,5 +111,14 @@ class OplSpec extends SparkSpecBase {
     assert(auto.nodes.count() == 3 && auto.ways.count() == 1)
     val forced = OsmSource.read(spark, Seq(unhinted.toString), "opl")
     assert(forced.relations.count() == 1)
+
+    // gzip: the sniffer looks through the compression layer and the
+    // text source decompresses transparently
+    val gz = dir.resolve("data.opl.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write(java.nio.file.Files.readAllBytes(f)); out.close()
+    val zipped = OsmSource.read(spark, Seq(gz.toString))
+    assert(zipped.nodes.count() == 3 && zipped.ways.count() == 1)
   }
 }
