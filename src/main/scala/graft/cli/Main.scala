@@ -46,9 +46,26 @@ object Main {
       case "info"  => "WARN"
       case _       => "ERROR"
     })
+    val t0 = System.nanoTime()
     try run(spark, o)
-    finally spark.stop()
+    finally {
+      spark.stop()
+      // the reference's closing line (src/osm2pgsql.cpp:386; format
+      // util::human_readable_duration, src/util.cpp:23-41) — scripts
+      // parse it, so keep the exact shape
+      System.err.println("osm2pgsql took " +
+        humanDuration((System.nanoTime() - t0) / 1000000000L) + " overall.")
+    }
   }
+
+  /** "{s}s", "{s}s ({m}m {s}s)", "{s}s ({h}h {m}m {s}s)" —
+    * util::human_readable_duration (src/util.cpp:23-41). */
+  def humanDuration(seconds: Long): String =
+    if (seconds < 60) s"${seconds}s"
+    else if (seconds < 3600)
+      s"${seconds}s (${seconds / 60}m ${seconds % 60}s)"
+    else s"${seconds}s (${seconds / 3600}h ${seconds / 60 % 60}m " +
+      s"${seconds % 60}s)"
 
   def run(spark: SparkSession, o0: Options): Unit = {
     // append runs resolve their effective options against the stored

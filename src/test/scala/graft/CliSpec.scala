@@ -163,6 +163,15 @@ class CliSpec extends SparkSpecBase {
     intercept[Options.ExitEarly](Options.parse(Seq("-V")))
   }
 
+  test("human_readable_duration format matches util.cpp") {
+    assert(Main.humanDuration(0) == "0s")
+    assert(Main.humanDuration(59) == "59s")
+    assert(Main.humanDuration(60) == "60s (1m 0s)")
+    assert(Main.humanDuration(3599) == "3599s (59m 59s)")
+    assert(Main.humanDuration(3600) == "3600s (1h 0m 0s)")
+    assert(Main.humanDuration(7384) == "7384s (2h 3m 4s)")
+  }
+
   test("--expire-bbox-size parses; default is the reference's 20000") {
     assert(opt().expireBboxSize == 20000.0)
     assert(opt("--expire-bbox-size", "5000").expireBboxSize == 5000.0)
