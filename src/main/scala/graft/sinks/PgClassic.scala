@@ -147,6 +147,43 @@ object PgClassic {
         graft.geom.GeomOps.transform(g, srid))
     })
 
+  // escape_type INT (src/table.cpp:365-388): sscanf "%18lld-%18lld" —
+  // the first number, or the overflow-free mean of an a-b range
+  // ((a/2)+(b/2)+((a%2+b%2)/2) in C semantics); int32 bounds for
+  // EVERY declared int width (reference quirk), out of range or
+  // unparsable → NULL. Truncating division over longs is done as
+  // shiftright(x - x%2, 1) — exact in long arithmetic, no double
+  // round-trip; Spark's % matches C's (sign of the dividend).
+  private val IntTok = "[+-]?[0-9]{1,18}"
+  private def escapeInt(s: Column): Column = {
+    def num(c: Column): Column =
+      when(c =!= "", translate(c, "+", "").cast("long"))
+    def halfTrunc(c: Column): Column = shiftright(c - (c % 2), 1)
+    val single = num(regexp_extract(s, s"^\\s*($IntTok)", 1))
+    val from = num(regexp_extract(s, s"^\\s*($IntTok)-($IntTok)", 1))
+    val to = num(regexp_extract(s, s"^\\s*($IntTok)-($IntTok)", 2))
+    val odd = (from % 2) + (to % 2) // in {-2,-1,0,1,2}; C /2 truncates
+    val mean = halfTrunc(from) + halfTrunc(to) +
+      when(odd === 2, 1L).when(odd === -2, -1L).otherwise(0L)
+    val value = when(to.isNotNull, mean).otherwise(single)
+    when(value.between(Int.MinValue.toLong, Int.MaxValue.toLong), value)
+  }
+
+  // escape_type REAL (src/table.cpp:390-423): ','→'.', first float or
+  // the mean of an a-b range, a trailing "ft" converts to meters.
+  private val FltTok = "[+-]?(?:[0-9]+(?:\\.[0-9]*)?|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
+  private def escapeReal(s: Column): Column = {
+    val e = translate(s, ",", ".")
+    def num(c: Column): Column = when(c =!= "", c.cast("double"))
+    val single = num(regexp_extract(e, s"^\\s*($FltTok)", 1))
+    val from = num(regexp_extract(e, s"^\\s*($FltTok)-($FltTok)", 1))
+    val to = num(regexp_extract(e, s"^\\s*($FltTok)-($FltTok)", 2))
+    val ft = e.endsWith("ft")
+    val scale = when(ft, lit(0.3048)).otherwise(lit(1.0))
+    when(to.isNotNull, (from * scale + to * scale) / 2)
+      .otherwise(single * scale)
+  }
+
   /** Engine parquet table → COPY-ready frame in the table's column
     * order. Style columns read `tags[name]` (escape_type null-on-
     * unparsable for int4/real, src/table.cpp:298-330 → try_cast);
@@ -162,10 +199,18 @@ object PgClassic {
       val v: Column =
         if (have.contains(name) && name != "tags") col(name)
         else col("tags").getItem(name)
+      // type aliases of get_tag_type (src/taginfo.cpp:72-86); unknown
+      // declared types degrade to TEXT like the reference
       (ty match {
-        case "int4" | "int8" | "int2" => v.cast("string").try_cast("long")
-        case "real"                   => v.cast("string").try_cast("double")
-        case _                        => v.cast("string")
+        case "int4" | "int8" | "int2" | "smallint" | "integer" | "bigint" =>
+          // engine-computed columns (z_order) are already numeric —
+          // only tag-sourced strings go through escape_type
+          if (have.contains(name) && name != "tags") v.cast("string").try_cast("long")
+          else escapeInt(v.cast("string"))
+        case "real" | "double precision" =>
+          if (have.contains(name) && name != "tags") v.cast("string").try_cast("double")
+          else escapeReal(v.cast("string"))
+        case _ => v.cast("string")
       }).as(name)
     }
     val columnKeys = t.columns.map(_._1)

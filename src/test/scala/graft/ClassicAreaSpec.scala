@@ -138,6 +138,23 @@ class ClassicAreaSpec extends SparkSpecBase {
     assert(tags == Map("natural" -> "coastline", "area" -> "yes"))
   }
 
+  test("z_order ranking goldens (test-output-pgsql-z_order.cpp)") {
+    val osm = OsmXml.read(spark,
+      Seq("/root/reference/tests/data/test_output_pgsql_z_order.osm"))
+    val t = ClassicPipeline.run(osm, StyleFile.defaultStyle)
+    // among layer-less ways the class order is the road hierarchy
+    val noLayer = t.line.where("tags['layer'] IS NULL")
+      .orderBy(org.apache.spark.sql.functions.col("z_order").desc)
+      .selectExpr("tags['highway']").collect().map(_.getString(0))
+    assert(noLayer.take(5).toSeq ==
+      Seq("motorway", "trunk", "primary", "secondary", "tertiary"))
+    // the layer=5 residential way outranks everything overall
+    val top = t.line
+      .orderBy(org.apache.spark.sql.functions.col("z_order").desc)
+      .selectExpr("tags['highway']").collect().head.getString(0)
+    assert(top == "residential")
+  }
+
   test("coastline + another export tag: kept, area=yes, forced polygon") {
     val dir = Files.createTempDirectory("coast2")
     val f = dir.resolve("coast2.osm")

@@ -73,6 +73,74 @@ class PgClassicSpec extends SparkSpecBase {
       t.copyColumnNames)
   }
 
+  test("int4 escape_type goldens (test-output-pgsql-int4.cpp, all 23)") {
+    // the reference fixture's population values in node order 1..23
+    val values = Seq(
+      "10000000000000000000", "10000000000", "2147483648", // → NULL
+      "2147483647", "10000", "-10000", "-2147483648",      // limits
+      "-2147483649", "-10000000000", "-10000000000000000000", // NULL
+      "10000000000000000000-20000000000000000000",         // NULL
+      "10000000000-20000000000",                           // NULL
+      "2147483646-2147483648", "10000-20000", "-10000--20000",
+      "-2147483647--2147483649",                           // range means
+      "-10000000000--20000000000",
+      "-10000000000000000000--20000000000000000000",       // NULL
+      "", "-", "--", "abc",                                // NULL
+      "0")
+    val expected = Seq[Any](null, null, null,
+      2147483647L, 10000L, -10000L, -2147483648L,
+      null, null, null, null, null,
+      2147483647L, 15000L, -15000L, -2147483648L, null, null,
+      null, null, null, null, 0L)
+    val style = StyleFile.parse(
+      """node,way population int4 linear
+        |node,way name text linear
+        |""".stripMargin)
+    val t = PgClassic.tables("t", style, hstore = false)
+      .find(_.kind == "point").get
+    val schema = StructType(Seq(
+      StructField("osm_id", LongType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("lon", DoubleType), StructField("lat", DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(values.zipWithIndex.map {
+        case (v, i) => Row((i + 1).toLong,
+          Map("population" -> v, "name" -> s"n$i"), 1.0, 2.0)
+      }), schema)
+    val got = PgClassic.copyFrame(df, t).orderBy("osm_id")
+      .select("population").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
+  test("real escape_type: comma marks, ranges, feet (table.cpp:390-423)") {
+    val cases = Seq(
+      "3.5" -> 3.5, "3,5" -> 3.5, "2-4" -> 3.0,
+      "10ft" -> 10 * 0.3048, "10-20ft" -> 15 * 0.3048,
+      "1e2" -> 100.0, "-2.5--3.5" -> -3.0)
+    val nulls = Seq("abc", "", "-")
+    val style = StyleFile.parse("node,way width real linear\n")
+    val t = PgClassic.tables("t", style, hstore = false)
+      .find(_.kind == "point").get
+    val schema = StructType(Seq(
+      StructField("osm_id", LongType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("lon", DoubleType), StructField("lat", DoubleType)))
+    val all = cases.map(_._1) ++ nulls
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(all.zipWithIndex.map {
+        case (v, i) => Row((i + 1).toLong, Map("width" -> v), 1.0, 2.0)
+      }), schema)
+    val got = PgClassic.copyFrame(df, t).orderBy("osm_id")
+      .select("width").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) != null && math.abs(got(i).asInstanceOf[Double] - want)
+        < 1e-12, s"$in -> ${got(i)}, want $want")
+    }
+    nulls.indices.foreach(i => assert(got(cases.size + i) == null))
+  }
+
   test("create DDL: hstore columns, srid typmod, tablespace clause") {
     val t = lineTable(hstore = true, zCols = Seq("name:"), srid = 4326)
     val ddl = PgClassic.createDdl(t, tablespace = Some("fastdisk"))
