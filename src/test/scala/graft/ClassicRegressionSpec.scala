@@ -50,6 +50,52 @@ class ClassicRegressionSpec extends SparkSpecBase {
       s"sum(roads length)=$sumRoads")
   }
 
+  test("liechtenstein latlon regression (test-output-pgsql.cpp:66-102)") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.GeomExpressions.{stAreaN, stLengthN}
+    import spark.implicits._
+    val osm = OsmPbf.read(spark, path)
+    val t = ClassicPipeline.run(osm, StyleFile.defaultStyle,
+      srid = graft.geom.Srid.WGS84)
+    // -l counts differ from 3857: the 1° split threshold merges
+    // differently than the 100km one
+    assert(t.point.count() == 1342L)
+    assert(t.line.count() == 3229L)
+    assert(t.roads.count() == 374L)
+    assert(t.polygon.count() == 4130L)
+    // scalar goldens in degrees
+    val len = t.line.where($"osm_id" === 1101L)
+      .select(stLengthN($"geom")).as[Double].head()
+    assert(math.abs(len - 0.0105343) / 0.0105343 < 1e-4, s"len=$len")
+    val area = t.polygon.where($"osm_id" === 3265L)
+      .select($"way_area".cast("double")).as[Double].head()
+    assert(math.abs(area - 1.70718e-8) / 1.70718e-8 < 1e-4, s"area=$area")
+    val areaG = t.polygon.where($"osm_id" === 3265L)
+      .select(stAreaN($"geom")).as[Double].head()
+    assert(math.abs(areaG - 1.70718e-8) / 1.70718e-8 < 1e-4)
+    // the point location golden: one point within 1e-5 degrees
+    val near = t.point.where(
+      abs($"lon" - 9.5459035) < 1e-5 && abs($"lat" - 47.1866494) < 1e-5)
+    assert(near.count() == 1L)
+  }
+
+  test("way-area + route-relation fixtures (test-output-pgsql.cpp:103-130)") {
+    val wa = ClassicPipeline.run(graft.sources.OsmXml.read(spark,
+      Seq("/root/reference/tests/data/test_output_pgsql_way_area.osm")),
+      StyleFile.defaultStyle)
+    assert(wa.point.count() == 0 && wa.line.count() == 0 &&
+      wa.roads.count() == 0)
+    assert(wa.polygon.count() == 1)
+    val rr = ClassicPipeline.run(graft.sources.OsmXml.read(spark,
+      Seq("/root/reference/tests/data/test_output_pgsql_route_rel.osm")),
+      StyleFile.defaultStyle)
+    // the way AND the route relation land in line; only the way is a
+    // road (route=road adds no roads row for the relation itself)
+    assert(rr.point.count() == 0 && rr.polygon.count() == 0)
+    assert(rr.line.count() == 2)
+    assert(rr.roads.count() == 1)
+  }
+
   test("hstore-match-only regression vs reference goldens") {
     // tests/test-output-pgsql-hstore-match-only.cpp: with the all-
     // nocolumn style + --hstore --hstore-match-only, the fixture file
