@@ -334,12 +334,20 @@ object ClassicPipeline {
       .withColumn("__roads", TagFunctions.isRoads(col("__outtags")))
       .withColumn("__z", TagFunctions.zOrder(col("__outtags")))
 
-    // member ways resolved: (rel id, ordered arrays of member lon/lat arrays)
+    // member ways resolved: (rel id, ordered arrays of member lon/lat
+    // arrays). The middle hands the assembler an id SET
+    // (rel_members_get builds one get_way_list query,
+    // src/middle-pgsql.cpp:822-836) — a way listed twice in the
+    // member list contributes its segments ONCE (validgeom fixture:
+    // relation 3726445 lists the same outer twice and still yields
+    // two polygons, not a cancelled assembly)
     val memberRefs = keptRels
       .select(col("id").as("rid"),
         posexplode(col("members")).as(Seq("mpos", "m")))
       .where(col("m.mtype") === "w")
       .select(col("rid"), col("mpos"), col("m.ref").as("wid"))
+      .groupBy(col("rid"), col("wid"))
+      .agg(min(col("mpos")).as("mpos"))
     val memberWays = memberRefs
       .join(allResolved, col("wid") === col("rwid"))
       .groupBy(col("rid"))

@@ -30,17 +30,63 @@ object FromOsm {
     if (d.size < 2) NullGeom(srid) else LineString(d, srid)
   }
 
+  // ---- duplicate-segment pair cancellation (the osmium assembler's
+  // erase_duplicate_segments, segment_list.hpp:270-305: duplicate
+  // segments are erased in PAIRS — of three copies, one survives).
+  // Both geometry paths run the assembler (geom-from-osm.cpp:115-120
+  // for closed ways, geom-area-assembler.cpp for relations), so a way
+  // that walks an edge back and forth still yields its clean ring,
+  // and a relation listing the same member twice cancels it out.
+
+  private def unitSegments(pts: Seq[Pt]): Seq[(Pt, Pt)] =
+    pts.zip(pts.tail).filter { case (a, b) => a != b }
+
+  private def normSeg(s: (Pt, Pt)): (Pt, Pt) = {
+    val (a, b) = s
+    if (a.x < b.x || (a.x == b.x && a.y <= b.y)) (a, b) else (b, a)
+  }
+
+  private def hasDuplicateSegments(segs: Seq[(Pt, Pt)]): Boolean = {
+    val seen = mutable.HashSet.empty[(Pt, Pt)]
+    segs.exists(s => !seen.add(normSeg(s)))
+  }
+
+  /** Segments surviving pair-erasure, as 2-point ways for the ring
+    * chain walk (insertion order preserved). */
+  private def cancelDuplicatePairs(segs: Seq[(Pt, Pt)]): Seq[Seq[Pt]] = {
+    val counts = mutable.LinkedHashMap.empty[(Pt, Pt), Int]
+    segs.foreach { s =>
+      val k = normSeg(s)
+      counts.update(k, counts.getOrElse(k, 0) + 1)
+    }
+    counts.iterator.collect {
+      case ((a, b), n) if n % 2 == 1 => Seq(a, b)
+    }.toSeq
+  }
+
   /** closed way → POLYGON via ring building + validity check, null if
     * invalid (src/geom-from-osm.cpp:104-133; assembler
     * src/geom-area-assembler.cpp). Not closed / too few points /
-    * self-intersecting → null. Winding normalized to CCW outer. */
+    * self-intersecting → null. Winding normalized to CCW outer.
+    * Duplicate segments cancel in pairs first; when that reshapes the
+    * walk, the polygon is the largest surviving ring (the reference
+    * takes the assembler's first outer ring,
+    * geom-from-osm.cpp:122-125). */
   def createPolygon(pts: Seq[Pt], srid: Int = Srid.WGS84): Geometry = {
     val d = dedupConsecutive(pts)
     if (d.size < 4 || d.head != d.last) return NullGeom(srid)
-    val ring = Ring(d)
-    if (selfIntersects(ring)) return NullGeom(srid)
-    if (ring.signedArea2x == 0.0) return NullGeom(srid)
-    Polygon(ccw(ring), Vector.empty, srid)
+    val segs = unitSegments(d)
+    val ring0 =
+      if (!hasDuplicateSegments(segs)) Ring(d)
+      else chainRings(cancelDuplicatePairs(segs)) match {
+        case Some(rings) if rings.nonEmpty =>
+          rings.maxBy(r => math.abs(r.signedArea2x))
+        case _ => return NullGeom(srid)
+      }
+    if (ring0.pts.size < 4) return NullGeom(srid)
+    if (selfIntersects(ring0)) return NullGeom(srid)
+    if (ring0.signedArea2x == 0.0) return NullGeom(srid)
+    Polygon(ccw(ring0), Vector.empty, srid)
   }
 
   /** way → POINT at 1-based index n (object:as_point(n),
@@ -81,12 +127,11 @@ object FromOsm {
     * (src/geom-from-osm.cpp:219-252; libosmium area assembler
     * semantics: old-style multipolygons with role-less members work,
     * unclosed leftovers make the whole assembly invalid → null). */
-  def createMultiPolygon(ways: Seq[Seq[Pt]],
-      srid: Int = Srid.WGS84): Geometry = {
-    val segs = ways.map(dedupConsecutive).filter(_.size >= 2)
-    if (segs.isEmpty) return NullGeom(srid)
-
-    // 1. chain open ways into closed rings by matching exact endpoints
+  /** Chain open point sequences into closed rings by exact endpoint
+    * matching. None when a leftover chain can't close or a ring
+    * degenerates to zero area (unclosed leftovers invalidate the
+    * whole assembly, like the reference's create_rings). */
+  private def chainRings(segs: Seq[Seq[Pt]]): Option[Vector[Ring]] = {
     val used = Array.fill(segs.size)(false)
     val rings = mutable.ArrayBuffer.empty[Ring]
     segs.indices.foreach { i =>
@@ -100,8 +145,11 @@ object FromOsm {
           while (j < segs.size && !progress) {
             if (!used(j)) {
               val s = segs(j)
-              if (s.head == acc.last) { acc ++= s.tail; used(j) = true; progress = true }
-              else if (s.last == acc.last) { acc ++= s.reverse.tail; used(j) = true; progress = true }
+              if (s.head == acc.last) {
+                acc ++= s.tail; used(j) = true; progress = true
+              } else if (s.last == acc.last) {
+                acc ++= s.reverse.tail; used(j) = true; progress = true
+              }
             }
             j += 1
           }
@@ -111,12 +159,30 @@ object FromOsm {
           // degenerate (zero-area / collinear) rings invalidate the
           // assembly like unclosed ones (relation-changes.feature:
           // a node move collapsing the ring removes the row)
-          if (r.signedArea2x == 0.0) return NullGeom(srid)
+          if (r.signedArea2x == 0.0) return None
           rings += r
-        } else return NullGeom(srid) // unclosed leftover → invalid assembly
+        } else return None // unclosed leftover → invalid assembly
       }
     }
-    if (rings.isEmpty) return NullGeom(srid)
+    Some(rings.toVector)
+  }
+
+  def createMultiPolygon(ways: Seq[Seq[Pt]],
+      srid: Int = Srid.WGS84): Geometry = {
+    val chains0 = ways.map(dedupConsecutive).filter(_.size >= 2)
+    if (chains0.isEmpty) return NullGeom(srid)
+    // duplicate members/edges cancel in pairs BEFORE ring assembly
+    // (e.g. a relation listing the same outer way twice reduces to
+    // the remaining members' segments)
+    val allSegs = chains0.flatMap(unitSegments)
+    val chains: Seq[Seq[Pt]] =
+      if (!hasDuplicateSegments(allSegs)) chains0
+      else cancelDuplicatePairs(allSegs)
+    if (chains.isEmpty) return NullGeom(srid)
+    val rings = chainRings(chains) match {
+      case Some(rs) if rs.nonEmpty => rs
+      case _ => return NullGeom(srid)
+    }
 
     // 2. classify nesting by containment depth of a representative vertex
     val ringSeq = rings.toVector

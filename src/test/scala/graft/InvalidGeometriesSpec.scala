@@ -140,4 +140,29 @@ class InvalidGeometriesSpec extends SparkSpecBase {
     // member leaves the assembly open as well → only -30 lands
     assert(relAreaIds(osm) == Seq(-30L))
   }
+
+  test("validgeom fixture: 12 valid, non-empty polygons " +
+      "(test-output-pgsql-validgeom.cpp)") {
+    val osm = OsmXml.read(spark, Seq(
+      "/root/reference/tests/data/test_output_pgsql_validgeom.osm"))
+    val t = graft.classic.ClassicPipeline.run(osm,
+      graft.classic.StyleFile.defaultStyle)
+    val geoms = t.polygon.select("geom").collect()
+      .map(r => graft.geom.Ewkb.decode(r.getAs[Array[Byte]](0)))
+    assert(geoms.length == 12)
+    // ST_IsValid/ST_IsEmpty analog: every landed polygon decodes with
+    // positive area and closed rings (the engine constructs-or-drops,
+    // so a landed row IS the validity claim — verify it anyway)
+    geoms.foreach { g =>
+      assert(graft.geom.GeomOps.area(g) > 0.0)
+      g match {
+        case p: graft.geom.Polygon =>
+          assert(p.outer.pts.head == p.outer.pts.last)
+          p.inners.foreach(r => assert(r.pts.head == r.pts.last))
+        case mp: graft.geom.MultiPolygon =>
+          mp.polys.foreach(p => assert(p.outer.pts.head == p.outer.pts.last))
+        case other => fail(s"unexpected geometry: $other")
+      }
+    }
+  }
 }
