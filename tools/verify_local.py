@@ -86,7 +86,12 @@ def main():
     for name, sql in sorted(oracles.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output")
+            import os
+            err_file = f"{out_dir}/{name}/ERROR.txt"
+            if os.path.exists(err_file):
+                print(f"FAIL {name}: query threw: {open(err_file).read().strip()[:200]}")
+            else:
+                print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
         try:
