@@ -51,16 +51,15 @@ object FromOsm {
     segs.exists(s => !seen.add(normSeg(s)))
   }
 
-  /** Segments surviving pair-erasure, as 2-point ways for the ring
-    * chain walk (insertion order preserved). */
-  private def cancelDuplicatePairs(segs: Seq[(Pt, Pt)]): Seq[Seq[Pt]] = {
+  /** Segments surviving pair-erasure (insertion order preserved). */
+  private def cancelDuplicatePairs(segs: Seq[(Pt, Pt)]): Seq[(Pt, Pt)] = {
     val counts = mutable.LinkedHashMap.empty[(Pt, Pt), Int]
     segs.foreach { s =>
       val k = normSeg(s)
       counts.update(k, counts.getOrElse(k, 0) + 1)
     }
     counts.iterator.collect {
-      case ((a, b), n) if n % 2 == 1 => Seq(a, b)
+      case (s, n) if n % 2 == 1 => s
     }.toSeq
   }
 
@@ -78,7 +77,7 @@ object FromOsm {
     val segs = unitSegments(d)
     val ring0 =
       if (!hasDuplicateSegments(segs)) Ring(d)
-      else chainRings(cancelDuplicatePairs(segs)) match {
+      else assembleRings(cancelDuplicatePairs(segs)) match {
         case Some(rings) if rings.nonEmpty =>
           rings.maxBy(r => math.abs(r.signedArea2x))
         case _ => return NullGeom(srid)
@@ -122,51 +121,178 @@ object FromOsm {
     }
   }
 
+  /** Ring assembly from a deduplicated segment set — the osmium
+    * BasicAssembler's create_rings (basic_assembler.hpp):
+    *
+    *  - every location must be an endpoint of an EVEN number of
+    *    segments, else some ring cannot close (open ring / spike) and
+    *    the whole assembly is invalid → None;
+    *  - locations where more than two segments meet are "split"
+    *    locations: rings touching there are cut into arcs and
+    *    re-joined into SIMPLE rings, so e.g. four inner rings
+    *    touching pairwise at points decompose into their union
+    *    outline plus the enclosed courtyard ring (which lands at even
+    *    nesting depth and becomes an additional outer ring — the
+    *    12-polygon validgeom fixture, test-output-pgsql-validgeom
+    *    .cpp:33);
+    *  - ambiguous joins pick the candidate closed walk with the
+    *    SMALLEST area for outer rings and the LARGEST for inner rings
+    *    (join_connected_rings, basic_assembler.hpp:813-905);
+    *  - a zero-area ring invalidates the assembly (relation-changes
+    *    .feature: a node move collapsing the ring removes the row).
+    */
+  private def assembleRings(segs: Seq[(Pt, Pt)]): Option[Vector[Ring]] = {
+    val proper = segs.filter { case (a, b) => a != b }
+    if (proper.isEmpty) return None
+    val n = proper.size
+    val adj = mutable.HashMap.empty[Pt, mutable.ArrayBuffer[Int]]
+    proper.zipWithIndex.foreach { case ((a, b), i) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += i
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += i
+    }
+    if (adj.valuesIterator.exists(_.size % 2 == 1)) return None // open ring
+    val splitLocs: Set[Pt] =
+      adj.iterator.collect { case (p, is) if is.size > 2 => p }.toSet
+    val used = Array.fill(n)(false)
+    def other(i: Int, p: Pt): Pt = {
+      val (a, b) = proper(i); if (a == p) b else a
+    }
+    /** Walk from `start` through segment i0; stops on returning to
+      * `start` or at a split location (add_new_ring_complex). Through
+      * 2-valent nodes the continuation is forced. */
+    def walk(start: Pt, i0: Int): Option[Vector[Pt]] = {
+      val acc = mutable.ArrayBuffer(start)
+      used(i0) = true
+      var cur = other(i0, start)
+      acc += cur
+      while (cur != start && !splitLocs.contains(cur)) {
+        adj(cur).find(!used(_)) match {
+          case Some(nx) => used(nx) = true; cur = other(nx, cur); acc += cur
+          case None     => return None // dead end — malformed input
+        }
+      }
+      Some(acc.toVector)
+    }
+    val closed = mutable.ArrayBuffer.empty[Vector[Pt]]
+    val open = mutable.ArrayBuffer.empty[Vector[Pt]]
+    // arcs first, from split locations in deterministic order
+    splitLocs.toSeq.sortBy(p => (p.x, p.y)).foreach { sl =>
+      adj(sl).foreach { i =>
+        if (!used(i)) walk(sl, i) match {
+          case Some(pts) =>
+            if (pts.head == pts.last) closed += pts else open += pts
+          case None => return None
+        }
+      }
+    }
+    // remaining components have no split nodes: forced closed walks
+    (0 until n).foreach { i =>
+      if (!used(i)) walk(proper(i)._1, i) match {
+        case Some(pts) if pts.head == pts.last => closed += pts
+        case _ => return None
+      }
+    }
+
+    def segOrd(s: (Pt, Pt)): (Double, Double, Double, Double) = {
+      val (a, b) = normSeg(s)
+      (a.x, a.y, b.x, b.y)
+    }
+    implicit val ptPairOrd: Ordering[(Double, Double, Double, Double)] =
+      Ordering.Tuple4(Ordering.Double.TotalOrdering,
+        Ordering.Double.TotalOrdering, Ordering.Double.TotalOrdering,
+        Ordering.Double.TotalOrdering)
+    def minSegOf(pts: Vector[Pt]): (Pt, Pt) =
+      pts.zip(pts.tail).minBy(segOrd)
+    def walkArea2x(pts: Vector[Pt]): Double = Ring(pts).signedArea2x
+
+    // join open arcs into closed rings (try_to_merge +
+    // join_connected_rings, basic_assembler.hpp:665-905)
+    while (open.nonEmpty) {
+      // unambiguous first: a location where exactly two arc-ends meet
+      val endCount = mutable.HashMap.empty[Pt, Int]
+      open.foreach { a =>
+        endCount(a.head) = endCount.getOrElse(a.head, 0) + 1
+        endCount(a.last) = endCount.getOrElse(a.last, 0) + 1
+      }
+      endCount.iterator.collect { case (p, 2) => p }
+        .toSeq.sortBy(p => (p.x, p.y)).headOption match {
+        case Some(loc) =>
+          val i1 = open.indexWhere(a => a.head == loc || a.last == loc)
+          val i2 = open.indexWhere(
+            a => a.head == loc || a.last == loc, i1 + 1)
+          val a1 = open(i1)
+          val a2 = open(i2)
+          val left = if (a1.last == loc) a1 else a1.reverse
+          val right = if (a2.head == loc) a2 else a2.reverse
+          val merged = left ++ right.tail
+          open.remove(i2); open.remove(i1)
+          if (merged.head == merged.last) closed += merged
+          else open += merged
+        case None =>
+          // ambiguous: close the arc holding the minimal segment via
+          // the best candidate walk over the other open arcs
+          val ringMinIdx =
+            open.indices.minBy(i => segOrd(minSegOf(open(i))))
+          val first = open(ringMinIdx)
+          val ms = minSegOf(first)
+          val probe = Pt((ms._1.x + ms._2.x) / 2, (ms._1.y + ms._2.y) / 2)
+          val innersOfClosed =
+            closed.count(pts => pointInRing(probe, Ring(pts)))
+          val ringMinIsOuter = innersOfClosed % 2 == 0
+          // DFS over arcs connecting first.last back to first.head;
+          // bounded like the reference (max_depth, loop set on visited
+          // locations)
+          val target = first.head
+          val maxDepth = 20
+          val cands = mutable.ArrayBuffer.empty[Vector[Pt]]
+          def dfs(pts: Vector[Pt], lastArc: Int,
+              locDone: List[Pt], depth: Int): Unit = {
+            if (depth > maxDepth || cands.size > 64) return
+            val stop = pts.last
+            open.indices.foreach { j =>
+              if (j != ringMinIdx && j != lastArc) {
+                val arc = open(j)
+                val ext =
+                  if (arc.head == stop) Some(arc)
+                  else if (arc.last == stop) Some(arc.reverse)
+                  else None
+                ext.foreach { e =>
+                  val joined = pts ++ e.tail
+                  if (e.last == target) cands += joined
+                  else if (!locDone.contains(e.last))
+                    dfs(joined, j, e.last :: locDone, depth + 1)
+                }
+              }
+            }
+          }
+          dfs(first, ringMinIdx, List(first.last), 0)
+          if (cands.isEmpty) return None
+          val chosen =
+            if (ringMinIsOuter) cands.minBy(p => math.abs(walkArea2x(p)))
+            else cands.maxBy(p => math.abs(walkArea2x(p)))
+          // remove every arc the chosen walk consumed: its segments
+          val chosenSegs = chosen.zip(chosen.tail).map(normSeg).toSet
+          val keep = open.filterNot(a =>
+            a.zip(a.tail).map(normSeg).forall(chosenSegs.contains))
+          open.clear(); open ++= keep
+          closed += chosen
+      }
+    }
+
+    val rings = closed.map { pts =>
+      if (pts.size < 4) return None
+      val r = Ring(pts)
+      if (r.signedArea2x == 0.0) return None
+      r
+    }
+    Some(rings.toVector)
+  }
+
   /** relation member ways → (MULTI)POLYGON: ring assembly from way
     * segments, outer/inner classification by containment nesting
     * (src/geom-from-osm.cpp:219-252; libosmium area assembler
     * semantics: old-style multipolygons with role-less members work,
     * unclosed leftovers make the whole assembly invalid → null). */
-  /** Chain open point sequences into closed rings by exact endpoint
-    * matching. None when a leftover chain can't close or a ring
-    * degenerates to zero area (unclosed leftovers invalidate the
-    * whole assembly, like the reference's create_rings). */
-  private def chainRings(segs: Seq[Seq[Pt]]): Option[Vector[Ring]] = {
-    val used = Array.fill(segs.size)(false)
-    val rings = mutable.ArrayBuffer.empty[Ring]
-    segs.indices.foreach { i =>
-      if (!used(i)) {
-        used(i) = true
-        val acc = mutable.ArrayBuffer.from(segs(i))
-        var progress = true
-        while (acc.head != acc.last && progress) {
-          progress = false
-          var j = 0
-          while (j < segs.size && !progress) {
-            if (!used(j)) {
-              val s = segs(j)
-              if (s.head == acc.last) {
-                acc ++= s.tail; used(j) = true; progress = true
-              } else if (s.last == acc.last) {
-                acc ++= s.reverse.tail; used(j) = true; progress = true
-              }
-            }
-            j += 1
-          }
-        }
-        if (acc.head == acc.last && acc.size >= 4) {
-          val r = Ring(acc.toVector)
-          // degenerate (zero-area / collinear) rings invalidate the
-          // assembly like unclosed ones (relation-changes.feature:
-          // a node move collapsing the ring removes the row)
-          if (r.signedArea2x == 0.0) return None
-          rings += r
-        } else return None // unclosed leftover → invalid assembly
-      }
-    }
-    Some(rings.toVector)
-  }
-
   def createMultiPolygon(ways: Seq[Seq[Pt]],
       srid: Int = Srid.WGS84): Geometry = {
     val chains0 = ways.map(dedupConsecutive).filter(_.size >= 2)
@@ -175,11 +301,11 @@ object FromOsm {
     // (e.g. a relation listing the same outer way twice reduces to
     // the remaining members' segments)
     val allSegs = chains0.flatMap(unitSegments)
-    val chains: Seq[Seq[Pt]] =
-      if (!hasDuplicateSegments(allSegs)) chains0
+    val segsIn: Seq[(Pt, Pt)] =
+      if (!hasDuplicateSegments(allSegs)) allSegs
       else cancelDuplicatePairs(allSegs)
-    if (chains.isEmpty) return NullGeom(srid)
-    val rings = chainRings(chains) match {
+    if (segsIn.isEmpty) return NullGeom(srid)
+    val rings = assembleRings(segsIn) match {
       case Some(rs) if rs.nonEmpty => rs
       case _ => return NullGeom(srid)
     }
@@ -224,11 +350,15 @@ object FromOsm {
   private def ccw(r: Ring): Ring = if (r.signedArea2x >= 0) r else r.reverse
   private def cw(r: Ring): Ring = if (r.signedArea2x <= 0) r else r.reverse
 
-  /** A point guaranteed inside the ring: midpoint of a diagonal fan
-    * vertex probe — uses the first vertex (sufficient for nesting tests
-    * on non-crossing OSM rings, where any vertex of the inner ring lies
-    * inside the outer). */
-  private def midpointProbe(r: Ring): Pt = r.pts.head
+  /** A probe point for nesting tests: the midpoint of the ring's first
+    * edge. Edge interiors are never shared between assembled rings
+    * (duplicate segments cancel in pairs), so unlike a vertex — which
+    * may be a touch point lying ON another ring's boundary — this point
+    * classifies containment correctly for point-touching rings. */
+  private def midpointProbe(r: Ring): Pt = {
+    val a = r.pts(0); val b = r.pts(1)
+    Pt((a.x + b.x) / 2, (a.y + b.y) / 2)
+  }
 
   /** Ray-cast point-in-ring (boundary points may go either way — fine
     * for nesting classification of non-touching rings). */
