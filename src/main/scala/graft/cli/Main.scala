@@ -379,12 +379,56 @@ object Main {
     val ways = osm.ways
       .join(resolved, col("id") === col("rwid"), "left")
       .withColumn("__geom", lineGeom(col("wlons"), col("wlats")))
-      .drop("rwid", "wlons", "wlats")
-    val res = graft.flex.FlexRunner.run(cfg, osm.copy(ways = ways))
+      .withColumnRenamed("wlons", "__lons")
+      .withColumnRenamed("wlats", "__lats")
+      .drop("rwid")
+    // relations enriched with ordered member-way coordinate arrays
+    // (__mlons/__mlats) so configs can run as_multipolygon /
+    // as_multilinestring — the rel_members_get id-SET semantics
+    // (src/middle-pgsql.cpp:822-836): a way listed twice contributes
+    // once. Same q33-proven exploded-members ⨝ resolved-ways shape.
+    val memberRefs = osm.relations
+      .select(col("id").as("rid"),
+        posexplode(col("members")).as(Seq("mpos", "m")))
+      .where(col("m.mtype") === "w")
+      .select(col("rid"), col("mpos"), col("m.ref").as("wid"))
+      .groupBy(col("rid"), col("wid"))
+      .agg(min(col("mpos")).as("mpos"))
+    val memberWays = memberRefs
+      .join(resolved, col("wid") === col("rwid"))
+      .groupBy(col("rid"))
+      .agg(
+        transform(array_sort(collect_list(
+          struct(col("mpos"), col("wlons")))), s => s.getField("wlons"))
+          .as("__mlons"),
+        transform(array_sort(collect_list(
+          struct(col("mpos"), col("wlats")))), s => s.getField("wlats"))
+          .as("__mlats"))
+    val rels = osm.relations
+      .join(memberWays, col("id") === col("rid"), "left")
+      .drop("rid")
+    val res = graft.flex.FlexRunner.run(cfg,
+      osm.copy(ways = ways, relations = rels))
     val out = java.nio.file.Paths.get(o.outputDir)
     java.nio.file.Files.createDirectories(out)
     res.tables.foreach { case (tname, tr) =>
       tr.rows.write.mode("overwrite").parquet(s"$out/$tname")
+    }
+
+    // process_gen analog: the config's generalization steps run after
+    // the load against the landed tables, writing the declared dest
+    // tables (osm2pgsql-gen's run_gen, flex-config/gen/forests.lua)
+    cfg.genSteps.foreach { g =>
+      val src = spark.read.parquet(s"$out/${g.srcTable}")
+      val result = graft.operators.GenRunner.runGen(g.strategy, src,
+        g.params)
+      val projected = cfg.tables.find(_.name == g.destTable) match {
+        case Some(d) =>
+          val wanted = d.schema.fieldNames.filter(result.columns.contains)
+          result.select(wanted.map(col(_)): _*)
+        case None => result
+      }
+      projected.write.mode("overwrite").parquet(s"$out/${g.destTable}")
     }
 
     // expire outputs (expire_output_t::output, src/expire-output.cpp:
@@ -469,10 +513,13 @@ object Main {
           graft.sinks.PgLive.execOrThrow(dsn,
             graft.sinks.PgSink.createTableDdl(t, unlogged = true,
               o.tableSchema, postgis) + ";")
-          graft.sinks.PgLive.copyInto(dsn, q,
-            graft.sinks.PgSink.copyLines(
-              spark.read.parquet(s"$out/${t.name}"), t, postgis)
-              .toLocalIterator().asScala)
+          // a declared table nothing inserted into (e.g. a gen dest
+          // table when process_gen didn't run) exists but stays empty
+          if (new java.io.File(s"$out/${t.name}").exists())
+            graft.sinks.PgLive.copyInto(dsn, q,
+              graft.sinks.PgSink.copyLines(
+                spark.read.parquet(s"$out/${t.name}"), t, postgis)
+                .toLocalIterator().asScala)
           graft.sinks.PgSink.postLoadDdl(t, updatable = o.slim && !o.drop,
             o.tableSchema, postgis)
             .foreach(d => graft.sinks.PgLive.execOrThrow(dsn, d + ";"))

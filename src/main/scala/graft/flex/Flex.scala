@@ -223,10 +223,17 @@ final case class FlexTableDef(
     * never remove their rows). */
   def hasIds: Boolean = ids != FlexIds.NoIndex
 
+  /** id columns in on-disk order: the id_column for object-id tables,
+    * (x, y) int4 for tile tables (ids = { type = 'tile' },
+    * src/flex-table.cpp DDL), none for NoIndex. */
+  def idFields: Seq[(String, DataType)] = ids match {
+    case FlexIds.NoIndex => Nil
+    case FlexIds.Tile    => Seq("x" -> IntegerType, "y" -> IntegerType)
+    case _               => Seq(idColumn -> LongType)
+  }
+
   def schema: StructType = StructType(
-    (if (hasIds)
-      Seq(StructField(idColumn, LongType, nullable = false))
-    else Nil) ++
+    idFields.map { case (n, t) => StructField(n, t, nullable = false) } ++
       columns.map(c => StructField(c.name, FlexType.sparkType(c.ctype),
         nullable = !c.notNull)))
 
@@ -237,10 +244,16 @@ final case class FlexTableDef(
     case FlexIds.Area =>
       when(objectType === "r", -id).otherwise(id)
     case FlexIds.AnyObject =>
-      when(objectType === "r", -id)
-        .when(objectType === "w", id) // ways/nodes share positive space
+      // flex_table_t::map_id (src/flex-table.cpp:107-124): node → id,
+      // way → -id, relation → -id - 100000000000000000
+      when(objectType === "r", -id - 100000000000000000L)
+        .when(objectType === "w", -id)
         .otherwise(id)
-    case _ => id
+    case FlexIds.Relation => id
+    case _ =>
+      // a relation written into a node/way table → -id
+      // (src/flex-table.cpp:126-129)
+      when(objectType === "r", -id).otherwise(id)
   }
 }
 
@@ -403,10 +416,24 @@ object FlexConfig {
   }
 }
 
+/** One osm2pgsql.run_gen(...) call from a config's process_gen
+  * (flex-config/gen/forests.lua:106-120): strategy name + the
+  * src/dest tables and the strategy's parameter map, executed by
+  * [[graft.operators.GenRunner]] after the load. */
+final case class FlexGenStep(
+    strategy: String,
+    srcTable: String,
+    destTable: String,
+    params: Map[String, String] = Map.empty)
+
 trait FlexConfig {
   def tables: Seq[FlexTableDef]
   /** nodes → per-table insert frames (keyed by table name). */
   def processNodes(nodes: DataFrame): Map[String, DataFrame] = Map.empty
   def processWays(ways: DataFrame): Map[String, DataFrame] = Map.empty
   def processRelations(rels: DataFrame): Map[String, DataFrame] = Map.empty
+  /** osm2pgsql.process_gen analog: generalization steps run after the
+    * tables have landed (osm2pgsql-gen runs these against the DB; the
+    * CLI runs them against the landed frames). */
+  def genSteps: Seq[FlexGenStep] = Nil
 }

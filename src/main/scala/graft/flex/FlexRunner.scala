@@ -57,8 +57,7 @@ object FlexRunner {
       // declared columns only, coerced; absent columns become NULL
       // (a Lua insert without the field, flex-write.cpp:274-279);
       // NoIndex tables carry no id column at all (table-ids.feature)
-      val idCols: Seq[Column] =
-        if (t.hasIds) Seq(col(t.idColumn)) else Nil
+      val idCols: Seq[Column] = t.idFields.map(f => col(f._1))
       val cols: Seq[Column] = idCols ++ t.columns.map { c =>
         val in = if (unioned.columns.contains(c.name)) col(c.name)
           else lit(null)
@@ -77,9 +76,9 @@ object FlexRunner {
     // from the FINAL written rows; one rollup per output
     val expireRefs: Seq[(FlexExpireOutput, DataFrame, FlexExpireRef)] =
       config.tables.flatMap { t =>
-        t.columns.flatMap(c => c.expire.map(ref =>
-          (ref.output, tables(t.name).rows.select(col(c.name).as("geom")),
-            ref)))
+        t.columns.flatMap(c => c.expire.flatMap(ref =>
+          tables.get(t.name).map(tr =>
+            (ref.output, tr.rows.select(col(c.name).as("geom")), ref))))
       }
     val expire = expireRefs.groupBy(_._1.name).map { case (name, refs) =>
       val out = refs.head._1

@@ -1,0 +1,144 @@
+package graft.flex.examples
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+import graft.geom._
+
+/** Shared geometry constructors for typed flex configs — the Column
+  * forms of the Lua `object:as_*()` calls (src/output-flex.cpp:
+  * 1442-1450) over the coordinate arrays the CLI enriches entity
+  * frames with (`__lons`/`__lats` on ways, `__mlons`/`__mlats` on
+  * relations). All produce EWKB in the requested projection; invalid
+  * geometry → NULL (the flex soft-error path: a not_null geom column
+  * then drops the row).
+  */
+object FlexGeom {
+
+  private def toPts(lons: Seq[Double], lats: Seq[Double]): Seq[Pt] =
+    lons.zip(lats).map { case (x, y) => Pt(x, y) }
+
+  private def enc(g: Geometry, srid: Int): Array[Byte] = g match {
+    case _: NullGeom => null
+    case g2 => Ewkb.encode(
+      if (srid == g2.srid) g2 else GeomOps.transform(g2, srid))
+  }
+
+  /** object:as_point() reprojected (node lon/lat). */
+  def asPoint(srid: Int = Srid.WebMercator): UserDefinedFunction =
+    udf((lon: Double, lat: Double) =>
+      enc(FromOsm.createPoint(lon, lat), srid))
+
+  /** object:as_polygon() for a closed way. */
+  def asPolygon(srid: Int = Srid.WebMercator): UserDefinedFunction =
+    udf((lons: Seq[Double], lats: Seq[Double]) =>
+      if (lons == null) null
+      else enc(FromOsm.createPolygon(toPts(lons, lats)), srid))
+
+  /** object:as_linestring(). */
+  def asLinestring(srid: Int = Srid.WebMercator): UserDefinedFunction =
+    udf((lons: Seq[Double], lats: Seq[Double]) =>
+      if (lons == null) null
+      else enc(FromOsm.createLineString(toPts(lons, lats)), srid))
+
+  /** object:as_multipolygon() over resolved member-way coords. */
+  def asMultiPolygon(srid: Int = Srid.WebMercator): UserDefinedFunction =
+    udf((mlons: Seq[Seq[Double]], mlats: Seq[Seq[Double]]) =>
+      if (mlons == null) null
+      else enc(FromOsm.createMultiPolygon(
+        mlons.zip(mlats).map { case (lo, la) => toPts(lo, la) }), srid))
+
+  /** object:as_multipolygon() split into single polygons with their
+    * planar area in the output projection — the classic `for sgeom in
+    * geom:geometries()` + way_area loop (compatible.lua:758-764). */
+  def polygonPieces(srid: Int = Srid.WebMercator): UserDefinedFunction =
+    udf((mlons: Seq[Seq[Double]], mlats: Seq[Seq[Double]]) =>
+      if (mlons == null) Seq.empty[(Array[Byte], Double)]
+      else FromOsm.createMultiPolygon(
+        mlons.zip(mlats).map { case (lo, la) => toPts(lo, la) }) match {
+        case _: NullGeom => Seq.empty[(Array[Byte], Double)]
+        case g => GeomOps.splitMulti(g).map { p =>
+          val proj = GeomOps.transform(p, srid)
+          (Ewkb.encode(proj), GeomOps.area(proj))
+        }
+      })
+
+  /** object:as_multilinestring(), optionally :line_merge()d. */
+  def asMultiLinestring(srid: Int = Srid.WebMercator,
+      merge: Boolean = false): UserDefinedFunction =
+    udf((mlons: Seq[Seq[Double]], mlats: Seq[Seq[Double]]) =>
+      if (mlons == null) null
+      else FromOsm.createMultiLineString(
+        mlons.zip(mlats).map { case (lo, la) => toPts(lo, la) },
+        forceMulti = true) match {
+        case _: NullGeom => null
+        case g => enc(if (merge) GeomOps.lineMerge(g) else g, srid)
+      })
+
+  /** geom:segmentize(max) split into pieces — the classic add_line
+    * loop (compatible.lua:564-572): linestring → segmentize →
+    * one row per split piece, already projected. */
+  def linePieces(srid: Int = Srid.WebMercator,
+      maxLength: Double = 100000.0): UserDefinedFunction =
+    udf((lons: Seq[Double], lats: Seq[Double]) =>
+      if (lons == null) Seq.empty[Array[Byte]]
+      else FromOsm.createLineString(toPts(lons, lats)) match {
+        case _: NullGeom => Seq.empty[Array[Byte]]
+        case g => GeomOps.splitMulti(GeomOps.segmentize(
+          GeomOps.transform(g, srid), maxLength)).map(Ewkb.encode(_))
+      })
+
+  /** relation multilinestring → segmentize → split pieces (the
+    * compatible.lua relation add_line path — NO line_merge there,
+    * unlike the classic C transform). */
+  def relLinePieces(srid: Int = Srid.WebMercator,
+      maxLength: Double = 100000.0, merge: Boolean = false)
+      : UserDefinedFunction =
+    udf((mlons: Seq[Seq[Double]], mlats: Seq[Seq[Double]]) =>
+      if (mlons == null) Seq.empty[Array[Byte]]
+      else FromOsm.createMultiLineString(
+        mlons.zip(mlats).map { case (lo, la) => toPts(lo, la) },
+        forceMulti = true) match {
+        case _: NullGeom => Seq.empty[Array[Byte]]
+        case g0 =>
+          val g = if (merge) GeomOps.lineMerge(g0) else g0
+          GeomOps.splitMulti(GeomOps.segmentize(
+            GeomOps.transform(g, srid), maxLength)).map(Ewkb.encode(_))
+      })
+
+  /** geom:pole_of_inaccessibility() over an assembled multipolygon,
+    * in the output projection (forests.lua labelpoint). */
+  def poleOfInaccessibility(srid: Int = Srid.WebMercator)
+      : UserDefinedFunction =
+    udf((mlons: Seq[Seq[Double]], mlats: Seq[Seq[Double]]) =>
+      if (mlons == null) null
+      else FromOsm.createMultiPolygon(
+        mlons.zip(mlats).map { case (lo, la) => toPts(lo, la) }) match {
+        case _: NullGeom => null
+        case g => GeomOps.poleOfInaccessibility(
+          GeomOps.transform(g, srid), 1.0) match {
+          case _: NullGeom => null
+          case p => Ewkb.encode(p)
+        }
+      })
+
+  /** geom:area() in the output projection (forests.lua). */
+  def mpArea(srid: Int = Srid.WebMercator): UserDefinedFunction =
+    udf((mlons: Seq[Seq[Double]], mlats: Seq[Seq[Double]]) =>
+      if (mlons == null) null.asInstanceOf[java.lang.Double]
+      else FromOsm.createMultiPolygon(
+        mlons.zip(mlats).map { case (lo, la) => toPts(lo, la) }) match {
+        case _: NullGeom => null.asInstanceOf[java.lang.Double]
+        case g => java.lang.Double.valueOf(
+          GeomOps.area(GeomOps.transform(g, srid)))
+      })
+
+  def wayPolygonArea(srid: Int = Srid.WebMercator): UserDefinedFunction =
+    udf((lons: Seq[Double], lats: Seq[Double]) =>
+      if (lons == null) null.asInstanceOf[java.lang.Double]
+      else FromOsm.createPolygon(toPts(lons, lats)) match {
+        case _: NullGeom => null.asInstanceOf[java.lang.Double]
+        case g => java.lang.Double.valueOf(
+          GeomOps.area(GeomOps.transform(g, srid)))
+      })
+}

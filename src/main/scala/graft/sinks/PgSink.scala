@@ -61,8 +61,11 @@ object PgSink {
       schema: String = "public", postgis: Boolean = true): String = {
     // NoIndex tables carry no id column at all (table-ids.feature);
     // otherwise the user's ids.id_column name is used verbatim
-    val idCols =
-      if (t.hasIds) Seq(s""""${t.idColumn}" int8""") else Nil
+    val idCols = t.idFields.map { case (n, dt) =>
+      val sql = if (dt == org.apache.spark.sql.types.IntegerType) "int4"
+        else "int8"
+      s""""$n" $sql"""
+    }
     def colType(c: FlexColumn): String = {
       val ty = sqlType(c)
       if (!postgis && ty.startsWith("geometry")) "bytea" else ty
@@ -89,7 +92,8 @@ object PgSink {
         .filter(c => FlexType.sparkType(c.ctype) == BinaryType)
         .map(c => s"""CREATE INDEX ON $qualified USING gist ("${c.name}")""")
       val idIdx = if (updatable && t.hasIds)
-        Seq(s"""CREATE INDEX ON $qualified ("${t.idColumn}")""") else Nil
+        Seq(s"""CREATE INDEX ON $qualified (${t.idFields
+          .map(f => s""""${f._1}"""").mkString(", ")})""") else Nil
       geomIdx ++ idIdx
     }
     Seq(s"""ALTER TABLE $qualified SET LOGGED""") ++
@@ -102,11 +106,13 @@ object PgSink {
     // a table without ids has nothing to delete by: append never
     // removes its rows (table-ids.feature)
     require(t.hasIds, s"Table '${t.name}' has no ids; it is insert-only.")
+    require(t.ids != graft.flex.FlexIds.Tile,
+      s"Table '${t.name}' has tile ids; delete-by-object-id does not apply.")
     s"""DELETE FROM "$schema"."${t.name}" WHERE "${t.idColumn}" = ANY (?)"""
   }
 
   def insertSql(t: FlexTableDef, schema: String = "public"): String = {
-    val cols = (if (t.hasIds) Seq(s""""${t.idColumn}"""") else Nil) ++
+    val cols = t.idFields.map(f => s""""${f._1}"""") ++
       t.columns.map(c => s""""${c.name}"""")
     val params = cols.map(_ => "?")
     s"""INSERT INTO "$schema"."${t.name}" (${cols.mkString(", ")})
