@@ -368,6 +368,9 @@ object Main {
       "The flex output requires a style: the fully-qualified name of " +
         "a compiled graft.flex.FlexConfig object (-S)."))
     val cfg = loadFlexConfig(name)
+    // osm2pgsql.mode for configs (track-changes.lua gates on it):
+    // a literal __mode column on every entity frame
+    val mode = if (o.append) "append" else "create"
     val lineGeom = udf((lons: Seq[Double], lats: Seq[Double]) =>
       graft.geom.FromOsm.createLineString(
         lons.zip(lats).map { case (x, y) => graft.geom.Pt(x, y) }) match {
@@ -404,11 +407,31 @@ object Main {
         transform(array_sort(collect_list(
           struct(col("mpos"), col("wlats")))), s => s.getField("wlats"))
           .as("__mlats"))
+    // member NODES resolved too (for as_multipoint / collections)
+    val memberNodes = osm.relations
+      .select(col("id").as("nrid"),
+        posexplode(col("members")).as(Seq("npos", "nm")))
+      .where(col("nm.mtype") === "n")
+      .join(osm.nodes.select(col("id").as("mnid"),
+        col("lon").as("mnlon"), col("lat").as("mnlat")),
+        col("nm.ref") === col("mnid"))
+      .groupBy(col("nrid"))
+      .agg(
+        transform(array_sort(collect_list(
+          struct(col("npos"), col("mnlon")))), s => s.getField("mnlon"))
+          .as("__mnlons"),
+        transform(array_sort(collect_list(
+          struct(col("npos"), col("mnlat")))), s => s.getField("mnlat"))
+          .as("__mnlats"))
     val rels = osm.relations
       .join(memberWays, col("id") === col("rid"), "left")
-      .drop("rid")
+      .join(memberNodes, col("id") === col("nrid"), "left")
+      .drop("rid", "nrid")
     val res = graft.flex.FlexRunner.run(cfg,
-      osm.copy(ways = ways, relations = rels))
+      osm.copy(
+        nodes = osm.nodes.withColumn("__mode", lit(mode)),
+        ways = ways.withColumn("__mode", lit(mode)),
+        relations = rels.withColumn("__mode", lit(mode))))
     val out = java.nio.file.Paths.get(o.outputDir)
     java.nio.file.Files.createDirectories(out)
     res.tables.foreach { case (tname, tr) =>
@@ -507,12 +530,17 @@ object Main {
         val postgis =
           graft.sinks.ClassicPgLoad.prepareServer(dsn, needHstore)
         cfg.tables.foreach { t =>
-          val q = s""""${o.tableSchema}"."${t.name}""""
+          // a table's own schema field wins over the CLI --schema
+          // (define_table{schema=...}, with-schema.lua)
+          val ts = t.schemaName.getOrElse(o.tableSchema)
+          if (t.schemaName.isDefined) graft.sinks.PgLive.execOrThrow(dsn,
+            s"""CREATE SCHEMA IF NOT EXISTS "$ts";""")
+          val q = s""""$ts"."${t.name}""""
           graft.sinks.PgLive.execOrThrow(dsn,
             s"DROP TABLE IF EXISTS $q;")
           graft.sinks.PgLive.execOrThrow(dsn,
             graft.sinks.PgSink.createTableDdl(t, unlogged = true,
-              o.tableSchema, postgis) + ";")
+              ts, postgis) + ";")
           // a declared table nothing inserted into (e.g. a gen dest
           // table when process_gen didn't run) exists but stays empty
           if (new java.io.File(s"$out/${t.name}").exists())
@@ -521,7 +549,7 @@ object Main {
                 spark.read.parquet(s"$out/${t.name}"), t, postgis)
                 .toLocalIterator().asScala)
           graft.sinks.PgSink.postLoadDdl(t, updatable = o.slim && !o.drop,
-            o.tableSchema, postgis)
+            ts, postgis)
             .foreach(d => graft.sinks.PgLive.execOrThrow(dsn, d + ";"))
         }
       }

@@ -115,7 +115,13 @@ final case class FlexColumn(
     /** per-geometry-column SRID (src/flex-table-column.hpp:107-145) */
     projection: Int = 3857,
     /** expire entries (flex-lua-table.cpp:283-326) */
-    expire: Seq[FlexExpireRef] = Nil) {
+    expire: Seq[FlexExpireRef] = Nil,
+    /** sql_type override (define_table column field, e.g. 'serial' or
+      * 'int8[]', data-types.lua): the PG DDL uses this type verbatim;
+      * the stored Spark-side value is whatever the config supplies
+      * (text for array/serial columns, matching the Lua convention of
+      * passing a text representation). */
+    sqlTypeOverride: Option[String] = None) {
   private def isGeometry: Boolean =
     FlexType.sparkType(ctype) == org.apache.spark.sql.types.BinaryType
   // src/flex-lua-table.cpp:441-447: expire is only valid on 3857
@@ -207,7 +213,15 @@ final case class FlexTableDef(
     /** ids.cache (lua-table-ids.feature): node-id membership cache.
       * The set-at-a-time analog keeps the contract — declaring it on
       * anything but node ids is a define-time error. */
-    idCache: Boolean = false) {
+    idCache: Boolean = false,
+    /** ids.type_column for 'any' tables (src/flex-lua-table.cpp:
+      * 449-464): adds a char(1) N/W/R column before the id and keeps
+      * ids positive (the multicolumn branch of flex_table_t::map_id,
+      * src/flex-table.cpp:109-112). */
+    typeColumn: Option[String] = None,
+    /** Optional schema for the table (define_table's schema field,
+      * with-schema.lua); None = the CLI's --schema / default. */
+    schemaName: Option[String] = None) {
   // define-time validation (lua-table-definitions.feature /
   // src/flex-lua-table.cpp): a table needs a name and ≥1 column
   require(name.nonEmpty, "The table must contain a 'name' string field.")
@@ -217,11 +231,19 @@ final case class FlexTableDef(
   columns.foreach(c => Flex.checkIdentifier(c.name, "column names"))
   require(!idCache || ids == FlexIds.Node,
     "ID cache only available for node ids.")
+  typeColumn.foreach(Flex.checkIdentifier(_, "column names"))
+  require(typeColumn.isEmpty || ids == FlexIds.AnyObject,
+    "The 'type_column' field is only allowed for 'any' ids.")
 
   /** true when the table has an id column to delete-by / join-on;
     * NoIndex tables are insert-only (table-ids.feature: appended runs
     * never remove their rows). */
   def hasIds: Boolean = ids != FlexIds.NoIndex
+
+  /** Columns actually written by inserts — create_only columns are in
+    * the DDL but never in the write stream (the database fills them,
+    * e.g. a serial column; src/flex-table-column.hpp create_only). */
+  def writeColumns: Seq[FlexColumn] = columns.filterNot(_.createOnly)
 
   /** id columns in on-disk order: the id_column for object-id tables,
     * (x, y) int4 for tile tables (ids = { type = 'tile' },
@@ -229,13 +251,17 @@ final case class FlexTableDef(
   def idFields: Seq[(String, DataType)] = ids match {
     case FlexIds.NoIndex => Nil
     case FlexIds.Tile    => Seq("x" -> IntegerType, "y" -> IntegerType)
+    case FlexIds.AnyObject if typeColumn.isDefined =>
+      Seq(typeColumn.get -> StringType, idColumn -> LongType)
     case _               => Seq(idColumn -> LongType)
   }
 
+  /** The WRITE schema (what inserts produce and COPY streams carry) —
+    * create_only columns are absent; they exist only in the DDL. */
   def schema: StructType = StructType(
     idFields.map { case (n, t) => StructField(n, t, nullable = false) } ++
-      columns.map(c => StructField(c.name, FlexType.sparkType(c.ctype),
-        nullable = !c.notNull)))
+      writeColumns.map(c => StructField(c.name,
+        FlexType.sparkType(c.ctype), nullable = !c.notNull)))
 
   /** `area` tables map ways to positive and relations to negative ids
     * (flex_table_t::map_id, src/flex-table.hpp:166) — same convention
@@ -243,6 +269,8 @@ final case class FlexTableDef(
   def mapId(objectType: Column, id: Column): Column = ids match {
     case FlexIds.Area =>
       when(objectType === "r", -id).otherwise(id)
+    case FlexIds.AnyObject if typeColumn.isDefined =>
+      id // the type column disambiguates; ids stay positive
     case FlexIds.AnyObject =>
       // flex_table_t::map_id (src/flex-table.cpp:107-124): node → id,
       // way → -id, relation → -id - 100000000000000000
@@ -380,12 +408,17 @@ object Coerce {
       try_to_timestamp(s, lit("yyyyMMdd'T'HHmmssX")))
   }
 
-  def coerce(c: Column, col: FlexColumn): Column = col.ctype match {
+  def coerce(c: Column, col: FlexColumn,
+      inputType: Option[DataType] = None): Column = col.ctype match {
     case FlexType.Timestamp => toTimestamp(c)
     case FlexType.Boolean   => toBoolean(c)
     case FlexType.Direction => toDirection(c)
     case FlexType.Int2 | FlexType.Int4 | FlexType.Int8 => toIntRange(c, col.ctype)
-    case FlexType.Json      => toJson(c)
+    case FlexType.Json      =>
+      // a string input is an already-serialized JSON document (the
+      // typed-config analog of inserting a Lua table that was built
+      // as JSON text, e.g. places.lua's nested names object)
+      if (inputType.contains(StringType)) c else toJson(c)
     case FlexType.Hstore    => toHstore(c)
     case FlexType.Geometry | FlexType.Point | FlexType.Linestring |
         FlexType.Polygon | FlexType.Multipoint | FlexType.Multilinestring |
@@ -436,4 +469,10 @@ trait FlexConfig {
     * tables have landed (osm2pgsql-gen runs these against the DB; the
     * CLI runs them against the landed frames). */
   def genSteps: Seq[FlexGenStep] = Nil
+  /** Full-graph hook for configs that need cross-entity joins: the
+    * Lua id-cache idiom (turning-circles.lua's in_id_cache over
+    * object.nodes) becomes a declarative node ⨝ way join here.
+    * Results union with the per-entity hooks' inserts. */
+  def processGraph(osm: graft.sources.OsmXml.OsmDataFrames)
+      : Map[String, DataFrame] = Map.empty
 }

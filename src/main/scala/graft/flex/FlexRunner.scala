@@ -45,7 +45,8 @@ object FlexRunner {
     val inserts: Seq[(String, DataFrame)] =
       (config.processNodes(osm.nodes).toSeq ++
         config.processWays(osm.ways).toSeq ++
-        config.processRelations(rels).toSeq)
+        config.processRelations(rels).toSeq ++
+        config.processGraph(osm.copy(relations = rels)).toSeq)
     inserts.collectFirst {
       case (name, _) if !defs.contains(name) => name
     }.foreach(name => throw new IllegalArgumentException(
@@ -58,16 +59,18 @@ object FlexRunner {
       // (a Lua insert without the field, flex-write.cpp:274-279);
       // NoIndex tables carry no id column at all (table-ids.feature)
       val idCols: Seq[Column] = t.idFields.map(f => col(f._1))
-      val cols: Seq[Column] = idCols ++ t.columns.map { c =>
-        val in = if (unioned.columns.contains(c.name)) col(c.name)
-          else lit(null)
-        Coerce.coerce(in, c).as(c.name)
+      val cols: Seq[Column] = idCols ++ t.writeColumns.map { c =>
+        val (in, dt) =
+          if (unioned.columns.contains(c.name))
+            (col(c.name), Some(unioned.schema(c.name).dataType))
+          else (lit(null), None)
+        Coerce.coerce(in, c, dt).as(c.name)
       }
       val coerced = unioned.select(cols: _*)
       // NOT NULL soft errors: count in-pass, then drop the rows
       val (observed, obs) = Progress.insertCounts(coerced,
-        t.columns.filter(_.notNull).map(_.name), s"inserts_$name")
-      val kept = t.columns.filter(_.notNull)
+        t.writeColumns.filter(_.notNull).map(_.name), s"inserts_$name")
+      val kept = t.writeColumns.filter(_.notNull)
         .foldLeft(observed)((df, c) => df.where(col(c.name).isNotNull))
       name -> TableResult(kept, obs)
     }

@@ -141,4 +141,119 @@ object FlexGeom {
         case g => java.lang.Double.valueOf(
           GeomOps.area(GeomOps.transform(g, srid)))
       })
+
+  /** geom:spherical_area() — on the 4326 geometry (geometries.lua). */
+  def wayPolygonSphericalArea(): UserDefinedFunction =
+    udf((lons: Seq[Double], lats: Seq[Double]) =>
+      if (lons == null) null.asInstanceOf[java.lang.Double]
+      else FromOsm.createPolygon(toPts(lons, lats)) match {
+        case _: NullGeom => null.asInstanceOf[java.lang.Double]
+        case g => java.lang.Double.valueOf(GeomOps.sphericalArea(g))
+      })
+
+  def mpSphericalArea(): UserDefinedFunction =
+    udf((mlons: Seq[Seq[Double]], mlats: Seq[Seq[Double]]) =>
+      if (mlons == null) null.asInstanceOf[java.lang.Double]
+      else FromOsm.createMultiPolygon(
+        mlons.zip(mlats).map { case (lo, la) => toPts(lo, la) }) match {
+        case _: NullGeom => null.asInstanceOf[java.lang.Double]
+        case g => java.lang.Double.valueOf(GeomOps.sphericalArea(g))
+      })
+
+  /** as_polygon():centroid() in the output projection
+    * (addresses.lua). */
+  def wayPolygonCentroid(srid: Int = Srid.WGS84): UserDefinedFunction =
+    udf((lons: Seq[Double], lats: Seq[Double]) =>
+      if (lons == null) null
+      else FromOsm.createPolygon(toPts(lons, lats)) match {
+        case _: NullGeom => null
+        case g => GeomOps.centroid(GeomOps.transform(g, srid)) match {
+          case _: NullGeom => null
+          case c           => Ewkb.encode(c)
+        }
+      })
+
+  def mpCentroid(srid: Int = Srid.WGS84): UserDefinedFunction =
+    udf((mlons: Seq[Seq[Double]], mlats: Seq[Seq[Double]]) =>
+      if (mlons == null) null
+      else FromOsm.createMultiPolygon(
+        mlons.zip(mlats).map { case (lo, la) => toPts(lo, la) }) match {
+        case _: NullGeom => null
+        case g => GeomOps.centroid(GeomOps.transform(g, srid)) match {
+          case _: NullGeom => null
+          case c           => Ewkb.encode(c)
+        }
+      })
+
+  /** hstore.lua's way fallback: as_polygon(), or as_linestring() when
+    * the polygon is invalid/unclosed. */
+  def asPolygonOrLine(srid: Int = Srid.WebMercator): UserDefinedFunction =
+    udf((lons: Seq[Double], lats: Seq[Double]) =>
+      if (lons == null) null
+      else FromOsm.createPolygon(toPts(lons, lats)) match {
+        case _: NullGeom =>
+          enc(FromOsm.createLineString(toPts(lons, lats)), srid)
+        case g => enc(g, srid)
+      })
+
+  /** object:as_geometrycollection() — member nodes as points, member
+    * ways as linestrings (unitable.lua; src/geom-from-osm.cpp:
+    * 254-283). */
+  def asCollection(srid: Int = Srid.WebMercator): UserDefinedFunction =
+    udf((nlons: Seq[Double], nlats: Seq[Double],
+        mlons: Seq[Seq[Double]], mlats: Seq[Seq[Double]]) => {
+      val pts = if (nlons == null) Seq.empty[Pt]
+        else toPts(nlons, nlats)
+      val ways = if (mlons == null) Seq.empty[Seq[Pt]]
+        else mlons.zip(mlats).map { case (lo, la) => toPts(lo, la) }
+      enc(FromOsm.createCollection(pts, ways), srid)
+    })
+
+  /** pole_of_inaccessibility({stretch = s}) over a single way polygon:
+    * x-coordinates scaled by `s` before the search and the result
+    * scaled back (src/flex-lua-geom.cpp:236-255 /
+    * geom-pole-of-inaccessibility.cpp stretch handling). */
+  def wayPoleOfInaccessibility(srid: Int = Srid.WebMercator,
+      stretch: Double = 1.0): UserDefinedFunction =
+    udf((lons: Seq[Double], lats: Seq[Double]) =>
+      if (lons == null) null
+      else FromOsm.createPolygon(toPts(lons, lats)) match {
+        case _: NullGeom => null
+        case g => poleStretch(GeomOps.transform(g, srid), stretch)
+      })
+
+  /** Pole with stretch over one polygon piece (labelpoint.lua splits
+    * multipolygons and computes the pole per piece). */
+  def piecePoleOfInaccessibility(stretch: Double = 1.0)
+      : UserDefinedFunction =
+    udf((ewkb: Array[Byte]) =>
+      if (ewkb == null) null
+      else poleStretch(Ewkb.decode(ewkb), stretch))
+
+  def pieceCentroid(): UserDefinedFunction =
+    udf((ewkb: Array[Byte]) =>
+      if (ewkb == null) null
+      else GeomOps.centroid(Ewkb.decode(ewkb)) match {
+        case _: NullGeom => null
+        case c           => Ewkb.encode(c)
+      })
+
+  private def scaleX(g: Geometry, f: Double): Geometry = g match {
+    case Polygon(outer, inners, s) =>
+      Polygon(Ring(outer.pts.map(p => Pt(p.x * f, p.y))),
+        inners.map(r => Ring(r.pts.map(p => Pt(p.x * f, p.y)))), s)
+    case MultiPolygon(ps, s) => MultiPolygon(
+      ps.map(p => scaleX(p, f).asInstanceOf[Polygon]), s)
+    case other => other
+  }
+
+  private def poleStretch(g: Geometry, stretch: Double): Array[Byte] = {
+    val searched = if (stretch == 1.0) g else scaleX(g, stretch)
+    GeomOps.poleOfInaccessibility(searched, 1.0) match {
+      case Point(pt, s) =>
+        Ewkb.encode(Point(Pt(pt.x / (if (stretch == 1.0) 1.0 else stretch),
+          pt.y), s))
+      case _ => null
+    }
+  }
 }

@@ -28,7 +28,10 @@ import graft.flex.{FlexColumn, FlexTableDef, FlexType}
   */
 object PgSink {
 
-  def sqlType(c: FlexColumn): String = c.ctype match {
+  def sqlType(c: FlexColumn): String =
+    c.sqlTypeOverride.getOrElse(sqlTypeOf(c))
+
+  private def sqlTypeOf(c: FlexColumn): String = c.ctype match {
     case FlexType.Text            => "text"
     case FlexType.Boolean         => "boolean"
     case FlexType.Int2            => "int2"
@@ -62,8 +65,11 @@ object PgSink {
     // NoIndex tables carry no id column at all (table-ids.feature);
     // otherwise the user's ids.id_column name is used verbatim
     val idCols = t.idFields.map { case (n, dt) =>
-      val sql = if (dt == org.apache.spark.sql.types.IntegerType) "int4"
-        else "int8"
+      val sql = dt match {
+        case org.apache.spark.sql.types.IntegerType => "int4"
+        case org.apache.spark.sql.types.StringType  => "char(1)" // type col
+        case _                                      => "int8"
+      }
       s""""$n" $sql"""
     }
     def colType(c: FlexColumn): String = {
@@ -113,7 +119,7 @@ object PgSink {
 
   def insertSql(t: FlexTableDef, schema: String = "public"): String = {
     val cols = t.idFields.map(f => s""""${f._1}"""") ++
-      t.columns.map(c => s""""${c.name}"""")
+      t.writeColumns.map(c => s""""${c.name}"""")
     val params = cols.map(_ => "?")
     s"""INSERT INTO "$schema"."${t.name}" (${cols.mkString(", ")})
        |VALUES (${params.mkString(", ")})""".stripMargin

@@ -925,6 +925,181 @@ class CliSpec extends SparkSpecBase {
       .count() == 0L)
   }
 
+  test("-O flex example-config corpus loads and lands pinned counts " +
+      "(test-output-flex-example-configs.cpp analog)") {
+    val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    assume(new java.io.File(pbf).exists())
+    import org.apache.spark.sql.functions.col
+    def run(cfg: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ex-$cfg")
+      Main.run(spark, Options.parse(Seq(pbf, "-O", "flex",
+        "-S", s"graft.flex.examples.$cfg", "--output-dir", s"$dir/out")))
+      s"$dir/out"
+    }
+    def cnt(dir: String, t: String): Long =
+      spark.read.parquet(s"$dir/$t").count()
+
+    val simple = run("Simple")
+    assert(cnt(simple, "simple_pois") == 1531L)
+    assert(cnt(simple, "simple_restaurants") == 31L)
+    assert(cnt(simple, "simple_ways") == 2990L)
+    assert(cnt(simple, "simple_polygons") == 4142L)
+
+    val geoms = run("Geometries")
+    assert(cnt(geoms, "geometries_pois") == 1562L)
+    assert(cnt(geoms, "geometries_pubs") == 2L)
+    assert(cnt(geoms, "geometries_ways") == 3015L)
+    assert(cnt(geoms, "geometries_polygons") == 4120L)
+    // nullable geometry column: broken assemblies land as NULL rows
+    assert(spark.read.parquet(s"$geoms/geometries_polygons")
+      .where(col("geom").isNull).count() == 4L)
+    assert(spark.read.parquet(s"$geoms/geometries_polygons")
+      .where(col("area").isNotNull && col("spherical_area").isNotNull)
+      .count() >= 4100L)
+    assert(cnt(geoms, "geometries_boundaries") == 20L)
+
+    val label = run("Labelpoint")
+    assert(cnt(label, "labelpoint_polygons") == 182L)
+    assert(spark.read.parquet(s"$label/labelpoint_polygons")
+      .where(col("centroid").isNull || col("poi1").isNull ||
+        col("poi2").isNull).count() == 0L)
+
+    val hstore = run("Hstore")
+    assert(cnt(hstore, "hstore_nodes") == 1562L)
+    assert(cnt(hstore, "hstore_ways") == 7105L)
+
+    val addrs = run("Addresses")
+    val a = spark.read.parquet(s"$addrs/addrs")
+    assert(a.count() == 212L)
+    assert(a.columns.take(2).toSeq == Seq("osm_type", "osm_id"))
+    assert(a.where(col("osm_type") === "N").count() == 73L)
+    assert(a.where(col("osm_type") === "W").count() == 139L)
+    assert(a.where(col("osm_id") < 0).count() == 0L) // type col keeps ids +
+
+    val uni = run("Unitable")
+    val u = spark.read.parquet(s"$uni/unitable_data")
+    assert(u.count() == 8578L)
+    assert(u.where(col("osm_type") === "R").count() == 113L)
+    // collections with no resolvable members land with NULL geom
+    assert(u.where(col("osm_type") === "R" && col("geom").isNull)
+      .count() == 12L)
+    assert(u.where(col("attrs").isNull).count() == 0L)
+
+    val untag = run("Untagged")
+    val un = spark.read.parquet(s"$untag/untagged_nodes")
+    assert(un.count() == 65733L) // every node, tagged or not
+    assert(un.where(col("tags").isNotNull).count() == 1562L)
+    assert(cnt(untag, "untagged_ways") == 7121L)
+
+    val places = run("Places")
+    val p = spark.read.parquet(s"$places/places")
+    assert(p.count() == 20L)
+    // name:* tags fold into the nested names object
+    assert(p.where(col("tags").contains("\"names\":{")).count() > 0L)
+    assert(p.where(col("tags").contains("\"name\":")).count() == 0L)
+
+    val tc = run("TurningCircles")
+    assert(cnt(tc, "turning_circles") == 13L)
+    assert(cnt(tc, "tc_highways") == 2753L)
+    // the id-cache idiom as a join: way×node combos tagged both ways
+    val ends = spark.read.parquet(s"$tc/tc_highway_ends")
+    assert(ends.count() == 21L)
+    assert(ends.where(col("node_id").isNull || col("geom").isNull)
+      .count() == 0L)
+
+    val ws = run("WithSchema")
+    assert(cnt(ws, "withschema_data") == 7105L)
+  }
+
+  test("-O flex example-config corpus part 2: data-types, attributes, " +
+      "bbox, indexes, expire, track-changes") {
+    val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    assume(new java.io.File(pbf).exists())
+    import org.apache.spark.sql.functions.col
+    def run(cfg: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ex2-$cfg")
+      Main.run(spark, Options.parse(Seq(pbf, "-O", "flex",
+        "-S", s"graft.flex.examples.$cfg", "--output-dir", s"$dir/out")))
+      s"$dir/out"
+    }
+    def cnt(dir: String, t: String): Long =
+      spark.read.parquet(s"$dir/$t").count()
+
+    val dt = run("DataTypes")
+    val hw = spark.read.parquet(s"$dt/datatypes_highways")
+    assert(hw.count() == 2160L)
+    // create-only serial column exists in DDL only, not in the rows
+    assert(!hw.columns.contains("id"))
+    assert(hw.columns.contains("nodes"))
+    // direction / parsed maxspeed / int8[] text form
+    assert(hw.where(col("oneway").isNull).count() == 0L)
+    assert(hw.where(col("maxspeed") === 50).count() > 0L)
+    assert(hw.where(!col("nodes").startsWith("{")).count() == 0L)
+    val ddl = graft.sinks.PgSink.createTableDdl(
+      graft.flex.examples.DataTypes.tables.head)
+    assert(ddl.contains(""""id" serial"""))
+    assert(ddl.contains(""""nodes" int8[]"""))
+
+    val at = run("Attributes")
+    assert(cnt(at, "attributes_nodes") == 1562L)
+    assert(cnt(at, "attributes_ways") == 7121L)
+    assert(cnt(at, "attributes_relations") == 113L)
+    assert(spark.read.parquet(s"$at/attributes_ways")
+      .where(col("created").isNull || col("version").isNull)
+      .count() == 0L)
+
+    val bb = run("Bbox")
+    assert(cnt(bb, "bbox_pois") == 1562L)
+    assert(cnt(bb, "bbox_polygons") == 4120L)
+    // box2d text form: BOX(xmin ymin,xmax ymax)
+    assert(spark.read.parquet(s"$bb/bbox_ways")
+      .where(!col("bbox").rlike(
+        "^BOX\\(-?[0-9.]+ -?[0-9.]+,-?[0-9.]+ -?[0-9.]+\\)$"))
+      .count() == 0L)
+
+    val ix = run("Indexes")
+    assert(cnt(ix, "indexes_pois") == 1562L)
+    assert(cnt(ix, "indexes_roads") == 2753L)
+    assert(cnt(ix, "indexes_postboxes") == 11L)
+    // index DDL surface: empty list, where-condition, named expression
+    import graft.flex.examples.Indexes
+    def ddlFor(name: String) = graft.sinks.PgSink.postLoadDdl(
+      Indexes.tables.find(_.name == name).get, updatable = false)
+    assert(!ddlFor("indexes_pois").exists(_.contains("CREATE INDEX")))
+    assert(ddlFor("indexes_roads").exists(d =>
+      d.contains("WHERE type='primary'")))
+    assert(ddlFor("indexes_postboxes").exists(d =>
+      d.contains("postbox_operator_idx") && d.contains("lower(operator)")))
+
+    val ex = run("ExpireDemo")
+    assert(cnt(ex, "expiredemo_pois") == 1562L)
+    // file-form z14 tile list + table forms, min/max zoom rollup
+    val tiles = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$ex/pois.tiles"))
+    assert(tiles.size() == 130)
+    tiles.forEach(l => assert(l.matches("14/\\d+/\\d+"), l))
+    assert(cnt(ex, "expire_expiredemo_lines") == 196L)
+    val pz = spark.read.parquet(s"$ex/expire_expiredemo_polygons")
+    assert(pz.count() == 235L)
+    assert(pz.agg(org.apache.spark.sql.functions.min("zoom"),
+      org.apache.spark.sql.functions.max("zoom")).collect().head
+      .toSeq == Seq(10, 14))
+
+    // track-changes: create mode logs nothing; append over a change
+    // file logs A/M/D rows (the osm2pgsql.mode gate)
+    val tcDir = run("TrackChanges")
+    assert(cnt(tcDir, "change_log") == 0L)
+    val osc = "/root/reference/tests/data/000466354.osc.gz"
+    assume(new java.io.File(osc).exists())
+    Main.run(spark, Options.parse(Seq(osc, "-a", "--slim", "-O", "flex",
+      "-S", "graft.flex.examples.TrackChanges",
+      "--output-dir", tcDir)))
+    val log = spark.read.parquet(s"$tcDir/change_log")
+      .groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(log == Map("A" -> 1461L, "M" -> 181L, "D" -> 13L))
+  }
+
   test("-O flex Forests labels a named forest (labelpoint inside, " +
       "area set)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cli-forestl")
