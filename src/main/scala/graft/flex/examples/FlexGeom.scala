@@ -238,6 +238,44 @@ object FlexGeom {
         case c           => Ewkb.encode(c)
       })
 
+  /** as_geometrycollection():centroid() — the filtered max-dimension
+    * centroid (public-transport.lua stop areas). */
+  def collectionCentroid(srid: Int = Srid.WebMercator)
+      : UserDefinedFunction =
+    udf((nlons: Seq[Double], nlats: Seq[Double],
+        mlons: Seq[Seq[Double]], mlats: Seq[Seq[Double]]) => {
+      val pts = if (nlons == null) Seq.empty[Pt] else toPts(nlons, nlats)
+      val ways = if (mlons == null) Seq.empty[Seq[Pt]]
+        else mlons.zip(mlats).map { case (lo, la) => toPts(lo, la) }
+      FromOsm.createCollection(pts, ways) match {
+        case _: NullGeom => null
+        case g => GeomOps.centroid(GeomOps.transform(g, srid)) match {
+          case _: NullGeom => null
+          case c           => Ewkb.encode(c)
+        }
+      }
+    })
+
+  /** The stop-area "radius": the 3857 bbox diagonal of the member
+    * collection (public-transport.lua:176-178). */
+  def collectionBboxDiagonal(srid: Int = Srid.WebMercator)
+      : UserDefinedFunction =
+    udf((nlons: Seq[Double], nlats: Seq[Double],
+        mlons: Seq[Seq[Double]], mlats: Seq[Seq[Double]]) => {
+      val pts = if (nlons == null) Seq.empty[Pt] else toPts(nlons, nlats)
+      val ways = if (mlons == null) Seq.empty[Seq[Pt]]
+        else mlons.zip(mlats).map { case (lo, la) => toPts(lo, la) }
+      FromOsm.createCollection(pts, ways) match {
+        case _: NullGeom => null.asInstanceOf[java.lang.Double]
+        case g => Box.of(GeomOps.transform(g, srid)) match {
+          case Some(b) => java.lang.Double.valueOf(math.sqrt(
+            (b.maxX - b.minX) * (b.maxX - b.minX) +
+              (b.maxY - b.minY) * (b.maxY - b.minY)))
+          case None => null.asInstanceOf[java.lang.Double]
+        }
+      }
+    })
+
   private def scaleX(g: Geometry, f: Double): Geometry = g match {
     case Polygon(outer, inners, s) =>
       Polygon(Ring(outer.pts.map(p => Pt(p.x * f, p.y))),

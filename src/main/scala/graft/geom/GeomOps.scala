@@ -363,11 +363,38 @@ object GeomOps {
         if (w == 0) Point(cs.head._1, s)
         else Point(Pt(cs.map(c => c._1.x * c._2).sum / w,
           cs.map(c => c._1.y * c._2).sum / w), s)
-      case gc @ GeometryCollection(gs, s) =>
-        val d = gc.dimension
-        val filtered = gs.filter(_.dimension == d)
-        val cs = filtered.map(centroid).collect { case p: Point => p.pt }
-        if (cs.isEmpty) NullGeom(s) else Point(pointsCentroid(cs), s)
+      case GeometryCollection(items, s) =>
+        // the reference's filtered_centroid (geom-functions.cpp:781-835):
+        // keep only members of the collection's highest dimension,
+        // centroid of that multi-geometry
+        def dim(g0: Geometry): Int = g0 match {
+          case _: Polygon | _: MultiPolygon       => 2
+          case _: LineString | _: MultiLineString => 1
+          case _                                  => 0
+        }
+        val live = items.filterNot(_.isNull)
+        if (live.isEmpty) NullGeom(s)
+        else {
+          val maxDim = live.map(dim).max
+          val kept = live.filter(dim(_) == maxDim)
+          maxDim match {
+            case 2 => centroid(MultiPolygon(kept.flatMap {
+              case p: Polygon          => Vector(p)
+              case MultiPolygon(ps2, _) => ps2
+              case _                   => Vector.empty
+            }.toVector, s))
+            case 1 => centroid(MultiLineString(kept.flatMap {
+              case l: LineString            => Vector(l)
+              case MultiLineString(ls2, _)  => ls2
+              case _                        => Vector.empty
+            }.toVector, s))
+            case _ => centroid(MultiPoint(kept.flatMap {
+              case p: Point          => Vector(p)
+              case MultiPoint(ps2, _) => ps2
+              case _                 => Vector.empty
+            }.toVector, s))
+          }
+        }
     }
   }
 

@@ -23,9 +23,9 @@ class CliSpec extends SparkSpecBase {
     assert(e.getMessage.contains("Missing input"))
   }
 
-  test("incompatible arguments") {
+  test("incompatible arguments (tests/bdd/command-line/invalid.feature)") {
     bad(Seq("-a", "-c", "--slim"),
-      "options can not be used at the same time")
+      "--append and --create options can not be used at the same time")
     bad(Seq("-j", "-k"), "--hstore excludes --hstore-all")
     bad(Seq("-a"), "--append can only be used with slim mode")
   }
@@ -1098,6 +1098,111 @@ class CliSpec extends SparkSpecBase {
       .groupBy("action").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(log == Map("A" -> 1461L, "M" -> 181L, "D" -> 13L))
+  }
+
+  test("-O flex public-transport: two-stage rel data as joins " +
+      "(public-transport.lua port)") {
+    val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    assume(new java.io.File(pbf).exists())
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-pt")
+    Main.run(spark, Options.parse(Seq(pbf, "-O", "flex",
+      "-S", "graft.flex.examples.PublicTransport",
+      "--output-dir", s"$dir/out")))
+    import org.apache.spark.sql.functions.col
+    def tbl(t: String) = spark.read.parquet(s"$dir/out/$t")
+    // stage-2 node set: role='stop' members of wanted pt routes
+    assert(tbl("pt_stops").count() == 8L)
+    assert(tbl("pt_stops").where(col("geom").isNull).count() == 0L)
+    assert(tbl("pt_routes").count() == 17L)
+    assert(tbl("pt_stop_areas").count() == 1L)
+    assert(tbl("pt_stop_areas").where(col("radius").isNull ||
+      col("geom").isNull).count() == 0L)
+    val lines = tbl("pt_lines")
+    assert(lines.count() == 2790L)
+    // only role='' way members of wanted routes carry rel data
+    assert(lines.where(col("rel_refs").isNotNull).count() == 188L)
+    // the middle-dot separator + sorted unique int8[] text form
+    val multi = lines.where(col("rel_refs").contains("·"))
+    assert(multi.count() > 0L)
+    assert(lines.where(col("rel_ids").isNotNull &&
+      !col("rel_ids").rlike("^\\{\\d+(,\\d+)*\\}$")).count() == 0L)
+  }
+
+  test("-O flex locator examples: countries import, building/highway " +
+      "classify, bbox import filter (locator/*.lua ports)") {
+    val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    assume(new java.io.File(pbf).exists())
+    import org.apache.spark.sql.functions.col
+    def run(cfg: String, input: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-loc-$cfg")
+      Main.run(spark, Options.parse(Seq(input, "-O", "flex",
+        "-S", s"graft.flex.examples.$cfg", "--output-dir", s"$dir/out")))
+      s"$dir/out"
+    }
+    // Over the clipped extract no country boundary closes (members are
+    // cut off) and relation 47's lowercase 'li' code is rejected by
+    // the ISO pattern — both faithfully → empty countries table and
+    // unclassified buildings/highways
+    val c = run("LocatorCountries", pbf)
+    assert(spark.read.parquet(s"$c/locator_countries").count() == 0L)
+    val b = run("LocatorBuildings", pbf)
+    val bl = spark.read.parquet(s"$b/locator_buildings")
+    assert(bl.count() == 3723L)
+    assert(bl.where(col("country").isNotNull).count() == 0L)
+    val m = run("LocatorMotorwayColours", pbf)
+    assert(spark.read.parquet(s"$m/locator_highways").count() == 2753L)
+    // Iceland bbox filter: nothing in Liechtenstein intersects
+    val is = run("LocatorIceland", pbf)
+    assert(spark.read.parquet(s"$is/locator_is_highways").count() == 0L)
+
+    // synthetic: a closed ISO-coded country polygon + buildings inside
+    // and outside + a highway crossing it → classify works end to end
+    val dir = java.nio.file.Files.createTempDirectory("graft-loc-synth")
+    val in = dir.resolve("country.osm")
+    java.nio.file.Files.write(in,
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6" generator="t">
+        |<node id="1" lat="0.0" lon="0.0"/>
+        |<node id="2" lat="0.0" lon="1.0"/>
+        |<node id="3" lat="1.0" lon="1.0"/>
+        |<node id="4" lat="1.0" lon="0.0"/>
+        |<node id="11" lat="0.40" lon="0.40"/>
+        |<node id="12" lat="0.40" lon="0.45"/>
+        |<node id="13" lat="0.45" lon="0.45"/>
+        |<node id="14" lat="0.45" lon="0.40"/>
+        |<node id="21" lat="2.40" lon="2.40"/>
+        |<node id="22" lat="2.40" lon="2.45"/>
+        |<node id="23" lat="2.45" lon="2.45"/>
+        |<node id="24" lat="2.45" lon="2.40"/>
+        |<way id="30"><nd ref="1"/><nd ref="2"/><nd ref="3"/>
+        |  <nd ref="4"/><nd ref="1"/></way>
+        |<way id="31"><nd ref="11"/><nd ref="12"/><nd ref="13"/>
+        |  <nd ref="14"/><nd ref="11"/>
+        |  <tag k="building" v="yes"/></way>
+        |<way id="32"><nd ref="21"/><nd ref="22"/><nd ref="23"/>
+        |  <nd ref="24"/><nd ref="21"/>
+        |  <tag k="building" v="yes"/></way>
+        |<way id="33"><nd ref="11"/><nd ref="13"/>
+        |  <tag k="highway" v="motorway"/></way>
+        |<relation id="40">
+        |  <member type="way" ref="30" role="outer"/>
+        |  <tag k="type" v="boundary"/>
+        |  <tag k="boundary" v="administrative"/>
+        |  <tag k="admin_level" v="2"/>
+        |  <tag k="ISO3166-1" v="DE"/>
+        |</relation>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    val sb = run("LocatorBuildings", in.toString)
+    val rows = spark.read.parquet(s"$sb/locator_buildings")
+      .select("osm_id", "country", "countries").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows(31L) == (("DE", "{DE}")))
+    assert(rows(32L) == ((null, "{}")))
+    val sm = run("LocatorMotorwayColours", in.toString)
+    val hw = spark.read.parquet(s"$sm/locator_highways").collect()
+    assert(hw.length == 1)
+    assert(hw.head.getAs[String]("country") == "DE")
+    assert(hw.head.getAs[String]("colour") == "#174688")
   }
 
   test("-O flex Forests labels a named forest (labelpoint inside, " +
