@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Pipeline.queries ++
       graft.queries.Pipeline2.queries ++
       graft.queries.Pipeline3.queries ++
+      graft.queries.Pipeline4.queries ++
       graft.queries.OsmAnalog.queries ++
       graft.queries.GenQueries.queries
 
@@ -31,6 +32,7 @@ object SparkEntry {
       graft.queries.Pipeline.oracles ++
       graft.queries.Pipeline2.oracles ++
       graft.queries.Pipeline3.oracles ++
+      graft.queries.Pipeline4.oracles ++
       graft.queries.OsmAnalog.oracles ++
       graft.queries.GenQueries.oracles
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level curation operators beyond the per-document text
+  * statistics in [[TextAnalysis]]: cross-document segment
+  * deduplication (the C4 "remove duplicated lines across the corpus"
+  * pass, re-expressed over word segments), Gopher-style document
+  * quality rules, length-bucket packing statistics, and
+  * quality-weighted deterministic sampling.
+  *
+  * Scale notes: segmentDedup is the only shuffling operator here —
+  * explode to segments, one hash-aggregate on the segment key (the
+  * same shape as exact dedup; partial aggregation halves the shuffle),
+  * then one aggregate back on the document key. Everything else is a
+  * narrow projection or a single small aggregate, and the sampling
+  * predicate is a pure per-row expression (no global pass needed —
+  * the weight threshold is a constant, not a corpus max).
+  */
+object CorpusOps {
+
+  private def toks(textCol: Column): Column =
+    split(trim(lower(textCol)), "\\s+")
+
+  /** Non-overlapping `segWords`-word segments of every document —
+    * the unit of cross-document dedup (C4 used lines; synthetic
+    * corpora have no newlines, so a fixed word window is the
+    * deterministic equivalent). */
+  private def segments(textCol: Column, segWords: Int): Column = {
+    val w = toks(textCol)
+    transform(
+      sequence(lit(0),
+        ceil(size(w).cast("double") / segWords).cast("int") - 1),
+      g => array_join(slice(w, g * segWords + 1, lit(segWords)), " "))
+  }
+
+  /** Cross-document duplicated-segment statistics: for every document
+    * the number of segments and how many of them also appear in at
+    * least one OTHER document. The global segment frequency is one
+    * hash aggregate on the segment value. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10): DataFrame = {
+    val segs = df
+      .select(col(idCol), explode(segments(col(textCol), segWords))
+        .as("seg"))
+    val freq = segs.groupBy(col("seg"))
+      .agg(countDistinct(col(idCol)).as("n_docs_with_seg"))
+    segs.join(freq, "seg")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("n_docs_with_seg") > 1, 1L).otherwise(0L))
+          .as("n_dup_segments"))
+  }
+
+  /** Gopher-style quality rules (public Gopher paper, table A1
+    * shape), over deterministic integer arithmetic so the oracle
+    * reproduces every flag exactly:
+    * word count bounds, mean word length bounds, minimum stop-word
+    * hits, and fraction of purely-alphabetic words. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 20, maxWords: Int = 100000,
+      stopWords: Seq[String] = Seq("the", "a", "of", "and", "data"))
+      : DataFrame = {
+    val w = toks(col(textCol))
+    val nWords = size(w).cast("long")
+    val totalChars = aggregate(transform(w, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val stopHits = size(filter(w, t => t.isin(stopWords: _*)))
+      .cast("long")
+    val alphaWords = size(filter(w, t => t.rlike("^[a-z]+$")))
+      .cast("long")
+    val meanLen = totalChars.cast("double") / nWords.cast("double")
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      totalChars.as("n_chars_in_words"),
+      stopHits.as("stop_hits"),
+      alphaWords.as("alpha_words"),
+      (nWords >= minWords && nWords <= maxWords).as("ok_word_count"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("ok_mean_word_len"),
+      (stopHits >= 2L).as("ok_stop_words"),
+      (alphaWords * 10L >= nWords * 8L).as("ok_alpha_ratio"),
+      ((nWords >= minWords && nWords <= maxWords) &&
+        (meanLen >= 3.0 && meanLen <= 10.0) &&
+        (stopHits >= 2L) &&
+        (alphaWords * 10L >= nWords * 8L)).as("pass"))
+  }
+
+  /** Packing-efficiency histogram: documents bucketed by the
+    * power-of-two ceiling of their token count; per bucket the doc
+    * count, true token total, padded total (bucket × docs) and the
+    * waste ratio a pad-to-bucket batching strategy would pay. */
+  def lengthBuckets(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val n = size(toks(col(textCol))).cast("long")
+    val bucket = pow(lit(2.0), ceil(log2(n.cast("double"))))
+      .cast("long")
+    df.select(greatest(bucket, lit(1L)).as("bucket"), n.as("n"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"))
+      .withColumn("padded_tokens", col("bucket") * col("n_docs"))
+      .withColumn("waste_ratio",
+        lit(1.0) - col("total_tokens").cast("double") /
+          col("padded_tokens").cast("double"))
+  }
+
+  /** Quality-weighted deterministic sampling: a document survives iff
+    * the first four hex digits of md5(id) fall below a per-row
+    * threshold proportional to its weight column — P(keep) ≈
+    * weight / fullWeight, reproducible on any engine with md5 and
+    * hex formatting, no global pass over the data. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      fullWeight: Long): DataFrame = {
+    // Spark's `/` on longs is a double divide: floor it back to the
+    // integer quotient (exact here — the numerator is far from any
+    // integer-quotient boundary) so %04x gets a long
+    val t = least(lit(65535L),
+      floor((col(weightCol).cast("long") * 65536L) / fullWeight)
+        .cast("long"))
+    df.withColumn("__thresh", format_string("%04x", t))
+      .where(substring(md5(col(idCol).cast("string")), 1, 4) <
+        col("__thresh"))
+      .drop("__thresh")
+  }
+}
