@@ -51,6 +51,16 @@ object ScaleProbe {
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")), 5).count())
     time("dup_span_coverage")(
       graft.operators.Dedup.dupSpanCoverage(docs, "doc_id", "text").count())
+    // segment dedup (q83 shape): explode → hash agg on segment key →
+    // agg per doc; the self-union makes every segment a mult-way
+    // duplicate, so output rows stay ~docs while segment frequency
+    // grows ~mult (shuffle bounded by the segment count, not pairs)
+    time("segment_dedup")(
+      graft.operators.CorpusOps.segmentDedup(docs, "doc_id", "text")
+        .count())
+    time("gopher_rules")(
+      graft.operators.CorpusOps.gopherRules(docs, "doc_id", "text")
+        .count())
     // q52's shape: LSH pairs → large-star/small-star CC. The 20×/50×
     // self-union makes every original doc a duplicate clique, so the
     // cluster count must stay ~n0 while edges grow ~mult² per clique —
