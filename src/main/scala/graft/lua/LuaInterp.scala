@@ -274,6 +274,13 @@ final class LuaInterp(val chunkName: String = "chunk") {
           call(h, Seq(t, k), line).headOption.getOrElse(LNil)
         case _                          => LNil
       }
+    case u: LUserdata =>
+      u.metatable.map(_.rawGet(LStr("__index"))) match {
+        case Some(h: LTable)      => index(h, k, line)
+        case Some(h) if h != LNil =>
+          call(h, Seq(u, k), line).headOption.getOrElse(LNil)
+        case _ => fail(line, "attempt to index a userdata value")
+      }
     case LStr(_) =>
       // strings index into the string library (Lua's string metatable)
       index(globals.rawGet(LStr("string")), k, line)
@@ -288,6 +295,8 @@ final class LuaInterp(val chunkName: String = "chunk") {
   private def metabin(line: Int, ev: String, a: LV, b: LV): Option[LV] = {
     def handler(v: LV): Option[LV] = v match {
       case t: LTable => t.metatable.map(_.rawGet(LStr(ev)))
+        .filter(_ != LNil)
+      case u: LUserdata => u.metatable.map(_.rawGet(LStr(ev)))
         .filter(_ != LNil)
       case _ => None
     }
@@ -416,6 +425,8 @@ final class LuaInterp(val chunkName: String = "chunk") {
     case (LNum(a), LInt(b)) => a == b.toDouble
     case (a: LTable, b: LTable) =>
       (a eq b) || metabin(line, "__eq", a, b).exists(_.truthy)
+    case (a: LUserdata, b: LUserdata) =>
+      (a eq b) || metabin(line, "__eq", a, b).exists(_.truthy)
     case (a, b) => a == b
   }
 
@@ -441,6 +452,12 @@ final class LuaInterp(val chunkName: String = "chunk") {
           case Some(h) =>
             call(h, Seq(t), line).headOption.getOrElse(LNil)
           case None => LInt(t.length)
+        }
+      case u: LUserdata =>
+        u.metatable.map(_.rawGet(LStr("__len"))).filter(_ != LNil) match {
+          case Some(h) =>
+            call(h, Seq(u), line).headOption.getOrElse(LNil)
+          case None => fail(line, "attempt to get length of a userdata value")
         }
       case _ => fail(line,
         s"attempt to get length of a ${v.typeName} value")
@@ -491,6 +508,13 @@ final class LuaInterp(val chunkName: String = "chunk") {
           case other   => LuaInterp.tostringStatic(other)
         })
         .getOrElse(LuaInterp.tostringStatic(t))
+    case u: LUserdata =>
+      u.metatable.map(_.rawGet(LStr("__tostring"))).filter(_ != LNil)
+        .map(h => call(h, Seq(u), 0).headOption.getOrElse(LNil) match {
+          case LStr(s) => s
+          case other   => LuaInterp.tostringStatic(other)
+        })
+        .getOrElse(LuaInterp.tostringStatic(u))
     case other => LuaInterp.tostringStatic(other)
   }
 }

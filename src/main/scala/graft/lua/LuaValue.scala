@@ -20,6 +20,7 @@ sealed trait LV {
     case _: LTable   => "table"
     case _: LFunc    => "function"
     case _: LBuiltin => "function"
+    case _: LUserdata => "userdata"
   }
   def truthy: Boolean = this match {
     case LNil          => false
@@ -86,6 +87,18 @@ final case class LFunc(params: List[String], isVararg: Boolean,
 final case class LBuiltin(name: String, fn: Seq[LV] => Seq[LV])
     extends LV {
   override def toString: String = s"function: builtin: $name"
+}
+
+/** Host-owned opaque value with a metatable — Lua "full userdata"
+  * (manual §2.1). The flex API's geometry objects and the Table /
+  * ExpireOutput wrappers are userdata in the reference
+  * (src/flex-lua-geom.cpp:21-31 lua_newuserdata +
+  * OSM2PGSQL_GEOMETRY_CLASS metatable); methods resolve through the
+  * metatable's __index. Identity equality unless __eq is provided. */
+final class LUserdata(val value: AnyRef,
+    var metatable: Option[LTable] = None) extends LV {
+  override def toString: String =
+    s"userdata: 0x${System.identityHashCode(this).toHexString}"
 }
 
 /** Lexical scope chain. Locals live in mutable cells so closures see
