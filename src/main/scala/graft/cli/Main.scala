@@ -367,71 +367,13 @@ object Main {
     val name = o.styleFile.getOrElse(Options.fail(
       "The flex output requires a style: the fully-qualified name of " +
         "a compiled graft.flex.FlexConfig object (-S)."))
-    val cfg = loadFlexConfig(name)
+    val cfg = loadFlexConfig(name, o.append)
     // osm2pgsql.mode for configs (track-changes.lua gates on it):
-    // a literal __mode column on every entity frame
+    // a literal __mode column on every entity frame; enrichment in
+    // graft.flex.Enrich (shared with the spec harness)
     val mode = if (o.append) "append" else "create"
-    val lineGeom = udf((lons: Seq[Double], lats: Seq[Double]) =>
-      graft.geom.FromOsm.createLineString(
-        lons.zip(lats).map { case (x, y) => graft.geom.Pt(x, y) }) match {
-        case _: graft.geom.NullGeom => null
-        case g => graft.geom.Ewkb.encode(
-          graft.geom.GeomOps.transform(g, graft.geom.Srid.WebMercator))
-      })
-    val resolved = graft.operators.Middle.resolveAllWayCoords(osm)
-    val ways = osm.ways
-      .join(resolved, col("id") === col("rwid"), "left")
-      .withColumn("__geom", lineGeom(col("wlons"), col("wlats")))
-      .withColumnRenamed("wlons", "__lons")
-      .withColumnRenamed("wlats", "__lats")
-      .drop("rwid")
-    // relations enriched with ordered member-way coordinate arrays
-    // (__mlons/__mlats) so configs can run as_multipolygon /
-    // as_multilinestring — the rel_members_get id-SET semantics
-    // (src/middle-pgsql.cpp:822-836): a way listed twice contributes
-    // once. Same q33-proven exploded-members ⨝ resolved-ways shape.
-    val memberRefs = osm.relations
-      .select(col("id").as("rid"),
-        posexplode(col("members")).as(Seq("mpos", "m")))
-      .where(col("m.mtype") === "w")
-      .select(col("rid"), col("mpos"), col("m.ref").as("wid"))
-      .groupBy(col("rid"), col("wid"))
-      .agg(min(col("mpos")).as("mpos"))
-    val memberWays = memberRefs
-      .join(resolved, col("wid") === col("rwid"))
-      .groupBy(col("rid"))
-      .agg(
-        transform(array_sort(collect_list(
-          struct(col("mpos"), col("wlons")))), s => s.getField("wlons"))
-          .as("__mlons"),
-        transform(array_sort(collect_list(
-          struct(col("mpos"), col("wlats")))), s => s.getField("wlats"))
-          .as("__mlats"))
-    // member NODES resolved too (for as_multipoint / collections)
-    val memberNodes = osm.relations
-      .select(col("id").as("nrid"),
-        posexplode(col("members")).as(Seq("npos", "nm")))
-      .where(col("nm.mtype") === "n")
-      .join(osm.nodes.select(col("id").as("mnid"),
-        col("lon").as("mnlon"), col("lat").as("mnlat")),
-        col("nm.ref") === col("mnid"))
-      .groupBy(col("nrid"))
-      .agg(
-        transform(array_sort(collect_list(
-          struct(col("npos"), col("mnlon")))), s => s.getField("mnlon"))
-          .as("__mnlons"),
-        transform(array_sort(collect_list(
-          struct(col("npos"), col("mnlat")))), s => s.getField("mnlat"))
-          .as("__mnlats"))
-    val rels = osm.relations
-      .join(memberWays, col("id") === col("rid"), "left")
-      .join(memberNodes, col("id") === col("nrid"), "left")
-      .drop("rid", "nrid")
     val res = graft.flex.FlexRunner.run(cfg,
-      osm.copy(
-        nodes = osm.nodes.withColumn("__mode", lit(mode)),
-        ways = ways.withColumn("__mode", lit(mode)),
-        relations = rels.withColumn("__mode", lit(mode))))
+      graft.flex.Enrich.forFlex(osm, mode))
     val out = java.nio.file.Paths.get(o.outputDir)
     java.nio.file.Files.createDirectories(out)
     res.tables.foreach { case (tname, tr) =>
@@ -556,10 +498,23 @@ object Main {
     }
   }
 
-  /** Resolve a FlexConfig by fully-qualified name: a Scala `object`
-    * (companion MODULE$) or a zero-arg class. */
-  private def loadFlexConfig(name: String): graft.flex.FlexConfig =
-    try {
+  /** Resolve a FlexConfig: a `.lua` path runs through the embedded
+    * Lua runtime ([[graft.flex.LuaFlexConfig]] — the reference's
+    * native config surface, osm2pgsql-manual `-S config.lua`);
+    * anything else is a fully-qualified compiled Scala `object`
+    * (companion MODULE$) or zero-arg class (the typed DSL). */
+  private def loadFlexConfig(name: String,
+      append: Boolean = false): graft.flex.FlexConfig =
+    if (name.endsWith(".lua")) {
+      if (!new java.io.File(name).exists())
+        Options.fail(s"Error loading lua config: file '$name' not found.")
+      try graft.flex.LuaFlexConfig.fromFile(name,
+        mode = if (append) "append" else "create")
+      catch {
+        case e: Exception => Options.fail(
+          s"Error loading lua config: ${e.getMessage}.")
+      }
+    } else try {
       val cls =
         try Class.forName(name + "$")
         catch { case _: ClassNotFoundException => Class.forName(name) }
@@ -571,7 +526,6 @@ object Main {
       case _: ClassNotFoundException => Options.fail(
         s"Flex config '$name' not found: -S must name a compiled " +
           "graft.flex.FlexConfig object (e.g. " +
-          "graft.flex.examples.PoisAndHighways). Lua files are not " +
-          "supported (typed-DSL delta, see COVERAGE.md).")
+          "graft.flex.examples.PoisAndHighways) or a .lua config file.")
     }
 }

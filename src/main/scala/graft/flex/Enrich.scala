@@ -1,0 +1,77 @@
+package graft.flex
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.OsmXml.OsmDataFrames
+
+/** Entity-frame enrichment for flex configs: resolve way node
+  * coordinates (`__lons`/`__lats` + the pre-built `__geom` 3857
+  * linestring) and relation member coordinates (`__mlons`/`__mlats`
+  * member-way arrays, `__mnlons`/`__mnlats` member-node arrays), plus
+  * the `__mode` column configs read as `osm2pgsql.mode`.
+  *
+  * This is the set-at-a-time analog of the middle's nodes_get_list /
+  * rel_members_get resolution (reference: src/middle-pgsql.cpp:
+  * 693-727, 822-836): one shuffle join per resolution level instead
+  * of per-object lookups; member-way dedup keeps the reference's
+  * id-SET semantics (a way listed twice contributes once).
+  */
+object Enrich {
+
+  def forFlex(osm: OsmDataFrames, mode: String): OsmDataFrames = {
+    val lineGeom = udf((lons: Seq[Double], lats: Seq[Double]) =>
+      graft.geom.FromOsm.createLineString(
+        lons.zip(lats).map { case (x, y) => graft.geom.Pt(x, y) }) match {
+        case _: graft.geom.NullGeom => null
+        case g => graft.geom.Ewkb.encode(
+          graft.geom.GeomOps.transform(g, graft.geom.Srid.WebMercator))
+      })
+    val resolved = graft.operators.Middle.resolveAllWayCoords(osm)
+    val ways = osm.ways
+      .join(resolved, col("id") === col("rwid"), "left")
+      .withColumn("__geom", lineGeom(col("wlons"), col("wlats")))
+      .withColumnRenamed("wlons", "__lons")
+      .withColumnRenamed("wlats", "__lats")
+      .drop("rwid")
+    val memberRefs = osm.relations
+      .select(col("id").as("rid"),
+        posexplode(col("members")).as(Seq("mpos", "m")))
+      .where(col("m.mtype") === "w")
+      .select(col("rid"), col("mpos"), col("m.ref").as("wid"))
+      .groupBy(col("rid"), col("wid"))
+      .agg(min(col("mpos")).as("mpos"))
+    val memberWays = memberRefs
+      .join(resolved, col("wid") === col("rwid"))
+      .groupBy(col("rid"))
+      .agg(
+        transform(array_sort(collect_list(
+          struct(col("mpos"), col("wlons")))), s => s.getField("wlons"))
+          .as("__mlons"),
+        transform(array_sort(collect_list(
+          struct(col("mpos"), col("wlats")))), s => s.getField("wlats"))
+          .as("__mlats"))
+    val memberNodes = osm.relations
+      .select(col("id").as("nrid"),
+        posexplode(col("members")).as(Seq("npos", "nm")))
+      .where(col("nm.mtype") === "n")
+      .join(osm.nodes.select(col("id").as("mnid"),
+        col("lon").as("mnlon"), col("lat").as("mnlat")),
+        col("nm.ref") === col("mnid"))
+      .groupBy(col("nrid"))
+      .agg(
+        transform(array_sort(collect_list(
+          struct(col("npos"), col("mnlon")))), s => s.getField("mnlon"))
+          .as("__mnlons"),
+        transform(array_sort(collect_list(
+          struct(col("npos"), col("mnlat")))), s => s.getField("mnlat"))
+          .as("__mnlats"))
+    val rels = osm.relations
+      .join(memberWays, col("id") === col("rid"), "left")
+      .join(memberNodes, col("id") === col("nrid"), "left")
+      .drop("rid", "nrid")
+    osm.copy(
+      nodes = osm.nodes.withColumn("__mode", lit(mode)),
+      ways = ways.withColumn("__mode", lit(mode)),
+      relations = rels.withColumn("__mode", lit(mode)))
+  }
+}

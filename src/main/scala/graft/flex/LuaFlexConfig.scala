@@ -1,0 +1,540 @@
+package graft.flex
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import graft.lua._
+import graft.geom.{Ewkb, Geometry => GGeometry, GeomOps, NullGeom, Srid,
+  Point => GPoint, LineString => GLineString, Polygon => GPolygon,
+  MultiPoint => GMultiPoint, MultiLineString => GMultiLineString,
+  MultiPolygon => GMultiPolygon, GeometryCollection => GCollection}
+
+/** A [[FlexConfig]] backed by a REAL osm2pgsql Lua config file — the
+  * compatibility surface that lets a reference user run their
+  * existing `-O flex -S config.lua` unchanged.
+  *
+  * Execution model: the chunk runs once on the driver to collect the
+  * table definitions (define_table, define_expire_output, process_gen
+  * recording) and once per PARTITION on the executors to run the
+  * per-object callbacks — the reference runs one Lua state per worker
+  * thread behind a global mutex (src/output-flex.cpp
+  * get_mutex_and_call_lua_function); here every partition owns an
+  * independent state, so callbacks scale with cores instead of
+  * serializing on one lock. Only the chunk SOURCE ships in the
+  * closure; each partition re-derives the (deterministic) config.
+  *
+  * Inserts stream out as one homogeneous Dataset — (tableIdx, string
+  * fields, EWKB fields, map fields, object type/id) — persisted once,
+  * then split per table with declarative projections, so the Lua pass
+  * over N output tables runs ONCE regardless of N. Two-stage configs
+  * (select_relation_members) stay fully declarative: marked way ids
+  * are a DataFrame; stage-1 rows for marked ways are anti-joined away
+  * and the marked ways reprocess with `osm2pgsql.stage == 2`, exactly
+  * the reference's reprocess_marked contract
+  * (src/output-flex.cpp:1544-1618) without collecting ids.
+  */
+final class LuaFlexConfig(
+    chunkSource: String,
+    chunkName: String = "config.lua",
+    mode: String = "create",
+    properties: Map[String, String] = Map.empty,
+    configDir: String = "") extends FlexConfig with Serializable {
+
+  // ---------- driver-side load ----------
+
+  @transient private lazy val loadEnv: FlexLuaEnv = {
+    val env = new FlexLuaEnv(chunkName, mode, 1, properties, configDir)
+    env.loadSource(chunkSource)
+    env
+  }
+
+  private def has(cb: String): Boolean = loadEnv.callback(cb).isDefined
+
+  /** Table defs with the column expire references resolved. */
+  override val tables: Seq[FlexTableDef] = {
+    val defs = loadEnv.tableDefs.toVector
+    val refs = loadEnv.expireRefs.toList
+    val outs = loadEnv.expireOutputs.toVector
+    defs.zipWithIndex.map { case (t, ti) =>
+      val myRefs = refs.filter(_.tableIdx == ti)
+      if (myRefs.isEmpty) t
+      else t.copy(columns = t.columns.map { c =>
+        val cRefs = myRefs.filter(_.column == c.name).map { r =>
+          val m = r.mode match {
+            case "boundary-only" => graft.operators.TileCover.BoundaryOnly
+            case "hybrid" =>
+              graft.operators.TileCover.Hybrid(r.fullAreaLimit)
+            case _ => graft.operators.TileCover.FullArea
+          }
+          FlexExpireRef(outs(r.output), m, r.buffer, r.diffExpire)
+        }
+        if (cRefs.isEmpty) c else c.copy(expire = cRefs)
+      })
+    }
+  }
+
+  override val genSteps: Seq[FlexGenStep] = {
+    // process_gen runs driver-side at load: run_gen/run_sql calls are
+    // recorded as steps for GenRunner (osm2pgsql-gen's behavior of
+    // executing the config's process_gen, gen/forests.lua:107-120)
+    loadEnv.callback("process_gen").foreach(fn => loadEnv.I.call(fn, Nil))
+    loadEnv.genSteps.toVector
+  }
+
+  private val hasTwoStage: Boolean =
+    has("select_relation_members") &&
+      (has("process_way") || has("process_node"))
+
+  // anything the executor closures need, precomputed serializable
+  private val spec = LuaFlexConfig.RunSpec(chunkSource, chunkName, mode,
+    properties, configDir)
+
+  // ---------- the full pipeline over the entity frames ----------
+
+  override def processGraph(osm: graft.sources.OsmXml.OsmDataFrames)
+      : Map[String, DataFrame] = {
+    val spark = osm.nodes.sparkSession
+    import spark.implicits._
+
+    var nodeInserts = LuaFlexConfig.runPass(spec, osm.nodes, "node", 1)
+
+    // ids.cache support (table_in_id_cache, src/output-flex.cpp:
+    // 846-884): the mapped ids inserted into cache-enabled node
+    // tables during the node pass broadcast to the way/relation
+    // passes — the same bounded in-RAM membership set the reference
+    // keeps, shipped once per executor instead of held per thread.
+    val idCacheTables = tables.zipWithIndex.collect {
+      case (t, i) if t.idCache => i
+    }.toSet
+    val cacheB: Option[org.apache.spark.broadcast.Broadcast[
+      Map[Int, Set[Long]]]] =
+      if (idCacheTables.isEmpty) None
+      else {
+        nodeInserts = nodeInserts.persist(StorageLevel.MEMORY_AND_DISK)
+        val m = nodeInserts.filter(i => idCacheTables.contains(i.tbl))
+          .map(i => (i.tbl, i.oid)).distinct().collect()
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        Some(spark.sparkContext.broadcast(m))
+      }
+
+    val wayInserts1 =
+      LuaFlexConfig.runPass(spec, osm.ways, "way", 1, cache = cacheB)
+    val relInserts0 = LuaFlexConfig.runPass(spec, osm.relations,
+      "relation", 1, cache = cacheB)
+
+    val inserts: Dataset[LuaInsert] =
+      if (!hasTwoStage) nodeInserts.union(wayInserts1).union(relInserts0)
+      else {
+        // relation pass emits marks as pseudo-tables -1 (ways) and
+        // -2 (nodes); bounded by relation membership → broadcast
+        val relPersisted = relInserts0
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val markedWays = relPersisted.filter(_.tbl == -1)
+          .map(_.oid).distinct().toDF("mid")
+        val markedNodes = relPersisted.filter(_.tbl == -2)
+          .map(_.oid).distinct().toDF("mid")
+        // Stage-2 state: the reference keeps ONE Lua state, so
+        // globals written by process_relation in stage 1 are visible
+        // when marked ways reprocess (reprocess_marked,
+        // src/output-flex.cpp:1544-1618 — the documented two-stage
+        // pattern stores per-way info in a Lua table). Distributed
+        // analog: every stage-2 partition REPLAYS the relations
+        // (inserts disabled, the m_disable_insert mechanism) to
+        // rebuild that state, then flips osm2pgsql.stage to 2.
+        // Member tags/ids ship in the replay; coordinate enrichment
+        // does not (geometry-from-state is not a two-stage idiom).
+        val relObjs = spark.sparkContext.broadcast(
+          LuaFlexConfig.collectRelationObjects(osm.relations))
+        // marked ways are a small subset — compact them into few
+        // partitions so the per-partition relation replay cost stays
+        // bounded by marks, not by the input partitioning
+        val ways2in = osm.ways.join(broadcast(markedWays),
+          osm.ways("id") === col("mid"), "left_semi")
+          .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+        val nodes2in = osm.nodes.join(broadcast(markedNodes),
+          osm.nodes("id") === col("mid"), "left_semi")
+          .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+        val wayInserts2 = LuaFlexConfig.runPass(spec, ways2in, "way", 2,
+          replayRels = Some(relObjs), cache = cacheB)
+        val nodeInserts2 = LuaFlexConfig.runPass(spec, nodes2in, "node", 2,
+          replayRels = Some(relObjs), cache = cacheB)
+        val way1Kept = wayInserts1.join(broadcast(markedWays),
+          wayInserts1("oid") === col("mid") &&
+            wayInserts1("otype") === "w", "left_anti").as[LuaInsert]
+        val node1Kept = nodeInserts.join(broadcast(markedNodes),
+          nodeInserts("oid") === col("mid") &&
+            nodeInserts("otype") === "n", "left_anti").as[LuaInsert]
+        node1Kept.union(way1Kept).union(nodeInserts2).union(wayInserts2)
+          .union(relPersisted.filter(_.tbl >= 0))
+      }
+
+    // one Lua pass total: the homogeneous insert stream persists
+    // once; each output table is a filter+projection over it
+    val persisted = inserts.persist(StorageLevel.MEMORY_AND_DISK)
+
+    tables.zipWithIndex.map { case (t, idx) =>
+      t.name -> LuaFlexConfig.projectTable(persisted.toDF(), t, idx)
+    }.toMap
+  }
+}
+
+object LuaFlexConfig {
+
+  final case class RunSpec(chunkSource: String, chunkName: String,
+      mode: String, properties: Map[String, String], configDir: String)
+
+  def fromFile(path: String, mode: String = "create",
+      properties: Map[String, String] = Map.empty): LuaFlexConfig = {
+    val p = java.nio.file.Paths.get(path)
+    val src = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val dir = Option(p.getParent).map(_.toString + "/").getOrElse("")
+    new LuaFlexConfig(src, p.getFileName.toString, mode, properties, dir)
+  }
+
+  /** Run the per-object callbacks for one entity kind over its frame:
+    * one Lua state per partition, rows streamed through, inserts (and
+    * stage-2 marks for relations) emitted as [[LuaInsert]].
+    *
+    * `replayRels` (stage-2 passes) rebuilds the reference's
+    * single-state globals: the partition's env first runs
+    * process_[untagged_]relation over every relation with inserts
+    * DISABLED (returning nothing, like m_disable_insert), then sets
+    * `osm2pgsql.stage = 2` — the exact sequencing of
+    * reprocess_marked (src/output-flex.cpp:1567-1572). */
+  private[flex] def runPass(spec: RunSpec, df: DataFrame, kind: String,
+      stage: Int,
+      replayRels: Option[org.apache.spark.broadcast.Broadcast[
+        Array[LuaOsmObject]]] = None,
+      cache: Option[org.apache.spark.broadcast.Broadcast[
+        Map[Int, Set[Long]]]] = None): Dataset[LuaInsert] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = df.schema
+    df.mapPartitions { rows =>
+      val env = new FlexLuaEnv(spec.chunkName, spec.mode, 1,
+        spec.properties, spec.configDir)
+      env.loadSource(spec.chunkSource)
+      val out = scala.collection.mutable.ArrayBuffer.empty[LuaInsert]
+      cache.foreach { b =>
+        env.inIdCacheSink = (ti, ids) => {
+          val s = b.value.getOrElse(ti, Set.empty)
+          ids.zipWithIndex.collect {
+            case (id, i) if s.contains(id) => (i + 1).toLong
+          }
+        }
+      }
+      replayRels.foreach { b =>
+        env.insertSink = (_, _) => Nil // m_disable_insert analog
+        val pr = env.callback("process_relation")
+        val pur = env.callback("process_untagged_relation")
+        b.value.foreach { o =>
+          val cb = if (o.tags.nonEmpty) pr else pur
+          cb.foreach(fn => env.callProcess(fn, o))
+        }
+      }
+      if (stage != 1)
+        env.osm2pgsql.rawSet(LStr("stage"), LInt(stage.toLong))
+      env.insertSink = (idx, row) => insertRow(env, idx, row, out)
+      val process = env.callback(s"process_$kind")
+      val processUntagged = env.callback(s"process_untagged_$kind")
+      val selectMembers =
+        if (kind == "relation" && stage == 1)
+          env.callback("select_relation_members")
+        else None
+      if (process.isEmpty && processUntagged.isEmpty &&
+          selectMembers.isEmpty) Iterator.empty
+      else {
+        val get = new RowReader(schema)
+        rows.flatMap { row =>
+          out.clear()
+          val obj = get.toObject(row, kind)
+          selectMembers.foreach { fn =>
+            val (ways, nodes) = env.callSelectRelationMembers(fn, obj)
+            ways.foreach(w => out += LuaInsert(-1, Map.empty, Map.empty,
+              Map.empty, "w", w))
+            nodes.foreach(n => out += LuaInsert(-2, Map.empty, Map.empty,
+              Map.empty, "n", n))
+          }
+          val cb = if (obj.tags.nonEmpty) process else processUntagged
+          cb.foreach(fn => env.callProcess(fn, obj))
+          out.toVector
+        }
+      }
+    }
+  }
+
+  /** Relations as replayable objects (tags + members + attributes;
+    * no coordinate enrichment — stage-2 state builders read tags and
+    * member lists). Bounded: relations are the smallest entity class
+    * and the reference's own stage-2 state is RAM-resident anyway. */
+  private[flex] def collectRelationObjects(rels: DataFrame)
+      : Array[LuaOsmObject] = {
+    val cols = Seq("id", "version", "timestamp", "changeset", "uid",
+      "user", "tags", "members").filter(rels.columns.contains)
+    val proj = rels.select(cols.map(col): _*)
+    val reader = new RowReader(proj.schema)
+    proj.collect().map(reader.toObject(_, "relation"))
+  }
+
+  /** Field extraction indices for one entity frame's schema. */
+  private final class RowReader(schema: StructType) extends Serializable {
+    private def idx(n: String): Int = schema.fieldNames.indexOf(n)
+    private val iId = idx("id")
+    private val iVersion = idx("version")
+    private val iTimestamp = idx("timestamp")
+    private val iChangeset = idx("changeset")
+    private val iUid = idx("uid")
+    private val iUser = idx("user")
+    private val iTags = idx("tags")
+    private val iLon = idx("lon")
+    private val iLat = idx("lat")
+    private val iNodes = idx("nodes")
+    private val iLons = idx("__lons")
+    private val iLats = idx("__lats")
+    private val iMembers = idx("members")
+    private val iMlons = idx("__mlons")
+    private val iMlats = idx("__mlats")
+    private val iMnlons = idx("__mnlons")
+    private val iMnlats = idx("__mnlats")
+
+    private def optLong(r: Row, i: Int): Option[Long] =
+      if (i < 0 || r.isNullAt(i)) None
+      else Some(r.get(i) match {
+        case l: Long => l
+        case n: Int  => n.toLong
+        case n: java.lang.Number => n.longValue
+        case ts: java.sql.Timestamp => ts.getTime / 1000L
+      })
+    private def dseq(r: Row, i: Int): Seq[Double] =
+      if (i < 0 || r.isNullAt(i)) null else r.getSeq[Double](i)
+    private def dseq2(r: Row, i: Int): Seq[Seq[Double]] =
+      if (i < 0 || r.isNullAt(i)) null
+      // inner arrays surface as mutable ArraySeq — normalize both
+      // levels to the immutable Seq the geometry builders expect
+      else r.getSeq[scala.collection.Seq[Double]](i)
+        .map(s => if (s == null) null else s.toSeq)
+
+    def toObject(r: Row, kind: String): LuaOsmObject = LuaOsmObject(
+      otype = kind,
+      id = r.getLong(iId),
+      version = optLong(r, iVersion),
+      timestamp = optLong(r, iTimestamp),
+      changeset = optLong(r, iChangeset),
+      uid = optLong(r, iUid),
+      user = if (iUser < 0 || r.isNullAt(iUser)) None
+        else Some(r.getString(iUser)),
+      tags = if (iTags < 0 || r.isNullAt(iTags)) Map.empty
+        else r.getMap[String, String](iTags).toMap,
+      lon = if (iLon < 0 || r.isNullAt(iLon)) Double.NaN
+        else r.getDouble(iLon),
+      lat = if (iLat < 0 || r.isNullAt(iLat)) Double.NaN
+        else r.getDouble(iLat),
+      nodeRefs = if (iNodes < 0 || r.isNullAt(iNodes)) Nil
+        else r.getSeq[Long](iNodes),
+      lons = dseq(r, iLons),
+      lats = dseq(r, iLats),
+      members = if (iMembers < 0 || r.isNullAt(iMembers)) Nil
+        else r.getSeq[Row](iMembers).map(m =>
+          (m.getString(0), m.getLong(1),
+            if (m.isNullAt(2)) "" else m.getString(2))),
+      mlons = dseq2(r, iMlons),
+      mlats = dseq2(r, iMlats),
+      mnlons = dseq(r, iMnlons),
+      mnlats = dseq(r, iMnlats))
+  }
+
+  /** table:insert — convert the Lua row per the column definitions
+    * (flex_write_column, src/flex-write.cpp:261-469) and buffer it.
+    * Returns the reference's protocol: `true`, or on a NOT NULL
+    * violation `(false, message, column, object)` with the row NOT
+    * written (src/output-flex.cpp:811-838). */
+  private def insertRow(env: FlexLuaEnv, idx: Int, row: LTable,
+      out: scala.collection.mutable.ArrayBuffer[LuaInsert]): Seq[LV] = {
+    val t = env.tableDefs(idx)
+    val o = env.currentObject
+    if (o == null)
+      env.I.fail(0, "Insert can only be called from processing functions.")
+    val strs = Map.newBuilder[String, String]
+    val bins = Map.newBuilder[String, Array[Byte]]
+    val maps = Map.newBuilder[String, Map[String, String]]
+
+    // tile tables: x/y are plain int columns fed from the row
+    // (src/flex-lua-table.cpp:171-175 adds them as int columns)
+    if (t.ids == FlexIds.Tile) {
+      Seq("x", "y").foreach { k =>
+        row.rawGet(LStr(k)) match {
+          case LNil => return notNullResult(env, o, k)
+          case v => env.I.toInteger(v) match {
+            case Some(n) => strs += k -> n.toString
+            case None => env.I.fail(0,
+              s"Invalid value for '$k' tile id column.")
+          }
+        }
+      }
+    }
+
+    t.writeColumns.foreach { c =>
+      val v = row.rawGet(LStr(c.name))
+      val isGeom =
+        FlexType.sparkType(c.ctype) == BinaryType
+      v match {
+        case LNil =>
+          if (c.notNull) return notNullResult(env, o, c.name)
+        case u: LUserdata => u.value match {
+          case g: GGeometry =>
+            if (!isGeom) env.I.fail(0,
+              s"Invalid type 'userdata' for column '${c.name}'.")
+            if (g.isNull) {
+              if (c.notNull) return notNullResult(env, o, c.name)
+            } else bins += c.name -> geomBytes(env, g, c)
+          case _ => env.I.fail(0,
+            s"Invalid type 'userdata' for column '${c.name}'.")
+        }
+        case tab: LTable => c.ctype match {
+          case FlexType.Hstore =>
+            maps += c.name -> tab.hash.map { case (k, hv) =>
+              env.I.tostring(k) -> env.I.tostring(hv)
+            }.toMap
+          case FlexType.Json =>
+            strs += c.name -> luaToJson(env.I, tab)
+          case _ => env.I.fail(0,
+            s"Invalid type 'table' for column '${c.name}'.")
+        }
+        case scalar =>
+          if (isGeom) env.I.fail(0,
+            s"Invalid type '${scalar.typeName}' for geometry column " +
+              s"'${c.name}'.")
+          else if (c.ctype == FlexType.Json)
+            strs += c.name -> luaToJson(env.I, scalar)
+          else strs += c.name -> scalarText(env.I, scalar, c.ctype)
+      }
+    }
+    out += LuaInsert(idx, strs.result(), bins.result(), maps.result(),
+      o.otype match {
+        case "node" => "n"; case "way" => "w"; case _ => "r"
+      }, o.id)
+    Seq(LBool(true))
+  }
+
+  private def notNullResult(env: FlexLuaEnv, o: LuaOsmObject,
+      column: String): Seq[LV] =
+    Seq(LBool(false), LStr("null value in not null column."),
+      LStr(column), env.pushObject(o))
+
+  /** Geometry value → the column's bytes: transform to the declared
+    * projection, wrap single→multi for multi columns, reject wrong
+    * types (is_compatible + wrap_multi, src/flex-write.cpp:233-257,
+    * 443-457). */
+  private def geomBytes(env: FlexLuaEnv, g0: GGeometry,
+      c: FlexColumn): Array[Byte] = {
+    val g = if (g0.srid == c.projection) g0
+      else if (g0.srid == Srid.WGS84) GeomOps.transform(g0, c.projection)
+      else env.I.fail(0, "Geometry data in unexpected projection.")
+    val compatible = (c.ctype, g) match {
+      case (FlexType.Geometry, _)                                  => true
+      case (FlexType.Point, _: GPoint)                             => true
+      case (FlexType.Linestring, _: GLineString)                   => true
+      case (FlexType.Polygon, _: GPolygon)                         => true
+      case (FlexType.Multipoint, _: GPoint | _: GMultiPoint)       => true
+      case (FlexType.Multilinestring,
+        _: GLineString | _: GMultiLineString)                      => true
+      case (FlexType.Multipolygon, _: GPolygon | _: GMultiPolygon) => true
+      case (FlexType.Geometrycollection, _: GCollection)           => true
+      case _                                                       => false
+    }
+    if (!compatible) env.I.fail(0,
+      "Geometry data for geometry column has the wrong type " +
+        s"(${g.typeName} into ${c.ctype.toString.toLowerCase}).")
+    val wrapMulti = c.ctype == FlexType.Multipoint ||
+      c.ctype == FlexType.Multilinestring ||
+      c.ctype == FlexType.Multipolygon
+    Ewkb.encode(g, ensureMulti = wrapMulti)
+  }
+
+  /** Scalar Lua value → the text carrier Coerce parses. Numbers keep
+    * Lua formatting except integral floats headed for int columns
+    * (the reference accepts 3.0 into int8, flex-write.cpp:92-117). */
+  private def scalarText(I: LuaInterp, v: LV, t: FlexType.Value): String =
+    v match {
+      case LBool(b) => if (b) "true" else "false"
+      case LNum(d) if d.isWhole &&
+          (t == FlexType.Int2 || t == FlexType.Int4 ||
+            t == FlexType.Int8) => d.toLong.toString
+      case other => I.tostring(other)
+    }
+
+  /** Lua value → JSON text (flex-write.cpp:140-231): tables with
+    * consecutive 1..n integer keys serialize as arrays, any other
+    * table as an object; NaN/Inf numbers → null (the json writer's
+    * number rule); nested tables recurse. */
+  private[flex] def luaToJson(I: LuaInterp, v: LV): String = v match {
+    case LNil     => "null"
+    case LBool(b) => b.toString
+    case LInt(n)  => n.toString
+    case LNum(d)  =>
+      if (d.isNaN || d.isInfinite) "null"
+      else if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    case LStr(s)  => jsonEscape(s)
+    case t: LTable =>
+      val len = t.length
+      val isArray = len > 0 && t.hash.size == len &&
+        t.hash.keys.forall {
+          case LInt(k) => k >= 1 && k <= len
+          case _       => false
+        }
+      if (isArray)
+        (1L to len).map(i => luaToJson(I, t.rawGet(LInt(i))))
+          .mkString("[", ",", "]")
+      else
+        t.hash.map { case (k, hv) =>
+          jsonEscape(I.tostring(k)) + ":" + luaToJson(I, hv)
+        }.mkString("{", ",", "}")
+    case other => jsonEscape(I.tostring(other))
+  }
+
+  private def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    b.append('"')
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case ch if ch < ' ' => b.append(f"\\u${ch.toInt}%04x")
+      case ch   => b.append(ch)
+    }
+    b.append('"')
+    b.toString
+  }
+
+  /** One output table = filter + projection over the homogeneous
+    * insert stream. Id columns derive from otype/oid exactly like
+    * flex_table_t::map_id (src/flex-table.cpp:107-129). */
+  private[flex] def projectTable(inserts: DataFrame, t: FlexTableDef,
+      idx: Int): DataFrame = {
+    val mine = inserts.where(col("tbl") === idx)
+    val idCols: Seq[Column] = t.ids match {
+      case FlexIds.NoIndex => Nil
+      case FlexIds.Tile => Seq(
+        element_at(col("strs"), "x").cast(IntegerType).as("x"),
+        element_at(col("strs"), "y").cast(IntegerType).as("y"))
+      case FlexIds.AnyObject if t.typeColumn.isDefined => Seq(
+        upper(col("otype")).as(t.typeColumn.get),
+        col("oid").as(t.idColumn))
+      case _ => Seq(t.mapId(col("otype"), col("oid")).as(t.idColumn))
+    }
+    val valCols: Seq[Column] = t.writeColumns.map { c =>
+      (FlexType.sparkType(c.ctype) match {
+        case BinaryType => element_at(col("bins"), c.name)
+        case _: MapType => element_at(col("maps"), c.name)
+        case _          => element_at(col("strs"), c.name)
+      }).as(c.name)
+    }
+    mine.select(idCols ++ valCols: _*)
+  }
+}

@@ -77,8 +77,7 @@ final class FlexLuaEnv(
   val expireOutputs = mutable.ArrayBuffer.empty[FlexExpireOutput]
   val genSteps = mutable.ArrayBuffer.empty[FlexGenStep]
   /** expire refs per (tableIdx, columnName), resolved after load */
-  val expireRefs =
-    mutable.ArrayBuffer.empty[(Int, String, Int, String, Double, Boolean)]
+  val expireRefs = mutable.ArrayBuffer.empty[FlexLuaEnv.ExpireRef]
 
   /** Installed by the runner before processing; at load time insert
     * fails like the reference (src/output-flex.cpp:780-782). */
@@ -258,19 +257,20 @@ final class FlexLuaEnv(
       err("Unknown projection."))
   }
 
-  private def parseExpireField(v: LV, isGeom: Boolean, srid: Int)
-      : Seq[(Int, String, Double, Boolean)] = {
+  private def parseExpireField(v: LV, isGeom: Boolean, srid: Int,
+      tableIdx: Int, colName: String): Unit = {
     // parse_and_set_expire_options (src/flex-lua-table.cpp:222-327)
-    if (v == LNil) return Nil
+    if (v == LNil) return
     if (!isGeom || srid != Srid.WebMercator)
       err("Expire only allowed for geometry columns in Web Mercator projection.")
     v match {
       case _: LUserdata =>
-        Seq((expireOutputOf(v)._1, "full-area", 0.1, false))
+        expireRefs += FlexLuaEnv.ExpireRef(tableIdx, colName,
+          expireOutputOf(v)._1, "full-area", 0.1, false, 10000.0)
       case t: LTable =>
-        if (t.hash.isEmpty) Nil
-        else if (t.length == 0) err("Expire field must be a Lua array table")
-        else arrayOf(t).map {
+        if (t.hash.isEmpty) return
+        if (t.length == 0) err("Expire field must be a Lua array table")
+        arrayOf(t).foreach {
           case e: LTable =>
             val out = expireOutputOf(e.rawGet(LStr("output")))._1
             val m = optStr(e, "mode").getOrElse("full-area")
@@ -287,7 +287,14 @@ final class FlexLuaEnv(
               case _ => err("Optional expire field 'diff_expire' must " +
                 "contain a boolean.")
             }
-            (out, m, buffer, diff)
+            val fal = e.rawGet(LStr("full_area_limit")) match {
+              case LNil => 10000.0
+              case b => I.coerceNum(b).map(I.asDouble).getOrElse(
+                err("Optional expire field 'full_area_limit' must " +
+                  "contain a number."))
+            }
+            expireRefs += FlexLuaEnv.ExpireRef(tableIdx, colName, out, m,
+              buffer, diff, fal)
           case _ => err("Expire config must be a Lua table")
         }
       case _ => err("Expire field must be a Lua array table")
@@ -383,11 +390,8 @@ final class FlexLuaEnv(
                   err("Projection can only be set on geometry columns.")
                 parseProjection(p)
             }
-            val expire = parseExpireField(
-              c.rawGet(LStr("expire")), isGeom, proj)
-            expire.foreach { case (out, m, buf, diff) =>
-              expireRefs += ((myIdx, cname, out, m, buf, diff))
-            }
+            parseExpireField(c.rawGet(LStr("expire")), isGeom, proj,
+              myIdx, cname)
             FlexColumn(cname, ctype,
               notNull = optBool(c, "not_null", "Entry 'not_null'"),
               createOnly = optBool(c, "create_only", "Entry 'create_only'"),
@@ -831,4 +835,13 @@ end
       }
     } finally { currentObject = prev._1; callingContext = prev._2 }
   }
+}
+
+object FlexLuaEnv {
+  /** One column-level expire reference (expire_config_t,
+    * src/expire-config.hpp): which output index, cover mode, buffer,
+    * diff flag and the hybrid-mode area threshold. */
+  final case class ExpireRef(tableIdx: Int, column: String, output: Int,
+      mode: String, buffer: Double, diffExpire: Boolean,
+      fullAreaLimit: Double)
 }

@@ -130,8 +130,8 @@ class FlexLuaEnvSpec extends AnyFunSuite {
         |                  buffer = 0.2 }} },
         |  }}
         |""".stripMargin)
-    assert(env.expireRefs.toList ==
-      List((0, "geom", 0, "boundary-only", 0.2, false)))
+    assert(env.expireRefs.toList == List(FlexLuaEnv.ExpireRef(
+      0, "geom", 0, "boundary-only", 0.2, false, 10000.0)))
   }
 
   test("table wrapper accessors: name/schema/cluster/columns/tostring") {
