@@ -395,7 +395,7 @@ object LuaFlexConfig {
         }
         case tab: LTable => c.ctype match {
           case FlexType.Hstore =>
-            maps += c.name -> tab.hash.map { case (k, hv) =>
+            maps += c.name -> tab.entries.map { case (k, hv) =>
               env.I.tostring(k) -> env.I.tostring(hv)
             }.toMap
           case FlexType.Json =>
@@ -480,17 +480,18 @@ object LuaFlexConfig {
       else d.toString
     case LStr(s)  => jsonEscape(s)
     case t: LTable =>
+      val live = t.entries.toVector
       val len = t.length
-      val isArray = len > 0 && t.hash.size == len &&
-        t.hash.keys.forall {
-          case LInt(k) => k >= 1 && k <= len
-          case _       => false
+      val isArray = len > 0 && live.size == len &&
+        live.forall {
+          case (LInt(k), _) => k >= 1 && k <= len
+          case _            => false
         }
       if (isArray)
         (1L to len).map(i => luaToJson(I, t.rawGet(LInt(i))))
           .mkString("[", ",", "]")
       else
-        t.hash.map { case (k, hv) =>
+        live.map { case (k, hv) =>
           jsonEscape(I.tostring(k)) + ":" + luaToJson(I, hv)
         }.mkString("{", ",", "}")
     case other => jsonEscape(I.tostring(other))

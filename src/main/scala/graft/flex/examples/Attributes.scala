@@ -63,7 +63,10 @@ object Attributes extends FlexConfig {
         shared(nodes0): _*))
 
   override def processWays(ways0: DataFrame): Map[String, DataFrame] =
-    Map("attributes_ways" -> ways0.select(
+    // reference dispatch: process_way runs for TAGGED ways only;
+    // attributes.lua defines no process_untagged_way, so untagged
+    // ways are skipped (output-flex.cpp:1151 tags().empty() routing)
+    Map("attributes_ways" -> ways0.where(size(col("tags")) > 0).select(
       Seq(col("id").as("osm_id"), col("tags").as("tags"),
         FlexGeom.asLinestring(Srid.WGS84)(col("__lons"), col("__lats"))
           .as("geom")) ++

@@ -268,7 +268,7 @@ final class FlexLuaEnv(
         expireRefs += FlexLuaEnv.ExpireRef(tableIdx, colName,
           expireOutputOf(v)._1, "full-area", 0.1, false, 10000.0)
       case t: LTable =>
-        if (t.hash.isEmpty) return
+        if (t.entries.isEmpty) return
         if (t.length == 0) err("Expire field must be a Lua array table")
         arrayOf(t).foreach {
           case e: LTable =>
@@ -458,7 +458,7 @@ final class FlexLuaEnv(
     }
     val params = a.lift(1) match {
       case Some(t: LTable) =>
-        t.hash.collect { case (LStr(k), v) => k -> I.tostring(v) }.toMap
+        t.entries.collect { case (LStr(k), v) => k -> I.tostring(v) }.toMap
       case _ => Map.empty[String, String]
     }
     val src = params.getOrElse("src_table",

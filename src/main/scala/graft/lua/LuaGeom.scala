@@ -86,7 +86,11 @@ object LuaGeom {
       Box.of(geomArg(a, "get_bbox")) match {
         case Some(b) =>
           Seq(LNum(b.minX), LNum(b.minY), LNum(b.maxX), LNum(b.maxY))
-        case None => Seq(LNil, LNil, LNil, LNil)
+        case None =>
+          // the reference's default box_t (geom-box.hpp:81-84):
+          // min = +DBL_MAX, max = lowest — four numbers, not nils
+          Seq(LNum(Double.MaxValue), LNum(Double.MaxValue),
+            LNum(Double.MinValue), LNum(Double.MinValue))
       }
     }
     fn("geometry_n") { a =>

@@ -433,15 +433,19 @@ object LuaStdlib {
   }
 
   private def nextImpl(t: LTable, k: LV): Seq[LV] = {
+    // tombstone-aware: a key deleted during traversal still anchors
+    // the position (Lua manual §6.1 — clearing the current field
+    // while iterating is legal); live iteration skips LNil slots
     val keys = t.hash.keys.toIndexedSeq
-    if (k == LNil) {
-      if (keys.isEmpty) Seq(LNil)
-      else Seq(keys.head, t.hash(keys.head))
-    } else {
-      val nk = t.normKey(k)
-      val idx = keys.indexOf(nk)
-      if (idx < 0 || idx + 1 >= keys.size) Seq(LNil)
-      else Seq(keys(idx + 1), t.hash(keys(idx + 1)))
+    def liveFrom(i: Int): Seq[LV] = {
+      var j = i
+      while (j < keys.size && t.hash(keys(j)) == LNil) j += 1
+      if (j >= keys.size) Seq(LNil) else Seq(keys(j), t.hash(keys(j)))
+    }
+    if (k == LNil) liveFrom(0)
+    else {
+      val idx = keys.indexOf(t.normKey(k))
+      if (idx < 0) Seq(LNil) else liveFrom(idx + 1)
     }
   }
 

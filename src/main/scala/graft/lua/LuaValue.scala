@@ -47,15 +47,24 @@ final class LTable extends LV {
     case other                                 => other
   }
   def rawGet(k: LV): LV = hash.getOrElse(normKey(k), LNil)
+  /** Deleting a key keeps its slot as an LNil tombstone: Lua's `next`
+    * contract allows clearing the CURRENT field during traversal
+    * (manual §6.1) — the slot must keep anchoring the iteration, as
+    * it does in stock Lua until the next rehash. [[entries]] skips
+    * tombstones; raw reads see LNil either way. */
   def rawSet(k: LV, v: LV): Unit = {
     val nk = normKey(k)
-    if (v == LNil) hash.remove(nk) else hash.update(nk, v)
+    if (v == LNil) {
+      if (hash.contains(nk)) hash.update(nk, LNil)
+    } else hash.update(nk, v)
   }
+  /** Live (non-tombstone) entries in insertion order. */
+  def entries: Iterator[(LV, LV)] = hash.iterator.filter(_._2 != LNil)
   /** `#t` — a border: the smallest n with t[n] ~= nil, t[n+1] == nil
     * (sequences only; scan is fine at config scale). */
   def length: Long = {
     var n = 0L
-    while (hash.contains(LInt(n + 1))) n += 1
+    while (hash.get(LInt(n + 1)).exists(_ != LNil)) n += 1
     n
   }
   def arrayAppend(v: LV): Unit = rawSet(LInt(length + 1), v)

@@ -1042,7 +1042,10 @@ class CliSpec extends SparkSpecBase {
 
     val at = run("Attributes")
     assert(cnt(at, "attributes_nodes") == 1562L)
-    assert(cnt(at, "attributes_ways") == 7121L)
+    // tagged ways only — the reference's untagged dispatch skips the
+    // rest (no process_untagged_way in attributes.lua); the Lua-path
+    // run of the same config pins the same 7105
+    assert(cnt(at, "attributes_ways") == 7105L)
     assert(cnt(at, "attributes_relations") == 113L)
     assert(spark.read.parquet(s"$at/attributes_ways")
       .where(col("created").isNull || col("version").isNull)

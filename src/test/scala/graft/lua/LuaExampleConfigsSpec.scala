@@ -1,0 +1,186 @@
+package graft.lua
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** The reference's shipped example configs executed THROUGH THE LUA
+  * RUNTIME over Liechtenstein — the strongest user-surface check: a
+  * reference user's `-S <config>.lua` produces the same tables here
+  * as the hand-typed ports whose counts CliSpec pins, from the very
+  * same Lua source the reference ships
+  * (tests/test-output-flex-example-configs.cpp is load-only; this
+  * executes them).
+  *
+  * Where a count differs from a typed port's pin, the LUA number is
+  * the faithful one (it runs the reference's own dispatch rules) and
+  * the delta is noted. */
+class LuaExampleConfigsSpec extends SparkSpecBase {
+
+  private val pbf =
+    "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+  private val cfgDir = "/root/reference/flex-config"
+
+  private def runCfg(cfg: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-lua-$cfg")
+    graft.cli.Main.run(spark, graft.cli.Options.parse(Seq(
+      pbf, "-O", "flex", "-S", s"$cfgDir/$cfg.lua",
+      "--output-dir", s"$dir/out")))
+    s"$dir/out"
+  }
+  private def cnt(dir: String, t: String): Long =
+    spark.read.parquet(s"$dir/$t").count()
+
+  test("geometries.lua: nullable geoms, lua-side area/spherical_area") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("geometries")
+    assert(cnt(d, "pois") == 1562L)
+    assert(cnt(d, "pubs") == 2L)
+    assert(cnt(d, "ways") == 3015L)
+    assert(cnt(d, "polygons") == 4120L)
+    assert(cnt(d, "boundaries") == 20L)
+    // broken assemblies land as NULL geom rows (nullable column)
+    assert(spark.read.parquet(s"$d/polygons")
+      .where(col("geom").isNull).count() == 4L)
+    assert(spark.read.parquet(s"$d/polygons")
+      .where(col("area").isNotNull && col("spherical_area").isNotNull)
+      .count() >= 4100L)
+  }
+
+  test("attributes.lua: version/timestamp/os.date; reference dispatch " +
+      "(untagged ways skipped — no process_untagged_way)") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("attributes")
+    assert(cnt(d, "nodes") == 1562L)
+    assert(cnt(d, "ways") == 7105L) // tagged ways only
+    assert(cnt(d, "relations") == 113L)
+    val w = spark.read.parquet(s"$d/ways")
+    assert(w.where(col("created").isNull || col("version").isNull)
+      .count() == 0L)
+    // os.date('!%Y-%m-%dT%H:%M:%SZ') text survives the timestamp cast
+    assert(w.where(!col("created").cast("string")
+      .rlike("^2\\d{3}-\\d{2}-\\d{2}")).count() == 0L)
+    // way node id list as PG array text
+    assert(w.where(!col("nodes").rlike("^\\{\\d+(,\\d+)*\\}$"))
+      .count() == 0L)
+  }
+
+  test("hstore.lua / with-schema.lua / untagged.lua / unitable.lua") {
+    assume(new java.io.File(pbf).exists())
+    val h = runCfg("hstore")
+    assert(cnt(h, "nodes") == 1562L)
+    assert(cnt(h, "ways") == 7105L)
+    val ws = runCfg("with-schema")
+    assert(cnt(ws, "data") == 7105L)
+    val un = runCfg("untagged")
+    assert(cnt(un, "nodes") == 65733L) // process_untagged_node runs
+    assert(spark.read.parquet(s"$un/nodes")
+      .where(col("tags").isNotNull).count() == 1562L)
+    assert(cnt(un, "ways") == 7121L)
+    val u = runCfg("unitable")
+    val ut = spark.read.parquet(s"$u/data")
+    assert(ut.count() == 8578L)
+    assert(ut.where(col("osm_type") === "R").count() == 113L)
+  }
+
+  test("places.lua: nested names object via Lua table → jsonb") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("places")
+    val p = spark.read.parquet(s"$d/places")
+    assert(p.count() == 20L)
+    assert(p.where(col("tags").contains("\"names\":{")).count() > 0L)
+    assert(p.where(col("tags").contains("\"name\":")).count() == 0L)
+  }
+
+  test("route-relations.lua: two-stage w2r state reaches marked ways") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("route-relations")
+    assert(cnt(d, "highways") == 2753L)
+    // type=route + route=road + ref (stricter than the typed port's
+    // RouteRelations shape, which models a route inventory)
+    assert(cnt(d, "routes") == 4L)
+    val hw = spark.read.parquet(s"$d/highways")
+    // stage-2 reprocessed ways carry the relation refs/ids built by
+    // process_relation's w2r state (replayed into stage-2 states)
+    assert(hw.where(col("rel_refs").isNotNull).count() > 0L)
+    assert(hw.where(col("rel_ids").isNotNull &&
+      !col("rel_ids").rlike("^\\{\\d+(,\\d+)*\\}$")).count() == 0L)
+  }
+
+  test("turning-circles.lua: ids.cache + in_id_cache over the bcast set") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("turning-circles")
+    assert(cnt(d, "turning_circles") == 13L)
+    assert(cnt(d, "highways") == 2753L)
+    val ends = spark.read.parquet(s"$d/highway_ends")
+    assert(ends.count() == 21L)
+    assert(ends.where(col("node_id").isNull || col("geom").isNull)
+      .count() == 0L)
+  }
+
+  test("addresses / bbox / data-types / indexes / labelpoint") {
+    assume(new java.io.File(pbf).exists())
+    val a = runCfg("addresses")
+    val ad = spark.read.parquet(s"$a/addrs")
+    assert(ad.count() == 212L)
+    assert(ad.where(col("osm_type") === "N").count() == 73L)
+    assert(ad.where(col("osm_id") < 0).count() == 0L)
+    val b = runCfg("bbox")
+    assert(cnt(b, "pois") == 1562L)
+    assert(cnt(b, "polygons") == 4120L)
+    assert(cnt(b, "ways") == 3015L)
+    assert(spark.read.parquet(s"$b/ways")
+      .where(!col("bbox").rlike(
+        "^BOX\\(-?[0-9.]+ -?[0-9.]+,-?[0-9.]+ -?[0-9.]+\\)$"))
+      .count() == 0L)
+    val dt = runCfg("data-types")
+    val hw = spark.read.parquet(s"$dt/highways")
+    assert(hw.count() == 2160L)
+    assert(!hw.columns.contains("id")) // create_only serial
+    assert(hw.where(col("oneway").isNull).count() == 0L)
+    val ix = runCfg("indexes")
+    assert(cnt(ix, "pois") == 1562L)
+    assert(cnt(ix, "pubs") == 2L)
+    assert(cnt(ix, "roads") == 2753L)
+    val lp = runCfg("labelpoint")
+    assert(cnt(lp, "polygons") == 182L)
+  }
+
+  test("generic.lua: the full helper-driven config (counts = typed port)") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("generic")
+    assert(cnt(d, "points") == 1360L)
+    assert(cnt(d, "lines") == 3013L)
+    assert(cnt(d, "polygons") == 4098L)
+    assert(cnt(d, "routes") == 35L)
+    assert(cnt(d, "boundaries") == 36L)
+  }
+
+  test("expire.lua: tile-list file + expire tables with zoom rollup") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("expire")
+    assert(cnt(d, "pois") == 1562L)
+    val tiles = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$d/pois.tiles"))
+    assert(tiles.size() == 130)
+    tiles.forEach(l => assert(l.matches("14/\\d+/\\d+"), l))
+    assert(cnt(d, "expire_expire_output_1") == 196L)
+    val pz = spark.read.parquet(s"$d/expire_expire_output_2")
+    assert(pz.count() == 235L)
+    assert(pz.agg(min("zoom"), max("zoom")).collect().head.toSeq ==
+      Seq(10, 14))
+  }
+
+  test("public-transport.lua: two-stage stops + stop-area collections") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("public-transport")
+    assert(cnt(d, "stops") == 8L)
+    assert(cnt(d, "routes") == 17L)
+    assert(cnt(d, "stop_areas") == 1L)
+    assert(spark.read.parquet(s"$d/stop_areas")
+      .where(col("radius").isNull || col("geom").isNull).count() == 0L)
+    val lines = spark.read.parquet(s"$d/lines")
+    assert(lines.count() == 2790L)
+    assert(lines.where(col("rel_refs").isNotNull).count() == 188L)
+  }
+}
