@@ -20,7 +20,8 @@ object Enrich {
 
   def forFlex(osm: OsmDataFrames, mode: String): OsmDataFrames = {
     val lineGeom = udf((lons: Seq[Double], lats: Seq[Double]) =>
-      graft.geom.FromOsm.createLineString(
+      if (lons == null) null // way with zero resolvable nodes
+      else graft.geom.FromOsm.createLineString(
         lons.zip(lats).map { case (x, y) => graft.geom.Pt(x, y) }) match {
         case _: graft.geom.NullGeom => null
         case g => graft.geom.Ewkb.encode(

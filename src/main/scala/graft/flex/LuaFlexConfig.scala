@@ -240,28 +240,52 @@ object LuaFlexConfig {
       env.insertSink = (idx, row) => insertRow(env, idx, row, out)
       val process = env.callback(s"process_$kind")
       val processUntagged = env.callback(s"process_untagged_$kind")
+      val processDeleted = env.callback(s"process_deleted_$kind")
+      val after = env.callback(s"after_${kind}s")
       val selectMembers =
         if (kind == "relation" && stage == 1)
           env.callback("select_relation_members")
         else None
       if (process.isEmpty && processUntagged.isEmpty &&
-          selectMembers.isEmpty) Iterator.empty
+          processDeleted.isEmpty && selectMembers.isEmpty &&
+          after.isEmpty) Iterator.empty
       else {
         val get = new RowReader(schema)
-        rows.flatMap { row =>
+        val main = rows.flatMap { row =>
           out.clear()
           val obj = get.toObject(row, kind)
-          selectMembers.foreach { fn =>
-            val (ways, nodes) = env.callSelectRelationMembers(fn, obj)
-            ways.foreach(w => out += LuaInsert(-1, Map.empty, Map.empty,
-              Map.empty, "w", w))
-            nodes.foreach(n => out += LuaInsert(-2, Map.empty, Map.empty,
-              Map.empty, "n", n))
+          if (obj.deleted)
+            processDeleted.foreach(fn => env.callProcess(fn, obj))
+          else {
+            selectMembers.foreach { fn =>
+              val (ways, nodes) = env.callSelectRelationMembers(fn, obj)
+              ways.foreach(w => out += LuaInsert(-1, Map.empty, Map.empty,
+                Map.empty, "w", w))
+              nodes.foreach(n => out += LuaInsert(-2, Map.empty, Map.empty,
+                Map.empty, "n", n))
+            }
+            val cb = if (obj.tags.nonEmpty) process else processUntagged
+            cb.foreach(fn => env.callProcess(fn, obj))
           }
-          val cb = if (obj.tags.nonEmpty) process else processUntagged
-          cb.foreach(fn => env.callProcess(fn, obj))
           out.toVector
         }
+        // after_nodes/after_ways/after_relations fire once the
+        // partition's stream is exhausted (the reference fires them
+        // after its single stream; per-partition end is the
+        // distributed analog — callbacks are state/logging hooks)
+        val tail = new Iterator[LuaInsert] {
+          private var pending: Iterator[LuaInsert] = null
+          def hasNext: Boolean = {
+            if (pending == null) {
+              out.clear()
+              after.foreach(fn => env.I.call(fn, Nil))
+              pending = out.toVector.iterator
+            }
+            pending.hasNext
+          }
+          def next(): LuaInsert = { hasNext; pending.next() }
+        }
+        main ++ tail
       }
     }
   }
@@ -282,6 +306,7 @@ object LuaFlexConfig {
   /** Field extraction indices for one entity frame's schema. */
   private final class RowReader(schema: StructType) extends Serializable {
     private def idx(n: String): Int = schema.fieldNames.indexOf(n)
+    private val iAction = idx("action")
     private val iId = idx("id")
     private val iVersion = idx("version")
     private val iTimestamp = idx("timestamp")
@@ -319,6 +344,8 @@ object LuaFlexConfig {
 
     def toObject(r: Row, kind: String): LuaOsmObject = LuaOsmObject(
       otype = kind,
+      deleted = iAction >= 0 && !r.isNullAt(iAction) &&
+        r.getString(iAction) == "delete",
       id = r.getLong(iId),
       version = optLong(r, iVersion),
       timestamp = optLong(r, iTimestamp),

@@ -20,6 +20,9 @@ final case class LuaOsmObject(
     changeset: Option[Long] = None,
     uid: Option[Long] = None,
     user: Option[String] = None,
+    /** deleted objects push attributes only — no tags/nodes/members
+      * (push_osm_object_to_lua_stack's !deleted guard) */
+    deleted: Boolean = false,
     tags: Map[String, String] = Map.empty,
     lon: Double = Double.NaN,
     lat: Double = Double.NaN,
@@ -784,6 +787,11 @@ end
       t.rawSet(LStr("changeset"), LInt(v)))
     o.uid.filter(_ != 0L).foreach(v => t.rawSet(LStr("uid"), LInt(v)))
     o.user.filter(_.nonEmpty).foreach(v => t.rawSet(LStr("user"), LStr(v)))
+    if (o.deleted) {
+      // attributes only; no tags/nodes/members and no OSMObject
+      // metatable (push_osm_object_to_lua_stack:157-195 skips them)
+      return t
+    }
     if (o.otype == "way") {
       t.rawSet(LStr("is_closed"), LBool(o.nodeRefs.nonEmpty &&
         o.nodeRefs.head == o.nodeRefs.last))

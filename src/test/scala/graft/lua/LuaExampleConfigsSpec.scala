@@ -171,6 +171,60 @@ class LuaExampleConfigsSpec extends SparkSpecBase {
       Seq(10, 14))
   }
 
+  test("compatible.lua: the classic C-transform parity config " +
+      "(segmentize/geometries loops, z_order, way_area)") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("compatible")
+    def tbl(t: String) = spark.read.parquet(s"$d/$t")
+    // point/polygon equal the classic import.feature goldens exactly
+    // (same as the typed Compatible port); line differs from the
+    // typed port by ONE row: compatible.lua segmentizes the 4326
+    // geometry (compatible.lua:564-565 — max_length 100000 in degree
+    // space never splits), while the typed port splits after the
+    // 3857 transform like the classic C path. The Lua number is what
+    // the reference's own config produces.
+    assert(tbl("planet_osm_point").count() == 1342L)
+    assert(tbl("planet_osm_polygon").count() == 4130L)
+    assert(tbl("planet_osm_line").count() == 4243L)
+    assert(tbl("planet_osm_roads").count() == 725L)
+    assert(tbl("planet_osm_polygon").where(col("osm_id") < 0)
+      .count() == 40L)
+    assert(tbl("planet_osm_line").where(col("z_order").isNull)
+      .count() == 0L)
+    assert(tbl("planet_osm_polygon").where(col("way").isNull ||
+      col("way_area").isNull).count() == 0L)
+  }
+
+  test("track-changes.lua: osm2pgsql.mode gate + process_deleted_*") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("track-changes")
+    assert(cnt(d, "change_log") == 0L) // create mode logs nothing
+    val osc = "/root/reference/tests/data/000466354.osc.gz"
+    assume(new java.io.File(osc).exists())
+    graft.cli.Main.run(spark, graft.cli.Options.parse(Seq(
+      osc, "-a", "--slim", "-O", "flex",
+      "-S", s"$cfgDir/track-changes.lua", "--output-dir", d)))
+    // same A/M/D counts as the typed TrackChanges port over 000466354
+    val log = spark.read.parquet(s"$d/change_log")
+      .groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(log == Map("A" -> 1461L, "M" -> 181L, "D" -> 13L))
+  }
+
+  test("gen/forests.lua: run_gen raster-union steps recorded and run") {
+    assume(new java.io.File(pbf).exists())
+    val dir = java.nio.file.Files.createTempDirectory("graft-lua-forests")
+    graft.cli.Main.run(spark, graft.cli.Options.parse(Seq(
+      pbf, "-O", "flex", "-S", s"$cfgDir/gen/forests.lua",
+      "--output-dir", s"$dir/out")))
+    val d = s"$dir/out"
+    // same pins as the typed Forests port (CliSpec)
+    assert(cnt(d, "forests") == 64L)
+    assert(cnt(d, "forests_s") == 8L)
+    assert(cnt(d, "forests_m") == 8L)
+    assert(cnt(d, "forests_l") == 33L)
+  }
+
   test("public-transport.lua: two-stage stops + stop-area collections") {
     assume(new java.io.File(pbf).exists())
     val d = runCfg("public-transport")
