@@ -367,7 +367,7 @@ object Main {
     val name = o.styleFile.getOrElse(Options.fail(
       "The flex output requires a style: the fully-qualified name of " +
         "a compiled graft.flex.FlexConfig object (-S)."))
-    val cfg = loadFlexConfig(name, o.append)
+    val cfg = loadFlexConfig(name, o.append, o.database)
     // osm2pgsql.mode for configs (track-changes.lua gates on it):
     // a literal __mode column on every entity frame; enrichment in
     // graft.flex.Enrich (shared with the spec harness)
@@ -503,13 +503,26 @@ object Main {
     * native config surface, osm2pgsql-manual `-S config.lua`);
     * anything else is a fully-qualified compiled Scala `object`
     * (companion MODULE$) or zero-arg class (the typed DSL). */
-  private def loadFlexConfig(name: String,
-      append: Boolean = false): graft.flex.FlexConfig =
+  private def loadFlexConfig(name: String, append: Boolean = false,
+      database: Option[String] = None): graft.flex.FlexConfig =
     if (name.endsWith(".lua")) {
       if (!new java.io.File(name).exists())
         Options.fail(s"Error loading lua config: file '$name' not found.")
+      // define_locator's add_from_db queries run against -d when the
+      // server is reachable (psql -At rows: name|hex-ewkb)
+      val resolver = database.filter(graft.sinks.PgLive.reachable)
+        .map { dsn => (sql: String) =>
+          graft.sinks.PgLive.execOrThrow(dsn, sql + ";")
+            .linesIterator.filter(_.contains("|")).map { line =>
+              val i = line.indexOf('|')
+              val hex = line.substring(i + 1).stripPrefix("\\x")
+              line.substring(0, i) -> hex.grouped(2)
+                .map(Integer.parseInt(_, 16).toByte).toArray
+            }.toSeq
+        }
       try graft.flex.LuaFlexConfig.fromFile(name,
-        mode = if (append) "append" else "create")
+        mode = if (append) "append" else "create",
+        dbRegionResolver = resolver)
       catch {
         case e: Exception => Options.fail(
           s"Error loading lua config: ${e.getMessage}.")

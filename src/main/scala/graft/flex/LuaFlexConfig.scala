@@ -40,12 +40,27 @@ final class LuaFlexConfig(
     chunkName: String = "config.lua",
     mode: String = "create",
     properties: Map[String, String] = Map.empty,
-    configDir: String = "") extends FlexConfig with Serializable {
+    configDir: String = "",
+    /** add_from_db backing (define_locator): user SQL → (name, EWKB)
+      * regions. The CLI passes a live-PG resolver when `-d` is set;
+      * results are recorded at driver load and shipped to executor
+      * envs, so the database is queried ONCE, not per partition. */
+    dbRegionResolver: Option[String => Seq[(String, Array[Byte])]] = None)
+    extends FlexConfig with Serializable {
 
   // ---------- driver-side load ----------
 
+  private val recordedDbRegions =
+    scala.collection.mutable.Map.empty[String, Seq[(String, Array[Byte])]]
+
   @transient private lazy val loadEnv: FlexLuaEnv = {
     val env = new FlexLuaEnv(chunkName, mode, 1, properties, configDir)
+    dbRegionResolver.foreach { res =>
+      env.dbRegions = sql => {
+        val rows = recordedDbRegions.getOrElseUpdate(sql, res(sql))
+        rows.map { case (n, b) => (n, Ewkb.decode(b)) }
+      }
+    }
     env.loadSource(chunkSource)
     env
   }
@@ -87,9 +102,13 @@ final class LuaFlexConfig(
     has("select_relation_members") &&
       (has("process_way") || has("process_node"))
 
-  // anything the executor closures need, precomputed serializable
-  private val spec = LuaFlexConfig.RunSpec(chunkSource, chunkName, mode,
-    properties, configDir)
+  // anything the executor closures need, precomputed serializable;
+  // forcing loadEnv first populates recordedDbRegions
+  private def spec: LuaFlexConfig.RunSpec = {
+    loadEnv
+    LuaFlexConfig.RunSpec(chunkSource, chunkName, mode,
+      properties, configDir, recordedDbRegions.toMap)
+  }
 
   // ---------- the full pipeline over the entity frames ----------
 
@@ -183,15 +202,19 @@ final class LuaFlexConfig(
 object LuaFlexConfig {
 
   final case class RunSpec(chunkSource: String, chunkName: String,
-      mode: String, properties: Map[String, String], configDir: String)
+      mode: String, properties: Map[String, String], configDir: String,
+      dbRegions: Map[String, Seq[(String, Array[Byte])]] = Map.empty)
 
   def fromFile(path: String, mode: String = "create",
-      properties: Map[String, String] = Map.empty): LuaFlexConfig = {
+      properties: Map[String, String] = Map.empty,
+      dbRegionResolver: Option[String => Seq[(String, Array[Byte])]] = None)
+      : LuaFlexConfig = {
     val p = java.nio.file.Paths.get(path)
     val src = new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)
     val dir = Option(p.getParent).map(_.toString + "/").getOrElse("")
-    new LuaFlexConfig(src, p.getFileName.toString, mode, properties, dir)
+    new LuaFlexConfig(src, p.getFileName.toString, mode, properties, dir,
+      dbRegionResolver)
   }
 
   /** Run the per-object callbacks for one entity kind over its frame:
@@ -216,6 +239,9 @@ object LuaFlexConfig {
     df.mapPartitions { rows =>
       val env = new FlexLuaEnv(spec.chunkName, spec.mode, 1,
         spec.properties, spec.configDir)
+      if (spec.dbRegions.nonEmpty)
+        env.dbRegions = sql => spec.dbRegions.getOrElse(sql, Nil)
+          .map { case (n, b) => (n, Ewkb.decode(b)) }
       env.loadSource(spec.chunkSource)
       val out = scala.collection.mutable.ArrayBuffer.empty[LuaInsert]
       cache.foreach { b =>

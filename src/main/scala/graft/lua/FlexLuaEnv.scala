@@ -215,6 +215,103 @@ final class FlexLuaEnv(
   })
   osm2pgsql.rawSet(LStr("Table"), tableMeta)
 
+  // ---------- Locator class (define_locator) ----------
+
+  /** add_from_db resolver: user SQL → (name, geometry) regions. The
+    * CLI wires a live-PG resolver when `-d` is given; executor envs
+    * get a broadcast-backed lookup of the driver's results. Default
+    * matches the reference's no-connection failure. */
+  var dbRegions: String => Seq[(String, Geometry)] = sql =>
+    throw new IllegalStateException(
+      "Database connection failed: add_from_db needs a database (-d).")
+
+  /** name + mutable region list per locator; the Locator operator
+    * builds lazily on first query */
+  final class LocatorState(val name: String) {
+    val regions = mutable.ArrayBuffer.empty[(String, Geometry)]
+    private var built: graft.operators.Locator = null
+    private var builtAt = -1
+    def locator: graft.operators.Locator = {
+      if (built == null || builtAt != regions.size) {
+        built = graft.operators.Locator.fromGeometries(regions.toSeq)
+        builtAt = regions.size
+      }
+      built
+    }
+  }
+  val locators = mutable.ArrayBuffer.empty[LocatorState]
+
+  private val locatorMeta = new LTable
+  locatorMeta.rawSet(LStr("__index"), locatorMeta)
+  private def locatorOf(v: LV): LocatorState = v match {
+    case u: LUserdata => u.value match {
+      case s: LocatorState => s
+      case _ => err("First argument must be of type Locator.")
+    }
+    case _ => err("First argument must be of type Locator.")
+  }
+  locatorMeta.rawSet(LStr("name"), fnv("name") { a =>
+    Seq(LStr(locatorOf(a.headOption.getOrElse(LNil)).name))
+  })
+  locatorMeta.rawSet(LStr("__tostring"), fnv("__tostring") { a =>
+    val s = locatorOf(a.headOption.getOrElse(LNil))
+    Seq(LStr(s"osm2pgsql.Locator[name=${s.name},size=${s.regions.size}]"))
+  })
+  locatorMeta.rawSet(LStr("add_bbox"), fnv("add_bbox") { a =>
+    // add_bbox(name, min_x, min_y, max_x, max_y)
+    // (src/flex-lua-locator.cpp lua_wrapper_locator_t::add_bbox)
+    val s = locatorOf(a.headOption.getOrElse(LNil))
+    val rname = a.lift(1) match {
+      case Some(LStr(n)) => n
+      case _ => err("Argument #1 to 'add_bbox' must be a string.")
+    }
+    val nums = (2 to 5).map(i => a.lift(i).flatMap(I.coerceNum)
+      .map(I.asDouble).getOrElse(err(
+        "Arguments #2 to #5 of 'add_bbox' must be numbers.")))
+    // bbox region as its polygon, so point and geometry tests are
+    // the exact box tests the reference runs
+    s.regions += rname -> Polygon(Ring(Vector(
+      Pt(nums(0), nums(1)), Pt(nums(2), nums(1)), Pt(nums(2), nums(3)),
+      Pt(nums(0), nums(3)), Pt(nums(0), nums(1)))))
+    Nil
+  })
+  locatorMeta.rawSet(LStr("add_from_db"), fnv("add_from_db") { a =>
+    val s = locatorOf(a.headOption.getOrElse(LNil))
+    val sql = a.lift(1) match {
+      case Some(LStr(q)) => q
+      case _ => err("Argument #1 to 'add_from_db' must be a string.")
+    }
+    s.regions ++= dbRegions(sql)
+    Nil
+  })
+  locatorMeta.rawSet(LStr("all_intersecting"), fnv("all_intersecting") { a =>
+    val s = locatorOf(a.headOption.getOrElse(LNil))
+    val g = LuaGeom.unpack(I, a.lift(1).getOrElse(LNil))
+    Seq(LTable.fromSeq(s.locator.intersectingGeom(g).map(LStr)))
+  })
+  locatorMeta.rawSet(LStr("first_intersecting"),
+    fnv("first_intersecting") { a =>
+      val s = locatorOf(a.headOption.getOrElse(LNil))
+      val g = LuaGeom.unpack(I, a.lift(1).getOrElse(LNil))
+      s.locator.intersectingGeom(g).headOption match {
+        case Some(n) => Seq(LStr(n))
+        case None    => Seq(LNil)
+      }
+    })
+  osm2pgsql.rawSet(LStr("Locator"), locatorMeta)
+
+  osm2pgsql.rawSet(LStr("define_locator"), fnv("define_locator") { a =>
+    val t = a.headOption match {
+      case Some(t: LTable) => t
+      case _ => err("Argument #1 to 'define_locator' must be a Lua table.")
+    }
+    val name = optStr(t, "name").getOrElse(
+      err("The locator must contain a 'name' string field."))
+    val s = new LocatorState(name)
+    locators += s
+    Seq(new LUserdata(s, Some(locatorMeta)))
+  })
+
   // ---------- define_expire_output ----------
 
   osm2pgsql.rawSet(LStr("define_expire_output"), fnv("define_expire_output") {

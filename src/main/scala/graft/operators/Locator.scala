@@ -34,6 +34,46 @@ class Locator private (regions: Vector[Region]) extends Serializable {
     case _                   => Box.of(g).exists(_.contains(p))
   }
 
+  /** Region names intersecting a full geometry — the Lua API's
+    * all_intersecting(geom) (src/locator.cpp:120-150 visits the
+    * R-tree with real intersection tests). Test here: bbox
+    * prefilter, then any geometry vertex inside the region or any
+    * region vertex inside the geometry (exact for the
+    * classification workloads the shipped configs run — tiny
+    * features against large regions — and for bbox regions whose
+    * box-overlap is the reference test for points/bboxes). */
+  def intersectingGeom(g: Geometry): Seq[String] = {
+    def vertices(x: Geometry): Seq[Pt] = x match {
+      case _: NullGeom            => Nil
+      case Point(p, _)            => Seq(p)
+      case LineString(ps, _)      => ps
+      case Polygon(o, is, _)      => o.pts ++ is.flatMap(_.pts)
+      case MultiPoint(ps, _)      => ps.map(_.pt)
+      case MultiLineString(ls, _) => ls.flatMap(_.pts)
+      case MultiPolygon(ps, _)    => ps.flatMap(vertices)
+      case GeometryCollection(gs, _) => gs.flatMap(vertices)
+    }
+    Box.of(g) match {
+      case None => Nil
+      case Some(gb) =>
+        val pts = vertices(g)
+        regions.withFilter(_.box.intersects(gb)).withFilter { r =>
+          r.geom match {
+            case _: NullGeom => true // bbox region: overlap decides
+            case rg => pts.exists(p => geomContains(rg, p)) ||
+              vertices(rg).exists(p => polyContains(g, p))
+          }
+        }.map(_.name)
+    }
+  }
+
+  private def polyContains(g: Geometry, p: Pt): Boolean = g match {
+    case Polygon(outer, inners, _) =>
+      FromOsm.pointInRing(p, outer) && !inners.exists(FromOsm.pointInRing(p, _))
+    case MultiPolygon(ps, _) => ps.exists(polyContains(_, p))
+    case _                   => false
+  }
+
   /** all_intersecting: every region containing the point. */
   def registerAll(spark: SparkSession, fnName: String): Unit = {
     val bc = spark.sparkContext.broadcast(this)

@@ -225,6 +225,86 @@ class LuaExampleConfigsSpec extends SparkSpecBase {
     assert(cnt(d, "forests_l") == 33L)
   }
 
+  test("locator/iceland.lua: add_bbox classify; Liechtenstein misses") {
+    assume(new java.io.File(pbf).exists())
+    val dir = java.nio.file.Files.createTempDirectory("graft-lua-iceland")
+    graft.cli.Main.run(spark, graft.cli.Options.parse(Seq(
+      pbf, "-O", "flex", "-S", s"$cfgDir/locator/iceland.lua",
+      "--output-dir", s"$dir/out")))
+    // nothing in Liechtenstein intersects the Iceland bbox (same pin
+    // as the typed LocatorIceland port)
+    assert(cnt(s"$dir/out", "highways") == 0L)
+  }
+
+  test("define_locator + add_bbox + first/all_intersecting classify " +
+      "synthetic data (locator machinery end to end)") {
+    val osmText = """
+      n1 v1 dV Thighway=bus_stop x-20.0 y64.0
+      n2 v1 dV Thighway=bus_stop x8.5 y47.1
+      """
+    val osm = graft.flex.Enrich.forFlex(
+      graft.sources.OsmText.toFrames(spark, osmText), "create")
+    val cfg = new graft.flex.LuaFlexConfig(
+      """local iceland = osm2pgsql.define_locator({ name = 'iceland' })
+        |iceland:add_bbox('IS', -25.0, 62.0, -12.0, 68.0)
+        |local t = osm2pgsql.define_table{
+        |  name = 'stops',
+        |  ids = { type = 'node', id_column = 'node_id' },
+        |  columns = {
+        |    { column = 'region', type = 'text' },
+        |    { column = 'nregions', type = 'int4' },
+        |  }}
+        |function osm2pgsql.process_node(object)
+        |  local g = object:as_point()
+        |  t:insert{
+        |    region = iceland:first_intersecting(g),
+        |    nregions = #iceland:all_intersecting(g),
+        |  }
+        |end
+        |""".stripMargin)
+    val r = graft.flex.FlexRunner.run(cfg, osm)
+    import spark.implicits._
+    val rows = r.tables("stops").rows
+      .select($"node_id", $"region", $"nregions")
+      .as[(Long, Option[String], Int)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, Some("IS"), 1), (2L, None, 0)))
+  }
+
+  test("add_from_db regions resolve once and classify on executors") {
+    val osmText = """
+      n1 v1 dV Tbuilding=yes x0.5 y0.5
+      n2 v1 dV Tbuilding=yes x5.0 y5.0
+      """
+    val osm = graft.flex.Enrich.forFlex(
+      graft.sources.OsmText.toFrames(spark, osmText), "create")
+    // fake DB: one unit-square region named DE
+    val square = graft.geom.Ewkb.encode(graft.geom.Polygon(
+      graft.geom.Ring(Vector(graft.geom.Pt(0, 0), graft.geom.Pt(1, 0),
+        graft.geom.Pt(1, 1), graft.geom.Pt(0, 1), graft.geom.Pt(0, 0)))))
+    var calls = 0
+    val cfg = new graft.flex.LuaFlexConfig(
+      """local countries = osm2pgsql.define_locator({ name = 'countries' })
+        |countries:add_from_db('SELECT code, geom FROM countries')
+        |local t = osm2pgsql.define_table{
+        |  name = 'buildings',
+        |  ids = { type = 'node', id_column = 'node_id' },
+        |  columns = {
+        |    { column = 'country', type = 'text' },
+        |  }}
+        |function osm2pgsql.process_node(object)
+        |  t:insert{ country = countries:first_intersecting(object:as_point()) }
+        |end
+        |""".stripMargin,
+      dbRegionResolver = Some { _ => calls += 1; Seq(("DE", square)) })
+    val r = graft.flex.FlexRunner.run(cfg, osm)
+    import spark.implicits._
+    val rows = r.tables("buildings").rows
+      .select($"node_id", $"country")
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, Some("DE")), (2L, None)))
+    assert(calls == 1) // driver resolves once; executors get the copy
+  }
+
   test("public-transport.lua: two-stage stops + stop-area collections") {
     assume(new java.io.File(pbf).exists())
     val d = runCfg("public-transport")
