@@ -152,7 +152,13 @@ object ClassicPipeline {
   final case class TagTransform(
       node: Option[DataFrame => DataFrame] = None,
       way: Option[DataFrame => DataFrame] = None,
-      relation: Option[DataFrame => DataFrame] = None)
+      relation: Option[DataFrame => DataFrame] = None,
+      /** filter_tags_relation_member analog
+        * (src/tagtransform-lua.cpp:150-213): runs over kept relations
+        * joined with their ordered member-way tag maps (`__mtags`)
+        * and roles (`__mroles`); must (re)set __keep, __outtags,
+        * __boundary, __mkpoly, __roads and __z. */
+      relationMember: Option[DataFrame => DataFrame] = None)
 
   /** Restriction sets for incremental runs: when given, only these ids
     * are *derived* (resolution still sees every entity — member ways
@@ -269,10 +275,14 @@ object ClassicPipeline {
       .withColumn("__closed",
         element_at(col("nodes"), 1) ===
           element_at(col("nodes"), size(col("nodes"))))
-    val keptWays = (if (filteredWays.columns.contains("__roads")) keptWays0
+    val keptWays1 = (if (filteredWays.columns.contains("__roads")) keptWays0
       else keptWays0
         .withColumn("__roads", TagFunctions.isRoads(col("__outtags"))))
-      .withColumn("__z", TagFunctions.zOrder(col("__outtags")))
+    // a transform that already computed __z (the Lua path surfaces
+    // the style's z_order tag) wins over the C-transform rule
+    val keptWays =
+      if (keptWays1.columns.contains("__z")) keptWays1
+      else keptWays1.withColumn("__z", TagFunctions.zOrder(col("__outtags")))
     // resolve ALL ways ONCE; the kept-ways join below restricts it, and
     // the relation-member fetch reuses the same exchange instead of
     // paying the ref×node shuffle twice (the job's largest join)
@@ -334,6 +344,37 @@ object ClassicPipeline {
       .withColumn("__roads", TagFunctions.isRoads(col("__outtags")))
       .withColumn("__z", TagFunctions.zOrder(col("__outtags")))
 
+    // filter_tags_relation_member hook: kept relations joined with
+    // ordered member-way tags + roles; the user function re-decides
+    // keep/tags/boundary/polygon/roads/z from the member view
+    // (the reference's second relation phase)
+    val relsAfterMember = tagTransform.relationMember.map { f =>
+      val memberWayTags = keptRels
+        .select(col("id").as("mrid"),
+          posexplode(col("members")).as(Seq("mmpos", "mm")))
+        .where(col("mm.mtype") === "w")
+        .join(osm.ways.select(col("id").as("mwid"),
+          col("tags").as("mwtags")),
+          col("mm.ref") === col("mwid"))
+        .groupBy(col("mrid"))
+        .agg(
+          // custom comparator: structs holding maps have no natural
+          // ordering; position alone decides
+          transform(array_sort(collect_list(
+            struct(col("mmpos"), col("mwtags"))),
+            (l, r) => when(l.getField("mmpos") < r.getField("mmpos"), -1)
+              .when(l.getField("mmpos") > r.getField("mmpos"), 1)
+              .otherwise(0)),
+            s => s.getField("mwtags")).as("__mtags"),
+          transform(array_sort(collect_list(
+            struct(col("mmpos"), col("mm.role").as("mrole")))),
+            s => s.getField("mrole")).as("__mroles"))
+      f(keptRels.join(memberWayTags, col("id") === col("mrid"), "left")
+        .drop("mrid"))
+        .where(col("__keep") && size(col("__outtags")) > 0)
+        .drop("__mtags", "__mroles")
+    }.getOrElse(keptRels)
+
     // member ways resolved: (rel id, ordered arrays of member lon/lat
     // arrays). The middle hands the assembler an id SET
     // (rel_members_get builds one get_way_list query,
@@ -341,7 +382,7 @@ object ClassicPipeline {
     // member list contributes its segments ONCE (validgeom fixture:
     // relation 3726445 lists the same outer twice and still yields
     // two polygons, not a cancelled assembly)
-    val memberRefs = keptRels
+    val memberRefs = relsAfterMember
       .select(col("id").as("rid"),
         posexplode(col("members")).as(Seq("mpos", "m")))
       .where(col("m.mtype") === "w")
@@ -359,7 +400,8 @@ object ClassicPipeline {
         transform(array_sort(collect_list(
           struct(col("mpos"), col("wlats")))), s => s.getField("wlats"))
           .as("mlats"))
-    val relsGeo = keptRels.join(memberWays, keptRels("id") === col("rid"))
+    val relsGeo = relsAfterMember.join(memberWays,
+      relsAfterMember("id") === col("rid"))
       .where(col("__nways") > 0)
 
     val relLineRows = relsGeo

@@ -146,6 +146,10 @@ object Main {
         val t = ClassicPipeline.run(osm, style, srid = o.srid,
           hstore = o.hstore, hstoreMatchOnly = o.hstoreMatchOnly,
           extraAttributes = o.extraAttributes,
+          tagTransform = o.tagTransformScript
+            .map(graft.classic.LuaTagTransform.fromFile(_,
+              o.extraAttributes))
+            .getOrElse(ClassicPipeline.TagTransform()),
           keepCoastlines = o.keepCoastlines,
           multiGeometry = o.multiGeometry,
           reprojectArea = o.reprojectArea,

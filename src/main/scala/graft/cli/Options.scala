@@ -33,6 +33,9 @@ final case class Options(
     outputSet: Boolean = false,
     prefixSet: Boolean = false,
     styleFile: Option[String] = None,
+    /** --tag-transform-script: classic Lua tag transform
+      * (src/tagtransform-lua.cpp), run by the embedded Lua runtime */
+    tagTransformScript: Option[String] = None,
     hstore: Boolean = false,
     hstoreAll: Boolean = false,
     hstoreMatchOnly: Boolean = false,
@@ -328,8 +331,7 @@ object Options {
           val f = arg("--tag-transform-script")
           if (!new java.io.File(f).exists())
             fail(s"File does not exist: '$f'")
-          fail("Lua tag-transform scripts are not supported; use the " +
-            "typed TagTransform hooks (documented delta)")
+          o = o.copy(tagTransformScript = Some(f))
         case p if !p.startsWith("-") => positional += p
         case unknown => fail(s"Unknown option: $unknown")
       }

@@ -249,14 +249,21 @@ final class LuaInterp(val chunkName: String = "chunk") {
       LFunc(params, vararg, body, scope)
     case tc @ TableCons(items) =>
       val t = new LTable
+      // array items are assigned POSITIONALLY (Lua §3.4.9): a nil
+      // item leaves a hole but later items keep their index —
+      // {'railway', nil, 5, 1} has [3]=5 and [4]=1 (style.lua's
+      // zordering_tags depends on this)
+      var arrayIdx = 1L
       items.zipWithIndex.foreach {
         case (KeyedItem(k, v), _) =>
           t.rawSet(evalSingle(k, scope), evalSingle(v, scope))
         case (ArrayItem(v), i) if i == items.size - 1 =>
           // last array item expands multi-values (Lua §3.4.9)
-          evalMulti(v, scope).foreach(t.arrayAppend)
+          evalMulti(v, scope).foreach { mv =>
+            t.rawSet(LInt(arrayIdx), mv); arrayIdx += 1
+          }
         case (ArrayItem(v), _) =>
-          t.arrayAppend(evalSingle(v, scope))
+          t.rawSet(LInt(arrayIdx), evalSingle(v, scope)); arrayIdx += 1
       }
       t
     case b @ BinOp(op, l, r) => binop(b.line, op, l, r, scope)
