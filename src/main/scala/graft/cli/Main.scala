@@ -371,7 +371,8 @@ object Main {
     val name = o.styleFile.getOrElse(Options.fail(
       "The flex output requires a style: the fully-qualified name of " +
         "a compiled graft.flex.FlexConfig object (-S)."))
-    val cfg = loadFlexConfig(name, o.append, o.database)
+    val cfg = loadFlexConfig(name, o.append, o.database,
+      luaPropertiesOf(o))
     // osm2pgsql.mode for configs (track-changes.lua gates on it):
     // a literal __mode column on every entity frame; enrichment in
     // graft.flex.Enrich (shared with the spec harness)
@@ -507,8 +508,21 @@ object Main {
     * native config surface, osm2pgsql-manual `-S config.lua`);
     * anything else is a fully-qualified compiled Scala `object`
     * (companion MODULE$) or zero-arg class (the typed DSL). */
+  /** osm2pgsql.properties visible to Lua configs (the properties_t
+    * entries output_flex_t::init_lua pushes; lua-basics.feature
+    * checks attributes/prefix). */
+  private def luaPropertiesOf(o: Options): Map[String, String] = Map(
+    "attributes" -> o.extraAttributes.toString,
+    "prefix" -> o.prefix,
+    "output" -> o.output,
+    "updatable" -> o.slim.toString,
+    "db_format" -> (if (o.slim) "1" else "0"),
+    "version" -> "2.3.0")
+
   private def loadFlexConfig(name: String, append: Boolean = false,
-      database: Option[String] = None): graft.flex.FlexConfig =
+      database: Option[String] = None,
+      luaProperties: Map[String, String] = Map.empty)
+      : graft.flex.FlexConfig =
     if (name.endsWith(".lua")) {
       if (!new java.io.File(name).exists())
         Options.fail(s"Error loading lua config: file '$name' not found.")
@@ -526,7 +540,8 @@ object Main {
         }
       try graft.flex.LuaFlexConfig.fromFile(name,
         mode = if (append) "append" else "create",
-        dbRegionResolver = resolver)
+        dbRegionResolver = resolver,
+        properties = luaProperties)
       catch {
         case e: Exception => Options.fail(
           s"Error loading lua config: ${e.getMessage}.")

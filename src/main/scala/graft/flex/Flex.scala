@@ -225,7 +225,11 @@ final case class FlexTableDef(
   // define-time validation (lua-table-definitions.feature /
   // src/flex-lua-table.cpp): a table needs a name and ≥1 column
   require(name.nonEmpty, "The table must contain a 'name' string field.")
-  require(columns.nonEmpty, s"No columns defined for table '$name'.")
+  // an id-only table is legal (lua-callbacks.feature's dummy table);
+  // the error needs BOTH no columns and no id column
+  // (src/flex-lua-table.cpp:390-393)
+  require(columns.nonEmpty || ids != FlexIds.NoIndex,
+    s"No columns defined for table '$name'.")
   Flex.checkIdentifier(name, "table names")
   Flex.checkIdentifier(idColumn, "column names")
   columns.foreach(c => Flex.checkIdentifier(c.name, "column names"))

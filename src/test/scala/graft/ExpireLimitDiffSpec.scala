@@ -165,9 +165,13 @@ class ExpireLimitDiffSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException] {
       FlexTableDef("", FlexIds.Node, Seq(col))
     }.getMessage.contains("must contain a 'name'"))
+    // empty columns fail only WITHOUT ids; an id-only table is legal
+    // (src/flex-lua-table.cpp:390-393; lua-callbacks.feature)
     assert(intercept[IllegalArgumentException] {
-      FlexTableDef("foo", FlexIds.Node, Nil)
+      FlexTableDef("foo", FlexIds.NoIndex, Nil)
     }.getMessage.contains("No columns defined for table 'foo'."))
+    assert(FlexTableDef("foo0", FlexIds.Node, Nil).schema.fieldNames
+      .toSeq == Seq("osm_id"))
     val t = FlexTableDef("foo", FlexIds.Node, Seq(col))
     assert(intercept[IllegalArgumentException] {
       FlexConfig.validateTables(Seq(t, t))
