@@ -225,6 +225,70 @@ class LuaExampleConfigsSpec extends SparkSpecBase {
     assert(cnt(d, "forests_l") == 33L)
   }
 
+  test("locator chain: import-countries.lua feeds buildings.lua " +
+      "classification (synthetic country, verbatim configs)") {
+    // the typed LocatorExamples synthetic scenario, run with the
+    // reference's actual Lua files: a DE square country relation +
+    // a building inside and one outside
+    val osmXml =
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6" generator="t">
+        |<node id="1" lat="0.0" lon="0.0"/>
+        |<node id="2" lat="0.0" lon="1.0"/>
+        |<node id="3" lat="1.0" lon="1.0"/>
+        |<node id="4" lat="1.0" lon="0.0"/>
+        |<node id="11" lat="0.40" lon="0.40"/>
+        |<node id="12" lat="0.40" lon="0.45"/>
+        |<node id="13" lat="0.45" lon="0.45"/>
+        |<node id="14" lat="0.45" lon="0.40"/>
+        |<node id="21" lat="2.40" lon="2.40"/>
+        |<node id="22" lat="2.40" lon="2.45"/>
+        |<node id="23" lat="2.45" lon="2.45"/>
+        |<node id="24" lat="2.45" lon="2.40"/>
+        |<way id="30"><nd ref="1"/><nd ref="2"/><nd ref="3"/>
+        |  <nd ref="4"/><nd ref="1"/></way>
+        |<way id="31"><nd ref="11"/><nd ref="12"/><nd ref="13"/>
+        |  <nd ref="14"/><nd ref="11"/>
+        |  <tag k="building" v="yes"/></way>
+        |<way id="32"><nd ref="21"/><nd ref="22"/><nd ref="23"/>
+        |  <nd ref="24"/><nd ref="21"/>
+        |  <tag k="building" v="yes"/></way>
+        |<relation id="40">
+        |  <member type="way" ref="30" role="outer"/>
+        |  <tag k="type" v="boundary"/>
+        |  <tag k="boundary" v="administrative"/>
+        |  <tag k="admin_level" v="2"/>
+        |  <tag k="ISO3166-1" v="DE"/>
+        |</relation>
+        |</osm>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-lua-locchain")
+    val in = dir.resolve("country.osm")
+    java.nio.file.Files.write(in, osmXml.getBytes("UTF-8"))
+    // step 1: the import config lands the countries table
+    graft.cli.Main.run(spark, graft.cli.Options.parse(Seq(
+      in.toString, "-O", "flex",
+      "-S", s"$cfgDir/locator/import-countries.lua",
+      "--output-dir", s"$dir/out1")))
+    val countries = spark.read.parquet(s"$dir/out1/countries")
+      .select("code", "geom").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toSeq
+    assert(countries.map(_._1) == Seq("DE"))
+    // step 2: buildings.lua classifies against those regions — the
+    // resolver plays the role of the add_from_db database query
+    val cfg = graft.flex.LuaFlexConfig.fromFile(
+      s"$cfgDir/locator/buildings.lua",
+      dbRegionResolver = Some(_ => countries))
+    val osm = graft.flex.Enrich.forFlex(
+      graft.sources.OsmXml.read(spark, Seq(in.toString)), "create")
+    val r = graft.flex.FlexRunner.run(cfg, osm)
+    val rows = r.tables("buildings").rows
+      .select(col("area_id"), col("country"), col("countries"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getString(2)))).toMap
+    assert(rows(31L) == (("DE", "{DE}")))
+    assert(rows(32L) == ((null, "{}")))
+  }
+
   test("locator/iceland.lua: add_bbox classify; Liechtenstein misses") {
     assume(new java.io.File(pbf).exists())
     val dir = java.nio.file.Files.createTempDirectory("graft-lua-iceland")
