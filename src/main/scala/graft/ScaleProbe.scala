@@ -61,6 +61,11 @@ object ScaleProbe {
     time("gopher_rules")(
       graft.operators.CorpusOps.gopherRules(docs, "doc_id", "text")
         .count())
+    // q88's shape: one gram row per word, hash agg on the gram key
+    // with partial aggregation; the nd>1 survivor set is tiny
+    time("dup_ngrams")(
+      graft.operators.CorpusOps.dupNgrams(docs, "doc_id", "text")
+        .count())
     // q52's shape: LSH pairs → large-star/small-star CC. The 20×/50×
     // self-union makes every original doc a duplicate clique, so the
     // cluster count must stay ~n0 while edges grow ~mult² per clique —

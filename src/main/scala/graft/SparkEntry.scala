@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Pipeline2.queries ++
       graft.queries.Pipeline3.queries ++
       graft.queries.Pipeline4.queries ++
+      graft.queries.Pipeline5.queries ++
       graft.queries.OsmAnalog.queries ++
       graft.queries.GenQueries.queries
 
@@ -33,6 +34,7 @@ object SparkEntry {
       graft.queries.Pipeline2.oracles ++
       graft.queries.Pipeline3.oracles ++
       graft.queries.Pipeline4.oracles ++
+      graft.queries.Pipeline5.oracles ++
       graft.queries.OsmAnalog.oracles ++
       graft.queries.GenQueries.oracles
 }

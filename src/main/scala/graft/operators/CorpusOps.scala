@@ -108,6 +108,34 @@ object CorpusOps {
           col("padded_tokens").cast("double"))
   }
 
+  /** Corpus-wide duplicated n-grams — the memorization-risk scan
+    * (public "Deduplicating Training Data" analyses): every
+    * `n`-word sliding window, counted by distinct documents and total
+    * occurrences; only grams seen in more than one document survive.
+    * Top-k by document count with the gram text as the deterministic
+    * tiebreak.
+    *
+    * Scale: explode to sliding windows (bounded fan-out: one row per
+    * word), one partial-aggregated hash aggregate on the gram key,
+    * then a top-k sort on the (tiny) nd>1 survivor set. */
+  def dupNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, topK: Int = 50): DataFrame = {
+    val w = toks(col(textCol))
+    // sequence(0, -1) would DESCEND; documents shorter than n words
+    // contribute no grams
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(topK)
+  }
+
   /** Quality-weighted deterministic sampling: a document survives iff
     * the first four hex digits of md5(id) fall below a per-row
     * threshold proportional to its weight column — P(keep) ≈

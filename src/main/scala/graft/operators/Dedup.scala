@@ -347,6 +347,32 @@ object Dedup {
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** Cluster canonicalization — the curation step after near-dup
+    * clustering: per cluster keep ONE representative, chosen by the
+    * largest `weightCol` (longest document wins), ties broken by the
+    * smallest id. Returns (cluster_id, canonical_id, n_members,
+    * canonical_weight) — the survivors of a dedup pass, plus enough
+    * bookkeeping to audit what each cluster collapsed to.
+    *
+    * Scale: one extra shuffle on cluster_id over the (tiny) clustered
+    * subset; the corpus-sized frames never re-shuffle. */
+  def canonicalDocs(df: DataFrame, idCol: String, textCol: String,
+      weightCol: String, minJaccard: Double = 0.5): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, textCol, minJaccard)
+    val weighted = clusters.join(
+      df.select(col(idCol).as("doc_id"), col(weightCol).as("__w")),
+      "doc_id")
+    weighted.groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("__w").as("w"), (-col("doc_id")).as("negid")))
+          .as("best"))
+      .select(col("cluster_id"),
+        (-col("best.negid")).as("canonical_id"),
+        col("n_members"),
+        col("best.w").as("canonical_weight"))
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: Option[Column] = None): DataFrame = {
     // norms are computed ONCE per vector before the join — inside the

@@ -51,4 +51,29 @@ object Sessions {
         max(col("n_events")).as("max_session_events"),
         max(col("dur_us")).as("max_session_dur_us"))
   }
+
+  /** Retention cohorts — the standard activity-retention triangle:
+    * every user's cohort is their first active epoch-week
+    * (floor(epoch_seconds / 604800) — pure integer weeks, no
+    * calendar functions, so any engine reproduces it bit-exactly);
+    * each (cohort_week, week_offset) cell counts the distinct cohort
+    * users active that many weeks later.
+    *
+    * Scale shape: one aggregate per user for the cohort (shuffle on
+    * the user key), a broadcast-sized cohort map joined back, then
+    * one distinct-count aggregate on (cohort, offset) — no windows,
+    * no self-join over events. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val week = floor(unix_micros(col(tsCol)) / 604800000000L)
+      .cast("long")
+    val active = events.select(col(userCol).as("u"), week.as("week"))
+      .distinct()
+    val cohorts = active.groupBy(col("u"))
+      .agg(min(col("week")).as("cohort_week"))
+    active.join(cohorts, "u")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("u")).as("n_users"))
+  }
 }

@@ -82,6 +82,60 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(kept.where(col("n_chars") === 0).count() == 0L)
   }
 
+  test("dupNgrams: sliding windows, doc-distinct counts, short docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tomorrow"),
+      (3L, "short doc"), // < 8 words: no grams
+      (4L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.dupNgrams(docs, "doc_id", "text", n = 8, topK = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    // the shared 8-gram prefix appears in all three long docs
+    assert(r.exists(_ == (("the quick brown fox jumps over the lazy", 3L, 3L))))
+    // windows sharing only two docs rank below three-doc grams
+    assert(r.forall(_._2 > 1))
+    val heads = r.map(_._2)
+    assert(heads.sorted.reverse.toSeq == heads.toSeq) // ordered by n_docs
+  }
+
+  test("canonicalDocs: longest member wins, ties broken by min id") {
+    import graft.operators.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (10L, base + " extra words here", 100L),
+      (11L, base, 80L),
+      (12L, base + " extra words here", 100L), // tie with 10 → 10 wins
+      (50L, "completely different text with nothing shared at all " +
+        "one two three four five six seven eight nine ten", 60L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = Dedup.canonicalDocs(docs, "doc_id", "text", "n_chars")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    assert(r.length == 1)
+    assert(r.head == ((10L, 10L, 3L, 100L)))
+  }
+
+  test("retentionCohorts: integer-week triangle") {
+    import graft.operators.Sessions
+    val wk = 604800L * 1000000L // micros per week
+    val ev = Seq(
+      (1L, 0L * wk), (1L, 1L * wk), (1L, 3L * wk),
+      (2L, 0L * wk), (2L, 1L * wk),
+      (3L, 1L * wk))
+      .toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = Sessions.retentionCohorts(ev, "user_id", "ts")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    assert(r == Set(
+      (0L, 0L, 2L), // users 1,2 in cohort week 0
+      (0L, 1L, 2L), // both active a week later
+      (0L, 3L, 1L), // only user 1 at +3
+      (1L, 0L, 1L))) // user 3's own cohort
+  }
+
   test("segmentDedup plan: one shuffle on the segment key, one on doc") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = CorpusOps.segmentDedup(docs, "doc_id", "text")
