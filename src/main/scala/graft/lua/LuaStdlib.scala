@@ -497,7 +497,7 @@ object LuaStdlib {
                 case '\\' => "\\\\"
                 case '\n' => "\\n"
                 case '\r' => "\\r"
-                case ' ' => "\\0"
+                case '\u0000' => "\\0"
                 case ch   => ch.toString
               }).append('"')
             case other =>

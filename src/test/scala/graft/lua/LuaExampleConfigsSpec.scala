@@ -289,6 +289,33 @@ class LuaExampleConfigsSpec extends SparkSpecBase {
     assert(rows(32L) == ((null, "{}")))
   }
 
+  test("locator/motorway-colours.lua: country colour table lookup") {
+    // same synthetic DE country; a motorway inside it gets the DE
+    // colour from the config's cc2colour table
+    val square = graft.geom.Ewkb.encode(graft.geom.Polygon(
+      graft.geom.Ring(Vector(graft.geom.Pt(0, 0), graft.geom.Pt(1, 0),
+        graft.geom.Pt(1, 1), graft.geom.Pt(0, 1), graft.geom.Pt(0, 0)))))
+    val cfg = graft.flex.LuaFlexConfig.fromFile(
+      s"$cfgDir/locator/motorway-colours.lua",
+      dbRegionResolver = Some(_ => Seq(("DE", square))))
+    val osm = graft.flex.Enrich.forFlex(
+      graft.sources.OsmText.toFrames(spark, """
+        n1 v1 dV x0.4 y0.4
+        n2 v1 dV x0.5 y0.5
+        n3 v1 dV x5.0 y5.0
+        n4 v1 dV x5.1 y5.1
+        w10 v1 dV Thighway=motorway Nn1,n2
+        w11 v1 dV Thighway=motorway Nn3,n4
+        """), "create")
+    val r = graft.flex.FlexRunner.run(cfg, osm)
+    val rows = r.tables("highways").rows
+      .select(col("way_id"), col("country"), col("colour"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getString(2)))).toMap
+    assert(rows(10L) == (("DE", "#174688")))
+    assert(rows(11L) == ((null, null)))
+  }
+
   test("locator/iceland.lua: add_bbox classify; Liechtenstein misses") {
     assume(new java.io.File(pbf).exists())
     val dir = java.nio.file.Files.createTempDirectory("graft-lua-iceland")
