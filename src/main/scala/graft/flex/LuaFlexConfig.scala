@@ -281,7 +281,8 @@ object LuaFlexConfig {
           out.clear()
           val obj = get.toObject(row, kind)
           if (obj.deleted)
-            processDeleted.foreach(fn => env.callProcess(fn, obj))
+            processDeleted.foreach(fn =>
+              env.callProcess(fn, obj, s"process_deleted_$kind"))
           else {
             selectMembers.foreach { fn =>
               val (ways, nodes) = env.callSelectRelationMembers(fn, obj)
@@ -290,8 +291,10 @@ object LuaFlexConfig {
               nodes.foreach(n => out += LuaInsert(-2, Map.empty, Map.empty,
                 Map.empty, "n", n))
             }
+            val cbName = if (obj.tags.nonEmpty) s"process_$kind"
+              else s"process_untagged_$kind"
             val cb = if (obj.tags.nonEmpty) process else processUntagged
-            cb.foreach(fn => env.callProcess(fn, obj))
+            cb.foreach(fn => env.callProcess(fn, obj, cbName))
           }
           out.toVector
         }

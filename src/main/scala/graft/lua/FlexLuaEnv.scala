@@ -908,12 +908,22 @@ end
     t
   }
 
-  /** Call a process_* callback with the object as context. */
-  def callProcess(fn: LV, o: LuaOsmObject): Seq[LV] = {
+  /** Call a process_* callback with the object as context. Lua
+    * errors wrap in the reference's text ("Failed to execute Lua
+    * function 'osm2pgsql.<name>': ...", output-flex.cpp:887-906) so
+    * a failing config reports identically. */
+  def callProcess(fn: LV, o: LuaOsmObject,
+      fnName: String = null): Seq[LV] = {
     val prev = (currentObject, callingContext)
     currentObject = o
     callingContext = o.otype
     try I.call(fn, Seq(pushObject(o)))
+    catch {
+      case e: I.LuaRuntimeError =>
+        val name = Option(fnName).getOrElse(s"process_${o.otype}")
+        throw new RuntimeException("Failed to execute Lua function " +
+          s"'osm2pgsql.$name': ${LuaInterp.tostringStatic(e.value)}.", e)
+    }
     finally { currentObject = prev._1; callingContext = prev._2 }
   }
 

@@ -84,6 +84,24 @@ class LuaBddSpec extends SparkSpecBase {
     assert(counts == Map("n" -> 1562L, "w" -> 7105L, "r" -> 113L))
   }
 
+  test("callback errors wrap in the reference's failure text") {
+    val cfg = new LuaFlexConfig(
+      """osm2pgsql.define_node_table('t', {{ column = 'v' }})
+        |function osm2pgsql.process_node(object)
+        |  error('boom')
+        |end
+        |""".stripMargin)
+    val osm = Enrich.forFlex(OsmText.toFrames(spark,
+      "n1 v1 dV Ta=b x1 y1"), "create")
+    val e = intercept[Exception](
+      FlexRunner.run(cfg, osm).tables("t").rows.count())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains(
+      "Failed to execute Lua function 'osm2pgsql.process_node'")))
+  }
+
   test("tags: unicode names through text/hstore/json/jsonb columns") {
     val names = Seq("Paris", "Nürnberg", "Plzeň", "Αθήνα",
       "תל־אביב-יפו", "عَمَّان", "北京", "ရန်ကုန်", "मुंबई")
