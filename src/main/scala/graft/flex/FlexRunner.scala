@@ -33,7 +33,12 @@ object FlexRunner {
       expire: Map[String, DataFrame])
 
   def run(config: FlexConfig, osm: OsmDataFrames): Result = {
-    FlexConfig.validateTables(config.tables)
+    // a config with zero tables is a WARNING in the reference
+    // (output-flex.cpp:1361) — callbacks still run, so their errors
+    // surface (geometry-point.feature's as_point argument checks)
+    if (config.tables.isEmpty)
+      System.err.println("[graft] No output tables defined!")
+    else FlexConfig.validateTables(config.tables)
     val defs = config.tables.map(t => t.name -> t).toMap
 
     // >32767-member relations are ignored before any callback runs

@@ -193,6 +193,11 @@ final class LuaFlexConfig(
     // once; each output table is a filter+projection over it
     val persisted = inserts.persist(StorageLevel.MEMORY_AND_DISK)
 
+    // zero output tables: nothing downstream would ever act on the
+    // stream, but the reference still PROCESSES every object — force
+    // the pass so callback errors surface
+    if (tables.isEmpty) persisted.count()
+
     tables.zipWithIndex.map { case (t, idx) =>
       t.name -> LuaFlexConfig.projectTable(persisted.toDF(), t, idx)
     }.toMap
@@ -502,8 +507,8 @@ object LuaFlexConfig {
       case _                                                       => false
     }
     if (!compatible) env.I.fail(0,
-      "Geometry data for geometry column has the wrong type " +
-        s"(${g.typeName} into ${c.ctype.toString.toLowerCase}).")
+      s"Geometry data for geometry column '${c.name}' has the wrong " +
+        s"type (${g.typeName}).")
     val wrapMulti = c.ctype == FlexType.Multipoint ||
       c.ctype == FlexType.Multilinestring ||
       c.ctype == FlexType.Multipolygon

@@ -685,9 +685,12 @@ final class FlexLuaEnv(
       if (o.lons == null) Seq(wrapGeom(NullGeom()))
       else Seq(wrapGeom(FromOsm.createLineString(toPts(o.lons, o.lats))))
     } else if (o.mlons == null) Seq(wrapGeom(NullGeom()))
+    // force_multi = false (app_as_multilinestring passes false):
+    // a single-member relation yields a plain LINESTRING
+    // (geometry-multilinestring.feature row R 30)
     else Seq(wrapGeom(FromOsm.createMultiLineString(
       o.mlons.zip(o.mlats).map { case (lo, la) => toPts(lo, la) },
-      forceMulti = true)))
+      forceMulti = false)))
   }
   objFn("as_multipolygon") { o =>
     contextCheck("as_multipolygon", "way/relation",

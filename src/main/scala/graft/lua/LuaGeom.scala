@@ -77,7 +77,9 @@ object LuaGeom {
       if (g.srid != Srid.WGS84)
         I.fail(0, "Can only calculate spherical length for geometries " +
           "in WGS84 (4326) coordinates.")
-      Seq(LNum(GeomOps.sphericalLength(g)))
+      // the reference's "spherical" length is geodesic vincenty over
+      // WGS84 (geom-functions.cpp:383-390)
+      Seq(LNum(GeomOps.ellipsoidalLength(g)))
     }
     fn("centroid") { a =>
       Seq(wrap(GeomOps.centroid(geomArg(a, "centroid"))))

@@ -127,10 +127,15 @@ object CorpusOps {
       transform(sequence(lit(0), size(w) - n),
         i => array_join(slice(w, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
+    // two cascaded aggregates instead of count(DISTINCT): the
+    // (gram, doc) pre-aggregate avoids the distinct-expand doubling
+    // the exploded rows, and the second aggregate reuses the same
+    // hash partitioning on the gram key (no extra exchange)
     df.select(col(idCol), explode(grams).as("gram"))
+      .groupBy(col("gram"), col(idCol))
+      .agg(count(lit(1)).as("occ"))
       .groupBy(col("gram"))
-      .agg(countDistinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"))
       .where(col("n_docs") > 1)
       .orderBy(col("n_docs").desc, col("gram"))
       .limit(topK)

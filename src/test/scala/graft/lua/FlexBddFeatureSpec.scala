@@ -1,0 +1,56 @@
+package graft.lua
+
+import graft.SparkSpecBase
+
+/** The reference's own BDD feature files, executed VERBATIM through
+  * the Lua runtime (tests/bdd/flex): each scenario's grid, OSM data
+  * and Lua style run end to end; table expectations check with the
+  * feature matchers. Scenarios needing the append/PG flow or other
+  * unsupported steps are counted as explicit skips — the summary
+  * asserts a minimum pass count per feature so regressions show. */
+class FlexBddFeatureSpec extends SparkSpecBase {
+
+  private val bddDir = "/root/reference/tests/bdd/flex"
+
+  /** feature file → minimum scenarios that must PASS (the rest may
+    * skip for documented reasons; failures always fail). */
+  private val features: Seq[(String, Int)] = Seq(
+    "tags.feature" -> 1, // special-chars scenario skips: encode()
+    "geometry-point.feature" -> 3,
+    "geometry-linestring.feature" -> 3,
+    "geometry-multipoint.feature" -> 1,
+    "geometry-multilinestring.feature" -> 2,
+    "geometry-null.feature" -> 1,
+    "geometry-collection.feature" -> 5,
+    "nogeom.feature" -> 0, // single scenario needs the append flow
+    "multigeom.feature" -> 5,
+    "untagged.feature" -> 1,
+    "bbox.feature" -> 7,
+    "line-splitting.feature" -> 1,
+    "empty-insert.feature" -> 1,
+    "invalid-lua.feature" -> 1)
+
+  features.foreach { case (file, minPass) =>
+    test(s"bdd/flex/$file runs verbatim (≥$minPass scenarios pass)") {
+      val runner = new GherkinFlexRunner(spark)
+      val (bg, scenarios) = Gherkin.parse(s"$bddDir/$file")
+      assert(scenarios.nonEmpty, "no scenarios parsed")
+      var passed = 0
+      val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+      val skips = scala.collection.mutable.ArrayBuffer.empty[String]
+      scenarios.foreach { sc =>
+        runner.runScenario(bg, sc) match {
+          case runner.Passed => passed += 1
+          case runner.Skipped(r) => skips += s"'${sc.name}': $r"
+          case runner.Failed(r)  => problems += s"'${sc.name}': $r"
+        }
+      }
+      info(s"$file: $passed passed, ${skips.size} skipped" +
+        (if (skips.nonEmpty) s" (${skips.mkString("; ")})" else ""))
+      assert(problems.isEmpty,
+        s"failing scenarios:\n  ${problems.mkString("\n  ")}")
+      assert(passed >= minPass,
+        s"only $passed passed (want ≥$minPass); skips: $skips")
+    }
+  }
+}

@@ -1,0 +1,497 @@
+package graft.lua
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.geom.{Ewkb, Geometry => GGeom, GeomOps, NullGeom,
+  Point => GPoint, LineString => GLine, Polygon => GPoly,
+  MultiPoint => GMPoint, MultiLineString => GMLine,
+  MultiPolygon => GMPoly, GeometryCollection => GColl}
+
+/** Executes the reference's flex BDD scenarios verbatim: grid + OSM
+  * data + Lua style through [[graft.flex.LuaFlexConfig]], with the
+  * BDD table matchers re-implemented over the landed frames
+  * (tags->'k', !geo grid notation, ST_* wrappers, !substr/!re/!~
+  * tolerances — numeric cells compare with half-last-digit slack
+  * like the reference's float matcher). Append (-a) scenarios and
+  * PG-only steps are reported as skips, never silently dropped. */
+final class GherkinFlexRunner(spark: SparkSession) {
+
+  import Gherkin._
+
+  sealed trait Outcome
+  case object Passed extends Outcome
+  final case class Skipped(reason: String) extends Outcome
+  final case class Failed(reason: String) extends Outcome
+
+  // default grid: spacing 0.1, origin lon 20.0 lat 20.0 (derived
+  // from line-splitting.feature's absolute coordinates and
+  // geometry-linestring's spherical lengths)
+  private var gridStep = 0.1
+  private var gridOrigin = (20.0, 20.0)
+  private var gridNodes = Map.empty[Long, (Double, Double)]
+  private var luaSource: Option[String] = None
+  private var osmData: Option[String] = None
+  private var runResult: Option[graft.flex.FlexRunner.Result] = None
+  private var runError: Option[Throwable] = None
+
+  private def reset(): Unit = {
+    gridStep = 0.1; gridOrigin = (20.0, 20.0)
+    gridNodes = Map.empty; luaSource = None; osmData = None
+    runResult = None; runError = None
+  }
+
+  def runScenario(background: Vector[Step], sc: Scenario): Outcome = {
+    reset()
+    try {
+      (background ++ sc.steps).foreach { st =>
+        exec(st) match {
+          case Some(skip) => return Skipped(skip)
+          case None       => ()
+        }
+      }
+      Passed
+    } catch {
+      case e: SkipStep        => Skipped(e.reason)
+      case e: ScenarioFailure => Failed(e.getMessage)
+    }
+  }
+
+  private final class ScenarioFailure(msg: String)
+      extends RuntimeException(msg)
+  private def fail(msg: String): Nothing = throw new ScenarioFailure(msg)
+  /** capability gap (unsupported matcher/function) → skip, not fail */
+  private final class SkipStep(val reason: String)
+      extends RuntimeException(reason)
+
+  /** Execute one step; Some(reason) = unsupported → skip scenario. */
+  private def exec(st: Step): Option[String] = {
+    val t = st.text.replaceAll("^(Given|When|Then|And|But) ", "")
+    val gridRe =
+      raw"the (?:([0-9.]+) )?grid(?: with origin ([0-9.-]+) ([0-9.-]+))?".r
+    t match {
+      case gridRe(step0, ox, oy) if st.table.nonEmpty =>
+        if (step0 != null) gridStep = step0.toDouble
+        if (ox != null) gridOrigin = (ox.toDouble, oy.toDouble)
+        // the origin is the LAST row's left cell; earlier rows lie
+        // SOUTH of it (bbox.feature: grid rows [_,12],[10,11] with
+        // origin 20.0 10.1 puts n10 at lat 10.1 and n12 at 10.0)
+        val nRows = st.table.size
+        st.table.zipWithIndex.foreach { case (row, r) =>
+          row.zipWithIndex.foreach { case (cell, c) =>
+            if (cell.nonEmpty)
+              gridNodes += cell.toLong ->
+                (gridOrigin._1 + c * gridStep,
+                  gridOrigin._2 - (nRows - 1 - r) * gridStep)
+          }
+        }
+        None
+      case "the OSM data" =>
+        osmData = Some(osmData.map(_ + "\n").getOrElse("") +
+          st.doc.getOrElse(""))
+        None
+      case "the lua style" =>
+        luaSource = Some(st.doc.getOrElse(""))
+        None
+      case s if s.startsWith("the style file '") =>
+        val f = s.stripPrefix("the style file '").stripSuffix("'")
+        luaSource = Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/root/reference/tests/data/$f")),
+          java.nio.charset.StandardCharsets.UTF_8))
+        None
+      case s if s.startsWith("the input file '") =>
+        Some("external input file")
+      case "running osm2pgsql flex" => runFlex(); None
+      case "running osm2pgsql flex with parameters" =>
+        // -c (create) and --slim are the in-memory runner's defaults
+        val params = st.table.flatten.filter(_.nonEmpty)
+        if (params.exists(p => p != "--slim" && p != "-c" && p != "--create"))
+          Some(s"parameters ${params.mkString(" ")} (append/PG flow)")
+        else { runFlex(); None }
+      case "execution fails" =>
+        if (runError.isEmpty) fail("expected the run to fail; it passed")
+        None
+      case "the error output contains" =>
+        val want = st.doc.getOrElse("").trim
+        val got = runError.map(allMessages).getOrElse(
+          fail("expected an error; run passed"))
+        if (!got.exists(_.contains(want)))
+          fail(s"error did not contain '$want'; got: ${got.headOption}")
+        None
+      case s if s.startsWith("the standard output contains") =>
+        Some("stdout capture")
+      case tableRe(name, mode) =>
+        assertTable(name, mode, st.table)
+        None
+      case hasRowsRe(name, n) =>
+        runError.foreach(e =>
+          fail("run failed: " + allMessages(e).mkString(" | ")))
+        val tables = runResult.getOrElse(fail("no run")).tables
+        val c = tables.getOrElse(name, fail(s"no table $name"))
+          .rows.count()
+        if (c != n.toLong) fail(s"table $name has $c rows, expected $n")
+        None
+      case s if s.startsWith("statement ") => Some("PG statement step")
+      case other => Some(s"unsupported step: $other")
+    }
+  }
+
+  private val tableRe = raw"table (\S+) contains( exactly)?.*".r
+  private val hasRowsRe = raw"table (\S+) has (\d+) rows?.*".r
+
+  // ---------- running ----------
+
+  private def runFlex(): Unit = {
+    val lua = luaSource.getOrElse(fail("no lua style given"))
+    // a data line re-declaring a grid node (to add tags) keeps the
+    // grid location; other grid nodes materialize as untagged lines
+    // (OsmText: x = lon, y = lat)
+    val nodeLineRe = raw"\s*n(\d+)\b.*".r
+    val dataLines = osmData.getOrElse("").split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    val redefined = scala.collection.mutable.Set.empty[Long]
+    val merged = dataLines.map {
+      case l @ nodeLineRe(id0) =>
+        val id = id0.toLong
+        redefined += id
+        gridNodes.get(id) match {
+          case Some((lon, lat)) if !l.contains(" x") =>
+            s"$l x$lon y$lat"
+          case _ => l
+        }
+      case l => l
+    }
+    val gridLines = gridNodes.toSeq.sortBy(_._1).collect {
+      case (id, (lon, lat)) if !redefined.contains(id) =>
+        s"n$id v1 dV x$lon y$lat"
+    }
+    val dataText = (gridLines ++ merged).mkString("\n")
+    try {
+      val osm = graft.flex.Enrich.forFlex(
+        graft.sources.OsmText.toFrames(spark, dataText), "create")
+      val cfg = new graft.flex.LuaFlexConfig(lua, "style.lua")
+      val r = graft.flex.FlexRunner.run(cfg, osm)
+      r.tables.values.foreach(_.rows.count()) // surface failures HERE
+      runResult = Some(r)
+      runError = None
+    } catch {
+      case e: Throwable => runError = Some(e); runResult = None
+    }
+  }
+
+  private def allMessages(e: Throwable): Seq[String] =
+    Option(e).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ allMessages(x.getCause))
+
+  // ---------- table assertions ----------
+
+  private def assertTable(name: String, exactly: String,
+      expected: Vector[Vector[String]]): Unit = {
+    runError.foreach(e =>
+      fail("run failed: " + allMessages(e).mkString(" | ")))
+    val tables = runResult.getOrElse(fail("no run")).tables
+    val df = tables.getOrElse(name,
+      fail(s"no table '$name' (have ${tables.keys.mkString(",")})")).rows
+    val header = expected.head
+    val actual: Seq[Vector[String]] = df.collect().toSeq.map { row =>
+      header.map(h => evalCell(row, h)).toVector
+    }
+    val want: Seq[Vector[String]] =
+      expected.drop(1).map(_.map(_.trim))
+
+    def rowMatches(w: Vector[String], a: Vector[String]): Boolean =
+      header.indices.forall(i => cellMatches(header(i), w(i), a(i)))
+
+    val pool = scala.collection.mutable.ArrayBuffer(actual: _*)
+    want.foreach { w =>
+      val i = pool.indexWhere(a => rowMatches(w, a))
+      if (i < 0) fail(s"table $name does not contain " +
+        s"(${header.mkString(" | ")}) = $w\n  have: ${pool.take(8)}")
+      pool.remove(i)
+    }
+    if (exactly != null && pool.nonEmpty)
+      fail(s"table $name has ${pool.size} unexpected rows: " +
+        s"${pool.take(5)}")
+  }
+
+  /** One cell comparison with the feature matchers. */
+  private def cellMatches(header: String, want0: String,
+      got: String): Boolean = {
+    val (_, matcher) = splitMatcher(header)
+    val want = want0.trim
+    if (want == "NULL" || got == "NULL") return want == got
+    matcher match {
+      case Some("geo")    => geoMatches(normGeo(want), got)
+      case Some("substr") => got.contains(want)
+      case Some("re")     => got.matches(want)
+      case Some("i")      => got.equalsIgnoreCase(want)
+      case Some(m) if m.startsWith("~") =>
+        val tol = m.drop(1)
+        (want.toDoubleOption, got.toDoubleOption) match {
+          case (Some(w), Some(g)) =>
+            if (tol.endsWith("%"))
+              math.abs(g - w) <=
+                math.abs(w) * tol.dropRight(1).toDouble / 100.0
+            else math.abs(g - w) <= tol.toDouble
+          case _ => false
+        }
+      case _ =>
+        (want.toDoubleOption, got.toDoubleOption) match {
+          case (Some(w), Some(g)) => numClose(w, g, want)
+          case _ if want.startsWith("{") && got.startsWith("{") =>
+            // Python-dict expectations ({'k': 'v'}) vs the json/hstore
+            // rendering: compare as key→value maps, order-free
+            pyDict(want) == jsonPairs(got)
+          case _ => want == got
+        }
+    }
+  }
+
+  private def pyDict(s: String): Map[String, String] =
+    raw"'((?:[^'\\]|\\.)*)'\s*:\s*'((?:[^'\\]|\\.)*)'".r
+      .findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+
+  private def jsonPairs(s: String): Map[String, String] =
+    raw""""((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+
+  /** Numeric slack: half the last written digit of the expectation
+    * (so `0.24142136` allows ±5e-9 and `25718.176` ±5e-4). */
+  private def numClose(w: Double, g: Double, wText: String): Boolean = {
+    val decimals = wText.reverse.takeWhile(_ != '.').length *
+      (if (wText.contains('.')) 1 else 0)
+    val tol = math.max(1e-9 * math.abs(w),
+      0.5 * math.pow(10, -decimals))
+    math.abs(g - w) <= tol
+  }
+
+  private def splitMatcher(h: String): (String, Option[String]) = {
+    val i = h.lastIndexOf('!')
+    if (i < 0) (h.trim, None)
+    else (h.take(i).trim, Some(h.drop(i + 1).trim))
+  }
+
+  /** Structural geometry compare: identical shape characters, numeric
+    * tokens compared with the expectation's written precision. */
+  private def geoMatches(want: String, got: String): Boolean = {
+    val tokRe = raw"-?\d+(?:\.\d+)?|[\[\](){},;]".r
+    val wt = tokRe.findAllIn(want).toVector
+    val gt = tokRe.findAllIn(got).toVector
+    wt.size == gt.size && wt.zip(gt).forall { case (w, g) =>
+      (w.toDoubleOption, g.toDoubleOption) match {
+        case (Some(wd), Some(gd)) => numClose(wd, gd, w)
+        case _                    => w == g
+      }
+    }
+  }
+
+  // ---------- evaluation into display strings ----------
+
+  private def evalCell(row: org.apache.spark.sql.Row,
+      header: String): String = {
+    val (expr0, _) = splitMatcher(header)
+    evalExpr(row, expr0) match {
+      case null          => "NULL"
+      case g: GGeom      => canonicalGeom(g)
+      case b: Boolean    => if (b) "True" else "False"
+      case d: Double     => fmt(d)
+      case f: Float      => fmt(f.toDouble)
+      case other         => other.toString
+    }
+  }
+
+  private val arrowRe = raw"(\w+)\s*(->>?)\s*'([^']+)'".r
+  private val fnRe = raw"(\w+)\((.*)\)".r
+
+  private def evalExpr(row: org.apache.spark.sql.Row,
+      e0: String): Any = {
+    val e = e0.trim
+    e match {
+      case arrowRe(col0, _, key) =>
+        val i = row.fieldIndex(col0)
+        if (row.isNullAt(i)) null
+        else row.get(i) match {
+          case m: scala.collection.Map[_, _] =>
+            m.asInstanceOf[scala.collection.Map[String, String]]
+              .get(key).orNull
+          case s: String => // json text column
+            val p = (s""""${java.util.regex.Pattern.quote(key)}":"((?:[^"\\\\]|\\\\.)*)"""").r
+            p.findFirstMatchIn(s).map(m2 =>
+              m2.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+              .orNull
+          case other => other
+        }
+      case fnRe(fn, args) => evalFn(row, fn, args)
+      case col0 =>
+        val i = row.fieldIndex(col0)
+        if (row.isNullAt(i)) null
+        else row.get(i) match {
+          case b: Array[Byte] => Ewkb.decode(b)
+          case other          => other
+        }
+    }
+  }
+
+  /** First top-level argument of a comma-separated list. */
+  private def firstArg(args: String): String = {
+    var depth = 0; var j = 0
+    while (j < args.length) {
+      args(j) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => return args.take(j).trim
+        case _   => ()
+      }
+      j += 1
+    }
+    args.trim
+  }
+
+  private def evalFn(row: org.apache.spark.sql.Row, fn: String,
+      args: String): Any = {
+    def innerGeom: GGeom = evalExpr(row, firstArg(args)) match {
+      case g: GGeom => g
+      case null     => NullGeom()
+      case other    => fail(s"$fn over non-geometry $other")
+    }
+    fn match {
+      case "ST_GeometryType" =>
+        if (innerGeom.isNull) null else "ST_" + wkbName(innerGeom)
+      case "ST_NumGeometries" => innerGeom.numGeometries
+      case "ST_GeometryN" =>
+        GeomOps.geometryN(innerGeom, args.split(",").last.trim.toInt)
+      case "ST_Length"  => GeomOps.length(innerGeom)
+      case "ST_Area"    => GeomOps.area(innerGeom)
+      case "ST_X"       => innerGeom.asInstanceOf[GPoint].x
+      case "ST_Y"       => innerGeom.asInstanceOf[GPoint].y
+      case "ST_NPoints" => LuaGeom.nPoints(innerGeom)
+      case "ST_Transform" =>
+        GeomOps.transform(innerGeom, args.split(",").last.trim.toInt)
+      case other => throw new SkipStep(s"unsupported function $other")
+    }
+  }
+
+  private def wkbName(g: GGeom): String = g match {
+    case _: GPoint  => "Point"
+    case _: GLine   => "LineString"
+    case _: GPoly   => "Polygon"
+    case _: GMPoint => "MultiPoint"
+    case _: GMLine  => "MultiLineString"
+    case _: GMPoly  => "MultiPolygon"
+    case _: GColl   => "GeometryCollection"
+    case _          => "Null"
+  }
+
+  // ---------- canonical text forms ----------
+
+  private def fmt(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+
+  private def canonicalGeom(g: GGeom): String = g match {
+    case _: NullGeom => "NULL"
+    case p: GPoint => s"${fmt(p.x)} ${fmt(p.y)}"
+    case l: GLine =>
+      l.pts.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ")
+    case p: GPoly =>
+      (p.outer +: p.inners).map(r =>
+        "(" + canonRing(r.pts.map(pt => (pt.x, pt.y)))
+          .map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }
+          .mkString(", ") + ")").mkString("")
+    case m: GMPoint =>
+      "[" + m.pts.map(p => s"${fmt(p.pt.x)} ${fmt(p.pt.y)}")
+        .mkString("; ") + "]"
+    case m: GMLine =>
+      "[" + m.lines.map(l =>
+        l.pts.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", "))
+        .mkString("; ") + "]"
+    case m: GMPoly =>
+      "[" + m.polys.map(canonicalGeom).mkString("; ") + "]"
+    case c: GColl =>
+      "{" + c.geoms.map(canonicalGeom).mkString("; ") + "}"
+  }
+
+  /** Expected geo notation → coordinate text:
+    *  `1` → grid point; `1, 2` → line; `(1, 2, 3, 1)` → ring(s);
+    *  `[ a; b ]` → multi parts; explicit `x y` pairs pass through. */
+  private def normGeo(v0: String): String = {
+    val v = v0.trim
+    if (v == "NULL") "NULL"
+    else if (v.startsWith("[")) {
+      val inner = v.stripPrefix("[").stripSuffix("]").trim
+      "[" + splitTop(inner, ';').map(p => normGeo(p.trim))
+        .mkString("; ") + "]"
+    } else if (v.startsWith("{")) {
+      // geometry collection: `{ part; part }`
+      val inner = v.stripPrefix("{").stripSuffix("}").trim
+      "{" + splitTop(inner, ';').map(p => normGeo(p.trim))
+        .mkString("; ") + "}"
+    } else if (v.startsWith("(")) {
+      val rings = raw"\(([^)]*)\)".r.findAllMatchIn(v)
+        .map(_.group(1)).toVector
+      rings.map { r =>
+        val pts = splitTop(r, ',').map(pt => gridPtD(pt.trim))
+        "(" + canonRing(pts).map { case (x, y) =>
+          s"${fmt(x)} ${fmt(y)}" }.mkString(", ") + ")"
+      }.mkString("")
+    } else {
+      splitTop(v, ',').map(_.trim).filter(_.nonEmpty)
+        .map(gridPt).mkString(", ")
+    }
+  }
+
+  private def splitTop(s: String, sep: Char): Vector[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case c if c == sep && depth == 0 =>
+        out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toVector
+  }
+
+  private def gridPt(token: String): String = {
+    val (x, y) = gridPtD(token)
+    s"${fmt(x)} ${fmt(y)}"
+  }
+
+  private def gridPtD(token: String): (Double, Double) = {
+    val t = token.trim
+    if (t.matches(raw"-?[0-9.]+ -?[0-9.]+")) {
+      val Array(x, y) = t.split(" +")
+      (x.toDouble, y.toDouble)
+    } else gridNodes.getOrElse(t.toLong,
+      fail(s"geo notation references unknown grid node $t"))
+  }
+
+  /** Ring canonicalization — ring equality is rotation- and
+    * direction-invariant (the BDD matcher compares polygons that
+    * way): drop the closing point, rotate the numerically smallest
+    * vertex first, pick the direction with the smaller second
+    * vertex, re-close. Vertex comparison rounds to 1e-4 so float32
+    * column noise can't flip the choice. */
+  private def canonRing(pts0: Seq[(Double, Double)])
+      : Vector[(Double, Double)] = {
+    val open =
+      if (pts0.size > 1 && near(pts0.head, pts0.last)) pts0.dropRight(1)
+      else pts0.toSeq
+    if (open.isEmpty) return Vector.empty
+    def key(p: (Double, Double)): (Double, Double) =
+      (math.rint(p._1 * 10000) / 10000, math.rint(p._2 * 10000) / 10000)
+    val minIdx = open.indices.minBy(i => key(open(i)))
+    val rotated = open.drop(minIdx) ++ open.take(minIdx)
+    val fwd = rotated
+    val bwd = rotated.head +: rotated.tail.reverse
+    val chosen =
+      if (fwd.size < 2) fwd
+      else if (Ordering[(Double, Double)].lteq(key(fwd(1)), key(bwd(1))))
+        fwd
+      else bwd
+    (chosen :+ chosen.head).toVector
+  }
+
+  private def near(a: (Double, Double), b: (Double, Double)): Boolean =
+    math.abs(a._1 - b._1) < 1e-7 && math.abs(a._2 - b._2) < 1e-7
+}

@@ -32,9 +32,10 @@ class LuaBddSpec extends SparkSpecBase {
     assert(printed.contains("mode=create"))
     assert(printed.contains("stage=1"))
     assert(printed.contains("Table=table"))
+    // no tables is a WARNING (stderr), not an error — the run
+    // proceeds with zero output tables (output-flex.cpp:1361)
     val osm = Enrich.forFlex(OsmText.toFrames(spark, ""), "create")
-    val e = intercept[IllegalArgumentException](FlexRunner.run(cfg, osm))
-    assert(e.getMessage.contains("No output tables defined"))
+    assert(FlexRunner.run(cfg, osm).tables.isEmpty)
   }
 
   test("lua-basics: osm2pgsql.properties carries import settings") {
