@@ -60,11 +60,15 @@ object GeomOps {
     * errors otherwise); identity when srids match. */
   def transform(g: Geometry, targetSrid: Int): Geometry = {
     if (g.srid == targetSrid) return g
-    require(g.srid == Srid.WGS84,
-      s"transform only supported from 4326, got ${g.srid}")
-    require(targetSrid == Srid.WebMercator,
-      s"transform only supported to 3857, got $targetSrid")
-    mapPoints(g, lonLatToMercator).withSrid(targetSrid)
+    (g.srid, targetSrid) match {
+      case (Srid.WGS84, Srid.WebMercator) =>
+        mapPoints(g, lonLatToMercator).withSrid(targetSrid)
+      case (Srid.WebMercator, Srid.WGS84) =>
+        mapPoints(g, mercatorToLonLat).withSrid(targetSrid)
+      case _ => throw new IllegalArgumentException(
+        s"transform only supported between 4326 and 3857, " +
+          s"got ${g.srid} -> $targetSrid")
+    }
   }
 
   def mapPoints(g: Geometry, f: Pt => Pt): Geometry = g match {

@@ -159,9 +159,9 @@ final class FlexLuaEnv(
   private def tableIdxOf(v: LV): Int = v match {
     case u: LUserdata => u.value match {
       case i: java.lang.Integer => i.intValue
-      case _ => err("First argument must be of type Table.")
+      case _ => err("Argument #1 has to be of type osm2pgsql.Table.")
     }
-    case _ => err("First argument must be of type Table.")
+    case _ => err("Argument #1 has to be of type osm2pgsql.Table.")
   }
   tableMeta.rawSet(LStr("insert"), fnv("insert") { a =>
     if (a.size != 2)
@@ -228,12 +228,12 @@ final class FlexLuaEnv(
   /** name + mutable region list per locator; the Locator operator
     * builds lazily on first query */
   final class LocatorState(val name: String) {
-    val regions = mutable.ArrayBuffer.empty[(String, Geometry)]
+    val regions = mutable.ArrayBuffer.empty[graft.operators.Region]
     private var built: graft.operators.Locator = null
     private var builtAt = -1
     def locator: graft.operators.Locator = {
       if (built == null || builtAt != regions.size) {
-        built = graft.operators.Locator.fromGeometries(regions.toSeq)
+        built = graft.operators.Locator.fromRegions(regions.toSeq)
         builtAt = regions.size
       }
       built
@@ -243,13 +243,24 @@ final class FlexLuaEnv(
 
   private val locatorMeta = new LTable
   locatorMeta.rawSet(LStr("__index"), locatorMeta)
+  // wrapper argument check (lua_wrapper_base_t, output-flex.cpp:232)
   private def locatorOf(v: LV): LocatorState = v match {
     case u: LUserdata => u.value match {
       case s: LocatorState => s
-      case _ => err("First argument must be of type Locator.")
+      case _ => err("Argument #1 has to be of type osm2pgsql.Locator.")
     }
-    case _ => err("First argument must be of type Locator.")
+    case _ => err("Argument #1 has to be of type osm2pgsql.Locator.")
   }
+  private def locatorGeomArg(a: Seq[LV], fname: String): Geometry =
+    a.lift(1) match {
+      case Some(u: LUserdata) => u.value match {
+        case g: Geometry => g
+        case _ => err(s"Error in '$fname': Need locator and geometry " +
+          "arguments")
+      }
+      case _ => err(s"Error in '$fname': Need locator and geometry " +
+        "arguments")
+    }
   locatorMeta.rawSet(LStr("name"), fnv("name") { a =>
     Seq(LStr(locatorOf(a.headOption.getOrElse(LNil)).name))
   })
@@ -259,40 +270,45 @@ final class FlexLuaEnv(
   })
   locatorMeta.rawSet(LStr("add_bbox"), fnv("add_bbox") { a =>
     // add_bbox(name, min_x, min_y, max_x, max_y)
-    // (src/flex-lua-locator.cpp lua_wrapper_locator_t::add_bbox)
+    // (src/flex-lua-locator.cpp:95-108)
     val s = locatorOf(a.headOption.getOrElse(LNil))
     val rname = a.lift(1) match {
       case Some(LStr(n)) => n
-      case _ => err("Argument #1 to 'add_bbox' must be a string.")
+      case _ => err("Error in 'add_bbox': Need locator, name and 4 " +
+        "coordinates as arguments")
     }
     val nums = (2 to 5).map(i => a.lift(i).flatMap(I.coerceNum)
       .map(I.asDouble).getOrElse(err(
-        "Arguments #2 to #5 of 'add_bbox' must be numbers.")))
-    // bbox region as its polygon, so point and geometry tests are
-    // the exact box tests the reference runs
-    s.regions += rname -> Polygon(Ring(Vector(
-      Pt(nums(0), nums(1)), Pt(nums(2), nums(1)), Pt(nums(2), nums(3)),
-      Pt(nums(0), nums(3)), Pt(nums(0), nums(1)))))
+        "Error in 'add_bbox': Need locator, name and 4 coordinates " +
+          "as arguments")))
+    // bbox region: box-only Region with INCLUSIVE edge semantics
+    // (a point on a shared corner matches both boxes)
+    s.regions += graft.operators.Region(rname, NullGeom(),
+      Box(nums(0), nums(1), nums(2), nums(3)))
     Nil
   })
   locatorMeta.rawSet(LStr("add_from_db"), fnv("add_from_db") { a =>
     val s = locatorOf(a.headOption.getOrElse(LNil))
     val sql = a.lift(1) match {
       case Some(LStr(q)) => q
-      case _ => err("Argument #1 to 'add_from_db' must be a string.")
+      case _ =>
+        err("Error in 'add_from_db': Need locator and SQL query arguments")
     }
-    s.regions ++= dbRegions(sql)
+    s.regions ++= dbRegions(sql).map { case (n, g) =>
+      graft.operators.Region(n, g,
+        Box.of(g).getOrElse(Box(0, 0, 0, 0)))
+    }
     Nil
   })
   locatorMeta.rawSet(LStr("all_intersecting"), fnv("all_intersecting") { a =>
     val s = locatorOf(a.headOption.getOrElse(LNil))
-    val g = LuaGeom.unpack(I, a.lift(1).getOrElse(LNil))
+    val g = locatorGeomArg(a, "all_intersecting")
     Seq(LTable.fromSeq(s.locator.intersectingGeom(g).map(LStr)))
   })
   locatorMeta.rawSet(LStr("first_intersecting"),
     fnv("first_intersecting") { a =>
       val s = locatorOf(a.headOption.getOrElse(LNil))
-      val g = LuaGeom.unpack(I, a.lift(1).getOrElse(LNil))
+      val g = locatorGeomArg(a, "first_intersecting")
       s.locator.intersectingGeom(g).headOption match {
         case Some(n) => Seq(LStr(n))
         case None    => Seq(LNil)
@@ -305,9 +321,8 @@ final class FlexLuaEnv(
       case Some(t: LTable) => t
       case _ => err("Argument #1 to 'define_locator' must be a Lua table.")
     }
-    val name = optStr(t, "name").getOrElse(
-      err("The locator must contain a 'name' string field."))
-    val s = new LocatorState(name)
+    // name is OPTIONAL (locator.feature: 'without name is okay')
+    val s = new LocatorState(optStr(t, "name").getOrElse(""))
     locators += s
     Seq(new LUserdata(s, Some(locatorMeta)))
   })
@@ -406,8 +421,12 @@ final class FlexLuaEnv(
       case Some(t: LTable) => t
       case _ => err("Argument #1 to 'define_table' must be a table.")
     }
-    val name = optStr(t, "name").getOrElse(
-      err("The table must contain a 'name' string field."))
+    // name must be a STRING (luaX_get_table_string rejects other
+    // types with the same message, lua-table-definitions.feature)
+    val name = t.rawGet(LStr("name")) match {
+      case LStr(s) => s
+      case _ => err("The table must contain a 'name' string field.")
+    }
     // identifier check happens before anything else, like
     // create_flex_table (src/flex-lua-table.cpp:39-45)
     try Flex.checkIdentifier(name, "table names")

@@ -111,4 +111,9 @@ object Locator {
     new Locator(named.map { case (n, g) =>
       Region(n, g, Box.of(g).getOrElse(Box(0, 0, 0, 0)))
     }.toVector)
+
+  /** Mixed region list (bbox regions keep inclusive box semantics —
+    * a point on a shared corner is in BOTH, locator.feature). */
+  def fromRegions(regions: Seq[Region]): Locator =
+    new Locator(regions.toVector)
 }

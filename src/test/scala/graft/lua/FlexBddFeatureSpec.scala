@@ -28,7 +28,16 @@ class FlexBddFeatureSpec extends SparkSpecBase {
     "bbox.feature" -> 7,
     "line-splitting.feature" -> 1,
     "empty-insert.feature" -> 1,
-    "invalid-lua.feature" -> 1)
+    "invalid-lua.feature" -> 1,
+    "area.feature" -> 4,
+    "geometry-iteration.feature" -> 1,
+    "id-cache.feature" -> 1,
+    "locator.feature" -> 8,
+    "timestamp.feature" -> 0, // to_char over tz not evaluated
+    "geometry-processing.feature" -> 3,
+    "lua-table-definitions.feature" -> 8,
+    "table-ids.feature" -> 0, // single scenario needs the append flow
+    "lua-basics.feature" -> 2)
 
   features.foreach { case (file, minPass) =>
     test(s"bdd/flex/$file runs verbatim (≥$minPass scenarios pass)") {

@@ -31,13 +31,17 @@ final class GherkinFlexRunner(spark: SparkSession) {
   private var gridNodes = Map.empty[Long, (Double, Double)]
   private var luaSource: Option[String] = None
   private var osmData: Option[String] = None
+  private var inputFile: Option[String] = None
   private var runResult: Option[graft.flex.FlexRunner.Result] = None
   private var runError: Option[Throwable] = None
+  private var capturedOut: String = ""
+  private var capturedErr: String = ""
 
   private def reset(): Unit = {
     gridStep = 0.1; gridOrigin = (20.0, 20.0)
     gridNodes = Map.empty; luaSource = None; osmData = None
-    runResult = None; runError = None
+    inputFile = None; runResult = None; runError = None
+    capturedOut = ""; capturedErr = ""
   }
 
   def runScenario(background: Vector[Step], sc: Scenario): Outcome = {
@@ -53,6 +57,7 @@ final class GherkinFlexRunner(spark: SparkSession) {
     } catch {
       case e: SkipStep        => Skipped(e.reason)
       case e: ScenarioFailure => Failed(e.getMessage)
+      case scala.util.control.NonFatal(e) => Failed(e.toString)
     }
   }
 
@@ -99,7 +104,11 @@ final class GherkinFlexRunner(spark: SparkSession) {
           java.nio.charset.StandardCharsets.UTF_8))
         None
       case s if s.startsWith("the input file '") =>
-        Some("external input file")
+        val f = s.stripPrefix("the input file '").stripSuffix("'")
+        val p = s"/root/reference/tests/data/$f"
+        if (!f.endsWith(".pbf") || !new java.io.File(p).exists())
+          Some(s"input file $f")
+        else { inputFile = Some(p); None }
       case "running osm2pgsql flex" => runFlex(); None
       case "running osm2pgsql flex with parameters" =>
         // -c (create) and --slim are the in-memory runner's defaults
@@ -111,14 +120,19 @@ final class GherkinFlexRunner(spark: SparkSession) {
         if (runError.isEmpty) fail("expected the run to fail; it passed")
         None
       case "the error output contains" =>
+        // exceptions AND captured stderr warnings both count (the
+        // reference writes log warnings to stderr)
         val want = st.doc.getOrElse("").trim
-        val got = runError.map(allMessages).getOrElse(
-          fail("expected an error; run passed"))
+        val got = runError.map(allMessages).getOrElse(Nil) :+ capturedErr
         if (!got.exists(_.contains(want)))
           fail(s"error did not contain '$want'; got: ${got.headOption}")
         None
       case s if s.startsWith("the standard output contains") =>
-        Some("stdout capture")
+        val want = st.doc.getOrElse("").trim
+        if (!capturedOut.contains(want))
+          fail(s"stdout did not contain '$want'; got: " +
+            capturedOut.linesIterator.take(4).mkString("\\n"))
+        None
       case tableRe(name, mode) =>
         assertTable(name, mode, st.table)
         None
@@ -165,16 +179,39 @@ final class GherkinFlexRunner(spark: SparkSession) {
         s"n$id v1 dV x$lon y$lat"
     }
     val dataText = (gridLines ++ merged).mkString("\n")
+    // stdout/stderr capture: config `print` goes through Console.out
+    // at driver load; engine warnings go through System.err
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
     try {
-      val osm = graft.flex.Enrich.forFlex(
-        graft.sources.OsmText.toFrames(spark, dataText), "create")
-      val cfg = new graft.flex.LuaFlexConfig(lua, "style.lua")
-      val r = graft.flex.FlexRunner.run(cfg, osm)
-      r.tables.values.foreach(_.rows.count()) // surface failures HERE
-      runResult = Some(r)
-      runError = None
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      Console.withOut(new java.io.PrintStream(outBuf, true, "UTF-8")) {
+        val osm0 = inputFile match {
+          case Some(p) => graft.sources.OsmPbf.read(spark, p)
+          case None    => graft.sources.OsmText.toFrames(spark, dataText)
+        }
+        val osm = graft.flex.Enrich.forFlex(osm0, "create")
+        // the BDD harness runs with default import properties
+        val cfg = new graft.flex.LuaFlexConfig(lua, "style.lua",
+          properties = Map("attributes" -> "false",
+            "prefix" -> "planet_osm", "updatable" -> "false"))
+        val r = graft.flex.FlexRunner.run(cfg, osm)
+        r.tables.values.foreach(_.rows.count()) // surface failures HERE
+        runResult = Some(r)
+        runError = None
+      }
     } catch {
       case e: Throwable => runError = Some(e); runResult = None
+    } finally {
+      System.setErr(oldErr)
+      capturedOut = outBuf.toString("UTF-8")
+      capturedErr = errBuf.toString("UTF-8")
+    }
+    // environment gaps (no live database) skip rather than fail
+    runError.foreach { e =>
+      if (allMessages(e).exists(_.contains("add_from_db needs a database")))
+        throw new SkipStep("add_from_db needs a live database")
     }
   }
 
@@ -305,6 +342,25 @@ final class GherkinFlexRunner(spark: SparkSession) {
   private def evalExpr(row: org.apache.spark.sql.Row,
       e0: String): Any = {
     val e = e0.trim
+    // `a = b` equality between two sub-expressions
+    val eqIdx = topLevelEq(e)
+    if (eqIdx >= 0) {
+      val l = evalExpr(row, e.take(eqIdx))
+      val r = evalExpr(row, e.drop(eqIdx + 1))
+      return (l, r) match {
+        case (a: GGeom, b: GGeom) => a == b
+        case (a, b)               => a == b
+      }
+    }
+    if (e.endsWith("::text")) {
+      return evalExpr(row, e.stripSuffix("::text")) match {
+        case null => null
+        case ts: java.sql.Timestamp =>
+          // PG timestamp::text form: no trailing fraction when zero
+          ts.toString.stripSuffix(".0")
+        case other => other.toString
+      }
+    }
     e match {
       case arrowRe(col0, _, key) =>
         val i = row.fieldIndex(col0)
@@ -329,6 +385,26 @@ final class GherkinFlexRunner(spark: SparkSession) {
           case other          => other
         }
     }
+  }
+
+  /** Index of a top-level `=` (not inside parens/quotes), or -1. */
+  private def topLevelEq(s: String): Int = {
+    var depth = 0; var i = 0; var inQ = false
+    while (i < s.length) {
+      s(i) match {
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case '=' if !inQ && depth == 0 &&
+            (i == 0 || (s(i - 1) != '<' && s(i - 1) != '>' &&
+              s(i - 1) != '!' && s(i - 1) != '=')) &&
+            (i + 1 >= s.length || s(i + 1) != '=') =>
+          return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
   }
 
   /** First top-level argument of a comma-separated list. */
@@ -386,11 +462,23 @@ final class GherkinFlexRunner(spark: SparkSession) {
   private def fmt(d: Double): String =
     if (d == d.toLong.toDouble) d.toLong.toString else d.toString
 
+  /** consecutive points equal after rounding collapse — split points
+    * that land within double-epsilon of a vertex (segmentize) render
+    * as the vertex, like the BDD matcher's rounded geometry text */
+  private def dedupPts(pts: Seq[graft.geom.Pt]): Seq[graft.geom.Pt] =
+    pts.foldLeft(Vector.empty[graft.geom.Pt]) { (acc, p) =>
+      acc.lastOption match {
+        case Some(q) if math.abs(q.x - p.x) < 1e-6 &&
+          math.abs(q.y - p.y) < 1e-6 => acc
+        case _ => acc :+ p
+      }
+    }
+
   private def canonicalGeom(g: GGeom): String = g match {
     case _: NullGeom => "NULL"
     case p: GPoint => s"${fmt(p.x)} ${fmt(p.y)}"
     case l: GLine =>
-      l.pts.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ")
+      dedupPts(l.pts).map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", ")
     case p: GPoly =>
       (p.outer +: p.inners).map(r =>
         "(" + canonRing(r.pts.map(pt => (pt.x, pt.y)))
@@ -401,8 +489,8 @@ final class GherkinFlexRunner(spark: SparkSession) {
         .mkString("; ") + "]"
     case m: GMLine =>
       "[" + m.lines.map(l =>
-        l.pts.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(", "))
-        .mkString("; ") + "]"
+        dedupPts(l.pts).map(p => s"${fmt(p.x)} ${fmt(p.y)}")
+          .mkString(", ")).mkString("; ") + "]"
     case m: GMPoly =>
       "[" + m.polys.map(canonicalGeom).mkString("; ") + "]"
     case c: GColl =>
