@@ -87,9 +87,13 @@ final case class FlexExpireOutput(
   // defaults above intentionally exceed it
   require(filename.nonEmpty || table.nonEmpty,
     "Must set 'filename' and/or 'table' on expire output.")
-  require(maxzoom >= 1 && maxzoom <= 20,
+  // maxzoom 0 = the unset default (whole-world tile): the reference's
+  // luaX_get_table_optional_uint32 returns 0 for nil and only checks
+  // 1..20 for USER-set values (lua-expire.feature "without maxzoom
+  // means maxzoom 0", src/flex-lua-expire-output.cpp:48-54)
+  require(maxzoom >= 0 && maxzoom <= 20,
     "The 'maxzoom' field in a expire output must be between 1 and 20.")
-  require(minzoom >= 1 && minzoom <= maxzoom,
+  require(minzoomOpt.forall(z => z >= 1 && z <= maxzoom),
     "The 'minzoom' field in a expire output must be between 1 and 'maxzoom'.")
   require(maxTilesGeometryOpt.forall(v => v >= 1 && v <= (4L << 20)),
     "The 'max_tiles_geometry' field in a expire output must be between 1 and 4 << 20.")
@@ -144,10 +148,11 @@ final case class FlexIndex(
     fillfactor: Int = 0,
     tablespace: String = "",
     where: String = "") {
-  require(columns.nonEmpty || expression.nonEmpty,
-    "The index must contain a 'column' or an 'expression' field.")
-  require(columns.isEmpty || expression.isEmpty,
-    "You can not have both 'column' and 'expression' in an index.")
+  // the reference uses ONE message for both violations
+  // (src/flex-lua-index.cpp:100-103)
+  require(columns.nonEmpty != expression.nonEmpty,
+    "You must set either the 'column' or the 'expression' field in " +
+      "index definition.")
 
   private def quoted(cs: Seq[String]): String =
     cs.map(c => "\"" + c + "\"").mkString("(", ",", ")")
@@ -473,6 +478,13 @@ trait FlexConfig {
     * tables have landed (osm2pgsql-gen runs these against the DB; the
     * CLI runs them against the landed frames). */
   def genSteps: Seq[FlexGenStep] = Nil
+  /** True when the config uses the two-stage contract
+    * (select_relation_members). The append flow re-derives member
+    * ways/nodes of touched relations ONLY then — the reference marks
+    * members via select_relation_members and reprocesses marked
+    * objects (osmdata.cpp:159, reprocess_marked); without stage 2 a
+    * relation change never re-renders its members. */
+  def twoStage: Boolean = false
   /** Full-graph hook for configs that need cross-entity joins: the
     * Lua id-cache idiom (turning-circles.lua's in_id_cache over
     * object.nodes) becomes a declarative node ⨝ way join here.

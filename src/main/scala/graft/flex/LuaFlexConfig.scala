@@ -102,6 +102,8 @@ final class LuaFlexConfig(
     has("select_relation_members") &&
       (has("process_way") || has("process_node"))
 
+  override def twoStage: Boolean = hasTwoStage
+
   // anything the executor closures need, precomputed serializable;
   // forcing loadEnv first populates recordedDbRegions
   private def spec: LuaFlexConfig.RunSpec = {
@@ -111,6 +113,15 @@ final class LuaFlexConfig(
   }
 
   // ---------- the full pipeline over the entity frames ----------
+
+  /** Append-flow id-cache seed (table name → node ids currently in
+    * the table minus this change's touched nodes). The reference
+    * re-initializes each cache-enabled table's cache from the
+    * database at the start of the way stage on append
+    * (src/output-flex.cpp:1046-1059, `SELECT id_column FROM table`
+    * into an in-RAM idlist_t) — this is the same bounded set, set by
+    * [[FlexRunner.append]] before the callbacks run. */
+  @transient var appendIdCacheSeed: Map[String, Set[Long]] = Map.empty
 
   override def processGraph(osm: graft.sources.OsmXml.OsmDataFrames)
       : Map[String, DataFrame] = {
@@ -132,10 +143,15 @@ final class LuaFlexConfig(
       if (idCacheTables.isEmpty) None
       else {
         nodeInserts = nodeInserts.persist(StorageLevel.MEMORY_AND_DISK)
-        val m = nodeInserts.filter(i => idCacheTables.contains(i.tbl))
+        val fresh = nodeInserts.filter(i => idCacheTables.contains(i.tbl))
           .map(i => (i.tbl, i.oid)).distinct().collect()
           .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-        Some(spark.sparkContext.broadcast(m))
+        val byIdx = tables.zipWithIndex.collect {
+          case (t, i) if t.idCache =>
+            i -> (appendIdCacheSeed.getOrElse(t.name, Set.empty[Long]) ++
+              fresh.getOrElse(i, Set.empty[Long]))
+        }.toMap
+        Some(spark.sparkContext.broadcast(byIdx))
       }
 
     val wayInserts1 =
@@ -282,9 +298,17 @@ object LuaFlexConfig {
           after.isEmpty) Iterator.empty
       else {
         val get = new RowReader(schema)
+        // `__marks_only` rows (append flow): unchanged parent relations
+        // of re-derived members run ONLY select_relation_members — the
+        // reference's stage-1c mark regeneration (src/output-flex.cpp
+        // select_relation_members for pending ways) — never the insert
+        // callbacks, so their table rows stay untouched.
+        val iMarksOnly = schema.fieldNames.indexOf("__marks_only")
         val main = rows.flatMap { row =>
           out.clear()
           val obj = get.toObject(row, kind)
+          val marksOnly = iMarksOnly >= 0 && !row.isNullAt(iMarksOnly) &&
+            row.getBoolean(iMarksOnly)
           if (obj.deleted)
             processDeleted.foreach(fn =>
               env.callProcess(fn, obj, s"process_deleted_$kind"))
@@ -296,10 +320,12 @@ object LuaFlexConfig {
               nodes.foreach(n => out += LuaInsert(-2, Map.empty, Map.empty,
                 Map.empty, "n", n))
             }
-            val cbName = if (obj.tags.nonEmpty) s"process_$kind"
-              else s"process_untagged_$kind"
-            val cb = if (obj.tags.nonEmpty) process else processUntagged
-            cb.foreach(fn => env.callProcess(fn, obj, cbName))
+            if (!marksOnly) {
+              val cbName = if (obj.tags.nonEmpty) s"process_$kind"
+                else s"process_untagged_$kind"
+              val cb = if (obj.tags.nonEmpty) process else processUntagged
+              cb.foreach(fn => env.callProcess(fn, obj, cbName))
+            }
           }
           out.toVector
         }
@@ -517,15 +543,23 @@ object LuaFlexConfig {
 
   /** Scalar Lua value → the text carrier Coerce parses. Numbers keep
     * Lua formatting except integral floats headed for int columns
-    * (the reference accepts 3.0 into int8, flex-write.cpp:92-117). */
-  private def scalarText(I: LuaInterp, v: LV, t: FlexType.Value): String =
+    * (the reference accepts 3.0 into int8, flex-write.cpp:92-117) and
+    * epoch numbers headed for timestamp columns, which render as ISO
+    * exactly like osmium::Timestamp::to_iso (flex-write.cpp:362-379). */
+  private def scalarText(I: LuaInterp, v: LV, t: FlexType.Value): String = {
+    def epochIso(n: Long): String =
+      java.time.Instant.ofEpochSecond(n).toString
     v match {
       case LBool(b) => if (b) "true" else "false"
+      case LInt(n) if t == FlexType.Timestamp => epochIso(n)
+      case LNum(d) if d.isWhole && t == FlexType.Timestamp =>
+        epochIso(d.toLong)
       case LNum(d) if d.isWhole &&
           (t == FlexType.Int2 || t == FlexType.Int4 ||
             t == FlexType.Int8) => d.toLong.toString
       case other => I.tostring(other)
     }
+  }
 
   /** Lua value → JSON text (flex-write.cpp:140-231): tables with
     * consecutive 1..n integer keys serialize as arrays, any other

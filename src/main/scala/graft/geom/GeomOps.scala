@@ -44,13 +44,43 @@ object GeomOps {
 
   // ---- projection (src/reprojection.cpp:17-79) ----
 
-  /** 4326 → 3857 closed-form spherical mercator; latitude clamped to
-    * ±89.99 like the reference (src/reprojection.cpp:21-26). */
+  /** 4326 → 3857 spherical mercator; latitude clamped to ±89.99 like
+    * the reference (src/reprojection.cpp:21-26). Uses the same
+    * rational-polynomial lat_to_y as libosmium (contrib/libosmium
+    * include/osmium/geom/mercator_projection.hpp:70-97, the public
+    * osmcode/mercator-projection approximation) inside ±78° so
+    * projected values are BIT-IDENTICAL to the reference's, with the
+    * canonical tan form outside that band. */
   def lonLatToMercator(p: Pt): Pt = {
     val lat = math.max(-89.99, math.min(89.99, p.y))
-    Pt(MercRadius * math.toRadians(p.x),
-      MercRadius * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+    Pt(MercRadius * math.toRadians(p.x), latToY(lat))
   }
+
+  private def latToY(lat: Double): Double =
+    if (lat < -78.0 || lat > 78.0)
+      MercRadius * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
+    else
+      MercRadius *
+        ((((((((((-3.1112583378460085319e-23  * lat +
+                   2.0465852743943268009e-19) * lat +
+                   6.4905282018672673884e-18) * lat +
+                  -1.9685447939983315591e-14) * lat +
+                  -2.2022588158115104182e-13) * lat +
+                   5.1617537365509453239e-10) * lat +
+                   2.5380136069803016519e-9)  * lat +
+                  -5.1448323697228488745e-6)  * lat +
+                  -9.4888671473357768301e-6)  * lat +
+                   1.7453292518154191887e-2)  * lat) /
+        ((((((((((-1.9741136066814230637e-22  * lat +
+                  -1.258514031244679556e-20)  * lat +
+                   4.8141483273572351796e-17) * lat +
+                   8.6876090870176172185e-16) * lat +
+                  -2.3298743439377541768e-12) * lat +
+                  -1.9300094785736130185e-11) * lat +
+                   4.3251609106864178231e-8)  * lat +
+                   1.7301944508516974048e-7)  * lat +
+                  -3.4554675198786337842e-4)  * lat +
+                  -5.4367203601085991108e-4)  * lat + 1.0)
 
   def mercatorToLonLat(p: Pt): Pt =
     Pt(math.toDegrees(p.x / MercRadius),

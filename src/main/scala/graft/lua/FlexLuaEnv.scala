@@ -110,11 +110,46 @@ final class FlexLuaEnv(
       case LNil => None
       case v    => I.toInteger(v)
     }
+  /** luaX_get_table_bool (src/lua-utils.cpp:176-194): nil → false,
+    * exact reference wording otherwise. */
   private def optBool(t: LTable, k: String, what: String): Boolean =
     t.rawGet(LStr(k)) match {
       case LNil     => false
       case LBool(b) => b
-      case _        => err(s"$what must be a boolean value.")
+      case _        => err(s"$what field '$k' must be a boolean field.")
+    }
+  /** luaX_get_table_string with default (src/lua-utils.cpp:157-174):
+    * nil → default; numbers pass (lua_isstring coerces them). */
+  private def defStr(t: LTable, k: String, what: String,
+      default: String): String =
+    t.rawGet(LStr(k)) match {
+      case LNil    => default
+      case LStr(s) => s
+      case LInt(n) => n.toString
+      case n: LNum => I.tostring(n)
+      case _ => err(s"$what field must contain a '$k' string field " +
+        s"(or nil for default: '$default').")
+    }
+  /** luaX_get_table_optional_uint32/64 (src/lua-utils.cpp:196-243):
+    * nil → 0, range-checked otherwise (strings that read as numbers
+    * pass, like lua_isnumber). */
+  private def optUint(t: LTable, k: String, what: String,
+      min: Long, max: Long, range: String): Long =
+    t.rawGet(LStr(k)) match {
+      case LNil => 0L
+      case v =>
+        val num = v match {
+          case LInt(n) => Some(n.toDouble)
+          case LNum(d) => Some(d)
+          case LStr(s) => s.toDoubleOption
+          case _       => None
+        }
+        num match {
+          case None => err(s"$what must contain an integer.")
+          case Some(d) if d < min || d > max =>
+            err(s"$what must be between $range.")
+          case Some(d) => d.toLong
+        }
     }
   private def arrayOf(t: LTable): Seq[LV] =
     (1L to t.length).map(i => t.rawGet(LInt(i)))
@@ -159,9 +194,9 @@ final class FlexLuaEnv(
   private def tableIdxOf(v: LV): Int = v match {
     case u: LUserdata => u.value match {
       case i: java.lang.Integer => i.intValue
-      case _ => err("Argument #1 has to be of type osm2pgsql.Table.")
+      case _ => err("First parameter must be of type osm2pgsql.Table.")
     }
-    case _ => err("Argument #1 has to be of type osm2pgsql.Table.")
+    case _ => err("First parameter must be of type osm2pgsql.Table.")
   }
   tableMeta.rawSet(LStr("insert"), fnv("insert") { a =>
     if (a.size != 2)
@@ -336,18 +371,35 @@ final class FlexLuaEnv(
         case _ =>
           err("Argument #1 to 'define_expire_output' must be a Lua table.")
       }
-      val maxzoom = optInt(t, "maxzoom").getOrElse(err(
-        "The 'maxzoom' field in a expire output must be between 1 and 20."))
+      // create_expire_output (src/flex-lua-expire-output.cpp:22-86):
+      // exact field order and wording; maxzoom is OPTIONAL — nil means
+      // 0 (whole-world tile, lua-expire.feature "without maxzoom")
+      val filename = defStr(t, "filename", "The expire output", "")
+      val schema = defStr(t, "schema", "The expire output", "public")
+      val tableN = defStr(t, "table", "The expire output", "")
+      if (filename.isEmpty && tableN.isEmpty)
+        err("Must set 'filename' and/or 'table' on expire output.")
+      val maxzoom = optUint(t, "maxzoom",
+        "The 'maxzoom' field in a expire output", 1, 20, "1 and 20")
+      val minzoom = optUint(t, "minzoom",
+        "The 'minzoom' field in a expire output", 1, maxzoom,
+        "1 and 'maxzoom'")
+      val mtg = optUint(t, "max_tiles_geometry",
+        "The 'max_tiles_geometry' field in a expire output", 1, 4L << 20,
+        "1 and 4 << 20")
+      val mto = optUint(t, "max_tiles_overall",
+        "The 'max_tiles_overall' field in a expire output", 1, 4L << 20,
+        "1 and 4 << 20")
       val eo =
         try FlexExpireOutput(
           name = s"expire_output_${expireOutputs.size}",
-          filename = optStr(t, "filename").filter(_.nonEmpty),
-          table = optStr(t, "table").filter(_.nonEmpty),
-          schema = optStr(t, "schema").getOrElse("public"),
+          filename = Some(filename).filter(_.nonEmpty),
+          table = Some(tableN).filter(_.nonEmpty),
+          schema = schema,
           maxzoom = maxzoom.toInt,
-          minzoomOpt = optInt(t, "minzoom").map(_.toInt),
-          maxTilesGeometryOpt = optInt(t, "max_tiles_geometry"),
-          maxTilesOverallOpt = optInt(t, "max_tiles_overall"))
+          minzoomOpt = Some(minzoom.toInt).filter(_ > 0),
+          maxTilesGeometryOpt = Some(mtg).filter(_ > 0),
+          maxTilesOverallOpt = Some(mto).filter(_ > 0))
         catch {
           case e: IllegalArgumentException =>
             err(Option(e.getMessage).getOrElse("")
@@ -472,7 +524,7 @@ final class FlexLuaEnv(
           }
         }
         if (ids != FlexIds.Tile) {
-          idCache = optBool(idsT, "cache", "The ids 'cache'")
+          idCache = optBool(idsT, "cache", "The ids")
           if (idCache && ids != FlexIds.Node)
             err("ID cache only available for node ids.")
           idColumn = optStr(idsT, "id_column").getOrElse(
@@ -528,27 +580,59 @@ final class FlexLuaEnv(
       case LNil => None
       case ixt: LTable => Some(arrayOf(ixt).map {
         case ix: LTable =>
-          val method = optStr(ix, "method").getOrElse(
-            err("The 'method' field in an index definition is missing."))
-          val cols0 = ix.rawGet(LStr("column")) match {
-            case LNil      => Nil
-            case LStr(s)   => Seq(s)
-            case ca: LTable => arrayOf(ca).map(I.tostring)
-            case _ => err("The 'column' field must be a string or an array.")
+          // flex_lua_setup_index (src/flex-lua-index.cpp:57-140):
+          // exact validation ORDER and wording — method, method
+          // validity, column (each checked against the table's
+          // columns), name, expression, either-or, include,
+          // tablespace, unique, where
+          val validColumns = (cols.map(_.name) :+ idColumn).toSet
+          def checkColumn(c: String): String =
+            if (validColumns(c)) c
+            else err(s"Unknown column '$c' in table '$name'.")
+          def strOrArray(k: String): Seq[String] =
+            ix.rawGet(LStr(k)) match {
+              case LNil    => Nil
+              case LStr(s) => Seq(checkColumn(s))
+              case ca: LTable =>
+                val entries = arrayOf(ca).map {
+                  case LStr(s) => checkColumn(s)
+                  // check_and_add_columns reuses the 'column' wording
+                  // for include arrays too (src/flex-lua-index.cpp:46)
+                  case _ => err(
+                    "The entries in the 'column' array must be strings.")
+                }
+                if (k == "column" && entries.isEmpty)
+                  err("The 'column' field in an index definition can " +
+                    "not be an empty array.")
+                entries
+              case _ => err(s"The '$k' field in an index definition " +
+                "must contain a string or an array.")
+            }
+          val method = ix.rawGet(LStr("method")) match {
+            case LStr(s) => s
+            case _ =>
+              err("Index definition must contain a 'method' string field.")
           }
+          if (!FlexLuaEnv.indexMethods(method))
+            err(s"Unknown index method '$method'.")
+          val cols0 = strOrArray("column")
+          val idxName = defStr(ix, "name", "Index definition", "")
+          val expression = defStr(ix, "expression", "Index definition", "")
+          if (expression.isEmpty == cols0.isEmpty)
+            err("You must set either the 'column' or the 'expression' " +
+              "field in index definition.")
+          val include = strOrArray("include")
+          val tablespace = defStr(ix, "tablespace", "Index definition", "")
+          val unique = optBool(ix, "unique", "Index definition")
+          val where = defStr(ix, "where", "Index definition", "")
           try FlexIndex(method, columns = cols0,
-            expression = optStr(ix, "expression").getOrElse(""),
-            name = optStr(ix, "name").getOrElse(""),
-            unique = optBool(ix, "unique", "Entry 'unique'"),
-            includeColumns = ix.rawGet(LStr("include")) match {
-              case LNil       => Nil
-              case LStr(s)    => Seq(s)
-              case it: LTable => arrayOf(it).map(I.tostring)
-              case _ => err("The 'include' field must be a string or an array.")
-            },
+            expression = expression,
+            name = idxName,
+            unique = unique,
+            includeColumns = include,
             fillfactor = optInt(ix, "fillfactor").map(_.toInt).getOrElse(0),
-            tablespace = optStr(ix, "tablespace").getOrElse(""),
-            where = optStr(ix, "where").getOrElse(""))
+            tablespace = tablespace,
+            where = where)
           catch { case e: IllegalArgumentException =>
             err(Option(e.getMessage).getOrElse("")
               .stripPrefix("requirement failed: ")) }
@@ -975,6 +1059,12 @@ end
 }
 
 object FlexLuaEnv {
+  /** The reference validates index methods against the database's
+    * pg_am catalog (has_index_method, src/pgsql-capabilities.cpp:189);
+    * stock PostgreSQL ships exactly these six. */
+  val indexMethods: Set[String] =
+    Set("btree", "hash", "gist", "gin", "spgist", "brin")
+
   /** One column-level expire reference (expire_config_t,
     * src/expire-config.hpp): which output index, cover mode, buffer,
     * diff flag and the hybrid-mode area threshold. */

@@ -233,10 +233,46 @@ object TileCover {
       if (b == null) Array.empty[Long]
       else cover(Ewkb.decode(b), cfg)
         .iterator.map { case (x, y) => (x << 32) | y }.toArray)
-    // one distributed pass: covers are computed once; oversize rows
-    // ship only their size (empty tile array) to the driver
-    val perGeom = df
-      .select(orderCol.as("__ord"), coverUdf(geomCol).as("__t"))
+    accumulateCapped(
+      df.select(orderCol.as("__ord"), coverUdf(geomCol).as("__t")), limits)
+  }
+
+  /** Per-OBJECT tile set for the append flow, exactly the reference's
+    * do_expire contract (src/flex-table-column.cpp:298-345 +
+    * output-flex.cpp:941,1012 vs 1143-1244): the old/new geometry
+    * LISTS of one object (its geometry_cache) cover both sides fully
+    * unless the object is a DEPENDENT re-render (`direct` false) with
+    * diff_expire on and both sides non-empty — then only the
+    * symmetric difference of the collected sets dirties tiles.
+    * Returns packed (x<<32|y) tiles. */
+  def pairTiles(cfg: Config, symDiff: Boolean)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((o: Seq[Array[Byte]], n: Seq[Array[Byte]], direct: Boolean) => {
+      def decode(s: Seq[Array[Byte]]): Vector[Geometry] =
+        Option(s).getOrElse(Seq.empty).filter(_ != null)
+          .map(Ewkb.decode).filterNot(_.isNull).toVector
+      val oldGs = decode(o)
+      val newGs = decode(n)
+      val separate = !symDiff || direct || oldGs.isEmpty || newGs.isEmpty
+      val tiles: Set[(Long, Long)] =
+        if (separate) (oldGs ++ newGs).flatMap(g => cover(g, cfg)).toSet
+        else symDiffTiles(
+          GeometryCollection(oldGs, oldGs.head.srid),
+          GeometryCollection(newGs, newGs.head.srid), cfg)
+      tiles.iterator.map { case (x, y) => (x << 32) | y }.toArray
+    })
+
+  /** [[limitedCover]]'s capped accumulation over [[pairTiles]] rows:
+    * `df` must carry `__ord` and the packed-tile array `__t`. */
+  def limitedCoverPacked(df: DataFrame, limits: Limits): LimitedCover =
+    accumulateCapped(df, limits)
+
+  /** The capped sequential fold shared by the limited-cover forms:
+    * one distributed pass computes per-geometry tile sets; oversize
+    * rows ship only their size (empty tile array) to the driver. */
+  private def accumulateCapped(perRow: DataFrame, limits: Limits)
+      : LimitedCover = {
+    val perGeom = perRow
       .where(size(col("__t")) > 0)
       .select(col("__ord"), size(col("__t")).as("__n"),
         when(size(col("__t")) <= limits.maxTilesPerGeometry, col("__t"))

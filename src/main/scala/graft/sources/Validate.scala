@@ -50,7 +50,10 @@ object Validate {
     * scan where the members column is shredded. */
   def dropOversizeRelations(rels: DataFrame,
       membersCol: String = "members", max: Int = 32767): DataFrame =
-    rels.where(size(col(membersCol)) <= max)
+    // null members pass: delete tombstones in the append flow carry
+    // no payload (delete-callbacks.feature) and must reach the
+    // process_deleted_relation dispatch
+    rels.where(col(membersCol).isNull || size(col(membersCol)) <= max)
 
   /** Node bbox source filter (src/osmdata.cpp:48-50): pushed to the
     * scan by Catalyst. */

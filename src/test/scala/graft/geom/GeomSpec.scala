@@ -78,9 +78,16 @@ class GeomSpec extends AnyFunSuite {
     // latitude clamp like the reference
     assert(GeomOps.lonLatToMercator(Pt(0, 90)).y ==
       GeomOps.lonLatToMercator(Pt(0, 89.99)).y)
-    // only from 4326
+    // library level transforms BOTH directions (the locator and -l
+    // paths need 3857 -> 4326); the Lua-exposed `transform` keeps the
+    // reference's 4326-only error (LuaGeom.scala:151, LuaBddSpec)
+    val back = GeomOps.transform(
+      GeomOps.transform(Point(Pt(13.4, 52.5), Srid.WGS84), Srid.WebMercator),
+      Srid.WGS84).asInstanceOf[Point].pt
+    assert(math.abs(back.x - 13.4) < 1e-9 && math.abs(back.y - 52.5) < 1e-9)
+    // unsupported SRID pairs still throw
     intercept[IllegalArgumentException] {
-      GeomOps.transform(Point(Pt(0, 0), Srid.WebMercator), Srid.WGS84)
+      GeomOps.transform(Point(Pt(0, 0), 2154), Srid.WGS84)
     }
   }
 

