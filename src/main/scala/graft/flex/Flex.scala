@@ -226,7 +226,11 @@ final case class FlexTableDef(
     typeColumn: Option[String] = None,
     /** Optional schema for the table (define_table's schema field,
       * with-schema.lua); None = the CLI's --schema / default. */
-    schemaName: Option[String] = None) {
+    schemaName: Option[String] = None,
+    /** ids.create_index (parse_create_index, src/flex-lua-table.cpp:
+      * 108-125): auto (id index only for updatable tables), always,
+      * unique, primary_key. */
+    createIndex: String = "auto") {
   // define-time validation (lua-table-definitions.feature /
   // src/flex-lua-table.cpp): a table needs a name and ≥1 column
   require(name.nonEmpty, "The table must contain a 'name' string field.")

@@ -501,6 +501,7 @@ final class FlexLuaEnv(
     var ids = FlexIds.NoIndex
     var idColumn = "osm_id"
     var idCache = false
+    var createIndex = "auto"
     var typeColumn: Option[String] = None
     t.rawGet(LStr("ids")) match {
       case LNil => // legal: insert-only table (warning in the reference)
@@ -530,12 +531,13 @@ final class FlexLuaEnv(
           idColumn = optStr(idsT, "id_column").getOrElse(
             err("The ids field must contain a 'id_column' string field."))
         }
-        // 'create_index' accepted and validated; the index build
+        // 'create_index' validated AND recorded; the index build
         // itself is a PG-side DDL concern (parse_create_index,
         // src/flex-lua-table.cpp:108-125)
         optStr(idsT, "create_index").foreach { ci =>
           if (!Set("auto", "always", "unique", "primary_key").contains(ci))
             err(s"Unknown value '$ci' for 'create_index' field of ids")
+          createIndex = ci
         }
       case _ => err("The ids field must be a table.")
     }
@@ -644,7 +646,8 @@ final class FlexLuaEnv(
     val tdef =
       try FlexTableDef(name, ids, cols, indexes = indexes,
         cluster = cluster, idColumn = idColumn, idCache = idCache,
-        typeColumn = typeColumn, schemaName = schema)
+        typeColumn = typeColumn, schemaName = schema,
+        createIndex = createIndex)
       catch { case e: IllegalArgumentException =>
         err(Option(e.getMessage).getOrElse("")
           .stripPrefix("requirement failed: ")) }

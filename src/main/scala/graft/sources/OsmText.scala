@@ -24,6 +24,31 @@ object OsmText {
   final case class Parsed(nodes: Vector[OsmNode], ways: Vector[OsmWay],
       relations: Vector[OsmRelation])
 
+  /** osmium `%hex%` escapes in the fixture DSL, the same rule as OPL
+    * strings (opl_parser_functions.hpp:141-180): `%XXXX%` appends the
+    * Unicode code point, `%%` a literal percent
+    * (tags.feature "special characters"). */
+  private def unescape(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val b = new java.lang.StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%') {
+          val end = s.indexOf('%', i + 1)
+          if (end < 0) { b.append(c); i += 1 }
+          else {
+            val hex = s.substring(i + 1, end)
+            if (hex.isEmpty) b.append('%')
+            else b.appendCodePoint(Integer.parseInt(hex, 16))
+            i = end + 1
+          }
+        } else { b.append(c); i += 1 }
+      }
+      b.toString
+    }
+
   def parse(text: String): Parsed = {
     val nodes = Vector.newBuilder[OsmNode]
     val ways = Vector.newBuilder[OsmWay]
@@ -55,7 +80,7 @@ object OsmText {
         case t if t.startsWith("i") && t.tail.forall(_.isDigit) =>
           uid = t.tail.toLong
         case t if t.startsWith("u") && !t.contains("=") =>
-          user = t.tail
+          user = unescape(t.tail)
         case t if t.startsWith("t") && t.contains("T") && t.contains(":") =>
           ts = java.time.Instant.parse(t.tail).getEpochSecond
         case t if t.startsWith("x") => x = t.tail.toDouble
@@ -74,7 +99,7 @@ object OsmText {
           tags = t.tail.split(",").filter(_.contains("="))
             .map { kv =>
               val i = kv.indexOf('=')
-              kv.take(i) -> kv.drop(i + 1)
+              unescape(kv.take(i)) -> unescape(kv.drop(i + 1))
             }.toMap
         case _ => ()
       }

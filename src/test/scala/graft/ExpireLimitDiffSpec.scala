@@ -209,12 +209,16 @@ class ExpireLimitDiffSpec extends SparkSpecBase {
     // expression index; column+expression and neither are rejected
     assert(FlexIndex("btree", expression = "lower(name)")
       .createIndexDdl("t") == """CREATE INDEX ON t USING btree (lower(name))""")
+    // ONE message for both violations, the reference's wording
+    // (src/flex-lua-index.cpp:100-103)
     assert(intercept[IllegalArgumentException] {
       FlexIndex("btree")
-    }.getMessage.contains("'column' or an 'expression'"))
+    }.getMessage.contains(
+      "You must set either the 'column' or the 'expression' field"))
     assert(intercept[IllegalArgumentException] {
       FlexIndex("btree", columns = Seq("a"), expression = "b")
-    }.getMessage.contains("can not have both"))
+    }.getMessage.contains(
+      "You must set either the 'column' or the 'expression' field"))
   }
 
   test("streaming diff expire: only changed parts dirty per update") {

@@ -15,7 +15,7 @@ class FlexBddFeatureSpec extends SparkSpecBase {
   /** feature file → minimum scenarios that must PASS (the rest may
     * skip for documented reasons; failures always fail). */
   private val features: Seq[(String, Int)] = Seq(
-    "tags.feature" -> 1, // special-chars scenario skips: encode()
+    "tags.feature" -> 2,
     "geometry-point.feature" -> 3,
     "geometry-linestring.feature" -> 3,
     "geometry-multipoint.feature" -> 1,
@@ -55,7 +55,7 @@ class FlexBddFeatureSpec extends SparkSpecBase {
     "lua-table-ids.feature" -> 21,
     "geometry-function-area.feature" -> 4,
     "invalid-geometries.feature" -> 4,
-    "lua-index-definitions.feature" -> 11,
+    "lua-index-definitions.feature" -> 26,
     "lua-expire-output-definitions.feature" -> 11,
     "lua-expire.feature" -> 14,
     "expire.feature" -> 5,

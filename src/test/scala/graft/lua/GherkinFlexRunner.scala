@@ -50,6 +50,7 @@ final class GherkinFlexRunner(spark: SparkSession) {
   private var dataConsumed = false
   private var logDebug = false
   private var extraAttributes = false
+  private var lastConfig: Option[graft.flex.FlexConfig] = None
   // grid nodes (re)declared since the last run: a Given-grid after a
   // run is CHANGE data for the next append (the reference harness
   // writes each run's grid nodes into that run's input file)
@@ -70,6 +71,7 @@ final class GherkinFlexRunner(spark: SparkSession) {
     dataConsumed = false
     logDebug = false
     extraAttributes = false
+    lastConfig = None
     dirtyGrid = Set.empty
   }
 
@@ -346,6 +348,7 @@ final class GherkinFlexRunner(spark: SparkSession) {
           val cfg = new graft.flex.LuaFlexConfig(lua, "style.lua",
             properties = Map("attributes" -> extraAttributes.toString,
               "prefix" -> "planet_osm", "updatable" -> "false"))
+          lastConfig = Some(cfg)
           commitRun(cfg, graft.flex.FlexRunner.run(cfg, osm), osm0,
             append = false)
         } else {
@@ -360,6 +363,7 @@ final class GherkinFlexRunner(spark: SparkSession) {
             mode = "append",
             properties = Map("attributes" -> extraAttributes.toString,
               "prefix" -> "planet_osm", "updatable" -> "true"))
+          lastConfig = Some(cfg)
           val ar = graft.flex.FlexRunner.append(cfg, tablesState,
             prevMiddle, change, storeAttributes = extraAttributes)
           commitRun(cfg, ar.result, ar.middle, append = true)
@@ -406,6 +410,17 @@ final class GherkinFlexRunner(spark: SparkSession) {
     runError.foreach(e =>
       fail("run failed: " + allMessages(e).mkString(" | ")))
     val sql = sqlStatements.getOrElse(name, fail(s"no SQL statement $name"))
+    // pg_catalog index-listing statements (lua-index-definitions
+    // .feature): synthesize the pg_get_indexdef rows from the run's
+    // table definitions instead of running catalog SQL
+    val idxTableRe = raw"(?s).*pg_catalog\.pg_index.*tablename = '(\w+)'.*".r
+    sql match {
+      case idxTableRe(tbl) =>
+        assertFrame(s"statement $name", synthIndexRows(tbl), exactly,
+          expected)
+        return
+      case _ => ()
+    }
     val tables = runResult.getOrElse(fail("no run")).tables
     tables.foreach { case (n, tr) => tr.rows.createOrReplaceTempView(n) }
     val df0 =
@@ -418,6 +433,54 @@ final class GherkinFlexRunner(spark: SparkSession) {
       else df
     }
     assertFrame(s"statement $name", renamed, exactly, expected)
+  }
+
+  /** pg_get_indexdef-style rows for a table's indexes, exactly what
+    * the reference's DDL creates (flex-table.cpp create_index /
+    * setup_flex_table_indexes + parse_create_index): the declared
+    * index list, or the default geometry GiST when none is declared,
+    * plus the id index per ids.create_index. PG renders plain
+    * identifiers unquoted. */
+  private def synthIndexRows(tbl: String): DataFrame = {
+    import graft.flex.{FlexIndex, FlexType}
+    val cfg = lastConfig.getOrElse(fail("no run"))
+    val t = cfg.tables.find(_.name == tbl)
+      .getOrElse(fail(s"no table $tbl in config"))
+    def render(ix: FlexIndex): String = {
+      val uniq = if (ix.unique) "UNIQUE " else ""
+      val nm = if (ix.name.nonEmpty) ix.name
+        else s"${tbl}_${(ix.columns ++ Seq("expr")).head}_idx"
+      val target =
+        if (ix.expression.nonEmpty) ix.expression
+        else ix.columns.mkString(", ")
+      val inc = if (ix.includeColumns.nonEmpty)
+        s" INCLUDE (${ix.includeColumns.mkString(", ")})" else ""
+      val wh = if (ix.where.nonEmpty) s" WHERE (${ix.where})" else ""
+      s"CREATE ${uniq}INDEX $nm ON public.$tbl USING ${ix.method} " +
+        s"($target)$inc$wh"
+    }
+    val bodyIdx: Seq[(String, Boolean)] = t.indexes match {
+      case Some(list) => list.map(ix => (render(ix), false))
+      case None => t.columns
+        .filter(c => FlexType.sparkType(c.ctype) ==
+          org.apache.spark.sql.types.BinaryType)
+        .map(c => (s"CREATE INDEX ${tbl}_${c.name}_idx ON public.$tbl " +
+          s"USING gist (${c.name})", false))
+    }
+    val idIdx: Seq[(String, Boolean)] = t.createIndex match {
+      case "always" if t.hasIds =>
+        Seq((s"CREATE INDEX ${tbl}_${t.idColumn}_idx ON public.$tbl " +
+          s"USING btree (${t.idColumn})", false))
+      case "unique" if t.hasIds =>
+        Seq((s"CREATE UNIQUE INDEX ${tbl}_${t.idColumn}_idx ON " +
+          s"public.$tbl USING btree (${t.idColumn})", false))
+      case "primary_key" if t.hasIds =>
+        Seq((s"CREATE UNIQUE INDEX ${tbl}_pkey ON public.$tbl " +
+          s"USING btree (${t.idColumn})", true))
+      case _ => Nil // 'auto': id index only for updatable tables
+    }
+    import spark.implicits._
+    (bodyIdx ++ idIdx).toDF("indexdef", "is_primary")
   }
 
   private def allMessages(e: Throwable): Seq[String] =
@@ -604,10 +667,9 @@ final class GherkinFlexRunner(spark: SparkSession) {
           case m: scala.collection.Map[_, _] =>
             m.asInstanceOf[scala.collection.Map[String, String]]
               .get(key).orNull
-          case s: String => // json text column
+          case s: String => // json text column; ->> unescapes fully
             val p = (s""""${java.util.regex.Pattern.quote(key)}":"((?:[^"\\\\]|\\\\.)*)"""").r
-            p.findFirstMatchIn(s).map(m2 =>
-              m2.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+            p.findFirstMatchIn(s).map(m2 => jsonUnescape(m2.group(1)))
               .orNull
           case other => other
         }
@@ -623,6 +685,31 @@ final class GherkinFlexRunner(spark: SparkSession) {
           case other          => other
         }
     }
+  }
+
+  /** Full JSON string unescape (what PG's ->> does): the standard
+    * two-char escapes plus \uXXXX. */
+  private def jsonUnescape(s: String): String = {
+    val b = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'b' => b.append('\b'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          case 'u' if i + 5 < s.length + 1 =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16)
+              .toChar)
+            i += 6
+          case other => b.append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
   }
 
   /** Index of a top-level `=` (not inside parens/quotes), or -1. */
@@ -680,6 +767,20 @@ final class GherkinFlexRunner(spark: SparkSession) {
       case "ST_NPoints" => LuaGeom.nPoints(innerGeom)
       case "ST_Transform" =>
         GeomOps.transform(innerGeom, args.split(",").last.trim.toInt)
+      case "encode" =>
+        // encode(<expr>::bytea, 'hex') — tags.feature's special-chars
+        // scenario checks the stored strings byte-for-byte
+        val fmt = args.split(",").last.trim
+          .stripPrefix("'").stripSuffix("'")
+        if (fmt != "hex") throw new SkipStep(s"encode format $fmt")
+        val inner0 = firstArg(args).stripSuffix("::bytea").trim
+        val inner = if (inner0.startsWith("(") && inner0.endsWith(")"))
+          inner0.substring(1, inner0.length - 1) else inner0
+        evalExpr(row, inner) match {
+          case null => null
+          case s => s.toString.getBytes("UTF-8")
+            .map(b => f"${b & 0xff}%02x").mkString
+        }
       case "to_char" =>
         // the features' one pattern: to_char(<ts> AT TIME ZONE 'UTC',
         // 'YYYY-MM-DD"T"HH24:MI:SS"Z"') — session tz is UTC already
