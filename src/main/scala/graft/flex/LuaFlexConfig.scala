@@ -467,13 +467,19 @@ object LuaFlexConfig {
       val v = row.rawGet(LStr(c.name))
       val isGeom =
         FlexType.sparkType(c.ctype) == BinaryType
+      // flex_write_column (src/flex-write.cpp:261-470): function-like
+      // values never land, nil is always NULL, everything else
+      // converts (or errors) per the COLUMN type with the reference's
+      // exact acceptance rules and wording
       v match {
         case LNil =>
           if (c.notNull) return notNullResult(env, o, c.name)
+        case _: LBuiltin => env.I.fail(0,
+          "Can not add Lua objects of type function or thread.")
         case u: LUserdata => u.value match {
           case g: GGeometry =>
-            if (!isGeom) env.I.fail(0,
-              s"Invalid type 'userdata' for column '${c.name}'.")
+            if (!isGeom) env.I.fail(0, "Invalid type 'userdata' for " +
+              s"${typeLabel(c.ctype)} column.")
             if (g.isNull) {
               if (c.notNull) return notNullResult(env, o, c.name)
             } else bins += c.name -> geomBytes(env, g, c)
@@ -482,21 +488,43 @@ object LuaFlexConfig {
         }
         case tab: LTable => c.ctype match {
           case FlexType.Hstore =>
+            // keys/values via lua_tostring: strings and numbers
+            // convert, anything else is the reference's NULL-key /
+            // NULL-value error (flex-write.cpp:382-409)
             maps += c.name -> tab.entries.map { case (k, hv) =>
-              env.I.tostring(k) -> env.I.tostring(hv)
+              val ks = k match {
+                case LStr(s) => s
+                case _: LInt | _: LNum => env.I.tostring(k)
+                case other => env.I.fail(0, "NULL key for hstore. " +
+                  "Possibly this is due to an incorrect data type " +
+                  s"'${other.typeName}' as key.")
+              }
+              val vs = hv match {
+                case LStr(s) => s
+                case _: LInt | _: LNum => env.I.tostring(hv)
+                case other => env.I.fail(0, "NULL value for hstore. " +
+                  "Possibly this is due to an incorrect data type " +
+                  s"'${other.typeName}' for key '$ks'.")
+              }
+              ks -> vs
             }.toMap
           case FlexType.Json =>
             strs += c.name -> luaToJson(env.I, tab)
+          case _ if isGeom => env.I.fail(0,
+            s"Need geometry data for geometry column '${c.name}'.")
           case _ => env.I.fail(0,
-            s"Invalid type 'table' for column '${c.name}'.")
+            s"Invalid type 'table' for ${typeLabel(c.ctype)} column.")
         }
         case scalar =>
           if (isGeom) env.I.fail(0,
-            s"Invalid type '${scalar.typeName}' for geometry column " +
-              s"'${c.name}'.")
+            s"Need geometry data for geometry column '${c.name}'.")
           else if (c.ctype == FlexType.Json)
             strs += c.name -> luaToJson(env.I, scalar)
-          else strs += c.name -> scalarText(env.I, scalar, c.ctype)
+          else convertScalar(env, scalar, c) match {
+            case Some(text) => strs += c.name -> text
+            case None =>
+              if (c.notNull) return notNullResult(env, o, c.name)
+          }
       }
     }
     out += LuaInsert(idx, strs.result(), bins.result(), maps.result(),
@@ -541,31 +569,138 @@ object LuaFlexConfig {
     Ewkb.encode(g, ensureMulti = wrapMulti)
   }
 
-  /** Scalar Lua value → the text carrier Coerce parses. Numbers keep
-    * Lua formatting except integral floats headed for int columns
-    * (the reference accepts 3.0 into int8, flex-write.cpp:92-117) and
-    * epoch numbers headed for timestamp columns, which render as ISO
-    * exactly like osmium::Timestamp::to_iso (flex-write.cpp:362-379). */
-  private def scalarText(I: LuaInterp, v: LV, t: FlexType.Value): String = {
+  /** The reference's per-type label in "Invalid type '…' for <label>
+    * column." messages (flex-write.cpp). */
+  private def typeLabel(t: FlexType.Value): String = t match {
+    case FlexType.Text            => "text"
+    case FlexType.Boolean         => "boolean"
+    case FlexType.Int2            => "int2"
+    case FlexType.Int4            => "int4"
+    case FlexType.Int8            => "int8"
+    case FlexType.Real            => "real/double precision"
+    case FlexType.DoublePrecision => "real/double precision"
+    case FlexType.Timestamp       => "timestamp"
+    case FlexType.Hstore          => "hstore"
+    case FlexType.Json            => "json/jsonb"
+    case FlexType.Direction       => "direction"
+    case other                    => other.toString.toLowerCase
+  }
+
+  /** strtoll semantics (write_integer, flex-write.cpp:92-117): skip
+    * leading whitespace, optional sign, decimal digits, NOTHING after
+    * — out of range or trailing junk → NULL. */
+  private def strtoll(s: String): Option[Long] = {
+    val t = s.dropWhile(ch => ch == ' ' || ch == '\t' || ch == '\n' ||
+      ch == '\r' || ch == '\f' || ch == 0x0b.toChar)
+    if (!t.matches("[+-]?[0-9]+")) None
+    else try Some(t.toLong) catch { case _: NumberFormatException => None }
+  }
+
+  /** strtod semantics (write_double, flex-write.cpp:119-135): decimal
+    * or 0x-hex forms, full-string match or NULL. */
+  private def strtod(s: String): Option[Double] = {
+    val t = s.dropWhile(ch => ch == ' ' || ch == '\t' || ch == '\n' ||
+      ch == '\r' || ch == '\f' || ch == 0x0b.toChar)
+    if (t.matches(raw"[+-]?0[xX][0-9a-fA-F]+"))
+      Some(java.lang.Long.parseLong(
+        t.replaceFirst("0[xX]", "").replace("+", ""), 16).toDouble *
+        (if (t.startsWith("-")) -1 else 1))
+    else if (t.matches(raw"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"))
+      Some(t.toDouble)
+    else None
+  }
+
+  /** Scalar Lua value → normalized text carrier, with the reference's
+    * EXACT per-column-type acceptance rules (flex_write_column,
+    * src/flex-write.cpp:281-470): which Lua types a column takes,
+    * which convert, which range-overflow to NULL, which error — e.g.
+    * booleans feed int and direction columns but ERROR on text/real;
+    * non-integral floats land as 0 in int columns (lua_tointeger);
+    * string numbers parse with strtoll/strtod semantics. Returns
+    * None for a database NULL. */
+  private def convertScalar(env: FlexLuaEnv, v: LV,
+      c: FlexColumn): Option[String] = {
+    val I = env.I
+    def bad(): Nothing = I.fail(0,
+      s"Invalid type '${v.typeName}' for ${typeLabel(c.ctype)} column.")
     def epochIso(n: Long): String =
       java.time.Instant.ofEpochSecond(n).toString
-    v match {
-      case LBool(b) => if (b) "true" else "false"
-      case LInt(n) if t == FlexType.Timestamp => epochIso(n)
-      case LNum(d) if d.isWhole && t == FlexType.Timestamp =>
-        epochIso(d.toLong)
-      case LNum(d) if d.isWhole &&
-          (t == FlexType.Int2 || t == FlexType.Int4 ||
-            t == FlexType.Int8) => d.toLong.toString
-      case other => I.tostring(other)
+    def intCol(min: Long, max: Long): Option[String] = v match {
+      // lua_tointeger: non-integral floats read as 0
+      case LInt(n) => Some(n).filter(x => x >= min && x <= max)
+        .map(_.toString)
+      case LNum(d) =>
+        val n = if (d.isWhole) d.toLong else 0L
+        Some(n).filter(x => x >= min && x <= max).map(_.toString)
+      case LStr(s) => strtoll(s).filter(x => x >= min && x <= max)
+        .map(_.toString)
+      case LBool(b) => Some(if (b) "1" else "0")
+      case _ => bad()
+    }
+    c.ctype match {
+      case FlexType.Text =>
+        // lua_tolstring converts strings and numbers only
+        v match {
+          case LStr(s) => Some(s)
+          case _: LInt | _: LNum => Some(I.tostring(v))
+          case _ => bad()
+        }
+      case FlexType.Boolean => v match {
+        case LBool(b) => Some(b.toString)
+        case LInt(n) => Some((n != 0).toString)
+        case LNum(d) => Some((d != 0.0).toString)
+        case LStr("yes") | LStr("true") | LStr("1") => Some("true")
+        case LStr("no") | LStr("false") | LStr("0") => Some("false")
+        case LStr(_) => None
+        case _ => bad()
+      }
+      case FlexType.Int2 => intCol(Short.MinValue, Short.MaxValue)
+      case FlexType.Int4 => intCol(Int.MinValue, Int.MaxValue)
+      case FlexType.Int8 => intCol(Long.MinValue, Long.MaxValue)
+      case FlexType.Real | FlexType.DoublePrecision => v match {
+        case LInt(n) => Some(n.toString)
+        case LNum(d) => Some(I.tostring(v))
+        case LStr(s) => strtod(s).map(d =>
+          if (d == d.toLong.toDouble) d.toLong.toString else d.toString)
+        case _ => bad()
+      }
+      case FlexType.Timestamp => v match {
+        case LInt(n) => Some(epochIso(n))
+        case LNum(d) => Some(epochIso(if (d.isWhole) d.toLong else 0L))
+        case LStr(s) => Some(s)
+        case _ => bad()
+      }
+      case FlexType.Direction => v match {
+        case LBool(b) => Some(if (b) "1" else "0")
+        case LInt(n) => Some(java.lang.Long.signum(n).toString)
+        case LNum(d) => Some(math.signum(d).toInt.toString)
+        case LStr("yes") | LStr("1") => Some("1")
+        case LStr("no") | LStr("0") => Some("0")
+        case LStr("-1") => Some("-1")
+        case LStr(_) => None
+        case _ => bad()
+      }
+      // hstore takes ONLY Lua tables (flex-write.cpp:382-410)
+      case FlexType.Hstore => bad()
+      case _ => v match {
+        case LBool(b) => Some(b.toString)
+        case other => Some(I.tostring(other))
+      }
     }
   }
 
-  /** Lua value → JSON text (flex-write.cpp:140-231): tables with
-    * consecutive 1..n integer keys serialize as arrays, any other
-    * table as an object; NaN/Inf numbers → null (the json writer's
-    * number rule); nested tables recurse. */
-  private[flex] def luaToJson(I: LuaInterp, v: LV): String = v match {
+  /** Lua value → JSON text (write_json, flex-write.cpp:140-231):
+    * tables with consecutive 1..n integer keys serialize as arrays,
+    * any other table as an object (string keys only); NaN/Inf numbers
+    * → null (the json writer's number rule); nested tables recurse
+    * with the reference's cycle check ("Loop detected in table");
+    * functions and other opaque values error like write_json's
+    * default branch. */
+  private[flex] def luaToJson(I: LuaInterp, v: LV): String =
+    luaToJson(I, v, Nil)
+
+  private def luaToJson(I: LuaInterp, v: LV,
+      stack: List[LTable]): String = v match {
     case LNil     => "null"
     case LBool(b) => b.toString
     case LInt(n)  => n.toString
@@ -575,6 +710,8 @@ object LuaFlexConfig {
       else d.toString
     case LStr(s)  => jsonEscape(s)
     case t: LTable =>
+      if (stack.exists(_ eq t)) I.fail(0, "Loop detected in table")
+      val deeper = t :: stack
       val live = t.entries.toVector
       val len = t.length
       val isArray = len > 0 && live.size == len &&
@@ -583,13 +720,17 @@ object LuaFlexConfig {
           case _            => false
         }
       if (isArray)
-        (1L to len).map(i => luaToJson(I, t.rawGet(LInt(i))))
+        (1L to len).map(i => luaToJson(I, t.rawGet(LInt(i)), deeper))
           .mkString("[", ",", "]")
       else
-        live.map { case (k, hv) =>
-          jsonEscape(I.tostring(k)) + ":" + luaToJson(I, hv)
+        live.map {
+          case (LStr(k), hv) =>
+            jsonEscape(k) + ":" + luaToJson(I, hv, deeper)
+          case (k, _) => I.fail(0,
+            s"Incorrect data type '${k.typeName}' as key.")
         }.mkString("{", ",", "}")
-    case other => jsonEscape(I.tostring(other))
+    case other => I.fail(0,
+      s"Invalid type '${other.typeName}' for json/jsonb column.")
   }
 
   private def jsonEscape(s: String): String = {

@@ -32,7 +32,7 @@ class FlexBddFeatureSpec extends SparkSpecBase {
     "area.feature" -> 4,
     "geometry-iteration.feature" -> 1,
     "id-cache.feature" -> 2,
-    "locator.feature" -> 8, // 2 skips: add_from_db needs live PG
+    "locator.feature" -> 10,
     "timestamp.feature" -> 1,
     "geometry-processing.feature" -> 3,
     "lua-table-definitions.feature" -> 8,

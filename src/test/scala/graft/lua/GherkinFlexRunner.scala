@@ -327,6 +327,16 @@ final class GherkinFlexRunner(spark: SparkSession) {
     runError = None
   }
 
+  /** add_from_db backing: the reference scenarios SELECT from a table
+    * a PREVIOUS run landed in the database — here that state is
+    * [[tablesState]], so the user SQL runs over it as temp views and
+    * returns (name, EWKB) regions (locator.feature "from db"). */
+  private def regionResolver(sql: String): Seq[(String, Array[Byte])] = {
+    tablesState.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    spark.sql(sql).collect().toSeq.map(r =>
+      (String.valueOf(r.get(0)), r.getAs[Array[Byte]](1)))
+  }
+
   private def runFlex(append: Boolean): Unit = {
     val lua = luaSource.getOrElse(fail("no lua style given"))
     // stdout/stderr capture: config `print` goes through Console.out
@@ -347,7 +357,8 @@ final class GherkinFlexRunner(spark: SparkSession) {
           // the BDD harness runs with default import properties
           val cfg = new graft.flex.LuaFlexConfig(lua, "style.lua",
             properties = Map("attributes" -> extraAttributes.toString,
-              "prefix" -> "planet_osm", "updatable" -> "false"))
+              "prefix" -> "planet_osm", "updatable" -> "false"),
+            dbRegionResolver = Some(regionResolver))
           lastConfig = Some(cfg)
           commitRun(cfg, graft.flex.FlexRunner.run(cfg, osm), osm0,
             append = false)
@@ -362,7 +373,8 @@ final class GherkinFlexRunner(spark: SparkSession) {
           val cfg = new graft.flex.LuaFlexConfig(lua, "style.lua",
             mode = "append",
             properties = Map("attributes" -> extraAttributes.toString,
-              "prefix" -> "planet_osm", "updatable" -> "true"))
+              "prefix" -> "planet_osm", "updatable" -> "true"),
+            dbRegionResolver = Some(regionResolver))
           lastConfig = Some(cfg)
           val ar = graft.flex.FlexRunner.append(cfg, tablesState,
             prevMiddle, change, storeAttributes = extraAttributes)
