@@ -19,6 +19,44 @@ import graft.sources.OsmXml.OsmDataFrames
 object Enrich {
 
   def forFlex(osm: OsmDataFrames, mode: String): OsmDataFrames = {
+    build(osm, mode)
+  }
+
+  /** Append-path enrichment restricted to the dependency closure:
+    * resolve coordinates ONLY for the touched ways plus the member
+    * ways of touched relations, and member arrays ONLY for touched
+    * relations, instead of re-enriching the whole middle.
+    *
+    * The node-location probe still joins against the FULL nodes frame
+    * (a changed way's unchanged nodes need their stored locations —
+    * the reference's flat-nodes random reads, src/middle-pgsql.cpp:
+    * 693-727); as a semi-join-restricted probe it is prunable by id
+    * bucketing on a cluster (MiddleStore proves the zero-Exchange
+    * form). Everything else is proportional to the change closure,
+    * not the planet — the reference's append does per-object lookups
+    * for exactly this touched set (src/osmdata.cpp:75-147).
+    *
+    * `touchedW`/`touchedR` are single-column id frames.
+    */
+  def forFlexTouched(osm: OsmDataFrames, mode: String,
+      touchedW: org.apache.spark.sql.DataFrame,
+      touchedR: org.apache.spark.sql.DataFrame): OsmDataFrames = {
+    val rels = osm.relations.join(
+      touchedR.toDF("__tid"), col("id") === col("__tid"), "left_semi")
+    val memberWids = rels
+      .select(explode(col("members")).as("m"))
+      .where(col("m.mtype") === "w")
+      .select(col("m.ref").as("id")).distinct()
+    val needW = touchedW.toDF("id").unionByName(memberWids).distinct()
+    val ways = osm.ways.join(
+      needW.toDF("__twid"), col("id") === col("__twid"), "left_semi")
+    val restricted = osm.copy(ways = ways, relations = rels)
+    // nodes stay full: the pass itself restricts them afterwards and
+    // nothing heavy happens on the node frame during enrichment
+    build(restricted, mode)
+  }
+
+  private def build(osm: OsmDataFrames, mode: String): OsmDataFrames = {
     val lineGeom = udf((lons: Seq[Double], lats: Seq[Double]) =>
       if (lons == null) null // way with zero resolvable nodes
       else graft.geom.FromOsm.createLineString(

@@ -265,9 +265,13 @@ object FlexRunner {
         .distinct()
         .join(touchedR.toDF("tid"), col("id") === col("tid"), "left_anti")
 
-    // 4. re-derive: enrich the FULL new middle (coordinate resolution
-    // must see every node), then restrict each pass to the touched set
-    val enriched = Enrich.forFlex(newMiddle, "append")
+    // 4. re-derive: enrich only the dependency closure (touched ways
+    // + member ways of touched relations), probing the full node
+    // frame for locations — change-proportional work, not a planet
+    // re-enrichment (the reference appends via per-object middle
+    // lookups for exactly this set, src/osmdata.cpp:75-147)
+    val enriched = Enrich.forFlexTouched(newMiddle, "append",
+      touchedW, touchedR.unionByName(marksOnlyR).distinct())
     def restrict(df: DataFrame, ids: DataFrame): DataFrame =
       df.join(ids.toDF("tid"), df("id") === col("tid"), "left_semi")
     // deleted objects re-enter the pass as attribute-only rows (the
