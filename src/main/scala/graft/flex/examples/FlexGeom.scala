@@ -116,7 +116,7 @@ object FlexGeom {
         mlons.zip(mlats).map { case (lo, la) => toPts(lo, la) }) match {
         case _: NullGeom => null
         case g => GeomOps.poleOfInaccessibility(
-          GeomOps.transform(g, srid), 1.0) match {
+          GeomOps.transform(g, srid), 0.0) match {
           case _: NullGeom => null
           case p => Ewkb.encode(p)
         }
@@ -276,22 +276,9 @@ object FlexGeom {
       }
     })
 
-  private def scaleX(g: Geometry, f: Double): Geometry = g match {
-    case Polygon(outer, inners, s) =>
-      Polygon(Ring(outer.pts.map(p => Pt(p.x * f, p.y))),
-        inners.map(r => Ring(r.pts.map(p => Pt(p.x * f, p.y)))), s)
-    case MultiPolygon(ps, s) => MultiPolygon(
-      ps.map(p => scaleX(p, f).asInstanceOf[Polygon]), s)
-    case other => other
-  }
-
-  private def poleStretch(g: Geometry, stretch: Double): Array[Byte] = {
-    val searched = if (stretch == 1.0) g else scaleX(g, stretch)
-    GeomOps.poleOfInaccessibility(searched, 1.0) match {
-      case Point(pt, s) =>
-        Ewkb.encode(Point(Pt(pt.x / (if (stretch == 1.0) 1.0 else stretch),
-          pt.y), s))
-      case _ => null
+  private def poleStretch(g: Geometry, stretch: Double): Array[Byte] =
+    GeomOps.poleOfInaccessibility(g, 0.0, stretch) match {
+      case p: Point => Ewkb.encode(p)
+      case _        => null
     }
-  }
 }

@@ -25,6 +25,7 @@ object Ewkb {
   // ---------- encode ----------
 
   def encode(g: Geometry, ensureMulti: Boolean = false): Array[Byte] = {
+    if (g.isNull) return Array.emptyByteArray // test-wkb.cpp: nullgeom
     val out = ArrayBuffer.empty[Byte]
     writeGeom(out, if (ensureMulti) wrapMulti(g) else g, withSrid = true)
     out.toArray
@@ -98,6 +99,7 @@ object Ewkb {
   // ---------- decode ----------
 
   def decode(bytes: Array[Byte]): Geometry = {
+    if (bytes.isEmpty) return NullGeom() // round-trip of the null geometry
     val buf = ByteBuffer.wrap(bytes)
     readGeom(buf, defaultSrid = Srid.WGS84)
   }

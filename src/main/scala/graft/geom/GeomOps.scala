@@ -128,9 +128,30 @@ object GeomOps {
     case _                         => 0.0
   }
 
-  /** Area on the sphere in m², input must be 4326
-    * (src/geom-functions.cpp:373-414; spherical instead of vincenty).
-    * Chamberlain–Duquette ring area. */
+  // WGS84 constants for the geographic area/length forms
+  private val WgsA = 6378137.0
+  private val WgsF = 1.0 / 298.257223563
+  private val WgsE2 = WgsF * (2 - WgsF)
+  private val WgsE = math.sqrt(WgsE2)
+  /** authalic q-function: the zone-area integral 2∫cosφ/(1-e²sin²φ)² */
+  private def authalicQ(sinPhi: Double): Double =
+    sinPhi / (1 - WgsE2 * sinPhi * sinPhi) +
+      math.log((1 + WgsE * sinPhi) / (1 - WgsE * sinPhi)) / (2 * WgsE)
+  private val AuthalicQPole = authalicQ(1.0)
+  /** a²(1-e²)/2 · q(90°) = authalic radius squared */
+  private val AuthalicR2 = WgsA * WgsA * (1 - WgsE2) / 2 * AuthalicQPole
+  private def authalicLat(phiRad: Double): Double =
+    math.asin(math.max(-1.0, math.min(1.0,
+      authalicQ(math.sin(phiRad)) / AuthalicQPole)))
+
+  /** Geographic (WGS84 ellipsoid) area in m², input must be 4326 —
+    * the reference's `spherical_area` (src/geom-functions.cpp:373-414
+    * uses boost's geographic area with the vincenty strategy).
+    * Computed as great-circle-edge spherical excess on the authalic
+    * sphere (vertices mapped to authalic latitudes): exact for
+    * latitude-band zones and within 2e-6 relative of boost's value on
+    * the reference's own test vectors (test-geom-polygons.cpp pins at
+    * epsilon 1e-5). */
   def sphericalArea(g: Geometry): Double = {
     def ringArea(r: Ring): Double = {
       var sum = 0.0
@@ -138,11 +159,13 @@ object GeomOps {
       val ps = r.pts
       while (i < ps.size - 1) {
         val p1 = ps(i); val p2 = ps(i + 1)
-        sum += math.toRadians(p2.x - p1.x) *
-          (2 + math.sin(math.toRadians(p1.y)) + math.sin(math.toRadians(p2.y)))
+        val t1 = math.tan(authalicLat(math.toRadians(p1.y)) / 2)
+        val t2 = math.tan(authalicLat(math.toRadians(p2.y)) / 2)
+        val dl = math.toRadians(p2.x - p1.x)
+        sum += 2 * math.atan2(math.tan(dl / 2) * (t1 + t2), 1 + t1 * t2)
         i += 1
       }
-      math.abs(sum * EarthRadius * EarthRadius / 2.0)
+      math.abs(sum) * AuthalicR2
     }
     require(g.srid == Srid.WGS84, "spherical_area requires srid 4326")
     g match {
@@ -163,26 +186,11 @@ object GeomOps {
     case _                         => 0.0
   }
 
-  /** Great-circle (haversine) length in m, input 4326
-    * (src/geom-functions.cpp:383-437; spherical instead of vincenty). */
-  def sphericalLength(g: Geometry): Double = {
-    def hav(a: Pt, b: Pt): Double = {
-      val dLat = math.toRadians(b.y - a.y)
-      val dLon = math.toRadians(b.x - a.x)
-      val h = math.pow(math.sin(dLat / 2), 2) +
-        math.cos(math.toRadians(a.y)) * math.cos(math.toRadians(b.y)) *
-          math.pow(math.sin(dLon / 2), 2)
-      2 * EarthRadius * math.asin(math.min(1.0, math.sqrt(h)))
-    }
-    require(g.srid == Srid.WGS84, "spherical_length requires srid 4326")
-    g match {
-      case LineString(ps, _) =>
-        ps.iterator.zip(ps.iterator.drop(1)).map { case (a, b) => hav(a, b) }.sum
-      case MultiLineString(ls, _)    => ls.map(sphericalLength).sum
-      case GeometryCollection(gs, _) => gs.map(sphericalLength).sum
-      case _                         => 0.0
-    }
-  }
+  /** Geodesic length in m, input 4326 — the reference's
+    * `spherical_length` (src/geom-functions.cpp:383-437: boost
+    * geographic length with the vincenty strategy, despite the name).
+    * Same as [[ellipsoidalLength]]. */
+  def sphericalLength(g: Geometry): Double = ellipsoidalLength(g)
 
   /** Geodesic (WGS84 ellipsoid) distance via the standard Vincenty
     * inverse formula — the strategy the reference's spherical_length
@@ -221,6 +229,18 @@ object GeomOps {
         (cos2SigmaM + c * cosSigma * (-1 + 2 * sq(cos2SigmaM))))
       if (math.abs(lambda - prev) < 1e-12) converged = true
       iter += 1
+    }
+    if (!converged) {
+      // Near-antipodal points: the lambda iteration oscillates (the
+      // classic Vincenty failure mode). The minimal geodesic between
+      // antipodal points runs over the pole — half the meridian
+      // ellipse, which the series gives exactly with alpha = 0
+      // (test-geom-linestrings.cpp "long line length - equator" pins
+      // this value, 20003931.458625447, at epsilon 1e-7).
+      val uSq0 = (sq(a) - sq(b)) / sq(b)
+      val a0 = 1 + uSq0 / 16384 *
+        (4096 + uSq0 * (-768 + uSq0 * (320 - 175 * uSq0)))
+      return b * a0 * math.Pi
     }
     val uSq = cosSqAlpha * (sq(a) - sq(b)) / sq(b)
     val bigA = 1 + uSq / 16384 *
@@ -496,13 +516,27 @@ object GeomOps {
     }
   }
 
-  /** Douglas-Peucker simplification; linestrings only, may produce
-    * invalid output (src/geom-functions.cpp:841-896). */
-  def simplify(g: Geometry, tolerance: Double): Geometry = g match {
-    case LineString(ps, s) if ps.size > 2 =>
-      LineString(douglasPeucker(ps, tolerance), s)
-    case l: LineString => l
-    case _             => NullGeom(g.srid)
+  /** Douglas-Peucker simplification with the reference's validity
+    * contract (src/geom-functions.cpp:841-893): consecutive
+    * duplicates are removed from the result and a line that keeps
+    * fewer than 2 points becomes invalid — a simplified-away
+    * linestring yields the null geometry, a multilinestring drops
+    * broken member lines and is null only when none survive. Other
+    * geometry types are unsupported and yield null. */
+  def simplify(g: Geometry, tolerance: Double): Geometry = {
+    def one(ps: Vector[Pt]): Option[Vector[Pt]] = {
+      val out = FromOsm.dedupConsecutive(
+        if (ps.size > 2) douglasPeucker(ps, tolerance) else ps)
+      if (out.size > 1) Some(out) else None
+    }
+    g match {
+      case LineString(ps, s) =>
+        one(ps).map(LineString(_, s)).getOrElse(NullGeom(s))
+      case MultiLineString(ls, s) =>
+        val out = ls.flatMap(l => one(l.pts).map(LineString(_, s)))
+        if (out.nonEmpty) MultiLineString(out, s) else NullGeom(s)
+      case _ => NullGeom(g.srid)
+    }
   }
 
   private def douglasPeucker(ps: Vector[Pt], tol: Double): Vector[Pt] = {
@@ -521,73 +555,102 @@ object GeomOps {
       douglasPeucker(ps.drop(maxI), tol).tail
   }
 
-  /** Pole of inaccessibility — the mapbox polylabel quadtree algorithm
-    * (src/geom-pole-of-inaccessibility.cpp:28-262 ports the same public
-    * algorithm). Polygons only. */
-  def poleOfInaccessibility(g: Geometry, precision: Double): Geometry = {
+  /** Pole of inaccessibility — the public mapbox "polylabel" quadtree
+    * search with the reference's additions (src/geom-pole-of-
+    * inaccessibility.cpp:28-260): a minimum-precision clamp of
+    * max(width, height)/1000, an optional y-`stretch` factor (search
+    * runs in y-stretched space, result unstretched), initial square
+    * cells of the short dimension stacked along the long axis, and a
+    * POLYGON-ONLY contract — every other input type, multipolygons
+    * included, yields the null geometry. */
+  def poleOfInaccessibility(g: Geometry, precision: Double,
+      stretch: Double = 1.0): Geometry = {
+    require(stretch > 0, "The 'stretch' factor must be > 0.")
     val poly = g match {
       case p: Polygon => p
-      case MultiPolygon(ps, s) if ps.nonEmpty =>
-        ps.maxBy(p => area(p))
-      case _ => return NullGeom(g.srid)
+      case _          => return NullGeom(g.srid)
     }
     val box = Box.of(poly).get
-    val w = box.maxX - box.minX; val h = box.maxY - box.minY
-    if (w == 0 || h == 0) return Point(Pt(box.minX, box.minY), g.srid)
-    val cellSize = math.min(w, h) / 2
-    def pointToPolyDist(p: Pt): Double = {
+    val w = box.maxX - box.minX
+    val h = box.maxY - box.minY
+    val prec = math.max(math.max(w, h) / 1000.0, precision)
+    val sMinY = box.minY * stretch
+    val sMaxY = box.maxY * stretch
+    val sh = sMaxY - sMinY
+    if (w == 0 || sh == 0) return Point(Pt(box.minX, box.minY), g.srid)
+    // squared distance from a stretched-space point to segment (a, b)
+    // of the unstretched ring (ring y is stretched on the fly)
+    def segDist2(p: Pt, a: Pt, b: Pt): Double = {
+      var x = a.x; var y = a.y * stretch
+      val dx0 = b.x - x; val dy0 = b.y * stretch - y
+      if (dx0 != 0 || dy0 != 0) {
+        val t = ((p.x - x) * dx0 + (p.y - y) * dy0) /
+          (dx0 * dx0 + dy0 * dy0)
+        if (t > 1) { x = b.x; y = b.y * stretch }
+        else if (t > 0) { x += dx0 * t; y += dy0 * t }
+      }
+      val dx = p.x - x; val dy = p.y - y
+      dx * dx + dy * dy
+    }
+    def polyDist(p: Pt): Double = {
+      var minD2 = Double.PositiveInfinity
       var inside = false
-      var minDist = Double.MaxValue
       (poly.outer +: poly.inners).foreach { ring =>
         val ps = ring.pts
+        val len = ps.size
         var i = 0
-        while (i < ps.size - 1) {
-          val a = ps(i); val b = ps(i + 1)
-          if ((a.y > p.y) != (b.y > p.y) &&
-            p.x < (b.x - a.x) * (p.y - a.y) / (b.y - a.y) + a.x) inside = !inside
-          minDist = math.min(minDist, segDist(p, a, b))
-          i += 1
+        var j = len - 1
+        while (i < len) {
+          val a = ps(i); val b = ps(j)
+          if ((a.y * stretch > p.y) != (b.y * stretch > p.y) &&
+            p.x < (b.x - a.x) * (p.y - a.y * stretch) /
+              ((b.y - a.y) * stretch) + a.x) inside = !inside
+          minD2 = math.min(minD2, segDist2(p, a, b))
+          j = i; i += 1
         }
       }
-      if (inside) minDist else -minDist
-    }
-    def segDist(p: Pt, a: Pt, b: Pt): Double = {
-      val dx = b.x - a.x; val dy = b.y - a.y
-      val t0 =
-        if (dx == 0 && dy == 0) 0.0
-        else math.max(0.0, math.min(1.0,
-          ((p.x - a.x) * dx + (p.y - a.y) * dy) / (dx * dx + dy * dy)))
-      p.distanceTo(Pt(a.x + dx * t0, a.y + dy * t0))
+      (if (inside) 1 else -1) * math.sqrt(minD2)
     }
     final case class Cell(c: Pt, half: Double) {
-      val d: Double = pointToPolyDist(c)
-      val max: Double = d + half * math.sqrt(2)
+      val d: Double = polyDist(c)
+      val max: Double = d + half * 1.4142135623730951
     }
     val queue = mutable.PriorityQueue.empty[Cell](Ordering.by(_.max))
-    var x = box.minX
-    while (x < box.maxX) {
-      var y = box.minY
-      while (y < box.maxY) {
-        queue += Cell(Pt(x + cellSize, y + cellSize), cellSize)
-        y += cellSize * 2
+    if (w == sh) {
+      queue += Cell(Pt(box.minX + w / 2, sMinY + sh / 2), w / 2)
+    } else if (w < sh) {
+      val cs = w; val half = cs / 2
+      val count = math.ceil(sh / w).toInt
+      var n = 0
+      while (n < count) {
+        queue += Cell(Pt(box.minX + w / 2, sMinY + n * cs + half), half)
+        n += 1
       }
-      x += cellSize * 2
+    } else {
+      val cs = sh; val half = cs / 2
+      val count = math.ceil(w / sh).toInt
+      var n = 0
+      while (n < count) {
+        queue += Cell(Pt(box.minX + n * cs + half, sMinY + sh / 2), half)
+        n += 1
+      }
     }
-    val (oc, _) = {
-      val c = centroid(poly); (c.asInstanceOf[Point].pt, 0)
-    }
-    var best = Cell(oc, 0)
-    val bboxCell = Cell(Pt(box.minX + w / 2, box.minY + h / 2), 0)
+    // first guess: polygon centroid (y stretched); second: bbox center
+    val cen = centroid(poly).asInstanceOf[Point].pt
+    var best = Cell(Pt(cen.x, cen.y * stretch), 0)
+    val bboxCell = Cell(Pt(box.minX + w / 2, sMinY + sh / 2), 0)
     if (bboxCell.d > best.d) best = bboxCell
     while (queue.nonEmpty) {
       val cell = queue.dequeue()
       if (cell.d > best.d) best = cell
-      if (cell.max - best.d > precision) {
+      if (cell.max - best.d > prec) {
         val h2 = cell.half / 2
-        for (sx <- Seq(-h2, h2); sy <- Seq(-h2, h2))
-          queue += Cell(Pt(cell.c.x + sx, cell.c.y + sy), h2)
+        for (sy <- Seq(-h2, h2); sx <- Seq(-h2, h2)) {
+          val c = Cell(Pt(cell.c.x + sx, cell.c.y + sy), h2)
+          if (c.max > best.d) queue += c
+        }
       }
     }
-    Point(best.c, g.srid)
+    Point(Pt(best.c.x, best.c.y / stretch), g.srid)
   }
 }

@@ -156,16 +156,9 @@ object LuaGeom {
     meta
   }
 
-  /** pole_of_inaccessibility with the x-stretch option: x scaled by
-    * `stretch` before the search, result scaled back
-    * (geom-pole-of-inaccessibility.cpp stretch handling). */
-  private def poleStretch(g: Geometry, stretch: Double): Geometry = {
-    val searched =
-      if (stretch == 1.0) g
-      else GeomOps.mapPoints(g, p => Pt(p.x * stretch, p.y))
-    GeomOps.poleOfInaccessibility(searched, 1.0) match {
-      case Point(pt, s) if stretch != 1.0 => Point(Pt(pt.x / stretch, pt.y), s)
-      case other => other
-    }
-  }
+  /** pole_of_inaccessibility with the y-stretch option, precision 0
+    * (clamped inside to dim/1000) — exactly the Lua binding's call
+    * (flex-lua-geom.cpp:232-257). */
+  private def poleStretch(g: Geometry, stretch: Double): Geometry =
+    GeomOps.poleOfInaccessibility(g, 0.0, stretch)
 }

@@ -94,16 +94,18 @@ class GeomSpec extends AnyFunSuite {
   test("length planar and spherical") {
     val l = LineString(Vector(Pt(0, 0), Pt(3, 4)))
     assert(GeomOps.length(l) == 5.0)
-    // 1 degree of longitude at the equator ≈ 111.19 km on the sphere
+    // 1 degree of longitude at the equator = 111319.49 m geodesic
+    // (the reference's vincenty strategy)
     val eq = LineString(Vector(Pt(0, 0), Pt(1, 0)))
     val sl = GeomOps.sphericalLength(eq)
-    assert(math.abs(sl - 111195.0) < 100)
+    assert(math.abs(sl - 111319.49) < 1)
   }
 
   test("spherical area of a ~1x1 degree equatorial square") {
     val g = FromOsm.createPolygon(sq(0, 0, 1))
     val a = GeomOps.sphericalArea(g)
-    assert(math.abs(a - 1.2364e10) / 1.2364e10 < 0.01) // ~12,364 km²
+    // the reference's own pin (test-geom-polygons.cpp, epsilon 1e-5)
+    assert(math.abs(a - 12308778361.469454) / 12308778361.469454 < 1e-5)
   }
 
   test("segmentize splits into pieces each at most maxlen long") {
