@@ -13,6 +13,15 @@ final case class StyleEntry(
   def isPolygon: Boolean = flags.contains("polygon") || flags.contains("phstore")
   def makesColumn: Boolean =
     !flags.contains("nocolumn") && !flags.contains("phstore") && !isDelete
+  /** column_type() (src/taginfo-impl.hpp:38-50): INT/REAL when the
+    * declared type is a known alias, TEXT otherwise. way_area never
+    * gets a type flag — the database string is produced directly
+    * (read_style_file's special case, src/taginfo.cpp:141-145). */
+  def columnType: String =
+    if (tag == "way_area") "text"
+    else if (StyleFile.IntTypes(dataType)) "int"
+    else if (StyleFile.RealTypes(dataType)) "real"
+    else "text"
 }
 
 final case class Style(entries: Seq[StyleEntry]) {
@@ -22,45 +31,62 @@ final case class Style(entries: Seq[StyleEntry]) {
   def deleteKeys: Seq[String] = entries.filter(_.isDelete).map(_.tag)
   def columnKeys: Seq[String] =
     entries.filter(_.makesColumn).map(_.tag).distinct
+  /** read_style_file's return value: a `way_area … delete`-only line
+    * disables the computed way_area column (src/taginfo.cpp:156-158;
+    * the flag set must be exactly {delete}). */
+  def enableWayArea: Boolean =
+    !entries.exists(e => e.tag == "way_area" && e.flags == Set("delete"))
 }
 
 object StyleFile {
 
-  private val KnownTypes = Set("node", "way")
   private val KnownFlags =
     Set("polygon", "linear", "nocache", "nocolumn", "delete", "phstore")
+  private[classic] val IntTypes =
+    Set("smallint", "integer", "bigint", "int2", "int4", "int8")
+  private[classic] val RealTypes = Set("real", "double precision")
 
-  /** Strict parser matching src/taginfo.cpp: comments/blank lines
-    * skipped, everything else must be `OsmType Tag DataType [Flags]`
-    * with known osm types and flags — malformed input is an ERROR,
-    * not silently dropped (tests/style/invalid-*.style are rejection
-    * fixtures upstream). */
-  def parse(text: String): Style = Style(
-    text.linesIterator
-      .map(l => l.indexOf('#') match { // trailing comments allowed
-        case -1 => l.trim
-        case i  => l.substring(0, i).trim
-      })
-      .filter(_.nonEmpty)
-      .map { line =>
+  /** Parser matching read_style_file (src/taginfo.cpp:92-199) exactly:
+    * comments/blank lines skipped, `OsmType Tag DataType [Flags]`,
+    * unknown flags WARN and are ignored (parse_tag_flags), unknown
+    * DATA types are lenient (get_tag_type → text), osm types match by
+    * substring and a line matching neither node nor way is a "Weird
+    * style line" error, wildcards are allowed only when the augmented
+    * flag set is exactly {delete}, and a file with zero valid columns
+    * is the reference's "Unable to parse" error. */
+  def parse(text: String, filename: String = "style"): Style = {
+    val entries = text.linesIterator.zipWithIndex
+      .map { case (l, i) =>
+        (l.indexOf('#') match { // trailing comments allowed
+          case -1 => l.trim
+          case j  => l.substring(0, j).trim
+        }, i + 1)
+      }
+      .filter(_._1.nonEmpty)
+      .map { case (line, lineno) =>
         def mk(types: String, tag: String, dataType: String,
             flags: String): StyleEntry = {
-          val ts = types.split(",").toSet
-          val fs = if (flags.isEmpty) Set.empty[String]
-            else flags.split(",").toSet
-          ts.find(!KnownTypes.contains(_)).foreach(t =>
-            throw new IllegalArgumentException(
-              s"Unknown type in style file: '$t'."))
-          fs.find(!KnownFlags.contains(_)).foreach(f =>
-            throw new IllegalArgumentException(
-              s"Unknown flag in style file line: '$f'."))
-          // wildcards only make sense on delete rules
-          // (src/taginfo.cpp:149-156); unknown DATA types are lenient
-          // (get_tag_type → text), matching the reference
-          if (!fs.contains("delete") &&
+          val fs0 = if (flags.isEmpty) Set.empty[String]
+            else flags.split("[,\r\n]").toSet.filter(_.nonEmpty)
+          // parse_tag_flags: unknown flags warn + drop, never error
+          fs0.filterNot(KnownFlags).foreach(f => System.err.println(
+            s"[graft] Unknown flag '$f' line $lineno, ignored"))
+          val fs = fs0.filter(KnownFlags)
+          // wildcards only on pure delete rules: the check runs AFTER
+          // the int/real type flag is added, so a typed wildcard line
+          // is rejected too (src/taginfo.cpp:148-154)
+          val augmented =
+            if (tag != "way_area" && (IntTypes(dataType) || RealTypes(dataType)))
+              fs + "__typed" else fs
+          if (augmented != Set("delete") &&
               (tag.contains('?') || tag.contains('*')))
             throw new IllegalArgumentException(
               s"Wildcard '$tag' in non-delete style entry.")
+          // osm types match by SUBSTRING (strstr); neither → error
+          val ts = Set("node", "way").filter(types.contains(_))
+          if (ts.isEmpty)
+            throw new IllegalArgumentException(
+              s"Weird style line $filename:$lineno.")
           StyleEntry(ts, tag, dataType, fs)
         }
         line.split("\\s+") match {
@@ -68,10 +94,15 @@ object StyleFile {
             mk(types, tag, dataType, flags)
           case Array(types, tag, dataType) =>
             mk(types, tag, dataType, "")
-          case _ => throw new IllegalArgumentException(
-            s"Error in style file line: '$line'.")
+          case fields => throw new IllegalArgumentException(
+            s"Error reading style file line $lineno (fields=${fields.length}).")
         }
-      }.toSeq)
+      }.toSeq
+    if (entries.isEmpty)
+      throw new IllegalArgumentException(
+        "Unable to parse any valid columns from the style file. Aborting.")
+    Style(entries)
+  }
 
   /** The shipped default.style's rule set (the full key inventory of
     * default.style, required to reproduce the reference's regression

@@ -81,13 +81,13 @@ object PgClassic {
       styleColumns(style, "node", wayArea = false), hstore, "point",
       hstoreColumns, srid),
     ClassicTable(s"${prefix}_line", "line",
-      styleColumns(style, "way", wayArea = true), hstore, "linestring",
+      styleColumns(style, "way", wayArea = style.enableWayArea), hstore, "linestring",
       hstoreColumns, srid),
     ClassicTable(s"${prefix}_polygon", "polygon",
-      styleColumns(style, "way", wayArea = true), hstore, "geometry",
+      styleColumns(style, "way", wayArea = style.enableWayArea), hstore, "geometry",
       hstoreColumns, srid),
     ClassicTable(s"${prefix}_roads", "roads",
-      styleColumns(style, "way", wayArea = true), hstore, "linestring",
+      styleColumns(style, "way", wayArea = style.enableWayArea), hstore, "linestring",
       hstoreColumns, srid))
 
   /** CREATE UNLOGGED TABLE (table_t::start, src/table.cpp:96-131).
