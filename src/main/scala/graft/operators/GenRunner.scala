@@ -67,6 +67,23 @@ object GenRunner {
           p.str("x_column", "x"), p.str("y_column", "y"),
           p.str("importance_column", "importance"),
           p.dbl("cell_size", 1000.0))
+      case "tile-sql" =>
+        // gen-tile-sql.cpp: the SQL template runs once per tile with
+        // ZOOM/X/Y (and the src/dest table names) substituted; the
+        // input frame IS the tile list (zoom, x, y rows — an expire
+        // table or explicit tile set). The per-tile loop is driver-
+        // side in the reference too (one statement per tile).
+        val sql0 = p.str("sql").getOrElse(throw new IllegalArgumentException(
+          "Missing 'sql' parameter in tile-sql generalizer."))
+        val sql = Seq("src", "dest")
+          .foldLeft(sql0)((s, k) => p.str(k).fold(s)(v => s.replace(s"{$k}", v)))
+          .replace("{ZOOM}", "{zoom}").replace("{X}", "{x}").replace("{Y}", "{y}")
+        val tiles = input
+          .select(col("zoom").cast("int"), col("x").cast("long"),
+            col("y").cast("long"))
+          .distinct().collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        Gen.runTileSql(input.sparkSession, tiles, sql)
       case other =>
         throw new IllegalArgumentException(
           s"Unknown generalization strategy '$other'.")

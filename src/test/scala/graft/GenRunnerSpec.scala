@@ -67,6 +67,21 @@ class GenRunnerSpec extends SparkSpecBase {
     assert(got == Map(1L -> 7.0, 2L -> 2.0))
   }
 
+  test("runGen dispatches tile-sql over a tile-list frame") {
+    // the landed source rows the template aggregates
+    Seq((0L, 0L, 10), (1L, 0L, 20), (9L, 9L, 40))
+      .toDF("tx", "ty", "v").createOrReplaceTempView("gen_src_rows")
+    val tiles = Seq((1, 0L, 0L), (1, 1L, 0L)).toDF("zoom", "x", "y")
+    val out = GenRunner.runGen("tile-sql", tiles, Map(
+      "src" -> "gen_src_rows",
+      "sql" -> ("SELECT {zoom} AS zoom, CAST({x} AS BIGINT) AS x, " +
+        "CAST({y} AS BIGINT) AS y, " +
+        "sum(v) AS total FROM {src} WHERE tx = {x} AND ty = {y}")))
+    val got = out.orderBy("x").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, 0L, 0L, 10L), (1, 1L, 0L, 20L)))
+  }
+
   test("unknown strategy throws like the reference registry") {
     val df = Seq((1, Array.empty[Byte])).toDF("a", "geom")
     intercept[IllegalArgumentException] {
