@@ -444,12 +444,21 @@ object GeomOps {
       if (w == 0) (l.pts.head, 0.0) else (Pt(wx / w, wy / w), w)
     }
     def ringCentroid(r: Ring): (Pt, Double) = {
+      // shoelace relative to the first vertex: at projected magnitudes
+      // (~1e6 m) the raw cross terms are ~1e13 and cancel to ~the ring
+      // area, so the naive form loses meters of centroid precision on
+      // building-sized rings (boost's bashein_detmer strategy
+      // translates by an origin vertex for the same reason)
+      val o = r.pts.head
       var cx = 0.0; var cy = 0.0; var a2 = 0.0
       r.pts.iterator.zip(r.pts.iterator.drop(1)).foreach { case (p, q) =>
-        val cross = p.x * q.y - q.x * p.y
-        cx += (p.x + q.x) * cross; cy += (p.y + q.y) * cross; a2 += cross
+        val px = p.x - o.x; val py = p.y - o.y
+        val qx = q.x - o.x; val qy = q.y - o.y
+        val cross = px * qy - qx * py
+        cx += (px + qx) * cross; cy += (py + qy) * cross; a2 += cross
       }
-      if (a2 == 0) (r.pts.head, 0.0) else (Pt(cx / (3 * a2), cy / (3 * a2)), a2 / 2)
+      if (a2 == 0) (r.pts.head, 0.0)
+      else (Pt(o.x + cx / (3 * a2), o.y + cy / (3 * a2)), a2 / 2)
     }
     def polyCentroid(p: Polygon): (Pt, Double) = {
       val (oc, oa) = ringCentroid(p.outer)

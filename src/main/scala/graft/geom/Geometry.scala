@@ -81,10 +81,16 @@ final case class LineString(pts: Vector[Pt], srid: Int = Srid.WGS84)
 /** A closed ring: first point equals last point. */
 final case class Ring(pts: Vector[Pt]) {
   def isClosed: Boolean = pts.size >= 4 && pts.head == pts.last
-  /** Signed shoelace area ×2 (positive = counter-clockwise). */
-  def signedArea2x: Double =
-    pts.iterator.zip(pts.iterator.drop(1))
-      .map { case (a, b) => a.x * b.y - b.x * a.y }.sum
+  /** Signed shoelace area ×2 (positive = counter-clockwise). Computed
+    * relative to the first vertex: raw cross terms at projected
+    * coordinate magnitudes cancel catastrophically for small rings. */
+  def signedArea2x: Double = {
+    if (pts.isEmpty) return 0.0
+    val o = pts.head
+    pts.iterator.zip(pts.iterator.drop(1)).map { case (a, b) =>
+      (a.x - o.x) * (b.y - o.y) - (b.x - o.x) * (a.y - o.y)
+    }.sum
+  }
   def reverse: Ring = Ring(pts.reverse)
 }
 

@@ -83,27 +83,44 @@ object PgSink {
     s"""CREATE ${ul}TABLE IF NOT EXISTS "$schema"."${t.name}" ($cols)"""
   }
 
-  /** End-of-load DDL batch: id index (only for updatable tables,
-    * src/output-flex.cpp:1552-1563), geometry GiST indexes, SET LOGGED,
-    * ANALYZE. */
+  /** End-of-load DDL batch: user/default indexes, then the id index,
+    * SET LOGGED, ANALYZE (table_connection_t::create_indexes,
+    * src/flex-table.cpp:362-381). */
   def postLoadDdl(t: FlexTableDef, updatable: Boolean,
       schema: String = "public", postgis: Boolean = true): Seq[String] = {
     val qualified = s""""$schema"."${t.name}""""
-    // user index list wins: None = defaults, Some(Nil) = none at all,
-    // Some(list) = exactly those (lua-index-definitions.feature)
+    // user index list wins over the DEFAULT GEOMETRY index only:
+    // None = default, Some(Nil) = none, Some(list) = exactly those
+    // (lua-index-definitions.feature); the id index is decided
+    // independently below
     val userIdx = t.indexes.map(_.map(_.createIndexDdl(qualified)))
-    val defaultIdx = {
-      // no GiST on the bytea degradation (no PostGIS → no gist opclass)
-      val geomIdx = if (!postgis) Nil else t.columns
-        .filter(c => FlexType.sparkType(c.ctype) == BinaryType)
-        .map(c => s"""CREATE INDEX ON $qualified USING gist ("${c.name}")""")
-      val idIdx = if (updatable && t.hasIds)
-        Seq(s"""CREATE INDEX ON $qualified (${t.idFields
-          .map(f => s""""${f._1}"""").mkString(", ")})""") else Nil
-      geomIdx ++ idIdx
-    }
+    // default when 'indexes' is absent: ONE gist index on THE (first)
+    // geometry column, fillfactor 100 when the table won't be updated
+    // (setup_flex_table_indexes, src/flex-lua-table.cpp:403-417); no
+    // GiST on the bytea degradation (no PostGIS → no gist opclass)
+    val defaultIdx = if (!postgis) Nil else t.columns
+      .find(c => FlexType.sparkType(c.ctype) == BinaryType).toSeq
+      .map { c =>
+        val ff = if (updatable) "" else " WITH (fillfactor = 100)"
+        s"""CREATE INDEX ON $qualified USING gist ("${c.name}")$ff"""
+      }
+    // (always_build_id_index || updateable) && has_id_column —
+    // regardless of the user index list (src/flex-table.cpp:375-377);
+    // ids.create_index: always → plain, unique → UNIQUE, primary_key →
+    // ADD PRIMARY KEY (parse_create_index src/flex-lua-table.cpp:108-125
+    // + build_sql_create_id_index src/flex-table.cpp:225-240)
+    val ids = t.idFields.map(f => s""""${f._1}"""").mkString(", ")
+    val idIdx = if ((t.createIndex != "auto" || updatable) && t.hasIds)
+      Seq(t.createIndex match {
+        case "primary_key" =>
+          s"""ALTER TABLE $qualified ADD PRIMARY KEY ($ids)"""
+        case "unique" =>
+          s"""CREATE UNIQUE INDEX ON $qualified USING BTREE ($ids)"""
+        case _ =>
+          s"""CREATE INDEX ON $qualified USING BTREE ($ids)"""
+      }) else Nil
     Seq(s"""ALTER TABLE $qualified SET LOGGED""") ++
-      userIdx.getOrElse(defaultIdx) :+ s"""ANALYZE $qualified"""
+      userIdx.getOrElse(defaultIdx) ++ idIdx :+ s"""ANALYZE $qualified"""
   }
 
   /** Batched delete-before-insert for append mode

@@ -408,4 +408,143 @@ class LuaExampleConfigsSpec extends SparkSpecBase {
     assert(lines.count() == 2790L)
     assert(lines.where(col("rel_refs").isNotNull).count() == 188L)
   }
+
+  test("addresses.lua: 'any' ids + count>1 rule + centroid fallback") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("addresses")
+    val addrs = spark.read.parquet(s"$d/addrs")
+    assert(addrs.count() == 212L)
+    // ids = { type = 'any' }: type_column with N/W/R markers
+    assert(addrs.select("osm_type").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("N", "W", "R")))
+    // get_address inserts only when >1 addr:* component matched
+    val parts = Seq("housenumber", "street", "city", "postcode",
+      "country", "state", "place")
+    val withCount = addrs.withColumn("n_parts",
+      parts.map(c => when(col(c).isNotNull, 1).otherwise(0))
+        .reduce(_ + _))
+    assert(withCount.where(col("n_parts") < 2).count() == 0L)
+    // geom is not_null (points; polygons landed as centroids)
+    assert(addrs.where(col("geom").isNull).count() == 0L)
+  }
+
+  test("bbox.lua: get_bbox() four-value return formatted as box2d text") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("bbox")
+    assert(cnt(d, "pois") == 1562L)
+    assert(cnt(d, "ways") == 3015L)
+    assert(cnt(d, "polygons") == 4120L)
+    assert(cnt(d, "boundaries") == 21L)
+    val boxRe = "^BOX\\(-?[0-9.]+ -?[0-9.]+,-?[0-9.]+ -?[0-9.]+\\)$"
+    // every node has a location → every poi bbox formats, and a point's
+    // box is degenerate: BOX(x y,x y)
+    val pois = spark.read.parquet(s"$d/pois")
+    assert(pois.where(!col("bbox").rlike(boxRe)).count() == 0L)
+    assert(pois.where(col("bbox").rlike(
+      "^BOX\\((-?[0-9.]+) (-?[0-9.]+),\\1 \\2\\)$")).count() == 1562L)
+    // ways/polygons: formatted box whenever the bbox exists; broken
+    // multipolygon assemblies still have a bbox from member nodes
+    for (t <- Seq("ways", "polygons", "boundaries")) {
+      val df = spark.read.parquet(s"$d/$t")
+      assert(df.where(col("bbox").isNotNull && !col("bbox").rlike(boxRe))
+        .count() == 0L, t)
+      // format_bbox returns nil when get_bbox() yields nothing — one
+      // boundary relation has no members inside the extract
+      val wantNull = if (t == "boundaries") 1L else 0L
+      assert(df.where(col("bbox").isNull).count() == wantNull, t)
+    }
+  }
+
+  test("data-types.lua: direction/bool coercion, int8[] text form, " +
+      "create_only column not in the write stream") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("data-types")
+    val hw = spark.read.parquet(s"$d/highways")
+    assert(hw.count() == 2160L)
+    // serial create_only column is DDL-only (the database fills it)
+    assert(!hw.columns.contains("id"))
+    // direction: yes/true/1 → 1, -1 → -1, everything else → 0
+    assert(hw.select("oneway").distinct().collect()
+      .map(_.getShort(0)).toSet.subsetOf(Set[Short](-1, 0, 1)))
+    // bool column really lands as boolean
+    assert(hw.schema("lit").dataType ==
+      org.apache.spark.sql.types.BooleanType)
+    // nodes = '{' .. table.concat(object.nodes, ',') .. '}' (int8[])
+    assert(hw.where(!col("nodes").rlike(
+      "^\\{[0-9]+(,[0-9]+)*\\}$")).count() == 0L)
+    // parse_speed: km/h numbers and mph conversion are all ints ≥ 0
+    assert(hw.where(col("maxspeed").isNotNull && col("maxspeed") < 0)
+      .count() == 0L)
+    // type was grab_tag'd and filtered against the allow-list
+    assert(hw.where(col("type").isNull).count() == 0L)
+  }
+
+  test("indexes.lua: all index shapes land; id index independent of " +
+      "the user index list (flex-table.cpp:375-377)") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("indexes")
+    assert(cnt(d, "pois") == 1562L)
+    assert(cnt(d, "ways") == 3015L)
+    assert(cnt(d, "polygons") == 4090L)
+    assert(cnt(d, "pubs") == 2L)
+    assert(cnt(d, "roads") == 2753L)
+    assert(cnt(d, "postboxes") == 11L)
+    // DDL from the Lua-loaded defs (not the typed ports)
+    val cfg = graft.flex.LuaFlexConfig.fromFile(s"$cfgDir/indexes.lua")
+    def ddl(name: String, updatable: Boolean) = graft.sinks.PgSink
+      .postLoadDdl(cfg.tables.find(_.name == name).get, updatable)
+    // indexes = {}: no user/default index — but the id index is still
+    // built for updatable tables, independent of the list
+    assert(!ddl("pois", updatable = false).exists(_.contains("CREATE INDEX")))
+    assert(ddl("pois", updatable = true).exists(
+      _.contains("""USING BTREE ("node_id")""")))
+    // absent indexes field: ONE default gist on the geometry column,
+    // fillfactor 100 when the table won't be updated
+    val waysDdl = ddl("ways", updatable = false)
+    assert(waysDdl.count(_.contains("USING gist")) == 1)
+    assert(waysDdl.exists(s => s.contains("""USING gist ("geom")""") &&
+      s.contains("fillfactor = 100")))
+    assert(ddl("ways", updatable = true).exists(s =>
+      s.contains("""USING gist ("geom")""") && !s.contains("fillfactor")))
+    // two explicit gists (polygon + its center point)
+    assert(ddl("polygons", updatable = false)
+      .count(_.contains("USING gist")) == 2)
+    // non-geometry btree next to a gist
+    assert(ddl("pubs", updatable = false).exists(
+      _.contains("""USING btree ("name")""")))
+    // multi-column btree + where-condition partial index
+    val roadsDdl = ddl("roads", updatable = false)
+    assert(roadsDdl.exists(_.contains("""("name","ref")""")))
+    assert(roadsDdl.exists(_.contains("WHERE type='primary'")))
+    // named expression index
+    assert(ddl("postboxes", updatable = false).exists(s =>
+      s.contains(""""postbox_operator_idx"""") &&
+        s.contains("(lower(operator))")))
+  }
+
+  test("labelpoint.lua: centroid + pole_of_inaccessibility with " +
+      "stretch; multipolygons split via geometries()") {
+    assume(new java.io.File(pbf).exists())
+    val d = runCfg("labelpoint")
+    val polys = spark.read.parquet(s"$d/polygons")
+    assert(polys.count() == 182L)
+    // all four derived points are not_null columns
+    assert(polys.where(col("geom").isNull || col("centroid").isNull ||
+      col("poi1").isNull || col("poi2").isNull).count() == 0L)
+    // geometries() splits multipolygons: every landed geom is a plain
+    // Polygon (pole_of_inaccessibility only works on those), and both
+    // poles decode as points INSIDE the polygon's bbox
+    val rows = polys.select("geom", "centroid", "poi1", "poi2").collect()
+    rows.foreach { r =>
+      val g = graft.geom.Ewkb.decode(r.getAs[Array[Byte]](0))
+      assert(g.isInstanceOf[graft.geom.Polygon])
+      val box = graft.geom.Box.of(g).get
+      for (i <- 1 to 3) {
+        graft.geom.Ewkb.decode(r.getAs[Array[Byte]](i)) match {
+          case p: graft.geom.Point => assert(box.contains(p.pt))
+          case other => fail(s"expected point, got $other")
+        }
+      }
+    }
+  }
 }
