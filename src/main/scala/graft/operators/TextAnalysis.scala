@@ -338,6 +338,47 @@ object TextAnalysis {
     scored.orderBy(col("score").desc, col(idCol)).limit(topN)
   }
 
+  /** Okapi BM25 retrieval (k1 = 1.2, b = 0.75) against a fixed query
+    * term set — the ranking step of hard-negative mining / corpus
+    * search — in all-integer arithmetic so scores and ranks are
+    * bit-identical cross-engine:
+    *
+    *   idf_int(t) = (N · 1,000,000) div (df(t) + 1)        (as tf-idf)
+    *   tfq(t,d)   = (tf·44·T·1000) div (20·tf·T + 6·T + 18·dl·N)
+    *
+    * tfq is the exactly-cleared fraction of the BM25 tf-normalization
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with k1 = 6/5,
+    * b = 3/4 and avgdl = T/N (multiply through by 20·T), scaled ×1000
+    * before the floor. score(d) = Σ_t idf_int(t) · tfq(t,d).
+    *
+    * Scale shape mirrors [[termRelevance]]: tf/dl are a map-only pass,
+    * (N, T, df_t) is one tiny broadcast row, and the top-n is
+    * TakeOrderedAndProject. The 1e6 idf scale bounds intermediates to
+    * ≲1e15 at petabyte corpus sizes; for N beyond ~1e10 documents drop
+    * the scale factor a decade to stay inside int64. */
+  def bm25Retrieval(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topN: Int): DataFrame = {
+    val toks = df.select(col(idCol), normToks(col(textCol)).as("w"))
+    def tf(t: String) = size(filter(col("w"), x => x === lit(t)))
+    val tfs = toks.select(col(idCol) +: size(col("w")).cast("long").as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        tf(t).cast("long").as(s"tf$i")
+      }: _*)
+    val stats = tfs.agg(count(lit(1)).as("__n"),
+      sum(col("dl")).as("__t") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
+    val scored = tfs.crossJoin(broadcast(stats))
+      .withColumn("score",
+        terms.indices.map { i =>
+          expr(s"((__n * 1000000L) div (__df$i + 1L)) * " +
+            s"((tf$i * 44L * __t * 1000L) div " +
+            s"(20L * tf$i * __t + 6L * __t + 18L * dl * __n))")
+        }.reduce(_ + _))
+      .select(col(idCol), col("score"))
+    scored.orderBy(col("score").desc, col(idCol)).limit(topN)
+  }
+
   /** PII patterns shared by the Spark operator and the DuckDB oracle —
     * restricted to syntax with identical semantics in Java regex and
     * RE2 (char classes, bounded repeats, \b, leftmost greedy match):

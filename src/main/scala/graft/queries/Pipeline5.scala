@@ -73,13 +73,45 @@ object Pipeline5 {
       |FROM active a JOIN cohorts c ON a.u = c.u
       |GROUP BY 1, 2""".stripMargin
 
+  // ---- q90: Okapi BM25 retrieval over a fixed query term set ----
+
+  private val Bm25Terms = Seq("dup", "join", "spark")
+
+  def bm25Retrieval(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.bm25Retrieval(
+      Tables.documents(s, d), "doc_id", "text", Bm25Terms, topN = 25)
+
+  /** Same integer BM25 algebra (k1=6/5, b=3/4 cleared over 20·T; ×1000
+    * quotient scale; 1e6 idf scale). DuckDB sums BIGINT into HUGEINT —
+    * all the integer ops stay exact there, and magnitudes stay inside
+    * int64 on the Spark side. */
+  val bm25RetrievalSql: String = {
+    val tf = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(w, x -> x = '$t')) AS tf$i"
+    }.mkString(", ")
+    val df = Bm25Terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = Bm25Terms.indices.map(i =>
+      s"((n * 1000000) // (df$i + 1)) * " +
+        s"((tf$i * 44 * t * 1000) // (20 * tf$i * t + 6 * t + 18 * dl * n))")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
+       |tfs AS (SELECT doc_id, len(w) AS dl, $tf FROM toks),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS t, $df FROM tfs)
+       |SELECT doc_id, CAST($score AS BIGINT) AS score
+       |FROM tfs, stats
+       |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q87_canonical_docs"   -> (canonicalDocs _),
     "q88_dup_ngrams"       -> (dupNgrams _),
-    "q89_retention_cohorts" -> (retentionCohorts _))
+    "q89_retention_cohorts" -> (retentionCohorts _),
+    "q90_bm25_retrieval"   -> (bm25Retrieval _))
 
   val oracles: Map[String, String] = Map(
     "q87_canonical_docs"   -> canonicalDocsSql,
     "q88_dup_ngrams"       -> dupNgramsSql,
-    "q89_retention_cohorts" -> retentionCohortsSql)
+    "q89_retention_cohorts" -> retentionCohortsSql,
+    "q90_bm25_retrieval"   -> bm25RetrievalSql)
 }

@@ -245,4 +245,24 @@ class PipelineOps3Spec extends SparkSpecBase {
     assert(r(3L) == idfThe + idfData + idfOf)
     assert(r(4L) == 0L)
   }
+
+  test("bm25Retrieval: integer algebra matches hand-computed BM25, " +
+      "length normalization penalizes the longer document") {
+    val df = Seq(
+      (1L, "cat cat"),                    // dl=2, tf=2
+      (2L, "cat cat dog bird fish mouse"), // dl=6, tf=2
+      (3L, "dog bird")).toDF("doc_id", "text") // dl=2, tf=0
+    val r = TextAnalysis.bm25Retrieval(df, "doc_id", "text",
+      Seq("cat"), topN = 3).as[(Long, Long)].collect()
+    // N=3, T=10, df(cat)=2 → idf = 3e6 div 3 = 1e6
+    // tfq = (tf·44·T·1000) div (20·tf·T + 6·T + 18·dl·N)
+    def tfq(tf: Long, dl: Long): Long =
+      (tf * 44 * 10 * 1000) / (20 * tf * 10 + 6 * 10 + 18 * dl * 3)
+    assert(r.toSeq == Seq(
+      (1L, 1000000L * tfq(2, 2)),  // short doc ranks first
+      (2L, 1000000L * tfq(2, 6)),
+      (3L, 0L)))
+    // same tf, longer doc scores strictly lower (the b·dl/avgdl term)
+    assert(tfq(2, 2) > tfq(2, 6))
+  }
 }
