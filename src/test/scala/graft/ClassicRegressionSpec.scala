@@ -127,6 +127,37 @@ class ClassicRegressionSpec extends SparkSpecBase {
       .count() == 0L) // ... but dropped before any processing
   }
 
+  test("int4 conversion fixture: first-number/range-mean parse, " +
+      "overflow → NULL (test-output-pgsql-int4.cpp verbatim)") {
+    val osm = graft.sources.OsmXml.read(spark, Seq(
+      "/root/reference/tests/data/test_output_pgsql_int4.osm"))
+    val style = StyleFile.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/reference/tests/data/test_output_pgsql_int4.style")), "UTF-8"))
+    val t = ClassicPipeline.run(osm, style)
+    val pointTable = graft.sinks.PgClassic
+      .tables("planet_osm", style, hstore = false)
+      .find(_.name == "planet_osm_point").get
+    val rows = graft.sinks.PgClassic.copyFrame(t.point, pointTable)
+      .select("osm_id", "population").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // the 23 escape_type(INT) pins of test-output-pgsql-int4.cpp:29-76
+    val expected: Map[Long, Option[Long]] = Map(
+      1L -> None, 2L -> None, 3L -> None, // beyond int4 (incl. >long)
+      4L -> Some(2147483647L), 5L -> Some(10000L),
+      6L -> Some(-10000L), 7L -> Some(-2147483648L),
+      8L -> None, 9L -> None, 10L -> None, // below int4 min
+      11L -> None, 12L -> None,            // range means out of int4
+      13L -> Some(2147483647L),            // range mean IS int4 max
+      14L -> Some(15000L), 15L -> Some(-15000L),
+      16L -> Some(-2147483648L),           // range mean IS int4 min
+      17L -> None, 18L -> None,
+      19L -> None, 20L -> None, 21L -> None, 22L -> None, // invalid
+      23L -> Some(0L))
+    assert(rows == expected)
+  }
+
   test("bz2 XML extract matches the PBF reader (same Liechtenstein)") {
     // liechtenstein .osm.bz2 is the SAME extract as the .pbf — the
     // bz2+XML path must agree with the binary reader on entity counts

@@ -45,8 +45,12 @@ class InputGuardsSpec extends SparkSpecBase {
     assert(valid.polygonKeys.toSet ==
       Set("node_text_polygon", "way_text_polygon", "both_text_polygon"))
     assert(valid.deleteKeys.toSet == Set("both_delete"))
-    assert(StyleFile.parse(load("comments.style")).entries.isEmpty)
-    assert(StyleFile.parse(load("empty.style")).entries.isEmpty)
+    // zero parsed columns is a hard error, matching read_style_file
+    // (tests/test-output-pgsql-style-file.cpp:26-50)
+    Seq("comments.style", "empty.style").foreach { f =>
+      val e = intercept[IllegalArgumentException](StyleFile.parse(load(f)))
+      assert(e.getMessage.contains("Unable to parse any valid columns"))
+    }
     assert(StyleFile.parse(load("node.style")).entries ==
       Seq(graft.classic.StyleEntry(Set("node"), "access", "text",
         Set("linear"))))
@@ -117,7 +121,7 @@ class InputGuardsSpec extends SparkSpecBase {
       ("1*2*3", "1xX23", true), ("1*2*3", "12y23", true),
       ("1*2*3", "12", false), ("bo??f", "boxxf", true),
       ("bo??f", "boxf", false), ("?5?", "?5?", true),
-      ("?5?", "x5x", true))
+      ("?5?", "x5x", true), ("?abc", "", false), ("?", "", false))
     vectors.foreach { case (p, t, expected) =>
       assert(t.matches(TagFunctions.wildcardRegex(p)) == expected,
         s"wild_match('$p', '$t') should be $expected")
