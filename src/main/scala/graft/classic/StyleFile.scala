@@ -89,7 +89,11 @@ object StyleFile {
               s"Weird style line $filename:$lineno.")
           StyleEntry(ts, tag, dataType, fs)
         }
-        line.split("\\s+") match {
+        // sscanf("%23s %63s %23s %127s") reads the first FOUR tokens
+        // and silently ignores any trailing fields, so 5+ fields are
+        // accepted (osm2pgsql taginfo/openstreetmap.style carries
+        // comments past column 4); fewer than 3 is the error case.
+        line.split("\\s+").take(4) match {
           case Array(types, tag, dataType, flags) =>
             mk(types, tag, dataType, flags)
           case Array(types, tag, dataType) =>

@@ -92,7 +92,7 @@ final case class FlexExpireOutput(
   // 1..20 for USER-set values (lua-expire.feature "without maxzoom
   // means maxzoom 0", src/flex-lua-expire-output.cpp:48-54)
   require(maxzoom >= 0 && maxzoom <= 20,
-    "The 'maxzoom' field in a expire output must be between 1 and 20.")
+    "The 'maxzoom' field in a expire output must be between 1 and 20 (0 = unset).")
   require(minzoomOpt.forall(z => z >= 1 && z <= maxzoom),
     "The 'minzoom' field in a expire output must be between 1 and 'maxzoom'.")
   require(maxTilesGeometryOpt.forall(v => v >= 1 && v <= (4L << 20)),

@@ -315,20 +315,19 @@ object FlexRunner {
     // (src/output-flex.cpp:1046-1059, `SELECT ids FROM table` into an
     // in-RAM idlist_t) — so the way pass sees the prev table's node
     // ids (minus this change's touched nodes, whose rows are about to
-    // be deleted) plus this run's node-pass inserts. The fresh
-    // inserts join the cache inside the callback pass; seed the
-    // surviving prev ids here. Driver-side collect is the reference's
-    // own contract: it holds the full id list in RAM too.
+    // be deleted) plus this run's node-pass inserts. The seed stays a
+    // lazy DataFrame here: LuaFlexConfig.processGraph size-gates it —
+    // small caches collect+broadcast (the reference's in-RAM idlist),
+    // planet-scale ones never touch the driver and probe via a
+    // distributed join instead.
     config match {
       case lc: LuaFlexConfig if config.tables.exists(_.idCache) =>
-        lc.appendIdCacheSeed = config.tables.filter(_.idCache).map { t =>
-          val ids = prevTables.get(t.name).map { prev =>
-            prev.select(col(t.idColumn).cast("long").as("id"))
+        lc.appendIdCacheSeed = config.tables.filter(_.idCache).flatMap { t =>
+          prevTables.get(t.name).map { prev =>
+            t.name -> prev.select(col(t.idColumn).cast("long").as("id"))
               .join(touchedN.toDF("tid"), col("id") === col("tid"),
                 "left_anti")
-              .collect().map(_.getLong(0)).toSet
-          }.getOrElse(Set.empty[Long])
-          t.name -> ids
+          }
         }.toMap
       case _ => ()
     }

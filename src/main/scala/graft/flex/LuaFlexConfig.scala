@@ -114,14 +114,17 @@ final class LuaFlexConfig(
 
   // ---------- the full pipeline over the entity frames ----------
 
-  /** Append-flow id-cache seed (table name → node ids currently in
-    * the table minus this change's touched nodes). The reference
-    * re-initializes each cache-enabled table's cache from the
-    * database at the start of the way stage on append
-    * (src/output-flex.cpp:1046-1059, `SELECT id_column FROM table`
-    * into an in-RAM idlist_t) — this is the same bounded set, set by
+  /** Append-flow id-cache seed (table name → single-column "id"
+    * frame of node ids currently in the table minus this change's
+    * touched nodes). The reference re-initializes each cache-enabled
+    * table's cache from the database at the start of the way stage on
+    * append (src/output-flex.cpp:1046-1059, `SELECT id_column FROM
+    * table` into an in-RAM idlist_t). Kept LAZY as a DataFrame —
+    * [[processGraph]] size-gates: small caches collect+broadcast,
+    * planet-scale ones (e.g. every highway node) stay distributed
+    * and the probe becomes a per-object join. Set by
     * [[FlexRunner.append]] before the callbacks run. */
-  @transient var appendIdCacheSeed: Map[String, Set[Long]] = Map.empty
+  @transient var appendIdCacheSeed: Map[String, DataFrame] = Map.empty
 
   override def processGraph(osm: graft.sources.OsmXml.OsmDataFrames)
       : Map[String, DataFrame] = {
@@ -132,32 +135,60 @@ final class LuaFlexConfig(
 
     // ids.cache support (table_in_id_cache, src/output-flex.cpp:
     // 846-884): the mapped ids inserted into cache-enabled node
-    // tables during the node pass broadcast to the way/relation
-    // passes — the same bounded in-RAM membership set the reference
-    // keeps, shipped once per executor instead of held per thread.
+    // tables during the node pass (plus, on append, the surviving
+    // prev-table ids) feed the way/relation passes' in_id_cache
+    // probes. SIZE-GATED like a broadcast-join decision:
+    //  - below `idCacheBroadcastMax` ids the membership set
+    //    broadcasts — the same bounded in-RAM set the reference
+    //    keeps, shipped once per executor instead of per thread;
+    //  - above it (planet scale: a cache of every highway node is
+    //    O(1e8) longs — a multi-GB driver collect) the ids stay
+    //    distributed and each way/relation is enriched with the
+    //    intersection of ITS OWN refs and the cache via an exploded
+    //    equi-join; in_id_cache answers from that per-object set.
+    //    The reference's only probe shape is the current object's
+    //    refs (turning-circles.lua:59 `in_id_cache(object.nodes)`);
+    //    above-gate probes of unrelated ids answer miss, documented.
     val idCacheTables = tables.zipWithIndex.collect {
       case (t, i) if t.idCache => i
     }.toSet
-    val cacheB: Option[org.apache.spark.broadcast.Broadcast[
-      Map[Int, Set[Long]]]] =
-      if (idCacheTables.isEmpty) None
-      else {
-        nodeInserts = nodeInserts.persist(StorageLevel.MEMORY_AND_DISK)
-        val fresh = nodeInserts.filter(i => idCacheTables.contains(i.tbl))
-          .map(i => (i.tbl, i.oid)).distinct().collect()
-          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-        val byIdx = tables.zipWithIndex.collect {
-          case (t, i) if t.idCache =>
-            i -> (appendIdCacheSeed.getOrElse(t.name, Set.empty[Long]) ++
-              fresh.getOrElse(i, Set.empty[Long]))
-        }.toMap
-        Some(spark.sparkContext.broadcast(byIdx))
+    var waysIn = osm.ways
+    var relsIn = osm.relations
+    var cacheB: Option[org.apache.spark.broadcast.Broadcast[
+      Map[Int, Set[Long]]]] = None
+    var cacheCols: Set[Int] = Set.empty
+    if (idCacheTables.nonEmpty) {
+      nodeInserts = nodeInserts.persist(StorageLevel.MEMORY_AND_DISK)
+      val idsByTable: Map[Int, DataFrame] = tables.zipWithIndex.collect {
+        case (t, i) if t.idCache =>
+          val fresh = nodeInserts.filter(_.tbl == i).map(_.oid).toDF("id")
+          i -> appendIdCacheSeed.get(t.name)
+            .map(_.toDF("id").union(fresh)).getOrElse(fresh)
+            .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      }.toMap
+      val gate = spark.conf.getOption("graft.flex.idCacheBroadcastMax")
+        .map(_.toLong).getOrElse(LuaFlexConfig.IdCacheBroadcastMax)
+      val totalIds = idsByTable.values.map(_.count()).sum
+      if (totalIds <= gate) {
+        val byIdx = idsByTable.map { case (i, df) =>
+          i -> df.collect().map(_.getLong(0)).toSet
+        }
+        cacheB = Some(spark.sparkContext.broadcast(byIdx))
+      } else {
+        waysIn = LuaFlexConfig.withCacheHits(osm.ways,
+          col("nodes"), idsByTable)
+        relsIn = LuaFlexConfig.withCacheHits(osm.relations,
+          transform(filter(col("members"),
+            m => m.getField("mtype") === "n"), m => m.getField("ref")),
+          idsByTable)
+        cacheCols = idsByTable.keySet
       }
+    }
 
-    val wayInserts1 =
-      LuaFlexConfig.runPass(spec, osm.ways, "way", 1, cache = cacheB)
-    val relInserts0 = LuaFlexConfig.runPass(spec, osm.relations,
-      "relation", 1, cache = cacheB)
+    val wayInserts1 = LuaFlexConfig.runPass(spec, waysIn, "way", 1,
+      cache = cacheB, cacheCols = cacheCols)
+    val relInserts0 = LuaFlexConfig.runPass(spec, relsIn,
+      "relation", 1, cache = cacheB, cacheCols = cacheCols)
 
     val inserts: Dataset[LuaInsert] =
       if (!hasTwoStage) nodeInserts.union(wayInserts1).union(relInserts0)
@@ -180,19 +211,39 @@ final class LuaFlexConfig(
         // rebuild that state, then flips osm2pgsql.stage to 2.
         // Member tags/ids ship in the replay; coordinate enrichment
         // does not (geometry-from-state is not a two-stage idiom).
+        //
+        // The replay set is BOUNDED BY THE MARKS, not by |relations|:
+        // a marked way/node reads only stage-1 state keyed by its own
+        // id (the documented two-stage pattern stores per-member info,
+        // osm2pgsql-manual "two-stage processing"), so only relations
+        // whose member list intersects the marked sets need replaying.
+        // Semi-join on exploded member refs BEFORE the driver collect
+        // keeps the broadcast at O(marks × fan-in) — planet-scale
+        // two-stage configs no longer collect ~12M relations.
+        val markedRefs = markedWays.select(col("mid"), lit("w").as("mt"))
+          .union(markedNodes.select(col("mid"), lit("n").as("mt")))
+        val touchedRelIds = osm.relations
+          .select(osm.relations("id").as("rid"),
+            explode(col("members")).as("m"))
+          .join(broadcast(markedRefs),
+            col("m.ref") === col("mid") && col("m.mtype") === col("mt"),
+            "left_semi")
+          .select("rid").distinct()
+        val relsNeeded = osm.relations.join(broadcast(touchedRelIds),
+          osm.relations("id") === col("rid"), "left_semi")
         val relObjs = spark.sparkContext.broadcast(
-          LuaFlexConfig.collectRelationObjects(osm.relations))
+          LuaFlexConfig.collectRelationObjects(relsNeeded))
         // marked ways are a small subset — compact them into few
         // partitions so the per-partition relation replay cost stays
         // bounded by marks, not by the input partitioning
-        val ways2in = osm.ways.join(broadcast(markedWays),
-          osm.ways("id") === col("mid"), "left_semi")
+        val ways2in = waysIn.join(broadcast(markedWays),
+          waysIn("id") === col("mid"), "left_semi")
           .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
         val nodes2in = osm.nodes.join(broadcast(markedNodes),
           osm.nodes("id") === col("mid"), "left_semi")
           .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
         val wayInserts2 = LuaFlexConfig.runPass(spec, ways2in, "way", 2,
-          replayRels = Some(relObjs), cache = cacheB)
+          replayRels = Some(relObjs), cache = cacheB, cacheCols = cacheCols)
         val nodeInserts2 = LuaFlexConfig.runPass(spec, nodes2in, "node", 2,
           replayRels = Some(relObjs), cache = cacheB)
         val way1Kept = wayInserts1.join(broadcast(markedWays),
@@ -248,12 +299,39 @@ object LuaFlexConfig {
     * DISABLED (returning nothing, like m_disable_insert), then sets
     * `osm2pgsql.stage = 2` — the exact sequencing of
     * reprocess_marked (src/output-flex.cpp:1567-1572). */
+  /** Broadcast-vs-join gate for the id cache, in total cached ids.
+    * 4M longs ≈ 32 MB broadcast payload — the usual broadcast-join
+    * comfort zone; override per session with the
+    * `graft.flex.idCacheBroadcastMax` conf (tests set 0 to force the
+    * distributed path). */
+  private[flex] val IdCacheBroadcastMax = 4000000L
+
+  /** Above-gate id-cache support: enrich an entity frame with one
+    * `__cache_hits_<i>` column per cache table — the intersection of
+    * the object's own refs (`refs`) with that table's cached ids,
+    * computed as explode → equi-join → collect_set. Shuffle is
+    * bounded by total refs (the way-node resolve shape, which the
+    * middle already pays); no driver materialization anywhere. */
+  private[flex] def withCacheHits(df: DataFrame, refs: Column,
+      idsByTable: Map[Int, DataFrame]): DataFrame =
+    idsByTable.foldLeft(df) { case (acc, (i, ids)) =>
+      val hits = acc
+        .select(col("id").as("__chit_oid"), explode(refs).as("__ref"))
+        .join(ids.select(col("id").as("__cid")),
+          col("__ref") === col("__cid"))
+        .groupBy(col("__chit_oid"))
+        .agg(collect_set(col("__ref")).as(s"__cache_hits_$i"))
+      acc.join(hits, acc("id") === hits("__chit_oid"), "left")
+        .drop("__chit_oid")
+    }
+
   private[flex] def runPass(spec: RunSpec, df: DataFrame, kind: String,
       stage: Int,
       replayRels: Option[org.apache.spark.broadcast.Broadcast[
         Array[LuaOsmObject]]] = None,
       cache: Option[org.apache.spark.broadcast.Broadcast[
-        Map[Int, Set[Long]]]] = None): Dataset[LuaInsert] = {
+        Map[Int, Set[Long]]]] = None,
+      cacheCols: Set[Int] = Set.empty): Dataset[LuaInsert] = {
     val spark = df.sparkSession
     import spark.implicits._
     val schema = df.schema
@@ -273,6 +351,18 @@ object LuaFlexConfig {
           }
         }
       }
+      // above-gate id cache: probes answer from the current object's
+      // precomputed hit set (updated per row in the loop below)
+      val hitColIdx: Map[Int, Int] = cacheCols.iterator.map(ti =>
+        ti -> schema.fieldNames.indexOf(s"__cache_hits_$ti")).toMap
+      var currentHits: Map[Int, Set[Long]] = Map.empty
+      if (cacheCols.nonEmpty)
+        env.inIdCacheSink = (ti, ids) => {
+          val s = currentHits.getOrElse(ti, Set.empty)
+          ids.zipWithIndex.collect {
+            case (id, i) if s.contains(id) => (i + 1).toLong
+          }
+        }
       replayRels.foreach { b =>
         env.insertSink = (_, _) => Nil // m_disable_insert analog
         val pr = env.callback("process_relation")
@@ -306,6 +396,11 @@ object LuaFlexConfig {
         val iMarksOnly = schema.fieldNames.indexOf("__marks_only")
         val main = rows.flatMap { row =>
           out.clear()
+          if (cacheCols.nonEmpty)
+            currentHits = hitColIdx.collect {
+              case (ti, ci) if ci >= 0 && !row.isNullAt(ci) =>
+                ti -> row.getSeq[Long](ci).toSet
+            }
           val obj = get.toObject(row, kind)
           val marksOnly = iMarksOnly >= 0 && !row.isNullAt(iMarksOnly) &&
             row.getBoolean(iMarksOnly)
@@ -352,8 +447,8 @@ object LuaFlexConfig {
 
   /** Relations as replayable objects (tags + members + attributes;
     * no coordinate enrichment — stage-2 state builders read tags and
-    * member lists). Bounded: relations are the smallest entity class
-    * and the reference's own stage-2 state is RAM-resident anyway. */
+    * member lists). Callers pass the marked-member-bounded subset, so
+    * the collect is O(marks × fan-in), never O(|relations|). */
   private[flex] def collectRelationObjects(rels: DataFrame)
       : Array[LuaOsmObject] = {
     val cols = Seq("id", "version", "timestamp", "changeset", "uid",
@@ -602,11 +697,15 @@ object LuaFlexConfig {
     val t = s.dropWhile(ch => ch == ' ' || ch == '\t' || ch == '\n' ||
       ch == '\r' || ch == '\f' || ch == 0x0b.toChar)
     if (t.matches(raw"[+-]?0[xX][0-9a-fA-F]+"))
-      Some(java.lang.Long.parseLong(
-        t.replaceFirst("0[xX]", "").replace("+", ""), 16).toDouble *
-        (if (t.startsWith("-")) -1 else 1))
+      // parseLong handles both signs itself; stripping only the "0x"
+      // keeps "-0x1A" → -26 (a sign multiplier here would double-negate)
+      Some(java.lang.Long.parseLong(t.replaceFirst("0[xX]", ""), 16).toDouble)
     else if (t.matches(raw"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"))
       Some(t.toDouble)
+    else if (t.matches(raw"(?i)[+-]?(inf(inity)?)")) // C strtod accepts these
+      Some(if (t.startsWith("-")) Double.NegativeInfinity
+           else Double.PositiveInfinity)
+    else if (t.matches(raw"(?i)[+-]?nan")) Some(Double.NaN)
     else None
   }
 

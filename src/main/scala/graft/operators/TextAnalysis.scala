@@ -371,9 +371,14 @@ object TextAnalysis {
     val scored = tfs.crossJoin(broadcast(stats))
       .withColumn("score",
         terms.indices.map { i =>
+          // greatest(…,1): the denominator is 0 only when every doc
+          // tokenizes empty (T=0), where tf=0 makes the numerator 0
+          // anyway — the guard keeps the degenerate corpus at score 0
+          // instead of NULL (and keeps the DuckDB oracle, whose `//`
+          // raises on /0, in agreement)
           expr(s"((__n * 1000000L) div (__df$i + 1L)) * " +
             s"((tf$i * 44L * __t * 1000L) div " +
-            s"(20L * tf$i * __t + 6L * __t + 18L * dl * __n))")
+            s"greatest(20L * tf$i * __t + 6L * __t + 18L * dl * __n, 1L))")
         }.reduce(_ + _))
       .select(col(idCol), col("score"))
     scored.orderBy(col("score").desc, col(idCol)).limit(topN)

@@ -93,7 +93,7 @@ object Pipeline5 {
       s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
     val score = Bm25Terms.indices.map(i =>
       s"((n * 1000000) // (df$i + 1)) * " +
-        s"((tf$i * 44 * t * 1000) // (20 * tf$i * t + 6 * t + 18 * dl * n))")
+        s"((tf$i * 44 * t * 1000) // greatest(20 * tf$i * t + 6 * t + 18 * dl * n, 1))")
       .mkString(" + ")
     s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
        |tfs AS (SELECT doc_id, len(w) AS dl, $tf FROM toks),

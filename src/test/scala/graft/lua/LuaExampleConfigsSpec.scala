@@ -118,6 +118,20 @@ class LuaExampleConfigsSpec extends SparkSpecBase {
       .count() == 0L)
   }
 
+  test("turning-circles.lua: above-gate id cache (distributed join " +
+      "path, gate=0) produces the identical tables") {
+    assume(new java.io.File(pbf).exists())
+    // force the planet-scale path: the cache never collects to the
+    // driver; in_id_cache answers from per-object hit sets joined in
+    spark.conf.set("graft.flex.idCacheBroadcastMax", "0")
+    try {
+      val d = runCfg("turning-circles")
+      assert(cnt(d, "turning_circles") == 13L)
+      assert(cnt(d, "highways") == 2753L)
+      assert(cnt(d, "highway_ends") == 21L)
+    } finally spark.conf.unset("graft.flex.idCacheBroadcastMax")
+  }
+
   test("addresses / bbox / data-types / indexes / labelpoint") {
     assume(new java.io.File(pbf).exists())
     val a = runCfg("addresses")
