@@ -729,7 +729,147 @@ object OsmAnalog {
       |    AS spike_mass
       |FROM w""".stripMargin
 
+  /** §2.4 multipolygon assembly (src/geom-from-osm.cpp:219-252,
+    * libosmium basic_assembler semantics) run for real per relation:
+    * the outer square arrives SPLIT into two open ways (the assembler
+    * must stitch arcs end-to-end), a hole classifies by containment
+    * depth 1, an island-in-the-hole classifies depth 2 (its own outer
+    * → extra polygon), and a disjoint square makes a true MULTI. The
+    * oracle pins type/ring-count/area closed-form from the key:
+    * outer side s=(k%7)+4, hole side s−2 ⇒ area 4s−4; +4 for the
+    * disjoint square (k%3=0); +1 for the island (k%5=0 and s>4). */
+  def multipolygonAssembly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.geom.{FromOsm, GeomOps, Pt}
+    val asm = udf((k: Long) => {
+      val sd = (k % 7) + 4.0
+      val h = sd - 2
+      val wayA = Seq(Pt(0, 0), Pt(sd, 0), Pt(sd, sd))
+      val wayB = Seq(Pt(sd, sd), Pt(0, sd), Pt(0, 0))
+      val hole = Seq(Pt(1, 1), Pt(1 + h, 1), Pt(1 + h, 1 + h),
+        Pt(1, 1 + h), Pt(1, 1))
+      val disjoint = Seq(Pt(sd + 10, 0), Pt(sd + 12, 0), Pt(sd + 12, 2),
+        Pt(sd + 10, 2), Pt(sd + 10, 0))
+      val island = Seq(Pt(2, 2), Pt(3, 2), Pt(3, 3), Pt(2, 3), Pt(2, 2))
+      var ways = Seq(wayA, wayB, hole)
+      if (k % 3 == 0) ways = ways :+ disjoint
+      if (k % 5 == 0 && k % 7 != 0) ways = ways :+ island
+      val g = FromOsm.createMultiPolygon(ways)
+      (g.typeName, g.numGeometries.toLong, GeomOps.area(g))
+    })
+    Tables.customer(s, d)
+      .select($"c_custkey".cast("long").as("rel_id"))
+      .select($"rel_id", asm($"rel_id").as("r"))
+      .select($"rel_id", $"r._1".as("geom_type"), $"r._2".as("n_geoms"),
+        $"r._3".as("area"))
+  }
+
+  val multipolygonAssemblySql: String =
+    """SELECT c_custkey AS rel_id,
+      |  CASE WHEN c_custkey % 3 = 0 OR (c_custkey % 5 = 0 AND c_custkey % 7 <> 0)
+      |       THEN 'MULTIPOLYGON' ELSE 'POLYGON' END AS geom_type,
+      |  CAST(1 + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END
+      |         + CASE WHEN c_custkey % 5 = 0 AND c_custkey % 7 <> 0 THEN 1 ELSE 0 END
+      |       AS BIGINT) AS n_geoms,
+      |  CAST(4 * ((c_custkey % 7) + 4) - 4
+      |         + CASE WHEN c_custkey % 3 = 0 THEN 4 ELSE 0 END
+      |         + CASE WHEN c_custkey % 5 = 0 AND c_custkey % 7 <> 0 THEN 1 ELSE 0 END
+      |       AS DOUBLE) AS area
+      |FROM customer""".stripMargin
+
+  /** §2.5 pole_of_inaccessibility (the polylabel port,
+    * src/geom-pole-of-inaccessibility.cpp) per relation: for an
+    * axis-aligned square the pole is the EXACT center — the reference
+    * pins this equality itself (test-geom-pole-of-inaccessibility.cpp
+    * :25-43, unit square == (0.5,0.5)) — and every arithmetic step
+    * (integer offset + integer/2) is exact in doubles cross-engine.
+    * The polygon-only contract is pinned too: a MULTIPOLYGON input
+    * yields the null geometry (geom-pole-of-inaccessibility.cpp
+    * operator() for every non-polygon type). */
+  def poleOfInaccessibility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.geom.{FromOsm, GeomOps, MultiPolygon, NullGeom, Point,
+      Polygon, Pt, Ring}
+    val pole = udf((k: Long) => {
+      val sd = (k % 9) + 1.0
+      val ox = (k % 11).toDouble
+      val oy = (k % 13).toDouble
+      val sq = FromOsm.createPolygon(Seq(Pt(ox, oy), Pt(ox + sd, oy),
+        Pt(ox + sd, oy + sd), Pt(ox, oy + sd), Pt(ox, oy)))
+      val p = GeomOps.poleOfInaccessibility(sq, 0.01).asInstanceOf[Point]
+      val mp = MultiPolygon(Vector(
+        sq.asInstanceOf[Polygon],
+        Polygon(Ring(Vector(Pt(100, 0), Pt(101, 0), Pt(101, 1),
+          Pt(100, 1), Pt(100, 0))), Vector.empty)))
+      val multiNull =
+        GeomOps.poleOfInaccessibility(mp, 0.01).isInstanceOf[NullGeom]
+      (p.x, p.y, multiNull)
+    })
+    Tables.customer(s, d)
+      .select($"c_custkey".cast("long").as("rel_id"))
+      .select($"rel_id", pole($"rel_id").as("r"))
+      .select($"rel_id", $"r._1".as("px"), $"r._2".as("py"),
+        $"r._3".as("multi_is_null"))
+  }
+
+  val poleOfInaccessibilitySql: String =
+    """SELECT c_custkey AS rel_id,
+      |  CAST(c_custkey % 11 AS DOUBLE) + ((c_custkey % 9) + 1) / 2.0 AS px,
+      |  CAST(c_custkey % 13 AS DOUBLE) + ((c_custkey % 9) + 1) / 2.0 AS py,
+      |  TRUE AS multi_is_null
+      |FROM customer""".stripMargin
+
+  /** §2.5 spherical_area / spherical_length over the reference's OWN
+    * acceptance vectors (tests/test-geom-linestrings.cpp:59-61,
+    * 368-385; test-geom-polygons.cpp:29,72) — the oracle constants are
+    * the reference's pinned values quantized (lengths floored at mm,
+    * areas floored at km²), granularities chosen so the port (within
+    * 2e-6 relative of boost geographic/vincenty) lands in the same
+    * bucket. Spherical trig is not DuckDB-expressible bit-exactly, so
+    * the pins themselves ARE the oracle. */
+  def sphericalMeasures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.geom.{FromOsm, GeomOps, Pt}
+    val calc = udf((c: String) => c match {
+      case "len_line" => // LINESTRING(1 1, 2 2) → 156876.14940188668
+        math.floor(GeomOps.sphericalLength(FromOsm.createLineString(
+          Seq(Pt(1, 1), Pt(2, 2)))) * 1000).toLong
+      case "len_equator" => // (0 0, 180 0) → 20003931.458625447
+        math.floor(GeomOps.sphericalLength(FromOsm.createLineString(
+          Seq(Pt(0, 0), Pt(180, 0)))) * 1000).toLong
+      case "len_pole" => // (0 -90, 0 90) → same meridian length
+        math.floor(GeomOps.sphericalLength(FromOsm.createLineString(
+          Seq(Pt(0, -90), Pt(0, 90)))) * 1000).toLong
+      case "len_3pt" => // 3-point chain → 25718.175297824535
+        math.floor(GeomOps.sphericalLength(FromOsm.createLineString(
+          Seq(Pt(20, 19.8), Pt(20.1, 19.8), Pt(20.2, 19.9)))) * 1000).toLong
+      case "area_unit_square" => // unit square → 12308778361.469454
+        math.floor(GeomOps.sphericalArea(FromOsm.createPolygon(
+          Seq(Pt(0, 0), Pt(0, 1), Pt(1, 1), Pt(1, 0), Pt(0, 0)))) / 1e6).toLong
+      case "area_square_with_hole" => // 3×3 minus 1×1 → 98452667625.52686
+        math.floor(GeomOps.sphericalArea(FromOsm.createMultiPolygon(Seq(
+          Seq(Pt(0, 0), Pt(0, 3), Pt(3, 3), Pt(3, 0), Pt(0, 0)),
+          Seq(Pt(1, 1), Pt(2, 1), Pt(2, 2), Pt(1, 2), Pt(1, 1))))) / 1e6).toLong
+      case _ => -1L
+    })
+    Seq("len_line", "len_equator", "len_pole", "len_3pt",
+      "area_unit_square", "area_square_with_hole").toDF("case_id")
+      .select($"case_id", calc($"case_id").as("value_q"))
+  }
+
+  val sphericalMeasuresSql: String =
+    """SELECT * FROM (VALUES
+      |  ('len_line', 156876149),
+      |  ('len_equator', 20003931458),
+      |  ('len_pole', 20003931458),
+      |  ('len_3pt', 25718175),
+      |  ('area_unit_square', 12308),
+      |  ('area_square_with_hole', 98452)) AS t(case_id, value_q)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q9_osm_multipolygon"        -> (multipolygonAssembly _),
+    "q28_osm_polylabel"          -> (poleOfInaccessibility _),
+    "q29_osm_spherical"          -> (sphericalMeasures _),
     "q81_osm_simplify"           -> (simplifyQ _),
     "q80_osm_line_merge"         -> (lineMerge _),
     "q77_geom_scalars"           -> (geomScalars _),
@@ -753,6 +893,9 @@ object OsmAnalog {
     "q49_osm_centroid"           -> (polygonCentroid _))
 
   val oracles: Map[String, String] = Map(
+    "q9_osm_multipolygon"        -> multipolygonAssemblySql,
+    "q28_osm_polylabel"          -> poleOfInaccessibilitySql,
+    "q29_osm_spherical"          -> sphericalMeasuresSql,
     "q81_osm_simplify"           -> simplifySql,
     "q80_osm_line_merge"         -> lineMergeSql,
     "q77_geom_scalars"           -> geomScalarsSql,
