@@ -46,15 +46,20 @@ object AppendScaleProbe {
       (0L until mult.toLong).map(shift(osm0.relations, _))
         .reduce(_ unionByName _))
 
+    // arg(1): config path — test_output_flex.lua (single-stage) by
+    // default; public-transport.lua exercises TWO-STAGE append, where
+    // the stage-2 relation replay must stay bounded by the marks
+    val cfgPath = args.lift(1).getOrElse(
+      "/root/reference/tests/data/test_output_flex.lua")
+    val cfgName = java.nio.file.Paths.get(cfgPath).getFileName.toString
     val src = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(
-        "/root/reference/tests/data/test_output_flex.lua")),
+      java.nio.file.Paths.get(cfgPath)),
       java.nio.charset.StandardCharsets.UTF_8)
     val mkCfg = () => new graft.flex.LuaFlexConfig(src,
-      "test_output_flex.lua", properties = Map("updatable" -> "true"))
+      cfgName, properties = Map("updatable" -> "true"))
 
     // ---- import, persist the stored state like a real deployment ----
-    val base = s"/tmp/append_probe_$mult"
+    val base = s"/tmp/append_probe_${cfgName.stripSuffix(".lua")}_$mult"
     val t0 = System.nanoTime()
     val r = graft.flex.FlexRunner.run(mkCfg(),
       graft.flex.Enrich.forFlex(osm, "create"))
@@ -95,8 +100,8 @@ object AppendScaleProbe {
       n -> tr.rows.count() }
     val tAppend = (System.nanoTime() - t1) / 1e9
 
-    println(f"[append-scale] mult=$mult%d import=$tImport%.1fs " +
-      f"append=$tAppend%.1fs " +
+    println(f"[append-scale] cfg=$cfgName mult=$mult%d " +
+      f"import=$tImport%.1fs append=$tAppend%.1fs " +
       counts.toSeq.sortBy(_._1)
         .map { case (n, c) => s"$n=$c" }.mkString(" "))
     spark.stop()

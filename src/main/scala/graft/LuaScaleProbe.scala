@@ -45,16 +45,23 @@ object LuaScaleProbe {
       (0L until mult.toLong).map(shift(osm0.relations, _))
         .reduce(_ unionByName _))
 
+    // arg(1): config path — simple.lua (single-stage) by default;
+    // public-transport.lua exercises the TWO-STAGE path, where the
+    // relation replay payload must scale with the marked member sets
+    // (O(marks × fan-in)), never with |relations|
+    val cfgPath = args.lift(1).getOrElse(
+      "/root/reference/flex-config/simple.lua")
+    val cfgName = java.nio.file.Paths.get(cfgPath).getFileName.toString
     val src = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/reference/flex-config/simple.lua")),
+      java.nio.file.Paths.get(cfgPath)),
       java.nio.charset.StandardCharsets.UTF_8)
     val t0 = System.nanoTime()
     val enriched = graft.flex.Enrich.forFlex(osm, "create")
     val r = graft.flex.FlexRunner.run(
-      new graft.flex.LuaFlexConfig(src, "simple.lua"), enriched)
+      new graft.flex.LuaFlexConfig(src, cfgName), enriched)
     val counts = r.tables.map { case (n, tr) => n -> tr.rows.count() }
     val dt = (System.nanoTime() - t0) / 1e9
-    println(f"[lua-scale] mult=$mult%d time=$dt%.1fs " +
+    println(f"[lua-scale] cfg=$cfgName mult=$mult%d time=$dt%.1fs " +
       counts.toSeq.sortBy(_._1)
         .map { case (n, c) => s"$n=$c" }.mkString(" "))
     // 1× pins: pois 1531, restaurants 31, ways 2990, polygons 4142

@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Pipeline3.queries ++
       graft.queries.Pipeline4.queries ++
       graft.queries.Pipeline5.queries ++
+      graft.queries.Pipeline6.queries ++
       graft.queries.OsmAnalog.queries ++
       graft.queries.GenQueries.queries
 
@@ -35,6 +36,7 @@ object SparkEntry {
       graft.queries.Pipeline3.oracles ++
       graft.queries.Pipeline4.oracles ++
       graft.queries.Pipeline5.oracles ++
+      graft.queries.Pipeline6.oracles ++
       graft.queries.OsmAnalog.oracles ++
       graft.queries.GenQueries.oracles
 }

@@ -183,6 +183,28 @@ object VectorKernels {
     new GenericArrayData(arr)
   }
 
+  /** Non-overlapping `k`-token windows joined by spaces, last window
+    * partial — the chunk/segment unit of cross-document dedup. Same
+    * single-pass contract as [[shingles]]. */
+  def chunks(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    val sep = UTF8String.fromString(" ")
+    val m = (n + k - 1) / k
+    val out = new Array[Any](m)
+    var c = 0
+    while (c < m) {
+      val start = c * k
+      val len = math.min(k, n - start)
+      val parts = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) { parts(j) = tokens.getUTF8String(start + j); j += 1 }
+      out(c) = UTF8String.concatWs(sep, parts: _*)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash every
     * word `k`-gram (md5 of the space-joined gram), slide a window of
     * `w` consecutive hashes, select the minimum of each window, return
@@ -393,6 +415,22 @@ case class ShinglesExpr(child: Expression, k: Int, distinct: Boolean)
     copy(child = c)
 }
 
+/** chunks(tokens, k) → non-overlapping k-token windows (last one
+  * partial), space-joined — codegen'd replacement for the
+  * transform(sequence)+slice chunker (interpreted HOFs). */
+case class ChunksExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.chunks(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorKernels.chunks($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** winnow_fps(tokens, k, w) → sorted distinct window-min k-gram hashes
   * (empty when fewer than k tokens). */
 case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
@@ -535,6 +573,8 @@ object VectorExpressions {
     column(WinnowFpsExpr(expression(tokens), k, w))
   def shinglesN(tokens: Column, k: Int, distinct: Boolean = false): Column =
     column(ShinglesExpr(expression(tokens), k, distinct))
+  def chunksN(tokens: Column, k: Int): Column =
+    column(ChunksExpr(expression(tokens), k))
   def pqEncodeN(q: Column, m: Int, cids: IndexedSeq[Long],
       cb: IndexedSeq[Long], cb2: IndexedSeq[Long],
       err: Boolean = false): Column =

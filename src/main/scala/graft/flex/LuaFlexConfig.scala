@@ -131,6 +131,23 @@ final class LuaFlexConfig(
     val spark = osm.nodes.sparkSession
     import spark.implicits._
 
+    // after_nodes/after_ways/after_relations observe state the
+    // process_* callbacks accumulated across ALL entities (the
+    // reference's one output thread / one Lua state — the documented
+    // cumulative-counter idiom, tests/bdd/flex/lua-callbacks.feature).
+    // Only a single state honors that exactly, so below the size gate
+    // the frames run through one driver-side env in id order; above
+    // it the distributed per-partition path runs and after_* fire at
+    // each partition end (the documented scale delta — at planet
+    // scale no single state can see every object anyway).
+    if (Seq("after_nodes", "after_ways", "after_relations").exists(has)) {
+      val gate = spark.conf.getOption("graft.flex.sequentialAfterMax")
+        .map(_.toLong).getOrElse(LuaFlexConfig.SequentialAfterMax)
+      val total = osm.nodes.count() + osm.ways.count() +
+        osm.relations.count()
+      if (total <= gate) return processGraphSequential(osm)
+    }
+
     var nodeInserts = LuaFlexConfig.runPass(spec, osm.nodes, "node", 1)
 
     // ids.cache support (table_in_id_cache, src/output-flex.cpp:
@@ -269,6 +286,130 @@ final class LuaFlexConfig(
       t.name -> LuaFlexConfig.projectTable(persisted.toDF(), t, idx)
     }.toMap
   }
+
+  /** Single-state sequential pass (gate-bounded inputs only): ONE
+    * driver-side Lua env processes nodes → after_nodes → ways →
+    * after_ways → relations → after_relations → stage-2 reprocess,
+    * exactly the reference's output-thread sequencing
+    * (src/output-flex.cpp after_nodes/after_ways/after_relations +
+    * reprocess_marked:1544-1618). Same LuaInsert stream and
+    * projectTable tail as the distributed path, so downstream
+    * (expire, append, table projection) is identical. */
+  private def processGraphSequential(
+      osm: graft.sources.OsmXml.OsmDataFrames): Map[String, DataFrame] = {
+    val spark = osm.nodes.sparkSession
+    import spark.implicits._
+
+    val env = new FlexLuaEnv(chunkName, mode, 1, properties, configDir)
+    dbRegionResolver.foreach { res =>
+      env.dbRegions = sql => recordedDbRegions
+        .getOrElseUpdate(sql, res(sql))
+        .map { case (n, b) => (n, Ewkb.decode(b)) }
+    }
+    env.loadSource(chunkSource)
+
+    // id caches live as real mutable sets, populated as inserts land
+    // in cache-enabled tables — the reference's table_in_id_cache
+    // (src/output-flex.cpp:846-884) verbatim; the append seed is the
+    // prev-table id list (output-flex.cpp:1046-1059)
+    val cacheSets = scala.collection.mutable.Map.empty[
+      Int, scala.collection.mutable.Set[Long]]
+    tables.zipWithIndex.foreach { case (t, i) =>
+      if (t.idCache) {
+        val s = scala.collection.mutable.Set.empty[Long]
+        appendIdCacheSeed.get(t.name).foreach(
+          _.collect().foreach(r => s += r.getLong(0)))
+        cacheSets(i) = s
+      }
+    }
+    if (cacheSets.nonEmpty)
+      env.inIdCacheSink = (ti, ids) => {
+        val s = cacheSets.getOrElse(ti, scala.collection.mutable.Set.empty)
+        ids.zipWithIndex.collect {
+          case (id, i) if s.contains(id) => (i + 1).toLong
+        }
+      }
+
+    val all = scala.collection.mutable.ArrayBuffer.empty[LuaInsert]
+    env.insertSink = (idx, row) => {
+      val before = all.size
+      val res = LuaFlexConfig.insertRow(env, idx, row, all)
+      if (cacheSets.contains(idx))
+        all.view.slice(before, all.size).foreach(ins =>
+          cacheSets(ins.tbl) += ins.oid)
+      res
+    }
+
+    def pass(df: DataFrame, kind: String, stage: Int): Unit = {
+      val schema = df.schema
+      val process = env.callback(s"process_$kind")
+      val processUntagged = env.callback(s"process_untagged_$kind")
+      val processDeleted = env.callback(s"process_deleted_$kind")
+      val selectMembers =
+        if (kind == "relation" && stage == 1)
+          env.callback("select_relation_members")
+        else None
+      if (process.isEmpty && processUntagged.isEmpty &&
+          processDeleted.isEmpty && selectMembers.isEmpty) return
+      val get = new LuaFlexConfig.RowReader(schema)
+      val iMarksOnly = schema.fieldNames.indexOf("__marks_only")
+      df.sort("id").toLocalIterator().forEachRemaining { row =>
+        val obj = get.toObject(row, kind)
+        val marksOnly = iMarksOnly >= 0 && !row.isNullAt(iMarksOnly) &&
+          row.getBoolean(iMarksOnly)
+        if (obj.deleted)
+          processDeleted.foreach(fn =>
+            env.callProcess(fn, obj, s"process_deleted_$kind"))
+        else {
+          selectMembers.foreach { fn =>
+            val (ws, ns) = env.callSelectRelationMembers(fn, obj)
+            ws.foreach(w => all += LuaInsert(-1, Map.empty, Map.empty,
+              Map.empty, "w", w))
+            ns.foreach(n => all += LuaInsert(-2, Map.empty, Map.empty,
+              Map.empty, "n", n))
+          }
+          if (!marksOnly) {
+            val cbName = if (obj.tags.nonEmpty) s"process_$kind"
+              else s"process_untagged_$kind"
+            val cb = if (obj.tags.nonEmpty) process else processUntagged
+            cb.foreach(fn => env.callProcess(fn, obj, cbName))
+          }
+        }
+      }
+    }
+    def fireAfter(kind: String): Unit =
+      env.callback(s"after_${kind}s").foreach(fn => env.I.call(fn, Nil))
+
+    pass(osm.nodes, "node", 1); fireAfter("node")
+    pass(osm.ways, "way", 1); fireAfter("way")
+    pass(osm.relations, "relation", 1); fireAfter("relation")
+
+    val markedW = all.iterator.filter(_.tbl == -1).map(_.oid).toSet
+    val markedN = all.iterator.filter(_.tbl == -2).map(_.oid).toSet
+    if (hasTwoStage && (markedW.nonEmpty || markedN.nonEmpty)) {
+      // stage-1 rows of marked objects are replaced by their stage-2
+      // reprocess (delete+reinsert, reprocess_marked); after_* do NOT
+      // refire — the reference fires them per input pass, not per
+      // stage
+      val kept = all.filterNot(ins => ins.tbl >= 0 &&
+        ((ins.otype == "w" && markedW(ins.oid)) ||
+          (ins.otype == "n" && markedN(ins.oid))))
+      all.clear(); all ++= kept
+      env.osm2pgsql.rawSet(LStr("stage"), LInt(2L))
+      if (markedW.nonEmpty)
+        pass(osm.ways.filter(col("id").isInCollection(markedW)), "way", 2)
+      if (markedN.nonEmpty)
+        pass(osm.nodes.filter(col("id").isInCollection(markedN)),
+          "node", 2)
+    }
+
+    val rows = all.filter(_.tbl >= 0).toVector
+    val persisted = spark.createDataset(rows)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    tables.zipWithIndex.map { case (t, idx) =>
+      t.name -> LuaFlexConfig.projectTable(persisted.toDF(), t, idx)
+    }.toMap
+  }
 }
 
 object LuaFlexConfig {
@@ -305,6 +446,11 @@ object LuaFlexConfig {
     * `graft.flex.idCacheBroadcastMax` conf (tests set 0 to force the
     * distributed path). */
   private[flex] val IdCacheBroadcastMax = 4000000L
+
+  /** Input-size gate (total objects) for the single-state sequential
+    * after_* compatibility pass; override with
+    * `graft.flex.sequentialAfterMax` (0 forces distributed). */
+  private[flex] val SequentialAfterMax = 1000000L
 
   /** Above-gate id-cache support: enrich an entity frame with one
     * `__cache_hits_<i>` column per cache table — the intersection of

@@ -128,6 +128,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), j(col("wa"), col("wb")).as("jaccard"))
   }
 
+  /** Exact Levenshtein verification over candidate pairs — the other
+    * standard post-LSH verify (fuzzy dedup keyed on edit similarity
+    * rather than token Jaccard). The DP is O(|a|·|b|) per PAIR, so
+    * callers feed the banded candidate set (bounded by bucket
+    * collisions), never all pairs; both text lookups are broadcast-able
+    * equi-joins on the id and the distance kernel is the codegen'd
+    * built-in. `max_len` ships alongside so callers can threshold on
+    * the normalized ratio without a second text pass. */
+  def editDistanceOnPairs(pairs: DataFrame, df: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val docs = df.select(col(idCol).as("eid"), col(textCol).as("t"))
+    val a = docs.select(col("eid").as("id_a"), col("t").as("ta"))
+    val b = docs.select(col("eid").as("id_b"), col("t").as("tb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb")))
+          .cast("long").as("max_len"))
+  }
+
   /** Winnowing document fingerprints (rolling-hash scheme, Schleimer
     * et al. 2003): per doc, the sorted distinct window-min `k`-gram
     * hashes plus a digest of the whole selection. Two docs sharing any
@@ -601,10 +621,11 @@ object Dedup {
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 16): DataFrame = {
     val w = normToks(col(textCol))
-    // ceil(n/chunk) chunks; slice() clamps the last partial chunk
-    val chunkArr = transform(
-      sequence(lit(0), floor((size(w) - lit(1)) / lit(chunkTokens)).cast("int")),
-      i => concat_ws(" ", slice(w, i * chunkTokens + 1, lit(chunkTokens))))
+    // ceil(n/chunk) chunks, last one partial — the codegen'd chunk
+    // kernel (ChunksExpr); the transform(sequence)+slice Column form
+    // is an interpreted HOF and measured ~4× slower (GramProbe)
+    val chunkArr = graft.expressions.VectorExpressions
+      .chunksN(w, chunkTokens)
     val chunks = df.select(col(idCol),
       posexplode(chunkArr).as(Seq("ci", "chunk")))
     val counts = chunks.groupBy(col("chunk"))

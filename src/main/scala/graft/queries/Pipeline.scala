@@ -44,7 +44,7 @@ object Pipeline {
        |      FROM (SELECT doc_id, $W AS w FROM documents))
        |WHERE len(sh) > 0""".stripMargin
 
-  private val sigsCte =
+  private[queries] val sigsCte =
     s"""WITH sigs AS ($SigsSelect),
        |bands AS (SELECT doc_id, m0 || ':' || m1 AS b0, m2 || ':' || m3 AS b1 FROM sigs),
        |pairs AS (

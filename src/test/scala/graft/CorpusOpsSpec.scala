@@ -136,6 +136,37 @@ class CorpusOpsSpec extends SparkSpecBase {
       (1L, 0L, 1L))) // user 3's own cohort
   }
 
+  test("ngramNovelty: distinct-bigram counts, short docs drop out") {
+    val docs = Seq(
+      (1L, "the cat sat"),         // bigrams: "the cat", "cat sat"
+      (2L, "the cat ran"),         // shares "the cat" with doc 1
+      (3L, "x"),                   // no bigram → absent from output
+      (4L, "a a a")                // "a a" twice but DISTINCT once
+    ).toDF("doc_id", "text")
+    val m = CorpusOps.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    assert(m == Map(
+      1L -> (2L, 1L), // "cat sat" novel, "the cat" shared
+      2L -> (2L, 1L), // "cat ran" novel
+      4L -> (1L, 1L))) // one distinct bigram, novel
+    assert(!m.contains(3L))
+  }
+
+  test("editDistanceOnPairs: exact distances on given pairs only") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.editDistanceOnPairs(pairs, docs, "doc_id", "text")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r == Map(
+      (1L, 2L) -> (3L, 7L),  // classic kitten→sitting = 3
+      (1L, 3L) -> (0L, 6L)))
+  }
+
   test("segmentDedup plan: one shuffle on the segment key, one on doc") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = CorpusOps.segmentDedup(docs, "doc_id", "text")

@@ -253,4 +253,42 @@ class PlanSpec extends SparkSpecBase {
       assert(exchanges <= 2, s"$q shuffles too much: $exchanges exchanges")
     }
   }
+
+  // ---------- registry-wide scale-killer sweep ----------
+
+  /** Queries whose BroadcastNestedLoopJoin is a DELIBERATE bounded
+    * broadcast (each with a written justification at the operator):
+    * ANN exact scoring against a broadcast probe/codebook set
+    * (Similarity.scala:98-111), single-row corpus stats, and the
+    * recall harness comparing against the brute-force truth. The
+    * small side is bounded by construction (≤ thousands of rows), so
+    * the nested loop IS the broadcast-join plan, not an accident. */
+  private val bnlJustified: Set[String] = Set(
+    // broadcast probe/query set vs full scan — the exact-scoring ANN
+    // contract (Similarity.scala:98-111; probe count bounded)
+    "q20_ann_cosine_topk", "q75_ann_recall_eval",
+    // ≤256-row broadcast centroid/codebook tables (IVF coarse assign,
+    // Voronoi blocking)
+    "q25_ivf_ann_topk", "q66_semantic_dedup",
+    // single-row broadcast corpus stats (N, avgdl / doc count)
+    "q70_term_relevance", "q90_bm25_retrieval",
+    // documented exact-verify small path; srpBlockedNearDup (q78,
+    // equi-join, no BNLJ) is the scale route (Dedup.scala:393-399)
+    "q21_embedding_neardup")
+
+  test("registry sweep: no CartesianProduct anywhere, no unlisted BNLJ") {
+    // every registered query planned at sf0.001; a future query that
+    // ships a cartesian product or an unjustified nested-loop join
+    // fails HERE, not on a 1000-executor cluster
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      if (p.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (p.contains("BroadcastNestedLoopJoin") && !bnlJustified(name))
+        offenders += s"$name: unlisted BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty,
+      s"scale-killer plans:\n  ${offenders.mkString("\n  ")}")
+  }
 }

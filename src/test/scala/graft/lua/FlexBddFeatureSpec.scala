@@ -50,8 +50,9 @@ class FlexBddFeatureSpec extends SparkSpecBase {
     "missing-nodes.feature" -> 1,
     "extra-attributes.feature" -> 2,
     "nocluster.feature" -> 2,
-    // single-state cumulative after_* prints: documented skip
-    "lua-callbacks.feature" -> 0,
+    // single-state cumulative after_* prints: the sequential
+    // compatibility pass reproduces the reference stdout exactly
+    "lua-callbacks.feature" -> 1,
     "lua-table-ids.feature" -> 21,
     "geometry-function-area.feature" -> 4,
     "invalid-geometries.feature" -> 4,

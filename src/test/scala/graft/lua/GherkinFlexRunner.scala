@@ -201,18 +201,13 @@ final class GherkinFlexRunner(spark: SparkSession) {
         None
       case s if s.startsWith("the standard output contains") =>
         val want = st.doc.getOrElse("").trim
-        if (!capturedOut.contains(want)) {
-          // cumulative after_* print counters depend on the
-          // reference's ONE sequential Lua state across the node→way→
-          // relation passes; per-partition states (the documented
-          // scale delta) can't reproduce that exact stdout
-          if (luaSource.exists(_.contains("after_")))
-            throw new SkipStep(
-              "cumulative after_* prints need the single-state " +
-                "sequential contract (per-partition Lua states here)")
+        // cumulative after_* print counters run through the
+        // single-state sequential compatibility pass
+        // (LuaFlexConfig.processGraphSequential), so the exact
+        // reference stdout is reproducible here
+        if (!capturedOut.contains(want))
           fail(s"stdout did not contain '$want'; got: " +
             capturedOut.linesIterator.take(4).mkString("\\n"))
-        }
         None
       case notContainsRe(name) =>
         assertTableNotContains(name, st.table)
