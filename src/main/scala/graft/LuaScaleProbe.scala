@@ -64,9 +64,16 @@ object LuaScaleProbe {
     println(f"[lua-scale] cfg=$cfgName mult=$mult%d time=$dt%.1fs " +
       counts.toSeq.sortBy(_._1)
         .map { case (n, c) => s"$n=$c" }.mkString(" "))
-    // 1× pins: pois 1531, restaurants 31, ways 2990, polygons 4142
-    val base = Map("pois" -> 1531L, "restaurants" -> 31L,
-      "ways" -> 2990L, "polygons" -> 4142L)
+    // 1× pins per config (exact-N× cardinality check): simple.lua
+    // from the typed-port equality; public-transport.lua from the 1×
+    // probe run (two-stage — lines carries the stage-2 rel_refs)
+    val base: Map[String, Long] = cfgName match {
+      case "simple.lua" => Map("pois" -> 1531L, "restaurants" -> 31L,
+        "ways" -> 2990L, "polygons" -> 4142L)
+      case "public-transport.lua" => Map("lines" -> 2790L,
+        "routes" -> 17L, "stop_areas" -> 1L, "stops" -> 8L)
+      case _ => Map.empty
+    }
     base.foreach { case (n, c) =>
       val got = counts(n)
       require(got == c * mult,

@@ -605,7 +605,8 @@ object Dedup {
       k: Int = 5): DataFrame = {
     val base = df.select(col(idCol), normToks(col(textCol)).as("w"))
     val grams = base.select(col(idCol),
-      posexplode(shingles(col("w"), k)).as(Seq("i0", "g")))
+      posexplode(graft.expressions.VectorExpressions
+        .shinglesN(col("w"), k)).as(Seq("i0", "g")))
     val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select(col("g"))
     val covered = grams.join(dup, Seq("g"), "left_semi")
