@@ -172,6 +172,36 @@ object CorpusOps {
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
   }
 
+  /** Cross-source leakage audit: for every pair of corpus sources,
+    * the number of distinct `n`-grams appearing in BOTH — the matrix a
+    * curation pipeline reads before deciding which sources double-count
+    * content (mirror sites, syndication, benchmark bleed). One
+    * (source, gram) distinct pass, then gram → sorted source-set via a
+    * single aggregate (set size ≤ |sources|, i.e. tiny), then an
+    * in-row pair expansion — the gram frame is never self-joined, so
+    * the only gram-cardinality shuffles are the distinct and the
+    * aggregate, both with map-side combine. */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val grams = graft.expressions.VectorExpressions.shinglesN(
+      graft.functions.TextFunctions.normToks(col(textCol)), n,
+      distinct = true)
+    val g = df.select(col(srcCol).as("src"), explode(grams).as("gram"))
+      .distinct()
+    val srcSets = g.groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .where(size(col("srcs")) > 1)
+    // (srcs[i], srcs[j]) for i<j — bounded by |sources|²/2 per gram
+    val pairs = flatten(transform(
+      sequence(lit(1), size(col("srcs")) - 1),
+      i => transform(slice(col("srcs"), i + 1, size(col("srcs"))),
+        b => struct(element_at(col("srcs"), i).as("src_a"),
+          b.as("src_b")))))
+    srcSets.select(explode(pairs).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Quality-weighted deterministic sampling: a document survives iff
     * the first four hex digits of md5(id) fall below a per-row
     * threshold proportional to its weight column — P(keep) ≈

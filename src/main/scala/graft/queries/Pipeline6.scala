@@ -57,11 +57,30 @@ object Pipeline6 {
        |FROM g JOIN gdf USING (gram)
        |GROUP BY doc_id""".stripMargin
 
+  // ---- q93: cross-source leakage matrix ----
+
+  def sourceOverlap(s: SparkSession, d: String): DataFrame =
+    CorpusOps.sourceOverlap(Tables.documents(s, d), "source", "text")
+
+  val sourceOverlapSql: String =
+    s"""WITH t AS (SELECT source, $W AS w FROM documents),
+       |g0 AS (SELECT source,
+       |  unnest(list_transform(range(greatest(len(w) - 7, 0)),
+       |    i -> array_to_string(w[(i+1):(i+8)], ' '))) AS gram
+       |  FROM t),
+       |g AS (SELECT DISTINCT source, gram FROM g0)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  count(*) AS n_shared_grams
+       |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q91_edit_verify"   -> (editVerify _),
-    "q92_ngram_novelty" -> (ngramNovelty _))
+    "q91_edit_verify"    -> (editVerify _),
+    "q92_ngram_novelty"  -> (ngramNovelty _),
+    "q93_source_overlap" -> (sourceOverlap _))
 
   val oracles: Map[String, String] = Map(
-    "q91_edit_verify"   -> editVerifySql,
-    "q92_ngram_novelty" -> ngramNoveltySql)
+    "q91_edit_verify"    -> editVerifySql,
+    "q92_ngram_novelty"  -> ngramNoveltySql,
+    "q93_source_overlap" -> sourceOverlapSql)
 }
