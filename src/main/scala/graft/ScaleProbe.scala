@@ -49,6 +49,32 @@ object ScaleProbe {
         emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
           .where(col("id") < 8),
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")), 5).count())
+    // q94's shape: per Lloyd pass one ≤256-row broadcast + an argmin
+    // agg over |corpus|×|C| kernel rows — time must stay ~linear in
+    // corpus size, and every vector must come back assigned
+    time("kmeans_assign")(
+      graft.operators.Similarity.kmeansAssignExact(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        every = 25).count())
+    // q98's shape: candidates only from the SRP (table,key) equi-join;
+    // the self-union multiplies bucket population ~mult, so candidate
+    // rows grow ~mult² per bucket — the probe checks the banded join
+    // stays the cost (no all-pairs term over the whole corpus)
+    time("mutual_knn")(
+      graft.operators.Similarity.mutualKnnGraph(
+        emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", 3).count())
+    // q95/q96/q97: split assignment, rare-token scoring, token budget
+    time("leakage_split")(
+      graft.operators.Dedup.leakageSafeSplit(docs, "doc_id", "text")
+        .count())
+    time("rare_tokens")(
+      graft.operators.TextAnalysis.rareTokenScore(docs, "doc_id", "text")
+        .count())
+    time("token_budget")(
+      graft.operators.Sampling.tokenBudget(docs, "source", "doc_id",
+        size(graft.functions.TextFunctions.normToks(col("text"))),
+        budget = 100000L).count())
     time("dup_span_coverage")(
       graft.operators.Dedup.dupSpanCoverage(docs, "doc_id", "text").count())
     // segment dedup (q83 shape): explode → hash agg on segment key →

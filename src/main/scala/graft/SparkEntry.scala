@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Pipeline4.queries ++
       graft.queries.Pipeline5.queries ++
       graft.queries.Pipeline6.queries ++
+      graft.queries.Pipeline7.queries ++
       graft.queries.OsmAnalog.queries ++
       graft.queries.GenQueries.queries
 
@@ -37,6 +38,7 @@ object SparkEntry {
       graft.queries.Pipeline4.oracles ++
       graft.queries.Pipeline5.oracles ++
       graft.queries.Pipeline6.oracles ++
+      graft.queries.Pipeline7.oracles ++
       graft.queries.OsmAnalog.oracles ++
       graft.queries.GenQueries.oracles
 }

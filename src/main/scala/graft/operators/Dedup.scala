@@ -393,6 +393,35 @@ object Dedup {
         col("best.w").as("canonical_weight"))
   }
 
+  /** Leakage-safe train/val/test split — the assignment step every
+    * eval-hygienic corpus needs: near-duplicate documents MUST land in
+    * the same split, or the eval set silently overlaps the training
+    * set through paraphrases. Group id = near-dup cluster id for
+    * clustered documents ([[nearDupClusters]]), own id otherwise; the
+    * split is a deterministic md5 bucket of the GROUP id, so a
+    * verified near-dup pair can never straddle train and eval, and a
+    * re-run (or a different cluster size) reproduces the identical
+    * split. Thresholds are hex prefixes of md5 exactly like
+    * [[graft.operators.Sampling.hashSample]]: bucket < `testHex` →
+    * test, < `valHex` → val, else train.
+    *
+    * Scale: the clusters frame is the clustered subset only; the join
+    * back to the corpus is one equi-join on the id (AQE broadcasts it
+    * when small); everything after is a map-only projection. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5, testHex: String = "1a",
+      valHex: String = "34"): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, textCol, minJaccard)
+    val joined = df.select(col(idCol).as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+    val canon = coalesce(col("cluster_id"), col("doc_id"))
+    val h = substring(md5(canon.cast("string")), 1, 2)
+    joined.select(col("doc_id"), canon.as("group_id"),
+      when(h < lit(testHex), lit("test"))
+        .when(h < lit(valHex), lit("val"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: Option[Column] = None): DataFrame = {
     // norms are computed ONCE per vector before the join — inside the

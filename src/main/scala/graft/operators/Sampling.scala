@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,17 +85,23 @@ object Sampling {
     * a single binary64 op) — exact on any engine, no RNG.
     *
     * Scale shape: the counts aggregate is map-side combinable and the
-    * weights frame is |sources| rows (the all-rows window over it is
-    * trivially small); the corpus side sees one broadcast join + the
-    * same per-source selection window as [[sourceMix]]. */
+    * weights frame is |sources| rows (Σw is a 1-row aggregate joined
+    * back on a constant key — no single-partition window anywhere);
+    * the corpus side sees one broadcast join + the same per-source
+    * selection window as [[sourceMix]]. */
   def temperatureMix(df: DataFrame, srcCol: String, idCol: String,
       budget: Int): DataFrame = {
     val counts = df.groupBy(col(srcCol))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__w", floor(sqrt(col("__c"))).cast("long"))
+    // Σw via a 1-row aggregate broadcast — the same value a
+    // sum-over-all-rows window gives, without the single-partition
+    // WindowExec that window plans (and warns about). The broadcast
+    // nested loop this plans has a ONE-row build side by construction
+    // (same justified class as the q70/q90 corpus-stats broadcasts).
+    val total = counts.agg(sum(col("__w")).as("__tw"))
     val targets = counts
-      .withColumn("__tw", sum(col("__w")).over(
-        Window.partitionBy(lit(1))))
+      .crossJoin(broadcast(total))
       .withColumn("__target",
         greatest(lit(1L),
           floor(lit(budget) * col("__w") / col("__tw")).cast("long")))
@@ -131,5 +137,29 @@ object Sampling {
         floor(col("start_offset") / windowTokens))
       .withColumn("last_window",
         floor((col("end_offset") - 1) / windowTokens))
+  }
+
+  /** Token-budget curation: per group (source/domain), walk documents
+    * in deterministic md5 order — a reproducible uniform shuffle, same
+    * key as [[hashSample]] — keeping documents while the running token
+    * total stays within `budget`. This is how a data mix is actually
+    * assembled ("2B tokens of web, 500M of code"): the budget binds on
+    * tokens, not documents, and the md5 walk makes the cut identical
+    * on every re-run and cluster size.
+    *
+    * Scale: one window per group partition (running sum, ROWS frame) —
+    * parallelism = number of groups. A single planet-sized group
+    * serializes its window; shard such a group first (the same
+    * md5-prefix sharding [[packSequences]] uses) and budget the shards.
+    */
+  def tokenBudget(df: DataFrame, groupCol: String, idCol: String,
+      tokenCount: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(digest(idCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(idCol),
+        tokenCount.cast("long").as("n_toks"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .where(col("cum_toks") <= budget)
   }
 }

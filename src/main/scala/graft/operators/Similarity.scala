@@ -424,4 +424,110 @@ object Similarity {
         .pqEncodeN(col("q"), m, ck.cids, ck.cb, ck.cb2, err = true)
         .as("err"))
   }
+
+  /** Integer-exact Lloyd k-means assignment over quantized embeddings
+    * — the oracle-checkable sibling of [[kmeansCentroids]] (which runs
+    * in double and is used for PQ training). Centroid state is the
+    * (sum-vector S, member-count n) pair, never the float mean:
+    * argmin_c ‖q − S_c/n_c‖² = argmin_c (n²·⟨q,q⟩ − 2n·⟨q,S⟩ + ⟨S,S⟩)
+    * multiplied through by n² — all exact int64 (ties → smallest cid),
+    * so a DuckDB oracle reproduces every assignment bit for bit and
+    * nothing depends on float summation order.
+    *
+    * Scale: each iteration broadcasts ≤`centroidCap` compact centroid
+    * rows (a few KB), scores the corpus map-side (crossJoin with a
+    * broadcast ≤256-row side — the same bounded shape as [[ivfTopK]]),
+    * and recomputes sums via posexplode → per-(cid,dim) partial
+    * aggregation. No driver loops over data, no collect. The int64
+    * bound holds while n·max|S_i|·max|q_i| < 2⁶³ — at planet scale
+    * raise the quantization scale down or switch the cost to
+    * DecimalType; the shape is unchanged. Empty cells drop, matching
+    * standard Lloyd. Returns (id, cluster, n_members) after `iters`
+    * assignment passes. */
+  def kmeansAssignExact(corpus: DataFrame, every: Int = 25,
+      iters: Int = 2, centroidCap: Int = 256): DataFrame = {
+    val base = corpus.select(col("id"), quantize(col("vec")).as("q"))
+      .withColumn("qq", qdot(col("q"), col("q")))
+    var cent = corpus.where(col("id") % every === 0)
+      .select(col("id").as("cid"), quantize(col("vec")).as("s"),
+        lit(1L).as("n"))
+      .orderBy(col("cid")).limit(centroidCap)
+    var assigned: DataFrame = null
+    (1 to iters).foreach { it =>
+      val centX = broadcast(cent
+        .withColumn("ss", qdot(col("s"), col("s"))))
+      assigned = base.crossJoin(centX)
+        .select(col("id"), col("q"), col("qq"),
+          struct(
+            (col("n") * col("n") * col("qq")
+              - lit(2L) * col("n") * qdot(col("q"), col("s"))
+              + col("ss")).as("cost"),
+            col("cid").as("cid")).as("sc"))
+        .groupBy(col("id"))
+        .agg(first(col("q")).as("q"), first(col("qq")).as("qq"),
+          min(col("sc")).as("m"))
+        .select(col("id"), col("q"), col("qq"), col("m.cid").as("cid"))
+      if (it < iters) {
+        val sums = assigned
+          .select(col("cid"), posexplode(col("q")))
+          .groupBy(col("cid"), col("pos")).agg(sum(col("col")).as("sv"))
+          .groupBy(col("cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("sv")))),
+            p => p.getField("sv")).as("s"))
+        cent = sums.join(
+          assigned.groupBy(col("cid")).agg(count(lit(1)).as("n")), "cid")
+      }
+    }
+    val sizes = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"))
+    assigned.select(col("id"), col("cid"))
+      .join(sizes, "cid")
+      .select(col("id"), col("cid").as("cluster"), col("n_members"))
+  }
+
+  /** Mutual k-NN graph over SRP-LSH candidate buckets — the edge set
+    * semantic-cluster pipelines build on (mutual edges are the robust
+    * ones: a hub vector that is top-k FOR many points but whose own
+    * top-k excludes them contributes no edge). Candidates come from
+    * the same (table, key) banded self-join as
+    * [[graft.operators.Dedup.srpBlockedNearDup]] — an equi-join on
+    * real keys, never all-pairs — scored by exact quantized cosine,
+    * ranked per vector (ties → smallest neighbor id), and kept only
+    * when BOTH endpoints rank each other ≤ k. Returns
+    * (id_a < id_b, cos). */
+  def mutualKnnGraph(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 3, nTables: Int = 4, bits: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+    val keyed = base.select(col("id"),
+      posexplode(graft.expressions.VectorExpressions
+        .srpKeysN(col("q"), nTables, bits)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "k")
+    val ka = keyed.alias("a")
+    val kb = keyed.alias("b")
+    val pairs = ka
+      .join(kb, col("a.t") === col("b.t") && col("a.k") === col("b.k"))
+      .where(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst")).distinct()
+    val v = base
+      .withColumn("nrm", sqrt(qdot(col("q"), col("q")).cast("double")))
+    val scored = pairs
+      .join(v.select(col("id").as("src"), col("q").as("qa"),
+        col("nrm").as("na")), "src")
+      .join(v.select(col("id").as("dst"), col("q").as("qb"),
+        col("nrm").as("nb")), "dst")
+      .select(col("src"), col("dst"),
+        (qdot(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb"))).as("cos"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    val topk = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+    val fwd = topk.where(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("cos"))
+    val bwd = topk.where(col("src") > col("dst"))
+      .select(col("dst").as("src"), col("src").as("dst"))
+    fwd.join(bwd, Seq("src", "dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("cos"))
+  }
 }

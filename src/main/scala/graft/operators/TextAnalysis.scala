@@ -399,6 +399,34 @@ object TextAnalysis {
     * the digits of an address already replaced. Pure per-row
     * `regexp_count`/`regexp_replace` projections — codegen'd,
     * shuffle-free, linear at any corpus size. */
+  /** Corpus-frequency quality signal: per document, how much of it is
+    * made of RARE words — tokens whose corpus document-frequency is ≤
+    * `maxDf`. High rare-share flags OCR noise, codes/ids, and
+    * boilerplate-free junk; near-zero flags template text. Exact
+    * integers throughout (`rare_permille` is integer floor division),
+    * so the oracle matches bit for bit.
+    *
+    * Scale: explode → two cascaded hash aggregates ((doc,tok) then
+    * tok) → one equi-join on the token. The (doc,tok) pre-aggregate
+    * bounds both the df computation and the join at distinct tokens
+    * per doc — the same no-distinct-expand shape as the q88 corpus
+    * scan; nothing is ever all-pairs. */
+  def rareTokenScore(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(normToks(col(textCol))).as("tok"))
+    val docTok = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val dfreq = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    docTok.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("df") <= maxDf, col("c")).otherwise(lit(0L)))
+          .as("n_rare"))
+      .withColumn("rare_permille",
+        expr("(1000 * n_rare) div n_tokens"))
+  }
+
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, lit(EmailRe), lit("<EMAIL>"))

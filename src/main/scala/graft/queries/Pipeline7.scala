@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+
+/** Round-8 additions, batch 2: the clustering / split-assignment /
+  * budgeting layer of a curation pipeline — integer-exact k-means over
+  * embeddings, leakage-safe train/val/test splits keyed on near-dup
+  * groups, corpus-frequency rare-token scoring, per-source token-budget
+  * selection, and the mutual k-NN graph. Same contract as [[Pipeline]]:
+  * every query's arithmetic is exact (integers or single divisions of
+  * identical integers), so the DuckDB oracle matches bit for bit. */
+object Pipeline7 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val W = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+  /** 1000-scaled integer quantization — DuckDB side of
+    * VectorFunctions.quantize. */
+  private def qv(col: String) =
+    s"list_transform($col, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  private def qdotSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) AS BIGINT)"
+
+  // ---- q94: integer-exact Lloyd k-means over embeddings ----
+
+  def kmeansAssign(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansAssignExact(
+      Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")))
+      .select(col("id").as("vec_id"), col("cluster"), col("n_members"))
+
+  /** Two Lloyd passes in pure int64: assignment minimizes
+    * n²·⟨q,q⟩ − 2n·⟨q,S⟩ + ⟨S,S⟩ (squared distance to the mean,
+    * multiplied through by n²), centroid state is (sum-vector, count).
+    */
+  val kmeansAssignSql: String = {
+    val cost = s"(c.n*c.n*eq.qq - 2*c.n*${qdotSql("eq.q", "c.s")} + c.ss)"
+    s"""WITH e AS (SELECT vec_id AS id, ${qv("embedding")} AS q FROM embeddings),
+       |eq AS (SELECT id, q, ${qdotSql("q", "q")} AS qq FROM e),
+       |c0 AS (SELECT id AS cid, q AS s, CAST(1 AS BIGINT) AS n FROM e
+       |       WHERE id % 25 = 0 ORDER BY id LIMIT 256),
+       |c0x AS (SELECT cid, s, n, ${qdotSql("s", "s")} AS ss FROM c0),
+       |a1 AS (SELECT id, q, qq, cid FROM (
+       |  SELECT eq.id, eq.q, eq.qq, c.cid,
+       |    row_number() OVER (PARTITION BY eq.id
+       |      ORDER BY $cost ASC, c.cid ASC) AS rk
+       |  FROM eq, c0x c) WHERE rk = 1),
+       |ex AS (SELECT cid, unnest(q) AS v, unnest(range(len(q))) AS pos
+       |       FROM a1),
+       |sums AS (SELECT cid, pos, SUM(v) AS sv FROM ex GROUP BY cid, pos),
+       |cnt AS (SELECT cid, count(*) AS n FROM a1 GROUP BY cid),
+       |c1 AS (SELECT cid, list(sv ORDER BY pos) AS s, n
+       |       FROM sums JOIN cnt USING (cid) GROUP BY cid, n),
+       |c1x AS (SELECT cid, s, n, ${qdotSql("s", "s")} AS ss FROM c1),
+       |a2 AS (SELECT id, cid FROM (
+       |  SELECT eq.id, c.cid,
+       |    row_number() OVER (PARTITION BY eq.id
+       |      ORDER BY $cost ASC, c.cid ASC) AS rk
+       |  FROM eq, c1x c) WHERE rk = 1),
+       |sz AS (SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid)
+       |SELECT a2.id AS vec_id, a2.cid AS cluster, sz.n_members
+       |FROM a2 JOIN sz USING (cid)""".stripMargin
+  }
+
+  // ---- q95: leakage-safe train/val/test split ----
+
+  def leakageSplit(s: SparkSession, d: String): DataFrame =
+    Dedup.leakageSafeSplit(Tables.documents(s, d), "doc_id", "text")
+
+  /** Near-dup clusters (q52's recursive closure) → group id → md5
+    * bucket of the GROUP, so no verified near-dup pair straddles
+    * train and eval. */
+  val leakageSplitSql: String = {
+    val h = "substr(md5(CAST(group_id AS VARCHAR)), 1, 2)"
+    s"""${Pipeline.sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |ws AS (SELECT doc_id, list_distinct($W) AS w FROM documents),
+       |verified AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  JOIN ws wa ON pairs.id_a = wa.doc_id
+       |  JOIN ws wb ON pairs.id_b = wb.doc_id
+       |  WHERE CAST(len(list_filter(wa.w, x -> list_contains(wb.w, x))) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) >= 0.5),
+       |sym AS (SELECT id_a AS u, id_b AS v FROM verified
+       |        UNION SELECT id_b, id_a FROM verified),
+       |reach(u, v) AS (SELECT u, v FROM sym
+       |        UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       |                WHERE s.v <> r.u),
+       |cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |       FROM reach GROUP BY u),
+       |b AS (SELECT d.doc_id,
+       |        coalesce(cl.cluster_id, d.doc_id) AS group_id
+       |      FROM documents d LEFT JOIN cl USING (doc_id))
+       |SELECT doc_id, group_id,
+       |  CASE WHEN $h < '1a' THEN 'test'
+       |       WHEN $h < '34' THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM b""".stripMargin
+  }
+
+  // ---- q96: rare-token quality score ----
+
+  def rareTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.rareTokenScore(Tables.documents(s, d), "doc_id", "text")
+
+  val rareTokensSql: String =
+    s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+       |dt AS (SELECT doc_id, tok, count(*) AS c FROM tok
+       |       GROUP BY doc_id, tok),
+       |dfq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN df <= 2 THEN c ELSE 0 END) AS BIGINT)
+       |    AS n_rare,
+       |  CAST((1000 * sum(CASE WHEN df <= 2 THEN c ELSE 0 END))
+       |    // sum(c) AS BIGINT) AS rare_permille
+       |FROM dt JOIN dfq USING (tok) GROUP BY doc_id""".stripMargin
+
+  // ---- q97: per-source token-budget selection ----
+
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    Sampling.tokenBudget(Tables.documents(s, d), "source", "doc_id",
+      size(TextFunctions.normToks(col("text"))), budget = 2000L)
+
+  val tokenBudgetSql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+       |  CAST(len($W) AS BIGINT) AS n_toks FROM documents)
+       |SELECT source, doc_id, n_toks, cum_toks FROM (
+       |  SELECT source, doc_id, n_toks,
+       |    CAST(sum(n_toks) OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_toks
+       |  FROM t)
+       |WHERE cum_toks <= 2000""".stripMargin
+
+  // ---- q98: mutual k-NN graph over SRP buckets ----
+
+  def knnGraph(s: SparkSession, d: String): DataFrame =
+    Similarity.mutualKnnGraph(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 3)
+
+  /** Same SRP (table, key) blocking as q78; exact quantized cosine;
+    * per-vector rank; keep edges ranked ≤ k from BOTH endpoints. */
+  val knnGraphSql: String =
+    s"""WITH e AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |k AS (SELECT vec_id, t.range AS t,
+       |  list_sum(list_transform(range(0, 8), b ->
+       |    CASE WHEN list_sum(list_transform(range(0, len(q)), i ->
+       |        q[i+1] * (CASE WHEN ((2654435761 * (64*t.range + b + 1)
+       |                              * (i + 7919)) % 1000003) % 2 = 0
+       |                  THEN 1 ELSE -1 END))) > 0
+       |      THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS key
+       |  FROM e, range(0, 4) t),
+       |p AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |      FROM k a JOIN k b
+       |      ON a.t = b.t AND a.key = b.key AND a.vec_id <> b.vec_id),
+       |sc AS (SELECT src, dst,
+       |  CAST(${qdotSql("ea.q", "eb.q")} AS DOUBLE) /
+       |  (sqrt(CAST(${qdotSql("ea.q", "ea.q")} AS DOUBLE)) *
+       |   sqrt(CAST(${qdotSql("eb.q", "eb.q")} AS DOUBLE))) AS cos
+       |  FROM p JOIN e ea ON ea.vec_id = src JOIN e eb ON eb.vec_id = dst),
+       |tk AS (SELECT src, dst, cos FROM (
+       |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |    ORDER BY cos DESC, dst ASC) AS rk FROM sc) WHERE rk <= 3)
+       |SELECT x.src AS id_a, x.dst AS id_b, x.cos AS cos
+       |FROM tk x JOIN tk y ON x.src = y.dst AND x.dst = y.src
+       |WHERE x.src < x.dst""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q94_kmeans_assign" -> (kmeansAssign _),
+    "q95_leakage_split" -> (leakageSplit _),
+    "q96_rare_tokens"   -> (rareTokens _),
+    "q97_token_budget"  -> (tokenBudget _),
+    "q98_knn_graph"     -> (knnGraph _))
+
+  val oracles: Map[String, String] = Map(
+    "q94_kmeans_assign" -> kmeansAssignSql,
+    "q95_leakage_split" -> leakageSplitSql,
+    "q96_rare_tokens"   -> rareTokensSql,
+    "q97_token_budget"  -> tokenBudgetSql,
+    "q98_knn_graph"     -> knnGraphSql)
+}

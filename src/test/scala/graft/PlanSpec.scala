@@ -270,11 +270,14 @@ class PlanSpec extends SparkSpecBase {
     // ≤256-row broadcast centroid/codebook tables (IVF coarse assign,
     // Voronoi blocking)
     "q25_ivf_ann_topk", "q66_semantic_dedup",
-    // single-row broadcast corpus stats (N, avgdl / doc count)
-    "q70_term_relevance", "q90_bm25_retrieval",
+    // single-row broadcast corpus stats (N, avgdl / doc count / Σw)
+    "q70_term_relevance", "q90_bm25_retrieval", "q79_temperature_mix",
     // documented exact-verify small path; srpBlockedNearDup (q78,
     // equi-join, no BNLJ) is the scale route (Dedup.scala:393-399)
-    "q21_embedding_neardup")
+    "q21_embedding_neardup",
+    // ≤256-row broadcast centroid (sum, count) state per Lloyd pass
+    // (Similarity.kmeansAssignExact — same class as q25/q66)
+    "q94_kmeans_assign")
 
   test("registry sweep: no CartesianProduct anywhere, no unlisted BNLJ") {
     // every registered query planned at sf0.001; a future query that
@@ -290,5 +293,23 @@ class PlanSpec extends SparkSpecBase {
     }
     assert(offenders.isEmpty,
       s"scale-killer plans:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("registry sweep: no unpartitioned Window over an unbounded frame") {
+    // an empty partitionSpec funnels the whole input through ONE task
+    // (WindowExec warns exactly this) — fine on a bounded frame, fatal
+    // on a planet-sized one. Flag every registry query that plans one.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val sp = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan
+      val bad = sp.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window in:\n  ${offenders.mkString("\n  ")}")
   }
 }
