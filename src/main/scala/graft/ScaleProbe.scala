@@ -10,6 +10,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.1"
     val mult = args.headOption.map(_.toInt).getOrElse(20)
+    // optional substring filter: `run ScaleProbe 20 mutual_knn` probes
+    // just the named operators (iterating on one curve shouldn't cost
+    // a full sweep)
+    val only = args.drop(1).headOption
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
@@ -27,11 +31,12 @@ object ScaleProbe {
       emb0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
     }.reduce(_ unionByName _).cache()
     println(s"[scale] docs=${docs.count()} (${n0}x$mult) vecs=${emb.count()}")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scale] $name ${(System.nanoTime()-t0)/1e9}%.1fs rows=$r")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.forall(name.contains)) {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale] $name ${(System.nanoTime()-t0)/1e9}%.1fs rows=$r")
+      }
     time("minhash_lsh_pairs")(
       graft.operators.Dedup.minhashCandidatePairs(docs, "doc_id", "text").count())
     time("ngram_jaccard")(

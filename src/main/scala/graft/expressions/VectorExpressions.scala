@@ -554,6 +554,56 @@ case class SortedTokenFpExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Nearest-centroid assignment against an embedded Lloyd state — the
+  * map-only kernel behind `Similarity.kmeansAssignStore` (and its
+  * streaming form). Centroid state is the exact (sum-vector S, count
+  * n) pair of `kmeansAssignExact`; the kernel evaluates the identical
+  * integer cost n²·⟨q,q⟩ − 2n·⟨q,S⟩ + ⟨S,S⟩ with the identical
+  * smallest-cid tie-break, so store-based assignment is bit-equal to
+  * the batch argmin aggregate. ≤centroidCap·dim longs of literals —
+  * same embedding strategy as [[PqEncodeExpr]]. */
+case class KmeansAssignExpr(child: Expression, cids: IndexedSeq[Long],
+    sums: IndexedSeq[Long], ss: IndexedSeq[Long], ns: IndexedSeq[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  @transient private lazy val cidsArr = cids.toArray
+  @transient private lazy val sumsArr = sums.toArray
+  @transient private lazy val ssArr = ss.toArray
+  @transient private lazy val nsArr = ns.toArray
+  override def nullSafeEval(v: Any): Any = {
+    val q = v.asInstanceOf[ArrayData]
+    val dim = q.numElements()
+    var qq = 0L
+    var d = 0
+    while (d < dim) { val x = q.getLong(d); qq += x * x; d += 1 }
+    var bestCost = Long.MaxValue
+    var bestCid = Long.MaxValue
+    var c = 0
+    while (c < cidsArr.length) {
+      val n = nsArr(c)
+      val off = c * dim
+      var dot = 0L
+      var i = 0
+      while (i < dim) { dot += q.getLong(i) * sumsArr(off + i); i += 1 }
+      val cost = n * n * qq - 2L * n * dot + ssArr(c)
+      if (cost < bestCost ||
+        (cost == bestCost && cidsArr(c) < bestCid)) {
+        bestCost = cost; bestCid = cidsArr(c)
+      }
+      c += 1
+    }
+    bestCid
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kmeansAssignExpr", this,
+      classOf[KmeansAssignExpr].getName)
+    defineCodeGen(ctx, ev, c => s"(Long) $ref.nullSafeEval($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -581,4 +631,8 @@ object VectorExpressions {
     column(PqEncodeExpr(expression(q), m, cids, cb, cb2, err))
   def srpKeysN(q: Column, nTables: Int, bits: Int): Column =
     column(SrpKeysExpr(expression(q), nTables, bits))
+  def kmeansAssignN(q: Column, cids: IndexedSeq[Long],
+      sums: IndexedSeq[Long], ss: IndexedSeq[Long],
+      ns: IndexedSeq[Long]): Column =
+    column(KmeansAssignExpr(expression(q), cids, sums, ss, ns))
 }

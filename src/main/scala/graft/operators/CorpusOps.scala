@@ -220,4 +220,91 @@ object CorpusOps {
         col("__thresh"))
       .drop("__thresh")
   }
+
+  /** Overlapping token-window chunking — the RAG/embedding prep step:
+    * each document becomes ⌈len/stride⌉ windows of `k` tokens taken
+    * every `stride` tokens (the standard sliding-window chunker with
+    * overlap k−stride). Emits one narrow row per chunk — 1-based
+    * index, token start offset, actual window length (the tail may be
+    * short), and the md5 fingerprint of the window text (what a
+    * downstream embedder or chunk-level dedup keys on; the text
+    * itself is recoverable from (doc, start, len)).
+    *
+    * Scale: a pure per-row transform + posexplode — map-only, no
+    * shuffle anywhere; output rows ≈ tokens/stride. */
+  def overlappingChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, stride: Int = 16): DataFrame = {
+    val toks = graft.functions.TextFunctions.normToks(col(textCol))
+    val nChunks = ((size(toks) - 1) / stride).cast("int") + 1
+    // guard: sequence(1, 0) generates a DESCENDING range, so an empty
+    // document must short-circuit to an empty chunk list
+    val chunks = when(size(toks) <= 0, array().cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+      .otherwise(transform(sequence(lit(1), nChunks),
+        i => concat_ws(" ", slice(toks, (i - lit(1)) * stride + 1, lit(k)))))
+    df.select(col(idCol).as("doc_id"), posexplode(chunks))
+      .select(col("doc_id"),
+        (col("pos") + 1).as("chunk_idx"),
+        (col("pos") * stride + 1).cast("long").as("start_tok"),
+        size(graft.functions.TextFunctions.toks(col("col")))
+          .cast("long").as("n_chunk_toks"),
+        md5(col("col")).as("chunk_fp"))
+  }
+
+  /** Importance resampling toward a target source mix — the
+    * distribution-matching step (think DoReMi-style domain
+    * reweighting, resolved by rejection sampling): given per-source
+    * target shares in permille, each document survives with
+    * probability min(1, target_share / actual_share), decided by the
+    * deterministic md5 threshold used by [[weightedSample]]. Sources
+    * above their target thin down proportionally; sources at/below
+    * keep everything — no RNG, reproducible on any engine.
+    *
+    * Scale: per-source counts (map-side-combinable) + a 1-row total
+    * broadcast (the justified corpus-stats nested loop) + a map-only
+    * hash filter. */
+  def importanceResample(df: DataFrame, srcCol: String, idCol: String,
+      targetPermille: Map[String, Long],
+      defaultPermille: Long): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__c"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val tgt = targetPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (k, v)) => when(col(srcCol) === k, lit(v)).otherwise(acc)
+    }
+    df.join(counts, srcCol)
+      .crossJoin(broadcast(total))
+      .withColumn("__t", tgt)
+      .withColumn("__thresh", format_string("%04x",
+        least(lit(65535L), expr("(65536 * __t * __n) div (1000 * __c)"))))
+      .where(substring(md5(col(idCol).cast("string")), 1, 4) <
+        col("__thresh"))
+      .select(col(idCol), col(srcCol))
+  }
+
+  /** Per-source dedup-effectiveness report — the audit every dedup
+    * pass ships with: for each source, how many documents (and
+    * tokens) it contributes, and how many SURVIVE near-dup
+    * deduplication. The keeper of a cluster is its smallest doc id
+    * (the [[graft.operators.Dedup.nearDupClusters]] canonical), so a
+    * cluster spanning two sources counts its survivor in the keeper's
+    * source — exactly what happens when the dedup pass runs.
+    *
+    * Scale: clusters frame = clustered subset; one equi-join back on
+    * the id; one map-side-combinable aggregate on the source key. */
+  def dedupEffectiveness(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, minJaccard: Double = 0.5): DataFrame = {
+    val clusters = Dedup.nearDupClusters(df, idCol, textCol, minJaccard)
+    val base = df.select(col(idCol).as("doc_id"),
+      col(srcCol).as("source"),
+      size(graft.functions.TextFunctions.normToks(col(textCol)))
+        .cast("long").as("__t"))
+    val keep = coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")
+    base.join(clusters, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("__t")).as("n_tokens"),
+        sum(when(keep, col("__t")).otherwise(0L)).as("kept_tokens"))
+  }
 }

@@ -444,46 +444,106 @@ object Similarity {
     * DecimalType; the shape is unchanged. Empty cells drop, matching
     * standard Lloyd. Returns (id, cluster, n_members) after `iters`
     * assignment passes. */
-  def kmeansAssignExact(corpus: DataFrame, every: Int = 25,
-      iters: Int = 2, centroidCap: Int = 256): DataFrame = {
-    val base = corpus.select(col("id"), quantize(col("vec")).as("q"))
+  /** (id, q, qq) projection shared by the Lloyd passes. */
+  private def kmeansBase(corpus: DataFrame): DataFrame =
+    corpus.select(col("id"), quantize(col("vec")).as("q"))
       .withColumn("qq", qdot(col("q"), col("q")))
-    var cent = corpus.where(col("id") % every === 0)
+
+  /** Deterministic seed state: sampled ids as singleton clusters. */
+  private def kmeansInit(corpus: DataFrame, every: Int,
+      centroidCap: Int): DataFrame =
+    corpus.where(col("id") % every === 0)
       .select(col("id").as("cid"), quantize(col("vec")).as("s"),
         lit(1L).as("n"))
       .orderBy(col("cid")).limit(centroidCap)
-    var assigned: DataFrame = null
-    (1 to iters).foreach { it =>
-      val centX = broadcast(cent
-        .withColumn("ss", qdot(col("s"), col("s"))))
-      assigned = base.crossJoin(centX)
-        .select(col("id"), col("q"), col("qq"),
-          struct(
-            (col("n") * col("n") * col("qq")
-              - lit(2L) * col("n") * qdot(col("q"), col("s"))
-              + col("ss")).as("cost"),
-            col("cid").as("cid")).as("sc"))
-        .groupBy(col("id"))
-        .agg(first(col("q")).as("q"), first(col("qq")).as("qq"),
-          min(col("sc")).as("m"))
-        .select(col("id"), col("q"), col("qq"), col("m.cid").as("cid"))
-      if (it < iters) {
-        val sums = assigned
-          .select(col("cid"), posexplode(col("q")))
-          .groupBy(col("cid"), col("pos")).agg(sum(col("col")).as("sv"))
-          .groupBy(col("cid"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("sv")))),
-            p => p.getField("sv")).as("s"))
-        cent = sums.join(
-          assigned.groupBy(col("cid")).agg(count(lit(1)).as("n")), "cid")
-      }
+
+  /** One assignment pass: integer argmin over the broadcast state. */
+  private def kmeansAssignStep(base: DataFrame,
+      cent: DataFrame): DataFrame = {
+    val centX = broadcast(cent
+      .withColumn("ss", qdot(col("s"), col("s"))))
+    base.crossJoin(centX)
+      .select(col("id"), col("q"), col("qq"),
+        struct(
+          (col("n") * col("n") * col("qq")
+            - lit(2L) * col("n") * qdot(col("q"), col("s"))
+            + col("ss")).as("cost"),
+          col("cid").as("cid")).as("sc"))
+      .groupBy(col("id"))
+      .agg(first(col("q")).as("q"), first(col("qq")).as("qq"),
+        min(col("sc")).as("m"))
+      .select(col("id"), col("q"), col("qq"), col("m.cid").as("cid"))
+  }
+
+  /** Recompute (sum-vector, count) state from an assignment. */
+  private def kmeansRecompute(assigned: DataFrame): DataFrame = {
+    val sums = assigned
+      .select(col("cid"), posexplode(col("q")))
+      .groupBy(col("cid"), col("pos")).agg(sum(col("col")).as("sv"))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("sv")))),
+        p => p.getField("sv")).as("s"))
+    sums.join(
+      assigned.groupBy(col("cid")).agg(count(lit(1)).as("n")), "cid")
+  }
+
+  /** State used by the FINAL assignment pass (iters−1 recomputes). */
+  private def kmeansTrain(corpus: DataFrame, every: Int, iters: Int,
+      centroidCap: Int): DataFrame = {
+    val base = kmeansBase(corpus)
+    var cent = kmeansInit(corpus, every, centroidCap)
+    (1 until iters).foreach { _ =>
+      cent = kmeansRecompute(kmeansAssignStep(base, cent))
     }
+    cent
+  }
+
+  def kmeansAssignExact(corpus: DataFrame, every: Int = 25,
+      iters: Int = 2, centroidCap: Int = 256): DataFrame = {
+    val assigned = kmeansAssignStep(kmeansBase(corpus),
+      kmeansTrain(corpus, every, iters, centroidCap))
     val sizes = assigned.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"))
     assigned.select(col("id"), col("cid"))
       .join(sizes, "cid")
       .select(col("id"), col("cid").as("cluster"), col("n_members"))
+  }
+
+  /** Persist the trained Lloyd state — the train-once half of the
+    * cross-snapshot clustering story (the same split as
+    * [[pqWriteStore]]/[[pqSearchStore]]): the store holds the exact
+    * (cid, sum-vector, count) state the batch's FINAL assignment pass
+    * used, so [[kmeansAssignStore]] over the training corpus
+    * reproduces [[kmeansAssignExact]]'s clusters bit for bit, and
+    * tomorrow's increment is assigned under the identical model
+    * without retraining or re-reading the corpus. */
+  def kmeansWriteStore(corpus: DataFrame, path: String,
+      every: Int = 25, iters: Int = 2, centroidCap: Int = 256): Unit =
+    kmeansTrain(corpus, every, iters, centroidCap)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+
+  /** Map-only assignment of (id, vec) rows against a persisted
+    * [[kmeansWriteStore]]: the ≤centroidCap state rows are read once
+    * driver-side and embedded in a codegen'd argmin kernel
+    * ([[graft.expressions.KmeansAssignExpr]]) — one compiled call per
+    * row, NO shuffle, no aggregation, so it runs identically over a
+    * batch frame or a micro-batch stream. Returns (id, cluster). */
+  def kmeansAssignStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, vectors: DataFrame): DataFrame = {
+    val rows = spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("s"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"no centroid state at $path/centroids")
+    val cids = rows.map(_._1).toIndexedSeq
+    val sums = rows.flatMap(_._2).toIndexedSeq
+    val ss = rows.map(r => r._2.map(x => x * x).sum).toIndexedSeq
+    val ns = rows.map(_._3).toIndexedSeq
+    vectors.select(col("id"),
+      graft.expressions.VectorExpressions
+        .kmeansAssignN(quantize(col("vec")), cids, sums, ss, ns)
+        .as("cluster"))
   }
 
   /** Mutual k-NN graph over SRP-LSH candidate buckets — the edge set
@@ -505,13 +565,20 @@ object Similarity {
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "k")
     val ka = keyed.alias("a")
     val kb = keyed.alias("b")
+    // candidates in canonical orientation only (src < dst): halves the
+    // distinct, the two vector join-backs, and the cosine kernel calls
+    // vs emitting both orders; the reverse direction is derived by
+    // mirroring the scored half (cosine is symmetric)
     val pairs = ka
       .join(kb, col("a.t") === col("b.t") && col("a.k") === col("b.k"))
-      .where(col("a.id") =!= col("b.id"))
+      .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst")).distinct()
     val v = base
       .withColumn("nrm", sqrt(qdot(col("q"), col("q")).cast("double")))
-    val scored = pairs
+    // materialized once (the mirror union references it twice; without
+    // the checkpoint both branches would re-run the scoring joins —
+    // same lineage-cut precedent as Dedup.connectedComponents)
+    val scoredHalf = pairs
       .join(v.select(col("id").as("src"), col("q").as("qa"),
         col("nrm").as("na")), "src")
       .join(v.select(col("id").as("dst"), col("q").as("qb"),
@@ -519,6 +586,9 @@ object Similarity {
       .select(col("src"), col("dst"),
         (qdot(col("qa"), col("qb")).cast("double") /
           (col("na") * col("nb"))).as("cos"))
+      .localCheckpoint()
+    val scored = scoredHalf.unionByName(scoredHalf.select(
+      col("dst").as("src"), col("src").as("dst"), col("cos")))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst").asc)
     val topk = scored.withColumn("rk", row_number().over(w))

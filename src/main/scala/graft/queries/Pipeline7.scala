@@ -174,17 +174,124 @@ object Pipeline7 {
        |FROM tk x JOIN tk y ON x.src = y.dst AND x.dst = y.src
        |WHERE x.src < x.dst""".stripMargin
 
+  // ---- q99: cluster-balanced (diversity) sampling ----
+
+  /** Per-k-means-cell stratified draw — the diversity-sampling step
+    * that keeps a corpus from collapsing onto its dominant mode: 5
+    * documents per cell, selected by the deterministic md5 walk. Pure
+    * composition: [[Similarity.kmeansAssignExact]] ∘
+    * [[Sampling.stratified]]. */
+  def clusterSample(s: SparkSession, d: String): DataFrame =
+    Sampling.stratified(
+      Similarity.kmeansAssignExact(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")))
+        .select(col("id").as("vec_id"), col("cluster")),
+      "cluster", "vec_id", n = 5)
+
+  val clusterSampleSql: String =
+    s"""SELECT vec_id, cluster, rk FROM (
+       |  SELECT vec_id, cluster,
+       |    CAST(row_number() OVER (PARTITION BY cluster
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER)
+       |      AS rk
+       |  FROM ($kmeansAssignSql) km)
+       |WHERE rk <= 5""".stripMargin
+
+  // ---- q100: per-source dedup-effectiveness report ----
+
+  def dedupReport(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusOps.dedupEffectiveness(
+      Tables.documents(s, d), "doc_id", "text", "source")
+
+  val dedupReportSql: String =
+    s"""${Pipeline.sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |ws AS (SELECT doc_id, list_distinct($W) AS w FROM documents),
+       |verified AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  JOIN ws wa ON pairs.id_a = wa.doc_id
+       |  JOIN ws wb ON pairs.id_b = wb.doc_id
+       |  WHERE CAST(len(list_filter(wa.w, x -> list_contains(wb.w, x))) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) >= 0.5),
+       |sym AS (SELECT id_a AS u, id_b AS v FROM verified
+       |        UNION SELECT id_b, id_a FROM verified),
+       |reach(u, v) AS (SELECT u, v FROM sym
+       |        UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       |                WHERE s.v <> r.u),
+       |cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |       FROM reach GROUP BY u),
+       |b AS (SELECT d.doc_id, d.source,
+       |        CAST(len($W) AS BIGINT) AS t,
+       |        coalesce(cl.cluster_id, d.doc_id) AS canon
+       |      FROM documents d LEFT JOIN cl USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN doc_id = canon THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(t) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN doc_id = canon THEN t ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens
+       |FROM b GROUP BY source""".stripMargin
+
+  // ---- q101: overlapping token-window chunks (RAG prep) ----
+
+  def ragChunks(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusOps.overlappingChunks(
+      Tables.documents(s, d), "doc_id", "text", k = 32, stride = 16)
+
+  val ragChunksSql: String =
+    s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
+       |idx AS (SELECT doc_id, w,
+       |  unnest(range(1, CASE WHEN len(w) <= 0 THEN 1
+       |    ELSE (len(w)-1)//16 + 2 END)) AS i
+       |  FROM toks)
+       |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |  CAST((i-1)*16 + 1 AS BIGINT) AS start_tok,
+       |  CAST(len(w[(i-1)*16+1:(i-1)*16+32]) AS BIGINT)
+       |    AS n_chunk_toks,
+       |  md5(array_to_string(w[(i-1)*16+1:(i-1)*16+32], ' '))
+       |    AS chunk_fp
+       |FROM idx""".stripMargin
+
+  // ---- q102: importance resampling toward a target source mix ----
+
+  def importanceSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusOps.importanceResample(
+      Tables.documents(s, d), "source", "doc_id",
+      targetPermille = Map("src0" -> 300L, "src1" -> 300L),
+      defaultPermille = 20L)
+
+  val importanceSampleSql: String =
+    """WITH c AS (SELECT source, count(*) AS cnt FROM documents
+      |           GROUP BY source),
+      |n AS (SELECT count(*) AS total FROM documents),
+      |t AS (SELECT d.doc_id, d.source, c.cnt, n.total,
+      |    CASE d.source WHEN 'src0' THEN 300 WHEN 'src1' THEN 300
+      |      ELSE 20 END AS tgt
+      |  FROM documents d JOIN c USING (source), n)
+      |SELECT doc_id, source FROM t
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      |  printf('%04x',
+      |    least(65535, (65536 * tgt * total) // (1000 * cnt)))""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q94_kmeans_assign" -> (kmeansAssign _),
     "q95_leakage_split" -> (leakageSplit _),
     "q96_rare_tokens"   -> (rareTokens _),
     "q97_token_budget"  -> (tokenBudget _),
-    "q98_knn_graph"     -> (knnGraph _))
+    "q98_knn_graph"     -> (knnGraph _),
+    "q99_cluster_sample" -> (clusterSample _),
+    "q100_dedup_report" -> (dedupReport _),
+    "q101_rag_chunks"   -> (ragChunks _),
+    "q102_importance_sample" -> (importanceSample _))
 
   val oracles: Map[String, String] = Map(
     "q94_kmeans_assign" -> kmeansAssignSql,
     "q95_leakage_split" -> leakageSplitSql,
     "q96_rare_tokens"   -> rareTokensSql,
     "q97_token_budget"  -> tokenBudgetSql,
-    "q98_knn_graph"     -> knnGraphSql)
+    "q98_knn_graph"     -> knnGraphSql,
+    "q99_cluster_sample" -> clusterSampleSql,
+    "q100_dedup_report" -> dedupReportSql,
+    "q101_rag_chunks"   -> ragChunksSql,
+    "q102_importance_sample" -> importanceSampleSql)
 }

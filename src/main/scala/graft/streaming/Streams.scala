@@ -237,6 +237,18 @@ object Streams {
         quantize(col("vec")), m, ck.cids, ck.cb, ck.cb2).as("codes"))
   }
 
+  /** Streaming nearest-centroid assignment against a persisted
+    * [[graft.operators.Similarity.kmeansWriteStore]] — the ingest
+    * half of train-once clustering: vectors arriving on a stream are
+    * assigned under the frozen model by the same codegen'd argmin
+    * kernel as the batch store path (bit-equal assignments), one
+    * compiled call per row, stateless and shuffle-free, so any
+    * output mode/sink works downstream. */
+  def kmeansAssignStream(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, storePath: String): DataFrame =
+    graft.operators.Similarity
+      .kmeansAssignStore(spark, storePath, vectors)
+
   final case class NearDupCandidate(idA: Long, idB: Long, band: String)
   final case class BandState(entries: List[Long])
 

@@ -109,6 +109,122 @@ class PipelineOps4Spec extends SparkSpecBase {
     assert(kept.map(_._2).toSet.subsetOf(kept2.map(_._2).toSet))
   }
 
+  test("kmeans store assignment is bit-equal to the batch argmin") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val batch = Similarity.kmeansAssignExact(emb)
+      .select($"id", $"cluster").as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("kmstore").toString
+    try {
+      Similarity.kmeansWriteStore(emb, dir)
+      val stored = Similarity.kmeansAssignStore(spark, dir, emb)
+        .as[(Long, Long)].collect().toMap
+      assert(stored == batch) // same model → identical assignments
+      // an increment assigns under the frozen model, no retraining
+      val inc = Similarity.kmeansAssignStore(spark, dir,
+        emb.limit(5).withColumn("id", $"id" + 1000000L))
+        .as[(Long, Long)].collect()
+      assert(inc.length == 5)
+      assert(inc.forall(r => batch.values.toSet.contains(r._2)))
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("streaming kmeans assignment matches the batch store path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val rows = emb.as[(Long, Seq[Float])].collect().take(10)
+    val dir = java.nio.file.Files.createTempDirectory("kmstream").toString
+    try {
+      Similarity.kmeansWriteStore(emb, dir)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val assigned = graft.streaming.Streams.kmeansAssignStream(
+        spark, input.toDS().toDF("id", "vec"), dir)
+      val q = assigned.writeStream.outputMode("append")
+        .format("memory").queryName("km_out").start()
+      input.addData(rows.toSeq)
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("km_out")
+        .as[(Long, Long)].collect().toMap
+      val batch = Similarity.kmeansAssignStore(spark, dir, emb)
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == rows.map(r => r._1 -> batch(r._1)).toMap)
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("dedupEffectiveness books each cluster's survivor once") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rep = graft.operators.CorpusOps
+      .dedupEffectiveness(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // per source: survivors ≤ docs, kept tokens ≤ tokens
+    rep.foreach { case (_, nd, nk, nt, kt) =>
+      assert(nk <= nd); assert(kt <= nt); assert(nk > 0)
+    }
+    // totals: every doc counted once; dropped docs = clustered minus
+    // cluster count (each cluster keeps exactly one)
+    assert(rep.map(_._2).sum == docs.count())
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val expectedDropped = clusters.length -
+      clusters.map(_._2).distinct.length
+    assert(rep.map(r => r._2 - r._3).sum == expectedDropped)
+  }
+
+  test("cluster-balanced sample caps every cell") {
+    val sampled = graft.queries.Pipeline7
+      .clusterSample(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Int)].collect()
+    assert(sampled.nonEmpty)
+    sampled.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
+  test("overlappingChunks tiles every token with the right overlap") {
+    val docs = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val rows = graft.operators.CorpusOps
+      .overlappingChunks(docs, "doc_id", "text", k = 32, stride = 16)
+      .as[(Long, Int, Long, Long, String)].collect()
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // 40 tokens, stride 16 → starts 1, 17, 33; window lens 32, 24, 8
+    assert(d1.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((1, 1L, 32L), (2, 17L, 24L), (3, 33L, 8L)))
+    val d2 = rows.filter(_._1 == 2L)
+    assert(d2.map(r => (r._2, r._3, r._4)).toSeq == Seq((1, 1L, 3L)))
+    assert(!rows.exists(_._1 == 3L)) // empty doc → no chunks
+  }
+
+  test("importanceResample thins over-represented sources only") {
+    val docs = (1 to 300).map(i =>
+      (i.toLong, if (i <= 200) "big" else "small", "t"))
+      .toDF("doc_id", "source", "text")
+    // targets: big 250‰ (under-weighted → thins to ~250/1000·300/200
+    //   = 37.5% acceptance), small at 800‰ (≥ its 33% share → keeps all)
+    val kept = graft.operators.CorpusOps.importanceResample(
+      docs, "source", "doc_id",
+      Map("big" -> 250L, "small" -> 800L), 50L)
+      .as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).map { case (s, r) => s -> r.length }
+    assert(bySrc("small") == 100) // threshold caps at ffff → all kept
+    assert(bySrc("big") < 200 && bySrc("big") > 40) // thinned ~37.5%
+    // deterministic: same call, same rows
+    val again = graft.operators.CorpusOps.importanceResample(
+      docs, "source", "doc_id",
+      Map("big" -> 250L, "small" -> 800L), 50L)
+      .as[(Long, String)].collect()
+    assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("mutualKnnGraph edges are mutual and within candidates") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", $"embedding")

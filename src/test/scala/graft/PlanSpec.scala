@@ -272,12 +272,14 @@ class PlanSpec extends SparkSpecBase {
     "q25_ivf_ann_topk", "q66_semantic_dedup",
     // single-row broadcast corpus stats (N, avgdl / doc count / Σw)
     "q70_term_relevance", "q90_bm25_retrieval", "q79_temperature_mix",
+    "q102_importance_sample",
     // documented exact-verify small path; srpBlockedNearDup (q78,
     // equi-join, no BNLJ) is the scale route (Dedup.scala:393-399)
     "q21_embedding_neardup",
     // ≤256-row broadcast centroid (sum, count) state per Lloyd pass
-    // (Similarity.kmeansAssignExact — same class as q25/q66)
-    "q94_kmeans_assign")
+    // (Similarity.kmeansAssignExact — same class as q25/q66); q99
+    // composes the same operator
+    "q94_kmeans_assign", "q99_cluster_sample")
 
   test("registry sweep: no CartesianProduct anywhere, no unlisted BNLJ") {
     // every registered query planned at sf0.001; a future query that
