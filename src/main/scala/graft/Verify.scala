@@ -22,7 +22,15 @@ object Verify {
     // A failing query must surface as an explicit error artifact — not a
     // silently missing row in the driver's CORRECTNESS report.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration aid: SPARK_GRAFT_ONLY=q103_containment,q104_...
+    // restricts the dump (the driver never sets it — full gate).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(set) => SparkEntry.queries.filter { case (n, _) => set(n) }
+      case None      => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

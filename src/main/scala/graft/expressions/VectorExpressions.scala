@@ -271,6 +271,36 @@ object VectorKernels {
     }
     hex(md.digest())
   }
+
+  /** Longest common CONTIGUOUS token run between two token arrays —
+    * the exact-substring half of fuzzy dedup (a shared 50-token run is
+    * verbatim copying even when the Jaccard stays low). Classic
+    * suffix-DP with one rolling row: O(|a|·|b|) time, O(|b|) space,
+    * paid per CANDIDATE pair only (callers feed the banded LSH set). */
+  def lcsTokens(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return 0L
+    val bs = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) { bs(j) = b.getUTF8String(j); j += 1 }
+    val row = new Array[Int](m)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val ai = a.getUTF8String(i)
+      var diag = 0 // row(j-1) from the previous i
+      j = 0
+      while (j < m) {
+        val cur = row(j)
+        row(j) = if (ai.equals(bs(j))) diag + 1 else 0
+        if (row(j) > best) best = row(j)
+        diag = cur
+        j += 1
+      }
+      i += 1
+    }
+    best.toLong
+  }
 }
 
 /** word_counts(tokens, words): occurrence count of each listed word in
@@ -449,6 +479,22 @@ case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** lcs_tokens(a, b) → length of the longest common contiguous token
+  * run (codegen'd rolling-row DP, [[VectorKernels.lcsTokens]]). */
+case class LcsTokensExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.lcsTokens(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.VectorKernels.lcsTokens($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** sorted_token_fp(tokens) → md5 hex of sorted distinct token set. */
 /** pq_encode(q) → array of m chosen centroid ids (err=false) or a
   * single total squared-L2 reconstruction error (err=true), against a
@@ -625,6 +671,8 @@ object VectorExpressions {
     column(ShinglesExpr(expression(tokens), k, distinct))
   def chunksN(tokens: Column, k: Int): Column =
     column(ChunksExpr(expression(tokens), k))
+  def lcsTokensN(a: Column, b: Column): Column =
+    column(LcsTokensExpr(expression(a), expression(b)))
   def pqEncodeN(q: Column, m: Int, cids: IndexedSeq[Long],
       cb: IndexedSeq[Long], cb2: IndexedSeq[Long],
       err: Boolean = false): Column =

@@ -252,6 +252,34 @@ object CorpusOps {
         md5(col("col")).as("chunk_fp"))
   }
 
+  /** Within-document repeated-segment removal — the C4-style "drop
+    * duplicated spans inside one document" cleanup (navigation blocks,
+    * repeated boilerplate paragraphs): the token stream is cut into
+    * non-overlapping `k`-token segments (the codegen'd
+    * [[graft.expressions.ChunksExpr]] kernel), every repeat of an
+    * earlier segment is dropped, and the survivors are rejoined.
+    * Returns per document the segment count, how many were removed,
+    * and the md5 of the cleaned text (narrow row; the cleaned text
+    * column itself is `cleaned`).
+    *
+    * Scale: pure per-row transform, no shuffle. The first-occurrence
+    * filter is O(segments²) per row — segments = tokens/k, so a
+    * 10k-token doc at k=8 scans ~1.5M string pairs worst case; bound k
+    * accordingly (the cross-corpus form is [[segmentDedup]], which
+    * aggregates instead). */
+  def dropRepeatedSegments(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 8): DataFrame = {
+    val toks = graft.functions.TextFunctions.normToks(col(textCol))
+    val chunks = graft.expressions.VectorExpressions.chunksN(toks, k)
+    val kept = filter(chunks, (c, i) =>
+      !array_contains(slice(chunks, lit(1), i), c))
+    df.select(col(idCol).as("doc_id"),
+        size(chunks).cast("long").as("n_segments"),
+        (size(chunks) - size(kept)).cast("long").as("n_removed"),
+        concat_ws(" ", kept).as("cleaned"))
+      .withColumn("clean_fp", md5(col("cleaned")))
+  }
+
   /** Importance resampling toward a target source mix — the
     * distribution-matching step (think DoReMi-style domain
     * reweighting, resolved by rejection sampling): given per-source

@@ -128,6 +128,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), j(col("wa"), col("wb")).as("jaccard"))
   }
 
+  /** Shingle-set containment over candidate pairs — the asymmetric
+    * companion to [[jaccardOnPairs]]: containment_a = |A∩B|/|A| (how
+    * much of document a lives inside b) and the mirror for b. A short
+    * document quoted wholesale by a long one scores near-1 containment
+    * while its Jaccard stays low — the quote/boilerplate-absorption
+    * case a symmetric verify misses. Same candidate-set contract and
+    * hash-set intersect cost as the Jaccard verify. */
+  def containmentOnPairs(pairs: DataFrame, df: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val docs = df.select(col(idCol).as("jid"),
+      array_distinct(normToks(col(textCol))).as("w"))
+    val a = docs.select(col("jid").as("id_a"), col("w").as("wa"))
+    val b = docs.select(col("jid").as("id_b"), col("w").as("wb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(col("wa"))).as("containment_a"),
+        (size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(col("wb"))).as("containment_b"))
+  }
+
+  /** Longest-common-token-run verification over candidate pairs — the
+    * exact-substring dedup check (Lee et al. 2022's observation that
+    * verbatim spans survive paraphrase-level edits): a shared run of
+    * ≥ N tokens is copying even when whole-document Jaccard stays low.
+    * The rolling-row DP kernel ([[graft.expressions.VectorExpressions
+    * .lcsTokensN]]) is O(|a|·|b|) per PAIR, so callers feed the banded
+    * candidate set — the same contract as [[editDistanceOnPairs]].
+    * `min_tokens` ships alongside for normalized thresholds. */
+  def lcsOnPairs(pairs: DataFrame, df: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val docs = df.select(col(idCol).as("lid"),
+      normToks(col(textCol)).as("t"))
+    val a = docs.select(col("lid").as("id_a"), col("t").as("ta"))
+    val b = docs.select(col("lid").as("id_b"), col("t").as("tb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.expressions.VectorExpressions
+          .lcsTokensN(col("ta"), col("tb")).as("lcs_tokens"),
+        least(size(col("ta")), size(col("tb")))
+          .cast("long").as("min_tokens"))
+  }
+
   /** Exact Levenshtein verification over candidate pairs — the other
     * standard post-LSH verify (fuzzy dedup keyed on edit similarity
     * rather than token Jaccard). The DP is O(|a|·|b|) per PAIR, so

@@ -139,6 +139,26 @@ object Sampling {
         floor((col("end_offset") - 1) / windowTokens))
   }
 
+  /** Deterministic shard + position assignment for training-data
+    * export: shard = first 8 md5(id) hex digits mod `nShards` (a
+    * uniform, content-keyed split), position = rank within the shard
+    * by (md5(id), id) — i.e. a reproducible GLOBAL shuffle of the
+    * corpus into `nShards` ordered shard files, the step right before
+    * a trainer reads the data. Re-runs, retries, and different
+    * cluster sizes all produce byte-identical shards.
+    *
+    * Scale: one shuffle on the shard key; each shard sorts
+    * independently (parallelism = nShards — pick nShards ≫ executors
+    * for a planet corpus, trainers want many small shards anyway). */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val shard = pmod(conv(substring(digest(idCol), 1, 8), 16, 10)
+      .cast("long"), lit(nShards)).as("shard")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(digest(idCol), col(idCol))
+    df.select(col("*"), shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Token-budget curation: per group (source/domain), walk documents
     * in deterministic md5 order — a reproducible uniform shuffle, same
     * key as [[hashSample]] — keeping documents while the running token

@@ -273,6 +273,91 @@ object Pipeline7 {
       |  printf('%04x',
       |    least(65535, (65536 * tgt * total) // (1000 * cnt)))""".stripMargin
 
+  // ---- q103: shingle containment on LSH candidates ----
+
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.containmentOnPairs(
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text"),
+      docs, "doc_id", "text")
+  }
+
+  val containmentSql: String =
+    s"""${Pipeline.sigsCte},
+       |ws AS (SELECT doc_id, list_distinct($W) AS w FROM documents)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_filter(wa.w, x -> list_contains(wb.w, x)))
+       |    AS DOUBLE) / len(wa.w) AS containment_a,
+       |  CAST(len(list_filter(wa.w, x -> list_contains(wb.w, x)))
+       |    AS DOUBLE) / len(wb.w) AS containment_b
+       |FROM pairs
+       |JOIN ws wa ON pairs.id_a = wa.doc_id
+       |JOIN ws wb ON pairs.id_b = wb.doc_id""".stripMargin
+
+  // ---- q104: within-document repeated-segment removal ----
+
+  def segmentClean(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusOps.dropRepeatedSegments(
+      Tables.documents(s, d), "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("n_segments"), col("n_removed"),
+        col("clean_fp"))
+
+  val segmentCleanSql: String =
+    s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
+       |ch AS (SELECT doc_id,
+       |  list_transform(range(1, (len(w)-1)//8 + 2),
+       |    i -> array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ')) AS c
+       |  FROM toks),
+       |kept AS (SELECT doc_id, c,
+       |  list_filter(c, (x, i) -> NOT list_contains(c[1:i-1], x)) AS kc
+       |  FROM ch)
+       |SELECT doc_id, CAST(len(c) AS BIGINT) AS n_segments,
+       |  CAST(len(c) - len(kc) AS BIGINT) AS n_removed,
+       |  md5(array_to_string(kc, ' ')) AS clean_fp
+       |FROM kept""".stripMargin
+
+  // ---- q105: longest-common-token-run verify on LSH candidates ----
+
+  def lcsVerify(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.lcsOnPairs(
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text"),
+      docs, "doc_id", "text")
+  }
+
+  val lcsVerifySql: String =
+    s"""${Pipeline.sigsCte},
+       |ts AS (SELECT doc_id, $W AS w FROM documents)
+       |SELECT id_a, id_b,
+       |  COALESCE((SELECT max(L)
+       |    FROM unnest(range(1, least(len(wa.w), len(wb.w)) + 1)) AS t2(L)
+       |    WHERE list_has_any(
+       |      list_transform(range(1, len(wa.w)-L+2),
+       |        i -> array_to_string(wa.w[i:i+L-1], ' ')),
+       |      list_transform(range(1, len(wb.w)-L+2),
+       |        i -> array_to_string(wb.w[i:i+L-1], ' ')))), 0) AS lcs_tokens,
+       |  least(len(wa.w), len(wb.w)) AS min_tokens
+       |FROM pairs
+       |JOIN ts wa ON pairs.id_a = wa.doc_id
+       |JOIN ts wb ON pairs.id_b = wb.doc_id""".stripMargin
+
+  // ---- q106: deterministic shard/position assignment ----
+
+  def shardAssign(s: SparkSession, d: String): DataFrame =
+    Sampling.shardAssign(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "doc_id", nShards = 16)
+
+  val shardAssignSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+      |SELECT doc_id, source,
+      |  ('0x' || substr(h, 1, 8))::BIGINT % 16 AS shard,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY ('0x' || substr(h, 1, 8))::BIGINT % 16
+      |    ORDER BY h, doc_id) AS BIGINT) AS pos
+      |FROM d""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q94_kmeans_assign" -> (kmeansAssign _),
     "q95_leakage_split" -> (leakageSplit _),
@@ -282,7 +367,11 @@ object Pipeline7 {
     "q99_cluster_sample" -> (clusterSample _),
     "q100_dedup_report" -> (dedupReport _),
     "q101_rag_chunks"   -> (ragChunks _),
-    "q102_importance_sample" -> (importanceSample _))
+    "q102_importance_sample" -> (importanceSample _),
+    "q103_containment"  -> (containment _),
+    "q104_segment_clean" -> (segmentClean _),
+    "q105_lcs_verify"   -> (lcsVerify _),
+    "q106_shard_assign" -> (shardAssign _))
 
   val oracles: Map[String, String] = Map(
     "q94_kmeans_assign" -> kmeansAssignSql,
@@ -293,5 +382,9 @@ object Pipeline7 {
     "q99_cluster_sample" -> clusterSampleSql,
     "q100_dedup_report" -> dedupReportSql,
     "q101_rag_chunks"   -> ragChunksSql,
-    "q102_importance_sample" -> importanceSampleSql)
+    "q102_importance_sample" -> importanceSampleSql,
+    "q103_containment"  -> containmentSql,
+    "q104_segment_clean" -> segmentCleanSql,
+    "q105_lcs_verify"   -> lcsVerifySql,
+    "q106_shard_assign" -> shardAssignSql)
 }

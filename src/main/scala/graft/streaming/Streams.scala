@@ -173,6 +173,46 @@ object Streams {
       "first_window", "last_window")
   }
 
+  /** Streaming token-budget selection: the continuous-ingest form of
+    * [[graft.operators.Sampling.tokenBudget]] — each group's RUNNING
+    * token total lives in flatMapGroupsWithState (one long per group,
+    * nothing grows with document count); a document is emitted while
+    * the running total stays within `budget`, after which the group
+    * is saturated and later arrivals are dropped (their tokens still
+    * advance the walk, exactly like the batch operator counts every
+    * document in its md5 order).
+    *
+    * Within a micro-batch rows are walked in the batch operator's
+    * (md5(id), id) order, so a single-batch run is row-identical to
+    * the batch selection (spec'd); across batches the walk is arrival
+    * order — the same contract as [[streamingPackSequences]]. */
+  def streamingTokenBudget(docs: DataFrame, groupCol: String,
+      idCol: String, tokCol: String, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val typed = docs.select(col(groupCol).cast("string").as("_g"),
+        col(idCol).cast("long").as("_id"), col(tokCol).cast("long").as("_n"))
+      .as[(String, Long, Long)]
+    val out = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (g, rows, state: GroupState[Long]) =>
+          var total = state.getOption.getOrElse(0L)
+          val kept = rows.toSeq
+            .sortBy { case (_, id, _) => (md5hex(id.toString), id) }
+            .iterator.flatMap { case (_, id, n) =>
+              total += n
+              if (total <= budget) Some((g, id, n, total)) else None
+            }.toVector
+          state.update(total)
+          kept.iterator
+      }
+    out.toDF(groupCol, idCol, "n_toks", "cum_toks")
+  }
+
   /** The continuous-ingest curation chain — the streaming counterpart
     * of [[graft.operators.TrainingData.curate]]'s stream-safe stages:
     * quality funnel (stateless projection) → streaming exact dedup

@@ -225,6 +225,101 @@ class PipelineOps4Spec extends SparkSpecBase {
     assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("streaming token budget matches batch in one batch, persists across") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq.tabulate(20)(i => (i.toLong, "g", 10L))
+    val batchDf = docs.toDF("id", "grp", "n")
+    val batch = Sampling.tokenBudget(batchDf, "grp", "id", $"n", 55L)
+      .select($"id", $"cum_toks").as[(Long, Long)].collect().toMap
+
+    val input = MemoryStream[(Long, String, Long)]
+    val sel = graft.streaming.Streams.streamingTokenBudget(
+      input.toDS().toDF("id", "grp", "n"), "grp", "id", "n", 55L)
+    val q = sel.writeStream.outputMode("append")
+      .format("memory").queryName("budget_out").start()
+    input.addData(docs) // batch 1: everything at once
+    q.processAllAvailable()
+    val streamed = spark.table("budget_out")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(streamed == batch) // identical md5-walk selection
+    // batch 2: the group is saturated — nothing more is emitted, the
+    // running state survived the micro-batch boundary
+    input.addData((100L, "g", 1L))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("budget_out").count() == batch.size)
+  }
+
+  test("containment catches the quote case Jaccard misses") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),                               // short
+      (2L, "alpha beta gamma " + (1 to 20).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.containmentOnPairs(pairs, docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(r._3 == 1.0)            // all of doc 1 inside doc 2
+    assert(r._4 < 0.2)             // doc 2 barely overlaps doc 1
+  }
+
+  test("dropRepeatedSegments keeps first occurrences only") {
+    val seg1 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val seg2 = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$seg1 $seg2 $seg1"),   // 3 segments, third repeats first
+      (2L, "x y z"))                // one short segment, nothing to drop
+      .toDF("doc_id", "text")
+    val r = graft.operators.CorpusOps
+      .dropRepeatedSegments(docs, "doc_id", "text", k = 8)
+      .select($"doc_id", $"n_segments", $"n_removed", $"cleaned")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == 3 && r(1L)._3 == 1)
+    assert(r(1L)._4 == s"$seg1 $seg2")
+    assert(r(2L)._2 == 1 && r(2L)._3 == 0 && r(2L)._4 == "x y z")
+  }
+
+  test("lcsOnPairs finds the verbatim run Jaccard dilutes") {
+    val run = (1 to 30).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run unique tail one"),
+      (2L, (1 to 40).map(i => s"z$i").mkString(" ") + " " + run),
+      (3L, "totally different words"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.lcsOnPairs(pairs, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(r((1L, 2L)) == (30L, 33L)) // the shared 30-token run
+    assert(r((1L, 3L))._1 == 0L)
+    // empty-side guard
+    val e = Dedup.lcsOnPairs(Seq((3L, 4L)).toDF("id_a", "id_b"),
+      docs.union(Seq((4L, "")).toDF("doc_id", "text")),
+      "doc_id", "text").as[(Long, Long, Long, Long)].collect().head
+    assert(e._3 == 0L)
+  }
+
+  test("shardAssign is a deterministic partition of the corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = Sampling.shardAssign(docs.select($"doc_id", $"source"),
+      "doc_id", nShards = 16)
+      .select($"doc_id", $"shard", $"pos")
+      .as[(Long, Long, Long)].collect()
+    assert(r.length == docs.count()) // partition: every doc exactly once
+    assert(r.map(_._2).distinct.forall(s => s >= 0 && s < 16))
+    // positions are 1..n_shard_docs within each shard (dense ranks)
+    r.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // re-run identical
+    val again = Sampling.shardAssign(docs.select($"doc_id", $"source"),
+      "doc_id", nShards = 16)
+      .select($"doc_id", $"shard", $"pos")
+      .as[(Long, Long, Long)].collect()
+    assert(r.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("mutualKnnGraph edges are mutual and within candidates") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", $"embedding")
