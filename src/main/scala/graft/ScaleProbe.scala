@@ -82,6 +82,45 @@ object ScaleProbe {
         budget = 100000L).count())
     time("dup_span_coverage")(
       graft.operators.Dedup.dupSpanCoverage(docs, "doc_id", "text").count())
+    // q103/q105 shape: verify cost is per CANDIDATE — the self-union
+    // makes every original doc a mult-clique, so candidate pairs grow
+    // ~mult²/2 per clique and the verify wall must track the pair
+    // count (that is the contract), never |docs|². Containment is the
+    // O(n+m) hash-intersect; the LCS DP is O(n·m) per pair, probed on
+    // a hash-thinned pair set so the probe measures the per-pair DP
+    // slope rather than waiting out mult² × 10⁴ token compares.
+    time("containment_verify") {
+      val pairs = graft.operators.Dedup
+        .minhashCandidatePairs(docs, "doc_id", "text")
+      graft.operators.Dedup
+        .containmentOnPairs(pairs, docs, "doc_id", "text").count()
+    }
+    time("lcs_verify") {
+      val pairs = graft.operators.Dedup
+        .minhashCandidatePairs(docs, "doc_id", "text")
+        .where(substring(md5(concat_ws("|", col("id_a"), col("id_b"))),
+          1, 1) === "0") // deterministic 1/16 of the candidate set
+      graft.operators.Dedup
+        .lcsOnPairs(pairs, docs, "doc_id", "text").count()
+    }
+    // q104: pure map-side segment cleanup — must scale linearly
+    time("segment_clean")(
+      graft.operators.CorpusOps
+        .dropRepeatedSegments(docs, "doc_id", "text").count())
+    // q106: one shuffle on the shard key, per-shard sorts independent
+    time("shard_assign")(
+      graft.operators.Sampling.shardAssign(
+        docs.select(col("doc_id"), col("source")), "doc_id", 256).count())
+    // q101: map-only explode, output rows ~ tokens/stride
+    time("rag_chunks")(
+      graft.operators.CorpusOps.overlappingChunks(
+        docs, "doc_id", "text", k = 32, stride = 16).count())
+    // q102: one count-by-source broadcast + a map-side md5 filter
+    time("importance_resample")(
+      graft.operators.CorpusOps.importanceResample(
+        docs, "source", "doc_id",
+        targetPermille = Map("src0" -> 300L, "src1" -> 300L),
+        defaultPermille = 20L).count())
     // segment dedup (q83 shape): explode → hash agg on segment key →
     // agg per doc; the self-union makes every segment a mult-way
     // duplicate, so output rows stay ~docs while segment frequency
