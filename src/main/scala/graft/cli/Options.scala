@@ -247,13 +247,18 @@ object Options {
         case "-l" | "--latlong" => o = o.copy(srid = graft.geom.Srid.WGS84)
         case "-m" | "--merc" => o = o.copy(srid = graft.geom.Srid.WebMercator)
         case "-E" | "--proj" =>
-          // without a generic projection library only the two built-in
-          // SRS work (reprojection.cpp:72-81; the error wording is
-          // reprojection-generic-none.cpp)
+          // the two built-in SRS (reprojection.cpp:72-81) plus the
+          // PROJ-free TM pack (graft.geom.Proj: UTM/ETRS89/27700 —
+          // the codes the reference needs HAVE_GENERIC_PROJ for,
+          // test-options-projection.cpp "Arbitrary projection");
+          // anything else keeps the no-generic-PROJ error wording
+          // (reprojection-generic-none.cpp)
           val v = arg("-E")
           v.toIntOption match {
             case Some(4326) => o = o.copy(srid = graft.geom.Srid.WGS84)
             case Some(3857) => o = o.copy(srid = graft.geom.Srid.WebMercator)
+            case Some(code) if graft.geom.Proj.supports(code) =>
+              o = o.copy(srid = code)
             case Some(_) =>
               fail("Generic projections not available in this build.")
             case None => fail(s"Bad argument for option --proj: $v")

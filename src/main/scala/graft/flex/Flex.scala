@@ -90,9 +90,12 @@ final case class FlexExpireOutput(
   // maxzoom 0 = the unset default (whole-world tile): the reference's
   // luaX_get_table_optional_uint32 returns 0 for nil and only checks
   // 1..20 for USER-set values (lua-expire.feature "without maxzoom
-  // means maxzoom 0", src/flex-lua-expire-output.cpp:48-54)
+  // means maxzoom 0", src/flex-lua-expire-output.cpp:48-54). The
+  // message wording is pinned verbatim by the reference's own BDD
+  // (lua-expire-output-definitions.feature:108), so it keeps the
+  // 1..20 phrasing even though 0 passes the guard as "unset".
   require(maxzoom >= 0 && maxzoom <= 20,
-    "The 'maxzoom' field in a expire output must be between 1 and 20 (0 = unset).")
+    "The 'maxzoom' field in a expire output must be between 1 and 20.")
   require(minzoomOpt.forall(z => z >= 1 && z <= maxzoom),
     "The 'minzoom' field in a expire output must be between 1 and 'maxzoom'.")
   require(maxTilesGeometryOpt.forall(v => v >= 1 && v <= (4L << 20)),

@@ -12,9 +12,10 @@ import scala.collection.mutable
   *  - spherical_area/spherical_length use spherical (R=6371008.8 m)
   *    formulas, not boost's geodesic vincenty
   *    (src/geom-functions.cpp:370-436) — ≤0.5% difference;
-  *  - transform supports the reference's built-in pair 4326↔3857 only
-  *    (the reference requires PROJ for anything else,
-  *    src/reprojection.cpp:80-89).
+  *  - transform supports the reference's built-in pair 4326↔3857
+  *    plus the PROJ-free TM pack ([[Proj]]: UTM 326xx/327xx, ETRS89
+  *    258xx, 27700) — the reference requires a PROJ build for those
+  *    (src/reprojection.cpp:80-89); other codes still error.
   */
 object GeomOps {
 
@@ -87,7 +88,10 @@ object GeomOps {
       math.toDegrees(2 * math.atan(math.exp(p.y / MercRadius)) - math.Pi / 2))
 
   /** transform(g, srid): only from 4326 (src/flex-lua-geom.cpp:330-332
-    * errors otherwise); identity when srids match. */
+    * errors otherwise); identity when srids match. Beyond the
+    * reference's no-PROJ pair 4326↔3857, [[Proj]] adds the TM family
+    * (UTM 326xx/327xx, ETRS89 258xx, 27700) without any native
+    * dependency — the codes the reference needs a PROJ build for. */
   def transform(g: Geometry, targetSrid: Int): Geometry = {
     if (g.srid == targetSrid) return g
     (g.srid, targetSrid) match {
@@ -95,9 +99,17 @@ object GeomOps {
         mapPoints(g, lonLatToMercator).withSrid(targetSrid)
       case (Srid.WebMercator, Srid.WGS84) =>
         mapPoints(g, mercatorToLonLat).withSrid(targetSrid)
+      case (Srid.WGS84, code) if Proj.supports(code) =>
+        mapPoints(g, p => {
+          val (x, y) = Proj.forward(code, p.x, p.y); Pt(x, y)
+        }).withSrid(code)
+      case (code, Srid.WGS84) if Proj.supports(code) =>
+        mapPoints(g, p => {
+          val (lon, lat) = Proj.inverse(code, p.x, p.y); Pt(lon, lat)
+        }).withSrid(targetSrid)
       case _ => throw new IllegalArgumentException(
-        s"transform only supported between 4326 and 3857, " +
-          s"got ${g.srid} -> $targetSrid")
+        s"transform only supported between 4326/3857/UTM(326xx,327xx)/" +
+          s"ETRS89(258xx)/27700, got ${g.srid} -> $targetSrid")
     }
   }
 

@@ -56,6 +56,28 @@ class ClassicAreaSpec extends SparkSpecBase {
     assert(bbox.maxX <= 1.01 && bbox.maxY <= 1.01)
   }
 
+  test("arbitrary TM projection: -E 32632 runs end to end") {
+    // test-options-projection.cpp "Arbitrary projection with -E"
+    // (there only under HAVE_GENERIC_PROJ): the whole classic
+    // pipeline with output SRID 32632 — geometry lands tagged with
+    // the SRID, in UTM meters, and way_area is in m² (the test
+    // polygons live near lon/lat 0/0, far west of zone 32: easting
+    // is large-negative of the 500 km false easting)
+    val t = ClassicPipeline.run(areaOsm, StyleFile.defaultStyle,
+      srid = 32632)
+    assert(t.polygon.count() == 2)
+    val g = t.polygon.where("tags['name'] = 'poly'")
+      .select("geom").collect().head.getAs[Array[Byte]](0)
+    val geom = graft.geom.Ewkb.decode(g)
+    assert(geom.srid == 32632)
+    val bbox = graft.geom.FromOsm.getBbox(geom).get
+    assert(bbox.minX < -400000 && bbox.maxY < 120000)
+    // 1°×1° at the equator ≈ 1.24e10 m² — way_area must be meters²,
+    // not degrees² (loose bound: the pipeline multiplies real areas)
+    val a = areasByName(t.polygon)
+    assert(a("poly") > 1e9 && a("poly") < 1e11)
+  }
+
   private def twoOuterXml: String =
     """<?xml version='1.0' encoding='UTF-8'?>
       |<osm version="0.6">

@@ -156,6 +156,11 @@ class CliSpec extends SparkSpecBase {
   test("-E maps 4326/3857; other SRIDs need the projection library") {
     assert(opt("-E", "4326").srid == graft.geom.Srid.WGS84)
     assert(opt("--proj", "3857").srid == graft.geom.Srid.WebMercator)
+    // test-options-projection.cpp "Arbitrary projection with -E":
+    // the TM pack stands in for HAVE_GENERIC_PROJ for UTM/ETRS89/BNG
+    assert(opt("-E", "32632").srid == 32632)
+    assert(opt("-E", "25832").srid == 25832)
+    assert(opt("-E", "27700").srid == 27700)
     bad(Seq("-E", "2154"),
       "Generic projections not available in this build.")
     bad(Seq("-E", "4326", "-m"), "You can only use one of")
@@ -716,6 +721,34 @@ class CliSpec extends SparkSpecBase {
     assert(count("line") == 3274L)
     assert(count("polygon") == 4277L)
     assert(count("roads") == 380L)
+  }
+
+  test("-d live: --schema puts the classic tables in a named schema") {
+    // test-output-pgsql-schema.cpp "liechtenstein slim with schema":
+    // same import goldens, tables under myschema instead of public
+    // (the reference creates the schema up front; so does this test)
+    assume(PgTestCluster.up, "no runnable PostgreSQL in this environment")
+    val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    assume(new java.io.File(pbf).exists())
+    val dsn = PgTestCluster.dsn
+    graft.sinks.PgLive.execOrThrow(dsn,
+      "CREATE SCHEMA IF NOT EXISTS myschema;")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-schema")
+    Main.run(spark, Options.parse(Seq(pbf, "--create", "--slim",
+      "--schema", "myschema", "-p", "schema_osm",
+      "--output-dir", s"$dir/out", "-d", dsn)))
+    def count(t: String): Long = graft.sinks.PgLive.queryOne(dsn,
+      s"""SELECT count(*) FROM "myschema"."schema_osm_$t";""").toLong
+    assert(count("point") == 1342L)
+    assert(count("line") == 3231L)
+    assert(count("polygon") == 4130L)
+    assert(count("roads") == 375L)
+    // nothing with that prefix leaked into public
+    assert(graft.sinks.PgLive.queryOne(dsn,
+      """SELECT count(*) FROM information_schema.tables
+        | WHERE table_schema = 'public'
+        |   AND table_name LIKE 'schema\_osm\_%';""".stripMargin)
+      .toLong == 0L)
   }
 
   test("-d live: -k excludes column keys from hstore, -j keeps them") {

@@ -134,6 +134,17 @@ class FlexGeomColumnSpec extends SparkSpecBase {
     assert(sridsOf(Coerce.toGeometryColumn($"geom",
       FlexType.Multipolygon, graft.geom.Srid.WGS84)) ==
       Set(graft.geom.Srid.WGS84))
+    // beyond the reference's no-PROJ pair: projection = 25832
+    // (ETRS89/UTM32) reprojects through the TM pack — SRID tagged and
+    // coordinates in meters (the test geometry lives near lon/lat 0/0,
+    // far west of zone 32, so easting is large-negative of the 500 km
+    // false easting)
+    val utm = rows.select(Coerce.toGeometryColumn($"geom",
+      FlexType.Multipolygon, 25832).as("g")).as[Array[Byte]].collect()
+      .map(graft.geom.Ewkb.decode)
+    assert(utm.map(_.srid).toSet == Set(25832))
+    val env = graft.geom.Box.of(utm.head).get
+    assert(env.minX < -400000 && math.abs(env.maxY) < 1.3e6)
   }
 
   test("copyRowParse is the inverse of copyRow") {
