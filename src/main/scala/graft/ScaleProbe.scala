@@ -136,6 +136,11 @@ object ScaleProbe {
     time("dup_ngrams")(
       graft.operators.CorpusOps.dupNgrams(docs, "doc_id", "text")
         .count())
+    // q107: per round one pair-count agg (shuffle bounded by DISTINCT
+    // pairs, map-side combined) + a 1-row collect + a map-only fuse
+    time("bpe_merges")(
+      graft.operators.TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+        .count())
     // q52's shape: LSH pairs → large-star/small-star CC. The 20×/50×
     // self-union makes every original doc a duplicate clique, so the
     // cluster count must stay ~n0 while edges grow ~mult² per clique —

@@ -46,6 +46,20 @@ object StyleFile {
     Set("smallint", "integer", "bigint", "int2", "int4", "int8")
   private[classic] val RealTypes = Set("real", "double precision")
 
+  /** parse_tag_flags (src/taginfo.cpp:41-67, pinned by the
+    * reference's own tests/test-taginfo.cpp): flags split on commas
+    * and newlines with NO trimming (so "polygon, nocache" drops the
+    * " nocache" token as unknown), unknown flags warn and are
+    * ignored, never error. */
+  private[graft] def parseTagFlags(flags: String,
+      lineno: Int): Set[String] = {
+    val fs0 = if (flags.isEmpty) Set.empty[String]
+      else flags.split("[,\r\n]").toSet.filter(_.nonEmpty)
+    fs0.filterNot(KnownFlags).foreach(f => System.err.println(
+      s"[graft] Unknown flag '$f' line $lineno, ignored"))
+    fs0.filter(KnownFlags)
+  }
+
   /** Parser matching read_style_file (src/taginfo.cpp:92-199) exactly:
     * comments/blank lines skipped, `OsmType Tag DataType [Flags]`,
     * unknown flags WARN and are ignored (parse_tag_flags), unknown
@@ -66,12 +80,7 @@ object StyleFile {
       .map { case (line, lineno) =>
         def mk(types: String, tag: String, dataType: String,
             flags: String): StyleEntry = {
-          val fs0 = if (flags.isEmpty) Set.empty[String]
-            else flags.split("[,\r\n]").toSet.filter(_.nonEmpty)
-          // parse_tag_flags: unknown flags warn + drop, never error
-          fs0.filterNot(KnownFlags).foreach(f => System.err.println(
-            s"[graft] Unknown flag '$f' line $lineno, ignored"))
-          val fs = fs0.filter(KnownFlags)
+          val fs = parseTagFlags(flags, lineno)
           // wildcards only on pure delete rules: the check runs AFTER
           // the int/real type flag is added, so a typed wildcard line
           // is rejected too (src/taginfo.cpp:148-154)

@@ -111,6 +111,70 @@ object TextAnalysis {
           .as("avg_bpe"))
   }
 
+  /** Iterative BPE merge TRAINING — the actual tokenizer-training
+    * loop, not just pre-tokenization stats: `rounds` times, count all
+    * adjacent token pairs corpus-wide, pick the most frequent (ties
+    * broken lexicographically), fuse every greedy left-to-right
+    * occurrence into a new symbol (left+right joined with '+'), and
+    * repeat on the fused corpus. Returns the learned merge table:
+    * (round, lhs, rhs, merged, cnt).
+    *
+    * The fuse step runs as wrapped-string `replace`:
+    * `[tok][tok]...` with `[l][r]` → `[l+r]` — literal replace scans
+    * left-to-right non-overlapping in both Spark and the relational
+    * oracle, which IS greedy BPE application, so the engines agree
+    * bit for bit ('[', ']', '+' are asserted absent from the token
+    * alphabet by the whitespace pre-tokenizer's callers).
+    *
+    * Scale: per round ONE map-side-combined pair-count aggregate
+    * (shuffle bounded by distinct pairs), a 1-row driver collect, and
+    * a map-only fuse; the fused corpus is persisted per round and the
+    * previous round unpersisted (the same checkpoint discipline as the
+    * connected-components loop), so lineage stays one round deep. */
+  def bpeMerges(df: DataFrame, textCol: String,
+      rounds: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    var toks = df.select(normToks(col(textCol)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    while (r <= rounds) {
+      val top = toks
+        .select(explode(graft.expressions.VectorExpressions
+          .shinglesN(col("w"), 2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) r = rounds // corpus degenerated to 1-token docs
+      else {
+        val pair = top.head.getString(0); val cnt = top.head.getLong(1)
+        val Array(l, rt) = pair.split(" ", 2)
+        merges += ((r, l, rt, s"$l+$rt", cnt))
+        // fuse: wrapped-string literal replace (left-to-right,
+        // non-overlapping — greedy BPE application), then unwrap
+        val wrapped = concat(lit("["), concat_ws("][", col("w")), lit("]"))
+        val fused = call_function("replace", wrapped,
+          lit(s"[$l][$rt]"), lit(s"[$l+$rt]"))
+        val unwrapped = split(expr(
+          "substring(__fused, 2, length(__fused) - 2)"), "\\]\\[", -1)
+        val next = toks
+          .withColumn("__fused", fused)
+          .select(when(size(col("w")) === 0, col("w"))
+            .otherwise(unwrapped).as("w"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent
+        toks.unpersist()
+        toks = next
+      }
+      r += 1
+    }
+    toks.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "cnt")
+  }
+
   /** Repetition ratios (the Gopher-style quality rules): per document,
     * the fraction of duplicate 2-grams and 3-grams — high values mean
     * boilerplate/looping text. Pure per-row projection via the

@@ -358,6 +358,46 @@ object Pipeline7 {
       |    ORDER BY h, doc_id) AS BIGINT) AS pos
       |FROM d""".stripMargin
 
+  // ---- q107: iterative BPE merge training ----
+
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeMerges(Tables.documents(s, d), "text", rounds = 4)
+
+  /** The oracle unrolls the training loop: per round, a pair-count
+    * CTE, a 1-row winner CTE (count desc, pair asc), and a fused
+    * corpus via the same wrapped-string replace the engine uses —
+    * literal `replace` scans left-to-right non-overlapping in both
+    * engines, which IS greedy BPE application. */
+  val bpeMergesSql: String = {
+    val rounds = 4
+    val sb = new StringBuilder(s"WITH d0 AS (SELECT $W AS w FROM documents),\n")
+    for (r <- 1 to rounds) {
+      val prev = s"d${r - 1}"
+      sb.append(
+        s"""p$r AS (SELECT w[i] || ' ' || w[i+1] AS pair, count(*) AS cnt
+           |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM $prev)
+           |  GROUP BY 1),
+           |m$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+           |d$r AS (SELECT CASE WHEN len(w) = 0 THEN w
+           |    ELSE string_split(substr(s, 2, length(s) - 2), '][') END AS w
+           |  FROM (SELECT w,
+           |    replace('[' || array_to_string(w, '][') || ']',
+           |      '[' || split_part(m$r.pair, ' ', 1) || '][' ||
+           |        split_part(m$r.pair, ' ', 2) || ']',
+           |      '[' || replace(m$r.pair, ' ', '+') || ']') AS s
+           |    FROM $prev, m$r)),
+           |""".stripMargin)
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ",\n"
+    sb.append("\n")
+    sb.append((1 to rounds).map(r =>
+      s"SELECT $r AS round, split_part(pair, ' ', 1) AS lhs, " +
+        s"split_part(pair, ' ', 2) AS rhs, " +
+        s"replace(pair, ' ', '+') AS merged, cnt FROM m$r")
+      .mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
     "q94_kmeans_assign" -> (kmeansAssign _),
     "q95_leakage_split" -> (leakageSplit _),
@@ -371,7 +411,8 @@ object Pipeline7 {
     "q103_containment"  -> (containment _),
     "q104_segment_clean" -> (segmentClean _),
     "q105_lcs_verify"   -> (lcsVerify _),
-    "q106_shard_assign" -> (shardAssign _))
+    "q106_shard_assign" -> (shardAssign _),
+    "q107_bpe_merges"   -> (bpeMerges _))
 
   val oracles: Map[String, String] = Map(
     "q94_kmeans_assign" -> kmeansAssignSql,
@@ -386,5 +427,6 @@ object Pipeline7 {
     "q103_containment"  -> containmentSql,
     "q104_segment_clean" -> segmentCleanSql,
     "q105_lcs_verify"   -> lcsVerifySql,
-    "q106_shard_assign" -> shardAssignSql)
+    "q106_shard_assign" -> shardAssignSql,
+    "q107_bpe_merges"   -> bpeMergesSql)
 }

@@ -320,6 +320,33 @@ class PipelineOps4Spec extends SparkSpecBase {
     assert(r.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("bpeMerges learns greedy merges round by round") {
+    import graft.operators.TextAnalysis
+    // "a a a" exercises greedy left-to-right: one (a,a) fuse per doc,
+    // not two overlapping ones; round 2 must see the FUSED corpus
+    val docs = Seq(
+      (1L, "a a a b c"),
+      (2L, "a a b c"),
+      (3L, "a a b"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+      .orderBy("round")
+      .as[(Int, String, String, String, Long)].collect()
+    // round 1: (a,a) x3 wins (doc1 counts it twice? no — pairs are
+    // positional: doc1 has (a,a),(a,a),(a,b),(b,c) → (a,a) count 2+1+1=4)
+    assert(m(0) == ((1, "a", "a", "a+a", 4L)))
+    // fused corpus: [a+a a b c], [a+a b c], [a+a b] →
+    // round 2 pairs: (a+a,a),(a,b),(b,c) / (a+a,b),(b,c) / (a+a,b)
+    // → (a+a,b) ties (b,c) at 2; '+' < 'b' so "a+a b" wins the tie
+    assert(m(1) == ((2, "a+a", "b", "a+a+b", 2L)))
+    // round 3: corpus [a+a a b c]→ wait, doc1 round-2 fuse applies to
+    // (a+a, b)? doc1 is [a+a, a, b, c] — no adjacent (a+a, b); so
+    // round-3 pairs: doc1 (a+a,a),(a,b),(b,c); doc2 [a+a+b, c] →
+    // (a+a+b,c); doc3 [a+a+b] → none. (b,c) has 1, (a+a+b,c) 1,
+    // (a+a,a) 1, (a,b) 1 → lexicographic min "a b" wins
+    assert(m(2) == ((3, "a", "b", "a+b", 1L)))
+  }
+
   test("mutualKnnGraph edges are mutual and within candidates") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", $"embedding")

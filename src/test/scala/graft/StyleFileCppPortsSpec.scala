@@ -129,4 +129,22 @@ class StyleFileCppPortsSpec extends AnyFunSuite {
       "way  way_area  real  delete\nway  highway  text  linear")
     assert(!style.enableWayArea)
   }
+
+  test("parse_tag_flags: the reference's test-taginfo.cpp vectors") {
+    def f(s: String): Set[String] = StyleFile.parseTagFlags(s, 0)
+    assert(f("") == Set.empty)
+    assert(f("polygon") == Set("polygon"))
+    assert(f("linear") == Set("linear"))
+    assert(f("nocolumn") == Set("nocolumn"))
+    assert(f("phstore") == Set("phstore"))
+    assert(f("delete") == Set("delete"))
+    assert(f("nocache") == Set("nocache"))
+    assert(f("UNKNOWN") == Set.empty)
+    assert(f("polygon,phstore") == Set("polygon", "phstore"))
+    assert(f("polygon\nnocache") == Set("polygon", "nocache"))
+    assert(f("polygon\nnocache,delete") ==
+      Set("polygon", "nocache", "delete"))
+    // no trimming: " nocache" is an unknown flag and drops
+    assert(f("polygon, nocache,delete") == Set("polygon", "delete"))
+  }
 }
