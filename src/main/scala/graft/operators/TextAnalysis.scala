@@ -134,8 +134,43 @@ object TextAnalysis {
   def bpeMerges(df: DataFrame, textCol: String,
       rounds: Int = 4): DataFrame = {
     val spark = df.sparkSession
+    val (merges, fin) = bpeLoop(
+      df.select(lit(0L).as("__id"), normToks(col(textCol)).as("w")),
+      rounds)
+    fin.unpersist()
+    import spark.implicits._
+    merges.toDF("round", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** BPE merge APPLICATION — the other half of tokenizer training:
+    * run the same `rounds` of learned merges over the corpus and
+    * report per document the token count before and after fusing (the
+    * compression the learned vocabulary buys on its own training
+    * corpus). Same loop, same exactness contract as [[bpeMerges]];
+    * the per-doc report adds one map-only projection at the end. */
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 4): DataFrame = {
+    val (_, fin) = bpeLoop(
+      df.select(col(idCol).cast("long").as("__id"),
+        normToks(col(textCol)).as("w")),
+      rounds)
+    val out = fin.select(col("__id").as(idCol),
+        col("__n0").as("n_before"),
+        size(col("w")).cast("long").as("n_after"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    fin.unpersist()
+    out
+  }
+
+  /** Shared training loop: returns the merge table and the final
+    * fused corpus frame (persisted; columns __id, __n0, w — the
+    * caller unpersists). */
+  private def bpeLoop(ids: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
-    var toks = df.select(normToks(col(textCol)).as("w"))
+    var toks = ids
+      .withColumn("__n0", size(col("w")).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
@@ -161,8 +196,9 @@ object TextAnalysis {
           "substring(__fused, 2, length(__fused) - 2)"), "\\]\\[", -1)
         val next = toks
           .withColumn("__fused", fused)
-          .select(when(size(col("w")) === 0, col("w"))
-            .otherwise(unwrapped).as("w"))
+          .select(col("__id"), col("__n0"),
+            when(size(col("w")) === 0, col("w"))
+              .otherwise(unwrapped).as("w"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before dropping the parent
         toks.unpersist()
@@ -170,9 +206,7 @@ object TextAnalysis {
       }
       r += 1
     }
-    toks.unpersist()
-    import spark.implicits._
-    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "cnt")
+    (merges.toSeq, toks)
   }
 
   /** Repetition ratios (the Gopher-style quality rules): per document,

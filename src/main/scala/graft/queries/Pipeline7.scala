@@ -367,10 +367,12 @@ object Pipeline7 {
     * CTE, a 1-row winner CTE (count desc, pair asc), and a fused
     * corpus via the same wrapped-string replace the engine uses —
     * literal `replace` scans left-to-right non-overlapping in both
-    * engines, which IS greedy BPE application. */
-  val bpeMergesSql: String = {
-    val rounds = 4
-    val sb = new StringBuilder(s"WITH d0 AS (SELECT $W AS w FROM documents),\n")
+    * engines, which IS greedy BPE application. The CTE prefix is
+    * shared with the q108 apply oracle (doc_id carried through the
+    * rounds). */
+  private def bpeCtePrefix(rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH d0 AS (SELECT doc_id, $W AS w FROM documents),\n")
     for (r <- 1 to rounds) {
       val prev = s"d${r - 1}"
       sb.append(
@@ -378,9 +380,9 @@ object Pipeline7 {
            |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM $prev)
            |  GROUP BY 1),
            |m$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
-           |d$r AS (SELECT CASE WHEN len(w) = 0 THEN w
+           |d$r AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN w
            |    ELSE string_split(substr(s, 2, length(s) - 2), '][') END AS w
-           |  FROM (SELECT w,
+           |  FROM (SELECT doc_id, w,
            |    replace('[' || array_to_string(w, '][') || ']',
            |      '[' || split_part(m$r.pair, ' ', 1) || '][' ||
            |        split_part(m$r.pair, ' ', 2) || ']',
@@ -389,14 +391,29 @@ object Pipeline7 {
            |""".stripMargin)
     }
     sb.setLength(sb.length - 2) // drop the trailing ",\n"
-    sb.append("\n")
-    sb.append((1 to rounds).map(r =>
+    sb.toString
+  }
+
+  val bpeMergesSql: String =
+    bpeCtePrefix(4) + "\n" + (1 to 4).map(r =>
       s"SELECT $r AS round, split_part(pair, ' ', 1) AS lhs, " +
         s"split_part(pair, ' ', 2) AS rhs, " +
         s"replace(pair, ' ', '+') AS merged, cnt FROM m$r")
-      .mkString("\nUNION ALL\n"))
-    sb.toString
-  }
+      .mkString("\nUNION ALL\n")
+
+  // ---- q108: BPE merge application / compression report ----
+
+  def bpeApply(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeApply(Tables.documents(s, d), "doc_id", "text",
+      rounds = 4)
+
+  val bpeApplySql: String =
+    bpeCtePrefix(4) +
+      """
+        |SELECT d0.doc_id,
+        |  CAST(len(d0.w) AS BIGINT) AS n_before,
+        |  CAST(len(d4.w) AS BIGINT) AS n_after
+        |FROM d0 JOIN d4 USING (doc_id)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q94_kmeans_assign" -> (kmeansAssign _),
@@ -412,7 +429,8 @@ object Pipeline7 {
     "q104_segment_clean" -> (segmentClean _),
     "q105_lcs_verify"   -> (lcsVerify _),
     "q106_shard_assign" -> (shardAssign _),
-    "q107_bpe_merges"   -> (bpeMerges _))
+    "q107_bpe_merges"   -> (bpeMerges _),
+    "q108_bpe_apply"    -> (bpeApply _))
 
   val oracles: Map[String, String] = Map(
     "q94_kmeans_assign" -> kmeansAssignSql,
@@ -428,5 +446,6 @@ object Pipeline7 {
     "q104_segment_clean" -> segmentCleanSql,
     "q105_lcs_verify"   -> lcsVerifySql,
     "q106_shard_assign" -> shardAssignSql,
-    "q107_bpe_merges"   -> bpeMergesSql)
+    "q107_bpe_merges"   -> bpeMergesSql,
+    "q108_bpe_apply"    -> bpeApplySql)
 }

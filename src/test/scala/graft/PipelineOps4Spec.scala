@@ -347,6 +347,23 @@ class PipelineOps4Spec extends SparkSpecBase {
     assert(m(2) == ((3, "a", "b", "a+b", 1L)))
   }
 
+  test("bpeApply reports the compression the merges buy") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a a a b c"),   // round1 fuses (a,a) once → 4 tokens, then
+                           // round2 (a+a,b)? traced in the merges spec
+      (2L, "a a b c"),
+      (3L, "a a b"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bpeApply(docs, "doc_id", "text", rounds = 3)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // from the bpeMerges trace: doc1 [a+a,a,b,c]→round3 (a,b) fuse →
+    // [a+a,a+b,c] = 3; doc2 [a+a+b,c] = 2; doc3 [a+a+b] = 1
+    assert(r(1L) == ((1L, 5L, 3L)))
+    assert(r(2L) == ((2L, 4L, 2L)))
+    assert(r(3L) == ((3L, 3L, 1L)))
+  }
+
   test("mutualKnnGraph edges are mutual and within candidates") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", $"embedding")
