@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -82,6 +83,31 @@ object TextAnalysis {
         sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
         (sum(tokenCount(col(textCol)).cast("long")).cast("double") /
           count(lit(1)).cast("double")).as("avg_tokens"))
+
+  /** Exact rank-based quantiles of a per-document measure, per group —
+    * corpus profiling that is reproducible across engines (approx
+    * sketches like percentile_approx are not): the p-quantile is the
+    * value at rank ceil(p·n) in (measure, id) order, the "nearest-rank"
+    * definition, so every reported number is an actual corpus value.
+    *
+    * Scale: one shuffle on the group key; each group ranks
+    * independently (a planet-sized single group serializes its sort —
+    * shard such a group first, same note as tokenBudget). */
+  def exactQuantiles(df: DataFrame, groupCol: String, idCol: String,
+      measure: Column, quantiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__m").asc, col(idCol).asc)
+    val n = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(idCol),
+        measure.cast("long").as("__m"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+    val agg = quantiles.map(q =>
+      max(when(col("__rk") === ceil(lit(q) * col("__n") / 100.0), col("__m")))
+        .as(s"p$q"))
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_docs"), agg: _*)
+  }
 
   /** BPE-ish token counting: the whitespace split of [[tokenStats]] is
     * one estimator; this is the other — a GPT-2-shaped pre-tokenizer

@@ -415,6 +415,25 @@ object Pipeline7 {
         |  CAST(len(d4.w) AS BIGINT) AS n_after
         |FROM d0 JOIN d4 USING (doc_id)""".stripMargin
 
+  // ---- q109: exact per-source token-count quantiles ----
+
+  def lengthQuantiles(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.exactQuantiles(
+      Tables.documents(s, d), "source", "doc_id",
+      size(graft.functions.TextFunctions.normToks(col("text"))))
+
+  val lengthQuantilesSql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+       |  CAST(len($W) AS BIGINT) AS m FROM documents),
+       |r AS (SELECT source, doc_id, m,
+       |  row_number() OVER (PARTITION BY source ORDER BY m, doc_id) AS rk,
+       |  count(*) OVER (PARTITION BY source) AS n FROM t)
+       |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       |  max(CASE WHEN rk = ceil(50 * n / 100.0) THEN m END) AS p50,
+       |  max(CASE WHEN rk = ceil(90 * n / 100.0) THEN m END) AS p90,
+       |  max(CASE WHEN rk = ceil(99 * n / 100.0) THEN m END) AS p99
+       |FROM r GROUP BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q94_kmeans_assign" -> (kmeansAssign _),
     "q95_leakage_split" -> (leakageSplit _),
@@ -430,7 +449,8 @@ object Pipeline7 {
     "q105_lcs_verify"   -> (lcsVerify _),
     "q106_shard_assign" -> (shardAssign _),
     "q107_bpe_merges"   -> (bpeMerges _),
-    "q108_bpe_apply"    -> (bpeApply _))
+    "q108_bpe_apply"    -> (bpeApply _),
+    "q109_len_quantiles" -> (lengthQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "q94_kmeans_assign" -> kmeansAssignSql,
@@ -447,5 +467,6 @@ object Pipeline7 {
     "q105_lcs_verify"   -> lcsVerifySql,
     "q106_shard_assign" -> shardAssignSql,
     "q107_bpe_merges"   -> bpeMergesSql,
-    "q108_bpe_apply"    -> bpeApplySql)
+    "q108_bpe_apply"    -> bpeApplySql,
+    "q109_len_quantiles" -> lengthQuantilesSql)
 }

@@ -364,6 +364,18 @@ class PipelineOps4Spec extends SparkSpecBase {
     assert(r(3L) == ((3L, 3L, 1L)))
   }
 
+  test("exactQuantiles uses nearest-rank on actual values") {
+    import graft.operators.TextAnalysis
+    // group g: measures 1..10 → p50 = rank ceil(5.0)=5 → value 5,
+    // p90 = rank 9 → 9, p99 = rank ceil(9.9)=10 → 10
+    val docs = (1 to 10).map(i => ("g", i.toLong, ("x " * i).trim))
+      .toDF("source", "doc_id", "text")
+    val r = TextAnalysis.exactQuantiles(docs, "source", "doc_id",
+      size(graft.functions.TextFunctions.normToks($"text")))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(r == (("g", 10L, 5L, 9L, 10L)))
+  }
+
   test("mutualKnnGraph edges are mutual and within candidates") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", $"embedding")
