@@ -123,4 +123,67 @@ object TrainingData {
       "decontaminated" -> clean.count(),
       "mixed" -> mixed.count())
   }
+
+  /** Deterministic shard export — the artifact-producing end of the
+    * pipeline: [[Sampling.shardAssign]] fixes (shard, pos) for every
+    * document, rows land under `outDir/data/shard=K/` sorted by pos
+    * within each shard file, and `outDir/manifest/` records per shard
+    * the document count, byte count, and a content digest (md5 over
+    * the per-doc text digests in pos order). Re-running the export on
+    * the same corpus yields byte-identical shard contents and an
+    * identical manifest — what makes a 100 TB export restartable and
+    * auditable (a trainer can verify a shard against the manifest
+    * before reading it).
+    *
+    * Scale: one shuffle on the shard key (the assign), one
+    * repartition-by-shard write with an in-partition sort, and a
+    * per-shard aggregate for the manifest; nothing touches the
+    * driver. Pick nShards ≫ executors — trainers want many small
+    * shards anyway. Returns the manifest frame. */
+  def exportShards(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, outDir: String): DataFrame = {
+    val assigned = Sampling.shardAssign(docs, idCol, nShards)
+    assigned
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(s"$outDir/data")
+    val manifest = assigned
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        md5(concat_ws("",
+          sort_array(collect_list(struct(col("pos"),
+            md5(col(textCol)).as("h")))).getField("h")))
+          .as("content_digest"))
+    manifest.coalesce(1).write.mode("overwrite")
+      .json(s"$outDir/manifest")
+    manifest
+  }
+
+  /** Verify an exported shard directory against its manifest: recount
+    * and re-digest every shard from the data files and compare. Any
+    * mismatch (missing rows, reordered rows, corrupted text) surfaces
+    * as a row with ok=false. One scan + one per-shard aggregate. */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession,
+      textCol: String, outDir: String): DataFrame = {
+    val data = spark.read.parquet(s"$outDir/data")
+    val recomputed = data.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs2"),
+        sum(length(col(textCol)).cast("long")).as("n_chars2"),
+        md5(concat_ws("",
+          sort_array(collect_list(struct(col("pos"),
+            md5(col(textCol)).as("h")))).getField("h")))
+          .as("digest2"))
+    val manifest = spark.read.json(s"$outDir/manifest")
+    manifest.join(recomputed, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_docs") === col("n_docs2") &&
+          col("n_chars") === col("n_chars2") &&
+          col("content_digest") === col("digest2"),
+          lit(false)).as("ok")) // a shard missing on either side fails
+  }
 }

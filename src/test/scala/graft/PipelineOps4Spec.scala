@@ -376,6 +376,44 @@ class PipelineOps4Spec extends SparkSpecBase {
     assert(r == (("g", 10L, 5L, 9L, 10L)))
   }
 
+  test("exportShards round-trips and verifies against its manifest") {
+    import graft.operators.TrainingData
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source", $"text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shards").toString
+    val manifest = TrainingData
+      .exportShards(docs, "doc_id", "text", nShards = 8, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(manifest.values.map(_._1).sum == docs.count())
+    // the exported data verifies against the manifest
+    val ok = TrainingData.verifyShards(spark, "text", dir)
+      .as[(Long, Boolean)].collect()
+    assert(ok.length == manifest.size && ok.forall(_._2))
+    // re-export is byte-identical: same manifest digests
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-shards2").toString
+    val again = TrainingData
+      .exportShards(docs, "doc_id", "text", nShards = 8, dir2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(again == manifest)
+    // a corrupted shard fails verification
+    val data = spark.read.parquet(s"$dir/data")
+    data.where($"shard" =!= 3).write.mode("overwrite")
+      .partitionBy("shard").parquet(s"$dir2/data")
+    // splice dir2's manifest from dir (counts for shard 3 now wrong)
+    val fs = java.nio.file.Paths.get(s"$dir2/manifest")
+    org.apache.commons.io.FileUtils.deleteDirectory(fs.toFile)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      java.nio.file.Paths.get(s"$dir/manifest").toFile, fs.toFile)
+    val bad = TrainingData.verifyShards(spark, "text", dir2)
+      .as[(Long, Boolean)].collect().toMap
+    assert(bad(3L) == false)
+    assert(bad.count(!_._2) == 1)
+  }
+
   test("mutualKnnGraph edges are mutual and within candidates") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", $"embedding")
