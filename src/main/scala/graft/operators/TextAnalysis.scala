@@ -306,6 +306,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Contamination report from the BENCHMARK side — the audit view of
+    * [[decontaminate]]: per benchmark document, how many corpus
+    * documents share at least one distinct `n`-gram with it, and the
+    * total shared-gram pair count. This is what an eval owner reads
+    * to decide whether a benchmark is burned; zero-hit benchmark docs
+    * are reported with zeros (a full audit, not just the leaky rows).
+    *
+    * Shape: same broadcast gram join as [[decontaminate]] (benchmark
+    * is the small side by contract; the Bloom path covers huge ones),
+    * then CASCADED aggregates — (bench, doc) pair hits first, then
+    * per-bench totals — so there is no count-DISTINCT expand. */
+  def contaminationReport(docs: DataFrame, idCol: String,
+      textCol: String, benchmark: DataFrame, benchIdCol: String,
+      benchTextCol: String, n: Int = 8): DataFrame = {
+    val probeGrams = docs.select(col(idCol).as("__pid"),
+      explode(graft.expressions.VectorExpressions
+        .shinglesN(normToks(col(textCol)), n, distinct = true)).as("g"))
+    val benchGrams = benchmark.select(col(benchIdCol).as("bench_id"),
+      explode(graft.expressions.VectorExpressions
+        .shinglesN(normToks(col(benchTextCol)), n, distinct = true))
+        .as("g"))
+    val pairHits = probeGrams.join(broadcast(benchGrams), "g")
+      .groupBy(col("bench_id"), col("__pid"))
+      .agg(count(lit(1)).as("__h"))
+    val agg = pairHits.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_docs_hit"), sum(col("__h")).as("n_gram_hits"))
+    benchmark.select(col(benchIdCol).as("bench_id")).distinct()
+      .join(agg, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"))
+  }
+
   /** A Bloom filter that ships as its serialized bits and rebuilds
     * lazily once per executor JVM (the sketch object itself need not
     * be Serializable). */

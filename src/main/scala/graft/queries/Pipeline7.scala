@@ -434,6 +434,38 @@ object Pipeline7 {
        |  max(CASE WHEN rk = ceil(99 * n / 100.0) THEN m END) AS p99
        |FROM r GROUP BY source""".stripMargin
 
+  // ---- q110: contamination report (benchmark-side audit) ----
+
+  def contaminationReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBench =
+      substring(md5(col("doc_id").cast("string")), 1, 2) < lit("40")
+    TextAnalysis.contaminationReport(
+      docs.where(!isBench), "doc_id", "text",
+      docs.where(isBench), "doc_id", "text", n = 8)
+  }
+
+  val contaminationReportSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 6, 1)),
+       |    i -> array_to_string(w[i:i+7], ' '))) AS gr
+       |  FROM (SELECT doc_id, $W AS w FROM documents)),
+       |bench AS (SELECT doc_id AS bench_id, unnest(gr) AS gram FROM g
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'),
+       |probe AS (SELECT doc_id, unnest(gr) AS gram FROM g
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '40'),
+       |pairs AS (SELECT bench_id, probe.doc_id AS pid, count(*) AS h
+       |  FROM probe JOIN bench USING (gram) GROUP BY 1, 2),
+       |agg AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_docs_hit,
+       |  CAST(sum(h) AS BIGINT) AS n_gram_hits FROM pairs GROUP BY 1)
+       |SELECT b.bench_id,
+       |  coalesce(n_docs_hit, 0) AS n_docs_hit,
+       |  coalesce(n_gram_hits, 0) AS n_gram_hits
+       |FROM (SELECT DISTINCT doc_id AS bench_id FROM g
+       |      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40') b
+       |LEFT JOIN agg USING (bench_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q94_kmeans_assign" -> (kmeansAssign _),
     "q95_leakage_split" -> (leakageSplit _),
@@ -450,7 +482,8 @@ object Pipeline7 {
     "q106_shard_assign" -> (shardAssign _),
     "q107_bpe_merges"   -> (bpeMerges _),
     "q108_bpe_apply"    -> (bpeApply _),
-    "q109_len_quantiles" -> (lengthQuantiles _))
+    "q109_len_quantiles" -> (lengthQuantiles _),
+    "q110_contamination_report" -> (contaminationReport _))
 
   val oracles: Map[String, String] = Map(
     "q94_kmeans_assign" -> kmeansAssignSql,
@@ -468,5 +501,6 @@ object Pipeline7 {
     "q106_shard_assign" -> shardAssignSql,
     "q107_bpe_merges"   -> bpeMergesSql,
     "q108_bpe_apply"    -> bpeApplySql,
-    "q109_len_quantiles" -> lengthQuantilesSql)
+    "q109_len_quantiles" -> lengthQuantilesSql,
+    "q110_contamination_report" -> contaminationReportSql)
 }

@@ -414,6 +414,23 @@ class PipelineOps4Spec extends SparkSpecBase {
     assert(bad.count(!_._2) == 1)
   }
 
+  test("contaminationReport counts sharing docs per benchmark doc") {
+    import graft.operators.TextAnalysis
+    val run = (1 to 8).map(i => s"t$i").mkString(" ")
+    val bench = Seq((100L, run), (101L, "nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, s"$run extra words"),      // shares the 8-gram with bench 100
+      (2L, s"prefix $run"),           // also shares it
+      (3L, "completely different content"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.contaminationReport(
+      docs, "doc_id", "text", bench, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(100L) == ((100L, 2L, 2L))) // docs 1 and 2, one gram each
+    assert(r(101L) == ((101L, 0L, 0L))) // zero-hit rows still reported
+  }
+
   test("mutualKnnGraph edges are mutual and within candidates") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", $"embedding")
