@@ -601,40 +601,62 @@ case class SortedTokenFpExpr(child: Expression) extends UnaryExpression {
 }
 
 /** Nearest-centroid assignment against an embedded Lloyd state — the
-  * map-only kernel behind `Similarity.kmeansAssignStore` (and its
-  * streaming form). Centroid state is the exact (sum-vector S, count
-  * n) pair of `kmeansAssignExact`; the kernel evaluates the identical
-  * integer cost n²·⟨q,q⟩ − 2n·⟨q,S⟩ + ⟨S,S⟩ with the identical
-  * smallest-cid tie-break, so store-based assignment is bit-equal to
-  * the batch argmin aggregate. ≤centroidCap·dim longs of literals —
-  * same embedding strategy as [[PqEncodeExpr]]. */
+  * map-only kernel behind every `Similarity.kmeansAssign*` path
+  * (batch, store, and streaming). Centroid state is the exact
+  * (sum-vector S, count n) pair; the per-centroid integer cost
+  * n²·⟨q,q⟩ − 2n·⟨q,S⟩ + ⟨S,S⟩ = ‖n·q − S‖² equals n²·‖q − μ‖², so
+  * raw costs of centroids with DIFFERENT member counts are NOT
+  * comparable (a small cluster's cost is scaled down — comparing raw
+  * costs biases the argmin toward small clusters). The kernel
+  * therefore compares the exact rationals cost/n² by 128-bit
+  * cross-multiplication (cost_a·n_b² vs cost_b·n_a², both nonnegative
+  * 64×64→128 products via Math.multiplyHigh) — the true
+  * nearest-exact-mean argmin, no floats, no rounding, ties → smallest
+  * cid. Exactness bound: n ≤ 3 037 000 499 (n² must fit int64); at a
+  * per-cluster population beyond 3.0e9 raise the seed density so
+  * clusters split. ≤centroidCap·dim longs of literals — same
+  * embedding strategy as [[PqEncodeExpr]]. */
 case class KmeansAssignExpr(child: Expression, cids: IndexedSeq[Long],
     sums: IndexedSeq[Long], ss: IndexedSeq[Long], ns: IndexedSeq[Long])
     extends UnaryExpression {
+  require(cids.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "centroid ids must be strictly ascending (tie-break contract)")
   override def dataType: DataType = LongType
   @transient private lazy val cidsArr = cids.toArray
   @transient private lazy val sumsArr = sums.toArray
   @transient private lazy val ssArr = ss.toArray
   @transient private lazy val nsArr = ns.toArray
+  /** cost_a/n_a² < cost_b/n_b², exactly: cost_a·n_b² < cost_b·n_a²
+    * in unsigned 128-bit (all four operands nonnegative int64). */
+  private def rationalLess(costA: Long, na2: Long,
+      costB: Long, nb2: Long): Boolean = {
+    val hiA = Math.multiplyHigh(costA, nb2); val loA = costA * nb2
+    val hiB = Math.multiplyHigh(costB, na2); val loB = costB * na2
+    hiA < hiB || (hiA == hiB &&
+      java.lang.Long.compareUnsigned(loA, loB) < 0)
+  }
   override def nullSafeEval(v: Any): Any = {
     val q = v.asInstanceOf[ArrayData]
     val dim = q.numElements()
     var qq = 0L
     var d = 0
     while (d < dim) { val x = q.getLong(d); qq += x * x; d += 1 }
-    var bestCost = Long.MaxValue
+    var bestCost = -1L
+    var bestN2 = 1L
     var bestCid = Long.MaxValue
     var c = 0
     while (c < cidsArr.length) {
       val n = nsArr(c)
+      val n2 = n * n
       val off = c * dim
       var dot = 0L
       var i = 0
       while (i < dim) { dot += q.getLong(i) * sumsArr(off + i); i += 1 }
-      val cost = n * n * qq - 2L * n * dot + ssArr(c)
-      if (cost < bestCost ||
-        (cost == bestCost && cidsArr(c) < bestCid)) {
-        bestCost = cost; bestCid = cidsArr(c)
+      val cost = n2 * qq - 2L * n * dot + ssArr(c)
+      // cids are sorted ascending, so on an exact tie the FIRST seen
+      // (smallest cid) wins — strict-less keeps it
+      if (bestCost < 0L || rationalLess(cost, n2, bestCost, bestN2)) {
+        bestCost = cost; bestN2 = n2; bestCid = cidsArr(c)
       }
       c += 1
     }

@@ -428,26 +428,34 @@ object Similarity {
   /** Integer-exact Lloyd k-means assignment over quantized embeddings
     * — the oracle-checkable sibling of [[kmeansCentroids]] (which runs
     * in double and is used for PQ training). Centroid state is the
-    * (sum-vector S, member-count n) pair, never the float mean:
-    * argmin_c ‖q − S_c/n_c‖² = argmin_c (n²·⟨q,q⟩ − 2n·⟨q,S⟩ + ⟨S,S⟩)
-    * multiplied through by n² — all exact int64 (ties → smallest cid),
-    * so a DuckDB oracle reproduces every assignment bit for bit and
-    * nothing depends on float summation order.
+    * (sum-vector S, member-count n) pair, never the float mean. The
+    * per-centroid cost n²·⟨q,q⟩ − 2n·⟨q,S⟩ + ⟨S,S⟩ = ‖n·q − S‖²
+    * equals n²·‖q − S/n‖² — a centroid-DEPENDENT scaling, so raw
+    * costs of centroids with different member counts must NOT be
+    * compared directly (that biases the argmin toward small
+    * clusters). Assignment therefore compares the exact rationals
+    * cost/n² by 128-bit cross-multiplication inside
+    * [[graft.expressions.KmeansAssignExpr]] — the true
+    * argmin_c ‖q − S_c/n_c‖², all-integer, ties → smallest cid, so a
+    * DuckDB oracle (HUGEINT cross-multiply) reproduces every
+    * assignment bit for bit and nothing depends on float summation
+    * order.
     *
-    * Scale: each iteration broadcasts ≤`centroidCap` compact centroid
-    * rows (a few KB), scores the corpus map-side (crossJoin with a
-    * broadcast ≤256-row side — the same bounded shape as [[ivfTopK]]),
-    * and recomputes sums via posexplode → per-(cid,dim) partial
-    * aggregation. No driver loops over data, no collect. The int64
-    * bound holds while n·max|S_i|·max|q_i| < 2⁶³ — at planet scale
-    * raise the quantization scale down or switch the cost to
-    * DecimalType; the shape is unchanged. Empty cells drop, matching
+    * Scale: each iteration collects the ≤`centroidCap` compact
+    * centroid state rows (a few KB — a bounded broadcast, the same
+    * class as the IVF/PQ codebooks above), embeds them in the
+    * codegen'd argmin kernel, and assigns MAP-ONLY: one compiled call
+    * per row, no crossJoin row-multiplication, no per-id shuffle.
+    * Sum recompute stays distributed via posexplode → per-(cid,dim)
+    * partial aggregation. No driver loops over data. The int64 bound
+    * holds while n²·⟨q,q⟩ < 2⁶³ and n ≤ 3.0e9 (n² must fit int64) —
+    * at planet scale lower the quantization scale / raise the seed
+    * density; the shape is unchanged. Empty cells drop, matching
     * standard Lloyd. Returns (id, cluster, n_members) after `iters`
     * assignment passes. */
-  /** (id, q, qq) projection shared by the Lloyd passes. */
+  /** (id, q) projection shared by the Lloyd passes. */
   private def kmeansBase(corpus: DataFrame): DataFrame =
     corpus.select(col("id"), quantize(col("vec")).as("q"))
-      .withColumn("qq", qdot(col("q"), col("q")))
 
   /** Deterministic seed state: sampled ids as singleton clusters. */
   private def kmeansInit(corpus: DataFrame, every: Int,
@@ -457,22 +465,33 @@ object Similarity {
         lit(1L).as("n"))
       .orderBy(col("cid")).limit(centroidCap)
 
-  /** One assignment pass: integer argmin over the broadcast state. */
+  /** Collected (cid, S, ⟨S,S⟩, n) arrays for the assignment kernel —
+    * ≤centroidCap rows by construction, sorted by cid (the kernel's
+    * tie-break contract). Fails loudly when the seed predicate
+    * matched nothing (e.g. no id is a multiple of `every`) instead of
+    * silently assigning nobody. */
+  private def kmeansCollectState(cent: DataFrame): (IndexedSeq[Long],
+      IndexedSeq[Long], IndexedSeq[Long], IndexedSeq[Long]) = {
+    val rows = cent.select(col("cid"), col("s"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "k-means centroid state is empty — no id " +
+      "satisfied the seed predicate (id % every == 0); use a denser " +
+      "`every` or check the id space")
+    (rows.map(_._1).toIndexedSeq,
+      rows.flatMap(_._2).toIndexedSeq,
+      rows.map(r => r._2.map(x => x * x).sum).toIndexedSeq,
+      rows.map(_._3).toIndexedSeq)
+  }
+
+  /** One assignment pass: map-only exact argmin over the collected
+    * bounded state (no shuffle — the kernel is one compiled call per
+    * row). */
   private def kmeansAssignStep(base: DataFrame,
       cent: DataFrame): DataFrame = {
-    val centX = broadcast(cent
-      .withColumn("ss", qdot(col("s"), col("s"))))
-    base.crossJoin(centX)
-      .select(col("id"), col("q"), col("qq"),
-        struct(
-          (col("n") * col("n") * col("qq")
-            - lit(2L) * col("n") * qdot(col("q"), col("s"))
-            + col("ss")).as("cost"),
-          col("cid").as("cid")).as("sc"))
-      .groupBy(col("id"))
-      .agg(first(col("q")).as("q"), first(col("qq")).as("qq"),
-        min(col("sc")).as("m"))
-      .select(col("id"), col("q"), col("qq"), col("m.cid").as("cid"))
+    val (cids, sums, ss, ns) = kmeansCollectState(cent)
+    base.withColumn("cid", graft.expressions.VectorExpressions
+      .kmeansAssignN(col("q"), cids, sums, ss, ns))
   }
 
   /** Recompute (sum-vector, count) state from an assignment. */

@@ -36,22 +36,32 @@ object Pipeline7 {
         .select(col("vec_id").as("id"), col("embedding").as("vec")))
       .select(col("id").as("vec_id"), col("cluster"), col("n_members"))
 
-  /** Two Lloyd passes in pure int64: assignment minimizes
-    * n²·⟨q,q⟩ − 2n·⟨q,S⟩ + ⟨S,S⟩ (squared distance to the mean,
-    * multiplied through by n²), centroid state is (sum-vector, count).
-    */
+  /** Two Lloyd passes in pure int64: centroid state is (sum-vector S,
+    * count n); the per-centroid cost n²·⟨q,q⟩ − 2n·⟨q,S⟩ + ⟨S,S⟩
+    * equals n²·‖q − S/n‖², so costs of centroids with different
+    * member counts are comparable only as the exact rationals
+    * cost/n² — the argmin is computed by HUGEINT cross-multiplication
+    * (x wins over y iff x.cost·y.n² < y.cost·x.n², ties → smallest
+    * cid), matching KmeansAssignExpr's 128-bit comparison bit for
+    * bit. */
   val kmeansAssignSql: String = {
     val cost = s"(c.n*c.n*eq.qq - 2*c.n*${qdotSql("eq.q", "c.s")} + c.ss)"
+    def argmin(costs: String) =
+      s"""SELECT id, q, qq, cid FROM $costs x WHERE NOT EXISTS (
+         |  SELECT 1 FROM $costs y WHERE y.id = x.id AND y.cid <> x.cid
+         |  AND (CAST(y.cost AS HUGEINT) * x.n * x.n
+         |         < CAST(x.cost AS HUGEINT) * y.n * y.n
+         |    OR (CAST(y.cost AS HUGEINT) * x.n * x.n
+         |          = CAST(x.cost AS HUGEINT) * y.n * y.n
+         |        AND y.cid < x.cid)))""".stripMargin
     s"""WITH e AS (SELECT vec_id AS id, ${qv("embedding")} AS q FROM embeddings),
        |eq AS (SELECT id, q, ${qdotSql("q", "q")} AS qq FROM e),
        |c0 AS (SELECT id AS cid, q AS s, CAST(1 AS BIGINT) AS n FROM e
        |       WHERE id % 25 = 0 ORDER BY id LIMIT 256),
        |c0x AS (SELECT cid, s, n, ${qdotSql("s", "s")} AS ss FROM c0),
-       |a1 AS (SELECT id, q, qq, cid FROM (
-       |  SELECT eq.id, eq.q, eq.qq, c.cid,
-       |    row_number() OVER (PARTITION BY eq.id
-       |      ORDER BY $cost ASC, c.cid ASC) AS rk
-       |  FROM eq, c0x c) WHERE rk = 1),
+       |k1 AS (SELECT eq.id, eq.q, eq.qq, c.cid, c.n, $cost AS cost
+       |       FROM eq, c0x c),
+       |a1 AS (${argmin("k1")}),
        |ex AS (SELECT cid, unnest(q) AS v, unnest(range(len(q))) AS pos
        |       FROM a1),
        |sums AS (SELECT cid, pos, SUM(v) AS sv FROM ex GROUP BY cid, pos),
@@ -59,11 +69,9 @@ object Pipeline7 {
        |c1 AS (SELECT cid, list(sv ORDER BY pos) AS s, n
        |       FROM sums JOIN cnt USING (cid) GROUP BY cid, n),
        |c1x AS (SELECT cid, s, n, ${qdotSql("s", "s")} AS ss FROM c1),
-       |a2 AS (SELECT id, cid FROM (
-       |  SELECT eq.id, c.cid,
-       |    row_number() OVER (PARTITION BY eq.id
-       |      ORDER BY $cost ASC, c.cid ASC) AS rk
-       |  FROM eq, c1x c) WHERE rk = 1),
+       |k2 AS (SELECT eq.id, eq.q, eq.qq, c.cid, c.n, $cost AS cost
+       |       FROM eq, c1x c),
+       |a2 AS (${argmin("k2")}),
        |sz AS (SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid)
        |SELECT a2.id AS vec_id, a2.cid AS cluster, sz.n_members
        |FROM a2 JOIN sz USING (cid)""".stripMargin

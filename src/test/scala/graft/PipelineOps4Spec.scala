@@ -58,6 +58,38 @@ class PipelineOps4Spec extends SparkSpecBase {
     assert(a.find(_._1 == 30L).get._2 == 25L)
   }
 
+  test("kmeans argmin is unbiased by cluster size (exact rational compare)") {
+    // state: cluster 0 holds 3 members summing to 0 (mean 0.0),
+    // cluster 1 is a singleton at 10.0. A point at 4.0 is nearer
+    // cluster 0's MEAN (d²=16e6 vs 36e6 in quantized units) — but its
+    // raw n²-scaled costs are 144e6 vs 36e6, so comparing raw costs
+    // would steal it for the small cluster. The kernel must compare
+    // cost/n² exactly (cross-multiplied), assigning cluster 0.
+    val dir = java.nio.file.Files.createTempDirectory("kmbias").toString
+    try {
+      Seq((0L, Seq(0L), 3L), (1L, Seq(10000L), 1L))
+        .toDF("cid", "s", "n")
+        .write.parquet(s"$dir/centroids")
+      val r = Similarity.kmeansAssignStore(spark, dir,
+          Seq((42L, Seq(4.0f))).toDF("id", "vec"))
+        .as[(Long, Long)].collect()
+      assert(r.toSeq == Seq((42L, 0L)))
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("kmeans fails loudly when the seed predicate matches no id") {
+    // ids 1..9 contain no multiple of 25 — the contract is a loud
+    // error, never a silently empty assignment frame
+    val e = vecs((1L to 9L).map(i => i -> Seq(i.toFloat)): _*)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.kmeansAssignExact(e).collect()
+    }
+    assert(ex.getMessage.contains("centroid state is empty"))
+  }
+
   test("leakageSafeSplit: near-dup pairs never straddle splits") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val split = Dedup.leakageSafeSplit(docs, "doc_id", "text")

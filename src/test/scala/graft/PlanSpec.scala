@@ -275,11 +275,10 @@ class PlanSpec extends SparkSpecBase {
     "q102_importance_sample",
     // documented exact-verify small path; srpBlockedNearDup (q78,
     // equi-join, no BNLJ) is the scale route (Dedup.scala:393-399)
-    "q21_embedding_neardup",
-    // ≤256-row broadcast centroid (sum, count) state per Lloyd pass
-    // (Similarity.kmeansAssignExact — same class as q25/q66); q99
-    // composes the same operator
-    "q94_kmeans_assign", "q99_cluster_sample")
+    "q21_embedding_neardup")
+  // q94/q99 left this list in round 9: Lloyd assignment is now the
+  // map-only KmeansAssignExpr kernel over collected ≤256-row state —
+  // no BroadcastNestedLoopJoin in the plan at all
 
   test("registry sweep: no CartesianProduct anywhere, no unlisted BNLJ") {
     // every registered query planned at sf0.001; a future query that
