@@ -82,6 +82,17 @@ object ScaleProbe {
         budget = 100000L).count())
     time("dup_span_coverage")(
       graft.operators.Dedup.dupSpanCoverage(docs, "doc_id", "text").count())
+    // q111/q115 shape: same inverted-index gram join as coverage plus
+    // a doc-partitioned gaps-and-islands window — cost must track the
+    // gram volume (~mult), with the span agg bounded per doc
+    time("dup_spans")(
+      graft.operators.Dedup.dupSpans(docs, "doc_id", "text").count())
+    // count(cleaned_fp), not count(*): plain count would let Catalyst
+    // prune the md5 + per-doc ordered reassembly out of the plan and
+    // time an emptier query than q115 actually runs
+    time("dup_span_strip")(
+      graft.operators.Dedup.stripDupSpans(docs, "doc_id", "text")
+        .agg(count(col("cleaned_fp"))).first().getLong(0))
     // q103/q105 shape: verify cost is per CANDIDATE — the self-union
     // makes every original doc a mult-clique, so candidate pairs grow
     // ~mult²/2 per clique and the verify wall must track the pair

@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Pipeline5.queries ++
       graft.queries.Pipeline6.queries ++
       graft.queries.Pipeline7.queries ++
+      graft.queries.Pipeline8.queries ++
       graft.queries.OsmAnalog.queries ++
       graft.queries.GenQueries.queries
 
@@ -39,6 +40,7 @@ object SparkEntry {
       graft.queries.Pipeline5.oracles ++
       graft.queries.Pipeline6.oracles ++
       graft.queries.Pipeline7.oracles ++
+      graft.queries.Pipeline8.oracles ++
       graft.queries.OsmAnalog.oracles ++
       graft.queries.GenQueries.oracles
 }

@@ -287,7 +287,12 @@ object CorpusOps {
     * probability min(1, target_share / actual_share), decided by the
     * deterministic md5 threshold used by [[weightedSample]]. Sources
     * above their target thin down proportionally; sources at/below
-    * keep everything — no RNG, reproducible on any engine.
+    * their target keep everything EXCEPT ids whose md5 4-hex prefix
+    * is exactly "ffff" (~1/65536 of them): the threshold string is
+    * capped at "%04x" of 65535 and compared with strict `<`, so the
+    * top prefix value can never pass — the documented cost of keeping
+    * the filter a pure string compare that any engine reproduces.
+    * No RNG, reproducible on any engine.
     *
     * Scale: per-source counts (map-side-combinable) + a 1-row total
     * broadcast (the justified corpus-stats nested loop) + a map-only

@@ -691,6 +691,99 @@ object Dedup {
       .na.fill(0L, Seq("n_covered"))
   }
 
+  /** Global exact-substring duplicated-RUN reconstruction — the Lee
+    * et al. 2022 dedup pass as an operator, extending
+    * [[dupSpanCoverage]] from coverage COUNTING to span
+    * RECONSTRUCTION. Crucially it is NOT conditioned on LSH
+    * candidates: duplication is decided per positioned word k-gram
+    * against the WHOLE corpus, so a verbatim 200-token copy between
+    * two documents that share almost no shingle minima (invisible to
+    * [[minhashCandidatePairs]], hence to every candidate-pair verify
+    * like [[jaccardOnPairs]]/[[lcsOnPairs]]) still surfaces here.
+    *
+    * A span is a maximal run of consecutive start positions whose
+    * k-gram occurs more than once corpus-wide (including repeats
+    * inside one document); a run of `r` starts covers `r + k − 1`
+    * tokens. Spans shorter than `minTokens` are dropped. Returns one
+    * row per span: (doc_id, span_start 1-based, span_len in tokens,
+    * span_fp = md5 of the space-joined span tokens) — the fingerprint
+    * lets a removal/clustering step group identical spans across
+    * documents without re-reading text.
+    *
+    * Scale: the reference-paper suffix array becomes an
+    * inverted-index equi-join — positioned-gram explode, one
+    * map-side-combinable gram count (shuffle bounded by distinct
+    * grams), a left-semi join back on the gram key (co-partitioned
+    * with the count), then a doc-partitioned gaps-and-islands window
+    * (i − row_number) and a per-(doc, island) aggregate. No driver
+    * state, no all-pairs anywhere; skew on a viral gram is bounded by
+    * the semi-join (the gram's count row, not its occurrence list, is
+    * the join payload). */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc_id"),
+      normToks(col(textCol)).as("w"))
+    val grams = base.select(col("doc_id"),
+      posexplode(graft.expressions.VectorExpressions
+        .shinglesN(col("w"), k)).as(Seq("i0", "g")))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("g"))
+    val starts = grams.join(dup, Seq("g"), "left_semi")
+      .select(col("doc_id"), (col("i0") + 1).as("i"))
+    val isl = starts.withColumn("grp", col("i") -
+      row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+    isl.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).as("span_start"),
+        (count(lit(1)) + (k - 1)).cast("long").as("span_len"))
+      .where(col("span_len") >= minTokens)
+      .join(base, "doc_id")
+      .select(col("doc_id"), col("span_start").cast("long"),
+        col("span_len"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("span_start"), col("span_len").cast("int"))))
+          .as("span_fp"))
+  }
+
+  /** Removal half of [[dupSpans]]: drop every token covered by a
+    * qualifying duplicated span and report per document
+    * (doc_id, n_tokens, n_removed, cleaned_fp) — cleaned_fp is the
+    * md5 of the surviving tokens in original order, so a re-run (or
+    * another engine) proves the rewrite byte-identically without
+    * shipping the text. Documents with no qualifying span survive
+    * whole. Adjacent maximal spans can overlap in TOKEN space (a run
+    * extends k−1 tokens past its last start), so coverage is
+    * position-distinct before counting.
+    *
+    * Scale: [[dupSpans]] + one bounded explode (span positions), a
+    * doc-keyed anti join, and a per-doc ordered reassembly — the same
+    * collect_list-per-doc shape as the resolve/reassemble OSM middle,
+    * bounded by document length. */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minTokens: Int = 10): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      normToks(col(textCol)).as("w"))
+    val cov = dupSpans(df, idCol, textCol, k, minTokens)
+      .select(col("doc_id"), explode(sequence(col("span_start"),
+        col("span_start") + col("span_len") - 1)).as("pos"))
+      .distinct()
+    val toks = base.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          p => p.getField("tok"))).as("cleaned"))
+    base.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_fp"))
+  }
+
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 16): DataFrame = {
     val w = normToks(col(textCol))

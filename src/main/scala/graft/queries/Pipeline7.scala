@@ -377,7 +377,11 @@ object Pipeline7 {
     * literal `replace` scans left-to-right non-overlapping in both
     * engines, which IS greedy BPE application. The CTE prefix is
     * shared with the q108 apply oracle (doc_id carried through the
-    * rounds). */
+    * rounds). The winner is LEFT-joined (ON TRUE): when a round finds
+    * no pair (corpus degenerated to 1-token docs before `rounds`),
+    * m_r is empty and d_r falls back to d_{r-1} unchanged — the same
+    * early-exit the engine's bpeLoop takes, so neither side drops
+    * documents on degenerate input. */
   private def bpeCtePrefix(rounds: Int): String = {
     val sb = new StringBuilder(
       s"WITH d0 AS (SELECT doc_id, $W AS w FROM documents),\n")
@@ -391,11 +395,13 @@ object Pipeline7 {
            |d$r AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN w
            |    ELSE string_split(substr(s, 2, length(s) - 2), '][') END AS w
            |  FROM (SELECT doc_id, w,
-           |    replace('[' || array_to_string(w, '][') || ']',
-           |      '[' || split_part(m$r.pair, ' ', 1) || '][' ||
-           |        split_part(m$r.pair, ' ', 2) || ']',
-           |      '[' || replace(m$r.pair, ' ', '+') || ']') AS s
-           |    FROM $prev, m$r)),
+           |    CASE WHEN m$r.pair IS NULL
+           |      THEN '[' || array_to_string(w, '][') || ']'
+           |      ELSE replace('[' || array_to_string(w, '][') || ']',
+           |        '[' || split_part(m$r.pair, ' ', 1) || '][' ||
+           |          split_part(m$r.pair, ' ', 2) || ']',
+           |        '[' || replace(m$r.pair, ' ', '+') || ']') END AS s
+           |    FROM $prev LEFT JOIN m$r ON TRUE)),
            |""".stripMargin)
     }
     sb.setLength(sb.length - 2) // drop the trailing ",\n"

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Round-9 additions: global exact-substring dedup (duplicated-run
+  * reconstruction and removal) and the degenerate-corpus BPE
+  * contract. */
+class PipelineOps5Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Two documents sharing one verbatim 30-token run, each padded
+    * with ~120 distinct filler tokens — enough unshared shingles that
+    * the MinHash minima disagree and LSH never surfaces the pair. */
+  private def copyCorpus = {
+    def filler(tag: String, n: Int) =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val run = (0 until 30).map(i => s"shared$i").mkString(" ")
+    Seq(
+      (1L, s"${filler("alpha", 120)} $run ${filler("beta", 120)}"),
+      (2L, s"${filler("gamma", 120)} $run ${filler("delta", 120)}"),
+      (3L, filler("omega", 80)))
+      .toDF("doc_id", "text")
+  }
+
+  test("dupSpans surfaces a verbatim copy that MinHash cannot see") {
+    val docs = copyCorpus
+    // the pair is INVISIBLE to the LSH candidate machinery: with 240
+    // unshared filler tokens per doc the band minima never collide
+    val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    assert(!cand.contains((1L, 2L)) && !cand.contains((2L, 1L)),
+      s"fixture broken: LSH surfaced the pair ($cand)")
+    // ...but the global positioned-k-gram pass reconstructs the run
+    // in BOTH documents, with the SAME content fingerprint
+    val spans = Dedup.dupSpans(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(spans.map(_._1).toSeq == Seq(1L, 2L))
+    assert(spans.forall(_._3 == 30L), s"span lengths: ${spans.toSeq}")
+    assert(spans(0)._4 == spans(1)._4, "same run must fingerprint equal")
+    // 1-based start: doc 1's run begins right after 120 filler tokens
+    assert(spans(0)._2 == 121L)
+  }
+
+  test("dupSpans reconstructs maximal runs, not fragments") {
+    // doc 3 repeats doc 1's full text: EVERY 5-gram duplicates, so
+    // each doc reports exactly one maximal span covering everything
+    val docs = Seq(
+      (1L, (0 until 40).map(i => s"t$i").mkString(" ")),
+      (3L, (0 until 40).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(spans.length == 2)
+    assert(spans.forall(s => s._2 == 1L && s._3 == 40L))
+  }
+
+  test("dupSpans ignores short duplicated islands below minTokens") {
+    // a single duplicated 5-gram yields a 5-token span — below the
+    // 10-token floor, so nothing is reported
+    val five = "p q r s t"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 $five b1 b2 b3 b4 b5 b6"),
+      (2L, s"c1 c2 c3 c4 c5 c6 $five d1 d2 d3 d4 d5 d6"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dupSpans(docs, "doc_id", "text").count() == 0L)
+    // lowering the floor surfaces them
+    assert(Dedup.dupSpans(docs, "doc_id", "text", minTokens = 5)
+      .count() == 2L)
+  }
+
+  test("stripDupSpans removes exactly the covered tokens, in order") {
+    val docs = copyCorpus
+    val r = Dedup.stripDupSpans(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r.size == 3)
+    // docs 1/2: 270 tokens, the 30-token run removed
+    assert(r(1L)._1 == 270L && r(1L)._2 == 30L)
+    assert(r(2L)._1 == 270L && r(2L)._2 == 30L)
+    // untouched doc: nothing removed, fingerprint = original tokens
+    assert(r(3L)._2 == 0L)
+    val omega = (0 until 80).map(i => s"omega$i").mkString(" ")
+    assert(r(3L)._3 == org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(omega))
+    // cleaned text of doc 1 is filler-only, original order
+    val cleaned1 = ((0 until 120).map(i => s"alpha$i") ++
+      (0 until 120).map(i => s"beta$i")).mkString(" ")
+    assert(r(1L)._3 == org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(cleaned1))
+  }
+
+  test("stripDupSpans handles token-overlapping adjacent spans") {
+    // two islands whose token ranges overlap (gap of 1 in start
+    // space < k−1 tail): coverage must be position-distinct, never
+    // double-removed
+    val run1 = (0 until 12).map(i => s"x$i").mkString(" ")
+    val run2 = (0 until 12).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run1 mid $run2"),
+      (2L, s"$run1 uno $run2"),
+      (3L, "zzz"))
+      .toDF("doc_id", "text")
+    val r = Dedup.stripDupSpans(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // both 12-token runs duplicate; 'mid'/'uno' differ so the middle
+    // gram chain breaks — 25 tokens, 24 removed, 1 survivor
+    assert(r(1L) == ((25L, 24L)))
+    assert(r(2L) == ((25L, 24L)))
+    assert(r(3L) == ((1L, 0L)))
+  }
+
+  test("BPE engine on a degenerate corpus returns every doc (oracle parity)") {
+    // corpus collapses to 1-token docs before `rounds` runs out: the
+    // merge table stops growing and apply still reports ALL docs —
+    // the engine side of the oracle's LEFT JOIN fallback
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, "text", rounds = 4)
+      .as[(Int, String, String, String, Long)].collect()
+    assert(merges.toSeq == Seq((1, "a", "b", "a+b", 2L)))
+    val applied = TextAnalysis.bpeApply(docs, "doc_id", "text", rounds = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(applied.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L)))
+  }
+}
