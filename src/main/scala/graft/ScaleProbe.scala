@@ -152,6 +152,16 @@ object ScaleProbe {
     time("bpe_merges")(
       graft.operators.TextAnalysis.bpeMerges(docs, "text", rounds = 3)
         .count())
+    // q116: the scale-safe trainer — the hexThreshold scales INVERSELY
+    // with the corpus multiple (64/256 at 1× → 3/256 at 20×), holding
+    // the sampled training set ~constant, so per-round aggregate cost
+    // must stay flat while the one-pass kernel apply grows ~linearly;
+    // sum(n_after) forces the kernel column past count-pruning
+    time("bpe_sampled")(
+      graft.operators.TextAnalysis.bpeSampledCompression(
+        docs, "doc_id", "text", rounds = 3,
+        hexThreshold = f"${math.max(1, 64 / mult)}%02x")
+        .agg(sum(col("n_after"))).first().getLong(0))
     // q52's shape: LSH pairs → large-star/small-star CC. The 20×/50×
     // self-union makes every original doc a duplicate clique, so the
     // cluster count must stay ~n0 while edges grow ~mult² per clique —

@@ -600,6 +600,62 @@ case class SortedTokenFpExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** One-pass application of a LEARNED BPE merge table — the
+  * corpus-wide half of sampled tokenizer training
+  * (`TextAnalysis.bpeSampledCompression`). Applies each merge in
+  * training order as a greedy left-to-right non-overlapping fuse over
+  * the token array — exactly the semantics of the training loop's
+  * wrapped-string literal replace (`[l][r]` → `[l+r]`), so a kernel
+  * apply is bit-equal to replaying the per-round replaces. The win is
+  * the pass structure: `rounds` merges cost ONE scan of the corpus
+  * (O(merges × doc_len) per row inside whole-stage codegen) instead
+  * of one full-corpus map job per round — at a real 32k-merge
+  * vocabulary that is 1 job vs 32 000. Merge table is driver-embedded
+  * (32k merges ≈ a few MB of literals — same strategy as
+  * [[PqEncodeExpr]]'s codebooks). */
+case class BpeApplyExpr(child: Expression, lhs: IndexedSeq[String],
+    rhs: IndexedSeq[String]) extends UnaryExpression {
+  require(lhs.length == rhs.length, "merge table halves must align")
+  override def dataType: DataType = ArrayType(StringType, false)
+  @transient private lazy val lArr = lhs.map(UTF8String.fromString).toArray
+  @transient private lazy val rArr = rhs.map(UTF8String.fromString).toArray
+  @transient private lazy val fArr = lhs.zip(rhs)
+    .map(p => UTF8String.fromString(s"${p._1}+${p._2}")).toArray
+  override def nullSafeEval(v: Any): Any = {
+    var toks = v.asInstanceOf[ArrayData]
+      .toObjectArray(StringType).asInstanceOf[Array[AnyRef]]
+    var m = 0
+    while (m < lArr.length) {
+      if (toks.length >= 2) {
+        val out = new Array[AnyRef](toks.length)
+        var i = 0
+        var j = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && lArr(m).equals(toks(i)) &&
+              rArr(m).equals(toks(i + 1))) {
+            out(j) = fArr(m); i += 2
+          } else { out(j) = toks(i); i += 1 }
+          j += 1
+        }
+        toks = if (j == toks.length) out else java.util.Arrays
+          .copyOf(out, j)
+      }
+      m += 1
+    }
+    new GenericArrayData(toks)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeApplyExpr", this,
+      classOf[BpeApplyExpr].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.nullSafeEval($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Nearest-centroid assignment against an embedded Lloyd state — the
   * map-only kernel behind every `Similarity.kmeansAssign*` path
   * (batch, store, and streaming). Centroid state is the exact
@@ -701,6 +757,9 @@ object VectorExpressions {
     column(PqEncodeExpr(expression(q), m, cids, cb, cb2, err))
   def srpKeysN(q: Column, nTables: Int, bits: Int): Column =
     column(SrpKeysExpr(expression(q), nTables, bits))
+  def bpeApplyN(tokens: Column, lhs: IndexedSeq[String],
+      rhs: IndexedSeq[String]): Column =
+    column(BpeApplyExpr(expression(tokens), lhs, rhs))
   def kmeansAssignN(q: Column, cids: IndexedSeq[Long],
       sums: IndexedSeq[Long], ss: IndexedSeq[Long],
       ns: IndexedSeq[Long]): Column =

@@ -189,6 +189,46 @@ object TextAnalysis {
     out
   }
 
+  /** Scale-safe tokenizer training: learn the merges on a
+    * DETERMINISTIC md5 sample of the corpus, then apply them
+    * corpus-wide in ONE map pass — the path that survives a real
+    * vocabulary. [[bpeMerges]] is exact but driver-paced: each merge
+    * round is a full-corpus pair-count aggregate, so 32k merges means
+    * 32k sequential corpus scans — O(vocab × corpus) wall. Here the
+    * per-round aggregate runs over the sampled docs only (cacheable,
+    * size set by `hexThreshold` — "14" ≈ 2048/65536 ≈ 8%), making
+    * per-round cost independent of corpus size, and the application
+    * is the codegen'd [[graft.expressions.BpeApplyExpr]] kernel: all
+    * learned merges replayed greedily left-to-right inside one
+    * whole-stage-codegen projection (1 corpus job total, not 1 per
+    * round). Fuse semantics are bit-identical to the training loop's
+    * literal replace, so sampled-trained merges applied to the sample
+    * reproduce [[bpeApply]] on that sample exactly (spec'd).
+    *
+    * Returns per document (id, n_before, n_after) under the
+    * sample-learned vocabulary — the compression report a tokenizer
+    * hand-off needs. 32k-vocab wall estimate: rounds × (pair-agg over
+    * the ~0.1-8% cached sample, each a few seconds on a cluster) for
+    * training + ONE corpus-wide map pass for apply; the corpus term
+    * no longer multiplies by the vocabulary size. */
+  def bpeSampledCompression(df: DataFrame, idCol: String,
+      textCol: String, rounds: Int = 4,
+      hexThreshold: String = "40"): DataFrame = {
+    val sampled = df.where(
+      substring(md5(col(idCol).cast("string")), 1, 2) < lit(hexThreshold))
+    val (merges, fin) = bpeLoop(
+      sampled.select(col(idCol).cast("long").as("__id"),
+        normToks(col(textCol)).as("w")),
+      rounds)
+    fin.unpersist()
+    val w = normToks(col(textCol))
+    df.select(col(idCol),
+      size(w).cast("long").as("n_before"),
+      size(graft.expressions.VectorExpressions.bpeApplyN(w,
+        merges.map(_._2).toIndexedSeq, merges.map(_._3).toIndexedSeq))
+        .cast("long").as("n_after"))
+  }
+
   /** Shared training loop: returns the merge table and the final
     * fused corpus frame (persisted; columns __id, __n0, w — the
     * caller unpersists). */

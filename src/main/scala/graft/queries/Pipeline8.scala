@@ -74,11 +74,66 @@ object Pipeline8 {
        |  md5(COALESCE(k.cleaned, '')) AS cleaned_fp
        |FROM toks t LEFT JOIN kept k USING (doc_id)""".stripMargin
 
+  // ---- q116: sampled BPE training + one-pass corpus-wide apply ----
+
+  def bpeSampled(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.bpeSampledCompression(
+      Tables.documents(s, d), "doc_id", "text", rounds = 4)
+
+  /** The oracle unrolls the sampled trainer: pair counts come from
+    * the md5-sampled chain s_r ONLY, while the fuse applies to the
+    * full-corpus chain d_r — the same train-on-sample /
+    * apply-corpus-wide split the engine runs (whose apply is the
+    * one-pass BpeApplyExpr kernel; fuse semantics are the identical
+    * literal replace, so the round-by-round oracle replay matches the
+    * kernel bit for bit). m_r is LEFT-joined: a degenerate sample
+    * stops learning without dropping documents. */
+  private def bpeSampledCte(rounds: Int): String = {
+    def fuse(prev: String, out: String, r: Int) =
+      s"""$out AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN w
+         |    ELSE string_split(substr(s, 2, length(s) - 2), '][') END AS w
+         |  FROM (SELECT doc_id, w,
+         |    CASE WHEN m$r.pair IS NULL
+         |      THEN '[' || array_to_string(w, '][') || ']'
+         |      ELSE replace('[' || array_to_string(w, '][') || ']',
+         |        '[' || split_part(m$r.pair, ' ', 1) || '][' ||
+         |          split_part(m$r.pair, ' ', 2) || ']',
+         |        '[' || replace(m$r.pair, ' ', '+') || ']') END AS s
+         |    FROM $prev LEFT JOIN m$r ON TRUE))""".stripMargin
+    val sb = new StringBuilder(
+      s"""WITH d0 AS (SELECT doc_id, $W AS w FROM documents),
+         |s0 AS (SELECT doc_id, w FROM d0
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'),
+         |""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(
+        s"""p$r AS (SELECT w[i] || ' ' || w[i+1] AS pair, count(*) AS cnt
+           |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM s${r - 1})
+           |  GROUP BY 1),
+           |m$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+           |""".stripMargin)
+      sb.append(fuse(s"s${r - 1}", s"s$r", r)).append(",\n")
+      sb.append(fuse(s"d${r - 1}", s"d$r", r)).append(",\n")
+    }
+    sb.setLength(sb.length - 2)
+    sb.toString
+  }
+
+  val bpeSampledSql: String =
+    bpeSampledCte(4) +
+      """
+        |SELECT d0.doc_id,
+        |  CAST(len(d0.w) AS BIGINT) AS n_before,
+        |  CAST(len(d4.w) AS BIGINT) AS n_after
+        |FROM d0 JOIN d4 USING (doc_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q111_dup_spans"      -> (dupSpans _),
-    "q115_dup_span_strip" -> (dupSpanStrip _))
+    "q115_dup_span_strip" -> (dupSpanStrip _),
+    "q116_bpe_sampled"    -> (bpeSampled _))
 
   val oracles: Map[String, String] = Map(
     "q111_dup_spans"      -> dupSpansSql,
-    "q115_dup_span_strip" -> dupSpanStripSql)
+    "q115_dup_span_strip" -> dupSpanStripSql,
+    "q116_bpe_sampled"    -> bpeSampledSql)
 }

@@ -112,6 +112,46 @@ class PipelineOps5Spec extends SparkSpecBase {
     assert(r(3L) == ((1L, 0L)))
   }
 
+  test("BpeApplyExpr kernel replays the per-round replaces bit-equally") {
+    // with the sample threshold above every md5 prefix the "sample"
+    // is the whole corpus, so the sampled one-pass kernel must equal
+    // the round-by-round bpeApply exactly, doc by doc
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val roundByRound = TextAnalysis
+      .bpeApply(docs, "doc_id", "text", rounds = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val onePass = TextAnalysis
+      .bpeSampledCompression(docs, "doc_id", "text", rounds = 4,
+        hexThreshold = "zz")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(onePass.toSeq == roundByRound.toSeq)
+  }
+
+  test("sampled BPE training learns only from the sample") {
+    // doc 1 is OUT of a tiny sample; its dominant pair must not win
+    // a merge round, while the in-sample pair does
+    val docs = Seq(
+      (1L, "x y x y x y x y x y x y"),
+      (6L, "a b a b a b"),
+      (7L, "a b a b"))
+      .toDF("doc_id", "text")
+    // md5 prefixes: pick a threshold that keeps 6,7 and drops 1
+    val pre = docs.select($"doc_id",
+      substring(md5($"doc_id".cast("string")), 1, 2).as("h"))
+      .as[(Long, String)].collect().toMap
+    val keep = Seq(pre(6L), pre(7L)).max
+    assume(pre(1L) > keep, s"fixture md5 layout changed: $pre")
+    val r = TextAnalysis.bpeSampledCompression(docs, "doc_id", "text",
+        rounds = 1, hexThreshold = pre(1L))
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // merge learned from the sample is (a,b): docs 6/7 halve; doc 1,
+    // although full of "x y", is untouched (x+y was never learned)
+    assert(r(6L) == ((6L, 3L)))
+    assert(r(7L) == ((4L, 2L)))
+    assert(r(1L) == ((12L, 12L)))
+  }
+
   test("BPE engine on a degenerate corpus returns every doc (oracle parity)") {
     // corpus collapses to 1-token docs before `rounds` runs out: the
     // merge table stops growing and apply still reports ALL docs —
