@@ -127,13 +127,75 @@ object Pipeline8 {
         |  CAST(len(d4.w) AS BIGINT) AS n_after
         |FROM d0 JOIN d4 USING (doc_id)""".stripMargin
 
+  // ---- q117: band-index lifecycle (build → append+delete ×2 →
+  //            compact → read) vs a from-scratch rebuild ----
+
+  /** Runs the full maintenance lifecycle of the persisted LSH band
+    * index in a scratch directory and returns the RESOLVED index: the
+    * oracle recomputes the expected bands directly from `documents`
+    * under the same survivorship (snapshot src0-4, gen-1 adds src5-9
+    * with snapshot ids ≡0 mod 3 tombstoned, gen-2 adds the rest with
+    * gen-1 ids ≡0 mod 5 tombstoned, then compaction) — so the row
+    * proves delete/compact semantics end to end, not just the happy
+    * append path. */
+  def bandLifecycle(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.BandIndexStore
+    val docs = Tables.documents(s, d)
+    val snapSrc = (0 to 4).map(i => s"src$i")
+    val gen1Src = (5 to 9).map(i => s"src$i")
+    val snap = docs.where(col("source").isInCollection(snapSrc))
+    val gen1 = docs.where(col("source").isInCollection(gen1Src))
+    val gen2 = docs.where(!col("source").isInCollection(snapSrc) &&
+      !col("source").isInCollection(gen1Src))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bandidx").toString
+    BandIndexStore.write(snap, "doc_id", "text", path, buckets = 16)
+    BandIndexStore.append(s, path, gen1, "doc_id", "text",
+      snap.where(col("doc_id") % 3 === 0).select(col("doc_id")))
+    BandIndexStore.append(s, path, gen2, "doc_id", "text",
+      gen1.where(col("doc_id") % 5 === 0).select(col("doc_id")))
+    BandIndexStore.compact(s, path)
+    BandIndexStore.read(s, path)
+      .select(col("id").as("doc_id"), col("band"))
+  }
+
+  /** Expected index, rebuilt from scratch in SQL: the survivors'
+    * 2-band minhash scheme (the q72 banding — salted md5 minima over
+    * 3-shingles, 2 rows per band). */
+  val bandLifecycleSql: String = {
+    val shingles = "list_transform(range(1, greatest(len(w) - 1, 1)), " +
+      "i -> array_to_string(w[i:i+2], ' '))"
+    s"""WITH live AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE (source IN ('src0','src1','src2','src3','src4')
+       |         AND doc_id % 3 <> 0)
+       |     OR (source IN ('src5','src6','src7','src8','src9')
+       |         AND doc_id % 5 <> 0)
+       |     OR source NOT IN ('src0','src1','src2','src3','src4',
+       |                       'src5','src6','src7','src8','src9')),
+       |sigs AS (SELECT doc_id,
+       |  list_min(list_transform(sh, s -> md5('s0|' || s))) AS m0,
+       |  list_min(list_transform(sh, s -> md5('s1|' || s))) AS m1,
+       |  list_min(list_transform(sh, s -> md5('s2|' || s))) AS m2,
+       |  list_min(list_transform(sh, s -> md5('s3|' || s))) AS m3
+       |  FROM (SELECT doc_id, $shingles AS sh
+       |        FROM (SELECT doc_id, $W AS w FROM live))
+       |  WHERE len(sh) > 0)
+       |SELECT doc_id, band FROM (
+       |  SELECT doc_id, '0:' || m0 || ':' || m1 AS band FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, '1:' || m2 || ':' || m3 AS band FROM sigs)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q111_dup_spans"      -> (dupSpans _),
     "q115_dup_span_strip" -> (dupSpanStrip _),
-    "q116_bpe_sampled"    -> (bpeSampled _))
+    "q116_bpe_sampled"    -> (bpeSampled _),
+    "q117_band_lifecycle" -> (bandLifecycle _))
 
   val oracles: Map[String, String] = Map(
     "q111_dup_spans"      -> dupSpansSql,
     "q115_dup_span_strip" -> dupSpanStripSql,
-    "q116_bpe_sampled"    -> bpeSampledSql)
+    "q116_bpe_sampled"    -> bpeSampledSql,
+    "q117_band_lifecycle" -> bandLifecycleSql)
 }

@@ -1,0 +1,140 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BandIndexStore, Dedup}
+
+/** Maintenance lifecycle of the persisted LSH band index: tombstoned
+  * deletes, dirty-set-bounded compaction, byte-stability of clean
+  * buckets. */
+class BandIndexStoreSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def doc(id: Long, seed: String) =
+    (id, (0 until 12).map(i => s"$seed$i").mkString(" "))
+
+  private def tmp() =
+    Files.createTempDirectory("bandidx").toString
+
+  private def rm(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new File(dir))
+
+  private def bucketFiles(path: String): Map[String, Seq[(String, Long)]] = {
+    val snap = new File(s"$path/snap")
+    snap.listFiles().filter(_.getName.startsWith("bucket="))
+      .map(d => d.getName -> d.listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+        .map(f => (f.getName, f.lastModified())).sortBy(_._1))
+      .toMap
+  }
+
+  test("a deleted doc stops surfacing as a candidate") {
+    val path = tmp()
+    try {
+      val corpus = Seq(doc(1, "a"), doc(2, "b"), doc(3, "c"))
+        .toDF("doc_id", "text")
+      BandIndexStore.write(corpus, "doc_id", "text", path, buckets = 8)
+      // the probe batch duplicates doc 2's text → candidate before
+      val probe = Seq(doc(10, "b")).toDF("doc_id", "text")
+      def candidates() = Dedup.incrementalNearDupCandidates(
+        probe, "doc_id", "text", BandIndexStore.read(spark, path))
+        .as[(Long, Long)].collect().toSet
+      assert(candidates() == Set((10L, 2L)))
+      // tombstone doc 2 (no adds): candidate gone BEFORE compaction
+      BandIndexStore.append(spark, path,
+        corpus.where(lit(false)), "doc_id", "text",
+        Seq(2L).toDF("doc_id"))
+      assert(candidates().isEmpty)
+      // ...and still gone after
+      BandIndexStore.compact(spark, path)
+      assert(candidates().isEmpty)
+      assert(!new File(s"$path/log").exists())
+    } finally rm(path)
+  }
+
+  test("delete-then-re-add in one batch replaces; later tombstone wins") {
+    val path = tmp()
+    try {
+      val corpus = Seq(doc(1, "a"), doc(2, "b")).toDF("doc_id", "text")
+      BandIndexStore.write(corpus, "doc_id", "text", path, buckets = 8)
+      // replace doc 2's text in ONE batch (delete + add, same gen)
+      BandIndexStore.append(spark, path,
+        Seq(doc(2, "z")).toDF("doc_id", "text"), "doc_id", "text",
+        Seq(2L).toDF("doc_id"))
+      val afterReplace = BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet
+      val expected = Dedup.bandIndex(
+        Seq(doc(1, "a"), doc(2, "z")).toDF("doc_id", "text"),
+        "doc_id", "text").as[(Long, String)].collect().toSet
+      assert(afterReplace == expected)
+      // a LATER tombstone kills the re-add
+      BandIndexStore.append(spark, path,
+        corpus.where(lit(false)), "doc_id", "text",
+        Seq(2L).toDF("doc_id"))
+      assert(BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet ==
+        expected.filter(_._1 == 1L))
+    } finally rm(path)
+  }
+
+  test("compaction equals the log view, only dirty buckets rewritten") {
+    val path = tmp()
+    try {
+      val corpus = (1L to 40L).map(i => doc(i, s"s$i"))
+        .toDF("doc_id", "text")
+      BandIndexStore.write(corpus, "doc_id", "text", path, buckets = 8)
+      val before = bucketFiles(path)
+      BandIndexStore.append(spark, path,
+        (41L to 44L).map(i => doc(i, s"s$i")).toDF("doc_id", "text"),
+        "doc_id", "text",
+        Seq(3L, 17L).toDF("doc_id"))
+      val logView = BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet
+      // the dirty set: buckets of deleted ids' rows + of the adds
+      val dirty = (Dedup.bandIndex(
+          corpus.where($"doc_id".isin(3L, 17L)), "doc_id", "text")
+        .unionByName(Dedup.bandIndex(
+          (41L to 44L).map(i => doc(i, s"s$i")).toDF("doc_id", "text"),
+          "doc_id", "text"))
+        .select(pmod(xxhash64($"band"), lit(8)).cast("int")))
+        .as[Int].collect().toSet
+      BandIndexStore.compact(spark, path)
+      // resolved view unchanged by compaction
+      assert(BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet == logView)
+      // ...equals a from-scratch rebuild of the surviving corpus
+      val survivors = corpus.where(!$"doc_id".isin(3L, 17L))
+        .unionByName((41L to 44L).map(i => doc(i, s"s$i"))
+          .toDF("doc_id", "text"))
+      assert(logView == Dedup.bandIndex(survivors, "doc_id", "text")
+        .as[(Long, String)].collect().toSet)
+      // clean buckets byte-untouched (same files, same mtimes)
+      val after = bucketFiles(path)
+      val clean = before.keySet
+        .filterNot(k => dirty.contains(k.stripPrefix("bucket=").toInt))
+      assert(clean.nonEmpty, "fixture produced no clean bucket")
+      clean.foreach { k => assert(after(k) == before(k), s"$k rewritten") }
+      // second compaction is a no-op (no log)
+      BandIndexStore.compact(spark, path)
+      assert(bucketFiles(path) == after)
+    } finally rm(path)
+  }
+
+  test("a bucket whose rows all die is dropped, even with no survivors") {
+    val path = tmp()
+    try {
+      val corpus = Seq(doc(1, "a")).toDF("doc_id", "text")
+      BandIndexStore.write(corpus, "doc_id", "text", path, buckets = 4)
+      BandIndexStore.append(spark, path,
+        corpus.where(lit(false)), "doc_id", "text",
+        Seq(1L).toDF("doc_id"))
+      BandIndexStore.compact(spark, path)
+      assert(BandIndexStore.read(spark, path).count() == 0L)
+      assert(!new File(s"$path/snap").listFiles()
+        .exists(_.getName.startsWith("bucket=")))
+    } finally rm(path)
+  }
+}
