@@ -127,6 +127,98 @@ object Pipeline8 {
         |  CAST(len(d4.w) AS BIGINT) AS n_after
         |FROM d0 JOIN d4 USING (doc_id)""".stripMargin
 
+  // ---- q112: cross-format source parity (XML / PBF / O5M / OPL) ----
+
+  /** The reference's own file-parsing golden
+    * (tests/test-osm-file-parsing.cpp:154-177: test_multipolygon.osm →
+    * 353 nodes / 140 ways / 40 relations, Σids 73514, Σway-nodes 495,
+    * Σmembers 146) extended across every format this engine reads:
+    * the fixture is parsed as XML, then round-tripped through the
+    * repo's own PBF / O5M / OPL writers and read back through the
+    * REAL distributed reader of each format. One row per format with
+    * the reference counters plus an order-insensitive content digest
+    * (Σ xxhash64 over canonical entity strings: id, 1e-7-grid coords,
+    * sorted tags, ordered refs/members — the fields all four wire
+    * formats transport). Four identical rows == the source layer
+    * agrees with itself and with the reference's pinned counts. */
+  def sourceParity(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{O5m, Opl, OsmPbf, OsmXml}
+    val fixture =
+      "/root/reference/tests/data/test_multipolygon.osm"
+    val parsed = OsmXml.parseString(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val (ns, ws, rs) =
+      (parsed.nodes.map(_._2), parsed.ways.map(_._2),
+        parsed.relations.map(_._2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_parity")
+    java.nio.file.Files.write(dir.resolve("f.o5m"),
+      O5m.encode(ns, ws, rs))
+    java.nio.file.Files.write(dir.resolve("f.opl"),
+      Opl.render(ns, ws, rs)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(dir.resolve("f.osm.pbf"),
+      OsmPbf.encode(ns, ws, rs))
+
+    val tagsCanon = array_join(array_sort(transform(
+      map_entries(col("tags")),
+      e => concat_ws("\u0001", e.getField("key"), e.getField("value")))),
+      "\u0002")
+    def grid(c: String) = round(col(c) * 1e7).cast("long")
+    def one(f: org.apache.spark.sql.DataFrame, kind: String,
+        extra: org.apache.spark.sql.Column, canon: org.apache.spark.sql.Column) =
+      f.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("id")), lit(0L)).as("sum_ids"),
+        coalesce(sum(extra), lit(0L)).cast("long").as("sum_extra"),
+        coalesce(sum(xxhash64(canon).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("dig"))
+        .head()
+    def digestRow(fmt: String, d: OsmXml.OsmDataFrames) = {
+      val n = one(d.nodes, "n", lit(0L), concat_ws("|", lit("n"),
+        col("id"), grid("lon"), grid("lat"), tagsCanon))
+      val w = one(d.ways, "w", size(col("nodes")), concat_ws("|", lit("w"),
+        col("id"),
+        array_join(transform(col("nodes"), x => x.cast("string")), ","),
+        tagsCanon))
+      val r = one(d.relations, "r", size(col("members")),
+        concat_ws("|", lit("r"), col("id"),
+          array_join(transform(col("members"), m => concat_ws("@",
+            concat(m.getField("mtype"), m.getField("ref").cast("string")),
+            m.getField("role"))), ","),
+          tagsCanon))
+      d.unpersistBacking()
+      (fmt, n.getLong(0), w.getLong(0), r.getLong(0),
+        n.getLong(1) + w.getLong(1) + r.getLong(1),
+        w.getLong(2), r.getLong(2),
+        n.getDecimal(3).add(w.getDecimal(3)).add(r.getDecimal(3))
+          .toBigInteger.toString)
+    }
+    val rows = Seq(
+      digestRow("o5m", O5m.read(s, Seq(dir.resolve("f.o5m").toString))),
+      digestRow("opl", Opl.read(s, Seq(dir.resolve("f.opl").toString))),
+      digestRow("pbf", OsmPbf.read(s, dir.resolve("f.osm.pbf").toString)),
+      digestRow("xml", OsmXml.read(s, Seq(fixture))))
+    import s.implicits._
+    rows.toDF("format", "n_nodes", "n_ways", "n_rels",
+      "sum_ids", "sum_nds", "sum_members", "digest")
+  }
+
+  /** Pinned constants — the counter values are the reference's own
+    * REQUIREs (tests/test-osm-file-parsing.cpp:156-168); the digest
+    * is this engine's canonical-content hash, equal across all four
+    * formats (the parity claim) and stable across runs (xxhash64 of
+    * deterministic strings, order-insensitive sum). */
+  val sourceParitySql: String = {
+    val digest = SourceParityDigest.value
+    s"""SELECT * FROM (VALUES
+       |  ('o5m', 353, 140, 40, 73514, 495, 146, '$digest'),
+       |  ('opl', 353, 140, 40, 73514, 495, 146, '$digest'),
+       |  ('pbf', 353, 140, 40, 73514, 495, 146, '$digest'),
+       |  ('xml', 353, 140, 40, 73514, 495, 146, '$digest'))
+       |t(format, n_nodes, n_ways, n_rels, sum_ids, sum_nds,
+       |  sum_members, digest)""".stripMargin
+  }
+
   // ---- q117: band-index lifecycle (build → append+delete ×2 →
   //            compact → read) vs a from-scratch rebuild ----
 

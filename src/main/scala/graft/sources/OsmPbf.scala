@@ -374,6 +374,148 @@ object OsmPbf {
   }
 
   /** Distributed read: blob spans parallelized across executors. */
+  // ---------- encoder (decodeBlock's exact inverse) ----------
+
+  /** Minimal protobuf writer — the mirror of [[Pb]]: varints,
+    * zigzags, length-delimited fields, packed repeated scalars. */
+  private final class PbW {
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7fL) != 0) {
+        out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7
+      }
+      out.write(x.toInt)
+    }
+    def zz(v: Long): Long = (v << 1) ^ (v >> 63)
+    def key(field: Int, wire: Int): Unit = varint((field << 3) | wire)
+    def int(field: Int, v: Long): Unit = { key(field, 0); varint(v) }
+    def bytes(field: Int, b: Array[Byte]): Unit = {
+      key(field, 2); varint(b.length.toLong); out.write(b)
+    }
+    def str(field: Int, s: String): Unit =
+      bytes(field, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def msg(field: Int, m: PbW): Unit = bytes(field, m.out.toByteArray)
+    def packedVarints(field: Int, vs: Seq[Long]): Unit =
+      if (vs.nonEmpty) {
+        val p = new PbW; vs.foreach(p.varint); msg(field, p)
+      }
+    def packedZigzagDeltas(field: Int, vs: Seq[Long]): Unit =
+      if (vs.nonEmpty) {
+        val p = new PbW
+        var prev = 0L
+        vs.foreach { v => p.varint(zz(v - prev)); prev = v }
+        msg(field, p)
+      }
+  }
+
+  /** String-table builder: index 0 is the mandated empty string. */
+  private final class StringTable {
+    private val idx = scala.collection.mutable.LinkedHashMap("" -> 0L)
+    def id(s: String): Long = idx.getOrElseUpdate(s, idx.size.toLong)
+    def write(block: PbW): Unit = {
+      val st = new PbW
+      idx.keys.foreach(st.str(1, _))
+      block.msg(1, st)
+    }
+  }
+
+  private def frameBlob(fileType: String, payload: Array[Byte],
+      out: java.io.DataOutputStream): Unit = {
+    val blob = new PbW
+    blob.bytes(1, payload)       // raw (readBlob handles raw + zlib)
+    blob.int(2, payload.length.toLong)
+    val blobBytes = blob.out.toByteArray
+    val header = new PbW
+    header.str(1, fileType)
+    header.int(3, blobBytes.length.toLong)
+    val headerBytes = header.out.toByteArray
+    out.writeInt(headerBytes.length)
+    out.write(headerBytes)
+    out.write(blobBytes)
+  }
+
+  /** Encode a full .osm.pbf file: OSMHeader blob, then one OSMData
+    * PrimitiveBlock per entity kind (DenseNodes / Way / Relation
+    * messages, default granularity 100, coordinates on the 1e-7 OSM
+    * grid). Carries what [[decodeBlock]] reads back — ids, coords,
+    * tags, refs, members; metadata is out of this reader/writer
+    * pair's scope by design (see the reader note above). Raw blobs
+    * (no zlib): framing stays seekable/splittable either way and the
+    * spec round-trips byte-decoded equality, not file size. */
+  def encode(nodes: Seq[OsmNode], ways: Seq[OsmWay],
+      rels: Seq[OsmRelation]): Array[Byte] = {
+    val bout = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bout)
+    val hdr = new PbW
+    hdr.str(4, "OsmSchema-V0.6")
+    hdr.str(4, "DenseNodes")
+    hdr.str(16, "graft")
+    frameBlob("OSMHeader", hdr.out.toByteArray, out)
+
+    def grid(v: Double): Long =
+      if (v.isNaN) 0L else math.round(v * 1e7)
+
+    if (nodes.nonEmpty) {
+      val block = new PbW
+      val st = new StringTable
+      // kvs first: id assignment must precede the table write
+      val kvs = nodes.flatMap(n =>
+        n.tags.toSeq.flatMap { case (k, v) =>
+          Seq(st.id(k), st.id(v)) } :+ 0L)
+      val dense = new PbW
+      dense.packedZigzagDeltas(1, nodes.map(_.id))
+      dense.packedZigzagDeltas(8, nodes.map(n => grid(n.lat)))
+      dense.packedZigzagDeltas(9, nodes.map(n => grid(n.lon)))
+      dense.packedVarints(10, kvs)
+      st.write(block)
+      val grp = new PbW
+      grp.msg(2, dense)
+      block.msg(2, grp)
+      frameBlob("OSMData", block.out.toByteArray, out)
+    }
+    if (ways.nonEmpty) {
+      val block = new PbW
+      val st = new StringTable
+      val grp = new PbW
+      ways.foreach { w =>
+        val m = new PbW
+        val kv = w.tags.toSeq
+        m.int(1, w.id)
+        m.packedVarints(2, kv.map(p => st.id(p._1)))
+        m.packedVarints(3, kv.map(p => st.id(p._2)))
+        m.packedZigzagDeltas(8, w.nodes)
+        grp.msg(3, m)
+      }
+      st.write(block)
+      block.msg(2, grp)
+      frameBlob("OSMData", block.out.toByteArray, out)
+    }
+    if (rels.nonEmpty) {
+      val block = new PbW
+      val st = new StringTable
+      val grp = new PbW
+      rels.foreach { r =>
+        val m = new PbW
+        val kv = r.tags.toSeq
+        m.int(1, r.id)
+        m.packedVarints(2, kv.map(p => st.id(p._1)))
+        m.packedVarints(3, kv.map(p => st.id(p._2)))
+        m.packedVarints(8, r.members.map(mm => st.id(mm.role)))
+        m.packedZigzagDeltas(9, r.members.map(_.ref))
+        m.packedVarints(10, r.members.map(_.mtype match {
+          case "n" => 0L; case "w" => 1L; case _ => 2L
+        }))
+        grp.msg(4, m)
+      }
+      st.write(block)
+      block.msg(2, grp)
+      frameBlob("OSMData", block.out.toByteArray, out)
+    }
+    out.flush()
+    bout.toByteArray
+  }
+
   def read(spark: SparkSession, path: String): OsmXml.OsmDataFrames = {
     import spark.implicits._
     val spans = scanBlobs(path).filter(_.blobType == "OSMData")
