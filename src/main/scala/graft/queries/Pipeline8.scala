@@ -208,7 +208,7 @@ object Pipeline8 {
     * is this engine's canonical-content hash, equal across all four
     * formats (the parity claim) and stable across runs (xxhash64 of
     * deterministic strings, order-insensitive sum). */
-  val sourceParitySql: String = {
+  def sourceParitySql: String = {
     val digest = SourceParityDigest.value
     s"""SELECT * FROM (VALUES
        |  ('o5m', 353, 140, 40, 73514, 495, 146, '$digest'),
@@ -283,11 +283,13 @@ object Pipeline8 {
     "q111_dup_spans"      -> (dupSpans _),
     "q115_dup_span_strip" -> (dupSpanStrip _),
     "q116_bpe_sampled"    -> (bpeSampled _),
-    "q117_band_lifecycle" -> (bandLifecycle _))
+    "q117_band_lifecycle" -> (bandLifecycle _),
+    "q112_source_parity"  -> (sourceParity _))
 
   val oracles: Map[String, String] = Map(
     "q111_dup_spans"      -> dupSpansSql,
     "q115_dup_span_strip" -> dupSpanStripSql,
     "q116_bpe_sampled"    -> bpeSampledSql,
-    "q117_band_lifecycle" -> bandLifecycleSql)
+    "q117_band_lifecycle" -> bandLifecycleSql,
+    "q112_source_parity"  -> sourceParitySql)
 }
