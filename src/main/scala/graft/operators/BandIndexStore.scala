@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *   - `path/snap/bucket=K/` — compacted (id, band) rows, hash-
   *     partitioned by band into a fixed bucket count (so a probe or a
   *     compaction touches partitions, never the whole table);
-  *   - `path/log/gen=N/`   — one generation per append batch: rows
-  *     (id, band, op) with op `a` (add, band real) or `d` (tombstone,
-  *     band null — a delete needs no text);
+  *   - `path/log/gen=N/bucket=K/` — one generation per append batch,
+  *     hash-partitioned by the SAME band bucketing as the snapshot:
+  *     rows (id, band, op) with op `a` (add, band real) or `d`
+  *     (tombstone, band null — a delete needs no text; all
+  *     tombstones share the null-hash bucket, and deletes are tiny);
   *   - `path/meta/`        — single row pinning the bucket count.
   *
   * Resolution semantics (delete-before-add within a batch): a
@@ -33,13 +35,22 @@ import org.apache.spark.sql.functions._
   * (delete it in the same batch to replace — the standard
   * log-structured upsert contract).
   *
-  * Scale: append writes only its batch (no read of existing state);
-  * read resolves with one aggregate over tombstones (tiny — deletes)
-  * and one join, both on the id key; compaction collects the DIRTY
-  * BUCKET ids only (≤ bucket count, a bounded driver list), rewrites
-  * exactly those partitions via dynamic partition overwrite, and
-  * clears buckets that emptied — untouched bucket files are never
-  * rewritten. */
+  * Scale: append writes only its batch (no read of existing state),
+  * fanned out across the bucket partitioning — a million-row re-crawl
+  * batch writes in parallel, one deterministically-sorted file per
+  * bucket. read resolves with one aggregate over tombstones (tiny —
+  * deletes) and one join, both on the id key; compaction collects the
+  * DIRTY BUCKET ids only (≤ bucket count, a bounded driver list),
+  * rewrites exactly those partitions, and clears buckets that emptied
+  * — untouched bucket files are never rewritten.
+  *
+  * Crash safety: the compaction rewrite lands in a sibling directory
+  * first; a `_COMMIT` marker (written atomically via rename) is the
+  * commit point. Every public entry calls [[recover]]: marker present
+  * → roll the interrupted swap FORWARD (finish it — the rewrite is
+  * durable); no marker → roll BACK (discard the sibling; the intact
+  * log replays on the next compaction). No interleaving of crash and
+  * restart can lose a bucket's live rows. */
 object BandIndexStore {
 
   private def bucketed(idx: DataFrame, buckets: Int): DataFrame =
@@ -74,40 +85,55 @@ object BandIndexStore {
       .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
   }
 
+  /** The snapshot as a frame, empty-state safe: a fully-emptied
+    * snapshot has no bucket directories left — an empty frame, not a
+    * schema-inference failure (read AND compact both hit this state
+    * after a compaction that drops every bucket). */
+  private def snapFrame(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, path)
+    val snapDir = new Path(s"$path/snap")
+    if (!f.exists(snapDir) || !f.listStatus(snapDir)
+        .exists(_.getPath.getName.startsWith("bucket=")))
+      Seq.empty[(Long, String, Int)].toDF("id", "band", "bucket")
+    else spark.read.parquet(s"$path/snap")
+      .select(col("id"), col("band"), col("bucket").cast("int"))
+  }
+
   /** One maintenance batch: `adds` are banded now (while the text is
     * at hand — the tombstone path never needs it), `deleteIds` become
-    * band-null tombstones, both land in the next log generation.
+    * band-null tombstones, both land in the next log generation,
+    * hash-partitioned by the snapshot's band bucketing so the write
+    * parallelizes across the batch — never a single-task funnel.
     * Writes ONLY the batch — never reads or rewrites existing
     * state. */
   def append(spark: SparkSession, path: String, adds: DataFrame,
       idCol: String, textCol: String, deleteIds: DataFrame): Unit = {
+    recover(spark, path)
     val gen = logGens(spark, path).foldLeft(0L)(math.max) + 1L
+    val buckets = bucketCount(spark, path)
     val a = Dedup.bandIndex(adds, idCol, textCol)
       .withColumn("op", lit("a"))
     val d = deleteIds.select(col(deleteIds.columns.head)
         .cast("long").as("id"))
       .withColumn("band", lit(null).cast("string"))
       .withColumn("op", lit("d"))
-    a.unionByName(d).withColumn("gen", lit(gen))
-      .repartition(1).sortWithinPartitions("op", "id", "band")
-      .write.partitionBy("gen").mode("append").parquet(s"$path/log")
+    // xxhash64(null) is the seed, so every tombstone lands in one
+    // deterministic bucket — fine, deletes carry no payload
+    bucketed(a.unionByName(d), buckets)
+      .withColumn("gen", lit(gen))
+      .repartition(buckets, col("bucket"))
+      .sortWithinPartitions("bucket", "op", "id", "band")
+      .write.partitionBy("gen", "bucket").mode("append")
+      .parquet(s"$path/log")
   }
 
   /** The current resolved index: snapshot plus log, tombstones
     * applied — exactly what [[Dedup.incrementalNearDupCandidates]]
     * should probe between compactions. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val f = fs(spark, path)
-    val snapDir = new Path(s"$path/snap")
-    // a fully-emptied snapshot has no bucket directories left — an
-    // empty frame, not a schema-inference failure
-    val snap =
-      if (!f.exists(snapDir) || !f.listStatus(snapDir)
-          .exists(_.getPath.getName.startsWith("bucket=")))
-        Seq.empty[(Long, String)].toDF("id", "band")
-      else spark.read.parquet(s"$path/snap")
-        .select(col("id"), col("band"))
+    recover(spark, path)
+    val snap = snapFrame(spark, path).select(col("id"), col("band"))
     if (logGens(spark, path).isEmpty) snap
     else {
       val log = spark.read.parquet(s"$path/log")
@@ -121,17 +147,66 @@ object BandIndexStore {
     }
   }
 
+  private def tmpDir(path: String) = s"$path/snap_compact_tmp"
+
+  /** Heal an interrupted compaction. `_COMMIT` marker present: the
+    * rewrite is complete and durable — roll FORWARD (redo the
+    * idempotent bucket swaps/drops, drop the log, clear the sibling).
+    * Sibling present without a marker: the rewrite never committed —
+    * roll BACK (discard it; the untouched log replays next time). */
+  private def recover(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val tmp = new Path(tmpDir(path))
+    if (!f.exists(tmp)) return
+    val marker = new Path(s"${tmpDir(path)}/_COMMIT")
+    if (!f.exists(marker)) { f.delete(tmp, true); return }
+    val in = f.open(marker)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Array(swapLine, dropLine) = txt.split("\n", -1).padTo(2, "")
+    def ids(s: String) =
+      s.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+    applySwaps(spark, path, ids(swapLine), ids(dropLine))
+    f.delete(new Path(s"$path/log"), true)
+    f.delete(tmp, true)
+  }
+
+  /** Idempotent commit application: dropped buckets are deleted (a
+    * re-delete is a no-op); swapped buckets are replaced only while
+    * their rewritten sibling still exists (after the rename, the
+    * snapshot already holds the new data and is left alone). */
+  private def applySwaps(spark: SparkSession, path: String,
+      swap: Seq[Int], drop: Seq[Int]): Unit = {
+    val f = fs(spark, path)
+    drop.foreach(b => f.delete(new Path(s"$path/snap/bucket=$b"), true))
+    swap.foreach { b =>
+      val src = new Path(s"${tmpDir(path)}/bucket=$b")
+      if (f.exists(src)) {
+        f.delete(new Path(s"$path/snap/bucket=$b"), true)
+        f.rename(src, new Path(s"$path/snap/bucket=$b"))
+      }
+    }
+  }
+
   /** Fold the log into the snapshot, rewriting ONLY dirty buckets:
     * buckets holding a tombstoned id's snapshot rows, plus buckets
     * receiving live adds. The dirty-bucket list is ≤ the fixed bucket
     * count (a bounded collect); clean bucket partitions are left
     * byte-untouched (spec'd), and dirty buckets that emptied are
     * dropped. Idempotent: with no log this is a no-op. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+    compactWithFailpoint(spark, path, failpoint = 0)
+
+  /** Test seam: `failpoint` 1 aborts after the rewrite but BEFORE the
+    * commit marker (recovery must roll back); 2 aborts AFTER the
+    * marker but before any swap (recovery must roll forward). 0 is
+    * the production path. */
+  private[graft] def compactWithFailpoint(spark: SparkSession,
+      path: String, failpoint: Int): Unit = {
+    recover(spark, path)
     if (logGens(spark, path).isEmpty) return
     val buckets = bucketCount(spark, path)
-    val snapB = spark.read.parquet(s"$path/snap")
-      .select(col("id"), col("band"), col("bucket").cast("int"))
+    val snapB = snapFrame(spark, path)
     val log = spark.read.parquet(s"$path/log")
     val dels = log.where(col("op") === "d")
       .groupBy(col("id")).agg(max(col("gen")).as("dgen"))
@@ -152,23 +227,37 @@ object BandIndexStore {
       // would race the scan (Spark rejects the read-overwrite cycle);
       // the commit is then a per-dirty-bucket directory swap — a
       // metadata move, clean buckets byte-untouched
-      val tmp = s"$path/snap_compact_tmp"
+      val tmp = tmpDir(path)
       snapB.where(col("bucket").isInCollection(dirty))
         .join(dels, Seq("id"), "left_anti")
         .unionByName(liveAdds)
         .repartition(math.max(dirty.size, 1), col("bucket"))
         .sortWithinPartitions("bucket", "id", "band")
         .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-      dirty.foreach { b =>
-        f.delete(new Path(s"$path/snap/bucket=$b"), true)
-        val src = new Path(s"$tmp/bucket=$b")
-        // a dirty bucket whose rows all died writes no directory —
-        // deleting the stale one above IS its compaction
-        if (f.exists(src))
-          f.rename(src, new Path(s"$path/snap/bucket=$b"))
-      }
+      if (failpoint == 1) sys.error("failpoint 1: before commit marker")
+      // a dirty bucket whose rows all died writes no directory —
+      // deleting the stale one IS its compaction ("drop"); the rest
+      // swap. Record the split in the marker so roll-forward is
+      // unambiguous (a missing sibling then always means "already
+      // swapped", never "dropped").
+      val written = f.listStatus(new Path(tmp))
+        .map(_.getPath.getName).filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt).toSet
+      val swap = dirty.toSeq.filter(written).sorted
+      val drop = dirty.toSeq.filterNot(written).sorted
+      // COMMIT POINT — the marker lands via atomic rename, so a
+      // half-written marker is never observable
+      val markerTmp = new Path(s"$tmp/_COMMIT.inprogress")
+      val out = f.create(markerTmp, true)
+      try out.write(
+        (swap.mkString(",") + "\n" + drop.mkString(","))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      f.rename(markerTmp, new Path(s"$tmp/_COMMIT"))
+      if (failpoint == 2) sys.error("failpoint 2: after commit marker")
+      applySwaps(spark, path, swap, drop)
+      f.delete(new Path(s"$path/log"), true)
       f.delete(new Path(tmp), true)
-    }
-    f.delete(new Path(s"$path/log"), true)
+    } else f.delete(new Path(s"$path/log"), true)
   }
 }

@@ -123,6 +123,116 @@ class BandIndexStoreSpec extends SparkSpecBase {
     } finally rm(path)
   }
 
+  test("an append generation fans out across bucket partitions") {
+    val path = tmp()
+    try {
+      val corpus = (1L to 8L).map(i => doc(i, s"s$i"))
+        .toDF("doc_id", "text")
+      BandIndexStore.write(corpus, "doc_id", "text", path, buckets = 8)
+      val batch = (9L to 40L).map(i => doc(i, s"t$i"))
+        .toDF("doc_id", "text")
+      BandIndexStore.append(spark, path, batch, "doc_id", "text",
+        Seq(1L).toDF("doc_id"))
+      // the log generation is hash-partitioned by band bucket — a big
+      // re-crawl batch writes in parallel, never through one task
+      val genDirs = new File(s"$path/log/gen=1").listFiles()
+        .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+      assert(genDirs.size > 1, s"single-partition generation: $genDirs")
+      // resolution semantics unchanged by the fan-out
+      val expected = Dedup.bandIndex(
+        corpus.where($"doc_id" =!= 1L).unionByName(batch),
+        "doc_id", "text").as[(Long, String)].collect().toSet
+      assert(BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet == expected)
+      BandIndexStore.compact(spark, path)
+      assert(BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet == expected)
+    } finally rm(path)
+  }
+
+  test("crash BEFORE the commit marker rolls back; the log replays") {
+    val path = tmp()
+    try {
+      val corpus = (1L to 20L).map(i => doc(i, s"s$i"))
+        .toDF("doc_id", "text")
+      BandIndexStore.write(corpus, "doc_id", "text", path, buckets = 8)
+      BandIndexStore.append(spark, path,
+        Seq(doc(21L, "t21")).toDF("doc_id", "text"), "doc_id", "text",
+        Seq(3L).toDF("doc_id"))
+      val expected = BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet
+      intercept[RuntimeException] {
+        BandIndexStore.compactWithFailpoint(spark, path, failpoint = 1)
+      }
+      assert(new File(s"$path/snap_compact_tmp").exists())
+      // recovery (run by any entry point) discards the uncommitted
+      // rewrite; the intact log still resolves to the same view
+      assert(BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet == expected)
+      assert(!new File(s"$path/snap_compact_tmp").exists())
+      assert(new File(s"$path/log").exists(), "log must survive rollback")
+      BandIndexStore.compact(spark, path)
+      assert(BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet == expected)
+      assert(!new File(s"$path/log").exists())
+    } finally rm(path)
+  }
+
+  test("crash AFTER the commit marker rolls forward; no bucket lost") {
+    val path = tmp()
+    try {
+      val corpus = (1L to 20L).map(i => doc(i, s"s$i"))
+        .toDF("doc_id", "text")
+      BandIndexStore.write(corpus, "doc_id", "text", path, buckets = 8)
+      BandIndexStore.append(spark, path,
+        Seq(doc(21L, "t21")).toDF("doc_id", "text"), "doc_id", "text",
+        Seq(3L, 7L).toDF("doc_id"))
+      val expected = BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet
+      intercept[RuntimeException] {
+        BandIndexStore.compactWithFailpoint(spark, path, failpoint = 2)
+      }
+      assert(new File(s"$path/snap_compact_tmp/_COMMIT").exists())
+      // recovery completes the committed swap: same resolved view,
+      // log folded away, sibling cleared
+      assert(BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet == expected)
+      assert(!new File(s"$path/snap_compact_tmp").exists())
+      assert(!new File(s"$path/log").exists())
+      // and the healed snapshot equals a from-scratch rebuild
+      val rebuilt = Dedup.bandIndex(
+        corpus.where(!$"doc_id".isin(3L, 7L))
+          .unionByName(Seq(doc(21L, "t21")).toDF("doc_id", "text")),
+        "doc_id", "text").as[(Long, String)].collect().toSet
+      assert(expected == rebuilt)
+    } finally rm(path)
+  }
+
+  test("append+compact survive a snapshot whose buckets all died") {
+    val path = tmp()
+    try {
+      val corpus = Seq(doc(1, "a"), doc(2, "b")).toDF("doc_id", "text")
+      BandIndexStore.write(corpus, "doc_id", "text", path, buckets = 4)
+      BandIndexStore.append(spark, path,
+        corpus.where(lit(false)), "doc_id", "text",
+        Seq(1L, 2L).toDF("doc_id"))
+      BandIndexStore.compact(spark, path)
+      assert(!new File(s"$path/snap").listFiles()
+        .exists(_.getName.startsWith("bucket=")))
+      // the next maintenance cycle over the emptied snapshot must not
+      // throw (compact's snap read is empty-state guarded, like read's)
+      BandIndexStore.append(spark, path,
+        Seq(doc(3, "c")).toDF("doc_id", "text"), "doc_id", "text",
+        corpus.where(lit(false)).select($"doc_id"))
+      BandIndexStore.compact(spark, path)
+      val expected = Dedup.bandIndex(
+        Seq(doc(3, "c")).toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, String)].collect().toSet
+      assert(BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet == expected)
+    } finally rm(path)
+  }
+
   test("a bucket whose rows all die is dropped, even with no survivors") {
     val path = tmp()
     try {
