@@ -718,18 +718,28 @@ object Dedup {
     * (i − row_number) and a per-(doc, island) aggregate. No driver
     * state, no all-pairs anywhere; skew on a viral gram is bounded by
     * the semi-join (the gram's count row, not its occurrence list, is
-    * the join payload). */
+    * the join payload). Both gram-keyed shuffles carry an 8-byte
+    * md5-prefix key, never the gram text (~40+ bytes/token at k=5 —
+    * a 5-10× shuffle-byte cut at corpus scale); md5 rather than
+    * xxhash64 so another engine reproduces the exact same
+    * duplicated-gram decisions. A 64-bit collision can only mark a
+    * unique gram duplicated (one extra start — still below
+    * `minTokens` unless it abuts a real run), and the expected count
+    * of colliding pairs stays below 1 until ~2^32 distinct grams;
+    * corpora beyond that should widen the prefix. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, minTokens: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("doc_id"),
       normToks(col(textCol)).as("w"))
     val grams = base.select(col("doc_id"),
-      posexplode(graft.expressions.VectorExpressions
-        .shinglesN(col("w"), k)).as(Seq("i0", "g")))
-    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
-      .where(col("c") > 1).select(col("g"))
-    val starts = grams.join(dup, Seq("g"), "left_semi")
+        posexplode(graft.expressions.VectorExpressions
+          .shinglesN(col("w"), k)).as(Seq("i0", "g")))
+      .select(col("doc_id"), col("i0"),
+        unhex(substring(md5(col("g")), 1, 16)).as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("h"))
+    val starts = grams.join(dup, Seq("h"), "left_semi")
       .select(col("doc_id"), (col("i0") + 1).as("i"))
     val isl = starts.withColumn("grp", col("i") -
       row_number().over(Window.partitionBy("doc_id").orderBy("i")))

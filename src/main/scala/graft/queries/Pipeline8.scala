@@ -22,18 +22,22 @@ object Pipeline8 {
   def dupSpans(s: SparkSession, d: String): DataFrame =
     Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text")
 
-  /** Shared CTE prefix: positioned 5-grams, corpus-duplicated grams,
-    * gaps-and-islands run reconstruction, spans ≥ 10 tokens. */
+  /** Shared CTE prefix: positioned 5-grams keyed by the engine's
+    * 8-byte md5-prefix hash (identical duplicated-gram decisions),
+    * corpus-duplicated grams, gaps-and-islands run reconstruction,
+    * spans ≥ 10 tokens. */
   private val spansCte: String =
     s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
        |grams AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, i,
+       |    unhex(substr(md5(g), 1, 16)) AS h
+       |  FROM (SELECT doc_id,
        |    unnest(range(1, greatest(len(w)-3, 1))) AS i,
        |    unnest(list_transform(range(1, greatest(len(w)-3, 1)),
        |      i -> array_to_string(w[i:i+4], ' '))) AS g
-       |  FROM toks),
-       |dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
-       |st AS (SELECT doc_id, i FROM grams JOIN dupg USING (g)),
+       |  FROM toks)),
+       |dupg AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+       |st AS (SELECT doc_id, i FROM grams JOIN dupg USING (h)),
        |isl AS (SELECT doc_id, i,
        |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
        |  FROM st),
