@@ -196,7 +196,8 @@ object TextAnalysis {
     * round is a full-corpus pair-count aggregate, so 32k merges means
     * 32k sequential corpus scans — O(vocab × corpus) wall. Here the
     * per-round aggregate runs over the sampled docs only (cacheable,
-    * size set by `hexThreshold` — "14" ≈ 2048/65536 ≈ 8%), making
+    * size set by `hexThreshold` — the 2-hex-char prefix compare
+    * keeps 0x14/0x100 = 20/256 ≈ 7.8% at the default "14"), making
     * per-round cost independent of corpus size, and the application
     * is the codegen'd [[graft.expressions.BpeApplyExpr]] kernel: all
     * learned merges replayed greedily left-to-right inside one
