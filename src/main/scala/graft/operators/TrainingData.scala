@@ -163,6 +163,70 @@ object TrainingData {
     manifest
   }
 
+  /** Per-domain curriculum ordering — the step between shard
+    * assignment and a trainer: fix, for every document, a
+    * deterministic position in its shard's within-epoch read order
+    * such that (a) higher-quality documents come first (quality
+    * curriculum), (b) the sources/domains INTERLEAVE instead of
+    * arriving in blocks (a trainer reading positions sequentially
+    * sees the mix at every step, not "all web, then all code"), and
+    * (c) the order is a pure function of document content/ids —
+    * re-runs, retries, and any cluster size reproduce it
+    * byte-identically.
+    *
+    * Construction, all exact integer/string arithmetic:
+    *   - shard    = first-8-hex md5(id) mod `nShards` (the
+    *                [[Sampling.shardAssign]] key, so this composes
+    *                with the export layout);
+    *   - q_bucket = least((`qBuckets` · n_uniq) div max(n_tok, 1),
+    *                `qBuckets`−1) — the unique-token share as an
+    *                integer-division quantile, the repo's exact
+    *                stand-in for a model quality score (swap the
+    *                expression, keep the ordering contract);
+    *   - src_rank = rank of the doc within (shard, q_bucket, source)
+    *                by (md5(id), id) — a reproducible uniform shuffle
+    *                per domain;
+    *   - pos      = row_number within the shard by
+    *                (q_bucket DESC, src_rank, md5(id), id).
+    * Ordering by src_rank before the hash is what interleaves: rank-1
+    * docs of EVERY source precede every rank-2 doc, so a bucket's
+    * stream cycles through the domains in md5-shuffled cohorts.
+    *
+    * Scale: two hash-partitioned windows (by (shard, q_bucket,
+    * source), then by shard) — no global sort anywhere; parallelism =
+    * nShards, exactly like the export it feeds. Epochs: vary the salt
+    * (`epoch`) to reshuffle within buckets while keeping the
+    * curriculum shape — position is then a function of (content,
+    * epoch), still deterministic. */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, nShards: Int, qBuckets: Int = 4,
+      epoch: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws("|", lit(epoch.toString),
+      col(idCol).cast("string")))
+    val w = graft.functions.TextFunctions.normToks(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"),
+        col(srcCol).as("source"), h.as("h"),
+        size(w).cast("long").as("n_tok"),
+        size(array_distinct(w)).cast("long").as("n_uniq"))
+      .withColumn("shard",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(nShards)))
+      .withColumn("q_bucket", least(
+        expr(s"($qBuckets * n_uniq) div greatest(n_tok, 1)"),
+        lit(qBuckets - 1L)))
+    val perSrc = Window.partitionBy(col("shard"), col("q_bucket"),
+      col("source")).orderBy(col("h"), col("doc_id"))
+    val perShard = Window.partitionBy(col("shard"))
+      .orderBy(col("q_bucket").desc, col("src_rank"), col("h"),
+        col("doc_id"))
+    base
+      .withColumn("src_rank", row_number().over(perSrc).cast("long"))
+      .withColumn("pos", row_number().over(perShard).cast("long"))
+      .select(col("doc_id"), col("source"), col("shard"),
+        col("q_bucket"), col("src_rank"), col("pos"))
+  }
+
   /** Verify an exported shard directory against its manifest: recount
     * and re-digest every shard from the data files and compare. Any
     * mismatch (missing rows, reordered rows, corrupted text) surfaces

@@ -223,6 +223,36 @@ object Pipeline8 {
        |  sum_members, digest)""".stripMargin
   }
 
+  // ---- q118: per-domain curriculum ordering ----
+
+  def curriculum(s: SparkSession, d: String): DataFrame =
+    graft.operators.TrainingData.curriculumOrder(
+      Tables.documents(s, d), "doc_id", "text", "source",
+      nShards = 16, qBuckets = 4, epoch = 0)
+
+  /** The oracle rebuilds the whole ordering pipeline in SQL: the
+    * shard key is q106's, the quality bucket is the exact integer
+    * unique-token-share quantile, and the two window ranks mirror the
+    * engine's (per-(shard,bucket,source) md5 shuffle, then the
+    * bucket-desc / rank / hash within-shard order). */
+  val curriculumSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    md5('0|' || CAST(doc_id AS VARCHAR)) AS h, $W AS w
+       |  FROM documents),
+       |b AS (SELECT doc_id, source, h,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 16 AS shard,
+       |    least((4 * len(list_distinct(w))) // greatest(len(w), 1),
+       |      3) AS q_bucket
+       |  FROM d),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY shard, q_bucket, source
+       |    ORDER BY h, doc_id) AS BIGINT) AS src_rank FROM b)
+       |SELECT doc_id, source, shard, q_bucket, src_rank,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY q_bucket DESC, src_rank, h, doc_id) AS BIGINT) AS pos
+       |FROM r""".stripMargin
+
   // ---- q117: band-index lifecycle (build → append+delete ×2 →
   //            compact → read) vs a from-scratch rebuild ----
 
@@ -288,12 +318,14 @@ object Pipeline8 {
     "q115_dup_span_strip" -> (dupSpanStrip _),
     "q116_bpe_sampled"    -> (bpeSampled _),
     "q117_band_lifecycle" -> (bandLifecycle _),
-    "q112_source_parity"  -> (sourceParity _))
+    "q112_source_parity"  -> (sourceParity _),
+    "q118_curriculum"     -> (curriculum _))
 
   val oracles: Map[String, String] = Map(
     "q111_dup_spans"      -> dupSpansSql,
     "q115_dup_span_strip" -> dupSpanStripSql,
     "q116_bpe_sampled"    -> bpeSampledSql,
     "q117_band_lifecycle" -> bandLifecycleSql,
-    "q112_source_parity"  -> sourceParitySql)
+    "q112_source_parity"  -> sourceParitySql,
+    "q118_curriculum"     -> curriculumSql)
 }

@@ -65,4 +65,60 @@ class TrainingDataSpec extends SparkSpecBase {
       "n_chars", bench, "qtext", Map.empty, 100, windowTokens = 1000)
     assert(out.select($"doc_id").as[Long].collect().toSet == Set(10L))
   }
+
+  private def curriculumFixture = {
+    // 3 sources × 40 docs with varied unique-token share so every
+    // quality bucket is populated
+    val rows = for {
+      s <- 0 to 2; i <- 1 to 40
+      id = (s * 100 + i).toLong
+      // repetition degree drives n_uniq/n_tok across buckets
+      rep = 1 + (i % 4)
+      toks = (1 to 12).flatMap(j => Seq.fill(rep)(s"w${id}_${j / rep}"))
+    } yield (id, toks.mkString(" "), s"src$s")
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("curriculum order is a byte-identical pure function of content") {
+    val docs = curriculumFixture
+    val a = TrainingData.curriculumOrder(docs, "doc_id", "text",
+      "source", nShards = 4).collect().toSet
+    // re-run AND a different physical layout must reproduce it exactly
+    val b = TrainingData.curriculumOrder(docs.repartition(13), "doc_id",
+      "text", "source", nShards = 4).collect().toSet
+    assert(a == b)
+    // a different epoch keeps the curriculum shape but reshuffles
+    val e1 = TrainingData.curriculumOrder(docs, "doc_id", "text",
+      "source", nShards = 4, epoch = 1).collect().toSet
+    assert(e1 != a)
+    assert(e1.map(r => (r.getLong(0), r.getLong(3))) ==
+      a.map(r => (r.getLong(0), r.getLong(3)))) // buckets unchanged
+  }
+
+  test("curriculum: quality-descending buckets, sources interleaved") {
+    val docs = curriculumFixture
+    val out = TrainingData.curriculumOrder(docs, "doc_id", "text",
+      "source", nShards = 2)
+      .select($"shard", $"pos", $"q_bucket", $"src_rank", $"source")
+      .as[(Long, Long, Long, Long, String)].collect()
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val seq = rows.sortBy(_._2)
+      // positions are exactly 1..n within the shard
+      assert(seq.map(_._2).toSeq == (1L to seq.length).toSeq)
+      // reading order: q_bucket never increases
+      seq.sliding(2).foreach { case Array(p, n) =>
+        assert(p._3 >= n._3, s"bucket rose at shard=$shard pos=${n._2}")
+        // within a bucket, src_rank never decreases (cohort order)
+        if (p._3 == n._3)
+          assert(p._4 <= n._4, s"rank fell at shard=$shard pos=${n._2}")
+      }
+      // interleaving: within (bucket, rank) every source appears at
+      // most once — a cohort cycles through the domains before any
+      // domain repeats
+      seq.groupBy(r => (r._3, r._4)).foreach { case (k, cohort) =>
+        assert(cohort.map(_._5).distinct.length == cohort.length,
+          s"source repeated inside cohort $k of shard $shard")
+      }
+    }
+  }
 }
