@@ -253,6 +253,69 @@ object Pipeline8 {
        |    ORDER BY q_bucket DESC, src_rank, h, doc_id) AS BIGINT) AS pos
        |FROM r""".stripMargin
 
+  // ---- q113: diff expire — symmetric-difference tile cover ----
+
+  /** Geometric diff expiry against a recomputing oracle (reference:
+    * find_difference + diff_expire,
+    * src/flex-table-column.cpp:267-363; BDD
+    * tests/bdd/flex/expire-diff.feature): one synthetic old/new
+    * 3-point way pair per customer, all segments horizontal and
+    * anchored at tile CENTERS (fraction 0.5, so the float walk can
+    * never straddle a boundary and the expected tiles are pure
+    * integer ranges the oracle derives from the same keys). Four
+    * cases by k mod 4: 0 = endpoint moved (only the changed segment's
+    * tiles dirty — the shared prefix segment MUST stay clean, which
+    * is the whole point of diff expire), 1 = unchanged (no tiles),
+    * 2 = insert (full new cover), 3 = delete (full old cover). */
+  def diffExpire(s: SparkSession, d: String): DataFrame = {
+    import graft.geom.{Ewkb, LineString, Pt}
+    import graft.operators.TileCover
+    val zoom = 12
+    val mw = 1L << zoom
+    val ec = graft.functions.TileFunctions.EarthCircumference
+    def cx(t: Long): Double = ec * ((t + 0.5) / mw - 0.5)
+    def cy(t: Long): Double = -cx(t)
+    def way(tx: Long, ty: Long, lastOff: Long) =
+      Ewkb.encode(LineString(Vector(
+        Pt(cx(tx), cy(ty)), Pt(cx(tx + 2), cy(ty)),
+        Pt(cx(tx + lastOff), cy(ty))), 3857))
+    val mk = udf((tx: Long, ty: Long, off: Long) => way(tx, ty, off))
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .withColumn("tx", lit(100L) + pmod(col("k") * 37L, lit(3000L)))
+      .withColumn("ty", lit(100L) + pmod(col("k") * 61L, lit(3800L)))
+      .withColumn("cse", pmod(col("k"), lit(4L)))
+    val pairs = base.select(
+      when(col("cse") === 2L, lit(null).cast("binary"))
+        .otherwise(mk(col("tx"), col("ty"), lit(5L))).as("old_g"),
+      when(col("cse") === 3L, lit(null).cast("binary"))
+        .otherwise(mk(col("tx"), col("ty"),
+          when(col("cse") === 0L, lit(7L)).otherwise(lit(5L))))
+        .as("new_g"))
+    TileCover.symDiffCover(pairs, col("old_g"), col("new_g"),
+        TileCover.Config(zoom))
+      .select(col("zoom"), col("x"), col("y"))
+  }
+
+  /** The oracle never touches floats: expected dirty tiles are the
+    * integer ranges implied by the construction — changed-segment
+    * range for modified ways, full range for inserts/deletes, nothing
+    * for unchanged. */
+  val diffExpireSql: String =
+    """WITH p AS (SELECT
+      |    100 + (CAST(c_custkey AS BIGINT) * 37) % 3000 AS tx,
+      |    100 + (CAST(c_custkey AS BIGINT) * 61) % 3800 AS ty,
+      |    CAST(c_custkey AS BIGINT) % 4 AS cse
+      |  FROM customer),
+      |spans AS (
+      |  SELECT tx + 2 AS x0, tx + 7 AS x1, ty FROM p WHERE cse = 0
+      |  UNION ALL
+      |  SELECT tx, tx + 5, ty FROM p WHERE cse IN (2, 3))
+      |SELECT DISTINCT CAST(12 AS INTEGER) AS zoom,
+      |  CAST(unnest(range(x0, x1 + 1)) AS BIGINT) AS x,
+      |  CAST(ty AS BIGINT) AS y
+      |FROM spans""".stripMargin
+
   // ---- q117: band-index lifecycle (build → append+delete ×2 →
   //            compact → read) vs a from-scratch rebuild ----
 
@@ -319,7 +382,8 @@ object Pipeline8 {
     "q116_bpe_sampled"    -> (bpeSampled _),
     "q117_band_lifecycle" -> (bandLifecycle _),
     "q112_source_parity"  -> (sourceParity _),
-    "q118_curriculum"     -> (curriculum _))
+    "q118_curriculum"     -> (curriculum _),
+    "q113_diff_expire"    -> (diffExpire _))
 
   val oracles: Map[String, String] = Map(
     "q111_dup_spans"      -> dupSpansSql,
@@ -327,5 +391,6 @@ object Pipeline8 {
     "q116_bpe_sampled"    -> bpeSampledSql,
     "q117_band_lifecycle" -> bandLifecycleSql,
     "q112_source_parity"  -> sourceParitySql,
-    "q118_curriculum"     -> curriculumSql)
+    "q118_curriculum"     -> curriculumSql,
+    "q113_diff_expire"    -> diffExpireSql)
 }
