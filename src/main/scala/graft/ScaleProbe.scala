@@ -122,6 +122,12 @@ object ScaleProbe {
     time("shard_assign")(
       graft.operators.Sampling.shardAssign(
         docs.select(col("doc_id"), col("source")), "doc_id", 256).count())
+    // q118: two hash-partitioned windows (per-(shard,bucket,source)
+    // rank, then per-shard position) — parallelism = nShards, so the
+    // wall must track corpus size with no global-sort blowup
+    time("curriculum_order")(
+      graft.operators.TrainingData.curriculumOrder(
+        docs, "doc_id", "text", "source", nShards = 256).count())
     // q101: map-only explode, output rows ~ tokens/stride
     time("rag_chunks")(
       graft.operators.CorpusOps.overlappingChunks(

@@ -353,6 +353,37 @@ object Streams {
       }
   }
 
+  /** Streaming re-crawl dedup against the PERSISTED band index: each
+    * arriving document is banded statelessly (the shared
+    * [[graft.operators.Dedup.bandKeysExpr]] scheme) and equi-joined
+    * on the band key against the index's resolved view — the
+    * continuous form of [[graft.operators.Dedup
+    * .incrementalNearDupCandidates]], and the job a crawler runs
+    * forever while [[graft.operators.BandIndexStore]] appends and
+    * compactions maintain the index underneath (restart the query to
+    * pick up a new snapshot generation; the probe itself is
+    * stateless).
+    *
+    * Emits one row per (new doc, indexed doc, shared band) in append
+    * mode with NO streaming state: pair-level dedup is deliberately
+    * left to the consumer (per-batch `distinct` in a foreachBatch
+    * sink, or a downstream grouped verify) — a running global
+    * distinct would accrete unbounded state in exactly the query
+    * that never stops. Scale: the join shuffles only the banded
+    * micro-batch against the band-bucketed index partitions; skew is
+    * bounded by the band scheme's fan-out like every other LSH probe
+    * here. */
+  def indexProbeStream(docs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame): DataFrame = {
+    val probe = docs.select(col(idCol).cast("long").as("new_id"),
+      explode(graft.operators.Dedup.bandKeysExpr(col(textCol)))
+        .as("band"))
+    probe.join(index.select(col("id").as("indexed_id"), col("band")),
+        "band")
+      .where(col("new_id") =!= col("indexed_id"))
+      .select(col("new_id"), col("indexed_id"), col("band"))
+  }
+
   /** Continuous append mode: watch a directory for arriving `.osc`
     * change files (the replication mirror) and run the incremental
     * update pipeline once per micro-batch — `readStream` over the file

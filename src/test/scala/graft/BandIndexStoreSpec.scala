@@ -233,6 +233,40 @@ class BandIndexStoreSpec extends SparkSpecBase {
     } finally rm(path)
   }
 
+  test("a crawler stream probes the maintained index (stream-static join)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    try {
+      val corpus = Seq(doc(1, "a"), doc(2, "b"), doc(3, "c"))
+        .toDF("doc_id", "text")
+      BandIndexStore.write(corpus, "doc_id", "text", path, buckets = 8)
+      // maintenance between crawls: doc 2 deleted, doc 4 added
+      BandIndexStore.append(spark, path,
+        Seq(doc(4, "d")).toDF("doc_id", "text"), "doc_id", "text",
+        Seq(2L).toDF("doc_id"))
+      val input = MemoryStream[(Long, String)]
+      val probe = graft.streaming.Streams.indexProbeStream(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        BandIndexStore.read(spark, path))
+      val q = probe.writeStream.outputMode("append")
+        .format("memory").queryName("idx_probe").start()
+      // batch 1: re-crawl of doc 1's text + a doc matching the DELETED
+      // doc 2 + fresh content
+      input.addData(Seq(doc(10, "a"), doc(11, "b"), doc(12, "z")))
+      q.processAllAvailable()
+      // batch 2: a doc matching the APPENDED doc 4
+      input.addData(Seq(doc(13, "d")))
+      q.processAllAvailable(); q.stop()
+      val pairs = spark.table("idx_probe")
+        .select($"new_id", $"indexed_id")
+        .as[(Long, Long)].collect().toSet
+      // doc 2 is tombstoned: its re-crawl surfaces NO candidate; the
+      // log-resident add (doc 4) is probed without compaction
+      assert(pairs == Set((10L, 1L), (13L, 4L)))
+    } finally rm(path)
+  }
+
   test("a bucket whose rows all die is dropped, even with no survivors") {
     val path = tmp()
     try {
