@@ -80,6 +80,14 @@ object ScaleProbe {
       graft.operators.Sampling.tokenBudget(docs, "source", "doc_id",
         size(graft.functions.TextFunctions.normToks(col("text"))),
         budget = 100000L).count())
+    // q119: the planet-group budget — same selection as token_budget
+    // but the per-group walk splits into 256 order-preserving md5
+    // segments, so one giant domain no longer serializes one window
+    time("token_budget_sharded")(
+      graft.operators.Sampling.tokenBudgetSharded(docs, "source",
+        "doc_id",
+        size(graft.functions.TextFunctions.normToks(col("text"))),
+        budget = 100000L).count())
     time("dup_span_coverage")(
       graft.operators.Dedup.dupSpanCoverage(docs, "doc_id", "text").count())
     // q111/q115 shape: same inverted-index gram join as coverage plus

@@ -182,4 +182,41 @@ object Sampling {
       .withColumn("cum_toks", sum(col("n_toks")).over(w))
       .where(col("cum_toks") <= budget)
   }
+
+  /** [[tokenBudget]] for a planet-sized group, with BIT-IDENTICAL
+    * selection: the global-walk form serializes each group through
+    * one window task, which is exactly what a single 100 TB web
+    * domain breaks. This form splits every group's walk into 256
+    * order-preserving segments — the shard key is the VALUE of the
+    * md5 digest's first two hex chars, and hex strings sort
+    * lexicographically as their value, so
+    * `(shard ASC, md5 walk within shard)` IS the global md5 walk.
+    * The running total then reassembles from three bounded steps:
+    * a per-(group, shard) window (parallelism = groups × 256), a
+    * per-group prefix over the ≤256 shard totals (trivial rows), and
+    * a broadcast-sized join back. Same (group, id, n_toks, cum_toks)
+    * rows as [[tokenBudget]] on any input — spec'd equal — so the
+    * sequential form is just its readable specification. */
+  def tokenBudgetSharded(df: DataFrame, groupCol: String, idCol: String,
+      tokenCount: Column, budget: Long): DataFrame = {
+    val base = df.select(col(groupCol), col(idCol),
+        tokenCount.cast("long").as("n_toks"))
+      .withColumn("shard",
+        conv(substring(digest(idCol), 1, 2), 16, 10).cast("int"))
+    val wIn = Window.partitionBy(col(groupCol), col("shard"))
+      .orderBy(digest(idCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inShard = base.withColumn("cum_in", sum(col("n_toks")).over(wIn))
+    val wPrefix = Window.partitionBy(col(groupCol)).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(groupCol), col("shard"))
+      .agg(sum(col("n_toks")).as("shard_total"))
+      .withColumn("offset",
+        coalesce(sum(col("shard_total")).over(wPrefix), lit(0L)))
+      .select(col(groupCol), col("shard"), col("offset"))
+    inShard.join(broadcast(offsets), Seq(groupCol, "shard"))
+      .select(col(groupCol), col(idCol), col("n_toks"),
+        (col("offset") + col("cum_in")).as("cum_toks"))
+      .where(col("cum_toks") <= budget)
+  }
 }

@@ -253,6 +253,29 @@ object Pipeline8 {
        |    ORDER BY q_bucket DESC, src_rank, h, doc_id) AS BIGINT) AS pos
        |FROM r""".stripMargin
 
+  // ---- q119: sharded token budget (planet-group form) ----
+
+  def tokenBudgetSharded(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.tokenBudgetSharded(
+      Tables.documents(s, d), "source", "doc_id",
+      size(graft.functions.TextFunctions.normToks(col("text"))),
+      budget = 2000L)
+
+  /** The oracle is the SEQUENTIAL walk (q97's SQL verbatim): the
+    * sharded form must reproduce the single-window semantics bit for
+    * bit — that equality is the whole claim. */
+  val tokenBudgetShardedSql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+       |  CAST(len($W) AS BIGINT) AS n_toks FROM documents)
+       |SELECT source, doc_id, n_toks, cum_toks FROM (
+       |  SELECT source, doc_id, n_toks,
+       |    CAST(sum(n_toks) OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_toks
+       |  FROM t)
+       |WHERE cum_toks <= 2000""".stripMargin
+
   // ---- q113: diff expire — symmetric-difference tile cover ----
 
   /** Geometric diff expiry against a recomputing oracle (reference:
@@ -383,7 +406,8 @@ object Pipeline8 {
     "q117_band_lifecycle" -> (bandLifecycle _),
     "q112_source_parity"  -> (sourceParity _),
     "q118_curriculum"     -> (curriculum _),
-    "q113_diff_expire"    -> (diffExpire _))
+    "q113_diff_expire"    -> (diffExpire _),
+    "q119_token_budget_sharded" -> (tokenBudgetSharded _))
 
   val oracles: Map[String, String] = Map(
     "q111_dup_spans"      -> dupSpansSql,
@@ -392,5 +416,6 @@ object Pipeline8 {
     "q117_band_lifecycle" -> bandLifecycleSql,
     "q112_source_parity"  -> sourceParitySql,
     "q118_curriculum"     -> curriculumSql,
-    "q113_diff_expire"    -> diffExpireSql)
+    "q113_diff_expire"    -> diffExpireSql,
+    "q119_token_budget_sharded" -> tokenBudgetShardedSql)
 }

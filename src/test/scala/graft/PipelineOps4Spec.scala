@@ -283,6 +283,25 @@ class PipelineOps4Spec extends SparkSpecBase {
     assert(spark.table("budget_out").count() == batch.size)
   }
 
+  test("sharded token budget equals the sequential walk exactly") {
+    // one giant group (the case that serializes the global-walk form)
+    // plus a small one; ids chosen so shards are non-trivially filled
+    val docs = (1L to 500L).map(i => (i, "g", 3L + i % 7)) ++
+      (1000L to 1010L).map(i => (i, "h", 5L))
+    val df = docs.toDF("id", "grp", "n")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"grp", $"id", $"n_toks", $"cum_toks")
+        .as[(String, Long, Long, Long)].collect().toSet
+    val seqF = Sampling.tokenBudget(df, "grp", "id", $"n", 600L)
+    val shrd = Sampling.tokenBudgetSharded(df, "grp", "id", $"n", 600L)
+    assert(rows(shrd) == rows(seqF))
+    assert(rows(shrd).nonEmpty)
+    // and both bind strictly: nothing over budget, per group
+    rows(shrd).groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).max <= 600L)
+    }
+  }
+
   test("containment catches the quote case Jaccard misses") {
     val docs = Seq(
       (1L, "alpha beta gamma"),                               // short
