@@ -122,16 +122,31 @@ object Sampling {
     * in. Windows are per-shard, so parallelism = number of shards and
     * no global sort exists. */
   def packSequences(df: DataFrame, shardCol: String, idCol: String,
-      tokCountCol: String, windowTokens: Int): DataFrame = {
+      tokCountCol: String, windowTokens: Int): DataFrame =
+    packSequencesBy(df, shardCol, Seq(idCol), idCol, tokCountCol,
+      windowTokens)
+
+  /** [[packSequences]] with an explicit within-shard read order —
+    * the form a curriculum feeds: pack the stream in
+    * [[TrainingData.curriculumOrder]]'s `pos` order (or any other
+    * deterministic ordering) instead of id order. `orderCols` must be
+    * a total order within the shard for the offsets to be
+    * reproducible; same window shape, so parallelism stays = number
+    * of shards. */
+  def packSequencesBy(df: DataFrame, shardCol: String,
+      orderCols: Seq[String], idCol: String, tokCountCol: String,
+      windowTokens: Int): DataFrame = {
     // explicit ROWS frame: the default RANGE frame would merge
-    // duplicate (shard, id) rows into one cumulative step, overlapping
-    // their token ranges (and diverging from the ROWS-framed oracle)
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    // duplicate (shard, order) rows into one cumulative step,
+    // overlapping their token ranges (and diverging from the
+    // ROWS-framed oracle)
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = sum(col(tokCountCol)).over(w)
     val start = (cum - col(tokCountCol)).as("start_offset")
-    df.select(col(shardCol), col(idCol), col(tokCountCol),
-        start, cum.as("end_offset"))
+    df.select((Seq(shardCol) ++ orderCols ++ Seq(idCol, tokCountCol))
+        .distinct.map(col) :+ start :+ cum.as("end_offset"): _*)
       .where(col(tokCountCol) > 0)
       .withColumn("first_window",
         floor(col("start_offset") / windowTokens))

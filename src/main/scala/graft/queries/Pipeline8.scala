@@ -253,6 +253,51 @@ object Pipeline8 {
        |    ORDER BY q_bucket DESC, src_rank, h, doc_id) AS BIGINT) AS pos
        |FROM r""".stripMargin
 
+  // ---- q120: curriculum-ordered sequence packing ----
+
+  /** q118 composed into the trainer's byte stream: pack each shard's
+    * token stream in CURRICULUM order (not id order), so window 0 of
+    * every shard really holds the highest-quality interleaved cohort
+    * — the artifact a curriculum is for. */
+  def curriculumPack(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cur = graft.operators.TrainingData.curriculumOrder(
+      docs, "doc_id", "text", "source", nShards = 16)
+    val toks = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.normToks(col("text")))
+        .cast("long").as("n_toks"))
+    graft.operators.Sampling.packSequencesBy(
+      cur.join(toks, "doc_id"), "shard", Seq("pos"), "doc_id",
+      "n_toks", windowTokens = 512)
+  }
+
+  val curriculumPackSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    md5('0|' || CAST(doc_id AS VARCHAR)) AS h, $W AS w
+       |  FROM documents),
+       |b AS (SELECT doc_id, source, h, CAST(len(w) AS BIGINT) AS n_toks,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 16 AS shard,
+       |    least((4 * len(list_distinct(w))) // greatest(len(w), 1),
+       |      3) AS q_bucket
+       |  FROM d),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY shard, q_bucket, source
+       |    ORDER BY h, doc_id) AS src_rank FROM b),
+       |o AS (SELECT doc_id, shard, n_toks,
+       |    CAST(row_number() OVER (PARTITION BY shard
+       |      ORDER BY q_bucket DESC, src_rank, h, doc_id) AS BIGINT)
+       |      AS pos FROM r),
+       |c AS (SELECT *, sum(n_toks) OVER (PARTITION BY shard
+       |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |    CURRENT ROW) AS eo FROM o)
+       |SELECT shard, pos, doc_id, n_toks,
+       |  CAST(eo - n_toks AS BIGINT) AS start_offset,
+       |  CAST(eo AS BIGINT) AS end_offset,
+       |  CAST((eo - n_toks) // 512 AS BIGINT) AS first_window,
+       |  CAST((eo - 1) // 512 AS BIGINT) AS last_window
+       |FROM c WHERE n_toks > 0""".stripMargin
+
   // ---- q119: sharded token budget (planet-group form) ----
 
   def tokenBudgetSharded(s: SparkSession, d: String): DataFrame =
@@ -407,7 +452,8 @@ object Pipeline8 {
     "q112_source_parity"  -> (sourceParity _),
     "q118_curriculum"     -> (curriculum _),
     "q113_diff_expire"    -> (diffExpire _),
-    "q119_token_budget_sharded" -> (tokenBudgetSharded _))
+    "q119_token_budget_sharded" -> (tokenBudgetSharded _),
+    "q120_curriculum_pack" -> (curriculumPack _))
 
   val oracles: Map[String, String] = Map(
     "q111_dup_spans"      -> dupSpansSql,
@@ -417,5 +463,6 @@ object Pipeline8 {
     "q112_source_parity"  -> sourceParitySql,
     "q118_curriculum"     -> curriculumSql,
     "q113_diff_expire"    -> diffExpireSql,
-    "q119_token_budget_sharded" -> tokenBudgetShardedSql)
+    "q119_token_budget_sharded" -> tokenBudgetShardedSql,
+    "q120_curriculum_pack" -> curriculumPackSql)
 }
