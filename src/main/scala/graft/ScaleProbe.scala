@@ -88,6 +88,11 @@ object ScaleProbe {
         "doc_id",
         size(graft.functions.TextFunctions.normToks(col("text"))),
         budget = 100000L).count())
+    // q121: (doc,tok) pre-agg → token totals → driver-bounded top-V
+    // broadcast back — wall must track token volume, never pairs
+    time("vocab_coverage")(
+      graft.operators.TextAnalysis
+        .vocabCoverage(docs, "doc_id", "text").count())
     time("dup_span_coverage")(
       graft.operators.Dedup.dupSpanCoverage(docs, "doc_id", "text").count())
     // q111/q115 shape: same inverted-index gram join as coverage plus

@@ -625,6 +625,37 @@ object TextAnalysis {
         expr("(1000 * n_rare) div n_tokens"))
   }
 
+  /** Vocabulary coverage / OOV rate — the signal that sizes a
+    * tokenizer's vocab: fix the top-`topV` corpus tokens by occurrence
+    * count (ties broken by token, so the cut is deterministic in any
+    * engine) and report per document how many of its token
+    * OCCURRENCES fall outside that vocabulary. Exact integers
+    * (`oov_permille` is floor division).
+    *
+    * Scale: explode → (doc,tok) pre-aggregate → token totals → a
+    * driver-bounded top-V (TakeOrdered over distinct tokens, V rows)
+    * broadcast back — the per-doc join never shuffles the corpus on
+    * anything but the (doc,tok) key. Documents with zero tokens have
+    * no occurrences and drop out, same as the oracle. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      topV: Int = 256): DataFrame = {
+    val docTok = df.select(col(idCol).as("doc_id"),
+        explode(normToks(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = docTok.groupBy(col("tok"))
+      .agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(topV)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    docTok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(lit(0L)))
+          .as("n_oov"))
+      .withColumn("oov_permille", expr("(1000 * n_oov) div n_tokens"))
+  }
+
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, lit(EmailRe), lit("<EMAIL>"))

@@ -253,6 +253,25 @@ object Pipeline8 {
        |    ORDER BY q_bucket DESC, src_rank, h, doc_id) AS BIGINT) AS pos
        |FROM r""".stripMargin
 
+  // ---- q121: vocabulary coverage / OOV rate ----
+
+  def vocabCoverage(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.vocabCoverage(
+      Tables.documents(s, d), "doc_id", "text", topV = 256)
+
+  val vocabCoverageSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(w) AS t
+       |  FROM (SELECT doc_id, $W AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |f AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+       |v AS (SELECT t FROM f ORDER BY n DESC, t ASC LIMIT 256)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(CASE WHEN v.t IS NULL THEN 1 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST((1000 * count(CASE WHEN v.t IS NULL THEN 1 END))
+       |    // count(*) AS BIGINT) AS oov_permille
+       |FROM tok LEFT JOIN v USING (t) GROUP BY doc_id""".stripMargin
+
   // ---- q120: curriculum-ordered sequence packing ----
 
   /** q118 composed into the trainer's byte stream: pack each shard's
@@ -453,7 +472,8 @@ object Pipeline8 {
     "q118_curriculum"     -> (curriculum _),
     "q113_diff_expire"    -> (diffExpire _),
     "q119_token_budget_sharded" -> (tokenBudgetSharded _),
-    "q120_curriculum_pack" -> (curriculumPack _))
+    "q120_curriculum_pack" -> (curriculumPack _),
+    "q121_vocab_coverage"  -> (vocabCoverage _))
 
   val oracles: Map[String, String] = Map(
     "q111_dup_spans"      -> dupSpansSql,
@@ -464,5 +484,6 @@ object Pipeline8 {
     "q118_curriculum"     -> curriculumSql,
     "q113_diff_expire"    -> diffExpireSql,
     "q119_token_budget_sharded" -> tokenBudgetShardedSql,
-    "q120_curriculum_pack" -> curriculumPackSql)
+    "q120_curriculum_pack" -> curriculumPackSql,
+    "q121_vocab_coverage"  -> vocabCoverageSql)
 }

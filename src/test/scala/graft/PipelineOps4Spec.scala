@@ -302,6 +302,22 @@ class PipelineOps4Spec extends SparkSpecBase {
     }
   }
 
+  test("vocab coverage: OOV occurrences counted against the top-V cut") {
+    // "common" appears 6x (in vocab at V=2), "shared" 4x, the typo
+    // tokens once each — with V=2 the vocab is {common, shared}
+    val docs = Seq(
+      (1L, "common common common shared shared typoa"),
+      (2L, "common common common shared shared typob typob"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .vocabCoverage(docs, "doc_id", "text", topV = 2)
+      .select($"doc_id", $"n_tokens", $"n_oov", $"oov_permille")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 6L, 1L, 166L)))
+    assert(r(2L) == ((2L, 7L, 2L, 285L)))
+  }
+
   test("containment catches the quote case Jaccard misses") {
     val docs = Seq(
       (1L, "alpha beta gamma"),                               // short
