@@ -88,6 +88,12 @@ object ScaleProbe {
         "doc_id",
         size(graft.functions.TextFunctions.normToks(col("text"))),
         budget = 100000L).count())
+    // q114: snapshot diff — both sides reduce to (id, md5) before the
+    // full-outer id join; wall must track row count, never text bytes
+    time("corpus_diff")(
+      graft.operators.CorpusOps.corpusDiff(
+        docs, docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text")
+        .where(col("status") =!= "unchanged").count())
     // q121: (doc,tok) pre-agg → token totals → driver-bounded top-V
     // broadcast back — wall must track token volume, never pairs
     time("vocab_coverage")(

@@ -325,6 +325,31 @@ object CorpusOps {
     *
     * Scale: clusters frame = clustered subset; one equi-join back on
     * the id; one map-side-combinable aggregate on the source key. */
+  /** Corpus snapshot diff — the data-versioning primitive a pipeline
+    * runs between crawls: classify every document id across two
+    * snapshots as added / removed / changed / unchanged by content
+    * hash. One full-outer equi-join on the id key, both sides reduced
+    * to (id, md5) before shuffling — at 100 TB the join moves 48-byte
+    * rows, never text; co-partition/bucket both snapshots by id and
+    * the exchange disappears entirely. Downstream: `removed` ids feed
+    * [[BandIndexStore.append]] tombstones, `added`/`changed` feed its
+    * adds — this is the change-detection front of that maintenance
+    * loop (the same delete-before-add delta discipline as the OSM
+    * middle's change ingest). */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val a = oldSnap.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol)).as("h_old"))
+    val b = newSnap.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol)).as("h_new"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   def dedupEffectiveness(df: DataFrame, idCol: String, textCol: String,
       srcCol: String, minJaccard: Double = 0.5): DataFrame = {
     val clusters = Dedup.nearDupClusters(df, idCol, textCol, minJaccard)

@@ -253,6 +253,43 @@ object Pipeline8 {
        |    ORDER BY q_bucket DESC, src_rank, h, doc_id) AS BIGINT) AS pos
        |FROM r""".stripMargin
 
+  // ---- q114: corpus snapshot diff ----
+
+  /** The new snapshot is a deterministic transform of the old one so
+    * every status arises: ids ≡0 mod 13 dropped (removed), surviving
+    * ids ≡0 mod 7 get edited text (changed), ids ≡0 mod 17 re-enter
+    * shifted by 1e6 with new text (added); everything else is
+    * unchanged. */
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val surviving = docs.where(pmod(col("doc_id"), lit(13L)) =!= 0L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    val added = docs.where(pmod(col("doc_id"), lit(17L)) === 0L)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"))
+    graft.operators.CorpusOps.corpusDiff(
+      docs, surviving.unionByName(added), "doc_id", "text")
+  }
+
+  val corpusDiffSql: String =
+    """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |b AS (SELECT doc_id, md5(text) AS h FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+      |  FROM documents WHERE doc_id % 17 = 0))
+      |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.h IS NULL THEN 'added'
+      |       WHEN b.h IS NULL THEN 'removed'
+      |       WHEN a.h = b.h THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin
+
   // ---- q121: vocabulary coverage / OOV rate ----
 
   def vocabCoverage(s: SparkSession, d: String): DataFrame =
@@ -473,7 +510,8 @@ object Pipeline8 {
     "q113_diff_expire"    -> (diffExpire _),
     "q119_token_budget_sharded" -> (tokenBudgetSharded _),
     "q120_curriculum_pack" -> (curriculumPack _),
-    "q121_vocab_coverage"  -> (vocabCoverage _))
+    "q121_vocab_coverage"  -> (vocabCoverage _),
+    "q114_corpus_diff"     -> (corpusDiff _))
 
   val oracles: Map[String, String] = Map(
     "q111_dup_spans"      -> dupSpansSql,
@@ -485,5 +523,6 @@ object Pipeline8 {
     "q113_diff_expire"    -> diffExpireSql,
     "q119_token_budget_sharded" -> tokenBudgetShardedSql,
     "q120_curriculum_pack" -> curriculumPackSql,
-    "q121_vocab_coverage"  -> vocabCoverageSql)
+    "q121_vocab_coverage"  -> vocabCoverageSql,
+    "q114_corpus_diff"     -> corpusDiffSql)
 }

@@ -302,6 +302,18 @@ class PipelineOps4Spec extends SparkSpecBase {
     }
   }
 
+  test("corpus diff classifies every id across two snapshots") {
+    val old = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.CorpusOps
+      .corpusDiff(old, neu, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("vocab coverage: OOV occurrences counted against the top-V cut") {
     // "common" appears 6x (in vocab at V=2), "shared" 4x, the typo
     // tokens once each — with V=2 the vocab is {common, shared}
