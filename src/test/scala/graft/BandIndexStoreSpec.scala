@@ -267,6 +267,58 @@ class BandIndexStoreSpec extends SparkSpecBase {
     } finally rm(path)
   }
 
+  test("randomized maintenance schedules match the rebuild model") {
+    // model-based: apply seeded-random append/delete/compact schedules
+    // to the store and after every op compare the resolved view with
+    // a from-scratch banding of the model corpus (map id -> text with
+    // delete-before-add batch semantics)
+    val rnd = new scala.util.Random(42)
+    (1 to 4).foreach { schedule =>
+      val path = tmp()
+      try {
+        var model = (1L to 8L).map(i => i -> s"s${schedule}_$i").toMap
+        var nextId = 100L * schedule
+        BandIndexStore.write(
+          model.toSeq.map { case (i, s) => doc(i, s) }
+            .toDF("doc_id", "text"),
+          "doc_id", "text", path, buckets = 8)
+        def assertMatchesModel(): Unit = {
+          val expected = Dedup.bandIndex(
+            model.toSeq.map { case (i, s) => doc(i, s) }
+              .toDF("doc_id", "text"), "doc_id", "text")
+            .as[(Long, String)].collect().toSet
+          val got = BandIndexStore.read(spark, path)
+            .as[(Long, String)].collect().toSet
+          assert(got == expected, s"schedule $schedule diverged")
+        }
+        (1 to 4).foreach { _ =>
+          val deletes = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextDouble() < 0.3)
+          val adds = (0 until rnd.nextInt(3)).map { _ =>
+            nextId += 1; nextId -> s"t${schedule}_$nextId"
+          }
+          // contract: delete-before-add within the batch — an id both
+          // deleted and re-added is a REPLACE
+          val readd = deletes.filter(_ => rnd.nextBoolean()).map { i =>
+            i -> s"r${schedule}_${i}_$nextId"
+          }
+          model = (model -- deletes) ++ adds ++ readd
+          BandIndexStore.append(spark, path,
+            (adds ++ readd).map { case (i, s) => doc(i, s) }
+              .toDF("doc_id", "text"),
+            "doc_id", "text", deletes.toDF("doc_id"))
+          assertMatchesModel()
+          if (rnd.nextBoolean()) {
+            BandIndexStore.compact(spark, path)
+            assertMatchesModel()
+          }
+        }
+        BandIndexStore.compact(spark, path)
+        assertMatchesModel()
+      } finally rm(path)
+    }
+  }
+
   test("a bucket whose rows all die is dropped, even with no survivors") {
     val path = tmp()
     try {
