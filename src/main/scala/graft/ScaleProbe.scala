@@ -88,6 +88,17 @@ object ScaleProbe {
         "doc_id",
         size(graft.functions.TextFunctions.normToks(col("text"))),
         budget = 100000L).count())
+    // q122: persisted IVF — write once, then the probe must stay
+    // bounded by the probed cells (partition-pruned), not index size
+    time("ivf_persisted_probe") {
+      val e = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_probe").toString
+      graft.operators.IvfIndexStore.write(e, p)
+      graft.operators.IvfIndexStore
+        .probe(spark, p, e.where(col("id") < 8), k = 5).count()
+    }
     // q114: snapshot diff — both sides reduce to (id, md5) before the
     // full-outer id join; wall must track row count, never text bytes
     time("corpus_diff")(

@@ -253,6 +253,22 @@ object Pipeline8 {
        |    ORDER BY q_bucket DESC, src_rank, h, doc_id) AS BIGINT) AS pos
        |FROM r""".stripMargin
 
+  // ---- q122: persisted IVF index (build → partition-pruned probe) ----
+
+  /** Builds the stored IVF index in a scratch directory and serves
+    * the q25 probe batch from it — same centroid scheme, same
+    * quantized cosine, so the oracle is q25's SQL verbatim: the
+    * persisted route must reproduce the in-plan route bit for bit. */
+  def ivfPersisted(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx").toString
+    graft.operators.IvfIndexStore.write(e, path)
+    graft.operators.IvfIndexStore.probe(s, path,
+      e.where(col("id") < 8), k = 5)
+  }
+
   // ---- q114: corpus snapshot diff ----
 
   /** The new snapshot is a deterministic transform of the old one so
@@ -511,7 +527,8 @@ object Pipeline8 {
     "q119_token_budget_sharded" -> (tokenBudgetSharded _),
     "q120_curriculum_pack" -> (curriculumPack _),
     "q121_vocab_coverage"  -> (vocabCoverage _),
-    "q114_corpus_diff"     -> (corpusDiff _))
+    "q114_corpus_diff"     -> (corpusDiff _),
+    "q122_ivf_persisted"   -> (ivfPersisted _))
 
   val oracles: Map[String, String] = Map(
     "q111_dup_spans"      -> dupSpansSql,
@@ -524,5 +541,6 @@ object Pipeline8 {
     "q119_token_budget_sharded" -> tokenBudgetShardedSql,
     "q120_curriculum_pack" -> curriculumPackSql,
     "q121_vocab_coverage"  -> vocabCoverageSql,
-    "q114_corpus_diff"     -> corpusDiffSql)
+    "q114_corpus_diff"     -> corpusDiffSql,
+    "q122_ivf_persisted"   -> Pipeline.ivfAnnTopKSql)
 }

@@ -268,8 +268,9 @@ class PlanSpec extends SparkSpecBase {
     // contract (Similarity.scala:98-111; probe count bounded)
     "q20_ann_cosine_topk", "q75_ann_recall_eval",
     // ≤256-row broadcast centroid/codebook tables (IVF coarse assign,
-    // Voronoi blocking)
-    "q25_ivf_ann_topk", "q66_semantic_dedup",
+    // Voronoi blocking; q122 is q25's persisted-index route — same
+    // broadcast centroid rank, plus a partition-pruned cells scan)
+    "q25_ivf_ann_topk", "q122_ivf_persisted", "q66_semantic_dedup",
     // single-row broadcast corpus stats (N, avgdl / doc count / Σw)
     "q70_term_relevance", "q90_bm25_retrieval", "q79_temperature_mix",
     "q102_importance_sample",
