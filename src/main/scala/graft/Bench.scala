@@ -78,8 +78,13 @@ object Bench {
         case other => other
       })
     }
+    // millisecond precision: full double precision tripled the line
+    // length and contributed to the driver's stdout-tail truncation
+    // (BENCH_r07/r10 lost timings); 1 ms resolution is below host
+    // noise anyway
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map {
-      case (k, Some(v)) => "\"" + k + "\":" + v
+      case (k, Some(v)) => "\"" + k + "\":" + ms(v)
       case (k, None)    => "\"" + k + "\":-1.0"
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
@@ -87,8 +92,7 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
-    println(json)
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
     // Also persist the record to disk: the driver captures a stdout
     // TAIL, and at 87+ queries the single JSON line can exceed it
     // (BENCH_r07 lost 29 timings to truncation). A file never does.
@@ -100,6 +104,10 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // stop Spark BEFORE the record line so no shutdown logging can
+    // land after it: the complete per-query JSON must be the single
+    // LAST stdout line the driver tails
     spark.stop()
+    println(json)
   }
 }

@@ -93,8 +93,7 @@ object ScaleProbe {
     time("ivf_persisted_probe") {
       val e = emb.select(col("vec_id").as("id"),
         col("embedding").as("vec"))
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ivf_probe").toString
+      val p = graft.tools.Scratch.dir("graft_ivf_probe")
       graft.operators.IvfIndexStore.write(e, p)
       graft.operators.IvfIndexStore
         .probe(spark, p, e.where(col("id") < 8), k = 5).count()

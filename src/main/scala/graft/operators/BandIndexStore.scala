@@ -50,8 +50,22 @@ import org.apache.spark.sql.functions._
   * → roll the interrupted swap FORWARD (finish it — the rewrite is
   * durable); no marker → roll BACK (discard the sibling; the intact
   * log replays on the next compaction). No interleaving of crash and
-  * restart can lose a bucket's live rows. */
+  * restart can lose a bucket's live rows. Hadoop FS also signals
+  * failures by RETURNING FALSE rather than throwing, so every
+  * rename/delete on the commit path is checked ([[fsDo]]): a failed
+  * swap aborts BEFORE the log or sibling is cleared, leaving the
+  * marker + tmp in place for the next [[recover]] to retry — the
+  * protocol never converts a false return into silent row loss.
+  *
+  * Filesystem contract: the commit point is an ATOMIC directory
+  * rename — true on HDFS and local filesystems, NOT on object stores
+  * (S3A/GCS emulate rename as copy+delete, so a half-copied marker or
+  * bucket swap is observable mid-flight). On an object store, front
+  * this layout with an HDFS-semantics layer (e.g. an HBoss/consistent
+  * committer) or a table format that owns the commit protocol. */
 object BandIndexStore {
+
+  import FsOps.{deleteChecked, renameChecked}
 
   private def bucketed(idx: DataFrame, buckets: Int): DataFrame =
     idx.withColumn("bucket", pmod(xxhash64(col("band")), lit(buckets)))
@@ -118,9 +132,16 @@ object BandIndexStore {
         .cast("long").as("id"))
       .withColumn("band", lit(null).cast("string"))
       .withColumn("op", lit("d"))
-    // xxhash64(null) is the seed, so every tombstone lands in one
-    // deterministic bucket — fine, deletes carry no payload
-    bucketed(a.unionByName(d), buckets)
+    // adds bucket by band (the snapshot's key); tombstones carry a
+    // null band (xxhash64(null) = seed = ONE bucket), so they bucket
+    // by id instead — a planet-scale delete generation spreads across
+    // all buckets rather than funneling into a single write task.
+    // Safe: resolution and compaction key tombstones by id, never by
+    // their log bucket (spec'd: multi-bucket delete gen, same view).
+    a.unionByName(d)
+      .withColumn("bucket",
+        when(col("op") === "d", pmod(xxhash64(col("id")), lit(buckets)))
+          .otherwise(pmod(xxhash64(col("band")), lit(buckets))))
       .withColumn("gen", lit(gen))
       .repartition(buckets, col("bucket"))
       .sortWithinPartitions("bucket", "op", "id", "band")
@@ -159,7 +180,7 @@ object BandIndexStore {
     val tmp = new Path(tmpDir(path))
     if (!f.exists(tmp)) return
     val marker = new Path(s"${tmpDir(path)}/_COMMIT")
-    if (!f.exists(marker)) { f.delete(tmp, true); return }
+    if (!f.exists(marker)) { deleteChecked(f, tmp); return }
     val in = f.open(marker)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -167,8 +188,8 @@ object BandIndexStore {
     def ids(s: String) =
       s.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
     applySwaps(spark, path, ids(swapLine), ids(dropLine))
-    f.delete(new Path(s"$path/log"), true)
-    f.delete(tmp, true)
+    deleteChecked(f, new Path(s"$path/log"))
+    deleteChecked(f, tmp)
   }
 
   /** Idempotent commit application: dropped buckets are deleted (a
@@ -178,12 +199,16 @@ object BandIndexStore {
   private def applySwaps(spark: SparkSession, path: String,
       swap: Seq[Int], drop: Seq[Int]): Unit = {
     val f = fs(spark, path)
-    drop.foreach(b => f.delete(new Path(s"$path/snap/bucket=$b"), true))
+    drop.foreach(b =>
+      deleteChecked(f, new Path(s"$path/snap/bucket=$b")))
     swap.foreach { b =>
       val src = new Path(s"${tmpDir(path)}/bucket=$b")
       if (f.exists(src)) {
-        f.delete(new Path(s"$path/snap/bucket=$b"), true)
-        f.rename(src, new Path(s"$path/snap/bucket=$b"))
+        // checked: an unchecked false rename after the destination
+        // delete is exactly the permanent-loss window the _COMMIT
+        // protocol exists to close — abort and let recover retry
+        deleteChecked(f, new Path(s"$path/snap/bucket=$b"))
+        renameChecked(f, src, new Path(s"$path/snap/bucket=$b"))
       }
     }
   }
@@ -253,11 +278,11 @@ object BandIndexStore {
         (swap.mkString(",") + "\n" + drop.mkString(","))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      f.rename(markerTmp, new Path(s"$tmp/_COMMIT"))
+      renameChecked(f, markerTmp, new Path(s"$tmp/_COMMIT"))
       if (failpoint == 2) sys.error("failpoint 2: after commit marker")
       applySwaps(spark, path, swap, drop)
-      f.delete(new Path(s"$path/log"), true)
-      f.delete(new Path(tmp), true)
-    } else f.delete(new Path(s"$path/log"), true)
+      deleteChecked(f, new Path(s"$path/log"))
+      deleteChecked(f, new Path(tmp))
+    } else deleteChecked(f, new Path(s"$path/log"))
   }
 }

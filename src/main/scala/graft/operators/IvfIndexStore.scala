@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,16 +12,27 @@ import graft.functions.VectorFunctions._
   * the coarse quantizer once, assigns the corpus once, and then
   * serves probe batches against the stored cells without ever
   * re-scanning the corpus. [[Similarity.ivfTopK]] is the in-plan
-  * form; this persists its two artifacts:
-  *   - `path/centroids` — the capped deterministic centroid sample
-  *     (id % centroidEvery == 0, lowest `centroidCap` ids), quantized
-  *     vectors + norms, ≤ centroidCap rows;
-  *   - `path/cells/cell=K/` — every corpus vector (id, quantized
+  * form; this persists its two artifacts, under a VERSIONED layout:
+  *   - `path/v=N/centroids` — the capped deterministic centroid
+  *     sample (id % centroidEvery == 0, lowest `centroidCap` ids),
+  *     quantized vectors + norms, ≤ centroidCap rows;
+  *   - `path/v=N/cells/cell=K/` — every corpus vector (id, quantized
   *     vector, norm) under its argmax-cosine cell, one directory per
-  *     Voronoi cell.
+  *     Voronoi cell;
+  *   - `path/v=N/_COMMITTED` — the commit marker, created by atomic
+  *     rename AFTER both artifacts are fully written.
+  *
+  * Crash safety: a reader resolves the HIGHEST version carrying the
+  * marker, so an interrupted [[write]] (torn cells, half the
+  * centroids) is simply invisible — the probe sees the previous
+  * complete index or the new complete one, never a torn cell set.
+  * The next successful write garbage-collects superseded and torn
+  * versions. Same atomic-rename filesystem contract as
+  * [[BandIndexStore]] (HDFS/local yes, object stores no — see
+  * [[FsOps]]).
   *
   * Probe cost is the point: a batch of Q queries ranks cells against
-  * the broadcast centroids, and the scan of `path/cells` is
+  * the broadcast centroids, and the scan of the cells directory is
   * PARTITION-PRUNED to the ≤ Q·nprobe probed cell directories — at
   * 100 TB of vectors the probe reads ~nprobe/|C| of the index, and
   * the pruned-cell list is a bounded driver collect (≤ Q·nprobe ids,
@@ -30,18 +42,72 @@ import graft.functions.VectorFunctions._
   * [[Similarity.ivfTopK]] with the same parameters (spec'd). */
 object IvfIndexStore {
 
+  import FsOps.{deleteChecked, renameChecked}
+
   private val qcos = (v: Column, n1: Column, v2: Column, n2: Column) =>
     qdot(v, v2).cast("double") / (n1 * n2)
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+  }
+
+  private def isCommitted(spark: SparkSession, path: String,
+      v: Long): Boolean =
+    fs(spark, path).exists(new Path(s"$path/v=$v/_COMMITTED"))
+
+  /** The version a reader serves: the highest committed one. */
+  private[graft] def currentVersion(spark: SparkSession,
+      path: String): Option[Long] =
+    versions(spark, path).filter(isCommitted(spark, path, _))
+      .sorted.lastOption
 
   /** Train (deterministic sample) + assign + store. One corpus pass:
     * the assignment argmax is map-side combinable (one compact row
     * per vector before the shuffle), then one hash-partitioned write
-    * by cell. */
+    * by cell — SALTED by a hash of the vector id into `writeSplits`
+    * shards per cell, so a hot Voronoi cell (real embedding
+    * distributions are never uniform over cells) writes through
+    * `writeSplits` parallel tasks instead of funneling into one.
+    * Each (cell, salt) shard is one deterministically-sorted file;
+    * readers only ever see the cell directory, so the salt is
+    * invisible to [[probe]] (spec'd: skewed fixture → >1 file per hot
+    * cell, probe bit-equal). */
   def write(corpus: DataFrame, path: String,
-      centroidEvery: Int = 25, centroidCap: Int = 256): Unit = {
+      centroidEvery: Int = 25, centroidCap: Int = 256,
+      writeSplits: Int = 8): Unit =
+    writeWithFailpoint(corpus, path, centroidEvery, centroidCap,
+      writeSplits, failpoint = 0)
+
+  /** Test seam: `failpoint` 1 aborts after the artifacts are written
+    * but BEFORE the commit marker (the version must stay invisible);
+    * 2 aborts AFTER the marker but before superseded versions are
+    * cleaned (the new version must serve; cleanup resumes on the next
+    * write). 0 is the production path. */
+  private[graft] def writeWithFailpoint(corpus: DataFrame, path: String,
+      centroidEvery: Int, centroidCap: Int, writeSplits: Int,
+      failpoint: Int): Unit = {
+    val spark = corpus.sparkSession
     require(corpus.isEmpty ||
       !corpus.where(col("id") % centroidEvery === 0).isEmpty,
       s"IVF centroid sample is empty (no id % $centroidEvery == 0 rows)")
+    val f = fs(spark, path)
+    val existing = versions(spark, path)
+    val current = currentVersion(spark, path)
+    // GC: superseded and torn versions from earlier interrupted runs
+    // (everything but the serving version) — checked deletes, so a
+    // failing FS aborts before we stage over a half-deleted dir
+    existing.filterNot(current.contains).foreach(v =>
+      deleteChecked(f, new Path(s"$path/v=$v")))
+    val next = existing.foldLeft(0L)(math.max) + 1L
+    val vdir = s"$path/v=$next"
+
     val cent = broadcast(corpus
       .where(col("id") % centroidEvery === 0)
       .select(col("id").as("cid"), quantize(col("vec")).as("cv"))
@@ -62,20 +128,38 @@ object IvfIndexStore {
       .select(col("nid"), col("nv"), col("nn"),
         (-col("m.nc")).as("cell"))
     assigned
-      .repartition(col("cell"))
+      .withColumn("salt", pmod(xxhash64(col("nid")), lit(writeSplits)))
+      .repartition(col("cell"), col("salt"))
       .sortWithinPartitions("cell", "nid")
+      .drop("salt")
       .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$path/cells")
+      .parquet(s"$vdir/cells")
     cent.select(col("cid"), col("cv"), col("cn"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
+    if (failpoint == 1) sys.error("failpoint 1: before commit marker")
+    // COMMIT POINT — marker lands via atomic rename; a version without
+    // it is invisible to every reader
+    val markerTmp = new Path(s"$vdir/_COMMITTED.inprogress")
+    f.create(markerTmp, true).close()
+    renameChecked(f, markerTmp, new Path(s"$vdir/_COMMITTED"))
+    if (failpoint == 2) sys.error("failpoint 2: after commit marker")
+    current.foreach(v => deleteChecked(f, new Path(s"$path/v=$v")))
+  }
+
+  private def servingDir(spark: SparkSession, path: String): String = {
+    val v = currentVersion(spark, path).getOrElse(
+      sys.error(s"IvfIndexStore: no committed index version at $path"))
+    s"$path/v=$v"
   }
 
   /** Serve a probe batch: rank the broadcast centroids per query,
-    * read ONLY the probed cell partitions, exact quantized cosine
-    * within them, top-k with deterministic tie-breaks. */
+    * read ONLY the probed cell partitions of the current committed
+    * version, exact quantized cosine within them, top-k with
+    * deterministic tie-breaks. */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 2): DataFrame = {
-    val cent = broadcast(spark.read.parquet(s"$path/centroids"))
+    val vdir = servingDir(spark, path)
+    val cent = broadcast(spark.read.parquet(s"$vdir/centroids"))
     val q = broadcast(queries.select(col("id").as("qid"),
         quantize(col("vec")).as("qv"))
       .withColumn("qn", sqrt(qdot(col("qv"), col("qv")).cast("double"))))
@@ -92,7 +176,7 @@ object IvfIndexStore {
     // only the probed cell=K directories are listed and scanned
     val probedCells = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0))
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = spark.read.parquet(s"$vdir/cells")
       .where(col("cell").cast("long").isInCollection(probedCells))
       .select(col("nid"), col("nv"), col("nn"),
         col("cell").cast("long").as("cell"))

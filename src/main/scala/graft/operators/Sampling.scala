@@ -209,7 +209,10 @@ object Sampling {
     * The running total then reassembles from three bounded steps:
     * a per-(group, shard) window (parallelism = groups × 256), a
     * per-group prefix over the ≤256 shard totals (trivial rows), and
-    * a broadcast-sized join back. Same (group, id, n_toks, cum_toks)
+    * an equi-join back on (group, shard). The offsets side is tiny
+    * PER GROUP but group count is unbounded (per-domain grouping is
+    * the use case), so no broadcast hint — AQE picks broadcast when
+    * the total actually fits. Same (group, id, n_toks, cum_toks)
     * rows as [[tokenBudget]] on any input — spec'd equal — so the
     * sequential form is just its readable specification. */
   def tokenBudgetSharded(df: DataFrame, groupCol: String, idCol: String,
@@ -229,7 +232,7 @@ object Sampling {
       .withColumn("offset",
         coalesce(sum(col("shard_total")).over(wPrefix), lit(0L)))
       .select(col(groupCol), col("shard"), col("offset"))
-    inShard.join(broadcast(offsets), Seq(groupCol, "shard"))
+    inShard.join(offsets, Seq(groupCol, "shard"))
       .select(col(groupCol), col(idCol), col("n_toks"),
         (col("offset") + col("cum_in")).as("cum_toks"))
       .where(col("cum_toks") <= budget)

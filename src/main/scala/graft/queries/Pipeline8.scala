@@ -155,7 +155,8 @@ object Pipeline8 {
     val (ns, ws, rs) =
       (parsed.nodes.map(_._2), parsed.ways.map(_._2),
         parsed.relations.map(_._2))
-    val dir = java.nio.file.Files.createTempDirectory("graft_parity")
+    val dir = java.nio.file.Paths.get(
+      graft.tools.Scratch.dir("graft_parity"))
     java.nio.file.Files.write(dir.resolve("f.o5m"),
       O5m.encode(ns, ws, rs))
     java.nio.file.Files.write(dir.resolve("f.opl"),
@@ -262,8 +263,7 @@ object Pipeline8 {
   def ivfPersisted(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_ivfidx").toString
+    val path = graft.tools.Scratch.dir("graft_ivfidx")
     graft.operators.IvfIndexStore.write(e, path)
     graft.operators.IvfIndexStore.probe(s, path,
       e.where(col("id") < 8), k = 5)
@@ -476,8 +476,7 @@ object Pipeline8 {
     val gen1 = docs.where(col("source").isInCollection(gen1Src))
     val gen2 = docs.where(!col("source").isInCollection(snapSrc) &&
       !col("source").isInCollection(gen1Src))
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_bandidx").toString
+    val path = graft.tools.Scratch.dir("graft_bandidx")
     BandIndexStore.write(snap, "doc_id", "text", path, buckets = 16)
     BandIndexStore.append(s, path, gen1, "doc_id", "text",
       snap.where(col("doc_id") % 3 === 0).select(col("doc_id")))

@@ -319,6 +319,34 @@ class BandIndexStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("a delete-only generation spreads tombstones across buckets") {
+    val path = tmp()
+    try {
+      val corpus = (1L to 64L).map(i => doc(i, s"s$i"))
+        .toDF("doc_id", "text")
+      BandIndexStore.write(corpus, "doc_id", "text", path, buckets = 8)
+      // a planet-scale delete batch: band is null on every tombstone,
+      // so bucketing by band would funnel ALL of them into the one
+      // null-hash bucket — they must spread by id instead
+      BandIndexStore.append(spark, path,
+        corpus.where(lit(false)), "doc_id", "text",
+        (1L to 32L).toDF("doc_id"))
+      val genDirs = new File(s"$path/log/gen=1").listFiles()
+        .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+      assert(genDirs.size > 1,
+        s"tombstone generation funneled into $genDirs")
+      // resolution semantics unchanged by the spread (id-keyed)
+      val expected = Dedup.bandIndex(
+        corpus.where($"doc_id" > 32L), "doc_id", "text")
+        .as[(Long, String)].collect().toSet
+      assert(BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet == expected)
+      BandIndexStore.compact(spark, path)
+      assert(BandIndexStore.read(spark, path)
+        .as[(Long, String)].collect().toSet == expected)
+    } finally rm(path)
+  }
+
   test("a bucket whose rows all die is dropped, even with no survivors") {
     val path = tmp()
     try {

@@ -37,11 +37,17 @@ class IvfIndexStoreSpec extends SparkSpecBase {
       .deleteDirectory(new File(path))
   }
 
+  private def cellsDir(path: String): File = {
+    val v = IvfIndexStore.currentVersion(spark, path)
+      .getOrElse(fail(s"no committed version at $path"))
+    new File(s"$path/v=$v/cells")
+  }
+
   test("the cells scan is partition-pruned to the probed cells") {
     val path = Files.createTempDirectory("ivfidx").toString
     try {
       IvfIndexStore.write(vecs, path)
-      val nCells = new File(s"$path/cells").listFiles()
+      val nCells = cellsDir(path).listFiles()
         .count(_.getName.startsWith("cell="))
       assert(nCells > 2, s"fixture built only $nCells cells")
       // one query, nprobe=1: the physical scan must touch exactly one
@@ -71,5 +77,143 @@ class IvfIndexStoreSpec extends SparkSpecBase {
       assert(probe.count() > 0)
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new File(path))
+  }
+
+  test("a hot cell writes through multiple salted tasks, probe bit-equal") {
+    val path = Files.createTempDirectory("ivfidx").toString
+    try {
+      // skewed fixture: ids 25,50,75 are the centroid sample; every
+      // other vector sits on top of centroid 25's direction, so one
+      // Voronoi cell receives nearly the whole corpus
+      val hot = (1L to 96L).map { i =>
+        val bump = if (i % 25 == 0) i.toDouble else 0.001 * i
+        (i, (0 until 8).map(d =>
+          (math.sin(25 * 0.37 + d * 1.13) + bump * 1e-4 * d).toFloat)
+          .toArray.toSeq)
+      }.toDF("id", "vec")
+      // AQE's size-based coalescer re-merges sub-KB salted shards at
+      // test scale (at real scale a hot cell's shards are hundreds of
+      // MB and stay apart — merging tiny ones is the desired
+      // behavior); disable it here to observe the salt fan-out itself
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try IvfIndexStore.write(hot, path, writeSplits = 8)
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val cells = cellsDir(path).listFiles()
+        .filter(_.getName.startsWith("cell="))
+      val hottest = cells.maxBy(
+        _.listFiles().count(_.getName.endsWith(".parquet")))
+      val nFiles = hottest.listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(nFiles > 1,
+        s"hot cell ${hottest.getName} wrote through one task ($nFiles file)")
+      // the salt must be invisible to the reader: bit-equal to in-plan
+      val queries = hot.where($"id" < 4)
+      val stored = IvfIndexStore.probe(spark, path, queries, k = 4)
+        .select($"qid", $"nid", $"cos", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val inPlan = Similarity.ivfTopK(queries, hot, k = 4)
+        .select($"qid", $"nid", $"cos", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(stored == inPlan && stored.nonEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(path))
+  }
+
+  private def probeSet(path: String, queries: org.apache.spark.sql.DataFrame) =
+    IvfIndexStore.probe(spark, path, queries, k = 3)
+      .select($"qid", $"nid", $"cos", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+  test("interrupted write before the marker leaves the old index serving") {
+    val path = Files.createTempDirectory("ivfidx").toString
+    try {
+      val a = vecs
+      val b = vecs.withColumn("vec",
+        org.apache.spark.sql.functions.transform($"vec", x => -x))
+      IvfIndexStore.write(a, path)
+      val queries = a.where($"id" < 4)
+      val before = probeSet(path, queries)
+      intercept[RuntimeException] {
+        IvfIndexStore.writeWithFailpoint(b, path, 25, 256, 8, failpoint = 1)
+      }
+      // torn version invisible: probe equals the old complete index
+      assert(probeSet(path, queries) == before)
+      // the next write garbage-collects the torn version and commits
+      IvfIndexStore.write(b, path)
+      assert(probeSet(path, queries) ==
+        Similarity.ivfTopK(queries, b, k = 3)
+          .select($"qid", $"nid", $"cos", $"rank")
+          .as[(Long, Long, Double, Int)].collect().toSet)
+      assert(IvfIndexStore.currentVersion(spark, path).nonEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(path))
+  }
+
+  test("interrupted write after the marker serves the new index") {
+    val path = Files.createTempDirectory("ivfidx").toString
+    try {
+      val a = vecs
+      val b = vecs.withColumn("vec",
+        org.apache.spark.sql.functions.transform($"vec", x => -x))
+      IvfIndexStore.write(a, path)
+      val queries = a.where($"id" < 4)
+      intercept[RuntimeException] {
+        IvfIndexStore.writeWithFailpoint(b, path, 25, 256, 8, failpoint = 2)
+      }
+      // committed: the new version serves even though the superseded
+      // one was not yet cleaned up
+      assert(probeSet(path, queries) ==
+        Similarity.ivfTopK(queries, b, k = 3)
+          .select($"qid", $"nid", $"cos", $"rank")
+          .as[(Long, Long, Double, Int)].collect().toSet)
+      // a later write completes the deferred GC: one version remains
+      IvfIndexStore.write(a, path)
+      val vs = new File(path).listFiles()
+        .count(_.getName.startsWith("v="))
+      assert(vs == 1, s"GC left $vs versions")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(path))
+  }
+
+  test("randomized interrupted-write schedules never serve a torn index") {
+    // model-based, like BandIndexStoreSpec: a seeded-random sequence
+    // of writes, each maybe interrupted at a random failpoint; after
+    // every step the probe must equal the in-plan ivfTopK over the
+    // last corpus whose write reached the commit marker — never a
+    // mixture
+    val rnd = new scala.util.Random(1107L)
+    val corpora = (0 until 3).map { j =>
+      (1L to 80L).map { i =>
+        (i, (0 until 8).map(d =>
+          math.sin(i * 0.37 + d * 1.13 + j * 2.1).toFloat).toArray.toSeq)
+      }.toDF("id", "vec")
+    }
+    (1 to 3).foreach { _ =>
+      val path = Files.createTempDirectory("ivfidx").toString
+      try {
+        var committed = corpora(0)
+        IvfIndexStore.write(committed, path)
+        val queries = corpora(0).where($"id" < 4)
+        (1 to 4).foreach { _ =>
+          val next = corpora(rnd.nextInt(corpora.length))
+          rnd.nextInt(3) match {
+            case 0 =>
+              IvfIndexStore.write(next, path); committed = next
+            case 1 =>
+              intercept[RuntimeException](IvfIndexStore
+                .writeWithFailpoint(next, path, 25, 256, 8, failpoint = 1))
+            case 2 =>
+              intercept[RuntimeException](IvfIndexStore
+                .writeWithFailpoint(next, path, 25, 256, 8, failpoint = 2))
+              committed = next
+          }
+          val expected = Similarity.ivfTopK(queries, committed, k = 3)
+            .select($"qid", $"nid", $"cos", $"rank")
+            .as[(Long, Long, Double, Int)].collect().toSet
+          assert(probeSet(path, queries) == expected)
+        }
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new File(path))
+    }
   }
 }

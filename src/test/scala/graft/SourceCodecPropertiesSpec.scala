@@ -20,8 +20,13 @@ import graft.sources.{O5m, Opl, OsmPbf}
 class SourceCodecPropertiesSpec extends AnyFunSuite {
 
   private def check(p: Prop): Unit = {
+    // pinned initial seed: a failing counterexample reproduces on
+    // re-run (the repo's determinism discipline — unseeded ScalaCheck
+    // failures are one-shot)
     val res = org.scalacheck.Test.check(
-      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(60), p)
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(60)
+        .withInitialSeed(org.scalacheck.rng.Seed(0x6aF7_11d3_5eed_2026L)), p)
     assert(res.passed, res.status.toString)
   }
 
