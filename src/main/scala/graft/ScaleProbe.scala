@@ -98,6 +98,31 @@ object ScaleProbe {
       graft.operators.IvfIndexStore
         .probe(spark, p, e.where(col("id") < 8), k = 5).count()
     }
+    // q124: persisted IVF-PQ — same pruning discipline as q122, plus
+    // the ADC LUT join; wall must track probed-cell code rows
+    time("ivfpq_persisted_probe") {
+      val e = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val p = graft.tools.Scratch.dir("graft_ivfpq_probe")
+      graft.operators.IvfPqIndexStore.write(e, p)
+      graft.operators.IvfPqIndexStore
+        .probe(spark, p, e.where(col("id") < 8), k = 5).count()
+    }
+    // q123/q27: the real codec path is map-only (encode + decode per
+    // row inside one mapPartitions pass) — wall must track row count
+    time("media_decode") {
+      import spark.implicits._
+      graft.sources.Multimodal.decodeStats(
+        docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+          ids.map { id =>
+            graft.sources.Multimodal.MediaRow(id, "png",
+              graft.sources.Codecs.encodePng(8, 8, 1,
+                Array.tabulate(64)(i =>
+                  ((id * 31 + i.toLong * 7) % 256).toInt)), Map.empty)
+          }
+        },
+        graft.sources.Multimodal.BinaryDecoder).count()
+    }
     // q114: snapshot diff — both sides reduce to (id, md5) before the
     // full-outer id join; wall must track row count, never text bytes
     time("corpus_diff")(

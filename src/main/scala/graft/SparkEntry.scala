@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Pipeline6.queries ++
       graft.queries.Pipeline7.queries ++
       graft.queries.Pipeline8.queries ++
+      graft.queries.Pipeline9.queries ++
       graft.queries.OsmAnalog.queries ++
       graft.queries.GenQueries.queries
 
@@ -41,6 +42,7 @@ object SparkEntry {
       graft.queries.Pipeline6.oracles ++
       graft.queries.Pipeline7.oracles ++
       graft.queries.Pipeline8.oracles ++
+      graft.queries.Pipeline9.oracles ++
       graft.queries.OsmAnalog.oracles ++
       graft.queries.GenQueries.oracles
 }

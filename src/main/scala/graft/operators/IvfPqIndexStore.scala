@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** IVF-PQ — the composition of the two persisted vector artifacts
+  * into the shape a production 100 TB vector store actually runs
+  * (the FAISS IVFADC layout, Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): a coarse quantizer prunes
+  * the scan to `nprobe` Voronoi cells, and within the probed cells
+  * vectors are scored from their PQ codes via an ADC lookup table —
+  * the full-precision vectors are NEVER read at query time, and the
+  * index stores m bytes-ish per vector instead of the float payload.
+  *
+  * Layout mirrors [[IvfIndexStore]]'s crash-safe versioned store
+  * (`path/v=N/_COMMITTED` committed-version protocol, same
+  * atomic-rename filesystem contract — see [[FsOps]]):
+  *   - `v=N/centroids` — the coarse quantizer (≤ centroidCap
+  *     deterministic sampled rows: cid, quantized vector, norm);
+  *   - `v=N/codebook`  — the PQ training rows (id, quantized vector),
+  *     from which probes rebuild per-query lookup tables;
+  *   - `v=N/cells/cell=K/` — (nid, codes array<long>): every corpus
+  *     vector reduced to its m sub-quantizer codes, partitioned by
+  *     coarse cell, salted across `writeSplits` writer tasks per cell
+  *     (hot-cell parallelism, invisible to readers).
+  *
+  * Probe plan at scale: the cells scan is PARTITION-PRUNED to the
+  * ≤ Q·nprobe probed directories; the per-query LUT (|Q| × m × |C|
+  * integer dots) broadcasts into one equi-join on (qid, s, code) with
+  * a partially-combined sum — so query cost tracks the probed cells'
+  * code rows, never corpus size or vector width. Scores are exact
+  * integer ADC sums (same arithmetic as [[Similarity.pqTopK]]), so
+  * the whole route is hash-comparable against the SQL oracle (q124).
+  */
+object IvfPqIndexStore {
+
+  import FsOps.{deleteChecked, renameChecked}
+
+  private val qcos = (v: Column, n1: Column, v2: Column, n2: Column) =>
+    qdot(v, v2).cast("double") / (n1 * n2)
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+  }
+
+  private[graft] def currentVersion(spark: SparkSession,
+      path: String): Option[Long] =
+    versions(spark, path).filter(v =>
+      fs(spark, path).exists(new Path(s"$path/v=$v/_COMMITTED")))
+      .sorted.lastOption
+
+  /** Train both quantizers (deterministic samples), assign + encode
+    * the corpus in ONE pass (the coarse argmax and the PQ kernel run
+    * in the same projection, so the corpus is read once), then the
+    * salted hash-partitioned write by cell.
+    *
+    * `centroidEvery` samples the COARSE quantizer (FAISS's nlist
+    * axis: fewer, bigger cells → better recall per probe);
+    * `codebookEvery` samples the PQ codebook (the fine axis: denser
+    * codebook → lower quantization error). They default to the same
+    * stride — the q124 oracle's parameterization — but are
+    * independent, exactly as in IVFADC. */
+  def write(corpus: DataFrame, path: String,
+      centroidEvery: Int = 25, centroidCap: Int = 256,
+      m: Int = 8, codebookSize: Int = 256,
+      writeSplits: Int = 8, codebookEvery: Int = -1): Unit = {
+    val cbEvery = if (codebookEvery > 0) codebookEvery else centroidEvery
+    val spark = corpus.sparkSession
+    require(corpus.isEmpty ||
+      !corpus.where(col("id") % centroidEvery === 0).isEmpty,
+      s"IVF-PQ sample is empty (no id % $centroidEvery == 0 rows)")
+    val f = fs(spark, path)
+    val existing = versions(spark, path)
+    val current = currentVersion(spark, path)
+    existing.filterNot(current.contains).foreach(v =>
+      deleteChecked(f, new Path(s"$path/v=$v")))
+    val next = existing.foldLeft(0L)(math.max) + 1L
+    val vdir = s"$path/v=$next"
+
+    val base = corpus.select(col("id"), quantize(col("vec")).as("q"))
+    val ck = Similarity.pqTrain(base, m, cbEvery, codebookSize)
+    val cent = broadcast(base
+      .where(col("id") % centroidEvery === 0)
+      .select(col("id").as("cid"), col("q").as("cv"))
+      .orderBy(col("cid")).limit(centroidCap)
+      .withColumn("cn", sqrt(qdot(col("cv"), col("cv")).cast("double"))))
+    // the argmax-by-struct collapses the |corpus|×|C| broadcast
+    // expansion map-side (one compact row per vector, carrying the
+    // quantized vector through first()); the PQ kernel then runs in
+    // the post-aggregate projection — ONCE per vector. Encoding
+    // before the cross join would let Catalyst inline the kernel into
+    // the joined projection and evaluate it |C| times per vector
+    // (measured 4× slower at the 20× probe).
+    val corp = base.select(col("id").as("nid"), col("q"))
+      .withColumn("nn", sqrt(qdot(col("q"), col("q")).cast("double")))
+    val assigned = corp.crossJoin(cent)
+      .select(col("nid"), col("q"),
+        struct(qcos(col("q"), col("nn"), col("cv"), col("cn")).as("c"),
+          (-col("cid")).as("nc")).as("sc"))
+      .groupBy(col("nid"))
+      .agg(first(col("q")).as("q"), max(col("sc")).as("m"))
+      .select(col("nid"),
+        graft.expressions.VectorExpressions
+          .pqEncodeN(col("q"), m, ck.cids, ck.cb, ck.cb2).as("codes"),
+        (-col("m.nc")).as("cell"))
+    assigned
+      .withColumn("salt", pmod(xxhash64(col("nid")), lit(writeSplits)))
+      .repartition(col("cell"), col("salt"))
+      .sortWithinPartitions("cell", "nid")
+      .drop("salt")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$vdir/cells")
+    cent.select(col("cid"), col("cv"), col("cn"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
+    base.where(col("id") % cbEvery === 0)
+      .orderBy(col("id")).limit(codebookSize)
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/codebook")
+    // COMMIT POINT — same protocol as IvfIndexStore
+    val markerTmp = new Path(s"$vdir/_COMMITTED.inprogress")
+    f.create(markerTmp, true).close()
+    renameChecked(f, markerTmp, new Path(s"$vdir/_COMMITTED"))
+    current.foreach(v => deleteChecked(f, new Path(s"$path/v=$v")))
+  }
+
+  /** Approximate top-k against the stored index: coarse-rank the
+    * broadcast centroids per query, partition-prune the cells scan to
+    * the probed directories, ADC-score the code rows inside them.
+    * Returns (qid, nid, score BIGINT, rank) with deterministic
+    * (score desc, nid asc) tie-breaks. */
+  def probe(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int = 2, m: Int = 8): DataFrame = {
+    val v = currentVersion(spark, path).getOrElse(
+      sys.error(s"IvfPqIndexStore: no committed index version at $path"))
+    val vdir = s"$path/v=$v"
+    val cent = broadcast(spark.read.parquet(s"$vdir/centroids"))
+    val q = queries.select(col("id").as("qid"),
+        quantize(col("vec")).as("qv"))
+      .withColumn("qn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val probes = broadcast(q.crossJoin(cent)
+      .select(col("qid"), col("cid"),
+        qcos(col("qv"), col("qn"), col("cv"), col("cn")).as("pcos"))
+      .withColumn("prank", row_number().over(pw))
+      .where(col("prank") <= nprobe)
+      .select(col("qid"), col("cid")))
+    // bounded driver list (≤ |queries| · nprobe) → partition pruning
+    val probedCells = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0))
+    val cells = spark.read.parquet(s"$vdir/cells")
+      .where(col("cell").cast("long").isInCollection(probedCells))
+      .select(col("nid"), col("codes"),
+        col("cell").cast("long").as("cell"))
+    // per-query ADC lookup table from the stored codebook (tiny):
+    // (qid, s, code, pdot) — the integer dot of the query's subvector
+    // s against codebook entry `code` of sub-quantizer s
+    val lut = broadcast(
+      Similarity.pqSubspaces(q.select(col("qid").as("id"), col("qv").as("q")),
+          m, "qid")
+        .join(Similarity.pqSubspaces(
+          spark.read.parquet(s"$vdir/codebook"), m, "cid")
+          .select(col("s"), col("cid").as("code"), col("sub").as("cv")),
+          "s")
+        .select(col("qid"), col("s"), col("code"),
+          qdot(col("sub"), col("cv")).as("pdot")))
+    // cells × probes on the cell key (pruned), explode the m codes,
+    // LUT equi-join, partially-combined per-(qid, nid) sum
+    val candidates = cells
+      .join(probes, cells("cell") === probes("cid"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "code")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    candidates.join(lut, Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("pdot")).as("score"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

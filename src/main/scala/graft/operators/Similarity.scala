@@ -283,7 +283,7 @@ object Similarity {
 
   /** (id, s, sub): each quantized vector exploded into its m
     * subvectors. Input must carry (id, q). */
-  private def pqSubspaces(df: DataFrame, m: Int, idAs: String): DataFrame = {
+  private[operators] def pqSubspaces(df: DataFrame, m: Int, idAs: String): DataFrame = {
     // integral division, matching PqEncodeExpr's `numElements / m`: the
     // Column `/` is Divide (DOUBLE), and for dim % m != 0 the truncated
     // `s * subDim + 1` starts drift from the kernel's integer slices,
@@ -380,7 +380,7 @@ object Similarity {
     TrainedPq(cids, cb.toIndexedSeq, cb2.toIndexedSeq)
   }
 
-  private def pqTrain(base: DataFrame, m: Int, centroidEvery: Int,
+  private[operators] def pqTrain(base: DataFrame, m: Int, centroidEvery: Int,
       codebookSize: Int): TrainedPq = {
     // orderBy+limit = TakeOrderedAndProject: the driver receives only
     // the codebook rows, never the full sample (which at planet scale
@@ -401,7 +401,7 @@ object Similarity {
     * cap runs BEFORE the subspace explode, as TakeOrderedAndProject
     * (all subspaces share the same ids, so a per-id cap = a per-(s,id)
     * cap — no per-subspace window needed). */
-  private def pqCodebook(base: DataFrame, m: Int,
+  private[operators] def pqCodebook(base: DataFrame, m: Int,
       centroidEvery: Int, codebookSize: Int): DataFrame =
     pqSubspaces(base.where(col("id") % centroidEvery === 0)
       .orderBy(col("id")).limit(codebookSize), m, "cid")

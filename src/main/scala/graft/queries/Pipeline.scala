@@ -363,18 +363,40 @@ object Pipeline {
        |FROM documents GROUP BY lang""".stripMargin
   }
 
-  /** Multimodal decode → feature pipeline under the oracle: the
-    * [[graft.sources.Multimodal.Md5Decoder]] stub is SQL-expressible,
-    * so the mapPartitions decode seam, the pooled-feature pass and the
-    * per-frame statistics all hash-compare against DuckDB. Pixel values
-    * are exact small ints; the mean is one division of exact ints. */
+  /** Multimodal decode → feature pipeline under the oracle, running
+    * the REAL decoder ([[graft.sources.Multimodal.BinaryDecoder]]):
+    * each document becomes a synthetic 8×8 image — PNG greyscale, BMP
+    * 24-bit or PNG RGBA by doc_id — whose pixels are a pure integer
+    * formula; the bytes go through the repo's own encoders, the real
+    * zlib/PNG-filter/BMP decode, and the pooled-feature mapPartitions
+    * pass. The oracle recomputes the 2×2-block pooling straight from
+    * the formula, so a hash match certifies the decode AND the
+    * pooling. Block sums are exact ints (features are exact quarter
+    * floats × 4). */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
-    val feats = Multimodal.extractFeatures(media, Multimodal.Md5Decoder)
-    val p = transform($"features", f => f.cast("int"))
-    // the interpreted aggregate() fold runs ONCE; the mean derives
-    // from the materialized sum in an outer select
+    val media = Tables.documents(s, d).select($"doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          def px(i: Int, c: Int, step: Int) =
+            ((id * 31 + i.toLong * 7 + c.toLong * step) % 256).toInt
+          (id % 3) match {
+            case 0 => Multimodal.MediaRow(id, "png_gray",
+              graft.sources.Codecs.encodePng(8, 8, 1,
+                Array.tabulate(64)(i => px(i, 0, 0))), Map.empty)
+            case 1 => Multimodal.MediaRow(id, "bmp",
+              graft.sources.Codecs.encodeBmp(8, 8,
+                Array.tabulate(192)(j => px(j / 3, j % 3, 13))), Map.empty)
+            case _ => Multimodal.MediaRow(id, "png_rgba",
+              graft.sources.Codecs.encodePng(8, 8, 4,
+                Array.tabulate(256)(j => px(j / 4, j % 4, 11))), Map.empty)
+          }
+        }
+      }
+    val feats = Multimodal.extractFeatures(media, Multimodal.BinaryDecoder)
+    // features are 2×2-block MEANS (exact quarters); ×4 restores the
+    // exact integer block sums the oracle can recompute
+    val p = transform($"features", f => (f * 4).cast("int"))
     feats.select($"id".as("doc_id"), $"mediaType".as("media_type"),
       p.as("p"))
       .select($"doc_id", $"media_type",
@@ -385,20 +407,32 @@ object Pipeline {
   }
 
   val multimodalFeaturesSql: String =
-    """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
-      |px AS (SELECT doc_id, list_transform(range(1, 17), i ->
-      |    (instr('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16 +
-      |    (instr('0123456789abcdef', substr(h, 2*i, 1)) - 1)) AS p
-      |  FROM b)
+    """WITH px AS (SELECT doc_id, doc_id % 3 AS m,
+      |    list_transform(range(0, 64), i -> CASE doc_id % 3
+      |      WHEN 0 THEN (doc_id*31 + i*7) % 256
+      |      WHEN 1 THEN (doc_id*31 + i*7) % 256
+      |        + (doc_id*31 + i*7 + 13) % 256
+      |        + (doc_id*31 + i*7 + 26) % 256
+      |      ELSE (doc_id*31 + i*7) % 256
+      |        + (doc_id*31 + i*7 + 11) % 256
+      |        + (doc_id*31 + i*7 + 22) % 256
+      |        + (doc_id*31 + i*7 + 33) % 256
+      |    END) AS p
+      |  FROM documents),
+      |blocks AS (SELECT doc_id, m,
+      |    list_transform(range(0, 16), b ->
+      |      p[(2*(b//4))*8 + 2*(b%4) + 1] + p[(2*(b//4))*8 + 2*(b%4) + 2]
+      |      + p[(2*(b//4)+1)*8 + 2*(b%4) + 1]
+      |      + p[(2*(b//4)+1)*8 + 2*(b%4) + 2]) AS blk
+      |  FROM px)
       |SELECT doc_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-      |       WHEN doc_id % 3 = 1 THEN 'audio'
-      |       ELSE 'video' END AS media_type,
-      |  CAST(list_sum(p) AS BIGINT) AS px_sum,
-      |  CAST(list_max(p) AS INTEGER) AS px_max,
-      |  CAST(list_min(p) AS INTEGER) AS px_min,
-      |  CAST(list_sum(p) AS DOUBLE) / 16.0 AS px_mean
-      |FROM px""".stripMargin
+      |  CASE m WHEN 0 THEN 'png_gray' WHEN 1 THEN 'bmp'
+      |         ELSE 'png_rgba' END AS media_type,
+      |  CAST(list_sum(blk) AS BIGINT) AS px_sum,
+      |  CAST(list_max(blk) AS INTEGER) AS px_max,
+      |  CAST(list_min(blk) AS INTEGER) AS px_min,
+      |  CAST(list_sum(blk) AS DOUBLE) / 16.0 AS px_mean
+      |FROM blocks""".stripMargin
 
   /** Multimodal metadata stub: the Spark-side plumbing for opaque media
     * columns — byte length, head-bytes sample, content digest. The

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.{Codecs, Multimodal}
+
+/** Round-11 additions: the REAL multimodal decode under the oracle
+  * gate (q123 — pure-JVM PNG/BMP/WAV codecs, no stub left in the
+  * pipeline), and the IVF-PQ composition (q124 — coarse partition
+  * pruning + ADC scoring, the FAISS IVFADC shape). Same contract as
+  * [[Pipeline]]: exact integer arithmetic only, so the DuckDB oracle
+  * matches bit for bit. */
+object Pipeline9 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- q123: encode → REAL decode parity over synthetic media ----
+
+  /** Per-document synthetic media: pixels/samples are a pure integer
+    * formula of (doc_id, index), the bytes are produced by the repo's
+    * own encoders, and the decode side runs the REAL
+    * [[Multimodal.BinaryDecoder]] (magic-byte sniffing, zlib inflate,
+    * PNG unfiltering, BMP bottom-up rows, PCM16). The oracle
+    * recomputes width/height/Σpixels straight from the formula — so a
+    * hash match proves decode(encode(x)) == x for every document and
+    * all four encodings, end to end through the distributed
+    * mapPartitions plumbing. */
+  def mediaDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val m = (id % 4).toInt
+          val w = (4 + id % 5).toInt
+          val h = (3 + (id / 4) % 4).toInt
+          def px(i: Int, c: Int, step: Int) =
+            ((id * 31 + i.toLong * 7 + c.toLong * step) % 256).toInt
+          m match {
+            case 0 => Multimodal.MediaRow(id, "png_gray",
+              Codecs.encodePng(w, h, 1,
+                Array.tabulate(w * h)(i => px(i, 0, 0))), Map.empty)
+            case 1 => Multimodal.MediaRow(id, "png_rgb",
+              Codecs.encodePng(w, h, 3,
+                Array.tabulate(w * h * 3)(j => px(j / 3, j % 3, 11))),
+              Map.empty)
+            case 2 => Multimodal.MediaRow(id, "bmp",
+              Codecs.encodeBmp(w, h,
+                Array.tabulate(w * h * 3)(j => px(j / 3, j % 3, 13))),
+              Map.empty)
+            case _ =>
+              val n = (16 + id % 9).toInt
+              Multimodal.MediaRow(id, "wav",
+                Codecs.encodeWav(Array.tabulate(n)(i =>
+                  ((id * 131 + i.toLong * 17) % 65536).toInt - 32768)),
+                Map.empty)
+          }
+        }
+      }
+    Multimodal.decodeStats(media, Multimodal.BinaryDecoder)
+      .toDF("doc_id", "fmt", "width", "height", "n_px", "px_sum")
+  }
+
+  /** The formula recomputed in SQL — never touches bytes; only a
+    * correct decoder can reproduce these sums from the encodings. */
+  val mediaDecodeSql: String =
+    """WITH p AS (SELECT doc_id, doc_id % 4 AS m,
+      |    CAST(4 + doc_id % 5 AS INTEGER) AS w,
+      |    CAST(3 + (doc_id // 4) % 4 AS INTEGER) AS h,
+      |    CAST(16 + doc_id % 9 AS INTEGER) AS n
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE m WHEN 0 THEN 'png_gray' WHEN 1 THEN 'png_rgb'
+      |         WHEN 2 THEN 'bmp' ELSE 'wav' END AS fmt,
+      |  CASE WHEN m = 3 THEN n ELSE w END AS width,
+      |  CASE WHEN m = 3 THEN 1 ELSE h END AS height,
+      |  CASE WHEN m = 3 THEN n ELSE w * h END AS n_px,
+      |  CAST(CASE m
+      |    WHEN 0 THEN list_sum(list_transform(range(0, w*h),
+      |      i -> (doc_id*31 + i*7) % 256))
+      |    WHEN 1 THEN list_sum(list_transform(range(0, w*h),
+      |      i -> (doc_id*31 + i*7) % 256 + (doc_id*31 + i*7 + 11) % 256
+      |         + (doc_id*31 + i*7 + 22) % 256))
+      |    WHEN 2 THEN list_sum(list_transform(range(0, w*h),
+      |      i -> (doc_id*31 + i*7) % 256 + (doc_id*31 + i*7 + 13) % 256
+      |         + (doc_id*31 + i*7 + 26) % 256))
+      |    ELSE list_sum(list_transform(range(0, n),
+      |      i -> (doc_id*131 + i*17) % 65536 - 32768))
+      |  END AS BIGINT) AS px_sum
+      |FROM p""".stripMargin
+
+  // ---- q124: IVF-PQ (coarse pruning + ADC scoring, persisted) ----
+
+  /** Builds the stored IVFADC index in a scratch directory and serves
+    * the standard probe batch (vec_id < 8, k=5, nprobe=2, m=8) from
+    * it. Scores are exact integer ADC sums, so the oracle rebuilds
+    * the whole route in SQL: coarse assignment, probed cells, PQ
+    * codes, lookup-table scoring — restricted to candidates whose
+    * cell is probed. */
+  def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val path = graft.tools.Scratch.dir("graft_ivfpqidx")
+    graft.operators.IvfPqIndexStore.write(e, path)
+    graft.operators.IvfPqIndexStore.probe(s, path,
+      e.where(col("id") < 8), k = 5)
+  }
+
+  /** 1000-scaled integer quantization — DuckDB side of
+    * VectorFunctions.quantize (same as Pipeline/Pipeline3). */
+  private def qv(col: String) =
+    s"list_transform($col, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  /** q25's coarse CTEs composed with q71's PQ CTEs; scoring joins
+    * candidates to probed cells first (the partition-pruning analog),
+    * then LUT-scores them. */
+  val ivfPqTopKSql: String = {
+    val sqd = "list_sum(list_transform(list_zip(sub.sub, cents.cv), " +
+      "p -> (p[1]-p[2])*(p[1]-p[2])))"
+    s"""WITH e AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |  sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+       | FROM e),
+       |cent AS (SELECT vec_id AS cid, q AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 256),
+       |asg AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT n.vec_id AS nid, cent.cid,
+       |      CAST(row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(n.q, cent.cv), p -> p[1] * p[2])) AS DOUBLE) /
+       |          (n.nrm * cent.cn) DESC, cent.cid ASC) AS INTEGER) AS arank
+       |    FROM n, cent)
+       |  WHERE arank = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT n.vec_id AS qid, cent.cid,
+       |      CAST(row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(n.q, cent.cv), p -> p[1] * p[2])) AS DOUBLE) /
+       |          (n.nrm * cent.cn) DESC, cent.cid ASC) AS INTEGER) AS prank
+       |    FROM n, cent WHERE n.vec_id < 8)
+       |  WHERE prank <= 2),
+       |sub AS (SELECT vec_id, CAST(t.s AS INTEGER) AS s,
+       |    q[(CAST(t.s AS INTEGER)*8+1):(CAST(t.s AS INTEGER)*8+8)] AS sub
+       |  FROM e, range(8) t(s)),
+       |cents AS (SELECT s, cid, cv FROM (
+       |    SELECT s, vec_id AS cid, sub AS cv,
+       |      row_number() OVER (PARTITION BY s ORDER BY vec_id) AS crk
+       |    FROM sub WHERE vec_id % 25 = 0)
+       |  WHERE crk <= 256),
+       |codes AS (SELECT nid, s, cid AS code FROM (
+       |    SELECT sub.vec_id AS nid, sub.s, cents.cid,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY $sqd ASC, cents.cid ASC) AS rk
+       |    FROM sub JOIN cents ON sub.s = cents.s)
+       |  WHERE rk = 1),
+       |lut AS (SELECT sub.vec_id AS qid, cents.s, cents.cid AS code,
+       |    CAST(list_sum(list_transform(list_zip(sub.sub, cents.cv),
+       |      p -> p[1]*p[2])) AS BIGINT) AS pdot
+       |  FROM sub JOIN cents ON sub.s = cents.s WHERE sub.vec_id < 8),
+       |sc AS (SELECT probes.qid, codes.nid, CAST(SUM(pdot) AS BIGINT) AS score
+       |  FROM probes
+       |  JOIN asg ON asg.cid = probes.cid AND asg.nid <> probes.qid
+       |  JOIN codes ON codes.nid = asg.nid
+       |  JOIN lut ON lut.qid = probes.qid AND lut.s = codes.s
+       |          AND lut.code = codes.code
+       |  GROUP BY 1, 2)
+       |SELECT qid, nid, score, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, nid ASC) AS INTEGER) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q123_media_decode" -> (mediaDecode _),
+    "q124_ivfpq_topk"   -> (ivfPqTopK _))
+
+  def oracles: Map[String, String] = Map(
+    "q123_media_decode" -> mediaDecodeSql,
+    "q124_ivfpq_topk"   -> ivfPqTopKSql)
+}

@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed batch-at-a-time.
   *
-  * The decode step is STUBBED (this environment ships no image/audio
-  * codecs): [[StubDecoder]] produces deterministic fake pixels from the
-  * bytes. The Spark-side plumbing — schema, partition-sized batching,
-  * mapPartitions boundary (the Scala analog of mapInPandas: one
-  * iterator per partition, so a real decoder amortizes model/codec init
-  * across the whole batch) — is real and tested.
+  * The decode step is REAL for PNG, BMP and WAV via the pure-JVM
+  * [[Codecs]] ([[BinaryDecoder]] sniffs the magic bytes and decodes —
+  * oracle-gated end to end by q123/q27). [[StubDecoder]] and
+  * [[Md5Decoder]] remain as the zero-dependency seams for pipeline
+  * tests that need SQL-expressible fake pixels. The Spark-side
+  * plumbing — schema, partition-sized batching, mapPartitions
+  * boundary (the Scala analog of mapInPandas: one iterator per
+  * partition, so decoder/codec init amortizes across the whole
+  * batch) — is shared by all decoders.
   */
 object Multimodal {
 
@@ -67,6 +70,47 @@ object Multimodal {
     }
   }
 
+  /** The REAL decoder: sniffs PNG / BMP / RIFF-WAVE magic bytes and
+    * decodes via the pure-JVM [[Codecs]]. Returns one plane:
+    *   - images: multi-channel pixels collapse to Σ channels per
+    *     pixel (exact small ints — 0..765 for RGB — so aggregate
+    *     sums stay oracle-comparable);
+    *   - WAV audio: (nSamples, 1) with the signed 16-bit samples.
+    * The `mediaType` hint is ignored — the bytes are authoritative
+    * (a real crawl's MIME labels lie). */
+  object BinaryDecoder extends Decoder {
+    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+      if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+          bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+        val (w, h, ch, px) = Codecs.decodePng(bytes)
+        val plane = new Array[Float](w * h)
+        var i = 0
+        while (i < w * h) {
+          var s = 0; var c = 0
+          while (c < ch) { s += px(i * ch + c); c += 1 }
+          plane(i) = s.toFloat
+          i += 1
+        }
+        (w, h, plane)
+      } else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+        val (w, h, rgb) = Codecs.decodeBmp(bytes)
+        val plane = new Array[Float](w * h)
+        var i = 0
+        while (i < w * h) {
+          plane(i) = (rgb(i * 3) + rgb(i * 3 + 1) + rgb(i * 3 + 2)).toFloat
+          i += 1
+        }
+        (w, h, plane)
+      } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == 'F') {
+        val (_, samples) = Codecs.decodeWav(bytes)
+        (samples.length, 1, samples.map(_.toFloat))
+      } else sys.error(
+        s"unrecognized media payload (${bytes.length} bytes, " +
+          s"type hint '$mediaType')")
+    }
+  }
+
   /** Decode + feature-extract over partition-sized batches. The
     * decoder is constructed once per partition (the expensive init a
     * real codec/model needs), then streamed over rows. */
@@ -76,7 +120,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val (w, h, px) = decoder.decode(r.mediaType, r.bytes)
-        // 4x4 block means = a 16-dim pooled feature vector
+        // 4x4 block means = a 16-dim pooled feature vector; a block
+        // with no pixels (frames narrower/shorter than 4) pools to 0
         val pooled = (0 until 16).map { blk =>
           val bx = blk % 4; val by = blk / 4
           var sum = 0.0f; var n = 0
@@ -84,9 +129,32 @@ object Multimodal {
                x <- (bx * w / 4) until ((bx + 1) * w / 4)) {
             sum += px(y * w + x); n += 1
           }
-          sum / n
+          if (n == 0) 0.0f else sum / n
         }
         MediaFeatures(r.id, r.mediaType, r.bytes.length, w, h, pooled)
+      }
+    }
+  }
+
+  final case class DecodedStats(id: Long, fmt: String, width: Int,
+      height: Int, nPx: Int, pxSum: Long)
+
+  /** Decode → whole-frame statistics, batched per partition — the
+    * decode-parity form (q123): width/height and the exact integer
+    * pixel/sample sum, so decode(encode(formula)) is oracle-checkable
+    * against the formula recomputed in SQL. `pxSum` is exact: every
+    * decoder emits whole-integer floats (≤765 for RGB planes, 16-bit
+    * for audio). */
+  def decodeStats(media: Dataset[MediaRow],
+      decoder: Decoder = BinaryDecoder): Dataset[DecodedStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = decoder.decode(r.mediaType, r.bytes)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i).toLong; i += 1 }
+        DecodedStats(r.id, r.mediaType, w, h, px.length, sum)
       }
     }
   }

@@ -1,0 +1,150 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfPqIndexStore, Similarity}
+
+/** IVF-PQ (IVFADC): the composed store must prune like the IVF store,
+  * score like the PQ ADC path, and recall the true neighbors on a
+  * clustered fixture. */
+class IvfPqSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // clustered fixture: 4 well-separated direction clusters of 30
+  // vectors each (+ small deterministic jitter), so coarse pruning is
+  // informative and PQ codes preserve in-cluster ranking signal
+  private def clustered = (0L until 120L).map { i =>
+    val c = (i % 4).toInt
+    val base = Array.tabulate(16)(d =>
+      if (d / 4 == c) 10.0 else 0.3)
+    (i, base.zipWithIndex.map { case (v, d) =>
+      (v + 0.01 * math.sin(i * 1.7 + d)).toFloat }.toSeq)
+  }.toDF("id", "vec")
+
+  test("probe scores equal the full-corpus pqTopK ADC for shared pairs") {
+    val path = Files.createTempDirectory("ivfpq").toString
+    try {
+      val corpus = clustered
+      IvfPqIndexStore.write(corpus, path, centroidEvery = 10, m = 4)
+      val queries = corpus.where($"id" < 3)
+      val probed = IvfPqIndexStore.probe(spark, path, queries, k = 5,
+        nprobe = 2, m = 4)
+        .select($"qid", $"nid", $"score")
+        .as[(Long, Long, Long)].collect()
+        .map { case (q, n, s) => (q, n) -> s }.toMap
+      // the IVFADC score of any surviving pair must be the EXACT ADC
+      // integer pqTopK computes — pruning changes the candidate set,
+      // never the arithmetic
+      val full = Similarity.pqTopK(queries, corpus, k = 60,
+        m = 4, centroidEvery = 10)
+        .select($"qid", $"nid", $"score")
+        .as[(Long, Long, Long)].collect()
+        .map { case (q, n, s) => (q, n) -> s }.toMap
+      assert(probed.nonEmpty)
+      probed.foreach { case (pair, s) =>
+        assert(full.get(pair).contains(s),
+          s"pair $pair: ivfpq=$s pq=${full.get(pair)}")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(path))
+  }
+
+  test("recall@5 vs brute-force cosine is high on the clustered fixture") {
+    val path = Files.createTempDirectory("ivfpq").toString
+    try {
+      // the IVFADC operating regime: FEW coarse cells (stride 30 → 4
+      // centroids, one per contiguous id-block cluster) and a DENSE
+      // PQ codebook (every 2nd vector), with in-cluster variation
+      // wide enough for PQ to rank. Recall is measured against the
+      // metric ADC approximates — the exact quantized inner product —
+      // so the measurement isolates quantization loss from the
+      // IP-vs-cosine metric gap.
+      import graft.functions.VectorFunctions.{qdot, quantize}
+      val corpus = (0L until 120L).map { i =>
+        val c = (i / 30).toInt
+        (i, Array.tabulate(16) { d =>
+          val base = if (d / 4 == c) 10.0 else 0.3
+          (base + 0.8 * math.sin(i * 1.7 + d * 0.9)).toFloat
+        }.toSeq)
+      }.toDF("id", "vec")
+      IvfPqIndexStore.write(corpus, path, centroidEvery = 30, m = 4,
+        codebookEvery = 2)
+      val queries = corpus.where($"id" < 8)
+      val approx = IvfPqIndexStore.probe(spark, path, queries, k = 5,
+        nprobe = 1, m = 4)
+        .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"s".desc, $"nid".asc)
+      val exact = queries.select($"id".as("qid"), quantize($"vec").as("qv"))
+        .crossJoin(corpus.select($"id".as("nid"), quantize($"vec").as("nv")))
+        .where($"qid" =!= $"nid")
+        .select($"qid", $"nid", qdot($"qv", $"nv").as("s"))
+        .withColumn("rank", row_number().over(w)).where($"rank" <= 5)
+        .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+      val recall = (approx & exact).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall@5 = $recall")
+      // and the coarse stage alone must keep every neighbor in the
+      // query's id-block cluster
+      approx.foreach { case (q, n) =>
+        assert(n / 30 == q / 30, s"cross-cluster neighbor $q -> $n")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(path))
+  }
+
+  test("the cells scan is partition-pruned to the probed cells") {
+    val path = Files.createTempDirectory("ivfpq").toString
+    try {
+      IvfPqIndexStore.write(clustered, path, centroidEvery = 10, m = 4)
+      val v = IvfPqIndexStore.currentVersion(spark, path).get
+      val nCells = new File(s"$path/v=$v/cells").listFiles()
+        .count(_.getName.startsWith("cell="))
+      assert(nCells > 2, s"fixture built only $nCells cells")
+      val probe = IvfPqIndexStore.probe(spark, path,
+        clustered.where($"id" === 1L), k = 3, nprobe = 1, m = 4)
+      val scans = probe.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(
+              _.toString.contains("cells")) => s
+      }
+      assert(scans.nonEmpty, "no file scan over the cells store found")
+      val partsRead = scans.map { s =>
+        val static = s.partitionFilters.filterNot(_.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .DynamicPruning]).isDefined)
+        s.relation.location.listFiles(static, s.dataFilters).size
+      }.sum
+      assert(partsRead <= 1,
+        s"probe listed $partsRead cell partitions, expected <= 1")
+      assert(probe.count() > 0)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(path))
+  }
+
+  test("a rewrite serves atomically: old index until commit, then new") {
+    val path = Files.createTempDirectory("ivfpq").toString
+    try {
+      val a = clustered
+      IvfPqIndexStore.write(a, path, centroidEvery = 10, m = 4)
+      val queries = a.where($"id" < 3)
+      val before = IvfPqIndexStore.probe(spark, path, queries, k = 3,
+        nprobe = 2, m = 4)
+        .select($"qid", $"nid", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+      // second write over the same path: exactly one committed
+      // version remains and probes stay deterministic
+      IvfPqIndexStore.write(a, path, centroidEvery = 10, m = 4)
+      val after = IvfPqIndexStore.probe(spark, path, queries, k = 3,
+        nprobe = 2, m = 4)
+        .select($"qid", $"nid", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(after == before)
+      assert(new File(path).listFiles()
+        .count(_.getName.startsWith("v=")) == 1)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(path))
+  }
+}
