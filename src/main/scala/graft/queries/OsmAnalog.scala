@@ -844,12 +844,15 @@ object OsmAnalog {
         math.floor(GeomOps.sphericalLength(FromOsm.createLineString(
           Seq(Pt(20, 19.8), Pt(20.1, 19.8), Pt(20.2, 19.9)))) * 1000).toLong
       case "area_unit_square" => // unit square → 12308778361.469454
+        // 1e4 m² buckets (100× tighter than the pre-round-11 km²
+        // quantization): the geodesic-edge boundary-integral area is
+        // within ~1e-9 relative of boost's pinned value
         math.floor(GeomOps.sphericalArea(FromOsm.createPolygon(
-          Seq(Pt(0, 0), Pt(0, 1), Pt(1, 1), Pt(1, 0), Pt(0, 0)))) / 1e6).toLong
+          Seq(Pt(0, 0), Pt(0, 1), Pt(1, 1), Pt(1, 0), Pt(0, 0)))) / 1e4).toLong
       case "area_square_with_hole" => // 3×3 minus 1×1 → 98452667625.52686
         math.floor(GeomOps.sphericalArea(FromOsm.createMultiPolygon(Seq(
           Seq(Pt(0, 0), Pt(0, 3), Pt(3, 3), Pt(3, 0), Pt(0, 0)),
-          Seq(Pt(1, 1), Pt(2, 1), Pt(2, 2), Pt(1, 2), Pt(1, 1))))) / 1e6).toLong
+          Seq(Pt(1, 1), Pt(2, 1), Pt(2, 2), Pt(1, 2), Pt(1, 1))))) / 1e4).toLong
       case _ => -1L
     })
     Seq("len_line", "len_equator", "len_pole", "len_3pt",
@@ -863,8 +866,8 @@ object OsmAnalog {
       |  ('len_equator', 20003931458),
       |  ('len_pole', 20003931458),
       |  ('len_3pt', 25718175),
-      |  ('area_unit_square', 12308),
-      |  ('area_square_with_hole', 98452)) AS t(case_id, value_q)""".stripMargin
+      |  ('area_unit_square', 1230877),
+      |  ('area_square_with_hole', 9845266)) AS t(case_id, value_q)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q9_osm_multipolygon"        -> (multipolygonAssembly _),

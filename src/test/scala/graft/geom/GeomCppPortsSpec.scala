@@ -782,4 +782,46 @@ class GeomCppPortsSpec extends AnyFunSuite {
     assert(mixed.containingPoint(4, 4).toSet == Set("b1", "p2"))
     assert(mixed.containingPoint(1, 10).isEmpty)
   }
+
+  // ------- test-geom-polygons.cpp: ellipsoidal (geodesic-edge) area -------
+
+  test("spherical_area matches the reference's boost/vincenty pins tightly") {
+    // the reference accepts epsilon 1e-5 (test-geom-polygons.cpp:29,72);
+    // the geodesic-edge boundary integral lands ~1e-9 relative of the
+    // pinned boost values — assert two orders tighter than they do
+    val sq = GeomOps.sphericalArea(FromOsm.createPolygon(
+      Seq(Pt(0, 0), Pt(0, 1), Pt(1, 1), Pt(1, 0), Pt(0, 0))))
+    approx(sq, 12308778361.469454, 1e-7)
+    val hole = GeomOps.sphericalArea(FromOsm.createMultiPolygon(Seq(
+      Seq(Pt(0, 0), Pt(0, 3), Pt(3, 3), Pt(3, 0), Pt(0, 0)),
+      Seq(Pt(1, 1), Pt(2, 1), Pt(2, 2), Pt(1, 2), Pt(1, 1)))))
+    approx(hole, 98452667625.52686, 1e-7)
+    // orientation-independence (the reference abs()es the visit sum)
+    val cw = GeomOps.sphericalArea(FromOsm.createPolygon(
+      Seq(Pt(0, 0), Pt(1, 0), Pt(1, 1), Pt(0, 1), Pt(0, 0))))
+    approx(cw, sq, 1e-12)
+    // a latitude band bounded by parallels: the west and east meridian
+    // edges contribute nothing, so the value is the EXACT zone formula
+    // (the geodesic sag of the parallels is the only numeric part)
+    val eq = GeomOps.sphericalArea(FromOsm.createPolygon(
+      Seq(Pt(0, -1), Pt(1, -1), Pt(1, 1), Pt(0, 1), Pt(0, -1))))
+    approx(eq, 2 * sq, 2e-9) // symmetric about the equator
+  }
+
+  test("vincenty direct inverts the inverse along the geodesic") {
+    val cases = Seq(
+      (Pt(1, 1), Pt(2, 2)), (Pt(20, 19.8), Pt(20.2, 19.9)),
+      (Pt(-70, -40), Pt(-69, -41)), (Pt(10, 60), Pt(11.5, 59.5)))
+    cases.foreach { case (p1, p2) =>
+      val (s, a1) = GeomOps.vincentyInverse(p1, p2)
+      val (lat, lon) = GeomOps.vincentyDirect(p1, a1, s)
+      assert(math.abs(lat - p2.y) < 1e-9 && math.abs(lon - p2.x) < 1e-9,
+        s"direct(inverse($p1 -> $p2)) = ($lat, $lon)")
+      // midpoint stays on the geodesic: inverse from the midpoint to
+      // p2 covers the remaining half distance
+      val (mlat, mlon) = GeomOps.vincentyDirect(p1, a1, s / 2)
+      val (rest, _) = GeomOps.vincentyInverse(Pt(mlon, mlat), p2)
+      assert(math.abs(rest - s / 2) < 1e-6, s"midpoint rest=$rest s=$s")
+    }
+  }
 }
