@@ -171,11 +171,48 @@ object Pipeline9 {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ---- q125: full flex Lua config end-to-end (interpreter at bench) ----
+
+  /** The REAL embedded Lua runtime running the reference's own
+    * `flex-config/simple.lua` over the Liechtenstein extract — the
+    * whole chain: distributed PBF read, location enrichment (middle
+    * joins), per-partition Lua 5.4-subset interpreter states, flex
+    * table writes. The oracle pins the exact per-table cardinalities,
+    * which [[graft.lua.FlexLiechtensteinCppSpec]] established against
+    * the reference's C++ run; registering it as a gate query ALSO
+    * puts interpreter throughput on the per-round bench record
+    * (round-10 verdict item 6). Fixture-driven like q112 — ignores
+    * the sf dir. */
+  def flexLuaE2e(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    val cfgPath = "/root/reference/flex-config/simple.lua"
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cfgPath)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val osm = graft.sources.OsmPbf.read(s, pbf)
+    val enriched = graft.flex.Enrich.forFlex(osm, "create")
+    val r = graft.flex.FlexRunner.run(
+      new graft.flex.LuaFlexConfig(src, "simple.lua"), enriched)
+    r.tables.toSeq.map { case (n, tr) => (n, tr.rows.count()) }
+      .sortBy(_._1).toDF("table_name", "n_rows")
+  }
+
+  val flexLuaE2eSql: String =
+    """SELECT * FROM (VALUES
+      |  ('pois', CAST(1531 AS BIGINT)),
+      |  ('polygons', CAST(4142 AS BIGINT)),
+      |  ('restaurants', CAST(31 AS BIGINT)),
+      |  ('ways', CAST(2990 AS BIGINT)))
+      |t(table_name, n_rows)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q123_media_decode" -> (mediaDecode _),
-    "q124_ivfpq_topk"   -> (ivfPqTopK _))
+    "q124_ivfpq_topk"   -> (ivfPqTopK _),
+    "q125_flex_lua_e2e" -> (flexLuaE2e _))
 
   def oracles: Map[String, String] = Map(
     "q123_media_decode" -> mediaDecodeSql,
-    "q124_ivfpq_topk"   -> ivfPqTopKSql)
+    "q124_ivfpq_topk"   -> ivfPqTopKSql,
+    "q125_flex_lua_e2e" -> flexLuaE2eSql)
 }
