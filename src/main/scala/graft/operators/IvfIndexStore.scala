@@ -158,6 +158,19 @@ object IvfIndexStore {
     * deterministic tie-breaks. */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    probeCandidates(spark, path, queries, nprobe)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** The unranked probe stage: every (query, candidate) pair in the
+    * probed cells with its exact quantized cosine — shared by
+    * [[probe]] (ranks it) and [[IvfPqIndexStore.probeRerank]] (semi-
+    * joins the ADC shortlist FIRST, so the ranking window never sees
+    * the unshortlisted candidates). */
+  private[operators] def probeCandidates(spark: SparkSession,
+      path: String, queries: DataFrame, nprobe: Int): DataFrame = {
     val vdir = servingDir(spark, path)
     val cent = broadcast(spark.read.parquet(s"$vdir/centroids"))
     val q = broadcast(queries.select(col("id").as("qid"),
@@ -180,12 +193,9 @@ object IvfIndexStore {
       .where(col("cell").cast("long").isInCollection(probedCells))
       .select(col("nid"), col("nv"), col("nn"),
         col("cell").cast("long").as("cell"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid").asc)
     probes.join(cells, probes("cid") === cells("cell"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         qcos(col("qv"), col("qn"), col("nv"), col("nn")).as("cos"))
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 }

@@ -188,4 +188,32 @@ object IvfPqIndexStore {
       .agg(sum(col("pdot")).as("score"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** IVFADC + exact refine (the FAISS `IndexRefineFlat` composition):
+    * the cheap ADC pass shortlists `rerank` candidates per query from
+    * the PQ store, then ONLY those are rescored with the exact
+    * quantized cosine against the full vectors in a sibling
+    * [[IvfIndexStore]] — the standard recall refinement, paying the
+    * full-vector read for R rows per query instead of the probed
+    * cells' entire population. The exact-vector fetch is an id
+    * equi-join against the SAME probed cell partitions (both stores
+    * share the coarse assignment, deterministic by construction), so
+    * the refine stage stays partition-pruned too. Returns (qid, nid,
+    * cos, rank) with the usual deterministic tie-breaks. */
+  def probeRerank(spark: SparkSession, pqPath: String, ivfPath: String,
+      queries: DataFrame, k: Int, rerank: Int = 20, nprobe: Int = 2,
+      m: Int = 8): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank must be >= k $k")
+    val shortlist = probe(spark, pqPath, queries, k = rerank,
+      nprobe = nprobe, m = m).select(col("qid"), col("nid"))
+    // the same probed cells in the exact-vector store (both stores
+    // share the deterministic coarse assignment): semi-join the ADC
+    // shortlist against the UNRANKED pruned candidates, so the
+    // ranking window only ever sorts ≤ R rows per query
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    IvfIndexStore.probeCandidates(spark, ivfPath, queries, nprobe)
+      .join(shortlist, Seq("qid", "nid"), "left_semi")
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

@@ -206,13 +206,54 @@ object Pipeline9 {
       |  ('ways', CAST(2990 AS BIGINT)))
       |t(table_name, n_rows)""".stripMargin
 
+  // ---- q126: IVFADC + exact refine (rerank the ADC shortlist) ----
+
+  /** The FAISS IndexRefineFlat composition over the two persisted
+    * stores: the PQ store's ADC pass shortlists rerank=20 candidates
+    * per query, the exact-vector IVF store rescores ONLY those with
+    * the exact quantized cosine (both reads partition-pruned to the
+    * shared probed cells). The oracle reruns the q124 ADC ranking to
+    * rank 20 and re-scores the shortlist with q25's exact cosine. */
+  def ivfPqRerank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pqPath = graft.tools.Scratch.dir("graft_ivfpq_rr")
+    val ivfPath = graft.tools.Scratch.dir("graft_ivf_rr")
+    graft.operators.IvfPqIndexStore.write(e, pqPath)
+    graft.operators.IvfIndexStore.write(e, ivfPath)
+    graft.operators.IvfPqIndexStore.probeRerank(s, pqPath, ivfPath,
+      e.where(col("id") < 8), k = 5, rerank = 20)
+  }
+
+  val ivfPqRerankSql: String = {
+    val adcTop20 = ivfPqTopKSql.replace(
+      "WHERE rank <= 5", "WHERE rank <= 20")
+    s"""WITH shortlist AS (SELECT qid, nid FROM ($adcTop20)),
+       |e2 AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |n2 AS (SELECT vec_id, q,
+       |  sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+       | FROM e2),
+       |ex AS (SELECT shortlist.qid, shortlist.nid,
+       |    CAST(list_sum(list_transform(list_zip(nq.q, nn.q),
+       |      p -> p[1] * p[2])) AS DOUBLE) / (nq.nrm * nn.nrm) AS cos
+       |  FROM shortlist
+       |  JOIN n2 nq ON nq.vec_id = shortlist.qid
+       |  JOIN n2 nn ON nn.vec_id = shortlist.nid)
+       |SELECT qid, nid, cos, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, nid ASC) AS INTEGER) AS rank FROM ex)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q123_media_decode" -> (mediaDecode _),
     "q124_ivfpq_topk"   -> (ivfPqTopK _),
-    "q125_flex_lua_e2e" -> (flexLuaE2e _))
+    "q125_flex_lua_e2e" -> (flexLuaE2e _),
+    "q126_ivfpq_rerank" -> (ivfPqRerank _))
 
   def oracles: Map[String, String] = Map(
     "q123_media_decode" -> mediaDecodeSql,
     "q124_ivfpq_topk"   -> ivfPqTopKSql,
-    "q125_flex_lua_e2e" -> flexLuaE2eSql)
+    "q125_flex_lua_e2e" -> flexLuaE2eSql,
+    "q126_ivfpq_rerank" -> ivfPqRerankSql)
 }

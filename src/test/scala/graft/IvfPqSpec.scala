@@ -124,6 +124,64 @@ class IvfPqSpec extends SparkSpecBase {
       .deleteDirectory(new File(path))
   }
 
+  test("exact refine reranks the ADC shortlist and lifts recall") {
+    val pqPath = Files.createTempDirectory("ivfpq").toString
+    val ivfPath = Files.createTempDirectory("ivfflat").toString
+    try {
+      import graft.functions.VectorFunctions.{qdot, quantize}
+      val corpus = (0L until 120L).map { i =>
+        val c = (i / 30).toInt
+        (i, Array.tabulate(16) { d =>
+          val base = if (d / 4 == c) 10.0 else 0.3
+          (base + 0.8 * math.sin(i * 1.7 + d * 0.9)).toFloat
+        }.toSeq)
+      }.toDF("id", "vec")
+      IvfPqIndexStore.write(corpus, pqPath, centroidEvery = 30, m = 4,
+        codebookEvery = 4)
+      graft.operators.IvfIndexStore.write(corpus, ivfPath,
+        centroidEvery = 30)
+      val queries = corpus.where($"id" < 8)
+      def recallOf(pairs: Set[(Long, Long)]): Double = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+        val exact = queries
+          .select($"id".as("qid"), quantize($"vec").as("qv"))
+          .withColumn("qn",
+            sqrt(qdot($"qv", $"qv").cast("double")))
+          .crossJoin(corpus.select($"id".as("nid"),
+            quantize($"vec").as("nv"))
+            .withColumn("nn", sqrt(qdot($"nv", $"nv").cast("double"))))
+          .where($"qid" =!= $"nid")
+          .select($"qid", $"nid",
+            (qdot($"qv", $"nv").cast("double") / ($"qn" * $"nn")).as("cos"))
+          .withColumn("r", row_number().over(w)).where($"r" <= 5)
+          .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+        (pairs & exact).size.toDouble / exact.size
+      }
+      val adc = IvfPqIndexStore.probe(spark, pqPath, queries, k = 5,
+        nprobe = 1, m = 4)
+        .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+      val refined = IvfPqIndexStore.probeRerank(spark, pqPath, ivfPath,
+        queries, k = 5, rerank = 25, nprobe = 1, m = 4)
+        .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+      val (rAdc, rRef) = (recallOf(adc), recallOf(refined))
+      // with a deliberately coarse codebook (every 4th vector) the raw
+      // ADC ranking is lossy; the exact rescore of its top-25 must
+      // recover the true cosine ranking
+      assert(rRef >= rAdc, s"refine lowered recall: adc=$rAdc ref=$rRef")
+      assert(rRef >= 0.9, s"refined recall@5 = $rRef (adc = $rAdc)")
+      // refined scores are the EXACT quantized cosine (the IVF store's
+      // arithmetic), deterministic ranks
+      val again = IvfPqIndexStore.probeRerank(spark, pqPath, ivfPath,
+        queries, k = 5, rerank = 25, nprobe = 1, m = 4)
+        .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+      assert(again == refined)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new File(pqPath))
+      org.apache.commons.io.FileUtils.deleteDirectory(new File(ivfPath))
+    }
+  }
+
   test("a rewrite serves atomically: old index until commit, then new") {
     val path = Files.createTempDirectory("ivfpq").toString
     try {
