@@ -166,8 +166,8 @@ object GeomOps {
     * Computed from first principles as the Green's-theorem boundary
     * integral ∮ F(φ) dλ with F the exact ellipsoidal zone-area
     * potential, evaluated along TRUE GEODESIC edges: each edge is
-    * subdivided by the Vincenty direct formula (one sample per ~2 km,
-    * capped at 128 — short OSM-scale edges cost a single trapezoid)
+    * subdivided by the Vincenty direct formula (one sample per ~500 m,
+    * capped at 512 — short OSM-scale edges cost a single trapezoid)
     * and integrated by the composite trapezoid in (λ, F). Agrees with
     * the reference's own pinned boost values (test-geom-polygons.cpp)
     * to ~1e-8 relative — well inside both their epsilon 1e-5 and the
@@ -184,6 +184,10 @@ object GeomOps {
       else if (dLam < -math.Pi) dLam += 2 * math.Pi
       if (dLam == 0.0) return 0.0 // meridian edge: ∫F dλ = 0
       val (s12, alpha1) = vincentyInverse(p1, p2)
+      require(!alpha1.isNaN,
+        s"spherical_area: near-antipodal polygon edge ($p1 -> $p2) — " +
+          "the geodesic path is undetermined, refuse rather than " +
+          "integrate a wrong one")
       val k = math.min(512, math.max(1, math.ceil(s12 / 500.0).toInt))
       var sum = 0.0
       var prevLam = 0.0
@@ -291,11 +295,14 @@ object GeomOps {
       // antipodal points runs over the pole — half the meridian
       // ellipse, which the series gives exactly with alpha = 0
       // (test-geom-linestrings.cpp "long line length - equator" pins
-      // this value, 20003931.458625447, at epsilon 1e-7).
+      // this value, 20003931.458625447, at epsilon 1e-7). The azimuth
+      // is NaN, not 0: the geodesic PATH is undetermined here, and a
+      // caller that samples along it (sphericalArea) must fail loudly
+      // rather than silently integrate up a due-north meridian.
       val uSq0 = (sq(a) - sq(b)) / sq(b)
       val a0 = 1 + uSq0 / 16384 *
         (4096 + uSq0 * (-768 + uSq0 * (320 - 175 * uSq0)))
-      return (b * a0 * math.Pi, 0.0)
+      return (b * a0 * math.Pi, Double.NaN)
     }
     val uSq = cosSqAlpha * (sq(a) - sq(b)) / sq(b)
     val bigA = 1 + uSq / 16384 *

@@ -52,7 +52,7 @@ import org.apache.spark.sql.functions._
   * log replays on the next compaction). No interleaving of crash and
   * restart can lose a bucket's live rows. Hadoop FS also signals
   * failures by RETURNING FALSE rather than throwing, so every
-  * rename/delete on the commit path is checked ([[fsDo]]): a failed
+  * rename/delete on the commit path is checked ([[FsOps]]): a failed
   * swap aborts BEFORE the log or sibling is cleared, leaving the
   * marker + tmp in place for the next [[recover]] to retry — the
   * protocol never converts a false return into silent row loss.

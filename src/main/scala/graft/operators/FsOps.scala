@@ -26,3 +26,78 @@ private[operators] object FsOps {
   def renameChecked(f: FileSystem, src: Path, dst: Path): Unit =
     if (!f.rename(src, dst)) fail(s"rename $src -> $dst")
 }
+
+/** The committed-version protocol shared by [[IvfIndexStore]] and
+  * [[IvfPqIndexStore]]: artifacts stage into `path/v=N/`, a
+  * `_COMMITTED` marker (atomic rename) makes the version visible,
+  * readers serve the HIGHEST committed version, and the next write
+  * garbage-collects superseded/torn versions — so an interrupted
+  * write is simply invisible, never a torn artifact set. One
+  * implementation so a protocol fix can never apply to one store and
+  * silently miss the other. */
+private[operators] object VersionedStore {
+
+  import FsOps.{deleteChecked, renameChecked}
+
+  def fs(spark: org.apache.spark.sql.SparkSession,
+      path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All version numbers present, committed or torn; non-`v=N`
+    * entries (and unparsable suffixes) are ignored rather than
+    * thrown on. */
+  def versions(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .flatMap(n => n.stripPrefix("v=").toLongOption)
+  }
+
+  /** The version a reader serves: the highest committed one. */
+  def currentVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Long] =
+    versions(spark, path).filter(v =>
+      fs(spark, path).exists(new Path(s"$path/v=$v/_COMMITTED")))
+      .sorted.lastOption
+
+  /** GC superseded/torn versions, then pick the next version number
+    * to stage into. Returns (current committed, next). */
+  def prepareStage(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Option[Long], Long) = {
+    val f = fs(spark, path)
+    val existing = versions(spark, path)
+    val current = currentVersion(spark, path)
+    existing.filterNot(current.contains).foreach(v =>
+      deleteChecked(f, new Path(s"$path/v=$v")))
+    (current, existing.foldLeft(0L)(math.max) + 1L)
+  }
+
+  /** COMMIT POINT — the marker lands via atomic rename; a version
+    * without it is invisible to every reader. */
+  def commitMarker(spark: org.apache.spark.sql.SparkSession,
+      vdir: String): Unit = {
+    val f = fs(spark, vdir)
+    val markerTmp = new Path(s"$vdir/_COMMITTED.inprogress")
+    f.create(markerTmp, true).close()
+    renameChecked(f, markerTmp, new Path(s"$vdir/_COMMITTED"))
+  }
+
+  /** Deferred cleanup of the superseded version (safe to crash before
+    * this — the next write's [[prepareStage]] completes it). */
+  def gcPrevious(spark: org.apache.spark.sql.SparkSession,
+      path: String, previous: Option[Long]): Unit =
+    previous.foreach(v =>
+      deleteChecked(fs(spark, path), new Path(s"$path/v=$v")))
+
+  /** The directory a reader must serve, or fail if nothing is
+    * committed. */
+  def servingDir(spark: org.apache.spark.sql.SparkSession,
+      path: String, store: String): String = {
+    val v = currentVersion(spark, path).getOrElse(
+      sys.error(s"$store: no committed index version at $path"))
+    s"$path/v=$v"
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,31 +42,18 @@ import graft.functions.VectorFunctions._
   * [[Similarity.ivfTopK]] with the same parameters (spec'd). */
 object IvfIndexStore {
 
-  import FsOps.{deleteChecked, renameChecked}
+  /** Shared ANN-store plumbing, package-visible for
+    * [[IvfPqIndexStore]]: the quantized cosine of two stored
+    * (vector, norm) pairs. */
+  private[operators] val qcos =
+    (v: Column, n1: Column, v2: Column, n2: Column) =>
+      qdot(v, v2).cast("double") / (n1 * n2)
 
-  private val qcos = (v: Column, n1: Column, v2: Column, n2: Column) =>
-    qdot(v, v2).cast("double") / (n1 * n2)
-
-  private def fs(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def versions(spark: SparkSession, path: String): Seq[Long] = {
-    val f = fs(spark, path)
-    val root = new Path(path)
-    if (!f.exists(root)) Seq.empty
-    else f.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-  }
-
-  private def isCommitted(spark: SparkSession, path: String,
-      v: Long): Boolean =
-    fs(spark, path).exists(new Path(s"$path/v=$v/_COMMITTED"))
-
-  /** The version a reader serves: the highest committed one. */
+  /** The version a reader serves: the highest committed one
+    * ([[VersionedStore]] protocol). */
   private[graft] def currentVersion(spark: SparkSession,
       path: String): Option[Long] =
-    versions(spark, path).filter(isCommitted(spark, path, _))
-      .sorted.lastOption
+    VersionedStore.currentVersion(spark, path)
 
   /** Train (deterministic sample) + assign + store. One corpus pass:
     * the assignment argmax is map-side combinable (one compact row
@@ -97,15 +84,7 @@ object IvfIndexStore {
     require(corpus.isEmpty ||
       !corpus.where(col("id") % centroidEvery === 0).isEmpty,
       s"IVF centroid sample is empty (no id % $centroidEvery == 0 rows)")
-    val f = fs(spark, path)
-    val existing = versions(spark, path)
-    val current = currentVersion(spark, path)
-    // GC: superseded and torn versions from earlier interrupted runs
-    // (everything but the serving version) — checked deletes, so a
-    // failing FS aborts before we stage over a half-deleted dir
-    existing.filterNot(current.contains).foreach(v =>
-      deleteChecked(f, new Path(s"$path/v=$v")))
-    val next = existing.foldLeft(0L)(math.max) + 1L
+    val (current, next) = VersionedStore.prepareStage(spark, path)
     val vdir = s"$path/v=$next"
 
     val cent = broadcast(corpus
@@ -137,19 +116,9 @@ object IvfIndexStore {
     cent.select(col("cid"), col("cv"), col("cn"))
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
     if (failpoint == 1) sys.error("failpoint 1: before commit marker")
-    // COMMIT POINT — marker lands via atomic rename; a version without
-    // it is invisible to every reader
-    val markerTmp = new Path(s"$vdir/_COMMITTED.inprogress")
-    f.create(markerTmp, true).close()
-    renameChecked(f, markerTmp, new Path(s"$vdir/_COMMITTED"))
+    VersionedStore.commitMarker(spark, vdir)
     if (failpoint == 2) sys.error("failpoint 2: after commit marker")
-    current.foreach(v => deleteChecked(f, new Path(s"$path/v=$v")))
-  }
-
-  private def servingDir(spark: SparkSession, path: String): String = {
-    val v = currentVersion(spark, path).getOrElse(
-      sys.error(s"IvfIndexStore: no committed index version at $path"))
-    s"$path/v=$v"
+    VersionedStore.gcPrevious(spark, path, current)
   }
 
   /** Serve a probe batch: rank the broadcast centroids per query,
@@ -171,7 +140,7 @@ object IvfIndexStore {
     * the unshortlisted candidates). */
   private[operators] def probeCandidates(spark: SparkSession,
       path: String, queries: DataFrame, nprobe: Int): DataFrame = {
-    val vdir = servingDir(spark, path)
+    val vdir = VersionedStore.servingDir(spark, path, "IvfIndexStore")
     val cent = broadcast(spark.read.parquet(s"$vdir/centroids"))
     val q = broadcast(queries.select(col("id").as("qid"),
         quantize(col("vec")).as("qv"))

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -38,27 +37,11 @@ import graft.functions.VectorFunctions._
   */
 object IvfPqIndexStore {
 
-  import FsOps.{deleteChecked, renameChecked}
-
-  private val qcos = (v: Column, n1: Column, v2: Column, n2: Column) =>
-    qdot(v, v2).cast("double") / (n1 * n2)
-
-  private def fs(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def versions(spark: SparkSession, path: String): Seq[Long] = {
-    val f = fs(spark, path)
-    val root = new Path(path)
-    if (!f.exists(root)) Seq.empty
-    else f.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-  }
+  import IvfIndexStore.qcos
 
   private[graft] def currentVersion(spark: SparkSession,
       path: String): Option[Long] =
-    versions(spark, path).filter(v =>
-      fs(spark, path).exists(new Path(s"$path/v=$v/_COMMITTED")))
-      .sorted.lastOption
+    VersionedStore.currentVersion(spark, path)
 
   /** Train both quantizers (deterministic samples), assign + encode
     * the corpus in ONE pass (the coarse argmax and the PQ kernel run
@@ -80,12 +63,7 @@ object IvfPqIndexStore {
     require(corpus.isEmpty ||
       !corpus.where(col("id") % centroidEvery === 0).isEmpty,
       s"IVF-PQ sample is empty (no id % $centroidEvery == 0 rows)")
-    val f = fs(spark, path)
-    val existing = versions(spark, path)
-    val current = currentVersion(spark, path)
-    existing.filterNot(current.contains).foreach(v =>
-      deleteChecked(f, new Path(s"$path/v=$v")))
-    val next = existing.foldLeft(0L)(math.max) + 1L
+    val (current, next) = VersionedStore.prepareStage(spark, path)
     val vdir = s"$path/v=$next"
 
     val base = corpus.select(col("id"), quantize(col("vec")).as("q"))
@@ -126,11 +104,8 @@ object IvfPqIndexStore {
     base.where(col("id") % cbEvery === 0)
       .orderBy(col("id")).limit(codebookSize)
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/codebook")
-    // COMMIT POINT — same protocol as IvfIndexStore
-    val markerTmp = new Path(s"$vdir/_COMMITTED.inprogress")
-    f.create(markerTmp, true).close()
-    renameChecked(f, markerTmp, new Path(s"$vdir/_COMMITTED"))
-    current.foreach(v => deleteChecked(f, new Path(s"$path/v=$v")))
+    VersionedStore.commitMarker(spark, vdir)
+    VersionedStore.gcPrevious(spark, path, current)
   }
 
   /** Approximate top-k against the stored index: coarse-rank the
@@ -140,9 +115,7 @@ object IvfPqIndexStore {
     * (score desc, nid asc) tie-breaks. */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 2, m: Int = 8): DataFrame = {
-    val v = currentVersion(spark, path).getOrElse(
-      sys.error(s"IvfPqIndexStore: no committed index version at $path"))
-    val vdir = s"$path/v=$v"
+    val vdir = VersionedStore.servingDir(spark, path, "IvfPqIndexStore")
     val cent = broadcast(spark.read.parquet(s"$vdir/centroids"))
     val q = queries.select(col("id").as("qid"),
         quantize(col("vec")).as("qv"))

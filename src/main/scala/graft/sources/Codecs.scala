@@ -134,7 +134,12 @@ object Codecs {
     while (off + 8 <= bytes.length && !seenEnd) {
       val len = be32(bytes, off)
       val typ = new String(bytes, off + 4, 4, StandardCharsets.US_ASCII)
-      require(off + 8 + len + 4 <= bytes.length, s"truncated chunk $typ")
+      // a corrupt/malicious length must fail loudly, not wedge the
+      // walker (negative len would stop `off` from advancing) or read
+      // out of bounds — these are real-crawl bytes
+      require(len >= 0, s"negative chunk length $len for $typ")
+      require(off + 8 + len.toLong + 4 <= bytes.length,
+        s"truncated chunk $typ")
       typ match {
         case "IHDR" =>
           w = be32(bytes, off + 8)
@@ -158,6 +163,9 @@ object Codecs {
       case 2 => 3
       case 6 => 4
     }
+    require(w > 0 && h > 0 &&
+      (w.toLong * channels + 1) * h < Int.MaxValue,
+      s"bad PNG dimensions ${w}x$h")
     val stride = w * channels
     val raw = new Array[Byte]((stride + 1) * h)
     val inflater = new Inflater()
@@ -165,7 +173,10 @@ object Codecs {
     var got = 0
     while (got < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, got, raw.length - got)
-      require(n > 0 || !inflater.needsInput(), "truncated IDAT stream")
+      // n == 0 while unfinished means truncated input OR an
+      // unsupported preset-dictionary stream — either way looping
+      // again would spin forever
+      require(n > 0, "truncated or unsupported IDAT zlib stream")
       got += n
     }
     inflater.end()
@@ -263,9 +274,12 @@ object Codecs {
     val compression = readLe32(bytes, 30)
     require(bpp == 24, s"unsupported BMP bpp $bpp")
     require(compression == 0, s"unsupported BMP compression $compression")
+    require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$hRaw")
+    require(dataOffset >= 54, s"bad BMP data offset $dataOffset")
     val rowBytes = w * 3
     val padded = rowBytes + (4 - rowBytes % 4) % 4
-    require(dataOffset + padded * h <= bytes.length, "truncated BMP")
+    require(dataOffset + padded.toLong * h <= bytes.length,
+      "truncated BMP")
     val rgb = new Array[Int](w * h * 3)
     var y = 0
     while (y < h) {
@@ -325,8 +339,14 @@ object Codecs {
     while (off + 8 <= bytes.length && (sampleRate < 0 || samples == null)) {
       val id = new String(bytes, off, 4, StandardCharsets.US_ASCII)
       val len = readLe32(bytes, off + 4)
+      // same walker discipline as the PNG chunks: a corrupt length
+      // must throw, never wedge the loop or index out of bounds
+      require(len >= 0, s"negative RIFF chunk length $len for '$id'")
+      require(off + 8 + len.toLong <= bytes.length,
+        s"truncated RIFF chunk '$id'")
       id match {
         case "fmt " =>
+          require(len >= 16, s"fmt chunk too short ($len bytes)")
           val fmt = readLe16(bytes, off + 8)
           val ch = readLe16(bytes, off + 10)
           val bits = readLe16(bytes, off + 22)

@@ -8,9 +8,8 @@ import org.apache.spark.sql.functions._
   *
   * The decode step is REAL for PNG, BMP and WAV via the pure-JVM
   * [[Codecs]] ([[BinaryDecoder]] sniffs the magic bytes and decodes —
-  * oracle-gated end to end by q123/q27). [[StubDecoder]] and
-  * [[Md5Decoder]] remain as the zero-dependency seams for pipeline
-  * tests that need SQL-expressible fake pixels. The Spark-side
+  * oracle-gated end to end by q123/q27). [[StubDecoder]] remains as
+  * the zero-dependency seam for plumbing tests. The Spark-side
   * plumbing — schema, partition-sized batching, mapPartitions
   * boundary (the Scala analog of mapInPandas: one iterator per
   * partition, so decoder/codec init amortizes across the whole
@@ -55,18 +54,6 @@ object Multimodal {
         i += 1
       }
       (w, h, px)
-    }
-  }
-
-  /** Second stub: a 4×4 "frame" whose pixels are the md5 digest bytes
-    * of the payload. Unlike [[StubDecoder]] this is expressible in
-    * ANSI SQL (md5 + hex arithmetic), so the decode → mapPartitions →
-    * feature plumbing itself can be hash-verified against the DuckDB
-    * oracle (q27), not just unit-tested. */
-  object Md5Decoder extends Decoder {
-    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      (4, 4, d.map(b => (b & 0xff).toFloat))
     }
   }
 
