@@ -32,7 +32,7 @@ object Pipeline9 {
     val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
-          val m = (id % 4).toInt
+          val m = (id % 7).toInt
           val w = (4 + id % 5).toInt
           val h = (3 + (id / 4) % 4).toInt
           def px(i: Int, c: Int, step: Int) =
@@ -49,12 +49,28 @@ object Pipeline9 {
               Codecs.encodeBmp(w, h,
                 Array.tabulate(w * h * 3)(j => px(j / 3, j % 3, 13))),
               Map.empty)
-            case _ =>
+            case 3 =>
               val n = (16 + id % 9).toInt
               Multimodal.MediaRow(id, "wav",
                 Codecs.encodeWav(Array.tabulate(n)(i =>
                   ((id * 131 + i.toLong * 17) % 65536).toInt - 32768)),
                 Map.empty)
+            case 4 => Multimodal.MediaRow(id, "png_gray16",
+              Codecs.encodePng(w, h, 1,
+                Array.tabulate(w * h)(i =>
+                  ((id * 131 + i.toLong * 257) % 65536).toInt),
+                bitDepth = 16, interlaced = true), Map.empty)
+            case 5 => Multimodal.MediaRow(id, "png_rgb_adam7",
+              Codecs.encodePng(w, h, 3,
+                Array.tabulate(w * h * 3)(j => px(j / 3, j % 3, 11)),
+                interlaced = true), Map.empty)
+            case _ =>
+              val n = (12 + id % 5).toInt
+              Multimodal.MediaRow(id, "wav_stereo",
+                Codecs.encodeWav(Array.tabulate(n * 2)(j =>
+                  ((id * 131 + (j / 2).toLong * 17 + (j % 2) * 29)
+                    % 65536).toInt - 32768),
+                  channels = 2), Map.empty)
           }
         }
       }
@@ -63,19 +79,24 @@ object Pipeline9 {
   }
 
   /** The formula recomputed in SQL — never touches bytes; only a
-    * correct decoder can reproduce these sums from the encodings. */
+    * correct decoder (including Adam7 de-interlace, 16-bit samples
+    * and stereo frame sums) can reproduce these from the encodings. */
   val mediaDecodeSql: String =
-    """WITH p AS (SELECT doc_id, doc_id % 4 AS m,
+    """WITH p AS (SELECT doc_id, doc_id % 7 AS m,
       |    CAST(4 + doc_id % 5 AS INTEGER) AS w,
       |    CAST(3 + (doc_id // 4) % 4 AS INTEGER) AS h,
-      |    CAST(16 + doc_id % 9 AS INTEGER) AS n
+      |    CAST(16 + doc_id % 9 AS INTEGER) AS n,
+      |    CAST(12 + doc_id % 5 AS INTEGER) AS n2
       |  FROM documents)
       |SELECT doc_id,
       |  CASE m WHEN 0 THEN 'png_gray' WHEN 1 THEN 'png_rgb'
-      |         WHEN 2 THEN 'bmp' ELSE 'wav' END AS fmt,
-      |  CASE WHEN m = 3 THEN n ELSE w END AS width,
-      |  CASE WHEN m = 3 THEN 1 ELSE h END AS height,
-      |  CASE WHEN m = 3 THEN n ELSE w * h END AS n_px,
+      |         WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav'
+      |         WHEN 4 THEN 'png_gray16' WHEN 5 THEN 'png_rgb_adam7'
+      |         ELSE 'wav_stereo' END AS fmt,
+      |  CASE WHEN m = 3 THEN n WHEN m = 6 THEN n2 ELSE w END AS width,
+      |  CASE WHEN m IN (3, 6) THEN 1 ELSE h END AS height,
+      |  CASE WHEN m = 3 THEN n WHEN m = 6 THEN n2
+      |       ELSE w * h END AS n_px,
       |  CAST(CASE m
       |    WHEN 0 THEN list_sum(list_transform(range(0, w*h),
       |      i -> (doc_id*31 + i*7) % 256))
@@ -85,8 +106,16 @@ object Pipeline9 {
       |    WHEN 2 THEN list_sum(list_transform(range(0, w*h),
       |      i -> (doc_id*31 + i*7) % 256 + (doc_id*31 + i*7 + 13) % 256
       |         + (doc_id*31 + i*7 + 26) % 256))
-      |    ELSE list_sum(list_transform(range(0, n),
+      |    WHEN 3 THEN list_sum(list_transform(range(0, n),
       |      i -> (doc_id*131 + i*17) % 65536 - 32768))
+      |    WHEN 4 THEN list_sum(list_transform(range(0, w*h),
+      |      i -> (doc_id*131 + i*257) % 65536))
+      |    WHEN 5 THEN list_sum(list_transform(range(0, w*h),
+      |      i -> (doc_id*31 + i*7) % 256 + (doc_id*31 + i*7 + 11) % 256
+      |         + (doc_id*31 + i*7 + 22) % 256))
+      |    ELSE list_sum(list_transform(range(0, n2),
+      |      f -> (doc_id*131 + f*17) % 65536 - 32768
+      |         + (doc_id*131 + f*17 + 29) % 65536 - 32768))
       |  END AS BIGINT) AS px_sum
       |FROM p""".stripMargin
 

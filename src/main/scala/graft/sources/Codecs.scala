@@ -55,33 +55,38 @@ object Codecs {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode an 8-bit image; `channels` 1 (grey), 3 (RGB) or 4 (RGBA);
-    * `px` row-major channel-interleaved, values 0..255, length
-    * w·h·channels. The per-row filter type cycles 0..4 so every
-    * decoder filter branch is exercised by any image with ≥5 rows. */
-  def encodePng(w: Int, h: Int, channels: Int, px: Array[Int]): Array[Byte] = {
-    require(px.length == w * h * channels,
-      s"pixel buffer ${px.length} != $w*$h*$channels")
-    val colorType = channels match {
-      case 1 => 0
-      case 3 => 2
-      case 4 => 6
-      case n => sys.error(s"unsupported channel count $n")
-    }
-    val stride = w * channels
-    // filtered scanlines: 1 filter byte + stride bytes per row
-    val raw = new Array[Byte]((stride + 1) * h)
+  /** Adam7 pass geometry: (xStart, yStart, xStep, yStep) per the
+    * spec's pixel-extraction pattern; pass order is normative. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** The (xStart, yStart, xStep, yStep) sub-image list for an
+    * interlace method: one full-image pass for none, the seven Adam7
+    * passes otherwise (empty passes are filtered by the callers). */
+  private def passes(interlaced: Boolean): Array[(Int, Int, Int, Int)] =
+    if (interlaced) Adam7 else Array((0, 0, 1, 1))
+
+  private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
+
+  /** Filter one (sub-)image's scanlines at the BYTE level (per spec:
+    * the filters operate on bytes with bpp = bytes per complete
+    * pixel, regardless of bit depth). `filterOf(row)` picks the
+    * per-row filter type; the encoder cycles 0..4 so round-trips
+    * exercise every unfilter branch. */
+  private def filterRegion(grid: Array[Byte], rows: Int, rowBytes: Int,
+      bpp: Int, out: java.io.ByteArrayOutputStream): Unit = {
     var y = 0
-    while (y < h) {
+    while (y < rows) {
       val ft = y % 5
-      raw(y * (stride + 1)) = ft.toByte
+      out.write(ft)
       var x = 0
-      while (x < stride) {
-        val cur = px(y * stride + x)
-        val left = if (x >= channels) px(y * stride + x - channels) else 0
-        val up = if (y > 0) px((y - 1) * stride + x) else 0
-        val ul = if (y > 0 && x >= channels)
-          px((y - 1) * stride + x - channels) else 0
+      while (x < rowBytes) {
+        val cur = grid(y * rowBytes + x) & 0xff
+        val left = if (x >= bpp) grid(y * rowBytes + x - bpp) & 0xff else 0
+        val up = if (y > 0) grid((y - 1) * rowBytes + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp)
+          grid((y - 1) * rowBytes + x - bpp) & 0xff else 0
         val filt = ft match {
           case 0 => cur
           case 1 => cur - left
@@ -89,13 +94,80 @@ object Codecs {
           case 3 => cur - ((left + up) >> 1)
           case 4 => cur - paeth(left, up, ul)
         }
-        raw(y * (stride + 1) + 1 + x) = (filt & 0xff).toByte
+        out.write(filt & 0xff)
         x += 1
       }
       y += 1
     }
+  }
+
+  /** Unfilter one (sub-)image region in place from `raw` (rows ×
+    * (1 + rowBytes), starting at `off`) → recon bytes. */
+  private def unfilterRegion(raw: Array[Byte], off: Int, rows: Int,
+      rowBytes: Int, bpp: Int): Array[Byte] = {
+    val recon = new Array[Byte](rows * rowBytes)
+    var y = 0
+    while (y < rows) {
+      val ft = raw(off + y * (rowBytes + 1)) & 0xff
+      var x = 0
+      while (x < rowBytes) {
+        val filt = raw(off + y * (rowBytes + 1) + 1 + x) & 0xff
+        val left = if (x >= bpp) recon(y * rowBytes + x - bpp) & 0xff else 0
+        val up = if (y > 0) recon((y - 1) * rowBytes + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp)
+          recon((y - 1) * rowBytes + x - bpp) & 0xff else 0
+        val r = ft match {
+          case 0 => filt
+          case 1 => filt + left
+          case 2 => filt + up
+          case 3 => filt + ((left + up) >> 1)
+          case 4 => filt + paeth(left, up, ul)
+          case t => sys.error(s"unknown filter type $t")
+        }
+        recon(y * rowBytes + x) = (r & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    recon
+  }
+
+  /** Encode an image; `channels` 1 (grey), 3 (RGB) or 4 (RGBA); `px`
+    * row-major channel-interleaved samples (0..255 at depth 8,
+    * 0..65535 at depth 16), length w·h·channels. Supports bit depth
+    * 8/16 and Adam7 interlacing — the full decoder surface, so
+    * round-trip tests cover every branch. */
+  def encodePng(w: Int, h: Int, channels: Int, px: Array[Int],
+      bitDepth: Int = 8, interlaced: Boolean = false): Array[Byte] = {
+    require(px.length == w * h * channels,
+      s"pixel buffer ${px.length} != $w*$h*$channels")
+    require(bitDepth == 8 || bitDepth == 16, s"bad bit depth $bitDepth")
+    val colorType = channels match {
+      case 1 => 0
+      case 3 => 2
+      case 4 => 6
+      case n => sys.error(s"unsupported channel count $n")
+    }
+    val bytesPerSample = bitDepth / 8
+    val bpp = channels * bytesPerSample
+    val raw = new java.io.ByteArrayOutputStream()
+    passes(interlaced).foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) ceilDiv(w - x0, dx) else 0
+      val ph = if (h > y0) ceilDiv(h - y0, dy) else 0
+      if (pw > 0 && ph > 0) {
+        val grid = new Array[Byte](ph * pw * bpp)
+        for (py <- 0 until ph; pxi <- 0 until pw; c <- 0 until channels) {
+          val v = px(((y0 + py * dy) * w + (x0 + pxi * dx)) * channels + c)
+          val o = (py * pw + pxi) * bpp + c * bytesPerSample
+          if (bytesPerSample == 2) {
+            grid(o) = (v >>> 8).toByte; grid(o + 1) = v.toByte
+          } else grid(o) = v.toByte
+        }
+        filterRegion(grid, ph, pw * bpp, bpp, raw)
+      }
+    }
     val deflater = new Deflater()
-    deflater.setInput(raw)
+    deflater.setInput(raw.toByteArray)
     deflater.finish()
     val comp = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
@@ -108,7 +180,8 @@ object Codecs {
     val ihdr = Array(
       (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
       (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
-      8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
+      bitDepth.toByte, colorType.toByte, 0.toByte, 0.toByte,
+      (if (interlaced) 1 else 0).toByte)
     chunk(out, "IHDR", ihdr)
     chunk(out, "IDAT", comp.toByteArray)
     chunk(out, "IEND", Array.empty)
@@ -119,16 +192,17 @@ object Codecs {
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
       ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
 
-  /** Decode a PNG: (width, height, channels, pixels 0..255 row-major
-    * channel-interleaved). Supports 8-bit depth, color types 0/2/6,
-    * interlace none — the subset [[encodePng]] emits plus RGBA;
-    * multiple IDAT chunks are concatenated per the spec. */
+  /** Decode a PNG: (width, height, channels, samples row-major
+    * channel-interleaved — 0..255 at depth 8, 0..65535 at depth 16).
+    * Supports bit depths 8/16, color types 0/2/6, interlace none AND
+    * Adam7; multiple IDAT chunks are concatenated per the spec. */
   def decodePng(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
     require(bytes.length > 8 &&
       PngSignature.indices.forall(i => bytes(i) == PngSignature(i)),
       "not a PNG (bad signature)")
     var off = 8
     var w = 0; var h = 0; var colorType = -1
+    var depth = 0; var interlace = 0
     val idat = new java.io.ByteArrayOutputStream()
     var seenEnd = false
     while (off + 8 <= bytes.length && !seenEnd) {
@@ -144,13 +218,15 @@ object Codecs {
         case "IHDR" =>
           w = be32(bytes, off + 8)
           h = be32(bytes, off + 12)
-          val depth = bytes(off + 16) & 0xff
+          depth = bytes(off + 16) & 0xff
           colorType = bytes(off + 17) & 0xff
-          val interlace = bytes(off + 20) & 0xff
-          require(depth == 8, s"unsupported bit depth $depth")
+          interlace = bytes(off + 20) & 0xff
+          require(depth == 8 || depth == 16,
+            s"unsupported bit depth $depth")
           require(colorType == 0 || colorType == 2 || colorType == 6,
             s"unsupported color type $colorType")
-          require(interlace == 0, "interlaced PNG unsupported")
+          require(interlace == 0 || interlace == 1,
+            s"unknown interlace method $interlace")
         case "IDAT" => idat.write(bytes, off + 8, len)
         case "IEND" => seenEnd = true
         case _      => () // ancillary chunks skipped
@@ -163,11 +239,20 @@ object Codecs {
       case 2 => 3
       case 6 => 4
     }
+    val bytesPerSample = depth / 8
+    val bpp = channels * bytesPerSample
     require(w > 0 && h > 0 &&
-      (w.toLong * channels + 1) * h < Int.MaxValue,
+      (w.toLong * bpp + 1) * h < Int.MaxValue,
       s"bad PNG dimensions ${w}x$h")
-    val stride = w * channels
-    val raw = new Array[Byte]((stride + 1) * h)
+    val passList = passes(interlace == 1).map { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) ceilDiv(w - x0, dx) else 0
+      val ph = if (h > y0) ceilDiv(h - y0, dy) else 0
+      (x0, y0, dx, dy, pw, ph)
+    }.filter { case (_, _, _, _, pw, ph) => pw > 0 && ph > 0 }
+    val rawLen = passList.map { case (_, _, _, _, pw, ph) =>
+      ph * (1 + pw * bpp)
+    }.sum
+    val raw = new Array[Byte](rawLen)
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
     var got = 0
@@ -182,28 +267,18 @@ object Codecs {
     inflater.end()
     require(got == raw.length, s"inflated $got of ${raw.length} bytes")
     val px = new Array[Int](w * h * channels)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * (stride + 1)) & 0xff
-      var x = 0
-      while (x < stride) {
-        val filt = raw(y * (stride + 1) + 1 + x) & 0xff
-        val left = if (x >= channels) px(y * stride + x - channels) else 0
-        val up = if (y > 0) px((y - 1) * stride + x) else 0
-        val ul = if (y > 0 && x >= channels)
-          px((y - 1) * stride + x - channels) else 0
-        val recon = ft match {
-          case 0 => filt
-          case 1 => filt + left
-          case 2 => filt + up
-          case 3 => filt + ((left + up) >> 1)
-          case 4 => filt + paeth(left, up, ul)
-          case t => sys.error(s"unknown filter type $t")
-        }
-        px(y * stride + x) = recon & 0xff
-        x += 1
+    var rawOff = 0
+    passList.foreach { case (x0, y0, dx, dy, pw, ph) =>
+      val recon = unfilterRegion(raw, rawOff, ph, pw * bpp, bpp)
+      rawOff += ph * (1 + pw * bpp)
+      for (py <- 0 until ph; pxi <- 0 until pw; c <- 0 until channels) {
+        val o = (py * pw + pxi) * bpp + c * bytesPerSample
+        val v =
+          if (bytesPerSample == 2)
+            ((recon(o) & 0xff) << 8) | (recon(o + 1) & 0xff)
+          else recon(o) & 0xff
+        px(((y0 + py * dy) * w + (x0 + pxi * dx)) * channels + c) = v
       }
-      y += 1
     }
     (w, h, channels, px)
   }
@@ -302,8 +377,13 @@ object Codecs {
   // WAV (16-bit PCM mono)
   // ------------------------------------------------------------------
 
-  /** Encode 16-bit signed PCM samples (−32768..32767), mono. */
-  def encodeWav(samples: Array[Int], sampleRate: Int = 16000): Array[Byte] = {
+  /** Encode 16-bit signed PCM samples (−32768..32767); multi-channel
+    * input is frame-interleaved (L R L R … for stereo), length a
+    * multiple of `channels`. */
+  def encodeWav(samples: Array[Int], sampleRate: Int = 16000,
+      channels: Int = 1): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of $channels")
     val dataSize = samples.length * 2
     val out = new java.io.ByteArrayOutputStream(44 + dataSize)
     out.write("RIFF".getBytes(StandardCharsets.US_ASCII))
@@ -312,10 +392,10 @@ object Codecs {
     out.write("fmt ".getBytes(StandardCharsets.US_ASCII))
     out.write(le32(16))
     out.write(le16(1)) // PCM
-    out.write(le16(1)) // mono
+    out.write(le16(channels))
     out.write(le32(sampleRate))
-    out.write(le32(sampleRate * 2))
-    out.write(le16(2)) // block align
+    out.write(le32(sampleRate * 2 * channels))
+    out.write(le16(2 * channels)) // block align
     out.write(le16(16))
     out.write("data".getBytes(StandardCharsets.US_ASCII))
     out.write(le32(dataSize))
@@ -326,15 +406,17 @@ object Codecs {
     out.toByteArray
   }
 
-  /** Decode a 16-bit PCM mono WAV → (sampleRate, samples). Walks the
-    * RIFF chunk list, so extra chunks (LIST/fact) are skipped. */
-  def decodeWav(bytes: Array[Byte]): (Int, Array[Int]) = {
+  /** Decode a 16-bit PCM WAV → (sampleRate, channels, samples
+    * frame-interleaved). Walks the RIFF chunk list, so extra chunks
+    * (LIST/fact) are skipped. */
+  def decodeWav(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     require(bytes.length >= 44 &&
       new String(bytes, 0, 4, StandardCharsets.US_ASCII) == "RIFF" &&
       new String(bytes, 8, 4, StandardCharsets.US_ASCII) == "WAVE",
       "not a WAV (bad RIFF/WAVE magic)")
     var off = 12
     var sampleRate = -1
+    var channels = -1
     var samples: Array[Int] = null
     while (off + 8 <= bytes.length && (sampleRate < 0 || samples == null)) {
       val id = new String(bytes, off, 4, StandardCharsets.US_ASCII)
@@ -351,8 +433,9 @@ object Codecs {
           val ch = readLe16(bytes, off + 10)
           val bits = readLe16(bytes, off + 22)
           require(fmt == 1, s"unsupported WAV format $fmt (want PCM)")
-          require(ch == 1, s"unsupported channel count $ch (want mono)")
+          require(ch >= 1, s"bad channel count $ch")
           require(bits == 16, s"unsupported bit depth $bits")
+          channels = ch
           sampleRate = readLe32(bytes, off + 12)
         case "data" =>
           val n = len / 2
@@ -370,6 +453,6 @@ object Codecs {
     }
     require(sampleRate > 0, "missing fmt chunk")
     require(samples != null, "missing data chunk")
-    (sampleRate, samples)
+    (sampleRate, channels, samples)
   }
 }

@@ -90,8 +90,17 @@ object Multimodal {
         (w, h, plane)
       } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
           bytes(2) == 'F' && bytes(3) == 'F') {
-        val (_, samples) = Codecs.decodeWav(bytes)
-        (samples.length, 1, samples.map(_.toFloat))
+        val (_, ch, samples) = Codecs.decodeWav(bytes)
+        val frames = samples.length / ch
+        val plane = new Array[Float](frames)
+        var i = 0
+        while (i < frames) {
+          var s = 0; var c = 0
+          while (c < ch) { s += samples(i * ch + c); c += 1 }
+          plane(i) = s.toFloat // channel sum, like the image planes
+          i += 1
+        }
+        (frames, 1, plane)
       } else sys.error(
         s"unrecognized media payload (${bytes.length} bytes, " +
           s"type hint '$mediaType')")

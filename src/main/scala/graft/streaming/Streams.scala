@@ -384,6 +384,27 @@ object Streams {
       .select(col("new_id"), col("indexed_id"), col("band"))
   }
 
+  /** Continuous ANN serving against the persisted [[graft.operators
+    * .IvfIndexStore]]: each micro-batch of query vectors (id, vec)
+    * runs one partition-pruned probe and hands the ranked result to
+    * `sink`. Shaped as `foreachBatch`, NOT a stream-static join,
+    * deliberately: the probe's partition pruning requires the probed
+    * cell ids as literal filters, which only exist once the batch's
+    * queries are known — per batch the collect stays bounded at
+    * ≤ |batch|·nprobe ids, and each batch reads only its probed cell
+    * directories of the CURRENT committed index version (a concurrent
+    * [[graft.operators.IvfIndexStore.write]] flips versions atomically
+    * between batches — a batch never sees a torn index). */
+  def ivfProbeStream(queries: DataFrame, indexPath: String, k: Int,
+      nprobe: Int = 2)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.IvfIndexStore.probe(
+            batch.sparkSession, indexPath, batch, k, nprobe))
+      }.start()
+
   /** Continuous append mode: watch a directory for arriving `.osc`
     * change files (the replication mirror) and run the incremental
     * update pipeline once per micro-batch — `readStream` over the file

@@ -32,6 +32,42 @@ class CodecsSpec extends AnyFunSuite {
     })
   }
 
+  test("PNG: 16-bit depth and Adam7 interlace round-trip exactly") {
+    check(Prop.forAll(dimGen, dimGen, Gen.oneOf(1, 3, 4),
+      Gen.oneOf(8, 16), Gen.oneOf(false, true),
+      Gen.choose(0L, Long.MaxValue)) { (w, h, ch, depth, il, seed) =>
+      val maxV = if (depth == 16) 65536L else 256L
+      val px = Array.tabulate(w * h * ch)(i =>
+        ((seed + i.toLong * 2654435761L) % maxV).toInt)
+      val (dw, dh, dch, dpx) = Codecs.decodePng(
+        Codecs.encodePng(w, h, ch, px, bitDepth = depth, interlaced = il))
+      dw == w && dh == h && dch == ch && dpx.sameElements(px)
+    })
+  }
+
+  test("PNG: Adam7 pass geometry covers edge dimensions") {
+    // every w,h in 1..9 — the range where Adam7 passes go empty or
+    // degenerate (1×1 uses only pass 1; 2×2 passes 1+6+7; …)
+    for (w <- 1 to 9; h <- 1 to 9) {
+      val px = Array.tabulate(w * h)(i => (i * 37 + w * 5 + h) % 256)
+      val (dw, dh, _, dpx) = Codecs.decodePng(
+        Codecs.encodePng(w, h, 1, px, interlaced = true))
+      assert(dw == w && dh == h && dpx.sameElements(px), s"${w}x$h")
+    }
+  }
+
+  test("WAV: stereo round-trips frame-interleaved; decoder sums frames") {
+    val stereo = Array.tabulate(14)(i =>
+      if (i % 2 == 0) i * 100 else -i * 50) // L/R interleaved, 7 frames
+    val bytes = Codecs.encodeWav(stereo, 22050, channels = 2)
+    val (rate, ch, got) = Codecs.decodeWav(bytes)
+    assert(rate == 22050 && ch == 2 && got.sameElements(stereo))
+    val (frames, one, plane) = Multimodal.BinaryDecoder.decode("x", bytes)
+    assert(frames == 7 && one == 1)
+    (0 until 7).foreach(f =>
+      assert(plane(f) == (stereo(2 * f) + stereo(2 * f + 1)).toFloat))
+  }
+
   test("BMP: encode → decode is the identity across padding widths") {
     check(Prop.forAll(dimGen, dimGen, Gen.choose(0L, Long.MaxValue)) {
       (w, h, seed) =>
@@ -47,8 +83,9 @@ class CodecsSpec extends AnyFunSuite {
       (n, seed) =>
         val samples = Array.tabulate(n)(i =>
           ((seed + i.toLong * 7919L) % 65536).toInt - 32768)
-        val (rate, got) = Codecs.decodeWav(Codecs.encodeWav(samples, 8000))
-        rate == 8000 && got.sameElements(samples)
+        val (rate, ch, got) =
+          Codecs.decodeWav(Codecs.encodeWav(samples, 8000))
+        rate == 8000 && ch == 1 && got.sameElements(samples)
     })
   }
 
@@ -119,8 +156,8 @@ class CodecsSpec extends AnyFunSuite {
     out.write(Array[Byte](4, 0, 0, 0))
     out.write("INFO".getBytes("US-ASCII"))
     out.write(base, 36, base.length - 36)
-    val (rate, got) = Codecs.decodeWav(out.toByteArray)
-    assert(rate == 44100 && got.sameElements(samples))
+    val (rate, ch, got) = Codecs.decodeWav(out.toByteArray)
+    assert(rate == 44100 && ch == 1 && got.sameElements(samples))
   }
 
   test("BinaryDecoder sniffs magic bytes, not the type hint") {

@@ -175,6 +175,46 @@ class IvfIndexStoreSpec extends SparkSpecBase {
       .deleteDirectory(new File(path))
   }
 
+  test("a query stream probes the store; a mid-stream rewrite serves atomically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("ivfidx").toString
+    try {
+      val a = vecs
+      val b = vecs.withColumn("vec",
+        org.apache.spark.sql.functions.transform($"vec", x => -x))
+      IvfIndexStore.write(a, path)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val results = scala.collection.mutable.ArrayBuffer
+        .empty[Set[(Long, Long, Double)]]
+      val q = graft.streaming.Streams.ivfProbeStream(
+        input.toDS().toDF("id", "vec"), path, k = 3) { out =>
+        results += out.select($"qid", $"nid", $"cos")
+          .as[(Long, Long, Double)].collect().toSet
+      }
+      val queries = (1L to 3L).map { i =>
+        (i, (0 until 8).map(d =>
+          math.sin(i * 0.37 + d * 1.13).toFloat).toSeq)
+      }
+      def expected(corpus: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfTopK(queries.toDF("id", "vec"), corpus, k = 3)
+          .select($"qid", $"nid", $"cos")
+          .as[(Long, Long, Double)].collect().toSet
+      input.addData(queries)
+      q.processAllAvailable()
+      assert(results.last == expected(a))
+      // maintenance between batches: full index rewrite over corpus B;
+      // the next batch must probe the NEW committed version, bit-equal
+      // to the in-plan route over B
+      IvfIndexStore.write(b, path)
+      input.addData(queries)
+      q.processAllAvailable()
+      q.stop()
+      assert(results.size == 2 && results.last == expected(b))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(path))
+  }
+
   test("randomized interrupted-write schedules never serve a torn index") {
     // model-based, like BandIndexStoreSpec: a seeded-random sequence
     // of writes, each maybe interrupted at a random failpoint; after
