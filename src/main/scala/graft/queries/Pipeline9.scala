@@ -274,15 +274,60 @@ object Pipeline9 {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ---- q127: baseline JPEG decode, exact flat-block oracle ----
+
+  /** The LOSSY codec under the hash gate, on its exact subset: each
+    * document becomes a grayscale JPEG of FLAT 8×8 blocks with even
+    * values — the one image family where baseline JPEG round-trips
+    * bit-exactly (DC-only blocks; see [[graft.sources.Jpeg]]'s
+    * exactness contract). The bytes go through the repo's own encoder
+    * (real Huffman entropy coding, quantization, byte stuffing) and
+    * the REAL general decoder (tables from the file's own DHT/DQT,
+    * canonical Huffman, IDCT), so a hash match certifies the entire
+    * JPEG machinery except AC magnitudes — which JpegSpec bounds on
+    * random images. */
+  def jpegDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 8 * (2 + id % 3).toInt
+          val h = 8 * (1 + id % 2).toInt
+          val bxs = w / 8
+          val px = Array.tabulate(w * h) { i =>
+            val b = (i / w / 8) * bxs + (i % w) / 8
+            2 * ((id * 31 + b.toLong * 7) % 128).toInt
+          }
+          Multimodal.MediaRow(id, "jpeg_gray",
+            graft.sources.Jpeg.encodeGray(w, h, px), Map.empty)
+        }
+      }
+    Multimodal.decodeStats(media, Multimodal.BinaryDecoder)
+      .toDF("doc_id", "fmt", "width", "height", "n_px", "px_sum")
+  }
+
+  val jpegDecodeSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(8 * (2 + doc_id % 3) AS INTEGER) AS w,
+      |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS h
+      |  FROM documents)
+      |SELECT doc_id, 'jpeg_gray' AS fmt, w AS width, h AS height,
+      |  w * h AS n_px,
+      |  CAST(64 * list_sum(list_transform(range(0, (w//8) * (h//8)),
+      |    b -> 2 * ((doc_id*31 + b*7) % 128))) AS BIGINT) AS px_sum
+      |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q123_media_decode" -> (mediaDecode _),
     "q124_ivfpq_topk"   -> (ivfPqTopK _),
     "q125_flex_lua_e2e" -> (flexLuaE2e _),
-    "q126_ivfpq_rerank" -> (ivfPqRerank _))
+    "q126_ivfpq_rerank" -> (ivfPqRerank _),
+    "q127_jpeg_decode"  -> (jpegDecode _))
 
   def oracles: Map[String, String] = Map(
     "q123_media_decode" -> mediaDecodeSql,
     "q124_ivfpq_topk"   -> ivfPqTopKSql,
     "q125_flex_lua_e2e" -> flexLuaE2eSql,
-    "q126_ivfpq_rerank" -> ivfPqRerankSql)
+    "q126_ivfpq_rerank" -> ivfPqRerankSql,
+    "q127_jpeg_decode"  -> jpegDecodeSql)
 }

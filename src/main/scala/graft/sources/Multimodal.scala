@@ -79,6 +79,10 @@ object Multimodal {
           i += 1
         }
         (w, h, plane)
+      } else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+          (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) {
+        val (w, h, px) = Jpeg.decodeGray(bytes)
+        (w, h, px.map(_.toFloat))
       } else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
         val (w, h, rgb) = Codecs.decodeBmp(bytes)
         val plane = new Array[Float](w * h)
