@@ -104,10 +104,23 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    // stop Spark BEFORE the record line so no shutdown logging can
-    // land after it: the complete per-query JSON must be the single
-    // LAST stdout line the driver tails
+    // stop Spark BEFORE the record lines so no shutdown logging can
+    // land after them
     spark.stop()
+    // Full record first (may be cut by the driver's stdout tail at
+    // 120+ queries — bench.json on disk always carries it), then a
+    // COMPACT record as the true last line. The compact form is
+    // truncation-proof at any query count: per-query values are
+    // integer milliseconds in sorted-query-name order (~6 bytes each;
+    // names are recoverable from SparkEntry.queries.keys.sorted, and
+    // n guards against a name-set drift). Failed queries encode -1.
     println(json)
+    val msInts = results.map {
+      case (_, Some(v)) => math.round(v * 1000).toString
+      case (_, None)    => "-1"
+    }.mkString("[", ",", "]")
+    val compact =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"ms_sorted_by_name":$msInts}"""
+    println(compact)
   }
 }

@@ -63,16 +63,22 @@ private[operators] object VersionedStore {
       fs(spark, path).exists(new Path(s"$path/v=$v/_COMMITTED")))
       .sorted.lastOption
 
-  /** GC superseded/torn versions, then pick the next version number
-    * to stage into. Returns (current committed, next). */
+  /** GC torn stages and stale versions, then pick the next version
+    * number to stage into. Returns (current committed, next).
+    *
+    * Retention: the current committed version AND the most recently
+    * superseded committed one are both kept (see [[gcPrevious]]);
+    * torn (uncommitted) stages and older committed versions go. */
   def prepareStage(spark: org.apache.spark.sql.SparkSession,
       path: String): (Option[Long], Long) = {
     val f = fs(spark, path)
     val existing = versions(spark, path)
-    val current = currentVersion(spark, path)
-    existing.filterNot(current.contains).foreach(v =>
+    val committed = existing.filter(v =>
+      f.exists(new Path(s"$path/v=$v/_COMMITTED"))).sorted
+    val keep = committed.takeRight(2).toSet
+    existing.filterNot(keep).foreach(v =>
       deleteChecked(f, new Path(s"$path/v=$v")))
-    (current, existing.foldLeft(0L)(math.max) + 1L)
+    (committed.lastOption, existing.foldLeft(0L)(math.max) + 1L)
   }
 
   /** COMMIT POINT — the marker lands via atomic rename; a version
@@ -85,12 +91,24 @@ private[operators] object VersionedStore {
     renameChecked(f, markerTmp, new Path(s"$vdir/_COMMITTED"))
   }
 
-  /** Deferred cleanup of the superseded version (safe to crash before
-    * this — the next write's [[prepareStage]] completes it). */
+  /** Deferred cleanup after a commit. The immediately-superseded
+    * committed version is RETAINED, not deleted: a reader that
+    * resolved [[servingDir]] just before our commit (an unconsumed
+    * probe DataFrame, a streaming probe batch racing a rewrite) may
+    * still be scanning it, and an immediate delete would fail that
+    * scan mid-flight with FileNotFoundException (round-11 ADVICE).
+    * Only versions superseded at least one FULL write earlier — by
+    * which time any such reader has long finished or re-resolved —
+    * are deleted here; steady state therefore holds two versions.
+    * Safe to crash before this — the next write's [[prepareStage]]
+    * applies the same retention. */
   def gcPrevious(spark: org.apache.spark.sql.SparkSession,
       path: String, previous: Option[Long]): Unit =
-    previous.foreach(v =>
-      deleteChecked(fs(spark, path), new Path(s"$path/v=$v")))
+    previous.foreach { p =>
+      val f = fs(spark, path)
+      versions(spark, path).filter(_ < p).foreach(v =>
+        deleteChecked(f, new Path(s"$path/v=$v")))
+    }
 
   /** The directory a reader must serve, or fail if nothing is
     * committed. */

@@ -170,25 +170,50 @@ object ExpireMain {
       (java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(in)) &&
         !in.endsWith(".parquet") &&
         scala.util.Try(graft.sources.OsmSource.sniffPath(in)).isSuccess)
+    // the reference binary's two expire caps (src/expire-output.hpp:24-25)
+    // applied here too: the per-geometry cap distributed in the cover,
+    // the overall cap enforced while STREAMING rows through
+    // toLocalIterator — the full tile list is never materialized on
+    // the driver (one partition at a time, one output line at a time).
+    val limits = TileCover.Limits()
     var osmFrames: Option[graft.sources.OsmXml.OsmDataFrames] = None
     val tiles =
       if (isOsm) {
         val osm = graft.sources.OsmSource.read(spark, Seq(in))
         osmFrames = Some(osm)
-        Expire.fromOsmEntities(osm, cfg)
+        Expire.fromOsmEntities(osm, cfg,
+          maxTilesPerGeometry = limits.maxTilesPerGeometry)
       } else
-        TileCover.geometryCover(spark.read.parquet(in), col(geomCol), cfg)
+        TileCover.geometryCoverCapped(spark.read.parquet(in), col(geomCol),
+          cfg, limits.maxTilesPerGeometry)
     val rolled = Expire.rollup(tiles, "x", "y", zoom, minzoomS.toInt)
-    val lines =
-      if (out.endsWith(".geojson"))
-        Expire.geojsonFeatures(rolled)
-          .orderBy("feature").collect().map(_.getString(0))
-      else Expire.formatTiles(rolled)
-        .orderBy("tile").collect().map(_.getString(0))
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      lines.mkString("\n").getBytes("UTF-8"))
+    val n = writeStreamed(rolled, out, limits.maxTilesOverall)
     osmFrames.foreach(_.unpersistBacking())
-    println(s"wrote ${lines.length} tiles to $out")
+    println(s"wrote $n tiles to $out")
     if (!preExisting) spark.stop()
+  }
+
+  /** Streams the formatted tile (or geojson-feature) lines to `out`,
+    * stopping at `maxOverall` lines; driver memory stays bounded by
+    * one partition regardless of tile-list size. Returns lines written. */
+  def writeStreamed(rolled: DataFrame, out: String, maxOverall: Long): Long = {
+    val formatted =
+      if (out.endsWith(".geojson"))
+        Expire.geojsonFeatures(rolled).orderBy("feature")
+      else Expire.formatTiles(rolled).orderBy("tile")
+    val w = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(out), java.nio.charset.StandardCharsets.UTF_8)
+    var n = 0L
+    try {
+      val it = formatted.toLocalIterator()
+      while (it.hasNext && n < maxOverall) {
+        if (n > 0) w.write("\n")
+        w.write(it.next().getString(0)); n += 1
+      }
+      if (it.hasNext)
+        System.err.println("[graft] Overall tile limit reached — " +
+          "dirty-tile list truncated at " + maxOverall)
+    } finally w.close()
+    n
   }
 }

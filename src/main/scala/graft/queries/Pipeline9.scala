@@ -317,17 +317,71 @@ object Pipeline9 {
       |    b -> 2 * ((doc_id*31 + b*7) % 128))) AS BIGINT) AS px_sum
       |FROM p""".stripMargin
 
+  // ---- q128: COLOR (YCbCr) JPEG, exact grey-axis oracle ----
+
+  /** The color JPEG path under the hash gate, on its exact subset:
+    * each document becomes an RGB image of FLAT even-valued GREY 8×8
+    * blocks — the family the grey-axis exactness contract of
+    * [[graft.sources.Jpeg]] covers — encoded as a REAL 3-component
+    * YCbCr baseline JPEG (4:2:0 for even doc_ids, 4:4:4 for odd;
+    * restart intervals of 0/1/2 MCUs by doc_id mod 3) and decoded by
+    * the general decoder (interleaved MCUs, chroma upsampling,
+    * YCbCr→RGB, RSTn handling). The channel-sum plane is exactly
+    * 3× the grey formula, recomputed by the oracle in SQL — so a
+    * hash match certifies the whole color machinery: component
+    * interleave, per-component DC prediction, both quant tables,
+    * subsampled-chroma round trip, restart resync, and the color
+    * transform's grey axis. */
+  def jpegColor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 8 * (2 + id % 4).toInt
+          val h = 8 * (1 + id % 3).toInt
+          val bxs = w / 8
+          val rgb = new Array[Int](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val b = (i / w / 8) * bxs + (i % w) / 8
+            val grey = 2 * ((id * 17 + b.toLong * 11) % 128).toInt
+            rgb(3 * i) = grey; rgb(3 * i + 1) = grey; rgb(3 * i + 2) = grey
+            i += 1
+          }
+          Multimodal.MediaRow(id, "jpeg_color",
+            graft.sources.Jpeg.encodeColor(w, h, rgb,
+              subsample = id % 2 == 0,
+              restartInterval = (id % 3).toInt), Map.empty)
+        }
+      }
+    Multimodal.decodeStats(media, Multimodal.BinaryDecoder)
+      .toDF("doc_id", "fmt", "width", "height", "n_px", "px_sum")
+  }
+
+  val jpegColorSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(8 * (2 + doc_id % 4) AS INTEGER) AS w,
+      |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS h
+      |  FROM documents)
+      |SELECT doc_id, 'jpeg_color' AS fmt, w AS width, h AS height,
+      |  w * h AS n_px,
+      |  CAST(3 * 64 * list_sum(list_transform(range(0, (w//8) * (h//8)),
+      |    b -> 2 * ((doc_id*17 + b*11) % 128))) AS BIGINT) AS px_sum
+      |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q123_media_decode" -> (mediaDecode _),
     "q124_ivfpq_topk"   -> (ivfPqTopK _),
     "q125_flex_lua_e2e" -> (flexLuaE2e _),
     "q126_ivfpq_rerank" -> (ivfPqRerank _),
-    "q127_jpeg_decode"  -> (jpegDecode _))
+    "q127_jpeg_decode"  -> (jpegDecode _),
+    "q128_jpeg_color"   -> (jpegColor _))
 
   def oracles: Map[String, String] = Map(
     "q123_media_decode" -> mediaDecodeSql,
     "q124_ivfpq_topk"   -> ivfPqTopKSql,
     "q125_flex_lua_e2e" -> flexLuaE2eSql,
     "q126_ivfpq_rerank" -> ivfPqRerankSql,
-    "q127_jpeg_decode"  -> jpegDecodeSql)
+    "q127_jpeg_decode"  -> jpegDecodeSql,
+    "q128_jpeg_color"   -> jpegColorSql)
 }

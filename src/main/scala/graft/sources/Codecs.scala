@@ -234,6 +234,9 @@ object Codecs {
       off += 8 + len + 4
     }
     require(seenEnd, "missing IEND")
+    // an IEND-before-IHDR stream would otherwise reach the channels
+    // match with colorType = -1 and die with an opaque MatchError
+    require(colorType >= 0 && w > 0, "missing IHDR")
     val channels = colorType match {
       case 0 => 1
       case 2 => 3

@@ -57,8 +57,10 @@ object Multimodal {
     }
   }
 
-  /** The REAL decoder: sniffs PNG / BMP / RIFF-WAVE magic bytes and
-    * decodes via the pure-JVM [[Codecs]]. Returns one plane:
+  /** The REAL decoder: sniffs PNG / JPEG / BMP / RIFF-WAVE magic
+    * bytes and decodes via the pure-JVM [[Codecs]]/[[Jpeg]] (JPEG:
+    * grayscale or color, any baseline sampling, restart intervals).
+    * Returns one plane:
     *   - images: multi-channel pixels collapse to Σ channels per
     *     pixel (exact small ints — 0..765 for RGB — so aggregate
     *     sums stay oracle-comparable);
@@ -81,8 +83,16 @@ object Multimodal {
         (w, h, plane)
       } else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
           (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) {
-        val (w, h, px) = Jpeg.decodeGray(bytes)
-        (w, h, px.map(_.toFloat))
+        val (w, h, ch, px) = Jpeg.decode(bytes)
+        val plane = new Array[Float](w * h)
+        var i = 0
+        while (i < w * h) {
+          var s = 0; var c = 0
+          while (c < ch) { s += px(i * ch + c); c += 1 }
+          plane(i) = s.toFloat
+          i += 1
+        }
+        (w, h, plane)
       } else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
         val (w, h, rgb) = Codecs.decodeBmp(bytes)
         val plane = new Array[Float](w * h)

@@ -392,9 +392,14 @@ object Streams {
     * cell ids as literal filters, which only exist once the batch's
     * queries are known — per batch the collect stays bounded at
     * ≤ |batch|·nprobe ids, and each batch reads only its probed cell
-    * directories of the CURRENT committed index version (a concurrent
+    * directories of the CURRENT committed index version. A concurrent
     * [[graft.operators.IvfIndexStore.write]] flips versions atomically
-    * between batches — a batch never sees a torn index). */
+    * (a batch never sees a torn index), and a batch that resolved the
+    * old version mid-commit still completes: the store RETAINS the
+    * most recently superseded committed version ([[graft.operators
+    * .FsOps]] `VersionedStore.gcPrevious`), deleting it only after
+    * the NEXT full write — so a probe racing one rewrite never loses
+    * its files mid-scan. */
   def ivfProbeStream(queries: DataFrame, indexPath: String, k: Int,
       nprobe: Int = 2)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =

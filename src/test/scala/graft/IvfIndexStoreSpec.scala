@@ -166,11 +166,19 @@ class IvfIndexStoreSpec extends SparkSpecBase {
         Similarity.ivfTopK(queries, b, k = 3)
           .select($"qid", $"nid", $"cos", $"rank")
           .as[(Long, Long, Double, Int)].collect().toSet)
-      // a later write completes the deferred GC: one version remains
+      // a later write completes the deferred GC under the reader-safe
+      // retention: the new version plus the immediately-superseded one
+      // remain (an in-flight reader of the superseded version must
+      // survive one rewrite); anything older is gone
       IvfIndexStore.write(a, path)
       val vs = new File(path).listFiles()
         .count(_.getName.startsWith("v="))
-      assert(vs == 1, s"GC left $vs versions")
+      assert(vs == 2, s"GC left $vs versions (want current + retained previous)")
+      // one more write ages the oldest out: still exactly two
+      IvfIndexStore.write(b, path)
+      val vs2 = new File(path).listFiles()
+        .count(_.getName.startsWith("v="))
+      assert(vs2 == 2, s"GC left $vs2 versions after a second rewrite")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new File(path))
   }

@@ -192,8 +192,10 @@ class IvfPqSpec extends SparkSpecBase {
         nprobe = 2, m = 4)
         .select($"qid", $"nid", $"rank")
         .as[(Long, Long, Int)].collect().toSet
-      // second write over the same path: exactly one committed
-      // version remains and probes stay deterministic
+      // second write over the same path: probes stay deterministic;
+      // the superseded version is RETAINED for in-flight readers
+      // (reader-safe GC), a third write ages it out — never more
+      // than two versions on disk
       IvfPqIndexStore.write(a, path, centroidEvery = 10, m = 4)
       val after = IvfPqIndexStore.probe(spark, path, queries, k = 3,
         nprobe = 2, m = 4)
@@ -201,7 +203,10 @@ class IvfPqSpec extends SparkSpecBase {
         .as[(Long, Long, Int)].collect().toSet
       assert(after == before)
       assert(new File(path).listFiles()
-        .count(_.getName.startsWith("v=")) == 1)
+        .count(_.getName.startsWith("v=")) == 2)
+      IvfPqIndexStore.write(a, path, centroidEvery = 10, m = 4)
+      assert(new File(path).listFiles()
+        .count(_.getName.startsWith("v=")) == 2)
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new File(path))
   }

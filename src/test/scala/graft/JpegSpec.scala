@@ -77,6 +77,125 @@ class JpegSpec extends AnyFunSuite {
     assert(w == 8 && h == 8 && plane.forall(_ == 100f))
   }
 
+  // ---- color (3-component YCbCr) path ----
+
+  test("flat even grey blocks are exact through the COLOR path, both samplings") {
+    check(Prop.forAll(Gen.choose(1, 4), Gen.choose(1, 4),
+      Gen.choose(0L, Long.MaxValue), Gen.oneOf(true, false)) {
+      (bw, bh, seed, subsample) =>
+      val w = bw * 8; val h = bh * 8
+      val grey = Array.tabulate(w * h) { i =>
+        val b = (i / w / 8) * bw + (i % w / 8)
+        2 * (((seed + b * 2654435761L) % 128).toInt.abs % 128)
+      }
+      val rgb = grey.flatMap(v => Array(v, v, v))
+      val bytes = Jpeg.encodeColor(w, h, rgb, subsample)
+      val (dw, dh, ch, got) = Jpeg.decode(bytes)
+      dw == w && dh == h && ch == 3 && got.sameElements(rgb)
+    })
+  }
+
+  test("a solid color stays within the chroma DC quantization bound") {
+    for ((r, g, b) <- Seq((200, 30, 60), (10, 250, 128), (90, 90, 200));
+         subsample <- Seq(true, false)) {
+      val w = 16; val h = 16
+      val rgb = Array.tabulate(w * h * 3)(i => Seq(r, g, b)(i % 3))
+      val (_, _, ch, got) = Jpeg.decode(Jpeg.encodeColor(w, h, rgb, subsample))
+      assert(ch == 3)
+      // chroma DC steps 17 → ≤ ~9 chroma error → ≤ ~16 after the
+      // inverse transform's 1.772 gain; luma step 16 adds ≤ 8
+      val maxErr = rgb.indices.map(i => math.abs(got(i) - rgb(i))).max
+      assert(maxErr <= 24, s"solid ($r,$g,$b) subsample=$subsample err $maxErr")
+    }
+  }
+
+  test("arbitrary RGB at 4:4:4 unit quantizers: conversion+DCT rounding only") {
+    check(Prop.forAll(Gen.choose(1, 2), Gen.choose(1, 2),
+      Gen.choose(0L, Long.MaxValue)) { (bw, bh, seed) =>
+      val w = bw * 8; val h = bh * 8
+      val rgb = Array.tabulate(w * h * 3)(i =>
+        ((seed + i.toLong * 48271L) % 256).toInt.abs % 256)
+      val (_, _, _, got) = Jpeg.decode(Jpeg.encodeColor(w, h, rgb,
+        subsample = false, qLuma = Jpeg.UnitQ, qChroma = Jpeg.UnitQ))
+      // YCbCr round-trip rounding (≤ ~2/channel via the ~1.8 inverse
+      // gain) + per-coefficient DCT rounding (≤ 4, as in the gray
+      // bound test)
+      rgb.indices.forall(i => math.abs(got(i) - rgb(i)) <= 8)
+    })
+  }
+
+  test("4:2:0 smooth gradients stay visually faithful") {
+    val w = 32; val h = 32
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      Seq((x * 8) % 256, (y * 8) % 256, ((x + y) * 4) % 256)(i % 3)
+    }
+    val (_, _, _, got) = Jpeg.decode(Jpeg.encodeColor(w, h, rgb))
+    val maxErr = rgb.indices.map(i => math.abs(got(i) - rgb(i))).max
+    assert(maxErr <= 48, s"max error $maxErr") // subsampled-chroma bound
+  }
+
+  test("restart intervals: DRI streams decode identically (gray and color)") {
+    val w = 24; val h = 24
+    val grey = Array.tabulate(w * h)(i => (i * 37) % 256)
+    val plain = Jpeg.decodeGray(Jpeg.encodeGray(w, h, grey))._3
+    for (ri <- Seq(1, 2, 5)) {
+      val bytes = Jpeg.encodeGray(w, h, grey, restartInterval = ri)
+      assert(Jpeg.decodeGray(bytes)._3.sameElements(plain), s"gray ri=$ri")
+    }
+    val rgb = grey.flatMap(v => Array(v, (v + 85) % 256, (v + 170) % 256))
+    for (subsample <- Seq(true, false); ri <- Seq(1, 3)) {
+      val plainC = Jpeg.decode(Jpeg.encodeColor(w, h, rgb, subsample))._4
+      val bytes = Jpeg.encodeColor(w, h, rgb, subsample, restartInterval = ri)
+      assert(Jpeg.decode(bytes)._4.sameElements(plainC),
+        s"color subsample=$subsample ri=$ri")
+    }
+    // more restarts than the 8 RSTn values: the modulo-8 cycle must
+    // wrap correctly (24x24 at ri=1 is 9 MCUs at 4:4:4)
+    val many = Jpeg.encodeColor(w, h, rgb, subsample = false,
+      restartInterval = 1)
+    assert(Jpeg.decode(many)._4.sameElements(
+      Jpeg.decode(Jpeg.encodeColor(w, h, rgb, subsample = false))._4))
+  }
+
+  test("an out-of-sequence restart marker fails loudly") {
+    val grey = Array.tabulate(576)(i => (i * 37) % 256)
+    val bytes = Jpeg.encodeGray(24, 24, grey, restartInterval = 2)
+    // find the first RST0 (FFD0) in the entropy stream and bump it
+    val i = bytes.indices.dropWhile(j => !(j > 0 &&
+      (bytes(j - 1) & 0xff) == 0xff && (bytes(j) & 0xff) == 0xd0)).head
+    val bad = bytes.clone(); bad(i) = 0xd3.toByte
+    val e = intercept[Exception](Jpeg.decodeGray(bad))
+    assert(e.getMessage.contains("restart"))
+  }
+
+  test("color decodeGray refuses; CMYK refuses; truncated color fails") {
+    val rgb = Array.fill(8 * 8 * 3)(128)
+    val color = Jpeg.encodeColor(8, 8, rgb, subsample = false)
+    val e = intercept[Exception](Jpeg.decodeGray(color))
+    assert(e.getMessage.contains("3 channels"))
+    intercept[Exception](Jpeg.decode(color.take(color.length / 2)))
+    // rewrite the SOF0 component count to 4 (CMYK-shaped): refuse
+    val sofAt = color.indices.find(i =>
+      (color(i) & 0xff) == 0xff && (color(i + 1) & 0xff) == 0xc0).get
+    val cmyk = color.clone(); cmyk(sofAt + 9) = 4.toByte
+    val e2 = intercept[Exception](Jpeg.decode(cmyk))
+    assert(e2.getMessage.contains("component count"))
+  }
+
+  test("BinaryDecoder collapses color JPEG to the channel-sum plane") {
+    val rgb = Array.tabulate(16 * 16 * 3) { i =>
+      val grey = 2 * (((i / 3) / 16 / 8 * 2 + ((i / 3) % 16) / 8) * 40 % 128)
+      grey
+    }
+    val bytes = Jpeg.encodeColor(16, 16, rgb)
+    val (w, h, plane) = Multimodal.BinaryDecoder.decode("image", bytes)
+    assert(w == 16 && h == 16)
+    // flat even grey blocks → exact → plane = 3×grey everywhere
+    val expect = (0 until 256).map(p => 3f * rgb(p * 3))
+    assert(plane.toSeq == expect)
+  }
+
   test("corrupt input fails loudly, never hangs") {
     val good = Jpeg.encodeGray(8, 8, Array.fill(64)(42))
     intercept[Exception](Jpeg.decodeGray(good.take(20))) // truncated
