@@ -108,6 +108,33 @@ object ScaleProbe {
       graft.operators.IvfPqIndexStore
         .probe(spark, p, e.where(col("id") < 8), k = 5).count()
     }
+    // q129: reconstruction rerank — same pruned probe plus the
+    // (s, code) norm join; wall must stay bounded by R·m LUT rows
+    // per query, never corpus size (reuses the q124 probe's store)
+    time("ivfpq_recon_rerank") {
+      val e = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val p = graft.tools.Scratch.dir("graft_ivfpq_rcp")
+      graft.operators.IvfPqIndexStore.write(e, p)
+      graft.operators.IvfPqIndexStore.probeRerankReconstructed(
+        spark, p, e.where(col("id") < 8), k = 5, rerank = 20).count()
+    }
+    // q128: COLOR JPEG is ~6 blocks per doc instead of one scanline
+    // codec pass, still map-only — wall must track row count
+    time("jpeg_color_decode") {
+      import spark.implicits._
+      graft.sources.Multimodal.decodeStats(
+        docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+          ids.map { id =>
+            val grey = Array.tabulate(16 * 16 * 3)(i =>
+              2 * (((id * 17 + (i / 3).toLong) % 128).toInt))
+            graft.sources.Multimodal.MediaRow(id, "jpeg_color",
+              graft.sources.Jpeg.encodeColor(16, 16, grey,
+                subsample = id % 2 == 0), Map.empty)
+          }
+        },
+        graft.sources.Multimodal.BinaryDecoder).count()
+    }
     // q123/q27: the real codec path is map-only (encode + decode per
     // row inside one mapPartitions pass) — wall must track row count
     time("media_decode") {

@@ -51,6 +51,9 @@ object GeomUdfs {
       (b: Array[Byte], tol: Double) => enc(GeomOps.simplify(dec(b), tol)))
     u.register("st_segmentize",
       (b: Array[Byte], maxLen: Double) => enc(GeomOps.segmentize(dec(b), maxLen)))
+    u.register("st_geodesic_segmentize", // densify along WGS84 geodesics
+      (b: Array[Byte], maxLen: Double) =>
+        enc(GeomOps.geodesicSegmentize(dec(b), maxLen)))
     u.register("st_line_merge", (b: Array[Byte]) => enc(GeomOps.lineMerge(dec(b))))
     u.register("st_split_multi", // generator-shaped: explode() the result
       (b: Array[Byte]) => GeomOps.splitMulti(dec(b)).map(enc))

@@ -431,6 +431,55 @@ object GeomOps {
     MultiLineString(out.map(LineString(_, g.srid)).toVector, g.srid)
   }
 
+  /** Densify along WGS84 GEODESICS (the geography-side analog of
+    * [[segmentize]], PostGIS ST_Segmentize-on-geography semantics):
+    * every edge whose Vincenty distance exceeds `maxLen` meters gets
+    * ceil(d/maxLen)−1 intermediate vertices placed by the Vincenty
+    * DIRECT formula at equal geodesic fractions — the same sampling
+    * the [[sphericalArea]] boundary integral uses internally, exposed
+    * as a user-facing reshaping op. The vertex count and positions
+    * are deterministic; the densified line's [[ellipsoidalLength]]
+    * equals the original's (same geodesics, subdivided). Lines,
+    * multilines and polygon rings densify; points pass through.
+    * Near-antipodal edges (no unique geodesic — the inverse formula's
+    * azimuth is undefined there) fail loudly rather than pick a
+    * meridian arbitrarily. */
+  def geodesicSegmentize(g: Geometry, maxLen: Double): Geometry = {
+    require(maxLen > 0, "geodesic segmentize requires maxLen > 0")
+    require(g.srid == Srid.WGS84, "geodesic segmentize requires srid 4326")
+    def densify(ps: Vector[Pt]): Vector[Pt] = {
+      val out = mutable.ArrayBuffer[Pt](ps.head)
+      ps.iterator.zip(ps.iterator.drop(1)).foreach { case (a, b) =>
+        val (d, az) = vincentyInverse(a, b)
+        if (d > maxLen) {
+          require(!az.isNaN, "geodesic segmentize: near-antipodal edge " +
+            "has no unique geodesic")
+          val n = math.ceil(d / maxLen).toInt
+          var j = 1
+          while (j < n) {
+            val (lat, lon) = vincentyDirect(a, az, d * j / n)
+            out += Pt(lon, lat)
+            j += 1
+          }
+        }
+        out += b
+      }
+      out.toVector
+    }
+    def densifyPoly(p: Polygon): Polygon = Polygon(
+      Ring(densify(p.outer.pts)),
+      p.inners.map(r => Ring(densify(r.pts))), p.srid)
+    g match {
+      case LineString(ps, srid) => LineString(densify(ps), srid)
+      case MultiLineString(ls, srid) => MultiLineString(
+        ls.map(l => LineString(densify(l.pts), srid)), srid)
+      case p: Polygon => densifyPoly(p)
+      case MultiPolygon(polys, srid) =>
+        MultiPolygon(polys.map(densifyPoly), srid)
+      case other => other // points/collections of points pass through
+    }
+  }
+
   /** Multi → parts; single geometries pass through as one part
     * (src/geom-functions.cpp:497-510). */
   def splitMulti(g: Geometry): Vector[Geometry] = g match {

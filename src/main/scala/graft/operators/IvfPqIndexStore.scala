@@ -104,8 +104,46 @@ object IvfPqIndexStore {
     base.where(col("id") % cbEvery === 0)
       .orderBy(col("id")).limit(codebookSize)
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/codebook")
+    // the quantizer parameters are part of the artifact: a probe with
+    // a DIFFERENT m would slice the LUT subvectors wrongly and return
+    // silently wrong ADC scores, so probes validate (or derive) m
+    // against this record (round-11 ADVICE)
+    writeParams(spark, vdir, s"""{"m":$m,"codebookSize":$codebookSize,"centroidEvery":$centroidEvery,"centroidCap":$centroidCap}""")
     VersionedStore.commitMarker(spark, vdir)
     VersionedStore.gcPrevious(spark, path, current)
+  }
+
+  private def writeParams(spark: SparkSession, vdir: String,
+      json: String): Unit = {
+    val f = VersionedStore.fs(spark, vdir)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$vdir/params.json"),
+      true)
+    out.write((json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** The m the index was WRITTEN with. A caller-passed m ≤ 0 derives
+    * it from here; a positive caller m must match it — mismatches
+    * fail loudly instead of mis-slicing the ADC LUT. */
+  private def resolveM(spark: SparkSession, vdir: String,
+      callerM: Int): Int = {
+    val f = VersionedStore.fs(spark, vdir)
+    val p = new org.apache.hadoop.fs.Path(s"$vdir/params.json")
+    require(f.exists(p), s"IvfPqIndexStore: missing params.json in $vdir")
+    val in = f.open(p)
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](256)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    val stored = """"m"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"IvfPqIndexStore: no m in $vdir/params.json"))
+    require(callerM <= 0 || callerM == stored,
+      s"IvfPqIndexStore: probe m=$callerM != index m=$stored (written at $vdir)")
+    stored
   }
 
   /** Approximate top-k against the stored index: coarse-rank the
@@ -113,9 +151,16 @@ object IvfPqIndexStore {
     * the probed directories, ADC-score the code rows inside them.
     * Returns (qid, nid, score BIGINT, rank) with deterministic
     * (score desc, nid asc) tie-breaks. */
-  def probe(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, nprobe: Int = 2, m: Int = 8): DataFrame = {
+  /** The shared probe plumbing: resolved vdir + m, the quantized
+    * queries, the broadcast (qid, cid) probe set, and the
+    * partition-pruned cells scan. */
+  private final case class Pruned(vdir: String, m: Int, q: DataFrame,
+      probes: DataFrame, cells: DataFrame)
+
+  private def pruned(spark: SparkSession, path: String,
+      queries: DataFrame, nprobe: Int, callerM: Int): Pruned = {
     val vdir = VersionedStore.servingDir(spark, path, "IvfPqIndexStore")
+    val m = resolveM(spark, vdir, callerM)
     val cent = broadcast(spark.read.parquet(s"$vdir/centroids"))
     val q = queries.select(col("id").as("qid"),
         quantize(col("vec")).as("qv"))
@@ -135,30 +180,42 @@ object IvfPqIndexStore {
       .where(col("cell").cast("long").isInCollection(probedCells))
       .select(col("nid"), col("codes"),
         col("cell").cast("long").as("cell"))
+    Pruned(vdir, m, q, probes, cells)
+  }
+
+  /** ADC scores over the pruned cells: (qid, nid, score BIGINT) —
+    * score = ⟨q, reconstruction(codes)⟩ exactly, by LUT linearity. */
+  private def adcScores(spark: SparkSession, p: Pruned): DataFrame = {
     // per-query ADC lookup table from the stored codebook (tiny):
     // (qid, s, code, pdot) — the integer dot of the query's subvector
     // s against codebook entry `code` of sub-quantizer s
     val lut = broadcast(
-      Similarity.pqSubspaces(q.select(col("qid").as("id"), col("qv").as("q")),
-          m, "qid")
+      Similarity.pqSubspaces(
+          p.q.select(col("qid").as("id"), col("qv").as("q")), p.m, "qid")
         .join(Similarity.pqSubspaces(
-          spark.read.parquet(s"$vdir/codebook"), m, "cid")
+          spark.read.parquet(s"${p.vdir}/codebook"), p.m, "cid")
           .select(col("s"), col("cid").as("code"), col("sub").as("cv")),
           "s")
         .select(col("qid"), col("s"), col("code"),
           qdot(col("sub"), col("cv")).as("pdot")))
     // cells × probes on the cell key (pruned), explode the m codes,
     // LUT equi-join, partially-combined per-(qid, nid) sum
-    val candidates = cells
-      .join(probes, cells("cell") === probes("cid"))
+    val candidates = p.cells
+      .join(p.probes, p.cells("cell") === p.probes("cid"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), posexplode(col("codes")))
       .withColumnRenamed("pos", "s").withColumnRenamed("col", "code")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("nid").asc)
     candidates.join(lut, Seq("qid", "s", "code"))
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("pdot")).as("score"))
+  }
+
+  def probe(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int = 2, m: Int = -1): DataFrame = {
+    val p = pruned(spark, path, queries, nprobe, m)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    adcScores(spark, p)
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
@@ -175,7 +232,7 @@ object IvfPqIndexStore {
     * cos, rank) with the usual deterministic tie-breaks. */
   def probeRerank(spark: SparkSession, pqPath: String, ivfPath: String,
       queries: DataFrame, k: Int, rerank: Int = 20, nprobe: Int = 2,
-      m: Int = 8): DataFrame = {
+      m: Int = -1): DataFrame = {
     require(rerank >= k, s"rerank window $rerank must be >= k $k")
     val shortlist = probe(spark, pqPath, queries, k = rerank,
       nprobe = nprobe, m = m).select(col("qid"), col("nid"))
@@ -187,6 +244,54 @@ object IvfPqIndexStore {
       .orderBy(col("cos").desc, col("nid").asc)
     IvfIndexStore.probeCandidates(spark, ivfPath, queries, nprobe)
       .join(shortlist, Seq("qid", "nid"), "left_semi")
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** The middle quality tier between ADC-only [[probe]] and
+    * flat-store [[probeRerank]]: rerank the ADC shortlist by the
+    * COSINE against the PQ-RECONSTRUCTED vector — no flat vector
+    * store needed, only the PQ index itself (FAISS's
+    * reconstruction-based refinement). ADC already ranks by
+    * ⟨q, recon⟩; the reconstructed cosine divides by ‖recon‖, which
+    * re-orders candidates whose reconstructions differ in norm — the
+    * component ADC ignores. Exact arithmetic: the dot IS the integer
+    * ADC score (LUT linearity), and ‖recon‖² is the integer sum of
+    * the chosen codebook entries' squared norms — one broadcast
+    * (s, code, c2) table joined on the shortlist's exploded codes, so
+    * the refine costs ≤ R·m LUT rows per query and never reads a
+    * full-precision vector. Returns (qid, nid, cos, rank). */
+  def probeRerankReconstructed(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, rerank: Int = 20, nprobe: Int = 2,
+      m: Int = -1): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank must be >= k $k")
+    val p = pruned(spark, path, queries, nprobe, m)
+    val sw = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    val shortlist = adcScores(spark, p)
+      .withColumn("srank", row_number().over(sw))
+      .where(col("srank") <= rerank)
+      .select(col("qid"), col("nid"), col("score"))
+    // ‖recon‖² per shortlisted nid: codes live in the pruned cells
+    // scan (each nid in exactly one cell); the (s, code, c2) norms
+    // table is the codebook again — tiny, broadcast
+    val c2 = broadcast(Similarity.pqSubspaces(
+        spark.read.parquet(s"${p.vdir}/codebook"), p.m, "cid")
+      .select(col("s"), col("cid").as("code"),
+        qdot(col("sub"), col("sub")).as("c2")))
+    val rn2 = p.cells
+      .join(shortlist.select(col("nid")).distinct(), Seq("nid"), "left_semi")
+      .select(col("nid"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "code")
+      .join(c2, Seq("s", "code"))
+      .groupBy(col("nid")).agg(sum(col("c2")).as("rn2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    shortlist
+      .join(rn2, Seq("nid"))
+      .join(p.q.select(col("qid"), col("qn")), Seq("qid"))
+      .withColumn("cos", col("score").cast("double") /
+        (col("qn") * sqrt(col("rn2").cast("double"))))
+      .select(col("qid"), col("nid"), col("cos"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 }

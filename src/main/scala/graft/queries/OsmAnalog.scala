@@ -473,6 +473,50 @@ object OsmAnalog {
        |    AS n_pieces
        |FROM (SELECT DISTINCT event_id FROM events)""".stripMargin
 
+  /** §2.5 geodesic segmentize ([[graft.geom.GeomOps
+    * .geodesicSegmentize]], the geography analog of q48's planar
+    * segmentize, built on the Vincenty direct sampling the
+    * spherical-area integral uses): per event, an EQUATORIAL geodesic
+    * from (lon0, 0) to (lon0+Δ, 0) densified to per-event maxLen.
+    * On the equator the WGS84 geodesic IS the equator and Vincenty
+    * closes in elementary form (d = a·Δλ — the equator is a circle of
+    * radius a), so the oracle computes the exact vertex count
+    * arithmetically; length conservation (densified length ==
+    * original, sub-µm) and the on-equator/under-cap invariants are
+    * asserted as exact integers/booleans, certifying the inserted
+    * vertices lie ON the geodesic rather than merely being counted. */
+  def geodesicSegmentize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val calc = udf { (eventId: Long) =>
+      import graft.geom._
+      val lon0 = (eventId % 80).toDouble
+      val delta = (1 + eventId % 7).toDouble
+      val maxLen = (40000 + 1000 * (eventId % 13)).toDouble
+      val line = LineString(Vector(Pt(lon0, 0.0), Pt(lon0 + delta, 0.0)))
+      val dens = GeomOps.geodesicSegmentize(line, maxLen)
+        .asInstanceOf[LineString]
+      val lenDiffMm = math.round((GeomOps.ellipsoidalLength(dens) -
+        GeomOps.ellipsoidalLength(line)) * 1000)
+      val maxLat = dens.pts.iterator.map(p => math.abs(p.y)).max
+      val maxSeg = dens.pts.iterator.zip(dens.pts.iterator.drop(1))
+        .map { case (a, b) => GeomOps.vincentyDistance(a, b) }.max
+      (dens.pts.length.toLong, lenDiffMm,
+        maxLat < 1e-9 && maxSeg <= maxLen * (1 + 1e-9))
+    }
+    Tables.events(s, d).select($"event_id").distinct()
+      .withColumn("r", calc($"event_id"))
+      .select($"event_id", $"r._1".as("n_points"),
+        $"r._2".as("len_diff_mm"), $"r._3".as("invariants_ok"))
+  }
+
+  val geodesicSegmentizeSql: String =
+    """SELECT event_id,
+      |  CAST(1 + ceil(6378137.0 * radians(CAST(1 + event_id % 7 AS DOUBLE))
+      |    / (40000 + 1000 * (event_id % 13))) AS BIGINT) AS n_points,
+      |  CAST(0 AS BIGINT) AS len_diff_mm,
+      |  true AS invariants_ok
+      |FROM (SELECT DISTINCT event_id FROM events)""".stripMargin
+
   /** §2.2 missing-node report (missing-nodes.feature / the reference's
     * "Missing nodes in way N: ..." debug line): per way, the refs that
     * do not resolve against a RESTRICTED node store (parts with
@@ -879,6 +923,7 @@ object OsmAnalog {
     "q50_osm_missing_nodes"      -> (missingNodes _),
     "q51_copy_escape"            -> (copyEscape _),
     "q48_osm_segmentize"         -> (segmentizeLen _),
+    "q130_geodesic_segmentize"   -> (geodesicSegmentize _),
     "q46_osm_locator"            -> (locator _),
     "q42_osm_two_stage"          -> (twoStage _),
     "q30_osm_kway_merge"         -> (kwayMerge _),
@@ -905,6 +950,7 @@ object OsmAnalog {
     "q50_osm_missing_nodes"      -> missingNodesSql,
     "q51_copy_escape"            -> copyEscapeSql,
     "q48_osm_segmentize"         -> segmentizeLenSql,
+    "q130_geodesic_segmentize"   -> geodesicSegmentizeSql,
     "q46_osm_locator"            -> locatorSql,
     "q42_osm_two_stage"          -> twoStageSql,
     "q30_osm_kway_merge"         -> kwayMergeSql,

@@ -127,11 +127,17 @@ object Pipeline9 {
     * the whole route in SQL: coarse assignment, probed cells, PQ
     * codes, lookup-table scoring — restricted to candidates whose
     * cell is probed. */
-  def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  private def cachedStore(kind: String, d: String)(
+      build: String => Unit): String = StoreOnce.dir(kind, d)(build)
+
+  private def embCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val path = graft.tools.Scratch.dir("graft_ivfpqidx")
-    graft.operators.IvfPqIndexStore.write(e, path)
+
+  def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embCorpus(s, d)
+    val path = cachedStore("ivfpqidx", d)(
+      graft.operators.IvfPqIndexStore.write(e, _))
     graft.operators.IvfPqIndexStore.probe(s, path,
       e.where(col("id") < 8), k = 5)
   }
@@ -244,12 +250,11 @@ object Pipeline9 {
     * shared probed cells). The oracle reruns the q124 ADC ranking to
     * rank 20 and re-scores the shortlist with q25's exact cosine. */
   def ivfPqRerank(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val pqPath = graft.tools.Scratch.dir("graft_ivfpq_rr")
-    val ivfPath = graft.tools.Scratch.dir("graft_ivf_rr")
-    graft.operators.IvfPqIndexStore.write(e, pqPath)
-    graft.operators.IvfIndexStore.write(e, ivfPath)
+    val e = embCorpus(s, d)
+    val pqPath = cachedStore("ivfpqidx", d)(
+      graft.operators.IvfPqIndexStore.write(e, _))
+    val ivfPath = cachedStore("ivfidx", d)(
+      graft.operators.IvfIndexStore.write(e, _))
     graft.operators.IvfPqIndexStore.probeRerank(s, pqPath, ivfPath,
       e.where(col("id") < 8), k = 5, rerank = 20)
   }
@@ -271,6 +276,64 @@ object Pipeline9 {
        |SELECT qid, nid, cos, rank FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
        |    ORDER BY cos DESC, nid ASC) AS INTEGER) AS rank FROM ex)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  // ---- q129: PQ-reconstruction rerank (no flat store needed) ----
+
+  /** The middle refinement tier: rerank the ADC shortlist by the
+    * cosine against the PQ-RECONSTRUCTED vector, entirely from the PQ
+    * store — ADC's dot is kept (LUT linearity makes it exactly
+    * ⟨q, recon⟩) and divided by the reconstruction's norm, which is
+    * the integer sum of the chosen codebook entries' squared norms.
+    * No full-precision vector is read anywhere. The oracle reruns the
+    * q124 ADC ranking to rank 20 and recomputes ‖recon‖² from the
+    * same codes/codebook CTEs. */
+  def ivfPqRerankRecon(s: SparkSession, d: String): DataFrame = {
+    val e = embCorpus(s, d)
+    val path = cachedStore("ivfpqidx", d)(
+      graft.operators.IvfPqIndexStore.write(e, _))
+    graft.operators.IvfPqIndexStore.probeRerankReconstructed(s, path,
+      e.where(col("id") < 8), k = 5, rerank = 20)
+  }
+
+  val ivfPqRerankReconSql: String = {
+    val adcTop20 = ivfPqTopKSql.replace(
+      "WHERE rank <= 5", "WHERE rank <= 20")
+    s"""WITH shortlist AS (SELECT qid, nid, score FROM ($adcTop20)),
+       |e2 AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |sub2 AS (SELECT vec_id, CAST(t.s AS INTEGER) AS s,
+       |    q[(CAST(t.s AS INTEGER)*8+1):(CAST(t.s AS INTEGER)*8+8)] AS sub
+       |  FROM e2, range(8) t(s)),
+       |cents2 AS (SELECT s, cid, cv,
+       |    CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS c2
+       |  FROM (
+       |    SELECT s, vec_id AS cid, sub AS cv,
+       |      row_number() OVER (PARTITION BY s ORDER BY vec_id) AS crk
+       |    FROM sub2 WHERE vec_id % 25 = 0)
+       |  WHERE crk <= 256),
+       |codes2 AS (SELECT nid, s, code FROM (
+       |    SELECT sub2.vec_id AS nid, sub2.s, cents2.cid AS code,
+       |      row_number() OVER (PARTITION BY sub2.vec_id, sub2.s
+       |        ORDER BY list_sum(list_transform(list_zip(sub2.sub, cents2.cv),
+       |          p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, cents2.cid ASC) AS rk
+       |    FROM sub2 JOIN cents2 ON sub2.s = cents2.s)
+       |  WHERE rk = 1),
+       |rn2 AS (SELECT codes2.nid, CAST(SUM(cents2.c2) AS BIGINT) AS rn2
+       |  FROM codes2 JOIN cents2 ON cents2.s = codes2.s
+       |    AND cents2.cid = codes2.code
+       |  GROUP BY 1),
+       |qn AS (SELECT vec_id AS qid,
+       |    sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS qn
+       |  FROM e2 WHERE vec_id < 8),
+       |rc AS (SELECT shortlist.qid, shortlist.nid,
+       |    CAST(shortlist.score AS DOUBLE) / (qn.qn * sqrt(CAST(rn2.rn2 AS DOUBLE))) AS cos
+       |  FROM shortlist
+       |  JOIN rn2 ON rn2.nid = shortlist.nid
+       |  JOIN qn ON qn.qid = shortlist.qid)
+       |SELECT qid, nid, cos, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, nid ASC) AS INTEGER) AS rank FROM rc)
        |WHERE rank <= 5""".stripMargin
   }
 
@@ -375,7 +438,8 @@ object Pipeline9 {
     "q125_flex_lua_e2e" -> (flexLuaE2e _),
     "q126_ivfpq_rerank" -> (ivfPqRerank _),
     "q127_jpeg_decode"  -> (jpegDecode _),
-    "q128_jpeg_color"   -> (jpegColor _))
+    "q128_jpeg_color"   -> (jpegColor _),
+    "q129_ivfpq_recon_rerank" -> (ivfPqRerankRecon _))
 
   def oracles: Map[String, String] = Map(
     "q123_media_decode" -> mediaDecodeSql,
@@ -383,5 +447,6 @@ object Pipeline9 {
     "q125_flex_lua_e2e" -> flexLuaE2eSql,
     "q126_ivfpq_rerank" -> ivfPqRerankSql,
     "q127_jpeg_decode"  -> jpegDecodeSql,
-    "q128_jpeg_color"   -> jpegColorSql)
+    "q128_jpeg_color"   -> jpegColorSql,
+    "q129_ivfpq_recon_rerank" -> ivfPqRerankReconSql)
 }

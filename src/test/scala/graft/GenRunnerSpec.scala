@@ -104,4 +104,32 @@ class GenRunnerSpec extends SparkSpecBase {
     assert(zooms == Set(8, 9, 10))
     assert(lines.forall(_.split("/").length == 3))
   }
+
+  test("ExpireMain streams under the overall cap, never materializing the list") {
+    // the reference binary's expire caps (src/expire-output.hpp:24-25):
+    // the overall cap truncates the STREAMED write — the driver holds
+    // one partition at a time, not the tile list (round-11 verdict)
+    val dir = Files.createTempDirectory("graft-expire-cap").toString
+    val in = s"$dir/geoms.parquet"
+    Seq(Tuple1(rectEwkb(100, 100, 4, 4, grid = 1024)))
+      .toDF("geom").write.parquet(in)
+    val full = graft.operators.TileCover.geometryCover(
+      spark.read.parquet(in), org.apache.spark.sql.functions.col("geom"),
+      graft.operators.TileCover.Config(10, graft.operators.TileCover.FullArea))
+    val rolled = graft.operators.Expire.rollup(full, "x", "y", 10, 8)
+    val n = rolled.count()
+    assert(n > 5)
+    val out = s"$dir/capped.txt"
+    val written = ExpireMain.writeStreamed(rolled, out, maxOverall = 5L)
+    assert(written == 5L)
+    val lines = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out)), "UTF-8").split("\n")
+    assert(lines.length == 5)
+    // the uncapped run writes everything — and is the 5-line prefix
+    val outAll = s"$dir/all.txt"
+    assert(ExpireMain.writeStreamed(rolled, outAll, Long.MaxValue) == n)
+    val all = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(outAll)), "UTF-8").split("\n")
+    assert(all.take(5).toSeq == lines.toSeq)
+  }
 }

@@ -182,6 +182,92 @@ class IvfPqSpec extends SparkSpecBase {
     }
   }
 
+  test("reconstructed rerank: cosine from the PQ store alone, between ADC and flat") {
+    val path = Files.createTempDirectory("ivfpqrc").toString
+    try {
+      import graft.functions.VectorFunctions.{qdot, quantize}
+      val corpus = (0L until 120L).map { i =>
+        val c = (i / 30).toInt
+        (i, Array.tabulate(16) { d =>
+          val base = if (d / 4 == c) 10.0 else 0.3
+          (base + 0.8 * math.sin(i * 1.7 + d * 0.9)).toFloat
+        }.toSeq)
+      }.toDF("id", "vec")
+      IvfPqIndexStore.write(corpus, path, centroidEvery = 30, m = 4,
+        codebookEvery = 4)
+      val queries = corpus.where($"id" < 8)
+      val recon = IvfPqIndexStore.probeRerankReconstructed(spark, path,
+        queries, k = 5, rerank = 25, nprobe = 1, m = 4)
+        .select($"qid", $"nid", $"cos")
+        .as[(Long, Long, Double)].collect()
+      assert(recon.map(_._1).distinct.length == 8)
+      // the reported cosine must be the EXACT reconstructed cosine:
+      // recompute it independently — codes via the same deterministic
+      // codebook argmin, norm from the codebook entries
+      val m = 4
+      val base = corpus.select($"id", quantize($"vec").as("q"))
+      val rows = base.where($"id" % 4 === 0)
+        .orderBy($"id").limit(256).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val cb = rows.sortBy(_._1)
+      val subDim = cb.head._2.length / m
+      def codesOf(q: Seq[Long]): Seq[Int] = (0 until m).map { s =>
+        cb.indices.minBy { c =>
+          (0 until subDim).map { d =>
+            val diff = q(s * subDim + d) - cb(c)._2(s * subDim + d)
+            diff * diff
+          }.sum
+        }
+      }
+      val vecs = base.as[(Long, Seq[Long])].collect().toMap
+      recon.foreach { case (qid, nid, cos) =>
+        val qv = vecs(qid); val nc = codesOf(vecs(nid))
+        val dot = (0 until m).flatMap(s => (0 until subDim).map(d =>
+          qv(s * subDim + d) * cb(nc(s))._2(s * subDim + d))).sum
+        val rn2 = (0 until m).flatMap(s => (0 until subDim).map { d =>
+          val v = cb(nc(s))._2(s * subDim + d); v * v
+        }).sum
+        val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+        val expect = dot / (qn * math.sqrt(rn2.toDouble))
+        assert(math.abs(cos - expect) < 1e-12,
+          s"($qid,$nid): got $cos expect $expect")
+      }
+      // determinism
+      val again = IvfPqIndexStore.probeRerankReconstructed(spark, path,
+        queries, k = 5, rerank = 25, nprobe = 1, m = 4)
+        .select($"qid", $"nid", $"cos")
+        .as[(Long, Long, Double)].collect()
+      assert(again.toSet == recon.toSet)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(path))
+  }
+
+  test("probe m must match the index's written m (or derive from it)") {
+    val path = Files.createTempDirectory("ivfpqm").toString
+    try {
+      IvfPqIndexStore.write(clustered, path, centroidEvery = 10, m = 4)
+      val queries = clustered.where($"id" < 3)
+      // wrong m: loud failure, never silently mis-sliced ADC scores
+      val e = intercept[Exception] {
+        IvfPqIndexStore.probe(spark, path, queries, k = 3, nprobe = 2,
+          m = 8).collect()
+      }
+      assert(e.getMessage.contains("m=8") &&
+        e.getMessage.contains("index m=4"), e.getMessage)
+      // omitted m: derived from the store's params record
+      val derived = IvfPqIndexStore.probe(spark, path, queries, k = 3,
+        nprobe = 2)
+        .select($"qid", $"nid", $"score")
+        .as[(Long, Long, Long)].collect().toSet
+      val explicit = IvfPqIndexStore.probe(spark, path, queries, k = 3,
+        nprobe = 2, m = 4)
+        .select($"qid", $"nid", $"score")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(derived == explicit && derived.nonEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(path))
+  }
+
   test("a rewrite serves atomically: old index until commit, then new") {
     val path = Files.createTempDirectory("ivfpq").toString
     try {

@@ -270,11 +270,12 @@ class PlanSpec extends SparkSpecBase {
     // ≤256-row broadcast centroid/codebook tables (IVF coarse assign,
     // Voronoi blocking; q122 is q25's persisted-index route — same
     // broadcast centroid rank, plus a partition-pruned cells scan)
-    // (q124/q126 compose the same ≤256-row broadcast coarse rank with
-    // the PQ ADC lookup-table equi-join — the LUT join itself is
-    // hash; q126's refine is a semi-join on the shortlist)
+    // (q124/q126/q129 compose the same ≤256-row broadcast coarse rank
+    // with the PQ ADC lookup-table equi-join — the LUT join itself is
+    // hash; q126's refine is a semi-join on the shortlist; q129's
+    // reconstruction-norm join is hash on (s, code) + semi-join)
     "q25_ivf_ann_topk", "q122_ivf_persisted", "q124_ivfpq_topk",
-    "q126_ivfpq_rerank", "q66_semantic_dedup",
+    "q126_ivfpq_rerank", "q129_ivfpq_recon_rerank", "q66_semantic_dedup",
     // single-row broadcast corpus stats (N, avgdl / doc count / Σw)
     "q70_term_relevance", "q90_bm25_retrieval", "q79_temperature_mix",
     "q102_importance_sample",

@@ -63,6 +63,67 @@ class GeomPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("geodesic segmentize: geodesic length conserved, sub-edges capped, endpoints kept") {
+    // lon/lat bounded away from the poles and antipodes
+    val geoPt = for {
+      lon <- Gen.chooseNum(-60.0, 60.0).map(v => math.rint(v * 100) / 100)
+      lat <- Gen.chooseNum(-60.0, 60.0).map(v => math.rint(v * 100) / 100)
+    } yield Pt(lon, lat)
+    val geoLine = for {
+      n <- Gen.chooseNum(2, 6)
+      ps <- Gen.listOfN(n, geoPt)
+      if FromOsm.dedupConsecutive(ps).size >= 2
+    } yield LineString(FromOsm.dedupConsecutive(ps))
+    check(Prop.forAll(geoLine, Gen.chooseNum(50000.0, 2000000.0)) {
+      (l, maxLen) =>
+      val dens = GeomOps.geodesicSegmentize(l, maxLen)
+        .asInstanceOf[LineString]
+      val lenL = GeomOps.ellipsoidalLength(l)
+      val lenD = GeomOps.ellipsoidalLength(dens)
+      // sampling along the SAME geodesics can't change total length
+      val ok1 = math.abs(lenD - lenL) < 1e-6 * math.max(1.0, lenL)
+      val ok2 = dens.pts.iterator.zip(dens.pts.iterator.drop(1))
+        .forall { case (a, b) =>
+          GeomOps.vincentyDistance(a, b) <= maxLen * (1 + 1e-9) }
+      // original vertices survive in order
+      val ok3 = {
+        var i = 0
+        dens.pts.foreach(p => if (i < l.pts.size && p == l.pts(i)) i += 1)
+        i == l.pts.size
+      }
+      ok1 && ok2 && ok3
+    })
+  }
+
+  test("geodesic segmentize: meridian points stay on the meridian") {
+    val l = LineString(Vector(Pt(13.0, -40.0), Pt(13.0, 55.0)))
+    val dens = GeomOps.geodesicSegmentize(l, 100000.0)
+      .asInstanceOf[LineString]
+    assert(dens.pts.size > 50) // ~10500 km / 100 km
+    dens.pts.foreach(p => assert(math.abs(p.x - 13.0) < 1e-9, p))
+    assert(dens.pts.map(_.y).sliding(2).forall(s => s(0) < s(1)),
+      "latitudes must increase monotonically")
+  }
+
+  test("geodesic segmentize: polygon rings densify, short edges untouched") {
+    val poly = Polygon(Ring(Vector(Pt(0, 0), Pt(5, 0), Pt(5, 5),
+      Pt(0, 5), Pt(0, 0))))
+    val dens = GeomOps.geodesicSegmentize(poly, 150000.0)
+      .asInstanceOf[Polygon]
+    assert(dens.outer.pts.head == dens.outer.pts.last, "ring stays closed")
+    assert(dens.outer.pts.size > poly.outer.pts.size)
+    // tiny triangle: nothing to insert
+    val small = Polygon(Ring(Vector(Pt(0, 0), Pt(0.01, 0),
+      Pt(0.01, 0.01), Pt(0, 0))))
+    assert(GeomOps.geodesicSegmentize(small, 150000.0) == small)
+  }
+
+  test("geodesic segmentize: near-antipodal edges fail loudly") {
+    val l = LineString(Vector(Pt(0.0, 0.0), Pt(179.9999, 0.0)))
+    val e = intercept[Exception](GeomOps.geodesicSegmentize(l, 100000.0))
+    assert(e.getMessage.contains("antipodal"))
+  }
+
   test("line_merge preserves total length and drops no geometry") {
     check(Prop.forAll(multiLineGen) { ml =>
       val merged = GeomOps.lineMerge(ml)
