@@ -200,12 +200,117 @@ class JpegSpec extends AnyFunSuite {
     val good = Jpeg.encodeGray(8, 8, Array.fill(64)(42))
     intercept[Exception](Jpeg.decodeGray(good.take(20))) // truncated
     intercept[Exception](Jpeg.decodeGray(Array[Byte](1, 2, 3)))
-    // flip the SOF0 marker to progressive (SOF2): must refuse
+    // flip SOF0 to SOF2: the baseline full-band scan header is
+    // malformed as a progressive scan (Ss=0 with Se=63) — loud
     val prog = good.clone()
     val sofAt = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     val e = intercept[Exception](Jpeg.decodeGray(prog))
-    assert(e.getMessage.contains("baseline"))
+    assert(e.getMessage.contains("cannot mix DC and AC"))
+    // SOF1 (extended sequential) stays refused
+    val sof1 = good.clone(); sof1(sofAt + 1) = 0xc1.toByte
+    val e2 = intercept[Exception](Jpeg.decodeGray(sof1))
+    assert(e2.getMessage.contains("SOF0"))
+  }
+
+  // ---- progressive (SOF2) path ----
+
+  test("progressive gray decodes bit-identically to baseline") {
+    // same quantized coefficients through six scans (DC first/refine,
+    // AC first/refine over two bands) must reconstruct the same image
+    check(Prop.forAll(Gen.choose(1, 4), Gen.choose(1, 4),
+      Gen.choose(0L, Long.MaxValue), Gen.oneOf(true, false)) {
+      (bw, bh, seed, unitQ) =>
+      val w = bw * 8 + (seed % 5).toInt.abs // non-multiple-of-8 dims too
+      val h = bh * 8 + (seed % 3).toInt.abs
+      val px = Array.tabulate(w * h)(i =>
+        ((seed + i.toLong * 40503L) % 256).toInt.abs % 256)
+      val q = if (unitQ) Jpeg.UnitQ else Jpeg.StdLumaQ
+      val base = Jpeg.decodeGray(Jpeg.encodeGray(w, h, px, q))
+      val prog = Jpeg.decodeGray(Jpeg.encodeGrayProgressive(w, h, px, q))
+      prog._1 == w && prog._2 == h && prog._3.sameElements(base._3)
+    })
+  }
+
+  test("progressive color decodes bit-identically to baseline, both samplings") {
+    check(Prop.forAll(Gen.choose(1, 3), Gen.choose(1, 3),
+      Gen.choose(0L, Long.MaxValue), Gen.oneOf(true, false)) {
+      (bw, bh, seed, subsample) =>
+      val w = bw * 8 + (seed % 7).toInt.abs
+      val h = bh * 8 + (seed % 4).toInt.abs
+      val rgb = Array.tabulate(w * h * 3)(i =>
+        ((seed + i.toLong * 48271L) % 256).toInt.abs % 256)
+      val base = Jpeg.decode(Jpeg.encodeColor(w, h, rgb, subsample))
+      val prog = Jpeg.decode(Jpeg.encodeColorProgressive(w, h, rgb, subsample))
+      prog._1 == w && prog._2 == h && prog._3 == 3 &&
+        prog._4.sameElements(base._4)
+    })
+  }
+
+  test("flat even grey blocks are exact through progressive (the q131 subset)") {
+    check(Prop.forAll(Gen.choose(1, 4), Gen.choose(1, 3),
+      Gen.choose(0L, Long.MaxValue), Gen.oneOf(true, false)) {
+      (bw, bh, seed, color) =>
+      val w = bw * 8; val h = bh * 8
+      val grey = Array.tabulate(w * h) { i =>
+        val b = (i / w / 8) * bw + (i % w / 8)
+        2 * (((seed + b * 2654435761L) % 128).toInt.abs % 128)
+      }
+      if (color) {
+        val rgb = grey.flatMap(v => Array(v, v, v))
+        val bytes = Jpeg.encodeColorProgressive(w, h, rgb,
+          subsample = seed % 2 == 0)
+        val (dw, dh, ch, got) = Jpeg.decode(bytes)
+        dw == w && dh == h && ch == 3 && got.sameElements(rgb)
+      } else {
+        val (dw, dh, got) =
+          Jpeg.decodeGray(Jpeg.encodeGrayProgressive(w, h, grey))
+        dw == w && dh == h && got.sameElements(grey)
+      }
+    })
+  }
+
+  test("progressive restart intervals decode identically (every scan kind)") {
+    val w = 24; val h = 24
+    val grey = Array.tabulate(w * h)(i => (i * 37) % 256)
+    val plain = Jpeg.decodeGray(Jpeg.encodeGrayProgressive(w, h, grey))._3
+    for (ri <- Seq(1, 2, 5)) {
+      val bytes = Jpeg.encodeGrayProgressive(w, h, grey, restartInterval = ri)
+      assert(Jpeg.decodeGray(bytes)._3.sameElements(plain), s"gray ri=$ri")
+    }
+    val rgb = grey.flatMap(v => Array(v, (v + 85) % 256, (v + 170) % 256))
+    for (subsample <- Seq(true, false); ri <- Seq(1, 3)) {
+      val plainC =
+        Jpeg.decode(Jpeg.encodeColorProgressive(w, h, rgb, subsample))._4
+      val bytes = Jpeg.encodeColorProgressive(w, h, rgb, subsample,
+        restartInterval = ri)
+      assert(Jpeg.decode(bytes)._4.sameElements(plainC),
+        s"color subsample=$subsample ri=$ri")
+    }
+  }
+
+  test("progressive corrupt input fails loudly") {
+    val px = Array.tabulate(256)(i => (i * 53) % 256)
+    val bytes = Jpeg.encodeGrayProgressive(16, 16, px)
+    intercept[Exception](Jpeg.decode(bytes.take(bytes.length / 2)))
+    // no EOI: the scan loop must not run off the end
+    intercept[Exception](Jpeg.decode(bytes.dropRight(2)))
+    // color progressive via decodeGray refuses
+    val rgb = Array.fill(8 * 8 * 3)(128)
+    val color = Jpeg.encodeColorProgressive(8, 8, rgb)
+    val e = intercept[Exception](Jpeg.decodeGray(color))
+    assert(e.getMessage.contains("3 channels"))
+  }
+
+  test("BinaryDecoder handles progressive JPEG transparently") {
+    val grey = Array.tabulate(16 * 16) { i =>
+      2 * (((i / 16 / 8) * 2 + (i % 16) / 8) * 40 % 128)
+    }
+    val rgb = grey.flatMap(v => Array(v, v, v))
+    val bytes = Jpeg.encodeColorProgressive(16, 16, rgb)
+    val (w, h, plane) = Multimodal.BinaryDecoder.decode("image", bytes)
+    assert(w == 16 && h == 16)
+    assert(plane.toSeq == grey.map(3f * _).toSeq)
   }
 }
