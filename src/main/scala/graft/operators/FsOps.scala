@@ -118,4 +118,30 @@ private[operators] object VersionedStore {
       sys.error(s"$store: no committed index version at $path"))
     s"$path/v=$v"
   }
+
+  /** Small sidecar file (params.json etc.) inside a staged version
+    * dir — written before the commit marker, so it is part of the
+    * atomic version. */
+  def writeText(spark: org.apache.spark.sql.SparkSession,
+      path: String, text: String): Unit = {
+    val out = fs(spark, path).create(new Path(path), true)
+    out.write((text + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Read a sidecar file back, failing loudly if absent. */
+  def readText(spark: org.apache.spark.sql.SparkSession,
+      path: String, store: String): String = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    require(f.exists(p), s"$store: missing $path")
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](256)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
 }

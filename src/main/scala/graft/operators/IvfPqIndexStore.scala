@@ -114,30 +114,16 @@ object IvfPqIndexStore {
   }
 
   private def writeParams(spark: SparkSession, vdir: String,
-      json: String): Unit = {
-    val f = VersionedStore.fs(spark, vdir)
-    val out = f.create(new org.apache.hadoop.fs.Path(s"$vdir/params.json"),
-      true)
-    out.write((json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-  }
+      json: String): Unit =
+    VersionedStore.writeText(spark, s"$vdir/params.json", json)
 
   /** The m the index was WRITTEN with. A caller-passed m ≤ 0 derives
     * it from here; a positive caller m must match it — mismatches
     * fail loudly instead of mis-slicing the ADC LUT. */
   private def resolveM(spark: SparkSession, vdir: String,
       callerM: Int): Int = {
-    val f = VersionedStore.fs(spark, vdir)
-    val p = new org.apache.hadoop.fs.Path(s"$vdir/params.json")
-    require(f.exists(p), s"IvfPqIndexStore: missing params.json in $vdir")
-    val in = f.open(p)
-    val txt = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](256)
-      var n = in.read(chunk)
-      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      buf.toString("UTF-8")
-    } finally in.close()
+    val txt = VersionedStore.readText(spark, s"$vdir/params.json",
+      "IvfPqIndexStore")
     val stored = """"m"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt)
       .getOrElse(sys.error(s"IvfPqIndexStore: no m in $vdir/params.json"))

@@ -432,6 +432,131 @@ object Pipeline9 {
       |    b -> 2 * ((doc_id*17 + b*11) % 128))) AS BIGINT) AS px_sum
       |FROM p""".stripMargin
 
+  // ---- q131: PROGRESSIVE (SOF2) JPEG, exact flat-block oracle ----
+
+  /** The progressive JPEG path under the hash gate, on its exact
+    * subset: flat even-grey 8×8 blocks survive the six-scan
+    * spectral-selection × successive-approximation script exactly
+    * (DC-only blocks; the split DC bits — first scan at Al=1 plus
+    * one refinement bit — reassemble the full DC, and the AC scans
+    * degenerate to pure EOB runs). Odd doc_ids take the grayscale
+    * progressive path, even ones the color (YCbCr) path with
+    * alternating 4:2:0/4:4:4 and restart intervals 0/1/2 — so one
+    * hash match certifies DC first+refine, AC-first EOBn runs,
+    * AC-refine correction sweeps, per-scan restart resync, and the
+    * multi-scan segment loop. Non-flat coverage (ZRL, newly-nonzero
+    * refinement, band splits) is JpegSpec's baseline-equality
+    * property. */
+  def jpegProgressive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 8 * (2 + id % 3).toInt
+          val h = 8 * (1 + id % 2).toInt
+          val bxs = w / 8
+          val grey = Array.tabulate(w * h) { i =>
+            val b = (i / w / 8) * bxs + (i % w) / 8
+            2 * ((id * 23 + b.toLong * 13) % 128).toInt
+          }
+          val bytes =
+            if (id % 2 == 1)
+              graft.sources.Jpeg.encodeGrayProgressive(w, h, grey,
+                restartInterval = (id % 3).toInt)
+            else {
+              val rgb = grey.flatMap(v => Array(v, v, v))
+              graft.sources.Jpeg.encodeColorProgressive(w, h, rgb,
+                subsample = id % 4 == 0,
+                restartInterval = (id % 3).toInt)
+            }
+          Multimodal.MediaRow(id, "jpeg_progressive", bytes, Map.empty)
+        }
+      }
+    Multimodal.decodeStats(media, Multimodal.BinaryDecoder)
+      .toDF("doc_id", "fmt", "width", "height", "n_px", "px_sum")
+  }
+
+  val jpegProgressiveSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(8 * (2 + doc_id % 3) AS INTEGER) AS w,
+      |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS h,
+      |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS nch
+      |  FROM documents)
+      |SELECT doc_id, 'jpeg_progressive' AS fmt, w AS width, h AS height,
+      |  w * h AS n_px,
+      |  CAST(nch * 64 * list_sum(list_transform(range(0, (w//8) * (h//8)),
+      |    b -> 2 * ((doc_id*23 + b*13) % 128))) AS BIGINT) AS px_sum
+      |FROM p""".stripMargin
+
+  // ---- q132/q133: SQ8 scalar-quantization store ----
+
+  /** The SQ8 tier end to end: train per-dimension ranges, write the
+    * versioned code store, probe top-5 by the exact integer
+    * reconstruction dot. The oracle retrains the same affine ranges
+    * in SQL (same round-half-up integer division), so a hash match
+    * certifies training, encoding, the store round trip, and the
+    * scoring identity 255·⟨q,recon⟩ = 255·⟨q,min⟩ + ⟨q∘span,code⟩. */
+  def sq8TopK(s: SparkSession, d: String): DataFrame = {
+    val e = embCorpus(s, d)
+    val path = cachedStore("sq8idx", d)(
+      graft.operators.SqIndexStore.write(e, _))
+    graft.operators.SqIndexStore.probe(s, path,
+      e.where(col("id") < 8), k = 5)
+  }
+
+  val sq8TopKSql: String =
+    s"""WITH e AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |ex AS (SELECT vec_id, CAST(unnest(range(len(q))) AS INTEGER) AS s,
+       |    unnest(q) AS x FROM e),
+       |stats AS (SELECT s, min(x) AS mn, max(x) - min(x) AS span
+       |  FROM ex GROUP BY 1),
+       |codes AS (SELECT vec_id, ex.s,
+       |    CASE WHEN span = 0 THEN 0
+       |         ELSE ((x - mn) * 510 + span) // (2 * span) END AS code,
+       |    mn, span
+       |  FROM ex JOIN stats ON ex.s = stats.s),
+       |qs AS (SELECT vec_id AS qid, s, x AS qx FROM ex WHERE vec_id < 8),
+       |sc AS (SELECT qs.qid, codes.vec_id AS nid,
+       |    CAST(SUM(qx * (255 * mn + code * span)) AS BIGINT) AS score
+       |  FROM qs JOIN codes ON qs.s = codes.s AND codes.vec_id != qs.qid
+       |  GROUP BY 1, 2)
+       |SELECT qid, nid, score, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, nid ASC) AS INTEGER) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+
+  /** SQ8 shortlist → exact-cosine refine (`IndexRefineFlat` over the
+    * scalar-quantized base): ≤ 20 full-precision rescores per query,
+    * fetched by semi-join. */
+  def sq8Rerank(s: SparkSession, d: String): DataFrame = {
+    val e = embCorpus(s, d)
+    val path = cachedStore("sq8idx", d)(
+      graft.operators.SqIndexStore.write(e, _))
+    graft.operators.SqIndexStore.probeRerank(s, path, e,
+      e.where(col("id") < 8), k = 5, rerank = 20)
+  }
+
+  val sq8RerankSql: String = {
+    val shortlist20 = sq8TopKSql.replace("WHERE rank <= 5",
+      "WHERE rank <= 20")
+    s"""WITH shortlist AS (SELECT qid, nid FROM ($shortlist20)),
+       |e3 AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |n3 AS (SELECT vec_id, q,
+       |    sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE))
+       |      AS nrm
+       |  FROM e3),
+       |rc AS (SELECT shortlist.qid, shortlist.nid,
+       |    CAST(list_sum(list_transform(list_zip(qn.q, nn.q),
+       |      p -> p[1] * p[2])) AS DOUBLE) / (qn.nrm * nn.nrm) AS cos
+       |  FROM shortlist
+       |  JOIN n3 qn ON qn.vec_id = shortlist.qid
+       |  JOIN n3 nn ON nn.vec_id = shortlist.nid)
+       |SELECT qid, nid, cos, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, nid ASC) AS INTEGER) AS rank FROM rc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q123_media_decode" -> (mediaDecode _),
     "q124_ivfpq_topk"   -> (ivfPqTopK _),
@@ -439,7 +564,10 @@ object Pipeline9 {
     "q126_ivfpq_rerank" -> (ivfPqRerank _),
     "q127_jpeg_decode"  -> (jpegDecode _),
     "q128_jpeg_color"   -> (jpegColor _),
-    "q129_ivfpq_recon_rerank" -> (ivfPqRerankRecon _))
+    "q129_ivfpq_recon_rerank" -> (ivfPqRerankRecon _),
+    "q131_jpeg_progressive" -> (jpegProgressive _),
+    "q132_sq8_topk" -> (sq8TopK _),
+    "q133_sq8_rerank" -> (sq8Rerank _))
 
   def oracles: Map[String, String] = Map(
     "q123_media_decode" -> mediaDecodeSql,
@@ -448,5 +576,8 @@ object Pipeline9 {
     "q126_ivfpq_rerank" -> ivfPqRerankSql,
     "q127_jpeg_decode"  -> jpegDecodeSql,
     "q128_jpeg_color"   -> jpegColorSql,
-    "q129_ivfpq_recon_rerank" -> ivfPqRerankReconSql)
+    "q129_ivfpq_recon_rerank" -> ivfPqRerankReconSql,
+    "q131_jpeg_progressive" -> jpegProgressiveSql,
+    "q132_sq8_topk" -> sq8TopKSql,
+    "q133_sq8_rerank" -> sq8RerankSql)
 }

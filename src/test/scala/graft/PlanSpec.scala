@@ -276,6 +276,10 @@ class PlanSpec extends SparkSpecBase {
     // reconstruction-norm join is hash on (s, code) + semi-join)
     "q25_ivf_ann_topk", "q122_ivf_persisted", "q124_ivfpq_topk",
     "q126_ivfpq_rerank", "q129_ivfpq_recon_rerank", "q66_semantic_dedup",
+    // SQ8 flat scan vs the bounded broadcast probe set — the same
+    // exact-scoring contract (SqIndexStore.scala probe Scaladoc);
+    // q133 is the SQ8 shortlist + semi-join exact refine over it
+    "q132_sq8_topk", "q133_sq8_rerank",
     // single-row broadcast corpus stats (N, avgdl / doc count / Σw)
     "q70_term_relevance", "q90_bm25_retrieval", "q79_temperature_mix",
     "q102_importance_sample",
