@@ -51,6 +51,10 @@ import graft.functions.VectorFunctions._
   */
 object SqIndexStore {
 
+  private[graft] def currentVersion(spark: SparkSession,
+      path: String): Option[Long] =
+    VersionedStore.currentVersion(spark, path)
+
   private def statsOf(spark: SparkSession,
       vdir: String): (Array[Long], Array[Long]) = {
     val st = spark.read.parquet(s"$vdir/stats").orderBy("s").collect()
@@ -83,16 +87,8 @@ object SqIndexStore {
     val dim = st.length
     val mins = st.map(_.getLong(1))
     val spans = st.map(_.getLong(2))
-    val minsSql = mins.mkString("array(", "L,", "L)")
-    val spansSql = spans.mkString("array(", "L,", "L)")
-    // round-half-up affine code; constant-dimension ranges encode 0
-    val codes = base.select(col("nid"), expr(
-      s"""transform(q, (x, i) -> CAST(CASE
-         |  WHEN element_at($spansSql, i + 1) = 0 THEN 0
-         |  ELSE ((x - element_at($minsSql, i + 1)) * 510
-         |        + element_at($spansSql, i + 1))
-         |       div (2 * element_at($spansSql, i + 1)) END AS BIGINT))"""
-        .stripMargin).as("codes"))
+    val codes = base.select(col("nid"),
+      expr(encodeSql(mins, spans)).as("codes"))
     codes
       .withColumn("salt", pmod(xxhash64(col("nid")), lit(writeSplits)))
       .repartition(col("salt"))
@@ -104,6 +100,46 @@ object SqIndexStore {
       s"""{"dim":$dim,"bits":8}""")
     VersionedStore.commitMarker(spark, vdir)
     VersionedStore.gcPrevious(spark, path, current)
+  }
+
+  /** The SQ8 code kernel over the already-quantized array column
+    * `q`: round-half-up affine code, clamped to the 8-bit endpoints.
+    * The clamp is a no-op for training data (min/span are its own
+    * range); for vectors encoded later under FROZEN ranges
+    * ([[encodeFrozen]]) it is the standard scalar-quantizer drift
+    * rule. Truncating-vs-flooring division never matters: in-range
+    * numerators are non-negative, and out-of-range codes hit the
+    * clamp either way. */
+  private def encodeSql(mins: Array[Long], spans: Array[Long]): String = {
+    val minsSql = mins.mkString("array(", "L,", "L)")
+    val spansSql = spans.mkString("array(", "L,", "L)")
+    s"""transform(q, (x, i) -> CAST(CASE
+       |  WHEN element_at($spansSql, i + 1) = 0 THEN 0
+       |  ELSE greatest(0L, least(255L,
+       |    ((x - element_at($minsSql, i + 1)) * 510
+       |     + element_at($spansSql, i + 1))
+       |    div (2 * element_at($spansSql, i + 1)))) END AS BIGINT))"""
+      .stripMargin
+  }
+
+  /** Encode vectors under the FROZEN ranges of the serving version —
+    * the ingest half of train-once scalar quantization (works on a
+    * stream: stateless per-row projection, no shuffle; see
+    * [[graft.streaming.Streams.sqEncodeStream]]). Appending the
+    * result to the serving version's `codes` table makes the new
+    * vectors visible to the next probe. Returns (nid, codes). */
+  def encodeFrozen(spark: SparkSession, path: String,
+      vectors: DataFrame): DataFrame = {
+    val vdir = VersionedStore.servingDir(spark, path, "SqIndexStore")
+    val dim = storedDim(spark, vdir)
+    val (mins, spans) = statsOf(spark, vdir)
+    val checked = when(size(col("q")) === lit(dim), col("q"))
+      .otherwise(raise_error(concat(
+        lit(s"SqIndexStore: vector dim != stored dim $dim: got "),
+        size(col("q")).cast("string"))).cast("array<bigint>"))
+    vectors.select(col("id").as("nid"), quantize(col("vec")).as("q"))
+      .withColumn("q", checked)
+      .select(col("nid"), expr(encodeSql(mins, spans)).as("codes"))
   }
 
   /** Broadcast queries with the precomputed per-query pieces:

@@ -277,6 +277,18 @@ object Streams {
         quantize(col("vec")), m, ck.cids, ck.cb, ck.cb2).as("codes"))
   }
 
+  /** Streaming SQ8 ingest against a persisted
+    * [[graft.operators.SqIndexStore]]: vectors arriving on a stream
+    * encode under the FROZEN per-dimension ranges of the serving
+    * version (stateless per-row projection, no shuffle, any output
+    * mode), out-of-range values clamping to the 8-bit endpoints —
+    * the standard drift rule of a frozen scalar quantizer. Sink the
+    * (nid, codes) rows onto the serving version's `codes` table and
+    * the next probe sees them. */
+  def sqEncodeStream(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, storePath: String): DataFrame =
+    graft.operators.SqIndexStore.encodeFrozen(spark, storePath, vectors)
+
   /** Streaming nearest-centroid assignment against a persisted
     * [[graft.operators.Similarity.kmeansWriteStore]] — the ingest
     * half of train-once clustering: vectors arriving on a stream are

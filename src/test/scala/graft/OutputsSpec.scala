@@ -429,6 +429,49 @@ class OutputsSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming: SQ8 ingest appends clamped codes the probe can see") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    val rng = new scala.util.Random(47)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat).toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("sqstream").toString
+    try {
+      graft.operators.SqIndexStore.write(vecs.toDF("id", "vec"), dir)
+      val v = graft.operators.SqIndexStore.currentVersion(spark, dir)
+        .getOrElse(fail("no committed version"))
+      // stream in vector 10's exact twin, plus one far OUTSIDE the
+      // trained ranges (the frozen-quantizer drift case)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val encoded = Streams.sqEncodeStream(spark,
+        input.toDS().toDF("id", "vec"), dir)
+      val q = encoded.writeStream.outputMode("append")
+        .format("parquet").option("path", s"$dir/v=$v/codes")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      input.addData((1000L, vecs(10)._2),
+        (1001L, vecs(10)._2.map(x => x * 100f)))
+      q.processAllAvailable()
+      q.stop()
+      // the twin shares vector 10's codes exactly → ties its
+      // self-excluded max score, so it must surface in the top hits
+      val hits = graft.operators.SqIndexStore.probe(spark, dir,
+          vecs.toDF("id", "vec").where($"id" === 10L), k = 3)
+        .select($"nid").as[Long].collect().toSet
+      assert(hits.contains(1000L), hits.toString)
+      // the out-of-range vector clamped to legal 8-bit codes
+      val c = spark.read.parquet(s"$dir/v=$v/codes")
+        .where($"nid" === 1001L).select($"codes")
+        .as[Seq[Long]].head()
+      assert(c.forall(x => x >= 0 && x <= 255), c.toString)
+      assert(c.exists(x => x == 0 || x == 255)) // it really clamped
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("streaming: near-dup candidates via stateful band index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
