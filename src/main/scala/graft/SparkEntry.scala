@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.Pipeline7.queries ++
       graft.queries.Pipeline8.queries ++
       graft.queries.Pipeline9.queries ++
+      graft.queries.Pipeline10.queries ++
       graft.queries.OsmAnalog.queries ++
       graft.queries.GenQueries.queries
 
@@ -43,6 +44,7 @@ object SparkEntry {
       graft.queries.Pipeline7.oracles ++
       graft.queries.Pipeline8.oracles ++
       graft.queries.Pipeline9.oracles ++
+      graft.queries.Pipeline10.oracles ++
       graft.queries.OsmAnalog.oracles ++
       graft.queries.GenQueries.oracles
 }

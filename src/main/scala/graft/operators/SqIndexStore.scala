@@ -109,8 +109,10 @@ object SqIndexStore {
     * ([[encodeFrozen]]) it is the standard scalar-quantizer drift
     * rule. Truncating-vs-flooring division never matters: in-range
     * numerators are non-negative, and out-of-range codes hit the
-    * clamp either way. */
-  private def encodeSql(mins: Array[Long], spans: Array[Long]): String = {
+    * clamp either way. Package-visible: [[IvfSqIndexStore]] encodes
+    * its cell payloads with the identical kernel. */
+  private[operators] def encodeSql(mins: Array[Long],
+      spans: Array[Long]): String = {
     val minsSql = mins.mkString("array(", "L,", "L)")
     val spansSql = spans.mkString("array(", "L,", "L)")
     s"""transform(q, (x, i) -> CAST(CASE

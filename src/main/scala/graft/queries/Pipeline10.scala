@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-12 additions beyond the SQ8 tier: the IVF-SQ8 composition
+  * (q134/q135 — the FAISS `IndexIVFScalarQuantizer` shape: coarse
+  * partition pruning + scalar-quantized payloads), completing the
+  * quantization matrix {flat, IVF} × {exact, SQ8, PQ}. Same contract
+  * as [[Pipeline]]: exact integer arithmetic only, so the DuckDB
+  * oracle matches bit for bit. */
+object Pipeline10 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cachedStore(kind: String, d: String)(
+      build: String => Unit): String = StoreOnce.dir(kind, d)(build)
+
+  private def embCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** 1000-scaled integer quantization — DuckDB side of
+    * VectorFunctions.quantize (same as Pipeline/Pipeline3/9). */
+  private def qv(col: String) =
+    s"list_transform($col, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  // ---- q134: IVF-SQ8 (coarse pruning + scalar-quantized payload) ----
+
+  /** Builds the stored IVF-SQ8 index in a scratch directory and
+    * serves the standard probe batch (vec_id < 8, k=5, nprobe=2). The
+    * oracle rebuilds the whole route in SQL: coarse assignment,
+    * probed cells, per-dimension affine codes, reconstruction-dot
+    * scoring — restricted to candidates whose cell is probed. A hash
+    * match certifies BOTH quantizers, the partitioned store round
+    * trip, and the scoring identity 255·⟨q,recon⟩ = 255·⟨q,min⟩ +
+    * ⟨q∘span, code⟩ composed with the coarse restriction. */
+  def ivfSqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embCorpus(s, d)
+    val path = cachedStore("ivfsqidx", d)(
+      graft.operators.IvfSqIndexStore.write(e, _))
+    graft.operators.IvfSqIndexStore.probe(s, path,
+      e.where(col("id") < 8), k = 5)
+  }
+
+  /** q25's coarse CTEs (centroid sample, argmax assignment, probes)
+    * composed with q132's SQ8 CTEs (ranges, codes); scoring joins
+    * candidates to probed cells first — the partition-pruning analog
+    * — then reconstruction-scores them. */
+  val ivfSqTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |  sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+       | FROM e),
+       |cent AS (SELECT vec_id AS cid, q AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 256),
+       |asg AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT n.vec_id AS nid, cent.cid,
+       |      CAST(row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(n.q, cent.cv), p -> p[1] * p[2])) AS DOUBLE) /
+       |          (n.nrm * cent.cn) DESC, cent.cid ASC) AS INTEGER) AS arank
+       |    FROM n, cent)
+       |  WHERE arank = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT n.vec_id AS qid, cent.cid,
+       |      CAST(row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(n.q, cent.cv), p -> p[1] * p[2])) AS DOUBLE) /
+       |          (n.nrm * cent.cn) DESC, cent.cid ASC) AS INTEGER) AS prank
+       |    FROM n, cent WHERE n.vec_id < 8)
+       |  WHERE prank <= 2),
+       |ex AS (SELECT vec_id, CAST(unnest(range(len(q))) AS INTEGER) AS s,
+       |    unnest(q) AS x FROM e),
+       |stats AS (SELECT s, min(x) AS mn, max(x) - min(x) AS span
+       |  FROM ex GROUP BY 1),
+       |codes AS (SELECT vec_id, ex.s,
+       |    CASE WHEN span = 0 THEN 0
+       |         ELSE ((x - mn) * 510 + span) // (2 * span) END AS code,
+       |    mn, span
+       |  FROM ex JOIN stats ON ex.s = stats.s),
+       |qs AS (SELECT vec_id AS qid, s, x AS qx FROM ex WHERE vec_id < 8),
+       |sc AS (SELECT probes.qid, codes.vec_id AS nid,
+       |    CAST(SUM(qx * (255 * mn + code * span)) AS BIGINT) AS score
+       |  FROM probes
+       |  JOIN asg ON asg.cid = probes.cid AND asg.nid <> probes.qid
+       |  JOIN codes ON codes.vec_id = asg.nid
+       |  JOIN qs ON qs.s = codes.s AND qs.qid = probes.qid
+       |  GROUP BY 1, 2)
+       |SELECT qid, nid, score, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, nid ASC) AS INTEGER) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+
+  // ---- q135: IVF-SQ8 shortlist + exact-cosine refine ----
+
+  /** The `IndexRefineFlat` composition over the IVF-SQ8 base: the
+    * compressed probe shortlists rerank=20 candidates per query from
+    * the probed cells only, then the exact quantized cosine rescores
+    * ONLY those (semi-join fetch of ≤ 20 full-precision rows per
+    * query). The oracle reruns the q134 ranking to rank 20 and
+    * rescores the shortlist with q25's exact cosine. */
+  def ivfSqRerank(s: SparkSession, d: String): DataFrame = {
+    val e = embCorpus(s, d)
+    val path = cachedStore("ivfsqidx", d)(
+      graft.operators.IvfSqIndexStore.write(e, _))
+    graft.operators.IvfSqIndexStore.probeRerank(s, path, e,
+      e.where(col("id") < 8), k = 5, rerank = 20)
+  }
+
+  val ivfSqRerankSql: String = {
+    val shortlist20 = ivfSqTopKSql.replace("WHERE rank <= 5",
+      "WHERE rank <= 20")
+    s"""WITH shortlist AS (SELECT qid, nid FROM ($shortlist20)),
+       |e3 AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |n3 AS (SELECT vec_id, q,
+       |    sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE))
+       |      AS nrm
+       |  FROM e3),
+       |rc AS (SELECT shortlist.qid, shortlist.nid,
+       |    CAST(list_sum(list_transform(list_zip(qn.q, nn.q),
+       |      p -> p[1] * p[2])) AS DOUBLE) / (qn.nrm * nn.nrm) AS cos
+       |  FROM shortlist
+       |  JOIN n3 qn ON qn.vec_id = shortlist.qid
+       |  JOIN n3 nn ON nn.vec_id = shortlist.nid)
+       |SELECT qid, nid, cos, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, nid ASC) AS INTEGER) AS rank FROM rc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q134_ivfsq_topk" -> (ivfSqTopK _),
+    "q135_ivfsq_rerank" -> (ivfSqRerank _))
+
+  def oracles: Map[String, String] = Map(
+    "q134_ivfsq_topk" -> ivfSqTopKSql,
+    "q135_ivfsq_rerank" -> ivfSqRerankSql)
+}
