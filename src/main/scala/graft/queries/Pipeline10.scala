@@ -4,13 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.sources.Multimodal
 
 /** Round-12 additions beyond the SQ8 tier: the IVF-SQ8 composition
   * (q134/q135 — the FAISS `IndexIVFScalarQuantizer` shape: coarse
   * partition pruning + scalar-quantized payloads), completing the
-  * quantization matrix {flat, IVF} × {exact, SQ8, PQ}. Same contract
-  * as [[Pipeline]]: exact integer arithmetic only, so the DuckDB
-  * oracle matches bit for bit. */
+  * quantization matrix {flat, IVF} × {exact, SQ8, PQ}; and real
+  * VIDEO frame sampling (q136 — AVI/MJPEG container parse →
+  * select-before-decode → real JPEG decode). Same contract as
+  * [[Pipeline]]: exact integer arithmetic only, so the DuckDB oracle
+  * matches bit for bit. */
 object Pipeline10 {
 
   type Q = (SparkSession, String) => DataFrame
@@ -131,11 +134,71 @@ object Pipeline10 {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ---- q136: video frame sampling over a REAL AVI/MJPEG container ----
+
+  /** The video leg of the multimodal pipeline, end to end and REAL:
+    * each document becomes an AVI container of 2–5 MJPEG frames (flat
+    * even-grey 8×8 blocks — the exact-round-trip JPEG family, grey a
+    * formula of (doc, frame, block)), [[Multimodal.sampleFrames]]
+    * parses the container and keeps every 2nd frame WITHOUT decoding
+    * pixels, and only the survivors pay the real JPEG decode. The
+    * oracle recomputes per-sampled-frame dimensions and pixel sums
+    * straight from the formula — a hash match certifies the RIFF/AVI
+    * writer+parser, the sample-before-decode selection, and the JPEG
+    * round trip, through the distributed mapPartitions plumbing. */
+  def videoFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 8 * (2 + id % 3).toInt
+          val h = 8 * (1 + id % 2).toInt
+          val bxs = w / 8
+          val nf = (2 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            val px = Array.tabulate(w * h) { i =>
+              val b = (i / w / 8) * bxs + (i % w) / 8
+              2 * ((id * 29 + f.toLong * 19 + b.toLong * 7) % 128).toInt
+            }
+            graft.sources.Jpeg.encodeGray(w, h, px)
+          }
+          Multimodal.MediaRow(id, "video",
+            graft.sources.Avi.encodeMjpeg(w, h, frames), Map.empty)
+        }
+      }
+    val sampled = Multimodal.sampleFrames(media, 2)
+    // composite id (frame index < 8) so the sampled frames flow
+    // through the standard decodeStats operator unchanged
+    val frameMedia = sampled.as[(Long, Int, Array[Byte])]
+      .map { case (id, f, b) =>
+        Multimodal.MediaRow(id * 8 + f, "image", b, Map.empty)
+      }
+    Multimodal.decodeStats(frameMedia, Multimodal.BinaryDecoder)
+      .select(expr("id div 8").cast("long").as("doc_id"),
+        pmod(col("id"), lit(8)).cast("int").as("frame"),
+        col("width"), col("height"), col("pxSum").as("px_sum"))
+  }
+
+  val videoFrameSampleSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(8 * (2 + doc_id % 3) AS INTEGER) AS w,
+      |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS h,
+      |    2 + doc_id % 4 AS nf
+      |  FROM documents)
+      |SELECT doc_id, CAST(t.f AS INTEGER) AS frame, w AS width,
+      |  h AS height,
+      |  CAST(64 * list_sum(list_transform(range(0, (w//8) * (h//8)),
+      |    b -> 2 * ((doc_id*29 + t.f*19 + b*7) % 128))) AS BIGINT)
+      |    AS px_sum
+      |FROM p, range(5) t(f) WHERE t.f < nf AND t.f % 2 = 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q134_ivfsq_topk" -> (ivfSqTopK _),
-    "q135_ivfsq_rerank" -> (ivfSqRerank _))
+    "q135_ivfsq_rerank" -> (ivfSqRerank _),
+    "q136_video_frame_sample" -> (videoFrameSample _))
 
   def oracles: Map[String, String] = Map(
     "q134_ivfsq_topk" -> ivfSqTopKSql,
-    "q135_ivfsq_rerank" -> ivfSqRerankSql)
+    "q135_ivfsq_rerank" -> ivfSqRerankSql,
+    "q136_video_frame_sample" -> videoFrameSampleSql)
 }

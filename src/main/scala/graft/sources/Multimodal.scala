@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed batch-at-a-time.
   *
-  * The decode step is REAL for PNG, BMP and WAV via the pure-JVM
-  * [[Codecs]] ([[BinaryDecoder]] sniffs the magic bytes and decodes —
-  * oracle-gated end to end by q123/q27). [[StubDecoder]] remains as
-  * the zero-dependency seam for plumbing tests. The Spark-side
+  * The decode step is REAL for PNG, BMP, WAV, JPEG and AVI/MJPEG
+  * video via the pure-JVM [[Codecs]]/[[Jpeg]]/[[Avi]]
+  * ([[BinaryDecoder]] sniffs the magic bytes and decodes —
+  * oracle-gated end to end by q123/q27/q127/q136). [[StubDecoder]]
+  * remains as the zero-dependency seam for plumbing tests. The Spark-side
   * plumbing — schema, partition-sized batching, mapPartitions
   * boundary (the Scala analog of mapInPandas: one iterator per
   * partition, so decoder/codec init amortizes across the whole
@@ -64,7 +65,9 @@ object Multimodal {
     *   - images: multi-channel pixels collapse to Σ channels per
     *     pixel (exact small ints — 0..765 for RGB — so aggregate
     *     sums stay oracle-comparable);
-    *   - WAV audio: (nSamples, 1) with the signed 16-bit samples.
+    *   - WAV audio: (nSamples, 1) with the signed 16-bit samples;
+    *   - AVI/MJPEG video: all frames decoded and stacked as a
+    *     (w, h·F) film strip of channel sums.
     * The `mediaType` hint is ignored — the bytes are authoritative
     * (a real crawl's MIME labels lie). */
   object BinaryDecoder extends Decoder {
@@ -102,6 +105,30 @@ object Multimodal {
           i += 1
         }
         (w, h, plane)
+      } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I') {
+        // AVI/MJPEG video: decode every frame, stack as a film strip
+        // (w, h·F) of per-pixel channel sums — whole-video statistics
+        // stay exactly as oracle-comparable as single images
+        val (w, h, _, frames) = Avi.decodeMjpeg(bytes)
+        val plane = new Array[Float](w * h * frames.length)
+        var fi = 0
+        while (fi < frames.length) {
+          val (fw, fh, ch, px) = Jpeg.decode(frames(fi))
+          require(fw == w && fh == h,
+            s"frame $fi is ${fw}x$fh, container says ${w}x$h")
+          val base = fi * w * h
+          var i = 0
+          while (i < w * h) {
+            var s = 0; var c = 0
+            while (c < ch) { s += px(i * ch + c); c += 1 }
+            plane(base + i) = s.toFloat
+            i += 1
+          }
+          fi += 1
+        }
+        (w, h * frames.length, plane)
       } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
           bytes(2) == 'F' && bytes(3) == 'F') {
         val (_, ch, samples) = Codecs.decodeWav(bytes)
@@ -219,15 +246,25 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video-typed rows: deterministic every-nth-byte
-    * chunking standing in for keyframe extraction; 1→N rows
-    * (generator-shaped, like split_multi). */
+  /** REAL frame sampling over AVI/MJPEG payloads: parse the
+    * container, keep every `everyN`-th frame by index (every MJPEG
+    * frame is a keyframe), and return its raw JPEG bytes — selection
+    * happens BEFORE any pixel decode, which is the whole point of
+    * frame sampling at scale (decode only what survives). 1→N rows,
+    * generator-shaped like split_multi; non-video rows are skipped.
+    * Downstream decode composes via [[decodeStats]] /
+    * [[extractFeatures]] on the emitted frames (q136). */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      if (r.mediaType != "video" || r.bytes.isEmpty) Nil
-      else r.bytes.grouped(math.max(1, r.bytes.length / everyN)).zipWithIndex
-        .take(everyN).map { case (chunk, i) => (r.id, i, chunk) }.toSeq
+      if (r.mediaType != "video") Nil
+      else {
+        val (_, _, _, frames) = Avi.decodeMjpeg(r.bytes)
+        frames.iterator.zipWithIndex.collect {
+          case (f, i) if i % everyN == 0 => (r.id, i, f)
+        }.toSeq
+      }
     }.toDF("id", "frame", "frame_bytes")
   }
 

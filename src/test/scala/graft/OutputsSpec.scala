@@ -151,10 +151,18 @@ class OutputsSpec extends SparkSpecBase {
     // determinism: same input -> same features
     val again = Multimodal.extractFeatures(media).collect()
     assert(feats.map(_.features).toSeq == again.map(_.features).toSeq)
-    // frame sampling is generator-shaped
-    val frames = Multimodal.sampleFrames(
-      media.filter(_.mediaType == "video"), 3)
-    assert(frames.count() == 3)
+    // frame sampling is generator-shaped over a REAL AVI container:
+    // 5 MJPEG frames, every 2nd kept → indices 0, 2, 4
+    val jpegs = (0 until 5).map(f =>
+      graft.sources.Jpeg.encodeGray(8, 8, Array.fill(64)(2 * f + 10)))
+    val avi = graft.sources.Avi.encodeMjpeg(8, 8, jpegs)
+    val vid = Seq(Multimodal.MediaRow(7L, "video", avi, Map.empty))
+      .toDS()
+    val frames = Multimodal.sampleFrames(vid, 2).collect()
+    assert(frames.map(_.getInt(1)).sorted.toSeq == Seq(0, 2, 4))
+    // the sampled payloads are the original JPEG bytes, untouched
+    assert(frames.forall(r =>
+      jpegs(r.getInt(1)).sameElements(r.getAs[Array[Byte]](2))))
   }
 
   test("multimodal: bilinear resize — identity, interpolation, dataset op") {
