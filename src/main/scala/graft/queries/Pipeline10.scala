@@ -11,7 +11,9 @@ import graft.sources.Multimodal
   * partition pruning + scalar-quantized payloads), completing the
   * quantization matrix {flat, IVF} × {exact, SQ8, PQ}; and real
   * VIDEO frame sampling (q136 — AVI/MJPEG container parse →
-  * select-before-decode → real JPEG decode). Same contract as
+  * select-before-decode → real JPEG decode) and frame-level AUDIO
+  * features (q137 — exact-integer energy/ZCR/peak/autocorrelation
+  * over real WAV decode). Same contract as
   * [[Pipeline]]: exact integer arithmetic only, so the DuckDB oracle
   * matches bit for bit. */
 object Pipeline10 {
@@ -192,13 +194,60 @@ object Pipeline10 {
       |    AS px_sum
       |FROM p, range(5) t(f) WHERE t.f < nf AND t.f % 2 = 0""".stripMargin
 
+  // ---- q137: frame-level audio features over REAL WAV payloads ----
+
+  /** Audio feature extraction end to end: each document becomes a
+    * real PCM16 WAV (samples a pure integer formula of (doc, index) —
+    * the q123 audio family), and [[Multimodal.audioFrameFeatures]]
+    * decodes it and emits per-8-sample-frame energy / zero-crossings
+    * / peak / lag-1 autocorrelation — every feature an exact integer.
+    * The oracle recomputes all four from the generating formula with
+    * SQL window functions, so a hash match certifies the WAV round
+    * trip AND the framing/feature arithmetic. */
+  def audioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (24 + id % 16).toInt
+          Multimodal.MediaRow(id, "audio",
+            graft.sources.Codecs.encodeWav(Array.tabulate(n)(i =>
+              ((id * 131 + i.toLong * 17) % 65536).toInt - 32768)),
+            Map.empty)
+        }
+      }
+    Multimodal.audioFrameFeatures(media, frameSize = 8)
+      .toDF("doc_id", "frame", "n", "energy", "zero_crossings",
+        "peak", "ac1")
+  }
+
+  val audioFeaturesSql: String =
+    """WITH p AS (SELECT doc_id, 24 + doc_id % 16 AS n FROM documents),
+      |s AS (SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+      |    (doc_id*131 + t.i*17) % 65536 - 32768 AS v
+      |  FROM p, range(40) t(i) WHERE t.i < n),
+      |g AS (SELECT doc_id, i // 8 AS frame, v,
+      |    lag(v) OVER (PARTITION BY doc_id, i // 8 ORDER BY i) AS pv
+      |  FROM s)
+      |SELECT doc_id, CAST(frame AS INTEGER) AS frame,
+      |  CAST(COUNT(*) AS INTEGER) AS n,
+      |  CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+      |  CAST(SUM(CASE WHEN pv IS NOT NULL AND CAST(pv AS BIGINT) * v < 0
+      |    THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings,
+      |  CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+      |  CAST(SUM(CASE WHEN pv IS NOT NULL THEN CAST(pv AS BIGINT) * v
+      |    ELSE 0 END) AS BIGINT) AS ac1
+      |FROM g GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q134_ivfsq_topk" -> (ivfSqTopK _),
     "q135_ivfsq_rerank" -> (ivfSqRerank _),
-    "q136_video_frame_sample" -> (videoFrameSample _))
+    "q136_video_frame_sample" -> (videoFrameSample _),
+    "q137_audio_features" -> (audioFeatures _))
 
   def oracles: Map[String, String] = Map(
     "q134_ivfsq_topk" -> ivfSqTopKSql,
     "q135_ivfsq_rerank" -> ivfSqRerankSql,
-    "q136_video_frame_sample" -> videoFrameSampleSql)
+    "q136_video_frame_sample" -> videoFrameSampleSql,
+    "q137_audio_features" -> audioFeaturesSql)
 }

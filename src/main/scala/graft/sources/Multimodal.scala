@@ -268,6 +268,75 @@ object Multimodal {
     }.toDF("id", "frame", "frame_bytes")
   }
 
+  final case class AudioFrameFeatures(
+      id: Long,
+      frame: Int,
+      /** samples in this frame (the tail frame may be short) */
+      n: Int,
+      /** Σ v² over the integer mono downmix — exact */
+      energy: Long,
+      /** strict sign flips between consecutive samples */
+      zeroCrossings: Int,
+      /** max |v| */
+      peak: Int,
+      /** lag-1 autocorrelation Σ v_j·v_{j+1} — exact (the classic
+        * integer pitch/voicing feature) */
+      ac1: Long)
+
+  /** Frame-level audio features over PCM WAV payloads — the audio
+    * analog of image feature extraction, and the statistics an audio
+    * curation pipeline filters on (silence/clipping detection, voiced
+    * ratio). REAL decode via [[Codecs.decodeWav]]; multi-channel
+    * audio downmixes by integer channel SUM (no division — every
+    * feature stays an exact integer, so q137's oracle hash-matches).
+    * Frames are non-overlapping windows of `frameSize` samples, the
+    * tail kept short. Map-only: one pass per payload, no shuffle —
+    * the per-row cost is linear in the audio length and the operator
+    * scales exactly like decode itself. 1→N rows, generator-shaped. */
+  def audioFrameFeatures(media: Dataset[MediaRow],
+      frameSize: Int): Dataset[AudioFrameFeatures] = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (_, ch, samples) = Codecs.decodeWav(r.bytes)
+        val nFrames0 = samples.length / ch
+        val mono = new Array[Int](nFrames0)
+        var i = 0
+        while (i < nFrames0) {
+          var s = 0; var c = 0
+          while (c < ch) { s += samples(i * ch + c); c += 1 }
+          mono(i) = s
+          i += 1
+        }
+        val out = Seq.newBuilder[AudioFrameFeatures]
+        var start = 0
+        var fi = 0
+        while (start < mono.length) {
+          val end = math.min(start + frameSize, mono.length)
+          var energy = 0L; var zc = 0; var peak = 0; var ac1 = 0L
+          var j = start
+          while (j < end) {
+            val v = mono(j)
+            energy += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (j > start) {
+              val pv = mono(j - 1)
+              if (pv.toLong * v < 0) zc += 1
+              ac1 += pv.toLong * v
+            }
+            j += 1
+          }
+          out += AudioFrameFeatures(r.id, fi, end - start, energy, zc,
+            peak, ac1)
+          start = end
+          fi += 1
+        }
+        out.result()
+      }
+    }
+  }
+
   /** Wrap a text-keyed table into media rows (used by tests and the
     * bench corpus, which has no real binaries). */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

@@ -165,6 +165,31 @@ class OutputsSpec extends SparkSpecBase {
       jpegs(r.getInt(1)).sameElements(r.getAs[Array[Byte]](2))))
   }
 
+  test("multimodal: audio frame features — hand example, stereo, tail") {
+    // mono: samples [3, -2, 0, 4 | 1] with frameSize 4 → one full
+    // frame plus a 1-sample tail
+    val wav = graft.sources.Codecs.encodeWav(Array(3, -2, 0, 4, 1))
+    val rows = Seq(Multimodal.MediaRow(5L, "audio", wav, Map.empty)).toDS()
+    val got = Multimodal.audioFrameFeatures(rows, 4).collect()
+      .sortBy(_.frame)
+    assert(got.length == 2)
+    val f0 = got(0)
+    // energy 9+4+0+16 = 29; strict sign flips: (3,-2) only — (-2,0)
+    // and (0,4) touch zero; peak 4; ac1 = 3·−2 + −2·0 + 0·4 = −6
+    assert((f0.n, f0.energy, f0.zeroCrossings, f0.peak, f0.ac1) ==
+      (4, 29L, 1, 4, -6L))
+    val f1 = got(1)
+    assert((f1.n, f1.energy, f1.zeroCrossings, f1.peak, f1.ac1) ==
+      (1, 1L, 0, 1, 0L))
+    // stereo downmixes by integer channel sum BEFORE the features:
+    // frames (1,2) (−3,1) → mono [3, −2]
+    val st = graft.sources.Codecs.encodeWav(Array(1, 2, -3, 1), channels = 2)
+    val s0 = Multimodal.audioFrameFeatures(
+      Seq(Multimodal.MediaRow(6L, "audio", st, Map.empty)).toDS(), 4)
+      .collect().head
+    assert((s0.n, s0.energy, s0.zeroCrossings, s0.ac1) == (2, 13L, 1, -6L))
+  }
+
   test("multimodal: bilinear resize — identity, interpolation, dataset op") {
     // identity: same dims returns the same pixels
     val px = Array.tabulate(64)(i => i / 63.0f)
