@@ -239,15 +239,59 @@ object Pipeline10 {
       |    ELSE 0 END) AS BIGINT) AS ac1
       |FROM g GROUP BY 1, 2""".stripMargin
 
+  // ---- q138: GIF (LZW) decode parity over arbitrary images ----
+
+  /** The GIF/LZW codec under the hash gate. GIF is lossless, so —
+    * unlike the JPEG families — the oracle covers ARBITRARY formula
+    * images: every document becomes an RGB image whose channels are a
+    * pure integer formula of (doc, pixel, channel), encoded by the
+    * repo's own LZW (variable code width, clear/EOI, sub-block
+    * framing; four-pass interlace for even doc_ids) and decoded by
+    * the REAL [[Multimodal.BinaryDecoder]] GIF branch. The oracle
+    * recomputes the channel sums straight from the formula — a hash
+    * match certifies the entire LZW machinery both directions. */
+  def gifDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (5 + id % 6).toInt
+          val h = (4 + (id / 3) % 5).toInt
+          val rgb = Array.tabulate(w * h * 3) { j =>
+            ((id * 31 + (j / 3).toLong * 7 + (j % 3).toLong * 11) % 256).toInt
+          }
+          Multimodal.MediaRow(id, "gif",
+            graft.sources.Gif.encodeGif(w, h, rgb,
+              interlaced = id % 2 == 0), Map.empty)
+        }
+      }
+    Multimodal.decodeStats(media, Multimodal.BinaryDecoder)
+      .toDF("doc_id", "fmt", "width", "height", "n_px", "px_sum")
+  }
+
+  val gifDecodeSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(5 + doc_id % 6 AS INTEGER) AS w,
+      |    CAST(4 + (doc_id // 3) % 5 AS INTEGER) AS h
+      |  FROM documents)
+      |SELECT doc_id, 'gif' AS fmt, w AS width, h AS height,
+      |  w * h AS n_px,
+      |  CAST(list_sum(list_transform(range(0, w*h),
+      |    i -> (doc_id*31 + i*7) % 256 + (doc_id*31 + i*7 + 11) % 256
+      |       + (doc_id*31 + i*7 + 22) % 256)) AS BIGINT) AS px_sum
+      |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q134_ivfsq_topk" -> (ivfSqTopK _),
     "q135_ivfsq_rerank" -> (ivfSqRerank _),
     "q136_video_frame_sample" -> (videoFrameSample _),
-    "q137_audio_features" -> (audioFeatures _))
+    "q137_audio_features" -> (audioFeatures _),
+    "q138_gif_decode" -> (gifDecode _))
 
   def oracles: Map[String, String] = Map(
     "q134_ivfsq_topk" -> ivfSqTopKSql,
     "q135_ivfsq_rerank" -> ivfSqRerankSql,
     "q136_video_frame_sample" -> videoFrameSampleSql,
-    "q137_audio_features" -> audioFeaturesSql)
+    "q137_audio_features" -> audioFeaturesSql,
+    "q138_gif_decode" -> gifDecodeSql)
 }

@@ -96,6 +96,16 @@ object Multimodal {
           i += 1
         }
         (w, h, plane)
+      } else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == '8') {
+        val (w, h, rgb) = Gif.decodeGif(bytes)
+        val plane = new Array[Float](w * h)
+        var i = 0
+        while (i < w * h) {
+          plane(i) = (rgb(i * 3) + rgb(i * 3 + 1) + rgb(i * 3 + 2)).toFloat
+          i += 1
+        }
+        (w, h, plane)
       } else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
         val (w, h, rgb) = Codecs.decodeBmp(bytes)
         val plane = new Array[Float](w * h)
