@@ -728,6 +728,61 @@ case class KmeansAssignExpr(child: Expression, cids: IndexedSeq[Long],
     copy(child = c)
 }
 
+/** Argmax-cosine assignment of a quantized vector against ≤256
+  * embedded IVF centroids — the map-only kernel behind the streaming
+  * IVF-SQ8 ingest ([[graft.operators.IvfSqIndexStore.encodeFrozen]]).
+  * Reproduces the batch assignment's struct-max BIT FOR BIT: the
+  * score is the same double `dot.toDouble / (sqrt(qq) · cn)` with the
+  * stored centroid norm `cn`, and an exact score tie keeps the
+  * smallest cid (cids ascending, strict-greater comparison). Same
+  * literal-embedding strategy as [[KmeansAssignExpr]]: cvs is the
+  * flattened centroid matrix, ≤centroidCap·dim longs. */
+case class IvfAssignExpr(child: Expression, cids: IndexedSeq[Long],
+    cvs: IndexedSeq[Long], cns: IndexedSeq[Double])
+    extends UnaryExpression {
+  require(cids.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "centroid ids must be strictly ascending (tie-break contract)")
+  require(cids.nonEmpty && cns.length == cids.length &&
+    cvs.length % cids.length == 0, "ragged centroid state")
+  override def dataType: DataType = LongType
+  @transient private lazy val cidsArr = cids.toArray
+  @transient private lazy val cvsArr = cvs.toArray
+  @transient private lazy val cnsArr = cns.toArray
+  override def nullSafeEval(v: Any): Any = {
+    val q = v.asInstanceOf[ArrayData]
+    val dim = q.numElements()
+    require(cvsArr.length == cidsArr.length * dim,
+      s"vector dim $dim != stored centroid dim " +
+        s"${cvsArr.length / cidsArr.length}")
+    var qq = 0L
+    var d = 0
+    while (d < dim) { val x = q.getLong(d); qq += x * x; d += 1 }
+    val nn = java.lang.Math.sqrt(qq.toDouble)
+    var bestCos = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var c = 0
+    while (c < cidsArr.length) {
+      val off = c * dim
+      var dot = 0L
+      var i = 0
+      while (i < dim) { dot += q.getLong(i) * cvsArr(off + i); i += 1 }
+      val cos = dot.toDouble / (nn * cnsArr(c))
+      // ascending cids: strict-greater keeps the smallest on a tie
+      if (cos > bestCos) { bestCos = cos; bestCid = cidsArr(c) }
+      c += 1
+    }
+    bestCid
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfAssignExpr", this,
+      classOf[IvfAssignExpr].getName)
+    defineCodeGen(ctx, ev, c => s"(Long) $ref.nullSafeEval($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -764,4 +819,7 @@ object VectorExpressions {
       sums: IndexedSeq[Long], ss: IndexedSeq[Long],
       ns: IndexedSeq[Long]): Column =
     column(KmeansAssignExpr(expression(q), cids, sums, ss, ns))
+  def ivfAssignN(q: Column, cids: IndexedSeq[Long],
+      cvs: IndexedSeq[Long], cns: IndexedSeq[Double]): Column =
+    column(IvfAssignExpr(expression(q), cids, cvs, cns))
 }

@@ -132,6 +132,42 @@ object IvfSqIndexStore {
     VersionedStore.gcPrevious(spark, path, current)
   }
 
+  /** Encode + assign vectors under the FROZEN serving version — the
+    * ingest half of a train-once IVF-SQ8 store: the ≤centroidCap
+    * coarse centroids are read once driver-side and embedded in a
+    * codegen'd argmax-cosine kernel
+    * ([[graft.expressions.IvfAssignExpr]], bit-equal to [[write]]'s
+    * struct-max assignment), and the SQ8 codes clamp to the frozen
+    * ranges like [[SqIndexStore.encodeFrozen]]. Stateless per-row
+    * projection, NO shuffle — runs identically over a batch frame or
+    * a micro-batch stream ([[graft.streaming.Streams
+    * .ivfSqEncodeStream]]). Returns (nid, codes, cell); append the
+    * rows under the serving version's `cells/cell=K` partitions and
+    * the next probe sees them. */
+  def encodeFrozen(spark: SparkSession, path: String,
+      vectors: DataFrame): DataFrame = {
+    val vdir = VersionedStore.servingDir(spark, path, "IvfSqIndexStore")
+    val dim = storedDim(spark, vdir)
+    val (mins, spans) = statsOf(spark, vdir)
+    val cent = spark.read.parquet(s"$vdir/centroids")
+      .select(col("cid"), col("cv"), col("cn")).collect()
+      .sortBy(_.getLong(0))
+    require(cent.nonEmpty, s"no centroids at $vdir/centroids")
+    val cids = cent.map(_.getLong(0)).toIndexedSeq
+    val cvs = cent.flatMap(_.getSeq[Long](1)).toIndexedSeq
+    val cns = cent.map(_.getDouble(2)).toIndexedSeq
+    val checked = when(size(col("q")) === lit(dim), col("q"))
+      .otherwise(raise_error(concat(
+        lit(s"IvfSqIndexStore: vector dim != stored dim $dim: got "),
+        size(col("q")).cast("string"))).cast("array<bigint>"))
+    vectors.select(col("id").as("nid"), quantize(col("vec")).as("q"))
+      .withColumn("q", checked)
+      .select(col("nid"),
+        expr(SqIndexStore.encodeSql(mins, spans)).as("codes"),
+        graft.expressions.VectorExpressions
+          .ivfAssignN(col("q"), cids, cvs, cns).as("cell"))
+  }
+
   /** Serve a probe batch: rank the broadcast centroids per query,
     * read ONLY the probed cell partitions, score candidates by the
     * exact integer reconstruction dot 255·⟨q, recon(codes)⟩, top-k

@@ -289,6 +289,19 @@ object Streams {
       vectors: DataFrame, storePath: String): DataFrame =
     graft.operators.SqIndexStore.encodeFrozen(spark, storePath, vectors)
 
+  /** Streaming IVF-SQ8 ingest against a persisted
+    * [[graft.operators.IvfSqIndexStore]]: arriving vectors are
+    * assigned to the FROZEN coarse centroids by the codegen'd
+    * argmax-cosine kernel (bit-equal to the batch write's
+    * assignment) and encoded under the FROZEN per-dimension ranges
+    * (out-of-range values clamp — the standard drift rule). Stateless
+    * per-row projection, no shuffle, any output mode; sink the
+    * (nid, codes, cell) rows under the serving version's
+    * `cells/cell=K` partitions and the next probe sees them. */
+  def ivfSqEncodeStream(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, storePath: String): DataFrame =
+    graft.operators.IvfSqIndexStore.encodeFrozen(spark, storePath, vectors)
+
   /** Streaming nearest-centroid assignment against a persisted
     * [[graft.operators.Similarity.kmeansWriteStore]] — the ingest
     * half of train-once clustering: vectors arriving on a stream are

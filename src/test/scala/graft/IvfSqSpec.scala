@@ -113,6 +113,58 @@ class IvfSqSpec extends SparkSpecBase {
       .deleteDirectory(new File(path))
   }
 
+  test("encodeFrozen reproduces the batch write's cells bit for bit") {
+    val path = Files.createTempDirectory("ivfsq").toString
+    try {
+      IvfSqIndexStore.write(vecs, path)
+      val v = IvfSqIndexStore.currentVersion(spark, path)
+        .getOrElse(fail("no committed version"))
+      val stored = spark.read.parquet(s"$path/v=$v/cells")
+        .select($"nid", $"codes", $"cell".cast("long"))
+        .as[(Long, Seq[Long], Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val frozen = IvfSqIndexStore.encodeFrozen(spark, path, vecs)
+        .select($"nid", $"codes", $"cell")
+        .as[(Long, Seq[Long], Long)].collect()
+      assert(frozen.length == stored.size)
+      frozen.foreach { case (nid, codes, cell) =>
+        assert(stored(nid) == ((codes, cell)), s"nid $nid")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(path))
+  }
+
+  test("streaming ingest lands in the frozen cells the probe reads") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("ivfsq").toString
+    try {
+      IvfSqIndexStore.write(vecs, path)
+      val v = IvfSqIndexStore.currentVersion(spark, path)
+        .getOrElse(fail("no committed version"))
+      val twin = vecs.where($"id" === 10L)
+        .as[(Long, Seq[Float])].head()._2
+      val input = MemoryStream[(Long, Seq[Float])]
+      val encoded = graft.streaming.Streams.ivfSqEncodeStream(spark,
+        input.toDS().toDF("id", "vec"), path)
+      val q = encoded.writeStream.outputMode("append")
+        .partitionBy("cell")
+        .format("parquet").option("path", s"$path/v=$v/cells")
+        .option("checkpointLocation", s"$path/ckpt").start()
+      input.addData((1000L, twin))
+      q.processAllAvailable()
+      q.stop()
+      // the twin shares vector 10's codes AND cell exactly, so it
+      // must surface in 10's top hits through the partition-pruned
+      // probe
+      val hits = IvfSqIndexStore.probe(spark, path,
+          vecs.where($"id" === 10L), k = 3)
+        .select($"nid").as[Long].collect().toSet
+      assert(hits.contains(1000L), hits.toString)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(path))
+  }
+
   test("every probe score is within the provable quantization bound") {
     val path = Files.createTempDirectory("ivfsq").toString
     try {
