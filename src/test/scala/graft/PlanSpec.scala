@@ -280,6 +280,11 @@ class PlanSpec extends SparkSpecBase {
     // exact-scoring contract (SqIndexStore.scala probe Scaladoc);
     // q133 is the SQ8 shortlist + semi-join exact refine over it
     "q132_sq8_topk", "q133_sq8_rerank",
+    // IVF-SQ8: the same ≤256-row broadcast coarse rank as q25/q122,
+    // then a HASH join of probes onto the partition-pruned SQ8 cells
+    // (IvfSqIndexStore.probeCandidates Scaladoc); q135 adds the
+    // semi-join exact refine over the bounded shortlist
+    "q134_ivfsq_topk", "q135_ivfsq_rerank",
     // single-row broadcast corpus stats (N, avgdl / doc count / Σw)
     "q70_term_relevance", "q90_bm25_retrieval", "q79_temperature_mix",
     "q102_importance_sample",
