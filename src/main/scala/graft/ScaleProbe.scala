@@ -119,6 +119,70 @@ object ScaleProbe {
       graft.operators.IvfPqIndexStore.probeRerankReconstructed(
         spark, p, e.where(col("id") < 8), k = 5, rerank = 20).count()
     }
+    // q134: persisted IVF-SQ8 — pruning like q122 but the probed
+    // cells carry 8-bit codes (4× less IO than exact vectors); wall
+    // must track probed-cell code rows, never index size
+    time("ivfsq_persisted_probe") {
+      val e = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val p = graft.tools.Scratch.dir("graft_ivfsq_probe")
+      graft.operators.IvfSqIndexStore.write(e, p)
+      graft.operators.IvfSqIndexStore
+        .probe(spark, p, e.where(col("id") < 8), k = 5).count()
+    }
+    // q136: container parse + select-before-decode — the sampled
+    // half of the frames never pays a JPEG decode, and the whole
+    // chain is map-only; wall must track row count
+    time("video_frame_sample") {
+      import spark.implicits._
+      val media = docs.select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val frames = (0 until (2 + id % 4).toInt).map { f =>
+              graft.sources.Jpeg.encodeGray(16, 8,
+                Array.fill(128)(2 * ((id + f) % 128).toInt))
+            }
+            graft.sources.Multimodal.MediaRow(id, "video",
+              graft.sources.Avi.encodeMjpeg(16, 8, frames), Map.empty)
+          }
+        }
+      val sampled = graft.sources.Multimodal.sampleFrames(media, 2)
+      sampled.as[(Long, Int, Array[Byte])].map { case (id, f, b) =>
+        graft.sources.Multimodal.MediaRow(id * 8 + f, "image", b,
+          Map.empty)
+      }.mapPartitions { rows =>
+        rows.map(r => graft.sources.Jpeg.decode(r.bytes)._4.length.toLong)
+      }.agg(sum("value")).first().getLong(0)
+    }
+    // q138: GIF/LZW both directions per row, map-only — wall must
+    // track row count like the other codec probes
+    time("gif_decode") {
+      import spark.implicits._
+      graft.sources.Multimodal.decodeStats(
+        docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+          ids.map { id =>
+            val rgb = Array.tabulate(8 * 8 * 3)(j =>
+              ((id * 31 + j.toLong * 7) % 256).toInt)
+            graft.sources.Multimodal.MediaRow(id, "gif",
+              graft.sources.Gif.encodeGif(8, 8, rgb,
+                interlaced = id % 2 == 0), Map.empty)
+          }
+        },
+        graft.sources.Multimodal.BinaryDecoder).count()
+    }
+    // q137: WAV decode + framed features, map-only generator
+    time("audio_features") {
+      import spark.implicits._
+      graft.sources.Multimodal.audioFrameFeatures(
+        docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+          ids.map { id =>
+            graft.sources.Multimodal.MediaRow(id, "audio",
+              graft.sources.Codecs.encodeWav(Array.tabulate(64)(i =>
+                ((id * 131 + i.toLong * 17) % 65536).toInt - 32768)),
+              Map.empty)
+          }
+        }, frameSize = 8).count()
+    }
     // q128: COLOR JPEG is ~6 blocks per doc instead of one scanline
     // codec pass, still map-only — wall must track row count
     time("jpeg_color_decode") {
