@@ -281,17 +281,129 @@ object Pipeline10 {
       |       + (doc_id*31 + i*7 + 22) % 256)) AS BIGINT) AS px_sum
       |FROM p""".stripMargin
 
+  // ---- q139: image quality statistics (blank/contrast filters) ----
+
+  /** Whole-image quality stats over a MIXED-format corpus (PNG for
+    * even doc_ids, GIF for odd — the decoder sniffs, it never trusts
+    * labels): exact integer min/max/Σ/Σ² of the channel-sum plane,
+    * the signals an image curation pass filters on. The oracle
+    * recomputes all four from the formula with list aggregates. */
+  def imageStatsQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          if (id % 2 == 0) {
+            val w = (6 + id % 5).toInt
+            val h = (5 + (id / 2) % 4).toInt
+            Multimodal.MediaRow(id, "image",
+              graft.sources.Codecs.encodePng(w, h, 1,
+                Array.tabulate(w * h)(i =>
+                  ((id * 31 + i.toLong * 7) % 256).toInt)), Map.empty)
+          } else {
+            val w = (5 + id % 6).toInt
+            val h = (4 + (id / 3) % 5).toInt
+            val rgb = Array.tabulate(w * h * 3) { j =>
+              ((id * 31 + (j / 3).toLong * 7 + (j % 3).toLong * 11)
+                % 256).toInt
+            }
+            Multimodal.MediaRow(id, "image",
+              graft.sources.Gif.encodeGif(w, h, rgb), Map.empty)
+          }
+        }
+      }
+    Multimodal.imageStats(media, Multimodal.BinaryDecoder)
+      .toDF("doc_id", "width", "height", "px_min", "px_max",
+        "px_sum", "px_sum_sq")
+  }
+
+  val imageStatsSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(CASE WHEN doc_id % 2 = 0 THEN 6 + doc_id % 5
+      |         ELSE 5 + doc_id % 6 END AS INTEGER) AS w,
+      |    CAST(CASE WHEN doc_id % 2 = 0 THEN 5 + (doc_id // 2) % 4
+      |         ELSE 4 + (doc_id // 3) % 5 END AS INTEGER) AS h
+      |  FROM documents),
+      |v AS (SELECT doc_id, w, h,
+      |    list_transform(range(0, w*h), i -> CASE WHEN doc_id % 2 = 0
+      |      THEN (doc_id*31 + i*7) % 256
+      |      ELSE (doc_id*31 + i*7) % 256 + (doc_id*31 + i*7 + 11) % 256
+      |         + (doc_id*31 + i*7 + 22) % 256 END) AS vals
+      |  FROM p)
+      |SELECT doc_id, w AS width, h AS height,
+      |  CAST(list_min(vals) AS BIGINT) AS px_min,
+      |  CAST(list_max(vals) AS BIGINT) AS px_max,
+      |  CAST(list_sum(vals) AS BIGINT) AS px_sum,
+      |  CAST(list_sum(list_transform(vals, x -> x*x)) AS BIGINT)
+      |    AS px_sum_sq
+      |FROM v""".stripMargin
+
+  // ---- q140: perceptual hash (aHash) for image dedup ----
+
+  /** The 64-bit average-hash every image-dedup pipeline groups on,
+    * end to end through real GIF decode: flat 8×8-grid images whose
+    * grid values are a formula of (doc, block), hashed by the exact
+    * integer block-mean-vs-global-mean rule. The oracle reproduces
+    * every BIT with a window over the 64 grid values — a hash match
+    * certifies the block geometry, the exact comparison, and the bit
+    * order. Emitted as the 64-char bit string (MSB first) to keep
+    * the sign bit printable. */
+  def imageAHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 8 * (1 + id % 3).toInt
+          val h = 8 * (1 + id % 2).toInt
+          val bw = w / 8; val bh = h / 8
+          val rgb = new Array[Int](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val b = ((i / w) / bh) * 8 + (i % w) / bw
+            val v = ((id * 37 + b.toLong * 13) % 256).toInt
+            rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+            i += 1
+          }
+          Multimodal.MediaRow(id, "image",
+            graft.sources.Gif.encodeGif(w, h, rgb), Map.empty)
+        }
+      }
+    Multimodal.aHash64(media, Multimodal.BinaryDecoder)
+      .toDF("doc_id", "width", "height", "ahash")
+      .select(col("doc_id"), col("width"), col("height"),
+        lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+  }
+
+  val imageAHashSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS w,
+      |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS h
+      |  FROM documents),
+      |b AS (SELECT doc_id, w, h, CAST(t.b AS INTEGER) AS b,
+      |    (doc_id*37 + t.b*13) % 256 AS v
+      |  FROM p, range(64) t(b)),
+      |tot AS (SELECT doc_id, SUM(v) AS total FROM b GROUP BY 1)
+      |SELECT b.doc_id, ANY_VALUE(w) AS width, ANY_VALUE(h) AS height,
+      |  string_agg(CASE WHEN 64*v > total THEN '1' ELSE '0' END, ''
+      |    ORDER BY b DESC) AS ahash_bits
+      |FROM b JOIN tot ON b.doc_id = tot.doc_id
+      |GROUP BY b.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q134_ivfsq_topk" -> (ivfSqTopK _),
     "q135_ivfsq_rerank" -> (ivfSqRerank _),
     "q136_video_frame_sample" -> (videoFrameSample _),
     "q137_audio_features" -> (audioFeatures _),
-    "q138_gif_decode" -> (gifDecode _))
+    "q138_gif_decode" -> (gifDecode _),
+    "q139_image_stats" -> (imageStatsQ _),
+    "q140_image_ahash" -> (imageAHash _))
 
   def oracles: Map[String, String] = Map(
     "q134_ivfsq_topk" -> ivfSqTopKSql,
     "q135_ivfsq_rerank" -> ivfSqRerankSql,
     "q136_video_frame_sample" -> videoFrameSampleSql,
     "q137_audio_features" -> audioFeaturesSql,
-    "q138_gif_decode" -> gifDecodeSql)
+    "q138_gif_decode" -> gifDecodeSql,
+    "q139_image_stats" -> imageStatsSql,
+    "q140_image_ahash" -> imageAHashSql)
 }

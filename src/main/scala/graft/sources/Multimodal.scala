@@ -278,6 +278,90 @@ object Multimodal {
     }.toDF("id", "frame", "frame_bytes")
   }
 
+  final case class ImageStats(
+      id: Long,
+      width: Int,
+      height: Int,
+      /** min / max / Σ / Σ² of the per-pixel channel sums — all
+        * exact integers (variance = (n·Σ² − Σ²)/n² derives without
+        * another pass) */
+      pxMin: Long,
+      pxMax: Long,
+      pxSum: Long,
+      pxSumSq: Long)
+
+  /** Whole-image quality statistics — the signals an image curation
+    * pipeline filters on (blank/near-blank detection via min==max,
+    * dark/blown-out via the mean, low-contrast via the exact
+    * variance). One map-only pass over the decoded plane; every stat
+    * is an exact integer so q139's oracle hash-matches. */
+  def imageStats(media: Dataset[MediaRow],
+      decoder: Decoder = BinaryDecoder): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = decoder.decode(r.mediaType, r.bytes)
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var sum = 0L; var sumSq = 0L
+        var i = 0
+        while (i < px.length) {
+          val v = px(i).toLong
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          sum += v; sumSq += v * v
+          i += 1
+        }
+        ImageStats(r.id, w, h, mn, mx, sum, sumSq)
+      }
+    }
+  }
+
+  final case class ImageHash(id: Long, width: Int, height: Int,
+      ahash: Long)
+
+  /** 64-bit average-hash (aHash) — the standard perceptual
+    * fingerprint image-dedup pipelines group on: the image divides
+    * into an 8×8 grid, and bit b (row-major) is set iff block b's
+    * pixel sum, scaled, exceeds the whole image's (block mean >
+    * global mean, compared EXACTLY as 64·blockSum·1 > total·1 over
+    * the integer channel-sum plane — no floats, no rounding, so
+    * q140's oracle reproduces every bit). Dimensions must be
+    * multiples of 8 (resize first via [[resizeBilinear]] otherwise —
+    * kept separate so the hash itself stays exact). Identical images
+    * collide by construction; near-identical ones (small noise,
+    * re-encodes of the same frame) collide because per-block means
+    * are stable under per-pixel jitter. Map-only; dedup composes as
+    * a hash-groupBy on the result. */
+  def aHash64(media: Dataset[MediaRow],
+      decoder: Decoder = BinaryDecoder): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = decoder.decode(r.mediaType, r.bytes)
+        require(w % 8 == 0 && h % 8 == 0,
+          s"aHash64 needs dimensions divisible by 8, got ${w}x$h")
+        val bw = w / 8; val bh = h / 8
+        val blocks = new Array[Long](64)
+        var total = 0L
+        var i = 0
+        while (i < px.length) {
+          val v = px(i).toLong
+          val bx = (i % w) / bw; val by = (i / w) / bh
+          blocks(by * 8 + bx) += v
+          total += v
+          i += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (blocks(b) * 64 > total) hash |= 1L << b
+          b += 1
+        }
+        ImageHash(r.id, w, h, hash)
+      }
+    }
+  }
+
   final case class AudioFrameFeatures(
       id: Long,
       frame: Int,

@@ -165,6 +165,56 @@ class OutputsSpec extends SparkSpecBase {
       jpegs(r.getInt(1)).sameElements(r.getAs[Array[Byte]](2))))
   }
 
+  test("multimodal: image stats — exact min/max/sum/sumsq on a hand case") {
+    // 2x2 grayscale PNG with pixels 3, 0, 250, 7
+    val png = graft.sources.Codecs.encodePng(2, 2, 1, Array(3, 0, 250, 7))
+    val got = Multimodal.imageStats(
+      Seq(Multimodal.MediaRow(1L, "image", png, Map.empty)).toDS())
+      .collect().head
+    assert((got.width, got.height) == (2, 2))
+    assert((got.pxMin, got.pxMax, got.pxSum, got.pxSumSq) ==
+      (0L, 250L, 260L, 9 + 0 + 62500 + 49L))
+  }
+
+  test("multimodal: aHash — dedup collisions, jitter stability, refusals") {
+    def gif(vals: Array[Int], w: Int = 16, h: Int = 16): Array[Byte] = {
+      // vals: 64 grid values; expand to per-pixel grey triples
+      val bw = w / 8; val bh = h / 8
+      val rgb = new Array[Int](w * h * 3)
+      (0 until w * h).foreach { i =>
+        val b = ((i / w) / bh) * 8 + (i % w) / bw
+        val v = vals(b)
+        rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+      }
+      graft.sources.Gif.encodeGif(w, h, rgb)
+    }
+    val base = Array.tabulate(64)(b => (b * 37) % 256)
+    val same = gif(base)
+    val jitter = gif(base.map(v => math.min(255, v + 1))) // tiny shift
+    val inverted = gif(base.map(v => 255 - v))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", same, Map.empty),
+      Multimodal.MediaRow(2L, "image", gif(base), Map.empty),
+      Multimodal.MediaRow(3L, "image", jitter, Map.empty),
+      Multimodal.MediaRow(4L, "image", inverted, Map.empty)).toDS()
+    val h = Multimodal.aHash64(rows).collect()
+      .map(r => r.id -> r.ahash).toMap
+    assert(h(1L) == h(2L)) // identical bytes → identical hash
+    assert(h(1L) == h(3L)) // +1 per-pixel jitter leaves block order
+    assert(h(1L) != h(4L)) // inversion flips the above/below-mean set
+    // non-multiple-of-8 dimensions fail loudly
+    val odd = graft.sources.Codecs.encodePng(5, 5, 1, Array.fill(25)(9))
+    val e = intercept[Exception] {
+      Multimodal.aHash64(
+        Seq(Multimodal.MediaRow(9L, "image", odd, Map.empty)).toDS())
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("divisible by 8")))
+  }
+
   test("multimodal: audio frame features — hand example, stereo, tail") {
     // mono: samples [3, -2, 0, 4 | 1] with frameSize 4 → one full
     // frame plus a 1-sample tail
