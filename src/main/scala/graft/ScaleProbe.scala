@@ -183,6 +183,31 @@ object ScaleProbe {
           }
         }, frameSize = 8).count()
     }
+    // q141: pigeonhole-banded Hamming join — candidates are an
+    // equi-join on (band, value); the self-union multiplies each
+    // fingerprint cluster ~mult, so pairs grow ~mult² per cluster
+    // and the banded join must stay the cost (no all-pairs term)
+    time("hamming_neardup") {
+      import spark.implicits._
+      val hashes = docs.select(col("doc_id")).as[Long].map { id =>
+        var h = 0L
+        var i = 0
+        while (i < 63) {
+          var bit =
+            if ((((id / 4) * 31 + i * 17) % 97) % 5 == 0) 1 else 0
+          var f = 0
+          while (f < (id % 4).toInt) {
+            if ((id * 11 + f * 23) % 63 == i) bit ^= 1
+            f += 1
+          }
+          if (bit == 1) h |= 1L << i
+          i += 1
+        }
+        (id, h)
+      }.toDF("doc_id", "h")
+      graft.operators.Dedup
+        .hammingNearDup(hashes, "doc_id", "h", maxDist = 6).count()
+    }
     // q128: COLOR JPEG is ~6 blocks per doc instead of one scanline
     // codec pass, still map-only — wall must track row count
     time("jpeg_color_decode") {

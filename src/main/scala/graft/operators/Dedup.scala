@@ -545,6 +545,47 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** Hamming near-dup pairs over 64-bit fingerprints (perceptual
+    * hashes like [[graft.sources.Multimodal.aHash64]], SimHash) by
+    * pigeonhole banding: split each hash into `maxDist + 1`
+    * contiguous bit bands — two hashes within Hamming distance
+    * `maxDist` MUST agree exactly on at least one band (pigeonhole:
+    * ≤ maxDist differing bits cannot touch all maxDist+1 bands) — so
+    * candidates come from an equi-join on (band index, band value),
+    * NEVER all-pairs, and are then verified with the exact
+    * `bit_count(a XOR b) ≤ maxDist`. 100% recall by construction
+    * (unlike probabilistic LSH); per-key join width is the band
+    * collision count, the same bound as the minhash band join.
+    * Returns (id_a < id_b, dist). */
+  def hammingNearDup(df: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"bad maxDist $maxDist")
+    val nBands = maxDist + 1
+    val base = df.select(col(idCol).as("id"),
+      col(hashCol).cast("long").as("h"))
+    // band b covers bits [b·64/nBands, (b+1)·64/nBands) — uneven tail
+    // widths are fine, the pigeonhole argument only needs a partition
+    val bands = (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val hi = (b + 1) * 64 / nBands
+      val width = hi - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      struct(lit(b).as("t"),
+        (shiftright(col("h"), lo).bitwiseAND(lit(mask))).as("k"))
+    }
+    val keyed = base
+      .select(col("id"), col("h"), explode(array(bands: _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.t").as("t"), col("bk.k").as("k"))
+    val ka = keyed.alias("a")
+    val kb = keyed.alias("b")
+    ka.join(kb, col("a.t") === col("b.t") && col("a.k") === col("b.k"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster
     * the embedding space, then search for near-duplicates only WITHIN
     * each cluster — the clustering turns the O(N²) pair scan into an

@@ -11,9 +11,12 @@ import graft.sources.Multimodal
   * partition pruning + scalar-quantized payloads), completing the
   * quantization matrix {flat, IVF} × {exact, SQ8, PQ}; and real
   * VIDEO frame sampling (q136 — AVI/MJPEG container parse →
-  * select-before-decode → real JPEG decode) and frame-level AUDIO
+  * select-before-decode → real JPEG decode); frame-level AUDIO
   * features (q137 — exact-integer energy/ZCR/peak/autocorrelation
-  * over real WAV decode). Same contract as
+  * over real WAV decode); the GIF/LZW codec (q138); and the image
+  * curation trio — quality stats (q139), perceptual aHash (q140),
+  * and the pigeonhole-banded Hamming near-dup join (q141). Same
+  * contract as
   * [[Pipeline]]: exact integer arithmetic only, so the DuckDB oracle
   * matches bit for bit. */
 object Pipeline10 {
@@ -389,6 +392,60 @@ object Pipeline10 {
       |FROM b JOIN tot ON b.doc_id = tot.doc_id
       |GROUP BY b.doc_id""".stripMargin
 
+  // ---- q141: Hamming near-dup over 64-bit fingerprints ----
+
+  /** The scale path for perceptual-hash image dedup
+    * ([[graft.operators.Dedup.hammingNearDup]]): pigeonhole banding
+    * guarantees every pair within Hamming distance 6 shares one of 7
+    * exact bands, so candidates are an equi-join, never all-pairs —
+    * with 100% recall by construction. Fingerprints are a pure
+    * integer bit formula (groups of 4 docs share a 63-bit base, each
+    * member XOR-flips up to 3 positions), and the oracle brute-forces
+    * ALL pairs with `bit_count(xor())` — a hash match proves the
+    * banded join finds exactly the brute-force pair set. */
+  def hammingPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        var h = 0L
+        var i = 0
+        while (i < 63) {
+          var bit = if ((((id / 4) * 31 + i * 17) % 97) % 5 == 0) 1 else 0
+          var f = 0
+          while (f < (id % 4).toInt) {
+            if ((id * 11 + f * 23) % 63 == i) bit ^= 1
+            f += 1
+          }
+          if (bit == 1) h |= 1L << i
+          i += 1
+        }
+        (id, h)
+      }.toDF("doc_id", "h")
+    graft.operators.Dedup.hammingNearDup(hashes, "doc_id", "h",
+        maxDist = 6)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+
+  val hammingPairsSql: String =
+    """WITH p AS (SELECT doc_id FROM documents),
+      |bits AS (SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+      |    CASE WHEN (((doc_id//4)*31 + t.i*17) % 97) % 5 = 0
+      |      THEN 1 ELSE 0 END AS b0
+      |  FROM p, range(63) t(i)),
+      |flips AS (SELECT doc_id, (doc_id*11 + f.f*23) % 63 AS i,
+      |    COUNT(*) % 2 AS fl
+      |  FROM p, range(3) f(f) WHERE f.f < doc_id % 4 GROUP BY 1, 2),
+      |h AS (SELECT bits.doc_id,
+      |    CAST(SUM(CAST((b0 + COALESCE(fl, 0)) % 2 AS BIGINT)
+      |      * (CAST(1 AS BIGINT) << bits.i)) AS BIGINT) AS h
+      |  FROM bits LEFT JOIN flips
+      |    ON bits.doc_id = flips.doc_id AND bits.i = flips.i
+      |  GROUP BY 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS dist
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.h, b.h)) <= 6""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q134_ivfsq_topk" -> (ivfSqTopK _),
     "q135_ivfsq_rerank" -> (ivfSqRerank _),
@@ -396,7 +453,8 @@ object Pipeline10 {
     "q137_audio_features" -> (audioFeatures _),
     "q138_gif_decode" -> (gifDecode _),
     "q139_image_stats" -> (imageStatsQ _),
-    "q140_image_ahash" -> (imageAHash _))
+    "q140_image_ahash" -> (imageAHash _),
+    "q141_hamming_neardup" -> (hammingPairs _))
 
   def oracles: Map[String, String] = Map(
     "q134_ivfsq_topk" -> ivfSqTopKSql,
@@ -405,5 +463,6 @@ object Pipeline10 {
     "q137_audio_features" -> audioFeaturesSql,
     "q138_gif_decode" -> gifDecodeSql,
     "q139_image_stats" -> imageStatsSql,
-    "q140_image_ahash" -> imageAHashSql)
+    "q140_image_ahash" -> imageAHashSql,
+    "q141_hamming_neardup" -> hammingPairsSql)
 }

@@ -152,6 +152,37 @@ class PipelineOps5Spec extends SparkSpecBase {
     assert(r(1L) == ((12L, 12L)))
   }
 
+  test("hamming near-dup: pigeonhole banding has 100% recall vs brute force") {
+    // deterministic 64-bit fingerprints in noisy clusters: groups of
+    // three share a base pattern, each member flips a few bits
+    val hashes = (0L until 60L).map { id =>
+      val g = id / 3
+      var h = 0L
+      (0 until 63).foreach { i =>
+        if ((g * 31 + i * 17) % 5 == 0) h |= 1L << i
+      }
+      // flip (id%3)*2 distinct positions
+      (0 until (id % 3).toInt * 2).foreach { f =>
+        h ^= 1L << ((id * 11 + f * 23) % 63).toInt
+      }
+      (id, h)
+    }
+    val df = hashes.toDF("id", "h")
+    val got = Dedup.hammingNearDup(df, "id", "h", maxDist = 5)
+      .as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // brute force over all pairs
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes; if a < b
+      d = java.lang.Long.bitCount(ha ^ hb); if d <= 5
+    } yield (a, b) -> d).toMap
+    assert(want.nonEmpty) // the fixture produces in-group pairs
+    assert(got == want) // exact: no missed pair (pigeonhole), no junk
+    // and the candidate stage is banded, not all-pairs: distance-6+
+    // pairs never surface
+    assert(got.values.forall(_ <= 5))
+  }
+
   test("BPE engine on a degenerate corpus returns every doc (oracle parity)") {
     // corpus collapses to 1-token docs before `rounds` runs out: the
     // merge table stops growing and apply still reports ALL docs —
