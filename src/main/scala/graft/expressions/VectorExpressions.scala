@@ -728,6 +728,58 @@ case class KmeansAssignExpr(child: Expression, cids: IndexedSeq[Long],
     copy(child = c)
 }
 
+/** Sign-flip + Walsh–Hadamard rotation of a quantized vector — the
+  * integer-exact OPQ pretransform (FAISS `OPQMatrix`'s cheap cousin,
+  * the structured random rotation of Ailon–Chazelle's fast JL /
+  * FALCONN's pseudo-random rotations): y = H·D·x with D a ±1
+  * diagonal and H the unnormalized Hadamard butterfly. Energy
+  * spreads evenly across PQ subspaces — the whole point of OPQ —
+  * while every output stays an exact integer (entries of H are ±1;
+  * the common √n normalization cancels in ADC rank order), so the
+  * q142 oracle reproduces the rotation bit for bit with six SQL
+  * butterfly passes. Dimension must be a power of two and match
+  * `signs`. */
+case class WhtRotateExpr(child: Expression, signs: IndexedSeq[Long])
+    extends UnaryExpression {
+  require(signs.nonEmpty && (signs.length & (signs.length - 1)) == 0,
+    s"dimension ${signs.length} is not a power of two")
+  require(signs.forall(s => s == 1L || s == -1L), "signs must be ±1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val signsArr = signs.toArray
+  override def nullSafeEval(v: Any): Any = {
+    val q = v.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    require(n == signsArr.length,
+      s"vector dim $n != rotation dim ${signsArr.length}")
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = q.getLong(i) * signsArr(i); i += 1 }
+    var h = 1
+    while (h < n) {
+      var i0 = 0
+      while (i0 < n) {
+        if ((i0 & h) == 0) {
+          val a = out(i0); val b = out(i0 | h)
+          out(i0) = a + b
+          out(i0 | h) = a - b
+        }
+        i0 += 1
+      }
+      h <<= 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("whtRotateExpr", this,
+      classOf[WhtRotateExpr].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Argmax-cosine assignment of a quantized vector against ≤256
   * embedded IVF centroids — the map-only kernel behind the streaming
   * IVF-SQ8 ingest ([[graft.operators.IvfSqIndexStore.encodeFrozen]]).
@@ -822,4 +874,6 @@ object VectorExpressions {
   def ivfAssignN(q: Column, cids: IndexedSeq[Long],
       cvs: IndexedSeq[Long], cns: IndexedSeq[Double]): Column =
     column(IvfAssignExpr(expression(q), cids, cvs, cns))
+  def whtRotateN(q: Column, signs: IndexedSeq[Long]): Column =
+    column(WhtRotateExpr(expression(q), signs))
 }

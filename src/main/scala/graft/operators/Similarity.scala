@@ -281,6 +281,36 @@ object Similarity {
     adcScore(codes, cents, queries, m, k)
   }
 
+  /** OPQ-style rotated PQ (Ge et al. 2013's optimized product
+    * quantization, realized with the structured rotation production
+    * systems substitute when a trained rotation is overkill — FAISS
+    * `RandomRotationMatrix` / FALCONN pseudo-random rotations): both
+    * corpus and queries pass through the integer-exact sign-flip +
+    * Walsh–Hadamard rotation ([[graft.expressions.WhtRotateExpr]])
+    * BEFORE codebook training, encoding and ADC scoring, so
+    * per-subspace energy is balanced — the failure mode plain PQ has
+    * on coordinate-correlated embeddings. Everything downstream is
+    * [[pqTopK]]'s machinery verbatim (same train/apply split, same
+    * map-only codegen encode, same broadcast LUT join); ranks remain
+    * bit-identical cross-engine because the rotation is pure integer
+    * arithmetic. `signs` is the ±1 diagonal (dimension must be a
+    * power of two). */
+  def rotatedPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      signs: IndexedSeq[Long], m: Int = 8, centroidEvery: Int = 25,
+      codebookSize: Int = 256): DataFrame = {
+    val rot = (df: DataFrame) => df.select(col("id"),
+      graft.expressions.VectorExpressions
+        .whtRotateN(quantize(col("vec")), signs).as("q"))
+    val base = rot(corpus)
+    val ck = pqTrain(base, m, centroidEvery, codebookSize)
+    val codes = base.select(col("id").as("nid"),
+      posexplode(graft.expressions.VectorExpressions
+        .pqEncodeN(col("q"), m, ck.cids, ck.cb, ck.cb2)))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "code")
+    val cents = broadcast(pqCodebook(base, m, centroidEvery, codebookSize))
+    adcScore(codes, cents, queries, m, k, prepare = rot)
+  }
+
   /** (id, s, sub): each quantized vector exploded into its m
     * subvectors. Input must carry (id, q). */
   private[operators] def pqSubspaces(df: DataFrame, m: Int, idAs: String): DataFrame = {
@@ -296,12 +326,17 @@ object Similarity {
       .withColumnRenamed("pos", "s").withColumnRenamed("col", "sub")
   }
 
-  /** ADC scoring tail shared by [[pqTopK]] and [[pqSearchStore]]:
-    * broadcast the per-query lookup table (|Q| × m × |C| integer
-    * dots), equi-join the code rows, sum per (query, neighbor), rank. */
+  /** ADC scoring tail shared by [[pqTopK]], [[pqSearchStore]] and
+    * [[rotatedPqTopK]]: broadcast the per-query lookup table (|Q| ×
+    * m × |C| integer dots), equi-join the code rows, sum per
+    * (query, neighbor), rank. `queries` carries raw (id, vec);
+    * `prepare` maps it to the quantized-domain (id, q) — identity
+    * quantize for plain PQ, quantize-then-rotate for OPQ. */
   private def adcScore(codes: DataFrame, cents: DataFrame,
-      queries: DataFrame, m: Int, k: Int): DataFrame = {
-    val q = queries.select(col("id"), quantize(col("vec")).as("q"))
+      queries: DataFrame, m: Int, k: Int,
+      prepare: DataFrame => DataFrame =
+        df => df.select(col("id"), quantize(col("vec")).as("q"))): DataFrame = {
+    val q = prepare(queries)
     val lut = broadcast(pqSubspaces(q, m, "qid").join(cents, "s")
       .select(col("qid"), col("s"), col("cid").as("code"),
         qdot(col("sub"), col("cv")).as("pdot")))

@@ -446,6 +446,48 @@ object Pipeline10 {
       |FROM h a JOIN h b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.h, b.h)) <= 6""".stripMargin
 
+  // ---- q142: OPQ-style rotated PQ (WHT pretransform) ----
+
+  /** [[graft.operators.Similarity.rotatedPqTopK]] end to end: the ±1
+    * sign diagonal is a fixed integer formula, the Walsh–Hadamard
+    * butterfly is pure integer arithmetic, and everything downstream
+    * is the q71 PQ machinery over the rotated vectors. The oracle
+    * prepends six SQL butterfly passes to the q71 CTEs — a hash match
+    * certifies the rotation bit for bit AND that train/encode/ADC all
+    * ran in the rotated space. */
+  def rotatedPq(s: SparkSession, d: String): DataFrame = {
+    val e = embCorpus(s, d)
+    val signs = IndexedSeq.tabulate(64)(i =>
+      if ((i * 37 + 11) % 3 == 0) -1L else 1L)
+    graft.operators.Similarity.rotatedPqTopK(
+      e.where(col("id") < 8), e, k = 5, signs)
+  }
+
+  val rotatedPqSql: String = {
+    val stages = Seq(1, 2, 4, 8, 16, 32).zipWithIndex.map {
+      case (h, j) =>
+        s"""r${j + 1} AS (SELECT vec_id, list_transform(range(64),
+           |    i -> CASE WHEN (i & $h) = 0 THEN v[i+1] + v[xor(i, $h)+1]
+           |         ELSE v[xor(i, $h)+1] - v[i+1] END) AS v
+           |  FROM r$j),""".stripMargin
+    }.mkString("\n")
+    val rot =
+      s"""WITH e0 AS (SELECT vec_id, ${qv("embedding")} AS q
+         |  FROM embeddings),
+         |r0 AS (SELECT vec_id, list_transform(range(64),
+         |    i -> CASE WHEN (i*37 + 11) % 3 = 0
+         |      THEN -q[i+1] ELSE q[i+1] END) AS v
+         |  FROM e0),
+         |$stages
+         |e AS (SELECT vec_id, v AS q FROM r6),""".stripMargin
+    val plain =
+      s"WITH e AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),"
+    val out = Pipeline3.pqAnnTopKSql.replace(plain, rot)
+    require(out != Pipeline3.pqAnnTopKSql,
+      "q142 oracle: q71 prefix CTE changed — update the rotation splice")
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "q134_ivfsq_topk" -> (ivfSqTopK _),
     "q135_ivfsq_rerank" -> (ivfSqRerank _),
@@ -454,7 +496,8 @@ object Pipeline10 {
     "q138_gif_decode" -> (gifDecode _),
     "q139_image_stats" -> (imageStatsQ _),
     "q140_image_ahash" -> (imageAHash _),
-    "q141_hamming_neardup" -> (hammingPairs _))
+    "q141_hamming_neardup" -> (hammingPairs _),
+    "q142_rotated_pq" -> (rotatedPq _))
 
   def oracles: Map[String, String] = Map(
     "q134_ivfsq_topk" -> ivfSqTopKSql,
@@ -464,5 +507,6 @@ object Pipeline10 {
     "q138_gif_decode" -> gifDecodeSql,
     "q139_image_stats" -> imageStatsSql,
     "q140_image_ahash" -> imageAHashSql,
-    "q141_hamming_neardup" -> hammingPairsSql)
+    "q141_hamming_neardup" -> hammingPairsSql,
+    "q142_rotated_pq" -> rotatedPqSql)
 }

@@ -183,6 +183,107 @@ class PipelineOps5Spec extends SparkSpecBase {
     assert(got.values.forall(_ <= 5))
   }
 
+  test("WHT rotation: exact driver parity, dot preservation, involution") {
+    import graft.functions.VectorFunctions.quantize
+    import graft.expressions.VectorExpressions.whtRotateN
+    val n = 16
+    val signs = IndexedSeq.tabulate(n)(i =>
+      if ((i * 37 + 11) % 3 == 0) -1L else 1L)
+    def wht(x: Array[Long]): Array[Long] = {
+      val v = x.clone()
+      var h = 1
+      while (h < n) {
+        (0 until n).foreach { i =>
+          if ((i & h) == 0) {
+            val a = v(i); val b = v(i | h)
+            v(i) = a + b; v(i | h) = a - b
+          }
+        }
+        h <<= 1
+      }
+      v
+    }
+    val raw = (1L to 4L).map(id =>
+      (id, (0 until n).map(d =>
+        math.sin(id * 0.7 + d * 1.3).toFloat).toSeq))
+    val rotated = raw.toDF("id", "vec")
+      .select($"id", whtRotateN(quantize($"vec"), signs).as("r"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val q = raw.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1000)).toArray
+    }.toMap
+    // exact parity with the driver-side recomputation
+    raw.foreach { case (id, _) =>
+      val want = wht(q(id).indices.map(i => q(id)(i) * signs(i)).toArray)
+      assert(rotated(id) == want.toSeq, s"id $id")
+    }
+    // orthogonality: ⟨Hx, Hy⟩ = n·⟨x, y⟩ exactly (signs square away)
+    val (a, b) = (q(1L), q(2L))
+    val dotPlain = a.indices.map(i => a(i) * b(i)).sum
+    val dotRot = rotated(1L).zip(rotated(2L)).map(p => p._1 * p._2).sum
+    assert(dotRot == n * dotPlain)
+    // involution: H(Hx) = n·x (before the sign diagonal)
+    val hx = wht(q(1L))
+    assert(wht(hx).toSeq == q(1L).map(_ * n).toSeq)
+    // a non-power-of-two or mismatched dimension fails loudly
+    intercept[Exception] {
+      graft.expressions.WhtRotateExpr(null, IndexedSeq(1L, 1L, 1L))
+    }
+    val e = intercept[Exception] {
+      Seq((1L, Seq(0.1f, 0.2f))).toDF("id", "vec")
+        .select(whtRotateN(quantize($"vec"), signs)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("rotation dim")))
+  }
+
+  test("rotated PQ spreads skewed energy and recovers true neighbors") {
+    import graft.functions.VectorFunctions.quantize
+    import graft.expressions.VectorExpressions.whtRotateN
+    import graft.operators.Similarity
+    val n = 64
+    val signs = IndexedSeq.tabulate(n)(i =>
+      if ((i * 37 + 11) % 3 == 0) -1L else 1L)
+    // THE OPQ fact, stated exactly: a vector with all energy in the
+    // first PQ subspace (dims 0..7) rotates to one with energy in
+    // EVERY subspace — plain PQ would quantize 7 of 8 subspaces of
+    // the original to a constant, discarding nothing but paying m-1
+    // useless codes; after rotation every code discriminates
+    val skewed = (0 until n).map(d =>
+      if (d < 8) (0.3f + 0.1f * d) else 0.0f).toSeq
+    val rot = Seq((1L, skewed)).toDF("id", "vec")
+      .select(whtRotateN(quantize($"vec"), signs))
+      .as[Seq[Long]].head()
+    (0 until 8).foreach { s =>
+      val slice = rot.slice(s * 8, s * 8 + 8)
+      assert(slice.exists(_ != 0L), s"subspace $s has no energy")
+    }
+    // and the rotated pipeline recovers true top-1s end to end on a
+    // well-conditioned corpus (hash-spread vectors, dense codebook)
+    val raw = (1L to 120L).map { id =>
+      (id, (0 until n).map(d =>
+        (((id * 2654435761L + d * 40503L) % 2001L) - 1000L).toFloat
+          / 1000.0f).toSeq)
+    }
+    val df = raw.toDF("id", "vec")
+    val got = Similarity.rotatedPqTopK(
+      df.where($"id" < 4), df, k = 3, signs, centroidEvery = 2)
+      .select($"qid", $"nid", $"rank").as[(Long, Long, Int)].collect()
+    assert(got.length == 9)
+    val q = raw.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1000)).toArray
+    }.toMap
+    val hits = (1L to 3L).count { qid =>
+      val best = q.collect { case (nid, v) if nid != qid =>
+        nid -> q(qid).indices.map(d => q(qid)(d) * v(d)).sum
+      }.toSeq.maxBy(t => (t._2, -t._1))._1
+      got.exists(t => t._1 == qid && t._2 == best)
+    }
+    assert(hits >= 2, s"rotated-PQ recall(top1 in top3) $hits/3")
+  }
+
   test("BPE engine on a degenerate corpus returns every doc (oracle parity)") {
     // corpus collapses to 1-token docs before `rounds` runs out: the
     // merge table stops growing and apply still reports ALL docs —
