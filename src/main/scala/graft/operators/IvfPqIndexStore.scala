@@ -57,7 +57,8 @@ object IvfPqIndexStore {
   def write(corpus: DataFrame, path: String,
       centroidEvery: Int = 25, centroidCap: Int = 256,
       m: Int = 8, codebookSize: Int = 256,
-      writeSplits: Int = 8, codebookEvery: Int = -1): Unit = {
+      writeSplits: Int = 8, codebookEvery: Int = -1,
+      byResidual: Boolean = false): Unit = {
     val cbEvery = if (codebookEvery > 0) codebookEvery else centroidEvery
     val spark = corpus.sparkSession
     require(corpus.isEmpty ||
@@ -67,7 +68,6 @@ object IvfPqIndexStore {
     val vdir = s"$path/v=$next"
 
     val base = corpus.select(col("id"), quantize(col("vec")).as("q"))
-    val ck = Similarity.pqTrain(base, m, cbEvery, codebookSize)
     val cent = broadcast(base
       .where(col("id") % centroidEvery === 0)
       .select(col("id").as("cid"), col("q").as("cv"))
@@ -82,16 +82,38 @@ object IvfPqIndexStore {
     // (measured 4× slower at the 20× probe).
     val corp = base.select(col("id").as("nid"), col("q"))
       .withColumn("nn", sqrt(qdot(col("q"), col("q")).cast("double")))
-    val assigned = corp.crossJoin(cent)
+    val assigned0 = corp.crossJoin(cent)
       .select(col("nid"), col("q"),
         struct(qcos(col("q"), col("nn"), col("cv"), col("cn")).as("c"),
           (-col("cid")).as("nc")).as("sc"))
       .groupBy(col("nid"))
       .agg(first(col("q")).as("q"), max(col("sc")).as("m"))
-      .select(col("nid"),
-        graft.expressions.VectorExpressions
-          .pqEncodeN(col("q"), m, ck.cids, ck.cb, ck.cb2).as("codes"),
-        (-col("m.nc")).as("cell"))
+      .select(col("nid"), col("q"), (-col("m.nc")).as("cell"))
+    // FAISS's by_residual: the PQ encodes q − centroid(cell) — the
+    // residual has far less variance than the raw vector, so the
+    // same codebook budget buys lower quantization error. The
+    // codebook trains on the SAMPLE ROWS' OWN residuals (same
+    // deterministic id % cbEvery selection as pqTrain).
+    val toEncode =
+      if (!byResidual) assigned0
+      else assigned0
+        .join(cent.select(col("cid"), col("cv")),
+          assigned0("cell") === col("cid"))
+        .select(col("nid"),
+          zip_with(col("q"), col("cv"), (a, b) => a - b).as("q"),
+          col("cell"))
+    // residual codebooks sample residue class 1, not 0: class 0 IS
+    // the centroid set, whose residuals are identically zero — a
+    // degenerate codebook that reconstructs every vector to its
+    // centroid (spec-asserted via the ADC-error comparison)
+    val cbOffset = if (byResidual) 1 else 0
+    val ck = Similarity.pqTrain(
+      toEncode.select(col("nid").as("id"), col("q")),
+      m, cbEvery, codebookSize, cbOffset)
+    val assigned = toEncode.select(col("nid"),
+      graft.expressions.VectorExpressions
+        .pqEncodeN(col("q"), m, ck.cids, ck.cb, ck.cb2).as("codes"),
+      col("cell"))
     assigned
       .withColumn("salt", pmod(xxhash64(col("nid")), lit(writeSplits)))
       .repartition(col("cell"), col("salt"))
@@ -101,14 +123,16 @@ object IvfPqIndexStore {
       .parquet(s"$vdir/cells")
     cent.select(col("cid"), col("cv"), col("cn"))
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
-    base.where(col("id") % cbEvery === 0)
+    toEncode.where(col("nid") % cbEvery === cbOffset)
+      .select(col("nid").as("id"), col("q"))
       .orderBy(col("id")).limit(codebookSize)
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/codebook")
     // the quantizer parameters are part of the artifact: a probe with
     // a DIFFERENT m would slice the LUT subvectors wrongly and return
     // silently wrong ADC scores, so probes validate (or derive) m
-    // against this record (round-11 ADVICE)
-    writeParams(spark, vdir, s"""{"m":$m,"codebookSize":$codebookSize,"centroidEvery":$centroidEvery,"centroidCap":$centroidCap}""")
+    // against this record (round-11 ADVICE); byResidual likewise
+    // changes the scoring identity, so probes read it from here
+    writeParams(spark, vdir, s"""{"m":$m,"codebookSize":$codebookSize,"centroidEvery":$centroidEvery,"centroidCap":$centroidCap,"byResidual":$byResidual}""")
     VersionedStore.commitMarker(spark, vdir)
     VersionedStore.gcPrevious(spark, path, current)
   }
@@ -132,6 +156,15 @@ object IvfPqIndexStore {
     stored
   }
 
+  /** Whether the index encodes residuals — part of the artifact
+    * (changes the scoring identity), so probes read it, never guess.
+    * Absent in pre-residual params records → false. */
+  private def resolveByResidual(spark: SparkSession,
+      vdir: String): Boolean =
+    """"byResidual"\s*:\s*true""".r.findFirstIn(
+      VersionedStore.readText(spark, s"$vdir/params.json",
+        "IvfPqIndexStore")).isDefined
+
   /** Approximate top-k against the stored index: coarse-rank the
     * broadcast centroids per query, partition-prune the cells scan to
     * the probed directories, ADC-score the code rows inside them.
@@ -141,24 +174,29 @@ object IvfPqIndexStore {
     * queries, the broadcast (qid, cid) probe set, and the
     * partition-pruned cells scan. */
   private final case class Pruned(vdir: String, m: Int, q: DataFrame,
-      probes: DataFrame, cells: DataFrame)
+      probes: DataFrame, cells: DataFrame, byResidual: Boolean)
 
   private def pruned(spark: SparkSession, path: String,
       queries: DataFrame, nprobe: Int, callerM: Int): Pruned = {
     val vdir = VersionedStore.servingDir(spark, path, "IvfPqIndexStore")
     val m = resolveM(spark, vdir, callerM)
+    val byResidual = resolveByResidual(spark, vdir)
     val cent = broadcast(spark.read.parquet(s"$vdir/centroids"))
     val q = queries.select(col("id").as("qid"),
         quantize(col("vec")).as("qv"))
       .withColumn("qn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
     val pw = Window.partitionBy(col("qid"))
       .orderBy(col("pcos").desc, col("cid").asc)
+    // qcdot rides along for the residual identity: score =
+    // ⟨q, centroid(cell)⟩ + Σ LUT — zero when codes are absolute
     val probes = broadcast(q.crossJoin(cent)
       .select(col("qid"), col("cid"),
-        qcos(col("qv"), col("qn"), col("cv"), col("cn")).as("pcos"))
+        qcos(col("qv"), col("qn"), col("cv"), col("cn")).as("pcos"),
+        (if (byResidual) qdot(col("qv"), col("cv"))
+         else lit(0L)).as("qcdot"))
       .withColumn("prank", row_number().over(pw))
       .where(col("prank") <= nprobe)
-      .select(col("qid"), col("cid")))
+      .select(col("qid"), col("cid"), col("qcdot")))
     // bounded driver list (≤ |queries| · nprobe) → partition pruning
     val probedCells = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0))
@@ -166,11 +204,14 @@ object IvfPqIndexStore {
       .where(col("cell").cast("long").isInCollection(probedCells))
       .select(col("nid"), col("codes"),
         col("cell").cast("long").as("cell"))
-    Pruned(vdir, m, q, probes, cells)
+    Pruned(vdir, m, q, probes, cells, byResidual)
   }
 
   /** ADC scores over the pruned cells: (qid, nid, score BIGINT) —
-    * score = ⟨q, reconstruction(codes)⟩ exactly, by LUT linearity. */
+    * score = ⟨q, reconstruction(codes)⟩ exactly, by LUT linearity;
+    * for a by_residual index the reconstruction is centroid +
+    * residual-recon, so the per-(query, cell) constant ⟨q, centroid⟩
+    * (carried on the probe rows) adds to the LUT sum. */
   private def adcScores(spark: SparkSession, p: Pruned): DataFrame = {
     // per-query ADC lookup table from the stored codebook (tiny):
     // (qid, s, code, pdot) — the integer dot of the query's subvector
@@ -189,11 +230,14 @@ object IvfPqIndexStore {
     val candidates = p.cells
       .join(p.probes, p.cells("cell") === p.probes("cid"))
       .where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), posexplode(col("codes")))
+      .select(col("qid"), col("nid"), col("qcdot"),
+        posexplode(col("codes")))
       .withColumnRenamed("pos", "s").withColumnRenamed("col", "code")
     candidates.join(lut, Seq("qid", "s", "code"))
       .groupBy(col("qid"), col("nid"))
-      .agg(sum(col("pdot")).as("score"))
+      // each nid lives in exactly one cell, so qcdot is constant per
+      // (qid, nid) group — max() just carries it through the agg
+      .agg((sum(col("pdot")) + max(col("qcdot"))).as("score"))
   }
 
   def probe(spark: SparkSession, path: String, queries: DataFrame,
@@ -251,6 +295,12 @@ object IvfPqIndexStore {
       m: Int = -1): DataFrame = {
     require(rerank >= k, s"rerank window $rerank must be >= k $k")
     val p = pruned(spark, path, queries, nprobe, m)
+    // ‖recon‖ below sums the chosen codebook entries' squared norms,
+    // which is the reconstruction norm only for ABSOLUTE codes; a
+    // residual index would need the centroid and cross terms too —
+    // use the flat-store probeRerank for those indexes
+    require(!p.byResidual, "probeRerankReconstructed does not support " +
+      "a by_residual index; rerank against the flat store instead")
     val sw = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid").asc)
     val shortlist = adcScores(spark, p)

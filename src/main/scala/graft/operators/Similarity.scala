@@ -416,16 +416,19 @@ object Similarity {
   }
 
   private[operators] def pqTrain(base: DataFrame, m: Int, centroidEvery: Int,
-      codebookSize: Int): TrainedPq = {
+      codebookSize: Int, sampleOffset: Int = 0): TrainedPq = {
     // orderBy+limit = TakeOrderedAndProject: the driver receives only
     // the codebook rows, never the full sample (which at planet scale
-    // is corpus/centroidEvery rows — far too big to collect)
-    val rows = base.where(col("id") % centroidEvery === 0)
+    // is corpus/centroidEvery rows — far too big to collect).
+    // sampleOffset shifts the residue class — a residual IVF-PQ must
+    // NOT train on the coarse-centroid rows, whose residuals are
+    // identically zero (a degenerate all-zero codebook).
+    val rows = base.where(col("id") % centroidEvery === sampleOffset)
       .select(col("id"), col("q"))
       .orderBy(col("id")).limit(codebookSize).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
     require(rows.nonEmpty,
-      s"PQ training sample is empty (no id % $centroidEvery == 0 rows)")
+      s"PQ training sample is empty (no id % $centroidEvery == $sampleOffset rows)")
     flattenCodebook(rows, m)
   }
 

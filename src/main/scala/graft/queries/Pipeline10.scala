@@ -488,6 +488,94 @@ object Pipeline10 {
     out
   }
 
+  // ---- q143: residual IVF-PQ (FAISS by_residual=true, the default) ----
+
+  /** The residual-encoding IVFADC — the form FAISS actually defaults
+    * to: PQ codes quantize (x − centroid(cell)), whose variance is a
+    * fraction of the raw vector's, and the probe adds the
+    * per-(query, cell) constant ⟨q, centroid⟩ back to the LUT sum
+    * (score = ⟨q, centroid + recon(residual)⟩ by linearity). The
+    * oracle rebuilds the whole residual route in SQL: assignment,
+    * residuals, residual-trained codebook, residual codes, LUT over
+    * RAW query subvectors, and the centroid-dot constant. */
+  def ivfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val e = embCorpus(s, d)
+    val path = cachedStore("ivfpqres", d)(p =>
+      graft.operators.IvfPqIndexStore.write(e, p, byResidual = true))
+    graft.operators.IvfPqIndexStore.probe(s, path,
+      e.where(col("id") < 8), k = 5)
+  }
+
+  val ivfPqResidualSql: String = {
+    val sqd = "list_sum(list_transform(list_zip(rsub.sub, cents.cv), " +
+      "p -> (p[1]-p[2])*(p[1]-p[2])))"
+    s"""WITH e AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |  sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+       | FROM e),
+       |cent AS (SELECT vec_id AS cid, q AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 256),
+       |asg AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT n.vec_id AS nid, cent.cid,
+       |      CAST(row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(n.q, cent.cv), p -> p[1] * p[2])) AS DOUBLE) /
+       |          (n.nrm * cent.cn) DESC, cent.cid ASC) AS INTEGER) AS arank
+       |    FROM n, cent)
+       |  WHERE arank = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT n.vec_id AS qid, cent.cid,
+       |      CAST(row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(n.q, cent.cv), p -> p[1] * p[2])) AS DOUBLE) /
+       |          (n.nrm * cent.cn) DESC, cent.cid ASC) AS INTEGER) AS prank
+       |    FROM n, cent WHERE n.vec_id < 8)
+       |  WHERE prank <= 2),
+       |rsd AS (SELECT e.vec_id,
+       |    list_transform(list_zip(e.q, cent.cv), p -> p[1] - p[2]) AS r
+       |  FROM e JOIN asg ON asg.nid = e.vec_id
+       |  JOIN cent ON cent.cid = asg.cid),
+       |rsub AS (SELECT vec_id, CAST(t.s AS INTEGER) AS s,
+       |    r[(CAST(t.s AS INTEGER)*8+1):(CAST(t.s AS INTEGER)*8+8)] AS sub
+       |  FROM rsd, range(8) t(s)),
+       |cents AS (SELECT s, cid, cv FROM (
+       |    SELECT s, vec_id AS cid, sub AS cv,
+       |      row_number() OVER (PARTITION BY s ORDER BY vec_id) AS crk
+       |    FROM rsub WHERE vec_id % 25 = 1)
+       |  WHERE crk <= 256),
+       |codes AS (SELECT nid, s, cid AS code FROM (
+       |    SELECT rsub.vec_id AS nid, rsub.s, cents.cid,
+       |      row_number() OVER (PARTITION BY rsub.vec_id, rsub.s
+       |        ORDER BY $sqd ASC, cents.cid ASC) AS rk
+       |    FROM rsub JOIN cents ON rsub.s = cents.s)
+       |  WHERE rk = 1),
+       |qsub AS (SELECT vec_id, CAST(t.s AS INTEGER) AS s,
+       |    q[(CAST(t.s AS INTEGER)*8+1):(CAST(t.s AS INTEGER)*8+8)] AS sub
+       |  FROM e, range(8) t(s) WHERE vec_id < 8),
+       |lut AS (SELECT qsub.vec_id AS qid, cents.s, cents.cid AS code,
+       |    CAST(list_sum(list_transform(list_zip(qsub.sub, cents.cv),
+       |      p -> p[1]*p[2])) AS BIGINT) AS pdot
+       |  FROM qsub JOIN cents ON qsub.s = cents.s),
+       |qc AS (SELECT probes.qid, probes.cid,
+       |    CAST(list_sum(list_transform(list_zip(n.q, cent.cv),
+       |      p -> p[1]*p[2])) AS BIGINT) AS qcdot
+       |  FROM probes JOIN n ON n.vec_id = probes.qid
+       |  JOIN cent ON cent.cid = probes.cid),
+       |sc AS (SELECT probes.qid, codes.nid,
+       |    CAST(SUM(pdot) + ANY_VALUE(qcdot) AS BIGINT) AS score
+       |  FROM probes
+       |  JOIN asg ON asg.cid = probes.cid AND asg.nid <> probes.qid
+       |  JOIN qc ON qc.qid = probes.qid AND qc.cid = probes.cid
+       |  JOIN codes ON codes.nid = asg.nid
+       |  JOIN lut ON lut.qid = probes.qid AND lut.s = codes.s
+       |          AND lut.code = codes.code
+       |  GROUP BY 1, 2)
+       |SELECT qid, nid, score, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, nid ASC) AS INTEGER) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q134_ivfsq_topk" -> (ivfSqTopK _),
     "q135_ivfsq_rerank" -> (ivfSqRerank _),
@@ -497,7 +585,8 @@ object Pipeline10 {
     "q139_image_stats" -> (imageStatsQ _),
     "q140_image_ahash" -> (imageAHash _),
     "q141_hamming_neardup" -> (hammingPairs _),
-    "q142_rotated_pq" -> (rotatedPq _))
+    "q142_rotated_pq" -> (rotatedPq _),
+    "q143_ivfpq_residual" -> (ivfPqResidual _))
 
   def oracles: Map[String, String] = Map(
     "q134_ivfsq_topk" -> ivfSqTopKSql,
@@ -508,5 +597,6 @@ object Pipeline10 {
     "q139_image_stats" -> imageStatsSql,
     "q140_image_ahash" -> imageAHashSql,
     "q141_hamming_neardup" -> hammingPairsSql,
-    "q142_rotated_pq" -> rotatedPqSql)
+    "q142_rotated_pq" -> rotatedPqSql,
+    "q143_ivfpq_residual" -> ivfPqResidualSql)
 }

@@ -242,6 +242,67 @@ class IvfPqSpec extends SparkSpecBase {
       .deleteDirectory(new File(path))
   }
 
+  test("by_residual index: exact scoring identity from the artifacts") {
+    import graft.functions.VectorFunctions.quantize
+    val resPath = Files.createTempDirectory("ivfpqres").toString
+    try {
+      IvfPqIndexStore.write(clustered, resPath, byResidual = true)
+      val queries = clustered.where($"id" < 6)
+      val q = clustered.select($"id", quantize($"vec").as("q"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val v = IvfPqIndexStore.currentVersion(spark, resPath)
+        .getOrElse(fail("no committed version"))
+      // the stored artifacts, read back raw
+      val cb = spark.read.parquet(s"$resPath/v=$v/codebook")
+        .select($"id", $"q").as[(Long, Seq[Long])].collect().toMap
+      val cents = spark.read.parquet(s"$resPath/v=$v/centroids")
+        .select($"cid", $"cv").as[(Long, Seq[Long])].collect().toMap
+      val cells = spark.read.parquet(s"$resPath/v=$v/cells")
+        .select($"nid", $"codes", $"cell".cast("long"))
+        .as[(Long, Seq[Long], Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // degeneracy guard: residual codebook rows must NOT all be the
+      // zero vector (residue class 1 avoids the centroid rows)
+      assert(cb.values.exists(_.exists(_ != 0L)),
+        "residual codebook degenerated to zeros")
+      // identity: probe score == ⟨q, centroid(cell)⟩ + Σ_s ⟨q_s, cb[code_s]⟩
+      val got = IvfPqIndexStore.probe(spark, resPath, queries, k = 50)
+        .select($"qid", $"nid", $"score")
+        .as[(Long, Long, Long)].collect()
+      assert(got.nonEmpty)
+      val m = 8
+      got.foreach { case (qid, nid, score) =>
+        val (codes, cell) = cells(nid)
+        val qq = q(qid)
+        val subDim = qq.length / m
+        val qc = qq.zip(cents(cell)).map(p => p._1 * p._2).sum
+        val lutSum = (0 until m).map { s =>
+          val cw = cb(codes(s))
+          (0 until subDim).map(d =>
+            qq(s * subDim + d) * cw(s * subDim + d)).sum
+        }.sum
+        assert(score == qc + lutSum, s"($qid,$nid)")
+      }
+      // the reconstructed rerank's norm identity assumes absolute
+      // codes — it must refuse a residual index loudly
+      val e = intercept[Exception] {
+        IvfPqIndexStore.probeRerankReconstructed(
+          spark, resPath, queries, k = 3).collect()
+      }
+      assert(e.getMessage.contains("by_residual"))
+      // the flat-store exact refine still composes with it
+      val ivfPath = Files.createTempDirectory("ivfflat").toString
+      try {
+        graft.operators.IvfIndexStore.write(clustered, ivfPath)
+        val rr = IvfPqIndexStore.probeRerank(spark, resPath, ivfPath,
+          queries, k = 3, rerank = 10)
+        assert(rr.count() == 6 * 3)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new File(ivfPath))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(resPath))
+  }
+
   test("probe m must match the index's written m (or derive from it)") {
     val path = Files.createTempDirectory("ivfpqm").toString
     try {
