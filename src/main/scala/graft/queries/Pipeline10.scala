@@ -576,6 +576,54 @@ object Pipeline10 {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ---- q144: difference hash (dHash) for image dedup ----
+
+  /** The gradient perceptual hash through real GIF decode: flat
+    * 8×9-grid images whose grid values are a formula of (doc, cell),
+    * hashed by the exact adjacent-block-sum comparison. The oracle
+    * reproduces every bit; emitted as the 64-char bit string like
+    * q140. */
+  def imageDHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 9 * (1 + id % 2).toInt
+          val h = 8 * (1 + id % 3).toInt
+          val bw = w / 9; val bh = h / 8
+          val rgb = new Array[Int](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val b = ((i / w) / bh) * 9 + (i % w) / bw
+            val v = ((id * 41 + b.toLong * 17) % 256).toInt
+            rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+            i += 1
+          }
+          Multimodal.MediaRow(id, "image",
+            graft.sources.Gif.encodeGif(w, h, rgb), Map.empty)
+        }
+      }
+    Multimodal.dHash64(media, Multimodal.BinaryDecoder)
+      .toDF("doc_id", "width", "height", "dhash")
+      .select(col("doc_id"), col("width"), col("height"),
+        lpad(bin(col("dhash")), 64, "0").as("dhash_bits"))
+  }
+
+  val imageDHashSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(9 * (1 + doc_id % 2) AS INTEGER) AS w,
+      |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS h
+      |  FROM documents),
+      |b AS (SELECT doc_id, w, h, CAST(t.b AS INTEGER) // 8 AS r,
+      |    CAST(t.b AS INTEGER) % 8 AS c,
+      |    (doc_id*41 + ((t.b // 8) * 9 + t.b % 8 + 1) * 17) % 256 AS vr,
+      |    (doc_id*41 + ((t.b // 8) * 9 + t.b % 8) * 17) % 256 AS vl
+      |  FROM p, range(64) t(b))
+      |SELECT doc_id, ANY_VALUE(w) AS width, ANY_VALUE(h) AS height,
+      |  string_agg(CASE WHEN vr > vl THEN '1' ELSE '0' END, ''
+      |    ORDER BY r DESC, c DESC) AS dhash_bits
+      |FROM b GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q134_ivfsq_topk" -> (ivfSqTopK _),
     "q135_ivfsq_rerank" -> (ivfSqRerank _),
@@ -586,7 +634,8 @@ object Pipeline10 {
     "q140_image_ahash" -> (imageAHash _),
     "q141_hamming_neardup" -> (hammingPairs _),
     "q142_rotated_pq" -> (rotatedPq _),
-    "q143_ivfpq_residual" -> (ivfPqResidual _))
+    "q143_ivfpq_residual" -> (ivfPqResidual _),
+    "q144_image_dhash" -> (imageDHash _))
 
   def oracles: Map[String, String] = Map(
     "q134_ivfsq_topk" -> ivfSqTopKSql,
@@ -598,5 +647,6 @@ object Pipeline10 {
     "q140_image_ahash" -> imageAHashSql,
     "q141_hamming_neardup" -> hammingPairsSql,
     "q142_rotated_pq" -> rotatedPqSql,
-    "q143_ivfpq_residual" -> ivfPqResidualSql)
+    "q143_ivfpq_residual" -> ivfPqResidualSql,
+    "q144_image_dhash" -> imageDHashSql)
 }

@@ -362,6 +362,47 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference-hash (dHash) — aHash's gradient sibling and
+    * the variant practitioners usually prefer (brightness shifts
+    * cancel in the differences): the image divides into an 8-row ×
+    * 9-column grid of equal blocks, and bit r·8+c is set iff block
+    * (r, c+1)'s pixel sum exceeds block (r, c)'s — an EXACT integer
+    * comparison (equal block sizes make sums comparable without
+    * division). Width must divide by 9 and height by 8 (resize first
+    * otherwise). Composes with [[graft.operators.Dedup
+    * .hammingNearDup]] exactly like [[aHash64]]. */
+  def dHash64(media: Dataset[MediaRow],
+      decoder: Decoder = BinaryDecoder): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = decoder.decode(r.mediaType, r.bytes)
+        require(w % 9 == 0 && h % 8 == 0,
+          s"dHash64 needs width%9==0 and height%8==0, got ${w}x$h")
+        val bw = w / 9; val bh = h / 8
+        val blocks = new Array[Long](72)
+        var i = 0
+        while (i < px.length) {
+          val bx = (i % w) / bw; val by = (i / w) / bh
+          blocks(by * 9 + bx) += px(i).toLong
+          i += 1
+        }
+        var hash = 0L
+        var rI = 0
+        while (rI < 8) {
+          var c = 0
+          while (c < 8) {
+            if (blocks(rI * 9 + c + 1) > blocks(rI * 9 + c))
+              hash |= 1L << (rI * 8 + c)
+            c += 1
+          }
+          rI += 1
+        }
+        ImageHash(r.id, w, h, hash)
+      }
+    }
+  }
+
   final case class AudioFrameFeatures(
       id: Long,
       frame: Int,

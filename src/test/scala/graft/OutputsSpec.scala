@@ -215,6 +215,39 @@ class OutputsSpec extends SparkSpecBase {
     assert(msgs(e).exists(_.contains("divisible by 8")))
   }
 
+  test("multimodal: decode and feature ops run unchanged on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the whole multimodal family is stateless mapPartitions /
+    // flatMap, so the SAME operator objects serve micro-batches; this
+    // pins that contract (no accidental aggregation/sort creeping in)
+    val png = graft.sources.Codecs.encodePng(4, 2, 1,
+      Array(1, 2, 3, 4, 5, 6, 7, 8))
+    val wav = graft.sources.Codecs.encodeWav(Array(100, -100, 50, 25))
+    val input = MemoryStream[Multimodal.MediaRow]
+    val stats = Multimodal.decodeStats(input.toDS())
+    val q1 = stats.writeStream.outputMode("append").format("memory")
+      .queryName("mm_stats").start()
+    input.addData(Multimodal.MediaRow(1L, "image", png, Map.empty),
+      Multimodal.MediaRow(2L, "audio", wav, Map.empty))
+    q1.processAllAvailable(); q1.stop()
+    val got = spark.table("mm_stats")
+      .select($"id", $"nPx", $"pxSum").as[(Long, Int, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 8, 36L), (2L, 4, 75L)))
+    // audio features stream the generator shape too
+    val input2 = MemoryStream[Multimodal.MediaRow]
+    val feats = Multimodal.audioFrameFeatures(input2.toDS(), 2)
+    val q2 = feats.writeStream.outputMode("append").format("memory")
+      .queryName("mm_audio").start()
+    input2.addData(Multimodal.MediaRow(3L, "audio", wav, Map.empty))
+    q2.processAllAvailable(); q2.stop()
+    val af = spark.table("mm_audio")
+      .select($"frame", $"energy", $"zeroCrossings")
+      .as[(Int, Long, Int)].collect().sortBy(_._1)
+    assert(af.toSeq == Seq((0, 20000L, 1), (1, 3125L, 0)))
+  }
+
   test("multimodal: audio frame features — hand example, stereo, tail") {
     // mono: samples [3, -2, 0, 4 | 1] with frameSize 4 → one full
     // frame plus a 1-sample tail
