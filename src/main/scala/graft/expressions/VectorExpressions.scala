@@ -796,6 +796,8 @@ case class IvfAssignExpr(child: Expression, cids: IndexedSeq[Long],
     "centroid ids must be strictly ascending (tie-break contract)")
   require(cids.nonEmpty && cns.length == cids.length &&
     cvs.length % cids.length == 0, "ragged centroid state")
+  require(cns.forall(_ > 0),
+    "zero-norm centroid has no cosine cell (degenerate coarse sample)")
   override def dataType: DataType = LongType
   @transient private lazy val cidsArr = cids.toArray
   @transient private lazy val cvsArr = cvs.toArray
@@ -809,6 +811,11 @@ case class IvfAssignExpr(child: Expression, cids: IndexedSeq[Long],
     var qq = 0L
     var d = 0
     while (d < dim) { val x = q.getLong(d); qq += x * x; d += 1 }
+    // a zero-norm vector has no cosine cell: the batch assignment's
+    // ANSI double division throws on it, so the frozen kernel must
+    // refuse too — `NaN > x` being always false would otherwise park
+    // the row silently in a sentinel cell no probe ever reads
+    require(qq != 0L, "zero-norm vector has no cosine cell")
     val nn = java.lang.Math.sqrt(qq.toDouble)
     var bestCos = Double.NegativeInfinity
     var bestCid = Long.MaxValue

@@ -476,7 +476,11 @@ object GeomOps {
       case p: Polygon => densifyPoly(p)
       case MultiPolygon(polys, srid) =>
         MultiPolygon(polys.map(densifyPoly), srid)
-      case other => other // points/collections of points pass through
+      // PostGIS geography ST_Segmentize recurses into collections —
+      // a member LineString/Polygon must densify, not slip through
+      case GeometryCollection(gs, srid) =>
+        GeometryCollection(gs.map(geodesicSegmentize(_, maxLen)), srid)
+      case other => other // points pass through
     }
   }
 

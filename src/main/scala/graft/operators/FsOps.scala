@@ -129,6 +129,15 @@ private[operators] object VersionedStore {
     out.close()
   }
 
+  /** Read a sidecar file back, None if absent — for params records
+    * that postdate existing stores (backward compat). */
+  def readTextIfExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val f = fs(spark, path)
+    if (!f.exists(new Path(path))) None
+    else Some(readText(spark, path, "VersionedStore"))
+  }
+
   /** Read a sidecar file back, failing loudly if absent. */
   def readText(spark: org.apache.spark.sql.SparkSession,
       path: String, store: String): String = {

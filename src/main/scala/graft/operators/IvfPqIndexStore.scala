@@ -145,25 +145,31 @@ object IvfPqIndexStore {
     * it from here; a positive caller m must match it — mismatches
     * fail loudly instead of mis-slicing the ADC LUT. */
   private def resolveM(spark: SparkSession, vdir: String,
-      callerM: Int): Int = {
-    val txt = VersionedStore.readText(spark, s"$vdir/params.json",
-      "IvfPqIndexStore")
-    val stored = """"m"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
-      .map(_.group(1).toInt)
-      .getOrElse(sys.error(s"IvfPqIndexStore: no m in $vdir/params.json"))
-    require(callerM <= 0 || callerM == stored,
-      s"IvfPqIndexStore: probe m=$callerM != index m=$stored (written at $vdir)")
-    stored
-  }
+      callerM: Int): Int =
+    VersionedStore.readTextIfExists(spark, s"$vdir/params.json") match {
+      case Some(txt) =>
+        val stored = """"m"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt)
+          .getOrElse(
+            sys.error(s"IvfPqIndexStore: no m in $vdir/params.json"))
+        require(callerM <= 0 || callerM == stored,
+          s"IvfPqIndexStore: probe m=$callerM != index m=$stored (written at $vdir)")
+        stored
+      case None =>
+        // a store written before params records existed: an explicit
+        // caller m keeps it readable; deriving is impossible
+        require(callerM > 0, s"IvfPqIndexStore: $vdir predates " +
+          "params.json — pass the m it was written with explicitly")
+        callerM
+    }
 
   /** Whether the index encodes residuals — part of the artifact
     * (changes the scoring identity), so probes read it, never guess.
     * Absent in pre-residual params records → false. */
   private def resolveByResidual(spark: SparkSession,
       vdir: String): Boolean =
-    """"byResidual"\s*:\s*true""".r.findFirstIn(
-      VersionedStore.readText(spark, s"$vdir/params.json",
-        "IvfPqIndexStore")).isDefined
+    VersionedStore.readTextIfExists(spark, s"$vdir/params.json")
+      .exists(""""byResidual"\s*:\s*true""".r.findFirstIn(_).isDefined)
 
   /** Approximate top-k against the stored index: coarse-rank the
     * broadcast centroids per query, partition-prune the cells scan to

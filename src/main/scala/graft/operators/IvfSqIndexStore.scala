@@ -55,19 +55,13 @@ object IvfSqIndexStore {
       path: String): Option[Long] =
     VersionedStore.currentVersion(spark, path)
 
+  // stats/params layout and guards are SqIndexStore's, shared
   private def statsOf(spark: SparkSession,
-      vdir: String): (Array[Long], Array[Long]) = {
-    val st = spark.read.parquet(s"$vdir/stats").orderBy("s").collect()
-    (st.map(_.getLong(1)), st.map(_.getLong(2)))
-  }
+      vdir: String): (Array[Long], Array[Long]) =
+    SqIndexStore.statsOf(spark, vdir)
 
-  private def storedDim(spark: SparkSession, vdir: String): Int = {
-    val txt = VersionedStore.readText(spark, s"$vdir/params.json",
-      "IvfSqIndexStore")
-    """"dim"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-      .getOrElse(
-        sys.error(s"IvfSqIndexStore: no dim in $vdir/params.json"))
-  }
+  private def storedDim(spark: SparkSession, vdir: String): Int =
+    SqIndexStore.storedDim(spark, vdir, "IvfSqIndexStore")
 
   /** Train coarse + scalar quantizers, assign, encode, store. One
     * corpus pass for the assignment/encode (the stats pass carries
@@ -125,7 +119,9 @@ object IvfSqIndexStore {
       .parquet(s"$vdir/cells")
     cent.select(col("cid"), col("cv"), col("cn"))
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$vdir/stats")
+    // persist the already-collected stats rows (see SqIndexStore
+    // .write: re-executing `stats` would re-scan the corpus)
+    SqIndexStore.writeStats(spark, vdir, st)
     VersionedStore.writeText(spark, s"$vdir/params.json",
       s"""{"dim":$dim,"bits":8}""")
     VersionedStore.commitMarker(spark, vdir)
@@ -156,12 +152,9 @@ object IvfSqIndexStore {
     val cids = cent.map(_.getLong(0)).toIndexedSeq
     val cvs = cent.flatMap(_.getSeq[Long](1)).toIndexedSeq
     val cns = cent.map(_.getDouble(2)).toIndexedSeq
-    val checked = when(size(col("q")) === lit(dim), col("q"))
-      .otherwise(raise_error(concat(
-        lit(s"IvfSqIndexStore: vector dim != stored dim $dim: got "),
-        size(col("q")).cast("string"))).cast("array<bigint>"))
     vectors.select(col("id").as("nid"), quantize(col("vec")).as("q"))
-      .withColumn("q", checked)
+      .withColumn("q",
+        SqIndexStore.dimChecked("q", dim, "IvfSqIndexStore", "vector"))
       .select(col("nid"),
         expr(SqIndexStore.encodeSql(mins, spans)).as("codes"),
         graft.expressions.VectorExpressions
@@ -192,27 +185,28 @@ object IvfSqIndexStore {
     val cent = broadcast(spark.read.parquet(s"$vdir/centroids"))
     val minsL = typedlit(mins.toSeq)
     val spansL = typedlit(spans.toSeq)
-    val checked = when(size(col("qv")) === lit(dim), col("qv"))
-      .otherwise(raise_error(concat(
-        lit(s"IvfSqIndexStore: query dim != stored dim $dim: got "),
-        size(col("qv")).cast("string"))).cast("array<bigint>"))
     // one broadcast probe set carrying BOTH the coarse-ranking pieces
     // (qv, qn) and the SQ8 scoring pieces (qs = q∘span, qmin = ⟨q,min⟩)
     val q = broadcast(queries
       .select(col("id").as("qid"), quantize(col("vec")).as("qv"))
-      .withColumn("qv", checked)
+      .withColumn("qv",
+        SqIndexStore.dimChecked("qv", dim, "IvfSqIndexStore", "query"))
       .withColumn("qn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
       .withColumn("qs", zip_with(col("qv"), spansL, (a, b) => a * b))
       .withColumn("qmin", qdot(col("qv"), minsL)))
     val pw = Window.partitionBy(col("qid"))
       .orderBy(col("pcos").desc, col("cid").asc)
-    val probes = q.crossJoin(cent)
+    // broadcast survives the crossJoin+window (same hint as
+    // IvfPqIndexStore.pruned): without it the ≤|Q|·nprobe probe set
+    // can plan as the shuffle side of a sort-merge join, shuffling
+    // every probed-cell code row
+    val probes = broadcast(q.crossJoin(cent)
       .select(col("qid"), col("qs"), col("qmin"), col("cid"),
         (qdot(col("qv"), col("cv")).cast("double") /
           (col("qn") * col("cn"))).as("pcos"))
       .withColumn("prank", row_number().over(pw))
       .where(col("prank") <= nprobe)
-      .select(col("qid"), col("qs"), col("qmin"), col("cid"))
+      .select(col("qid"), col("qs"), col("qmin"), col("cid")))
     // bounded driver list (≤ |queries| · nprobe): the literal IN
     // filter turns the cells read into partition pruning
     val probedCells = probes.select(col("cid")).distinct()
@@ -238,21 +232,6 @@ object IvfSqIndexStore {
     require(rerank >= k, s"rerank window $rerank must be >= k $k")
     val shortlist = probe(spark, path, queries, k = rerank, nprobe)
       .select(col("qid"), col("nid"))
-    val exact = corpus
-      .select(col("id").as("nid"), quantize(col("vec")).as("nv"))
-      .join(shortlist, Seq("nid"), "left_semi")
-      .withColumn("nn", sqrt(qdot(col("nv"), col("nv")).cast("double")))
-    val q = broadcast(queries
-      .select(col("id").as("qid"), quantize(col("vec")).as("qv"))
-      .withColumn("qn", sqrt(qdot(col("qv"), col("qv")).cast("double"))))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid").asc)
-    shortlist
-      .join(exact, Seq("nid"))
-      .join(q, Seq("qid"))
-      .select(col("qid"), col("nid"),
-        (qdot(col("qv"), col("nv")).cast("double") /
-          (col("qn") * col("nn"))).as("cos"))
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    SqIndexStore.rerankExact(shortlist, corpus, queries, k)
   }
 }

@@ -55,18 +55,28 @@ object SqIndexStore {
       path: String): Option[Long] =
     VersionedStore.currentVersion(spark, path)
 
-  private def statsOf(spark: SparkSession,
+  /** Shared by [[IvfSqIndexStore]] (same stats/params layout). */
+  private[operators] def statsOf(spark: SparkSession,
       vdir: String): (Array[Long], Array[Long]) = {
     val st = spark.read.parquet(s"$vdir/stats").orderBy("s").collect()
     (st.map(_.getLong(1)), st.map(_.getLong(2)))
   }
 
-  private def storedDim(spark: SparkSession, vdir: String): Int = {
-    val txt = VersionedStore.readText(spark, s"$vdir/params.json",
-      "SqIndexStore")
+  private[operators] def storedDim(spark: SparkSession, vdir: String,
+      store: String = "SqIndexStore"): Int = {
+    val txt = VersionedStore.readText(spark, s"$vdir/params.json", store)
     """"dim"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-      .getOrElse(sys.error(s"SqIndexStore: no dim in $vdir/params.json"))
+      .getOrElse(sys.error(s"$store: no dim in $vdir/params.json"))
   }
+
+  /** The loud width guard over an already-quantized array column —
+    * a mismatched vector must fail, never silently zip-truncate. */
+  private[operators] def dimChecked(c: String, dim: Int,
+      store: String, what: String): org.apache.spark.sql.Column =
+    when(size(col(c)) === lit(dim), col(c))
+      .otherwise(raise_error(concat(
+        lit(s"$store: $what dim != stored dim $dim: got "),
+        size(col(c)).cast("string"))).cast("array<bigint>"))
 
   /** Train the per-dimension ranges and encode the corpus — one
     * elementwise aggregation + one map pass, then the salted write. */
@@ -95,11 +105,25 @@ object SqIndexStore {
       .sortWithinPartitions("nid")
       .drop("salt")
       .write.mode("overwrite").parquet(s"$vdir/codes")
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$vdir/stats")
+    // persist the ALREADY-COLLECTED stats rows, not the `stats`
+    // frame — re-executing it would re-scan the whole corpus for a
+    // dim-sized table (and could diverge from the ranges the codes
+    // above were actually encoded with)
+    SqIndexStore.writeStats(spark, vdir, st)
     VersionedStore.writeText(spark, s"$vdir/params.json",
       s"""{"dim":$dim,"bits":8}""")
     VersionedStore.commitMarker(spark, vdir)
     VersionedStore.gcPrevious(spark, path, current)
+  }
+
+  /** Persist collected per-dimension stats rows (s, mn, span) —
+    * shared by [[IvfSqIndexStore.write]]. */
+  private[operators] def writeStats(spark: SparkSession, vdir: String,
+      st: Array[org.apache.spark.sql.Row]): Unit = {
+    import spark.implicits._
+    st.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      .toDF("s", "mn", "span")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/stats")
   }
 
   /** The SQ8 code kernel over the already-quantized array column
@@ -135,12 +159,8 @@ object SqIndexStore {
     val vdir = VersionedStore.servingDir(spark, path, "SqIndexStore")
     val dim = storedDim(spark, vdir)
     val (mins, spans) = statsOf(spark, vdir)
-    val checked = when(size(col("q")) === lit(dim), col("q"))
-      .otherwise(raise_error(concat(
-        lit(s"SqIndexStore: vector dim != stored dim $dim: got "),
-        size(col("q")).cast("string"))).cast("array<bigint>"))
     vectors.select(col("id").as("nid"), quantize(col("vec")).as("q"))
-      .withColumn("q", checked)
+      .withColumn("q", dimChecked("q", dim, "SqIndexStore", "vector"))
       .select(col("nid"), expr(encodeSql(mins, spans)).as("codes"))
   }
 
@@ -152,13 +172,9 @@ object SqIndexStore {
       dim: Int, mins: Array[Long], spans: Array[Long]): DataFrame = {
     val minsL = typedlit(mins.toSeq)
     val spansL = typedlit(spans.toSeq)
-    val checked = when(size(col("qv")) === lit(dim), col("qv"))
-      .otherwise(raise_error(concat(
-        lit(s"SqIndexStore: query dim != stored dim $dim: got "),
-        size(col("qv")).cast("string"))).cast("array<bigint>"))
     broadcast(queries
       .select(col("id").as("qid"), quantize(col("vec")).as("qv"))
-      .withColumn("qv", checked)
+      .withColumn("qv", dimChecked("qv", dim, "SqIndexStore", "query"))
       .withColumn("qs", zip_with(col("qv"), spansL, (a, b) => a * b))
       .withColumn("qmin", qdot(col("qv"), minsL))
       .select(col("qid"), col("qs"), col("qmin")))
@@ -197,6 +213,14 @@ object SqIndexStore {
     require(rerank >= k, s"rerank window $rerank must be >= k $k")
     val shortlist = probe(spark, path, queries, k = rerank)
       .select(col("qid"), col("nid"))
+    rerankExact(shortlist, corpus, queries, k)
+  }
+
+  /** The exact-cosine refine tail over a bounded (qid, nid)
+    * shortlist — ≤ R full-precision rescores per query fetched by
+    * semi-join; shared with [[IvfSqIndexStore.probeRerank]]. */
+  private[operators] def rerankExact(shortlist: DataFrame,
+      corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val exact = corpus
       .select(col("id").as("nid"), quantize(col("vec")).as("nv"))
       .join(shortlist, Seq("nid"), "left_semi")

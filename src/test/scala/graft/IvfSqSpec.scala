@@ -165,6 +165,29 @@ class IvfSqSpec extends SparkSpecBase {
       .deleteDirectory(new File(path))
   }
 
+  test("a zero vector is refused loudly in batch AND frozen paths") {
+    // a zero-norm vector has no cosine cell: the batch write's ANSI
+    // double division throws on it, and the codegen'd frozen-path
+    // kernel must refuse identically — the silent alternative would
+    // park streamed zero vectors in a sentinel cell no probe reads
+    val path = Files.createTempDirectory("ivfsq").toString
+    try {
+      val zero = Seq((500L, Seq.fill(6)(0.0f))).toDF("id", "vec")
+      intercept[Exception] {
+        IvfSqIndexStore.write(vecs.union(zero), path)
+      }
+      IvfSqIndexStore.write(vecs, path)
+      val e = intercept[Exception] {
+        IvfSqIndexStore.encodeFrozen(spark, path, zero).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("zero-norm")), msgs(e).toString)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new File(path))
+  }
+
   test("every probe score is within the provable quantization bound") {
     val path = Files.createTempDirectory("ivfsq").toString
     try {
