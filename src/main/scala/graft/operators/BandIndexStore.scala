@@ -73,10 +73,20 @@ object BandIndexStore {
   /** Initial snapshot build: band the corpus, hash-partition by band
     * bucket, one deterministically-sorted file per bucket. */
   def write(df: DataFrame, idCol: String, textCol: String,
-      path: String, buckets: Int = 64): Unit = {
-    val spark = df.sparkSession
+      path: String, buckets: Int = 64): Unit =
+    writeBands(Dedup.bandIndex(df, idCol, textCol), path, buckets)
+
+  /** The banding-agnostic snapshot build: `bands` is any (id LONG,
+    * band STRING) frame — minhash bands ([[write]]), Hamming
+    * fingerprint bands ([[Dedup.hammingBands]]), or any other LSH
+    * family. The whole lifecycle (log generations, tombstones,
+    * dirty-bucket compaction, crash recovery) is banding-agnostic by
+    * construction; only the band-key producer differs. */
+  def writeBands(bands: DataFrame, path: String,
+      buckets: Int = 64): Unit = {
+    val spark = bands.sparkSession
     import spark.implicits._
-    bucketed(Dedup.bandIndex(df, idCol, textCol), buckets)
+    bucketed(bands, buckets)
       .repartition(buckets, col("bucket"))
       .sortWithinPartitions("bucket", "id", "band")
       .write.partitionBy("bucket").mode("overwrite")
@@ -122,12 +132,18 @@ object BandIndexStore {
     * Writes ONLY the batch — never reads or rewrites existing
     * state. */
   def append(spark: SparkSession, path: String, adds: DataFrame,
-      idCol: String, textCol: String, deleteIds: DataFrame): Unit = {
+      idCol: String, textCol: String, deleteIds: DataFrame): Unit =
+    appendBands(spark, path, Dedup.bandIndex(adds, idCol, textCol),
+      deleteIds)
+
+  /** Banding-agnostic maintenance batch — see [[writeBands]];
+    * `addBands` is the batch already banded (id, band). */
+  def appendBands(spark: SparkSession, path: String,
+      addBands: DataFrame, deleteIds: DataFrame): Unit = {
     recover(spark, path)
     val gen = logGens(spark, path).foldLeft(0L)(math.max) + 1L
     val buckets = bucketCount(spark, path)
-    val a = Dedup.bandIndex(adds, idCol, textCol)
-      .withColumn("op", lit("a"))
+    val a = addBands.withColumn("op", lit("a"))
     val d = deleteIds.select(col(deleteIds.columns.head)
         .cast("long").as("id"))
       .withColumn("band", lit(null).cast("string"))

@@ -586,6 +586,48 @@ object Dedup {
       .distinct()
   }
 
+  /** The [[hammingNearDup]] banding as persistable (id, band STRING)
+    * rows — the fingerprint analog of [[bandIndex]], so a perceptual
+    * -hash image index lives in the same [[BandIndexStore]] lifecycle
+    * (snapshot, log generations, tombstones, dirty-bucket compaction)
+    * via `writeBands`/`appendBands`. Band keys carry the band number
+    * so values from different bit ranges never collide. */
+  def hammingBands(df: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"bad maxDist $maxDist")
+    val nBands = maxDist + 1
+    val bands = (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val width = (b + 1) * 64 / nBands - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      concat(lit(s"hb$b:"),
+        (shiftright(col("h"), lo).bitwiseAND(lit(mask))).cast("string"))
+    }
+    df.select(col(idCol).cast("long").as("id"),
+        col(hashCol).cast("long").as("h"))
+      .select(col("id"), explode(array(bands: _*)).as("band"))
+  }
+
+  /** Incremental Hamming near-dup: candidates of a NEW batch against
+    * the PERSISTED fingerprint index (the image re-crawl shape — the
+    * [[incrementalNearDupCandidates]] sibling for perceptual hashes):
+    * band the batch now, equi-join the resolved index's band rows,
+    * emit (batch_id, corpus_id) candidates. The pigeonhole guarantee
+    * carries over: every (batch, corpus) pair within `maxDist` shares
+    * a band, so recall vs the index is 100% by construction; the
+    * caller verifies exact distances against its hash table (the
+    * index stores bands only, like the minhash form). */
+  def incrementalHammingCandidates(batch: DataFrame, idCol: String,
+      hashCol: String, index: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    val b = hammingBands(batch, idCol, hashCol, maxDist)
+    b.alias("a")
+      .join(index.alias("i"), col("a.band") === col("i.band"))
+      .where(col("a.id") =!= col("i.id"))
+      .select(col("a.id").as("batch_id"), col("i.id").as("corpus_id"))
+      .distinct()
+  }
+
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster
     * the embedding space, then search for near-duplicates only WITHIN
     * each cluster — the clustering turns the O(N²) pair scan into an

@@ -403,10 +403,15 @@ object Pipeline10 {
     * member XOR-flips up to 3 positions), and the oracle brute-forces
     * ALL pairs with `bit_count(xor())` — a hash match proves the
     * banded join finds exactly the brute-force pair set. */
-  def hammingPairs(s: SparkSession, d: String): DataFrame = {
+  /** The q141/q145 fingerprint fixture: groups of 4 docs share a
+    * 63-bit base pattern, each member XOR-flips up to 3 positions —
+    * a pure integer bit formula both the Spark side and the DuckDB
+    * oracles recompute identically. */
+  private def fpHashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .map { id =>
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, src) =>
         var h = 0L
         var i = 0
         while (i < 63) {
@@ -419,12 +424,14 @@ object Pipeline10 {
           if (bit == 1) h |= 1L << i
           i += 1
         }
-        (id, h)
-      }.toDF("doc_id", "h")
-    graft.operators.Dedup.hammingNearDup(hashes, "doc_id", "h",
+        (id, h, src)
+      }.toDF("doc_id", "h", "source")
+  }
+
+  def hammingPairs(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.hammingNearDup(fpHashes(s, d), "doc_id", "h",
         maxDist = 6)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
-  }
 
   val hammingPairsSql: String =
     """WITH p AS (SELECT doc_id FROM documents),
@@ -624,6 +631,63 @@ object Pipeline10 {
       |    ORDER BY r DESC, c DESC) AS dhash_bits
       |FROM b GROUP BY doc_id""".stripMargin
 
+  // ---- q145: incremental image dedup vs the persisted hash index ----
+
+  /** The image re-crawl shape, end to end through the PERSISTED
+    * fingerprint index: the src0 corpus's Hamming bands are written
+    * into the [[graft.operators.BandIndexStore]] lifecycle (same
+    * snapshot/log/compaction machinery as the minhash index — the
+    * store is banding-agnostic), a later batch (everything non-src0)
+    * probes the resolved index for candidates, and exact
+    * `bit_count(xor)` verifies. Pigeonhole banding makes recall vs
+    * the index 100% by construction, so the oracle can brute-force
+    * all new-vs-old pairs and the hash must match exactly. */
+  def hammingIncremental(s: SparkSession, d: String): DataFrame = {
+    val hashes = fpHashes(s, d)
+    val path = cachedStore("hashidx", d) { p =>
+      graft.operators.BandIndexStore.writeBands(
+        graft.operators.Dedup.hammingBands(
+          hashes.where(col("source") === "src0"), "doc_id", "h",
+          maxDist = 6), p)
+    }
+    val index = graft.operators.BandIndexStore.read(s, path)
+    val batch = hashes.where(col("source") =!= "src0")
+    val cands = graft.operators.Dedup.incrementalHammingCandidates(
+      batch, "doc_id", "h", index, maxDist = 6)
+    // exact verify against the hash table (the index stores bands
+    // only): ≤ candidate-count integer xor/popcounts
+    val bh = batch.select(col("doc_id").as("batch_id"),
+      col("h").as("bh"))
+    val ch = hashes.where(col("source") === "src0")
+      .select(col("doc_id").as("corpus_id"), col("h").as("ch"))
+    cands.join(bh, Seq("batch_id")).join(ch, Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("bh").bitwiseXOR(col("ch"))).cast("int").as("dist"))
+      .where(col("dist") <= 6)
+  }
+
+  val hammingIncrementalSql: String =
+    """WITH p AS (SELECT doc_id, source FROM documents),
+      |bits AS (SELECT doc_id, source, CAST(t.i AS INTEGER) AS i,
+      |    CASE WHEN (((doc_id//4)*31 + t.i*17) % 97) % 5 = 0
+      |      THEN 1 ELSE 0 END AS b0
+      |  FROM p, range(63) t(i)),
+      |flips AS (SELECT doc_id, (doc_id*11 + f.f*23) % 63 AS i,
+      |    COUNT(*) % 2 AS fl
+      |  FROM p, range(3) f(f) WHERE f.f < doc_id % 4 GROUP BY 1, 2),
+      |h AS (SELECT bits.doc_id, ANY_VALUE(bits.source) AS source,
+      |    CAST(SUM(CAST((b0 + COALESCE(fl, 0)) % 2 AS BIGINT)
+      |      * (CAST(1 AS BIGINT) << bits.i)) AS BIGINT) AS h
+      |  FROM bits LEFT JOIN flips
+      |    ON bits.doc_id = flips.doc_id AND bits.i = flips.i
+      |  GROUP BY 1)
+      |SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+      |  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS dist
+      |FROM h a JOIN h b
+      |  ON a.source <> 'src0' AND b.source = 'src0'
+      | AND a.doc_id <> b.doc_id
+      |WHERE bit_count(xor(a.h, b.h)) <= 6""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q134_ivfsq_topk" -> (ivfSqTopK _),
     "q135_ivfsq_rerank" -> (ivfSqRerank _),
@@ -635,7 +699,8 @@ object Pipeline10 {
     "q141_hamming_neardup" -> (hammingPairs _),
     "q142_rotated_pq" -> (rotatedPq _),
     "q143_ivfpq_residual" -> (ivfPqResidual _),
-    "q144_image_dhash" -> (imageDHash _))
+    "q144_image_dhash" -> (imageDHash _),
+    "q145_hamming_incremental" -> (hammingIncremental _))
 
   def oracles: Map[String, String] = Map(
     "q134_ivfsq_topk" -> ivfSqTopKSql,
@@ -648,5 +713,6 @@ object Pipeline10 {
     "q141_hamming_neardup" -> hammingPairsSql,
     "q142_rotated_pq" -> rotatedPqSql,
     "q143_ivfpq_residual" -> ivfPqResidualSql,
-    "q144_image_dhash" -> imageDHashSql)
+    "q144_image_dhash" -> imageDHashSql,
+    "q145_hamming_incremental" -> hammingIncrementalSql)
 }

@@ -409,6 +409,26 @@ object Streams {
       .select(col("new_id"), col("indexed_id"), col("band"))
   }
 
+  /** Streaming image-dedup probe against the PERSISTED fingerprint
+    * index: each arriving 64-bit perceptual hash is pigeonhole-banded
+    * statelessly ([[graft.operators.Dedup.hammingBands]]) and
+    * equi-joined against the index's resolved view — the continuous
+    * form of [[graft.operators.Dedup.incrementalHammingCandidates]],
+    * with the same 100%-recall-by-construction guarantee (every pair
+    * within maxDist shares an exact band). Append mode, NO streaming
+    * state; exact `bit_count(xor)` verification is the consumer's
+    * per-batch step, same contract as [[indexProbeStream]]. */
+  def hashProbeStream(hashes: DataFrame, idCol: String,
+      hashCol: String, index: DataFrame, maxDist: Int = 3): DataFrame = {
+    val probe = graft.operators.Dedup
+      .hammingBands(hashes, idCol, hashCol, maxDist)
+      .select(col("id").as("new_id"), col("band"))
+    probe.join(index.select(col("id").as("indexed_id"), col("band")),
+        "band")
+      .where(col("new_id") =!= col("indexed_id"))
+      .select(col("new_id"), col("indexed_id"), col("band"))
+  }
+
   /** Continuous ANN serving against the persisted [[graft.operators
     * .IvfIndexStore]]: each micro-batch of query vectors (id, vec)
     * runs one partition-pruned probe and hands the ranked result to

@@ -183,6 +183,54 @@ class PipelineOps5Spec extends SparkSpecBase {
     assert(got.values.forall(_ <= 5))
   }
 
+  test("persisted fingerprint index: lifecycle + guaranteed candidate recall") {
+    import graft.operators.BandIndexStore
+    def mkHash(id: Long): Long = {
+      val g = id / 3
+      var h = 0L
+      (0 until 63).foreach { i =>
+        if ((g * 31 + i * 17) % 5 == 0) h |= 1L << i
+      }
+      (0 until (id % 3).toInt * 2).foreach { f =>
+        h ^= 1L << ((id * 11 + f * 23) % 63).toInt
+      }
+      h
+    }
+    val corpus = (0L until 40L).map(id => (id, mkHash(id)))
+    val batch = (40L until 60L).map(id => (id, mkHash(id)))
+    val path = java.nio.file.Files
+      .createTempDirectory("fpidx").toString
+    try {
+      BandIndexStore.writeBands(
+        Dedup.hammingBands(corpus.toDF("id", "h"), "id", "h", 5), path)
+      // maintenance batch through the SAME lifecycle as the minhash
+      // index: add fingerprint 100 (a twin of 39), tombstone id 0
+      BandIndexStore.appendBands(spark, path,
+        Dedup.hammingBands(Seq((100L, mkHash(39L))).toDF("id", "h"),
+          "id", "h", 5),
+        Seq(0L).toDF("id"))
+      val index = BandIndexStore.read(spark, path)
+      val cands = Dedup.incrementalHammingCandidates(
+        batch.toDF("id", "h"), "id", "h", index, maxDist = 5)
+        .as[(Long, Long)].collect().toSet
+      // pigeonhole guarantee: every true pair vs the RESOLVED corpus
+      // (minus the tombstone, plus the appended twin) is a candidate
+      val resolved = corpus.filter(_._1 != 0L) :+ (100L, mkHash(39L))
+      val want = for {
+        (b, hb) <- batch; (c, hc) <- resolved
+        if java.lang.Long.bitCount(hb ^ hc) <= 5
+      } yield (b, c)
+      assert(want.nonEmpty)
+      want.foreach(p => assert(cands.contains(p), s"missed $p"))
+      // the tombstoned id never surfaces
+      assert(!cands.exists(_._2 == 0L))
+      // the appended twin surfaces for batch members near id 39
+      if (want.exists(_._2 == 100L))
+        assert(cands.exists(_._2 == 100L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(path))
+  }
+
   test("WHT rotation: exact driver parity, dot preservation, involution") {
     import graft.functions.VectorFunctions.quantize
     import graft.expressions.VectorExpressions.whtRotateN

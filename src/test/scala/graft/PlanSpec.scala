@@ -276,6 +276,9 @@ class PlanSpec extends SparkSpecBase {
     // reconstruction-norm join is hash on (s, code) + semi-join)
     "q25_ivf_ann_topk", "q122_ivf_persisted", "q124_ivfpq_topk",
     "q126_ivfpq_rerank", "q129_ivfpq_recon_rerank", "q66_semantic_dedup",
+    // q143 is q124's residual form — identical probe plan (bounded
+    // broadcast coarse rank; the ADC LUT join itself is hash)
+    "q143_ivfpq_residual",
     // SQ8 flat scan vs the bounded broadcast probe set — the same
     // exact-scoring contract (SqIndexStore.scala probe Scaladoc);
     // q133 is the SQ8 shortlist + semi-join exact refine over it
