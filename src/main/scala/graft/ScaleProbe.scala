@@ -361,6 +361,48 @@ object ScaleProbe {
       persisted.foreach(_.unpersist())
       n
     }
+    // round-13 adversarial-skew probes (r12 verdict item 6): a
+    // duplicate-heavy corpus drives single band keys hot. The pair
+    // APIs' candidate sets are then OUTPUT-bound (hot-band members
+    // are overwhelmingly true duplicates — identical hashes share all
+    // bands and verify at dist 0 / jaccard 1), and the cluster API
+    // must stay O(N): 30% of the corpus is ONE fingerprint, yet
+    // imageDedupClusters' distinct-hash pair graph sees it as a
+    // single node.
+    time("hamming_adversarial_clusters") {
+      import spark.implicits._
+      val hashes = docs.select(col("doc_id")).as[Long].map { id =>
+        val h =
+          if (id % 10 < 3) 0x5a5a5a5a5a5a5aL // flat-image block
+          else {
+            var x = 0L
+            var i = 0
+            while (i < 63) {
+              if ((((id / 4) * 31 + i * 17) % 97) % 5 == 0) x |= 1L << i
+              i += 1
+            }
+            x ^ (1L << (id % 63).toInt)
+          }
+        (id, h)
+      }.toDF("doc_id", "h")
+      graft.operators.Dedup.imageDedupClusters(
+        hashes, "doc_id", "h", maxDist = 6).count()
+    }
+    // the minhash band join under the same shape: 2% of docs share
+    // ONE text, funnelling ~0.02·N postings into each of that text's
+    // band keys. Candidates from those keys are all true duplicates
+    // (identical minhashes), so candidate count == true-pair count —
+    // the probe pins that no all-pairs term over the OTHER 90%
+    // appears, and that AQE's skew split keeps the single hot
+    // partition from serializing the stage.
+    time("minhash_band_skew") {
+      val dup = docs.withColumn("text",
+        when(col("doc_id") % 50 < 1,
+          lit("the same duplicated boilerplate block every mirror page carries"))
+          .otherwise(col("text")))
+      graft.operators.Dedup.minhashCandidatePairs(dup, "doc_id", "text")
+        .count()
+    }
     // windowed sessionization over the 20× event stream
     val ev0 = Tables.events(spark, sfDir)
     val ev = (0 until mult).map { i =>

@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.Pipeline8.queries ++
       graft.queries.Pipeline9.queries ++
       graft.queries.Pipeline10.queries ++
+      graft.queries.Pipeline11.queries ++
       graft.queries.OsmAnalog.queries ++
       graft.queries.GenQueries.queries
 
@@ -45,6 +46,7 @@ object SparkEntry {
       graft.queries.Pipeline8.oracles ++
       graft.queries.Pipeline9.oracles ++
       graft.queries.Pipeline10.oracles ++
+      graft.queries.Pipeline11.oracles ++
       graft.queries.OsmAnalog.oracles ++
       graft.queries.GenQueries.oracles
 }

@@ -545,6 +545,21 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** Unsigned bit-slice `[lo, lo+width)` of a 64-bit hash column. */
+  private def bitSlice(h: Column, lo: Int, width: Int): Column = {
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    shiftrightunsigned(h, lo).bitwiseAND(lit(mask))
+  }
+
+  /** The bits OUTSIDE band `[lo, hi)`, packed into one contiguous
+    * (64 − (hi − lo))-bit value (high run shifted down onto the low
+    * run) — the complement a second pigeonhole level bands over. */
+  private def bandComplement(h: Column, lo: Int, hi: Int): Column =
+    if (lo == 0) shiftrightunsigned(h, hi)
+    else if (hi == 64) h.bitwiseAND(lit((1L << lo) - 1))
+    else shiftleft(shiftrightunsigned(h, hi), lo)
+      .bitwiseOR(h.bitwiseAND(lit((1L << lo) - 1)))
+
   /** Hamming near-dup pairs over 64-bit fingerprints (perceptual
     * hashes like [[graft.sources.Multimodal.aHash64]], SimHash) by
     * pigeonhole banding: split each hash into `maxDist + 1`
@@ -554,44 +569,113 @@ object Dedup {
     * candidates come from an equi-join on (band index, band value),
     * NEVER all-pairs, and are then verified with the exact
     * `bit_count(a XOR b) ≤ maxDist`. 100% recall by construction
-    * (unlike probabilistic LSH); per-key join width is the band
-    * collision count, the same bound as the minhash band join.
-    * Returns (id_a < id_b, dist). */
+    * (unlike probabilistic LSH). Returns (id_a < id_b, dist).
+    *
+    * Degenerate-corpus guards (real image corpora are NOT uniform —
+    * flat/blank thumbnails collapse to a handful of hash values, the
+    * exact shape image dedup exists for):
+    *   - IDENTICAL hashes never enter the band join at all: the
+    *     banded search runs over DISTINCT fingerprints only, and
+    *     identical-hash pairs come from one exact equi-join on the
+    *     full 64-bit hash (per-hash output is the true duplicate
+    *     set — output-bound, AQE-skew-splittable, no wasted
+    *     verification);
+    *   - bands holding more than `maxBandDf` DISTINCT hashes are
+    *     routed out of the flat pair join into a SECOND pigeonhole
+    *     level over the band's complement bits (the multi-index
+    *     -hashing construction, Norouzi et al. 2012): hashes agreeing
+    *     on a hot band and within `maxDist` overall differ by ≤
+    *     maxDist bits on the remaining 64 − width bits, so they share
+    *     one of maxDist + 1 sub-bands — the candidate key grows from
+    *     ~64/(maxDist+1) bits to ~2× that, shrinking per-key width
+    *     quadratically while preserving EXACT 100% recall (unlike a
+    *     df-cap drop, nothing is ever skipped). This is also the
+    *     planet-scale path: at 10^10 fingerprints every 16-bit band
+    *     is "hot" under any sane cap, and the doubled key is what
+    *     keeps per-key candidate width bounded. */
   def hammingNearDup(df: DataFrame, idCol: String, hashCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBandDf: Long = 100000): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"bad maxDist $maxDist")
+    require(maxBandDf >= 1, s"bad maxBandDf $maxBandDf")
     val nBands = maxDist + 1
     val base = df.select(col(idCol).as("id"),
       col(hashCol).cast("long").as("h"))
+    // identical fingerprints: one equi-join on the full hash — these
+    // pairs are all true duplicates (dist 0), so the join output IS
+    // the answer, never a candidate set to verify
+    val ident = base.alias("a").join(base.alias("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("dist"))
+    if (maxDist == 0) return ident
+
+    val hs = base.select(col("h")).distinct()
     // band b covers bits [b·64/nBands, (b+1)·64/nBands) — uneven tail
-    // widths are fine, the pigeonhole argument only needs a partition
+    // widths are fine, the pigeonhole argument only needs a partition;
+    // each band carries its precomputed level-2 sub-keys (sub-bands of
+    // the complement bits), used only if the band goes over the cap
     val bands = (0 until nBands).map { b =>
       val lo = b * 64 / nBands
       val hi = (b + 1) * 64 / nBands
-      val width = hi - lo
-      val mask = if (width == 64) -1L else (1L << width) - 1
-      struct(lit(b).as("t"),
-        (shiftright(col("h"), lo).bitwiseAND(lit(mask))).as("k"))
+      val compWidth = 64 - (hi - lo)
+      val comp = bandComplement(col("h"), lo, hi)
+      val sks = (0 until nBands).map { b2 =>
+        val lo2 = b2 * compWidth / nBands
+        val w2 = (b2 + 1) * compWidth / nBands - lo2
+        bitSlice(comp, lo2, w2)
+      }
+      struct(lit(b).as("t"), bitSlice(col("h"), lo, hi - lo).as("k"),
+        array(sks: _*).as("sks"))
     }
-    val keyed = base
-      .select(col("id"), col("h"), explode(array(bands: _*)).as("bk"))
-      .select(col("id"), col("h"), col("bk.t").as("t"), col("bk.k").as("k"))
-    val ka = keyed.alias("a")
-    val kb = keyed.alias("b")
-    ka.join(kb, col("a.t") === col("b.t") && col("a.k") === col("b.k"))
-      .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("dist"))
+    val keyed = hs
+      .select(col("h"), explode(array(bands: _*)).as("bk"))
+      .select(col("h"), col("bk.t").as("t"), col("bk.k").as("k"),
+        col("bk.sks").as("sks"))
+    // hot set = (t, k) keys holding > maxBandDf DISTINCT hashes; tiny
+    // by construction (≤ bandRows / maxBandDf keys), so it broadcasts
+    val hot = keyed.groupBy(col("t"), col("k"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBandDf)
+      .select(col("t"), col("k"))
+    val cold = keyed.join(broadcast(hot), Seq("t", "k"), "left_anti")
+      .select(col("h"), col("t"), col("k"))
+    val hotK = keyed.join(broadcast(hot), Seq("t", "k"), "left_semi")
+      .select(col("h"), col("t"), col("k"),
+        posexplode(col("sks")).as(Seq("t2", "k2")))
+    val coldPairs = cold.alias("a").join(cold.alias("b"),
+        col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
+          col("a.h") < col("b.h"))
+      .select(col("a.h").as("ha"), col("b.h").as("hb"))
+    val hotPairs = hotK.alias("a").join(hotK.alias("b"),
+        col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
+          col("a.t2") === col("b.t2") && col("a.k2") === col("b.k2") &&
+          col("a.h") < col("b.h"))
+      .select(col("a.h").as("ha"), col("b.h").as("hb"))
+    val hashPairs = coldPairs.unionByName(hotPairs)
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .where(col("dist") <= maxDist)
       .distinct()
+    // expand verified DISTINCT-hash pairs back to member id pairs
+    // (groups are disjoint, so each id pair surfaces exactly once)
+    val expanded = hashPairs
+      .join(base.select(col("id").as("ia"), col("h").as("ha")), "ha")
+      .join(base.select(col("id").as("ib"), col("h").as("hb")), "hb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+    expanded.unionByName(ident)
   }
 
   /** The [[hammingNearDup]] banding as persistable (id, band STRING)
     * rows — the fingerprint analog of [[bandIndex]], so a perceptual
     * -hash image index lives in the same [[BandIndexStore]] lifecycle
     * (snapshot, log generations, tombstones, dirty-bucket compaction)
-    * via `writeBands`/`appendBands`. Band keys carry the band number
-    * so values from different bit ranges never collide. */
+    * via `writeBands`/`appendBands`. Band keys carry the BAND COUNT
+    * and the band number (`hb<nBands>.<b>:<value>`): the number keeps
+    * values from different bit ranges from colliding, and the count
+    * pins the banding geometry — probing a maxDist=6 index with
+    * maxDist=3 would silently equi-join different bit ranges under
+    * the same key otherwise; with the count in the key such a
+    * mismatch can never join, and [[incrementalHammingCandidates]]
+    * additionally REFUSES it loudly (one-row sample check). */
   def hammingBands(df: DataFrame, idCol: String, hashCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"bad maxDist $maxDist")
@@ -599,9 +683,8 @@ object Dedup {
     val bands = (0 until nBands).map { b =>
       val lo = b * 64 / nBands
       val width = (b + 1) * 64 / nBands - lo
-      val mask = if (width == 64) -1L else (1L << width) - 1
-      concat(lit(s"hb$b:"),
-        (shiftright(col("h"), lo).bitwiseAND(lit(mask))).cast("string"))
+      concat(lit(s"hb$nBands.$b:"),
+        bitSlice(col("h"), lo, width).cast("string"))
     }
     df.select(col(idCol).cast("long").as("id"),
         col(hashCol).cast("long").as("h"))
@@ -616,16 +699,110 @@ object Dedup {
     * carries over: every (batch, corpus) pair within `maxDist` shares
     * a band, so recall vs the index is 100% by construction; the
     * caller verifies exact distances against its hash table (the
-    * index stores bands only, like the minhash form). */
+    * index stores bands only, like the minhash form).
+    *
+    * Geometry check: the probe REFUSES an index banded with a
+    * different maxDist (one-row sample of the index's `hb<n>.` key
+    * prefix — a mismatch would otherwise return silently-empty
+    * candidates, since mismatched keys can never equi-join).
+    *
+    * Hot-band guard (same hazard as [[hammingNearDup]]): the batch
+    * side probes once per DISTINCT batch fingerprint (members are
+    * re-expanded after the join — exact, internal); on the index
+    * side, bands holding more than `maxBandDf` index rows are routed
+    * out of the direct join and deduplicated per DISTINCT corpus
+    * hash first when `corpusHashes` (an `(id, hash)` frame covering
+    * the index's live ids — the table any real pipeline keeps, 16
+    * bytes/doc) is supplied, then re-expanded through the index's own
+    * rows so tombstoned ids can never resurface. Both routes are
+    * EXACT — recall stays 100%; without `corpusHashes` the hot bands
+    * fall back to the direct join (still exact, output-bound, AQE
+    * -skew-splittable) and the guard only bounds the batch side. */
   def incrementalHammingCandidates(batch: DataFrame, idCol: String,
-      hashCol: String, index: DataFrame,
-      maxDist: Int = 3): DataFrame = {
-    val b = hammingBands(batch, idCol, hashCol, maxDist)
-    b.alias("a")
-      .join(index.alias("i"), col("a.band") === col("i.band"))
-      .where(col("a.id") =!= col("i.id"))
-      .select(col("a.id").as("batch_id"), col("i.id").as("corpus_id"))
-      .distinct()
+      hashCol: String, index: DataFrame, maxDist: Int = 3,
+      corpusHashes: Option[DataFrame] = None,
+      maxBandDf: Long = 100000): DataFrame = {
+    require(maxBandDf >= 1, s"bad maxBandDf $maxBandDf")
+    // loud geometry check: bounded one-row driver read of the index
+    index.select(col("band"))
+      .where(col("band").startsWith("hb")).limit(1)
+      .collect().headOption.foreach { r =>
+        val key = r.getString(0)
+        val enc = key.stripPrefix("hb").takeWhile(_ != '.')
+        require(key.contains(".") && enc.nonEmpty && enc.forall(_.isDigit),
+          s"index band key '$key' predates band-count encoding — rebuild the index")
+        require(enc.toInt == maxDist + 1,
+          s"index was banded with maxDist ${enc.toInt - 1}, probe uses maxDist $maxDist")
+      }
+    val bh = batch.select(col(idCol).cast("long").as("bid"),
+      col(hashCol).cast("long").as("bhash"))
+    // probe once per distinct batch fingerprint
+    val reps = bh.groupBy(col("bhash")).agg(min(col("bid")).as("rep"))
+    val b = hammingBands(reps, "rep", "bhash", maxDist)
+      .select(col("id").as("rep"), col("band"))
+    val idx = index.select(col("id").as("cid"), col("band"))
+    val hot = idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBandDf).select(col("band"))
+    val coldCands = b
+      .join(idx.join(broadcast(hot), Seq("band"), "left_anti"), "band")
+      .select(col("rep"), col("cid"))
+    val hotIdx = idx.join(broadcast(hot), Seq("band"), "left_semi")
+    val hotCands = corpusHashes match {
+      case Some(ch0) =>
+        // contract: first column = id, second = 64-bit hash
+        val ch = ch0.select(col(ch0.columns.head).cast("long").as("cid"),
+          col(ch0.columns(1)).cast("long").as("chash"))
+        val hotIdxH = hotIdx.join(ch, Seq("cid")) // (cid, band, chash)
+        val hotDistinct = hotIdxH.select(col("band"), col("chash"))
+          .distinct()
+        b.join(hotDistinct, "band") // ≤ distinct-hash fan-out
+          // expand through the index's own rows — live ids only
+          .join(hotIdxH, Seq("band", "chash"))
+          .select(col("rep"), col("cid"))
+      case None =>
+        b.join(hotIdx, "band").select(col("rep"), col("cid"))
+    }
+    val repPairs = coldCands.unionByName(hotCands).distinct()
+    // expand batch members: every batch id sharing the rep's hash
+    repPairs
+      .join(reps.select(col("rep"), col("bhash")), "rep")
+      .join(bh, "bhash")
+      .where(col("bid") =!= col("cid"))
+      .select(col("bid").as("batch_id"), col("cid").as("corpus_id"))
+  }
+
+  /** O(N) keep/drop decisions for image dedup — the composition a
+    * 100 TB pipeline actually consumes ([[hammingNearDup]] →
+    * [[connectedComponents]] → canonical selection), returning ONE
+    * row per input image: (id, cluster_id, keep), where cluster_id
+    * is the smallest id in the image's Hamming-closure cluster and
+    * keep marks that canonical representative.
+    *
+    * Crucially the pair graph is built over DISTINCT fingerprints
+    * only: a million identical flat thumbnails contribute ONE node
+    * (their shared hash's min-id representative), never 10^11 pairs
+    * — members inherit their representative's component through a
+    * final O(N) join. Output and every intermediate stay linear in
+    * the input except the verified distinct-hash pair set itself,
+    * which the [[hammingNearDup]] hot-band routing bounds. Cluster
+    * transitivity is Hamming-closure semantics (A≈B≈C clusters ABC
+    * even if dist(A,C) > maxDist) — the standard dedup contract,
+    * same as [[nearDupClusters]]. */
+  def imageDedupClusters(df: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3, maxBandDf: Long = 100000): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(hashCol).cast("long").as("h"))
+    val reps = base.groupBy(col("h")).agg(min(col("id")).as("rep"))
+    // distinct-fingerprint pair graph (the ident join inside finds
+    // nothing here — hashes are unique — so this is pure band search)
+    val repPairs = hammingNearDup(reps, "rep", "h", maxDist, maxBandDf)
+    val cc = connectedComponents(repPairs, "id_a", "id_b")
+      .select(col("id").as("rep"), col("component"))
+    base.join(reps, "h")
+      .join(cc, Seq("rep"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("rep")).as("cluster_id"))
+      .withColumn("keep", col("id") === col("cluster_id"))
   }
 
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster
@@ -729,6 +906,25 @@ object Dedup {
     * it with [[bandIndex]]). Returns distinct (batch_id, corpus_id)
     * candidates; exact-Jaccard verification composes downstream via
     * [[jaccardOnPairs]].
+    *
+    * Hot-band contract (no df cap here, by measurement): a minhash
+    * band key only goes hot when many documents share a FULL band of
+    * signature minima, which on real corpora means verbatim/near
+    * -verbatim duplicates — those candidates verify at jaccard ≈ 1,
+    * so the fan-out is OUTPUT-bound (true pairs), not wasted work,
+    * and the single hot key is the AQE-skew-split case. Measured
+    * (ScaleProbe `minhash_band_skew`, 2% of docs sharing one text):
+    * candidates track the true-pair count K²/2 exactly — 3.1M/19.3M/
+    * 77.4M rows at 20×/50×/100× with no all-pairs term over the
+    * other 98% — and wall time follows the output (8.8/16.4/97.3 s).
+    * This differs from the HAMMING band family, where a 9-16-bit
+    * band value can collide across genuinely different fingerprints:
+    * there the df cap + second pigeonhole level is load-bearing
+    * ([[hammingNearDup]]); a 64-bit-minima band collision without
+    * near-identical shingle sets is vanishingly rare, so a cap would
+    * only add a recall carve-out for nothing. Callers needing O(N)
+    * output compose [[nearDupClusters]] (components, not pairs),
+    * exactly like [[imageDedupClusters]] for images.
     */
   def incrementalNearDupCandidates(batch: DataFrame, idCol: String,
       textCol: String, corpusBands: DataFrame): DataFrame = {

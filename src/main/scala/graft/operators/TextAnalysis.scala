@@ -656,6 +656,60 @@ object TextAnalysis {
       .withColumn("oov_permille", expr("(1000 * n_oov) div n_tokens"))
   }
 
+  /** n-gram LM perplexity filter — the CCNet-shaped quality signal
+    * (Wenzek et al. 2020: score documents against a language model
+    * trained on a trusted/held-out slice; drop the worst tail): a
+    * bigram count LM is trained on the `doc_id % heldEvery == 0`
+    * slice, and every document is scored by its total quantized
+    * negative log-likelihood in BITS, all in exact integers so the
+    * oracle hash-matches:
+    *
+    *   q(p, n)  = max(1, ((c2(p,n) + 1) · 2^20) // (c1(p) + V + 1))
+    *   bits     = 20 − floor(log2 q)   [= 21 − len(bin q), exact]
+    *   nll_bits = Σ over adjacent token pairs
+    *   ppl_q    = (nll_bits · 1000) // n_pairs    (mean bits ×1000 —
+    *              the threshold a filter cuts on; 2^(ppl_q/1000) is
+    *              the usual perplexity)
+    *
+    * Add-one smoothing with an OOV slot in the denominator (`+ V +
+    * 1`) keeps q ∈ [1, 2^20] and the pipeline total even when the
+    * train slice is empty. Documents with < 2 tokens emit no row.
+    *
+    * Scale: two hash-aggregates over the train slice build the count
+    * tables (c1 keyed by token, c2 by bigram); scoring is two
+    * shuffle equi-joins on those keys — corpus-token-sized, never
+    * all-pairs — plus a 1-row broadcast for V. Skewed prefixes (stop
+    * words) are single hot KEYS in an equi-join, the AQE-splittable
+    * case, not a fan-out. */
+  def ngramLmPerplexity(df: DataFrame, idCol: String, textCol: String,
+      heldEvery: Int = 10): DataFrame = {
+    require(heldEvery >= 1, s"heldEvery must be >= 1, got $heldEvery")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      normToks(col(textCol)).as("w"))
+    val pairs = toks
+      .select(col("id"), col("w"), posexplode(col("w")).as(Seq("i", "n")))
+      .where(col("i") >= 1)
+      .select(col("id"), element_at(col("w"), col("i")).as("p"), col("n"))
+    val trainToks = toks.where(pmod(col("id"), lit(heldEvery)) === 0)
+      .select(explode(col("w")).as("t"))
+    val c1 = trainToks.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val c2 = pairs.where(pmod(col("id"), lit(heldEvery)) === 0)
+      .groupBy(col("p"), col("n")).agg(count(lit(1)).as("c2"))
+    val v = trainToks.agg(count_distinct(col("t")).as("v"))
+    pairs
+      .join(c2, Seq("p", "n"), "left")
+      .join(c1.withColumnRenamed("t", "p"), Seq("p"), "left")
+      .crossJoin(broadcast(v)) // one row: the train vocab size
+      .withColumn("q", greatest(
+        expr("((coalesce(c2, 0) + 1) * 1048576) div (coalesce(c1, 0) + v + 1)"),
+        lit(1L)))
+      .withColumn("bits", lit(21L) - length(bin(col("q"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("bits")).as("nll_bits"))
+      .select(col("id").as("doc_id"), col("n_pairs"), col("nll_bits"),
+        expr("(nll_bits * 1000) div n_pairs").as("ppl_q"))
+  }
+
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, lit(EmailRe), lit("<EMAIL>"))

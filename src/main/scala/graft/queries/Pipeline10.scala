@@ -26,6 +26,26 @@ object Pipeline10 {
   private def cachedStore(kind: String, d: String)(
       build: String => Unit): String = StoreOnce.dir(kind, d)(build)
 
+  /** Encoded media fixtures are deterministic functions of doc_id,
+    * but re-encoding them on EVERY Spark action (Verify's write plus
+    * Bench's count) pays the codec twice per query for zero extra
+    * coverage — the oracle gates the DECODE of bytes produced by one
+    * encode pass. So each fixture encodes once per (name, data dir)
+    * into a scratch parquet via [[StoreOnce]] and is re-read
+    * thereafter (round-12 verdict item 7). */
+  private[queries] def mediaFixture(s: SparkSession, d: String, name: String)(
+      gen: Long => Multimodal.MediaRow)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    val path = StoreOnce.dir(s"fixture_$name", d) { p =>
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(gen))
+        // overwrite: Scratch.dir pre-creates the (empty) directory
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path).as[Multimodal.MediaRow]
+  }
+
   private def embCorpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -292,10 +312,7 @@ object Pipeline10 {
     * the signals an image curation pass filters on. The oracle
     * recomputes all four from the formula with list aggregates. */
   def imageStatsQ(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .mapPartitions { ids =>
-        ids.map { id =>
+    val media = mediaFixture(s, d, "stats_img") { id =>
           if (id % 2 == 0) {
             val w = (6 + id % 5).toInt
             val h = (5 + (id / 2) % 4).toInt
@@ -314,7 +331,6 @@ object Pipeline10 {
               graft.sources.Gif.encodeGif(w, h, rgb), Map.empty)
           }
         }
-      }
     Multimodal.imageStats(media, Multimodal.BinaryDecoder)
       .toDF("doc_id", "width", "height", "px_min", "px_max",
         "px_sum", "px_sum_sq")
@@ -352,25 +368,21 @@ object Pipeline10 {
     * order. Emitted as the 64-char bit string (MSB first) to keep
     * the sign bit printable. */
   def imageAHash(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .mapPartitions { ids =>
-        ids.map { id =>
-          val w = 8 * (1 + id % 3).toInt
-          val h = 8 * (1 + id % 2).toInt
-          val bw = w / 8; val bh = h / 8
-          val rgb = new Array[Int](w * h * 3)
-          var i = 0
-          while (i < w * h) {
-            val b = ((i / w) / bh) * 8 + (i % w) / bw
-            val v = ((id * 37 + b.toLong * 13) % 256).toInt
-            rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
-            i += 1
-          }
-          Multimodal.MediaRow(id, "image",
-            graft.sources.Gif.encodeGif(w, h, rgb), Map.empty)
-        }
+    val media = mediaFixture(s, d, "ahash_gif") { id =>
+      val w = 8 * (1 + id % 3).toInt
+      val h = 8 * (1 + id % 2).toInt
+      val bw = w / 8; val bh = h / 8
+      val rgb = new Array[Int](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val b = ((i / w) / bh) * 8 + (i % w) / bw
+        val v = ((id * 37 + b.toLong * 13) % 256).toInt
+        rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+        i += 1
       }
+      Multimodal.MediaRow(id, "image",
+        graft.sources.Gif.encodeGif(w, h, rgb), Map.empty)
+    }
     Multimodal.aHash64(media, Multimodal.BinaryDecoder)
       .toDF("doc_id", "width", "height", "ahash")
       .select(col("doc_id"), col("width"), col("height"),
@@ -407,7 +419,7 @@ object Pipeline10 {
     * 63-bit base pattern, each member XOR-flips up to 3 positions —
     * a pure integer bit formula both the Spark side and the DuckDB
     * oracles recompute identically. */
-  private def fpHashes(s: SparkSession, d: String): DataFrame = {
+  private[queries] def fpHashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id"), col("source"))
       .as[(Long, String)]
@@ -591,25 +603,21 @@ object Pipeline10 {
     * reproduces every bit; emitted as the 64-char bit string like
     * q140. */
   def imageDHash(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .mapPartitions { ids =>
-        ids.map { id =>
-          val w = 9 * (1 + id % 2).toInt
-          val h = 8 * (1 + id % 3).toInt
-          val bw = w / 9; val bh = h / 8
-          val rgb = new Array[Int](w * h * 3)
-          var i = 0
-          while (i < w * h) {
-            val b = ((i / w) / bh) * 9 + (i % w) / bw
-            val v = ((id * 41 + b.toLong * 17) % 256).toInt
-            rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
-            i += 1
-          }
-          Multimodal.MediaRow(id, "image",
-            graft.sources.Gif.encodeGif(w, h, rgb), Map.empty)
-        }
+    val media = mediaFixture(s, d, "dhash_gif") { id =>
+      val w = 9 * (1 + id % 2).toInt
+      val h = 8 * (1 + id % 3).toInt
+      val bw = w / 9; val bh = h / 8
+      val rgb = new Array[Int](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val b = ((i / w) / bh) * 9 + (i % w) / bw
+        val v = ((id * 41 + b.toLong * 17) % 256).toInt
+        rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+        i += 1
       }
+      Multimodal.MediaRow(id, "image",
+        graft.sources.Gif.encodeGif(w, h, rgb), Map.empty)
+    }
     Multimodal.dHash64(media, Multimodal.BinaryDecoder)
       .toDF("doc_id", "width", "height", "dhash")
       .select(col("doc_id"), col("width"), col("height"),
@@ -653,7 +661,9 @@ object Pipeline10 {
     val index = graft.operators.BandIndexStore.read(s, path)
     val batch = hashes.where(col("source") =!= "src0")
     val cands = graft.operators.Dedup.incrementalHammingCandidates(
-      batch, "doc_id", "h", index, maxDist = 6)
+      batch, "doc_id", "h", index, maxDist = 6,
+      corpusHashes = Some(hashes.where(col("source") === "src0")
+        .select(col("doc_id"), col("h"))))
     // exact verify against the hash table (the index stores bands
     // only): ≤ candidate-count integer xor/popcounts
     val bh = batch.select(col("doc_id").as("batch_id"),

@@ -11,21 +11,29 @@ package graft.queries
   * (kind, data dir) so different scale factors never share;
   * [[graft.tools.Scratch]] dirs clean up at JVM exit.
   *
-  * `computeIfAbsent` (not a lazy map insert-after-build): the store
-  * writers are single-writer protocols, so a second caller of the
-  * same key must BLOCK until the first build commits rather than
-  * racing a concurrent write onto the same path. */
+  * Concurrency: the store writers are single-writer protocols, so a
+  * second caller of the same key must BLOCK until the first build
+  * commits rather than racing a concurrent write onto the same path
+  * — but the Spark build itself must NOT run under the map's bin
+  * lock (a minutes-long build there would stall unrelated keys that
+  * hash to the same bin, and a build that transitively asked for
+  * another key could throw `recursive update`). So `computeIfAbsent`
+  * only inserts a cheap per-key holder; the build runs under the
+  * HOLDER's own lazy-initialization lock, outside the map. A build
+  * that fails leaves the holder cached and is retried (into a fresh
+  * scratch dir) on the next call. */
 private[queries] object StoreOnce {
+  private final class Holder(f: () => String) { lazy val path: String = f() }
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Holder]()
 
   /** The committed store path for `kind` over `d`, building it via
     * `build` exactly once per JVM; concurrent callers of the same
-    * key wait for the one build. */
+    * key wait for the one build, callers of other keys never wait. */
   def dir(kind: String, d: String)(build: String => Unit): String =
-    cache.computeIfAbsent((kind, d), _ => {
+    cache.computeIfAbsent((kind, d), _ => new Holder(() => {
       val p = graft.tools.Scratch.dir(s"graft_$kind")
       build(p)
       p
-    })
+    })).path
 }

@@ -52,8 +52,15 @@ object ClassicPgLoad {
       PgClassic.createDdl(t, schema, postgis, tablespace) + ";")
     val lines = PgClassic.copyLines(
       PgClassic.copyFrame(df, t, hstoreAll, postgis), t, postgis)
-    PgLive.copyInto(dsn, qualified(t, schema),
-      lines.toLocalIterator().asScala)
+    // bulk path: N concurrent per-partition COPY writers over the
+    // pure-JVM wire client when the DSN is wire-connectable; psql
+    // keeps the exotic libpq forms (service files, SSL parameter
+    // combinations) working as the fallback
+    if (PgWire.reachable(dsn))
+      PgWire.copyPartitioned(lines, dsn, qualified(t, schema))
+    else
+      PgLive.copyInto(dsn, qualified(t, schema),
+        lines.toLocalIterator().asScala)
     PgClassic.postLoadDdl(t, slim, schema, postgis, hstoreIndex,
       tablespaceIndex)
       .foreach(d => PgLive.execOrThrow(dsn, d + ";"))

@@ -16,10 +16,11 @@ import graft.flex.{FlexColumn, FlexTableDef, FlexType}
   *    load, then indexes + ANALYZE at the end (late indexing,
   *    src/flex-table.hpp:189-208) — index-after-load is the same
   *    bulk-load trick at any scale;
-  *  - load path: one writer per partition batching multi-row INSERTs
-  *    (COPY-protocol parity needs the pgjdbc CopyManager, which is not
-  *    on this classpath; the batching/flush structure
-  *    (src/db-copy.hpp:140-163) is the same);
+  *  - load path: one writer per partition streaming COPY FROM STDIN
+  *    over the pure-JVM wire client ([[PgWire]], [[writeCopy]]) — the
+  *    reference's actual bulk protocol (src/db-copy.cpp) with no
+  *    driver funnel; a generic-JDBC multi-row INSERT path ([[write]])
+  *    remains for non-PostgreSQL targets;
   *  - append deletes: batched `DELETE ... WHERE id = ANY(?)` before
   *    insert (db_deleter_by_id_t, src/db-copy.hpp:76-99).
   *
@@ -393,9 +394,27 @@ object PgSink {
     } else url("localhost", "5432", trimmed, Nil)
   }
 
-  /** Distributed load: one connection + prepared statement per
-    * partition, executeBatch every `batchSize` rows (the COPY-buffer
-    * flush cadence, src/db-copy.hpp:140-163). */
+  /** Distributed COPY load — the reference's wire protocol at the
+    * cluster topology: executors format COPY TEXT lines
+    * ([[copyLines]]) and each PARTITION streams its own
+    * `COPY … FROM STDIN` over one [[PgWire]] connection (pure-JVM
+    * protocol v3 — no psql subprocess, no JDBC driver), so an
+    * N-partition load is N concurrent COPY writers, the shape the
+    * reference's --number-processes fan-out approximates on one box
+    * (src/db-copy.cpp:170-210). Returns the total rows the server
+    * acknowledged (Σ per-partition COPY tags — a load that drops
+    * rows cannot return quietly). The table must already exist
+    * ([[createTableDdl]]); run [[postLoadDdl]] after. */
+  def writeCopy(df: DataFrame, t: FlexTableDef, dsn: String,
+      schema: String = "public", postgis: Boolean = true): Long =
+    PgWire.copyPartitioned(copyLines(df, t, postgis), dsn,
+      s""""$schema"."${t.name}"""")
+
+  /** Distributed load over generic JDBC: one connection + prepared
+    * statement per partition, executeBatch every `batchSize` rows
+    * (the COPY-buffer flush cadence, src/db-copy.hpp:140-163).
+    * [[writeCopy]] is the PostgreSQL-native path; this one remains
+    * for targets that only speak JDBC. */
   def write(df: DataFrame, t: FlexTableDef, jdbcUrl: String,
       batchSize: Int = 10000): Unit = {
     val sql = insertSql(t)

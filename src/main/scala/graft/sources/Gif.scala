@@ -154,6 +154,17 @@ object Gif {
       i += 1
     }
     put(cur, width)
+    // The decoder assigns one more dictionary slot AFTER reading the
+    // final data code (prefix = previous string, first pixel of cur)
+    // and widens when that slot lands on (1 << width) - 1 — i.e. when
+    // our next-free counter equals 1 << width. EOI must be written at
+    // the width the decoder will READ it at, so mirror that phantom
+    // assignment here. (No phantom when the final code was the first
+    // after clear/start: there next == eoi + 1 = 2^minCode + 2, which
+    // can never equal 2^(minCode+1) for the spec minimum minCode ≥ 2;
+    // and at a full table width is already 12, so the < 12 guard
+    // matches the decoder's skipped assignment.)
+    if (next == (1 << width) && width < 12) width += 1
     put(eoi, width)
     if (bitCnt > 0) raw.write((bitBuf & 0xff).toInt)
 
@@ -308,7 +319,14 @@ object Gif {
         bitCnt += 8
         pos += 1
       }
-      require(bitCnt >= width, "truncated LZW stream (no EOI)")
+      if (bitCnt < width) {
+        // Bit exhaustion with every pixel already decoded = implicit
+        // EOI: tolerated (defensively — real-world encoders exist
+        // that miscount the EOI width; a truncated PAYLOAD still
+        // fails the pixel-count check below).
+        require(outPos == nPixels, "truncated LZW stream (no EOI)")
+        done = true
+      } else {
       val code = (bitBuf & ((1L << width) - 1)).toInt
       bitBuf >>>= width
       bitCnt -= width
@@ -339,6 +357,7 @@ object Gif {
           next += 1
         }
         prev = code
+      }
       }
     }
     require(outPos == nPixels,

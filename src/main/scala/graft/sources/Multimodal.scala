@@ -278,6 +278,57 @@ object Multimodal {
     }.toDF("id", "frame", "frame_bytes")
   }
 
+  final case class ShotFrame(
+      id: Long,
+      frame: Int,
+      /** exact integer Σ|Δ| of the decoded plane vs the previous
+        * frame (0 for frame 0) */
+      diff: Long,
+      isKeyframe: Boolean)
+
+  /** Shot-boundary detection — the frame sampler real video
+    * pipelines use instead of every-Nth ([[sampleFrames]]): decode
+    * consecutive frames, compute the exact integer sum of absolute
+    * per-pixel deltas, and open a new shot wherever the diff exceeds
+    * `threshold` (frame 0 always opens one). Emits one row per frame
+    * with its diff and keyframe flag, so downstream can keep only
+    * keyframes (decode-heavy featurization runs on shots, not
+    * frames). One map-only pass per video — per-row cost linear in
+    * the video length, no shuffle; at 100 TB this scales exactly
+    * like the decode itself. Unlike [[sampleFrames]] the pixels must
+    * be decoded here (the diff is a pixel statistic), which is why
+    * the two compose: shot-sample first where boundaries matter,
+    * every-Nth where they don't. */
+  def videoShotBoundaries(media: Dataset[MediaRow], threshold: Long,
+      decoder: Decoder = BinaryDecoder): Dataset[ShotFrame] = {
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.mediaType != "video") Nil
+        else {
+          val (_, _, _, frames) = Avi.decodeMjpeg(r.bytes)
+          var prev: Array[Float] = null
+          frames.iterator.zipWithIndex.map { case (fb, i) =>
+            val (_, _, plane) = decoder.decode("image", fb)
+            var diff = 0L
+            if (prev != null) {
+              require(plane.length == prev.length,
+                s"frame $i geometry changed mid-video (id ${r.id})")
+              var j = 0
+              while (j < plane.length) {
+                diff += math.abs(plane(j).toLong - prev(j).toLong)
+                j += 1
+              }
+            }
+            prev = plane
+            ShotFrame(r.id, i, diff, i == 0 || diff > threshold)
+          }.toVector
+        }
+      }
+    }
+  }
+
   final case class ImageStats(
       id: Long,
       width: Int,
@@ -417,6 +468,73 @@ object Multimodal {
       /** lag-1 autocorrelation Σ v_j·v_{j+1} — exact (the classic
         * integer pitch/voicing feature) */
       ac1: Long)
+
+  final case class AudioSpectral(
+      id: Long,
+      frame: Int,
+      n: Int,
+      /** Goertzel bin powers at w = π/3, π/2, 2π/3 (bins fs/6, fs/4,
+        * fs/3) — exact integers */
+      ePi3: Long,
+      ePi2: Long,
+      e2Pi3: Long)
+
+  /** Exact-integer single-bin spectral energies via the Goertzel
+    * recurrence (a public textbook algorithm): for the three angular
+    * frequencies whose coefficient 2·cos(w) is an INTEGER — w = π/3
+    * (c = 1), π/2 (c = 0), 2π/3 (c = −1), i.e. bins at fs/6, fs/4,
+    * fs/3 — the recurrence s[n] = x[n] + c·s[n−1] − s[n−2] stays in
+    * exact integer arithmetic, and the bin power |X|² = s₁² + s₂² −
+    * c·s₁·s₂ is an exact integer too, so — unlike a float FFT — the
+    * oracle can recompute it bit for bit (q149). Framing, downmix,
+    * and the map-only scale contract exactly as
+    * [[audioFrameFeatures]]. Magnitudes: |s| ≤ frameSize·maxAmp
+    * (|c| ≤ 1), so 16-bit audio at any sane frame size stays far
+    * inside int64. */
+  def audioSpectral(media: Dataset[MediaRow],
+      frameSize: Int): Dataset[AudioSpectral] = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    import media.sparkSession.implicits._
+    val coeffs = Array(1, 0, -1)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (_, ch, samples) = Codecs.decodeWav(r.bytes)
+        val nSamp = samples.length / ch
+        val mono = new Array[Int](nSamp)
+        var i = 0
+        while (i < nSamp) {
+          var s = 0; var c = 0
+          while (c < ch) { s += samples(i * ch + c); c += 1 }
+          mono(i) = s
+          i += 1
+        }
+        val out = Seq.newBuilder[AudioSpectral]
+        var start = 0
+        var fi = 0
+        while (start < mono.length) {
+          val end = math.min(start + frameSize, mono.length)
+          val e = new Array[Long](coeffs.length)
+          var k = 0
+          while (k < coeffs.length) {
+            val c = coeffs(k)
+            var s1 = 0L; var s2 = 0L
+            var j = start
+            while (j < end) {
+              val s0 = mono(j) + c * s1 - s2
+              s2 = s1; s1 = s0
+              j += 1
+            }
+            e(k) = s1 * s1 + s2 * s2 - c * s1 * s2
+            k += 1
+          }
+          out += AudioSpectral(r.id, fi, end - start, e(0), e(1), e(2))
+          start = end
+          fi += 1
+        }
+        out.result()
+      }
+    }
+  }
 
   /** Frame-level audio features over PCM WAV payloads — the audio
     * analog of image feature extraction, and the statistics an audio

@@ -417,16 +417,56 @@ object Streams {
     * with the same 100%-recall-by-construction guarantee (every pair
     * within maxDist shares an exact band). Append mode, NO streaming
     * state; exact `bit_count(xor)` verification is the consumer's
-    * per-batch step, same contract as [[indexProbeStream]]. */
+    * per-batch step, same contract as [[indexProbeStream]].
+    *
+    * Hot-band guard (the static half of
+    * [[graft.operators.Dedup.incrementalHammingCandidates]]'s guard —
+    * the stream side is per-row, so only the INDEX side can be
+    * bounded here): with `corpusHashes` supplied, index bands holding
+    * more than `maxBandDf` rows are pre-deduplicated to one row per
+    * DISTINCT corpus hash before the stream-static join, and matches
+    * through those representative rows are re-expanded through the
+    * index's own rows afterwards (static-static join — tombstoned ids
+    * can never resurface). Exact: recall stays 100% either way. */
   def hashProbeStream(hashes: DataFrame, idCol: String,
-      hashCol: String, index: DataFrame, maxDist: Int = 3): DataFrame = {
+      hashCol: String, index: DataFrame, maxDist: Int = 3,
+      corpusHashes: Option[DataFrame] = None,
+      maxBandDf: Long = 100000): DataFrame = {
     val probe = graft.operators.Dedup
       .hammingBands(hashes, idCol, hashCol, maxDist)
       .select(col("id").as("new_id"), col("band"))
-    probe.join(index.select(col("id").as("indexed_id"), col("band")),
-        "band")
-      .where(col("new_id") =!= col("indexed_id"))
-      .select(col("new_id"), col("indexed_id"), col("band"))
+    val idx = index.select(col("id").as("indexed_id"), col("band"))
+    corpusHashes match {
+      case None =>
+        probe.join(idx, "band")
+          .where(col("new_id") =!= col("indexed_id"))
+          .select(col("new_id"), col("indexed_id"), col("band"))
+      case Some(ch0) =>
+        // contract: first column = id, second = 64-bit hash
+        val ch = ch0.select(
+          col(ch0.columns.head).cast("long").as("indexed_id"),
+          col(ch0.columns(1)).cast("long").as("chash"))
+        val hot = idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
+          .where(col("n") > maxBandDf).select(col("band"))
+        val cold = idx.join(broadcast(hot), Seq("band"), "left_anti")
+          .withColumn("grp", lit(null).cast("long"))
+        val hotIdxH = idx.join(broadcast(hot), Seq("band"), "left_semi")
+          .join(ch, Seq("indexed_id")) // (indexed_id, band, chash)
+        val hotRep = hotIdxH.groupBy(col("band"), col("chash"))
+          .agg(min(col("indexed_id")).as("indexed_id"))
+          .select(col("indexed_id"), col("band"),
+            col("chash").as("grp"))
+        val joined = probe.join(cold.unionByName(hotRep), "band")
+        val direct = joined.where(col("grp").isNull)
+          .select(col("new_id"), col("indexed_id"), col("band"))
+        val expanded = joined.where(col("grp").isNotNull)
+          .drop("indexed_id")
+          .join(hotIdxH.select(col("band"), col("chash").as("grp"),
+            col("indexed_id")), Seq("band", "grp"))
+          .select(col("new_id"), col("indexed_id"), col("band"))
+        direct.unionByName(expanded)
+          .where(col("new_id") =!= col("indexed_id"))
+    }
   }
 
   /** Continuous ANN serving against the persisted [[graft.operators

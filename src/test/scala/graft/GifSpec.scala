@@ -108,6 +108,83 @@ class GifSpec extends AnyFunSuite {
     assert(rgb.sameElements(Array.tabulate(12)(_ * 3)))
   }
 
+  test("round-trip: EOI lands exactly on a width boundary (regression)") {
+    // 15-pixel 3-color image whose final dictionary slot the DECODER
+    // assigns (after the last data code) is (1 << width) - 1, so EOI
+    // is read one bit wider than the pre-fix encoder wrote it; with
+    // the w-bit EOI exactly filling the last byte this threw
+    // 'truncated LZW stream (no EOI)' on a valid self-encoded GIF.
+    val idx = Array(0, 0, 1, 2, 2, 2, 1, 0, 0, 1, 0, 2, 1, 2, 2)
+    val colors = Array(Array(10, 20, 30), Array(40, 50, 60),
+      Array(70, 80, 90))
+    rt(5, 3, idx.flatMap(colors))
+  }
+
+  test("round-trip property: randomized images across palette sizes") {
+    // seeded (deterministic) fuzz over the regime that found the EOI
+    // width bug: small images, small palettes, so the final-slot
+    // position relative to width boundaries varies freely
+    val rnd = new scala.util.Random(0x6f1d13L)
+    for (iter <- 0 until 400) {
+      val w = 1 + rnd.nextInt(12)
+      val h = 1 + rnd.nextInt(12)
+      val nColors = 1 + rnd.nextInt(8)
+      val colors = Array.tabulate(nColors)(c =>
+        Array(c * 29 % 256, c * 31 % 256, c * 37 % 256))
+      val px = Array.fill(w * h)(rnd.nextInt(nColors)).flatMap(colors)
+      withClue(s"iter=$iter ${w}x$h colors=$nColors: ") {
+        rt(w, h, px, interlaced = iter % 5 == 0)
+      }
+    }
+    // larger palettes / larger images too (width transitions 3→9)
+    for (iter <- 0 until 60) {
+      val w = 8 + rnd.nextInt(40)
+      val h = 8 + rnd.nextInt(40)
+      val nColors = 2 + rnd.nextInt(255)
+      val colors = Array.tabulate(nColors)(c =>
+        Array(c % 256, (c * 7 + 1) % 256, (c * 13 + 5) % 256))
+      val px = Array.fill(w * h)(rnd.nextInt(nColors)).flatMap(colors)
+      withClue(s"big iter=$iter ${w}x$h colors=$nColors: ") {
+        rt(w, h, px)
+      }
+    }
+  }
+
+  test("conformance: the JDK ImageIO GIF reader decodes our streams") {
+    // independent-decoder check: the EOI-width regression produced
+    // streams OUR tolerant decoder accepts but a strict spec decoder
+    // need not; ImageIO is a third-party implementation, so agreement
+    // here pins the wire format, not just self-consistency
+    val rnd = new scala.util.Random(0xced5caL)
+    for (iter <- 0 until 120) {
+      val w = 1 + rnd.nextInt(16)
+      val h = 1 + rnd.nextInt(16)
+      val nColors = 1 + rnd.nextInt(12)
+      val colors = Array.tabulate(nColors)(c =>
+        Array(c * 19 % 256, c * 23 % 256, c * 41 % 256))
+      val px = Array.fill(w * h)(rnd.nextInt(nColors)).flatMap(colors)
+      val bytes = Gif.encodeGif(w, h, px)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"iter=$iter: ImageIO returned null")
+      assert((img.getWidth, img.getHeight) == (w, h), s"iter=$iter dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val i = y * w + x
+        assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) ==
+          ((px(3 * i), px(3 * i + 1), px(3 * i + 2))),
+          s"iter=$iter pixel ($x,$y)")
+      }
+    }
+    // and the exact EOI-boundary regression image
+    val idx = Array(0, 0, 1, 2, 2, 2, 1, 0, 0, 1, 0, 2, 1, 2, 2)
+    val colors = Array(Array(10, 20, 30), Array(40, 50, 60),
+      Array(70, 80, 90))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Gif.encodeGif(5, 3, idx.flatMap(colors))))
+    assert(img != null && img.getWidth == 5 && img.getHeight == 3)
+  }
+
   test("BinaryDecoder sniffs GIF and sums channels exactly") {
     val px = Array.tabulate(6 * 4 * 3)(j => (j * 5) % 64)
     val bytes = Gif.encodeGif(6, 4, px)

@@ -186,6 +186,116 @@ class PgLiveSpec extends SparkSpecBase {
     }
   }
 
+  test("PgWire: pure-JVM protocol-v3 exec/query/COPY against the live server") {
+    import graft.sinks.PgWire
+    val dsn = PgTestCluster.dsn
+    assert(PgWire.reachable(dsn), "wire client cannot reach the cluster")
+    val c = PgWire.connect(dsn)
+    try {
+      assert(c.parameters.get("server_encoding").contains("UTF8"))
+      c.exec("CREATE EXTENSION IF NOT EXISTS hstore;")
+      c.exec("""DROP TABLE IF EXISTS "public"."graft_wire";""")
+      c.exec(PgSink.createTableDdl(tableDef.copy(name = "graft_wire"),
+        unlogged = true))
+      // COPY FROM STDIN over raw CopyData frames — every escape class
+      val n = c.copyIn("COPY \"public\".\"graft_wire\" FROM STDIN",
+        wireLines.iterator)
+      assert(n == rows.size, s"server acknowledged $n rows")
+      // the wire query cycle reads the nasty values back verbatim
+      val back = c.query("SELECT \"name\" FROM \"public\".\"graft_wire\" " +
+        "ORDER BY \"osm_id\"")
+      assert(back.map(_.head) == rows.map(_._2))
+      for ((id, _, tags, _, _) <- rows; (k, v) <- tags) {
+        val kq = k.replace("'", "''")
+        val got = c.query("SELECT \"tags\" -> " + s"'$kq'::text " +
+          s"FROM \"public\".\"graft_wire\" WHERE \"osm_id\" = $id")
+        assert(got == Seq(Seq(Some(v))), s"hstore[$k] for id=$id")
+      }
+      // errors carry the server's message and leave the connection usable
+      val ex = intercept[java.io.IOException](c.exec("SELECT nope();"))
+      assert(ex.getMessage.contains("nope"))
+      assert(c.query("SELECT 41 + 1") == Seq(Seq(Some("42"))))
+      // a refused COPY (missing table) is loud, then usable again
+      val ex2 = intercept[java.io.IOException](c.copyIn(
+        "COPY \"public\".\"graft_wire_missing\" FROM STDIN", Iterator("x")))
+      assert(ex2.getMessage.contains("graft_wire_missing"))
+      assert(c.query("SELECT 1") == Seq(Seq(Some("1"))))
+    } finally c.close()
+  }
+
+  test("PgSink.writeCopy: per-partition wire COPY, identical to an INSERT load") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, map_from_entries}
+    import graft.sinks.PgWire
+    val df = rows.toDF("osm_id", "name", "tags", "population", "ok")
+      .withColumn("tags", map_from_entries(col("tags")))
+      .repartition(2) // two partitions = two concurrent COPY writers
+    val c = PgWire.connect(PgTestCluster.dsn)
+    try {
+      c.exec("CREATE EXTENSION IF NOT EXISTS hstore;")
+      for (t <- Seq("graft_wirecopy", "graft_insert")) {
+        c.exec(s"""DROP TABLE IF EXISTS "public"."$t";""")
+        c.exec(PgSink.createTableDdl(tableDef.copy(name = t),
+          unlogged = true))
+      }
+      val n = PgSink.writeCopy(df, tableDef.copy(name = "graft_wirecopy"),
+        PgTestCluster.dsn)
+      assert(n == rows.size, s"writeCopy acknowledged $n rows")
+      // the same rows through a multi-row INSERT (SQL literals), then
+      // byte-identical COPY TO dumps of both tables
+      def lit(s: String) = "'" + s.replace("'", "''") + "'"
+      val values = rows.map { case (id, name, tags, pop, ok) =>
+        val hs =
+          if (tags.isEmpty) "''::hstore"
+          else s"hstore(ARRAY[${tags.map(t => lit(t._1)).mkString(",")}]," +
+            s" ARRAY[${tags.map(t => lit(t._2)).mkString(",")}])"
+        s"($id, ${name.map(lit).getOrElse("NULL")}, $hs, " +
+          s"${pop.map(_.toString).getOrElse("NULL")}, " +
+          s"${ok.map(_.toString).getOrElse("NULL")})"
+      }.mkString(", ")
+      c.exec("INSERT INTO \"public\".\"graft_insert\" " +
+        s"""("osm_id", "name", "tags", "population", "ok") VALUES $values""")
+      def dump(t: String) = copyOut("SELECT \"osm_id\", \"name\", " +
+        "\"tags\", \"population\", \"ok\" FROM \"public\".\"" + t +
+        "\" ORDER BY \"osm_id\"")
+      assert(dump("graft_wirecopy") == dump("graft_insert"),
+        "COPY-wire and INSERT loads diverged")
+    } finally c.close()
+  }
+
+  test("PgWire: SCRAM-SHA-256 and md5 authentication against the live server") {
+    import graft.sinks.PgWire
+    // password-protected roles, each pinned to its auth method by a
+    // first-match pg_hba rule (trust stays in place for everyone else)
+    psql("DROP ROLE IF EXISTS graft_scram;")
+    psql("CREATE ROLE graft_scram LOGIN PASSWORD 'wire-secret';")
+    psql("DROP ROLE IF EXISTS graft_md5;")
+    psql("SET password_encryption = 'md5'; " +
+      "CREATE ROLE graft_md5 LOGIN PASSWORD 'md5-secret';")
+    val hba = s"${PgTestCluster.dataDir}/pg_hba.conf"
+    pg(s"grep -q graft_scram $hba || " +
+      s"sed -i '1i local all graft_scram scram-sha-256' $hba")
+    pg(s"grep -q graft_md5 $hba || sed -i '1i local all graft_md5 md5' $hba")
+    pg(s"pg_ctl -D ${PgTestCluster.dataDir} reload")
+    def dsn(user: String, pw: String) =
+      s"host=${PgTestCluster.sockDir} dbname=postgres user=$user password=$pw"
+    // wrong password is refused with the server's message
+    val ex = intercept[java.io.IOException](
+      PgWire.connect(dsn("graft_scram", "wrong")))
+    assert(ex.getMessage.toLowerCase.contains("password"))
+    // RFC 7677 SCRAM-SHA-256 exchange end to end (incl. server
+    // signature verification in the client)
+    val cs = PgWire.connect(dsn("graft_scram", "wire-secret"))
+    try assert(cs.query("SELECT current_user") ==
+      Seq(Seq(Some("graft_scram"))))
+    finally cs.close()
+    // the md5(md5(password + user) + salt) branch
+    val cm = PgWire.connect(dsn("graft_md5", "md5-secret"))
+    try assert(cm.query("SELECT current_user") ==
+      Seq(Seq(Some("graft_md5"))))
+    finally cm.close()
+  }
+
   test("append mode: delete-before-insert replaces changed ids only") {
     // the JDBC deleteSql text with its ANY(?) placeholder bound to a
     // pg array literal — semantics identical to the prepared path

@@ -231,6 +231,92 @@ class PipelineOps5Spec extends SparkSpecBase {
       .deleteDirectory(new java.io.File(path))
   }
 
+  test("hamming hot-band guard: adversarial flat-image corpus, exact at every cap") {
+    // the corpus shape image dedup exists for: 30% of the corpus is
+    // ONE identical fingerprint (blank thumbnails), plus noisy
+    // clusters — with a tiny cap EVERY band goes hot, forcing both
+    // the identical-hash fast path and the level-2 sub-band routing
+    val flat = (0L until 30L).map(id => (id, 0x5a5a5a5a5a5a5aL))
+    val noisy = (30L until 90L).map { id =>
+      val g = id / 3
+      var h = 0L
+      (0 until 63).foreach { i =>
+        if ((g * 29 + i * 13) % 7 == 0) h |= 1L << i
+      }
+      (0 until (id % 3).toInt).foreach { f =>
+        h ^= 1L << ((id * 7 + f * 19) % 63).toInt
+      }
+      (id, h)
+    }
+    val all = flat ++ noisy
+    val want = (for {
+      (a, ha) <- all; (b, hb) <- all; if a < b
+      d = java.lang.Long.bitCount(ha ^ hb); if d <= 4
+    } yield (a, b) -> d).toMap
+    assert(want.size > 500) // the flat block alone is 435 true pairs
+    val df = all.toDF("id", "h")
+    // identical results at a forcing cap, a mid cap, and the default
+    Seq(1L, 5L, 100000L).foreach { cap =>
+      val got = graft.operators.Dedup
+        .hammingNearDup(df, "id", "h", maxDist = 4, maxBandDf = cap)
+        .as[(Long, Long, Int)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      assert(got == want, s"cap=$cap: guard changed the result")
+    }
+    // maxDist = 0 degenerates to the identical-hash join only
+    val d0 = graft.operators.Dedup
+      .hammingNearDup(df, "id", "h", maxDist = 0)
+      .as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(d0 == want.filter(_._2 == 0))
+    assert(d0.size >= 30 * 29 / 2) // at least the flat block
+  }
+
+  test("incremental hamming guard: exact at a forcing cap; geometry mismatch refused") {
+    import graft.operators.BandIndexStore
+    def mkHash(id: Long): Long = {
+      if (id % 5 == 0) 0x1111111111111L // flat block → hot bands
+      else {
+        var h = 0L
+        (0 until 63).foreach { i =>
+          if (((id / 4) * 23 + i * 11) % 6 == 0) h |= 1L << i
+        }
+        h ^ (1L << (id % 63).toInt)
+      }
+    }
+    val corpus = (0L until 50L).map(id => (id, mkHash(id)))
+    val batch = (50L until 80L).map(id => (id, mkHash(id)))
+    val path = java.nio.file.Files
+      .createTempDirectory("fpidx_guard").toString
+    try {
+      BandIndexStore.writeBands(
+        Dedup.hammingBands(corpus.toDF("id", "h"), "id", "h", 4), path)
+      val index = BandIndexStore.read(spark, path)
+      val want = (for {
+        (b, hb) <- batch; (c, hc) <- corpus
+        if java.lang.Long.bitCount(hb ^ hc) <= 4
+      } yield (b, c)).toSet
+      // candidate SUPERSET must hold at every cap, with and without
+      // the corpus hash table
+      val chs = Seq(None, Some(corpus.toDF("id", "h")))
+      for (cap <- Seq(1L, 100000L); ch <- chs) {
+        val cands = Dedup.incrementalHammingCandidates(
+          batch.toDF("id", "h"), "id", "h", index, maxDist = 4,
+          corpusHashes = ch, maxBandDf = cap)
+          .as[(Long, Long)].collect().toSet
+        want.foreach(p =>
+          assert(cands.contains(p), s"cap=$cap ch=${ch.isDefined}: missed $p"))
+      }
+      // probing with the wrong maxDist is refused loudly, not empty
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.incrementalHammingCandidates(
+          batch.toDF("id", "h"), "id", "h", index, maxDist = 3).count()
+      }
+      assert(ex.getMessage.contains("banded with maxDist 4"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(path))
+  }
+
   test("WHT rotation: exact driver parity, dot preservation, involution") {
     import graft.functions.VectorFunctions.quantize
     import graft.expressions.VectorExpressions.whtRotateN

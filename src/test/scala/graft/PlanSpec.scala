@@ -288,9 +288,11 @@ class PlanSpec extends SparkSpecBase {
     // (IvfSqIndexStore.probeCandidates Scaladoc); q135 adds the
     // semi-join exact refine over the bounded shortlist
     "q134_ivfsq_topk", "q135_ivfsq_rerank",
-    // single-row broadcast corpus stats (N, avgdl / doc count / Σw)
+    // single-row broadcast corpus stats (N, avgdl / doc count / Σw;
+    // q148's is the 1-row train-vocab size V — the count joins are
+    // hash equi-joins, TextAnalysis.ngramLmPerplexity Scaladoc)
     "q70_term_relevance", "q90_bm25_retrieval", "q79_temperature_mix",
-    "q102_importance_sample",
+    "q102_importance_sample", "q148_lm_perplexity",
     // documented exact-verify small path; srpBlockedNearDup (q78,
     // equi-join, no BNLJ) is the scale route (Dedup.scala:393-399)
     "q21_embedding_neardup")
