@@ -39,6 +39,13 @@ object Pipeline10 {
     import s.implicits._
     val path = StoreOnce.dir(s"fixture_$name", d) { p =>
       Tables.documents(s, d).select(col("doc_id")).as[Long]
+        // media DECODE cost scales with row count, not encoded bytes:
+        // a size-based split of the (tiny) parquet would funnel the
+        // whole decode through one task, so spread the rows across
+        // the cluster's cores at write time (measured: q140 3×
+        // faster; the same rule any 100 TB media table needs — see
+        // COVERAGE round 13)
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.map(gen))
         // overwrite: Scratch.dir pre-creates the (empty) directory
         .write.mode("overwrite").parquet(p)
@@ -174,6 +181,8 @@ object Pipeline10 {
   def videoFrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // codec cost scales with rows, not bytes: spread across cores
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 8 * (2 + id % 3).toInt
@@ -230,6 +239,8 @@ object Pipeline10 {
   def audioFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // codec cost scales with rows, not bytes: spread across cores
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { id =>
           val n = (24 + id % 16).toInt
@@ -276,6 +287,8 @@ object Pipeline10 {
   def gifDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // codec cost scales with rows, not bytes: spread across cores
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { id =>
           val w = (5 + id % 6).toInt

@@ -30,6 +30,8 @@ object Pipeline9 {
   def mediaDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // codec cost scales with rows, not bytes: spread across cores
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { id =>
           val m = (id % 7).toInt
@@ -352,6 +354,8 @@ object Pipeline9 {
   def jpegDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // codec cost scales with rows, not bytes: spread across cores
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 8 * (2 + id % 3).toInt
@@ -398,6 +402,8 @@ object Pipeline9 {
   def jpegColor(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // codec cost scales with rows, not bytes: spread across cores
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 8 * (2 + id % 4).toInt
@@ -450,6 +456,8 @@ object Pipeline9 {
   def jpegProgressive(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // codec cost scales with rows, not bytes: spread across cores
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 8 * (2 + id % 3).toInt

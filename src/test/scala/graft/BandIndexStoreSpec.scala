@@ -267,6 +267,53 @@ class BandIndexStoreSpec extends SparkSpecBase {
     } finally rm(path)
   }
 
+  test("a fingerprint stream probes the maintained hash index (both guard paths)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def mkHash(seed: Long): Long = {
+      var h = 0L
+      (0 until 63).foreach { i =>
+        if ((seed * 19 + i * 13) % 6 == 0) h |= 1L << i
+      }
+      h
+    }
+    // corpus: ids 1-2 share a fingerprint (the hot-band shape), 3 is
+    // distinct; id 2 gets tombstoned before the stream starts
+    val corpus = Seq((1L, mkHash(7)), (2L, mkHash(7)), (3L, mkHash(40)))
+    for (cap <- Seq(100000L, 1L)) { // default and forcing-hot caps
+      val path = tmp()
+      try {
+        BandIndexStore.writeBands(Dedup.hammingBands(
+          corpus.toDF("id", "h"), "id", "h", maxDist = 3), path,
+          buckets = 8)
+        BandIndexStore.appendBands(spark, path,
+          Dedup.hammingBands(Seq((4L, mkHash(7) ^ 3L)).toDF("id", "h"),
+            "id", "h", maxDist = 3),
+          Seq(2L).toDF("id"))
+        val input = MemoryStream[(Long, Long)]
+        val probe = graft.streaming.Streams.hashProbeStream(
+          input.toDS().toDF("id", "h"), "id", "h",
+          BandIndexStore.read(spark, path), maxDist = 3,
+          corpusHashes = Some((corpus :+ (4L, mkHash(7) ^ 3L))
+            .toDF("id", "h")),
+          maxBandDf = cap)
+        val name = s"hash_probe_$cap"
+        val q = probe.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        input.addData(Seq((10L, mkHash(7)), (11L, mkHash(40) ^ 1L)))
+        q.processAllAvailable(); q.stop()
+        val pairs = spark.table(name)
+          .select($"new_id", $"indexed_id")
+          .as[(Long, Long)].collect().toSet
+        // 10 matches the shared fingerprint: live ids 1 and 4 surface
+        // (4 only via its shared bands), the TOMBSTONED 2 never does —
+        // including through the hot-band expansion; 11 matches 3
+        assert(pairs == Set((10L, 1L), (10L, 4L), (11L, 3L)),
+          s"cap=$cap: $pairs")
+      } finally rm(path)
+    }
+  }
+
   test("randomized maintenance schedules match the rebuild model") {
     // model-based: apply seeded-random append/delete/compact schedules
     // to the store and after every op compare the resolved view with
