@@ -403,6 +403,24 @@ object ScaleProbe {
       graft.operators.Dedup.minhashCandidatePairs(dup, "doc_id", "text")
         .count()
     }
+    // q148: LM scoring = two count-table hash-aggregates over the 10%
+    // train slice + two corpus-token-sized equi-joins — wall must
+    // track token count, never pairs
+    time("lm_perplexity")(
+      graft.operators.TextAnalysis.ngramLmPerplexity(
+        docs, "doc_id", "text").count())
+    // q147: shot-boundary detection is map-only (container walk +
+    // JPEG decode + running diff per video) — wall must track video
+    // count; rows out = frame count
+    time("shot_boundaries") {
+      import spark.implicits._
+      val media = docs.select(col("doc_id")).as[Long]
+        .repartition(spark.sparkContext.defaultParallelism)
+        // the EXACT q147 fixture (shared def — the probe measures the
+        // same workload the query gates)
+        .mapPartitions(_.map(graft.queries.Pipeline11.shotFixtureRow))
+      graft.sources.Multimodal.videoShotBoundaries(media, 1024).count()
+    }
     // windowed sessionization over the 20× event stream
     val ev0 = Tables.events(spark, sfDir)
     val ev = (0 until mult).map { i =>

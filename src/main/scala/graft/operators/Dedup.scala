@@ -718,12 +718,14 @@ object Dedup {
     * EXACT — recall stays 100%; without `corpusHashes` the hot bands
     * fall back to the direct join (still exact, output-bound, AQE
     * -skew-splittable) and the guard only bounds the batch side. */
-  def incrementalHammingCandidates(batch: DataFrame, idCol: String,
-      hashCol: String, index: DataFrame, maxDist: Int = 3,
-      corpusHashes: Option[DataFrame] = None,
-      maxBandDf: Long = 100000): DataFrame = {
-    require(maxBandDf >= 1, s"bad maxBandDf $maxBandDf")
-    // loud geometry check: bounded one-row driver read of the index
+  /** Loud geometry check for a persisted fingerprint index: bounded
+    * one-row driver read of the index's `hb<n>.` key prefix — a
+    * maxDist mismatch (or a pre-band-count-encoding index) would
+    * otherwise return silently-empty candidates forever, since
+    * mismatched keys can never equi-join. Shared by the batch probe
+    * and the streaming probe ([[graft.streaming.Streams]]). */
+  private[graft] def checkHammingIndexGeometry(index: DataFrame,
+      maxDist: Int): Unit =
     index.select(col("band"))
       .where(col("band").startsWith("hb")).limit(1)
       .collect().headOption.foreach { r =>
@@ -734,6 +736,13 @@ object Dedup {
         require(enc.toInt == maxDist + 1,
           s"index was banded with maxDist ${enc.toInt - 1}, probe uses maxDist $maxDist")
       }
+
+  def incrementalHammingCandidates(batch: DataFrame, idCol: String,
+      hashCol: String, index: DataFrame, maxDist: Int = 3,
+      corpusHashes: Option[DataFrame] = None,
+      maxBandDf: Long = 100000): DataFrame = {
+    require(maxBandDf >= 1, s"bad maxBandDf $maxBandDf")
+    checkHammingIndexGeometry(index, maxDist)
     val bh = batch.select(col(idCol).cast("long").as("bid"),
       col(hashCol).cast("long").as("bhash"))
     // probe once per distinct batch fingerprint
@@ -752,23 +761,35 @@ object Dedup {
         // contract: first column = id, second = 64-bit hash
         val ch = ch0.select(col(ch0.columns.head).cast("long").as("cid"),
           col(ch0.columns(1)).cast("long").as("chash"))
-        val hotIdxH = hotIdx.join(ch, Seq("cid")) // (cid, band, chash)
-        val hotDistinct = hotIdxH.select(col("band"), col("chash"))
+        // LEFT join: an index id missing from the caller's hash table
+        // must not silently lose recall — uncovered rows fall back to
+        // the direct (exact, possibly wide) route instead
+        val hotIdxH = hotIdx.join(ch, Seq("cid"), "left")
+        val covered = hotIdxH.where(col("chash").isNotNull)
+        val uncovered = hotIdxH.where(col("chash").isNull)
+          .select(col("cid"), col("band"))
+        val hotDistinct = covered.select(col("band"), col("chash"))
           .distinct()
         b.join(hotDistinct, "band") // ≤ distinct-hash fan-out
           // expand through the index's own rows — live ids only
-          .join(hotIdxH, Seq("band", "chash"))
+          .join(covered, Seq("band", "chash"))
           .select(col("rep"), col("cid"))
+          .unionByName(
+            b.join(uncovered, "band").select(col("rep"), col("cid")))
       case None =>
         b.join(hotIdx, "band").select(col("rep"), col("cid"))
     }
     val repPairs = coldCands.unionByName(hotCands).distinct()
-    // expand batch members: every batch id sharing the rep's hash
+    // expand batch members: every batch id sharing the rep's hash;
+    // terminal distinct keeps the documented contract (distinct
+    // (batch_id, corpus_id)) even for batches carrying duplicate
+    // (id, hash) rows
     repPairs
       .join(reps.select(col("rep"), col("bhash")), "rep")
       .join(bh, "bhash")
       .where(col("bid") =!= col("cid"))
       .select(col("bid").as("batch_id"), col("cid").as("corpus_id"))
+      .distinct()
   }
 
   /** O(N) keep/drop decisions for image dedup — the composition a

@@ -75,21 +75,27 @@ object Pipeline11 {
     * keyframe flag. The oracle recomputes every diff straight from
     * the generating formula — a hash match certifies the container
     * walk, the decode, and the boundary rule. */
-  def videoKeyframes(s: SparkSession, d: String): DataFrame = {
-    val media = Pipeline10.mediaFixture(s, d, "shots_avi") { id =>
-      val w = 16; val h = 16
-      val nf = (4 + id % 5).toInt
-      val frames = (0 until nf).map { f =>
-        val px = Array.tabulate(w * h) { i =>
-          val b = (i / w / 8) * (w / 8) + (i % w) / 8
-          2 * (((id * 29 + (f / 3).toLong * 53 + b.toLong * 7) % 126).toInt
-            + f % 3)
-        }
-        graft.sources.Jpeg.encodeGray(w, h, px)
+  /** The q147 shot fixture (one AVI/MJPEG video per doc, 3-frame
+    * shots with even within-shot drift) — ONE definition shared by
+    * the query and the ScaleProbe curve, so the probe can never
+    * silently measure a different workload than the query. */
+  private[graft] def shotFixtureRow(id: Long): Multimodal.MediaRow = {
+    val w = 16; val h = 16
+    val nf = (4 + id % 5).toInt
+    val frames = (0 until nf).map { f =>
+      val px = Array.tabulate(w * h) { i =>
+        val b = (i / w / 8) * (w / 8) + (i % w) / 8
+        2 * (((id * 29 + (f / 3).toLong * 53 + b.toLong * 7) % 126).toInt
+          + f % 3)
       }
-      Multimodal.MediaRow(id, "video",
-        graft.sources.Avi.encodeMjpeg(w, h, frames), Map.empty)
+      graft.sources.Jpeg.encodeGray(w, h, px)
     }
+    Multimodal.MediaRow(id, "video",
+      graft.sources.Avi.encodeMjpeg(w, h, frames), Map.empty)
+  }
+
+  def videoKeyframes(s: SparkSession, d: String): DataFrame = {
+    val media = Pipeline10.mediaFixture(s, d, "shots_avi")(shotFixtureRow)
     Multimodal.videoShotBoundaries(media, threshold = 1024)
       .toDF("doc_id", "frame", "diff", "is_keyframe")
   }

@@ -53,10 +53,12 @@ object ClassicPgLoad {
     val lines = PgClassic.copyLines(
       PgClassic.copyFrame(df, t, hstoreAll, postgis), t, postgis)
     // bulk path: N concurrent per-partition COPY writers over the
-    // pure-JVM wire client when the DSN is wire-connectable; psql
-    // keeps the exotic libpq forms (service files, SSL parameter
-    // combinations) working as the fallback
-    if (PgWire.reachable(dsn))
+    // pure-JVM wire client (staged + published atomically, see
+    // PgWire.copyPartitioned) when the DSN is wire-connectable FROM
+    // AN EXECUTOR — probing on the driver would prove nothing on a
+    // multi-node cluster; psql keeps the exotic libpq forms (service
+    // files, SSL parameter combinations) working as the fallback
+    if (PgWire.reachableFromExecutors(lines.sparkSession, dsn))
       PgWire.copyPartitioned(lines, dsn, qualified(t, schema))
     else
       PgLive.copyInto(dsn, qualified(t, schema),

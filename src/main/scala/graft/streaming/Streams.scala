@@ -432,6 +432,10 @@ object Streams {
       hashCol: String, index: DataFrame, maxDist: Int = 3,
       corpusHashes: Option[DataFrame] = None,
       maxBandDf: Long = 100000): DataFrame = {
+    // the index is static, so the geometry mismatch the batch probe
+    // refuses loudly is checkable HERE, at stream definition — not
+    // left to produce a silently-empty candidate stream forever
+    graft.operators.Dedup.checkHammingIndexGeometry(index, maxDist)
     val probe = graft.operators.Dedup
       .hammingBands(hashes, idCol, hashCol, maxDist)
       .select(col("id").as("new_id"), col("band"))
@@ -450,13 +454,20 @@ object Streams {
           .where(col("n") > maxBandDf).select(col("band"))
         val cold = idx.join(broadcast(hot), Seq("band"), "left_anti")
           .withColumn("grp", lit(null).cast("long"))
-        val hotIdxH = idx.join(broadcast(hot), Seq("band"), "left_semi")
-          .join(ch, Seq("indexed_id")) // (indexed_id, band, chash)
+        // LEFT join: hot-band index ids missing from the caller's
+        // hash table keep full recall through the direct route
+        val hotIdxH0 = idx.join(broadcast(hot), Seq("band"), "left_semi")
+          .join(ch, Seq("indexed_id"), "left")
+        val hotIdxH = hotIdxH0.where(col("chash").isNotNull)
+        val hotUncovered = hotIdxH0.where(col("chash").isNull)
+          .select(col("indexed_id"), col("band"))
+          .withColumn("grp", lit(null).cast("long"))
         val hotRep = hotIdxH.groupBy(col("band"), col("chash"))
           .agg(min(col("indexed_id")).as("indexed_id"))
           .select(col("indexed_id"), col("band"),
             col("chash").as("grp"))
-        val joined = probe.join(cold.unionByName(hotRep), "band")
+        val joined = probe.join(
+          cold.unionByName(hotUncovered).unionByName(hotRep), "band")
         val direct = joined.where(col("grp").isNull)
           .select(col("new_id"), col("indexed_id"), col("band"))
         val expanded = joined.where(col("grp").isNotNull)

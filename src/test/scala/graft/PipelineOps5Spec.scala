@@ -307,6 +307,22 @@ class PipelineOps5Spec extends SparkSpecBase {
         want.foreach(p =>
           assert(cands.contains(p), s"cap=$cap ch=${ch.isDefined}: missed $p"))
       }
+      // an INCOMPLETE corpus hash table must not lose recall: ids
+      // missing from it fall back to the direct route (review fix)
+      val partial = Some(corpus.filter(_._1 % 3 != 0).toDF("id", "h"))
+      val candsPartial = Dedup.incrementalHammingCandidates(
+        batch.toDF("id", "h"), "id", "h", index, maxDist = 4,
+        corpusHashes = partial, maxBandDf = 1)
+        .as[(Long, Long)].collect().toSet
+      want.foreach(p =>
+        assert(candsPartial.contains(p), s"partial-ch: missed $p"))
+      // duplicate (id, hash) batch rows still yield DISTINCT pairs
+      val dupBatch = (batch ++ batch.take(10)).toDF("id", "h")
+      val candsDup = Dedup.incrementalHammingCandidates(
+        dupBatch, "id", "h", index, maxDist = 4)
+        .as[(Long, Long)].collect()
+      assert(candsDup.length == candsDup.distinct.length,
+        "duplicate batch rows produced duplicate candidates")
       // probing with the wrong maxDist is refused loudly, not empty
       val ex = intercept[IllegalArgumentException] {
         Dedup.incrementalHammingCandidates(
