@@ -350,6 +350,46 @@ object CorpusOps {
           .otherwise("changed").as("status"))
   }
 
+  /** URL canonicalization — the normalization a crawl pipeline runs
+    * BEFORE content dedup (one page, many spellings): lowercases the
+    * scheme and host, strips the scheme's default port (443/80),
+    * drops the fragment, removes tracking query parameters (utm_*,
+    * ref, fbclid, gclid), sorts the remaining parameters, and maps an
+    * empty path to "/". Pure per-row string expression — codegen'd,
+    * no UDF, no shuffle. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url,
+      "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val host0 = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
+    val host = when(scheme === "https",
+        regexp_replace(host0, ":443$", ""))
+      .when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .otherwise(host0)
+    val path0 = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(q, "&"), p =>
+      !(p.rlike("^(utm_[^=]*|ref|fbclid|gclid)=") || p === ""))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** URL-level dedup decisions: one row per document with its
+    * canonical URL, the size of its canonical group, and `keep` on
+    * the group's smallest doc id — O(N) output, like
+    * [[Dedup.imageDedupClusters]]. One shuffle on the canonical URL
+    * (a partitioned window — never a whole-corpus frame). */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_url"))
+    df.select(col(idCol).as("doc_id"),
+        canonicalUrl(col(urlCol)).as("canonical_url"))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+  }
+
   def dedupEffectiveness(df: DataFrame, idCol: String, textCol: String,
       srcCol: String, minJaccard: Double = 0.5): DataFrame = {
     val clusters = Dedup.nearDupClusters(df, idCol, textCol, minJaccard)

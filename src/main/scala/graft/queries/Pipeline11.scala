@@ -204,15 +204,83 @@ object Pipeline11 {
       |  CAST(MAX(CASE WHEN c = -1 THEN e END) AS BIGINT) AS e_2pi3
       |FROM fin GROUP BY 1, 2""".stripMargin
 
+  // ---- q150: URL canonicalization + URL-level dedup ----
+
+  /** [[graft.operators.CorpusOps.urlDedup]] over a synthesized crawl
+    * URL per document (scheme/host case noise, default :443 port,
+    * utm_-prefixed and ref tracking params in varying order,
+    * fragments): the
+    * oracle replays the ENTIRE canonicalization — regexp parts,
+    * default-port strip, tracking-param filter, param sort — in SQL,
+    * then the same partitioned-window group stats. */
+  def urlDedupQ(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 3 === 0, lit("HTTPS://WWW.Site"))
+        .otherwise(lit("https://www.site")),
+      (id % 7).cast("string"), lit(".com"),
+      when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p"), (id % 50).cast("string"),
+      when(id % 2 === 0,
+        concat(lit("?utm_source=x&ref="), id.cast("string"),
+          lit("&b="), (id % 5).cast("string"), lit("&a=1")))
+        .otherwise(concat(lit("?a=1&b="), (id % 5).cast("string"))),
+      when(id % 5 === 0, lit("#frag")).otherwise(lit("")))
+    graft.operators.CorpusOps.urlDedup(
+      Tables.documents(s, d).select(id, url.as("url")), "doc_id", "url")
+  }
+
+  val urlDedupSql: String =
+    """WITH u AS (SELECT doc_id,
+       |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site'
+       |          ELSE 'https://www.site' END
+       |     || CAST(doc_id % 7 AS VARCHAR) || '.com'
+       |     || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+       |     || '/p' || CAST(doc_id % 50 AS VARCHAR)
+       |     || CASE WHEN doc_id % 2 = 0
+       |          THEN '?utm_source=x&ref=' || CAST(doc_id AS VARCHAR)
+       |            || '&b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1'
+       |          ELSE '?a=1&b=' || CAST(doc_id % 5 AS VARCHAR) END
+       |     || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |    lower(regexp_extract(url,
+       |      '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+       |    lower(regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS host0,
+       |    regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path0,
+       |    regexp_extract(url, '\?([^#]*)', 1) AS q
+       |  FROM u),
+       |canon AS (SELECT doc_id,
+       |    scheme || '://' ||
+       |    (CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+       |          WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+       |          ELSE host0 END) ||
+       |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+       |    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END)
+       |      AS canonical_url
+       |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+       |      string_split(q, '&'),
+       |      p -> NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)=')
+       |        AND p <> '')), '&') AS kept FROM c))
+       |SELECT doc_id, canonical_url,
+       |  CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+       |    AS n_same,
+       |  doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS keep
+       |FROM canon""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q146_image_clusters" -> (imageClusters _),
     "q147_video_keyframes" -> (videoKeyframes _),
     "q148_lm_perplexity" -> (lmPerplexity _),
-    "q149_audio_spectral" -> (audioSpectralQ _))
+    "q149_audio_spectral" -> (audioSpectralQ _),
+    "q150_url_dedup" -> (urlDedupQ _))
 
   def oracles: Map[String, String] = Map(
     "q146_image_clusters" -> imageClustersSql,
     "q147_video_keyframes" -> videoKeyframesSql,
     "q148_lm_perplexity" -> lmPerplexitySql,
-    "q149_audio_spectral" -> audioSpectralSql)
+    "q149_audio_spectral" -> audioSpectralSql,
+    "q150_url_dedup" -> urlDedupSql)
 }

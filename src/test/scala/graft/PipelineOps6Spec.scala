@@ -96,6 +96,33 @@ class PipelineOps6Spec extends SparkSpecBase {
     }
   }
 
+  test("canonicalUrl: case, default ports, tracking params, fragments, sort") {
+    import graft.operators.CorpusOps
+    val in = Seq(
+      (1L, "HTTPS://Example.COM:443/a/B?utm_source=x&z=2&a=1#frag"),
+      (2L, "https://example.com/a/B?a=1&z=2"),
+      (3L, "http://example.com:80"), // default port + empty path
+      (4L, "http://example.com:8080/x"), // non-default port kept
+      (5L, "https://example.com:80/x"), // :80 is NOT https' default
+      (6L, "https://example.com/x?utm_a=1&ref=2")) // all params tracking
+      .toDF("id", "url")
+    val got = in
+      .select($"id", CorpusOps.canonicalUrl($"url").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "https://example.com/a/B?a=1&z=2") // path case kept
+    assert(got(2L) == "https://example.com/a/B?a=1&z=2") // same page
+    assert(got(3L) == "http://example.com/")
+    assert(got(4L) == "http://example.com:8080/x")
+    assert(got(5L) == "https://example.com:80/x")
+    assert(got(6L) == "https://example.com/x")
+    // urlDedup: group stats + keep on the smallest id
+    val dd = CorpusOps.urlDedup(in, "id", "url")
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(dd(1L) == ((2L, true)) && dd(2L) == ((2L, false)))
+    assert(dd(4L) == ((1L, true)))
+  }
+
   test("ngramLmPerplexity: empty train slice still scores (OOV slot)") {
     val docs = Seq((1L, "x y"), (3L, "x y z"))
       .toDF("doc_id", "text") // no doc_id % 10 == 0 → V = 0, all OOV
