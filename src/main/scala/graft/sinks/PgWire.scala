@@ -332,13 +332,17 @@ object PgWire {
   def copyPartitioned(lines: org.apache.spark.sql.Dataset[String],
       dsn: String, qualifiedTable: String): Long = {
     import lines.sparkSession.implicits._
+    // short prefix: PostgreSQL truncates identifiers at 63 bytes, and
+    // a silent truncation could collide two attempts' staging tables
+    // (16 uuid hex chars + partition + attempt stays well under)
     val stagePrefix =
-      "graft_stg_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      "gstg_" + java.util.UUID.randomUUID.toString.replace("-", "").take(16)
     val staged: Seq[(Int, String, Long)] = lines.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
         val tc = org.apache.spark.TaskContext.get()
         val t = s"${stagePrefix}_p${tc.partitionId}_a${tc.taskAttemptId}"
+        require(t.length <= 63, s"staging identifier too long: $t")
         val conn = connect(dsn)
         try {
           conn.exec(
@@ -351,16 +355,22 @@ object PgWire {
     val winners = staged.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
     val conn = connect(dsn)
     try {
-      if (winners.nonEmpty)
-        conn.exec((Seq("BEGIN") ++ winners.map { case (_, t, _) =>
-          s"""INSERT INTO $qualifiedTable SELECT * FROM "$t""""
-        } ++ Seq("COMMIT")).mkString(";\n"))
-      // drop every staging table of THIS job, including orphans left
-      // by attempts that copied but never reported back
-      conn.query("SELECT quote_ident(relname) FROM pg_class " +
-          s"WHERE relkind = 'r' AND relname LIKE '$stagePrefix%'")
-        .flatMap(_.head)
-        .foreach(t => conn.exec(s"DROP TABLE IF EXISTS $t"))
+      try {
+        if (winners.nonEmpty)
+          conn.exec((Seq("BEGIN") ++ winners.map { case (_, t, _) =>
+            s"""INSERT INTO $qualifiedTable SELECT * FROM "$t""""
+          } ++ Seq("COMMIT")).mkString(";\n"))
+      } finally {
+        // drop every staging table of THIS job — winners, losers, and
+        // orphans left by attempts that copied but never reported
+        // back — even when the publish transaction failed (an aborted
+        // simple-query cycle rolls back and leaves the session idle)
+        try conn.query("SELECT quote_ident(relname) FROM pg_class " +
+            s"WHERE relkind = 'r' AND relname LIKE '$stagePrefix%'")
+          .flatMap(_.head)
+          .foreach(t => conn.exec(s"DROP TABLE IF EXISTS $t"))
+        catch { case _: IOException => () } // cleanup is best-effort
+      }
       winners.map(_._3).sum
     } finally conn.close()
   }
