@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.TarShards
+import graft.sources.{Codecs, Gif, Multimodal}
+
+/** WebDataset tar shard export: USTAR round-trip through our own
+  * reader, byte-determinism across re-exports, shard assignment, and
+  * conformance against the system tar(1) — an independent
+  * implementation, like ImageIO for the GIF codec. */
+class TarShardsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def media(n: Int) = (0L until n.toLong).map { id =>
+    if (id % 2 == 0) {
+      val px = Array.tabulate(4 * 3 * 3)(j => (j * 7 + id.toInt) % 64)
+      Multimodal.MediaRow(id, "image", Gif.encodeGif(4, 3, px),
+        Map("src" -> s"crawl${id % 3}", "q\"uote" -> "a\tb"))
+    } else {
+      Multimodal.MediaRow(id, "audio",
+        Codecs.encodeWav(Array.tabulate(16)(i => (id * 31 + i * 5).toInt)),
+        Map.empty)
+    }
+  }
+
+  test("tar shards: round-trip, sample pairing, deterministic re-export") {
+    val rows = media(40)
+    val ds = rows.toDS().repartition(5)
+    val dir = Files.createTempDirectory("tarshards").toString
+    val dir2 = Files.createTempDirectory("tarshards2").toString
+    try {
+      val stats = TarShards.writeTarShards(ds, dir, nShards = 4)
+      assert(stats.map(_._2).sum == rows.size)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+      assert(files.nonEmpty && files.length <= 4)
+      assert(files.forall(_.length % 512 == 0))
+      // every sample is a contiguous (<id>.<ext>, <id>.json) pair in
+      // ascending id order, with the exact payload bytes
+      val byId = rows.map(r => r.id -> r).toMap
+      var seen = Set.empty[Long]
+      files.foreach { f =>
+        val entries = TarShards.readTar(Files.readAllBytes(f.toPath))
+        assert(entries.length % 2 == 0)
+        val ids = entries.grouped(2).map { pair =>
+          val Seq((pname, pbytes), (jname, jbytes)) = pair
+          val id = pname.takeWhile(_ != '.').toLong
+          assert(jname == s"$id.json", s"pair broken at $pname/$jname")
+          assert(pbytes.sameElements(byId(id).bytes), s"payload $id")
+          val js = new String(jbytes, "UTF-8")
+          assert(js.startsWith("{") && js.contains(s""""id":$id"""))
+          if (byId(id).meta.nonEmpty) {
+            assert(js.contains(""""q\"uote":"a\tb"""".replace("\\t", "\\\\t"))
+              || js.contains("\"q\\\"uote\":\"a\\u0009b\""), js)
+          }
+          id
+        }.toSeq
+        assert(ids == ids.sorted, s"${f.getName} not id-sorted")
+        seen ++= ids
+      }
+      assert(seen == rows.map(_.id).toSet)
+      // byte-identical re-export (determinism is the resume contract)
+      TarShards.writeTarShards(rows.toDS().repartition(3), dir2, 4)
+      val files2 = new java.io.File(dir2).listFiles()
+        .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+      assert(files.map(_.getName).toSeq == files2.map(_.getName).toSeq)
+      files.zip(files2).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(Files.readAllBytes(a.toPath),
+          Files.readAllBytes(b.toPath)), s"${a.getName} not deterministic")
+      }
+    } finally Seq(dir, dir2).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("tar shards: the system tar(1) reads our archives (conformance)") {
+    import scala.sys.process._
+    val haveTar = Process(Seq("bash", "-c", "command -v tar")).! == 0
+    if (!haveTar) cancel("no tar binary in this environment")
+    val dir = Files.createTempDirectory("tarconf").toString
+    try {
+      TarShards.writeTarShards(media(12).toDS(), dir, nShards = 1)
+      val tarFile = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".tar")).head
+      val listed = Process(Seq("tar", "-tf", tarFile.toString)).!!
+        .split("\n").toSeq.filter(_.nonEmpty)
+      assert(listed.length == 24, s"tar -tf saw ${listed.length} entries")
+      // extraction parity: tar's bytes == our reader's bytes
+      val xdir = Files.createTempDirectory("tarx").toString
+      assert(Process(Seq("tar", "-xf", tarFile.toString, "-C", xdir)).! == 0)
+      TarShards.readTar(Files.readAllBytes(tarFile.toPath))
+        .foreach { case (name, bytes) =>
+          val got = Files.readAllBytes(new java.io.File(xdir, name).toPath)
+          assert(got.sameElements(bytes), s"tar -xf mismatch for $name")
+        }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(xdir))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+}
