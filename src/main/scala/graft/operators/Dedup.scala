@@ -650,7 +650,25 @@ object Dedup {
           col("a.t2") === col("b.t2") && col("a.k2") === col("b.k2") &&
           col("a.h") < col("b.h"))
       .select(col("a.h").as("ha"), col("b.h").as("hb"))
-    val hashPairs = coldPairs.unionByName(hotPairs)
+    // escalation guard — never silently quadratic: a level-2 sub-band
+    // key still holding more than maxBandDf DISTINCT hashes means the
+    // corpus is denser than the two-level pigeonhole can bound
+    // (density ≫ 2^(2·bandwidth)); joining such a key would be
+    // output-quadratic, so REFUSE with the measured density instead.
+    // Zero extra jobs: the check is a zero-rows-unless-violated frame
+    // unioned into the pair plan (the aggregate reuses hotK's shuffle
+    // keys), and the raise_error fires only if a violating key exists.
+    val hot2 = hotK.groupBy(col("t"), col("k"), col("t2"), col("k2"))
+      .agg(count(lit(1)).as("n2")).where(col("n2") > maxBandDf)
+    val guard = hot2.select(
+      raise_error(format_string(
+        "hammingNearDup: level-2 sub-band (band %s, sub-band %s) still " +
+          "holds %s distinct hashes > maxBandDf — corpus density exceeds " +
+          "the two-level pigeonhole bound; raise maxBandDf or collapse " +
+          "identical hash regions first",
+        col("t"), col("t2"), col("n2"))).cast("long").as("ha"),
+      lit(0L).as("hb"))
+    val hashPairs = coldPairs.unionByName(hotPairs).unionByName(guard)
       .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .where(col("dist") <= maxDist)
       .distinct()
@@ -727,9 +745,13 @@ object Dedup {
   private[graft] def checkHammingIndexGeometry(index: DataFrame,
       maxDist: Int): Unit =
     index.select(col("band"))
-      .where(col("band").startsWith("hb")).limit(1)
+      .where(col("band").startsWith("hb") || col("band").startsWith("hw"))
+      .limit(1)
       .collect().headOption.foreach { r =>
         val key = r.getString(0)
+        require(!key.startsWith("hw"),
+          s"index holds WIDE fingerprint bands ('$key') — probe with " +
+            "incrementalHammingCandidatesWide, not the 64-bit API")
         val enc = key.stripPrefix("hb").takeWhile(_ != '.')
         require(key.contains(".") && enc.nonEmpty && enc.forall(_.isDigit),
           s"index band key '$key' predates band-count encoding — rebuild the index")
@@ -792,6 +814,239 @@ object Dedup {
       .distinct()
   }
 
+  // ------------------------------------------------------------------
+  // WIDE fingerprints (128/256-bit): production image dedup hashes
+  // (PDQ-class) outgrow 64 bits — at ~10^10 images even two-level
+  // 64-bit band keys go dense. The wide family generalizes the whole
+  // Hamming toolchain to `array<long>` hashes (little-endian words:
+  // global bit i = bit (i mod 64) of word (i div 64)), with
+  // proportionally more bands and the same exact pigeonhole recall.
+  // ------------------------------------------------------------------
+
+  /** Bits `[lo, lo+width)` of a little-endian `array<long>` hash,
+    * width ≤ 63 (so the value fits one long with the sign bit clear);
+    * may span one word boundary. */
+  private def wideBitSlice(h: Column, lo: Int, width: Int): Column = {
+    require(width >= 0 && width <= 63, s"bad slice width $width")
+    if (width == 0) return lit(0L)
+    val w0 = lo / 64
+    val off = lo % 64
+    if (off + width <= 64) bitSlice(element_at(h, w0 + 1), off, width)
+    else {
+      val lowW = 64 - off
+      shiftleft(bitSlice(element_at(h, w0 + 2), 0, width - lowW), lowW)
+        .bitwiseOR(bitSlice(element_at(h, w0 + 1), off, lowW))
+    }
+  }
+
+  /** Exact Hamming distance between two `array<long>` hashes of
+    * `nWords` words — an unrolled per-word xor/popcount sum. */
+  private def wideDist(a: Column, b: Column, nWords: Int): Column =
+    (1 to nWords).map(i =>
+      bit_count(element_at(a, i).bitwiseXOR(element_at(b, i))))
+      .reduce(_ + _)
+
+  /** One level-2 sub-key: complement coordinates `[c0, c1)` of the
+    * band `[lo, hi)` (complement = all bits outside the band, in
+    * increasing position order), packed into one long. The interval
+    * maps to at most two contiguous original-bit runs (the complement
+    * has at most two contiguous regions), each ≤ 63 bits. */
+  private def wideComplementSlice(h: Column, lo: Int, hi: Int,
+      c0: Int, c1: Int): Column = {
+    if (c1 <= c0) return lit(0L)
+    def orig(c: Int) = if (c < lo) c else hi + (c - lo)
+    if (c1 <= lo || c0 >= lo) wideBitSlice(h, orig(c0), c1 - c0)
+    else {
+      val w1 = lo - c0
+      shiftleft(wideBitSlice(h, hi, c1 - lo), w1)
+        .bitwiseOR(wideBitSlice(h, c0, w1))
+    }
+  }
+
+  /** Shared wide banding geometry: at least maxDist + 1 bands
+    * (pigeonhole), and enough that every band fits 63 bits. More
+    * bands than maxDist + 1 keeps 100% recall (≤ maxDist differing
+    * bits still leave ≥ 1 band untouched). */
+  private[graft] def wideBandCount(nWords: Int, maxDist: Int): Int =
+    math.max(maxDist + 1, (64 * nWords + 62) / 63)
+
+  /** [[hammingNearDup]] over WIDE (`array<long>`, `nWords` words)
+    * fingerprints — identical structure: identical hashes via one
+    * full-hash equi-join (output-bound true pairs), banded search
+    * over DISTINCT hashes, hot bands routed through a second
+    * pigeonhole level over the band's complement bits, and a loud
+    * escalation refusal when even a sub-band exceeds `maxBandDf`.
+    * Returns (id_a < id_b, dist), dist exact over all 64·nWords
+    * bits. */
+  def hammingNearDupWide(df: DataFrame, idCol: String, hashCol: String,
+      nWords: Int, maxDist: Int = 6, maxBandDf: Long = 100000)
+      : DataFrame = {
+    require(nWords >= 1 && nWords <= 16, s"bad nWords $nWords")
+    require(maxDist >= 0 && maxDist < 64 * nWords, s"bad maxDist $maxDist")
+    require(maxBandDf >= 1, s"bad maxBandDf $maxBandDf")
+    val bits = 64 * nWords
+    val base = df.select(col(idCol).as("id"), col(hashCol).as("h"))
+    val ident = base.alias("a").join(base.alias("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        wideDist(col("a.h"), col("b.h"), nWords).as("dist"))
+    if (maxDist == 0) return ident
+
+    val nBands = wideBandCount(nWords, maxDist)
+    val hs = base.select(col("h")).distinct()
+    val bands = (0 until nBands).map { b =>
+      val lo = b * bits / nBands
+      val hi = (b + 1) * bits / nBands
+      val cw = bits - (hi - lo)
+      val sks = (0 until nBands).map { b2 =>
+        val c0 = b2 * cw / nBands
+        val c1 = (b2 + 1) * cw / nBands
+        wideComplementSlice(col("h"), lo, hi, c0, c1)
+      }
+      struct(lit(b).as("t"), wideBitSlice(col("h"), lo, hi - lo).as("k"),
+        array(sks: _*).as("sks"))
+    }
+    val keyed = hs
+      .select(col("h"), explode(array(bands: _*)).as("bk"))
+      .select(col("h"), col("bk.t").as("t"), col("bk.k").as("k"),
+        col("bk.sks").as("sks"))
+    val hot = keyed.groupBy(col("t"), col("k"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBandDf)
+      .select(col("t"), col("k"))
+    val cold = keyed.join(broadcast(hot), Seq("t", "k"), "left_anti")
+      .select(col("h"), col("t"), col("k"))
+    val hotK = keyed.join(broadcast(hot), Seq("t", "k"), "left_semi")
+      .select(col("h"), col("t"), col("k"),
+        posexplode(col("sks")).as(Seq("t2", "k2")))
+    val coldPairs = cold.alias("a").join(cold.alias("b"),
+        col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
+          col("a.h") < col("b.h"))
+      .select(col("a.h").as("ha"), col("b.h").as("hb"))
+    val hotPairs = hotK.alias("a").join(hotK.alias("b"),
+        col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
+          col("a.t2") === col("b.t2") && col("a.k2") === col("b.k2") &&
+          col("a.h") < col("b.h"))
+      .select(col("a.h").as("ha"), col("b.h").as("hb"))
+    // same escalation contract as the 64-bit form: never silently
+    // quadratic — refuse a still-dense sub-band with its density
+    val hot2 = hotK.groupBy(col("t"), col("k"), col("t2"), col("k2"))
+      .agg(count(lit(1)).as("n2")).where(col("n2") > maxBandDf)
+    // hb must be a NON-NULL literal: a null literal would let the
+    // optimizer null-propagate the dist expression to constant null,
+    // prune the raise_error column, and silently drop the guard
+    val guard = hot2.select(
+      raise_error(format_string(
+        "hammingNearDupWide: level-2 sub-band (band %s, sub-band %s) " +
+          "still holds %s distinct hashes > maxBandDf — corpus density " +
+          "exceeds the two-level pigeonhole bound; raise maxBandDf or " +
+          "collapse identical hash regions first",
+        col("t"), col("t2"), col("n2"))).cast("array<bigint>").as("ha"),
+      array((0 until nWords).map(_ => lit(0L)): _*).as("hb"))
+    val hashPairs = coldPairs.unionByName(hotPairs).unionByName(guard)
+      .withColumn("dist", wideDist(col("ha"), col("hb"), nWords))
+      .where(col("dist") <= maxDist)
+      .distinct()
+    val expanded = hashPairs
+      .join(base.select(col("id").as("ia"), col("h").as("ha")), "ha")
+      .join(base.select(col("id").as("ib"), col("h").as("hb")), "hb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+    expanded.unionByName(ident)
+  }
+
+  /** [[hammingBands]] for wide fingerprints: persistable (id, band)
+    * rows under the `hw<bits>.<nBands>.<b>:<value>` key family — the
+    * full geometry (hash width AND band count) lives in the key, so
+    * a probe with mismatched width or maxDist can never equi-join,
+    * and [[incrementalHammingCandidatesWide]] refuses it loudly. */
+  def hammingBandsWide(df: DataFrame, idCol: String, hashCol: String,
+      nWords: Int, maxDist: Int = 6): DataFrame = {
+    require(nWords >= 1 && nWords <= 16, s"bad nWords $nWords")
+    require(maxDist >= 0 && maxDist < 64 * nWords, s"bad maxDist $maxDist")
+    val bits = 64 * nWords
+    val nBands = wideBandCount(nWords, maxDist)
+    val bands = (0 until nBands).map { b =>
+      val lo = b * bits / nBands
+      val hi = (b + 1) * bits / nBands
+      concat(lit(s"hw$bits.$nBands.$b:"),
+        wideBitSlice(col("h"), lo, hi - lo).cast("string"))
+    }
+    df.select(col(idCol).cast("long").as("id"), col(hashCol).as("h"))
+      .select(col("id"), explode(array(bands: _*)).as("band"))
+  }
+
+  /** Loud geometry check for a persisted WIDE fingerprint index:
+    * the `hw<bits>.<nBands>.` prefix must match the probe's geometry
+    * exactly; a 64-bit (`hb`) index is refused with a pointer to the
+    * narrow API. */
+  private[graft] def checkHammingIndexGeometryWide(index: DataFrame,
+      nWords: Int, maxDist: Int): Unit = {
+    val expect = s"hw${64 * nWords}.${wideBandCount(nWords, maxDist)}."
+    index.select(col("band"))
+      .where(col("band").startsWith("hb") || col("band").startsWith("hw"))
+      .limit(1).collect().headOption.foreach { r =>
+        val key = r.getString(0)
+        require(!key.startsWith("hb"),
+          s"index holds 64-bit fingerprint bands ('$key') — probe with " +
+            "incrementalHammingCandidates, not the wide API")
+        require(key.startsWith(expect),
+          s"index band key '$key' does not match wide probe geometry " +
+            s"'$expect' (nWords=$nWords, maxDist=$maxDist) — rebuild " +
+            "the index or fix the probe parameters")
+      }
+  }
+
+  /** [[incrementalHammingCandidates]] for wide fingerprints: batch
+    * bands probe the persisted wide index with the same hot-band
+    * routing (per-distinct-corpus-hash dedup when `corpusHashes` is
+    * supplied, LEFT-join fallback for uncovered ids, tombstone-safe
+    * re-expansion through the index's own rows) and the same loud
+    * geometry refusal. Returns distinct (batch_id, corpus_id). */
+  def incrementalHammingCandidatesWide(batch: DataFrame, idCol: String,
+      hashCol: String, index: DataFrame, nWords: Int, maxDist: Int = 6,
+      corpusHashes: Option[DataFrame] = None,
+      maxBandDf: Long = 100000): DataFrame = {
+    require(maxBandDf >= 1, s"bad maxBandDf $maxBandDf")
+    checkHammingIndexGeometryWide(index, nWords, maxDist)
+    val bh = batch.select(col(idCol).cast("long").as("bid"),
+      col(hashCol).as("bhash"))
+    val reps = bh.groupBy(col("bhash")).agg(min(col("bid")).as("rep"))
+    val b = hammingBandsWide(reps, "rep", "bhash", nWords, maxDist)
+      .select(col("id").as("rep"), col("band"))
+    val idx = index.select(col("id").as("cid"), col("band"))
+    val hot = idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBandDf).select(col("band"))
+    val coldCands = b
+      .join(idx.join(broadcast(hot), Seq("band"), "left_anti"), "band")
+      .select(col("rep"), col("cid"))
+    val hotIdx = idx.join(broadcast(hot), Seq("band"), "left_semi")
+    val hotCands = corpusHashes match {
+      case Some(ch0) =>
+        val ch = ch0.select(col(ch0.columns.head).cast("long").as("cid"),
+          col(ch0.columns(1)).as("chash"))
+        val hotIdxH = hotIdx.join(ch, Seq("cid"), "left")
+        val covered = hotIdxH.where(col("chash").isNotNull)
+        val uncovered = hotIdxH.where(col("chash").isNull)
+          .select(col("cid"), col("band"))
+        val hotDistinct = covered.select(col("band"), col("chash"))
+          .distinct()
+        b.join(hotDistinct, "band")
+          .join(covered, Seq("band", "chash"))
+          .select(col("rep"), col("cid"))
+          .unionByName(
+            b.join(uncovered, "band").select(col("rep"), col("cid")))
+      case None =>
+        b.join(hotIdx, "band").select(col("rep"), col("cid"))
+    }
+    val repPairs = coldCands.unionByName(hotCands).distinct()
+    repPairs
+      .join(reps.select(col("rep"), col("bhash")), "rep")
+      .join(bh, "bhash")
+      .where(col("bid") =!= col("cid"))
+      .select(col("bid").as("batch_id"), col("cid").as("corpus_id"))
+      .distinct()
+  }
+
   /** O(N) keep/drop decisions for image dedup — the composition a
     * 100 TB pipeline actually consumes ([[hammingNearDup]] →
     * [[connectedComponents]] → canonical selection), returning ONE
@@ -817,6 +1072,28 @@ object Dedup {
     // distinct-fingerprint pair graph (the ident join inside finds
     // nothing here — hashes are unique — so this is pure band search)
     val repPairs = hammingNearDup(reps, "rep", "h", maxDist, maxBandDf)
+    val cc = connectedComponents(repPairs, "id_a", "id_b")
+      .select(col("id").as("rep"), col("component"))
+    base.join(reps, "h")
+      .join(cc, Seq("rep"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("rep")).as("cluster_id"))
+      .withColumn("keep", col("id") === col("cluster_id"))
+  }
+
+  /** [[imageDedupClusters]] over WIDE fingerprints: the same O(N)
+    * keep/drop contract (distinct-hash pair graph →
+    * large-star/small-star components → member inheritance), with the
+    * pair graph built by [[hammingNearDupWide]]. A million identical
+    * 256-bit thumbnails still contribute ONE graph node. */
+  def imageDedupClustersWide(df: DataFrame, idCol: String,
+      hashCol: String, nWords: Int, maxDist: Int = 6,
+      maxBandDf: Long = 100000): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(hashCol).as("h"))
+    val reps = base.groupBy(col("h")).agg(min(col("id")).as("rep"))
+    val repPairs = hammingNearDupWide(reps, "rep", "h", nWords, maxDist,
+      maxBandDf)
     val cc = connectedComponents(repPairs, "id_a", "id_b")
       .select(col("id").as("rep"), col("component"))
     base.join(reps, "h")

@@ -255,8 +255,10 @@ class PipelineOps5Spec extends SparkSpecBase {
     } yield (a, b) -> d).toMap
     assert(want.size > 500) // the flat block alone is 435 true pairs
     val df = all.toDF("id", "h")
-    // identical results at a forcing cap, a mid cap, and the default
-    Seq(1L, 5L, 100000L).foreach { cap =>
+    // identical results at a hot-forcing-but-bounded cap and the
+    // default (base patterns repeat every 7 groups, so up to ~10
+    // distinct hashes share a band key — 16 keeps sub-bands legal)
+    Seq(16L, 100000L).foreach { cap =>
       val got = graft.operators.Dedup
         .hammingNearDup(df, "id", "h", maxDist = 4, maxBandDf = cap)
         .as[(Long, Long, Int)].collect()
@@ -270,6 +272,62 @@ class PipelineOps5Spec extends SparkSpecBase {
       .map(t => (t._1, t._2) -> t._3).toMap
     assert(d0 == want.filter(_._2 == 0))
     assert(d0.size >= 30 * 29 / 2) // at least the flat block
+  }
+
+  test("hamming level-2 routing: hot band, scattered sub-bands — exact") {
+    // 40 distinct hashes all agreeing on band 0 (bits [0,12) zero for
+    // maxDist=4) but spread across the complement, plus three planted
+    // near-pairs: the band-0 key exceeds the cap, the level-2
+    // sub-bands stay under it, and the routed join must still find
+    // exactly the brute-force pair set (100% recall through level 2)
+    def spread(id: Long): Long = {
+      var h = 0L
+      (12 until 63).foreach { i =>
+        if ((id * 2654435761L + i * 40503L) % 997 % 3 == 0) h |= 1L << i
+      }
+      h
+    }
+    val base = (0L until 40L).map(id => (id, spread(id)))
+    // near-pairs inside the hot band: ids 100/101 differ in 2 bits,
+    // 102/103 in 4, 104/105 in 1 — all with band 0 zero
+    val planted = Seq(
+      (100L, spread(7L)), (101L, spread(7L) ^ (1L << 20) ^ (1L << 45)),
+      (102L, spread(11L)),
+      (103L, spread(11L) ^ (1L << 14) ^ (1L << 30) ^ (1L << 40) ^ (1L << 60)),
+      (104L, spread(23L)), (105L, spread(23L) ^ (1L << 55)))
+    val all = base ++ planted
+    val want = (for {
+      (a, ha) <- all; (b, hb) <- all; if a < b
+      d = java.lang.Long.bitCount(ha ^ hb); if d <= 4
+    } yield (a, b) -> d).toMap
+    assert(want.exists(_._2 > 0), "fixture lost its planted near-pairs")
+    val got = graft.operators.Dedup
+      .hammingNearDup(all.toDF("id", "h"), "id", "h", maxDist = 4,
+        maxBandDf = 10)
+      .as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == want, "level-2 routing changed the result")
+  }
+
+  test("hamming level-2 escalation: dense sub-band refused loudly") {
+    // the verdict-item-3 shape: every hash shares 40+ low bits, so a
+    // level-1 band AND its level-2 sub-bands are all identical — with
+    // a small cap the two-level pigeonhole cannot bound the key width
+    // and the operator must REFUSE with the measured density, never
+    // silently revert to an output-quadratic join
+    val dense = (0L until 30L).map { id =>
+      // distinct hashes differing only in bits [58, 63)
+      (id, (id % 31) << 58)
+    }
+    val ex = intercept[Exception] {
+      graft.operators.Dedup.hammingNearDup(
+        dense.toDF("id", "h"), "id", "h", maxDist = 4, maxBandDf = 3)
+        .count()
+    }
+    val msg = ex.getMessage +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("level-2 sub-band"),
+      s"expected the escalation guard, got: $msg")
   }
 
   test("incremental hamming guard: exact at a forcing cap; geometry mismatch refused") {

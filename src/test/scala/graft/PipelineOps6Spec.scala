@@ -32,11 +32,18 @@ class PipelineOps6Spec extends SparkSpecBase {
       (0L, 0L, true), (1L, 0L, false), (2L, 0L, false),
       (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
       (20L, 20L, true)))
-    // forcing every band hot changes nothing (exact guard)
-    val hot = Dedup.imageDedupClusters(rows.toDF("id", "h"), "id", "h",
+    // a forcing cap now REFUSES loudly (round-14 escalation contract):
+    // the three chained hashes agree on whole sub-bands, so no
+    // pigeonhole depth can bound a cap of 1 — the guard surfaces the
+    // measured density instead of silently joining quadratically
+    val ex = intercept[Exception] {
+      Dedup.imageDedupClusters(rows.toDF("id", "h"), "id", "h",
         maxDist = 3, maxBandDf = 1)
-      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
-    assert(hot.toSeq == got.toSeq)
+        .as[(Long, Long, Boolean)].collect()
+    }
+    val msg = ex.getMessage +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("level-2 sub-band"), s"got: $msg")
   }
 
   test("videoShotBoundaries: exact diffs, strict threshold, non-video skipped") {
