@@ -356,7 +356,16 @@ object CorpusOps {
     * drops the fragment, removes tracking query parameters (utm_*,
     * ref, fbclid, gclid), sorts the remaining parameters, and maps an
     * empty path to "/". Pure per-row string expression — codegen'd,
-    * no UDF, no shuffle. */
+    * no UDF, no shuffle.
+    *
+    * URLs the parser cannot anchor — no `scheme://` prefix
+    * (scheme-relative `//host/p`, bare `host/p`, malformed strings)
+    * or an empty host — pass through VERBATIM as their own canonical
+    * value: mapping them all onto one parsed-empty key would make
+    * [[urlDedup]] group unrelated documents as duplicates of each
+    * other and silently drop all but one. The query is taken from
+    * the pre-fragment substring only (a `?` inside the fragment is
+    * fragment content, not a query). */
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url,
       "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
@@ -369,11 +378,14 @@ object CorpusOps {
     val path0 = regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1)
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    // query = first '?' up to '#', and only BEFORE any '#': the
+    // pre-? class excludes both, so 'h/p#a?x=1' has no query
+    val q = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val kept = array_join(array_sort(filter(split(q, "&"), p =>
       !(p.rlike("^(utm_[^=]*|ref|fbclid|gclid)=") || p === ""))), "&")
-    concat(scheme, lit("://"), host, path,
+    val canon = concat(scheme, lit("://"), host, path,
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+    when(scheme === "" || host0 === "", url).otherwise(canon)
   }
 
   /** URL-level dedup decisions: one row per document with its
@@ -388,6 +400,62 @@ object CorpusOps {
         canonicalUrl(col(urlCol)).as("canonical_url"))
       .withColumn("n_same", count(lit(1)).over(w))
       .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+  }
+
+  /** Per-host boilerplate segment removal — the CCNet preprocessing
+    * step real crawl pipelines run FIRST (before any corpus-global
+    * dedup): group text segments by (host, segment), and strip every
+    * segment occurring in more than `maxPermille`/1000 of that host's
+    * documents (headers, nav bars, cookie banners — content that is
+    * boilerplate *for its site* even when globally rare). CCNet used
+    * lines; synthetic corpora have no newlines, so the segment unit is
+    * the same fixed `segWords`-word window as [[segmentDedup]].
+    * `minDocs` keeps single-occurrence segments out on tiny hosts
+    * (1/1 = 100% would strip everything a one-document host says).
+    *
+    * Returns one row per document: (doc_id, host, n_segments,
+    * n_removed, cleaned_fp) — cleaned_fp is the md5 of the surviving
+    * segments rejoined in order, so a re-run (or another engine)
+    * proves the rewrite without shipping text.
+    *
+    * Scale: two hash aggregates (per-host doc counts — host-sized, it
+    * broadcasts; per-(host, segment) frequencies with map-side
+    * combine) + one equi-join of the segment rows against the (tiny)
+    * boilerplate set + one per-doc ordered reassembly. No pairwise
+    * comparisons, no corpus-global state beyond the host aggregates —
+    * at 100 TB this shuffles segment-hash-sized rows once. */
+  def hostBoilerplateStrip(df: DataFrame, idCol: String, hostCol: String,
+      textCol: String, segWords: Int = 10, maxPermille: Long = 500,
+      minDocs: Long = 2): DataFrame = {
+    val segs = df.select(col(idCol).as("doc_id"), col(hostCol).as("host"),
+      posexplode(segments(col(textCol), segWords)).as(Seq("pos", "seg")))
+    val hostDocs = df.groupBy(col(hostCol).as("host"))
+      .agg(count(lit(1)).as("n_host_docs"))
+    // cascaded aggregates, not countDistinct: the (host, seg, doc)
+    // dedup happens in the first hash aggregate (map-side combined),
+    // the frequency count reuses its partitioning
+    val segFreq = segs.select(col("host"), col("seg"), col("doc_id"))
+      .distinct()
+      .groupBy(col("host"), col("seg"))
+      .agg(count(lit(1)).as("n_docs_with_seg"))
+    val boiler = segFreq.join(hostDocs, "host")
+      .where(col("n_docs_with_seg") >= minDocs &&
+        col("n_docs_with_seg") * 1000L > lit(maxPermille) * col("n_host_docs"))
+      .select(col("host"), col("seg"))
+    val kept = segs.join(boiler, Seq("host", "seg"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          p => p.getField("seg"))).as("cleaned"))
+    df.select(col(idCol).as("doc_id"), col(hostCol).as("host"),
+        size(segments(col(textCol), segWords)).cast("long")
+          .as("n_segments"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"), col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_fp"))
   }
 
   def dedupEffectiveness(df: DataFrame, idCol: String, textCol: String,

@@ -710,6 +710,51 @@ object TextAnalysis {
         expr("(nll_bits * 1000) div n_pairs").as("ppl_q"))
   }
 
+  /** fastText-style linear quality classifier in exact integers —
+    * the other half of CCNet's filtering alongside
+    * [[ngramLmPerplexity]]: hashed unigram + bigram features, an
+    * integer weight table, and an exact integer dot-product argmax.
+    * Training happens offline (fastText's real training loop is not a
+    * SQL shape); here the weight table is a fixed deterministic
+    * function weight(bucket, class) = (bucket·31 + class·17) mod 201
+    * − 100 over `nBuckets` = 256 md5-prefix feature buckets — the
+    * SERVING path (hash → bucket → sum → argmax) is the production
+    * operator, and any trained weight table drops in via the same
+    * (bucket, class) → weight contract.
+    *
+    * Feature bucket = the first two hex digits of md5(feature)
+    * (0..255), reproducible on any engine with md5. Ties in the
+    * argmax resolve to the smallest class. Returns (doc_id,
+    * n_features, best_class, best_score).
+    *
+    * Scale: map-only — per row one token pass builds the feature
+    * array (unigrams + space-joined bigrams) and `nClasses` integer
+    * reductions score it; no shuffle, no UDF, nothing driver-side
+    * (a real trained table would arrive as one broadcast map). */
+  def linearClassify(df: DataFrame, idCol: String, textCol: String,
+      nClasses: Int = 4): DataFrame = {
+    require(nClasses >= 1 && nClasses <= 64, s"bad nClasses $nClasses")
+    val w = normToks(col(textCol))
+    val feats = concat(w,
+      graft.expressions.VectorExpressions.shinglesN(w, 2))
+    val bucket = (f: Column) =>
+      conv(substring(md5(f), 1, 2), 16, 10).cast("long")
+    val scores = (0 until nClasses).map { c =>
+      aggregate(feats, lit(0L),
+        (acc, f) => acc + (pmod(bucket(f) * 31L + c * 17L, lit(201L))
+          - 100L))
+    }
+    // argmax via greatest(struct(score, -class)): max score, ties to
+    // the smallest class — one in-row comparison chain, no explode
+    val best = greatest(scores.zipWithIndex.map { case (s, c) =>
+      struct(s.as("s"), lit(-c).as("negc"))
+    }: _*)
+    df.select(col(idCol).as("doc_id"),
+      size(feats).cast("long").as("n_features"),
+      (-best.getField("negc")).cast("int").as("best_class"),
+      best.getField("s").as("best_score"))
+  }
+
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, lit(EmailRe), lit("<EMAIL>"))

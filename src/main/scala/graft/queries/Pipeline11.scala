@@ -209,61 +209,84 @@ object Pipeline11 {
   /** [[graft.operators.CorpusOps.urlDedup]] over a synthesized crawl
     * URL per document (scheme/host case noise, default :443 port,
     * utm_-prefixed and ref tracking params in varying order,
-    * fragments): the
+    * fragments, and — every 9th doc — a SCHEME-LESS url that must
+    * pass through verbatim rather than collapse into one parsed-empty
+    * dedup group): the
     * oracle replays the ENTIRE canonicalization — regexp parts,
-    * default-port strip, tracking-param filter, param sort — in SQL,
-    * then the same partitioned-window group stats. */
+    * default-port strip, tracking-param filter, param sort, the
+    * scheme-less passthrough — in SQL, then the same
+    * partitioned-window group stats. */
   def urlDedupQ(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
-    val url = concat(
-      when(id % 3 === 0, lit("HTTPS://WWW.Site"))
-        .otherwise(lit("https://www.site")),
-      (id % 7).cast("string"), lit(".com"),
-      when(id % 4 === 0, lit(":443")).otherwise(lit("")),
-      lit("/p"), (id % 50).cast("string"),
-      when(id % 2 === 0,
-        concat(lit("?utm_source=x&ref="), id.cast("string"),
-          lit("&b="), (id % 5).cast("string"), lit("&a=1")))
-        .otherwise(concat(lit("?a=1&b="), (id % 5).cast("string"))),
-      when(id % 5 === 0, lit("#frag")).otherwise(lit("")))
+    val url = when(id % 9 === 0,
+      // no scheme: the canonicalizer must NOT bucket these together
+      concat(lit("www.site"), (id % 7).cast("string"), lit(".com/p"),
+        (id % 50).cast("string"),
+        when(id % 2 === 0, lit("#a?x=1")).otherwise(lit(""))))
+      .otherwise(concat(
+        when(id % 3 === 0, lit("HTTPS://WWW.Site"))
+          .otherwise(lit("https://www.site")),
+        (id % 7).cast("string"), lit(".com"),
+        when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p"), (id % 50).cast("string"),
+        // id%10==5: NO query but a '?' inside the fragment — the
+        // canonicalizer must not read fragment content as a query
+        when(id % 2 === 0,
+          concat(lit("?utm_source=x&ref="), id.cast("string"),
+            lit("&b="), (id % 5).cast("string"), lit("&a=1")))
+          .when(id % 5 === 0, lit(""))
+          .otherwise(concat(lit("?a=1&b="), (id % 5).cast("string"))),
+        when(id % 5 === 0 && id % 2 =!= 0, lit("#a?x=1"))
+          .when(id % 5 === 0, lit("#frag")).otherwise(lit(""))))
     graft.operators.CorpusOps.urlDedup(
       Tables.documents(s, d).select(id, url.as("url")), "doc_id", "url")
   }
 
   val urlDedupSql: String =
     """WITH u AS (SELECT doc_id,
-       |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site'
-       |          ELSE 'https://www.site' END
-       |     || CAST(doc_id % 7 AS VARCHAR) || '.com'
-       |     || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
-       |     || '/p' || CAST(doc_id % 50 AS VARCHAR)
-       |     || CASE WHEN doc_id % 2 = 0
-       |          THEN '?utm_source=x&ref=' || CAST(doc_id AS VARCHAR)
-       |            || '&b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1'
-       |          ELSE '?a=1&b=' || CAST(doc_id % 5 AS VARCHAR) END
-       |     || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+       |    (CASE WHEN doc_id % 9 = 0
+       |       THEN 'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p'
+       |         || CAST(doc_id % 50 AS VARCHAR)
+       |         || CASE WHEN doc_id % 2 = 0 THEN '#a?x=1' ELSE '' END
+       |       ELSE
+       |         CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site'
+       |              ELSE 'https://www.site' END
+       |      || CAST(doc_id % 7 AS VARCHAR) || '.com'
+       |      || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+       |      || '/p' || CAST(doc_id % 50 AS VARCHAR)
+       |      || CASE WHEN doc_id % 2 = 0
+       |           THEN '?utm_source=x&ref=' || CAST(doc_id AS VARCHAR)
+       |             || '&b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1'
+       |           WHEN doc_id % 5 = 0 THEN ''
+       |           ELSE '?a=1&b=' || CAST(doc_id % 5 AS VARCHAR) END
+       |      || CASE WHEN doc_id % 5 = 0 AND doc_id % 2 <> 0
+       |             THEN '#a?x=1'
+       |           WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END
+       |     END) AS url
        |  FROM documents),
-       |c AS (SELECT doc_id,
+       |c AS (SELECT doc_id, url,
        |    lower(regexp_extract(url,
        |      '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
        |    lower(regexp_extract(url,
        |      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS host0,
        |    regexp_extract(url,
        |      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path0,
-       |    regexp_extract(url, '\?([^#]*)', 1) AS q
+       |    COALESCE(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '') AS q
        |  FROM u),
        |canon AS (SELECT doc_id,
+       |    CASE WHEN scheme IS NULL OR scheme = ''
+       |           OR host0 IS NULL OR host0 = '' THEN url ELSE
        |    scheme || '://' ||
        |    (CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
        |          WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
        |          ELSE host0 END) ||
        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
        |    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END)
-       |      AS canonical_url
-       |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+       |    END AS canonical_url
+       |  FROM (SELECT *, COALESCE(array_to_string(list_sort(list_filter(
        |      string_split(q, '&'),
        |      p -> NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)=')
-       |        AND p <> '')), '&') AS kept FROM c))
+       |        AND p <> '')), '&'), '') AS kept FROM c))
        |SELECT doc_id, canonical_url,
        |  CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT)
        |    AS n_same,

@@ -141,9 +141,20 @@ object TarShards {
           val dst = new org.apache.hadoop.fs.Path(dir,
             f"shard-$cur%05d.tar")
           // rename is the commit; a retried/speculative attempt
-          // replaces with identical bytes (content is deterministic)
+          // replaces with identical bytes (content is deterministic).
+          // The exists/delete/rename sequence is check-then-act, so a
+          // concurrent attempt can rename into the window — a failed
+          // rename with a correctly-sized dst is that attempt's
+          // identical commit, a benign no-op, not a task failure.
           if (fs.exists(dst)) fs.delete(dst, false)
-          require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+          if (!fs.rename(tmp, dst)) {
+            val committed =
+              try fs.getFileStatus(dst).getLen == written + 1024
+              catch { case _: java.io.FileNotFoundException => false }
+            require(committed, s"rename $tmp -> $dst failed")
+            try fs.delete(tmp, false)
+            catch { case _: java.io.IOException => () }
+          }
           results += ((cur, samples, written + 1024))
           out = null
         }
@@ -174,6 +185,97 @@ object TarShards {
         close()
         results.result().iterator
       }.collect().toSeq.sortBy(_._1)
+  }
+
+  /** Distributed WebDataset reader — the loader side of
+    * [[writeTarShards]] as a Spark source: one task per shard file,
+    * each STREAMING its tar (512-byte header → payload → padding,
+    * never more than one sample buffered) and pairing each
+    * `<key>.<ext>` payload with the `<key>.json` metadata entry the
+    * writer put right after it. Returns (shard, id, ext, bytes,
+    * meta_json) — exported corpora are re-ingestable without any
+    * local-disk detour (same Hadoop FileSystem plumbing as the
+    * writer, so HDFS/local alike).
+    *
+    * Scale: the shard list is a driver-side file listing (one row per
+    * shard, like any file source); payload bytes flow straight from
+    * the FSDataInputStream to the output row. A malformed pairing
+    * (payload without its json) fails loudly rather than silently
+    * skewing samples. */
+  def readTarShards(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs0 = dirPath.getFileSystem(hconf)
+    val shardRe = ".*/shard-(\\d{5})\\.tar$".r
+    val shards = fs0.listStatus(dirPath).toSeq
+      .map(_.getPath.toString)
+      .collect { case p @ shardRe(_) => p }
+      .sorted
+    val confEntries: Array[(String, String)] = {
+      val it = hconf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
+    spark.createDataset(shards)
+      .repartition(math.max(1, shards.size))
+      .flatMap { p =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(conf)
+        val shardNo = p match { case shardRe(n) => n.toInt; case _ => -1 }
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(fs.open(path), 1 << 16))
+        def readEntry(): Option[(String, Array[Byte])] = {
+          val hdr = new Array[Byte](512)
+          in.readFully(hdr)
+          if (hdr(0) == 0) { in.close(); None }
+          else {
+            val name = new String(hdr, 0, 100, UTF_8).takeWhile(_ != 0)
+            val size = java.lang.Long.parseLong(
+              new String(hdr, 124, 12, UTF_8)
+                .takeWhile(c => c != 0 && c != ' '), 8)
+            val data = new Array[Byte](size.toInt)
+            in.readFully(data)
+            val pad = ((512 - size % 512) % 512).toInt
+            // readFully, not skipBytes: skip may return short
+            if (pad > 0) in.readFully(new Array[Byte](pad))
+            Some((name, data))
+          }
+        }
+        new Iterator[(Int, Long, String, Array[Byte], String)] {
+          private var nextRow: (Int, Long, String, Array[Byte], String) = _
+          private var done = false
+          advance()
+          private def advance(): Unit =
+            readEntry() match {
+              case None => done = true
+              case Some((pname, pdata)) =>
+                val dot = pname.lastIndexOf('.')
+                require(dot > 0, s"tar shard $p: unpaired entry '$pname'")
+                val key = pname.substring(0, dot)
+                val ext = pname.substring(dot + 1)
+                val meta = readEntry() match {
+                  case Some((jn, jd)) if jn == s"$key.json" =>
+                    new String(jd, UTF_8)
+                  case other => throw new java.io.IOException(
+                    s"tar shard $p: entry '$pname' not followed by " +
+                      s"'$key.json' (got ${other.map(_._1)})")
+                }
+                nextRow = (shardNo, key.toLong, ext, pdata, meta)
+            }
+          def hasNext: Boolean = !done
+          def next(): (Int, Long, String, Array[Byte], String) = {
+            val r = nextRow
+            advance()
+            r
+          }
+        }
+      }
+      .toDF("shard", "id", "ext", "bytes", "meta_json")
   }
 
   /** Parse a tar produced by [[writeTarShards]] (or any USTAR

@@ -35,6 +35,66 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(out(4L) == ((2L, 0L)))
   }
 
+  test("canonicalUrl: parsing, tracking params, scheme-less passthrough") {
+    val cases = Seq(
+      // parsed: case, default port, tracking params, sort, fragment
+      ("HTTPS://Ex.COM:443/p?b=2&utm_source=x&a=1#f",
+        "https://ex.com/p?a=1&b=2"),
+      ("http://ex.com:80", "http://ex.com/"),
+      ("https://ex.com/p#a?x=1", "https://ex.com/p"), // '?' in fragment
+      // NOT parseable → verbatim passthrough, never a shared key
+      ("//ex.com/p?a=1", "//ex.com/p?a=1"),
+      ("ex.com/path", "ex.com/path"),
+      ("not a url at all", "not a url at all"),
+      ("file:///p", "file:///p")) // empty host → passthrough
+    val got = cases.map(_._1).toDF("url")
+      .select(CorpusOps.canonicalUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), got.mkString("; "))
+    // dedup over scheme-less URLs groups only IDENTICAL strings
+    val docs = Seq((1L, "//a.com/x"), (2L, "//b.com/y"), (3L, "//a.com/x"))
+      .toDF("doc_id", "url")
+    val dd = CorpusOps.urlDedup(docs, "doc_id", "url")
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(dd(1L) == ((2L, true)) && dd(3L) == ((2L, false)))
+    assert(dd(2L) == ((1L, true)))
+  }
+
+  test("hostBoilerplateStrip: per-host frequency, not corpus-global") {
+    val nav = "nav1 nav2 nav3 nav4 nav5 nav6 nav7 nav8 nav9 nav10"
+    val body = (i: Int) => s"b$i c$i d$i e$i f$i g$i h$i i$i j$i k$i"
+    val docs = Seq(
+      // host A: 3 of 4 docs carry the nav segment (75% > 50%)
+      (1L, "a", s"$nav ${body(1)}"),
+      (2L, "a", s"$nav ${body(2)}"),
+      (3L, "a", s"$nav ${body(3)}"),
+      (4L, "a", body(4)),
+      // host B: 1 of 3 docs carries the SAME segment (33% ≤ 50%) —
+      // per-host, it survives there even though it is corpus-frequent
+      (5L, "b", s"$nav ${body(5)}"),
+      (6L, "b", body(6)),
+      (7L, "b", body(7)),
+      // host C: a single-doc host must keep everything (minDocs)
+      (8L, "c", s"$nav ${body(8)}")
+    ).toDF("doc_id", "host", "text")
+    val out = CorpusOps.hostBoilerplateStrip(docs, "doc_id", "host",
+        "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    def fp(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    (1L to 3L).foreach { id =>
+      assert(out(id)._2 == 2 && out(id)._3 == 1, s"doc $id")
+      assert(out(id)._4 == fp(body(id.toInt)), s"doc $id cleaned")
+    }
+    assert(out(4L)._3 == 0 && out(4L)._4 == fp(body(4)))
+    // host B keeps the nav segment (below threshold there)
+    assert(out(5L)._3 == 0 && out(5L)._4 == fp(s"$nav ${body(5)}"))
+    assert(out(8L)._3 == 0 && out(8L)._4 == fp(s"$nav ${body(8)}"))
+  }
+
   test("gopherRules flags thresholds exactly") {
     val good = ("the a " + Seq.fill(30)("word").mkString(" "))
     val shortDoc = "the a tiny"

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.sinks.TarShards
 import graft.sources.{Codecs, Gif, Multimodal}
 
@@ -71,6 +73,61 @@ class TarShardsSpec extends SparkSpecBase {
       }
     } finally Seq(dir, dir2).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("tar shards: distributed reader round-trips export identity") {
+    val rows = media(40)
+    val dir = Files.createTempDirectory("tarread").toString
+    try {
+      TarShards.writeTarShards(rows.toDS().repartition(5), dir, 4)
+      val got = TarShards.readTarShards(spark, dir)
+        .as[(Int, Long, String, Array[Byte], String)].collect()
+      assert(got.length == rows.size)
+      val byId = rows.map(r => r.id -> r).toMap
+      got.foreach { case (shard, id, ext, bytes, meta) =>
+        val want = byId(id)
+        assert(bytes.sameElements(want.bytes), s"payload $id")
+        val wantExt = want.mediaType match {
+          case "image" => "gif"
+          case "audio" => "wav"
+          case other   => other
+        }
+        assert(ext == wantExt, s"ext $id")
+        assert(meta.contains(s""""id":$id"""), s"meta $id")
+        want.meta.get("src").foreach(v =>
+          assert(meta.contains(s""""src":"$v""""), s"meta src $id"))
+        assert(shard >= 0 && shard < 4)
+      }
+      // shard column matches the writer's deterministic assignment
+      val wantShards = rows.toDS()
+        .select(col("id"), pmod(xxhash64(col("id")), lit(4)).cast("int"))
+        .as[(Long, Int)].collect().toMap
+      got.foreach { case (shard, id, _, _, _) =>
+        assert(shard == wantShards(id), s"shard of $id")
+      }
+      // a payload entry whose json partner is missing fails loudly:
+      // truncate one shard right after a payload entry
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".tar")).head
+      val bytes = Files.readAllBytes(f.toPath)
+      val entries = TarShards.readTar(bytes)
+      val firstLen = 512 + (entries.head._2.length + 511) / 512 * 512
+      val broken = java.util.Arrays.copyOf(bytes, firstLen + 1024)
+      // zero the tail: end-of-archive right after the payload entry
+      java.util.Arrays.fill(broken, firstLen, broken.length, 0.toByte)
+      Files.write(f.toPath, broken)
+      // the direct rewrite bypassed Hadoop's ChecksumFileSystem —
+      // drop the stale .crc sidecar or the read fails on CRC, not
+      // on the pairing check under test
+      new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+      val ex = intercept[org.apache.spark.SparkException] {
+        TarShards.readTarShards(spark, dir).count()
+      }
+      val msg = ex.getMessage +
+        Option(ex.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("not followed by"), s"got: $msg")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
   }
 
   test("tar shards: the system tar(1) reads our archives (conformance)") {
