@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.Pipeline9.queries ++
       graft.queries.Pipeline10.queries ++
       graft.queries.Pipeline11.queries ++
+      graft.queries.Pipeline12.queries ++
       graft.queries.OsmAnalog.queries ++
       graft.queries.GenQueries.queries
 
@@ -47,6 +48,7 @@ object SparkEntry {
       graft.queries.Pipeline9.oracles ++
       graft.queries.Pipeline10.oracles ++
       graft.queries.Pipeline11.oracles ++
+      graft.queries.Pipeline12.oracles ++
       graft.queries.OsmAnalog.oracles ++
       graft.queries.GenQueries.oracles
 }

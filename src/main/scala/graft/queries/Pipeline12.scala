@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.Multimodal
+
+/** Round-14 additions: WIDE (128-bit) Hamming fingerprint dedup
+  * (q151 — the PDQ-class hash width production image dedup uses),
+  * per-host boilerplate segment removal (q152 — the CCNet
+  * preprocessing step), the WebDataset tar-shard round trip through
+  * the DISTRIBUTED reader (q153), the fastText-shaped integer linear
+  * classifier (q154), and image-text pair curation — the LAION shape
+  * (q155). Same contract as [[Pipeline]]: exact integer arithmetic
+  * only, so the DuckDB oracle matches bit for bit. */
+object Pipeline12 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val W = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+  // ---- q151: Hamming near-dup over WIDE (128-bit) fingerprints ----
+
+  /** The q141 fixture extended to two 63-bit words (the 128-bit
+    * PDQ-class shape): groups of 4 docs share a 126-bit base pattern,
+    * each member XOR-flips up to 3 global positions — a pure integer
+    * bit formula both engines recompute identically. */
+  private[queries] def fpHashesWide(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val words = Array.fill(2)(0L)
+        var p = 0
+        while (p < 126) {
+          val w = p / 63
+          val i = p % 63
+          var bit = if ((((id / 4) * 31 + p * 17) % 97) % 5 == 0) 1 else 0
+          var f = 0
+          while (f < (id % 4).toInt) {
+            if ((id * 11 + f * 23) % 126 == p) bit ^= 1
+            f += 1
+          }
+          if (bit == 1) words(w) |= 1L << i
+          p += 1
+        }
+        (id, words.toSeq)
+      }.toDF("doc_id", "h")
+  }
+
+  def hammingWide(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.hammingNearDupWide(fpHashesWide(s, d),
+        "doc_id", "h", nWords = 2, maxDist = 6)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+
+  val hammingWideSql: String =
+    """WITH p AS (SELECT doc_id FROM documents),
+      |bits AS (SELECT doc_id, CAST(t.p AS INTEGER) // 63 AS w,
+      |    CAST(t.p AS INTEGER) % 63 AS i,
+      |    CASE WHEN (((doc_id//4)*31 + t.p*17) % 97) % 5 = 0
+      |      THEN 1 ELSE 0 END AS b0
+      |  FROM p, range(126) t(p)),
+      |flips AS (SELECT doc_id,
+      |    CAST((doc_id*11 + f.f*23) % 126 AS INTEGER) // 63 AS w,
+      |    CAST((doc_id*11 + f.f*23) % 126 AS INTEGER) % 63 AS i,
+      |    COUNT(*) % 2 AS fl
+      |  FROM p, range(3) f(f) WHERE f.f < doc_id % 4 GROUP BY 1, 2, 3),
+      |h AS (SELECT bits.doc_id,
+      |    CAST(SUM(CASE WHEN bits.w = 0 THEN
+      |      (CAST((b0 + COALESCE(fl, 0)) % 2 AS BIGINT) << bits.i)
+      |      ELSE 0 END) AS BIGINT) AS h0,
+      |    CAST(SUM(CASE WHEN bits.w = 1 THEN
+      |      (CAST((b0 + COALESCE(fl, 0)) % 2 AS BIGINT) << bits.i)
+      |      ELSE 0 END) AS BIGINT) AS h1
+      |  FROM bits LEFT JOIN flips
+      |    ON bits.doc_id = flips.doc_id AND bits.w = flips.w
+      |      AND bits.i = flips.i
+      |  GROUP BY 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+      |    AS INTEGER) AS dist
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 6"""
+      .stripMargin
+
+  // ---- q152: per-host boilerplate segment removal (CCNet shape) ----
+
+  /** [[graft.operators.CorpusOps.hostBoilerplateStrip]] over a
+    * synthesized crawl: host = doc_id % 7, and 2/3 of each host's
+    * documents carry an identical 10-word navigation prefix — the
+    * per-host frequency rule must strip exactly that segment (66% >
+    * the 50% threshold) and nothing global. The oracle replays the
+    * segmentation, the per-host frequency contract, and the ordered
+    * reassembly fingerprint. */
+  private val boilerPrefix =
+    "nav home about contact subscribe cookie banner terms privacy login "
+
+  def hostBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val fixture = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("h"), (col("doc_id") % 7).cast("string")).as("host"),
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit(boilerPrefix), col("text")))
+        .otherwise(col("text")).as("text"))
+    graft.operators.CorpusOps.hostBoilerplateStrip(
+      fixture, "doc_id", "host", "text")
+  }
+
+  val hostBoilerplateSql: String =
+    s"""WITH d2 AS (SELECT doc_id,
+       |    'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+       |    CASE WHEN doc_id % 3 <> 0
+       |      THEN '$boilerPrefix' || text ELSE text END AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id, host, $W AS w FROM d2),
+       |segs AS (SELECT doc_id, host,
+       |    unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS pos,
+       |    unnest(list_transform(
+       |      range(CAST(ceil(len(w) / 10.0) AS BIGINT)),
+       |      g -> array_to_string(w[(g*10+1):(g*10+10)], ' '))) AS seg
+       |  FROM t),
+       |hostdocs AS (SELECT host, COUNT(*) AS nh FROM d2 GROUP BY 1),
+       |freq AS (SELECT host, seg, COUNT(DISTINCT doc_id) AS nd
+       |  FROM segs GROUP BY 1, 2),
+       |boiler AS (SELECT freq.host, freq.seg
+       |  FROM freq JOIN hostdocs ON freq.host = hostdocs.host
+       |  WHERE nd >= 2 AND nd * 1000 > 500 * nh),
+       |kept AS (SELECT segs.doc_id, COUNT(*) AS n_kept,
+       |    string_agg(segs.seg, ' ' ORDER BY segs.pos) AS cleaned
+       |  FROM segs LEFT JOIN boiler
+       |    ON segs.host = boiler.host AND segs.seg = boiler.seg
+       |  WHERE boiler.seg IS NULL GROUP BY 1),
+       |tot AS (SELECT doc_id, host,
+       |    CAST(ceil(len(w) / 10.0) AS BIGINT) AS n_segments FROM t)
+       |SELECT tot.doc_id, tot.host, tot.n_segments,
+       |  tot.n_segments - COALESCE(kept.n_kept, 0) AS n_removed,
+       |  md5(COALESCE(kept.cleaned, '')) AS cleaned_fp
+       |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id""".stripMargin
+
+  // ---- q153: WebDataset tar-shard export → DISTRIBUTED read ----
+
+  /** The full WebDataset loop: every document exported once (via
+    * [[StoreOnce]]) as a `<id>.txt` + `<id>.json` sample into 8
+    * deterministic tar shards, then re-ingested by the streaming
+    * distributed reader ([[graft.sinks.TarShards.readTarShards]] —
+    * one task per shard, no whole-shard buffering). The oracle
+    * recomputes byte length, payload md5, and the metadata straight
+    * from the documents table — a hash match certifies the USTAR
+    * writer, the shard commit, the reader's header walk, and the
+    * payload/metadata pairing. */
+  def tarRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = StoreOnce.dir("tarshards", d) { p =>
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+        .as[(Long, String, String)]
+        .map { case (id, text, src) =>
+          Multimodal.MediaRow(id, "txt",
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            Map("source" -> src))
+        }
+      graft.sinks.TarShards.writeTarShards(media, p, nShards = 8)
+      ()
+    }
+    graft.sinks.TarShards.readTarShards(s, path)
+      .select(col("id").as("doc_id"),
+        length(col("bytes")).cast("long").as("n_bytes"),
+        md5(col("bytes")).as("payload_fp"),
+        get_json_object(col("meta_json"), "$.source").as("source"),
+        col("ext"))
+  }
+
+  val tarRoundtripSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS payload_fp, source, 'txt' AS ext
+      |FROM documents""".stripMargin
+
+  // ---- q154: fastText-shaped integer linear classifier ----
+
+  /** [[graft.operators.TextAnalysis.linearClassify]]: hashed
+    * unigram+bigram features into 256 md5-prefix buckets, the fixed
+    * integer weight table weight(b, c) = (b·31 + c·17) mod 201 − 100,
+    * exact integer score sums, argmax with smallest-class ties. The
+    * oracle replays bucketing (hex-digit positions), weights, sums,
+    * and the argmax. */
+  def linearClassifyQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.linearClassify(
+      Tables.documents(s, d), "doc_id", "text")
+
+  val linearClassifySql: String =
+    s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+       |f AS (
+       |  SELECT doc_id, unnest(w) AS f FROM t
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(
+       |      range(1, greatest(len(w), 1)),
+       |      i -> array_to_string(w[i:i+1], ' '))) AS f
+       |  FROM t WHERE len(w) >= 2),
+       |b AS (SELECT doc_id,
+       |    (strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 16
+       |      + strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1 AS bkt
+       |  FROM f),
+       |sc AS (SELECT doc_id, CAST(c.c AS INTEGER) AS cls,
+       |    CAST(SUM((bkt*31 + c.c*17) % 201 - 100) AS BIGINT) AS score,
+       |    COUNT(*) AS nf
+       |  FROM b, range(4) c(c) GROUP BY 1, 2),
+       |best AS (SELECT doc_id, ANY_VALUE(nf) AS n_features,
+       |    MAX(score) AS best_score FROM sc GROUP BY 1),
+       |cls AS (SELECT sc.doc_id, MIN(sc.cls) AS best_class
+       |  FROM sc JOIN best ON sc.doc_id = best.doc_id
+       |    AND sc.score = best.best_score
+       |  GROUP BY 1)
+       |SELECT best.doc_id, CAST(best.n_features AS BIGINT) AS n_features,
+       |  CAST(cls.best_class AS INTEGER) AS best_class, best.best_score
+       |FROM best JOIN cls ON best.doc_id = cls.doc_id""".stripMargin
+
+  // ---- q155: image-text pair curation (the LAION shape) ----
+
+  /** One keep/drop decision per image-text PAIR, composed from green
+    * operators: the image side keeps one representative per Hamming
+    * cluster ([[graft.operators.Dedup.imageDedupClusters]] over the
+    * q141 fingerprint fixture), the caption side must pass the Gopher
+    * rules — a pair survives only when BOTH sides do. The oracle
+    * splices the q146 recursive-closure CTEs with the q84 quality
+    * CTEs. */
+  def pairCuration(s: SparkSession, d: String): DataFrame = {
+    val img = graft.operators.Dedup.imageDedupClusters(
+      Pipeline10.fpHashes(s, d), "doc_id", "h", maxDist = 6)
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        col("keep").as("image_keep"))
+    val cap = graft.operators.CorpusOps.gopherRules(
+      Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("pass").as("caption_pass"))
+    img.join(cap, "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("image_keep"),
+        col("caption_pass"),
+        (col("image_keep") && col("caption_pass")).as("keep"))
+  }
+
+  val pairCurationSql: String = {
+    val tail = "SELECT h.doc_id,"
+    val idx = Pipeline11.imageClustersSql.lastIndexOf(tail)
+    require(idx > 0,
+      "q155 oracle: q146 final SELECT changed — update the splice")
+    Pipeline11.imageClustersSql.substring(0, idx) +
+      s""",
+         |gq AS (SELECT doc_id, $W AS w FROM documents),
+         |gm AS (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
+         |      AS nch,
+         |    CAST(len(list_filter(w,
+         |      x -> x IN ('the', 'a', 'of', 'and', 'data'))) AS BIGINT)
+         |      AS sh,
+         |    CAST(len(list_filter(w,
+         |      x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT) AS aw
+         |  FROM gq),
+         |g AS (SELECT doc_id,
+         |    ((n_words >= 20 AND n_words <= 100000) AND
+         |     (CAST(nch AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0 AND
+         |      CAST(nch AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0) AND
+         |     sh >= 2 AND aw * 10 >= n_words * 8) AS pass
+         |  FROM gm)
+         |SELECT h.doc_id,
+         |  COALESCE(comp.cluster_id, h.doc_id) AS cluster_id,
+         |  h.doc_id = COALESCE(comp.cluster_id, h.doc_id) AS image_keep,
+         |  g.pass AS caption_pass,
+         |  ((h.doc_id = COALESCE(comp.cluster_id, h.doc_id)) AND g.pass)
+         |    AS keep
+         |FROM h LEFT JOIN comp ON h.doc_id = comp.doc_id
+         |JOIN g ON g.doc_id = h.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q151_hamming_wide" -> (hammingWide _),
+    "q152_host_boilerplate" -> (hostBoilerplate _),
+    "q153_tar_roundtrip" -> (tarRoundtrip _),
+    "q154_linear_classify" -> (linearClassifyQ _),
+    "q155_pair_curation" -> (pairCuration _))
+
+  def oracles: Map[String, String] = Map(
+    "q151_hamming_wide" -> hammingWideSql,
+    "q152_host_boilerplate" -> hostBoilerplateSql,
+    "q153_tar_roundtrip" -> tarRoundtripSql,
+    "q154_linear_classify" -> linearClassifySql,
+    "q155_pair_curation" -> pairCurationSql)
+}
