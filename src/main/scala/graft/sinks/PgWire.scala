@@ -194,17 +194,12 @@ final class PgWire private (in: DataInputStream, out: DataOutputStream,
     rows.result()
   }
 
-  /** Stream `lines` (COPY TEXT rows, NO trailing newline) into a
-    * `COPY … FROM STDIN` statement; returns the loaded row count
-    * from the server's command tag. Frames are batched to ~64 KiB
-    * CopyData messages; on a mid-stream server error the remaining
-    * input is abandoned and the server's message is thrown. */
-  def copyIn(copySql: String, lines: Iterator[String]): Long = {
+  /** Await CopyInResponse (the server validates the statement
+    * first); a statement that completes WITHOUT one (not a COPY
+    * FROM) ends its cycle at ReadyForQuery and is refused loudly —
+    * the connection stays usable either way. */
+  private def awaitCopyInResponse(copySql: String): Unit = {
     send('Q', cstring(copySql)); flush()
-    // await CopyInResponse (the server validates the statement
-    // first); a statement that completes WITHOUT one (not a COPY
-    // FROM) ends its cycle at ReadyForQuery and is refused loudly —
-    // the connection stays usable either way
     var inCopy = false
     var cycleDone = false
     var err: String = null
@@ -218,33 +213,26 @@ final class PgWire private (in: DataInputStream, out: DataOutputStream,
       throw new IOException(
         s"${if (err != null) err else "statement did not start COPY FROM STDIN"}\n[$copySql]")
     }
-    val buf = new java.io.ByteArrayOutputStream(80 << 10)
-    def flushData(): Unit = if (buf.size() > 0) {
-      send('d', buf.toByteArray)
-      buf.reset()
-    }
-    try {
-      lines.foreach { l =>
-        buf.write(l.getBytes(UTF_8)); buf.write('\n')
-        if (buf.size() >= (64 << 10)) flushData()
-      }
-      flushData()
-      send('c', Array.emptyByteArray) // CopyDone
-      flush()
-    } catch {
-      case e: IOException =>
-        // the backend aborted mid-copy and closed the pipe — surface
-        // its error message rather than the broken-pipe symptom
-        var z = false
-        var msg = e.getMessage
-        try while (!z) readMessage() match {
-          case ('E', p) => msg = errorText(p)
-          case ('Z', _) => z = true
-          case _        => ()
-        } catch { case _: IOException => () }
-        throw new IOException(s"COPY failed: $msg\n[$copySql]")
-    }
+  }
+
+  /** The backend aborted mid-copy and closed the pipe — surface its
+    * error message rather than the broken-pipe symptom. */
+  private def copyAbort(copySql: String, e: IOException): Nothing = {
+    var z = false
+    var msg = e.getMessage
+    try while (!z) readMessage() match {
+      case ('E', p) => msg = errorText(p)
+      case ('Z', _) => z = true
+      case _        => ()
+    } catch { case _: IOException => () }
+    throw new IOException(s"COPY failed: $msg\n[$copySql]")
+  }
+
+  /** Drain the cycle after CopyDone; returns the row count from the
+    * server's `COPY n` command tag, throwing its error if any. */
+  private def finishCopyCycle(copySql: String): Long = {
     var rowsLoaded = -1L
+    var err: String = null
     var done = false
     while (!done) readMessage() match {
       case ('C', p) =>
@@ -258,6 +246,60 @@ final class PgWire private (in: DataInputStream, out: DataOutputStream,
     rowsLoaded
   }
 
+  /** Stream `lines` (COPY TEXT rows, NO trailing newline) into a
+    * `COPY … FROM STDIN` statement; returns the loaded row count
+    * from the server's command tag. Frames are batched to ~64 KiB
+    * CopyData messages; on a mid-stream server error the remaining
+    * input is abandoned and the server's message is thrown. */
+  def copyIn(copySql: String, lines: Iterator[String]): Long = {
+    awaitCopyInResponse(copySql)
+    val buf = new java.io.ByteArrayOutputStream(80 << 10)
+    def flushData(): Unit = if (buf.size() > 0) {
+      send('d', buf.toByteArray)
+      buf.reset()
+    }
+    try {
+      lines.foreach { l =>
+        buf.write(l.getBytes(UTF_8)); buf.write('\n')
+        if (buf.size() >= (64 << 10)) flushData()
+      }
+      flushData()
+      send('c', Array.emptyByteArray) // CopyDone
+      flush()
+    } catch { case e: IOException => copyAbort(copySql, e) }
+    finishCopyCycle(copySql)
+  }
+
+  /** Stream pre-encoded BINARY tuples (each an int16 field count +
+    * per-field int32 length + bytes — [[PgSink.binaryCopyRows]]
+    * produces them) into a `COPY … FROM STDIN (FORMAT binary)`
+    * statement: the PUBLIC binary COPY file format — the 19-byte
+    * `PGCOPY\n\377\r\n\0` signature + int32 flags 0 + int32
+    * extension-length 0 header, tuple frames, and the int16 -1
+    * trailer. Binary roughly halves server-side parse cost at bulk
+    * load vs COPY TEXT (no text → datum conversion); same 64 KiB
+    * CopyData batching and error surfacing as [[copyIn]]. */
+  def copyInBinary(copySql: String, tuples: Iterator[Array[Byte]]): Long = {
+    awaitCopyInResponse(copySql)
+    val buf = new java.io.ByteArrayOutputStream(80 << 10)
+    def flushData(): Unit = if (buf.size() > 0) {
+      send('d', buf.toByteArray)
+      buf.reset()
+    }
+    try {
+      buf.write(BinaryCopySignature)
+      tuples.foreach { t =>
+        buf.write(t)
+        if (buf.size() >= (64 << 10)) flushData()
+      }
+      buf.write(0xff); buf.write(0xff) // int16 -1 file trailer
+      flushData()
+      send('c', Array.emptyByteArray) // CopyDone
+      flush()
+    } catch { case e: IOException => copyAbort(copySql, e) }
+    finishCopyCycle(copySql)
+  }
+
   override def close(): Unit = {
     try { send('X', Array.emptyByteArray); flush() }
     catch { case _: IOException => () }
@@ -266,6 +308,12 @@ final class PgWire private (in: DataInputStream, out: DataOutputStream,
 }
 
 object PgWire {
+
+  /** COPY BINARY file signature + flags(0) + header-extension len(0)
+    * — the PUBLIC format from the PostgreSQL COPY documentation. */
+  private[sinks] val BinaryCopySignature: Array[Byte] =
+    Array[Byte]('P', 'G', 'C', 'O', 'P', 'Y', '\n', 0xff.toByte, '\r',
+      '\n', 0, /* flags */ 0, 0, 0, 0, /* ext len */ 0, 0, 0, 0)
 
   /** Connect using any libpq -d DSN form ([[PgSink.dsnParams]]):
     * plain dbname, keyword/value conninfo, postgresql:// URI. A
@@ -330,28 +378,65 @@ object PgWire {
     * afterwards by prefix. Returns the rows actually published, so a
     * load that dropped rows cannot return quietly. */
   def copyPartitioned(lines: org.apache.spark.sql.Dataset[String],
-      dsn: String, qualifiedTable: String): Long = {
+      dsn: String, qualifiedTable: String): Long =
+    copyPartitionedImpl(lines, dsn, qualifiedTable, binary = false)
+
+  /** [[copyPartitioned]] over pre-encoded BINARY tuples
+    * ([[PgSink.binaryCopyRows]]) — identical staging/publish/cleanup
+    * discipline, `COPY … FROM STDIN (FORMAT binary)` on the wire. */
+  def copyPartitionedBinary(tuples: org.apache.spark.sql.Dataset[Array[Byte]],
+      dsn: String, qualifiedTable: String): Long =
+    copyPartitionedImpl(tuples, dsn, qualifiedTable, binary = true)
+
+  private def copyPartitionedImpl[T](lines: org.apache.spark.sql.Dataset[T],
+      dsn: String, qualifiedTable: String, binary: Boolean): Long = {
     import lines.sparkSession.implicits._
     // short prefix: PostgreSQL truncates identifiers at 63 bytes, and
     // a silent truncation could collide two attempts' staging tables
     // (16 uuid hex chars + partition + attempt stays well under)
     val stagePrefix =
       "gstg_" + java.util.UUID.randomUUID.toString.replace("-", "").take(16)
-    val staged: Seq[(Int, String, Long)] = lines.mapPartitions { it =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val tc = org.apache.spark.TaskContext.get()
-        val t = s"${stagePrefix}_p${tc.partitionId}_a${tc.taskAttemptId}"
-        require(t.length <= 63, s"staging identifier too long: $t")
-        val conn = connect(dsn)
-        try {
-          conn.exec(
-            s"""CREATE UNLOGGED TABLE "$t" (LIKE $qualifiedTable)""")
-          val n = conn.copyIn(s"""COPY "$t" FROM STDIN""", it)
-          Iterator((tc.partitionId(), t, n))
-        } finally conn.close()
+    // best-effort prefix drop of every staging table of THIS job —
+    // winners, losers, and orphans left by attempts that copied but
+    // never reported back
+    def dropStaging(conn: PgWire): Unit =
+      try conn.query("SELECT quote_ident(relname) FROM pg_class " +
+          s"WHERE relkind = 'r' AND relname LIKE '$stagePrefix%'")
+        .flatMap(_.head)
+        .foreach(t => conn.exec(s"DROP TABLE IF EXISTS $t"))
+      catch { case _: IOException => () } // cleanup is best-effort
+    val staged: Seq[(Int, String, Long)] =
+      try lines.mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val t = s"${stagePrefix}_p${tc.partitionId}_a${tc.taskAttemptId}"
+          require(t.length <= 63, s"staging identifier too long: $t")
+          val conn = connect(dsn)
+          try {
+            conn.exec(
+              s"""CREATE UNLOGGED TABLE "$t" (LIKE $qualifiedTable)""")
+            val n =
+              if (binary) conn.copyInBinary(
+                s"""COPY "$t" FROM STDIN (FORMAT binary)""",
+                it.asInstanceOf[Iterator[Array[Byte]]])
+              else conn.copyIn(s"""COPY "$t" FROM STDIN""",
+                it.asInstanceOf[Iterator[String]])
+            Iterator((tc.partitionId(), t, n))
+          } finally conn.close()
+        }
+      }.collect().toSeq
+      catch {
+        case e: Throwable =>
+          // a task exhausted retries and the Spark job threw BEFORE
+          // the publish block: partitions that had already copied
+          // would otherwise leak their UNLOGGED staging tables forever
+          try {
+            val c = connect(dsn)
+            try dropStaging(c) finally c.close()
+          } catch { case _: Exception => () }
+          throw e
       }
-    }.collect().toSeq
     val winners = staged.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
     val conn = connect(dsn)
     try {
@@ -361,15 +446,9 @@ object PgWire {
             s"""INSERT INTO $qualifiedTable SELECT * FROM "$t""""
           } ++ Seq("COMMIT")).mkString(";\n"))
       } finally {
-        // drop every staging table of THIS job — winners, losers, and
-        // orphans left by attempts that copied but never reported
-        // back — even when the publish transaction failed (an aborted
-        // simple-query cycle rolls back and leaves the session idle)
-        try conn.query("SELECT quote_ident(relname) FROM pg_class " +
-            s"WHERE relkind = 'r' AND relname LIKE '$stagePrefix%'")
-          .flatMap(_.head)
-          .foreach(t => conn.exec(s"DROP TABLE IF EXISTS $t"))
-        catch { case _: IOException => () } // cleanup is best-effort
+        // also covers a failed publish (an aborted simple-query
+        // cycle rolls back and leaves the session idle)
+        dropStaging(conn)
       }
       winners.map(_._3).sum
     } finally conn.close()

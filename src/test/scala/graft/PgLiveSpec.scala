@@ -263,6 +263,72 @@ class PgLiveSpec extends SparkSpecBase {
     } finally c.close()
   }
 
+  test("PgSink.writeCopyBinary: COPY BINARY load reads back identical to TEXT") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, map_from_entries}
+    import graft.sinks.PgWire
+    // a wider type matrix than the TEXT test: every binary encoder
+    // (int2/int8/float4/float8/bool/text/hstore/jsonb/timestamptz)
+    val binDef = FlexTableDef(
+      name = "graft_bin",
+      ids = FlexIds.Way,
+      columns = Seq(
+        FlexColumn("name", FlexType.Text),
+        FlexColumn("tags", FlexType.Hstore),
+        FlexColumn("population", FlexType.Int8),
+        FlexColumn("lanes", FlexType.Int2),
+        FlexColumn("width", FlexType.Real),
+        FlexColumn("area", FlexType.DoublePrecision),
+        FlexColumn("ok", FlexType.Boolean),
+        FlexColumn("props", FlexType.Json),
+        FlexColumn("seen", FlexType.Timestamp)),
+      cluster = false)
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val binRows = Seq(
+      (1L, Some("plain"), Seq("k" -> "v"), Some(42L), Some(3.toShort),
+        Some(2.5f), Some(1.25e10), Some(true), Some("""{"a":1}"""),
+        Some(ts(0L))),
+      (2L, Some("tab\there\nand \\slash"), Seq("a\tb" -> "c\nd"),
+        None, None, None, None, Some(false), None,
+        Some(ts(1723800000123L))),
+      (3L, None, Seq.empty[(String, String)], Some(-7L), Some(-2.toShort),
+        Some(-0.5f), Some(-1.5e-3), None, Some("""{"u":"ü"}"""),
+        None),
+      (4L, Some("ünïcode ✓"), Seq("name:uk" -> "Київ"), Some(0L),
+        Some(0.toShort), Some(0f), Some(0.0), Some(true),
+        Some("[1,2,3]"), Some(ts(-1234567L))))
+    val df = binRows.toDF("osm_id", "name", "tags", "population",
+        "lanes", "width", "area", "ok", "props", "seen")
+      .withColumn("tags", map_from_entries(col("tags")))
+      .repartition(2)
+    val c = PgWire.connect(PgTestCluster.dsn)
+    try {
+      c.exec("CREATE EXTENSION IF NOT EXISTS hstore;")
+      for (t <- Seq("graft_bin_text", "graft_bin_bin")) {
+        c.exec(s"""DROP TABLE IF EXISTS "public"."$t";""")
+        c.exec(PgSink.createTableDdl(binDef.copy(name = t),
+          unlogged = true))
+      }
+      val nT = PgSink.writeCopy(df, binDef.copy(name = "graft_bin_text"),
+        PgTestCluster.dsn)
+      val nB = PgSink.writeCopyBinary(df,
+        binDef.copy(name = "graft_bin_bin"), PgTestCluster.dsn)
+      assert(nT == binRows.size && nB == binRows.size,
+        s"acknowledged $nT text / $nB binary rows")
+      def dump(t: String) = copyOut(
+        "SELECT * FROM \"public\".\"" + t + "\" ORDER BY \"osm_id\"")
+      val (dt, db) = (dump("graft_bin_text"), dump("graft_bin_bin"))
+      assert(dt == db, s"TEXT and BINARY loads diverged:\n$dt\nvs\n$db")
+      // sql_type overrides are refused loudly (wire type unknowable)
+      val over = binDef.copy(columns = binDef.columns :+
+        FlexColumn("ser", FlexType.Text, sqlTypeOverride = Some("serial")))
+      val ex = intercept[IllegalArgumentException](
+        PgSink.binaryCopyRows(
+          df.withColumn("ser", col("name")), over))
+      assert(ex.getMessage.contains("sql_type"))
+    } finally c.close()
+  }
+
   test("PgWire: SCRAM-SHA-256 and md5 authentication against the live server") {
     import graft.sinks.PgWire
     // password-protected roles, each pinned to its auth method by a
