@@ -91,8 +91,17 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val failedJson =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
+    // store-build attribution: the one-off StoreOnce builds (IVF/PQ/
+    // band-index/media-fixture writes) land inside whichever query
+    // runs first in pass A — record them separately so store-family
+    // per-query drift is attributable from this artifact alone
+    // (pass B probes the committed stores, so per-query MINs are
+    // build-free; this section explains pass-A outliers)
+    val storeBuilds = graft.queries.StoreOnce.buildMillis.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$failedJson,"store_builds":$storeBuilds,"sf":"$sfDir"}"""
     // Also persist the record to disk: the driver captures a stdout
     // TAIL, and at 87+ queries the single JSON line can exceed it
     // (BENCH_r07 lost 29 timings to truncation). A file never does.

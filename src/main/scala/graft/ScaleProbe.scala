@@ -409,6 +409,67 @@ object ScaleProbe {
     time("lm_perplexity")(
       graft.operators.TextAnalysis.ngramLmPerplexity(
         docs, "doc_id", "text").count())
+    // q151/q155 at 128 bits, adversarial (the r13 verdict item 1
+    // done-criterion): 30% of the corpus is ONE wide fingerprint,
+    // the rest clustered — the wide distinct-hash pair graph must
+    // stay O(N) exactly like the 64-bit probe
+    time("hamming_wide_adversarial_clusters") {
+      import spark.implicits._
+      val hashes = docs.select(col("doc_id")).as[Long].map { id =>
+        val h =
+          if (id % 10 < 3) Seq(0x5a5a5a5a5a5a5aL, 0x2d2d2d2d2dL)
+          else (0 until 2).map { w =>
+            var x = 0L
+            var i = 0
+            while (i < 63) {
+              if ((((id / 4) * 31 + (w * 63 + i) * 17) % 97) % 5 == 0)
+                x |= 1L << i
+              i += 1
+            }
+            if (w == (id % 2).toInt) x ^ (1L << (id % 63).toInt) else x
+          }
+        (id, h)
+      }.toDF("doc_id", "h")
+      graft.operators.Dedup.imageDedupClustersWide(
+        hashes, "doc_id", "h", nWords = 2, maxDist = 6).count()
+    }
+    // q152: two hash aggregates + one equi-join against the (tiny)
+    // boilerplate set — wall must track segment volume; the
+    // self-union multiplies per-host doc counts, not pair counts
+    time("host_boilerplate") {
+      val fixture = docs.select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 97).cast("string")).as("host"),
+        when(col("doc_id") % 3 =!= 0, concat(
+          lit("nav home about contact subscribe cookie banner terms privacy login "),
+          col("text"))).otherwise(col("text")).as("text"))
+      // count(cleaned_fp), not count(*): plain count would prune the
+      // md5 + ordered reassembly out of the plan (the q115 lesson)
+      graft.operators.CorpusOps.hostBoilerplateStrip(
+        fixture, "doc_id", "host", "text")
+        .agg(count(col("cleaned_fp"))).first().getLong(0)
+    }
+    // q154: map-only feature hashing + nClasses in-row reductions —
+    // wall must track token volume exactly. sum(best_score) forces
+    // the scoring columns past count-pruning.
+    time("linear_classify")(
+      graft.operators.TextAnalysis.linearClassify(
+        docs, "doc_id", "text")
+        .agg(sum(col("best_score"))).first().getLong(0))
+    // q153: export is one shuffle + per-partition streaming writes;
+    // the read is one task per shard streaming headers — wall must
+    // track corpus bytes, and rows out must equal rows in
+    time("tar_export_read") {
+      import spark.implicits._
+      val p = graft.tools.Scratch.dir("graft_tar_probe")
+      val media = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          graft.sources.Multimodal.MediaRow(id, "txt",
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            Map.empty)
+        }
+      graft.sinks.TarShards.writeTarShards(media, p, nShards = 64)
+      graft.sinks.TarShards.readTarShards(spark, p).count()
+    }
     // q147: shot-boundary detection is map-only (container walk +
     // JPEG decode + running diff per video) — wall must track video
     // count; rows out = frame count
