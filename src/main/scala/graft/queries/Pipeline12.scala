@@ -28,8 +28,9 @@ object Pipeline12 {
     * bit formula both engines recompute identically. */
   private[queries] def fpHashesWide(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .map { id =>
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, src) =>
         val words = Array.fill(2)(0L)
         var p = 0
         while (p < 126) {
@@ -44,8 +45,8 @@ object Pipeline12 {
           if (bit == 1) words(w) |= 1L << i
           p += 1
         }
-        (id, words.toSeq)
-      }.toDF("doc_id", "h")
+        (id, words.toSeq, src)
+      }.toDF("doc_id", "h", "source")
   }
 
   def hammingWide(s: SparkSession, d: String): DataFrame =
@@ -271,17 +272,175 @@ object Pipeline12 {
          |JOIN g ON g.doc_id = h.doc_id""".stripMargin
   }
 
+  // ---- q156: wide incremental probe vs the persisted index ----
+
+  /** The 128-bit image re-crawl shape end to end through the
+    * PERSISTED index (q145's wide sibling): src0's wide bands land in
+    * the [[graft.operators.BandIndexStore]] lifecycle under the
+    * `hw128.7.` key family, the non-src0 batch probes with
+    * [[graft.operators.Dedup.incrementalHammingCandidatesWide]]
+    * (hot-band corpus-hash routing enabled), exact two-word
+    * xor/popcount verifies. Pigeonhole recall is 100% by
+    * construction, so the oracle brute-forces all new-vs-old pairs
+    * and the hash must match exactly. */
+  def hammingWideIncremental(s: SparkSession, d: String): DataFrame = {
+    val hashes = fpHashesWide(s, d)
+    val path = StoreOnce.dir("widehashidx", d) { p =>
+      graft.operators.BandIndexStore.writeBands(
+        graft.operators.Dedup.hammingBandsWide(
+          hashes.where(col("source") === "src0"), "doc_id", "h",
+          nWords = 2, maxDist = 6), p)
+    }
+    val index = graft.operators.BandIndexStore.read(s, path)
+    val batch = hashes.where(col("source") =!= "src0")
+    val cands = graft.operators.Dedup.incrementalHammingCandidatesWide(
+      batch, "doc_id", "h", index, nWords = 2, maxDist = 6,
+      corpusHashes = Some(hashes.where(col("source") === "src0")
+        .select(col("doc_id"), col("h"))))
+    val dist2 = (a: String, b: String) =>
+      (bit_count(element_at(col(a), 1).bitwiseXOR(element_at(col(b), 1))) +
+        bit_count(element_at(col(a), 2).bitwiseXOR(element_at(col(b), 2))))
+    val bh = batch.select(col("doc_id").as("batch_id"), col("h").as("bh"))
+    val ch = hashes.where(col("source") === "src0")
+      .select(col("doc_id").as("corpus_id"), col("h").as("ch"))
+    cands.join(bh, Seq("batch_id")).join(ch, Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        dist2("bh", "ch").cast("int").as("dist"))
+      .where(col("dist") <= 6)
+  }
+
+  val hammingWideIncrementalSql: String =
+    """WITH p AS (SELECT doc_id, source FROM documents),
+      |bits AS (SELECT doc_id, source, CAST(t.p AS INTEGER) // 63 AS w,
+      |    CAST(t.p AS INTEGER) % 63 AS i,
+      |    CASE WHEN (((doc_id//4)*31 + t.p*17) % 97) % 5 = 0
+      |      THEN 1 ELSE 0 END AS b0
+      |  FROM p, range(126) t(p)),
+      |flips AS (SELECT doc_id,
+      |    CAST((doc_id*11 + f.f*23) % 126 AS INTEGER) // 63 AS w,
+      |    CAST((doc_id*11 + f.f*23) % 126 AS INTEGER) % 63 AS i,
+      |    COUNT(*) % 2 AS fl
+      |  FROM p, range(3) f(f) WHERE f.f < doc_id % 4 GROUP BY 1, 2, 3),
+      |h AS (SELECT bits.doc_id, ANY_VALUE(bits.source) AS source,
+      |    CAST(SUM(CASE WHEN bits.w = 0 THEN
+      |      (CAST((b0 + COALESCE(fl, 0)) % 2 AS BIGINT) << bits.i)
+      |      ELSE 0 END) AS BIGINT) AS h0,
+      |    CAST(SUM(CASE WHEN bits.w = 1 THEN
+      |      (CAST((b0 + COALESCE(fl, 0)) % 2 AS BIGINT) << bits.i)
+      |      ELSE 0 END) AS BIGINT) AS h1
+      |  FROM bits LEFT JOIN flips
+      |    ON bits.doc_id = flips.doc_id AND bits.w = flips.w
+      |      AND bits.i = flips.i
+      |  GROUP BY 1)
+      |SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+      |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+      |    AS INTEGER) AS dist
+      |FROM h a JOIN h b
+      |  ON a.source <> 'src0' AND b.source = 'src0'
+      | AND a.doc_id <> b.doc_id
+      |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 6"""
+      .stripMargin
+
+  // ---- q157: wide image-dedup clusters (O(N) keep/drop) ----
+
+  /** [[graft.operators.Dedup.imageDedupClustersWide]] over the wide
+    * fixture: one (doc_id, cluster_id, keep) row PER IMAGE with
+    * cluster_id the smallest id in the 128-bit Hamming closure. The
+    * oracle brute-forces wide pairs and closes them with the q146
+    * recursive CTE. */
+  def wideClusters(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.imageDedupClustersWide(fpHashesWide(s, d),
+        "doc_id", "h", nWords = 2, maxDist = 6)
+      .select(col("id").as("doc_id"), col("cluster_id"), col("keep"))
+
+  val wideClustersSql: String =
+    """WITH RECURSIVE p AS (SELECT doc_id FROM documents),
+      |bits AS (SELECT doc_id, CAST(t.p AS INTEGER) // 63 AS w,
+      |    CAST(t.p AS INTEGER) % 63 AS i,
+      |    CASE WHEN (((doc_id//4)*31 + t.p*17) % 97) % 5 = 0
+      |      THEN 1 ELSE 0 END AS b0
+      |  FROM p, range(126) t(p)),
+      |flips AS (SELECT doc_id,
+      |    CAST((doc_id*11 + f.f*23) % 126 AS INTEGER) // 63 AS w,
+      |    CAST((doc_id*11 + f.f*23) % 126 AS INTEGER) % 63 AS i,
+      |    COUNT(*) % 2 AS fl
+      |  FROM p, range(3) f(f) WHERE f.f < doc_id % 4 GROUP BY 1, 2, 3),
+      |h AS (SELECT bits.doc_id,
+      |    CAST(SUM(CASE WHEN bits.w = 0 THEN
+      |      (CAST((b0 + COALESCE(fl, 0)) % 2 AS BIGINT) << bits.i)
+      |      ELSE 0 END) AS BIGINT) AS h0,
+      |    CAST(SUM(CASE WHEN bits.w = 1 THEN
+      |      (CAST((b0 + COALESCE(fl, 0)) % 2 AS BIGINT) << bits.i)
+      |      ELSE 0 END) AS BIGINT) AS h1
+      |  FROM bits LEFT JOIN flips
+      |    ON bits.doc_id = flips.doc_id AND bits.w = flips.w
+      |      AND bits.i = flips.i
+      |  GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+      |    <= 6),
+      |sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |        UNION SELECT id_b, id_a FROM pairs),
+      |reach(u, v) AS (SELECT u, v FROM sym
+      |        UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+      |                WHERE s.v <> r.u),
+      |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      |  FROM reach GROUP BY u)
+      |SELECT h.doc_id,
+      |  COALESCE(comp.cluster_id, h.doc_id) AS cluster_id,
+      |  h.doc_id = COALESCE(comp.cluster_id, h.doc_id) AS keep
+      |FROM h LEFT JOIN comp ON h.doc_id = comp.doc_id""".stripMargin
+
+  // ---- q158: content-defined chunking dedup (FastCDC shape) ----
+
+  /** [[graft.operators.Dedup.cdcChunkDedup]]: boundaries where the
+    * trailing 4-gram's md5 starts below '2' (mean chunk ≈ 32
+    * tokens), chunks counted corpus-wide — the insertion-robust
+    * chunk dedup. The oracle replays boundary selection, chunk
+    * assembly, and the global counts. */
+  def cdcChunkDedupQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.cdcChunkDedup(
+      Tables.documents(s, d), "doc_id", "text")
+
+  val cdcChunkDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+       |b AS (SELECT doc_id, w, len(w) AS n,
+       |    CASE WHEN len(w) <= 4 THEN [0, len(w)]
+       |      ELSE [0] || list_filter(range(4, len(w)), i ->
+       |        substr(md5(array_to_string(w[(i-3):i], ' ')), 1, 1) < '2')
+       |        || [len(w)]
+       |    END AS bp
+       |  FROM t),
+       |c AS (SELECT doc_id, n,
+       |    unnest(list_transform(range(1, len(bp)), j ->
+       |      array_to_string(w[(bp[j]+1):(bp[j+1])], ' '))) AS chunk
+       |  FROM b),
+       |cnt AS (SELECT chunk, COUNT(*) AS n_occ FROM c GROUP BY 1)
+       |SELECT c.doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN cnt.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_chunks,
+       |  CAST(ANY_VALUE(c.n) AS BIGINT) AS n_tokens
+       |FROM c JOIN cnt ON c.chunk = cnt.chunk
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q151_hamming_wide" -> (hammingWide _),
     "q152_host_boilerplate" -> (hostBoilerplate _),
     "q153_tar_roundtrip" -> (tarRoundtrip _),
     "q154_linear_classify" -> (linearClassifyQ _),
-    "q155_pair_curation" -> (pairCuration _))
+    "q155_pair_curation" -> (pairCuration _),
+    "q156_hamming_wide_incremental" -> (hammingWideIncremental _),
+    "q157_wide_image_clusters" -> (wideClusters _),
+    "q158_cdc_chunk_dedup" -> (cdcChunkDedupQ _))
 
   def oracles: Map[String, String] = Map(
     "q151_hamming_wide" -> hammingWideSql,
     "q152_host_boilerplate" -> hostBoilerplateSql,
     "q153_tar_roundtrip" -> tarRoundtripSql,
     "q154_linear_classify" -> linearClassifySql,
-    "q155_pair_curation" -> pairCurationSql)
+    "q155_pair_curation" -> pairCurationSql,
+    "q156_hamming_wide_incremental" -> hammingWideIncrementalSql,
+    "q157_wide_image_clusters" -> wideClustersSql,
+    "q158_cdc_chunk_dedup" -> cdcChunkDedupSql)
 }

@@ -38,6 +38,39 @@ class PipelineOps7Spec extends SparkSpecBase {
     assert(got(4L) == ((0L, 0, 0L)))
   }
 
+  test("cdcChunkDedup: insertion-robust — chunks re-sync after an edit") {
+    // a long shared tail after a one-token insertion must still
+    // deduplicate: fixed windows would shift every downstream chunk,
+    // content-defined boundaries re-sync at the first boundary
+    val words = (0 until 400).map(i => s"w${i * 37 % 211}").mkString(" ")
+    val docs = Seq(
+      (1L, words),
+      (2L, "INSERTED " + words), // same text, one token prepended
+      (3L, (0 until 50).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .cdcChunkDedup(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // doc 1 vs 2: everything after the first boundary is shared —
+    // most chunks duplicate despite the offset
+    val (n1, d1, t1) = got(1L)
+    val (n2, d2, _) = got(2L)
+    assert(t1 == 400)
+    assert(n1 >= 5, s"expected several chunks, got $n1")
+    assert(d1 >= n1 - 2, s"doc 1: only $d1 of $n1 chunks deduplicated")
+    assert(d2 >= n2 - 2, s"doc 2: only $d2 of $n2 chunks deduplicated")
+    // the unrelated doc shares nothing
+    assert(got(3L)._2 == 0L)
+    // contrast: FIXED 16-token windows shift — far fewer duplicates
+    val fixed = graft.operators.Dedup
+      .chunkDedup(docs, "doc_id", "text", chunkTokens = 16)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(fixed(1L) < d1,
+      s"fixed windows (${fixed(1L)} dups) should lose to CDC ($d1)")
+  }
+
   test("imageDedupClustersWide: one row per image, closure clusters") {
     // groups of identical + near wide hashes; brute-force the closure
     def spread(id: Long): Seq[Long] = (0 until 2).map { w =>
