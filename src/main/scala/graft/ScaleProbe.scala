@@ -455,6 +455,12 @@ object ScaleProbe {
       graft.operators.TextAnalysis.linearClassify(
         docs, "doc_id", "text")
         .agg(sum(col("best_score"))).first().getLong(0))
+    // q158: one map-only boundary pass (O(tokens) md5s per doc — the
+    // lambda-rebinding rule keeps it off O(n²)), then the chunkDedup
+    // aggregate; wall must track token volume
+    time("cdc_chunk_dedup")(
+      graft.operators.Dedup.cdcChunkDedup(docs, "doc_id", "text")
+        .agg(sum(col("n_dup_chunks"))).first().getLong(0))
     // q153: export is one shuffle + per-partition streaming writes;
     // the read is one task per shard streaming headers — wall must
     // track corpus bytes, and rows out must equal rows in

@@ -133,6 +133,29 @@ object IvfIndexStore {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Incremental SEMANTIC dedup against the persisted index — the
+    * SemDeDup keep/drop decision applied to a NEW batch vs the
+    * existing corpus without touching corpus vectors outside the
+    * probed cells (the crawl-ingest shape: embeddings of the new
+    * batch arrive, the corpus index is already on disk): each batch
+    * vector keeps iff its nearest indexed neighbor within `nprobe`
+    * probed cells has quantized cosine < `threshold`. Returns one row
+    * per batch vector: (id, nearest_id, cos, kept) — nearest_id/cos
+    * null when the probed cells held no candidate at all (kept).
+    *
+    * Same recall trade-off as [[graft.operators.Dedup.semanticDedup]]
+    * (a twin assigned to an unprobed cell is missed — the documented
+    * SemDeDup contract); everything read is partition-pruned to the
+    * probed cells. */
+  def dedupProbe(spark: SparkSession, path: String, batch: DataFrame,
+      threshold: Double, nprobe: Int = 2): DataFrame = {
+    val best = probe(spark, path, batch, k = 1, nprobe)
+      .select(col("qid"), col("nid"), col("cos"))
+    batch.select(col("id")).join(best, col("id") === col("qid"), "left")
+      .select(col("id"), col("nid").as("nearest_id"), col("cos"),
+        (col("cos").isNull || col("cos") < threshold).as("kept"))
+  }
+
   /** The unranked probe stage: every (query, candidate) pair in the
     * probed cells with its exact quantized cosine — shared by
     * [[probe]] (ranks it) and [[IvfPqIndexStore.probeRerank]] (semi-

@@ -424,7 +424,76 @@ object Pipeline12 {
        |FROM c JOIN cnt ON c.chunk = cnt.chunk
        |GROUP BY 1""".stripMargin
 
+  // ---- q159: incremental semantic dedup vs the persisted IVF index ----
+
+  /** [[graft.operators.IvfIndexStore.dedupProbe]] end to end: the
+    * corpus slice (vec_id % 7 ≠ 3) builds the persisted IVF index
+    * once (StoreOnce), the batch slice probes its 2 nearest cells,
+    * and each batch vector keeps iff its nearest indexed neighbor
+    * there has cosine < 0.9 — SemDeDup applied at ingest against the
+    * store, never rescanning the corpus. The oracle replays the q25
+    * coarse route (centroid sample, assignment, probing) restricted
+    * to the corpus/batch split, ranks to 1, and applies the
+    * threshold. */
+  def semanticIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val corpus = e.where(col("id") % 7 =!= 3)
+    val batch = e.where(col("id") % 7 === 3)
+    val path = StoreOnce.dir("ivfincr", d)(
+      graft.operators.IvfIndexStore.write(corpus, _))
+    graft.operators.IvfIndexStore.dedupProbe(s, path, batch,
+        threshold = 0.9)
+      .select(col("id").as("vec_id"), col("nearest_id"), col("cos"),
+        col("kept"))
+  }
+
+  private def qv(col: String) =
+    s"list_transform($col, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  val semanticIncrementalSql: String =
+    s"""WITH e AS (SELECT vec_id, ${qv("embedding")} AS q FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |  sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+       | FROM e),
+       |cent AS (SELECT vec_id AS cid, q AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % 7 <> 3 AND vec_id % 25 = 0
+       |  ORDER BY vec_id LIMIT 256),
+       |asg AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT n.vec_id AS nid, cent.cid,
+       |      CAST(row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(n.q, cent.cv), p -> p[1] * p[2])) AS DOUBLE) /
+       |          (n.nrm * cent.cn) DESC, cent.cid ASC) AS INTEGER) AS arank
+       |    FROM n, cent WHERE n.vec_id % 7 <> 3)
+       |  WHERE arank = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT n.vec_id AS qid, cent.cid,
+       |      CAST(row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(n.q, cent.cv), p -> p[1] * p[2])) AS DOUBLE) /
+       |          (n.nrm * cent.cn) DESC, cent.cid ASC) AS INTEGER) AS prank
+       |    FROM n, cent WHERE n.vec_id % 7 = 3)
+       |  WHERE prank <= 2),
+       |sc AS (
+       |  SELECT probes.qid, asg.nid,
+       |    CAST(list_sum(list_transform(list_zip(nq.q, nn.q), p -> p[1] * p[2])) AS DOUBLE) /
+       |      (nq.nrm * nn.nrm) AS cos
+       |  FROM probes
+       |  JOIN asg ON probes.cid = asg.cid AND probes.qid <> asg.nid
+       |  JOIN n nq ON nq.vec_id = probes.qid
+       |  JOIN n nn ON nn.vec_id = asg.nid),
+       |best AS (SELECT qid, nid, cos FROM (
+       |    SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid ASC) AS INTEGER) AS rank FROM sc)
+       |  WHERE rank = 1)
+       |SELECT b.vec_id, best.nid AS nearest_id, best.cos,
+       |  (best.cos IS NULL OR best.cos < 0.9) AS kept
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 3) b
+       |LEFT JOIN best ON b.vec_id = best.qid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q159_semantic_incremental" -> (semanticIncremental _),
     "q151_hamming_wide" -> (hammingWide _),
     "q152_host_boilerplate" -> (hostBoilerplate _),
     "q153_tar_roundtrip" -> (tarRoundtrip _),
@@ -435,6 +504,7 @@ object Pipeline12 {
     "q158_cdc_chunk_dedup" -> (cdcChunkDedupQ _))
 
   def oracles: Map[String, String] = Map(
+    "q159_semantic_incremental" -> semanticIncrementalSql,
     "q151_hamming_wide" -> hammingWideSql,
     "q152_host_boilerplate" -> hostBoilerplateSql,
     "q153_tar_roundtrip" -> tarRoundtripSql,

@@ -279,6 +279,10 @@ class PlanSpec extends SparkSpecBase {
     // q143 is q124's residual form — identical probe plan (bounded
     // broadcast coarse rank; the ADC LUT join itself is hash)
     "q143_ivfpq_residual",
+    // q159 is q122's probe route applied at ingest (dedupProbe): the
+    // same ≤256-row broadcast centroid rank + partition-pruned cells
+    // scan; the keep/drop join back to the batch is a hash equi-join
+    "q159_semantic_incremental",
     // SQ8 flat scan vs the bounded broadcast probe set — the same
     // exact-scoring contract (SqIndexStore.scala probe Scaladoc);
     // q133 is the SQ8 shortlist + semi-join exact refine over it
