@@ -743,21 +743,28 @@ object Dedup {
     * mismatched keys can never equi-join. Shared by the batch probe
     * and the streaming probe ([[graft.streaming.Streams]]). */
   private[graft] def checkHammingIndexGeometry(index: DataFrame,
-      maxDist: Int): Unit =
+      maxDist: Int): Unit = {
+    // the wrong-family refusal is its OWN bounded lookup: sampling
+    // one row of either family would make a MIXED hb/hw index pass or
+    // fail depending on which row partition ordering yields first
+    index.select(col("band")).where(col("band").startsWith("hw"))
+      .limit(1).collect().headOption.foreach { r =>
+        require(false,
+          s"index holds WIDE fingerprint bands ('${r.getString(0)}') — " +
+            "probe with incrementalHammingCandidatesWide, not the " +
+            "64-bit API")
+      }
     index.select(col("band"))
-      .where(col("band").startsWith("hb") || col("band").startsWith("hw"))
-      .limit(1)
+      .where(col("band").startsWith("hb")).limit(1)
       .collect().headOption.foreach { r =>
         val key = r.getString(0)
-        require(!key.startsWith("hw"),
-          s"index holds WIDE fingerprint bands ('$key') — probe with " +
-            "incrementalHammingCandidatesWide, not the 64-bit API")
         val enc = key.stripPrefix("hb").takeWhile(_ != '.')
         require(key.contains(".") && enc.nonEmpty && enc.forall(_.isDigit),
           s"index band key '$key' predates band-count encoding — rebuild the index")
         require(enc.toInt == maxDist + 1,
           s"index was banded with maxDist ${enc.toInt - 1}, probe uses maxDist $maxDist")
       }
+  }
 
   def incrementalHammingCandidates(batch: DataFrame, idCol: String,
       hashCol: String, index: DataFrame, maxDist: Int = 3,
@@ -982,13 +989,18 @@ object Dedup {
   private[graft] def checkHammingIndexGeometryWide(index: DataFrame,
       nWords: Int, maxDist: Int): Unit = {
     val expect = s"hw${64 * nWords}.${wideBandCount(nWords, maxDist)}."
-    index.select(col("band"))
-      .where(col("band").startsWith("hb") || col("band").startsWith("hw"))
+    // own bounded lookup for the wrong family — deterministic on a
+    // MIXED hb/hw index (see checkHammingIndexGeometry)
+    index.select(col("band")).where(col("band").startsWith("hb"))
       .limit(1).collect().headOption.foreach { r =>
+        require(false,
+          s"index holds 64-bit fingerprint bands ('${r.getString(0)}') " +
+            "— probe with incrementalHammingCandidates, not the wide API")
+      }
+    index.select(col("band"))
+      .where(col("band").startsWith("hw")).limit(1)
+      .collect().headOption.foreach { r =>
         val key = r.getString(0)
-        require(!key.startsWith("hb"),
-          s"index holds 64-bit fingerprint bands ('$key') — probe with " +
-            "incrementalHammingCandidates, not the wide API")
         require(key.startsWith(expect),
           s"index band key '$key' does not match wide probe geometry " +
             s"'$expect' (nWords=$nWords, maxDist=$maxDist) — rebuild " +
@@ -1376,8 +1388,12 @@ object Dedup {
     * token i when the md5 of the trailing `k`-gram starts below
     * `hexThreshold` — the FastCDC/Rabin rolling-hash construction at
     * word granularity, with md5 as the (engine-reproducible) hash.
-    * Expected chunk length ≈ k·16/v tokens for a v-value hex
-    * threshold. Pure per-row Column expression. */
+    * Boundary candidates fire independently at every position with
+    * probability v/16 for a v-value hex threshold, so chunk lengths
+    * are ~geometric with mean ≈ 16/v tokens (adjacent qualifying
+    * positions produce 1-token chunks — there is no minimum-length
+    * cut-point skipping in this construction). Pure per-row Column
+    * expression. */
   private def cdcChunks(w: Column, k: Int, hexThreshold: String): Column =
     // bind the token array AND the boundary list ONCE each through
     // single-element transform lambdas (the bandKeysExpr trick):
@@ -1414,8 +1430,9 @@ object Dedup {
     * Scale shape: identical to [[chunkDedup]] — one per-row boundary
     * pass (map-only), one hash aggregate on the chunk text with
     * map-side combine, one equi-join back. Chunk-length distribution
-    * is geometric with mean ≈ 16k/v tokens for a v-value threshold;
-    * the k-gram minimum bounds the shortest chunk. */
+    * is ~geometric with mean ≈ 16/v tokens for a v-value threshold
+    * (8 at the defaults); k only sets the hash window, not a minimum
+    * chunk length. */
   def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, hexThreshold: String = "2"): DataFrame = {
     require(k >= 1, s"bad k $k")

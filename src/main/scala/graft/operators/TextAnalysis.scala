@@ -737,22 +737,33 @@ object TextAnalysis {
     val w = normToks(col(textCol))
     val feats = concat(w,
       graft.expressions.VectorExpressions.shinglesN(w, 2))
-    val bucket = (f: Column) =>
-      conv(substring(md5(f), 1, 2), 16, 10).cast("long")
-    val scores = (0 until nClasses).map { c =>
-      aggregate(feats, lit(0L),
-        (acc, f) => acc + (pmod(bucket(f) * 31L + c * 17L, lit(201L))
-          - 100L))
-    }
-    // argmax via greatest(struct(score, -class)): max score, ties to
-    // the smallest class — one in-row comparison chain, no explode
-    val best = greatest(scores.zipWithIndex.map { case (s, c) =>
-      struct(s.as("s"), lit(-c).as("negc"))
-    }: _*)
-    df.select(col(idCol).as("doc_id"),
-      size(feats).cast("long").as("n_features"),
-      (-best.getField("negc")).cast("int").as("best_class"),
-      best.getField("s").as("best_score"))
+    val buckets = transform(feats, f =>
+      conv(substring(md5(f), 1, 2), 16, 10).cast("long"))
+    // bind the bucket array ONCE (the HOF lambda-rebinding rule):
+    // scoring it inside each per-class aggregate would md5 every
+    // feature nClasses times; referencing the packed result from
+    // several select columns would re-evaluate it per column, so the
+    // struct goes through its own projection (CollapseProject keeps
+    // multi-referenced non-trivial aliases materialized)
+    val packed = element_at(transform(array(buckets), bs => {
+      val scores = (0 until nClasses).map { c =>
+        aggregate(bs, lit(0L),
+          (acc, b) => acc + (pmod(b * 31L + c * 17L, lit(201L)) - 100L))
+      }
+      // argmax via greatest(struct(score, -class)): max score, ties
+      // to the smallest class — one in-row comparison chain
+      val best =
+        if (nClasses == 1) struct(scores.head.as("s"), lit(0).as("negc"))
+        else greatest(scores.zipWithIndex.map { case (s, c) =>
+          struct(s.as("s"), lit(-c).as("negc"))
+        }: _*)
+      struct(size(bs).cast("long").as("nf"), best.as("best"))
+    }), 1)
+    df.select(col(idCol).as("doc_id"), packed.as("__p"))
+      .select(col("doc_id"),
+        col("__p.nf").as("n_features"),
+        (-col("__p.best.negc")).cast("int").as("best_class"),
+        col("__p.best.s").as("best_score"))
   }
 
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -395,7 +395,7 @@ object Pipeline12 {
   // ---- q158: content-defined chunking dedup (FastCDC shape) ----
 
   /** [[graft.operators.Dedup.cdcChunkDedup]]: boundaries where the
-    * trailing 4-gram's md5 starts below '2' (mean chunk ≈ 32
+    * trailing 4-gram's md5 starts below '2' (mean chunk ≈ 8
     * tokens), chunks counted corpus-wide — the insertion-robust
     * chunk dedup. The oracle replays boundary selection, chunk
     * assembly, and the global counts. */

@@ -430,7 +430,12 @@ object PgWire {
         case e: Throwable =>
           // a task exhausted retries and the Spark job threw BEFORE
           // the publish block: partitions that had already copied
-          // would otherwise leak their UNLOGGED staging tables forever
+          // would otherwise leak their UNLOGGED staging tables
+          // forever. Best-effort by nature: task kills are
+          // asynchronous, so a zombie attempt can still CREATE its
+          // staging table after this sweep ran — operators should
+          // also drop stale 'gstg_%' relations periodically (they
+          // are UNLOGGED and vanish on a server crash anyway).
           try {
             val c = connect(dsn)
             try dropStaging(c) finally c.close()

@@ -229,6 +229,12 @@ object TarShards {
         val shardNo = p match { case shardRe(n) => n.toInt; case _ => -1 }
         val in = new java.io.DataInputStream(
           new java.io.BufferedInputStream(fs.open(path), 1 << 16))
+        // the stream must close even when the consumer abandons the
+        // iterator (limit/take) or a malformed shard throws mid-walk —
+        // otherwise each such task leaks a file handle
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: java.io.IOException => () }))
         def readEntry(): Option[(String, Array[Byte])] = {
           val hdr = new Array[Byte](512)
           in.readFully(hdr)

@@ -161,6 +161,27 @@ class WideHammingSpec extends SparkSpecBase {
             maxDist = 5).count()
         }
         assert(ex4.getMessage.contains("64-bit fingerprint bands"))
+        // a MIXED index (wide bands appended into the 64-bit store)
+        // is refused by BOTH probe APIs deterministically — each
+        // family check is its own bounded lookup, not a single
+        // whichever-row-comes-first sample
+        BandIndexStore.appendBands(spark, path64,
+          Dedup.hammingBandsWide(batch.take(5).toDF("id", "h"),
+            "id", "h", nWords, maxDist = 5),
+          Seq.empty[Long].toDF("id"))
+        val mixed = BandIndexStore.read(spark, path64)
+        val exM1 = intercept[IllegalArgumentException] {
+          Dedup.incrementalHammingCandidates(
+            (50L until 60L).map(id => (id, id * 31L)).toDF("id", "h"),
+            "id", "h", mixed, maxDist = 5).count()
+        }
+        assert(exM1.getMessage.contains("WIDE fingerprint bands"))
+        val exM2 = intercept[IllegalArgumentException] {
+          Dedup.incrementalHammingCandidatesWide(
+            batch.toDF("id", "h"), "id", "h", mixed, nWords,
+            maxDist = 5).count()
+        }
+        assert(exM2.getMessage.contains("64-bit fingerprint bands"))
       } finally org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(path64))
     } finally org.apache.commons.io.FileUtils
