@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -439,6 +439,38 @@ object Streams {
     val probe = graft.operators.Dedup
       .hammingBands(hashes, idCol, hashCol, maxDist)
       .select(col("id").as("new_id"), col("band"))
+    hashProbeJoin(probe, index, corpusHashes, maxBandDf,
+      castHash = _.cast("long"), grpType = "long")
+  }
+
+  /** [[hashProbeStream]] for WIDE (`array<long>`, `nWords` words)
+    * fingerprints — the continuous form of
+    * [[graft.operators.Dedup.incrementalHammingCandidatesWide]]:
+    * identical geometry refusal at stream definition (width AND band
+    * count must match the `hw<bits>.<nBands>.` index keys) and the
+    * identical index-side hot-band discipline via the shared join. */
+  def hashProbeStreamWide(hashes: DataFrame, idCol: String,
+      hashCol: String, index: DataFrame, nWords: Int, maxDist: Int = 6,
+      corpusHashes: Option[DataFrame] = None,
+      maxBandDf: Long = 100000): DataFrame = {
+    graft.operators.Dedup
+      .checkHammingIndexGeometryWide(index, nWords, maxDist)
+    val probe = graft.operators.Dedup
+      .hammingBandsWide(hashes, idCol, hashCol, nWords, maxDist)
+      .select(col("id").as("new_id"), col("band"))
+    hashProbeJoin(probe, index, corpusHashes, maxBandDf,
+      castHash = identity, grpType = "array<bigint>")
+  }
+
+  /** The stream-static band join shared by the 64-bit and wide hash
+    * probes: cold bands join directly; hot index bands (with
+    * `corpusHashes`) pre-deduplicate to one row per DISTINCT corpus
+    * hash and re-expand through the index's own rows (tombstones can
+    * never resurface), uncovered ids fall back to the direct route
+    * so recall stays 100%. */
+  private def hashProbeJoin(probe: DataFrame, index: DataFrame,
+      corpusHashes: Option[DataFrame], maxBandDf: Long,
+      castHash: Column => Column, grpType: String): DataFrame = {
     val idx = index.select(col("id").as("indexed_id"), col("band"))
     corpusHashes match {
       case None =>
@@ -446,14 +478,14 @@ object Streams {
           .where(col("new_id") =!= col("indexed_id"))
           .select(col("new_id"), col("indexed_id"), col("band"))
       case Some(ch0) =>
-        // contract: first column = id, second = 64-bit hash
+        // contract: first column = id, second = the hash
         val ch = ch0.select(
           col(ch0.columns.head).cast("long").as("indexed_id"),
-          col(ch0.columns(1)).cast("long").as("chash"))
+          castHash(col(ch0.columns(1))).as("chash"))
         val hot = idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
           .where(col("n") > maxBandDf).select(col("band"))
         val cold = idx.join(broadcast(hot), Seq("band"), "left_anti")
-          .withColumn("grp", lit(null).cast("long"))
+          .withColumn("grp", lit(null).cast(grpType))
         // LEFT join: hot-band index ids missing from the caller's
         // hash table keep full recall through the direct route
         val hotIdxH0 = idx.join(broadcast(hot), Seq("band"), "left_semi")
@@ -461,7 +493,7 @@ object Streams {
         val hotIdxH = hotIdxH0.where(col("chash").isNotNull)
         val hotUncovered = hotIdxH0.where(col("chash").isNull)
           .select(col("indexed_id"), col("band"))
-          .withColumn("grp", lit(null).cast("long"))
+          .withColumn("grp", lit(null).cast(grpType))
         val hotRep = hotIdxH.groupBy(col("band"), col("chash"))
           .agg(min(col("indexed_id")).as("indexed_id"))
           .select(col("indexed_id"), col("band"),

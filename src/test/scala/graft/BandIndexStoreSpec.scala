@@ -314,6 +314,64 @@ class BandIndexStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("a WIDE fingerprint stream probes the maintained hash index (both guard paths)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def mkHash(seed: Long): Seq[Long] = (0 until 2).map { w =>
+      var h = 0L
+      (0 until 63).foreach { i =>
+        if ((seed * 19 + (w * 63 + i) * 13) % 6 == 0) h |= 1L << i
+      }
+      h
+    }
+    def flip(h: Seq[Long], p: Int): Seq[Long] = {
+      val a = h.toArray; a(p / 63) ^= 1L << (p % 63); a.toSeq
+    }
+    // corpus: ids 1-2 share a wide fingerprint (hot-band shape), 3 is
+    // distinct; id 2 tombstoned before the stream starts; id 4
+    // appended as a 2-bit-flipped twin of the shared hash
+    val corpus = Seq((1L, mkHash(7)), (2L, mkHash(7)), (3L, mkHash(40)))
+    val h4 = flip(flip(mkHash(7), 5), 90)
+    for (cap <- Seq(100000L, 1L)) {
+      val path = tmp()
+      try {
+        BandIndexStore.writeBands(Dedup.hammingBandsWide(
+          corpus.toDF("id", "h"), "id", "h", nWords = 2, maxDist = 5),
+          path, buckets = 8)
+        BandIndexStore.appendBands(spark, path,
+          Dedup.hammingBandsWide(Seq((4L, h4)).toDF("id", "h"),
+            "id", "h", nWords = 2, maxDist = 5),
+          Seq(2L).toDF("id"))
+        val input = MemoryStream[(Long, Seq[Long])]
+        val probe = graft.streaming.Streams.hashProbeStreamWide(
+          input.toDS().toDF("id", "h"), "id", "h",
+          BandIndexStore.read(spark, path), nWords = 2, maxDist = 5,
+          corpusHashes = Some((corpus :+ (4L, h4)).toDF("id", "h")),
+          maxBandDf = cap)
+        val name = s"hash_probe_wide_$cap"
+        val q = probe.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        input.addData(Seq((10L, mkHash(7)), (11L, flip(mkHash(40), 1))))
+        q.processAllAvailable(); q.stop()
+        val pairs = spark.table(name)
+          .select($"new_id", $"indexed_id")
+          .as[(Long, Long)].collect().toSet
+        // 10 matches the shared wide fingerprint: live ids 1 and 4
+        // surface, the TOMBSTONED 2 never does — including through
+        // the hot-band expansion; 11 matches 3
+        assert(pairs == Set((10L, 1L), (10L, 4L), (11L, 3L)),
+          s"cap=$cap: $pairs")
+        // the wrong-geometry stream is refused at DEFINITION
+        val ex = intercept[IllegalArgumentException] {
+          graft.streaming.Streams.hashProbeStreamWide(
+            input.toDS().toDF("id", "h"), "id", "h",
+            BandIndexStore.read(spark, path), nWords = 2, maxDist = 3)
+        }
+        assert(ex.getMessage.contains("does not match wide probe geometry"))
+      } finally rm(path)
+    }
+  }
+
   test("randomized maintenance schedules match the rebuild model") {
     // model-based: apply seeded-random append/delete/compact schedules
     // to the store and after every op compare the resolved view with
