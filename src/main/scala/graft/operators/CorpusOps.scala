@@ -442,19 +442,25 @@ object CorpusOps {
       .where(col("n_docs_with_seg") >= minDocs &&
         col("n_docs_with_seg") * 1000L > lit(maxPermille) * col("n_host_docs"))
       .select(col("host"), col("seg"))
-    val kept = segs.join(boiler, Seq("host", "seg"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
+    // ONE aggregate over the exploded rows carries both the total
+    // segment count and the kept reassembly, so each document
+    // tokenizes exactly once (a left join with a boiler marker
+    // replaces the earlier left_anti + a second segments() pass over
+    // df; collect_list skips the nulls the marker introduces)
+    val marked = segs.join(boiler.withColumn("__b", lit(true)),
+      Seq("host", "seg"), "left")
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        count(col("__b")).as("n_removed"),
         concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          array_sort(collect_list(when(col("__b").isNull,
+            struct(col("pos"), col("seg"))))),
           p => p.getField("seg"))).as("cleaned"))
-    df.select(col(idCol).as("doc_id"), col(hostCol).as("host"),
-        size(segments(col(textCol), segWords)).cast("long")
-          .as("n_segments"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("host"), col("n_segments"),
-        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_removed"),
+    df.select(col(idCol).as("doc_id"), col(hostCol).as("host"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         md5(coalesce(col("cleaned"), lit(""))).as("cleaned_fp"))
   }
 

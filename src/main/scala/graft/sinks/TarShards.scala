@@ -244,6 +244,15 @@ object TarShards {
             val size = java.lang.Long.parseLong(
               new String(hdr, 124, 12, UTF_8)
                 .takeWhile(c => c != 0 && c != ' '), 8)
+            // the USTAR octal size field allows up to 8 GiB, but a
+            // sample must materialize as ONE byte array (≤ 2 GiB on
+            // the JVM) — silently truncating the size would allocate
+            // a wrong-sized buffer AND desynchronize the 512-byte
+            // walk for every entry after it
+            require(size >= 0 && size <= Int.MaxValue,
+              s"tar shard $p: entry '$name' declares $size bytes — " +
+                "larger than one JVM byte array can hold; this reader " +
+                "only accepts sample-sized entries")
             val data = new Array[Byte](size.toInt)
             in.readFully(data)
             val pad = ((512 - size % 512) % 512).toInt
@@ -298,6 +307,15 @@ object TarShards {
         val sizeStr = new String(bytes, off + 124, 12, UTF_8)
           .takeWhile(c => c != 0 && c != ' ')
         val size = java.lang.Long.parseLong(sizeStr, 8)
+        // same oversize guard as the distributed reader — and a
+        // truncation guard: copyOfRange would silently ZERO-PAD past
+        // the end of a short archive instead of failing
+        require(size >= 0 && size <= Int.MaxValue,
+          s"tar entry '$name' declares $size bytes — larger than one " +
+            "JVM byte array can hold")
+        require(off + 512 + size <= bytes.length,
+          s"tar entry '$name' declares $size bytes but the archive " +
+            s"ends ${bytes.length - off - 512} bytes after its header")
         val data = java.util.Arrays.copyOfRange(bytes,
           off + 512, off + 512 + size.toInt)
         out += ((name, data))

@@ -130,6 +130,38 @@ class TarShardsSpec extends SparkSpecBase {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("tar reader: a > 2 GiB entry header fails loudly, never truncates") {
+    // hand-built header-only archive: the USTAR octal size field can
+    // declare up to 8 GiB, beyond any JVM byte array — the reader must
+    // refuse BEFORE allocating (a truncated .toInt would allocate a
+    // wrong-sized buffer and desynchronize the 512-byte walk). No
+    // payload is materialized: the guard fires on the header alone.
+    val hdr = new Array[Byte](512 * 3) // header + 2 end-of-archive blocks
+    val name = "7.bin".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    System.arraycopy(name, 0, hdr, 0, name.length)
+    val size = 3L * 1024 * 1024 * 1024 // 3 GiB
+    val oct = java.lang.Long.toOctalString(size)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    System.arraycopy(oct, 0, hdr, 124, oct.length)
+    val ex = intercept[IllegalArgumentException](TarShards.readTar(hdr))
+    assert(ex.getMessage.contains(s"declares $size bytes"), ex.getMessage)
+    // same guard on the distributed reader, with the shard path and
+    // entry name in the message
+    val dir = Files.createTempDirectory("taroversize").toString
+    try {
+      Files.write(new java.io.File(dir, "shard-00000.tar").toPath, hdr)
+      val ex2 = intercept[org.apache.spark.SparkException] {
+        TarShards.readTarShards(spark, dir).count()
+      }
+      val msg = ex2.getMessage +
+        Option(ex2.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains(s"declares $size bytes") &&
+        msg.contains("7.bin") && msg.contains("shard-00000.tar"),
+        s"got: $msg")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("tar shards: the system tar(1) reads our archives (conformance)") {
     import scala.sys.process._
     val haveTar = Process(Seq("bash", "-c", "command -v tar")).! == 0
