@@ -433,6 +433,33 @@ object ScaleProbe {
       graft.operators.Dedup.imageDedupClustersWide(
         hashes, "doc_id", "h", nWords = 2, maxDist = 6).count()
     }
+    // q160: the wide adversarial shape with hashes computed FROM
+    // PIXELS (real PNG encode → decode → integer DCT → median
+    // threshold), closing the r14 synthetic-fingerprint seam: 30% of
+    // the corpus is ONE flat frame (a single distinct-hash graph
+    // node), the rest near-dup groups of 4 — wall must track decode
+    // volume plus the O(N) cluster term, never pairs
+    time("pdq_adversarial_clusters") {
+      import spark.implicits._
+      val media = docs.select(col("doc_id")).as[Long]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .map { id =>
+          val (g, m) =
+            if (id % 10 < 3) (0L, 0) else (id / 4, (id % 4).toInt)
+          val pb = ((id * 7) % 256).toInt
+          val px = Array.tabulate(32 * 32) { i =>
+            val b = ((i / 32) / 2) * 16 + (i % 32) / 2
+            (((g * 37 + b.toLong * 13) % 250) +
+              (if (m > 0 && b == pb) m else 0)).toInt
+          }
+          graft.sources.Multimodal.MediaRow(id, "image",
+            graft.sources.Codecs.encodePng(32, 32, 1, px), Map.empty)
+        }
+      val hashes = graft.sources.Multimodal.dctHash256(media)
+        .toDF("doc_id", "width", "height", "h")
+      graft.operators.Dedup.imageDedupClustersWide(
+        hashes, "doc_id", "h", nWords = 4, maxDist = 6).count()
+    }
     // q152: two hash aggregates + one equi-join against the (tiny)
     // boilerplate set — wall must track segment volume; the
     // self-union multiplies per-host doc counts, not pair counts

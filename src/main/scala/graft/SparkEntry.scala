@@ -30,6 +30,7 @@ object SparkEntry {
       graft.queries.Pipeline10.queries ++
       graft.queries.Pipeline11.queries ++
       graft.queries.Pipeline12.queries ++
+      graft.queries.Pipeline13.queries ++
       graft.queries.OsmAnalog.queries ++
       graft.queries.GenQueries.queries
 
@@ -49,6 +50,7 @@ object SparkEntry {
       graft.queries.Pipeline10.oracles ++
       graft.queries.Pipeline11.oracles ++
       graft.queries.Pipeline12.oracles ++
+      graft.queries.Pipeline13.oracles ++
       graft.queries.OsmAnalog.oracles ++
       graft.queries.GenQueries.oracles
 }

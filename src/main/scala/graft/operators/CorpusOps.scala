@@ -464,6 +464,60 @@ object CorpusOps {
         md5(coalesce(col("cleaned"), lit(""))).as("cleaned_fp"))
   }
 
+  /** HTML→text extraction — the step every real crawl pipeline runs
+    * BEFORE any text statistic, quality rule, or dedup pass (and
+    * before [[hostBoilerplateStrip]]'s per-host contract):
+    *
+    *  1. script / style elements and HTML comments are removed WITH
+    *     their contents (code and CSS are not text);
+    *  2. block-level tags (p, div, br, headings, list items, table
+    *     cells, …) become block separators;
+    *  3. every remaining tag drops to a space (inline markup keeps
+    *     its text);
+    *  4. the standard named entities decode (`&amp;` LAST, so
+    *     `&amp;lt;` yields the literal text `&lt;` exactly as a
+    *     browser renders it);
+    *  5. whitespace collapses within each block, empty blocks drop.
+    *
+    * Returns (doc_id, n_blocks, text) with `text` the surviving
+    * blocks joined by newlines — the block structure downstream
+    * line/segment-level cleaners key on. Tag-soup robust by
+    * construction (regular patterns, no parser state), NOT an HTML5
+    * conformance parser — the same trade Trafilatura-class crawl
+    * extractors make.
+    *
+    * Scale: a pure per-row regexp/replace Column chain — codegen'd,
+    * no UDF, no shuffle; the block array is bound through its own
+    * projection so the chain evaluates once per document. */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<script\\b[^<>]*>.*?</script[^<>]*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^<>]*>.*?</style[^<>]*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blockTags = regexp_replace(noComment,
+      "(?i)</?(p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|thead" +
+        "|tbody|section|article|aside|nav|main|header|footer|blockquote" +
+        "|pre|form|hr)\\b[^<>]*>", "\n")
+    val noTags = regexp_replace(blockTags, "<[^<>]*>", " ")
+    val decoded =
+      replace(replace(replace(replace(replace(replace(replace(noTags,
+        lit("&nbsp;"), lit(" ")),
+        lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+        lit("&apos;"), lit("'")),
+        lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")),
+        lit("&amp;"), lit("&"))
+    val blocks = filter(transform(split(decoded, "\n"),
+      b => trim(regexp_replace(b, "\\s+", " "))), b => b =!= "")
+    df.select(col(idCol).as("doc_id"), blocks.as("blocks"))
+      .select(col("doc_id"),
+        size(col("blocks")).cast("long").as("n_blocks"),
+        concat_ws("\n", col("blocks")).as("text"))
+  }
+
   def dedupEffectiveness(df: DataFrame, idCol: String, textCol: String,
       srcCol: String, minJaccard: Double = 0.5): DataFrame = {
     val clusters = Dedup.nearDupClusters(df, idCol, textCol, minJaccard)

@@ -1453,6 +1453,96 @@ object Dedup {
         col("n_tokens"))
   }
 
+  /** [[cdcChunkDedup]]'s banding half for the persisted-index
+    * lifecycle: one (id, band) row per DISTINCT chunk of each
+    * document, under the `cdc<k>.<hexThreshold>:<md5>` key family —
+    * the chunking geometry lives in the key (same discipline as the
+    * `hb`/`hw` fingerprint families), so a probe with a different
+    * window or threshold can never silently equi-join. Chunk md5s,
+    * never chunk text, reach the store: index rows stay 50 bytes at
+    * any corpus scale. Feeds [[BandIndexStore.writeBands]] /
+    * `appendBands` exactly like the Hamming bands. */
+  def cdcChunkBands(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, hexThreshold: String = "2"): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    require(hexThreshold.length == 1 &&
+      "0123456789abcdef".contains(hexThreshold),
+      s"hexThreshold must be one lowercase hex digit, got '$hexThreshold'")
+    val w = normToks(col(textCol))
+    df.select(col(idCol).cast("long").as("id"),
+        explode(cdcChunks(w, k, hexThreshold)).as("chunk"))
+      .select(col("id"),
+        concat(lit(s"cdc$k.$hexThreshold:"), md5(col("chunk"))).as("band"))
+      .distinct()
+  }
+
+  /** Loud geometry check for a persisted CDC chunk index: the
+    * `cdc<k>.<t>:` prefix must match the probe's parameters; a
+    * fingerprint (`hb`/`hw`) index is refused with a pointer to the
+    * Hamming APIs. Per-family bounded lookups, so the refusal is
+    * deterministic on a MIXED index in both directions (same contract
+    * as [[checkHammingIndexGeometry]]). */
+  private[graft] def checkCdcIndexGeometry(index: DataFrame, k: Int,
+      hexThreshold: String): Unit = {
+    val expect = s"cdc$k.$hexThreshold:"
+    index.select(col("band"))
+      .where(col("band").startsWith("hb") || col("band").startsWith("hw"))
+      .limit(1).collect().headOption.foreach { r =>
+        require(false,
+          s"index holds fingerprint bands ('${r.getString(0)}') — " +
+            "probe with the incrementalHammingCandidates APIs, not the " +
+            "CDC chunk API")
+      }
+    index.select(col("band")).where(col("band").startsWith("cdc"))
+      .limit(1).collect().headOption.foreach { r =>
+        val key = r.getString(0)
+        require(key.startsWith(expect),
+          s"index band key '$key' does not match CDC probe geometry " +
+            s"'$expect' (k=$k, hexThreshold='$hexThreshold') — rebuild " +
+            "the index or fix the probe parameters")
+      }
+  }
+
+  /** Incremental CDC chunk dedup against a PERSISTED chunk index —
+    * the re-crawl shape for [[cdcChunkDedup]] (q158 is batch-only):
+    * the new batch's content-defined chunks probe the committed chunk
+    * md5s; the old corpus is NEVER rescanned. Returns the q158 row
+    * shape per batch document — (doc_id, n_chunks, n_dup_chunks,
+    * n_tokens) — with `n_dup_chunks` counting batch chunk occurrences
+    * whose chunk already exists in the index.
+    *
+    * Scale: one map-only boundary pass over the batch, one distinct
+    * over the index bands (the committed chunk vocabulary), one
+    * md5-keyed equi-join, one per-doc aggregate — batch-sized work
+    * against an index touched only through its band column. Tombstoned
+    * chunks (removed via [[BandIndexStore]] deletes) stop matching as
+    * soon as the store resolves them — the same lifecycle the
+    * fingerprint families get. */
+  def incrementalCdcChunkDedup(batch: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, k: Int = 4,
+      hexThreshold: String = "2"): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    require(hexThreshold.length == 1 &&
+      "0123456789abcdef".contains(hexThreshold),
+      s"hexThreshold must be one lowercase hex digit, got '$hexThreshold'")
+    checkCdcIndexGeometry(index, k, hexThreshold)
+    val w = normToks(col(textCol))
+    val chunks = batch.select(col(idCol).as("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        explode(cdcChunks(w, k, hexThreshold)).as("chunk"))
+      .withColumn("band",
+        concat(lit(s"cdc$k.$hexThreshold:"), md5(col("chunk"))))
+    val idxBands = index.select(col("band")).distinct()
+      .withColumn("__hit", lit(true))
+    chunks.join(idxBands, Seq("band"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("n_tokens"))
+  }
+
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 16): DataFrame = {
     val w = normToks(col(textCol))

@@ -413,6 +413,126 @@ object Multimodal {
     }
   }
 
+  final case class ImageHashWide(id: Long, width: Int, height: Int,
+      hash: Seq[Long])
+
+  /** Fixed-point DCT basis: T[m] = round(2^14 · cos(π·m/32)), the 64
+    * distinct values cos takes at the DCT-II sample points (period
+    * 2π ⇒ index mod 64). Public-constant table — both the Scala
+    * kernel and the SQL oracle read THIS array, so the two engines
+    * share identical integers by construction. */
+  val DctScale = 16384L
+  val dctCosTable: IndexedSeq[Long] = (0 until 64).map(m =>
+    Math.round(DctScale * Math.cos(Math.PI * m / 32.0)))
+
+  /** 252-bit (PDQ-class) DCT perceptual hash computed FROM PIXELS —
+    * the production-width fingerprint the wide Hamming dedup family
+    * consumes (facebook/ThreatExchange's public PDQ spec is the
+    * reference construction: pool → 16×16 DCT → median threshold).
+    * Exact integer arithmetic end to end, so a SQL oracle replays
+    * every bit:
+    *
+    *  1. the decoded channel-sum plane pools into a 16×16 grid of
+    *     exact integer block sums (dimensions must be multiples of
+    *     16 — resize first via [[resizeBilinear]], kept separate so
+    *     the hash itself stays exact, same contract as [[aHash64]]);
+    *  2. a 2-D DCT-II in fixed-point integer arithmetic:
+    *     D[u][v] = Σ_bx Σ_by B[bx][by] · T[(u·(2bx+1)) mod 64]
+    *                                   · T[(v·(2by+1)) mod 64]
+    *     with the shared [[dctCosTable]] basis (separable: two 16-way
+    *     passes per image);
+    *  3. 252 of the 256 coefficients are kept — the DC term (0,0)
+    *     carries only overall brightness and the three
+    *     highest-frequency corner terms (14,15),(15,14),(15,15) carry
+    *     only sub-block noise; 252 = 4·63 also leaves every packed
+    *     word's sign bit clear, keeping the wide band keys and the
+    *     oracle's word assembly in positive arithmetic;
+    *  4. bit i is set iff its coefficient exceeds the 126th-smallest
+    *     kept coefficient (the lower median — PDQ's
+    *     half-the-bits-set discipline, value-deterministic under
+    *     ties), packed little-endian: word i/63, bit i mod 63.
+    *
+    * Composes directly with [[graft.operators.Dedup
+    * .imageDedupClustersWide]] (nWords = 4). Map-only, one decode +
+    * 8192 multiply-adds per image. Overflow bound: |D| ≤ 256·B·2^28
+    * with B ≤ 765·(w·h/256), so planes up to 2^24 pixels stay inside
+    * int64 — guarded loudly. */
+  def dctHash256(media: Dataset[MediaRow],
+      decoder: Decoder = BinaryDecoder): Dataset[ImageHashWide] = {
+    import media.sparkSession.implicits._
+    val excluded = Set(0, 239, 254, 255)
+    media.mapPartitions { rows =>
+      val t = dctCosTable
+      rows.map { r =>
+        val (w, h, px) = decoder.decode(r.mediaType, r.bytes)
+        require(w % 16 == 0 && h % 16 == 0,
+          s"dctHash256 needs dimensions divisible by 16, got ${w}x$h")
+        require(w.toLong * h <= (1L << 24),
+          s"dctHash256: ${w}x$h exceeds 2^24 pixels — the int64 " +
+            "overflow bound; pool or resize first")
+        val bw = w / 16; val bh = h / 16
+        val blocks = new Array[Long](256)
+        var i = 0
+        while (i < px.length) {
+          blocks(((i / w) / bh) * 16 + (i % w) / bw) += px(i).toLong
+          i += 1
+        }
+        // separable DCT: R[u][by] = Σ_bx B[by·16+bx]·T[u(2bx+1)]
+        val rT = new Array[Long](256)
+        var u = 0
+        while (u < 16) {
+          var by = 0
+          while (by < 16) {
+            var s = 0L; var bx = 0
+            while (bx < 16) {
+              s += blocks(by * 16 + bx) * t((u * (2 * bx + 1)) % 64)
+              bx += 1
+            }
+            rT(u * 16 + by) = s
+            by += 1
+          }
+          u += 1
+        }
+        val coef = new Array[Long](256)
+        u = 0
+        while (u < 16) {
+          var v = 0
+          while (v < 16) {
+            var s = 0L; var by = 0
+            while (by < 16) {
+              s += rT(u * 16 + by) * t((v * (2 * by + 1)) % 64)
+              by += 1
+            }
+            coef(u * 16 + v) = s
+            v += 1
+          }
+          u += 1
+        }
+        val kept = new Array[Long](252)
+        var idx = 0
+        var uv = 0
+        while (uv < 256) {
+          if (!excluded(uv)) { kept(idx) = coef(uv); idx += 1 }
+          uv += 1
+        }
+        val sorted = kept.clone()
+        java.util.Arrays.sort(sorted)
+        val thr = sorted(125)
+        val words = new Array[Long](4)
+        idx = 0
+        uv = 0
+        while (uv < 256) {
+          if (!excluded(uv)) {
+            if (coef(uv) > thr) words(idx / 63) |= 1L << (idx % 63)
+            idx += 1
+          }
+          uv += 1
+        }
+        ImageHashWide(r.id, w, h, words.toSeq)
+      }
+    }
+  }
+
   /** 64-bit difference-hash (dHash) — aHash's gradient sibling and
     * the variant practitioners usually prefer (brightness shifts
     * cancel in the differences): the image divides into an 8-row ×
