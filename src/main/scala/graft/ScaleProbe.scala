@@ -460,6 +460,40 @@ object ScaleProbe {
       graft.operators.Dedup.imageDedupClustersWide(
         hashes, "doc_id", "h", nWords = 4, maxDist = 6).count()
     }
+    // q161: one per-row regexp/replace chain, no shuffle — wall must
+    // track byte volume exactly (sum(length) forces the extracted
+    // text past count-pruning)
+    time("html_extract") {
+      val html = concat(
+        lit("<html><head><script>if (a < b && c > 1) { t('x'); }" +
+          "</script></head><body><h1>T</h1><p>"),
+        col("text"),
+        lit("</p><div>Tom &amp; Jerry &lt;3</div></body></html>"))
+      graft.operators.CorpusOps.htmlExtract(
+          docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .agg(sum(length(col("text")))).first().getLong(0)
+    }
+    // q164: map-only per-word Viterbi DP with per-partition word
+    // memoization — wall must track token volume, and the memo keeps
+    // the md5 work vocabulary-bound, not token-bound
+    time("unigram_lm") {
+      graft.operators.TextAnalysis.unigramLmSegment(
+          docs, "doc_id", "text")
+        .agg(sum(col("total_cost"))).first().getLong(0)
+    }
+    // q163 shape (timing INCLUDES the index build, like the tar
+    // probe): 30% of the corpus commits its chunk md5s, the rest
+    // probes — one boundary pass per side, one md5 equi-join
+    time("cdc_incremental") {
+      val p = graft.tools.Scratch.dir("graft_cdcidx_probe")
+      graft.operators.BandIndexStore.writeBands(
+        graft.operators.Dedup.cdcChunkBands(
+          docs.where(col("doc_id") % 10 < 3), "doc_id", "text"), p)
+      graft.operators.Dedup.incrementalCdcChunkDedup(
+          docs.where(col("doc_id") % 10 >= 3), "doc_id", "text",
+          graft.operators.BandIndexStore.read(spark, p))
+        .agg(sum(col("n_dup_chunks"))).first().getLong(0)
+    }
     // q152: two hash aggregates + one equi-join against the (tiny)
     // boilerplate set — wall must track segment volume; the
     // self-union multiplies per-host doc counts, not pair counts

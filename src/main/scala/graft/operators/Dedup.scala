@@ -1394,7 +1394,8 @@ object Dedup {
     * positions produce 1-token chunks — there is no minimum-length
     * cut-point skipping in this construction). Pure per-row Column
     * expression. */
-  private def cdcChunks(w: Column, k: Int, hexThreshold: String): Column =
+  private[graft] def cdcChunks(w: Column, k: Int,
+      hexThreshold: String): Column =
     // bind the token array AND the boundary list ONCE each through
     // single-element transform lambdas (the bandKeysExpr trick):
     // referencing an outer expression inside a HOF lambda re-evaluates

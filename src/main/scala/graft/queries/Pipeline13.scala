@@ -12,10 +12,11 @@ import graft.sources.Multimodal
   * extraction ahead of the per-host boilerplate contract (q161), the
   * CLIP-style joint image-text similarity gate folded into pair
   * curation (q162), incremental CDC chunk dedup against a persisted
-  * chunk index (q163), and the unigram-LM (SentencePiece-style)
-  * Viterbi tokenizer (q164). Same contract as [[Pipeline]]: exact
-  * integer arithmetic only, so the DuckDB oracle matches bit for
-  * bit. */
+  * chunk index (q163), the unigram-LM (SentencePiece-style)
+  * Viterbi tokenizer (q164), and the pixel-derived incremental image
+  * re-crawl through the persisted wide index (q165). Same contract
+  * as [[Pipeline]]: exact integer arithmetic only, so the DuckDB
+  * oracle matches bit for bit. */
 object Pipeline13 {
 
   type Q = (SparkSession, String) => DataFrame
@@ -79,9 +80,15 @@ object Pipeline13 {
         col("keep"))
   }
 
-  val pdqClustersSql: String = {
+  /** Shared oracle prefix — the CTE chain recomputing the four packed
+    * hash words per document from the pixel formula (fixture plane →
+    * block sums → both separable DCT passes → median threshold → bit
+    * pack), ending with `h(doc_id, h0..h3)`. q160 appends the pair +
+    * recursive-closure tail; q165 appends the batch-vs-corpus
+    * brute-force tail. */
+  private lazy val pdqHashCtes: String = {
     val tl = Multimodal.dctCosTable.mkString("[", ", ", "]")
-    s"""WITH RECURSIVE p AS (
+    s"""p AS (
        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m
        |  FROM documents),
        |dims AS (SELECT doc_id, g, m,
@@ -134,7 +141,11 @@ object Pipeline13 {
        |    CAST(SUM(CASE WHEN idx // 63 = 3 THEN
        |      bit * (CAST(1 AS BIGINT) << (idx % 63)) ELSE 0 END)
        |      AS BIGINT) AS h3
-       |  FROM bits GROUP BY 1),
+       |  FROM bits GROUP BY 1)""".stripMargin
+  }
+
+  val pdqClustersSql: String =
+    s"""WITH RECURSIVE $pdqHashCtes,
        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
        |  WHERE CAST(bit_count(xor(a.h0, b.h0)) AS INTEGER)
@@ -153,7 +164,6 @@ object Pipeline13 {
        |  COALESCE(comp.cluster_id, hb.doc_id) AS cluster_id,
        |  hb.doc_id = COALESCE(comp.cluster_id, hb.doc_id) AS keep
        |FROM hb LEFT JOIN comp ON hb.doc_id = comp.doc_id""".stripMargin
-  }
 
   // ---- q161: HTML→text extraction (the crawl-side front door) ----
 
@@ -395,17 +405,76 @@ object Pipeline13 {
        |FROM dw JOIN best ON dw.word = best.word
        |GROUP BY 1""".stripMargin
 
+  // ---- q165: pixel-derived incremental image re-crawl ----
+
+  /** The FULL production image re-crawl loop with nothing synthetic
+    * left: pixels → [[Multimodal.dctHash256]] → src0's wide bands
+    * committed into the [[graft.operators.BandIndexStore]] lifecycle
+    * (`hw256.7.` key family) → the non-src0 batch probes with
+    * [[graft.operators.Dedup.incrementalHammingCandidatesWide]]
+    * (hot-band corpus-hash routing) → exact four-word xor/popcount
+    * verify. q156 proved this plumbing on synthetic fingerprints;
+    * q165 is the same contract fed by the hash the pixels actually
+    * produce. Pigeonhole recall is 100% by construction, so the
+    * oracle brute-forces all batch-vs-corpus pairs over the
+    * recomputed DCT hashes and the hash must match exactly. */
+  def pdqIncremental(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val hashes = Multimodal.dctHash256(pdqFixture(s, d),
+        Multimodal.BinaryDecoder)
+      .toDF("doc_id", "width", "height", "h")
+      .join(src, "doc_id")
+    val corpus = hashes.where(col("source") === "src0")
+    val path = StoreOnce.dir("pdqhashidx", d) { p =>
+      graft.operators.BandIndexStore.writeBands(
+        graft.operators.Dedup.hammingBandsWide(corpus, "doc_id", "h",
+          nWords = 4, maxDist = 6), p)
+    }
+    val index = graft.operators.BandIndexStore.read(s, path)
+    val batch = hashes.where(col("source") =!= "src0")
+    val cands = graft.operators.Dedup.incrementalHammingCandidatesWide(
+      batch, "doc_id", "h", index, nWords = 4, maxDist = 6,
+      corpusHashes = Some(corpus.select(col("doc_id"), col("h"))))
+    val bh = batch.select(col("doc_id").as("batch_id"), col("h").as("bh"))
+    val ch = corpus.select(col("doc_id").as("corpus_id"),
+      col("h").as("ch"))
+    val dist4 = (1 to 4).map(i =>
+      bit_count(element_at(col("bh"), i)
+        .bitwiseXOR(element_at(col("ch"), i)))).reduce(_ + _)
+    cands.join(bh, Seq("batch_id")).join(ch, Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        dist4.cast("int").as("dist"))
+      .where(col("dist") <= 6)
+  }
+
+  val pdqIncrementalSql: String =
+    s"""WITH $pdqHashCtes,
+       |hs AS (SELECT h.doc_id, d.source, h.h0, h.h1, h.h2, h.h3
+       |  FROM h JOIN documents d ON h.doc_id = d.doc_id)
+       |SELECT batch_id, corpus_id, dist FROM (
+       |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+       |    CAST(bit_count(xor(a.h0, b.h0)) AS INTEGER)
+       |      + CAST(bit_count(xor(a.h1, b.h1)) AS INTEGER)
+       |      + CAST(bit_count(xor(a.h2, b.h2)) AS INTEGER)
+       |      + CAST(bit_count(xor(a.h3, b.h3)) AS INTEGER) AS dist
+       |  FROM hs a JOIN hs b
+       |    ON a.source <> 'src0' AND b.source = 'src0'
+       |   AND a.doc_id <> b.doc_id)
+       |WHERE dist <= 6""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q160_pdq_clusters" -> (pdqClusters _),
     "q161_html_extract" -> (htmlExtractQ _),
     "q162_pair_curation_clip" -> (pairCurationClip _),
     "q163_cdc_incremental" -> (cdcIncremental _),
-    "q164_unigram_lm" -> (unigramLmQ _))
+    "q164_unigram_lm" -> (unigramLmQ _),
+    "q165_pdq_incremental" -> (pdqIncremental _))
 
   def oracles: Map[String, String] = Map(
     "q160_pdq_clusters" -> pdqClustersSql,
     "q161_html_extract" -> htmlExtractSql,
     "q162_pair_curation_clip" -> pairCurationClipSql,
     "q163_cdc_incremental" -> cdcIncrementalSql,
-    "q164_unigram_lm" -> unigramLmSql)
+    "q164_unigram_lm" -> unigramLmSql,
+    "q165_pdq_incremental" -> pdqIncrementalSql)
 }

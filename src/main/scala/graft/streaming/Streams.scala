@@ -462,6 +462,38 @@ object Streams {
       castHash = identity, grpType = "array<bigint>")
   }
 
+  /** Streaming CDC chunk probe against the PERSISTED chunk index —
+    * the continuous form of
+    * [[graft.operators.Dedup.incrementalCdcChunkDedup]], completing
+    * the streaming re-crawl family (minhash [[indexProbeStream]],
+    * 64-bit/wide fingerprints [[hashProbeStream]]): each arriving
+    * document's content-defined chunk boundaries are computed
+    * STATELESSLY (pure per-row Column expression — no distinct, no
+    * watermark), md5-banded under the `cdc<k>.<t>:` key family, and
+    * stream-static joined against the index's resolved view. Emits
+    * one row per (new_id, indexed_id, band) chunk hit; the per-doc
+    * dup-ratio aggregation is the consumer's per-batch step (append
+    * mode, no streaming state). The geometry mismatch the batch
+    * probe refuses loudly is checked HERE at stream definition — not
+    * left to produce a silently-empty candidate stream forever.
+    * Tombstoned corpus docs stop matching as soon as the store
+    * resolves them, exactly like the fingerprint probes. */
+  def cdcProbeStream(docs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, k: Int = 4, hexThreshold: String = "2")
+      : DataFrame = {
+    graft.operators.Dedup.checkCdcIndexGeometry(index, k, hexThreshold)
+    val w = graft.functions.TextFunctions.normToks(col(textCol))
+    val probe = docs.select(col(idCol).cast("long").as("new_id"),
+        explode(graft.operators.Dedup.cdcChunks(w, k, hexThreshold))
+          .as("chunk"))
+      .select(col("new_id"),
+        concat(lit(s"cdc$k.$hexThreshold:"), md5(col("chunk")))
+          .as("band"))
+    probe.join(index.select(col("id").as("indexed_id"), col("band")),
+        "band")
+      .select(col("new_id"), col("indexed_id"), col("band"))
+  }
+
   /** The stream-static band join shared by the 64-bit and wide hash
     * probes: cold bands join directly; hot index bands (with
     * `corpusHashes`) pre-deduplicate to one row per DISTINCT corpus

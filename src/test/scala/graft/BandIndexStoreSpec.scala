@@ -372,6 +372,47 @@ class BandIndexStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("a document stream CDC-probes the maintained chunk index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val shared = (0 until 120).map(i => s"w${i * 37 % 211}").mkString(" ")
+    // corpus: docs 1 and 2 both carry the shared text (so its chunks
+    // map to both ids); doc 2 is tombstoned before the stream starts
+    val corpus = Seq((1L, shared), (2L, shared),
+      (3L, (0 until 50).map(i => s"c$i").mkString(" ")))
+    val path = tmp()
+    try {
+      BandIndexStore.writeBands(Dedup.cdcChunkBands(
+        corpus.toDF("id", "text"), "id", "text"), path, buckets = 8)
+      BandIndexStore.appendBands(spark, path,
+        Dedup.cdcChunkBands(corpus.toDF("id", "text")
+          .where($"id" < 0), "id", "text"),
+        Seq(2L).toDF("id"))
+      val input = MemoryStream[(Long, String)]
+      val probe = graft.streaming.Streams.cdcProbeStream(
+        input.toDS().toDF("id", "text"), "id", "text",
+        BandIndexStore.read(spark, path))
+      val q = probe.writeStream.outputMode("append")
+        .format("memory").queryName("cdc_probe").start()
+      input.addData(Seq((10L, shared),
+        (11L, (0 until 40).map(i => s"z$i").mkString(" "))))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("cdc_probe")
+        .select($"new_id", $"indexed_id").as[(Long, Long)].collect()
+      // doc 10's chunks all hit the LIVE owner 1; the tombstoned 2
+      // never surfaces; the unrelated 11 hits nothing
+      assert(rows.nonEmpty && rows.forall(_ == ((10L, 1L))),
+        s"got: ${rows.toSet}")
+      // wrong geometry and wrong family are refused at DEFINITION
+      val ex = intercept[IllegalArgumentException] {
+        graft.streaming.Streams.cdcProbeStream(
+          input.toDS().toDF("id", "text"), "id", "text",
+          BandIndexStore.read(spark, path), k = 5)
+      }
+      assert(ex.getMessage.contains("does not match CDC probe geometry"))
+    } finally rm(path)
+  }
+
   test("randomized maintenance schedules match the rebuild model") {
     // model-based: apply seeded-random append/delete/compact schedules
     // to the store and after every op compare the resolved view with
