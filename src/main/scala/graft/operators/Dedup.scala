@@ -754,6 +754,12 @@ object Dedup {
             "probe with incrementalHammingCandidatesWide, not the " +
             "64-bit API")
       }
+    index.select(col("band")).where(col("band").startsWith("cdc"))
+      .limit(1).collect().headOption.foreach { r =>
+        require(false,
+          s"index holds CDC chunk bands ('${r.getString(0)}') — probe " +
+            "with incrementalCdcChunkDedup, not the fingerprint API")
+      }
     index.select(col("band"))
       .where(col("band").startsWith("hb")).limit(1)
       .collect().headOption.foreach { r =>
@@ -996,6 +1002,12 @@ object Dedup {
         require(false,
           s"index holds 64-bit fingerprint bands ('${r.getString(0)}') " +
             "— probe with incrementalHammingCandidates, not the wide API")
+      }
+    index.select(col("band")).where(col("band").startsWith("cdc"))
+      .limit(1).collect().headOption.foreach { r =>
+        require(false,
+          s"index holds CDC chunk bands ('${r.getString(0)}') — probe " +
+            "with incrementalCdcChunkDedup, not the fingerprint API")
       }
     index.select(col("band"))
       .where(col("band").startsWith("hw")).limit(1)
@@ -1512,13 +1524,20 @@ object Dedup {
     * n_tokens) — with `n_dup_chunks` counting batch chunk occurrences
     * whose chunk already exists in the index.
     *
-    * Scale: one map-only boundary pass over the batch, one distinct
-    * over the index bands (the committed chunk vocabulary), one
-    * md5-keyed equi-join, one per-doc aggregate — batch-sized work
-    * against an index touched only through its band column. Tombstoned
-    * chunks (removed via [[BandIndexStore]] deletes) stop matching as
-    * soon as the store resolves them — the same lifecycle the
-    * fingerprint families get. */
+    * Self-exclusion: a chunk counts as duplicate only when some
+    * OTHER document owns it in the index — a re-crawled document
+    * whose id is already committed is never a duplicate of itself
+    * (the `bid =!= cid` discipline every other incremental-family
+    * member applies, expressed per chunk via the index's min/max
+    * owner ids: sole-owner-equals-self chunks don't count).
+    *
+    * Scale: one map-only boundary pass over the batch, one per-band
+    * owner aggregate over the index (the committed chunk
+    * vocabulary), one md5-keyed equi-join, one per-doc aggregate —
+    * batch-sized work against an index touched only through narrow
+    * columns. Tombstoned chunks (removed via [[BandIndexStore]]
+    * deletes) stop matching as soon as the store resolves them — the
+    * same lifecycle the fingerprint families get. */
   def incrementalCdcChunkDedup(batch: DataFrame, idCol: String,
       textCol: String, index: DataFrame, k: Int = 4,
       hexThreshold: String = "2"): DataFrame = {
@@ -1528,18 +1547,24 @@ object Dedup {
       s"hexThreshold must be one lowercase hex digit, got '$hexThreshold'")
     checkCdcIndexGeometry(index, k, hexThreshold)
     val w = normToks(col(textCol))
-    val chunks = batch.select(col(idCol).as("doc_id"),
+    val chunks = batch.select(col(idCol).cast("long").as("doc_id"),
         size(w).cast("long").as("n_tokens"),
         explode(cdcChunks(w, k, hexThreshold)).as("chunk"))
       .withColumn("band",
         concat(lit(s"cdc$k.$hexThreshold:"), md5(col("chunk"))))
-    val idxBands = index.select(col("band")).distinct()
-      .withColumn("__hit", lit(true))
-    chunks.join(idxBands, Seq("band"), "left")
+    // min/max owner ids per band: ≥ 2 distinct owners ⟺ min ≠ max,
+    // and a single owner is "other" unless it is the probing doc —
+    // no countDistinct expand needed
+    val owners = index.select(col("band"), col("id"))
+      .groupBy(col("band"))
+      .agg(min(col("id")).as("__omin"), max(col("id")).as("__omax"))
+    val otherOwned = col("__omin").isNotNull &&
+      (col("__omin") =!= col("__omax") || col("__omin") =!= col("doc_id"))
+    chunks.join(owners, Seq("band"), "left")
       .groupBy(col("doc_id"))
       .agg(first(col("n_tokens")).as("n_tokens"),
         count(lit(1)).as("n_chunks"),
-        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_dup_chunks"))
+        sum(when(otherOwned, 1L).otherwise(0L)).as("n_dup_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         col("n_tokens"))
   }

@@ -842,12 +842,23 @@ object TextAnalysis {
           }
           Array(cost(n), pieces(n))
         }
+        // Spark-exact trim: `trim()` strips only the SPACE character
+        // (Java String.trim would also strip tabs/newlines and
+        // diverge from normToks and the SQL oracle on "\thello")
+        def trimSpaces(s: String): String = {
+          var b = 0; var e = s.length
+          while (b < e && s.charAt(b) == ' ') b += 1
+          while (e > b && s.charAt(e - 1) == ' ') e -= 1
+          s.substring(b, e)
+        }
         it.map { case (id, text) =>
-          // normToks semantics: lowercase, trim, whitespace split,
-          // empty text → zero words
-          val t = text.toLowerCase.trim
+          // normToks semantics, replicated EXACTLY: locale-free
+          // lowercase, space-only trim, regex split with limit -1
+          // (Spark's split keeps trailing empty tokens; Java's
+          // default split drops them), empty text → zero words
+          val t = trimSpaces(text.toLowerCase(java.util.Locale.ROOT))
           val words: Array[String] =
-            if (t.isEmpty) Array.empty else t.split("\\s+")
+            if (t.isEmpty) Array.empty else t.split("\\s+", -1)
           var totalCost = 0L
           var totalPieces = 0L
           words.foreach { word =>

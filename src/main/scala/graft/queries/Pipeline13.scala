@@ -56,6 +56,20 @@ object Pipeline13 {
         graft.sources.Codecs.encodePng(w, h, 1, px), Map.empty)
     }
 
+  /** The decoded-and-hashed frame, materialized once per (dir, JVM)
+    * via [[StoreOnce]]: q160 references the hash frame from two plan
+    * branches and q165 from four — without this, every branch would
+    * re-run PNG decode + the 8192-multiply DCT per image (the same
+    * encode-once rule as [[Pipeline10.mediaFixture]], one level up). */
+  private def pdqHashes(s: SparkSession, d: String): DataFrame = {
+    val path = StoreOnce.dir("pdqhashes", d) { p =>
+      Multimodal.dctHash256(pdqFixture(s, d), Multimodal.BinaryDecoder)
+        .toDF("doc_id", "width", "height", "h")
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   /** [[Multimodal.dctHash256]] over real PNG decode →
     * [[graft.operators.Dedup.imageDedupClustersWide]] (nWords = 4):
     * the wide Hamming family fed by a hash computed from pixels —
@@ -64,9 +78,7 @@ object Pipeline13 {
     * first) next to each keep/drop decision, so the oracle certifies
     * the DCT bit for bit AND the clustering built on it. */
   def pdqClusters(s: SparkSession, d: String): DataFrame = {
-    val hashes = Multimodal.dctHash256(pdqFixture(s, d),
-        Multimodal.BinaryDecoder)
-      .toDF("doc_id", "width", "height", "h")
+    val hashes = pdqHashes(s, d)
     val clusters = graft.operators.Dedup.imageDedupClustersWide(
         hashes, "doc_id", "h", nWords = 4, maxDist = 6)
       .select(col("id").as("doc_id"), col("cluster_id"), col("keep"))
@@ -420,10 +432,7 @@ object Pipeline13 {
     * recomputed DCT hashes and the hash must match exactly. */
   def pdqIncremental(s: SparkSession, d: String): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val hashes = Multimodal.dctHash256(pdqFixture(s, d),
-        Multimodal.BinaryDecoder)
-      .toDF("doc_id", "width", "height", "h")
-      .join(src, "doc_id")
+    val hashes = pdqHashes(s, d).join(src, "doc_id")
     val corpus = hashes.where(col("source") === "src0")
     val path = StoreOnce.dir("pdqhashidx", d) { p =>
       graft.operators.BandIndexStore.writeBands(

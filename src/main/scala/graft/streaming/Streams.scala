@@ -481,6 +481,13 @@ object Streams {
   def cdcProbeStream(docs: DataFrame, idCol: String, textCol: String,
       index: DataFrame, k: Int = 4, hexThreshold: String = "2")
       : DataFrame = {
+    // same parameter validation as the batch entry points — a bad k
+    // or threshold must fail HERE, not run a silently-wrong stream
+    // (an empty index has no row for the geometry check to compare)
+    require(k >= 1, s"bad k $k")
+    require(hexThreshold.length == 1 &&
+      "0123456789abcdef".contains(hexThreshold),
+      s"hexThreshold must be one lowercase hex digit, got '$hexThreshold'")
     graft.operators.Dedup.checkCdcIndexGeometry(index, k, hexThreshold)
     val w = graft.functions.TextFunctions.normToks(col(textCol))
     val probe = docs.select(col(idCol).cast("long").as("new_id"),
@@ -491,6 +498,9 @@ object Streams {
           .as("band"))
     probe.join(index.select(col("id").as("indexed_id"), col("band")),
         "band")
+      // a re-crawled doc is not a duplicate of itself — the same
+      // new_id ≠ indexed_id discipline as indexProbeStream
+      .where(col("new_id") =!= col("indexed_id"))
       .select(col("new_id"), col("indexed_id"), col("band"))
   }
 

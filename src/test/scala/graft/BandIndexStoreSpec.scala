@@ -395,12 +395,14 @@ class BandIndexStoreSpec extends SparkSpecBase {
       val q = probe.writeStream.outputMode("append")
         .format("memory").queryName("cdc_probe").start()
       input.addData(Seq((10L, shared),
-        (11L, (0 until 40).map(i => s"z$i").mkString(" "))))
+        (11L, (0 until 40).map(i => s"z$i").mkString(" ")),
+        (1L, shared))) // re-crawl of the committed doc 1 itself
       q.processAllAvailable(); q.stop()
       val rows = spark.table("cdc_probe")
         .select($"new_id", $"indexed_id").as[(Long, Long)].collect()
       // doc 10's chunks all hit the LIVE owner 1; the tombstoned 2
-      // never surfaces; the unrelated 11 hits nothing
+      // never surfaces; the unrelated 11 hits nothing; the
+      // re-crawled doc 1 never matches ITSELF (no (1,1) rows)
       assert(rows.nonEmpty && rows.forall(_ == ((10L, 1L))),
         s"got: ${rows.toSet}")
       // wrong geometry and wrong family are refused at DEFINITION

@@ -162,6 +162,28 @@ class PipelineOps8Spec extends SparkSpecBase {
       val (n20, d20, t20) = got(20L)
       assert(t20 == 200 && d20 == n20, s"all chunks of 20 dup: $got")
       assert(got(21L)._2 == 0L, s"unrelated doc clean: $got")
+      // self-exclusion: a re-crawled doc (same id as its committed
+      // index rows) is never a duplicate of ITSELF — its chunks'
+      // sole owner is the probing id
+      val self = Dedup.incrementalCdcChunkDedup(
+          Seq((10L, words)).toDF("doc_id", "text"), "doc_id", "text",
+          idx)
+        .as[(Long, Long, Long, Long)].collect().head
+      assert(self._3 == 0L, s"self-match must not count: $self")
+      // but the same text under a NEW id still counts (doc 20 above),
+      // and the fingerprint APIs refuse the CDC index loudly
+      val exh = intercept[IllegalArgumentException] {
+        Dedup.incrementalHammingCandidates(
+          Seq((1L, 42L)).toDF("doc_id", "h"), "doc_id", "h", idx,
+          maxDist = 3)
+      }
+      assert(exh.getMessage.contains("CDC chunk bands"), exh.getMessage)
+      val exw = intercept[IllegalArgumentException] {
+        Dedup.incrementalHammingCandidatesWide(
+          Seq((1L, Seq(42L, 7L))).toDF("doc_id", "h"), "doc_id", "h",
+          idx, nWords = 2, maxDist = 6)
+      }
+      assert(exw.getMessage.contains("CDC chunk bands"), exw.getMessage)
       // tombstone the identical corpus doc → its chunks stop matching
       BandIndexStore.appendBands(spark, dir,
         Dedup.cdcChunkBands(corpus.where(col("doc_id") < 0),
@@ -209,15 +231,23 @@ class PipelineOps8Spec extends SparkSpecBase {
     val docs = Seq(
       (1L, "hello data tokenization a ab"),
       (2L, "Subword UNITS matter"), // case-folds before segmenting
-      (3L, ""), (4L, "   "))
+      (3L, ""), (4L, "   "),
+      // leading tab + trailing space: normToks' space-only trim keeps
+      // the tab, so the split yields a leading EMPTY word — the
+      // operator must reproduce that, not Java-trim it away
+      (5L, "\thello world  "))
     val got = graft.operators.TextAnalysis.unigramLmSegment(
         docs.toDF("doc_id", "text"), "doc_id", "text")
       .as[(Long, Long, Long, Long)].collect()
       .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
     docs.foreach { case (id, text) =>
       val words = {
-        val t = text.toLowerCase.trim
-        if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+        // Spark-exact normToks: locale-free lowercase, space-only
+        // trim, regex split keeping trailing empties
+        val t0 = text.toLowerCase(java.util.Locale.ROOT)
+        val t = t0.dropWhile(_ == ' ')
+          .reverse.dropWhile(_ == ' ').reverse
+        if (t.isEmpty) Array.empty[String] else t.split("\\s+", -1)
       }
       val bests = words.map(w => enumerate(w).min)
       val want = (words.length.toLong, bests.map(_._2).sum,
