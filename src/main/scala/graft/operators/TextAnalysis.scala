@@ -814,7 +814,8 @@ object TextAnalysis {
         // DP result depends only on the word — memoize per partition
         // (bounded: a planet-scale vocabulary is still ~10^7 words;
         // the cap keeps a pathological partition from growing the
-        // table without bound). Measured 27.4 s → 0.9 s at sf0.1.
+        // table without bound). Measured 27.4 s → 0.24 s at sf0.1
+        // (with the caller-side repartition; see Pipeline13).
         val memo = new java.util.HashMap[String, Array[Long]]()
         def segment(word: String): Array[Long] = {
           val n = word.length
