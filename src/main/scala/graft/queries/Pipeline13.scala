@@ -187,7 +187,7 @@ object Pipeline13 {
     * `&lt;`, never to `<`), inline vs block tags, and a per-residue
     * list. Every byte is a formula of (doc_id, text, source), so the
     * oracle rebuilds the page and replays the extraction chain. */
-  def htmlExtractQ(s: SparkSession, d: String): DataFrame = {
+  private def htmlFixture(s: SparkSession, d: String): DataFrame = {
     val html = concat(
       lit("<html><head><title>Doc</title>" +
         "<style type=\"text/css\">body { color: #fff; }</style>" +
@@ -203,15 +203,21 @@ object Pipeline13 {
       when(col("doc_id") % 3 === 0,
         lit("<ul><li>alpha</li><li>beta</li></ul>")).otherwise(lit("")),
       lit("</body></html>"))
-    val fixture = Tables.documents(s, d)
-      .select(col("doc_id"), html.as("html"))
-    graft.operators.CorpusOps.htmlExtract(fixture, "doc_id", "html")
-      .select(col("doc_id"), col("n_blocks"),
-        md5(col("text")).as("text_fp"))
+    Tables.documents(s, d).select(col("doc_id"), html.as("html"))
   }
 
-  val htmlExtractSql: String =
-    """WITH src AS (SELECT doc_id,
+  def htmlExtractQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusOps.htmlExtract(htmlFixture(s, d),
+        "doc_id", "html")
+      .select(col("doc_id"), col("n_blocks"),
+        md5(col("text")).as("text_fp"))
+
+  /** Shared oracle prefix: CTEs `src`..`b` rebuilding the HTML page
+    * from the documents row and replaying the extraction chain,
+    * ending with `b(doc_id, blocks)`. q161 fingerprints the blocks;
+    * q166 feeds the extracted text into the Gopher quality CTEs. */
+  private val htmlBlocksCtes: String =
+    """src AS (SELECT doc_id,
       |    '<html><head><title>Doc</title><style type="text/css">body { color: #fff; }</style><script>if (a < b && c > "x") { track(''p&q''); }</script></head><body><h1 class="hd">Doc '
       |    || CAST(doc_id AS VARCHAR)
       |    || '</h1><!-- nav <p>not text</p> comment --><p>'
@@ -247,10 +253,16 @@ object Pipeline13 {
       |    string_split(h, chr(10)),
       |    x -> trim(regexp_replace(x, '\s+', ' ', 'g'))), x -> x <> '')
       |    AS blocks
-      |  FROM dec)
-      |SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks,
-      |  md5(COALESCE(array_to_string(blocks, chr(10)), '')) AS text_fp
-      |FROM b""".stripMargin
+      |  FROM dec)""".stripMargin
+
+  // plain concatenation, NOT s"""…$htmlBlocksCtes…""".stripMargin:
+  // the prefix's own `||` continuation lines start with whitespace+|
+  // and an outer stripMargin would mangle them a second time
+  val htmlExtractSql: String =
+    "WITH " + htmlBlocksCtes + "\n" +
+      """SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks,
+        |  md5(COALESCE(array_to_string(blocks, chr(10)), '')) AS text_fp
+        |FROM b""".stripMargin
 
   // ---- q162: CLIP-style joint similarity gate in pair curation ----
 
@@ -471,13 +483,59 @@ object Pipeline13 {
        |   AND a.doc_id <> b.doc_id)
        |WHERE dist <= 6""".stripMargin
 
+  // ---- q166: the crawl front end to end (HTML → text → quality) ----
+
+  /** The first two stages every real crawl pipeline chains —
+    * [[graft.operators.CorpusOps.htmlExtract]] feeding
+    * [[graft.operators.CorpusOps.gopherRules]] — as ONE oracle-gated
+    * query: the quality decision is taken on the EXTRACTED text
+    * (headers, entity-decoded fragments, list items and all), not on
+    * clean input, which is exactly where production Gopher filters
+    * run. The oracle splices the q161 extraction CTEs with the q84
+    * quality CTEs over the extracted text. */
+  def crawlCuration(s: SparkSession, d: String): DataFrame = {
+    val ext = graft.operators.CorpusOps.htmlExtract(
+      htmlFixture(s, d), "doc_id", "html")
+    val g = graft.operators.CorpusOps.gopherRules(ext, "doc_id", "text")
+    ext.select(col("doc_id"), col("n_blocks"))
+      .join(g.select(col("doc_id"), col("n_words"), col("stop_hits"),
+        col("alpha_words"), col("pass")), "doc_id")
+  }
+
+  val crawlCurationSql: String =
+    "WITH " + htmlBlocksCtes + ",\n" +
+    s"""ext AS (SELECT doc_id,
+       |    CAST(len(blocks) AS BIGINT) AS n_blocks,
+       |    regexp_split_to_array(trim(lower(
+       |      COALESCE(array_to_string(blocks, chr(10)), ''))), '\\s+')
+       |      AS w
+       |  FROM b),
+       |gm AS (SELECT doc_id, n_blocks,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
+       |      AS nch,
+       |    CAST(len(list_filter(w,
+       |      x -> x IN ('the', 'a', 'of', 'and', 'data'))) AS BIGINT)
+       |      AS sh,
+       |    CAST(len(list_filter(w,
+       |      x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT) AS aw
+       |  FROM ext)
+       |SELECT doc_id, n_blocks, n_words, sh AS stop_hits,
+       |  aw AS alpha_words,
+       |  ((n_words >= 20 AND n_words <= 100000) AND
+       |   (CAST(nch AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0 AND
+       |    CAST(nch AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0) AND
+       |   sh >= 2 AND aw * 10 >= n_words * 8) AS pass
+       |FROM gm""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q160_pdq_clusters" -> (pdqClusters _),
     "q161_html_extract" -> (htmlExtractQ _),
     "q162_pair_curation_clip" -> (pairCurationClip _),
     "q163_cdc_incremental" -> (cdcIncremental _),
     "q164_unigram_lm" -> (unigramLmQ _),
-    "q165_pdq_incremental" -> (pdqIncremental _))
+    "q165_pdq_incremental" -> (pdqIncremental _),
+    "q166_crawl_curation" -> (crawlCuration _))
 
   def oracles: Map[String, String] = Map(
     "q160_pdq_clusters" -> pdqClustersSql,
@@ -485,5 +543,6 @@ object Pipeline13 {
     "q162_pair_curation_clip" -> pairCurationClipSql,
     "q163_cdc_incremental" -> cdcIncrementalSql,
     "q164_unigram_lm" -> unigramLmSql,
-    "q165_pdq_incremental" -> pdqIncrementalSql)
+    "q165_pdq_incremental" -> pdqIncrementalSql,
+    "q166_crawl_curation" -> crawlCurationSql)
 }

@@ -372,6 +372,57 @@ class BandIndexStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("a PIXEL stream DCT-hashes and probes the maintained wide index") {
+    // the full streaming image re-crawl with nothing synthetic:
+    // arriving frames decode → dctHash256 (stateless mapPartitions on
+    // the stream) → wide bands → stream-static join vs the committed
+    // index. Corpus ids 1-2 share identical pixels (one hash), 3 is
+    // unrelated; 2 is tombstoned before the stream starts.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Multimodal
+    def png(seed: Long): Array[Byte] = {
+      val px = Array.tabulate(32 * 32) { i =>
+        val b = ((i / 32) / 2) * 16 + (i % 32) / 2
+        ((seed * 37 + b.toLong * 13) % 250).toInt
+      }
+      graft.sources.Codecs.encodePng(32, 32, 1, px)
+    }
+    def hashed(rows: Seq[(Long, Array[Byte])]) =
+      Multimodal.dctHash256(rows.map { case (id, b) =>
+        Multimodal.MediaRow(id, "image", b, Map.empty)
+      }.toDS()).toDF("id", "wd", "ht", "h").select($"id", $"h")
+    val path = tmp()
+    try {
+      BandIndexStore.writeBands(Dedup.hammingBandsWide(
+        hashed(Seq((1L, png(7)), (2L, png(7)), (3L, png(40)))),
+        "id", "h", nWords = 4, maxDist = 6), path, buckets = 8)
+      BandIndexStore.appendBands(spark, path,
+        Dedup.hammingBandsWide(hashed(Seq.empty), "id", "h",
+          nWords = 4, maxDist = 6),
+        Seq(2L).toDF("id"))
+      val input = MemoryStream[(Long, Array[Byte])]
+      val media = input.toDS().map { case (id, bytes) =>
+        Multimodal.MediaRow(id, "image", bytes, Map.empty)
+      }
+      val hashes = Multimodal.dctHash256(media)
+        .toDF("id", "wd", "ht", "h").select($"id", $"h")
+      val probe = graft.streaming.Streams.hashProbeStreamWide(
+        hashes, "id", "h", BandIndexStore.read(spark, path),
+        nWords = 4, maxDist = 6)
+      val q = probe.writeStream.outputMode("append")
+        .format("memory").queryName("pdq_stream").start()
+      input.addData(Seq((10L, png(7)), (11L, png(99))))
+      q.processAllAvailable(); q.stop()
+      val pairs = spark.table("pdq_stream")
+        .select($"new_id", $"indexed_id").as[(Long, Long)].collect()
+        .toSet
+      // the re-encoded frame matches the LIVE twin only (2 is
+      // tombstoned); the unrelated frame matches nothing
+      assert(pairs == Set((10L, 1L)), s"got: $pairs")
+    } finally rm(path)
+  }
+
   test("a document stream CDC-probes the maintained chunk index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
