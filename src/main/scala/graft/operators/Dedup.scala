@@ -597,17 +597,36 @@ object Dedup {
       maxDist: Int = 3, maxBandDf: Long = 100000): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"bad maxDist $maxDist")
     require(maxBandDf >= 1, s"bad maxBandDf $maxBandDf")
-    val nBands = maxDist + 1
+    // Materialize the (id, h) projection once: the identical-hash
+    // self-join, the distinct-hash banding and the final pair
+    // expansion reference it 5×, and the upstream may be an
+    // arbitrarily expensive computed hash (decode + perceptual hash) —
+    // the "decode once, decide on small rows" rule. 16 bytes/row at
+    // MEMORY_AND_DISK; superseded blocks are freed by the context
+    // cleaner once the result is consumed.
     val base = df.select(col(idCol).as("id"),
-      col(hashCol).cast("long").as("h"))
+      col(hashCol).cast("long").as("h")).localCheckpoint()
+    hammingPairsPinned(base, maxDist, maxBandDf, skipIdent = false)
+  }
+
+  /** [[hammingNearDup]] body over a pre-materialized (id, h) frame.
+    * `skipIdent` drops the identical-hash equi-join when the caller
+    * guarantees hashes are DISTINCT (e.g. [[imageDedupClusters]]'
+    * per-hash representatives — the join is provably empty there). */
+  private def hammingPairsPinned(base: DataFrame, maxDist: Int,
+      maxBandDf: Long, skipIdent: Boolean): DataFrame = {
+    val nBands = maxDist + 1
     // identical fingerprints: one equi-join on the full hash — these
     // pairs are all true duplicates (dist 0), so the join output IS
     // the answer, never a candidate set to verify
-    val ident = base.alias("a").join(base.alias("b"),
+    lazy val ident = base.alias("a").join(base.alias("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("dist"))
-    if (maxDist == 0) return ident
+    if (maxDist == 0) {
+      require(!skipIdent, "maxDist 0 with distinct hashes has no pairs")
+      return ident
+    }
 
     val hs = base.select(col("h")).distinct()
     // band b covers bits [b·64/nBands, (b+1)·64/nBands) — uneven tail
@@ -627,10 +646,16 @@ object Dedup {
       struct(lit(b).as("t"), bitSlice(col("h"), lo, hi - lo).as("k"),
         array(sks: _*).as("sks"))
     }
+    // Materialized once: the hot-key aggregate, the cold anti/semi
+    // routing and the two self-join sides otherwise re-run the
+    // distinct's final aggregate + band explode per plan branch (6
+    // subtree evaluations — exchange reuse only shares the shuffle
+    // write, not the post-shuffle work).
     val keyed = hs
       .select(col("h"), explode(array(bands: _*)).as("bk"))
       .select(col("h"), col("bk.t").as("t"), col("bk.k").as("k"),
         col("bk.sks").as("sks"))
+      .localCheckpoint()
     // hot set = (t, k) keys holding > maxBandDf DISTINCT hashes; tiny
     // by construction (≤ bandRows / maxBandDf keys), so it broadcasts
     val hot = keyed.groupBy(col("t"), col("k"))
@@ -679,7 +704,7 @@ object Dedup {
       .join(base.select(col("id").as("ib"), col("h").as("hb")), "hb")
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
-    expanded.unionByName(ident)
+    if (skipIdent) expanded else expanded.unionByName(ident)
   }
 
   /** The [[hammingNearDup]] banding as persistable (id, band STRING)
@@ -742,34 +767,46 @@ object Dedup {
     * otherwise return silently-empty candidates forever, since
     * mismatched keys can never equi-join. Shared by the batch probe
     * and the streaming probe ([[graft.streaming.Streams]]). */
+  /** One bounded driver read sampling each band-key family present
+    * in a persisted index — ONE Spark action instead of one limit-1
+    * collect per family (the per-family branches stay independent
+    * short-circuiting local limits, never a full index scan, and a
+    * MIXED index still surfaces every family deterministically).
+    * Returns prefix → sampled key for the families found. */
+  private def sampleBandFamilies(index: DataFrame,
+      prefixes: Seq[String]): Map[String, String] = {
+    val bands = index.select(col("band"))
+    prefixes.map(p => bands.where(col("band").startsWith(p)).limit(1))
+      .reduce(_.unionAll(_))
+      .collect().map(_.getString(0))
+      .flatMap(k => prefixes.find(k.startsWith).map(_ -> k)).toMap
+  }
+
   private[graft] def checkHammingIndexGeometry(index: DataFrame,
       maxDist: Int): Unit = {
-    // the wrong-family refusal is its OWN bounded lookup: sampling
-    // one row of either family would make a MIXED hb/hw index pass or
-    // fail depending on which row partition ordering yields first
-    index.select(col("band")).where(col("band").startsWith("hw"))
-      .limit(1).collect().headOption.foreach { r =>
-        require(false,
-          s"index holds WIDE fingerprint bands ('${r.getString(0)}') — " +
-            "probe with incrementalHammingCandidatesWide, not the " +
-            "64-bit API")
-      }
-    index.select(col("band")).where(col("band").startsWith("cdc"))
-      .limit(1).collect().headOption.foreach { r =>
-        require(false,
-          s"index holds CDC chunk bands ('${r.getString(0)}') — probe " +
-            "with incrementalCdcChunkDedup, not the fingerprint API")
-      }
-    index.select(col("band"))
-      .where(col("band").startsWith("hb")).limit(1)
-      .collect().headOption.foreach { r =>
-        val key = r.getString(0)
-        val enc = key.stripPrefix("hb").takeWhile(_ != '.')
-        require(key.contains(".") && enc.nonEmpty && enc.forall(_.isDigit),
-          s"index band key '$key' predates band-count encoding — rebuild the index")
-        require(enc.toInt == maxDist + 1,
-          s"index was banded with maxDist ${enc.toInt - 1}, probe uses maxDist $maxDist")
-      }
+    // the wrong-family refusal keeps its OWN bounded lookup branch:
+    // sampling one row of either family would make a MIXED hb/hw
+    // index pass or fail depending on which row partition ordering
+    // yields first
+    val fams = sampleBandFamilies(index, Seq("hw", "cdc", "hb"))
+    fams.get("hw").foreach { k =>
+      require(false,
+        s"index holds WIDE fingerprint bands ('$k') — " +
+          "probe with incrementalHammingCandidatesWide, not the " +
+          "64-bit API")
+    }
+    fams.get("cdc").foreach { k =>
+      require(false,
+        s"index holds CDC chunk bands ('$k') — probe " +
+          "with incrementalCdcChunkDedup, not the fingerprint API")
+    }
+    fams.get("hb").foreach { key =>
+      val enc = key.stripPrefix("hb").takeWhile(_ != '.')
+      require(key.contains(".") && enc.nonEmpty && enc.forall(_.isDigit),
+        s"index band key '$key' predates band-count encoding — rebuild the index")
+      require(enc.toInt == maxDist + 1,
+        s"index was banded with maxDist ${enc.toInt - 1}, probe uses maxDist $maxDist")
+    }
   }
 
   def incrementalHammingCandidates(batch: DataFrame, idCol: String,
@@ -778,8 +815,11 @@ object Dedup {
       maxBandDf: Long = 100000): DataFrame = {
     require(maxBandDf >= 1, s"bad maxBandDf $maxBandDf")
     checkHammingIndexGeometry(index, maxDist)
+    // batch projection materialized once (referenced by the distinct
+    // -rep aggregate and the final member expansion; the upstream may
+    // be an expensive computed hash)
     val bh = batch.select(col(idCol).cast("long").as("bid"),
-      col(hashCol).cast("long").as("bhash"))
+      col(hashCol).cast("long").as("bhash")).localCheckpoint()
     // probe once per distinct batch fingerprint
     val reps = bh.groupBy(col("bhash")).agg(min(col("bid")).as("rep"))
     val b = hammingBands(reps, "rep", "bhash", maxDist)
@@ -897,13 +937,27 @@ object Dedup {
     require(nWords >= 1 && nWords <= 16, s"bad nWords $nWords")
     require(maxDist >= 0 && maxDist < 64 * nWords, s"bad maxDist $maxDist")
     require(maxBandDf >= 1, s"bad maxBandDf $maxBandDf")
-    val bits = 64 * nWords
+    // same materialize-once contract as [[hammingNearDup]] — the
+    // (id, h) projection is referenced 5× downstream
     val base = df.select(col(idCol).as("id"), col(hashCol).as("h"))
-    val ident = base.alias("a").join(base.alias("b"),
+      .localCheckpoint()
+    hammingWidePairsPinned(base, nWords, maxDist, maxBandDf,
+      skipIdent = false)
+  }
+
+  /** [[hammingNearDupWide]] body over a pre-materialized (id, h)
+    * frame; `skipIdent` as in [[hammingPairsPinned]]. */
+  private def hammingWidePairsPinned(base: DataFrame, nWords: Int,
+      maxDist: Int, maxBandDf: Long, skipIdent: Boolean): DataFrame = {
+    val bits = 64 * nWords
+    lazy val ident = base.alias("a").join(base.alias("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         wideDist(col("a.h"), col("b.h"), nWords).as("dist"))
-    if (maxDist == 0) return ident
+    if (maxDist == 0) {
+      require(!skipIdent, "maxDist 0 with distinct hashes has no pairs")
+      return ident
+    }
 
     val nBands = wideBandCount(nWords, maxDist)
     val hs = base.select(col("h")).distinct()
@@ -919,10 +973,13 @@ object Dedup {
       struct(lit(b).as("t"), wideBitSlice(col("h"), lo, hi - lo).as("k"),
         array(sks: _*).as("sks"))
     }
+    // materialized once — see the narrow form's note (6 subtree
+    // evaluations otherwise)
     val keyed = hs
       .select(col("h"), explode(array(bands: _*)).as("bk"))
       .select(col("h"), col("bk.t").as("t"), col("bk.k").as("k"),
         col("bk.sks").as("sks"))
+      .localCheckpoint()
     val hot = keyed.groupBy(col("t"), col("k"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBandDf)
       .select(col("t"), col("k"))
@@ -964,7 +1021,7 @@ object Dedup {
       .join(base.select(col("id").as("ib"), col("h").as("hb")), "hb")
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
-    expanded.unionByName(ident)
+    if (skipIdent) expanded else expanded.unionByName(ident)
   }
 
   /** [[hammingBands]] for wide fingerprints: persistable (id, band)
@@ -995,29 +1052,25 @@ object Dedup {
   private[graft] def checkHammingIndexGeometryWide(index: DataFrame,
       nWords: Int, maxDist: Int): Unit = {
     val expect = s"hw${64 * nWords}.${wideBandCount(nWords, maxDist)}."
-    // own bounded lookup for the wrong family — deterministic on a
+    // per-family bounded lookups in ONE action — deterministic on a
     // MIXED hb/hw index (see checkHammingIndexGeometry)
-    index.select(col("band")).where(col("band").startsWith("hb"))
-      .limit(1).collect().headOption.foreach { r =>
-        require(false,
-          s"index holds 64-bit fingerprint bands ('${r.getString(0)}') " +
-            "— probe with incrementalHammingCandidates, not the wide API")
-      }
-    index.select(col("band")).where(col("band").startsWith("cdc"))
-      .limit(1).collect().headOption.foreach { r =>
-        require(false,
-          s"index holds CDC chunk bands ('${r.getString(0)}') — probe " +
-            "with incrementalCdcChunkDedup, not the fingerprint API")
-      }
-    index.select(col("band"))
-      .where(col("band").startsWith("hw")).limit(1)
-      .collect().headOption.foreach { r =>
-        val key = r.getString(0)
-        require(key.startsWith(expect),
-          s"index band key '$key' does not match wide probe geometry " +
-            s"'$expect' (nWords=$nWords, maxDist=$maxDist) — rebuild " +
-            "the index or fix the probe parameters")
-      }
+    val fams = sampleBandFamilies(index, Seq("hb", "cdc", "hw"))
+    fams.get("hb").foreach { k =>
+      require(false,
+        s"index holds 64-bit fingerprint bands ('$k') " +
+          "— probe with incrementalHammingCandidates, not the wide API")
+    }
+    fams.get("cdc").foreach { k =>
+      require(false,
+        s"index holds CDC chunk bands ('$k') — probe " +
+          "with incrementalCdcChunkDedup, not the fingerprint API")
+    }
+    fams.get("hw").foreach { key =>
+      require(key.startsWith(expect),
+        s"index band key '$key' does not match wide probe geometry " +
+          s"'$expect' (nWords=$nWords, maxDist=$maxDist) — rebuild " +
+          "the index or fix the probe parameters")
+    }
   }
 
   /** [[incrementalHammingCandidates]] for wide fingerprints: batch
@@ -1032,8 +1085,9 @@ object Dedup {
       maxBandDf: Long = 100000): DataFrame = {
     require(maxBandDf >= 1, s"bad maxBandDf $maxBandDf")
     checkHammingIndexGeometryWide(index, nWords, maxDist)
+    // batch projection materialized once — see the narrow form
     val bh = batch.select(col(idCol).cast("long").as("bid"),
-      col(hashCol).as("bhash"))
+      col(hashCol).as("bhash")).localCheckpoint()
     val reps = bh.groupBy(col("bhash")).agg(min(col("bid")).as("rep"))
     val b = hammingBandsWide(reps, "rep", "bhash", nWords, maxDist)
       .select(col("id").as("rep"), col("band"))
@@ -1092,10 +1146,16 @@ object Dedup {
       maxDist: Int = 3, maxBandDf: Long = 100000): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(hashCol).cast("long").as("h"))
+    // one (h → min id) representative per distinct fingerprint,
+    // materialized once: it feeds the banded pair search AND the
+    // final member-inheritance join
     val reps = base.groupBy(col("h")).agg(min(col("id")).as("rep"))
-    // distinct-fingerprint pair graph (the ident join inside finds
-    // nothing here — hashes are unique — so this is pure band search)
-    val repPairs = hammingNearDup(reps, "rep", "h", maxDist, maxBandDf)
+      .localCheckpoint()
+    // distinct-fingerprint pair graph; hashes are unique here so the
+    // identical-hash join is provably empty — skipped outright
+    val repPairs = hammingPairsPinned(
+      reps.select(col("rep").as("id"), col("h")), maxDist, maxBandDf,
+      skipIdent = true)
     val cc = connectedComponents(repPairs, "id_a", "id_b")
       .select(col("id").as("rep"), col("component"))
     base.join(reps, "h")
@@ -1115,9 +1175,12 @@ object Dedup {
       maxBandDf: Long = 100000): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(hashCol).as("h"))
+    // materialized once + ident join skipped — see the narrow form
     val reps = base.groupBy(col("h")).agg(min(col("id")).as("rep"))
-    val repPairs = hammingNearDupWide(reps, "rep", "h", nWords, maxDist,
-      maxBandDf)
+      .localCheckpoint()
+    val repPairs = hammingWidePairsPinned(
+      reps.select(col("rep").as("id"), col("h")), nWords, maxDist,
+      maxBandDf, skipIdent = true)
     val cc = connectedComponents(repPairs, "id_a", "id_b")
       .select(col("id").as("rep"), col("component"))
     base.join(reps, "h")
@@ -1498,22 +1561,21 @@ object Dedup {
   private[graft] def checkCdcIndexGeometry(index: DataFrame, k: Int,
       hexThreshold: String): Unit = {
     val expect = s"cdc$k.$hexThreshold:"
-    index.select(col("band"))
-      .where(col("band").startsWith("hb") || col("band").startsWith("hw"))
-      .limit(1).collect().headOption.foreach { r =>
-        require(false,
-          s"index holds fingerprint bands ('${r.getString(0)}') — " +
-            "probe with the incrementalHammingCandidates APIs, not the " +
-            "CDC chunk API")
-      }
-    index.select(col("band")).where(col("band").startsWith("cdc"))
-      .limit(1).collect().headOption.foreach { r =>
-        val key = r.getString(0)
-        require(key.startsWith(expect),
-          s"index band key '$key' does not match CDC probe geometry " +
-            s"'$expect' (k=$k, hexThreshold='$hexThreshold') — rebuild " +
-            "the index or fix the probe parameters")
-      }
+    // per-family bounded lookups in ONE action (see
+    // checkHammingIndexGeometry)
+    val fams = sampleBandFamilies(index, Seq("hb", "hw", "cdc"))
+    (fams.get("hb") orElse fams.get("hw")).foreach { k =>
+      require(false,
+        s"index holds fingerprint bands ('$k') — " +
+          "probe with the incrementalHammingCandidates APIs, not the " +
+          "CDC chunk API")
+    }
+    fams.get("cdc").foreach { key =>
+      require(key.startsWith(expect),
+        s"index band key '$key' does not match CDC probe geometry " +
+          s"'$expect' (k=$k, hexThreshold='$hexThreshold') — rebuild " +
+          "the index or fix the probe parameters")
+    }
   }
 
   /** Incremental CDC chunk dedup against a PERSISTED chunk index —

@@ -170,12 +170,16 @@ object IvfIndexStore {
       .withColumn("qn", sqrt(qdot(col("qv"), col("qv")).cast("double"))))
     val pw = Window.partitionBy(col("qid"))
       .orderBy(col("pcos").desc, col("cid").asc)
+    // materialized once (≤ |queries| · nprobe rows): the pruning
+    // collect below and the cells join would otherwise each re-run
+    // the crossJoin + ranking window
     val probes = q.crossJoin(cent)
       .select(col("qid"), col("qv"), col("qn"), col("cid"),
         qcos(col("qv"), col("qn"), col("cv"), col("cn")).as("pcos"))
       .withColumn("prank", row_number().over(pw))
       .where(col("prank") <= nprobe)
       .select(col("qid"), col("qv"), col("qn"), col("cid"))
+      .localCheckpoint()
     // bounded driver list (≤ |queries| · nprobe): the literal IN
     // filter is what turns the cells read into partition pruning —
     // only the probed cell=K directories are listed and scanned
@@ -185,7 +189,11 @@ object IvfIndexStore {
       .where(col("cell").cast("long").isInCollection(probedCells))
       .select(col("nid"), col("nv"), col("nn"),
         col("cell").cast("long").as("cell"))
-    probes.join(cells, probes("cid") === cells("cell"))
+    // explicit hint: the checkpointed probe set is the same bounded
+    // ≤ |queries| · nprobe class as the broadcast query set above,
+    // and a checkpoint scan carries no size statistics for the
+    // planner to pick the broadcast itself
+    broadcast(probes).join(cells, probes("cid") === cells("cell"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         qcos(col("qv"), col("qn"), col("nv"), col("nn")).as("cos"))

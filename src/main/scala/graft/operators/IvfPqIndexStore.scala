@@ -195,6 +195,9 @@ object IvfPqIndexStore {
       .orderBy(col("pcos").desc, col("cid").asc)
     // qcdot rides along for the residual identity: score =
     // ⟨q, centroid(cell)⟩ + Σ LUT — zero when codes are absolute
+    // materialized once (≤ |queries| · nprobe rows): the pruning
+    // collect and the cells join would otherwise each re-run the
+    // crossJoin + ranking window
     val probes = broadcast(q.crossJoin(cent)
       .select(col("qid"), col("cid"),
         qcos(col("qv"), col("qn"), col("cv"), col("cn")).as("pcos"),
@@ -202,7 +205,8 @@ object IvfPqIndexStore {
          else lit(0L)).as("qcdot"))
       .withColumn("prank", row_number().over(pw))
       .where(col("prank") <= nprobe)
-      .select(col("qid"), col("cid"), col("qcdot")))
+      .select(col("qid"), col("cid"), col("qcdot"))
+      .localCheckpoint())
     // bounded driver list (≤ |queries| · nprobe) → partition pruning
     val probedCells = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0))

@@ -200,13 +200,17 @@ object IvfSqIndexStore {
     // IvfPqIndexStore.pruned): without it the ≤|Q|·nprobe probe set
     // can plan as the shuffle side of a sort-merge join, shuffling
     // every probed-cell code row
+    // materialized once (≤ |queries| · nprobe rows): the pruning
+    // collect and the cells join would otherwise each re-run the
+    // crossJoin + ranking window
     val probes = broadcast(q.crossJoin(cent)
       .select(col("qid"), col("qs"), col("qmin"), col("cid"),
         (qdot(col("qv"), col("cv")).cast("double") /
           (col("qn") * col("cn"))).as("pcos"))
       .withColumn("prank", row_number().over(pw))
       .where(col("prank") <= nprobe)
-      .select(col("qid"), col("qs"), col("qmin"), col("cid")))
+      .select(col("qid"), col("qs"), col("qmin"), col("cid"))
+      .localCheckpoint())
     // bounded driver list (≤ |queries| · nprobe): the literal IN
     // filter turns the cells read into partition pruning
     val probedCells = probes.select(col("cid")).distinct()

@@ -239,6 +239,11 @@ object TextAnalysis {
     var toks = ids
       .withColumn("__n0", size(col("w")).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // parent frame still persisted until its CHILD materializes; the
+    // next round's pair-count aggregate does that materialization for
+    // free, so each round runs ONE job (aggregate) instead of two
+    // (aggregate + count)
+    var pending: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var r = 1
@@ -249,6 +254,10 @@ object TextAnalysis {
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(1).collect()
+      // the aggregate just materialized `toks` — its parent's blocks
+      // are no longer reachable from any live plan
+      pending.foreach(_.unpersist())
+      pending = None
       if (top.isEmpty) r = rounds // corpus degenerated to 1-token docs
       else {
         val pair = top.head.getString(0); val cnt = top.head.getLong(1)
@@ -267,12 +276,14 @@ object TextAnalysis {
             when(size(col("w")) === 0, col("w"))
               .otherwise(unwrapped).as("w"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent
-        toks.unpersist()
+        pending = Some(toks)
         toks = next
       }
       r += 1
     }
+    // the last fused frame has no follow-up aggregate — settle it
+    // before dropping its parent
+    pending.foreach { p => toks.count(); p.unpersist() }
     (merges.toSeq, toks)
   }
 

@@ -177,25 +177,30 @@ object Pipeline8 {
         coalesce(sum(extra), lit(0L)).cast("long").as("sum_extra"),
         coalesce(sum(xxhash64(canon).cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO)).as("dig"))
-        .head()
+        .select(lit(kind).as("k"), col("*"))
     def digestRow(fmt: String, d: OsmXml.OsmDataFrames) = {
-      val n = one(d.nodes, "n", lit(0L), concat_ws("|", lit("n"),
-        col("id"), grid("lon"), grid("lat"), tagsCanon))
-      val w = one(d.ways, "w", size(col("nodes")), concat_ws("|", lit("w"),
-        col("id"),
-        array_join(transform(col("nodes"), x => x.cast("string")), ","),
-        tagsCanon))
-      val r = one(d.relations, "r", size(col("members")),
-        concat_ws("|", lit("r"), col("id"),
-          array_join(transform(col("members"), m => concat_ws("@",
-            concat(m.getField("mtype"), m.getField("ref").cast("string")),
-            m.getField("role"))), ","),
-          tagsCanon))
+      // ONE action for the three single-row entity aggregates (they
+      // used to be three sequential head() jobs per format — 12 driver
+      // round-trips for the query; the union collapses it to 4)
+      val byKind = one(d.nodes, "n", lit(0L), concat_ws("|",
+          lit("n"), col("id"), grid("lon"), grid("lat"), tagsCanon))
+        .unionByName(one(d.ways, "w", size(col("nodes")),
+          concat_ws("|", lit("w"), col("id"),
+            array_join(transform(col("nodes"), x => x.cast("string")), ","),
+            tagsCanon)))
+        .unionByName(one(d.relations, "r", size(col("members")),
+          concat_ws("|", lit("r"), col("id"),
+            array_join(transform(col("members"), m => concat_ws("@",
+              concat(m.getField("mtype"), m.getField("ref").cast("string")),
+              m.getField("role"))), ","),
+            tagsCanon)))
+        .collect().map(row => row.getString(0) -> row).toMap
+      val (n, w, r) = (byKind("n"), byKind("w"), byKind("r"))
       d.unpersistBacking()
-      (fmt, n.getLong(0), w.getLong(0), r.getLong(0),
-        n.getLong(1) + w.getLong(1) + r.getLong(1),
-        w.getLong(2), r.getLong(2),
-        n.getDecimal(3).add(w.getDecimal(3)).add(r.getDecimal(3))
+      (fmt, n.getLong(1), w.getLong(1), r.getLong(1),
+        n.getLong(2) + w.getLong(2) + r.getLong(2),
+        w.getLong(3), r.getLong(3),
+        n.getDecimal(4).add(w.getDecimal(4)).add(r.getDecimal(4))
           .toBigInteger.toString)
     }
     val rows = Seq(
