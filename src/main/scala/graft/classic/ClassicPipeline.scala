@@ -357,18 +357,19 @@ object ClassicPipeline {
           col("tags").as("mwtags")),
           col("mm.ref") === col("mwid"))
         .groupBy(col("mrid"))
-        .agg(
-          // custom comparator: structs holding maps have no natural
-          // ordering; position alone decides
-          transform(array_sort(collect_list(
-            struct(col("mmpos"), col("mwtags"))),
-            (l, r) => when(l.getField("mmpos") < r.getField("mmpos"), -1)
-              .when(l.getField("mmpos") > r.getField("mmpos"), 1)
-              .otherwise(0)),
-            s => s.getField("mwtags")).as("__mtags"),
-          transform(array_sort(collect_list(
-            struct(col("mmpos"), col("mm.role").as("mrole")))),
-            s => s.getField("mrole")).as("__mroles"))
+        // ONE sorted member list (position is unique per relation, so
+        // the combined sort reproduces both former per-column sorts)
+        // with the custom comparator — structs holding maps have no
+        // natural ordering; position alone decides
+        .agg(array_sort(collect_list(
+          struct(col("mmpos"), col("mwtags"),
+            col("mm.role").as("mrole"))),
+          (l, r) => when(l.getField("mmpos") < r.getField("mmpos"), -1)
+            .when(l.getField("mmpos") > r.getField("mmpos"), 1)
+            .otherwise(0)).as("__ms"))
+        .select(col("mrid"),
+          transform(col("__ms"), s => s.getField("mwtags")).as("__mtags"),
+          transform(col("__ms"), s => s.getField("mrole")).as("__mroles"))
       f(keptRels.join(memberWayTags, col("id") === col("mrid"), "left")
         .drop("mrid"))
         .where(col("__keep") && size(col("__outtags")) > 0)
@@ -392,14 +393,17 @@ object ClassicPipeline {
     val memberWays = memberRefs
       .join(allResolved, col("wid") === col("rwid"))
       .groupBy(col("rid"))
+      // one sorted member list — mpos is unique per rid (min over the
+      // per-way positions of a dedup'd member set), so the combined
+      // sort reproduces both former per-axis sorts at half the
+      // aggregate state
       .agg(
         count(lit(1)).as("__nways"),
-        transform(array_sort(collect_list(
-          struct(col("mpos"), col("wlons")))), s => s.getField("wlons"))
-          .as("mlons"),
-        transform(array_sort(collect_list(
-          struct(col("mpos"), col("wlats")))), s => s.getField("wlats"))
-          .as("mlats"))
+        array_sort(collect_list(
+          struct(col("mpos"), col("wlons"), col("wlats")))).as("__mw"))
+      .select(col("rid"), col("__nways"),
+        transform(col("__mw"), s => s.getField("wlons")).as("mlons"),
+        transform(col("__mw"), s => s.getField("wlats")).as("mlats"))
     val relsGeo = relsAfterMember.join(memberWays,
       relsAfterMember("id") === col("rid"))
       .where(col("__nways") > 0)

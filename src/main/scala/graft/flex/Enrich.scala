@@ -79,16 +79,16 @@ object Enrich {
       .select(col("rid"), col("mpos"), col("m.ref").as("wid"))
       .groupBy(col("rid"), col("wid"))
       .agg(min(col("mpos")).as("mpos"))
+    // one sorted member list (mpos unique per rid — min over the
+    // positions of a dedup'd member set), half the aggregate state
     val memberWays = memberRefs
       .join(resolved, col("wid") === col("rwid"))
       .groupBy(col("rid"))
-      .agg(
-        transform(array_sort(collect_list(
-          struct(col("mpos"), col("wlons")))), s => s.getField("wlons"))
-          .as("__mlons"),
-        transform(array_sort(collect_list(
-          struct(col("mpos"), col("wlats")))), s => s.getField("wlats"))
-          .as("__mlats"))
+      .agg(array_sort(collect_list(
+        struct(col("mpos"), col("wlons"), col("wlats")))).as("__mw"))
+      .select(col("rid"),
+        transform(col("__mw"), s => s.getField("wlons")).as("__mlons"),
+        transform(col("__mw"), s => s.getField("wlats")).as("__mlats"))
     val memberNodes = osm.relations
       .select(col("id").as("nrid"),
         posexplode(col("members")).as(Seq("npos", "nm")))
@@ -97,13 +97,12 @@ object Enrich {
         col("lon").as("mnlon"), col("lat").as("mnlat")),
         col("nm.ref") === col("mnid"))
       .groupBy(col("nrid"))
-      .agg(
-        transform(array_sort(collect_list(
-          struct(col("npos"), col("mnlon")))), s => s.getField("mnlon"))
-          .as("__mnlons"),
-        transform(array_sort(collect_list(
-          struct(col("npos"), col("mnlat")))), s => s.getField("mnlat"))
-          .as("__mnlats"))
+      // one sorted member list (npos unique per relation)
+      .agg(array_sort(collect_list(
+        struct(col("npos"), col("mnlon"), col("mnlat")))).as("__mn"))
+      .select(col("nrid"),
+        transform(col("__mn"), s => s.getField("mnlon")).as("__mnlons"),
+        transform(col("__mn"), s => s.getField("mnlat")).as("__mnlats"))
     val rels = osm.relations
       .join(memberWays, col("id") === col("rid"), "left")
       .join(memberNodes, col("id") === col("nrid"), "left")

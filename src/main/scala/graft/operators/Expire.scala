@@ -158,22 +158,25 @@ object Expire {
         col("members"))
     val m = taggedRels.select(col("rid"), col("rtype"),
       posexplode(col("members")).as(Seq("mpos", "m")))
+    // one sorted member list per relation (mpos is unique within a
+    // relation, so the combined sort reproduces both former per-axis
+    // sorts at half the aggregate state and shuffle bytes)
     val memberNodes = m.where(col("m.mtype") === "n")
       .join(locs, col("m.ref") === col("nid"))
       .groupBy(col("rid"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("mpos"), col("lon")))),
-          s => s.getField("lon")).as("nlons"),
-        transform(array_sort(collect_list(struct(col("mpos"), col("lat")))),
-          s => s.getField("lat")).as("nlats"))
+      .agg(array_sort(collect_list(
+        struct(col("mpos"), col("lon"), col("lat")))).as("__mn"))
+      .select(col("rid"),
+        transform(col("__mn"), s => s.getField("lon")).as("nlons"),
+        transform(col("__mn"), s => s.getField("lat")).as("nlats"))
     val memberWays = m.where(col("m.mtype") === "w")
       .join(resolvedWays, col("m.ref") === col("rwid"))
       .groupBy(col("rid"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("mpos"), col("wlons")))),
-          s => s.getField("wlons")).as("mlons"),
-        transform(array_sort(collect_list(struct(col("mpos"), col("wlats")))),
-          s => s.getField("wlats")).as("mlats"))
+      .agg(array_sort(collect_list(
+        struct(col("mpos"), col("wlons"), col("wlats")))).as("__mw"))
+      .select(col("rid"),
+        transform(col("__mw"), s => s.getField("wlons")).as("mlons"),
+        transform(col("__mw"), s => s.getField("wlats")).as("mlats"))
     val empty = typedlit(Seq.empty[Double])
     val emptyW = typedlit(Seq.empty[Seq[Double]])
     val relGeoms = taggedRels

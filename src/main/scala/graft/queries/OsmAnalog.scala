@@ -233,26 +233,36 @@ object OsmAnalog {
       |    WHERE l_orderkey = o_orderkey AND p_size = 50))
       |GROUP BY 1""".stripMargin
 
+  /** Shared ring assembly for q39/q49/q77: ONE sorted point list per
+    * way, xs/ys projected from it. (l_orderkey, l_linenumber) is NOT
+    * unique in the synthetic data — tie-break by the partkey the
+    * coords derive from, so the order is deterministic cross-engine;
+    * x and y both derive from pk, so sorting the combined struct
+    * yields exactly the sequences the former per-axis sorts did,
+    * with HALF the aggregate state, shuffle bytes and sort work. */
+  private def ringsXY(s: SparkSession, d: String, minPts: Int)
+      : DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).select(
+        $"l_orderkey",
+        $"l_linenumber",
+        $"l_partkey".as("pk"),
+        (($"l_partkey" * 7919) % 2000).as("x"),
+        (($"l_partkey" * 104729) % 2000).as("y"))
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_list(
+        struct($"l_linenumber", $"pk", $"x", $"y"))).as("ps"))
+      .where(size($"ps") >= minPts)
+      .select($"l_orderkey",
+        transform($"ps", p => p.getField("x")).as("xs"),
+        transform($"ps", p => p.getField("y")).as("ys"))
+  }
+
   /** §2.4/§2.5 polygon assembly + exact shoelace ring area over
     * synthetic integer coordinates (way = ordered lineitem ring). */
   def polygonArea(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pts = Tables.lineitem(s, d).select(
-      $"l_orderkey",
-      $"l_linenumber",
-      $"l_partkey".as("pk"),
-      (($"l_partkey" * 7919) % 2000).as("x"),
-      (($"l_partkey" * 104729) % 2000).as("y"))
-    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
-    // tie-break by the partkey the coords derive from, so xs/ys stay
-    // aligned and the order is deterministic cross-engine.
-    val rings = pts.groupBy($"l_orderkey")
-      .agg(
-        transform(array_sort(collect_list(
-          struct($"l_linenumber", $"pk", $"x"))), p => p.getField("x")).as("xs"),
-        transform(array_sort(collect_list(
-          struct($"l_linenumber", $"pk", $"y"))), p => p.getField("y")).as("ys"))
-      .where(size($"xs") >= 3)
+    val rings = ringsXY(s, d, minPts = 3)
     rings.select(
       $"l_orderkey".as("way_id"),
       size($"xs").as("n_pts"),
@@ -279,19 +289,7 @@ object OsmAnalog {
     * reference's centroid is undefined there. */
   def polygonCentroid(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pts = Tables.lineitem(s, d).select(
-      $"l_orderkey",
-      $"l_linenumber",
-      $"l_partkey".as("pk"),
-      (($"l_partkey" * 7919) % 2000).as("x"),
-      (($"l_partkey" * 104729) % 2000).as("y"))
-    val rings = pts.groupBy($"l_orderkey")
-      .agg(
-        transform(array_sort(collect_list(
-          struct($"l_linenumber", $"pk", $"x"))), p => p.getField("x")).as("xs"),
-        transform(array_sort(collect_list(
-          struct($"l_linenumber", $"pk", $"y"))), p => p.getField("y")).as("ys"))
-      .where(size($"xs") >= 3)
+    val rings = ringsXY(s, d, minPts = 3)
     rings.select(
       $"l_orderkey".as("way_id"),
       graft.expressions.GeomExpressions.ringMetricsN($"xs", $"ys").as("m"))
@@ -597,42 +595,28 @@ object OsmAnalog {
     * second member of the way's MultiPoint form. */
   def geomScalars(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.geom.{GeomOps, LineString, MultiPoint, Point, Pt}
-    val pts = Tables.lineitem(s, d).select(
-      $"l_orderkey",
-      $"l_linenumber",
-      $"l_partkey".as("pk"),
-      (($"l_partkey" * 7919) % 2000).as("x"),
-      (($"l_partkey" * 104729) % 2000).as("y"))
-    val ways = pts.groupBy($"l_orderkey")
-      .agg(
-        transform(array_sort(collect_list(
-          struct($"l_linenumber", $"pk", $"x"))), p => p.getField("x")).as("xs"),
-        transform(array_sort(collect_list(
-          struct($"l_linenumber", $"pk", $"y"))), p => p.getField("y")).as("ys"))
-      .where(size($"xs") >= 2)
-    val calc = udf((xs: Seq[Long], ys: Seq[Long]) => {
-      val ps = xs.zip(ys)
-        .map { case (x, y) => Pt(x.toDouble, y.toDouble) }.toVector
-      val line = LineString(ps)
-      val mp = MultiPoint(ps.map(Point(_)))
-      val ip = GeomOps.interpolate(ps.head, ps.last, 0.25)
-      val rev = GeomOps.reverse(line).asInstanceOf[LineString].pts
-      val rp = GeomOps.interpolate(rev.head, rev.last, 0.25)
-      val g2 = GeomOps.geometryN(mp, 2) match {
-        case Point(p, _) => p
-        case _           => Pt(-1.0, -1.0)
-      }
-      (mp.numGeometries.toLong, GeomOps.distance(ps.head, ps.last),
-        ip.x, ip.y, rp.x, rp.y, g2.x, g2.y)
-    })
+    // Pure codegen column arithmetic — formerly a row-at-a-time Scala
+    // UDF wrapping GeomOps. Every emitted value is bit-identical to
+    // the GeomOps forms it replaces: distance = IEEE sqrt of an exact
+    // integer sum (coords < 2000, so all intermediate products are
+    // exact in both long and double); interpolate's
+    // a + (b − a)·0.25 is an exact scale of an exact difference;
+    // reverse+interpolate collapses to interpolation from the far
+    // end; geometry_n(2) is the second sorted point. n_geoms =
+    // num_geometries of the MultiPoint form = the point count.
+    val ways = ringsXY(s, d, minPts = 2)
+    val x1 = element_at($"xs", 1); val xl = element_at($"xs", -1)
+    val y1 = element_at($"ys", 1); val yl = element_at($"ys", -1)
+    def dD(c: org.apache.spark.sql.Column) = c.cast("double")
     ways.select($"l_orderkey".as("way_id"),
-        calc($"xs", $"ys").as("c"))
-      .select($"way_id",
-        $"c._1".as("n_geoms"), $"c._2".as("dist"),
-        $"c._3".as("ix"), $"c._4".as("iy"),
-        $"c._5".as("rix"), $"c._6".as("riy"),
-        $"c._7".as("g2x"), $"c._8".as("g2y"))
+      size($"xs").cast("long").as("n_geoms"),
+      sqrt(dD((xl - x1) * (xl - x1) + (yl - y1) * (yl - y1))).as("dist"),
+      (dD(x1) + dD(xl - x1) * 0.25).as("ix"),
+      (dD(y1) + dD(yl - y1) * 0.25).as("iy"),
+      (dD(xl) + dD(x1 - xl) * 0.25).as("rix"),
+      (dD(yl) + dD(y1 - yl) * 0.25).as("riy"),
+      dD(element_at($"xs", 2)).as("g2x"),
+      dD(element_at($"ys", 2)).as("g2y"))
   }
 
   val geomScalarsSql: String =
