@@ -186,7 +186,8 @@ object CorpusOps {
     val grams = graft.expressions.VectorExpressions.shinglesN(
       graft.functions.TextFunctions.normToks(col(textCol)), n,
       distinct = true)
-    val g = df.select(col(srcCol).as("src"), explode(grams).as("gram"))
+    val g = Par.fanOut(df.select(col(srcCol), col(textCol)))
+      .select(col(srcCol).as("src"), explode(grams).as("gram"))
       .distinct()
     val srcSets = g.groupBy(col("gram"))
       .agg(sort_array(collect_set(col("src"))).as("srcs"))
@@ -243,7 +244,8 @@ object CorpusOps {
           org.apache.spark.sql.types.StringType)))
       .otherwise(transform(sequence(lit(1), nChunks),
         i => concat_ws(" ", slice(toks, (i - lit(1)) * stride + 1, lit(k)))))
-    df.select(col(idCol).as("doc_id"), posexplode(chunks))
+    Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"), posexplode(chunks))
       .select(col("doc_id"),
         (col("pos") + 1).as("chunk_idx"),
         (col("pos") * stride + 1).cast("long").as("start_tok"),

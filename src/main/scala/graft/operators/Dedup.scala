@@ -91,7 +91,7 @@ object Dedup {
     // ONE banding scheme: the same bandKeysExpr drives this batch
     // join and the streaming band index — a salt/separator/band
     // change cannot silently diverge the two candidate sets
-    val banded = df
+    val banded = Par.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"),
         explode(bandKeysExpr(col(textCol), numHashes, rowsPerBand, k))
           .as("band"))
@@ -111,8 +111,9 @@ object Dedup {
     * candidate pairs (the verification stage after LSH). */
   def jaccardOnPairs(pairs: DataFrame, df: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val docs = df.select(col(idCol).as("jid"),
-      array_distinct(normToks(col(textCol))).as("w"))
+    val docs = Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("jid"),
+        array_distinct(normToks(col(textCol))).as("w"))
     val a = docs.select(col("jid").as("id_a"), col("w").as("wa"))
     val b = docs.select(col("jid").as("id_b"), col("w").as("wb"))
     // hash-set intersect/union (O(|wa|+|wb|) per pair), NOT
@@ -137,8 +138,9 @@ object Dedup {
     * hash-set intersect cost as the Jaccard verify. */
   def containmentOnPairs(pairs: DataFrame, df: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val docs = df.select(col(idCol).as("jid"),
-      array_distinct(normToks(col(textCol))).as("w"))
+    val docs = Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("jid"),
+        array_distinct(normToks(col(textCol))).as("w"))
     val a = docs.select(col("jid").as("id_a"), col("w").as("wa"))
     val b = docs.select(col("jid").as("id_b"), col("w").as("wb"))
     pairs.join(a, "id_a").join(b, "id_b")
@@ -159,8 +161,9 @@ object Dedup {
     * `min_tokens` ships alongside for normalized thresholds. */
   def lcsOnPairs(pairs: DataFrame, df: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val docs = df.select(col(idCol).as("lid"),
-      normToks(col(textCol)).as("t"))
+    val docs = Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("lid"),
+        normToks(col(textCol)).as("t"))
     val a = docs.select(col("lid").as("id_a"), col("t").as("ta"))
     val b = docs.select(col("lid").as("id_b"), col("t").as("tb"))
     pairs.join(a, "id_a").join(b, "id_b")
@@ -1313,8 +1316,9 @@ object Dedup {
     */
   def incrementalNearDupCandidates(batch: DataFrame, idCol: String,
       textCol: String, corpusBands: DataFrame): DataFrame = {
-    val probe = batch.select(col(idCol).as("batch_id"),
-      explode(bandKeysExpr(col(textCol))).as("band"))
+    val probe = Par.fanOut(batch.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("batch_id"),
+        explode(bandKeysExpr(col(textCol))).as("band"))
     probe.join(corpusBands.select(col("id").as("corpus_id"), col("band")),
         "band")
       .select(col("batch_id"), col("corpus_id")).distinct()
@@ -1324,8 +1328,9 @@ object Dedup {
     * the shared [[bandKeysExpr]] scheme. At scale this is the table
     * you bucket/sort by band and keep between snapshots. */
   def bandIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      explode(bandKeysExpr(col(textCol))).as("band"))
+    Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(bandKeysExpr(col(textCol))).as("band"))
 
   /** Duplicated-span coverage — the exact-substring dedup measure of
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language
@@ -1392,10 +1397,20 @@ object Dedup {
     * of colliding pairs stays below 1 until ~2^32 distinct grams;
     * corpora beyond that should widen the prefix. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, minTokens: Int = 10): DataFrame = {
+      k: Int = 5, minTokens: Int = 10): DataFrame =
+    dupSpansFromBase(tokBase(df, idCol, textCol), k, minTokens)
+
+  /** Fanned-out, pinned (doc_id, tokens) projection shared by the
+    * span family: tokenization runs exactly once however many
+    * branches read it (gram explode, n_tokens, span slicing,
+    * reassembly). */
+  private def tokBase(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), normToks(col(textCol)).as("w"))
+
+  private def dupSpansFromBase(base: DataFrame, k: Int,
+      minTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("doc_id"),
-      normToks(col(textCol)).as("w"))
     val grams = base.select(col("doc_id"),
         posexplode(graft.expressions.VectorExpressions
           .shinglesN(col("w"), k)).as(Seq("i0", "g")))
@@ -1435,9 +1450,8 @@ object Dedup {
     * bounded by document length. */
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, minTokens: Int = 10): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"),
-      normToks(col(textCol)).as("w"))
-    val cov = dupSpans(df, idCol, textCol, k, minTokens)
+    val base = tokBase(df, idCol, textCol)
+    val cov = dupSpansFromBase(base, k, minTokens)
       .select(col("doc_id"), explode(sequence(col("span_start"),
         col("span_start") + col("span_len") - 1)).as("pos"))
       .distinct()
@@ -1516,7 +1530,11 @@ object Dedup {
       "0123456789abcdef".contains(hexThreshold),
       s"hexThreshold must be one lowercase hex digit, got '$hexThreshold'")
     val w = normToks(col(textCol))
-    val chunks = df.select(col(idCol), size(w).cast("long").as("n_tokens"),
+    // CPU-bound boundary pass (md5 per trailing k-gram per token):
+    // fan a one-split scan out across the machine first (no-op at
+    // scale — Par.fanOut)
+    val in = Par.fanOut(df.select(col(idCol), col(textCol)))
+    val chunks = in.select(col(idCol), size(w).cast("long").as("n_tokens"),
       explode(cdcChunks(w, k, hexThreshold)).as("chunk"))
     val counts = chunks.groupBy(col("chunk"))
       .agg(count(lit(1)).as("n_occ"))
@@ -1545,7 +1563,8 @@ object Dedup {
       "0123456789abcdef".contains(hexThreshold),
       s"hexThreshold must be one lowercase hex digit, got '$hexThreshold'")
     val w = normToks(col(textCol))
-    df.select(col(idCol).cast("long").as("id"),
+    Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).cast("long").as("id"),
         explode(cdcChunks(w, k, hexThreshold)).as("chunk"))
       .select(col("id"),
         concat(lit(s"cdc$k.$hexThreshold:"), md5(col("chunk"))).as("band"))
@@ -1609,7 +1628,8 @@ object Dedup {
       s"hexThreshold must be one lowercase hex digit, got '$hexThreshold'")
     checkCdcIndexGeometry(index, k, hexThreshold)
     val w = normToks(col(textCol))
-    val chunks = batch.select(col(idCol).cast("long").as("doc_id"),
+    val chunks = Par.fanOut(batch.select(col(idCol), col(textCol)))
+      .select(col(idCol).cast("long").as("doc_id"),
         size(w).cast("long").as("n_tokens"),
         explode(cdcChunks(w, k, hexThreshold)).as("chunk"))
       .withColumn("band",

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Scale-adaptive fan-out for CPU-bound per-row stages — the guide's
+  * §2.5 "input skew: one huge unsplittable file → repartition
+  * immediately after the read" fix, made conditional so it can never
+  * hurt at scale.
+  *
+  * A small table is one parquet file, one row group, hence ONE scan
+  * partition: every tokenize/md5/decode-heavy projection above it
+  * runs on a single core while the rest of the machine idles (the
+  * measured shape of the sub-second text operators at sf0.1 —
+  * 0.3–0.6 s single-task stages). `fanOut` round-robin-repartitions
+  * to the session's default parallelism ONLY when the input yields
+  * fewer partitions than that; at any real scale, where the scan
+  * already produces splits ≫ cores, the probe sees enough partitions
+  * and the call is the IDENTITY — no shuffle is ever added where the
+  * scan parallelizes by itself. The partition target derives from the
+  * session (`sparkContext.defaultParallelism`), so the driver's
+  * lower-core bench runs adapt automatically instead of inheriting a
+  * constant tuned to one machine.
+  *
+  * Safety: frames whose physical plan already contains an Exchange
+  * (shuffle or broadcast) are returned untouched WITHOUT probing
+  * partition counts — they are at least `spark.sql.shuffle.partitions`
+  * wide downstream of the shuffle, and probing them via `df.rdd`
+  * would let AQE materialize query stages eagerly (running real jobs
+  * at query-construction time). For the remaining scan-shaped frames
+  * the `rdd.getNumPartitions` probe is plan-only and job-less.
+  *
+  * Call sites should project the frame down to the columns the heavy
+  * stage needs first, so the added exchange (when it fires at all)
+  * carries the minimal bytes (guide §2.3 "project before the
+  * exchange"). Determinism under retry is Spark's own
+  * sort-before-repartition contract (on by default) over a
+  * deterministic scan.
+  */
+object Par {
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.isStreaming) df // micro-batch sizing is the stream's own knob
+    else if (df.queryExecution.sparkPlan.exists(_.isInstanceOf[Exchange])) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
+}
