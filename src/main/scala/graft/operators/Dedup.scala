@@ -231,10 +231,15 @@ object Dedup {
       explode(graft.expressions.VectorExpressions
         .shinglesN(normToks(col(textCol)), n, distinct = true)).as("g"))
     // inverted index: one hash-aggregate on g; df(g) == postings size
-    // because grams are per-doc distinct
+    // because grams are per-doc distinct. Pinned: the per-doc sizes
+    // and the pair expansion both read the postings — without the
+    // checkpoint each branch re-runs the post-shuffle collect_list
+    // over every gram group (the shuffle write is shared, the
+    // aggregate itself is not)
     val buckets = grams.groupBy(col("g"))
       .agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")) <= maxDf)
+      .localCheckpoint()
     val sizes = buckets.select(explode(col("ids")).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val shared = buckets
@@ -660,10 +665,16 @@ object Dedup {
         col("bk.sks").as("sks"))
       .localCheckpoint()
     // hot set = (t, k) keys holding > maxBandDf DISTINCT hashes; tiny
-    // by construction (≤ bandRows / maxBandDf keys), so it broadcasts
+    // by construction (≤ bandRows / maxBandDf keys), so it broadcasts.
+    // Materialized once: it feeds FIVE broadcast branches (cold anti,
+    // two hotK semi sides, and the guard's base), and exchange reuse
+    // shares only the aggregate's shuffle write — the post-shuffle
+    // final aggregate over every (t, k) group would otherwise re-run
+    // per branch (a full pass over the banded keys at scale).
     val hot = keyed.groupBy(col("t"), col("k"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBandDf)
       .select(col("t"), col("k"))
+      .localCheckpoint()
     val cold = keyed.join(broadcast(hot), Seq("t", "k"), "left_anti")
       .select(col("h"), col("t"), col("k"))
     val hotK = keyed.join(broadcast(hot), Seq("t", "k"), "left_semi")
@@ -828,8 +839,12 @@ object Dedup {
     val b = hammingBands(reps, "rep", "bhash", maxDist)
       .select(col("id").as("rep"), col("band"))
     val idx = index.select(col("id").as("cid"), col("band"))
+    // materialized once: the anti and semi routing branches otherwise
+    // each re-run the full index-scan aggregate behind this tiny
+    // (≤ indexRows / maxBandDf) hot set
     val hot = idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
       .where(col("n") > maxBandDf).select(col("band"))
+      .localCheckpoint()
     val coldCands = b
       .join(idx.join(broadcast(hot), Seq("band"), "left_anti"), "band")
       .select(col("rep"), col("cid"))
@@ -983,9 +998,13 @@ object Dedup {
       .select(col("h"), col("bk.t").as("t"), col("bk.k").as("k"),
         col("bk.sks").as("sks"))
       .localCheckpoint()
+    // materialized once — five broadcast branches read it (see the
+    // narrow form's note; exchange reuse shares only the shuffle
+    // write, not the per-branch post-shuffle aggregate)
     val hot = keyed.groupBy(col("t"), col("k"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBandDf)
       .select(col("t"), col("k"))
+      .localCheckpoint()
     val cold = keyed.join(broadcast(hot), Seq("t", "k"), "left_anti")
       .select(col("h"), col("t"), col("k"))
     val hotK = keyed.join(broadcast(hot), Seq("t", "k"), "left_semi")
@@ -1095,8 +1114,10 @@ object Dedup {
     val b = hammingBandsWide(reps, "rep", "bhash", nWords, maxDist)
       .select(col("id").as("rep"), col("band"))
     val idx = index.select(col("id").as("cid"), col("band"))
+    // materialized once — see the narrow probe's note
     val hot = idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
       .where(col("n") > maxBandDf).select(col("band"))
+      .localCheckpoint()
     val coldCands = b
       .join(idx.join(broadcast(hot), Seq("band"), "left_anti"), "band")
       .select(col("rep"), col("cid"))

@@ -532,18 +532,22 @@ object Similarity {
       .kmeansAssignN(col("q"), cids, sums, ss, ns))
   }
 
-  /** Recompute (sum-vector, count) state from an assignment. */
-  private def kmeansRecompute(assigned: DataFrame): DataFrame = {
-    val sums = assigned
+  /** Recompute (sum-vector, count) state from an assignment — ONE
+    * pass over the assign-kernel output: the member count rides the
+    * per-(cid, pos) aggregate (every member contributes one row per
+    * dimension, so any dimension's group count IS the cell count),
+    * where a separate count aggregate + join would re-run the
+    * expensive argmin kernel a second time per Lloyd iteration. */
+  private def kmeansRecompute(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cid"), posexplode(col("q")))
-      .groupBy(col("cid"), col("pos")).agg(sum(col("col")).as("sv"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("col")).as("sv"), count(lit(1)).as("n0"))
       .groupBy(col("cid"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("sv")))),
-        p => p.getField("sv")).as("s"))
-    sums.join(
-      assigned.groupBy(col("cid")).agg(count(lit(1)).as("n")), "cid")
-  }
+        p => p.getField("sv")).as("s"),
+        max(col("n0")).as("n"))
 
   /** State used by the FINAL assignment pass (iters−1 recomputes). */
   private def kmeansTrain(corpus: DataFrame, every: Int, iters: Int,
@@ -560,10 +564,12 @@ object Similarity {
       iters: Int = 2, centroidCap: Int = 256): DataFrame = {
     val assigned = kmeansAssignStep(kmeansBase(corpus),
       kmeansTrain(corpus, every, iters, centroidCap))
-    val sizes = assigned.groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_members"))
+    // cluster sizes via a cid-partitioned window count: ONE evaluation
+    // of the final assign kernel and one exchange, where the separate
+    // size aggregate + join re-ran the kernel over the whole corpus
+    val w = Window.partitionBy(col("cid"))
     assigned.select(col("id"), col("cid"))
-      .join(sizes, "cid")
+      .withColumn("n_members", count(lit(1)).over(w))
       .select(col("id"), col("cid").as("cluster"), col("n_members"))
   }
 
