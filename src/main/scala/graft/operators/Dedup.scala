@@ -1427,7 +1427,8 @@ object Dedup {
     * reassembly). */
   private def tokBase(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), normToks(col(textCol)).as("w"))
+    Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"), normToks(col(textCol)).as("w"))
 
   private def dupSpansFromBase(base: DataFrame, k: Int,
       minTokens: Int): DataFrame = {
