@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit,
+  Join, RepartitionOperation, Sort, Window => LWindow}
 
 /** Scale-adaptive fan-out for CPU-bound per-row stages — the guide's
   * §2.5 "input skew: one huge unsplittable file → repartition
@@ -22,13 +23,20 @@ import org.apache.spark.sql.execution.exchange.Exchange
   * lower-core bench runs adapt automatically instead of inheriting a
   * constant tuned to one machine.
   *
-  * Safety: frames whose physical plan already contains an Exchange
-  * (shuffle or broadcast) are returned untouched WITHOUT probing
-  * partition counts — they are at least `spark.sql.shuffle.partitions`
-  * wide downstream of the shuffle, and probing them via `df.rdd`
-  * would let AQE materialize query stages eagerly (running real jobs
-  * at query-construction time). For the remaining scan-shaped frames
-  * the `rdd.getNumPartitions` probe is plan-only and job-less.
+  * Safety: frames whose OPTIMIZED LOGICAL plan contains any
+  * exchange-inducing operator (join, aggregate, window, sort, global
+  * limit, explicit repartition) are returned untouched WITHOUT
+  * probing partition counts — they are at least
+  * `spark.sql.shuffle.partitions` wide downstream of the shuffle,
+  * and probing them via `df.rdd` would let AQE materialize query
+  * stages eagerly (running real jobs at query-construction time).
+  * The logical plan is inspected rather than the physical one
+  * because under AQE `queryExecution.sparkPlan` is an
+  * AdaptiveSparkPlanExec wrapper whose child tree is not exposed to
+  * `exists` — a physical Exchange check silently never fires (caught
+  * by ParSpec). For the remaining scan-shaped frames (file scans,
+  * cached relations, unions, projections, filters) the
+  * `rdd.getNumPartitions` probe is plan-only and job-less.
   *
   * Call sites should project the frame down to the columns the heavy
   * stage needs first, so the added exchange (when it fires at all)
@@ -41,7 +49,11 @@ object Par {
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.isStreaming) df // micro-batch sizing is the stream's own knob
-    else if (df.queryExecution.sparkPlan.exists(_.isInstanceOf[Exchange])) df
+    else if (df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: LWindow | _: Sort |
+           _: GlobalLimit | _: RepartitionOperation => true
+      case _ => false
+    }) df
     else if (df.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }
