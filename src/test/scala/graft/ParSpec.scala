@@ -54,7 +54,7 @@ class ParSpec extends SparkSpecBase {
   test("pushed filters survive below the fan-out exchange") {
     // the q13-shaped check: a scan filter written before the fan must
     // still reach the parquet scan (pushdown traverses Repartition)
-    val dir = java.nio.file.Files.createTempDirectory("parspec").toString
+    val dir = graft.tools.Scratch.dir("parspec") // removed at JVM exit
     spark.range(0, 1000, 1, numPartitions = 1).toDF("id")
       .write.mode("overwrite").parquet(dir)
     val fanned = Par.fanOut(
