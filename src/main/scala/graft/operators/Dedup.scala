@@ -235,7 +235,15 @@ object Dedup {
     // and the pair expansion both read the postings — without the
     // checkpoint each branch re-runs the post-shuffle collect_list
     // over every gram group (the shuffle write is shared, the
-    // aggregate itself is not)
+    // aggregate itself is not). Trade-off, stated: unlike the tiny
+    // hot sets this eagerly materializes the FULL postings table
+    // (unbounded in distinct grams) into non-reliable executor block
+    // storage — an executor loss after this point fails the job
+    // rather than recomputing. Deployments where that matters should
+    // lower the pin to persist(MEMORY_AND_DISK)+count (recoverable
+    // lineage) at the cost of re-running the aggregate per branch on
+    // eviction; kept as a checkpoint here because the postings are
+    // maxDf-capped per gram and both consumers read them immediately.
     val buckets = grams.groupBy(col("g"))
       .agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")) <= maxDf)
@@ -307,7 +315,12 @@ object Dedup {
     // threads at once should expect that cache churn.)
     def snapshot(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      val cp = df.localCheckpoint() // eager: materializes here
+      // LAZY: the caller's next action (the initial count / the
+      // per-round digest) materializes the snapshot inside its own
+      // job — one job per round instead of two (checkpoint barrier +
+      // digest). The persist handle is registered at mark time, so
+      // the registry diff still finds the blocks to free.
+      val cp = df.localCheckpoint(eager = false)
       (cp, spark.sparkContext.getPersistentRDDs.keySet.toSet -- before)
     }
     def free(ids: Set[Int]): Unit = {
@@ -611,9 +624,13 @@ object Dedup {
     // arbitrarily expensive computed hash (decode + perceptual hash) —
     // the "decode once, decide on small rows" rule. 16 bytes/row at
     // MEMORY_AND_DISK; superseded blocks are freed by the context
-    // cleaner once the result is consumed.
+    // cleaner once the result is consumed. LAZY: the pinned body's
+    // hot-key collect is the first action and computes base inside its
+    // own job, so the pin costs no separate barrier job (driver job
+    // gaps dominate these queries — §1.5 job hygiene); every later
+    // branch reads the populated cache.
     val base = df.select(col(idCol).as("id"),
-      col(hashCol).cast("long").as("h")).localCheckpoint()
+      col(hashCol).cast("long").as("h")).localCheckpoint(eager = false)
     hammingPairsPinned(base, maxDist, maxBandDf, skipIdent = false)
   }
 
@@ -658,56 +675,69 @@ object Dedup {
     // routing and the two self-join sides otherwise re-run the
     // distinct's final aggregate + band explode per plan branch (6
     // subtree evaluations — exchange reuse only shares the shuffle
-    // write, not the post-shuffle work).
+    // write, not the post-shuffle work). LAZY: the hot-key collect
+    // right below is the first action and populates the cache inside
+    // its own job — no separate materialization barrier.
     val keyed = hs
       .select(col("h"), explode(array(bands: _*)).as("bk"))
       .select(col("h"), col("bk.t").as("t"), col("bk.k").as("k"),
         col("bk.sks").as("sks"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // hot set = (t, k) keys holding > maxBandDf DISTINCT hashes; tiny
-    // by construction (≤ bandRows / maxBandDf keys), so it broadcasts.
-    // Materialized once: it feeds FIVE broadcast branches (cold anti,
-    // two hotK semi sides, and the guard's base), and exchange reuse
-    // shares only the aggregate's shuffle write — the post-shuffle
-    // final aggregate over every (t, k) group would otherwise re-run
-    // per branch (a full pass over the banded keys at scale).
-    val hot = keyed.groupBy(col("t"), col("k"))
+    // by construction (≤ bandRows / maxBandDf keys) — the same bound
+    // that already justified broadcasting it. COLLECTED to the driver
+    // (one job, same barrier the former localCheckpoint paid; the
+    // broadcast build shipped the identical rows through the driver
+    // anyway) and re-planted as a LocalRelation, so when the set is
+    // EMPTY — the normal shape under the default cap — the whole hot
+    // routing (anti/semi joins, level-2 sub-band pair join, escalation
+    // guard) is pruned from the plan instead of executing as empty
+    // stages; a non-empty set keeps the full routing, now over an
+    // exactly-sized broadcast relation.
+    val sparkS = base.sparkSession
+    import sparkS.implicits._
+    val hotKeys = keyed.groupBy(col("t"), col("k"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBandDf)
       .select(col("t"), col("k"))
-      .localCheckpoint()
-    val cold = keyed.join(broadcast(hot), Seq("t", "k"), "left_anti")
-      .select(col("h"), col("t"), col("k"))
-    val hotK = keyed.join(broadcast(hot), Seq("t", "k"), "left_semi")
-      .select(col("h"), col("t"), col("k"),
-        posexplode(col("sks")).as(Seq("t2", "k2")))
-    val coldPairs = cold.alias("a").join(cold.alias("b"),
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val coldPairsOf = (cold: DataFrame) => cold.alias("a")
+      .join(cold.alias("b"),
         col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
           col("a.h") < col("b.h"))
       .select(col("a.h").as("ha"), col("b.h").as("hb"))
-    val hotPairs = hotK.alias("a").join(hotK.alias("b"),
-        col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
-          col("a.t2") === col("b.t2") && col("a.k2") === col("b.k2") &&
-          col("a.h") < col("b.h"))
-      .select(col("a.h").as("ha"), col("b.h").as("hb"))
-    // escalation guard — never silently quadratic: a level-2 sub-band
-    // key still holding more than maxBandDf DISTINCT hashes means the
-    // corpus is denser than the two-level pigeonhole can bound
-    // (density ≫ 2^(2·bandwidth)); joining such a key would be
-    // output-quadratic, so REFUSE with the measured density instead.
-    // Zero extra jobs: the check is a zero-rows-unless-violated frame
-    // unioned into the pair plan (the aggregate reuses hotK's shuffle
-    // keys), and the raise_error fires only if a violating key exists.
-    val hot2 = hotK.groupBy(col("t"), col("k"), col("t2"), col("k2"))
-      .agg(count(lit(1)).as("n2")).where(col("n2") > maxBandDf)
-    val guard = hot2.select(
-      raise_error(format_string(
-        "hammingNearDup: level-2 sub-band (band %s, sub-band %s) still " +
-          "holds %s distinct hashes > maxBandDf — corpus density exceeds " +
-          "the two-level pigeonhole bound; raise maxBandDf or collapse " +
-          "identical hash regions first",
-        col("t"), col("t2"), col("n2"))).cast("long").as("ha"),
-      lit(0L).as("hb"))
-    val hashPairs = coldPairs.unionByName(hotPairs).unionByName(guard)
+    val rawPairs = if (hotKeys.isEmpty) coldPairsOf(keyed) else {
+      val hot = hotKeys.toDF("t", "k") // LocalRelation: job-less broadcast
+      val cold = keyed.join(broadcast(hot), Seq("t", "k"), "left_anti")
+        .select(col("h"), col("t"), col("k"))
+      val hotK = keyed.join(broadcast(hot), Seq("t", "k"), "left_semi")
+        .select(col("h"), col("t"), col("k"),
+          posexplode(col("sks")).as(Seq("t2", "k2")))
+      val hotPairs = hotK.alias("a").join(hotK.alias("b"),
+          col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
+            col("a.t2") === col("b.t2") && col("a.k2") === col("b.k2") &&
+            col("a.h") < col("b.h"))
+        .select(col("a.h").as("ha"), col("b.h").as("hb"))
+      // escalation guard — never silently quadratic: a level-2 sub-band
+      // key still holding more than maxBandDf DISTINCT hashes means the
+      // corpus is denser than the two-level pigeonhole can bound
+      // (density ≫ 2^(2·bandwidth)); joining such a key would be
+      // output-quadratic, so REFUSE with the measured density instead.
+      // Zero extra jobs: the check is a zero-rows-unless-violated frame
+      // unioned into the pair plan (the aggregate reuses hotK's shuffle
+      // keys), and the raise_error fires only if a violating key exists.
+      val hot2 = hotK.groupBy(col("t"), col("k"), col("t2"), col("k2"))
+        .agg(count(lit(1)).as("n2")).where(col("n2") > maxBandDf)
+      val guard = hot2.select(
+        raise_error(format_string(
+          "hammingNearDup: level-2 sub-band (band %s, sub-band %s) still " +
+            "holds %s distinct hashes > maxBandDf — corpus density exceeds " +
+            "the two-level pigeonhole bound; raise maxBandDf or collapse " +
+            "identical hash regions first",
+          col("t"), col("t2"), col("n2"))).cast("long").as("ha"),
+        lit(0L).as("hb"))
+      coldPairsOf(cold).unionByName(hotPairs).unionByName(guard)
+    }
+    val hashPairs = rawPairs
       .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .where(col("dist") <= maxDist)
       .distinct()
@@ -839,40 +869,53 @@ object Dedup {
     val b = hammingBands(reps, "rep", "bhash", maxDist)
       .select(col("id").as("rep"), col("band"))
     val idx = index.select(col("id").as("cid"), col("band"))
-    // materialized once: the anti and semi routing branches otherwise
-    // each re-run the full index-scan aggregate behind this tiny
-    // (≤ indexRows / maxBandDf) hot set
-    val hot = idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
+    // hot band set (tiny by construction: ≤ indexRows / maxBandDf)
+    // COLLECTED to the driver — same one-job barrier the former
+    // localCheckpoint paid, and the broadcast build shipped the
+    // identical rows through the driver anyway. An EMPTY set (the
+    // normal shape under the default cap) prunes the whole hot
+    // routing (anti/semi joins, per-hash dedup, fallback union) from
+    // the plan; a non-empty set keeps it over an exactly-sized
+    // job-less LocalRelation broadcast.
+    val sparkS = bh.sparkSession
+    import sparkS.implicits._
+    val hotKeys = idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
       .where(col("n") > maxBandDf).select(col("band"))
-      .localCheckpoint()
-    val coldCands = b
-      .join(idx.join(broadcast(hot), Seq("band"), "left_anti"), "band")
-      .select(col("rep"), col("cid"))
-    val hotIdx = idx.join(broadcast(hot), Seq("band"), "left_semi")
-    val hotCands = corpusHashes match {
-      case Some(ch0) =>
-        // contract: first column = id, second = 64-bit hash
-        val ch = ch0.select(col(ch0.columns.head).cast("long").as("cid"),
-          col(ch0.columns(1)).cast("long").as("chash"))
-        // LEFT join: an index id missing from the caller's hash table
-        // must not silently lose recall — uncovered rows fall back to
-        // the direct (exact, possibly wide) route instead
-        val hotIdxH = hotIdx.join(ch, Seq("cid"), "left")
-        val covered = hotIdxH.where(col("chash").isNotNull)
-        val uncovered = hotIdxH.where(col("chash").isNull)
-          .select(col("cid"), col("band"))
-        val hotDistinct = covered.select(col("band"), col("chash"))
-          .distinct()
-        b.join(hotDistinct, "band") // ≤ distinct-hash fan-out
-          // expand through the index's own rows — live ids only
-          .join(covered, Seq("band", "chash"))
-          .select(col("rep"), col("cid"))
-          .unionByName(
-            b.join(uncovered, "band").select(col("rep"), col("cid")))
-      case None =>
-        b.join(hotIdx, "band").select(col("rep"), col("cid"))
+      .collect().map(_.getString(0)).toSeq
+    val cands = if (hotKeys.isEmpty) {
+      b.join(idx, "band").select(col("rep"), col("cid"))
+    } else {
+      val hot = hotKeys.toDF("band")
+      val coldCands = b
+        .join(idx.join(broadcast(hot), Seq("band"), "left_anti"), "band")
+        .select(col("rep"), col("cid"))
+      val hotIdx = idx.join(broadcast(hot), Seq("band"), "left_semi")
+      val hotCands = corpusHashes match {
+        case Some(ch0) =>
+          // contract: first column = id, second = 64-bit hash
+          val ch = ch0.select(col(ch0.columns.head).cast("long").as("cid"),
+            col(ch0.columns(1)).cast("long").as("chash"))
+          // LEFT join: an index id missing from the caller's hash table
+          // must not silently lose recall — uncovered rows fall back to
+          // the direct (exact, possibly wide) route instead
+          val hotIdxH = hotIdx.join(ch, Seq("cid"), "left")
+          val covered = hotIdxH.where(col("chash").isNotNull)
+          val uncovered = hotIdxH.where(col("chash").isNull)
+            .select(col("cid"), col("band"))
+          val hotDistinct = covered.select(col("band"), col("chash"))
+            .distinct()
+          b.join(hotDistinct, "band") // ≤ distinct-hash fan-out
+            // expand through the index's own rows — live ids only
+            .join(covered, Seq("band", "chash"))
+            .select(col("rep"), col("cid"))
+            .unionByName(
+              b.join(uncovered, "band").select(col("rep"), col("cid")))
+        case None =>
+          b.join(hotIdx, "band").select(col("rep"), col("cid"))
+      }
+      coldCands.unionByName(hotCands)
     }
-    val repPairs = coldCands.unionByName(hotCands).distinct()
+    val repPairs = cands.distinct()
     // expand batch members: every batch id sharing the rep's hash;
     // terminal distinct keeps the documented contract (distinct
     // (batch_id, corpus_id)) even for batches carrying duplicate
@@ -956,9 +999,10 @@ object Dedup {
     require(maxDist >= 0 && maxDist < 64 * nWords, s"bad maxDist $maxDist")
     require(maxBandDf >= 1, s"bad maxBandDf $maxBandDf")
     // same materialize-once contract as [[hammingNearDup]] — the
-    // (id, h) projection is referenced 5× downstream
+    // (id, h) projection is referenced 5× downstream; LAZY for the
+    // same reason (the pinned body's hot-key collect materializes it)
     val base = df.select(col(idCol).as("id"), col(hashCol).as("h"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     hammingWidePairsPinned(base, nWords, maxDist, maxBandDf,
       skipIdent = false)
   }
@@ -992,49 +1036,60 @@ object Dedup {
         array(sks: _*).as("sks"))
     }
     // materialized once — see the narrow form's note (6 subtree
-    // evaluations otherwise)
+    // evaluations otherwise); LAZY: the hot-key collect below is the
+    // first action and populates the cache inside its own job
     val keyed = hs
       .select(col("h"), explode(array(bands: _*)).as("bk"))
       .select(col("h"), col("bk.t").as("t"), col("bk.k").as("k"),
         col("bk.sks").as("sks"))
-      .localCheckpoint()
-    // materialized once — five broadcast branches read it (see the
-    // narrow form's note; exchange reuse shares only the shuffle
-    // write, not the per-branch post-shuffle aggregate)
-    val hot = keyed.groupBy(col("t"), col("k"))
+      .localCheckpoint(eager = false)
+    // hot set collected to the driver and re-planted as a
+    // LocalRelation — see the narrow form's note: same one-job barrier
+    // and driver exposure as the former checkpoint+broadcast, but an
+    // EMPTY set (the normal shape under the default cap) prunes the
+    // whole hot routing from the plan instead of running it as empty
+    // stages.
+    val sparkS = base.sparkSession
+    import sparkS.implicits._
+    val hotKeys = keyed.groupBy(col("t"), col("k"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBandDf)
       .select(col("t"), col("k"))
-      .localCheckpoint()
-    val cold = keyed.join(broadcast(hot), Seq("t", "k"), "left_anti")
-      .select(col("h"), col("t"), col("k"))
-    val hotK = keyed.join(broadcast(hot), Seq("t", "k"), "left_semi")
-      .select(col("h"), col("t"), col("k"),
-        posexplode(col("sks")).as(Seq("t2", "k2")))
-    val coldPairs = cold.alias("a").join(cold.alias("b"),
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val coldPairsOf = (cold: DataFrame) => cold.alias("a")
+      .join(cold.alias("b"),
         col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
           col("a.h") < col("b.h"))
       .select(col("a.h").as("ha"), col("b.h").as("hb"))
-    val hotPairs = hotK.alias("a").join(hotK.alias("b"),
-        col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
-          col("a.t2") === col("b.t2") && col("a.k2") === col("b.k2") &&
-          col("a.h") < col("b.h"))
-      .select(col("a.h").as("ha"), col("b.h").as("hb"))
-    // same escalation contract as the 64-bit form: never silently
-    // quadratic — refuse a still-dense sub-band with its density
-    val hot2 = hotK.groupBy(col("t"), col("k"), col("t2"), col("k2"))
-      .agg(count(lit(1)).as("n2")).where(col("n2") > maxBandDf)
-    // hb must be a NON-NULL literal: a null literal would let the
-    // optimizer null-propagate the dist expression to constant null,
-    // prune the raise_error column, and silently drop the guard
-    val guard = hot2.select(
-      raise_error(format_string(
-        "hammingNearDupWide: level-2 sub-band (band %s, sub-band %s) " +
-          "still holds %s distinct hashes > maxBandDf — corpus density " +
-          "exceeds the two-level pigeonhole bound; raise maxBandDf or " +
-          "collapse identical hash regions first",
-        col("t"), col("t2"), col("n2"))).cast("array<bigint>").as("ha"),
-      array((0 until nWords).map(_ => lit(0L)): _*).as("hb"))
-    val hashPairs = coldPairs.unionByName(hotPairs).unionByName(guard)
+    val rawPairs = if (hotKeys.isEmpty) coldPairsOf(keyed) else {
+      val hot = hotKeys.toDF("t", "k") // LocalRelation: job-less broadcast
+      val cold = keyed.join(broadcast(hot), Seq("t", "k"), "left_anti")
+        .select(col("h"), col("t"), col("k"))
+      val hotK = keyed.join(broadcast(hot), Seq("t", "k"), "left_semi")
+        .select(col("h"), col("t"), col("k"),
+          posexplode(col("sks")).as(Seq("t2", "k2")))
+      val hotPairs = hotK.alias("a").join(hotK.alias("b"),
+          col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
+            col("a.t2") === col("b.t2") && col("a.k2") === col("b.k2") &&
+            col("a.h") < col("b.h"))
+        .select(col("a.h").as("ha"), col("b.h").as("hb"))
+      // same escalation contract as the 64-bit form: never silently
+      // quadratic — refuse a still-dense sub-band with its density
+      val hot2 = hotK.groupBy(col("t"), col("k"), col("t2"), col("k2"))
+        .agg(count(lit(1)).as("n2")).where(col("n2") > maxBandDf)
+      // hb must be a NON-NULL literal: a null literal would let the
+      // optimizer null-propagate the dist expression to constant null,
+      // prune the raise_error column, and silently drop the guard
+      val guard = hot2.select(
+        raise_error(format_string(
+          "hammingNearDupWide: level-2 sub-band (band %s, sub-band %s) " +
+            "still holds %s distinct hashes > maxBandDf — corpus density " +
+            "exceeds the two-level pigeonhole bound; raise maxBandDf or " +
+            "collapse identical hash regions first",
+          col("t"), col("t2"), col("n2"))).cast("array<bigint>").as("ha"),
+        array((0 until nWords).map(_ => lit(0L)): _*).as("hb"))
+      coldPairsOf(cold).unionByName(hotPairs).unionByName(guard)
+    }
+    val hashPairs = rawPairs
       .withColumn("dist", wideDist(col("ha"), col("hb"), nWords))
       .where(col("dist") <= maxDist)
       .distinct()
@@ -1114,33 +1169,43 @@ object Dedup {
     val b = hammingBandsWide(reps, "rep", "bhash", nWords, maxDist)
       .select(col("id").as("rep"), col("band"))
     val idx = index.select(col("id").as("cid"), col("band"))
-    // materialized once — see the narrow probe's note
-    val hot = idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
+    // hot set collected and re-planted as a LocalRelation — see the
+    // narrow probe's note: an empty set (the normal shape) prunes
+    // the whole hot routing from the plan.
+    val sparkS = bh.sparkSession
+    import sparkS.implicits._
+    val hotKeys = idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
       .where(col("n") > maxBandDf).select(col("band"))
-      .localCheckpoint()
-    val coldCands = b
-      .join(idx.join(broadcast(hot), Seq("band"), "left_anti"), "band")
-      .select(col("rep"), col("cid"))
-    val hotIdx = idx.join(broadcast(hot), Seq("band"), "left_semi")
-    val hotCands = corpusHashes match {
-      case Some(ch0) =>
-        val ch = ch0.select(col(ch0.columns.head).cast("long").as("cid"),
-          col(ch0.columns(1)).as("chash"))
-        val hotIdxH = hotIdx.join(ch, Seq("cid"), "left")
-        val covered = hotIdxH.where(col("chash").isNotNull)
-        val uncovered = hotIdxH.where(col("chash").isNull)
-          .select(col("cid"), col("band"))
-        val hotDistinct = covered.select(col("band"), col("chash"))
-          .distinct()
-        b.join(hotDistinct, "band")
-          .join(covered, Seq("band", "chash"))
-          .select(col("rep"), col("cid"))
-          .unionByName(
-            b.join(uncovered, "band").select(col("rep"), col("cid")))
-      case None =>
-        b.join(hotIdx, "band").select(col("rep"), col("cid"))
+      .collect().map(_.getString(0)).toSeq
+    val cands = if (hotKeys.isEmpty) {
+      b.join(idx, "band").select(col("rep"), col("cid"))
+    } else {
+      val hot = hotKeys.toDF("band")
+      val coldCands = b
+        .join(idx.join(broadcast(hot), Seq("band"), "left_anti"), "band")
+        .select(col("rep"), col("cid"))
+      val hotIdx = idx.join(broadcast(hot), Seq("band"), "left_semi")
+      val hotCands = corpusHashes match {
+        case Some(ch0) =>
+          val ch = ch0.select(col(ch0.columns.head).cast("long").as("cid"),
+            col(ch0.columns(1)).as("chash"))
+          val hotIdxH = hotIdx.join(ch, Seq("cid"), "left")
+          val covered = hotIdxH.where(col("chash").isNotNull)
+          val uncovered = hotIdxH.where(col("chash").isNull)
+            .select(col("cid"), col("band"))
+          val hotDistinct = covered.select(col("band"), col("chash"))
+            .distinct()
+          b.join(hotDistinct, "band")
+            .join(covered, Seq("band", "chash"))
+            .select(col("rep"), col("cid"))
+            .unionByName(
+              b.join(uncovered, "band").select(col("rep"), col("cid")))
+        case None =>
+          b.join(hotIdx, "band").select(col("rep"), col("cid"))
+      }
+      coldCands.unionByName(hotCands)
     }
-    val repPairs = coldCands.unionByName(hotCands).distinct()
+    val repPairs = cands.distinct()
     repPairs
       .join(reps.select(col("rep"), col("bhash")), "rep")
       .join(bh, "bhash")
@@ -1172,9 +1237,11 @@ object Dedup {
       col(hashCol).cast("long").as("h"))
     // one (h → min id) representative per distinct fingerprint,
     // materialized once: it feeds the banded pair search AND the
-    // final member-inheritance join
+    // final member-inheritance join. LAZY: the pinned body's hot-key
+    // collect computes reps (via the banding chain) inside its own
+    // job — no separate barrier.
     val reps = base.groupBy(col("h")).agg(min(col("id")).as("rep"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // distinct-fingerprint pair graph; hashes are unique here so the
     // identical-hash join is provably empty — skipped outright
     val repPairs = hammingPairsPinned(
@@ -1199,9 +1266,10 @@ object Dedup {
       maxBandDf: Long = 100000): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(hashCol).as("h"))
-    // materialized once + ident join skipped — see the narrow form
+    // materialized once (LAZY) + ident join skipped — see the narrow
+    // form
     val reps = base.groupBy(col("h")).agg(min(col("id")).as("rep"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val repPairs = hammingWidePairsPinned(
       reps.select(col("rep").as("id"), col("h")), nWords, maxDist,
       maxBandDf, skipIdent = true)
@@ -1421,10 +1489,15 @@ object Dedup {
       k: Int = 5, minTokens: Int = 10): DataFrame =
     dupSpansFromBase(tokBase(df, idCol, textCol), k, minTokens)
 
-  /** Fanned-out, pinned (doc_id, tokens) projection shared by the
-    * span family: tokenization runs exactly once however many
-    * branches read it (gram explode, n_tokens, span slicing,
-    * reassembly). */
+  /** Fanned-out (doc_id, tokens) projection shared by the span
+    * family. The tokenize projection sits ABOVE the fan-out exchange,
+    * so each consuming branch re-runs normToks post-shuffle (exchange
+    * reuse shares only the scan below the repartition; at real scale,
+    * where fanOut is the identity, nothing is shared) — pinning the
+    * tokenized frame instead was A/B-tested in round 15 and LOST
+    * (+0.3 s: it trades two cheap codegen token passes for an eager
+    * materialization barrier), so the shared piece is deliberately
+    * just the fanned scan. */
   private def tokBase(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     Par.fanOut(df.select(col(idCol), col(textCol)))

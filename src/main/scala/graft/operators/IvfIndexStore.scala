@@ -172,7 +172,11 @@ object IvfIndexStore {
       .orderBy(col("pcos").desc, col("cid").asc)
     // materialized once (≤ |queries| · nprobe rows): the pruning
     // collect below and the cells join would otherwise each re-run
-    // the crossJoin + ranking window
+    // the crossJoin + ranking window. Deliberately EAGER: a lazy pin
+    // was A/B-measured in round 16 (family MiniBench 12.0 s lazy vs
+    // 11.6 s eager, full-bench pair −7..16% on all 7 probe queries)
+    // — the barrier job is ~ms on the tiny probe set while the lazy
+    // finalization path costs more than it saves here.
     val probes = q.crossJoin(cent)
       .select(col("qid"), col("qv"), col("qn"), col("cid"),
         qcos(col("qv"), col("qn"), col("cv"), col("cn")).as("pcos"))

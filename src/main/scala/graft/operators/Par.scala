@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit,
-  Join, RepartitionOperation, Sort, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CoGroup,
+  FlatMapGroupsWithState, GlobalLimit, Join, MapGroups,
+  RepartitionOperation, Sort, Window => LWindow}
 
 /** Scale-adaptive fan-out for CPU-bound per-row stages — the guide's
   * §2.5 "input skew: one huge unsplittable file → repartition
@@ -50,8 +51,16 @@ object Par {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.isStreaming) df // micro-batch sizing is the stream's own knob
     else if (df.queryExecution.optimizedPlan.exists {
+      // every logical node the optimizer leaves in place that plans
+      // to an exchange-requiring (or already-wide) physical operator;
+      // MapGroups/CoGroup/FlatMapGroupsWithState are the Dataset-API
+      // shapes the optimizer does NOT rewrite to Aggregate/Join —
+      // without them a caller passing such a frame would hit the
+      // df.rdd probe, which under AQE materializes query stages
+      // (real jobs) at query-construction time
       case _: Join | _: Aggregate | _: LWindow | _: Sort |
-           _: GlobalLimit | _: RepartitionOperation => true
+           _: GlobalLimit | _: RepartitionOperation |
+           _: MapGroups | _: CoGroup | _: FlatMapGroupsWithState => true
       case _ => false
     }) df
     else if (df.rdd.getNumPartitions < target) df.repartition(target)

@@ -537,7 +537,16 @@ object Similarity {
     * per-(cid, pos) aggregate (every member contributes one row per
     * dimension, so any dimension's group count IS the cell count),
     * where a separate count aggregate + join would re-run the
-    * expensive argmin kernel a second time per Lloyd iteration. */
+    * expensive argmin kernel a second time per Lloyd iteration.
+    *
+    * PRECONDITION (on [[kmeansBase]]'s quantize contract): every
+    * member vector is FIXED-DIMENSION and NON-EMPTY — a member whose
+    * quantized vector is empty or shorter than the rest would emit no
+    * row for some `pos` and be silently dropped from `n`, diverging
+    * from a groupBy(cid).count() and from the DuckDB oracle's exact
+    * rational argmin. quantize preserves input dimension, so this
+    * holds whenever the caller's embedding column is rectangular
+    * (the table contract everywhere in this repo). */
   private def kmeansRecompute(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cid"), posexplode(col("q")))

@@ -531,11 +531,14 @@ object TextAnalysis {
     def tf(t: String) = size(filter(col("w"), x => x === lit(t)))
     // pinned: the corpus-stats aggregate AND the scoring projection
     // both read the tf rows — without the checkpoint each branch
-    // re-runs the tokenize + per-term scan over the whole corpus
+    // re-runs the tokenize + per-term scan over the whole corpus.
+    // LAZY: the stats broadcast build is the first job of the final
+    // action and populates the cache; the scoring stage (gated on
+    // that broadcast) then reads it — no separate barrier job.
     val tfs = toks.select(col(idCol) +:
       terms.zipWithIndex.map { case (t, i) =>
         tf(t).cast("long").as(s"tf$i")
-      }: _*).localCheckpoint()
+      }: _*).localCheckpoint(eager = false)
     // underscore-prefixed stat names: the single broadcast row joins
     // onto every doc row, so its columns must not shadow the id column
     val stats = tfs.agg(count(lit(1)).as("__n"),
@@ -572,11 +575,12 @@ object TextAnalysis {
       terms: Seq[String], topN: Int): DataFrame = {
     val toks = df.select(col(idCol), normToks(col(textCol)).as("w"))
     def tf(t: String) = size(filter(col("w"), x => x === lit(t)))
-    // pinned — same two-branch shape as termRelevance's tf rows
+    // pinned (LAZY) — same two-branch shape and materialization
+    // order as termRelevance's tf rows
     val tfs = toks.select(col(idCol) +: size(col("w")).cast("long").as("dl") +:
       terms.zipWithIndex.map { case (t, i) =>
         tf(t).cast("long").as(s"tf$i")
-      }: _*).localCheckpoint()
+      }: _*).localCheckpoint(eager = false)
     val stats = tfs.agg(count(lit(1)).as("__n"),
       sum(col("dl")).as("__t") +:
         terms.indices.map(i =>

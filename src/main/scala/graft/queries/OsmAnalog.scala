@@ -69,11 +69,20 @@ object OsmAnalog {
     * (orders) contain a changed "node" (parts with p_size = 50). */
   def nodeParents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ways = Middle.waysFromEdges(
-      Tables.lineitem(s, d), "l_orderkey", "l_linenumber", "l_partkey")
+    // Algebraic pushdown of parentsOfNodes ∘ waysFromEdges (pinned by
+    // MiddlePushdownSpec): assembling every way's sorted refs array
+    // only to posexplode it again costs a full collect_list exchange
+    // + array sort whose output the semi-join immediately discards —
+    // the closure decision needs KEYS, not assembled payloads (guide
+    // §8 "decide with small rows"). Identical result: explode ∘
+    // waysFromEdges yields exactly the edge multiset, and semi-join +
+    // distinct are order/multiplicity-insensitive.
+    val li = Tables.lineitem(s, d)
     val changed = Tables.part(s, d).where($"p_size" === 50)
       .select($"p_partkey".as("id"))
-    val parents = Middle.parentsOfNodes(ways, "l_orderkey", "refs", changed, "id")
+    val parents = li.join(changed, li("l_partkey") === col("id"),
+        "left_semi")
+      .select($"l_orderkey").distinct()
     parents.join(Tables.orders(s, d),
         parents("l_orderkey") === col("o_orderkey"))
       .groupBy($"o_orderstatus").agg(count(lit(1)).as("n_parent_ways"))
@@ -210,15 +219,27 @@ object OsmAnalog {
     * pending relations (two chained semi-joins). */
   def dependencyClosure(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ways = Middle.waysFromEdges(
-      Tables.lineitem(s, d), "l_orderkey", "l_linenumber", "l_partkey")
-    val rels = Tables.orders(s, d).groupBy($"o_custkey".as("rel_id"))
-      .agg(collect_list(struct(lit("w").as("type"),
-        $"o_orderkey".as("ref"))).as("members"))
+    // Algebraic pushdown of Update.dependencyClosure over middle
+    // tables REBUILT from flat rows (pinned by MiddlePushdownSpec).
+    // The operator contract is unchanged for real array-shaped
+    // middles (flex/classic/ScaleProbe still exercise it); here both
+    // its inputs were assembled with collect_list only for
+    // parentsOf*'s explode to flatten them again. Pushing the
+    // closure onto the flat rows drops BOTH wide collect_list
+    // exchanges (lineitem- and orders-sized array builds + sorts) —
+    // §8 decide-with-small-rows. Equivalence: explode ∘ waysFromEdges
+    // = the edge multiset; members are all type "w" so the "n" route
+    // is provably empty; semi-join + distinct are order-insensitive.
+    val li = Tables.lineitem(s, d)
     val changed = Tables.part(s, d).where($"p_size" === 50)
       .select($"p_partkey".as("id"))
-    val (_, pendingRels) = Update.dependencyClosure(
-      changed, ways, "l_orderkey", "refs", rels, "rel_id", "members")
+    val pendingWays = li.join(changed, li("l_partkey") === col("id"),
+        "left_semi")
+      .select($"l_orderkey").distinct()
+    val o = Tables.orders(s, d)
+    val pendingRels = o.join(pendingWays,
+        o("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select($"o_custkey".as("rel_id")).distinct()
     pendingRels.join(Tables.customer(s, d),
         pendingRels("rel_id") === col("c_custkey"))
       .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_rels"))
@@ -521,10 +542,24 @@ object OsmAnalog {
     * p_size < 50 exist; the rest are "missing"), in way order. */
   def missingNodes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ways = Middle.waysFromEdges(
-      Tables.lineitem(s, d), "l_orderkey", "l_linenumber", "l_partkey")
+    // Algebraic pushdown of missingWayNodes ∘ waysFromEdges (pinned
+    // by MiddlePushdownSpec): the composition assembled every way's
+    // FULL sorted refs array only to posexplode it back to rows,
+    // anti-join, and re-assemble the survivors — one wasted
+    // collect_list exchange + sort over the biggest table. Anti-join
+    // the flat rows first, assemble once. Order equivalence: the
+    // round-trip sorted survivors by array position, which by
+    // waysFromEdges' contract IS (l_linenumber, l_partkey) order —
+    // the direct sort's key.
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
     val store = Tables.part(s, d).where($"p_size" < 50)
-    Middle.missingWayNodes(ways, "l_orderkey", "refs", store, "p_partkey")
+      .select($"p_partkey".as("__nid"))
+    li.join(store, li("l_partkey") === col("__nid"), "left_anti")
+      .groupBy($"l_orderkey")
+      .agg(transform(
+        array_sort(collect_list(struct($"l_linenumber", $"l_partkey"))),
+        p => p.getField("l_partkey")).as("missing"))
       .select($"l_orderkey".as("way_id"),
         size($"missing").cast("int").as("n_missing"),
         array_join(transform($"missing", r => r.cast("string")), ",")
