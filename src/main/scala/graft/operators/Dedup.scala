@@ -653,7 +653,13 @@ object Dedup {
       return ident
     }
 
-    val hs = base.select(col("h")).distinct()
+    // skipIdent's contract (caller-guaranteed DISTINCT hashes) also
+    // makes the distinct here a re-aggregation of already-unique rows
+    // — a full exchange + hash aggregate for nothing (guide §2.4
+    // "a distinct on data that is already unique")
+    val hs =
+      if (skipIdent) base.select(col("h"))
+      else base.select(col("h")).distinct()
     // band b covers bits [b·64/nBands, (b+1)·64/nBands) — uneven tail
     // widths are fine, the pigeonhole argument only needs a partition;
     // each band carries its precomputed level-2 sub-keys (sub-bands of
@@ -1022,7 +1028,10 @@ object Dedup {
     }
 
     val nBands = wideBandCount(nWords, maxDist)
-    val hs = base.select(col("h")).distinct()
+    // see the narrow form: skipIdent ⇒ hashes already distinct
+    val hs =
+      if (skipIdent) base.select(col("h"))
+      else base.select(col("h")).distinct()
     val bands = (0 until nBands).map { b =>
       val lo = b * bits / nBands
       val hi = (b + 1) * bits / nBands

@@ -65,6 +65,15 @@ object Pipeline13 {
     val path = StoreOnce.dir("pdqhashes", d) { p =>
       Multimodal.dctHash256(pdqFixture(s, d), Multimodal.BinaryDecoder)
         .toDF("doc_id", "width", "height", "h")
+        // size the OUTPUT files, not the decode stage: the decode
+        // keeps its 32-way fixture spread below this exchange, but
+        // the store itself is ~40 bytes/image — without the rebalance
+        // it inherits 32 near-empty files and every probe-side scan
+        // (q160 reads it from 2 plan branches, q165 from 4) pays 32
+        // scheduler tasks of pure overhead per branch; AQE coalesces
+        // to byte-sized files here and to the advisory size at scale
+        // (guide §6 output sizing)
+        .hint("rebalance")
         .write.mode("overwrite").parquet(p)
     }
     s.read.parquet(path)
