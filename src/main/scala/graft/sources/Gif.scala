@@ -291,10 +291,15 @@ object Gif {
     var width = minCode + 1
     var prev = -1
 
+    // chain-walk scratch, shared by every emit() below: a dictionary
+    // chain is at most 4096 deep, and allocating this per CODE was
+    // ~3 MB of garbage per small image — enough to GC-stall a
+    // 32-task decode stage on a heap already holding checkpoint
+    // blocks (round-16 q144 triage)
+    val stack = new Array[Int](4096)
     // walk the chain, write reversed — returns the first pixel
     def emit(code0: Int): Int = {
       var code = code0
-      val stack = new Array[Int](4096)
       var sp = 0
       while (code >= clear + 2) {
         stack(sp) = last(code); sp += 1

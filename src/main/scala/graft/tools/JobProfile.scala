@@ -14,7 +14,7 @@ import scala.collection.mutable
   * Usage: SPARK_GRAFT_SF_DIR=... tools/jrun.sh graft.tools.JobProfile q146_image_clusters ...
   */
 object JobProfile {
-  final case class JobRec(id: Int, desc: String, start: Long,
+  final case class JobRec(id: Int, var desc: String, start: Long,
       var end: Long = 0L, stages: mutable.Buffer[String] = mutable.Buffer())
 
   def main(args: Array[String]): Unit = {
@@ -33,16 +33,38 @@ object JobProfile {
     var collect = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
-        if (collect) jobs(e.jobId) = JobRec(e.jobId,
-          Option(e.properties.getProperty("spark.job.description"))
-            .getOrElse(""), e.time)
+        if (collect) {
+          val rec = JobRec(e.jobId,
+            Option(e.properties.getProperty("spark.job.description"))
+              .getOrElse(""), e.time)
+          // per-job attribution: the job's graft callsite (from any
+          // stage's details) + its stages' ids
+          e.stageInfos.foreach { si =>
+            si.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("JobProfile"))
+              .foreach(l => if (rec.desc.isEmpty) rec.desc = l.trim)
+          }
+          rec.stages ++= e.stageInfos.map(_.stageId.toString)
+          jobs(e.jobId) = rec
+        }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         if (collect) jobs.get(e.jobId).foreach(_.end = e.time)
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         if (collect) {
           val si = e.stageInfo
           val m = si.taskMetrics
-          stageInfo(si.stageId) = (si.name.takeWhile(_ != '\n'),
+          // first graft.* frame in the callsite stack — the useful
+          // attribution (si.name is usually an internal Spark frame);
+          // plus the stage's RDD scope chain (scan paths, operators)
+          val frames = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("JobProfile"))
+            .map(_.trim).getOrElse(si.name.takeWhile(_ != '\n'))
+          val scopes = si.rddInfos.sortBy(_.id).map { r =>
+            val sc = r.scope.map(_.name).getOrElse("")
+            if (sc.nonEmpty) sc else r.name
+          }.distinct.mkString(" | ")
+          val where = s"$frames  [$scopes]"
+          stageInfo(si.stageId) = (where,
             m.executorRunTime,
             m.shuffleReadMetrics.totalBytesRead,
             m.shuffleWriteMetrics.bytesWritten, si.numTasks)
@@ -67,7 +89,7 @@ object JobProfile {
         val dur = (j.end - j.start) / 1000.0
         val gap = if (prevEnd == 0) 0.0 else (j.start - prevEnd) / 1000.0
         prevEnd = math.max(prevEnd, j.end)
-        println(f"  job ${j.id}%4d  ${dur}%7.3f s  (gap ${gap}%6.3f s)")
+        println(f"  job ${j.id}%4d  ${dur}%7.3f s  (gap ${gap}%6.3f s)  stages=${j.stages.mkString(",")}  ${j.desc.take(110)}")
       }
       val top = stageInfo.toSeq.sortBy(-_._2._2).take(12)
       println("  -- top stages by executor run time --")
