@@ -119,6 +119,31 @@ private[operators] object VersionedStore {
     s"$path/v=$v"
   }
 
+  /** Read ONLY the probed `cell=K` partition directories of a cells
+    * table — manual partition pruning (guide §6). A whole-directory
+    * `spark.read.parquet(cellsDir)` lists EVERY cell partition before
+    * the IN-filter prunes any of them: past the parallel-discovery
+    * threshold that listing is a distributed JOB (measured 0.13 s per
+    * probe on an 80-cell store), and on a planet-scale store it is
+    * O(cells) driver work per probe. Handing the reader the probed
+    * directories keeps listing O(probed). Cells with no members were
+    * never written — one driver listStatus intersects them away, the
+    * same skip the full listing did. Returns None when no probed cell
+    * exists on disk (callers keep their full-scan fallback: it reads
+    * the footer-derived schema and yields the same empty frame). */
+  def readProbedCells(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, probed: Seq[Long])
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val f = fs(spark, cellsDir)
+    val onDisk = f.listStatus(new Path(cellsDir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("cell="))
+      .flatMap(_.stripPrefix("cell=").toLongOption).toSet
+    val existing = probed.filter(onDisk)
+    if (existing.isEmpty) None
+    else Some(spark.read.option("basePath", cellsDir)
+      .parquet(existing.map(c => s"$cellsDir/cell=$c"): _*))
+  }
+
   /** Small sidecar file (params.json etc.) inside a staged version
     * dir — written before the commit marker, so it is part of the
     * atomic version. */

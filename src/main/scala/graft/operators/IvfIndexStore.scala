@@ -189,8 +189,14 @@ object IvfIndexStore {
     // only the probed cell=K directories are listed and scanned
     val probedCells = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0))
-    val cells = spark.read.parquet(s"$vdir/cells")
-      .where(col("cell").cast("long").isInCollection(probedCells))
+    // probed partition dirs handed to the reader directly — the
+    // whole-dir read re-listed every cell partition per probe (a
+    // distributed listing job past 32 cells); see
+    // VersionedStore.readProbedCells
+    val cells = VersionedStore
+      .readProbedCells(spark, s"$vdir/cells", probedCells)
+      .getOrElse(spark.read.parquet(s"$vdir/cells")
+        .where(col("cell").cast("long").isInCollection(probedCells)))
       .select(col("nid"), col("nv"), col("nn"),
         col("cell").cast("long").as("cell"))
     // explicit hint: the checkpointed probe set is the same bounded

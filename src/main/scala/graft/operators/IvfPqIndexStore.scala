@@ -210,8 +210,11 @@ object IvfPqIndexStore {
     // bounded driver list (≤ |queries| · nprobe) → partition pruning
     val probedCells = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0))
-    val cells = spark.read.parquet(s"$vdir/cells")
-      .where(col("cell").cast("long").isInCollection(probedCells))
+    // probed dirs only — see VersionedStore.readProbedCells
+    val cells = VersionedStore
+      .readProbedCells(spark, s"$vdir/cells", probedCells)
+      .getOrElse(spark.read.parquet(s"$vdir/cells")
+        .where(col("cell").cast("long").isInCollection(probedCells)))
       .select(col("nid"), col("codes"),
         col("cell").cast("long").as("cell"))
     Pruned(vdir, m, q, probes, cells, byResidual)

@@ -215,8 +215,11 @@ object IvfSqIndexStore {
     // filter turns the cells read into partition pruning
     val probedCells = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0))
-    val cells = spark.read.parquet(s"$vdir/cells")
-      .where(col("cell").cast("long").isInCollection(probedCells))
+    // probed dirs only — see VersionedStore.readProbedCells
+    val cells = VersionedStore
+      .readProbedCells(spark, s"$vdir/cells", probedCells)
+      .getOrElse(spark.read.parquet(s"$vdir/cells")
+        .where(col("cell").cast("long").isInCollection(probedCells)))
       .select(col("nid"), col("codes"), col("cell").cast("long").as("cell"))
     probes.join(cells, probes("cid") === cells("cell"))
       .where(col("qid") =!= col("nid"))
