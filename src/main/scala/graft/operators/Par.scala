@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CoGroup,
   FlatMapGroupsWithState, GlobalLimit, Join, MapGroups,
   RepartitionOperation, Sort, Window => LWindow}
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
 
 /** Scale-adaptive fan-out for CPU-bound per-row stages — the guide's
   * §2.5 "input skew: one huge unsplittable file → repartition
@@ -61,6 +62,13 @@ object Par {
       case _: Join | _: Aggregate | _: LWindow | _: Sort |
            _: GlobalLimit | _: RepartitionOperation |
            _: MapGroups | _: CoGroup | _: FlatMapGroupsWithState => true
+      // a cached frame is already as wide as its cached plan, and the
+      // exchange-inducing operators live INSIDE the InMemoryRelation
+      // where the match above cannot see them — probing such a frame
+      // with df.rdd materializes the whole (possibly unfilled) cache
+      // at query-construction time (measured: two real jobs, 0.6 s,
+      // inside q76's fanOut call before this case)
+      case _: InMemoryRelation => true
       case _ => false
     }) df
     else if (df.rdd.getNumPartitions < target) df.repartition(target)

@@ -45,6 +45,21 @@ class ParSpec extends SparkSpecBase {
     assert(Par.fanOut(joined) eq joined)
   }
 
+  test("a cached frame is returned untouched without probing") {
+    // the exchange-inducing operators live INSIDE the InMemoryRelation
+    // where the logical-plan match cannot see them; probing with
+    // df.rdd would materialize the (possibly unfilled) cache at
+    // query-construction time (the q76 shape — round-16)
+    val cached = spark.range(0, 100, 1, numPartitions = 1).toDF("id")
+      .withColumn("k", col("id") % 7)
+      .groupBy("k").count()
+      .persist()
+    try {
+      val projected = cached.select(col("k"))
+      assert(Par.fanOut(projected) eq projected)
+    } finally { cached.unpersist(); () }
+  }
+
   test("a streaming frame is returned untouched") {
     val stream = spark.readStream.format("rate")
       .option("rowsPerSecond", "1").load()
