@@ -494,6 +494,44 @@ object ScaleProbe {
           graft.operators.BandIndexStore.read(spark, p))
         .agg(sum(col("n_dup_chunks"))).first().getLong(0)
     }
+    // q145-shaped probe at mult× corpus: the per-batch hot-band
+    // decision from the full-index aggregate (scan grows with the
+    // index) vs the write-time stats sidecar (O(1) driver read here,
+    // O(hot) scan when hot bands exist) — round-16 stats feature
+    time("hamming_incremental_stats") {
+      val p = graft.tools.Scratch.dir("graft_hashidx_probe")
+      val ids = docs.select(col("doc_id"))
+      // hot CORPUS hash (its bands cross any floor) that the batch
+      // never probes — the candidate set stays tiny while the
+      // hot-band DECISION still has work to do; a hot hash on both
+      // sides would make the true candidate set itself quadratic
+      val hs = ids.withColumn("h",
+        when(col("doc_id") % 10 < 5 && col("doc_id") % 7 === 0, lit(42L))
+          .otherwise(xxhash64(col("doc_id"))))
+      val corpus = hs.where(col("doc_id") % 10 < 5)
+      val batch = hs.where(col("doc_id") % 10 >= 5)
+      graft.operators.BandIndexStore.writeBands(
+        graft.operators.Dedup.hammingBands(corpus, "doc_id", "h",
+          maxDist = 3), p)
+      val index = graft.operators.BandIndexStore.read(spark, p)
+      // threshold below the hot band's count so the hot ROUTING
+      // engages (and above the stats floor so the sidecar answers)
+      def run(hb: Option[Seq[String]]): Long =
+        graft.operators.Dedup.incrementalHammingCandidates(
+          batch, "doc_id", "h", index, maxDist = 3,
+          corpusHashes = Some(corpus), maxBandDf = 10000,
+          hotBands = hb).count()
+      val t0 = System.nanoTime()
+      val nAgg = run(None)
+      val tAgg = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nStats = run(graft.operators.BandIndexStore
+        .readHotBands(spark, p, 10000))
+      val tStats = (System.nanoTime() - t1) / 1e9
+      require(nAgg == nStats, s"route mismatch: $nAgg vs $nStats")
+      println(f"[scale]   hot-band decision: aggregate=$tAgg%.1fs stats=$tStats%.1fs")
+      nStats
+    }
     // q152: two hash aggregates + one equi-join against the (tiny)
     // boilerplate set — wall must track segment volume; the
     // self-union multiplies per-host doc counts, not pair counts

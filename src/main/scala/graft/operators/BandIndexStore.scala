@@ -93,6 +93,79 @@ object BandIndexStore {
       .parquet(s"$path/snap")
     Seq(buckets).toDF("buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
+    // band-frequency statistics (see readHotBands): aggregated from
+    // the JUST-WRITTEN snapshot, not from `bands` — re-evaluating the
+    // caller's frame would re-run an arbitrarily expensive upstream
+    // banding a second time
+    writeSnapStats(spark, path)
+  }
+
+  /** Aggregate band frequencies of the CURRENT snapshot into the
+    * stats sidecar: `stats/snap` holds (band, n) for bands over
+    * [[StatsFloor]]; the `stats/_floor` text records the floor and
+    * the sidecar's row count — driver-readable with no Spark job, so
+    * the overwhelmingly common "no hot bands, no appends" probe
+    * answers job-free. */
+  private def writeSnapStats(spark: SparkSession, path: String): Unit = {
+    // snapFrame, not a raw read: a fully-emptied snapshot has no
+    // bucket directories and a raw read would fail schema inference
+    snapFrame(spark, path)
+      .groupBy(col("band")).agg(count(lit(1)).as("n"))
+      .where(col("n") > StatsFloor)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats/snap")
+    val nHot = spark.read.parquet(s"$path/stats/snap").count()
+    VersionedStore.writeText(spark, s"$path/stats/_floor",
+      s"$StatsFloor\n$nHot")
+  }
+
+  /** Bands with fewer rows than this never enter the stats sidecar —
+    * it stays tiny (≤ rows/floor entries) at any index size. Recorded
+    * in stats/meta so [[readHotBands]] can refuse a probe threshold
+    * the stats cannot answer. */
+  val StatsFloor: Long = 1024L
+
+  /** The hot-band set a probe with `maxBandDf` would compute by
+    * aggregating the full index — answered from the write-time stats
+    * sidecar instead, so a planet-scale batch probe stops paying an
+    * O(index) scan per batch. None when the store predates stats or
+    * `maxBandDf` is below the recorded floor (callers fall back to
+    * the aggregate). Counts are summed over snapshot + append
+    * generations WITHOUT tombstone subtraction, and per-generation
+    * counts below the floor are dropped — the set is therefore an
+    * approximation of the live-count answer in both directions; that
+    * only shifts bands between the hot and cold routes, which are
+    * result-identical by construction (both are exact over disjoint
+    * index partitions). */
+  def readHotBands(spark: SparkSession, path: String,
+      maxBandDf: Long): Option[Seq[String]] = {
+    val f = fs(spark, path)
+    try {
+      val (floor, nSnapHot) = VersionedStore
+        .readTextIfExists(spark, s"$path/stats/_floor") match {
+        case Some(t) =>
+          val parts = t.trim.split("\n")
+          (parts(0).trim.toLong, parts(1).trim.toLong)
+        case None => return None // store predates stats
+      }
+      if (maxBandDf < floor) return None
+      val gens = logGens(spark, path)
+        .map(g => s"$path/stats/gen=$g")
+        .filter(p => f.exists(new Path(p)))
+      // the common shape — an empty sidecar and no appends — answers
+      // with no Spark job at all
+      if (nSnapHot == 0L && gens.isEmpty) return Some(Seq.empty)
+      val all = (s"$path/stats/snap" +: gens)
+        .map(spark.read.parquet(_))
+        .reduce(_ unionByName _)
+      Some(all.groupBy(col("band")).agg(sum(col("n")).as("n"))
+        .where(col("n") > maxBandDf)
+        .collect().map(_.getString(0)).toSeq)
+    } catch {
+      // stats are an advisory sidecar: any torn/unreadable state is
+      // answered by the full-aggregate fallback, never an error
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   private def bucketCount(spark: SparkSession, path: String): Int =
@@ -163,6 +236,16 @@ object BandIndexStore {
       .sortWithinPartitions("bucket", "op", "id", "band")
       .write.partitionBy("gen", "bucket").mode("append")
       .parquet(s"$path/log")
+    // per-generation stats sidecar (see readHotBands) — aggregated
+    // from the just-written generation; skipped entirely on a store
+    // that predates stats (keeps readHotBands' None contract)
+    if (fs(spark, path).exists(new Path(s"$path/stats/_floor")))
+      spark.read.parquet(s"$path/log/gen=$gen")
+        .where(col("op") === "a")
+        .groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .where(col("n") > StatsFloor)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/stats/gen=$gen")
   }
 
   /** The current resolved index: snapshot plus log, tombstones
@@ -300,5 +383,22 @@ object BandIndexStore {
       deleteChecked(f, new Path(s"$path/log"))
       deleteChecked(f, new Path(tmp))
     } else deleteChecked(f, new Path(s"$path/log"))
+    refreshStats(spark, path)
+  }
+
+  /** Rebuild the snapshot stats sidecar and drop per-generation stats
+    * after a compaction folded the log away. Advisory only (see
+    * readHotBands): a crash between the compaction commit and this
+    * refresh merely leaves an under-counting sidecar until the next
+    * maintenance pass — stale generation stats can never be read,
+    * because readHotBands only consults generations still present in
+    * the log. */
+  private def refreshStats(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    if (!f.exists(new Path(s"$path/stats/_floor"))) return
+    f.listStatus(new Path(s"$path/stats")).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("gen="))
+      .foreach(p => deleteChecked(f, p))
+    writeSnapStats(spark, path)
   }
 }

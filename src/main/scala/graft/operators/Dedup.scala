@@ -862,7 +862,8 @@ object Dedup {
   def incrementalHammingCandidates(batch: DataFrame, idCol: String,
       hashCol: String, index: DataFrame, maxDist: Int = 3,
       corpusHashes: Option[DataFrame] = None,
-      maxBandDf: Long = 100000): DataFrame = {
+      maxBandDf: Long = 100000,
+      hotBands: Option[Seq[String]] = None): DataFrame = {
     require(maxBandDf >= 1, s"bad maxBandDf $maxBandDf")
     checkHammingIndexGeometry(index, maxDist)
     // batch projection materialized once (referenced by the distinct
@@ -885,9 +886,15 @@ object Dedup {
     // job-less LocalRelation broadcast.
     val sparkS = bh.sparkSession
     import sparkS.implicits._
-    val hotKeys = idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
-      .where(col("n") > maxBandDf).select(col("band"))
-      .collect().map(_.getString(0)).toSeq
+    // hot set: from the caller's write-time stats sidecar when
+    // available ([[BandIndexStore.readHotBands]] — no index scan at
+    // all), else the full aggregate. Either way the hot/cold routes
+    // partition the index rows and are result-identical, so a stats
+    // approximation only shifts bands between two exact routes.
+    val hotKeys = hotBands.getOrElse(
+      idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .where(col("n") > maxBandDf).select(col("band"))
+        .collect().map(_.getString(0)).toSeq)
     val cands = if (hotKeys.isEmpty) {
       b.join(idx, "band").select(col("rep"), col("cid"))
     } else {
@@ -1168,7 +1175,8 @@ object Dedup {
   def incrementalHammingCandidatesWide(batch: DataFrame, idCol: String,
       hashCol: String, index: DataFrame, nWords: Int, maxDist: Int = 6,
       corpusHashes: Option[DataFrame] = None,
-      maxBandDf: Long = 100000): DataFrame = {
+      maxBandDf: Long = 100000,
+      hotBands: Option[Seq[String]] = None): DataFrame = {
     require(maxBandDf >= 1, s"bad maxBandDf $maxBandDf")
     checkHammingIndexGeometryWide(index, nWords, maxDist)
     // batch projection materialized once — see the narrow form
@@ -1183,9 +1191,11 @@ object Dedup {
     // the whole hot routing from the plan.
     val sparkS = bh.sparkSession
     import sparkS.implicits._
-    val hotKeys = idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
-      .where(col("n") > maxBandDf).select(col("band"))
-      .collect().map(_.getString(0)).toSeq
+    // stats-sidecar hot set when available — see the narrow probe
+    val hotKeys = hotBands.getOrElse(
+      idx.groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .where(col("n") > maxBandDf).select(col("band"))
+        .collect().map(_.getString(0)).toSeq)
     val cands = if (hotKeys.isEmpty) {
       b.join(idx, "band").select(col("rep"), col("cid"))
     } else {

@@ -676,7 +676,11 @@ object Pipeline10 {
     val cands = graft.operators.Dedup.incrementalHammingCandidates(
       batch, "doc_id", "h", index, maxDist = 6,
       corpusHashes = Some(hashes.where(col("source") === "src0")
-        .select(col("doc_id"), col("h"))))
+        .select(col("doc_id"), col("h"))),
+      // hot set from the write-time stats sidecar: no per-probe
+      // O(index) aggregate (falls back inside the probe when None)
+      hotBands = graft.operators.BandIndexStore.readHotBands(
+        s, path, maxBandDf = 100000))
     // exact verify against the hash table (the index stores bands
     // only): ≤ candidate-count integer xor/popcounts
     val bh = batch.select(col("doc_id").as("batch_id"),

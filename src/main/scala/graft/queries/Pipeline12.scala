@@ -296,7 +296,10 @@ object Pipeline12 {
     val cands = graft.operators.Dedup.incrementalHammingCandidatesWide(
       batch, "doc_id", "h", index, nWords = 2, maxDist = 6,
       corpusHashes = Some(hashes.where(col("source") === "src0")
-        .select(col("doc_id"), col("h"))))
+        .select(col("doc_id"), col("h"))),
+      // stats-sidecar hot set — see q145
+      hotBands = graft.operators.BandIndexStore.readHotBands(
+        s, path, maxBandDf = 100000))
     val dist2 = (a: String, b: String) =>
       (bit_count(element_at(col(a), 1).bitwiseXOR(element_at(col(b), 1))) +
         bit_count(element_at(col(a), 2).bitwiseXOR(element_at(col(b), 2))))

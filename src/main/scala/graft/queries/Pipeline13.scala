@@ -464,7 +464,10 @@ object Pipeline13 {
     val batch = hashes.where(col("source") =!= "src0")
     val cands = graft.operators.Dedup.incrementalHammingCandidatesWide(
       batch, "doc_id", "h", index, nWords = 4, maxDist = 6,
-      corpusHashes = Some(corpus.select(col("doc_id"), col("h"))))
+      corpusHashes = Some(corpus.select(col("doc_id"), col("h"))),
+      // stats-sidecar hot set — see q145
+      hotBands = graft.operators.BandIndexStore.readHotBands(
+        s, path, maxBandDf = 100000))
     val bh = batch.select(col("doc_id").as("batch_id"), col("h").as("bh"))
     val ch = corpus.select(col("doc_id").as("corpus_id"),
       col("h").as("ch"))

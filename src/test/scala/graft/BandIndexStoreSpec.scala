@@ -31,6 +31,76 @@ class BandIndexStoreSpec extends SparkSpecBase {
       .toMap
   }
 
+  test("hot-band stats sidecar answers what the full aggregate would") {
+    val path = tmp()
+    try {
+      // one genuinely hot band (1500 ids share a fingerprint, so all
+      // its band keys cross the 1024 stats floor) + a cold tail
+      val hot = (0L until 1500L).map(i => (i, 42L))
+      val cold = (2000L until 2050L).map(i => (i, i * 977L))
+      val bands = Dedup.hammingBands(
+        (hot ++ cold).toDF("doc_id", "h"), "doc_id", "h", maxDist = 3)
+      BandIndexStore.writeBands(bands, path, buckets = 8)
+      // stats floor (1024) ≤ threshold: answered from the sidecar and
+      // identical to aggregating the resolved index
+      val fromStats = BandIndexStore.readHotBands(spark, path, 1200L)
+      assert(fromStats.isDefined)
+      val expected = BandIndexStore.read(spark, path)
+        .groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1200L)
+        .select(col("band")).as[String].collect().toSet
+      assert(fromStats.get.toSet == expected && expected.nonEmpty)
+      // a threshold below the floor cannot be answered
+      assert(BandIndexStore.readHotBands(spark, path, 100L).isEmpty)
+      // appends contribute generation stats (counts are additive)
+      BandIndexStore.appendBands(spark, path,
+        Dedup.hammingBands((5000L until 6200L).map(i => (i, 42L))
+          .toDF("doc_id", "h"), "doc_id", "h", maxDist = 3),
+        spark.emptyDataFrame.select(lit(0L).as("doc_id")).where(lit(false)))
+      val afterAppend = BandIndexStore.readHotBands(spark, path, 2000L)
+      assert(afterAppend.isDefined && afterAppend.get.nonEmpty,
+        "snap(1500) + gen(1200) counts must cross 2000 summed")
+      // compaction folds the log and refreshes the snapshot stats
+      BandIndexStore.compact(spark, path)
+      val afterCompact = BandIndexStore.readHotBands(spark, path, 2000L)
+      assert(afterCompact.isDefined &&
+        afterCompact.get.toSet == afterAppend.get.toSet)
+      // the small-store common case: empty hot set, still Some
+      val small = tmp()
+      try {
+        BandIndexStore.writeBands(Dedup.hammingBands(
+          Seq((1L, 7L), (2L, 9L)).toDF("doc_id", "h"), "doc_id", "h",
+          maxDist = 3), small, buckets = 4)
+        assert(BandIndexStore.readHotBands(spark, small, 100000L)
+          .contains(Seq.empty))
+      } finally rm(small)
+    } finally rm(path)
+  }
+
+  test("probe with stats-derived hot set matches the aggregate route") {
+    val path = tmp()
+    try {
+      val hot = (0L until 1500L).map(i => (i, 42L))
+      val cold = (2000L until 2050L).map(i => (i, i * 977L))
+      val corpus = (hot ++ cold).toDF("doc_id", "h")
+      BandIndexStore.writeBands(Dedup.hammingBands(
+        corpus, "doc_id", "h", maxDist = 3), path, buckets = 8)
+      val index = BandIndexStore.read(spark, path)
+      val batch = Seq((9001L, 42L), (9002L, 43L), (9003L, 2013L * 977L))
+        .toDF("doc_id", "h")
+      val noStats = Dedup.incrementalHammingCandidates(
+        batch, "doc_id", "h", index, maxDist = 3,
+        corpusHashes = Some(corpus), maxBandDf = 1200L)
+        .as[(Long, Long)].collect().toSet
+      val withStats = Dedup.incrementalHammingCandidates(
+        batch, "doc_id", "h", index, maxDist = 3,
+        corpusHashes = Some(corpus), maxBandDf = 1200L,
+        hotBands = BandIndexStore.readHotBands(spark, path, 1200L))
+        .as[(Long, Long)].collect().toSet
+      assert(withStats == noStats && noStats.nonEmpty)
+    } finally rm(path)
+  }
+
   test("a deleted doc stops surfacing as a candidate") {
     val path = tmp()
     try {
