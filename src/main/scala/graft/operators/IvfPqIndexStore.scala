@@ -277,15 +277,27 @@ object IvfPqIndexStore {
       queries: DataFrame, k: Int, rerank: Int = 20, nprobe: Int = 2,
       m: Int = -1): DataFrame = {
     require(rerank >= k, s"rerank window $rerank must be >= k $k")
-    val shortlist = probe(spark, pqPath, queries, k = rerank,
-      nprobe = nprobe, m = m).select(col("qid"), col("nid"))
+    // the two store probes are independent until the final semi-join,
+    // and each runs a chain of small driver actions (probe pin,
+    // pruning collect, store listing) during CONSTRUCTION — build
+    // them on two threads so their jobs interleave instead of queuing
+    // (guide §2.6 overlap-independent-jobs; actions are only
+    // sequential because the driver calls them sequentially)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fShortlist = Future(probe(spark, pqPath, queries, k = rerank,
+      nprobe = nprobe, m = m).select(col("qid"), col("nid")))
+    val fCands = Future(
+      IvfIndexStore.probeCandidates(spark, ivfPath, queries, nprobe))
+    val shortlist = Await.result(fShortlist, Duration.Inf)
     // the same probed cells in the exact-vector store (both stores
     // share the deterministic coarse assignment): semi-join the ADC
     // shortlist against the UNRANKED pruned candidates, so the
     // ranking window only ever sorts ≤ R rows per query
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
-    IvfIndexStore.probeCandidates(spark, ivfPath, queries, nprobe)
+    Await.result(fCands, Duration.Inf)
       .join(shortlist, Seq("qid", "nid"), "left_semi")
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
